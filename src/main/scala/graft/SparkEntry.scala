@@ -1,13 +1,363 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ts.{Dedup, GapFill, Sessionize, Validation}
+import graft.spikes.Spikes
+import graft.ops.{DedupDocs, Similarity, Text}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Conventions shared with the DuckDB oracle:
+  *  - event timestamps are epoch MICROSECOND longs (`ts div 1000` on
+  *    Spark's nanos-as-long ↔ `epoch_us(ts)` in DuckDB — DuckDB truncates
+  *    parquet nanos to its native micros, so both sides agree exactly);
+  *  - money/value sums go through DECIMAL so they are associative and
+  *    bit-identical regardless of execution order, then cast back to
+  *    double;
+  *  - derived doubles that feed comparisons/rankings are rounded (4-6dp)
+  *    on BOTH sides before use.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** 10 minutes in micros — global session gap for the events stream. */
+  private val GlobalGapUs = 600000000L
+
+  /** 6 hours in micros — per-user session gap. */
+  private val UserGapUs = 21600000000L
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * SURVEY.md §7.3 "session epochs report". */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    qSessionEpochs(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  /** W1 global sessionize (scalable two-pass, no single-task sort). */
+  private def qSessionEpochs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("ts_us")
+    val seg = Sessionize.withSegmentIdGlobal(ev, "ts_us", GlobalGapUs)
+    Sessionize
+      .segments(seg, "ts_us", 1L)
+      .select(
+        col("segment_id"),
+        col("start").as("start_us"),
+        col("stop").as("stop_us"),
+        col("n").as("n_events")
+      )
+  }
+
+  /** W1 keyed sessionize per user. */
+  private def qUserSessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "ts_us")
+    Sessionize
+      .withSegmentIdKeyed(ev, "ts_us", UserGapUs, Seq("user_id"))
+      .groupBy("user_id", "segment_id")
+      .agg(
+        min("ts_us").as("start_us"),
+        (max(col("ts_us")) + 1L).as("stop_us"),
+        count(lit(1)).as("n_events")
+      )
+  }
+
+  /** A6 gap lengths between global segments. */
+  private def qGapStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("ts_us")
+    val seg = Sessionize.withSegmentIdGlobal(ev, "ts_us", GlobalGapUs)
+    val segs = Sessionize.segments(seg, "ts_us", 1L)
+    Sessionize
+      .gapLengths(segs)
+      .select(
+        col("segment_id"),
+        col("start").as("start_us"),
+        col("stop").as("stop_us"),
+        col("gap_before").as("gap_before_us")
+      )
+  }
+
+  /** U2 dedup-keep-first on minute buckets (deterministic tiebreak). */
+  private def qDedupKeepFirst(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .withColumn("ts_min", expr("ts_us div 60000000"))
+    Dedup
+      .keepFirst(ev, Seq("ts_min"), Seq("ts_us", "event_id"))
+      .select("ts_min", "event_id", "user_id")
+  }
+
+  /** J4/F1 small-gap linear interpolation on an integral-ts signal. */
+  private def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val sig = Tables
+      .events(s, dir)
+      .where(col("event_id") % 7 =!= 0)
+      .select(col("event_id").as("sts"), col("value"))
+    GapFill
+      .linear(sig, "sts", "value", step = 1L, maxGapSize = 5L)
+      .select(col("sts"), round(col("value"), 4).as("value"), col("interpolated"))
+  }
+
+  /** F13/F14 timestamp validation report. */
+  private def qTsValidation(s: SparkSession, dir: String): DataFrame =
+    Validation.report(Tables.events(s, dir), "ts_us", "event_id")
+
+  /** A3+P5+W2: MAD threshold then ≥2-consecutive crossings. */
+  private def qMadCrossings(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+    val thr = Spikes.madThreshold(ev, "value", 2.0).first().getDouble(0)
+    Spikes.crossings(ev, "event_id", "value", thr, "pos")
+  }
+
+  /** W4/J3 patch gather around crossing peaks (range join, exploded form). */
+  private def qPatchExtract(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+    val thr = Spikes.madThreshold(ev, "value", 2.0).first().getDouble(0)
+    val peaks = Spikes.crossings(ev, "event_id", "value", thr, "pos")
+    Spikes.extractPatches(ev, peaks, "event_id", "value", halfWidth = 3)
+  }
+
+  /** A8 running sum per user (decimal-exact cumulative). */
+  private def qRunningSum(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(
+      col("event_id"),
+      col("user_id"),
+      col("ts_us"),
+      sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("cum_value")
+    )
+  }
+
+  /** TPC-H Q1-shaped pricing summary (decimal-exact sums). */
+  private def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val qty = col("l_quantity").cast("decimal(12,2)")
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = col("l_discount").cast("decimal(3,2)")
+    val tax = col("l_tax").cast("decimal(3,2)")
+    l.where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(qty).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * (lit(1).cast("decimal(3,2)") - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (lit(1).cast("decimal(3,2)") - disc) * (lit(1).cast("decimal(3,2)") + tax))
+          .cast("double")
+          .as("sum_charge"),
+        count(lit(1)).as("count_order")
+      )
+      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+      .withColumn("avg_price", round(col("sum_base_price") / col("count_order"), 6))
+  }
+
+  /** TPC-H Q3-shaped revenue top-10 (broadcast dim joins, deterministic
+    * tiebreak on the limit). */
+  private def q3Revenue(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = col("l_discount").cast("decimal(3,2)")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sum(price * (lit(1).cast("decimal(3,2)") - disc)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Text token/quality statistics. */
+  private def qDocStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    Text.tokenStats(d).join(Text.qualityScores(d), "doc_id")
+  }
+
+  /** Exact content-hash dedup groups. */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    DedupDocs.exactGroups(Tables.documents(s, dir))
+
+  /** Exact blocked n-gram Jaccard near-dup pairs. */
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    DedupDocs.ngramJaccardPairs(
+      Tables.documents(s, dir),
+      k = 3,
+      threshold = 0.8,
+      blockCol = "source"
+    )
+
+  /** Brute-force cosine top-k (k=10) for query vectors vec_id < 5. */
+  private def qSimTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), k = 10)
+  }
+
+  /** MinHash-LSH candidate pairs (no SQL oracle — banding not reasonably
+    * expressible; driver records rows-only). */
+  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    DedupDocs.minhashLshPairs(Tables.documents(s, dir), k = 3, numHashes = 16, rowsPerBand = 4)
+
+  /** Full spike chain incl. refractory censor (rows-only: loop-carried
+    * state, not SQL-expressible). */
+  private def qSpikeCensor(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+    val thr = Spikes.madThreshold(ev, "value", 2.0).first().getDouble(0)
+    val peaks = Spikes.crossings(ev, "event_id", "value", thr, "pos")
+    Spikes.censor(peaks, "event_id", width = 5L, keys = Nil)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_epochs" -> (qSessionEpochs _),
+    "q_user_sessions" -> (qUserSessions _),
+    "q_gap_stats" -> (qGapStats _),
+    "q_dedup_keep_first" -> (qDedupKeepFirst _),
+    "q_gapfill" -> (qGapFill _),
+    "q_ts_validation" -> (qTsValidation _),
+    "q_mad_crossings" -> (qMadCrossings _),
+    "q_patch_extract" -> (qPatchExtract _),
+    "q_running_sum" -> (qRunningSum _),
+    "q1_pricing" -> (q1Pricing _),
+    "q3_revenue" -> (q3Revenue _),
+    "q_doc_stats" -> (qDocStats _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_sim_topk" -> (qSimTopK _),
+    "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_spike_censor" -> (qSpikeCensor _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_session_epochs" ->
+      s"""WITH e AS (SELECT epoch_us(ts) AS ts_us FROM events),
+         |d AS (SELECT ts_us, CASE WHEN ts_us - lag(ts_us) OVER (ORDER BY ts_us) >= $GlobalGapUs THEN 1 ELSE 0 END AS brk FROM e),
+         |s AS (SELECT ts_us, SUM(brk) OVER (ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment_id FROM d)
+         |SELECT segment_id, MIN(ts_us) AS start_us, MAX(ts_us) + 1 AS stop_us, COUNT(*) AS n_events
+         |FROM s GROUP BY segment_id""".stripMargin,
+    "q_user_sessions" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         |d AS (SELECT user_id, ts_us, CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) >= $UserGapUs THEN 1 ELSE 0 END AS brk FROM e),
+         |s AS (SELECT user_id, ts_us, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment_id FROM d)
+         |SELECT user_id, segment_id, MIN(ts_us) AS start_us, MAX(ts_us) + 1 AS stop_us, COUNT(*) AS n_events
+         |FROM s GROUP BY user_id, segment_id""".stripMargin,
+    "q_gap_stats" ->
+      s"""WITH e AS (SELECT epoch_us(ts) AS ts_us FROM events),
+         |d AS (SELECT ts_us, CASE WHEN ts_us - lag(ts_us) OVER (ORDER BY ts_us) >= $GlobalGapUs THEN 1 ELSE 0 END AS brk FROM e),
+         |s AS (SELECT ts_us, SUM(brk) OVER (ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment_id FROM d),
+         |g AS (SELECT segment_id, MIN(ts_us) AS start_us, MAX(ts_us) + 1 AS stop_us FROM s GROUP BY segment_id)
+         |SELECT segment_id, start_us, stop_us,
+         |       start_us - lag(stop_us) OVER (ORDER BY segment_id) AS gap_before_us
+         |FROM g""".stripMargin,
+    "q_dedup_keep_first" ->
+      """SELECT ts_min, event_id, user_id FROM (
+        |  SELECT epoch_us(ts) // 60000000 AS ts_min, event_id, user_id,
+        |         row_number() OVER (PARTITION BY epoch_us(ts) // 60000000 ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q_gapfill" ->
+      """WITH s AS (SELECT event_id AS sts, value FROM events WHERE event_id % 7 <> 0),
+        |w AS (SELECT sts, value, lead(sts) OVER (ORDER BY sts) AS nts, lead(value) OVER (ORDER BY sts) AS nv FROM s),
+        |g AS (SELECT unnest(generate_series(sts + 1, nts - 1)) AS gts, sts, value, nts, nv
+        |      FROM w WHERE nts IS NOT NULL AND nts - sts > 1 AND nts - sts <= 6)
+        |SELECT sts, round(value, 4) AS value, 0 AS interpolated FROM s
+        |UNION ALL
+        |SELECT gts AS sts, round(value + (gts - sts) * (nv - value) / (nts - sts), 4) AS value, 1 AS interpolated FROM g""".stripMargin,
+    "q_ts_validation" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us, event_id FROM events),
+        |p AS (SELECT ts_us, lag(ts_us) OVER (ORDER BY event_id) AS prev FROM e)
+        |SELECT COUNT(*) AS n_rows,
+        |       COUNT(*) - COUNT(DISTINCT ts_us) AS n_dup_rows,
+        |       COALESCE(SUM(CASE WHEN ts_us < prev THEN 1 ELSE 0 END), 0) AS n_out_of_order,
+        |       CAST(COALESCE(SUM(CASE WHEN ts_us < prev THEN 1 ELSE 0 END), 0) = 0 AS INT) AS is_sorted,
+        |       CAST(COUNT(*) > COUNT(DISTINCT ts_us) AS INT) AS has_dups
+        |FROM p""".stripMargin,
+    "q_mad_crossings" ->
+      """WITH t AS (SELECT 2 * median(abs(value) / 0.6745) AS thr FROM events),
+        |h AS (SELECT event_id, value FROM events, t WHERE value > thr)
+        |SELECT a.event_id AS event_id, a.value AS value
+        |FROM h a JOIN h b ON a.event_id + 1 = b.event_id""".stripMargin,
+    "q_patch_extract" ->
+      """WITH t AS (SELECT 2 * median(abs(value) / 0.6745) AS thr FROM events),
+        |h AS (SELECT event_id, value FROM events, t WHERE value > thr),
+        |p AS (SELECT a.event_id AS peak_idx FROM h a JOIN h b ON a.event_id + 1 = b.event_id)
+        |SELECT p.peak_idx, e.event_id - p.peak_idx AS offset, e.value AS value
+        |FROM events e JOIN p ON e.event_id >= p.peak_idx - 3 AND e.event_id < p.peak_idx + 3""".stripMargin,
+    "q_running_sum" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+        |FROM events""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+        |  COUNT(*) AS count_order,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_revenue" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q_doc_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_text,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS mean_word_len,
+        |  round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS type_token_ratio
+        |FROM documents""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+        |       FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8""".stripMargin,
+    "q_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |p AS (SELECT query_id, vec_id, qe, embedding AS ee FROM embeddings, q WHERE vec_id <> query_id),
+        |u AS (SELECT query_id, vec_id, unnest(qe) AS qv, unnest(ee) AS ev FROM p),
+        |d AS (SELECT query_id, vec_id,
+        |        SUM(CAST(qv AS DOUBLE) * CAST(ev AS DOUBLE)) AS dp,
+        |        SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS qq,
+        |        SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS ee2
+        |      FROM u GROUP BY query_id, vec_id),
+        |c AS (SELECT query_id, vec_id, round(dp / (sqrt(qq) * sqrt(ee2)), 6) AS cos_sim FROM d),
+        |r AS (SELECT query_id, vec_id, cos_sim,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        |      FROM c)
+        |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10""".stripMargin
+    // q_minhash_lsh, q_spike_censor: rows-only (banding / loop-carried
+    // state not SQL-expressible).
+  )
 }

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over the `embeddings` table
+  * (`embedding: Array[Float]`). Dot products / norms are computed with
+  * higher-order functions (`aggregate` / `zip_with`) in double precision,
+  * left-to-right — deterministic, codegen'd, no UDF.
+  *
+  * Scale notes: brute-force top-k broadcasts the (small) query set and
+  * scans the corpus once — the right baseline plan. The LSH variant maps
+  * each vector to sign-hash buckets of random hyperplanes so candidate
+  * generation is a bucket equi-join (shuffle on bucket key), which is the
+  * 100 TB path: no n² pair set, no global sort.
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two float arrays, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector (`queries` must be
+    * small — it is broadcast), the k nearest corpus vectors.
+    * Cosine is rounded to 6dp BEFORE ranking, and ties break on vec_id,
+    * so the result is engine-independent and oracle-exact. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int
+  ): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = corpus
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        round(cosine(col("embedding"), col("qe")), 6).as("cos_sim")
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is
+    * derived from md5(p:j) → uniform in [-1, 1). Same construction is
+    * reproducible anywhere (including SQL) — no RNG state. */
+  private def planeComponent(p: Int, j: Column): Column =
+    conv(substring(md5(concat(lit(p.toString), lit(":"), j.cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("double") / lit(2147483648.0) - 1.0
+
+  /** Sign-LSH bucket key: `numPlanes` sign bits of hyperplane dot products. */
+  def lshBucket(embedding: Column, dim: Int, numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(embedding, sequence(lit(0), lit(dim - 1)), (x, j) => x.cast("double") * planeComponent(p, j)),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+      when(proj >= 0, shiftleft(lit(1), p)).otherwise(0)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed near-duplicate pairs: same bucket → candidate → exact
+    * cosine filter. Approximate recall, exact precision. */
+  def lshNearDupPairs(
+      corpus: DataFrame,
+      dim: Int,
+      numPlanes: Int,
+      minCosine: Double
+  ): DataFrame = {
+    val b = corpus.select(
+      col("vec_id"),
+      col("embedding"),
+      lshBucket(col("embedding"), dim, numPlanes).as("bucket")
+    )
+    b.as("a")
+      .join(
+        b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id")
+      )
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim")
+      )
+      .where(col("cos_sim") >= minCosine)
+  }
+
+  /** Exact near-duplicate pairs above a cosine threshold, blocked by a
+    * column (e.g. label) to bound the candidate set. Oracle-exact. */
+  def blockedNearDupPairs(corpus: DataFrame, blockCol: String, minCosine: Double): DataFrame =
+    corpus
+      .as("a")
+      .join(
+        corpus.as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.vec_id") < col("b.vec_id")
+      )
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim")
+      )
+      .where(col("cos_sim") >= minCosine)
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table. All integer/string outputs — exactly reproducible by
+  * a SQL oracle, and all codegen'd built-ins (no UDFs) so they survive a
+  * 100 TB scan.
+  */
+object Text {
+
+  /** Per-document token statistics: token count (single-space-separated),
+    * distinct tokens, character counts. */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq_tokens"),
+      length(col("text")).cast("long").as("n_chars_text"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars_nospace")
+    )
+
+  /** Quality-score heuristics (length / mean word length / stopword ratio /
+    * type-token ratio), rounded to 4dp for oracle stability. */
+  def qualityScores(documents: DataFrame, stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("double")
+    documents.select(
+      col("doc_id"),
+      round(length(regexp_replace(col("text"), " ", "")).cast("double") / nTok, 4)
+        .as("mean_word_len"),
+      round(nStop / nTok, 4).as("stopword_ratio"),
+      round(size(array_distinct(toks)).cast("double") / nTok, 4).as("type_token_ratio")
+    )
+  }
+
+  /** Deterministic rolling-hash document fingerprint: 64-bit polynomial
+    * hash of the text bytes (mod 2^64, base 31), plus md5. Pure column
+    * arithmetic via aggregate() over the char codes — codegen-friendly.
+    */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("md5_hex"),
+      expr(
+        "aggregate(transform(split(text, ''), c -> ascii(c)), 0L, (acc, x) -> acc * 31L + x)"
+      ).as("poly_hash")
+    )
+
+  /** n-gram-heuristic language ID: scores text against per-language marker
+    * token sets and picks the best (ties → 'und'). Deterministic CASE
+    * logic, mirrored verbatim in the SQL oracle. */
+  def langId(documents: DataFrame, markers: Map[String, Seq[String]]): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      lang -> size(filter(toks, t => t.isin(ms.map(lit(_)): _*)))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scored.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight gives LAST matching lang; flip to first-alphabetical wins:
+    val pickFirst = scored.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (None, (lang, s)) => Some(when(s === best && best > 0, lit(lang)))
+      case (Some(c), (lang, s)) => Some(c.when(s === best && best > 0, lit(lang)))
+    }.get.otherwise(lit("und"))
+    documents.select(col("doc_id"), pickFirst.as("lang_pred"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.spikes
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Spike-detection chain (jagular/spikes.py): MAD threshold → threshold
+  * crossings with a ≥2-consecutive-samples rule → refractory censor →
+  * patch extraction. Everything except censor is declarative; censor is a
+  * loop-carried fold run per segment.
+  */
+object Spikes {
+
+  /** Robust MAD threshold (A3, jagular/spikes.py:239-258, Quiroga rule):
+    * `multiplier * median(|x| / 0.6745)`. Exact median so the DuckDB
+    * oracle computes the bit-identical double. Returns a 1-row DF. */
+  def madThreshold(df: DataFrame, valueCol: String, multiplier: Double): DataFrame =
+    df.agg((expr(s"median(abs($valueCol) / 0.6745D)") * multiplier).as("threshold"))
+
+  /** Threshold crossings (P5+W2, jagular/spikes.py:339-375): sample indices
+    * where the signal crosses `threshold` AND the next sample index is
+    * consecutive and also crossing — i.e. the start of a run of ≥2
+    * crossing samples. Polarity 'pos' keeps `x > thr`, 'neg' keeps
+    * `x < -thr`.
+    *
+    * Implemented as a self-join on `idx + 1` instead of a global window:
+    * an equi-join shuffles by key and scales; a keyless ordered window
+    * would serialize. (The reference's `diff(below) == 1` on the
+    * crossing-index array, spikes.py:368-373.)
+    */
+  def crossings(
+      df: DataFrame,
+      idxCol: String,
+      valueCol: String,
+      threshold: Double,
+      polarity: String = "pos"
+  ): DataFrame = {
+    val pred = polarity match {
+      case "pos" => col(valueCol) > threshold
+      case "neg" => col(valueCol) < -threshold
+      case "both" => abs(col(valueCol)) > threshold
+      case other => throw new IllegalArgumentException(s"polarity $other")
+    }
+    val hits = df.where(pred).select(col(idxCol), col(valueCol))
+    hits
+      .as("a")
+      .join(hits.as("b"), col(s"a.$idxCol") + 1 === col(s"b.$idxCol"))
+      .select(col(s"a.$idxCol").as(idxCol), col(s"a.$valueCol").as(valueCol))
+  }
+
+  /** Refractory censor (W3, jagular/spikes.py:303-337): ordered fold that
+    * keeps an event only if it is at least `width` after the last KEPT
+    * event — `[110,111,112,120,270,271,280] → [110,270]` (docstring
+    * fixture, spikes.py:322-327). Loop-carried state ⇒ not a window
+    * function.
+    *
+    * Runs per `keys` group (segment / channel): repartition by key, sort
+    * within partitions by (keys, idx), and fold each group in one pass —
+    * groups never straddle partitions, state resets on key change.
+    * Embarrassingly parallel across keys.
+    */
+  def censor(df: DataFrame, idxCol: String, width: Long, keys: Seq[String]): DataFrame = {
+    val cols = df.columns
+    val idxPos = cols.indexOf(idxCol)
+    require(idxPos >= 0, s"no column $idxCol")
+    val keyPos = keys.map(k => cols.indexOf(k))
+    require(keyPos.forall(_ >= 0), s"missing key in ${keys.mkString(",")}")
+
+    val arranged =
+      if (keys.isEmpty)
+        df.coalesce(1).sortWithinPartitions(col(idxCol))
+      else
+        df.repartition(keys.map(col): _*)
+          .sortWithinPartitions((keys :+ idxCol).map(col): _*)
+
+    val schema = arranged.schema
+    val rdd = arranged.rdd.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var lastKept = Long.MinValue
+      it.flatMap { r =>
+        val k = keyPos.map(r.get)
+        if (curKey == null || k != curKey) { curKey = k; lastKept = Long.MinValue }
+        val idx = r.getLong(idxPos)
+        if (lastKept == Long.MinValue || idx - lastKept >= width) {
+          lastKept = idx
+          Some(r)
+        } else None
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Patch gather around peaks (W4/J3, jagular/spikes.py:377-425): for each
+    * peak index, collect `2*halfWidth` samples at
+    * `[peak - halfWidth, peak + halfWidth)`, zero-padded at stream edges.
+    *
+    * Implemented as a RANGE JOIN peaks×samples + groupBy(peak) — the
+    * broadcast-able side is the (sparse) peak list, so the samples table
+    * is scanned once with no global sort; at 100 TB this is the plan you
+    * want (peaks ≪ samples). Output one row per (peak, offset) — exploded
+    * form, exactly comparable by an SQL oracle.
+    */
+  def extractPatches(
+      samples: DataFrame,
+      peaks: DataFrame,
+      idxCol: String,
+      valueCol: String,
+      halfWidth: Int
+  ): DataFrame = {
+    val p = peaks.select(col(idxCol).as("peak_idx"))
+    samples
+      .join(
+        broadcast(p),
+        col(idxCol) >= col("peak_idx") - halfWidth &&
+          col(idxCol) < col("peak_idx") + halfWidth
+      )
+      .select(
+        col("peak_idx"),
+        (col(idxCol) - col("peak_idx")).as("offset"),
+        col(valueCol).as("value")
+      )
+  }
+}

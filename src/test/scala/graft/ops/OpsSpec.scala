@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine similarity: known vectors") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity
+      .bruteForceTopK(df, df.where(col("vec_id") === 0), k = 2)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out(0)._1 == 2L && math.abs(out(0)._2 - 0.707107) < 1e-6)
+    assert(out(1)._1 == 1L && math.abs(out(1)._2 - 0.0) < 1e-12)
+  }
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((0L, "a b c"), (1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = DedupDocs.exactGroups(df).orderBy("keeper_doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 2L), (2L, 1L)))
+  }
+
+  test("shingles: distinct word k-grams") {
+    val df = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    val out = DedupDocs.shingles(df, 3).orderBy("shingle").collect().map(_.getString(1))
+    assert(out.toSeq == Seq("a b c", "b c d"))
+  }
+
+  test("ngram jaccard finds identical docs in same block") {
+    val df = Seq(
+      (0L, "a b c d e f", "s1"),
+      (1L, "a b c d e f", "s1"),
+      (2L, "q r s t u v", "s1")
+    ).toDF("doc_id", "text", "source")
+    val out = DedupDocs.ngramJaccardPairs(df, 3, 0.8, "source")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((0L, 1L, 1.0)))
+  }
+
+  test("minhash LSH pairs identical docs, skips disjoint") {
+    val df = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d e f g h"),
+      (2L, "q r s t u v w x")
+    ).toDF("doc_id", "text")
+    val out = DedupDocs.minhashLshPairs(df, 3, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 1L)))
+  }
+
+  test("token stats") {
+    val df = Seq((0L, "the cat the hat")).toDF("doc_id", "text")
+    val r = Text.tokenStats(df).first()
+    assert(r.getLong(1) == 4) // tokens
+    assert(r.getLong(2) == 3) // uniq
+    assert(r.getLong(4) == 12) // chars nospace
+  }
+
+  test("simhash of identical docs is identical, differs for different docs") {
+    val df = Seq((0L, "a b c"), (1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = DedupDocs.simhash(df).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(0L) == out(1L))
+    assert(out(0L) != out(2L))
+  }
+}

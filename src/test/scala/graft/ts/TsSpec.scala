@@ -1,0 +1,91 @@
+package graft.ts
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Timestamp-algebra operators against the reference's docstring
+  * micro-fixtures (SURVEY.md §5). */
+class TsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // get_contiguous_segments docstring (jagular/utils.py:143-149):
+  // [1,2,3,4,10,11,12], step=1, gap=2*step → segments [1,5) and [10,13).
+  private val fixture = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L)
+
+  test("sessionize global: docstring fixture segments") {
+    val df = fixture.toDF("ts")
+    val seg = Sessionize.withSegmentIdGlobal(df, "ts", gapThreshold = 2L, numPartitions = 3)
+    val out = Sessionize
+      .segments(seg, "ts", step = 1L)
+      .orderBy("segment_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 1L, 5L, 4L), (1L, 10L, 13L, 3L)))
+  }
+
+  test("sessionize global matches single-window result on random data") {
+    val rnd = new scala.util.Random(7)
+    var t = 0L
+    val ts = (1 to 500).map { _ => t += 1 + rnd.nextInt(10); t }
+    val df = ts.toDF("ts")
+    val viaGlobal = Sessionize
+      .segments(Sessionize.withSegmentIdGlobal(df, "ts", 6L, numPartitions = 7), "ts", 1L)
+      .orderBy("segment_id").collect().map(_.toSeq).toSeq
+    // oracle: same computation with a 1-key keyed window
+    val viaWindow = Sessionize
+      .segments(
+        Sessionize.withSegmentIdKeyed(df.withColumn("k", lit(1)), "ts", 6L, Seq("k")).drop("k"),
+        "ts", 1L)
+      .orderBy("segment_id").collect().map(_.toSeq).toSeq
+    assert(viaGlobal == viaWindow)
+  }
+
+  test("sessionize keyed: per-key ids restart at 0") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 50L), ("b", 5L), ("b", 100L))
+      .toDF("k", "ts")
+    val seg = Sessionize.withSegmentIdKeyed(df, "ts", 10L, Seq("k"))
+    val out = seg.orderBy("k", "ts").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 1L, 0L), ("a", 2L, 0L), ("a", 50L, 1L), ("b", 5L, 0L), ("b", 100L, 1L)))
+  }
+
+  test("dedup keep-first keeps the row with the smallest tiebreak") {
+    val df = Seq((10L, 1L, "x"), (10L, 0L, "y"), (20L, 5L, "z")).toDF("ts", "pos", "v")
+    val out = Dedup.keepFirst(df, Seq("ts"), Seq("pos")).orderBy("ts")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(out.toSeq == Seq((10L, "y"), (20L, "z")))
+  }
+
+  test("gap fill: linear interpolation with exact endpoints") {
+    val df = Seq((0L, 0.0), (1L, 1.0), (2L, 2.0), (5L, 8.0), (6L, 9.0)).toDF("ts", "v")
+    val out = GapFill.linear(df, "ts", "v", step = 1L, maxGapSize = 5L)
+      .orderBy("ts").collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(out.toSeq == Seq(
+      (0L, 0.0, 0), (1L, 1.0, 0), (2L, 2.0, 0),
+      (3L, 4.0, 1), (4L, 6.0, 1), // linear between (2,2) and (5,8)
+      (5L, 8.0, 0), (6L, 9.0, 0)))
+  }
+
+  test("gap fill: gaps over maxGapSize are NOT filled") {
+    val df = Seq((0L, 0.0), (10L, 10.0)).toDF("ts", "v")
+    val out = GapFill.linear(df, "ts", "v", step = 1L, maxGapSize = 5L)
+    assert(out.count() == 2)
+  }
+
+  test("gap fill honors step > 1") {
+    // ts in units of 2: missing 4 → one interpolated row
+    val df = Seq((0L, 0.0), (2L, 2.0), (6L, 6.0)).toDF("ts", "v")
+    val out = GapFill.linear(df, "ts", "v", step = 2L, maxGapSize = 3L)
+      .orderBy("ts").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((0L, 0.0), (2L, 2.0), (4L, 4.0), (6L, 6.0)))
+  }
+
+  test("validation report flags dups and disorder") {
+    val df = Seq((0L, 5L), (1L, 3L), (2L, 5L), (3L, 9L)).toDF("pos", "ts")
+    val r = Validation.report(df, "ts", "pos").collect()(0)
+    assert(r.getAs[Long]("n_rows") == 4)
+    assert(r.getAs[Long]("n_dup_rows") == 1)
+    assert(r.getAs[Long]("n_out_of_order") == 1)
+    assert(r.getAs[Int]("is_sorted") == 0)
+    assert(r.getAs[Int]("has_dups") == 1)
+  }
+}

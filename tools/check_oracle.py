@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Dev-only oracle checker (mimics the driver's DuckDB compare).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
+SQL from oracle_sql.json in DuckDB with the sf tables registered as views,
+sorts columns by name and rows by all columns, and compares values.
+Not part of the shipped library (driver-side python only).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = repr(v)
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [colnames[i] for i in order], out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            s_cols, s_rows = canon(spark_rel.fetchall(), spark_rel.columns)
+            o_rel = con.sql(sql)
+            o_cols, o_rows = canon(o_rel.fetchall(), o_rel.columns)
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            n_fail += 1
+            continue
+        if s_cols != o_cols:
+            print(f"FAIL {name}: columns {s_cols} != {o_cols}")
+            n_fail += 1
+        elif s_rows != o_rows:
+            n_fail += 1
+            diff = [
+                (a, b) for a, b in zip(s_rows, o_rows) if a != b
+            ][:3]
+            print(
+                f"FAIL {name}: {len(s_rows)} vs {len(o_rows)} rows; "
+                f"first diffs: {diff}"
+            )
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(s_rows)} rows)")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
