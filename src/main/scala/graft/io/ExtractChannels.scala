@@ -1,0 +1,101 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ts.{Dedup, GapFill, Sessionize, Validation}
+
+/** The reference's flagship ETL query, `extract_channels`
+  * (jagular/utils.py:392-549), as one declarative Spark plan:
+  *
+  *   rec scan → dedup-keep-first(ts) → sessionize(gap > maxGap → epoch
+  *   boundary) → per-channel small-gap linear interpolation (int16
+  *   truncation semantics) → columnar write partitioned by channel →
+  *   post-write timestamp validation.
+  *
+  * The reference's per-block generator loop, across-block interpolation
+  * state (utils.py:443-477) and file-per-channel sinks (utils.py:530-542)
+  * all collapse into Catalyst-planned operators; `write.partitionBy
+  * ("channel")` IS the file-per-channel layout.
+  */
+object ExtractChannels {
+
+  /** Long-layout channel samples after sanitization + gap fill.
+    *
+    * @param maxGapSize largest missing-sample run still interpolated;
+    *                   larger gaps become epoch boundaries
+    *                   (jagular/utils.py:400-402).
+    */
+  def extract(
+      spark: SparkSession,
+      paths: Seq[String],
+      maxGapSize: Long = 150L,
+      channelSubset: Option[Seq[Int]] = None
+  ): DataFrame = {
+    val raw = RecScan.read(spark, paths, channelSubset = channelSubset)
+
+    // U2: duplicate timestamps keep FIRST occurrence in stream order.
+    val deduped = Dedup.keepFirst(raw, Seq("ts"), Seq("file_rank", "pos"))
+
+    // W1: epoch boundary where the ts jump exceeds the fillable gap.
+    // diff d ⇒ d−1 missing samples; fill iff d−1 ≤ maxGap ⇒ break at
+    // d ≥ maxGap+2.
+    val seg = Sessionize.withSegmentIdGlobal(deduped, "ts", maxGapSize + 2)
+
+    // Long layout: (segment_id, channel, ts, value).
+    val long = seg.select(
+      col("segment_id"),
+      col("ts"),
+      posexplode(col("values")).as(Seq("channel", "value"))
+    )
+
+    // J4/F1 per (channel, segment): linear interp, numpy astype(int16)
+    // truncation-toward-zero == Spark double→short cast truncation.
+    GapFill
+      .linear(
+        long.withColumn("value", col("value").cast("double")),
+        "ts",
+        "value",
+        step = 1L,
+        maxGapSize = maxGapSize,
+        keys = Seq("channel", "segment_id")
+      )
+      .withColumn("value", col("value").cast("short"))
+  }
+
+  /** Full pipeline incl. the partitioned columnar sink (S8) and the
+    * post-write re-validation the reference performs
+    * (jagular/utils.py:544-547). Returns the validation report. */
+  def extractTo(
+      spark: SparkSession,
+      paths: Seq[String],
+      outDir: String,
+      maxGapSize: Long = 150L,
+      channelSubset: Option[Seq[Int]] = None
+  ): DataFrame = {
+    extract(spark, paths, maxGapSize, channelSubset)
+      .repartition(col("channel"))
+      .sortWithinPartitions("channel", "ts")
+      .write
+      .mode("overwrite")
+      .partitionBy("channel")
+      .parquet(outDir)
+
+    val written = spark.read.parquet(outDir)
+    val perChannel = written
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct("ts").as("n_distinct_ts"),
+        min("ts").as("min_ts"),
+        max("ts").as("max_ts")
+      )
+    perChannel.select(
+      col("channel"),
+      col("n_rows"),
+      (col("n_rows") - col("n_distinct_ts")).as("n_dup_rows"),
+      col("min_ts"),
+      col("max_ts")
+    )
+  }
+}

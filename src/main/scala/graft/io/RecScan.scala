@@ -1,0 +1,113 @@
+package graft.io
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+/** Distributed `.rec` scan (S3/S5) + bounds catalog (S2/A1/A2).
+  *
+  * Packets are fixed-size after the XML prefix, so a file is splittable on
+  * packet boundaries: the driver parses each config (a bounded prefix
+  * read), computes packet-aligned byte ranges of ~`targetSplitBytes`, and
+  * executors decode their range independently — the multi-file "stitched"
+  * generator of the reference (jagular/io.py:234-280) becomes a plain
+  * parallel scan whose global order is `(file_rank, pos)`; block refill
+  * across file boundaries is an artifact that disappears.
+  */
+object RecScan {
+
+  val schema: StructType = StructType(Seq(
+    StructField("file_rank", IntegerType, nullable = false),
+    StructField("pos", LongType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("values", ArrayType(ShortType, containsNull = false), nullable = false)
+  ))
+
+  /** Catalog of per-file bounds, SORTED by start timestamp — files given
+    * out of order are auto-resorted, as the reference does
+    * (jagular/io.py:88-96). `file_rank` is the post-sort rank. */
+  def catalog(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rows = paths.map { p =>
+      val cfg = RecFormat.parseConfig(p, hconf)
+      val (first, last) = RecFormat.timestampBounds(cfg, hconf)
+      require(first <= last, s"$p: first_ts $first > last_ts $last")
+      (p, first, last, RecFormat.packetCount(cfg, hconf), cfg.samplingRate, cfg.nSpikeChannels)
+    }.sortBy(_._2)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.zipWithIndex.map { case ((p, f, l, n, sr, nc), i) =>
+        Row(i, p, f, l, n, sr, nc)
+      }.asJava,
+      StructType(Seq(
+        StructField("file_rank", IntegerType, nullable = false),
+        StructField("file", StringType, nullable = false),
+        StructField("start_ts", LongType, nullable = false),
+        StructField("stop_ts", LongType, nullable = false),
+        StructField("n_packets", LongType, nullable = false),
+        StructField("sampling_rate", IntegerType, nullable = false),
+        StructField("n_spike_channels", IntegerType, nullable = false)
+      ))
+    )
+  }
+
+  /** Session summary over the catalog (A2, jagular/io.py:128-193):
+    * duration with/without inter-file gaps, in samples and seconds. */
+  def sessionSummary(catalogDf: DataFrame): DataFrame =
+    catalogDf.agg(
+      min("start_ts").as("start_ts"),
+      max("stop_ts").as("stop_ts"),
+      (max("stop_ts") - min("start_ts")).as("duration_w_gaps"),
+      sum(col("stop_ts") - col("start_ts")).as("duration_wo_gaps"),
+      sum("n_packets").as("n_packets"),
+      first("sampling_rate").as("fs")
+    )
+
+  /** Distributed decode of the files (catalog order), optionally taking a
+    * channel subset (indices into the spike-channel projection —
+    * `subset='all'` ⇒ None, reference: jagular/utils.py:430-431). */
+  def read(
+      spark: SparkSession,
+      paths: Seq[String],
+      targetSplitBytes: Long = 128L << 20,
+      channelSubset: Option[Seq[Int]] = None
+  ): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val serConf = new SerializableConfiguration(hconf)
+    val cfgs = paths.map(p => RecFormat.parseConfig(p, hconf))
+    val ranked = cfgs
+      .map(c => (c, RecFormat.timestampBounds(c, hconf)._1))
+      .sortBy(_._2)
+      .map(_._1)
+      .zipWithIndex
+
+    // packet-aligned splits
+    final case class Split(cfg: RecFormat.RecConfig, rank: Int, startPacket: Long, count: Long)
+    val splits = ranked.flatMap { case (cfg, rank) =>
+      val total = RecFormat.packetCount(cfg, hconf)
+      val perSplit = math.max(1L, targetSplitBytes / cfg.packetSize)
+      (0L until total by perSplit).map { s =>
+        Split(cfg, rank, s, math.min(perSplit, total - s))
+      }
+    }
+
+    val subset = channelSubset.map(_.toArray)
+    val rdd = spark.sparkContext
+      .parallelize(splits, math.max(1, splits.size))
+      .flatMap { sp =>
+        val it = RecFormat.decodeRange(sp.cfg, sp.startPacket, sp.count, serConf.value)
+        var pos = sp.startPacket - 1
+        it.map { pkt =>
+          pos += 1
+          val vals = subset match {
+            case Some(idx) => idx.map(pkt.values(_))
+            case None => pkt.values
+          }
+          Row(sp.rank, pos, pkt.ts, vals.toSeq)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+}
