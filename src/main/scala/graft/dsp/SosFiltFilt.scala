@@ -1,0 +1,235 @@
+package graft.dsp
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+import FilterDesign.{Biquad, Sos}
+
+/** Zero-phase second-order-section filtering (G2,
+  * jagular/filtering.py:114-194): forward-backward biquad cascade with
+  * odd-extension padding and steady-state initial conditions — the
+  * sequential numeric kernel the reference runs per epoch, here run as a
+  * per-(channel, segment) `mapPartitions` kernel: segments are
+  * independent, so the work is embarrassingly parallel across
+  * channel×segment groups (the reference's own parallelism unit).
+  */
+object SosFiltFilt {
+
+  /** Direct-form II transposed single-section filter with state. */
+  private def sosfiltSection(s: Biquad, x: Array[Double], zi0: Double, zi1: Double): (Array[Double], Double, Double) = {
+    val y = new Array[Double](x.length)
+    var z0 = zi0; var z1 = zi1
+    var i = 0
+    while (i < x.length) {
+      val xi = x(i)
+      val yi = s.b0 * xi + z0
+      z0 = s.b1 * xi - s.a1 * yi + z1
+      z1 = s.b2 * xi - s.a2 * yi
+      y(i) = yi
+      i += 1
+    }
+    (y, z0, z1)
+  }
+
+  /** Cascade filter with per-section initial conditions `zi` scaled by
+    * the caller (shape: sections × 2). Returns filtered signal. */
+  def sosfilt(sos: Sos, x: Array[Double], zi: Array[Array[Double]]): Array[Double] = {
+    var cur = x
+    var s = 0
+    while (s < sos.length) {
+      val (y, _, _) = sosfiltSection(sos(s), cur, zi(s)(0), zi(s)(1))
+      cur = y
+      s += 1
+    }
+    cur
+  }
+
+  /** Steady-state initial conditions per section (lfilter_zi per biquad,
+    * with the cumulative DC-gain scaling across the cascade): for a
+    * constant input of 1, the filter output is immediately at steady
+    * state. Solves the 2×2 system (I − Aᵀ)zi = B per section. */
+  def sosfiltZi(sos: Sos): Array[Array[Double]] = {
+    var scale = 1.0
+    sos.map { s =>
+      // B = [b1 − a1·b0, b2 − a2·b0]; (I − Aᵀ) = [[1+a1, −1], [a2, 1]]
+      val b0 = s.b1 - s.a1 * s.b0
+      val b1 = s.b2 - s.a2 * s.b0
+      val m00 = 1.0 + s.a1; val m01 = -1.0
+      val m10 = s.a2; val m11 = 1.0
+      val det = m00 * m11 - m01 * m10
+      val zi0 = (b0 * m11 - b1 * m01) / det
+      val zi1 = (m00 * b1 - m10 * b0) / det
+      val out = Array(zi0 * scale, zi1 * scale)
+      val dcGain = (s.b0 + s.b1 + s.b2) / (1.0 + s.a1 + s.a2)
+      scale *= dcGain
+      out
+    }
+  }
+
+  /** Default pad length, matching the common convention
+    * 3 × (2·n_sections + 1 − min(#{b2=0}, #{a2=0})). */
+  def defaultPadLen(sos: Sos): Int = {
+    val nb2 = sos.count(_.b2 == 0.0)
+    val na2 = sos.count(_.a2 == 0.0)
+    3 * (2 * sos.length + 1 - math.min(nb2, na2))
+  }
+
+  /** Odd extension: reflect about the end values. */
+  private def oddExt(x: Array[Double], n: Int): Array[Double] = {
+    require(x.length > n, s"padlen $n >= signal length ${x.length}")
+    val out = new Array[Double](x.length + 2 * n)
+    var i = 0
+    while (i < n) {
+      out(i) = 2.0 * x(0) - x(n - i)
+      out(n + x.length + i) = 2.0 * x(x.length - 1) - x(x.length - 2 - i)
+      i += 1
+    }
+    System.arraycopy(x, 0, out, n, x.length)
+    out
+  }
+
+  /** Zero-phase forward-backward filter of one in-memory segment. */
+  def filtfilt(sos: Sos, x: Array[Double], padLen: Int = -1): Array[Double] = {
+    val n = if (padLen >= 0) padLen else defaultPadLen(sos)
+    val pl = if (x.length <= n) x.length - 1 else n
+    if (x.length <= 1) return x.clone()
+    val ext = oddExt(x, pl)
+    val zi = sosfiltZi(sos)
+    def scaled(v: Double) = zi.map(z => Array(z(0) * v, z(1) * v))
+    val fwd = sosfilt(sos, ext, scaled(ext(0)))
+    val rev = fwd.reverse
+    val bwd = sosfilt(sos, rev, scaled(rev(0)))
+    val y = bwd.reverse
+    y.slice(pl, pl + x.length)
+  }
+
+  /** Distributed per-segment zero-phase filtering: `df` must carry the
+    * group keys, a ts column and a value column. Each (keys) group is
+    * collected into one in-memory array (sorted by ts), filtered, and
+    * re-emitted. Groups never straddle partitions.
+    *
+    * For segments too large for one task, use [[filtfiltChunked]] — the
+    * reference's own buffer/overlap scheme (filtering.py:150-192).
+    */
+  def filtfiltPerSegment(
+      df: DataFrame,
+      sos: Sos,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String
+  ): DataFrame = {
+    require(keys.nonEmpty, "need at least one group key")
+    val cols = df.columns
+    val keyPos = keys.map(k => cols.indexOf(k))
+    val tsPos = cols.indexOf(tsCol)
+    val vPos = cols.indexOf(valueCol)
+    require((keyPos :+ tsPos :+ vPos).forall(_ >= 0), "missing columns")
+
+    val arranged = df
+      .repartition(keys.map(col): _*)
+      .sortWithinPartitions((keys :+ tsCol).map(col): _*)
+    val schema = StructType(
+      arranged.schema.fields.map { f =>
+        if (f.name == valueCol) StructField(valueCol, DoubleType, nullable = false) else f
+      }
+    )
+    val sosB = sos // serialized into the closure (tiny)
+    val rdd = arranged.rdd.mapPartitions { it =>
+      new Iterator[Row] {
+        private val grouped = new GroupedRuns(it, r => keyPos.map(r.get))
+        private var out: Iterator[Row] = Iterator.empty
+        override def hasNext: Boolean = {
+          while (!out.hasNext && grouped.hasNext) {
+            val rows = grouped.next()
+            val xs = rows.map(r => toDouble(r.get(vPos))).toArray
+            val ys = filtfilt(sosB, xs)
+            out = rows.iterator.zip(ys.iterator).map { case (r, y) =>
+              val vals = r.toSeq.toArray
+              vals(vPos) = y
+              Row.fromSeq(vals.toIndexedSeq)
+            }
+          }
+          out.hasNext
+        }
+        override def next(): Row = { hasNext; out.next() }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  private def toDouble(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case s: Short => s.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case other => throw new IllegalArgumentException(s"non-numeric value $other")
+  }
+
+  /** Runs of consecutive rows sharing a key within one partition. */
+  private final class GroupedRuns(it: Iterator[Row], keyOf: Row => Seq[Any])
+      extends Iterator[Vector[Row]] {
+    private val buf = it.buffered
+    override def hasNext: Boolean = buf.hasNext
+    override def next(): Vector[Row] = {
+      val k = keyOf(buf.head)
+      val b = Vector.newBuilder[Row]
+      while (buf.hasNext && keyOf(buf.head) == k) b += buf.next()
+      b.result()
+    }
+  }
+
+  /** W5 chunked variant for very long segments (the reference's
+    * buffer_len/overlap_len scheme, jagular/filtering.py:150-192): rows
+    * are assigned to fixed-width chunks by ts, boundary rows are
+    * DUPLICATED into the neighboring chunk (overlap extension), each
+    * extended chunk is filtered independently, and only core rows are
+    * kept. Exact in the interior; edge transients only at segment
+    * boundaries, matching the reference's contract. Scales to segments of
+    * any length: task memory is O(bufferLen + 2·overlapLen).
+    */
+  def filtfiltChunked(
+      df: DataFrame,
+      sos: Sos,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      bufferLen: Long = 1L << 22,
+      overlapLen: Long = 60000L
+  ): DataFrame = {
+    require(keys.nonEmpty, "need at least one group key")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    // chunk index relative to segment start
+    val withChunk = df
+      .withColumn("__segstart", min(col(tsCol)).over(w))
+      .withColumn("__rel", col(tsCol) - col("__segstart"))
+      .withColumn("__chunk", (col("__rel") / bufferLen).cast("long"))
+      .withColumn("__inchunk", col("__rel") % bufferLen)
+    // duplicate into previous/next chunk when within overlap of an edge
+    val assigned = withChunk
+      .withColumn(
+        "__tochunk",
+        explode(
+          concat(
+            array(col("__chunk")),
+            when(col("__inchunk") < overlapLen && col("__chunk") > 0, array(col("__chunk") - 1))
+              .otherwise(array().cast("array<long>")),
+            when(col("__inchunk") >= bufferLen - overlapLen, array(col("__chunk") + 1))
+              .otherwise(array().cast("array<long>"))
+          )
+        )
+      )
+      .withColumn("__core", (col("__tochunk") === col("__chunk")).cast("int"))
+    val filtered = filtfiltPerSegment(
+      assigned,
+      sos,
+      keys :+ "__tochunk",
+      tsCol,
+      valueCol
+    )
+    filtered
+      .where(col("__core") === 1)
+      .drop("__segstart", "__rel", "__chunk", "__inchunk", "__tochunk", "__core")
+  }
+}
