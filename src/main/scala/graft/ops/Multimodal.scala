@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for a training-data pipeline: media
+  * (image/audio/video) travel as opaque `binary` columns with typed
+  * metadata; decode / feature-extract run as batched partition-level
+  * kernels (the Scala analog of `mapInPandas`) so a real decoder drops in
+  * without touching the plan.
+  *
+  * The actual media decode is STUBBED (no image/audio libraries in this
+  * environment): [[FakeDecoder]] is a clearly-marked deterministic stand-in
+  * that exercises the real Spark-side contract — schema, batching,
+  * partitioning, and kernel signature.
+  */
+object Multimodal {
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = false),
+    StructField("content_md5", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)
+  ))
+
+  /** STUB decoder — replace with a real image/audio decoder. Deterministic:
+    * pretends the payload is a (w × h) raster derived from the byte length
+    * and emits `dim` pooled features from the byte stream. */
+  object FakeDecoder {
+    def decode(payload: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
+      val w = math.max(1, math.sqrt(payload.length.toDouble).toInt)
+      val h = math.max(1, payload.length / math.max(1, w))
+      val feats = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) {
+        feats(i % dim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      (w, h, feats)
+    }
+  }
+
+  /** Attach a binary payload column (here: utf-8 of a text column — the
+    * plumbing stand-in for reading real media bytes). */
+  def withPayload(df: DataFrame, sourceCol: String): DataFrame =
+    df.withColumn("payload", col(sourceCol).cast("binary"))
+
+  /** Batched feature extraction over the binary column: one kernel call
+    * per partition, vectorized over rows (the mapInPandas shape). Keeps
+    * the key column + appends the feature struct fields. */
+  def extractFeatures(df: DataFrame, keyCol: String, dim: Int = 8): DataFrame = {
+    val payloadIdx = df.columns.indexOf("payload")
+    require(payloadIdx >= 0, "call withPayload first")
+    val keyIdx = df.columns.indexOf(keyCol)
+    val outSchema = StructType(
+      Seq(df.schema(keyIdx)) ++ featureSchema.fields
+    )
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val (w, h, feats) = FakeDecoder.decode(payload, dim)
+        val md5hex = java.security.MessageDigest
+          .getInstance("MD5")
+          .digest(payload)
+          .map("%02x".format(_))
+          .mkString
+        Row(r.get(keyIdx), payload.length.toLong, md5hex, w, h, feats.toSeq)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic frame sampling for "video" payloads: split the byte
+    * stream into `frameBytes` frames, keep every `stride`-th — pure
+    * column ops, no kernel needed. */
+  def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    df.withColumn("n_frames", (length(col("payload")) / frameBytes).cast("int"))
+      .withColumn("frame_idx", explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(stride))))
+      .withColumn(
+        "frame",
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")
+      )
+  }
+}

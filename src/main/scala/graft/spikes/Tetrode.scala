@@ -1,0 +1,81 @@
+package graft.spikes
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tetrode waveform assembly (G6, jagular/spikes.py:188-237): for shared
+  * spike times, gather a patch per channel, concatenate the per-channel
+  * patches into one `n_channels × patch` vector, drop spikes whose
+  * waveform leaves (−maxAmplitude, +maxAmplitude) on ANY sample (P4,
+  * spikes.py:229-230), convert times to seconds.
+  *
+  * Input is long-layout multichannel data `(channel, idx, value)`; the
+  * patch gather is the same broadcast range join as
+  * [[Spikes.extractPatches]], grouped by (peak, channel).
+  */
+object Tetrode {
+
+  /** Exploded form (one row per sample) — oracle-friendly.
+    * Output: (peak_idx, channel, offset, value, time_s). */
+  def formTetrodeExploded(
+      samples: DataFrame,
+      peaks: DataFrame,
+      idxCol: String,
+      channelCol: String,
+      valueCol: String,
+      halfWidth: Int,
+      maxAmplitude: Double,
+      sampRate: Double
+  ): DataFrame = {
+    val p = peaks.select(col(idxCol).as("peak_idx"))
+    val patches = samples
+      .join(
+        broadcast(p),
+        col(idxCol) >= col("peak_idx") - halfWidth &&
+          col(idxCol) < col("peak_idx") + halfWidth
+      )
+      .select(
+        col("peak_idx"),
+        col(channelCol).as("channel"),
+        (col(idxCol) - col("peak_idx")).as("offset"),
+        col(valueCol).as("value")
+      )
+    // P4: keep spikes whose every sample (all channels) is in range
+    val ok = patches
+      .groupBy("peak_idx")
+      .agg(max(abs(col("value"))).as("__maxabs"))
+      .where(col("__maxabs") < maxAmplitude)
+      .select("peak_idx")
+    patches
+      .join(ok, "peak_idx")
+      .withColumn("time_s", round(col("peak_idx") / sampRate, 9))
+  }
+
+  /** Assembled form: one row per spike with the concatenated
+    * channel-major waveform vector (channel 0 patch, then channel 1, …)
+    * — the reference's `n_channels*patch_size` recarray layout
+    * (spikes.py:232-235). */
+  def formTetrode(
+      samples: DataFrame,
+      peaks: DataFrame,
+      idxCol: String,
+      channelCol: String,
+      valueCol: String,
+      halfWidth: Int,
+      maxAmplitude: Double,
+      sampRate: Double
+  ): DataFrame =
+    formTetrodeExploded(samples, peaks, idxCol, channelCol, valueCol, halfWidth, maxAmplitude, sampRate)
+      .groupBy("peak_idx", "time_s")
+      .agg(
+        flatten(
+          transform(
+            array_sort(
+              collect_list(struct(col("channel"), col("offset"), col("value")))
+            ),
+            s => array(s.getField("value"))
+          )
+        ).as("spikes")
+      )
+      .select(col("time_s").as("times"), col("spikes"), col("peak_idx"))
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface for the engine's stateful operators
+  * (SURVEY.md §2.10): the reference is a bounded pull-based generator
+  * pipeline; the same semantics map onto Structured Streaming with
+  *  - `session_window` for gap-based epoching (W1),
+  *  - `flatMapGroupsWithState` for the loop-carried censor (W3) and the
+  *    across-batch interpolation state (W6).
+  * Batch stays the primary engine; these wrappers prove the operators
+  * carry over unchanged.
+  */
+object Streaming {
+
+  /** W1 as a streaming query: gap-based sessions per key using Spark's
+    * native session_window (gapDuration in a time unit; the batch
+    * engine's `gap = 2·step` becomes `gapDuration = 2·step/fs` seconds,
+    * SURVEY.md §2.10). `tsCol` must be a TimestampType column. */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String, gapDuration: String): DataFrame =
+    events
+      .withWatermark(tsCol, gapDuration)
+      .groupBy(col(keyCol), session_window(col(tsCol), gapDuration))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events")
+      )
+
+  /** Event for the streaming censor: a detection at sample `idx` on `key`. */
+  final case class Detection(key: String, idx: Long)
+  final case class Kept(key: String, idx: Long)
+
+  /** W3 censor as arbitrary stateful processing: per key, keep a
+    * detection only if it is ≥ `width` after the last KEPT one. State is
+    * one Long per key. Requires per-key in-order delivery within a batch
+    * (detections are sorted inside each batch group; cross-batch order
+    * is the caller's contract, as in the reference's generator chain). */
+  def censorStream(
+      detections: Dataset[Detection],
+      width: Long
+  ): Dataset[Kept] = {
+    import detections.sparkSession.implicits._
+    detections
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, Kept](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[Long]) =>
+          var lastKept = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toSeq.sortBy(_.idx).flatMap { d =>
+            if (lastKept == Long.MinValue || d.idx - lastKept >= width) {
+              lastKept = d.idx
+              Some(Kept(key, d.idx))
+            } else None
+          }
+          state.update(lastKept)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming censor keeps refractory semantics across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.Detection]
+    val q = Streaming
+      .censorStream(input.toDS(), width = 30L)
+      .writeStream
+      .format("memory")
+      .queryName("censored")
+      .outputMode("append")
+      .start()
+    // batch 1: the docstring fixture prefix
+    input.addData(
+      Streaming.Detection("a", 110), Streaming.Detection("a", 111),
+      Streaming.Detection("a", 112), Streaming.Detection("a", 120))
+    q.processAllAvailable()
+    // batch 2: continuation — state must carry lastKept=110
+    input.addData(
+      Streaming.Detection("a", 130), // censored: 130-110 < 30... wait 20 < 30 → dropped
+      Streaming.Detection("a", 270), Streaming.Detection("a", 271),
+      Streaming.Detection("a", 280))
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT idx FROM censored ORDER BY idx").collect().map(_.getLong(0))
+    q.stop()
+    assert(kept.toSeq == Seq(110L, 270L))
+  }
+
+  test("session_window epochs a bounded stream like batch sessionize") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val df = input.toDF().toDF("k", "ts")
+    val q = Streaming
+      .sessionCounts(df, "ts", "k", "10 seconds")
+      .writeStream
+      .format("memory")
+      .queryName("sessions")
+      .outputMode("complete")
+      .start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    input.addData(("u", t(0)), ("u", t(2)), ("u", t(4)), ("u", t(30)), ("u", t(32)))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT n_events FROM sessions ORDER BY session_start")
+      .collect().map(_.getLong(0))
+    q.stop()
+    assert(rows.toSeq == Seq(3L, 2L))
+  }
+}
