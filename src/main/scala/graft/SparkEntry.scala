@@ -210,6 +210,89 @@ object SparkEntry {
     Spikes.censor(peaks, "event_id", width = 5L, keys = Nil)
   }
 
+  /** G4 dumbsample: every 10th event per user + the last. */
+  private def qDecimate(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_id")
+    graft.dsp.Decimate
+      .dumbsample(ev, q = 10, tsCol = "event_id", keys = Seq("user_id"))
+  }
+
+  /** G6/P4 tetrode assembly on a synthetic 4-channel signal derived from
+    * events (sample = event_id div 4, channel = event_id mod 4). */
+  private def qTetrode(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val chans = ev.select(
+      expr("event_id div 4").as("idx"),
+      (col("event_id") % 4).as("channel"),
+      col("value")
+    )
+    val ch0 = chans.where(col("channel") === 0).select(col("idx"), col("value"))
+    val thr = Spikes.madThreshold(ch0, "value", 2.0).first().getDouble(0)
+    val peaks = Spikes.crossings(ch0, "idx", "value", thr, "pos")
+    graft.spikes.Tetrode.formTetrodeExploded(
+      chans, peaks, "idx", "channel", "value",
+      halfWidth = 2, maxAmplitude = 240.0, sampRate = 1000.0
+    )
+  }
+
+  /** Language-ID heuristic (marker-token scoring, deterministic). */
+  private val langMarkers = Map(
+    "de" -> Seq("der", "die"),
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("el", "la"),
+    "fr" -> Seq("le", "un")
+  )
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    Text.langId(Tables.documents(s, dir), langMarkers)
+
+  /** Rolling-hash + md5 fingerprints. */
+  private def qFingerprints(s: SparkSession, dir: String): DataFrame =
+    Text.fingerprints(Tables.documents(s, dir))
+
+  /** 64-bit SimHash over tokens. */
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    DedupDocs.simhash(Tables.documents(s, dir))
+
+  /** Multimodal payload features (scalar part; the feature vector is
+    * covered by unit tests — see Multimodal.FakeDecoder stub). */
+  private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.ops.Multimodal.withPayload(Tables.documents(s, dir), "text")
+    graft.ops.Multimodal
+      .extractFeatures(d, "doc_id")
+      .select("doc_id", "byte_len", "content_md5", "width", "height")
+  }
+
+  /** G2 zero-phase filtering per user signal (rows-only: sequential IIR
+    * recurrence, not SQL-expressible). */
+  private def qFiltfilt(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_id", "value")
+    val sos = graft.dsp.FilterDesign.butter(2, Seq(0.25), graft.dsp.FilterDesign.Lowpass)
+    graft.dsp.SosFiltFilt
+      .filtfiltPerSegment(ev, sos, Seq("user_id"), "event_id", "value")
+      .select(col("user_id"), col("event_id"), round(col("value"), 6).as("value"))
+  }
+
+  /** F5 sub-sample alignment of gathered patches (rows-only: cubic
+    * spline). */
+  private def qAlign(s: SparkSession, dir: String): DataFrame = {
+    val patches = qPatchExtract(s, dir)
+    val wf = patches
+      .groupBy("peak_idx")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("offset"), col("value")))),
+          s => array(s.getField("value"))
+        ).as("waveform")
+      )
+    graft.align.Align
+      .alignColumn(wf, "waveform", sBefore = 2, sAfter = 2)
+      .select(
+        col("peak_idx"),
+        posexplode(flatten(col("waveform"))).as(Seq("sample_idx", "value"))
+      )
+      .withColumn("value", round(col("value"), 6))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_session_epochs" -> (qSessionEpochs _),
@@ -228,7 +311,15 @@ object SparkEntry {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_sim_topk" -> (qSimTopK _),
     "q_minhash_lsh" -> (qMinhashLsh _),
-    "q_spike_censor" -> (qSpikeCensor _)
+    "q_spike_censor" -> (qSpikeCensor _),
+    "q_decimate" -> (qDecimate _),
+    "q_tetrode" -> (qTetrode _),
+    "q_lang_id" -> (qLangId _),
+    "q_fingerprints" -> (qFingerprints _),
+    "q_simhash" -> (qSimhash _),
+    "q_multimodal" -> (qMultimodal _),
+    "q_filtfilt" -> (qFiltfilt _),
+    "q_align" -> (qAlign _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -356,8 +447,85 @@ object SparkEntry {
         |r AS (SELECT query_id, vec_id, cos_sim,
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
         |      FROM c)
-        |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10""".stripMargin
-    // q_minhash_lsh, q_spike_censor: rows-only (banding / loop-carried
-    // state not SQL-expressible).
+        |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10""".stripMargin,
+    "q_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+        |       FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
+        |seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+        |mh AS (SELECT doc_id, seed,
+        |         MIN(('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::BIGINT) AS minhash
+        |       FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+        |bands AS (SELECT doc_id, seed // 4 AS band,
+        |            string_agg(seed || ':' || minhash, ',' ORDER BY seed) AS band_key
+        |          FROM mh GROUP BY doc_id, seed // 4)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
+    "q_decimate" ->
+      """WITH r AS (SELECT user_id, event_id,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn,
+        |             COUNT(*) OVER (PARTITION BY user_id) AS n
+        |           FROM events)
+        |SELECT user_id, event_id FROM r WHERE rn % 10 = 0 OR rn = n - 1""".stripMargin,
+    "q_tetrode" ->
+      """WITH chans AS (SELECT event_id // 4 AS idx, event_id % 4 AS channel, value FROM events),
+        |c0 AS (SELECT idx, value FROM chans WHERE channel = 0),
+        |t AS (SELECT 2 * median(abs(value) / 0.6745) AS thr FROM c0),
+        |h AS (SELECT idx, value FROM c0, t WHERE value > thr),
+        |p AS (SELECT a.idx AS peak_idx FROM h a JOIN h b ON a.idx + 1 = b.idx),
+        |patches AS (SELECT p.peak_idx, c.channel, c.idx - p.peak_idx AS offset, c.value
+        |            FROM chans c JOIN p ON c.idx >= p.peak_idx - 2 AND c.idx < p.peak_idx + 2),
+        |ok AS (SELECT peak_idx FROM patches GROUP BY peak_idx HAVING MAX(abs(value)) < 240.0)
+        |SELECT patches.peak_idx, channel, "offset", value,
+        |       round(patches.peak_idx / 1000.0, 9) AS time_s
+        |FROM patches JOIN ok ON patches.peak_idx = ok.peak_idx""".stripMargin,
+    "q_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die'))) AS s_de,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS s_en,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('el', 'la'))) AS s_es,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('le', 'un'))) AS s_fr
+        |FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'es'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'fr'
+        |       ELSE 'und' END AS lang_pred
+        |FROM s""".stripMargin,
+    "q_fingerprints" ->
+      """SELECT doc_id, md5(text) AS md5_hex,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS poly_hash
+        |FROM documents""".stripMargin,
+    "q_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |th AS (SELECT doc_id,
+        |         ('0x' || substr(md5(t), 1, 8))::BIGINT AS th_hi,
+        |         ('0x' || substr(md5(t), 9, 8))::BIGINT AS th_lo
+        |       FROM tok),
+        |bits AS (SELECT doc_id, b,
+        |           SUM(CASE WHEN ((CASE WHEN b < 32 THEN th_lo ELSE th_hi END
+        |                           >> (CASE WHEN b < 32 THEN b ELSE b - 32 END)) & 1) = 1
+        |                    THEN 1 ELSE -1 END) AS s
+        |         FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+        |         GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  bit_or(CASE WHEN s > 0 THEN
+        |           (CASE WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << b) END)
+        |         ELSE 0 END) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+    "q_multimodal" ->
+      """SELECT doc_id,
+        |  octet_length(CAST(text AS BLOB)) AS byte_len,
+        |  md5(text) AS content_md5,
+        |  CAST(floor(sqrt(octet_length(CAST(text AS BLOB)))) AS INT) AS width,
+        |  CAST(octet_length(CAST(text AS BLOB)) //
+        |       greatest(CAST(floor(sqrt(octet_length(CAST(text AS BLOB)))) AS INT), 1) AS INT) AS height
+        |FROM documents""".stripMargin
+    // q_spike_censor, q_filtfilt, q_align: rows-only (loop-carried state /
+    // IIR recurrence / cubic spline — not SQL-expressible).
   )
 }

@@ -72,9 +72,13 @@ object Align {
     val sb = if (sBefore >= 0) sBefore else peakIdx
     val sa = if (sAfter >= 0) sAfter else numSamples - sb
 
+    // the parabola fit needs an interior peak; clamp edge peaks one sample
+    // inward (the reference assumes interiority and would fault here)
+    val peakIdxSafe = math.min(math.max(peakIdx, 1), numSamples - 2)
+
     val (a, b, _) = parabolaCoeffs(
-      (peakIdx - 1.0, peakIdx.toDouble, peakIdx + 1.0),
-      (waveform(peakIdx - 1)(peakCh), waveform(peakIdx)(peakCh), waveform(peakIdx + 1)(peakCh))
+      (peakIdxSafe - 1.0, peakIdxSafe.toDouble, peakIdxSafe + 1.0),
+      (waveform(peakIdxSafe - 1)(peakCh), waveform(peakIdxSafe)(peakCh), waveform(peakIdxSafe + 1)(peakCh))
     )
     val sFracPeak = parabolaPeakLoc(a, b)
 

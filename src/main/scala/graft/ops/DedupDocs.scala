@@ -98,8 +98,17 @@ object DedupDocs {
     val sig = minhashSignatures(documents, k, numHashes)
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
       .groupBy("doc_id", "band")
-      // deterministic band key: seeds within a band in seed order
-      .agg(md5(concat_ws(",", sort_array(collect_list(struct(col("seed"), col("minhash")))).cast("string")).cast("binary")).as("band_key"))
+      // deterministic band key "s0:h0,s1:h1,..." (seed order) — a plain
+      // string both engines can reproduce byte-identically
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("seed"), col("minhash")))),
+            s => concat_ws(":", s.getField("seed"), s.getField("minhash"))
+          ),
+          ","
+        ).as("band_key")
+      )
     sig
       .as("a")
       .join(

@@ -36,16 +36,16 @@ object Text {
     )
   }
 
-  /** Deterministic rolling-hash document fingerprint: 64-bit polynomial
-    * hash of the text bytes (mod 2^64, base 31), plus md5. Pure column
-    * arithmetic via aggregate() over the char codes — codegen-friendly.
-    */
+  /** Deterministic rolling-hash document fingerprint: polynomial hash of
+    * the char codes, base 31 mod 1e9+7 (modulus keeps the accumulator in
+    * Long range — ANSI-safe and engine-portable), plus md5. Pure column
+    * arithmetic via aggregate() — codegen-friendly. */
   def fingerprints(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
       md5(col("text").cast("binary")).as("md5_hex"),
       expr(
-        "aggregate(transform(split(text, ''), c -> ascii(c)), 0L, (acc, x) -> acc * 31L + x)"
+        "aggregate(transform(split(text, ''), c -> ascii(c)), 0L, (acc, x) -> (acc * 31L + x) % 1000000007L)"
       ).as("poly_hash")
     )
 
@@ -58,10 +58,7 @@ object Text {
       lang -> size(filter(toks, t => t.isin(ms.map(lit(_)): _*)))
     }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scored.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(s === best && best > 0, lit(lang)).otherwise(acc)
-    }
-    // foldRight gives LAST matching lang; flip to first-alphabetical wins:
+    // when-chain in sorted-lang order → first-alphabetical wins ties
     val pickFirst = scored.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
       case (None, (lang, s)) => Some(when(s === best && best > 0, lit(lang)))
       case (Some(c), (lang, s)) => Some(c.when(s === best && best > 0, lit(lang)))
