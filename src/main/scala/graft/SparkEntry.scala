@@ -453,9 +453,12 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
         |       FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
         |seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
-        |mh AS (SELECT doc_id, seed,
-        |         MIN(('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::BIGINT) AS minhash
-        |       FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+        |hs AS (SELECT doc_id,
+        |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+        |         ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 1000000007 AS h2
+        |       FROM sh),
+        |mh AS (SELECT doc_id, seed, MIN(h1 + seed * h2) AS minhash
+        |       FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
         |bands AS (SELECT doc_id, seed // 4 AS band,
         |            string_agg(seed || ':' || minhash, ',' ORDER BY seed) AS band_key
         |          FROM mh GROUP BY doc_id, seed // 4)

@@ -72,18 +72,28 @@ object DedupDocs {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** MinHash signature: for each of `numHashes` seeds, the minimum md5-based
-    * hash over the doc's shingles. md5 (not murmur) so DuckDB reproduces it.
-    * Hash = first 15 hex chars of md5(seed || ':' || shingle) as a long. */
-  def minhashSignatures(documents: DataFrame, k: Int, numHashes: Int): DataFrame =
-    shingles(documents, k)
-      .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
-      .withColumn(
-        "h",
-        conv(substring(md5(concat(col("seed").cast("string"), lit(":"), col("shingle")).cast("binary")), 1, 15), 16, 10).cast("long")
-      )
-      .groupBy("doc_id", "seed")
-      .agg(min(col("h")).as("minhash"))
+  /** MinHash signature: for each of `numHashes` seeds, the minimum hash
+    * over the doc's shingles. ONE md5 per shingle; the seed family is the
+    * Carter-Wegman combination `h_s = h1 + s·(h2 mod 1e9+7)` of the two
+    * md5 halves — 16× fewer digests than hashing (seed, shingle) pairs,
+    * same independence in practice, and still byte-reproducible by the
+    * SQL oracle. The per-(doc, seed) min is computed with `numHashes`
+    * min-aggregates over an array column (no row explosion), then
+    * unpivoted. */
+  def minhashSignatures(documents: DataFrame, k: Int, numHashes: Int): DataFrame = {
+    val hashed = shingles(documents, k)
+      .withColumn("__md5", md5(col("shingle").cast("binary")))
+      .withColumn("h1", conv(substring(col("__md5"), 1, 15), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("__md5"), 17, 15), 16, 10).cast("long") % 1000000007L)
+    val minCols = (0 until numHashes).map { s =>
+      min(col("h1") + lit(s.toLong) * col("h2")).as(s"m$s")
+    }
+    val agg = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val stacked = (0 until numHashes)
+      .map(s => s"$s, m$s")
+      .mkString(", ")
+    agg.selectExpr("doc_id", s"stack($numHashes, $stacked) AS (seed, minhash)")
+  }
 
   /** MinHash-LSH candidate pairs: band the signature (`numHashes` rows into
     * bands of `rowsPerBand`), bucket-join on (band, band-hash), emit
