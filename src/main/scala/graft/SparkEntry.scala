@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ts.{Dedup, GapFill, Sessionize, Validation}
 import graft.spikes.Spikes
-import graft.ops.{DedupDocs, Similarity, Text}
+import graft.ops.{DedupDocs, Ivf, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -293,6 +293,20 @@ object SparkEntry {
       .withColumn("value", round(col("value"), 6))
   }
 
+  /** Exact embedding near-dup pairs above a cosine threshold, blocked by
+    * label. */
+  private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.blockedNearDupPairs(Tables.embeddings(s, dir), "label", minCosine = 0.3)
+
+  /** IVF ANN with full probing (nProbe == nLists) — must equal the exact
+    * brute-force top-k, which is what the oracle checks; the machinery
+    * (centroid training, cell assignment, probe ranking, bucket join) is
+    * exactly what runs with nProbe < nLists at scale. */
+  private def qIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ivf.topK(e, e.where(col("vec_id") < 5), k = 10, nLists = 8, nProbe = 8)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_session_epochs" -> (qSessionEpochs _),
@@ -319,7 +333,9 @@ object SparkEntry {
     "q_simhash" -> (qSimhash _),
     "q_multimodal" -> (qMultimodal _),
     "q_filtfilt" -> (qFiltfilt _),
-    "q_align" -> (qAlign _)
+    "q_align" -> (qAlign _),
+    "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_ivf_topk" -> (qIvfTopK _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -527,7 +543,33 @@ object SparkEntry {
         |  CAST(floor(sqrt(octet_length(CAST(text AS BLOB)))) AS INT) AS width,
         |  CAST(octet_length(CAST(text AS BLOB)) //
         |       greatest(CAST(floor(sqrt(octet_length(CAST(text AS BLOB)))) AS INT), 1) AS INT) AS height
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_embed_neardup" ->
+      """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb
+        |           FROM embeddings a JOIN embeddings b
+        |             ON a.label = b.label AND a.vec_id < b.vec_id),
+        |u AS (SELECT vec_a, vec_b, unnest(ea) AS x, unnest(eb) AS y FROM p),
+        |d AS (SELECT vec_a, vec_b,
+        |        SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dp,
+        |        SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS xx,
+        |        SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS yy
+        |      FROM u GROUP BY vec_a, vec_b)
+        |SELECT vec_a, vec_b, round(dp / (sqrt(xx) * sqrt(yy)), 6) AS cos_sim
+        |FROM d WHERE round(dp / (sqrt(xx) * sqrt(yy)), 6) >= 0.3""".stripMargin,
+    "q_ivf_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |p AS (SELECT query_id, vec_id, qe, embedding AS ee FROM embeddings, q WHERE vec_id <> query_id),
+        |u AS (SELECT query_id, vec_id, unnest(qe) AS qv, unnest(ee) AS ev FROM p),
+        |d AS (SELECT query_id, vec_id,
+        |        SUM(CAST(qv AS DOUBLE) * CAST(ev AS DOUBLE)) AS dp,
+        |        SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS qq,
+        |        SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS ee2
+        |      FROM u GROUP BY query_id, vec_id),
+        |c AS (SELECT query_id, vec_id, round(dp / (sqrt(qq) * sqrt(ee2)), 6) AS cos_sim FROM d),
+        |r AS (SELECT query_id, vec_id, cos_sim,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        |      FROM c)
+        |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10""".stripMargin
     // q_spike_censor, q_filtfilt, q_align: rows-only (loop-carried state /
     // IIR recurrence / cubic spline — not SQL-expressible).
   )

@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("IVF with full probing equals brute-force top-k") {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.where(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(e, q, k = 5)
+      .orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ivf = Ivf.topK(e, q, k = 5, nLists = 4, nProbe = 4)
+      .orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.toSeq == brute.toSeq)
+  }
+
+  test("IVF with partial probing keeps decent recall at a fraction of work") {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.where(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(e, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ivf.topK(e, q, k = 10, nLists = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("pretty formatting utilities") {
+    import graft.util.Pretty
+    assert(Pretty.bytes(512) == "512 bytes")
+    assert(Pretty.bytes(2048) == "2.0 kB")
+    assert(Pretty.int(1234567) == "1,234,567")
+    assert(Pretty.duration(3725.5) == "01:02:05.500")
+    assert(Pretty.duration(-61.0) == "-00:01:01")
+    assert(Pretty.duration(90061.0) == "1d:01:01:01")
+    assert(Pretty.duration(Double.PositiveInfinity) == "inf")
+  }
+}
