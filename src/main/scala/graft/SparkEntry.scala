@@ -307,6 +307,21 @@ object SparkEntry {
     Ivf.topK(e, e.where(col("vec_id") < 5), k = 10, nLists = 8, nProbe = 8)
   }
 
+  /** A4 common average reference + CAR-subtracted samples on the
+    * synthetic 4-channel signal. */
+  private def qCar(s: SparkSession, dir: String): DataFrame = {
+    val chans = Tables
+      .events(s, dir)
+      .select(
+        expr("event_id div 4").as("idx"),
+        (col("event_id") % 4).as("channel"),
+        col("value")
+      )
+    Spikes
+      .subtractCar(chans, "idx", "value")
+      .select(col("idx"), col("channel"), round(col("value"), 6).as("value"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_session_epochs" -> (qSessionEpochs _),
@@ -335,7 +350,8 @@ object SparkEntry {
     "q_filtfilt" -> (qFiltfilt _),
     "q_align" -> (qAlign _),
     "q_embed_neardup" -> (qEmbedNearDup _),
-    "q_ivf_topk" -> (qIvfTopK _)
+    "q_ivf_topk" -> (qIvfTopK _),
+    "q_car" -> (qCar _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -569,7 +585,13 @@ object SparkEntry {
         |r AS (SELECT query_id, vec_id, cos_sim,
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
         |      FROM c)
-        |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10""".stripMargin
+        |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10""".stripMargin,
+    "q_car" ->
+      """WITH chans AS (SELECT event_id // 4 AS idx, event_id % 4 AS channel, value FROM events),
+        |car AS (SELECT idx, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS car
+        |        FROM chans GROUP BY idx)
+        |SELECT chans.idx, channel, round(value - car, 6) AS value
+        |FROM chans JOIN car ON chans.idx = car.idx""".stripMargin
     // q_spike_censor, q_filtfilt, q_align: rows-only (loop-carried state /
     // IIR recurrence / cubic spline — not SQL-expressible).
   )

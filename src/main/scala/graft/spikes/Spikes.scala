@@ -90,6 +90,27 @@ object Spikes {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Common average reference (A4, jagular/spikes.py:92-117): the mean
+    * across channels at each timestamp, and the per-sample CAR-subtracted
+    * signal. The mean goes through DECIMAL so it is independent of
+    * aggregation order (oracle-exact); one shuffle on ts. */
+  def commonAverageReference(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String
+  ): DataFrame =
+    df.groupBy(col(tsCol))
+      .agg(
+        (sum(col(valueCol).cast("decimal(18,2)")).cast("double") / count(lit(1)))
+          .as("car")
+      )
+
+  /** CAR-subtracted signal: value − mean-across-channels(ts). */
+  def subtractCar(df: DataFrame, tsCol: String, valueCol: String): DataFrame =
+    df.join(commonAverageReference(df, tsCol, valueCol), tsCol)
+      .withColumn(valueCol, col(valueCol) - col("car"))
+      .drop("car")
+
   /** Patch gather around peaks (W4/J3, jagular/spikes.py:377-425): for each
     * peak index, collect `2*halfWidth` samples at
     * `[peak - halfWidth, peak + halfWidth)`, zero-padded at stream edges.

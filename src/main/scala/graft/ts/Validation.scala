@@ -38,4 +38,25 @@ object Validation {
       sum(when(col(c).cast("long").cast(df.schema(c).dataType) =!= col(c), 1L).otherwise(0L))
         .as("n_non_integral")
     )
+
+  /** P6: `request_data`-style time-range fetch
+    * (jagular/io.py:204-232): validates `[start, stop] ⊆ [sessionStart,
+    * sessionStop]` BEFORE touching data (the catalog check), then returns
+    * the ts-bounded slice — which Catalyst turns into a pushed-down
+    * parquet range filter. */
+  def requestRange(
+      df: DataFrame,
+      tsCol: String,
+      start: Long,
+      stop: Long,
+      sessionStart: Long,
+      sessionStop: Long
+  ): DataFrame = {
+    require(start <= stop, s"start $start > stop $stop")
+    require(
+      start >= sessionStart && stop <= sessionStop,
+      s"requested [$start, $stop] outside session [$sessionStart, $sessionStop]"
+    )
+    df.where(col(tsCol).between(start, stop))
+  }
 }
