@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotF32
+
+/** SparkSessionExtensions entry point: enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` to get the
+  * engine's native functions in every session (SQL included). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        FunctionIdentifier("dot_f32"),
+        new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
+        (children: Seq[Expression]) => DotF32(children(0), children(1))
+      )
+    )
+  }
+}

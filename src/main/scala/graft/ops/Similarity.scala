@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-order dot product of two float arrays, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-order dot product of two float arrays, in double.
+    * Native codegen'd expression (graft.functions.DotF32) — same
+    * left-to-right accumulation as the HOF formulation
+    * `aggregate(zip_with(...))`, minus the per-row intermediate array. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotF32.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
