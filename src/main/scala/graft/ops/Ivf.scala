@@ -24,7 +24,7 @@ object Ivf {
     val spark = corpus.sparkSession
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val withFeat = corpus.withColumn("features", toVec(col("embedding")))
-    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
     val model = km.fit(withFeat)
     val assigned = model.transform(withFeat).withColumnRenamed("prediction", "cell")
     val centroids = spark.createDataFrame(

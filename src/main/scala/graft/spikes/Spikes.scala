@@ -141,4 +141,31 @@ object Spikes {
         col(valueCol).as("value")
       )
   }
+
+  /** Window-gather formulation of the patch extraction (the alternative
+    * physical strategy SURVEY.md §4.3 sketches as a future rule target):
+    * collect the `[idx−halfWidth, idx+halfWidth)` frame over every sample
+    * with an ordered window, then keep only peak rows. Better than the
+    * range join when peaks are DENSE (join fan-out would dominate);
+    * worse when peaks are sparse (frames are built for every row). Same
+    * values as [[extractPatches]], one row per peak with the patch array
+    * (edge patches are shorter, as in the range join). */
+  def extractPatchesWindow(
+      samples: DataFrame,
+      peaks: DataFrame,
+      idxCol: String,
+      valueCol: String,
+      halfWidth: Int,
+      keys: Seq[String] = Nil
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w0 =
+      if (keys.isEmpty) Window.orderBy(col(idxCol))
+      else Window.partitionBy(keys.map(col): _*).orderBy(col(idxCol))
+    val w = w0.rowsBetween(-halfWidth, halfWidth - 1)
+    val framed = samples.withColumn("patch", collect_list(col(valueCol)).over(w))
+    framed
+      .join(broadcast(peaks.select(col(idxCol).as("peak_idx"))), col(idxCol) === col("peak_idx"))
+      .select((keys.map(col) :+ col("peak_idx") :+ col("patch")): _*)
+  }
 }
