@@ -64,18 +64,28 @@ object Tetrode {
       halfWidth: Int,
       maxAmplitude: Double,
       sampRate: Double
-  ): DataFrame =
+  ): DataFrame = {
+    val patchLen = 2 * halfWidth
     formTetrodeExploded(samples, peaks, idxCol, channelCol, valueCol, halfWidth, maxAmplitude, sampRate)
+      .groupBy("peak_idx", "time_s", "channel")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("offset"), col("value")))),
+          s => s.getField("value")
+        ).as("chpatch")
+      )
+      // F10: zero-pad stream-edge patches to the fixed patch size
+      // (jagular/spikes.py:420-423)
+      .withColumn("chpatch", graft.functions.Funcs.padTo(col("chpatch"), patchLen))
       .groupBy("peak_idx", "time_s")
       .agg(
         flatten(
           transform(
-            array_sort(
-              collect_list(struct(col("channel"), col("offset"), col("value")))
-            ),
-            s => array(s.getField("value"))
+            array_sort(collect_list(struct(col("channel"), col("chpatch")))),
+            s => s.getField("chpatch")
           )
         ).as("spikes")
       )
       .select(col("time_s").as("times"), col("spikes"), col("peak_idx"))
+  }
 }

@@ -74,6 +74,10 @@ object Sessionize {
     val tsIdx = cols.indexOf(tsCol)
     require(tsIdx >= 0, s"no column $tsCol")
 
+    // NOTE: the persist is a CORRECTNESS anchor, not a cache: the range
+    // partitioner samples boundaries at job time, so pass 2/3 must see
+    // the exact partitioning pass 1 summarized. MEMORY_AND_DISK spills
+    // rather than evicts, keeping the partitioning stable at any scale.
     val sorted = df
       .repartitionByRange(n, col(tsCol))
       .sortWithinPartitions(col(tsCol))
