@@ -40,14 +40,22 @@ object GapFill {
       maxGapSize: Long,
       keys: Seq[String] = Nil
   ): DataFrame = {
-    val w =
-      if (keys.isEmpty) Window.orderBy(col(tsCol))
-      else Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
-
     val keyCols = keys.map(col)
-    val base = df
-      .withColumn("__nts", lead(col(tsCol), 1).over(w))
-      .withColumn("__nv", lead(col(valueCol), 1).over(w))
+    // keyed: one shuffle on the key. keyless: the two-pass OrderedStream
+    // neighbor exchange — NOT a keyless window, which would serialize
+    // into a single task at scale.
+    val base =
+      if (keys.isEmpty)
+        OrderedStream
+          .withNeighbors(df, tsCol, Seq(valueCol))
+          .withColumnRenamed(s"__next_$tsCol", "__nts")
+          .withColumnRenamed(s"__next_$valueCol", "__nv")
+          .drop(s"__prev_$tsCol", s"__prev_$valueCol")
+      else {
+        val w = Window.partitionBy(keyCols: _*).orderBy(col(tsCol))
+        df.withColumn("__nts", lead(col(tsCol), 1).over(w))
+          .withColumn("__nv", lead(col(valueCol), 1).over(w))
+      }
 
     val gapped = base
       .where(

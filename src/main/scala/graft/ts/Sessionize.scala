@@ -163,12 +163,19 @@ object Sessionize {
   }
 
   /** Median forward-step estimate (A9, jagular/utils.py:189-190). Returns a
-    * 1-row DataFrame `(step)`. Uses exact median to stay oracle-exact. */
+    * 1-row DataFrame `(step)`. Uses exact median to stay oracle-exact;
+    * keyless case goes through the [[OrderedStream]] neighbor exchange. */
   def medianStep(df: DataFrame, tsCol: String, keys: Seq[String] = Nil): DataFrame = {
-    val w =
-      if (keys.isEmpty) Window.orderBy(col(tsCol))
-      else Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
-    df.withColumn("d", col(tsCol) - lag(col(tsCol), 1).over(w))
+    val withPrev =
+      if (keys.isEmpty)
+        OrderedStream
+          .withNeighbors(df, tsCol, Nil)
+          .withColumn("d", col(tsCol) - col(s"__prev_$tsCol"))
+      else {
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+        df.withColumn("d", col(tsCol) - lag(col(tsCol), 1).over(w))
+      }
+    withPrev
       .where(col("d").isNotNull)
       .agg(expr("median(d)").as("step"))
   }

@@ -14,10 +14,12 @@ object Validation {
 
   /** One-row report: (n_rows, n_dup_keys, n_out_of_order, is_sorted,
     * has_dups). Sortedness is judged against `orderCol` ordering
-    * (A7, jagular/utils.py:54-74: any `x[i+1] < x[i]`). */
+    * (A7, jagular/utils.py:54-74: any `x[i+1] < x[i]`). Uses the two-pass
+    * [[OrderedStream]] neighbor exchange, not a keyless window. */
   def report(df: DataFrame, tsCol: String, orderCol: String): DataFrame = {
-    val w = Window.orderBy(col(orderCol))
-    val withPrev = df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+    val withPrev = OrderedStream
+      .withNeighbors(df, orderCol, Seq(tsCol))
+      .withColumnRenamed(s"__prev_$tsCol", "__prev")
     withPrev.agg(
       count(lit(1)).as("n_rows"),
       countDistinct(col(tsCol)).as("n_distinct_ts"),
