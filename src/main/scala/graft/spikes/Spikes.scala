@@ -58,6 +58,14 @@ object Spikes {
     * within partitions by (keys, idx), and fold each group in one pass —
     * groups never straddle partitions, state resets on key change.
     * Embarrassingly parallel across keys.
+    *
+    * Scale note (keys = Nil): a truly global censor is inherently
+    * sequential (each decision depends on the last KEPT event), so the
+    * keyless path deliberately runs in one task. That is fine in
+    * practice: censor consumes the crossing/peak stream, which is sparse
+    * (orders of magnitude smaller than the sample stream); the heavy
+    * stages before it are fully parallel. At 100 TB, partition by
+    * channel/tetrode (the reference's own unit of work) as `keys`.
     */
   def censor(df: DataFrame, idxCol: String, width: Long, keys: Seq[String]): DataFrame = {
     val cols = df.columns

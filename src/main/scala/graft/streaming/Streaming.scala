@@ -35,6 +35,47 @@ object Streaming {
   final case class Detection(key: String, idx: Long)
   final case class Kept(key: String, idx: Long)
 
+  /** Integral-ts sample for the streaming gap filler. */
+  final case class Sample(key: String, ts: Long, value: Double)
+  final case class Filled(key: String, ts: Long, value: Double, interpolated: Boolean)
+
+  /** W6 as streaming state: the reference carries `(prev_ts,
+    * prev_channel_data)` across generator blocks so a gap straddling a
+    * block boundary still interpolates (jagular/utils.py:443-477). Here
+    * the same state lives in `flatMapGroupsWithState`: per key, the last
+    * seen sample; each arriving sample emits any missing integral ts
+    * between the carried sample and itself (gap ≤ maxGapSize) with
+    * 2-point linear interpolation, then itself. Requires per-key in-order
+    * delivery, as in the reference's generator chain. */
+  def gapFillStream(
+      samples: Dataset[Sample],
+      step: Long,
+      maxGapSize: Long
+  ): Dataset[Filled] = {
+    import samples.sparkSession.implicits._
+    samples
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Double), Filled](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, Double)]) =>
+          var carried: Option[(Long, Double)] = state.getOption
+          val out = rows.toSeq.sortBy(_.ts).flatMap { s =>
+            val fills = carried match {
+              case Some((pt, pv))
+                  if s.ts - pt > step && s.ts - pt <= maxGapSize * step + step =>
+                (pt + step until s.ts by step).map { t =>
+                  val v = pv + (t - pt).toDouble * (s.value - pv) / (s.ts - pt).toDouble
+                  Filled(key, t, v, interpolated = true)
+                }
+              case _ => Seq.empty
+            }
+            carried = Some((s.ts, s.value))
+            fills :+ Filled(key, s.ts, s.value, interpolated = false)
+          }
+          carried.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** W3 censor as arbitrary stateful processing: per key, keep a
     * detection only if it is ≥ `width` after the last KEPT one. State is
     * one Long per key. Requires per-key in-order delivery within a batch

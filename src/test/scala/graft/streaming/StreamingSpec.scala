@@ -33,6 +33,33 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSeq == Seq(110L, 270L))
   }
 
+  test("streaming gap fill interpolates across micro-batch boundaries (W6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.Sample]
+    val q = Streaming
+      .gapFillStream(input.toDS(), step = 1L, maxGapSize = 5L)
+      .writeStream
+      .format("memory")
+      .queryName("filled")
+      .outputMode("append")
+      .start()
+    // batch 1 ends at ts=10; batch 2 starts at ts=13 — the gap straddles
+    // the micro-batch boundary, exactly the reference's W6 case
+    input.addData(Streaming.Sample("a", 9, 9.0), Streaming.Sample("a", 10, 10.0))
+    q.processAllAvailable()
+    input.addData(Streaming.Sample("a", 13, 16.0), Streaming.Sample("a", 30, 0.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT ts, value, interpolated FROM filled ORDER BY ts")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    q.stop()
+    assert(rows.toSeq == Seq(
+      (9L, 9.0, false), (10L, 10.0, false),
+      (11L, 12.0, true), (12L, 14.0, true), // linear 10→16 over 10..13
+      (13L, 16.0, false),
+      (30L, 0.0, false) // gap 17 > maxGapSize → epoch boundary, no fill
+    ))
+  }
+
   test("session_window epochs a bounded stream like batch sessionize") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp)]
