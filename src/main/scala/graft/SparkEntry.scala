@@ -171,6 +171,45 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** TPC-H Q5-shaped local-supplier revenue: two broadcast dim chains
+    * meeting at the fact table, grouped by nation. */
+  private def q5Nation(s: SparkSession, dir: String): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = col("l_discount").cast("decimal(3,2)")
+    Tables
+      .lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(
+        broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey")
+      )
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(price * (lit(1).cast("decimal(3,2)") - disc)).cast("double").as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+  }
+
+  /** TPC-H Q6-shaped forecast: pure pushed-down filter + scalar agg. */
+  private def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .where(
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.09) &&
+          col("l_quantity") < 24
+      )
+      .agg(
+        sum(
+          col("l_extendedprice").cast("decimal(12,2)") * col("l_discount").cast("decimal(3,2)")
+        ).cast("double").as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+
   /** Text token/quality statistics. */
   private def qDocStats(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
@@ -351,7 +390,9 @@ object SparkEntry {
     "q_align" -> (qAlign _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_ivf_topk" -> (qIvfTopK _),
-    "q_car" -> (qCar _)
+    "q_car" -> (qCar _),
+    "q5_nation" -> (q5Nation _),
+    "q6_forecast" -> (q6Forecast _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -438,6 +479,26 @@ object SparkEntry {
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey ASC
         |LIMIT 10""".stripMargin,
+    "q5_nation" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q6_forecast" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.09
+        |  AND l_quantity < 24""".stripMargin,
     "q_doc_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

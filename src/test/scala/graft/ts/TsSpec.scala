@@ -79,6 +79,31 @@ class TsSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 0.0), (2L, 2.0), (4L, 4.0), (6L, 6.0)))
   }
 
+  test("duplicates report lists keys with multiplicity > 1") {
+    val df = Seq(10L, 10L, 10L, 20L, 30L, 30L).toDF("ts")
+    val out = Dedup.duplicates(df, Seq("ts")).orderBy("ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((10L, 3L), (30L, 2L)))
+  }
+
+  test("median step estimate over global and keyed orders") {
+    val df = Seq(0L, 1L, 2L, 3L, 13L).toDF("ts") // diffs 1,1,1,10 → median 1
+    val step = Sessionize.medianStep(df, "ts").first().getDouble(0)
+    assert(step == 1.0)
+    val keyed = Seq(("a", 0L), ("a", 2L), ("a", 4L), ("b", 0L), ("b", 10L))
+      .toDF("k", "ts")
+    val step2 = Sessionize.medianStep(keyed, "ts", Seq("k")).first().getDouble(0)
+    assert(step2 == 2.0) // per-key diffs [2,2] and [10] → median of [2,2,10] = 2
+  }
+
+  test("gap lengths between consecutive segments") {
+    val segs = Seq((0L, 1L, 5L), (1L, 10L, 13L), (2L, 50L, 60L))
+      .toDF("segment_id", "start", "stop")
+    val out = Sessionize.gapLengths(segs).orderBy("segment_id")
+      .collect().map(r => Option(r.get(3)).map(_.asInstanceOf[Long]))
+    assert(out.toSeq == Seq(None, Some(5L), Some(37L)))
+  }
+
   test("validation report flags dups and disorder") {
     val df = Seq((0L, 5L), (1L, 3L), (2L, 5L), (3L, 9L)).toDF("pos", "ts")
     val r = Validation.report(df, "ts", "pos").collect()(0)
