@@ -78,7 +78,9 @@ final class RecSession(val spark: SparkSession, val paths: Seq[String]) {
 
   /** `filtfilt_mmap` (filtering.py:17-112): design a cheby2 SOS from the
     * band edges and zero-phase filter each (channel, epoch)
-    * independently. Input is the extracted store (channel, ts, value). */
+    * independently. Input is the extracted store (channel, ts, value);
+    * if it already carries `segment_id` (extractChannels emits it), the
+    * epochs are reused — no re-sessionization shuffle. */
   def filtfilt(
       channels: DataFrame,
       fl: Option[Double],
@@ -89,7 +91,9 @@ final class RecSession(val spark: SparkSession, val paths: Seq[String]) {
       maxGapSize: Long = 150L
   ): DataFrame = {
     val sos = FilterDesign.iirdesignCheby2(fs, fl, fh, gpass, gstop)
-    val seg = Sessionize.withSegmentIdKeyed(channels, "ts", maxGapSize + 2, Seq("channel"))
+    val seg =
+      if (channels.columns.contains("segment_id")) channels
+      else Sessionize.withSegmentIdKeyed(channels, "ts", maxGapSize + 2, Seq("channel"))
     SosFiltFilt.filtfiltPerSegment(
       seg.withColumn("value", col("value").cast("double")),
       sos,

@@ -104,10 +104,14 @@ object SosFiltFilt {
     y.slice(pl, pl + x.length)
   }
 
-  /** Distributed per-segment zero-phase filtering: `df` must carry the
-    * group keys, a ts column and a value column. Each (keys) group is
-    * collected into one in-memory array (sorted by ts), filtered, and
-    * re-emitted. Groups never straddle partitions.
+  /** Distributed per-segment zero-phase filtering. Each (keys) group is
+    * buffered into PRIMITIVE arrays (ts: Long[], value: Double[], plus
+    * any `carry` columns), filtered with the in-memory kernel, and
+    * re-emitted — no per-row object retention, so a multi-million-sample
+    * segment costs ~16 bytes/sample of task memory. Groups never
+    * straddle partitions (repartition on keys + local sort).
+    *
+    * Output schema: keys ++ (tsCol, valueCol as double) ++ carry.
     *
     * For segments too large for one task, use [[filtfiltChunked]] — the
     * reference's own buffer/overlap scheme (filtering.py:150-192).
@@ -117,42 +121,77 @@ object SosFiltFilt {
       sos: Sos,
       keys: Seq[String],
       tsCol: String,
-      valueCol: String
+      valueCol: String,
+      carry: Seq[String] = Nil
   ): DataFrame = {
     require(keys.nonEmpty, "need at least one group key")
-    val cols = df.columns
-    val keyPos = keys.map(k => cols.indexOf(k))
-    val tsPos = cols.indexOf(tsCol)
-    val vPos = cols.indexOf(valueCol)
-    require((keyPos :+ tsPos :+ vPos).forall(_ >= 0), "missing columns")
+    val projected = df.select((keys ++ Seq(tsCol, valueCol) ++ carry).map(col): _*)
+    val nKeys = keys.length
+    val tsPos = nKeys
+    val vPos = nKeys + 1
+    val carryPos = carry.indices.map(_ + nKeys + 2)
 
-    val arranged = df
+    val arranged = projected
       .repartition(keys.map(col): _*)
       .sortWithinPartitions((keys :+ tsCol).map(col): _*)
     val schema = StructType(
-      arranged.schema.fields.map { f =>
-        if (f.name == valueCol) StructField(valueCol, DoubleType, nullable = false) else f
+      arranged.schema.fields.zipWithIndex.map { case (f, i) =>
+        if (i == vPos) StructField(f.name, DoubleType, nullable = false) else f
       }
     )
     val sosB = sos // serialized into the closure (tiny)
     val rdd = arranged.rdd.mapPartitions { it =>
+      val buf = it.buffered
       new Iterator[Row] {
-        private val grouped = new GroupedRuns(it, r => keyPos.map(r.get))
-        private var out: Iterator[Row] = Iterator.empty
-        override def hasNext: Boolean = {
-          while (!out.hasNext && grouped.hasNext) {
-            val rows = grouped.next()
-            val xs = rows.map(r => toDouble(r.get(vPos))).toArray
-            val ys = filtfilt(sosB, xs)
-            out = rows.iterator.zip(ys.iterator).map { case (r, y) =>
-              val vals = r.toSeq.toArray
-              vals(vPos) = y
-              Row.fromSeq(vals.toIndexedSeq)
+        private var outKeys: Array[Any] = null
+        private var outTs: Array[Long] = null
+        private var outVal: Array[Double] = null
+        private var outCarry: Array[Array[Any]] = null
+        private var i = 0
+        private var len = 0
+
+        private def fillGroup(): Unit = {
+          val first = buf.head
+          val k = Array.tabulate[Any](nKeys)(first.get)
+          val ts = new scala.collection.mutable.ArrayBuilder.ofLong
+          val vs = new scala.collection.mutable.ArrayBuilder.ofDouble
+          val cs = Array.fill(carryPos.length)(Seq.newBuilder[Any])
+          var done = false
+          while (!done && buf.hasNext) {
+            val r = buf.head
+            var same = true
+            var j = 0
+            while (same && j < nKeys) { same = r.get(j) == k(j); j += 1 }
+            if (!same) done = true
+            else {
+              buf.next()
+              ts += r.getLong(tsPos)
+              vs += toDouble(r.get(vPos))
+              var c = 0
+              while (c < carryPos.length) { cs(c) += r.get(carryPos(c)); c += 1 }
             }
           }
-          out.hasNext
+          outKeys = k
+          outTs = ts.result()
+          outVal = filtfilt(sosB, vs.result())
+          outCarry = cs.map(_.result().toArray)
+          i = 0
+          len = outTs.length
         }
-        override def next(): Row = { hasNext; out.next() }
+
+        override def hasNext: Boolean = i < len || buf.hasNext
+        override def next(): Row = {
+          if (i >= len) fillGroup()
+          val vals = new Array[Any](nKeys + 2 + carryPos.length)
+          var j = 0
+          while (j < nKeys) { vals(j) = outKeys(j); j += 1 }
+          vals(tsPos) = outTs(i)
+          vals(vPos) = outVal(i)
+          var c = 0
+          while (c < carryPos.length) { vals(nKeys + 2 + c) = outCarry(c)(i); c += 1 }
+          i += 1
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        }
       }
     }
     df.sparkSession.createDataFrame(rdd, schema)
@@ -165,19 +204,6 @@ object SosFiltFilt {
     case i: Int => i.toDouble
     case l: Long => l.toDouble
     case other => throw new IllegalArgumentException(s"non-numeric value $other")
-  }
-
-  /** Runs of consecutive rows sharing a key within one partition. */
-  private final class GroupedRuns(it: Iterator[Row], keyOf: Row => Seq[Any])
-      extends Iterator[Vector[Row]] {
-    private val buf = it.buffered
-    override def hasNext: Boolean = buf.hasNext
-    override def next(): Vector[Row] = {
-      val k = keyOf(buf.head)
-      val b = Vector.newBuilder[Row]
-      while (buf.hasNext && keyOf(buf.head) == k) b += buf.next()
-      b.result()
-    }
   }
 
   /** W5 chunked variant for very long segments (the reference's
@@ -226,10 +252,11 @@ object SosFiltFilt {
       sos,
       keys :+ "__tochunk",
       tsCol,
-      valueCol
+      valueCol,
+      carry = Seq("__core")
     )
     filtered
       .where(col("__core") === 1)
-      .drop("__segstart", "__rel", "__chunk", "__inchunk", "__tochunk", "__core")
+      .drop("__tochunk", "__core")
   }
 }

@@ -3,7 +3,7 @@ package graft.io
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ts.{Dedup, GapFill, Sessionize, Validation}
+import graft.ts.Dedup
 
 /** The reference's flagship ETL query, `extract_channels`
   * (jagular/utils.py:392-549), as one declarative Spark plan:
@@ -37,30 +37,19 @@ object ExtractChannels {
     // U2: duplicate timestamps keep FIRST occurrence in stream order.
     val deduped = Dedup.keepFirst(raw, Seq("ts"), Seq("file_rank", "pos"))
 
-    // W1: epoch boundary where the ts jump exceeds the fillable gap.
-    // diff d ⇒ d−1 missing samples; fill iff d−1 ≤ maxGap ⇒ break at
-    // d ≥ maxGap+2.
-    val seg = Sessionize.withSegmentIdGlobal(deduped, "ts", maxGapSize + 2)
-
-    // Long layout: (segment_id, channel, ts, value).
-    val long = seg.select(
-      col("segment_id"),
-      col("ts"),
-      posexplode(col("values")).as(Seq("channel", "value"))
-    )
-
-    // J4/F1 per (channel, segment): linear interp, numpy astype(int16)
-    // truncation-toward-zero == Spark double→short cast truncation.
-    GapFill
-      .linear(
-        long.withColumn("value", col("value").cast("double")),
-        "ts",
-        "value",
-        step = 1L,
-        maxGapSize = maxGapSize,
-        keys = Seq("channel", "segment_id")
+    // W1 + J4/F1 fused at the packet level (PacketGapFill): one range
+    // partition assigns epochs AND synthesizes interpolated packets
+    // (numpy interp1d + astype(int16) truncation semantics), so the gap
+    // logic runs on n_packets rows — the per-channel explode happens
+    // exactly once, afterward.
+    PacketGapFill
+      .fillAndSegment(deduped, maxGapSize)
+      .select(
+        col("segment_id"),
+        col("ts"),
+        col("interpolated"),
+        posexplode(col("values")).as(Seq("channel", "value"))
       )
-      .withColumn("value", col("value").cast("short"))
   }
 
   /** Full pipeline incl. the partitioned columnar sink (S8) and the
