@@ -94,9 +94,15 @@ object RecScan {
     }
 
     val subset = channelSubset.map(_.toArray)
+    // Emit Catalyst InternalRows directly (UnsafeArrayData over the
+    // primitive short[]): skips the per-row external→Catalyst converter,
+    // which dominates decode cost for 100+-channel packets.
     val rdd = spark.sparkContext
       .parallelize(splits, math.max(1, splits.size))
       .flatMap { sp =>
+        import org.apache.spark.sql.catalyst.InternalRow
+        import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+        import org.apache.spark.sql.catalyst.util.ArrayData
         val it = RecFormat.decodeRange(sp.cfg, sp.startPacket, sp.count, serConf.value)
         var pos = sp.startPacket - 1
         it.map { pkt =>
@@ -105,9 +111,11 @@ object RecScan {
             case Some(idx) => idx.map(pkt.values(_))
             case None => pkt.values
           }
-          Row(sp.rank, pos, pkt.ts, vals.toSeq)
+          new GenericInternalRow(
+            Array[Any](sp.rank, pos, pkt.ts, ArrayData.toArrayData(vals))
+          ): InternalRow
         }
       }
-    spark.createDataFrame(rdd, schema)
+    org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(spark, rdd, schema)
   }
 }

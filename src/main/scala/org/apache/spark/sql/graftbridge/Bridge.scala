@@ -1,13 +1,24 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.StructType
 
 /** Minimal access bridge into `private[sql]` helpers so graft can lift a
-  * Catalyst Expression into a public Column (the supported pattern for
-  * extension libraries that add native expressions). */
+  * Catalyst Expression into a public Column and build DataFrames from
+  * InternalRow RDDs without the per-row external→Catalyst converter (the
+  * supported patterns for extension libraries adding native sources and
+  * expressions). */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `SparkSession.internalCreateDataFrame` — rows must already be in
+    * Catalyst form (UTF8String, ArrayData, micros timestamps...). */
+  def internalCreateDataFrame(spark: SparkSession, rdd: RDD[InternalRow], schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
