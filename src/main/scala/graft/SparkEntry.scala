@@ -361,6 +361,45 @@ object SparkEntry {
       .select(col("idx"), col("channel"), round(col("value"), 6).as("value"))
   }
 
+  /** F5 linear-mode sub-sample alignment expressed COLUMN-NATIVELY
+    * (argmax → parabola vertex → clamped linear resample) — the engine-
+    * preferred form of the alignment math, fully oracle-checkable. The
+    * cubic path stays in the Spline kernel (q_align, rows-only). */
+  private def qAlignLinear(s: SparkSession, dir: String): DataFrame = {
+    val patches = qPatchExtract(s, dir)
+    val wf = patches
+      .groupBy("peak_idx")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("offset"), col("value")))),
+          x => x.getField("value")
+        ).as("w")
+      )
+      .where(size(col("w")) === 6)
+    val denom = col("ym") - lit(2) * col("y0") + col("yp")
+    wf.withColumn(
+        "i",
+        least(greatest(expr("array_position(w, array_max(w))").cast("int") - 1, lit(1)), lit(4))
+      )
+      .withColumn("ym", expr("element_at(w, i)"))
+      .withColumn("y0", expr("element_at(w, i + 1)"))
+      .withColumn("yp", expr("element_at(w, i + 2)"))
+      .withColumn(
+        "frac",
+        when(denom === 0, col("i").cast("double"))
+          .otherwise(col("i") + lit(0.5) * (col("ym") - col("yp")) / denom)
+      )
+      .withColumn("j", explode(sequence(lit(0), lit(3))))
+      .withColumn("x", least(greatest(col("frac") - 2 + col("j"), lit(0.0)), lit(5.0)))
+      .withColumn("lo", floor(col("x")).cast("int") + 1)
+      .withColumn("hi", least(col("lo") + 1, lit(6)))
+      .withColumn(
+        "v",
+        expr("element_at(w, lo) + (x - floor(x)) * (element_at(w, hi) - element_at(w, lo))")
+      )
+      .select(col("peak_idx"), col("j").as("sample_idx"), round(col("v"), 6).as("value"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_session_epochs" -> (qSessionEpochs _),
@@ -392,7 +431,8 @@ object SparkEntry {
     "q_ivf_topk" -> (qIvfTopK _),
     "q_car" -> (qCar _),
     "q5_nation" -> (q5Nation _),
-    "q6_forecast" -> (q6Forecast _)
+    "q6_forecast" -> (q6Forecast _),
+    "q_align_linear" -> (qAlignLinear _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -652,8 +692,47 @@ object SparkEntry {
         |car AS (SELECT idx, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS car
         |        FROM chans GROUP BY idx)
         |SELECT chans.idx, channel, round(value - car, 6) AS value
-        |FROM chans JOIN car ON chans.idx = car.idx""".stripMargin
-    // q_spike_censor, q_filtfilt, q_align: rows-only (loop-carried state /
-    // IIR recurrence / cubic spline — not SQL-expressible).
+        |FROM chans JOIN car ON chans.idx = car.idx""".stripMargin,
+    // censor IS SQL-expressible — as a recursive CTE walking kept events
+    "q_spike_censor" ->
+      """WITH RECURSIVE t AS (SELECT 2 * median(abs(value) / 0.6745) AS thr FROM events),
+        |h0 AS (SELECT event_id, value FROM events, t WHERE value > thr),
+        |h AS (SELECT a.event_id AS idx, a.value AS value FROM h0 a JOIN h0 b ON a.event_id + 1 = b.event_id),
+        |keep(idx) AS (
+        |  SELECT MIN(idx) FROM h
+        |  UNION ALL
+        |  SELECT (SELECT MIN(h.idx) FROM h WHERE h.idx >= keep.idx + 5)
+        |  FROM keep
+        |  WHERE EXISTS (SELECT 1 FROM h WHERE h.idx >= keep.idx + 5)
+        |)
+        |SELECT h.idx AS event_id, h.value AS value
+        |FROM keep JOIN h ON keep.idx = h.idx
+        |WHERE keep.idx IS NOT NULL""".stripMargin,
+    "q_align_linear" ->
+      """WITH t AS (SELECT 2 * median(abs(value) / 0.6745) AS thr FROM events),
+        |hits AS (SELECT event_id, value FROM events, t WHERE value > thr),
+        |p AS (SELECT a.event_id AS peak_idx FROM hits a JOIN hits b ON a.event_id + 1 = b.event_id),
+        |patch AS (SELECT p.peak_idx, e.event_id - p.peak_idx AS o, e.value AS v
+        |          FROM events e JOIN p ON e.event_id >= p.peak_idx - 3 AND e.event_id < p.peak_idx + 3),
+        |wf AS (SELECT peak_idx, list(v ORDER BY o) AS w FROM patch GROUP BY peak_idx
+        |       HAVING COUNT(*) = 6),
+        |pk AS (SELECT peak_idx, w,
+        |         least(greatest(list_position(w, list_max(w)) - 1, 1), 4) AS i FROM wf),
+        |pa AS (SELECT peak_idx, w, i,
+        |         w[i] AS ym, w[i + 1] AS y0, w[i + 2] AS yp FROM pk),
+        |fr AS (SELECT peak_idx, w,
+        |         CASE WHEN ym - 2 * y0 + yp = 0 THEN CAST(i AS DOUBLE)
+        |              ELSE i + 0.5 * (ym - yp) / (ym - 2 * y0 + yp) END AS frac
+        |       FROM pa),
+        |grid AS (SELECT peak_idx, w, frac,
+        |           least(greatest(frac - 2 + j, 0), 5) AS x, j
+        |         FROM fr, (SELECT unnest(generate_series(0, 3)) AS j)),
+        |interp AS (SELECT peak_idx, j,
+        |             w[CAST(floor(x) AS INT) + 1] +
+        |             (x - floor(x)) * (w[least(CAST(floor(x) AS INT) + 2, 6)] - w[CAST(floor(x) AS INT) + 1]) AS v
+        |           FROM grid)
+        |SELECT peak_idx, j AS sample_idx, round(v, 6) AS value FROM interp""".stripMargin
+    // q_filtfilt, q_align: rows-only (IIR recurrence / cubic spline —
+    // numeric kernels, validated against cross-implementation goldens).
   )
 }
