@@ -1,7 +1,5 @@
 package graft.ops
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,24 +11,81 @@ import org.apache.spark.sql.functions._
   * (shuffle on a small key), and the expensive exact scoring touches only
   * `nProbe/nLists` of the corpus.
   *
+  * Centroids are trained with a self-contained, fully deterministic
+  * Lloyd's iteration on a driver-side sample (k-means over a bounded
+  * sample is the standard IVF training recipe — FAISS does the same);
+  * assignment is a broadcast argmin over the centroid table. No MLlib
+  * dependency in the hot path.
+  *
   * With `nProbe == nLists` results are exactly the brute-force top-k —
   * which is how the oracle checks this operator.
   */
 object Ivf {
 
-  /** Train centroids (seeded, deterministic input order) and return the
-    * corpus with a `cell` column. */
-  def assignCells(corpus: DataFrame, nLists: Int, seed: Long = 42L): (DataFrame, DataFrame) = {
+  /** Deterministic Lloyd's k-means on a driver-collected sample. */
+  def trainCentroids(
+      corpus: DataFrame,
+      nLists: Int,
+      sampleSize: Int = 100000,
+      iters: Int = 8
+  ): Array[Array[Double]] = {
+    val sample = corpus
+      .select("embedding")
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= nLists, s"need >= $nLists vectors to train")
+    val dim = sample(0).length
+    // init: evenly strided sample points (deterministic)
+    var centroids = Array.tabulate(nLists)(i => sample(i * sample.length / nLists).clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(nLists)(new Array[Double](dim))
+      val counts = new Array[Long](nLists)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nLists) {
+          var d = 0.0; var j = 0
+          val ct = centroids(c)
+          while (j < dim) { val t = v(j) - ct(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(nLists) { c =>
+        if (counts(c) == 0) centroids(c)
+        else { val s = sums(c); s.map(_ / counts(c)) }
+      }
+    }
+    centroids
+  }
+
+  /** Corpus with a `cell` column + the centroid table. */
+  def assignCells(corpus: DataFrame, nLists: Int, sampleSize: Int = 100000): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val withFeat = corpus.withColumn("features", toVec(col("embedding")))
-    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
-    val model = km.fit(withFeat)
-    val assigned = model.transform(withFeat).withColumnRenamed("prediction", "cell")
-    val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq
-    ).toDF("cell", "centroid")
-    (assigned.drop("features"), centroids)
+    val centroids = trainCentroids(corpus, nLists, sampleSize)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cellUdf = udf { (emb: Seq[Float]) =>
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var j = 0
+        val ct = cs(c)
+        while (j < ct.length) { val t = emb(j) - ct(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val assigned = corpus.withColumn("cell", cellUdf(col("embedding")))
+    val centroidDf = spark
+      .createDataFrame(centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+      .toDF("cell", "centroid")
+    (assigned, centroidDf)
   }
 
   /** Top-k per query via IVF probing. `queries` small (broadcast). */
@@ -42,7 +97,7 @@ object Ivf {
       nProbe: Int,
       seed: Long = 42L
   ): DataFrame = {
-    val (assigned, centroids) = assignCells(corpus, nLists, seed)
+    val (assigned, centroids) = assignCells(corpus, nLists)
     // rank cells per query by centroid distance, keep nProbe
     val qc = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
