@@ -1,0 +1,25 @@
+package graft
+
+/** Guards on the driver contract itself. */
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry() returns rows on the smoke scale (driver t1 check)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query; aliases are stable") {
+    val qk = SparkEntry.queries.keySet
+    val ok = SparkEntry.oracleSql.keySet
+    assert(ok.subsetOf(qk), s"oracle keys without queries: ${ok -- qk}")
+    // rows-only queries are the documented kernel exceptions only
+    assert((qk -- ok) == Set("q_filtfilt", "q_align"), s"unexpected rows-only: ${qk -- ok}")
+  }
+
+  test("every query runs and yields a non-empty schema at smoke scale") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      assert(df.schema.fields.nonEmpty, name)
+    }
+  }
+}
