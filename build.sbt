@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench/Verify stdout for a bare JSON line; sbt's
+// default LoggedOutput prefixes forked output with "[info] " which
+// breaks that parse (BENCH_r01.json parsed:null). Pass stdout through.
+run / connectInput := false
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

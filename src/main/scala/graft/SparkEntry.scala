@@ -74,7 +74,9 @@ object SparkEntry {
         col("segment_id"),
         col("start").as("start_us"),
         col("stop").as("stop_us"),
-        col("gap_before").as("gap_before_us")
+        // -1 sentinel (both sides): NULL ints coerce to float64/NaN in
+        // pandas-shaped compares and break value hashing.
+        coalesce(col("gap_before"), lit(-1L)).as("gap_before_us")
       )
   }
 
@@ -442,21 +444,21 @@ object SparkEntry {
       s"""WITH e AS (SELECT epoch_us(ts) AS ts_us FROM events),
          |d AS (SELECT ts_us, CASE WHEN ts_us - lag(ts_us) OVER (ORDER BY ts_us) >= $GlobalGapUs THEN 1 ELSE 0 END AS brk FROM e),
          |s AS (SELECT ts_us, SUM(brk) OVER (ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment_id FROM d)
-         |SELECT segment_id, MIN(ts_us) AS start_us, MAX(ts_us) + 1 AS stop_us, COUNT(*) AS n_events
+         |SELECT CAST(segment_id AS BIGINT) AS segment_id, MIN(ts_us) AS start_us, MAX(ts_us) + 1 AS stop_us, COUNT(*) AS n_events
          |FROM s GROUP BY segment_id""".stripMargin,
     "q_user_sessions" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
          |d AS (SELECT user_id, ts_us, CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) >= $UserGapUs THEN 1 ELSE 0 END AS brk FROM e),
          |s AS (SELECT user_id, ts_us, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment_id FROM d)
-         |SELECT user_id, segment_id, MIN(ts_us) AS start_us, MAX(ts_us) + 1 AS stop_us, COUNT(*) AS n_events
+         |SELECT user_id, CAST(segment_id AS BIGINT) AS segment_id, MIN(ts_us) AS start_us, MAX(ts_us) + 1 AS stop_us, COUNT(*) AS n_events
          |FROM s GROUP BY user_id, segment_id""".stripMargin,
     "q_gap_stats" ->
       s"""WITH e AS (SELECT epoch_us(ts) AS ts_us FROM events),
          |d AS (SELECT ts_us, CASE WHEN ts_us - lag(ts_us) OVER (ORDER BY ts_us) >= $GlobalGapUs THEN 1 ELSE 0 END AS brk FROM e),
          |s AS (SELECT ts_us, SUM(brk) OVER (ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment_id FROM d),
-         |g AS (SELECT segment_id, MIN(ts_us) AS start_us, MAX(ts_us) + 1 AS stop_us FROM s GROUP BY segment_id)
+         |g AS (SELECT CAST(segment_id AS BIGINT) AS segment_id, MIN(ts_us) AS start_us, MAX(ts_us) + 1 AS stop_us FROM s GROUP BY segment_id)
          |SELECT segment_id, start_us, stop_us,
-         |       start_us - lag(stop_us) OVER (ORDER BY segment_id) AS gap_before_us
+         |       COALESCE(start_us - lag(stop_us) OVER (ORDER BY segment_id), -1) AS gap_before_us
          |FROM g""".stripMargin,
     "q_dedup_keep_first" ->
       """SELECT ts_min, event_id, user_id FROM (
@@ -476,7 +478,7 @@ object SparkEntry {
         |p AS (SELECT ts_us, lag(ts_us) OVER (ORDER BY event_id) AS prev FROM e)
         |SELECT COUNT(*) AS n_rows,
         |       COUNT(*) - COUNT(DISTINCT ts_us) AS n_dup_rows,
-        |       COALESCE(SUM(CASE WHEN ts_us < prev THEN 1 ELSE 0 END), 0) AS n_out_of_order,
+        |       CAST(COALESCE(SUM(CASE WHEN ts_us < prev THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_out_of_order,
         |       CAST(COALESCE(SUM(CASE WHEN ts_us < prev THEN 1 ELSE 0 END), 0) = 0 AS INT) AS is_sorted,
         |       CAST(COUNT(*) > COUNT(DISTINCT ts_us) AS INT) AS has_dups
         |FROM p""".stripMargin,

@@ -48,10 +48,14 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            s_cols, s_rows = canon(spark_rel.fetchall(), spark_rel.columns)
-            o_rel = con.sql(sql)
-            o_cols, o_rows = canon(o_rel.fetchall(), o_rel.columns)
+            # Go through pandas on BOTH sides: that is how the driver sees
+            # values, and it surfaces dtype coercions raw fetchall() hides —
+            # DuckDB HUGEINT (any SUM of ints) -> float64, and any NULL in an
+            # int column -> float64/NaN. r01 lost 4 queries to exactly this.
+            s_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            s_cols, s_rows = canon(s_df.itertuples(index=False), list(s_df.columns))
+            o_df = con.sql(sql).df()
+            o_cols, o_rows = canon(o_df.itertuples(index=False), list(o_df.columns))
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
