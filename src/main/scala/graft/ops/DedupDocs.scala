@@ -34,28 +34,64 @@ object DedupDocs {
         ).as("shingle")
       )
 
+  /** Within-bucket ordered pair generation: given a `docs` array column
+    * (sorted ascending, distinct), emit one row per (doc_a, doc_b) with
+    * doc_a < doc_b. Streams through two generators (posexplode + explode
+    * over a slice) rather than materializing the m² pair array, so a
+    * skewed bucket costs rows, not task memory. */
+  private def explodePairs(buckets: DataFrame): DataFrame =
+    buckets
+      .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
+      .select(
+        col("doc_a"),
+        explode(slice(col("docs"), col("i") + 2, size(col("docs")))).as("doc_b")
+      )
+
   /** Exact pairwise n-gram Jaccard similarity >= threshold, blocked by a
     * `blockCol` (e.g. source) to bound the candidate space — the standard
     * blocking trick that keeps the pair join linear-ish instead of n².
-    * Pairs are emitted once (doc_a < doc_b). */
+    * Pairs are emitted once (doc_a < doc_b).
+    *
+    * Physical plan: ONE pass over the shingle stream into a
+    * (block, shingle) bucket aggregate; both the per-doc shingle counts
+    * and the pair intersection counts derive from that single exchange
+    * (the self-join formulation would re-run tokenize+shingle per branch).
+    * Ultra-frequent shingles are the skew axis at scale — buckets stream
+    * their pairs (see [[explodePairs]]); in a 100 TB run you would
+    * additionally drop top-percentile shingles (stopword n-grams carry no
+    * dedup signal), which bounds every bucket. */
   def ngramJaccardPairs(
       documents: DataFrame,
       k: Int,
       threshold: Double,
       blockCol: String
   ): DataFrame = {
-    val sh = shingles(documents, k)
-      .join(documents.select(col("doc_id"), col(blockCol)), "doc_id")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh
-      .as("a")
-      .join(
-        sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col(s"a.$blockCol") === col(s"b.$blockCol") &&
-          col("a.doc_id") < col("b.doc_id")
+    val sh = documents
+      .select(col("doc_id"), col(blockCol), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        col(blockCol),
+        explode(
+          array_distinct(
+            transform(
+              sequence(lit(0), size(col("toks")) - k),
+              i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))
+            )
+          )
+        ).as("shingle")
       )
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val buckets = sh
+      .groupBy(col(blockCol), col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+    // n_sh per doc: every (block, shingle) bucket holds a doc at most once
+    // (shingles are distinct per doc), so exploding the bucket membership
+    // recovers the per-doc distinct-shingle count from the SAME exchange.
+    val sizes = buckets
+      .select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"))
+    val inter = explodePairs(buckets.where(size(col("docs")) > 1))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
@@ -80,7 +116,8 @@ object DedupDocs {
     * SQL oracle. The per-(doc, seed) min is computed with `numHashes`
     * min-aggregates over an array column (no row explosion), then
     * unpivoted. */
-  def minhashSignatures(documents: DataFrame, k: Int, numHashes: Int): DataFrame = {
+  /** Wide per-doc signature: one row per doc with columns m0..m{n-1}. */
+  private def wideSignatures(documents: DataFrame, k: Int, numHashes: Int): DataFrame = {
     val hashed = shingles(documents, k)
       .withColumn("__md5", md5(col("shingle").cast("binary")))
       .withColumn("h1", conv(substring(col("__md5"), 1, 15), 16, 10).cast("long"))
@@ -88,7 +125,11 @@ object DedupDocs {
     val minCols = (0 until numHashes).map { s =>
       min(col("h1") + lit(s.toLong) * col("h2")).as(s"m$s")
     }
-    val agg = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  def minhashSignatures(documents: DataFrame, k: Int, numHashes: Int): DataFrame = {
+    val agg = wideSignatures(documents, k, numHashes)
     val stacked = (0 until numHashes)
       .map(s => s"$s, m$s")
       .mkString(", ")
@@ -96,38 +137,40 @@ object DedupDocs {
   }
 
   /** MinHash-LSH candidate pairs: band the signature (`numHashes` rows into
-    * bands of `rowsPerBand`), bucket-join on (band, band-hash), emit
-    * distinct candidate pairs. The banding join is the scale path: no n²
-    * comparison ever materializes. */
+    * bands of `rowsPerBand`), bucket on (band, band-hash), emit distinct
+    * candidate pairs. The banding bucket is the scale path: no n²
+    * comparison ever materializes, and the signature pipeline
+    * (tokenize → shingle → md5 → min-agg) runs exactly ONCE — pairs come
+    * from grouping the bucket membership, not from a self-join that would
+    * recompute the whole subtree per side. */
   def minhashLshPairs(
       documents: DataFrame,
       k: Int,
       numHashes: Int,
       rowsPerBand: Int
   ): DataFrame = {
-    val sig = minhashSignatures(documents, k, numHashes)
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .groupBy("doc_id", "band")
-      // deterministic band key "s0:h0,s1:h1,..." (seed order) — a plain
-      // string both engines can reproduce byte-identically
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("seed"), col("minhash")))),
-            s => concat_ws(":", s.getField("seed"), s.getField("minhash"))
-          ),
-          ","
-        ).as("band_key")
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val numBands = numHashes / rowsPerBand
+    // band keys "s0:h0,s1:h1,..." (seed order — byte-identical to the SQL
+    // oracle) built DIRECTLY from the wide signature row: no unpivot, no
+    // per-(doc,band) re-aggregation shuffle.
+    val bandStructs = (0 until numBands).map { b =>
+      val key = concat_ws(
+        ",",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map { s =>
+          concat_ws(":", lit(s.toString), col(s"m$s"))
+        }: _*
       )
-    sig
-      .as("a")
-      .join(
-        sig.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id")
-      )
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      struct(lit(b).as("band"), key.as("band_key"))
+    }
+    val sig = wideSignatures(documents, k, numHashes)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val buckets = sig
+      .groupBy("band", "band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .where(size(col("docs")) > 1)
+    explodePairs(buckets).distinct()
   }
 
   /** 64-bit SimHash over word tokens: per bit position, sum +1/-1 weighted
