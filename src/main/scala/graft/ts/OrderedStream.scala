@@ -1,7 +1,10 @@
 package graft.ts
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.storage.StorageLevel
 
@@ -15,6 +18,12 @@ import org.apache.spark.storage.StorageLevel
   * prev/next for its rows locally, using the boundary rows of its
   * neighbors for its edge rows. Two jobs, no single-task sort, task
   * memory O(partition).
+  *
+  * Runs on Catalyst InternalRows end to end (`Bridge.toInternalRdd` →
+  * `internalCreateDataFrame`): no per-row external-Row encode/decode, no
+  * schema-boxed `Row` allocation — the only per-row costs are one
+  * UnsafeRow byte copy (the persist anchor) and the appended neighbor
+  * fields.
   *
   * Requires a UNIQUE order column (ties could straddle a partition
   * boundary nondeterministically) — dedup first, as the extract pipeline
@@ -46,64 +55,91 @@ object OrderedStream {
     val sorted = df
       .repartitionByRange(n, col(orderCol))
       .sortWithinPartitions(col(orderCol))
+    val schema = sorted.schema
+    val projTypes = projIdx.map(i => schema(i).dataType)
+
+    // UnsafeRow iterators reuse the row object: copy before caching. The
+    // persist is the correctness anchor fixing the sampled range
+    // partitioning across both passes.
+    val internal = Bridge
+      .toInternalRdd(sorted)
+      .mapPartitions(_.map(_.copy()), preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    def project(r: InternalRow): Array[Any] = {
+      val out = new Array[Any](projIdx.length)
+      var i = 0
+      while (i < projIdx.length) {
+        out(i) = r.get(projIdx(i), projTypes(i))
+        i += 1
+      }
+      out
+    }
+
     // pass 1: per-partition first/last projections
-    val bounds = sorted.rdd
+    val bounds = internal
       .mapPartitionsWithIndex { (pid, it) =>
         if (!it.hasNext) Iterator.empty
         else {
           val first = it.next()
           var last = first
           while (it.hasNext) last = it.next()
-          Iterator.single((pid, projIdx.map(first.get), projIdx.map(last.get)))
+          Iterator.single((pid, project(first), project(last)))
         }
       }
       .collect()
       .sortBy(_._1)
 
     // neighbor boundary rows per partition id
-    val prevOf = new Array[Seq[Any]](n)
-    val nextOf = new Array[Seq[Any]](n)
-    var lastSeen: Seq[Any] = null
-    bounds.foreach { case (pid, first, last) =>
+    val prevOf = new Array[Array[Any]](n)
+    val nextOf = new Array[Array[Any]](n)
+    var lastSeen: Array[Any] = null
+    bounds.foreach { case (pid, _, last) =>
       prevOf(pid) = lastSeen
-      lastSeen = last.toSeq
+      lastSeen = last
     }
-    var nextSeen: Seq[Any] = null
-    bounds.reverse.foreach { case (pid, first, last) =>
+    var nextSeen: Array[Any] = null
+    bounds.reverse.foreach { case (pid, first, _) =>
       nextOf(pid) = nextSeen
-      nextSeen = first.toSeq
+      nextSeen = first
     }
     val bc = spark.sparkContext.broadcast((prevOf, nextOf))
 
     val extraFields = proj.flatMap { c =>
-      val f = df.schema(cols.indexOf(c))
+      val f = schema(cols.indexOf(c))
       Seq(f.copy(name = s"__prev_$c", nullable = true), f.copy(name = s"__next_$c", nullable = true))
     }
-    val outSchema = StructType(sorted.schema.fields ++ extraFields)
+    val outSchema = StructType(schema.fields ++ extraFields)
+    val nBase = schema.fields.length
+    val nProj = projIdx.length
+    val baseTypes = schema.fields.map(_.dataType)
 
-    val outRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val outRdd = internal.mapPartitionsWithIndex { (pid, it) =>
       val (prevB, nextB) = bc.value
       val buf = it.buffered
-      var prev: Seq[Any] = if (pid < prevB.length && prevB(pid) != null) prevB(pid) else null
-      new Iterator[Row] {
+      var prev: Array[Any] = if (pid < prevB.length) prevB(pid) else null
+      new Iterator[InternalRow] {
         override def hasNext: Boolean = buf.hasNext
-        override def next(): Row = {
+        override def next(): InternalRow = {
           val r = buf.next()
-          val cur = projIdx.map(r.get).toSeq
-          val nxt: Seq[Any] =
-            if (buf.hasNext) projIdx.map(buf.head.get).toSeq
-            else if (pid < nextB.length && nextB(pid) != null) nextB(pid)
+          val nxt: Array[Any] =
+            if (buf.hasNext) project(buf.head)
+            else if (pid < nextB.length) nextB(pid)
             else null
-          val extras = proj.indices.flatMap { i =>
-            Seq(if (prev == null) null else prev(i), if (nxt == null) null else nxt(i))
+          val vals = new Array[Any](nBase + 2 * nProj)
+          var i = 0
+          while (i < nBase) { vals(i) = r.get(i, baseTypes(i)); i += 1 }
+          var j = 0
+          while (j < nProj) {
+            vals(nBase + 2 * j) = if (prev == null) null else prev(j)
+            vals(nBase + 2 * j + 1) = if (nxt == null) null else nxt(j)
+            j += 1
           }
-          prev = cur
-          Row.fromSeq(r.toSeq ++ extras)
+          prev = project(r)
+          new GenericInternalRow(vals)
         }
       }
     }
-    spark.createDataFrame(outRdd, outSchema)
+    Bridge.internalCreateDataFrame(spark, outRdd, outSchema)
   }
 }

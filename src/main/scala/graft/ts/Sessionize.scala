@@ -64,7 +64,7 @@ object Sessionize {
       gapThreshold: Long,
       numPartitions: Int = 0
   ): DataFrame = {
-    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.storage.StorageLevel
 
     val n =
@@ -78,14 +78,20 @@ object Sessionize {
     // partitioner samples boundaries at job time, so pass 2/3 must see
     // the exact partitioning pass 1 summarized. MEMORY_AND_DISK spills
     // rather than evicts, keeping the partitioning stable at any scale.
-    val sorted = df
+    // Catalyst InternalRows end to end (no external-Row encode/decode);
+    // UnsafeRow iterators reuse the row object, hence the copy before
+    // the persist.
+    val sortedDf = df
       .repartitionByRange(n, col(tsCol))
       .sortWithinPartitions(col(tsCol))
+    val sorted = Bridge
+      .toInternalRdd(sortedDf)
+      .mapPartitions(_.map(_.copy()), preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Pass 2: tiny per-partition summary.
     case class PartStat(pid: Int, first: Long, last: Long, breaks: Long, rows: Long)
-    val stats = sorted.rdd
+    val stats = sorted
       .mapPartitionsWithIndex { (pid, it) =>
         var first = Long.MinValue; var last = Long.MinValue
         var breaks = 0L; var rows = 0L; var prev = Long.MinValue
@@ -121,11 +127,16 @@ object Sessionize {
     }
 
     val bcOffsets = df.sparkSession.sparkContext.broadcast((offsets, gapThreshold))
+    val baseSchema = sortedDf.schema
+    val baseTypes = baseSchema.fields.map(_.dataType)
+    val nBase = baseSchema.fields.length
     val outSchema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+
+      baseSchema.fields :+
         org.apache.spark.sql.types.StructField("segment_id", org.apache.spark.sql.types.LongType, nullable = false)
     )
-    val outRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val outRdd = sorted.mapPartitionsWithIndex { (pid, it) =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
       val (offs, gap) = bcOffsets.value
       var seg = offs(pid)
       var prev = Long.MinValue
@@ -135,10 +146,14 @@ object Sessionize {
         if (!firstRow && ts - prev >= gap) seg += 1
         firstRow = false
         prev = ts
-        Row.fromSeq(r.toSeq :+ seg)
+        val vals = new Array[Any](nBase + 1)
+        var i = 0
+        while (i < nBase) { vals(i) = r.get(i, baseTypes(i)); i += 1 }
+        vals(nBase) = seg
+        new GenericInternalRow(vals): InternalRow
       }
     }
-    df.sparkSession.createDataFrame(outRdd, outSchema)
+    Bridge.internalCreateDataFrame(df.sparkSession, outRdd, outSchema)
   }
 
   /** Per-segment bounds in the reference's convention:

@@ -21,4 +21,10 @@ object Bridge {
   def internalCreateDataFrame(spark: SparkSession, rdd: RDD[InternalRow], schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** The executed plan's RDD[InternalRow] — the zero-conversion dual of
+    * [[internalCreateDataFrame]]. Rows are REUSED per partition iterator
+    * (UnsafeRow): callers that buffer or cache MUST `.copy()`. */
+  def toInternalRdd(df: DataFrame): RDD[InternalRow] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.toRdd
 }
