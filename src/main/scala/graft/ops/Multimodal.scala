@@ -51,25 +51,39 @@ object Multimodal {
     * per partition, vectorized over rows (the mapInPandas shape). Keeps
     * the key column + appends the feature struct fields. */
   def extractFeatures(df: DataFrame, keyCol: String, dim: Int = 8): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.unsafe.types.UTF8String
     val payloadIdx = df.columns.indexOf("payload")
     require(payloadIdx >= 0, "call withPayload first")
     val keyIdx = df.columns.indexOf(keyCol)
+    val keyType = df.schema(keyIdx).dataType
     val outSchema = StructType(
       Seq(df.schema(keyIdx)) ++ featureSchema.fields
     )
-    val rdd = df.rdd.mapPartitions { it =>
+    // Catalyst rows in and out (toInternalRdd/internalCreateDataFrame):
+    // the kernel sees the raw payload bytes with no external-Row boxing —
+    // the shape a real media decoder wants at 100 TB.
+    val rdd = Bridge.toInternalRdd(df).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
-        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val payload = r.getBinary(payloadIdx)
         val (w, h, feats) = FakeDecoder.decode(payload, dim)
-        val md5hex = java.security.MessageDigest
-          .getInstance("MD5")
-          .digest(payload)
-          .map("%02x".format(_))
-          .mkString
-        Row(r.get(keyIdx), payload.length.toLong, md5hex, w, h, feats.toSeq)
+        md.reset()
+        val md5hex = md.digest(payload).map("%02x".format(_)).mkString
+        new GenericInternalRow(Array[Any](
+          r.get(keyIdx, keyType),
+          payload.length.toLong,
+          UTF8String.fromString(md5hex),
+          w,
+          h,
+          ArrayData.toArrayData(feats)
+        )): InternalRow
       }
     }
-    df.sparkSession.createDataFrame(rdd, outSchema)
+    Bridge.internalCreateDataFrame(df.sparkSession, rdd, outSchema)
   }
 
   /** Deterministic frame sampling for "video" payloads: split the byte

@@ -82,20 +82,23 @@ object Spikes {
           .sortWithinPartitions((keys :+ idxCol).map(col): _*)
 
     val schema = arranged.schema
-    val rdd = arranged.rdd.mapPartitions { it =>
+    val keyTypes = keyPos.map(i => schema(i).dataType)
+    // InternalRow fold (no external-Row boxing); kept rows are copied out
+    // of the reused UnsafeRow iterator slot.
+    val rdd = org.apache.spark.sql.graftbridge.Bridge.toInternalRdd(arranged).mapPartitions { it =>
       var curKey: Seq[Any] = null
       var lastKept = Long.MinValue
       it.flatMap { r =>
-        val k = keyPos.map(r.get)
+        val k = keyPos.indices.map(i => r.get(keyPos(i), keyTypes(i)))
         if (curKey == null || k != curKey) { curKey = k; lastKept = Long.MinValue }
         val idx = r.getLong(idxPos)
         if (lastKept == Long.MinValue || idx - lastKept >= width) {
           lastKept = idx
-          Some(r)
+          Some(r.copy())
         } else None
       }
     }
-    df.sparkSession.createDataFrame(rdd, schema)
+    org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(df.sparkSession, rdd, schema)
   }
 
   /** Common average reference (A4, jagular/spikes.py:92-117): the mean
