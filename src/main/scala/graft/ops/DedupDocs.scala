@@ -179,8 +179,9 @@ object DedupDocs {
   def simhash(documents: DataFrame): DataFrame = {
     val tok = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("th_hi", conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10).cast("long"))
-      .withColumn("th_lo", conv(substring(md5(col("tok").cast("binary")), 9, 8), 16, 10).cast("long"))
+      .withColumn("__md5", md5(col("tok").cast("binary"))) // one digest per token
+      .withColumn("th_hi", conv(substring(col("__md5"), 1, 8), 16, 10).cast("long"))
+      .withColumn("th_lo", conv(substring(col("__md5"), 9, 8), 16, 10).cast("long"))
     val bitCols = (0 until 64).map { b =>
       val src = if (b < 32) col("th_lo") else col("th_hi")
       val shift = if (b < 32) b else b - 32

@@ -126,11 +126,15 @@ object Spikes {
     * peak index, collect `2*halfWidth` samples at
     * `[peak - halfWidth, peak + halfWidth)`, zero-padded at stream edges.
     *
-    * Implemented as a RANGE JOIN peaks×samples + groupBy(peak) — the
-    * broadcast-able side is the (sparse) peak list, so the samples table
-    * is scanned once with no global sort; at 100 TB this is the plan you
-    * want (peaks ≪ samples). Output one row per (peak, offset) — exploded
-    * form, exactly comparable by an SQL oracle.
+    * Implemented by EXPLODING each peak into its 2·halfWidth wanted
+    * sample indices and broadcast hash-joining on the exact index — a
+    * codegen'd equi-join, NOT a range-condition join (which Spark can
+    * only execute as a BroadcastNestedLoopJoin: O(samples × peaks)
+    * predicate evaluations). The broadcast side grows by the patch
+    * width, but peaks ≪ samples, so at 100 TB this is still the plan
+    * you want: one scan of the samples, one hash probe per sample.
+    * Output one row per (peak, offset) — exploded form, exactly
+    * comparable by an SQL oracle.
     */
   def extractPatches(
       samples: DataFrame,
@@ -139,18 +143,15 @@ object Spikes {
       valueCol: String,
       halfWidth: Int
   ): DataFrame = {
-    val p = peaks.select(col(idxCol).as("peak_idx"))
-    samples
-      .join(
-        broadcast(p),
-        col(idxCol) >= col("peak_idx") - halfWidth &&
-          col(idxCol) < col("peak_idx") + halfWidth
-      )
+    val p = peaks
+      .select(col(idxCol).as("peak_idx"))
       .select(
         col("peak_idx"),
-        (col(idxCol) - col("peak_idx")).as("offset"),
-        col(valueCol).as("value")
+        explode(sequence(lit(-halfWidth.toLong), lit((halfWidth - 1).toLong))).as("offset")
       )
+    samples
+      .join(broadcast(p), col(idxCol) === col("peak_idx") + col("offset"))
+      .select(col("peak_idx"), col("offset"), col(valueCol).as("value"))
   }
 
   /** Window-gather formulation of the patch extraction (the alternative

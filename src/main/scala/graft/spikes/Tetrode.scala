@@ -27,13 +27,16 @@ object Tetrode {
       maxAmplitude: Double,
       sampRate: Double
   ): DataFrame = {
-    val p = peaks.select(col(idxCol).as("peak_idx"))
-    val patches = samples
-      .join(
-        broadcast(p),
-        col(idxCol) >= col("peak_idx") - halfWidth &&
-          col(idxCol) < col("peak_idx") + halfWidth
+    // exploded-peak-index broadcast equi-join (see Spikes.extractPatches:
+    // a range-condition join would be a BroadcastNestedLoopJoin)
+    val p = peaks
+      .select(col(idxCol).as("peak_idx"))
+      .select(
+        col("peak_idx"),
+        explode(sequence(lit(-halfWidth.toLong), lit((halfWidth - 1).toLong))).as("__off")
       )
+    val patches = samples
+      .join(broadcast(p), col(idxCol) === col("peak_idx") + col("__off"))
       .select(
         col("peak_idx"),
         col(channelCol).as("channel"),
