@@ -363,6 +363,29 @@ object SparkEntry {
       .select(col("idx"), col("channel"), round(col("value"), 6).as("value"))
   }
 
+  /** Zero-phase FIR smoothing (linear-phase windowed-sinc lowpass) as
+    * pure window arithmetic — the declarative, oracle-checkable dual of
+    * the IIR sosfiltfilt kernel (q_filtfilt). Keyed by user. */
+  private val firTaps = graft.dsp.Fir.lowpassCoeffs(numTaps = 9, cutoff = 0.25)
+  private def qFirSmooth(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_id", "value")
+    graft.dsp.Fir
+      .zeroPhase(ev, firTaps, Seq("user_id"), "event_id", "value")
+      .select(col("user_id"), col("event_id"), round(col("value"), 6).as("value"))
+  }
+
+  /** G4 anti-aliased FIR decimation: lowpass at 0.8/q Nyquist, then every
+    * q-th row per user — fully declarative, oracle-checked (unlike the
+    * IIR-prefiltered Decimate.decimate, whose kernel is rows-only). */
+  private val DecQ = 4
+  private val decTaps = graft.dsp.Fir.lowpassCoeffs(numTaps = 9, cutoff = 0.8 / DecQ)
+  private def qDecimateFir(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_id", "value")
+    graft.dsp.Fir
+      .decimateFir(ev, DecQ, numTaps = 9, Seq("user_id"), "event_id", "value")
+      .select(col("user_id"), col("event_id"), round(col("value"), 6).as("value"))
+  }
+
   /** F5 linear-mode sub-sample alignment expressed COLUMN-NATIVELY
     * (argmax → parabola vertex → clamped linear resample) — the engine-
     * preferred form of the alignment math, fully oracle-checkable. The
@@ -434,7 +457,9 @@ object SparkEntry {
     "q_car" -> (qCar _),
     "q5_nation" -> (q5Nation _),
     "q6_forecast" -> (q6Forecast _),
-    "q_align_linear" -> (qAlignLinear _)
+    "q_align_linear" -> (qAlignLinear _),
+    "q_fir_smooth" -> (qFirSmooth _),
+    "q_decimate_fir" -> (qDecimateFir _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -733,8 +758,20 @@ object SparkEntry {
         |             w[CAST(floor(x) AS INT) + 1] +
         |             (x - floor(x)) * (w[least(CAST(floor(x) AS INT) + 2, 6)] - w[CAST(floor(x) AS INT) + 1]) AS v
         |           FROM grid)
-        |SELECT peak_idx, j AS sample_idx, round(v, 6) AS value FROM interp""".stripMargin
+        |SELECT peak_idx, j AS sample_idx, round(v, 6) AS value FROM interp""".stripMargin,
     // q_filtfilt, q_align: rows-only (IIR recurrence / cubic spline —
     // numeric kernels, validated against cross-implementation goldens).
+    "q_fir_smooth" -> {
+      val fir = graft.dsp.Fir.firSql(firTaps, "value", "user_id", "event_id")
+      s"""SELECT user_id, event_id, round($fir, 6) AS value FROM events"""
+    },
+    "q_decimate_fir" -> {
+      val fir = graft.dsp.Fir.firSql(decTaps, "value", "user_id", "event_id")
+      s"""WITH f AS (SELECT user_id, event_id, $fir AS fv FROM events),
+         |r AS (SELECT user_id, event_id, fv,
+         |        row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+         |      FROM f)
+         |SELECT user_id, event_id, round(fv, 6) AS value FROM r WHERE rn % $DecQ = 0""".stripMargin
+    }
   )
 }
