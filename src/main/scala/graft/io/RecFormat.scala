@@ -149,19 +149,59 @@ object RecFormat {
     (len - cfg.configSectionSize) / cfg.packetSize
   }
 
+  /** Timestamp of packet `i` via one seek+4-byte read (no full decode). */
+  def tsAtPacket(cfg: RecConfig, i: Long, hadoopConf: Configuration): Long = {
+    val path = new Path(cfg.path)
+    val in = fs(path, hadoopConf).open(path)
+    try {
+      in.seek(cfg.configSectionSize + i * cfg.packetSize + cfg.headerSize)
+      val b = new Array[Byte](4)
+      in.readFully(b)
+      (b(0) & 0xffL) | ((b(1) & 0xffL) << 8) | ((b(2) & 0xffL) << 16) | ((b(3) & 0xffL) << 24)
+    } finally in.close()
+  }
+
+  /** Binary search (valid because in-file timestamps are non-decreasing,
+    * the invariant the reference enforces — jagular/utils.py:323-328):
+    * smallest packet index with ts >= t. O(log n) seeks. */
+  def firstPacketAtOrAbove(cfg: RecConfig, t: Long, total: Long, hadoopConf: Configuration): Long = {
+    var lo = 0L; var hi = total // invariant: ts(<lo) < t <= ts(>=hi)
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (tsAtPacket(cfg, mid, hadoopConf) < t) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Largest packet index with ts <= t (or -1). O(log n) seeks. */
+  def lastPacketAtOrBelow(cfg: RecConfig, t: Long, total: Long, hadoopConf: Configuration): Long = {
+    var lo = -1L; var hi = total - 1 // invariant: ts(<=lo) <= t < ts(>hi)
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (tsAtPacket(cfg, mid, hadoopConf) <= t) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+
   /** Decoded packet: timestamp + the reindex-projected spike channels
     * (int16 as Short). `values(i)` is spike channel i in workspace
     * document order. */
   final case class Packet(ts: Long, values: Array[Short])
 
+  private val emptyValues = new Array[Short](0)
+
   /** S3: decode `count` packets starting at packet index `startPacket`.
     * Streams through the byte range; only the projected channels are
-    * materialized (prune-at-decode, reference: readers.py:341). */
+    * materialized (prune-at-decode, reference: readers.py:341).
+    * `decodeValues = false` (column pruning: a ts-only projection) skips
+    * channel extraction entirely — packets are still read (fixed-size
+    * records) but no per-packet array is allocated. */
   def decodeRange(
       cfg: RecConfig,
       startPacket: Long,
       nPackets: Long,
-      hadoopConf: Configuration
+      hadoopConf: Configuration,
+      decodeValues: Boolean = true
   ): Iterator[Packet] = {
     val path = new Path(cfg.path)
     val in = fs(path, hadoopConf).open(path)
@@ -182,13 +222,18 @@ object RecFormat {
         dis.readFully(packet)
         remaining -= 1
         val ts = tsOf(packet, cfg)
-        val vals = new Array[Short](reindex.length)
-        var i = 0
-        while (i < reindex.length) {
-          val o = chanBase + reindex(i) * 2
-          vals(i) = (((packet(o) & 0xff)) | ((packet(o + 1) & 0xff) << 8)).toShort
-          i += 1
-        }
+        val vals =
+          if (!decodeValues) emptyValues
+          else {
+            val out = new Array[Short](reindex.length)
+            var i = 0
+            while (i < reindex.length) {
+              val o = chanBase + reindex(i) * 2
+              out(i) = (((packet(o) & 0xff)) | ((packet(o + 1) & 0xff) << 8)).toShort
+              i += 1
+            }
+            out
+          }
         if (remaining == 0 && !closed) { dis.close(); closed = true }
         Packet(ts, vals)
       }

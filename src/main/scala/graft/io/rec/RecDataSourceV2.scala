@@ -1,0 +1,262 @@
+package graft.io.rec
+
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.io.RecFormat
+
+/** DataSource V2 for SpikeGadgets `.rec` recordings:
+  * `spark.read.format("rec").load(paths...)`.
+  *
+  * Schema: `(file_rank int, pos long, ts long, values array<short>)` —
+  * the same stitched-scan surface as [[graft.io.RecScan.read]], as a
+  * first-class Catalyst source with the optimizations a 100 TB scan
+  * needs:
+  *
+  *  - **Packet-aligned splits**: packets are fixed-size after the XML
+  *    prefix, so one file fans out across executors
+  *    (`targetSplitBytes`, default 128 MiB).
+  *  - **Column pruning** (`SupportsPushDownRequiredColumns`): a query
+  *    touching only `ts` never materializes the 100+-channel samples
+  *    array (prune-at-decode, reference: jagular/readers.py:341).
+  *  - **Timestamp-range pushdown** (`SupportsPushDownFilters`): `ts`
+  *    bounds prune whole files via the 2-packet bounds catalog
+  *    (reference: readers.py:180-213), then BINARY-SEARCH the packet
+  *    index inside each surviving file (O(log n) seeks on the driver) so
+  *    only the matching packet range is split and scanned. Valid because
+  *    the reference enforces non-decreasing timestamps within a file
+  *    (jagular/utils.py:323-328); filters are still re-evaluated by
+  *    Spark above the scan (pruning is an optimization, not the
+  *    correctness gate).
+  *  - **Statistics** (`SupportsReportStatistics`): post-pruning
+  *    byte/row counts, so AQE and join planning see the real scan size.
+  *
+  * Options: `channels` = comma-separated spike-channel indices to keep
+  * (projection into the workspace document order, reference:
+  * jagular/utils.py:430-431); `targetSplitBytes`.
+  */
+class RecDataSourceV2 extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "rec"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    graft.io.RecScan.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]
+  ): Table =
+    new RecTable(RecDataSourceV2.paths(new CaseInsensitiveStringMap(properties)))
+}
+
+object RecDataSourceV2 {
+  /** `.load(p1, p2, ...)` arrives as a JSON-array `paths` option;
+    * `.load(p)` as `path`. */
+  def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val many = Option(options.get("paths")).map { js =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.readValue(js, classOf[Array[String]]).toSeq
+    }
+    val one = Option(options.get("path")).map(Seq(_))
+    many.orElse(one).getOrElse(Seq.empty)
+  }
+}
+
+class RecTable(paths: Seq[String]) extends Table with SupportsRead {
+  require(paths.nonEmpty, "rec source needs at least one path")
+  override def name(): String = s"rec(${paths.mkString(",")})"
+  override def schema(): StructType = graft.io.RecScan.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RecScanBuilder(paths, options)
+}
+
+class RecScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = graft.io.RecScan.schema
+  private var tsMin: Option[Long] = None
+  private var tsMax: Option[Long] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val usable = filters.filter {
+      case GreaterThan("ts", v: Long) => tsMin = Some(max(tsMin, v + 1)); true
+      case GreaterThanOrEqual("ts", v: Long) => tsMin = Some(max(tsMin, v)); true
+      case LessThan("ts", v: Long) => tsMax = Some(min(tsMax, v - 1)); true
+      case LessThanOrEqual("ts", v: Long) => tsMax = Some(min(tsMax, v)); true
+      case EqualTo("ts", v: Long) =>
+        tsMin = Some(max(tsMin, v)); tsMax = Some(min(tsMax, v)); true
+      case _ => false
+    }
+    pushed = usable
+    // every filter stays a residual: pruning narrows the scan, Spark
+    // still applies the predicate row-by-row above it
+    filters
+  }
+  private def max(cur: Option[Long], v: Long) = cur.fold(v)(math.max(_, v))
+  private def min(cur: Option[Long], v: Long) = cur.fold(v)(math.min(_, v))
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val subset = Option(options.get("channels"))
+      .map(_.split(",").map(_.trim.toInt))
+    val split = Option(options.get("targetsplitbytes")).map(_.toLong).getOrElse(128L << 20)
+    new RecScanV2(paths, required, tsMin, tsMax, subset, split)
+  }
+}
+
+/** One packet range of one file. */
+case class RecInputPartition(
+    cfg: RecFormat.RecConfig,
+    fileRank: Int,
+    startPacket: Long,
+    count: Long
+) extends InputPartition
+
+class RecScanV2(
+    paths: Seq[String],
+    required: StructType,
+    tsMin: Option[Long],
+    tsMax: Option[Long],
+    channelSubset: Option[Array[Int]],
+    targetSplitBytes: Long
+) extends Scan
+    with Batch
+    with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"rec scan [${paths.size} files, ts in [${tsMin.getOrElse("-inf")}, ${tsMax.getOrElse("+inf")}], " +
+      s"cols ${required.fieldNames.mkString(",")}]"
+
+  // ---- driver-side planning: bounds catalog + binary-search pruning ----
+
+  private lazy val hconf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
+  /** Files in stitched (start-ts) order with their pruned packet range. */
+  private lazy val plannedRanges: Seq[(RecFormat.RecConfig, Int, Long, Long)] = {
+    val ranked = paths
+      .map(p => RecFormat.parseConfig(p, hconf))
+      .map(c => (c, RecFormat.timestampBounds(c, hconf)))
+      .sortBy(_._2._1)
+      .zipWithIndex
+    ranked.flatMap { case ((cfg, (first, last)), rank) =>
+      val total = RecFormat.packetCount(cfg, hconf)
+      if (tsMin.exists(_ > last) || tsMax.exists(_ < first)) Nil // whole-file prune
+      else {
+        val lo = tsMin match {
+          case Some(t) if t > first => RecFormat.firstPacketAtOrAbove(cfg, t, total, hconf)
+          case _ => 0L
+        }
+        val hi = tsMax match {
+          case Some(t) if t < last => RecFormat.lastPacketAtOrBelow(cfg, t, total, hconf)
+          case _ => total - 1
+        }
+        if (lo > hi) Nil else Seq((cfg, rank, lo, hi - lo + 1))
+      }
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedRanges.flatMap { case (cfg, rank, start, count) =>
+      val perSplit = math.max(1L, targetSplitBytes / cfg.packetSize)
+      (start until (start + count) by perSplit).map { s =>
+        RecInputPartition(cfg, rank, s, math.min(perSplit, start + count - s))
+      }
+    }.toArray
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val packets = plannedRanges.map(_._4).sum
+    private val bytes = plannedRanges.map { case (cfg, _, _, n) => n * cfg.packetSize }.sum
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+    override def numRows(): OptionalLong = OptionalLong.of(packets)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val serConf = new SerializableConfiguration(hconf)
+    new RecReaderFactory(required, channelSubset, serConf)
+  }
+}
+
+class RecReaderFactory(
+    required: StructType,
+    channelSubset: Option[Array[Int]],
+    serConf: SerializableConfiguration
+) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RecInputPartition]
+    new RecPartitionReader(p, required, channelSubset, serConf.value)
+  }
+}
+
+/** Decodes one packet range, emitting only the required columns —
+  * when `values` is pruned away the channel block is never extracted. */
+class RecPartitionReader(
+    part: RecInputPartition,
+    required: StructType,
+    channelSubset: Option[Array[Int]],
+    hconf: Configuration
+) extends PartitionReader[InternalRow] {
+
+  private val needValues = required.fieldNames.contains("values")
+  // field emitters in requiredSchema order
+  private val it = RecFormat.decodeRange(
+    part.cfg,
+    part.startPacket,
+    part.count,
+    hconf,
+    decodeValues = needValues
+  )
+  private var pos = part.startPacket - 1
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    val pkt = it.next()
+    pos += 1
+    val vals = new Array[Any](required.fields.length)
+    var i = 0
+    while (i < required.fields.length) {
+      vals(i) = required.fields(i).name match {
+        case "file_rank" => part.fileRank
+        case "pos" => pos
+        case "ts" => pkt.ts
+        case "values" =>
+          val v = channelSubset match {
+            case Some(idx) => idx.map(pkt.values(_))
+            case None => pkt.values
+          }
+          ArrayData.toArrayData(v)
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+      i += 1
+    }
+    current = new GenericInternalRow(vals)
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -1,0 +1,76 @@
+package graft.io
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DataSource V2 (`spark.read.format("rec")`) — equivalence with the
+  * programmatic RecScan, column pruning, and ts-range pushdown pruning. */
+class RecV2Spec extends SparkSpec {
+
+  private lazy val dir = Files.createTempDirectory("recv2").toFile.getAbsolutePath
+  private lazy val fileA = { // ts 1000..1999
+    val p = s"$dir/a.rec"
+    RecSynth.write(p, (0 until 1000).map(i => (1000L + i, (c: Int) => (i + c).toShort)))
+    p
+  }
+  private lazy val fileB = { // ts 5000..5499
+    val p = s"$dir/b.rec"
+    RecSynth.write(p, (0 until 500).map(i => (5000L + i, (c: Int) => (2 * i + c).toShort)))
+    p
+  }
+
+  test("format(rec) matches RecScan.read on a multi-file session") {
+    val v2 = spark.read.format("rec").load(fileB, fileA) // out of order on purpose
+    val v1 = RecScan.read(spark, Seq(fileA, fileB))
+    assert(v2.schema == v1.schema)
+    val a = v2.orderBy("file_rank", "pos").collect().map(_.toSeq)
+    val b = v1.orderBy("file_rank", "pos").collect().map(_.toSeq)
+    assert(a.length == 1500)
+    assert(a.sameElements(b))
+  }
+
+  test("ts-range pushdown prunes files and packet ranges") {
+    val df = spark.read.format("rec").load(fileA, fileB)
+    // range entirely inside fileA: fileB contributes no partitions
+    val q = df.where(col("ts") >= 1200 && col("ts") < 1300)
+    assert(q.count() == 100)
+    assert(q.agg(min("ts"), max("ts")).collect().head.toSeq == Seq(1200L, 1299L))
+    // the scan description carries the pushed bounds
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("rec scan"))
+    // equality predicate
+    assert(df.where(col("ts") === 5250).count() == 1)
+    // empty intersection prunes everything
+    assert(df.where(col("ts") > 100000).count() == 0)
+  }
+
+  test("column pruning: ts-only projection never materializes values") {
+    val df = spark.read.format("rec").load(fileA)
+    val tsOnly = df.select("ts")
+    val scan = tsOnly.queryExecution.executedPlan.toString
+    assert(scan.contains("cols ts") || !scan.contains("values"))
+    assert(tsOnly.count() == 1000)
+    assert(tsOnly.agg(sum("ts")).collect().head.getLong(0) == (1000L until 2000L).sum)
+  }
+
+  test("channels option projects the spike-channel subset") {
+    val df = spark.read.format("rec").option("channels", "1,3").load(fileA)
+    val r = df.orderBy("pos").select("values").first().getSeq[Short](0)
+    assert(r == Seq(1.toShort, 3.toShort)) // packet 0: value = i + c = c
+  }
+
+  test("binary search packet bounds on a synthetic file") {
+    val cfg = RecFormat.parseConfig(fileA)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val total = RecFormat.packetCount(cfg, hconf)
+    assert(total == 1000)
+    assert(RecFormat.firstPacketAtOrAbove(cfg, 1000, total, hconf) == 0)
+    assert(RecFormat.firstPacketAtOrAbove(cfg, 1500, total, hconf) == 500)
+    assert(RecFormat.lastPacketAtOrBelow(cfg, 1999, total, hconf) == 999)
+    assert(RecFormat.lastPacketAtOrBelow(cfg, 1499, total, hconf) == 499)
+    assert(RecFormat.firstPacketAtOrAbove(cfg, 99999, total, hconf) == 1000)
+    assert(RecFormat.lastPacketAtOrBelow(cfg, 1, total, hconf) == -1)
+  }
+}
