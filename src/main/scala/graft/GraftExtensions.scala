@@ -8,7 +8,8 @@ import graft.functions.DotF32
 
 /** SparkSessionExtensions entry point: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` to get the
-  * engine's native functions in every session (SQL included). */
+  * engine's native functions (SQL included) and optimizer rules in every
+  * session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
@@ -18,5 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => DotF32(children(0), children(1))
       )
     )
+    // bounded-range gather joins → exploded equi-joins (kills the BNLJ)
+    ext.injectOptimizerRule(_ => graft.plans.RangeGatherRewrite)
   }
 }
