@@ -76,6 +76,24 @@ object Streaming {
       }
   }
 
+  /** U2 dedup-keep-first as a streaming query: duplicate (key, ts)
+    * arrivals within the watermark keep only the FIRST occurrence.
+    * Spark's `dropDuplicatesWithinWatermark` holds per-(key, ts) state
+    * exactly until the watermark passes — bounded state, unlike a naive
+    * keyed-state set (the reference's in-core dedup, jagular/
+    * utils.py:330-338, never expires because it sees data in one pass;
+    * the watermark IS that single-pass guarantee in streaming form).
+    * `eventTimeCol` must be TimestampType. */
+  def dedupKeepFirstStream(
+      samples: DataFrame,
+      eventTimeCol: String,
+      keyCols: Seq[String],
+      watermark: String
+  ): DataFrame =
+    samples
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols :+ eventTimeCol)
+
   /** W3 censor as arbitrary stateful processing: per key, keep a
     * detection only if it is ≥ `width` after the last KEPT one. State is
     * one Long per key. Requires per-key in-order delivery within a batch

@@ -79,4 +79,28 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(rows.toSeq == Seq(3L, 2L))
   }
+
+  test("streaming dedup keep-first drops duplicate (key, ts) within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("k", "ts", "v")
+    val q = Streaming
+      .dedupKeepFirstStream(df, "ts", Seq("k"), "10 seconds")
+      .writeStream
+      .format("memory")
+      .queryName("deduped")
+      .outputMode("append")
+      .start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // batch 1: duplicate ts=2 inside one batch — first kept
+    input.addData(("u", t(1), 1.0), ("u", t(2), 2.0), ("u", t(2), 99.0))
+    q.processAllAvailable()
+    // batch 2: ts=2 again across batches (still within watermark) — dropped;
+    // a fresh ts=3 — kept
+    input.addData(("u", t(2), 100.0), ("u", t(3), 3.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT v FROM deduped ORDER BY ts").collect().map(_.getDouble(0))
+    q.stop()
+    assert(rows.toSeq == Seq(1.0, 2.0, 3.0))
+  }
 }
