@@ -386,6 +386,11 @@ object SparkEntry {
       .select(col("user_id"), col("event_id"), round(col("value"), 6).as("value"))
   }
 
+  /** BPE-ish regex token counting over documents (pre-tokenizer run
+    * counts per character class + punctuation ratio). */
+  private def qTokenBpe(s: SparkSession, dir: String): DataFrame =
+    Text.regexTokenStats(Tables.documents(s, dir))
+
   /** F5 linear-mode sub-sample alignment expressed COLUMN-NATIVELY
     * (argmax → parabola vertex → clamped linear resample) — the engine-
     * preferred form of the alignment math, fully oracle-checkable. The
@@ -459,7 +464,8 @@ object SparkEntry {
     "q6_forecast" -> (q6Forecast _),
     "q_align_linear" -> (qAlignLinear _),
     "q_fir_smooth" -> (qFirSmooth _),
-    "q_decimate_fir" -> (qDecimateFir _)
+    "q_decimate_fir" -> (qDecimateFir _),
+    "q_token_bpe" -> (qTokenBpe _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -772,6 +778,16 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
          |      FROM f)
          |SELECT user_id, event_id, round(fv, 6) AS value FROM r WHERE rn % $DecQ = 0""".stripMargin
-    }
+    },
+    "q_token_bpe" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')) AS BIGINT) AS n_punct
+        |FROM documents)
+        |SELECT doc_id, n_alpha, n_num, n_punct,
+        |       n_alpha + n_num + n_punct AS n_bpe_tokens,
+        |       round(CAST(n_punct AS DOUBLE) / greatest(n_alpha + n_num + n_punct, 1), 4) AS punct_ratio
+        |FROM c""".stripMargin
   )
 }

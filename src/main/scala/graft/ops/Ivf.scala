@@ -116,15 +116,20 @@ object Ivf {
     val probed = qc
       .withColumn("crank", row_number().over(w))
       .where(col("crank") <= nProbe)
-      .select("query_id", "qe", "cell")
-    // candidate join on cell, exact cosine, top-k
+      .select(col("query_id"), col("qe"), Similarity.norm(col("qe")).as("qn"), col("cell"))
+    // candidate join on cell, exact cosine (norms precomputed per row,
+    // one dot-product traversal per candidate pair), top-k
     val scored = assigned
+      .withColumn("cn", Similarity.norm(col("embedding")))
       .join(probed, "cell")
       .where(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),
         col("vec_id"),
-        round(Similarity.cosine(col("embedding"), col("qe")), 6).as("cos_sim")
+        round(
+          Similarity.dot(col("embedding"), col("qe")) / (col("cn") * col("qn")),
+          6
+        ).as("cos_sim")
       )
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")

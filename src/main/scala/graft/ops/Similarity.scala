@@ -36,14 +36,22 @@ object Similarity {
       queries: DataFrame,
       k: Int
   ): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // per-row norms BEFORE the pair join: 1 array traversal per pair
+    // (the dot product) instead of 3. sqrt(dot(x,x)) is the same
+    // expression either way — bit-identical cosines.
+    val q = queries.select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("qe"),
+      norm(col("embedding")).as("qn")
+    )
     val scored = corpus
+      .withColumn("cn", norm(col("embedding")))
       .crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),
         col("vec_id"),
-        round(cosine(col("embedding"), col("qe")), 6).as("cos_sim")
+        round(dot(col("embedding"), col("qe")) / (col("cn") * col("qn")), 6).as("cos_sim")
       )
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
     scored
@@ -100,17 +108,22 @@ object Similarity {
 
   /** Exact near-duplicate pairs above a cosine threshold, blocked by a
     * column (e.g. label) to bound the candidate set. Oracle-exact. */
-  def blockedNearDupPairs(corpus: DataFrame, blockCol: String, minCosine: Double): DataFrame =
-    corpus
-      .as("a")
+  def blockedNearDupPairs(corpus: DataFrame, blockCol: String, minCosine: Double): DataFrame = {
+    // norms precomputed per row (2n traversals), not per pair (2·pairs)
+    val c = corpus.withColumn("__nrm", norm(col("embedding")))
+    c.as("a")
       .join(
-        corpus.as("b"),
+        c.as("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.vec_id") < col("b.vec_id")
       )
       .select(
         col("a.vec_id").as("vec_a"),
         col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim")
+        round(
+          dot(col("a.embedding"), col("b.embedding")) / (col("a.__nrm") * col("b.__nrm")),
+          6
+        ).as("cos_sim")
       )
       .where(col("cos_sim") >= minCosine)
+  }
 }

@@ -36,6 +36,28 @@ object Text {
     )
   }
 
+  /** BPE-ish regex tokenization stats: run counts per character class
+    * (alpha / numeric / punctuation) — the pre-tokenizer split a BPE
+    * vocabulary sees. Single-class patterns (no alternation), so Java
+    * regex and RE2 (DuckDB) count identically; the total is their sum by
+    * construction. */
+  def regexTokenStats(documents: DataFrame): DataFrame = {
+    def runs(pattern: String): org.apache.spark.sql.Column =
+      size(regexp_extract_all(col("text"), lit(pattern), lit(0))).cast("long")
+    documents
+      .select(
+        col("doc_id"),
+        runs("[A-Za-z]+").as("n_alpha"),
+        runs("[0-9]+").as("n_num"),
+        runs("[^A-Za-z0-9\\s]+").as("n_punct")
+      )
+      .withColumn("n_bpe_tokens", col("n_alpha") + col("n_num") + col("n_punct"))
+      .withColumn(
+        "punct_ratio",
+        round(col("n_punct").cast("double") / greatest(col("n_bpe_tokens"), lit(1L)), 4)
+      )
+  }
+
   /** Deterministic rolling-hash document fingerprint: polynomial hash of
     * the char codes, base 31 mod 1e9+7 (modulus keeps the accumulator in
     * Long range — ANSI-safe and engine-portable), plus md5. Pure column

@@ -64,6 +64,17 @@ class OpsSpec extends SparkSpec {
     assert(r.getLong(4) == 12) // chars nospace
   }
 
+  test("regex token stats count class runs and punct ratio") {
+    val df = Seq((0L, "ab12 cd, x-9!")).toDF("doc_id", "text")
+    // alpha runs: ab, cd, x; num runs: 12, 9; punct runs: ",", "-", "!"
+    val r = Text.regexTokenStats(df).first()
+    assert(r.getLong(1) == 3) // n_alpha
+    assert(r.getLong(2) == 2) // n_num
+    assert(r.getLong(3) == 3) // n_punct
+    assert(r.getLong(4) == 8) // n_bpe_tokens
+    assert(r.getDouble(5) == 0.375) // punct ratio
+  }
+
   test("simhash of identical docs is identical, differs for different docs") {
     val df = Seq((0L, "a b c"), (1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text")
     val out = DedupDocs.simhash(df).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
