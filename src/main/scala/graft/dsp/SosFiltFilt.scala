@@ -140,15 +140,9 @@ object SosFiltFilt {
       }
     )
     val sosB = sos // serialized into the closure (tiny)
-    val inTypes = arranged.schema.fields.map(_.dataType)
-    // Catalyst InternalRows end to end — no external-Row boxing on the
-    // multi-million-sample stream. UnsafeRow iterators reuse the row
-    // object, so buffered key/carry values are copied out (copyValue).
-    val rdd = org.apache.spark.sql.graftbridge.Bridge.toInternalRdd(arranged).mapPartitions { it =>
-      import org.apache.spark.sql.catalyst.InternalRow
-      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val rdd = arranged.rdd.mapPartitions { it =>
       val buf = it.buffered
-      new Iterator[InternalRow] {
+      new Iterator[Row] {
         private var outKeys: Array[Any] = null
         private var outTs: Array[Long] = null
         private var outVal: Array[Double] = null
@@ -158,7 +152,7 @@ object SosFiltFilt {
 
         private def fillGroup(): Unit = {
           val first = buf.head
-          val k = Array.tabulate[Any](nKeys)(j => InternalRow.copyValue(first.get(j, inTypes(j))))
+          val k = Array.tabulate[Any](nKeys)(first.get)
           val ts = new scala.collection.mutable.ArrayBuilder.ofLong
           val vs = new scala.collection.mutable.ArrayBuilder.ofDouble
           val cs = Array.fill(carryPos.length)(Seq.newBuilder[Any])
@@ -167,17 +161,14 @@ object SosFiltFilt {
             val r = buf.head
             var same = true
             var j = 0
-            while (same && j < nKeys) { same = r.get(j, inTypes(j)) == k(j); j += 1 }
+            while (same && j < nKeys) { same = r.get(j) == k(j); j += 1 }
             if (!same) done = true
             else {
               buf.next()
               ts += r.getLong(tsPos)
-              vs += toDouble(r.get(vPos, inTypes(vPos)))
+              vs += toDouble(r.get(vPos))
               var c = 0
-              while (c < carryPos.length) {
-                cs(c) += InternalRow.copyValue(r.get(carryPos(c), inTypes(carryPos(c))))
-                c += 1
-              }
+              while (c < carryPos.length) { cs(c) += r.get(carryPos(c)); c += 1 }
             }
           }
           outKeys = k
@@ -189,7 +180,7 @@ object SosFiltFilt {
         }
 
         override def hasNext: Boolean = i < len || buf.hasNext
-        override def next(): InternalRow = {
+        override def next(): Row = {
           if (i >= len) fillGroup()
           val vals = new Array[Any](nKeys + 2 + carryPos.length)
           var j = 0
@@ -199,11 +190,11 @@ object SosFiltFilt {
           var c = 0
           while (c < carryPos.length) { vals(nKeys + 2 + c) = outCarry(c)(i); c += 1 }
           i += 1
-          new GenericInternalRow(vals)
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
         }
       }
     }
-    org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(df.sparkSession, rdd, schema)
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   private def toDouble(v: Any): Double = v match {
