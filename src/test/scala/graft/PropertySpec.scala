@@ -73,6 +73,108 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: OrderedStream neighbors == keyless window lag/lead") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    trials(6) { rnd =>
+      val n = 20 + rnd.nextInt(300)
+      val rows = scala.util.Random.shuffle((0 until n).toList).map(i => (i.toLong, rnd.nextDouble()))
+      val df = rows.toDF("t", "v")
+      val got = graft.ts.OrderedStream
+        .withNeighbors(df, "t", Seq("v"), numPartitions = 1 + rnd.nextInt(7))
+        .select(col("t"), col("__prev_t"), col("__next_t"), col("__prev_v"), col("__next_v"))
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
+        .sortBy(_._1)
+      val w = Window.orderBy("t")
+      val want = df
+        .select(
+          col("t"),
+          lag(col("t"), 1).over(w), lead(col("t"), 1).over(w),
+          lag(col("v"), 1).over(w), lead(col("v"), 1).over(w)
+        )
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
+        .sortBy(_._1)
+      assert(got.toSeq == want.toSeq)
+    }
+  }
+
+  test("property: global sessionize == keyless-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    trials(6) { rnd =>
+      val gap = 1L + rnd.nextInt(10)
+      var t = 0L
+      val tss = (0 until 50 + rnd.nextInt(400)).map { _ =>
+        t += 1 + rnd.nextInt(15); t
+      }
+      val df = tss.toDF("ts")
+      val got = Sessionize
+        .withSegmentIdGlobal(df, "ts", gap, numPartitions = 1 + rnd.nextInt(7))
+        .select("ts", "segment_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1)
+      val w = Window.orderBy("ts")
+      val want = df
+        .withColumn("brk", when(col("ts") - lag(col("ts"), 1).over(w) >= gap, 1L).otherwise(0L))
+        .withColumn("segment_id", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("ts", "segment_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1)
+      assert(got.toSeq == want.toSeq)
+    }
+  }
+
+  test("property: RangeGatherRewrite preserves join semantics on random bounds") {
+    import org.apache.spark.sql.functions._
+    val samples = (0L until 150L).map(i => (i, i * 2.0)).toDF("idx", "v")
+    trials(6) { rnd =>
+      val a = rnd.nextInt(6).toLong
+      val b = 1L + rnd.nextInt(6)
+      val peaks = List.fill(1 + rnd.nextInt(8))(rnd.nextLong(160).abs).distinct.toDF("peak")
+      val cond = col("idx") >= col("peak") - a && col("idx") < col("peak") + b
+      val want = samples.join(peaks, cond).collect().map(_.toSeq).toSet
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeGatherRewrite
+      try {
+        val got = samples.join(peaks, cond)
+        assert(!got.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+        assert(got.collect().map(_.toSeq).toSet == want, s"a=$a b=$b")
+      } finally spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.RangeGatherRewrite)
+    }
+  }
+
+  test("property: FIR zero-phase is linear and shift-invariant in the interior") {
+    import org.apache.spark.sql.functions._
+    val h = graft.dsp.Fir.lowpassCoeffs(9, 0.3)
+    trials(4) { rnd =>
+      val n = 64
+      val x = Array.fill(n)(rnd.nextDouble() * 10 - 5)
+      def run(sig: Array[Double]): Map[Long, Double] = {
+        val df = sig.zipWithIndex.toSeq.map { case (v, i) => (1, i.toLong, v) }.toDF("k", "t", "v")
+        graft.dsp.Fir
+          .zeroPhase(df, h, Seq("k"), "t", "v")
+          .collect()
+          .map(r => r.getLong(1) -> r.getDouble(2))
+          .toMap
+      }
+      val y = run(x)
+      // linearity: filter(2x) == 2*filter(x)
+      val y2 = run(x.map(_ * 2))
+      (0 until n).foreach(i => assert(math.abs(y2(i.toLong) - 2 * y(i.toLong)) < 1e-9))
+      // shift-invariance in the interior: shifting input by 1 shifts output
+      val xs = 0.0 +: x.dropRight(1)
+      val ys = run(xs.toArray)
+      (6 until n - 6).foreach { i =>
+        assert(math.abs(ys(i.toLong) - y((i - 1).toLong)) < 1e-9, s"i=$i")
+      }
+    }
+  }
+
   test("property: filtfilt preserves length and is linear") {
     val sos = graft.dsp.FilterDesign.butter(3, Seq(0.3), graft.dsp.FilterDesign.Lowpass)
     trials(8) { rnd =>
