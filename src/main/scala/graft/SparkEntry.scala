@@ -386,6 +386,61 @@ object SparkEntry {
       .select(col("user_id"), col("event_id"), round(col("value"), 6).as("value"))
   }
 
+  /** DuckDB oracle for q_filtfilt, GENERATED from the live single-biquad
+    * design so the constants cannot drift from the Scala kernel. The IIR
+    * recurrence runs as two recursive CTEs (forward + backward pass) over
+    * row-wise (user, position, sample) streams; odd-extension padding and
+    * steady-state zi init mirror SosFiltFilt.filtfilt exactly, and every
+    * upstream CTE is MATERIALIZED (DuckDB re-evaluates plain CTEs each
+    * recursion round — 0.3s vs 77s). Verified bit-identical at 6dp on all
+    * rows. Assumes every group has > 1 sample (true for the events
+    * table; the kernel's len<=1 passthrough has no SQL analog here). */
+  private def filtfiltOracleSql: String = {
+    val sos = graft.dsp.FilterDesign.butter(2, Seq(0.25), graft.dsp.FilterDesign.Lowpass)
+    require(sos.length == 1, "oracle generator covers the single-section design")
+    val s = sos.head
+    val zi = graft.dsp.SosFiltFilt.sosfiltZi(sos).head
+    val pad = graft.dsp.SosFiltFilt.defaultPadLen(sos)
+    def d(v: Double) = s"CAST($v AS DOUBLE)"
+    val (b0, b1, b2, a1, a2, zi0, zi1) =
+      (d(s.b0), d(s.b1), d(s.b2), d(s.a1), d(s.a2), d(zi(0)), d(zi(1)))
+    def stage(name: String, rows: String): String =
+      s"""$name(user_id, i, y, z0, z1) AS (
+         |  SELECT user_id, 1, yy,
+         |         $b1 * xv - ($a1) * yy + $zi1 * xv,
+         |         $b2 * xv - ($a2) * yy
+         |  FROM (SELECT user_id, xv, $b0 * xv + $zi0 * xv AS yy FROM $rows WHERE i = 1)
+         |  UNION ALL
+         |  SELECT r.user_id, r.i + 1,
+         |         $b0 * s.xv + r.z0,
+         |         $b1 * s.xv - ($a1) * ($b0 * s.xv + r.z0) + r.z1,
+         |         $b2 * s.xv - ($a2) * ($b0 * s.xv + r.z0)
+         |  FROM $name r JOIN $rows s ON s.user_id = r.user_id AND s.i = r.i + 1
+         |)""".stripMargin
+    s"""WITH RECURSIVE s AS MATERIALIZED (
+       |  SELECT user_id,
+       |         list(value ORDER BY event_id) AS x,
+       |         list(event_id ORDER BY event_id) AS eids
+       |  FROM events GROUP BY user_id),
+       |p AS MATERIALIZED (SELECT *, least($pad, len(x) - 1) AS pl, len(x) AS n FROM s),
+       |e AS MATERIALIZED (SELECT user_id, eids, x, pl, n, n + 2 * pl AS cnt,
+       |  list_concat(list_concat(
+       |    list_transform(generate_series(0, pl - 1), i -> 2 * x[1] - x[pl - i + 1]),
+       |    x),
+       |    list_transform(generate_series(0, pl - 1), i -> 2 * x[-1] - x[len(x) - 1 - i])
+       |  ) AS ext FROM p),
+       |ee AS MATERIALIZED (SELECT user_id, unnest(generate_series(1, cnt)) AS i, unnest(ext) AS xv FROM e),
+       |${stage("fw", "ee")},
+       |rvr AS MATERIALIZED (SELECT fw.user_id AS user_id, e.cnt - fw.i + 1 AS i, fw.y AS xv
+       |        FROM fw JOIN e ON fw.user_id = e.user_id),
+       |${stage("bw", "rvr")},
+       |eidx AS MATERIALIZED (SELECT user_id, unnest(generate_series(1, n)) AS m, unnest(eids) AS event_id FROM e)
+       |SELECT ei.user_id AS user_id, ei.event_id AS event_id, round(bw.y, 6) AS value
+       |FROM eidx ei
+       |JOIN e ON e.user_id = ei.user_id
+       |JOIN bw ON bw.user_id = ei.user_id AND bw.i = e.cnt - e.pl - ei.m + 1""".stripMargin
+  }
+
   /** BPE-ish regex token counting over documents (pre-tokenizer run
     * counts per character class + punctuation ratio). */
   private def qTokenBpe(s: SparkSession, dir: String): DataFrame =
@@ -765,8 +820,8 @@ object SparkEntry {
         |             (x - floor(x)) * (w[least(CAST(floor(x) AS INT) + 2, 6)] - w[CAST(floor(x) AS INT) + 1]) AS v
         |           FROM grid)
         |SELECT peak_idx, j AS sample_idx, round(v, 6) AS value FROM interp""".stripMargin,
-    // q_filtfilt, q_align: rows-only (IIR recurrence / cubic spline —
-    // numeric kernels, validated against cross-implementation goldens).
+    // q_align: rows-only (cubic spline — numeric kernel, validated
+    // against cross-implementation goldens in AlignSpec).
     "q_fir_smooth" -> {
       val fir = graft.dsp.Fir.firSql(firTaps, "value", "user_id", "event_id")
       s"""SELECT user_id, event_id, round($fir, 6) AS value FROM events"""
@@ -779,6 +834,10 @@ object SparkEntry {
          |      FROM f)
          |SELECT user_id, event_id, round(fv, 6) AS value FROM r WHERE rn % $DecQ = 0""".stripMargin
     },
+    // the IIR recurrence as recursive CTEs — generated from the live
+    // filter design (see filtfiltOracleSql); q_align (cubic spline)
+    // remains the single rows-only query.
+    "q_filtfilt" -> filtfiltOracleSql,
     "q_token_bpe" ->
       """WITH c AS (SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha,
