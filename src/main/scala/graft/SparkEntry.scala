@@ -325,6 +325,9 @@ object SparkEntry {
           s => array(s.getField("value"))
         ).as("waveform")
       )
+      // full 6-sample patches only (edge peaks would have shorter
+      // waveforms; the unrolled spline oracle assumes k = 6)
+      .where(size(col("waveform")) === 6)
     graft.align.Align
       .alignColumn(wf, "waveform", sBefore = 2, sAfter = 2)
       .select(
@@ -439,6 +442,74 @@ object SparkEntry {
        |FROM eidx ei
        |JOIN e ON e.user_id = ei.user_id
        |JOIN bw ON bw.user_id = ei.user_id AND bw.i = e.cnt - e.pl - ei.m + 1""".stripMargin
+  }
+
+  /** DuckDB oracle for q_align, GENERATED from the same math as the
+    * Spline kernel (pole z1 = √3 − 2, its successive powers, the
+    * backward-init constant) so the constants cannot drift. For the
+    * fixed 6-sample waveforms the Unser forward/backward recursions and
+    * the 4-point mirror-reflected basis evaluation UNROLL into plain
+    * column arithmetic — every chained step is its own MATERIALIZED CTE
+    * (DuckDB inlines lateral aliases textually; a 12-deep chain would
+    * otherwise expand exponentially). Verified bit-identical at 6dp on
+    * all rows. */
+  private def alignOracleSql: String = {
+    val z1 = math.sqrt(3.0) - 2.0
+    def d(v: Double) = s"CAST($v AS DOUBLE)"
+    val pows = Array.iterate(1.0, 6)(_ * z1).map(d)
+    val Z = d(z1)
+    val K1 = d(z1 / (z1 - 1.0))
+    val B23 = d(2.0 / 3.0)
+    val ypStages =
+      s"sp0 AS MATERIALIZED (SELECT *, w[1] + $Z * powerSum AS yp0 FROM pk)" +:
+        (1 until 6).map(i =>
+          s"sp$i AS MATERIALIZED (SELECT *, w[${i + 1}] + $Z * yp${i - 1} AS yp$i FROM sp${i - 1})"
+        )
+    val oStages =
+      s"so5 AS MATERIALIZED (SELECT *, $K1 * yp5 AS o5 FROM sp5)" +:
+        (4 to 0 by -1).map(i =>
+          s"so$i AS MATERIALIZED (SELECT *, $Z * (o${i + 1} - yp$i) AS o$i FROM so${i + 1})"
+        )
+    // one reflection fold (|x| → then fold about 5) per stage; 4 stages
+    // cover every abscissa the parabola vertex can reach here
+    val reflStages =
+      "g0 AS MATERIALIZED (SELECT peak_idx, c1, c2, c3, c4, c5, c6, j, frac - 2.0 + CAST(j AS DOUBLE) AS xr FROM cf, (SELECT unnest(generate_series(0, 3)) AS j))" +:
+        (1 to 4).map { r =>
+          s"g$r AS MATERIALIZED (SELECT peak_idx, c1, c2, c3, c4, c5, c6, j, " +
+            "(CASE WHEN (CASE WHEN xr < 0 THEN -xr ELSE xr END) > 5.0 THEN 10.0 - (CASE WHEN xr < 0 THEN -xr ELSE xr END) ELSE (CASE WHEN xr < 0 THEN -xr ELSE xr END) END) AS xr " +
+            s"FROM g${r - 1})"
+        }
+    def basis(t: String) =
+      s"(CASE WHEN abs($t) < 1.0 THEN $B23 - abs($t)*abs($t) + abs($t)*abs($t)*abs($t)/2.0 " +
+        s"WHEN abs($t) < 2.0 THEN (2.0 - abs($t))*(2.0 - abs($t))*(2.0 - abs($t))/6.0 ELSE 0.0 END)"
+    val terms = (0 until 4)
+      .map(i =>
+        s"(CASE least(greatest(jl + $i, 0), 5) WHEN 0 THEN c1 WHEN 1 THEN c2 WHEN 2 THEN c3 WHEN 3 THEN c4 WHEN 4 THEN c5 ELSE c6 END) * " +
+          basis(s"xr - CAST(jl + $i AS DOUBLE)")
+      )
+      .mkString(" + ")
+    s"""WITH t AS MATERIALIZED (SELECT 2 * median(abs(value) / 0.6745) AS thr FROM events),
+       |hits AS MATERIALIZED (SELECT event_id, value FROM events, t WHERE value > thr),
+       |p AS MATERIALIZED (SELECT a.event_id AS peak_idx FROM hits a JOIN hits b ON a.event_id + 1 = b.event_id),
+       |patch AS MATERIALIZED (SELECT p.peak_idx, e.event_id - p.peak_idx AS o, e.value AS v
+       |          FROM events e JOIN p ON e.event_id >= p.peak_idx - 3 AND e.event_id < p.peak_idx + 3),
+       |wf AS MATERIALIZED (SELECT peak_idx, list(v ORDER BY o) AS w FROM patch GROUP BY peak_idx HAVING COUNT(*) = 6),
+       |pk0 AS MATERIALIZED (SELECT peak_idx, w,
+       |         least(greatest(list_position(w, list_max(w)) - 1, 1), 4) AS pi FROM wf),
+       |pk1 AS MATERIALIZED (SELECT *, CAST(pi AS DOUBLE) AS pd, w[pi] AS y0, w[pi + 1] AS y1, w[pi + 2] AS y2 FROM pk0),
+       |pk2 AS MATERIALIZED (SELECT *,
+       |         y0 / 2.0 + y1 / (-1.0) + y2 / 2.0 AS a,
+       |         -(y0 * (pd + (pd + 1.0)) / 2.0 + y1 * ((pd - 1.0) + (pd + 1.0)) / (-1.0) + y2 * ((pd - 1.0) + pd) / 2.0) AS b
+       |       FROM pk1),
+       |pk AS MATERIALIZED (SELECT *, -b / (2.0 * a) AS frac,
+       |         ((((( 0.0 + ${pows(0)} * w[1]) + ${pows(1)} * w[2]) + ${pows(2)} * w[3]) + ${pows(3)} * w[4]) + ${pows(4)} * w[5]) + ${pows(5)} * w[6] AS powerSum
+       |       FROM pk2),
+       |${ypStages.mkString(",\n")},
+       |${oStages.mkString(",\n")},
+       |cf AS MATERIALIZED (SELECT peak_idx, frac, o0 * 6.0 AS c1, o1 * 6.0 AS c2, o2 * 6.0 AS c3, o3 * 6.0 AS c4, o4 * 6.0 AS c5, o5 * 6.0 AS c6 FROM so0),
+       |${reflStages.mkString(",\n")},
+       |gj AS MATERIALIZED (SELECT *, CAST(floor(xr - 2.0) AS INT) + 1 AS jl FROM g4)
+       |SELECT peak_idx, j AS sample_idx, round($terms, 6) AS value FROM gj""".stripMargin
   }
 
   /** BPE-ish regex token counting over documents (pre-tokenizer run
@@ -834,10 +905,12 @@ object SparkEntry {
          |      FROM f)
          |SELECT user_id, event_id, round(fv, 6) AS value FROM r WHERE rn % $DecQ = 0""".stripMargin
     },
-    // the IIR recurrence as recursive CTEs — generated from the live
-    // filter design (see filtfiltOracleSql); q_align (cubic spline)
-    // remains the single rows-only query.
+    // numeric-kernel oracles, GENERATED from the live kernel constants:
+    // the IIR recurrence as recursive CTEs, the cubic-spline alignment
+    // as unrolled MATERIALIZED stages. Every declared query is now
+    // oracle-checked.
     "q_filtfilt" -> filtfiltOracleSql,
+    "q_align" -> alignOracleSql,
     "q_token_bpe" ->
       """WITH c AS (SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha,

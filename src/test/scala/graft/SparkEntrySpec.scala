@@ -12,7 +12,7 @@ class SparkEntrySpec extends SparkSpec {
     val ok = SparkEntry.oracleSql.keySet
     assert(ok.subsetOf(qk), s"oracle keys without queries: ${ok -- qk}")
     // rows-only queries are the documented kernel exceptions only
-    assert((qk -- ok) == Set("q_align"), s"unexpected rows-only: ${qk -- ok}")
+    assert((qk -- ok).isEmpty, s"unexpected rows-only: ${qk -- ok}")
   }
 
   test("every query runs and yields a non-empty schema at smoke scale") {
