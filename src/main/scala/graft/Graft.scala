@@ -65,6 +65,18 @@ final class RecSession(val spark: SparkSession, val paths: Seq[String]) {
   def packets(channelSubset: Option[Seq[Int]] = None): DataFrame =
     RecScan.read(spark, paths, channelSubset = channelSubset)
 
+  /** Time-bounded packet scan through the `rec` DataSource V2: the ts
+    * predicate pushes down to whole-file pruning + in-file binary-search
+    * packet ranges (the scalable form of `request_data`,
+    * io.py:204-232 — only the matching byte ranges are read). */
+  def packetsBetween(startTs: Long, stopTs: Long): DataFrame = {
+    require(startTs <= stopTs, s"start $startTs > stop $stopTs")
+    spark.read
+      .format("rec")
+      .load(paths: _*)
+      .where(col("ts") >= startTs && col("ts") <= stopTs)
+  }
+
   /** `extract_channels` (utils.py:392-549): sanitize + gap-fill + write
     * the per-channel columnar store; returns the written store. */
   def extractChannels(

@@ -169,13 +169,21 @@ object Sessionize {
       )
 
   /** Gap lengths between consecutive segments (A6, jagular/utils.py:115-122):
-    * `gap_before = start - lag(stop)` (null for the first segment). */
-  def gapLengths(segmentsDf: DataFrame, keys: Seq[String] = Nil): DataFrame = {
-    val w =
-      if (keys.isEmpty) Window.orderBy(col("segment_id"))
-      else Window.partitionBy(keys.map(col): _*).orderBy(col("segment_id"))
-    segmentsDf.withColumn("gap_before", col("start") - lag(col("stop"), 1).over(w))
-  }
+    * `gap_before = start - lag(stop)` (null for the first segment).
+    * Segment streams are usually catalog-sized, but at 100 TB short
+    * epochs can number in the millions — the keyless path therefore goes
+    * through the [[OrderedStream]] neighbor exchange instead of a
+    * single-task global window. */
+  def gapLengths(segmentsDf: DataFrame, keys: Seq[String] = Nil): DataFrame =
+    if (keys.isEmpty)
+      OrderedStream
+        .withNeighbors(segmentsDf, "segment_id", Seq("stop"))
+        .withColumn("gap_before", col("start") - col("__prev_stop"))
+        .drop("__prev_segment_id", "__next_segment_id", "__prev_stop", "__next_stop")
+    else {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("segment_id"))
+      segmentsDf.withColumn("gap_before", col("start") - lag(col("stop"), 1).over(w))
+    }
 
   /** Median forward-step estimate (A9, jagular/utils.py:189-190). Returns a
     * 1-row DataFrame `(step)`. Uses exact median to stay oracle-exact;

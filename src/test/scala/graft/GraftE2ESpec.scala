@@ -24,6 +24,19 @@ class GraftE2ESpec extends SparkSpec {
       sm.getAs[Long]("stop_ts") - sm.getAs[Long]("start_ts"))
   }
 
+  test("facade: packetsBetween pushes the ts range into the rec source") {
+    val s = Graft.open(spark, samples)
+    // range inside sample_data_1 only (its bounds: 200917..190383308)
+    val q = s.packetsBetween(200917L, 1000000L)
+    val got = q.select("ts").collect().map(_.getLong(0)).sorted
+    assert(got.nonEmpty && got.forall(t => t >= 200917L && t <= 1000000L))
+    // equivalent filter over the full programmatic scan agrees
+    val want = s.packets()
+      .where(col("ts").between(200917L, 1000000L))
+      .select("ts").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("facade: extract over the wild-timestamped sample files") {
     val dir = Files.createTempDirectory("e2e").toFile.getPath
     val s = Graft.open(spark, samples.take(2))
