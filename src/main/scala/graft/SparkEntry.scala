@@ -294,6 +294,11 @@ object SparkEntry {
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     DedupDocs.simhash(Tables.documents(s, dir))
 
+  /** SimHash banded near-dup pairs (Hamming <= 3 via 16-bit-band
+    * pigeonhole candidates + exact bit_count filter). */
+  private def qSimhashNearDup(s: SparkSession, dir: String): DataFrame =
+    DedupDocs.simhashNearDupPairs(Tables.documents(s, dir), maxHamming = 3)
+
   /** Multimodal payload features (scalar part; the feature vector is
     * covered by unit tests — see Multimodal.FakeDecoder stub). */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
@@ -591,7 +596,8 @@ object SparkEntry {
     "q_align_linear" -> (qAlignLinear _),
     "q_fir_smooth" -> (qFirSmooth _),
     "q_decimate_fir" -> (qDecimateFir _),
-    "q_token_bpe" -> (qTokenBpe _)
+    "q_token_bpe" -> (qTokenBpe _),
+    "q_simhash_neardup" -> (qSimhashNearDup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -911,6 +917,30 @@ object SparkEntry {
     // oracle-checked.
     "q_filtfilt" -> filtfiltOracleSql,
     "q_align" -> alignOracleSql,
+    "q_simhash_neardup" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |th AS (SELECT doc_id,
+        |         ('0x' || substr(md5(t), 1, 8))::BIGINT AS th_hi,
+        |         ('0x' || substr(md5(t), 9, 8))::BIGINT AS th_lo
+        |       FROM tok),
+        |bits AS (SELECT doc_id, b,
+        |           SUM(CASE WHEN ((CASE WHEN b < 32 THEN th_lo ELSE th_hi END
+        |                           >> (CASE WHEN b < 32 THEN b ELSE b - 32 END)) & 1) = 1
+        |                    THEN 1 ELSE -1 END) AS s
+        |         FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+        |         GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id,
+        |  bit_or(CASE WHEN s > 0 THEN
+        |           (CASE WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << b) END)
+        |         ELSE 0 END) AS simhash
+        |FROM bits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, simhash, band, (simhash >> (16 * band)) & 65535 AS band_key
+        |           FROM sig, (SELECT unnest(generate_series(0, 3)) AS band))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "q_token_bpe" ->
       """WITH c AS (SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha,

@@ -173,6 +173,43 @@ object DedupDocs {
     explodePairs(buckets).distinct()
   }
 
+  /** SimHash near-duplicate pairs: band the 64-bit simhash into four
+    * 16-bit keys (two docs within Hamming distance 3 must agree on at
+    * least one band — pigeonhole), bucket on (band, key), then keep
+    * candidate pairs with exact `bit_count(a XOR b) <= maxHamming`.
+    * Same compute-once bucket shape as the MinHash path: no n² pair set,
+    * hashes travel with the bucket membership so no join-back. */
+  def simhashNearDupPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(documents)
+    val banded = sig.select(
+      col("doc_id"),
+      col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("simhash"), 16 * b).bitwiseAND(65535L).as("band_key")
+        )
+      }: _*)).as("bk")
+    )
+    val buckets = banded
+      .groupBy(col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("docs"))
+      .where(size(col("docs")) > 1)
+    buckets
+      .select(posexplode(col("docs")).as(Seq("i", "a")), col("docs"))
+      .select(
+        col("a"),
+        explode(slice(col("docs"), col("i") + 2, size(col("docs")))).as("b")
+      )
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming")
+      )
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** 64-bit SimHash over word tokens: per bit position, sum +1/-1 weighted
     * by token-hash bit, sign → bit. md5-derived token hash (first 16 hex
     * chars as unsigned-ish long via two 8-hex halves). */

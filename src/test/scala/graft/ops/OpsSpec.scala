@@ -75,6 +75,19 @@ class OpsSpec extends SparkSpec {
     assert(r.getDouble(5) == 0.375) // punct ratio
   }
 
+  test("simhash banded near-dup pairs identical docs at hamming 0") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"), // identical -> hamming 0
+      (2L, "utterly different words entirely qq zz")
+    ).toDF("doc_id", "text")
+    val pairs = DedupDocs
+      .simhashNearDupPairs(df, maxHamming = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((0L, 1L, 0L)))
+  }
+
   test("simhash of identical docs is identical, differs for different docs") {
     val df = Seq((0L, "a b c"), (1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text")
     val out = DedupDocs.simhash(df).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
