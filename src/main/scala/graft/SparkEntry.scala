@@ -308,8 +308,23 @@ object SparkEntry {
       .select("doc_id", "byte_len", "content_md5", "width", "height")
   }
 
-  /** G2 zero-phase filtering per user signal (rows-only: sequential IIR
-    * recurrence, not SQL-expressible). */
+  /** Multimodal frame sampling: the "video" payload split into
+    * fixed-size frames, every 2nd kept, fingerprinted. Pure column ops
+    * over the binary column (no kernel). */
+  private def qFrames(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.ops.Multimodal.withPayload(Tables.documents(s, dir), "text")
+    graft.ops.Multimodal
+      .sampleFrames(d, frameBytes = 64, stride = 2)
+      .select(
+        col("doc_id"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        md5(col("frame")).as("frame_md5")
+      )
+  }
+
+  /** G2 zero-phase filtering per user signal (oracle: generated
+    * recursive-CTE biquad — see filtfiltOracleSql). */
   private def qFiltfilt(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select("user_id", "event_id", "value")
     val sos = graft.dsp.FilterDesign.butter(2, Seq(0.25), graft.dsp.FilterDesign.Lowpass)
@@ -475,11 +490,16 @@ object SparkEntry {
         (4 to 0 by -1).map(i =>
           s"so$i AS MATERIALIZED (SELECT *, $Z * (o${i + 1} - yp$i) AS o$i FROM so${i + 1})"
         )
-    // one reflection fold (|x| → then fold about 5) per stage; 4 stages
-    // cover every abscissa the parabola vertex can reach here
+    // one reflection fold (|x| → then fold about 5) per stage. EXACTLY 64
+    // stages — the kernel's guard count: a near-degenerate parabola can
+    // put the vertex hundreds of samples out (each fold only walks it
+    // back ~20), and a converged x is a fixed point of further folds, so
+    // 64 unrolled stages reproduce the loop bit-for-bit in every case
+    // (caught by an sf0.1 oracle sweep; 4 stages left one peak wrong).
+    val reflGuard = 64
     val reflStages =
       "g0 AS MATERIALIZED (SELECT peak_idx, c1, c2, c3, c4, c5, c6, j, frac - 2.0 + CAST(j AS DOUBLE) AS xr FROM cf, (SELECT unnest(generate_series(0, 3)) AS j))" +:
-        (1 to 4).map { r =>
+        (1 to reflGuard).map { r =>
           s"g$r AS MATERIALIZED (SELECT peak_idx, c1, c2, c3, c4, c5, c6, j, " +
             "(CASE WHEN (CASE WHEN xr < 0 THEN -xr ELSE xr END) > 5.0 THEN 10.0 - (CASE WHEN xr < 0 THEN -xr ELSE xr END) ELSE (CASE WHEN xr < 0 THEN -xr ELSE xr END) END) AS xr " +
             s"FROM g${r - 1})"
@@ -513,7 +533,9 @@ object SparkEntry {
        |${oStages.mkString(",\n")},
        |cf AS MATERIALIZED (SELECT peak_idx, frac, o0 * 6.0 AS c1, o1 * 6.0 AS c2, o2 * 6.0 AS c3, o3 * 6.0 AS c4, o4 * 6.0 AS c5, o5 * 6.0 AS c6 FROM so0),
        |${reflStages.mkString(",\n")},
-       |gj AS MATERIALIZED (SELECT *, CAST(floor(xr - 2.0) AS INT) + 1 AS jl FROM g4)
+       |gj AS MATERIALIZED (SELECT *,
+       |  CASE WHEN isfinite(xr) AND abs(xr) < 1000000000.0
+       |       THEN CAST(floor(xr - 2.0) AS INT) + 1 ELSE 1 END AS jl FROM g$reflGuard)
        |SELECT peak_idx, j AS sample_idx, round($terms, 6) AS value FROM gj""".stripMargin
   }
 
@@ -597,7 +619,8 @@ object SparkEntry {
     "q_fir_smooth" -> (qFirSmooth _),
     "q_decimate_fir" -> (qDecimateFir _),
     "q_token_bpe" -> (qTokenBpe _),
-    "q_simhash_neardup" -> (qSimhashNearDup _)
+    "q_simhash_neardup" -> (qSimhashNearDup _),
+    "q_frames" -> (qFrames _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -917,6 +940,18 @@ object SparkEntry {
     // oracle-checked.
     "q_filtfilt" -> filtfiltOracleSql,
     "q_align" -> alignOracleSql,
+    // documents.text is ASCII (asserted by the checker's schema gate at
+    // every sf), so VARCHAR substring == byte slicing == Spark's binary
+    // substring
+    "q_frames" ->
+      """WITH f AS (SELECT doc_id, length(text) // 64 AS n_frames, text FROM documents),
+        |g AS (SELECT doc_id, n_frames,
+        |        unnest(generate_series(0, greatest(n_frames - 1, 0), 2)) AS frame_idx, text
+        |      FROM f)
+        |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |       CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
+        |FROM g""".stripMargin,
     "q_simhash_neardup" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         |th AS (SELECT doc_id,
