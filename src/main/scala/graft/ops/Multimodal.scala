@@ -86,6 +86,55 @@ object Multimodal {
     Bridge.internalCreateDataFrame(df.sparkSession, rdd, outSchema)
   }
 
+  /** STUB raster resize — replace with a real image library. Treats the
+    * payload as a (w × h) row-major raster (FakeDecoder geometry) and
+    * nearest-neighbor samples it to (outW × outH). The Spark-side
+    * contract is the real one: binary in, binary out, batched per
+    * partition, pure function of the payload. */
+  def resizeStub(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    val w = math.max(1, math.sqrt(payload.length.toDouble).toInt)
+    val h = math.max(1, payload.length / w)
+    val out = new Array[Byte](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = math.min(h - 1, y * h / outH)
+      var x = 0
+      while (x < outW) {
+        val sx = math.min(w - 1, x * w / outW)
+        val idx = sy * w + sx
+        out(y * outW + x) = if (idx < payload.length) payload(idx) else 0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Resize stage over the binary column (batched kernel, same shape as
+    * [[extractFeatures]]): appends `resized: binary` of outW×outH. */
+  def resize(df: DataFrame, outW: Int, outH: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.graftbridge.Bridge
+    val payloadIdx = df.columns.indexOf("payload")
+    require(payloadIdx >= 0, "call withPayload first")
+    val schema = df.schema
+    val outSchema = StructType(
+      schema.fields :+ StructField("resized", BinaryType, nullable = false)
+    )
+    val types = schema.fields.map(_.dataType)
+    val rdd = Bridge.toInternalRdd(df).mapPartitions { it =>
+      it.map { r =>
+        val vals = new Array[Any](types.length + 1)
+        var i = 0
+        while (i < types.length) { vals(i) = InternalRow.copyValue(r.get(i, types(i))); i += 1 }
+        vals(types.length) = resizeStub(r.getBinary(payloadIdx), outW, outH)
+        new GenericInternalRow(vals): InternalRow
+      }
+    }
+    Bridge.internalCreateDataFrame(df.sparkSession, rdd, outSchema)
+  }
+
   /** Deterministic frame sampling for "video" payloads: split the byte
     * stream into `frameBytes` frames, keep every `stride`-th — pure
     * column ops, no kernel needed. */

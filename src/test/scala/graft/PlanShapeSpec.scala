@@ -44,6 +44,15 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(planString("q_ivf_topk").contains("BroadcastHashJoin"))
   }
 
+  test("no CartesianProduct in ANY declared query") {
+    // even the deliberate tiny cross joins must broadcast (BNLJ), never
+    // fall to a shuffled CartesianProductExec
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = planString(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a CartesianProduct:\n$p")
+    }
+  }
+
   test("TPC-H-shaped joins broadcast their dimension sides") {
     val p3 = planString("q3_revenue")
     assert(p3.contains("BroadcastHashJoin"), p3)

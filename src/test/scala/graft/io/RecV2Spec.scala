@@ -61,6 +61,21 @@ class RecV2Spec extends SparkSpec {
     assert(r == Seq(1.toShort, 3.toShort)) // packet 0: value = i + c = c
   }
 
+  test("fuzz: random ts ranges through the v2 source == filtered full scan") {
+    val full = RecScan.read(spark, Seq(fileA, fileB))
+      .select("ts").collect().map(_.getLong(0)).sorted
+    val v2 = spark.read.format("rec").load(fileA, fileB)
+    val rnd = new scala.util.Random(42)
+    (1 to 10).foreach { _ =>
+      val lo = 500L + rnd.nextLong(5500)
+      val hi = lo + rnd.nextLong(2000)
+      val got = v2.where(col("ts") >= lo && col("ts") <= hi)
+        .select("ts").collect().map(_.getLong(0)).sorted
+      val want = full.filter(t => t >= lo && t <= hi)
+      assert(got.toSeq == want.toSeq, s"range [$lo, $hi]")
+    }
+  }
+
   test("binary search packet bounds on a synthetic file") {
     val cfg = RecFormat.parseConfig(fileA)
     val hconf = spark.sparkContext.hadoopConfiguration

@@ -40,6 +40,18 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(out(1).getAs[Array[Byte]](1)) == "o ")
   }
 
+  test("resize stage nearest-neighbor samples the stub raster") {
+    val sixteen = Seq((1L, "abcdefghijklmnop")).toDF("doc_id", "text") // 4x4 raster
+    val out = Multimodal
+      .resize(Multimodal.withPayload(sixteen, "text"), outW = 2, outH = 2)
+      .select("resized")
+      .collect()
+    val r = out(0).getAs[Array[Byte]](0)
+    // 4x4 'abcd/efgh/ijkl/mnop' → rows 0,2 cols 0,2 → a, c, i, k
+    assert(new String(r) == "acik")
+    assert(r.length == 4)
+  }
+
   test("window-gather patch variant matches the range-join values") {
     val samples = (0L to 20L).map(i => (i, i.toDouble * 2)).toDF("idx", "v")
     val peaks = Seq(5L, 12L).toDF("idx")
