@@ -977,10 +977,10 @@ object SparkEntry {
         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "q_token_bpe" ->
-      """WITH c AS (SELECT doc_id,
+      s"""WITH c AS (SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha,
         |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
-        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')) AS BIGINT) AS n_punct
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9${Text.WhitespaceClass}]+')) AS BIGINT) AS n_punct
         |FROM documents)
         |SELECT doc_id, n_alpha, n_num, n_punct,
         |       n_alpha + n_num + n_punct AS n_bpe_tokens,

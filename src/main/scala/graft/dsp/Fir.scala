@@ -58,9 +58,11 @@ object Fir {
     val m = coeffs.length / 2
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
     val terms = (-m to m).map { j =>
+      // value[i+j]: j < 0 is the PRECEDING neighbor (lag), j > 0 the
+      // following one (lead) — matters only for asymmetric taps
       val neighbor =
-        if (j < 0) lead(col(valueCol), -j).over(w)
-        else if (j > 0) lag(col(valueCol), j).over(w)
+        if (j < 0) lag(col(valueCol), -j).over(w)
+        else if (j > 0) lead(col(valueCol), j).over(w)
         else col(valueCol)
       lit(coeffs(m + j)) * coalesce(neighbor, lit(0.0))
     }
@@ -114,8 +116,8 @@ object Fir {
       .map { j =>
         val c = coeffs(m + j)
         val neighbor =
-          if (j < 0) s"COALESCE(lead($valueExpr, ${-j}) OVER (PARTITION BY $partitionBy ORDER BY $orderBy), 0.0)"
-          else if (j > 0) s"COALESCE(lag($valueExpr, $j) OVER (PARTITION BY $partitionBy ORDER BY $orderBy), 0.0)"
+          if (j < 0) s"COALESCE(lag($valueExpr, ${-j}) OVER (PARTITION BY $partitionBy ORDER BY $orderBy), 0.0)"
+          else if (j > 0) s"COALESCE(lead($valueExpr, $j) OVER (PARTITION BY $partitionBy ORDER BY $orderBy), 0.0)"
           else valueExpr
         s"$c * $neighbor"
       }

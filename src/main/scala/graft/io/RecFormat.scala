@@ -149,39 +149,48 @@ object RecFormat {
     (len - cfg.configSectionSize) / cfg.packetSize
   }
 
-  /** Timestamp of packet `i` via one seek+4-byte read (no full decode). */
-  def tsAtPacket(cfg: RecConfig, i: Long, hadoopConf: Configuration): Long = {
+  /** Timestamp of packet `i` on an ALREADY-OPEN stream: one seek + 4-byte
+    * read (no full decode, no per-probe open — on object stores the open
+    * round trip dwarfs the read). */
+  private def tsAtPacket(in: org.apache.hadoop.fs.FSDataInputStream, cfg: RecConfig, i: Long): Long = {
+    in.seek(cfg.configSectionSize + i * cfg.packetSize + cfg.headerSize)
+    val b = new Array[Byte](4)
+    in.readFully(b)
+    (b(0) & 0xffL) | ((b(1) & 0xffL) << 8) | ((b(2) & 0xffL) << 16) | ((b(3) & 0xffL) << 24)
+  }
+
+  private def withOpen[A](cfg: RecConfig, hadoopConf: Configuration)(
+      f: org.apache.hadoop.fs.FSDataInputStream => A
+  ): A = {
     val path = new Path(cfg.path)
     val in = fs(path, hadoopConf).open(path)
-    try {
-      in.seek(cfg.configSectionSize + i * cfg.packetSize + cfg.headerSize)
-      val b = new Array[Byte](4)
-      in.readFully(b)
-      (b(0) & 0xffL) | ((b(1) & 0xffL) << 8) | ((b(2) & 0xffL) << 16) | ((b(3) & 0xffL) << 24)
-    } finally in.close()
+    try f(in)
+    finally in.close()
   }
 
   /** Binary search (valid because in-file timestamps are non-decreasing,
     * the invariant the reference enforces — jagular/utils.py:323-328):
-    * smallest packet index with ts >= t. O(log n) seeks. */
-  def firstPacketAtOrAbove(cfg: RecConfig, t: Long, total: Long, hadoopConf: Configuration): Long = {
-    var lo = 0L; var hi = total // invariant: ts(<lo) < t <= ts(>=hi)
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (tsAtPacket(cfg, mid, hadoopConf) < t) lo = mid + 1 else hi = mid
+    * smallest packet index with ts >= t. O(log n) seeks, ONE open. */
+  def firstPacketAtOrAbove(cfg: RecConfig, t: Long, total: Long, hadoopConf: Configuration): Long =
+    withOpen(cfg, hadoopConf) { in =>
+      var lo = 0L; var hi = total // invariant: ts(<lo) < t <= ts(>=hi)
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (tsAtPacket(in, cfg, mid) < t) lo = mid + 1 else hi = mid
+      }
+      lo
     }
-    lo
-  }
 
-  /** Largest packet index with ts <= t (or -1). O(log n) seeks. */
-  def lastPacketAtOrBelow(cfg: RecConfig, t: Long, total: Long, hadoopConf: Configuration): Long = {
-    var lo = -1L; var hi = total - 1 // invariant: ts(<=lo) <= t < ts(>hi)
-    while (lo < hi) {
-      val mid = (lo + hi + 1) >>> 1
-      if (tsAtPacket(cfg, mid, hadoopConf) <= t) lo = mid else hi = mid - 1
+  /** Largest packet index with ts <= t (or -1). O(log n) seeks, ONE open. */
+  def lastPacketAtOrBelow(cfg: RecConfig, t: Long, total: Long, hadoopConf: Configuration): Long =
+    withOpen(cfg, hadoopConf) { in =>
+      var lo = -1L; var hi = total - 1 // invariant: ts(<=lo) <= t < ts(>hi)
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (tsAtPacket(in, cfg, mid) <= t) lo = mid else hi = mid - 1
+      }
+      lo
     }
-    lo
-  }
 
   /** Decoded packet: timestamp + the reindex-projected spike channels
     * (int16 as Short). `values(i)` is spike channel i in workspace

@@ -18,20 +18,20 @@ object DedupDocs {
       .groupBy(md5(col("text").cast("binary")).as("content_md5"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** Word k-shingles, distinct per doc. */
-  def shingles(documents: DataFrame, k: Int): DataFrame =
+  /** Word k-shingles, distinct per doc; `carry` columns ride along. */
+  def shingles(documents: DataFrame, k: Int, carry: Seq[String] = Nil): DataFrame =
     documents
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select((Seq(col("doc_id")) ++ carry.map(col) :+ split(col("text"), " ").as("toks")): _*)
       .select(
-        col("doc_id"),
-        explode(
-          array_distinct(
-            transform(
-              sequence(lit(0), size(col("toks")) - k),
-              i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))
+        (Seq(col("doc_id")) ++ carry.map(col) :+
+          explode(
+            array_distinct(
+              transform(
+                sequence(lit(0), size(col("toks")) - k),
+                i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))
+              )
             )
-          )
-        ).as("shingle")
+          ).as("shingle")): _*
       )
 
   /** Within-bucket ordered pair generation: given a `docs` array column
@@ -66,20 +66,10 @@ object DedupDocs {
       threshold: Double,
       blockCol: String
   ): DataFrame = {
-    val sh = documents
-      .select(col("doc_id"), col(blockCol), split(col("text"), " ").as("toks"))
-      .select(
-        col("doc_id"),
-        col(blockCol),
-        explode(
-          array_distinct(
-            transform(
-              sequence(lit(0), size(col("toks")) - k),
-              i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))
-            )
-          )
-        ).as("shingle")
-      )
+    // NULL blocks join to nothing under equi-join semantics (and in the
+    // SQL oracle); drop them before bucketing, or they would collapse
+    // into one giant NULL bucket
+    val sh = shingles(documents.where(col(blockCol).isNotNull), k, carry = Seq(blockCol))
     val buckets = sh
       .groupBy(col(blockCol), col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
@@ -149,6 +139,8 @@ object DedupDocs {
       numHashes: Int,
       rowsPerBand: Int
   ): DataFrame = {
+    // NOTE: exact banding only — a partial trailing band would inflate
+    // candidate recall unpredictably; pad numHashes instead
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val numBands = numHashes / rowsPerBand
     // band keys "s0:h0,s1:h1,..." (seed order — byte-identical to the SQL
@@ -195,16 +187,13 @@ object DedupDocs {
       .groupBy(col("bk.band").as("band"), col("bk.band_key").as("band_key"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("docs"))
       .where(size(col("docs")) > 1)
-    buckets
-      .select(posexplode(col("docs")).as(Seq("i", "a")), col("docs"))
+    // explodePairs is element-type-generic: here the members are
+    // (doc_id, simhash) structs, so the hashes travel with the pair
+    explodePairs(buckets)
       .select(
-        col("a"),
-        explode(slice(col("docs"), col("i") + 2, size(col("docs")))).as("b")
-      )
-      .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming")
+        col("doc_a.doc_id").as("doc_a"),
+        col("doc_b.doc_id").as("doc_b"),
+        bit_count(col("doc_a.simhash").bitwiseXOR(col("doc_b.simhash"))).cast("long").as("hamming")
       )
       .where(col("hamming") <= maxHamming)
       .distinct()

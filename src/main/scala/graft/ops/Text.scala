@@ -36,11 +36,16 @@ object Text {
     )
   }
 
+  /** Whitespace for the punct run class, enumerated EXPLICITLY: Java's
+    * `\s` includes vertical tab (0x0B) but RE2's (DuckDB's) does not, so
+    * a shorthand class would silently diverge between engine and oracle. */
+  val WhitespaceClass = " \\t\\n\\r\\x0B\\f"
+
   /** BPE-ish regex tokenization stats: run counts per character class
     * (alpha / numeric / punctuation) — the pre-tokenizer split a BPE
-    * vocabulary sees. Single-class patterns (no alternation), so Java
-    * regex and RE2 (DuckDB) count identically; the total is their sum by
-    * construction. */
+    * vocabulary sees. Single-class patterns (no alternation, no
+    * shorthand escapes), so Java regex and RE2 (DuckDB) count
+    * identically; the total is their sum by construction. */
   def regexTokenStats(documents: DataFrame): DataFrame = {
     def runs(pattern: String): org.apache.spark.sql.Column =
       size(regexp_extract_all(col("text"), lit(pattern), lit(0))).cast("long")
@@ -49,7 +54,7 @@ object Text {
         col("doc_id"),
         runs("[A-Za-z]+").as("n_alpha"),
         runs("[0-9]+").as("n_num"),
-        runs("[^A-Za-z0-9\\s]+").as("n_punct")
+        runs(s"[^A-Za-z0-9$WhitespaceClass]+").as("n_punct")
       )
       .withColumn("n_bpe_tokens", col("n_alpha") + col("n_num") + col("n_punct"))
       .withColumn(

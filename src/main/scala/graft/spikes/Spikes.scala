@@ -86,10 +86,14 @@ object Spikes {
     // InternalRow fold (no external-Row boxing); kept rows are copied out
     // of the reused UnsafeRow iterator slot.
     val rdd = org.apache.spark.sql.graftbridge.Bridge.toInternalRdd(arranged).mapPartitions { it =>
+      import org.apache.spark.sql.catalyst.InternalRow
       var curKey: Seq[Any] = null
       var lastKept = Long.MinValue
       it.flatMap { r =>
-        val k = keyPos.indices.map(i => r.get(keyPos(i), keyTypes(i)))
+        // copyValue: the sort/spill iterator reuses the UnsafeRow, so a
+        // non-primitive key (UTF8String...) kept across rows would be a
+        // view into overwritten bytes
+        val k = keyPos.indices.map(i => InternalRow.copyValue(r.get(keyPos(i), keyTypes(i))))
         if (curKey == null || k != curKey) { curKey = k; lastKept = Long.MinValue }
         val idx = r.getLong(idxPos)
         if (lastKept == Long.MinValue || idx - lastKept >= width) {

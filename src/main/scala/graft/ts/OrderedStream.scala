@@ -30,7 +30,11 @@ import org.apache.spark.storage.StorageLevel
   * does.
   *
   * Like [[Sessionize.withSegmentIdGlobal]], the persist anchors the
-  * sampled range partitioning across the two passes.
+  * sampled range partitioning across the two passes. It is deliberately
+  * NOT unpersisted here — the returned DataFrame still reads through it
+  * (an early unpersist would both recompute and re-sample the range
+  * partitioner, breaking the anchor); the ContextCleaner reclaims it
+  * once the result is no longer referenced.
   */
 object OrderedStream {
 

@@ -75,6 +75,21 @@ class OpsSpec extends SparkSpec {
     assert(r.getDouble(5) == 0.375) // punct ratio
   }
 
+  test("ngram jaccard: NULL-block docs join to nothing (equi-join semantics)") {
+    val df = Seq(
+      (0L, "a b c d e f", Option("s1")),
+      (1L, "a b c d e f", Option("s1")),
+      (2L, "a b c d e f", None), // NULL block: must pair with nobody
+      (3L, "a b c d e f", None)
+    ).toDF("doc_id", "text", "source")
+    val pairs = DedupDocs
+      .ngramJaccardPairs(df, k = 3, threshold = 0.8, blockCol = "source")
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+
   test("simhash banded near-dup pairs identical docs at hamming 0") {
     val df = Seq(
       (0L, "alpha beta gamma delta"),
