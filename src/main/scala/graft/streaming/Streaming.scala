@@ -76,6 +76,36 @@ object Streaming {
       }
   }
 
+  /** W2 consecutive-crossing detection as streaming state: per key,
+    * carry the previous sample's (idx, aboveThreshold) across
+    * micro-batches; emit idx when sample idx and idx+1 are BOTH above
+    * threshold (the ≥2-consecutive rule, jagular/spikes.py:368-373 —
+    * emission happens when the SECOND sample arrives). Requires per-key
+    * in-order delivery, as in the reference's generator chain. */
+  def crossingsStream(
+      samples: Dataset[Sample],
+      threshold: Double
+  ): Dataset[Kept] = {
+    import samples.sparkSession.implicits._
+    samples
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Boolean), Kept](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, Boolean)]) =>
+          var prev: Option[(Long, Boolean)] = state.getOption
+          val out = rows.toSeq.sortBy(_.ts).flatMap { s =>
+            val above = s.value > threshold
+            val hit = prev match {
+              case Some((pt, pAbove)) if pAbove && above && s.ts == pt + 1 => Some(Kept(key, pt))
+              case _ => None
+            }
+            prev = Some((s.ts, above))
+            hit
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** U2 dedup-keep-first as a streaming query: duplicate (key, ts)
     * arrivals within the watermark keep only the FIRST occurrence.
     * Spark's `dropDuplicatesWithinWatermark` holds per-(key, ts) state

@@ -80,6 +80,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(3L, 2L))
   }
 
+  test("streaming crossings carry prev-sample state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.Sample]
+    val q = Streaming
+      .crossingsStream(input.toDS(), threshold = 10.0)
+      .writeStream
+      .format("memory")
+      .queryName("crossings")
+      .outputMode("append")
+      .start()
+    // batch 1 ends with an above-threshold sample at ts=5
+    input.addData(
+      Streaming.Sample("a", 3, 2.0), Streaming.Sample("a", 4, 11.0),
+      Streaming.Sample("a", 5, 12.0))
+    q.processAllAvailable()
+    // batch 2: ts=6 also above → crossing at 5 spans the batch boundary;
+    // ts=8 above but 7 is not consecutive-above
+    input.addData(Streaming.Sample("a", 6, 13.0), Streaming.Sample("a", 8, 20.0))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT idx FROM crossings ORDER BY idx").collect().map(_.getLong(0))
+    q.stop()
+    // 4 (4,5 above), 5 (5,6 above across batches); 6→8 not consecutive
+    assert(got.toSeq == Seq(4L, 5L))
+  }
+
   test("streaming dedup keep-first drops duplicate (key, ts) within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double)]
