@@ -72,15 +72,20 @@ object Align {
     val sb = if (sBefore >= 0) sBefore else peakIdx
     val sa = if (sAfter >= 0) sAfter else numSamples - sb
 
-    // the parabola fit needs an interior peak; clamp edge peaks one sample
-    // inward (the reference assumes interiority and would fault here)
-    val peakIdxSafe = math.min(math.max(peakIdx, 1), numSamples - 2)
-
-    val (a, b, _) = parabolaCoeffs(
-      (peakIdxSafe - 1.0, peakIdxSafe.toDouble, peakIdxSafe + 1.0),
-      (waveform(peakIdxSafe - 1)(peakCh), waveform(peakIdxSafe)(peakCh), waveform(peakIdxSafe + 1)(peakCh))
-    )
-    val sFracPeak = parabolaPeakLoc(a, b)
+    // the parabola fit needs 3 samples with an interior peak; clamp edge
+    // peaks one sample inward (the reference assumes interiority and
+    // would fault here), and degrade to the integer peak for waveforms
+    // too short to fit at all
+    val sFracPeak =
+      if (numSamples < 3) peakIdx.toDouble
+      else {
+        val peakIdxSafe = math.min(math.max(peakIdx, 1), numSamples - 2)
+        val (a, b, _) = parabolaCoeffs(
+          (peakIdxSafe - 1.0, peakIdxSafe.toDouble, peakIdxSafe + 1.0),
+          (waveform(peakIdxSafe - 1)(peakCh), waveform(peakIdxSafe)(peakCh), waveform(peakIdxSafe + 1)(peakCh))
+        )
+        parabolaPeakLoc(a, b)
+      }
 
     val (wf, fracPeak) =
       if (pad) (waveform.head +: waveform :+ waveform.last, sFracPeak + 1.0)

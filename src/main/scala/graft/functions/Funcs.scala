@@ -18,11 +18,19 @@ object Funcs {
   def padTo(arr: Column, n: Int, fill: Column = lit(0.0)): Column =
     slice(concat(arr, array_repeat(fill, n)), 1, n)
 
-  /** F8: float range via sequence + scaling (jagular/utils.py:17-22):
-    * start, start+step, ... < stop (count-based like np.linspace usage). */
-  def frange(start: Column, stop: Column, step: Column): Column =
-    transform(
-      sequence(lit(0), floor((stop - start) / step).cast("long") - 1),
-      i => start + i * step
-    )
+  /** F8: float range, the reference's exact construction
+    * (jagular/utils.py:17-22): `num = floor((stop-start)/step)` points of
+    * `linspace(start, stop, num, endpoint=False)` — i.e. spacing
+    * `(stop-start)/num`, NOT `step`, when the range is not divisible.
+    * Empty ranges (num <= 0) yield an empty array. */
+  def frange(start: Column, stop: Column, step: Column): Column = {
+    val num = floor((stop - start) / step).cast("long")
+    when(num <= 0, array().cast("array<double>"))
+      .otherwise(
+        transform(
+          sequence(lit(0L), num - 1),
+          i => start + i.cast("double") * (stop - start) / num.cast("double")
+        )
+      )
+  }
 }

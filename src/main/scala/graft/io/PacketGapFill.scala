@@ -30,10 +30,10 @@ object PacketGapFill {
     val n =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val cols = df.columns
-    val tsIdx = cols.indexOf("ts")
-    val valIdx = cols.indexOf("values")
-    require(tsIdx >= 0 && valIdx >= 0, "need ts and values columns")
+    require(
+      df.columns.contains("ts") && df.columns.contains("values"),
+      "need ts and values columns"
+    )
     // epoch break at diff >= maxGap+2; fill when 1 < diff <= maxGap+1
     val breakAt = maxGapSize + 2
 
@@ -109,6 +109,12 @@ object PacketGapFill {
         else {
           val a0 = v0.toArray
           val a1 = v1.toArray
+          // channel-count homogeneity is enforced at the scan
+          // (RecScan.read), but a direct caller could mix sources
+          require(
+            a0.length == a1.length,
+            s"packet channel counts differ across a gap: ${a0.length} vs ${a1.length}"
+          )
           (t0 + 1 until t1).iterator.map { t =>
             val vals = new Array[Short](a0.length)
             var c = 0

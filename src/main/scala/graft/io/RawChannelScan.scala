@@ -46,7 +46,7 @@ object RawChannelScan {
 
     val rdd = spark.sparkContext
       .parallelize(splits, math.max(1, splits.size))
-      .flatMap { case (start, count) =>
+      .flatMap { case (start, total) =>
         val conf = serConf.value
         val cp = new Path(channelFile)
         val tp = new Path(timestampsFile)
@@ -56,25 +56,34 @@ object RawChannelScan {
         tin.seek(start * tsBytes)
         val cbuf = new java.io.DataInputStream(new java.io.BufferedInputStream(cin, 1 << 20))
         val tbuf = new java.io.DataInputStream(new java.io.BufferedInputStream(tin, 1 << 20))
-        val out = new Array[Row](count.toInt)
-        var i = 0
-        while (i < count) {
-          val v = (cbuf.read() | (cbuf.read() << 8)).toShort
-          val ts =
-            if (tsBytes == 4)
-              (tbuf.read() & 0xffL) | ((tbuf.read() & 0xffL) << 8) |
-                ((tbuf.read() & 0xffL) << 16) | ((tbuf.read() & 0xffL) << 24)
-            else {
-              var acc = 0L
-              var b = 0
-              while (b < 8) { acc |= (tbuf.read() & 0xffL) << (8 * b); b += 1 }
-              acc
-            }
-          out(i) = Row(ts, v)
-          i += 1
+        // stream lazily: a split is up to targetSplitRecords rows —
+        // materializing it as Array[Row] would be ~GBs of transient heap
+        // per task at the default split size
+        new Iterator[Row] {
+          private var i = 0L
+          private var closed = false
+          override def hasNext: Boolean = {
+            val more = i < total
+            if (!more && !closed) { cbuf.close(); tbuf.close(); closed = true }
+            more
+          }
+          override def next(): Row = {
+            val v = (cbuf.read() | (cbuf.read() << 8)).toShort
+            val ts =
+              if (tsBytes == 4)
+                (tbuf.read() & 0xffL) | ((tbuf.read() & 0xffL) << 8) |
+                  ((tbuf.read() & 0xffL) << 16) | ((tbuf.read() & 0xffL) << 24)
+              else {
+                var acc = 0L
+                var b = 0
+                while (b < 8) { acc |= (tbuf.read() & 0xffL) << (8 * b); b += 1 }
+                acc
+              }
+            i += 1
+            if (i == total && !closed) { cbuf.close(); tbuf.close(); closed = true }
+            Row(ts, v)
+          }
         }
-        cbuf.close(); tbuf.close()
-        out.iterator
       }
     spark.createDataFrame(rdd, schema)
   }

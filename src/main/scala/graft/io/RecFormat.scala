@@ -120,13 +120,19 @@ object RecFormat {
     val path = new Path(cfg.path)
     val f = fs(path, hadoopConf)
     val len = f.getFileStatus(path).getLen
+    // PACKET-ALIGNED last seek: a truncated recording (crash mid-write)
+    // leaves a partial trailing packet, and seeking to len - packetSize
+    // would decode channel bytes as the "last" timestamp — which the V2
+    // source would then trust for whole-file pruning
+    val whole = (len - cfg.configSectionSize) / cfg.packetSize
+    require(whole > 0, s"${cfg.path}: no whole packets after the config section")
     val in = f.open(path)
     try {
       val packet = new Array[Byte](cfg.packetSize)
       in.seek(cfg.configSectionSize)
       in.readFully(packet)
       val first = tsOf(packet, cfg)
-      in.seek(len - cfg.packetSize)
+      in.seek(cfg.configSectionSize + (whole - 1) * cfg.packetSize)
       in.readFully(packet)
       val last = tsOf(packet, cfg)
       (first, last)
@@ -199,6 +205,10 @@ object RecFormat {
 
   private val emptyValues = new Array[Short](0)
 
+  /** Packet iterator that can be closed EARLY (LIMIT queries, reader
+    * teardown) — the stream otherwise closes on exhaustion. */
+  trait PacketIterator extends Iterator[Packet] with java.io.Closeable
+
   /** S3: decode `count` packets starting at packet index `startPacket`.
     * Streams through the byte range; only the projected channels are
     * materialized (prune-at-decode, reference: readers.py:341).
@@ -211,7 +221,7 @@ object RecFormat {
       nPackets: Long,
       hadoopConf: Configuration,
       decodeValues: Boolean = true
-  ): Iterator[Packet] = {
+  ): PacketIterator = {
     val path = new Path(cfg.path)
     val in = fs(path, hadoopConf).open(path)
     in.seek(cfg.configSectionSize + startPacket * cfg.packetSize)
@@ -220,9 +230,13 @@ object RecFormat {
     val reindex = cfg.reindex
     val chanBase = cfg.headerSize + cfg.timestampSize
 
-    new Iterator[Packet] {
+    new PacketIterator {
       private var remaining = nPackets
       private var closed = false
+      override def close(): Unit = {
+        if (!closed) { dis.close(); closed = true }
+        remaining = 0
+      }
       override def hasNext: Boolean = {
         if (remaining <= 0 && !closed) { dis.close(); closed = true }
         remaining > 0

@@ -77,6 +77,13 @@ object RecScan {
     val hconf = spark.sparkContext.hadoopConfiguration
     val serConf = new SerializableConfiguration(hconf)
     val cfgs = paths.map(p => RecFormat.parseConfig(p, hconf))
+    // a stitched session must be channel-homogeneous: mixed workspaces
+    // would emit values arrays of different lengths into one column (and
+    // break downstream per-channel logic like the packet gap fill)
+    require(
+      cfgs.map(_.nSpikeChannels).distinct.size <= 1,
+      s"mixed spike-channel counts across files: ${cfgs.map(c => s"${c.path}=${c.nSpikeChannels}").mkString(", ")}"
+    )
     val ranked = cfgs
       .map(c => (c, RecFormat.timestampBounds(c, hconf)._1))
       .sortBy(_._2)
@@ -104,6 +111,9 @@ object RecScan {
         import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
         import org.apache.spark.sql.catalyst.util.ArrayData
         val it = RecFormat.decodeRange(sp.cfg, sp.startPacket, sp.count, serConf.value)
+        // close the stream even if the task stops pulling early (limit/kill)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => it.close()))
         var pos = sp.startPacket - 1
         it.map { pkt =>
           pos += 1

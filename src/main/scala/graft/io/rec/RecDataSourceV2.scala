@@ -258,5 +258,7 @@ class RecPartitionReader(
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  // Spark calls close() on early termination (LIMIT, task kill): release
+  // the underlying stream instead of leaking it until exhaustion
+  override def close(): Unit = it.close()
 }

@@ -61,7 +61,11 @@ object GapFill {
       .where(
         col("__nts").isNotNull &&
           (col("__nts") - col(tsCol) > step) &&
-          (col("__nts") - col(tsCol) <= lit(maxGapSize) * lit(step) + lit(step))
+          (col("__nts") - col(tsCol) <= lit(maxGapSize) * lit(step) + lit(step)) &&
+          // off-grid gaps (length not a multiple of step) have no integral
+          // fill points; without this guard sequence(start, stop, step)
+          // can get start > stop and throw
+          ((col("__nts") - col(tsCol)) % step === 0)
       )
       .withColumn("__gts", explode(sequence(col(tsCol) + step, col("__nts") - step, lit(step))))
       // v0 + (t - t0) * (v1 - v0) / (t1 - t0), evaluated in double.

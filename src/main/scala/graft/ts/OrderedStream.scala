@@ -52,7 +52,9 @@ object OrderedStream {
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val cols = df.columns
-    val proj = orderCol +: carry
+    // distinct: carry containing the order column would otherwise emit
+    // duplicate __prev_/__next_ field names
+    val proj = (orderCol +: carry).distinct
     val projIdx = proj.map(c => cols.indexOf(c))
     require(projIdx.forall(_ >= 0), s"missing columns among $proj")
 

@@ -21,10 +21,18 @@ class FuncsSpec extends SparkSpec {
     assert(math.abs(out - 1024.0) < 1e-9)
   }
 
-  test("frange generates start-incremented floats below stop") {
+  test("frange matches the reference linspace construction") {
     val df = Seq(1).toDF("x")
     val out = df.select(Funcs.frange(lit(0.0), lit(1.0), lit(0.25))).first().getSeq[Double](0)
     assert(out == Seq(0.0, 0.25, 0.5, 0.75))
+    // non-divisible range: num = floor(1/0.3) = 3 points of
+    // linspace(0, 1, 3, endpoint=False) -> spacing 1/3, NOT step
+    val nd = df.select(Funcs.frange(lit(0.0), lit(1.0), lit(0.3))).first().getSeq[Double](0)
+    assert(nd.length == 3)
+    assert(math.abs(nd(1) - 1.0 / 3.0) < 1e-12 && math.abs(nd(2) - 2.0 / 3.0) < 1e-12)
+    // empty range yields an empty array (not [start, start-step])
+    val empty = df.select(Funcs.frange(lit(5.0), lit(5.0), lit(1.0))).first().getSeq[Double](0)
+    assert(empty.isEmpty)
   }
 
   test("requestRange validates against session bounds then slices") {
