@@ -44,7 +44,7 @@ object Graft {
       keys: Seq[String] = Nil
   ): DataFrame = {
     val thr = Spikes.madThreshold(signal, valueCol, threshold).first().getDouble(0)
-    val peaks = Spikes.crossings(signal, idxCol, valueCol, thr, polarity)
+    val peaks = Spikes.crossings(signal, idxCol, valueCol, thr, polarity, keys)
     val censored = Spikes.censor(peaks, idxCol, censorWidth, keys)
     Spikes.extractPatches(signal, censored, idxCol, valueCol, patchHalfWidth)
   }

@@ -944,9 +944,10 @@ object SparkEntry {
     // every sf), so VARCHAR substring == byte slicing == Spark's binary
     // substring
     "q_frames" ->
-      """WITH f AS (SELECT doc_id, length(text) // 64 AS n_frames, text FROM documents),
+      """WITH f AS (SELECT doc_id, length(text) // 64 AS n_frames, text FROM documents
+        |           WHERE length(text) // 64 > 0),
         |g AS (SELECT doc_id, n_frames,
-        |        unnest(generate_series(0, greatest(n_frames - 1, 0), 2)) AS frame_idx, text
+        |        unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx, text
         |      FROM f)
         |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
         |       CAST(frame_idx AS BIGINT) AS frame_idx,

@@ -31,7 +31,6 @@ object Decimate {
   def decimate(
       df: DataFrame,
       q: Int,
-      fsIn: Double,
       tsCol: String,
       valueCol: String,
       keys: Seq[String],

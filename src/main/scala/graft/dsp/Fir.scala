@@ -31,6 +31,7 @@ object Fir {
   def lowpassCoeffs(numTaps: Int, cutoff: Double): Array[Double] = {
     require(numTaps % 2 == 1, "numTaps must be odd (symmetric, zero-phase)")
     require(cutoff > 0 && cutoff < 1, "cutoff must be in (0, 1) of Nyquist")
+    if (numTaps == 1) return Array(1.0) // identity; the Hamming term is 0/0 here
     val m = numTaps / 2
     val h = Array.tabulate(numTaps) { n =>
       val k = n - m

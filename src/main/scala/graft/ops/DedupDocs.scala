@@ -18,7 +18,10 @@ object DedupDocs {
       .groupBy(md5(col("text").cast("binary")).as("content_md5"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** Word k-shingles, distinct per doc; `carry` columns ride along. */
+  /** Word k-shingles, distinct per doc; `carry` columns ride along.
+    * Documents with fewer than k tokens contribute NO shingles (matching
+    * DuckDB's empty generate_series — an unguarded descending sequence
+    * would make slice() throw on them). */
   def shingles(documents: DataFrame, k: Int, carry: Seq[String] = Nil): DataFrame =
     documents
       .select((Seq(col("doc_id")) ++ carry.map(col) :+ split(col("text"), " ").as("toks")): _*)
@@ -26,10 +29,13 @@ object DedupDocs {
         (Seq(col("doc_id")) ++ carry.map(col) :+
           explode(
             array_distinct(
-              transform(
-                sequence(lit(0), size(col("toks")) - k),
-                i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))
-              )
+              when(
+                size(col("toks")) >= k,
+                transform(
+                  sequence(lit(0), size(col("toks")) - k),
+                  i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))
+                )
+              ).otherwise(array().cast("array<string>"))
             )
           ).as("shingle")): _*
       )

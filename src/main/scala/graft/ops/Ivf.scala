@@ -94,8 +94,7 @@ object Ivf {
       queries: DataFrame,
       k: Int,
       nLists: Int,
-      nProbe: Int,
-      seed: Long = 42L
+      nProbe: Int
   ): DataFrame = {
     val (assigned, centroids) = assignCells(corpus, nLists)
     // rank cells per query by centroid distance, keep nProbe

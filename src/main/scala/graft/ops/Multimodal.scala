@@ -141,7 +141,10 @@ object Multimodal {
   def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     require(frameBytes > 0 && stride > 0)
     df.withColumn("n_frames", (length(col("payload")) / frameBytes).cast("int"))
-      .withColumn("frame_idx", explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(stride))))
+      // a payload with zero COMPLETE frames yields no rows (trailing
+      // partial frames are dropped everywhere, including frame 0)
+      .where(col("n_frames") > 0)
+      .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .withColumn(
         "frame",
         expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")

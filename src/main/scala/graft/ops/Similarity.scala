@@ -60,18 +60,26 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplanes: component j of plane p is
-    * derived from md5(p:j) → uniform in [-1, 1). Same construction is
-    * reproducible anywhere (including SQL) — no RNG state. */
-  private def planeComponent(p: Int, j: Column): Column =
-    conv(substring(md5(concat(lit(p.toString), lit(":"), j.cast("string")).cast("binary")), 1, 8), 16, 10)
-      .cast("double") / lit(2147483648.0) - 1.0
+  /** Deterministic pseudo-random hyperplane component: md5("p:j") →
+    * uniform in [-1, 1). Computed ONCE on the driver (a pure function of
+    * (p, j)) — the previous in-expression form re-ran dim × numPlanes
+    * md5 digests per corpus ROW, since a lambda variable blocks constant
+    * folding. Same construction, same doubles, reproducible in SQL. */
+  private def planeComponent(p: Int, j: Int): Double = {
+    val digest = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s"$p:$j".getBytes("UTF-8"))
+    val hex = digest.take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+  }
 
-  /** Sign-LSH bucket key: `numPlanes` sign bits of hyperplane dot products. */
+  /** Sign-LSH bucket key: `numPlanes` sign bits of hyperplane dot
+    * products against literal (constant-folded) plane vectors. */
   def lshBucket(embedding: Column, dim: Int, numPlanes: Int): Column = {
     val bits = (0 until numPlanes).map { p =>
+      val plane = array((0 until dim).map(j => lit(planeComponent(p, j))): _*)
       val proj = aggregate(
-        zip_with(embedding, sequence(lit(0), lit(dim - 1)), (x, j) => x.cast("double") * planeComponent(p, j)),
+        zip_with(embedding, plane, (x, c) => x.cast("double") * c),
         lit(0.0),
         (acc, v) => acc + v
       )

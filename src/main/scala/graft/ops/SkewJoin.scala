@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join of `big` and `small` on `key`, salted. The salt is
-    * derived from stable row content (`saltFrom` column) so the plan is
-    * deterministic end-to-end. */
+    * `hash(saltFrom) ⊕ per-row id`, mod salts: content alone would give
+    * IDENTICAL rows of a hot key the SAME salt (the exact empty-string
+    * pathology this operator exists for — zero fan-out), while the
+    * monotonic id alone would still be deterministic per run but blind
+    * to content; the combination fans out duplicates and stays stable
+    * for distinct rows. */
   def saltedInner(
       big: DataFrame,
       small: DataFrame,
@@ -25,7 +29,10 @@ object SkewJoin {
       salts: Int
   ): DataFrame = {
     require(salts > 0)
-    val salted = big.withColumn("__salt", pmod(hash(col(saltFrom)), lit(salts)))
+    val salted = big.withColumn(
+      "__salt",
+      pmod(hash(col(saltFrom), monotonically_increasing_id()), lit(salts))
+    )
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     salted

@@ -33,7 +33,8 @@ object Spikes {
       idxCol: String,
       valueCol: String,
       threshold: Double,
-      polarity: String = "pos"
+      polarity: String = "pos",
+      keys: Seq[String] = Nil
   ): DataFrame = {
     val pred = polarity match {
       case "pos" => col(valueCol) > threshold
@@ -41,11 +42,20 @@ object Spikes {
       case "both" => abs(col(valueCol)) > threshold
       case other => throw new IllegalArgumentException(s"polarity $other")
     }
-    val hits = df.where(pred).select(col(idxCol), col(valueCol))
+    // keys (channel/tetrode) are part of the join: without them a
+    // multichannel stream would pair crossings ACROSS channels, and the
+    // keys would be missing from the output for downstream censor/gather
+    val hits = df.where(pred).select((keys.map(col) :+ col(idxCol) :+ col(valueCol)): _*)
+    val cond = keys
+      .map(k => col(s"a.$k") === col(s"b.$k"))
+      .foldLeft(col(s"a.$idxCol") + 1 === col(s"b.$idxCol"))(_ && _)
     hits
       .as("a")
-      .join(hits.as("b"), col(s"a.$idxCol") + 1 === col(s"b.$idxCol"))
-      .select(col(s"a.$idxCol").as(idxCol), col(s"a.$valueCol").as(valueCol))
+      .join(hits.as("b"), cond)
+      .select(
+        (keys.map(k => col(s"a.$k").as(k)) :+
+          col(s"a.$idxCol").as(idxCol) :+ col(s"a.$valueCol").as(valueCol)): _*
+      )
   }
 
   /** Refractory censor (W3, jagular/spikes.py:303-337): ordered fold that

@@ -23,12 +23,14 @@ object Pretty {
     if (seconds.isPosInfinity) return "inf"
     if (seconds.isNegInfinity) return "-inf"
     val sign = if (seconds < 0) "-" else ""
-    var s = math.abs(seconds)
-    val days = (s / 86400).toLong; s -= days * 86400
-    val hours = (s / 3600).toLong; s -= hours * 3600
-    val mins = (s / 60).toLong; s -= mins * 60
-    val whole = s.toLong
-    val ms = math.round((s - whole) * 1000)
+    // integer milliseconds first, so rounding carries through every unit
+    // (59.9996s is 00:01:00, not 00:00:59.1000)
+    var t = math.round(math.abs(seconds) * 1000)
+    val days = t / 86400000L; t -= days * 86400000L
+    val hours = t / 3600000L; t -= hours * 3600000L
+    val mins = t / 60000L; t -= mins * 60000L
+    val whole = t / 1000L
+    val ms = t % 1000L
     val msPart = if (ms > 0) f".$ms%03d" else ""
     val dayPart = if (days > 0) s"${days}d:" else ""
     f"$sign$dayPart$hours%02d:$mins%02d:$whole%02d$msPart"

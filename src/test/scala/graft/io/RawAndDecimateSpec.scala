@@ -47,7 +47,7 @@ class RawAndDecimateSpec extends SparkSpec {
   test("decimate lowpasses then downsamples; row count matches") {
     val n = 200
     val df = (0 until n).map(i => ("s", i.toLong, math.sin(i * 0.05))).toDF("seg", "ts", "v")
-    val out = Decimate.decimate(df, q = 10, fsIn = 1000, tsCol = "ts", valueCol = "v", keys = Seq("seg"))
+    val out = Decimate.decimate(df, q = 10, tsCol = "ts", valueCol = "v", keys = Seq("seg"))
     assert(out.count() == 21) // 20 strided + final sample
     // a slow sine survives decimation roughly intact at kept points
     val kept = out.orderBy("ts").collect().map(r => (r.getLong(1), r.getDouble(2)))
