@@ -101,19 +101,23 @@ object RecScan {
     }
 
     val subset = channelSubset.map(_.toArray)
-    // Emit Catalyst InternalRows directly (UnsafeArrayData over the
-    // primitive short[]): skips the per-row external→Catalyst converter,
-    // which dominates decode cost for 100+-channel packets.
+    // Emit UnsafeRows serialized directly by an UnsafeRowWriter: one
+    // contiguous buffer write + one byte-array copy per packet, instead
+    // of GenericInternalRow + boxed array + a downstream UnsafeProjection
+    // re-doing the same serialization. This is the row-based reader's
+    // floor; the decode kernel itself runs at memcpy-ish speed
+    // (graft.tools.DecodeBench).
     val rdd = spark.sparkContext
       .parallelize(splits, math.max(1, splits.size))
       .flatMap { sp =>
         import org.apache.spark.sql.catalyst.InternalRow
-        import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-        import org.apache.spark.sql.catalyst.util.ArrayData
+        import org.apache.spark.sql.catalyst.expressions.codegen.{UnsafeArrayWriter, UnsafeRowWriter}
         val it = RecFormat.decodeRange(sp.cfg, sp.startPacket, sp.count, serConf.value)
         // close the stream even if the task stops pulling early (limit/kill)
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => it.close()))
+        val writer = new UnsafeRowWriter(4)
+        val arrWriter = new UnsafeArrayWriter(writer, 2)
         var pos = sp.startPacket - 1
         it.map { pkt =>
           pos += 1
@@ -121,9 +125,16 @@ object RecScan {
             case Some(idx) => idx.map(pkt.values(_))
             case None => pkt.values
           }
-          new GenericInternalRow(
-            Array[Any](sp.rank, pos, pkt.ts, ArrayData.toArrayData(vals))
-          ): InternalRow
+          writer.reset()
+          writer.write(0, sp.rank)
+          writer.write(1, pos)
+          writer.write(2, pkt.ts)
+          val cursorBefore = writer.cursor()
+          arrWriter.initialize(vals.length)
+          var i = 0
+          while (i < vals.length) { arrWriter.write(i, vals(i)); i += 1 }
+          writer.setOffsetAndSizeFromPreviousCursor(3, cursorBefore)
+          writer.getRow.copy(): InternalRow
         }
       }
     org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(spark, rdd, schema)
