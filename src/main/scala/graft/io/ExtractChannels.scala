@@ -34,16 +34,17 @@ object ExtractChannels {
   ): DataFrame = {
     val raw = RecScan.read(spark, paths, channelSubset = channelSubset)
 
-    // U2: duplicate timestamps keep FIRST occurrence in stream order.
-    val deduped = Dedup.keepFirst(raw, Seq("ts"), Seq("file_rank", "pos"))
-
-    // W1 + J4/F1 fused at the packet level (PacketGapFill): one range
-    // partition assigns epochs AND synthesizes interpolated packets
-    // (numpy interp1d + astype(int16) truncation semantics), so the gap
-    // logic runs on n_packets rows — the per-channel explode happens
+    // U2 + W1 + J4/F1 all fused at the packet level (PacketGapFill): ONE
+    // range partition of the packet stream applies dedup-keep-first
+    // (equal timestamps are always partition-local under range
+    // partitioning; tie-break = stream order), assigns epochs, and
+    // synthesizes interpolated packets (numpy interp1d + astype(int16)
+    // truncation semantics). A separate Dedup.keepFirst step would hash-
+    // shuffle the full packet payloads a second time — the widest data
+    // in flight in the whole pipeline. The per-channel explode happens
     // exactly once, afterward.
     PacketGapFill
-      .fillAndSegment(deduped, maxGapSize)
+      .fillAndSegment(raw, maxGapSize, dedupTieBreak = Seq("file_rank", "pos"))
       .select(
         col("segment_id"),
         col("ts"),

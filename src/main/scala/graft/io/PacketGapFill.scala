@@ -19,12 +19,19 @@ import org.apache.spark.storage.StorageLevel
   */
 object PacketGapFill {
 
-  /** @param df (ts: Long, values: array<short>) — deduped packet stream.
+  /** @param df (ts: Long, values: array<short>) — packet stream. Pass
+    *           `dedupTieBreak` (e.g. file_rank, pos) to ALSO apply U2
+    *           dedup-keep-first inside the same pass: equal timestamps
+    *           always land in one range partition, so the dedup is
+    *           purely partition-local — fusing it here removes a whole
+    *           hash shuffle of the packet payloads from the extract
+    *           pipeline (the widest data in flight).
     * @return (ts, values, segment_id, interpolated) */
   def fillAndSegment(
       df: DataFrame,
       maxGapSize: Long,
-      numPartitions: Int = 0
+      numPartitions: Int = 0,
+      dedupTieBreak: Seq[String] = Nil
   ): DataFrame = {
     val spark = df.sparkSession
     val n =
@@ -37,11 +44,14 @@ object PacketGapFill {
     // epoch break at diff >= maxGap+2; fill when 1 < diff <= maxGap+1
     val breakAt = maxGapSize + 2
 
+    // sort by (ts, tieBreak...) so the FIRST row of each duplicate run is
+    // the keeper (deterministic keep-first, matching Dedup.keepFirst)
     val sorted = df
-      .select(col("ts"), col("values"))
+      .select((Seq(col("ts"), col("values")) ++ dedupTieBreak.map(col)): _*)
       .repartitionByRange(n, col("ts"))
-      .sortWithinPartitions(col("ts"))
+      .sortWithinPartitions((Seq(col("ts")) ++ dedupTieBreak.map(col)): _*)
       .persist(StorageLevel.MEMORY_AND_DISK) // correctness anchor (see Sessionize)
+    val dedup = dedupTieBreak.nonEmpty
 
     final case class Stat(pid: Int, firstTs: Long, firstVals: Seq[Short], lastTs: Long, breaks: Long)
     val stats = sorted.rdd
@@ -56,8 +66,10 @@ object PacketGapFill {
           var breaks = 0L
           it.foreach { r =>
             val ts = r.getLong(0)
-            if (ts - prev >= breakAt) breaks += 1
-            prev = ts; last = ts
+            if (!(dedup && ts == prev)) {
+              if (ts - prev >= breakAt) breaks += 1
+              prev = ts; last = ts
+            }
           }
           Iterator.single(Stat(pid, firstTs, firstVals, last, breaks))
         }
@@ -99,6 +111,7 @@ object PacketGapFill {
 
     val outRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       val (offs, nxtF, brk, maxGap) = bc.value
+      val dedupB = dedup
       val buf = it.buffered
       var seg = offs(pid)
       var prevTs = Long.MinValue
@@ -138,6 +151,11 @@ object PacketGapFill {
           val vals = r.getSeq[Short](1)
           if (prevTs != Long.MinValue && ts - prevTs >= brk) seg += 1
           prevTs = ts
+          // fused U2: drop the rest of a duplicate-ts run (sorted by
+          // tie-break, so this row is the deterministic keeper)
+          if (dedupB) {
+            while (buf.hasNext && buf.head.getLong(0) == ts) buf.next()
+          }
           // queue interpolations toward the next row (or boundary row)
           val nxt: Option[(Long, Seq[Short])] =
             if (buf.hasNext) Some((buf.head.getLong(0), buf.head.getSeq[Short](1)))
