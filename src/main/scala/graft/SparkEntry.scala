@@ -294,6 +294,15 @@ object SparkEntry {
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     DedupDocs.simhash(Tables.documents(s, dir))
 
+  /** Dedup clusters: MinHash-LSH candidate pairs → connected components
+    * → (doc_id, cluster_id = min doc of the component). The step that
+    * turns pair sets into deduplication decisions. */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = DedupDocs.minhashLshPairs(docs, k = 3, numHashes = 16, rowsPerBand = 4)
+    DedupDocs.connectedComponents(docs.select("doc_id"), pairs)
+  }
+
   /** SimHash banded near-dup pairs (Hamming <= 3 via 16-bit-band
     * pigeonhole candidates + exact bit_count filter). */
   private def qSimhashNearDup(s: SparkSession, dir: String): DataFrame =
@@ -620,7 +629,8 @@ object SparkEntry {
     "q_decimate_fir" -> (qDecimateFir _),
     "q_token_bpe" -> (qTokenBpe _),
     "q_simhash_neardup" -> (qSimhashNearDup _),
-    "q_frames" -> (qFrames _)
+    "q_frames" -> (qFrames _),
+    "q_dedup_clusters" -> (qDedupClusters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -940,6 +950,35 @@ object SparkEntry {
     // oracle-checked.
     "q_filtfilt" -> filtfiltOracleSql,
     "q_align" -> alignOracleSql,
+    // pair set (the q_minhash_lsh pipeline) -> transitive closure ->
+    // min label per component == the engine's label-propagation result
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE pairs AS MATERIALIZED (
+        |  WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+        |         FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
+        |  seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+        |  hs AS (SELECT doc_id,
+        |           ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+        |           ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 1000000007 AS h2
+        |         FROM sh),
+        |  mh AS (SELECT doc_id, seed, MIN(h1 + seed * h2) AS minhash
+        |         FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
+        |  bands AS (SELECT doc_id, seed // 4 AS band,
+        |              string_agg(seed || ':' || minhash, ',' ORDER BY seed) AS band_key
+        |            FROM mh GROUP BY doc_id, seed // 4)
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |edges AS MATERIALIZED (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |cc(doc_id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, cc.label FROM cc JOIN edges e ON e.dst = cc.doc_id
+        |)
+        |SELECT doc_id, MIN(label) AS cluster_id FROM cc GROUP BY doc_id""".stripMargin,
     // documents.text is ASCII (asserted by the checker's schema gate at
     // every sf), so VARCHAR substring == byte slicing == Spark's binary
     // substring

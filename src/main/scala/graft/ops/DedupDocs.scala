@@ -205,6 +205,64 @@ object DedupDocs {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair set — the step that turns
+    * candidate PAIRS into duplicate CLUSTERS with one canonical keeper
+    * (min doc_id) each. Iterative min-label propagation: every round
+    * each doc adopts the smallest label among itself and its neighbors;
+    * converges in O(component diameter) rounds (checked via an
+    * aggregate, not a driver collect of the data). Deterministic: the
+    * final label of every member is the component's global min doc_id,
+    * independent of iteration order — which is also what a SQL
+    * transitive-closure oracle computes.
+    *
+    * Scale: each round is one join + one aggregate on (doc, label)
+    * pairs; edges are broadcast when small. Near-dup graphs are sparse
+    * forests of small cliques, so rounds ≈ 2-4 in practice; the loop is
+    * capped and persists each iteration (lineage would otherwise grow
+    * exponentially).
+    */
+  def connectedComponents(
+      docs: DataFrame,
+      pairs: DataFrame,
+      maxIters: Int = 20
+  ): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // symmetric edge list
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .where(col("cluster_id") =!= col("old"))
+        .limit(1)
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash over word tokens: per bit position, sum +1/-1 weighted
     * by token-hash bit, sign → bit. md5-derived token hash (first 16 hex
     * chars as unsigned-ish long via two 8-hex halves). */

@@ -75,6 +75,18 @@ class OpsSpec extends SparkSpec {
     assert(r.getDouble(5) == 0.375) // punct ratio
   }
 
+  test("connected components merge pair chains transitively") {
+    val docs = (0L to 6L).toDF("doc_id")
+    // chain 0-1-2, pair 4-5, isolated 3 and 6
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val cc = DedupDocs
+      .connectedComponents(docs, pairs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(cc == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
   test("ngram jaccard: NULL-block docs join to nothing (equi-join semantics)") {
     val df = Seq(
       (0L, "a b c d e f", Option("s1")),
