@@ -227,10 +227,18 @@ object DedupDocs {
       maxIters: Int = 20
   ): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // symmetric edge list
+    // symmetric edge list in ONE pass over pairs (a union of two selects
+    // would evaluate the upstream candidate pipeline once per branch)
     val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .select(
+        explode(
+          array(
+            struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+            struct(col("doc_b").as("src"), col("doc_a").as("dst"))
+          )
+        ).as("e")
+      )
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = docs
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
