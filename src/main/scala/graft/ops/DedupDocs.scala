@@ -250,20 +250,20 @@ object DedupDocs {
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
+      // the changed flag rides in the materialized frame, so convergence
+      // detection and the next-labels materialization are ONE job
       val next = labels
+        .withColumnRenamed("cluster_id", "__old")
         .join(neighborMin, Seq("doc_id"), "left")
         .select(
           col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id")
+          least(col("__old"), coalesce(col("nbr_min"), col("__old"))).as("cluster_id"),
+          (coalesce(col("nbr_min"), col("__old")) < col("__old")).as("__changed")
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next
-        .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .where(col("cluster_id") =!= col("old"))
-        .limit(1)
-        .count()
+      val changed = next.where(col("__changed")).limit(1).count()
       labels.unpersist()
-      labels = next
+      labels = next.select("doc_id", "cluster_id")
       converged = changed == 0
       iter += 1
     }
