@@ -46,7 +46,7 @@ object Graft {
     val thr = Spikes.madThreshold(signal, valueCol, threshold).first().getDouble(0)
     val peaks = Spikes.crossings(signal, idxCol, valueCol, thr, polarity, keys)
     val censored = Spikes.censor(peaks, idxCol, censorWidth, keys)
-    Spikes.extractPatches(signal, censored, idxCol, valueCol, patchHalfWidth)
+    Spikes.extractPatches(signal, censored, idxCol, valueCol, patchHalfWidth, keys)
   }
 }
 

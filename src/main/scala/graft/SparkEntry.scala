@@ -237,13 +237,13 @@ object SparkEntry {
     Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), k = 10)
   }
 
-  /** MinHash-LSH candidate pairs (no SQL oracle — banding not reasonably
-    * expressible; driver records rows-only). */
+  /** MinHash-LSH candidate pairs (oracle-checked: the banding IS
+    * SQL-expressible — see the q_minhash_lsh entry). */
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     DedupDocs.minhashLshPairs(Tables.documents(s, dir), k = 3, numHashes = 16, rowsPerBand = 4)
 
-  /** Full spike chain incl. refractory censor (rows-only: loop-carried
-    * state, not SQL-expressible). */
+  /** Full spike chain incl. refractory censor (oracle-checked: the
+    * loop-carried censor walk runs as a recursive CTE). */
   private def qSpikeCensor(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
     val thr = Spikes.madThreshold(ev, "value", 2.0).first().getDouble(0)
@@ -481,7 +481,10 @@ object SparkEntry {
     * column arithmetic — every chained step is its own MATERIALIZED CTE
     * (DuckDB inlines lateral aliases textually; a 12-deep chain would
     * otherwise expand exponentially). Verified bit-identical at 6dp on
-    * all rows. */
+    * all rows at sf0.01 AND sf0.1. Known micro-divergence: an unreflected
+    * vertex landing EXACTLY in |x| ∈ [2.147e9, 2^31+2] (kernel Int
+    * saturation edge) — requires a denominator within ~1 ulp of zero;
+    * both sides return 0 outside that sliver. */
   private def alignOracleSql: String = {
     val z1 = math.sqrt(3.0) - 2.0
     def d(v: Double) = s"CAST($v AS DOUBLE)"
@@ -543,7 +546,7 @@ object SparkEntry {
        |cf AS MATERIALIZED (SELECT peak_idx, frac, o0 * 6.0 AS c1, o1 * 6.0 AS c2, o2 * 6.0 AS c3, o3 * 6.0 AS c4, o4 * 6.0 AS c5, o5 * 6.0 AS c6 FROM so0),
        |${reflStages.mkString(",\n")},
        |gj AS MATERIALIZED (SELECT *,
-       |  CASE WHEN isfinite(xr) AND abs(xr) < 1000000000.0
+       |  CASE WHEN isfinite(xr) AND abs(xr) < 2147483000.0
        |       THEN CAST(floor(xr - 2.0) AS INT) + 1 ELSE 1 END AS jl FROM g$reflGuard)
        |SELECT peak_idx, j AS sample_idx, round($terms, 6) AS value FROM gj""".stripMargin
   }
@@ -851,13 +854,15 @@ object SparkEntry {
         |           (CASE WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << b) END)
         |         ELSE 0 END) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
+    // width/height clamped to >= 1 on BOTH sides (FakeDecoder clamps;
+    // empty payloads would otherwise give 0 here and 1 there)
     "q_multimodal" ->
       """SELECT doc_id,
         |  octet_length(CAST(text AS BLOB)) AS byte_len,
         |  md5(text) AS content_md5,
-        |  CAST(floor(sqrt(octet_length(CAST(text AS BLOB)))) AS INT) AS width,
-        |  CAST(octet_length(CAST(text AS BLOB)) //
-        |       greatest(CAST(floor(sqrt(octet_length(CAST(text AS BLOB)))) AS INT), 1) AS INT) AS height
+        |  greatest(CAST(floor(sqrt(octet_length(CAST(text AS BLOB)))) AS INT), 1) AS width,
+        |  greatest(CAST(octet_length(CAST(text AS BLOB)) //
+        |       greatest(CAST(floor(sqrt(octet_length(CAST(text AS BLOB)))) AS INT), 1) AS INT), 1) AS height
         |FROM documents""".stripMargin,
     "q_embed_neardup" ->
       """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb

@@ -15,10 +15,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      // remove any previous round's output FIRST: a query that fails
+      // before its overwrite must not leave stale results for the
+      // compare to validate as a false pass
+      deleteRec(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        deleteRec(new java.io.File(s"$outDir/$name")) // no partial output either
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

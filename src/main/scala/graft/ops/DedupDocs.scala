@@ -268,6 +268,9 @@ object DedupDocs {
       iter += 1
     }
     edges.unpersist()
+    // fail LOUDLY: a component with diameter > maxIters would otherwise
+    // silently return partially-propagated labels
+    require(converged, s"connected components did not converge in $maxIters rounds — raise maxIters")
     labels
   }
 

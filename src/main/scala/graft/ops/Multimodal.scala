@@ -74,7 +74,9 @@ object Multimodal {
         md.reset()
         val md5hex = md.digest(payload).map("%02x".format(_)).mkString
         new GenericInternalRow(Array[Any](
-          r.get(keyIdx, keyType),
+          // copyValue: UnsafeRow iterators reuse the row slot; a string
+          // key would otherwise be a view into overwritten bytes
+          InternalRow.copyValue(r.get(keyIdx, keyType)),
           payload.length.toLong,
           UTF8String.fromString(md5hex),
           w,

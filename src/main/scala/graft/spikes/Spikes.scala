@@ -147,25 +147,42 @@ object Spikes {
     * predicate evaluations). The broadcast side grows by the patch
     * width, but peaks ≪ samples, so at 100 TB this is still the plan
     * you want: one scan of the samples, one hash probe per sample.
-    * Output one row per (peak, offset) — exploded form, exactly
-    * comparable by an SQL oracle.
-    */
+    * Output one row per EXISTING (peak, offset) sample — exploded form,
+    * exactly comparable by an SQL oracle; offsets beyond the stream
+    * edge are simply absent (fixed-size zero padding is the assembly
+    * step's job — `Funcs.padTo`, as in Tetrode.formTetrode).
+    *
+    * `keys` (channel/tetrode) join and carry through, so a multichannel
+    * stream gathers each peak only from its own channel. */
   def extractPatches(
       samples: DataFrame,
       peaks: DataFrame,
       idxCol: String,
       valueCol: String,
-      halfWidth: Int
+      halfWidth: Int,
+      keys: Seq[String] = Nil
   ): DataFrame = {
     val p = peaks
-      .select(col(idxCol).as("peak_idx"))
+      .select((keys.map(col) :+ col(idxCol).as("peak_idx")): _*)
       .select(
-        col("peak_idx"),
-        explode(sequence(lit(-halfWidth.toLong), lit((halfWidth - 1).toLong))).as("offset")
+        (keys.map(col) :+ col("peak_idx") :+
+          explode(sequence(lit(-halfWidth.toLong), lit((halfWidth - 1).toLong))).as("offset")): _*
       )
+      .withColumn("__join_idx", col("peak_idx") + col("offset"))
+      // rename peak-side keys so the join condition is unambiguous
+      .select(
+        (keys.map(k => col(k).as(s"__pk_$k")) :+ col("peak_idx") :+ col("offset") :+
+          col("__join_idx")): _*
+      )
+    val cond = keys.foldLeft(col(idxCol) === col("__join_idx"))((c, k) =>
+      c && col(k) === col(s"__pk_$k")
+    )
     samples
-      .join(broadcast(p), col(idxCol) === col("peak_idx") + col("offset"))
-      .select(col("peak_idx"), col("offset"), col(valueCol).as("value"))
+      .join(broadcast(p), cond)
+      .select(
+        (keys.map(col) :+ col("peak_idx") :+ col("offset") :+
+          col(valueCol).as("value")): _*
+      )
   }
 
   /** Window-gather formulation of the patch extraction (the alternative

@@ -23,7 +23,10 @@ object Validation {
     withPrev.agg(
       count(lit(1)).as("n_rows"),
       countDistinct(col(tsCol)).as("n_distinct_ts"),
-      sum(when(col(tsCol) < col("__prev"), 1L).otherwise(0L)).as("n_out_of_order")
+      // coalesce: sum over ZERO rows is NULL, which would make is_sorted
+      // NULL too (the oracle COALESCEs identically)
+      coalesce(sum(when(col(tsCol) < col("__prev"), 1L).otherwise(0L)), lit(0L))
+        .as("n_out_of_order")
     ).select(
       col("n_rows"),
       (col("n_rows") - col("n_distinct_ts")).as("n_dup_rows"),

@@ -52,4 +52,19 @@ class SpikesSpec extends SparkSpec {
       .orderBy("offset").collect().map(r => (r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == Seq((-2L, 3.0), (-1L, 4.0), (0L, 5.0), (1L, 6.0)))
   }
+
+  test("keyed extractPatches gathers per channel only (no cross-channel bleed)") {
+    val samples = (for (ch <- 0 to 1; i <- 0L to 9L)
+      yield (ch, i, (ch * 100 + i).toDouble)).toDF("channel", "idx", "v")
+    val peaks = Seq((0, 5L), (1, 7L)).toDF("channel", "idx")
+    val out = Spikes
+      .extractPatches(samples, peaks, "idx", "v", halfWidth = 1, keys = Seq("channel"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(out.toSeq == Seq(
+      (0, 5L, -1L, 4.0), (0, 5L, 0L, 5.0),    // channel 0 peak: own samples only
+      (1, 7L, -1L, 106.0), (1, 7L, 0L, 107.0) // channel 1 peak: own samples only
+    ))
+  }
 }
