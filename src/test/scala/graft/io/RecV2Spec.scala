@@ -76,6 +76,26 @@ class RecV2Spec extends SparkSpec {
     }
   }
 
+  test("truncated recording: partial trailing packet never decoded as data") {
+    val p = s"$dir/trunc.rec"
+    RecSynth.write(p, (0 until 100).map(i => (9000L + i, (c: Int) => c.toShort)))
+    // chop mid-packet: 40 bytes of a 73-byte packet remain
+    val raf = new java.io.RandomAccessFile(p, "rw")
+    raf.setLength(raf.length() - 33)
+    raf.close()
+    val cfg = RecFormat.parseConfig(p)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    assert(RecFormat.packetCount(cfg, hconf) == 99)
+    // bounds read the last WHOLE packet, not garbage channel bytes
+    val (first, last) = RecFormat.timestampBounds(cfg, hconf)
+    assert(first == 9000L && last == 9098L)
+    val df = spark.read.format("rec").load(p)
+    assert(df.count() == 99)
+    assert(df.agg(max("ts")).collect().head.getLong(0) == 9098L)
+    // pruning on the true bounds still finds the tail data
+    assert(df.where(col("ts") >= 9098).count() == 1)
+  }
+
   test("binary search packet bounds on a synthetic file") {
     val cfg = RecFormat.parseConfig(fileA)
     val hconf = spark.sparkContext.hadoopConfiguration

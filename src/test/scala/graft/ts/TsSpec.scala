@@ -79,6 +79,25 @@ class TsSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 0.0), (2L, 2.0), (4L, 4.0), (6L, 6.0)))
   }
 
+  test("gap fill: off-grid gaps (length % step != 0) are skipped, not fatal") {
+    import graft.ts.GapFill
+    // step=2: ts 4 -> 7 is a 3-long gap with no on-grid fill points
+    val df = Seq((4L, 1.0), (7L, 2.0), (11L, 3.0)).toDF("ts", "v")
+    val out = GapFill.linear(df, "ts", "v", step = 2L, maxGapSize = 5L, keys = Nil)
+      .orderBy("ts").collect().map(r => (r.getLong(0), r.getInt(2)))
+    // 7 -> 11 is on-grid (gap 4): fills 9; 4 -> 7 skipped entirely
+    assert(out.toSeq == Seq((4L, 0), (7L, 0), (9L, 1), (11L, 0)))
+  }
+
+  test("validation report on EMPTY input yields zeros, not nulls") {
+    import graft.ts.Validation
+    val empty = Seq.empty[(Long, Long)].toDF("ts_us", "event_id")
+    val r = Validation.report(empty, "ts_us", "event_id").collect()(0)
+    assert(r.getLong(0) == 0L) // n_rows
+    assert(r.getLong(2) == 0L) // n_out_of_order (coalesced)
+    assert(r.getInt(3) == 1)   // is_sorted
+  }
+
   test("duplicates report lists keys with multiplicity > 1") {
     val df = Seq(10L, 10L, 10L, 20L, 30L, 30L).toDF("ts")
     val out = Dedup.duplicates(df, Seq("ts")).orderBy("ts")
