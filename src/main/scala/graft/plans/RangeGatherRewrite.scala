@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
 
 /** Optimizer rule: rewrite a bounded-range gather join into an exploded
   * equi-join (SURVEY.md §4.3's candidate rule, now implemented).
@@ -55,13 +55,27 @@ object RangeGatherRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** `peak ± literal` decomposed to (peak, signed offset). */
+  /** `peak ± literal` decomposed to (peak, signed offset). Integral
+    * literal types only (Catalyst inserts casts for mixed widths, so by
+    * the time the optimizer sees the join both sides share a type). */
   private def offsetOf(e: Expression): Option[(Expression, Long)] = e match {
-    case Add(p, Literal(k: Long, LongType), _) => Some((p, k))
-    case Add(Literal(k: Long, LongType), p, _) => Some((p, k))
-    case Subtract(p, Literal(k: Long, LongType), _) => Some((p, -k))
+    case Add(p, IntegralLiteral(k), _) => Some((p, k))
+    case Add(IntegralLiteral(k), p, _) => Some((p, k))
+    case Subtract(p, IntegralLiteral(k), _) => Some((p, -k))
     case _ => None
   }
+
+  private object IntegralLiteral {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(k: Long, LongType) => Some(k)
+      case Literal(k: Int, IntegerType) => Some(k.toLong)
+      case Literal(k: Short, ShortType) => Some(k.toLong)
+      case _ => None
+    }
+  }
+
+  private def integralType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == LongType || dt == IntegerType || dt == ShortType
 
   private def refsOnly(e: Expression, side: LogicalPlan): Boolean =
     e.references.nonEmpty && e.references.subsetOf(side.outputSet) && e.deterministic
@@ -76,7 +90,7 @@ object RangeGatherRewrite extends Rule[LogicalPlan] {
         (uc, up) <- uppers
         if lc != uc
         if lo.sample.semanticEquals(up.sample) && lo.peak.semanticEquals(up.peak)
-        if lo.sample.dataType == LongType && lo.peak.dataType == LongType
+        if integralType(lo.sample.dataType) && lo.sample.dataType == lo.peak.dataType
         width = up.k - lo.k + 1
         if width > 0 && width <= MaxWidth
         // sample on one child, peak wholly on the other
@@ -96,10 +110,18 @@ object RangeGatherRewrite extends Rule[LogicalPlan] {
 
       rewrite match {
         case Some((lc, uc, lo, up, width, _, peakSide)) =>
-          val off = AttributeReference("__graft_gather_offset", LongType, nullable = false)()
+          val off = AttributeReference("__graft_gather_offset", lo.sample.dataType, nullable = false)()
           // Sequence is TimeZoneAwareExpression: without an explicit zone
-          // it is unresolved and plan validation rejects the rewrite
-          val seq = new Sequence(Literal(lo.k), Literal(up.k), Some(Literal(1L)))
+          // it is unresolved and plan validation rejects the rewrite.
+          // Bounds are emitted in the KEY's integral type so the
+          // generated equi-key needs no cast.
+          val keyType = lo.sample.dataType
+          def litOf(v: Long): Literal = keyType match {
+            case IntegerType => Literal(v.toInt)
+            case ShortType => Literal(v.toShort)
+            case _ => Literal(v)
+          }
+          val seq = new Sequence(litOf(lo.k), litOf(up.k), Some(litOf(1L)))
             .withTimeZone(conf.sessionLocalTimeZone)
           val gen = Generate(
             Explode(seq),

@@ -52,6 +52,19 @@ class RangeGatherRewriteSpec extends SparkSpec {
     }
   }
 
+  test("IntegerType keys rewrite too") {
+    val si = (0 until 100).map(i => (i, i * 1.5)).toDF("idx", "value")
+    val pi = Seq(10, 50).toDF("peak")
+    val cond = col("idx") >= col("peak") - 2 && col("idx") < col("peak") + 2
+    val want = si.join(pi, cond).collect().map(_.toSeq).toSet
+    withRule {
+      val got = si.join(pi, cond)
+      val phys = got.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
+      assert(got.collect().map(_.toSeq).toSet == want)
+    }
+  }
+
   test("does not fire on equi-joins or unbounded ranges") {
     withRule {
       // an equi-join must stay untouched (no offset column in output)
