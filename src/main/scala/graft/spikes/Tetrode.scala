@@ -9,6 +9,14 @@ import org.apache.spark.sql.functions._
   * waveform leaves (−maxAmplitude, +maxAmplitude) on ANY sample (P4,
   * spikes.py:229-230), convert times to seconds.
   *
+  * Edge padding is TRAILING-ONLY zeros, as the reference pads
+  * (np.pad(patch, (0, n)), spikes.py:420-423). One deliberate deviation:
+  * for a peak so close to the stream start that `centered - size < 0`,
+  * the reference's `data[centered-size : centered+size]` slice wraps the
+  * negative index (a numpy artifact) and yields an EMPTY patch — an
+  * all-zero waveform after padding. This engine keeps the samples that
+  * do exist and zero-pads the remainder instead of discarding them.
+  *
   * Input is long-layout multichannel data `(channel, idx, value)`; the
   * patch gather is the same broadcast range join as
   * [[Spikes.extractPatches]], grouped by (peak, channel).
