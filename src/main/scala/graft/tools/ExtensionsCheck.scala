@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Integration check for the GraftExtensions registration path: builds a
+  * session WITH spark.sql.extensions and asserts (1) dot_f32 resolves in
+  * SQL, (2) RangeGatherRewrite fires on a range gather join. Run:
+  * `sbt "runMain graft.tools.ExtensionsCheck"` — prints EXTENSIONS OK. */
+object ExtensionsCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // (1) native function reachable from SQL
+    val dot = spark
+      .sql("SELECT dot_f32(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .collect()(0).getDouble(0)
+    assert(dot == 11.0, s"dot_f32 via SQL returned $dot")
+
+    // (2) optimizer rule active in the session
+    import org.apache.spark.sql.functions._
+    val samples = (0L until 50L).map(i => (i, i * 2.0)).toDF("idx", "v")
+    val peaks = Seq(10L, 20L).toDF("peak")
+    val q = samples.join(peaks, col("idx") >= col("peak") - 2 && col("idx") < col("peak") + 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"rewrite did not fire:\n$plan")
+    assert(q.count() == 8)
+
+    println("EXTENSIONS OK")
+    spark.stop()
+  }
+}
