@@ -303,6 +303,17 @@ object SparkEntry {
     DedupDocs.connectedComponents(docs.select("doc_id"), pairs)
   }
 
+  /** Salted skew join: events (hot user keys) × per-user counts. The
+    * salt fans a hot key across reducers; the RESULT must be identical
+    * to the plain equi-join — which is exactly what the oracle checks. */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_id", "user_id")
+    val dim = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    graft.ops.SkewJoin
+      .saltedInner(ev, dim, key = "user_id", saltFrom = "event_id", salts = 8)
+      .select("event_id", "user_id", "n_events")
+  }
+
   /** SimHash banded near-dup pairs (Hamming <= 3 via 16-bit-band
     * pigeonhole candidates + exact bit_count filter). */
   private def qSimhashNearDup(s: SparkSession, dir: String): DataFrame =
@@ -633,7 +644,8 @@ object SparkEntry {
     "q_token_bpe" -> (qTokenBpe _),
     "q_simhash_neardup" -> (qSimhashNearDup _),
     "q_frames" -> (qFrames _),
-    "q_dedup_clusters" -> (qDedupClusters _)
+    "q_dedup_clusters" -> (qDedupClusters _),
+    "q_salted_join" -> (qSaltedJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -955,6 +967,11 @@ object SparkEntry {
     // oracle-checked.
     "q_filtfilt" -> filtfiltOracleSql,
     "q_align" -> alignOracleSql,
+    // salting must be invisible in the result: the oracle is the PLAIN join
+    "q_salted_join" ->
+      """WITH d AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, d.n_events
+        |FROM events e JOIN d ON e.user_id = d.user_id""".stripMargin,
     // pair set (the q_minhash_lsh pipeline) -> transitive closure ->
     // min label per component == the engine's label-propagation result
     "q_dedup_clusters" ->
