@@ -6,8 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{UnsafeArrayWriter, UnsafeRowWriter}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -212,16 +211,42 @@ class RecReaderFactory(
 }
 
 /** Decodes one packet range, emitting only the required columns —
-  * when `values` is pruned away the channel block is never extracted. */
+  * when `values` is pruned away the channel block is never extracted.
+  *
+  * The hot loop is string-free: `requiredSchema` is resolved ONCE in the
+  * constructor to an array of field ordinals, and rows are serialized by
+  * an [[UnsafeRowWriter]] (same floor as the V1 [[graft.io.RecScan]]
+  * path — one contiguous buffer write per packet, no boxed
+  * GenericInternalRow, no downstream UnsafeProjection re-serializing).
+  * The writer's row is REUSED across next() calls, which the
+  * PartitionReader contract permits (consumers copy if they retain).
+  *
+  * It also verifies, per split, the non-decreasing-timestamp invariant
+  * the driver-side binary-search pruning relies on (reference:
+  * jagular/utils.py:323-328): a file violating it would otherwise yield
+  * silently MISSING rows (packets outside the binary-searched range are
+  * never scanned), so a violation fails loudly instead. One long compare
+  * per packet — free next to the decode itself.
+  */
 class RecPartitionReader(
     part: RecInputPartition,
     required: StructType,
     channelSubset: Option[Array[Int]],
     hconf: Configuration
 ) extends PartitionReader[InternalRow] {
+  import RecPartitionReader._
 
-  private val needValues = required.fieldNames.contains("values")
-  // field emitters in requiredSchema order
+  // requiredSchema resolved once: ordinal codes in output-field order
+  private val emit: Array[Int] = required.fields.map(_.name match {
+    case "file_rank" => EmitFileRank
+    case "pos" => EmitPos
+    case "ts" => EmitTs
+    case "values" => EmitValues
+    case other => throw new IllegalArgumentException(s"unknown column $other")
+  })
+  private val needValues = emit.contains(EmitValues)
+  private val subset: Array[Int] = channelSubset.orNull
+
   private val it = RecFormat.decodeRange(
     part.cfg,
     part.startPacket,
@@ -229,36 +254,61 @@ class RecPartitionReader(
     hconf,
     decodeValues = needValues
   )
+  private val writer = new UnsafeRowWriter(emit.length)
+  private val arrWriter =
+    if (needValues) new UnsafeArrayWriter(writer, 2) else null
   private var pos = part.startPacket - 1
-  private var current: InternalRow = _
+  private var prevTs = Long.MinValue
 
   override def next(): Boolean = {
     if (!it.hasNext) return false
     val pkt = it.next()
     pos += 1
-    val vals = new Array[Any](required.fields.length)
+    if (pkt.ts < prevTs)
+      throw new IllegalStateException(
+        s"rec file ${part.cfg.path}: timestamp ${pkt.ts} at packet $pos decreases below " +
+          s"$prevTs — the file violates the non-decreasing-timestamp invariant " +
+          "(jagular/utils.py:323-328) that ts-range pushdown's binary search depends on; " +
+          "refusing to return a silently incomplete scan. Re-read without a ts filter " +
+          "and repair ordering first (graft.ts.Validation / Dedup)."
+      )
+    prevTs = pkt.ts
+    writer.reset()
     var i = 0
-    while (i < required.fields.length) {
-      vals(i) = required.fields(i).name match {
-        case "file_rank" => part.fileRank
-        case "pos" => pos
-        case "ts" => pkt.ts
-        case "values" =>
-          val v = channelSubset match {
-            case Some(idx) => idx.map(pkt.values(_))
-            case None => pkt.values
-          }
-          ArrayData.toArrayData(v)
-        case other => throw new IllegalArgumentException(s"unknown column $other")
+    while (i < emit.length) {
+      emit(i) match {
+        case EmitFileRank => writer.write(i, part.fileRank)
+        case EmitPos => writer.write(i, pos)
+        case EmitTs => writer.write(i, pkt.ts)
+        case EmitValues =>
+          val vals =
+            if (subset == null) pkt.values
+            else {
+              val out = new Array[Short](subset.length)
+              var j = 0
+              while (j < subset.length) { out(j) = pkt.values(subset(j)); j += 1 }
+              out
+            }
+          val cursorBefore = writer.cursor()
+          arrWriter.initialize(vals.length)
+          var j = 0
+          while (j < vals.length) { arrWriter.write(j, vals(j)); j += 1 }
+          writer.setOffsetAndSizeFromPreviousCursor(i, cursorBefore)
       }
       i += 1
     }
-    current = new GenericInternalRow(vals)
     true
   }
 
-  override def get(): InternalRow = current
+  override def get(): InternalRow = writer.getRow
   // Spark calls close() on early termination (LIMIT, task kill): release
   // the underlying stream instead of leaking it until exhaustion
   override def close(): Unit = it.close()
+}
+
+object RecPartitionReader {
+  private final val EmitFileRank = 0
+  private final val EmitPos = 1
+  private final val EmitTs = 2
+  private final val EmitValues = 3
 }

@@ -15,12 +15,21 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join of `big` and `small` on `key`, salted. The salt is
-    * `hash(saltFrom) ⊕ per-row id`, mod salts: content alone would give
-    * IDENTICAL rows of a hot key the SAME salt (the exact empty-string
-    * pathology this operator exists for — zero fan-out), while the
-    * monotonic id alone would still be deterministic per run but blind
-    * to content; the combination fans out duplicates and stays stable
-    * for distinct rows. */
+    * `pmod(hash(ALL of big's columns), salts)` — derived purely from row
+    * CONTENT, never from partition layout or row order. A salt involving
+    * `monotonically_increasing_id()` (or any ordinal) is the SPARK-23207
+    * trap: if `big` sits above a shuffle, a map-task recomputation after a
+    * fetch failure can replay rows in a different order, re-salting them
+    * into different reduce partitions than the non-retried ones — silent
+    * row loss/duplication that no failure-free local test can catch.
+    *
+    * Trade-off: rows of a hot key that are identical in EVERY column
+    * share a salt bucket. That is the correct price — full-row duplicates
+    * carry no distinguishing content, and any scheme that separates them
+    * is order-dependent by construction. In practice hot-key rows differ
+    * in some payload column (the `saltFrom`-style discriminator and the
+    * rest of the row), so the hash fans them out across all `salts`
+    * buckets deterministically. */
   def saltedInner(
       big: DataFrame,
       small: DataFrame,
@@ -31,7 +40,7 @@ object SkewJoin {
     require(salts > 0)
     val salted = big.withColumn(
       "__salt",
-      pmod(hash(col(saltFrom), monotonically_increasing_id()), lit(salts))
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(salts))
     )
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))

@@ -57,12 +57,18 @@ object RangeGatherRewrite extends Rule[LogicalPlan] {
 
   /** `peak ± literal` decomposed to (peak, signed offset). Integral
     * literal types only (Catalyst inserts casts for mixed widths, so by
-    * the time the optimizer sees the join both sides share a type). */
+    * the time the optimizer sees the join both sides share a type).
+    * Any other expression is the ZERO-offset form `(e, 0)` — without this
+    * fallback the common one-sided gather `s >= p && s < p + B` (lower
+    * bound with no Add) never decomposes and silently stays a
+    * BroadcastNestedLoopJoin. A spurious decomposition is harmless: the
+    * caller still requires a matching lower/upper pair on semantically
+    * equal (sample, peak) with bounded positive width before rewriting. */
   private def offsetOf(e: Expression): Option[(Expression, Long)] = e match {
     case Add(p, IntegralLiteral(k), _) => Some((p, k))
     case Add(IntegralLiteral(k), p, _) => Some((p, k))
     case Subtract(p, IntegralLiteral(k), _) => Some((p, -k))
-    case _ => None
+    case _ => Some((e, 0L))
   }
 
   private object IntegralLiteral {

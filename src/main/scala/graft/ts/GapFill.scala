@@ -57,17 +57,27 @@ object GapFill {
           .withColumn("__nv", lead(col(valueCol), 1).over(w))
       }
 
+    // Off-grid gaps (length not a multiple of step) still get every
+    // on-grid fill point strictly inside the gap: the sequence stop is
+    // clamped to the largest ts + k*step < __nts, i.e.
+    // ts + (g-1) - ((g-1) mod step) with g = __nts - ts. Since the gap
+    // filter guarantees g > step, the clamped stop is always >= ts + step,
+    // so sequence() can never see start > stop (the only failure mode the
+    // old all-or-nothing `% step === 0` guard was protecting against —
+    // at the cost of wrongly dropping partial fills like step=2, 4→9
+    // losing t∈{6,8}).
+    val gapLen = col("__nts") - col(tsCol)
     val gapped = base
       .where(
         col("__nts").isNotNull &&
-          (col("__nts") - col(tsCol) > step) &&
-          (col("__nts") - col(tsCol) <= lit(maxGapSize) * lit(step) + lit(step)) &&
-          // off-grid gaps (length not a multiple of step) have no integral
-          // fill points; without this guard sequence(start, stop, step)
-          // can get start > stop and throw
-          ((col("__nts") - col(tsCol)) % step === 0)
+          (gapLen > step) &&
+          (gapLen <= lit(maxGapSize) * lit(step) + lit(step))
       )
-      .withColumn("__gts", explode(sequence(col(tsCol) + step, col("__nts") - step, lit(step))))
+      .withColumn(
+        "__gstop",
+        col(tsCol) + (gapLen - 1) - pmod(gapLen - 1, lit(step))
+      )
+      .withColumn("__gts", explode(sequence(col(tsCol) + step, col("__gstop"), lit(step))))
       // v0 + (t - t0) * (v1 - v0) / (t1 - t0), evaluated in double.
       .withColumn(
         "__gv",

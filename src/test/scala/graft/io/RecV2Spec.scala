@@ -96,6 +96,20 @@ class RecV2Spec extends SparkSpec {
     assert(df.where(col("ts") >= 9098).count() == 1)
   }
 
+  test("non-monotonic timestamps fail loudly instead of silently under-scanning") {
+    val p = s"$dir/nonmono.rec"
+    // ts dips at packet 50: binary-search pruning would silently skip rows
+    RecSynth.write(
+      p,
+      (0 until 100).map(i => (if (i == 50) 7000L else 8000L + i, (c: Int) => c.toShort))
+    )
+    val df = spark.read.format("rec").load(p)
+    val e = intercept[org.apache.spark.SparkException] {
+      df.where(col("ts") >= 8000 && col("ts") < 8100).count()
+    }
+    assert(e.getMessage.contains("non-decreasing-timestamp"), e.getMessage)
+  }
+
   test("binary search packet bounds on a synthetic file") {
     val cfg = RecFormat.parseConfig(fileA)
     val hconf = spark.sparkContext.hadoopConfiguration

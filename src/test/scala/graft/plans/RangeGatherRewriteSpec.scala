@@ -65,6 +65,28 @@ class RangeGatherRewriteSpec extends SparkSpec {
     }
   }
 
+  test("zero-offset lower bound (s >= p && s < p + B) rewrites") {
+    val cond = col("idx") >= col("peak") && col("idx") < col("peak") + 4
+    val expected = samples.join(peaks, cond).collect().map(_.toSeq).toSet
+    withRule {
+      val df = samples.join(peaks, cond)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
+      assert(df.collect().map(_.toSeq).toSet == expected)
+    }
+  }
+
+  test("zero-offset upper bound (s > p - A && s <= p) rewrites") {
+    val cond = col("idx") > col("peak") - 3 && col("idx") <= col("peak")
+    val expected = samples.join(peaks, cond).collect().map(_.toSeq).toSet
+    withRule {
+      val df = samples.join(peaks, cond)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
+      assert(df.collect().map(_.toSeq).toSet == expected)
+    }
+  }
+
   test("does not fire on equi-joins or unbounded ranges") {
     withRule {
       // an equi-join must stay untouched (no offset column in output)

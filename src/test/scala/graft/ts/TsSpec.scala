@@ -79,14 +79,16 @@ class TsSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 0.0), (2L, 2.0), (4L, 4.0), (6L, 6.0)))
   }
 
-  test("gap fill: off-grid gaps (length % step != 0) are skipped, not fatal") {
+  test("gap fill: off-grid gaps get their partial on-grid fills, not a crash") {
     import graft.ts.GapFill
-    // step=2: ts 4 -> 7 is a 3-long gap with no on-grid fill points
-    val df = Seq((4L, 1.0), (7L, 2.0), (11L, 3.0)).toDF("ts", "v")
+    // step=2: ts 4 -> 7 is a 3-long off-grid gap; its single on-grid
+    // interior point t=6 IS filled (clamped sequence stop), and a
+    // length-(step+1) gap like 11 -> 14 (stop clamps to 13 -> only t=13)
+    // never produces start > stop.
+    val df = Seq((4L, 1.0), (7L, 2.0), (11L, 3.0), (14L, 4.0)).toDF("ts", "v")
     val out = GapFill.linear(df, "ts", "v", step = 2L, maxGapSize = 5L, keys = Nil)
       .orderBy("ts").collect().map(r => (r.getLong(0), r.getInt(2)))
-    // 7 -> 11 is on-grid (gap 4): fills 9; 4 -> 7 skipped entirely
-    assert(out.toSeq == Seq((4L, 0), (7L, 0), (9L, 1), (11L, 0)))
+    assert(out.toSeq == Seq((4L, 0), (6L, 1), (7L, 0), (9L, 1), (11L, 0), (13L, 1), (14L, 0)))
   }
 
   test("validation report on EMPTY input yields zeros, not nulls") {
