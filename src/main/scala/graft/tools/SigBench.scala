@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev scratch: compare minhash-signature formulations at sf0.1.
+  * `runMain graft.tools.SigBench [sfDir]` */
+object SigBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    docs.count() // warm
+
+    val k = 3
+    val numHashes = 16
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      }
+    }
+
+    // A: current exploded + 16-way min-agg
+    time("exploded-agg") {
+      val hashed = graft.ops.DedupDocs.shingles(docs, k)
+        .withColumn("__md5", md5(col("shingle").cast("binary")))
+        .withColumn("h1", conv(substring(col("__md5"), 1, 15), 16, 10).cast("long"))
+        .withColumn("h2", conv(substring(col("__md5"), 17, 15), 16, 10).cast("long") % 1000000007L)
+      val minCols = (0 until numHashes).map { s =>
+        min(col("h1") + lit(s.toLong) * col("h2")).as(s"m$s")
+      }
+      hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    }
+
+    // C: no array_distinct (min over dups == min over distinct)
+    time("no-distinct") {
+      val toks = split(col("text"), " ")
+      val hashed = docs
+        .where(size(toks) >= k)
+        .select(
+          col("doc_id"),
+          explode(
+            transform(
+              sequence(lit(0), size(toks) - k),
+              i => concat_ws(" ", slice(toks, i + 1, lit(k)))
+            )
+          ).as("shingle")
+        )
+        .withColumn("__md5", md5(col("shingle").cast("binary")))
+        .withColumn("h1", conv(substring(col("__md5"), 1, 15), 16, 10).cast("long"))
+        .withColumn("h2", conv(substring(col("__md5"), 17, 15), 16, 10).cast("long") % 1000000007L)
+      val minCols = (0 until numHashes).map { s =>
+        min(col("h1") + lit(s.toLong) * col("h2")).as(s"m$s")
+      }
+      hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    }
+
+    // D: stage isolation — shingle+explode only
+    time("shingle-count") {
+      graft.ops.DedupDocs.shingles(docs, k).groupBy("doc_id").agg(count(lit(1)).as("n"))
+    }
+
+    // E: shingle + md5, no conv
+    time("md5-count") {
+      graft.ops.DedupDocs.shingles(docs, k)
+        .withColumn("__md5", md5(col("shingle").cast("binary")))
+        .groupBy("doc_id").agg(min("__md5").as("m"))
+    }
+
+    // ---- simhash variants ----
+    // F: current — 64 sum-agg columns with when()
+    time("simhash-64col") {
+      graft.ops.DedupDocs.simhash(docs)
+    }
+
+    // G: packed lanes — 4 sum-agg columns, each packing 16 popcount lanes
+    // of 16 bits; s_b = 2*c_b - n recovers the signed sum
+    time("simhash-packed") {
+      val tok = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("__md5", md5(col("tok").cast("binary")))
+        .withColumn("th_hi", conv(substring(col("__md5"), 1, 8), 16, 10).cast("long"))
+        .withColumn("th_lo", conv(substring(col("__md5"), 9, 8), 16, 10).cast("long"))
+      // group g covers bits [g*16, g*16+16): lane i at bit position 16*i... wait, 16 lanes * 4 bits? no:
+      // 16 lanes of 4 bits is wrong; we need 16 lanes x 16 bits = 256 bits > 64.
+      // Pack 16 lanes of 4 bits? counts can exceed 15. Use 8 lanes x 8 bits x 8 groups? tokens/doc
+      // may exceed 255. Use 4 lanes of 16 bits -> 16 groups of 4 bits each... 16 agg cols.
+      // Compromise: 8 groups x 8 lanes x 8-bit lanes only if n<=255. Use 16-bit lanes, 4 lanes/col,
+      // 16 groups -> no better than 64/4=16 cols. Try 16 cols of 4x16-bit lanes.
+      val groups = (0 until 16).map { g =>
+        val terms = (0 until 4).map { i =>
+          val b = g * 4 + i
+          val src = if (b < 32) col("th_lo") else col("th_hi")
+          val shift = if (b < 32) b else b - 32
+          shiftleft(shiftright(src, shift).bitwiseAND(1L), 16 * i)
+        }
+        sum(terms.reduce(_ + _)).as(s"g$g")
+      }
+      val agg = tok.groupBy("doc_id").agg(count(lit(1)).as("n"), groups: _*)
+      val sim = (0 until 64).map { b =>
+        val g = b / 4; val i = b % 4
+        val c = shiftright(col(s"g$g"), 16 * i).bitwiseAND(65535L)
+        when(c * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(0L)
+      }.reduce(_.bitwiseOR(_))
+      agg.select(col("doc_id"), sim.as("simhash"))
+    }
+    spark.stop()
+  }
+}
