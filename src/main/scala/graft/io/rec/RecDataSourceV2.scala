@@ -6,7 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{UnsafeArrayWriter, UnsafeRowWriter}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max => AggMax, Min => AggMin}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -87,12 +90,43 @@ class RecTable(paths: Seq[String]) extends Table with SupportsRead {
 class RecScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = graft.io.RecScan.schema
   private var tsMin: Option[Long] = None
   private var tsMax: Option[Long] = None
   private var pushed: Array[Filter] = Array.empty
+  private var aggSpec: Option[RecAggSpec] = None
+
+  /** COUNT(*) / MIN(ts) / MAX(ts), optionally grouped by file_rank,
+    * answered from the 2-packet bounds catalog (reference: A1/A2 session
+    * summary, jagular/io.py:160-193) — ZERO packet decode. At 100 TB this
+    * turns a full-corpus session summary into O(files) driver-side seeks.
+    * Partial-pushdown semantics: one pre-aggregated row per file; Spark
+    * plans the final merge (sum of counts, min of mins, ...), so
+    * correctness never depends on this scan seeing every file in one
+    * task. Only fires on an unfiltered scan: Spark skips aggregate
+    * pushdown itself when post-scan filters remain, and the tsMin/tsMax
+    * guard keeps the contract explicit. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (tsMin.nonEmpty || tsMax.nonEmpty) return false
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames()(0))
+        case _ => None
+      }
+    val groupOk = agg.groupByExpressions.forall(e => fieldOf(e).contains("file_rank"))
+    val ops = agg.aggregateExpressions.map {
+      case _: CountStar => "count"
+      case m: AggMin if fieldOf(m.column).contains("ts") => "min_ts"
+      case m: AggMax if fieldOf(m.column).contains("ts") => "max_ts"
+      case _ => return false
+    }
+    if (!groupOk || ops.isEmpty) return false
+    aggSpec = Some(RecAggSpec(agg.groupByExpressions.nonEmpty, ops.toSeq))
+    true
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val usable = filters.filter {
@@ -118,12 +152,90 @@ class RecScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
     required = requiredSchema
 
   override def build(): Scan = {
-    val subset = Option(options.get("channels"))
-      .map(_.split(",").map(_.trim.toInt))
-    val split = Option(options.get("targetsplitbytes")).map(_.toLong).getOrElse(128L << 20)
-    new RecScanV2(paths, required, tsMin, tsMax, subset, split)
+    aggSpec match {
+      case Some(spec) => new RecCatalogAggScan(paths, spec)
+      case None =>
+        val subset = Option(options.get("channels"))
+          .map(_.split(",").map(_.trim.toInt))
+        val split = Option(options.get("targetsplitbytes")).map(_.toLong).getOrElse(128L << 20)
+        new RecScanV2(paths, required, tsMin, tsMax, subset, split)
+    }
   }
 }
+
+/** Pushed-down aggregate shape: optional file_rank grouping + the agg ops
+  * in Spark's requested order. */
+case class RecAggSpec(groupByFileRank: Boolean, ops: Seq[String])
+
+/** Scan answering a pushed-down COUNT(*)/MIN(ts)/MAX(ts) straight from the
+  * per-file bounds catalog: one row per file, no packet IO beyond the
+  * 2-packet probes [[RecFormat.timestampBounds]] already does at planning
+  * time. Emitted rows are PARTIAL aggregates (Spark plans the final
+  * merge). */
+class RecCatalogAggScan(paths: Seq[String], spec: RecAggSpec) extends Scan with Batch {
+
+  private lazy val hconf =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
+  /** (file_rank, count, first_ts, last_ts) in stitched order. */
+  private lazy val catalog: Array[Array[Long]] = paths
+    .map(p => RecFormat.parseConfig(p, hconf))
+    .map(c => (c, RecFormat.timestampBounds(c, hconf)))
+    .sortBy(_._2._1)
+    .zipWithIndex
+    .map { case ((cfg, (first, last)), rank) =>
+      val row = Array.newBuilder[Long]
+      if (spec.groupByFileRank) row += rank.toLong
+      spec.ops.foreach {
+        case "count" => row += RecFormat.packetCount(cfg, hconf)
+        case "min_ts" => row += first
+        case "max_ts" => row += last
+      }
+      row.result()
+    }
+    .toArray
+
+  override def readSchema(): StructType = {
+    val fields = Array.newBuilder[org.apache.spark.sql.types.StructField]
+    if (spec.groupByFileRank)
+      fields += org.apache.spark.sql.types.StructField("file_rank", org.apache.spark.sql.types.IntegerType, nullable = false)
+    spec.ops.zipWithIndex.foreach { case (op, i) =>
+      fields += org.apache.spark.sql.types.StructField(s"agg_${op}_$i", org.apache.spark.sql.types.LongType, nullable = false)
+    }
+    StructType(fields.result())
+  }
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"rec catalog agg [${paths.size} files, group=${spec.groupByFileRank}, ops=${spec.ops.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RecCatalogAggPartition(catalog, spec.groupByFileRank))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[RecCatalogAggPartition]
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < p.rows.length }
+          override def get(): InternalRow = {
+            val src = p.rows(i)
+            val vals = new Array[Any](src.length)
+            var j = 0
+            if (p.groupByFileRank) { vals(0) = src(0).toInt; j = 1 }
+            while (j < src.length) { vals(j) = src(j); j += 1 }
+            new GenericInternalRow(vals)
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+/** The whole (tiny) catalog rides in the partition — no executor IO. */
+case class RecCatalogAggPartition(rows: Array[Array[Long]], groupByFileRank: Boolean)
+    extends InputPartition
 
 /** One packet range of one file. */
 case class RecInputPartition(

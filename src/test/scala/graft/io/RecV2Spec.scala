@@ -96,6 +96,36 @@ class RecV2Spec extends SparkSpec {
     assert(df.where(col("ts") >= 9098).count() == 1)
   }
 
+  test("aggregate pushdown: count/min/max answered from the bounds catalog") {
+    val df = spark.read.format("rec").load(fileA, fileB)
+    val q = df.agg(count(lit(1)).as("n"), min("ts").as("lo"), max("ts").as("hi"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("rec catalog agg"), plan) // no packet scan in the plan
+    assert(q.collect().head.toSeq == Seq(1500L, 1000L, 5499L))
+  }
+
+  test("aggregate pushdown: per-file session summary groups by file_rank") {
+    val df = spark.read.format("rec").load(fileA, fileB)
+    val q = df
+      .groupBy("file_rank")
+      .agg(count(lit(1)).as("n"), min("ts").as("lo"), max("ts").as("hi"))
+      .orderBy("file_rank")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("rec catalog agg"), plan)
+    assert(
+      q.collect().map(_.toSeq).toSeq ==
+        Seq(Seq(0, 1000L, 1000L, 1999L), Seq(1, 500L, 5000L, 5499L))
+    )
+  }
+
+  test("aggregate pushdown does NOT fire under a ts filter (falls back to scan)") {
+    val df = spark.read.format("rec").load(fileA, fileB)
+    val q = df.where(col("ts") >= 1200).agg(count(lit(1)).as("n"), max("ts").as("hi"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("rec catalog agg"), plan)
+    assert(q.collect().head.toSeq == Seq(1300L, 5499L))
+  }
+
   test("non-monotonic timestamps fail loudly instead of silently under-scanning") {
     val p = s"$dir/nonmono.rec"
     // ts dips at packet 50: binary-search pruning would silently skip rows
