@@ -82,7 +82,7 @@ class RecTable(paths: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"rec(${paths.mkString(",")})"
   override def schema(): StructType = graft.io.RecScan.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RecScanBuilder(paths, options)
 }
@@ -258,6 +258,10 @@ class RecScanV2(
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String
+  ): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RecMicroBatchStream(paths, required, channelSubset, targetSplitBytes)
   override def description(): String =
     s"rec scan [${paths.size} files, ts in [${tsMin.getOrElse("-inf")}, ${tsMax.getOrElse("+inf")}], " +
       s"cols ${required.fieldNames.mkString(",")}]"

@@ -31,6 +31,19 @@ object RecSynth {
   def write(path: String, packets: Seq[(Long, Int => Short)]): Unit = {
     val out = new DataOutputStream(new FileOutputStream(path))
     out.write(xml.getBytes("US-ASCII"))
+    writePackets(out, packets)
+    out.close()
+  }
+
+  /** Append packets to an existing recording (the acquisition-time growth
+    * shape the streaming source follows). */
+  def append(path: String, packets: Seq[(Long, Int => Short)]): Unit = {
+    val out = new DataOutputStream(new FileOutputStream(path, true))
+    writePackets(out, packets)
+    out.close()
+  }
+
+  private def writePackets(out: DataOutputStream, packets: Seq[(Long, Int => Short)]): Unit =
     packets.foreach { case (ts, f) =>
       out.write(Array.fill[Byte](5)(0)) // header
       out.write(Array[Byte](
@@ -41,8 +54,6 @@ object RecSynth {
         out.write(v & 0xff); out.write((v >> 8) & 0xff)
       }
     }
-    out.close()
-  }
 }
 
 class RecSpec extends SparkSpec {

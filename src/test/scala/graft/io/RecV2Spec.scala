@@ -140,6 +140,47 @@ class RecV2Spec extends SparkSpec {
     assert(e.getMessage.contains("non-decreasing-timestamp"), e.getMessage)
   }
 
+  test("micro-batch streaming follows a growing rec file across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val p = s"$dir/stream.rec"
+    RecSynth.write(p, (0 until 100).map(i => (i.toLong, (c: Int) => c.toShort)))
+    val ckpt = s"$dir/stream_ckpt"
+
+    val outDir = s"$dir/stream_out"
+
+    def runBatch(): Long = {
+      val q = spark.readStream
+        .format("rec")
+        .load(p)
+        .select("file_rank", "pos", "ts")
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).count()
+    }
+
+    assert(runBatch() == 100)
+    // half a trailing packet: must NOT surface until completed
+    val half = new java.io.FileOutputStream(p, true)
+    half.write(Array.fill[Byte](30)(1))
+    half.close()
+    assert(runBatch() == 100)
+    // complete the partial packet by rewriting the tail as 50 whole packets
+    val raf = new java.io.RandomAccessFile(p, "rw")
+    raf.setLength(raf.length() - 30)
+    raf.close()
+    RecSynth.append(p, (100 until 150).map(i => (i.toLong, (c: Int) => c.toShort)))
+    // restart from the checkpoint: exactly the 50 appended packets arrive
+    assert(runBatch() == 150)
+    val r = spark.read.parquet(outDir).orderBy("pos").collect()
+    assert(r.map(_.getLong(2)).toSeq == (0L until 150L))
+    assert(r.last.getLong(1) == 149L)
+  }
+
   test("binary search packet bounds on a synthetic file") {
     val cfg = RecFormat.parseConfig(fileA)
     val hconf = spark.sparkContext.hadoopConfiguration
