@@ -181,6 +181,32 @@ class RecV2Spec extends SparkSpec {
     assert(r.last.getLong(1) == 149L)
   }
 
+  test("live extract_channels: rec stream into per-channel partitioned parquet") {
+    import org.apache.spark.sql.streaming.Trigger
+    val p = s"$dir/live.rec"
+    RecSynth.write(p, (0 until 200).map(i => (i.toLong, (c: Int) => (10 * c + i % 7).toShort)))
+    val outDir = s"$dir/live_channels"
+    val q = spark.readStream
+      .format("rec")
+      .load(p)
+      .select(col("ts"), posexplode(col("values")).as(Seq("channel", "value")))
+      .writeStream
+      .format("parquet")
+      .partitionBy("channel")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$dir/live_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the reference's file-per-channel layout, produced by a live stream
+    val out = spark.read.parquet(outDir)
+    assert(out.select("channel").distinct().count() == 4)
+    val ch2 = out.where(col("channel") === 2).orderBy("ts").collect()
+    assert(ch2.length == 200)
+    assert(ch2.map(_.getShort(1)).toSeq == (0 until 200).map(i => (20 + i % 7).toShort))
+    assert(new java.io.File(s"$outDir/channel=3").isDirectory)
+  }
+
   test("binary search packet bounds on a synthetic file") {
     val cfg = RecFormat.parseConfig(fileA)
     val hconf = spark.sparkContext.hadoopConfiguration
