@@ -108,9 +108,21 @@ class RecScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
     * correctness never depends on this scan seeing every file in one
     * task. Only fires on an unfiltered scan: Spark skips aggregate
     * pushdown itself when post-scan filters remain, and the tsMin/tsMax
-    * guard keeps the contract explicit. */
+    * guard keeps the contract explicit.
+    *
+    * CONTRACT: MIN/MAX(ts) from the first/last-packet probes is exact
+    * only under the reference-enforced non-decreasing-timestamp invariant
+    * (jagular/utils.py:323-328) — the same invariant ts-range pruning
+    * binary-searches on. COUNT(*) is invariant-free (pure file size). A
+    * file with an interior ts dip would make the probe answer wrong
+    * without touching a packet that could detect it, so for suspect data
+    * set option `aggPushdown=false` to force the full-scan aggregate (an
+    * unfiltered scan is always complete), or run `graft.ts.Validation`
+    * first — any ts-FILTERED read of such a file already fails loudly via
+    * the reader's monotonicity guard. */
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (tsMin.nonEmpty || tsMax.nonEmpty) return false
+    if (Option(options.get("aggpushdown")).exists(_.equalsIgnoreCase("false"))) return false
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames()(0))
@@ -311,18 +323,22 @@ class RecScanV2(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val serConf = new SerializableConfiguration(hconf)
-    new RecReaderFactory(required, channelSubset, serConf)
+    // the monotonicity guard exists to protect the BINARY-SEARCH pruning;
+    // an unpruned scan of a non-monotonic file is complete and correct
+    // (and is the repair path the guard's error message points to)
+    new RecReaderFactory(required, channelSubset, serConf, guardMonotonic = tsMin.nonEmpty || tsMax.nonEmpty)
   }
 }
 
 class RecReaderFactory(
     required: StructType,
     channelSubset: Option[Array[Int]],
-    serConf: SerializableConfiguration
+    serConf: SerializableConfiguration,
+    guardMonotonic: Boolean = false
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RecInputPartition]
-    new RecPartitionReader(p, required, channelSubset, serConf.value)
+    new RecPartitionReader(p, required, channelSubset, serConf.value, guardMonotonic)
   }
 }
 
@@ -337,18 +353,23 @@ class RecReaderFactory(
   * The writer's row is REUSED across next() calls, which the
   * PartitionReader contract permits (consumers copy if they retain).
   *
-  * It also verifies, per split, the non-decreasing-timestamp invariant
-  * the driver-side binary-search pruning relies on (reference:
+  * When `guardMonotonic` (set iff a ts filter was pushed down), it also
+  * verifies, per split, the non-decreasing-timestamp invariant the
+  * driver-side binary-search pruning relies on (reference:
   * jagular/utils.py:323-328): a file violating it would otherwise yield
   * silently MISSING rows (packets outside the binary-searched range are
   * never scanned), so a violation fails loudly instead. One long compare
-  * per packet — free next to the decode itself.
+  * per packet — free next to the decode itself. Unpruned scans (no ts
+  * filter; the streaming path) skip the guard: they read every packet,
+  * so they are complete regardless of ordering — and they are the repair
+  * path for a broken file.
   */
 class RecPartitionReader(
     part: RecInputPartition,
     required: StructType,
     channelSubset: Option[Array[Int]],
-    hconf: Configuration
+    hconf: Configuration,
+    guardMonotonic: Boolean = false
 ) extends PartitionReader[InternalRow] {
   import RecPartitionReader._
 
@@ -380,15 +401,17 @@ class RecPartitionReader(
     if (!it.hasNext) return false
     val pkt = it.next()
     pos += 1
-    if (pkt.ts < prevTs)
-      throw new IllegalStateException(
-        s"rec file ${part.cfg.path}: timestamp ${pkt.ts} at packet $pos decreases below " +
-          s"$prevTs — the file violates the non-decreasing-timestamp invariant " +
-          "(jagular/utils.py:323-328) that ts-range pushdown's binary search depends on; " +
-          "refusing to return a silently incomplete scan. Re-read without a ts filter " +
-          "and repair ordering first (graft.ts.Validation / Dedup)."
-      )
-    prevTs = pkt.ts
+    if (guardMonotonic) {
+      if (pkt.ts < prevTs)
+        throw new IllegalStateException(
+          s"rec file ${part.cfg.path}: timestamp ${pkt.ts} at packet $pos decreases below " +
+            s"$prevTs — the file violates the non-decreasing-timestamp invariant " +
+            "(jagular/utils.py:323-328) that ts-range pushdown's binary search depends on; " +
+            "refusing to return a silently incomplete scan. Re-read without a ts filter " +
+            "and repair ordering first (graft.ts.Validation / Dedup)."
+        )
+      prevTs = pkt.ts
+    }
     writer.reset()
     var i = 0
     while (i < emit.length) {

@@ -17,12 +17,22 @@ import graft.io.RecFormat
   * fixed-size after the XML prefix, so "how much of each file exists" is
   * one file-status call per file, and a batch [start, end) maps directly
   * to packet-aligned splits reusing the batch reader
-  * ([[RecPartitionReader]], including column pruning and the
-  * non-decreasing-ts guard). File ORDER is fixed at stream start (ranks
-  * from the first-timestamp sort, like the batch catalog); growth is
-  * within files — new packets appended at the tail. Trailing partial
-  * packets are naturally excluded because counts come from
+  * ([[RecPartitionReader]], including column pruning). Growth is within
+  * files — new packets appended at the tail. Trailing partial packets
+  * are naturally excluded because counts come from
   * `floor(bytes / packetSize)` and re-enter the next batch once complete.
+  *
+  * File RANKS are assigned by LEXICOGRAPHIC PATH order, not the batch
+  * catalog's first-timestamp sort: offset vectors must mean the same
+  * thing across checkpoint restarts, and a content sort is only stable
+  * if every file already has its first packet at every (re)start. Path
+  * order depends on nothing but the path list (acquisition software
+  * timestamps filenames, so it is the recording order in practice). For
+  * the same reason a file may be ALL CONFIG, NO PACKETS yet — the state
+  * SpikeGadgets leaves on disk between writing the workspace XML and the
+  * first packet — and the stream simply reports offset 0 for it until
+  * packets land (the batch path's bounds probe would refuse such a
+  * file).
   */
 class RecMicroBatchStream(
     paths: Seq[String],
@@ -34,12 +44,9 @@ class RecMicroBatchStream(
   private val hconf =
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
-  /** Stitched order fixed at stream start (first-ts sort, as in batch). */
-  private val cfgs: Seq[RecFormat.RecConfig] = paths
-    .map(p => RecFormat.parseConfig(p, hconf))
-    .map(c => (c, RecFormat.timestampBounds(c, hconf)))
-    .sortBy(_._2._1)
-    .map(_._1)
+  /** Path-sorted (restart-stable); configs parsed once at stream start. */
+  private val cfgs: Seq[RecFormat.RecConfig] =
+    paths.sorted.map(p => RecFormat.parseConfig(p, hconf))
 
   override def initialOffset(): Offset = RecStreamOffset(Seq.fill(cfgs.size)(0L))
 

@@ -292,7 +292,11 @@ object DedupDocs {
             (coalesce(col("nbr_min"), col("__old")) < col("__old")).as("__changed")
           )
       )
-      val changed = next.where(col("__changed")).limit(1).count()
+      // full count, NOT limit(1): CollectLimit can stop after materializing
+      // only the partitions that produced a hit, and unpersisting the
+      // predecessor below would then force later iterations to recompute
+      // the rest through a chain of unpersisted parents
+      val changed = next.where(col("__changed")).count()
       labelsRdd.unpersist(blocking = false)
       labels = next.select("doc_id", "cluster_id")
       labelsRdd = nextRdd
@@ -315,15 +319,24 @@ object DedupDocs {
     *
     * The per-bit signed sums are NOT 64 separate agg columns: each token's
     * 64 bits are packed as popcount LANES — 4 bits per agg column, each
-    * lane 16 bits wide — so the aggregate updates 16 long buffers per row
-    * instead of 64 branchy `when` sums (~30% faster end-to-end at sf0.1).
-    * The signed sum is recovered as `s_b = 2·c_b − n` (c_b = per-bit set
-    * count, n = token count); the sign test `s_b > 0 ⟺ 2·c_b > n` is
-    * exact, so the emitted simhash is bit-identical to the naive
-    * formulation (SigBench-verified, and the oracle hashes agree).
-    * 16-bit lanes bound the per-doc token count at 65 535 — enforce
-    * upstream if documents can exceed it (chunk + re-aggregate). */
+    * lane 15 bits wide (shifts 0/15/30/45) — so the aggregate updates 16
+    * long buffers per row instead of 64 branchy `when` sums (~30% faster
+    * end-to-end at sf0.1). The signed sum is recovered as
+    * `s_b = 2·c_b − n` (c_b = per-bit set count, n = token count); the
+    * sign test `s_b > 0 ⟺ 2·c_b > n` is exact, so the emitted simhash is
+    * bit-identical to the naive formulation (SigBench-verified, and the
+    * oracle hashes agree).
+    *
+    * Packing bounds the per-doc token count at 32 767 (2^15−1, the lane
+    * capacity). The bound is enforced explicitly: a doc exceeding it
+    * fails loudly with an actionable message (chunk the document
+    * upstream), never a wrong hash. The 15-bit spacing leaves the top
+    * lane at bit 45, so the Long running sum cannot overflow before the
+    * guard fires (ANSI mode — Spark 4's default — would otherwise throw
+    * a bare 'long overflow' mid-aggregation; legacy mode would wrap
+    * silently). */
   def simhash(documents: DataFrame): DataFrame = {
+    val MaxTokens = 32767 // 15-bit lane capacity
     val tok = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("__md5", md5(col("tok").cast("binary"))) // one digest per token
@@ -335,7 +348,7 @@ object DedupDocs {
           val b = g * 4 + i
           val src = if (b < 32) col("th_lo") else col("th_hi")
           val shift = if (b < 32) b else b - 32
-          shiftleft(shiftright(src, shift).bitwiseAND(1L), 16 * i)
+          shiftleft(shiftright(src, shift).bitwiseAND(1L), 15 * i)
         }
         .reduce(_ + _)
       sum(packed).as(s"g$g")
@@ -343,10 +356,20 @@ object DedupDocs {
     val agg = tok.groupBy("doc_id").agg(count(lit(1)).as("__n"), laneGroups: _*)
     val sim = (0 until 64)
       .map { b =>
-        val c = shiftright(col(s"g${b / 4}"), 16 * (b % 4)).bitwiseAND(65535L)
+        val c = shiftright(col(s"g${b / 4}"), 15 * (b % 4)).bitwiseAND(32767L)
         when(c * 2 > col("__n"), shiftleft(lit(1L), b)).otherwise(0L)
       }
       .reduce(_.bitwiseOR(_))
-    agg.select(col("doc_id"), sim.as("simhash"))
+    // assert_true rides INSIDE the output expression (a dropped check
+    // column would be pruned away and never evaluated)
+    val guard = coalesce(
+      assert_true(
+        col("__n") <= MaxTokens,
+        lit(s"simhash: document exceeds $MaxTokens tokens — the packed popcount lanes " +
+          "would overflow; chunk the document and combine per-chunk hashes upstream")
+      ).cast("long"),
+      lit(0L)
+    )
+    agg.select(col("doc_id"), sim.bitwiseOR(guard).as("simhash"))
   }
 }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join of `big` and `small` on `key`, salted. The salt is
-    * `pmod(hash(ALL of big's columns), salts)` — derived purely from row
+    * `pmod(hash(key, saltFrom), salts)` — derived purely from row
     * CONTENT, never from partition layout or row order. A salt involving
     * `monotonically_increasing_id()` (or any ordinal) is the SPARK-23207
     * trap: if `big` sits above a shuffle, a map-task recomputation after a
@@ -23,13 +23,13 @@ object SkewJoin {
     * into different reduce partitions than the non-retried ones — silent
     * row loss/duplication that no failure-free local test can catch.
     *
-    * Trade-off: rows of a hot key that are identical in EVERY column
-    * share a salt bucket. That is the correct price — full-row duplicates
-    * carry no distinguishing content, and any scheme that separates them
-    * is order-dependent by construction. In practice hot-key rows differ
-    * in some payload column (the `saltFrom`-style discriminator and the
-    * rest of the row), so the hash fans them out across all `salts`
-    * buckets deterministically. */
+    * `saltFrom` is the caller-chosen DISCRIMINATOR: a column whose values
+    * vary within a hot key (a row id, a timestamp, a payload digest).
+    * Rows identical in (key, saltFrom) share a salt bucket — the correct
+    * price, since separating content-identical rows is order-dependent by
+    * construction. Hashing only two named columns (not the whole row)
+    * keeps the salt cheap on wide rows and avoids `hash()`'s MapType
+    * restriction on unrelated payload columns. */
   def saltedInner(
       big: DataFrame,
       small: DataFrame,
@@ -40,7 +40,7 @@ object SkewJoin {
     require(salts > 0)
     val salted = big.withColumn(
       "__salt",
-      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(salts))
+      pmod(hash(col(key), col(saltFrom)), lit(salts))
     )
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))

@@ -83,33 +83,29 @@ object SigBench {
       graft.ops.DedupDocs.simhash(docs)
     }
 
-    // G: packed lanes — 4 sum-agg columns, each packing 16 popcount lanes
-    // of 16 bits; s_b = 2*c_b - n recovers the signed sum
+    // G: packed lanes — 16 sum-agg columns, each packing 4 popcount lanes
+    // (s_b = 2*c_b - n recovers the signed sum). This measured ~30%
+    // faster than F and is what shipped as DedupDocs.simhash (which also
+    // adds the lane-capacity guard — see its scaladoc for the layout).
     time("simhash-packed") {
       val tok = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .withColumn("__md5", md5(col("tok").cast("binary")))
         .withColumn("th_hi", conv(substring(col("__md5"), 1, 8), 16, 10).cast("long"))
         .withColumn("th_lo", conv(substring(col("__md5"), 9, 8), 16, 10).cast("long"))
-      // group g covers bits [g*16, g*16+16): lane i at bit position 16*i... wait, 16 lanes * 4 bits? no:
-      // 16 lanes of 4 bits is wrong; we need 16 lanes x 16 bits = 256 bits > 64.
-      // Pack 16 lanes of 4 bits? counts can exceed 15. Use 8 lanes x 8 bits x 8 groups? tokens/doc
-      // may exceed 255. Use 4 lanes of 16 bits -> 16 groups of 4 bits each... 16 agg cols.
-      // Compromise: 8 groups x 8 lanes x 8-bit lanes only if n<=255. Use 16-bit lanes, 4 lanes/col,
-      // 16 groups -> no better than 64/4=16 cols. Try 16 cols of 4x16-bit lanes.
       val groups = (0 until 16).map { g =>
         val terms = (0 until 4).map { i =>
           val b = g * 4 + i
           val src = if (b < 32) col("th_lo") else col("th_hi")
           val shift = if (b < 32) b else b - 32
-          shiftleft(shiftright(src, shift).bitwiseAND(1L), 16 * i)
+          shiftleft(shiftright(src, shift).bitwiseAND(1L), 15 * i)
         }
         sum(terms.reduce(_ + _)).as(s"g$g")
       }
       val agg = tok.groupBy("doc_id").agg(count(lit(1)).as("n"), groups: _*)
       val sim = (0 until 64).map { b =>
         val g = b / 4; val i = b % 4
-        val c = shiftright(col(s"g$g"), 16 * i).bitwiseAND(65535L)
+        val c = shiftright(col(s"g$g"), 15 * i).bitwiseAND(32767L)
         when(c * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(0L)
       }.reduce(_.bitwiseOR(_))
       agg.select(col("doc_id"), sim.as("simhash"))

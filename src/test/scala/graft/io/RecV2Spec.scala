@@ -138,6 +138,41 @@ class RecV2Spec extends SparkSpec {
       df.where(col("ts") >= 8000 && col("ts") < 8100).count()
     }
     assert(e.getMessage.contains("non-decreasing-timestamp"), e.getMessage)
+    // the guard protects PRUNED reads only: an unfiltered scan reads every
+    // packet (complete regardless of ordering) and is the repair path the
+    // error message points to
+    assert(df.select("ts").collect().map(_.getLong(0)).min == 7000L)
+    assert(df.where(col("pos") === 50).select("ts").head().getLong(0) == 7000L)
+  }
+
+  test("aggPushdown=false forces the full-scan aggregate") {
+    val df = spark.read.format("rec").option("aggPushdown", "false").load(fileA)
+    val q = df.agg(count(lit(1)).as("n"), max("ts").as("hi"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("rec catalog agg"), plan)
+    assert(q.collect().head.toSeq == Seq(1000L, 1999L))
+  }
+
+  test("streaming starts on a config-only recording (no packets yet)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val p = s"$dir/fresh.rec"
+    // acquisition state between workspace write and first packet
+    RecSynth.write(p, Seq.empty)
+    val outDir = s"$dir/fresh_out"
+    val ckpt = s"$dir/fresh_ckpt"
+    def run(): Long = {
+      val q = spark.readStream.format("rec").load(p)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val d = new java.io.File(outDir)
+      val hasData = d.exists && d.listFiles().exists(f => f.getName.endsWith(".parquet"))
+      if (hasData) spark.read.parquet(outDir).count() else 0L
+    }
+    assert(run() == 0) // waits at offset 0 instead of refusing to start
+    RecSynth.append(p, (0 until 10).map(i => (i.toLong, (c: Int) => c.toShort)))
+    assert(run() == 10)
   }
 
   test("micro-batch streaming follows a growing rec file across restarts") {
