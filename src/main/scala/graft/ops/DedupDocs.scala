@@ -266,16 +266,19 @@ object DedupDocs {
         )
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
     )
-    // edges are symmetric, so src alone covers every pair member
+    // Round 1 fused with member discovery: while labels are still the
+    // identity, each member's neighbor-min is just min(dst), so ONE
+    // groupBy over the symmetric edges yields both the member set (src
+    // covers every pair member) and the first-round labels — no separate
+    // distinct materialization, no first join.
     var (labels, labelsRdd) = cut(
       edges
-        .select(col("src").as("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", col("doc_id"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
     )
-    var iter = 0
+    var iter = 1
     var converged = false
-    while (!converged && iter < maxIters) {
+    while (!converged && iter <= maxIters) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src").as("doc_id"))
