@@ -75,6 +75,24 @@ object RecDataSourceV2 {
     val one = Option(options.get("path")).map(Seq(_))
     many.orElse(one).getOrElse(Seq.empty)
   }
+
+  /** Directory load paths expand to their current `*.rec` members
+    * (lexicographic). Batch expands ONCE at scan planning; the streaming
+    * source re-lists per `latestOffset` to pick up session rollover. */
+  def expandPaths(
+      raw: Seq[String],
+      hconf: org.apache.hadoop.conf.Configuration
+  ): Seq[String] = raw.flatMap { p =>
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(hconf)
+    if (fs.getFileStatus(path).isDirectory)
+      fs.listStatus(path)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".rec"))
+        .map(_.getPath.toUri.getPath)
+        .sorted
+        .toSeq
+    else Seq(p)
+  }
 }
 
 class RecTable(paths: Seq[String]) extends Table with SupportsRead {
@@ -190,7 +208,8 @@ class RecCatalogAggScan(paths: Seq[String], spec: RecAggSpec) extends Scan with 
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
   /** (file_rank, count, first_ts, last_ts) in stitched order. */
-  private lazy val catalog: Array[Array[Long]] = paths
+  private lazy val catalog: Array[Array[Long]] = RecDataSourceV2
+    .expandPaths(paths, hconf)
     .map(p => RecFormat.parseConfig(p, hconf))
     .map(c => (c, RecFormat.timestampBounds(c, hconf)))
     .sortBy(_._2._1)
@@ -284,7 +303,8 @@ class RecScanV2(
 
   /** Files in stitched (start-ts) order with their pruned packet range. */
   private lazy val plannedRanges: Seq[(RecFormat.RecConfig, Int, Long, Long)] = {
-    val ranked = paths
+    val ranked = RecDataSourceV2
+      .expandPaths(paths, hconf)
       .map(p => RecFormat.parseConfig(p, hconf))
       .map(c => (c, RecFormat.timestampBounds(c, hconf)))
       .sortBy(_._2._1)

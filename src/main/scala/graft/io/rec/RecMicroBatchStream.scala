@@ -1,71 +1,97 @@
 package graft.io.rec
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
 
 import graft.io.RecFormat
 
-/** Structured Streaming micro-batch source over GROWING `.rec` files —
-  * the acquisition-time shape of the reference's workload: SpikeGadgets
-  * appends fixed-size packets to the recording while analysis follows
-  * behind (the reference handles this offline after the fact; here the
-  * same stitched-scan surface is a live stream).
+/** Structured Streaming micro-batch source over GROWING `.rec`
+  * recordings — the acquisition-time shape of the reference's workload:
+  * SpikeGadgets appends fixed-size packets to the current recording (and
+  * rolls over to a new file per session) while analysis follows behind.
   *
-  * Offsets are per-file packet counts (`{"counts":[...]}`) — packets are
-  * fixed-size after the XML prefix, so "how much of each file exists" is
-  * one file-status call per file, and a batch [start, end) maps directly
-  * to packet-aligned splits reusing the batch reader
-  * ([[RecPartitionReader]], including column pruning). Growth is within
-  * files — new packets appended at the tail. Trailing partial packets
-  * are naturally excluded because counts come from
-  * `floor(bytes / packetSize)` and re-enter the next batch once complete.
+  * Offsets carry an APPEND-ONLY file list with per-file packet counts
+  * (`{"files":[["path",count],...]}`):
   *
-  * File RANKS are assigned by LEXICOGRAPHIC PATH order, not the batch
-  * catalog's first-timestamp sort: offset vectors must mean the same
-  * thing across checkpoint restarts, and a content sort is only stable
-  * if every file already has its first packet at every (re)start. Path
-  * order depends on nothing but the path list (acquisition software
-  * timestamps filenames, so it is the recording order in practice). For
-  * the same reason a file may be ALL CONFIG, NO PACKETS yet — the state
-  * SpikeGadgets leaves on disk between writing the workspace XML and the
-  * first packet — and the stream simply reports offset 0 for it until
-  * packets land (the batch path's bounds probe would refuse such a
-  * file).
+  *  - **Growth within a file**: packets are fixed-size after the XML
+  *    prefix, so "how much exists" is one file-status call; a batch
+  *    [start, end) maps to packet-aligned splits reusing the batch
+  *    reader ([[RecPartitionReader]], column pruning included). Trailing
+  *    partial packets are excluded (`floor(bytes / packetSize)`) and
+  *    re-enter once complete.
+  *  - **New files**: a `load()` path that is a DIRECTORY is re-listed at
+  *    every `latestOffset` for `*.rec` files; unseen ones are APPENDED
+  *    to the offset's file list (lexicographic order within a listing
+  *    round). `file_rank` is the position in that list — first-seen
+  *    order — which is stable across batches AND restarts because the
+  *    list itself rides in the checkpointed offset; ranks never shift
+  *    when a new file's name happens to sort before an old one. (The
+  *    batch scan ranks by first-timestamp instead; for timestamped
+  *    acquisition filenames the two agree.)
+  *  - A file may be ALL CONFIG, NO PACKETS — the state on disk between
+  *    workspace-XML write and the first packet — and simply sits at
+  *    offset 0 until packets land (the batch path's bounds probe would
+  *    refuse it).
+  *
+  * Configs are parsed once per file and cached; `planInputPartitions`
+  * resolves every file from the OFFSET's list (not instance state), so a
+  * checkpoint replay on a fresh stream object plans the same batch.
   */
 class RecMicroBatchStream(
     paths: Seq[String],
     required: StructType,
     channelSubset: Option[Array[Int]],
     targetSplitBytes: Long
-) extends MicroBatchStream {
+) extends MicroBatchStream
+    with SupportsAdmissionControl {
 
   private val hconf =
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
-  /** Path-sorted (restart-stable); configs parsed once at stream start. */
-  private val cfgs: Seq[RecFormat.RecConfig] =
-    paths.sorted.map(p => RecFormat.parseConfig(p, hconf))
+  private val cfgCache = mutable.HashMap.empty[String, RecFormat.RecConfig]
+  private def cfgOf(p: String): RecFormat.RecConfig =
+    cfgCache.getOrElseUpdate(p, RecFormat.parseConfig(p, hconf))
 
-  override def initialOffset(): Offset = RecStreamOffset(Seq.fill(cfgs.size)(0L))
+  /** Expand directory load paths to their current `*.rec` members. */
+  private def listNow(): Seq[String] = RecDataSourceV2.expandPaths(paths, hconf)
+
+  override def initialOffset(): Offset = RecStreamOffset(Seq.empty)
+
+  /** Rank stability comes from the ADMISSION-CONTROL variant: the END
+    * offset's file order is the committed START's order plus new files
+    * appended — never a fresh listing order. (The no-arg latestOffset is
+    * unreachable once SupportsAdmissionControl is implemented; relying
+    * on instance state seeded by deserializeOffset would be fragile,
+    * since Spark may ask for the latest offset before deserializing any
+    * checkpoint.) */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val known = start.asInstanceOf[RecStreamOffset].files.map(_._1)
+    val ordered = known ++ listNow().filterNot(known.toSet)
+    RecStreamOffset(ordered.map(p => p -> RecFormat.packetCount(cfgOf(p), hconf)))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def latestOffset(): Offset =
-    RecStreamOffset(cfgs.map(c => RecFormat.packetCount(c, hconf)))
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used (SupportsAdmissionControl)"
+    )
 
-  override def deserializeOffset(json: String): Offset =
-    RecStreamOffset.fromJson(json)
+  override def deserializeOffset(json: String): Offset = RecStreamOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[RecStreamOffset].counts
-    val e = end.asInstanceOf[RecStreamOffset].counts
-    require(s.size == cfgs.size && e.size == cfgs.size, "offset arity mismatch")
-    cfgs.zipWithIndex.flatMap { case (cfg, rank) =>
-      val lo = s(rank)
-      val hi = e(rank)
+    val s = start.asInstanceOf[RecStreamOffset].files.toMap
+    val e = end.asInstanceOf[RecStreamOffset].files
+    e.zipWithIndex.flatMap { case ((p, hi), rank) =>
+      val cfg = cfgOf(p)
+      val lo = s.getOrElse(p, 0L)
       val perSplit = math.max(1L, targetSplitBytes / cfg.packetSize)
-      (lo until hi by perSplit).map { p =>
-        RecInputPartition(cfg, rank, p, math.min(perSplit, hi - p))
+      (lo until hi by perSplit).map { pk =>
+        RecInputPartition(cfg, rank, pk, math.min(perSplit, hi - pk))
       }
     }.toArray
   }
@@ -77,17 +103,31 @@ class RecMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-/** Per-file packet counts, in stream (stitched) rank order. */
-case class RecStreamOffset(counts: Seq[Long]) extends Offset {
-  override def json(): String = s"""{"counts":[${counts.mkString(",")}]}"""
+/** Append-only (path, packet-count) list; position = file_rank. */
+case class RecStreamOffset(files: Seq[(String, Long)]) extends Offset {
+  override def json(): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    files.foreach { case (p, n) =>
+      val e = mapper.createArrayNode()
+      e.add(p); e.add(n)
+      arr.add(e)
+    }
+    val root = mapper.createObjectNode()
+    root.set[com.fasterxml.jackson.databind.JsonNode]("files", arr)
+    mapper.writeValueAsString(root)
+  }
 }
 
 object RecStreamOffset {
   def fromJson(json: String): RecStreamOffset = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.readTree(json).get("counts")
+    val node = mapper.readTree(json).get("files")
     require(node != null && node.isArray, s"bad rec stream offset: $json")
-    val counts = (0 until node.size()).map(i => node.get(i).asLong())
-    RecStreamOffset(counts)
+    val files = (0 until node.size()).map { i =>
+      val e = node.get(i)
+      (e.get(0).asText(), e.get(1).asLong())
+    }
+    RecStreamOffset(files)
   }
 }

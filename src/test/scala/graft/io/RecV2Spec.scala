@@ -216,6 +216,46 @@ class RecV2Spec extends SparkSpec {
     assert(r.last.getLong(1) == 149L)
   }
 
+  test("directory streaming: session rollover files join the stream with stable ranks") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sessDir = Files.createTempDirectory("recsess").toFile.getAbsolutePath
+    RecSynth.write(s"$sessDir/b_session1.rec", (0 until 40).map(i => (i.toLong, (c: Int) => 1.toShort)))
+    val outDir = s"$sessDir/out"
+    val ckpt = s"$sessDir/ckpt"
+    def run(): Seq[(Int, Long)] = {
+      val q = spark.readStream.format("rec").load(sessDir)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(outDir)
+        .groupBy("file_rank").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    }
+    assert(run() == Seq((0, 40L)))
+    // rollover: a NEW session file whose name sorts BEFORE the first —
+    // first-seen rank order must hold (new file appends at rank 1)
+    RecSynth.write(s"$sessDir/a_session2.rec", (0 until 25).map(i => (i.toLong, (c: Int) => 2.toShort)))
+    RecSynth.append(s"$sessDir/b_session1.rec", (40 until 50).map(i => (i.toLong, (c: Int) => 1.toShort)))
+    assert(run() == Seq((0, 50L), (1, 25L)))
+    // ranks survive a restart (the file list rides in the offset)
+    RecSynth.append(s"$sessDir/a_session2.rec", (25 until 30).map(i => (i.toLong, (c: Int) => 2.toShort)))
+    assert(run() == Seq((0, 50L), (1, 30L)))
+  }
+
+  test("batch scan accepts a directory of recordings") {
+    val batchDir = Files.createTempDirectory("recbatch").toFile.getAbsolutePath
+    RecSynth.write(s"$batchDir/x.rec", (0 until 30).map(i => (1000L + i, (c: Int) => c.toShort)))
+    RecSynth.write(s"$batchDir/y.rec", (0 until 20).map(i => (2000L + i, (c: Int) => c.toShort)))
+    val df = spark.read.format("rec").load(batchDir)
+    assert(df.count() == 50)
+    assert(df.groupBy("file_rank").count().count() == 2)
+    // catalog agg pushdown expands the directory too
+    val q = df.agg(min("ts").as("lo"), max("ts").as("hi"))
+    assert(q.queryExecution.executedPlan.toString.contains("rec catalog agg"))
+    assert(q.collect().head.toSeq == Seq(1000L, 2019L))
+  }
+
   test("live extract_channels: rec stream into per-channel partitioned parquet") {
     import org.apache.spark.sql.streaming.Trigger
     val p = s"$dir/live.rec"
