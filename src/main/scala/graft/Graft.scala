@@ -28,6 +28,24 @@ object Graft {
   def open(spark: SparkSession, paths: Seq[String]): RecSession =
     new RecSession(spark, paths)
 
+  /** Live view of a recording in progress: a streaming DataFrame over
+    * growing `.rec` files (or a session DIRECTORY — rollover files join
+    * mid-stream). Same schema as [[RecSession.packets]]; compose with
+    * `posexplode(values)` + `writeStream.partitionBy("channel")` for a
+    * live extract_channels. */
+  def openStream(spark: SparkSession, pathsOrDir: Seq[String]): DataFrame =
+    pathsOrDir match {
+      case Seq(one) => spark.readStream.format("rec").load(one)
+      case many =>
+        // DataStreamReader.load has no varargs form; the source reads the
+        // same JSON-array `paths` option the batch reader uses
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        spark.readStream
+          .format("rec")
+          .option("paths", mapper.writeValueAsString(many.toArray))
+          .load()
+    }
+
   /** The reference's `detect_spikes` composition
     * (jagular/spikes.py:142-186): MAD threshold → ≥2-consecutive
     * crossings → refractory censor → patch extraction. Returns the

@@ -110,6 +110,27 @@ object SigBench {
       }.reduce(_.bitwiseOR(_))
       agg.select(col("doc_id"), sim.as("simhash"))
     }
+
+    // ---- ngram jaccard diagnostics ----
+    {
+      import graft.ops.DedupDocs
+      val base = docs.where(col("source").isNotNull)
+      val sh = DedupDocs.shingles(base, 3, carry = Seq("source"))
+      val buckets = sh
+        .groupBy(col("source"), col("shingle"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      println(s"shingle rows: ${sh.count()}")
+      println(s"buckets: ${buckets.count()}, multi-doc: ${buckets.where(size(col("docs")) > 1).count()}")
+      val pairsRaw = buckets
+        .where(size(col("docs")) > 1)
+        .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
+        .select(col("doc_a"), explode(slice(col("docs"), col("i") + 2, size(col("docs")))).as("doc_b"))
+      println(s"exploded pair rows: ${pairsRaw.count()}")
+      println(s"distinct pairs: ${pairsRaw.distinct().count()}")
+    }
+    time("ngram-jaccard-current") {
+      graft.ops.DedupDocs.ngramJaccardPairs(docs, 3, 0.8, "source")
+    }
     spark.stop()
   }
 }
