@@ -243,6 +243,21 @@ class RecV2Spec extends SparkSpec {
     assert(run() == Seq((0, 50L), (1, 30L)))
   }
 
+  test("Graft.openStream streams multiple explicit files via the paths option") {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = Files.createTempDirectory("recmulti").toFile.getAbsolutePath
+    RecSynth.write(s"$d/m1.rec", (0 until 15).map(i => (i.toLong, (c: Int) => 1.toShort)))
+    RecSynth.write(s"$d/m2.rec", (0 until 25).map(i => (i.toLong, (c: Int) => 2.toShort)))
+    val q = graft.Graft.openStream(spark, Seq(s"$d/m1.rec", s"$d/m2.rec"))
+      .writeStream.format("parquet")
+      .option("path", s"$d/out").option("checkpointLocation", s"$d/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$d/out")
+    assert(out.count() == 40)
+    assert(out.groupBy("file_rank").count().count() == 2)
+  }
+
   test("batch scan accepts a directory of recordings") {
     val batchDir = Files.createTempDirectory("recbatch").toFile.getAbsolutePath
     RecSynth.write(s"$batchDir/x.rec", (0 until 30).map(i => (1000L + i, (c: Int) => c.toShort)))
