@@ -39,10 +39,9 @@ object Graft {
       case many =>
         // DataStreamReader.load has no varargs form; the source reads the
         // same JSON-array `paths` option the batch reader uses
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         spark.readStream
           .format("rec")
-          .option("paths", mapper.writeValueAsString(many.toArray))
+          .option("paths", graft.io.rec.RecDataSourceV2.pathsOption(many))
           .load()
     }
 

@@ -76,9 +76,21 @@ object RecDataSourceV2 {
     many.orElse(one).getOrElse(Seq.empty)
   }
 
+  /** Inverse of [[paths]] for callers that must pass several paths where
+    * the reader API takes none (e.g. `DataStreamReader.load()`): the
+    * JSON-array `paths` option value. Keeping encode and decode side by
+    * side keeps the wire format in one place. */
+  def pathsOption(ps: Seq[String]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.writeValueAsString(ps.toArray)
+  }
+
   /** Directory load paths expand to their current `*.rec` members
     * (lexicographic). Batch expands ONCE at scan planning; the streaming
-    * source re-lists per `latestOffset` to pick up session rollover. */
+    * source re-lists per `latestOffset` to pick up session rollover.
+    * Member paths keep their full scheme/authority (`getPath.toString`,
+    * not the scheme-stripping `toUri.getPath`) so non-default
+    * filesystems — s3a://, hdfs:// — resolve correctly downstream. */
   def expandPaths(
       raw: Seq[String],
       hconf: org.apache.hadoop.conf.Configuration
@@ -88,7 +100,7 @@ object RecDataSourceV2 {
     if (fs.getFileStatus(path).isDirectory)
       fs.listStatus(path)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".rec"))
-        .map(_.getPath.toUri.getPath)
+        .map(_.getPath.toString)
         .sorted
         .toSeq
     else Seq(p)
@@ -207,18 +219,22 @@ class RecCatalogAggScan(paths: Seq[String], spec: RecAggSpec) extends Scan with 
   private lazy val hconf =
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
-  /** (file_rank, count, first_ts, last_ts) in stitched order. */
+  /** (file_rank, count, first_ts, last_ts) in stitched order; zero-packet
+    * files are skipped like the row scan does (no rows → no aggregate
+    * contribution, and the bounds probe needs a whole packet). */
   private lazy val catalog: Array[Array[Long]] = RecDataSourceV2
     .expandPaths(paths, hconf)
     .map(p => RecFormat.parseConfig(p, hconf))
-    .map(c => (c, RecFormat.timestampBounds(c, hconf)))
-    .sortBy(_._2._1)
+    .map(c => (c, RecFormat.packetCount(c, hconf)))
+    .filter(_._2 > 0)
+    .map { case (c, total) => (c, total, RecFormat.timestampBounds(c, hconf)) }
+    .sortBy(_._3._1)
     .zipWithIndex
-    .map { case ((cfg, (first, last)), rank) =>
+    .map { case ((_, total, (first, last)), rank) =>
       val row = Array.newBuilder[Long]
       if (spec.groupByFileRank) row += rank.toLong
       spec.ops.foreach {
-        case "count" => row += RecFormat.packetCount(cfg, hconf)
+        case "count" => row += total
         case "min_ts" => row += first
         case "max_ts" => row += last
       }
@@ -301,16 +317,20 @@ class RecScanV2(
 
   private lazy val hconf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
-  /** Files in stitched (start-ts) order with their pruned packet range. */
+  /** Files in stitched (start-ts) order with their pruned packet range.
+    * Zero-packet files (config written, no complete packet yet — live
+    * acquisition right after rollover) contribute no rows and are
+    * skipped BEFORE the bounds probe, which requires a whole packet. */
   private lazy val plannedRanges: Seq[(RecFormat.RecConfig, Int, Long, Long)] = {
     val ranked = RecDataSourceV2
       .expandPaths(paths, hconf)
       .map(p => RecFormat.parseConfig(p, hconf))
-      .map(c => (c, RecFormat.timestampBounds(c, hconf)))
-      .sortBy(_._2._1)
+      .map(c => (c, RecFormat.packetCount(c, hconf)))
+      .filter(_._2 > 0)
+      .map { case (c, total) => (c, total, RecFormat.timestampBounds(c, hconf)) }
+      .sortBy(_._3._1)
       .zipWithIndex
-    ranked.flatMap { case ((cfg, (first, last)), rank) =>
-      val total = RecFormat.packetCount(cfg, hconf)
+    ranked.flatMap { case ((cfg, total, (first, last)), rank) =>
       if (tsMin.exists(_ > last) || tsMax.exists(_ < first)) Nil // whole-file prune
       else {
         val lo = tsMin match {

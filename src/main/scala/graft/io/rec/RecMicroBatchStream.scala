@@ -1,9 +1,12 @@
 package graft.io.rec
 
 import scala.collection.mutable
+import scala.util.control.NonFatal
 
+import org.apache.hadoop.fs.Path
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
 
@@ -18,9 +21,12 @@ import graft.io.RecFormat
   * (`{"files":[["path",count],...]}`):
   *
   *  - **Growth within a file**: packets are fixed-size after the XML
-  *    prefix, so "how much exists" is one file-status call; a batch
-  *    [start, end) maps to packet-aligned splits reusing the batch
-  *    reader ([[RecPartitionReader]], column pruning included). Trailing
+  *    prefix, so "how much exists" comes straight from the file length —
+  *    the directory listing already carries lengths, so admission is ONE
+  *    listStatus per directory (plus one getFileStatus per explicit
+  *    file), no per-file re-status. A batch [start, end) maps to
+  *    packet-aligned splits reusing the batch reader
+  *    ([[RecPartitionReader]], column pruning included). Trailing
   *    partial packets are excluded (`floor(bytes / packetSize)`) and
   *    re-enter once complete.
   *  - **New files**: a `load()` path that is a DIRECTORY is re-listed at
@@ -28,14 +34,20 @@ import graft.io.RecFormat
   *    to the offset's file list (lexicographic order within a listing
   *    round). `file_rank` is the position in that list — first-seen
   *    order — which is stable across batches AND restarts because the
-  *    list itself rides in the checkpointed offset; ranks never shift
-  *    when a new file's name happens to sort before an old one. (The
-  *    batch scan ranks by first-timestamp instead; for timestamped
+  *    list itself rides in the checkpointed offset AND the end offset is
+  *    always derived from the committed start
+  *    ([[SupportsAdmissionControl]]), never from a fresh listing order.
+  *    (The batch scan ranks by first-timestamp instead; for timestamped
   *    acquisition filenames the two agree.)
   *  - A file may be ALL CONFIG, NO PACKETS — the state on disk between
   *    workspace-XML write and the first packet — and simply sits at
-  *    offset 0 until packets land (the batch path's bounds probe would
-  *    refuse it).
+  *    offset 0 until packets land. A file whose XML prefix is still
+  *    BEING WRITTEN (rollover race: parseConfig fails) is deferred to a
+  *    later listing round with a warning instead of killing the query.
+  *  - [[SupportsTriggerAvailableNow]]: `Trigger.AvailableNow` snapshots
+  *    the listing once at query start and drains up to it — without this
+  *    Spark's generic wrapper would call `latestOffset` with the EMPTY
+  *    initial offset and break rank stability.
   *
   * Configs are parsed once per file and cached; `planInputPartitions`
   * resolves every file from the OFFSET's list (not instance state), so a
@@ -47,7 +59,9 @@ class RecMicroBatchStream(
     channelSubset: Option[Array[Int]],
     targetSplitBytes: Long
 ) extends MicroBatchStream
-    with SupportsAdmissionControl {
+    with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow
+    with Logging {
 
   private val hconf =
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
@@ -56,23 +70,58 @@ class RecMicroBatchStream(
   private def cfgOf(p: String): RecFormat.RecConfig =
     cfgCache.getOrElseUpdate(p, RecFormat.parseConfig(p, hconf))
 
-  /** Expand directory load paths to their current `*.rec` members. */
-  private def listNow(): Seq[String] = RecDataSourceV2.expandPaths(paths, hconf)
+  /** Current (canonical path, file length) membership: directories are
+    * listed (lengths ride along for free), explicit files status'd. */
+  private def listNow(): Seq[(String, Long)] = paths.flatMap { p =>
+    val path = new Path(p)
+    val fs = path.getFileSystem(hconf)
+    val st = fs.getFileStatus(path)
+    if (st.isDirectory)
+      fs.listStatus(path)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".rec"))
+        .map(s => (s.getPath.toString, s.getLen))
+        .sortBy(_._1)
+        .toSeq
+    else Seq((st.getPath.toString, st.getLen))
+  }
+
+  /** Packet count from a listed length; None defers a file whose config
+    * cannot be parsed yet (XML prefix mid-write at rollover). */
+  private def countOf(p: String, len: Long): Option[Long] =
+    try {
+      val cfg = cfgOf(p)
+      Some(math.max(0L, (len - cfg.configSectionSize) / cfg.packetSize))
+    } catch {
+      case NonFatal(e) =>
+        logWarning(s"rec stream: deferring $p — config not yet parseable (${e.getMessage})")
+        None
+    }
+
+  /** End offset = committed start's file order + parseable new files. */
+  private def advance(start: RecStreamOffset, listing: Seq[(String, Long)]): RecStreamOffset = {
+    val lens = listing.toMap
+    val startCounts = start.files.toMap
+    val known = start.files.map(_._1)
+    val fresh = listing.map(_._1).filterNot(known.toSet)
+    val kept = known.map { p =>
+      // a known file missing from the listing (deleted?) makes no progress
+      p -> lens.get(p).flatMap(countOf(p, _)).getOrElse(startCounts(p))
+    }
+    val added = fresh.flatMap(p => countOf(p, lens(p)).map(p -> _))
+    RecStreamOffset(kept ++ added)
+  }
 
   override def initialOffset(): Offset = RecStreamOffset(Seq.empty)
 
-  /** Rank stability comes from the ADMISSION-CONTROL variant: the END
-    * offset's file order is the committed START's order plus new files
-    * appended — never a fresh listing order. (The no-arg latestOffset is
-    * unreachable once SupportsAdmissionControl is implemented; relying
-    * on instance state seeded by deserializeOffset would be fragile,
-    * since Spark may ask for the latest offset before deserializing any
-    * checkpoint.) */
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val known = start.asInstanceOf[RecStreamOffset].files.map(_._1)
-    val ordered = known ++ listNow().filterNot(known.toSet)
-    RecStreamOffset(ordered.map(p => p -> RecFormat.packetCount(cfgOf(p), hconf)))
-  }
+  // Trigger.AvailableNow: freeze the listing at query start; every batch
+  // advances toward the frozen membership/lengths, still ordered by the
+  // committed start offset
+  private var frozenListing: Option[Seq[(String, Long)]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenListing = Some(listNow())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    advance(start.asInstanceOf[RecStreamOffset], frozenListing.getOrElse(listNow()))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 

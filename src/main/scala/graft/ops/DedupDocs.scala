@@ -45,7 +45,7 @@ object DedupDocs {
     * doc_a < doc_b. Streams through two generators (posexplode + explode
     * over a slice) rather than materializing the m² pair array, so a
     * skewed bucket costs rows, not task memory. */
-  private def explodePairs(buckets: DataFrame): DataFrame =
+  private[graft] def explodePairs(buckets: DataFrame): DataFrame =
     buckets
       .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
       .select(
@@ -276,9 +276,13 @@ object DedupDocs {
         .groupBy(col("src").as("doc_id"))
         .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
     )
+    // the fused groupBy above IS propagation round 1; the loop runs the
+    // remaining maxIters-1 rounds (it needs at least one pass to detect
+    // convergence, hence the floor on maxIters)
+    require(maxIters >= 2, s"maxIters must be >= 2, got $maxIters")
     var iter = 1
     var converged = false
-    while (!converged && iter <= maxIters) {
+    while (!converged && iter < maxIters) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src").as("doc_id"))

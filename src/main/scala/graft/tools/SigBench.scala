@@ -121,10 +121,7 @@ object SigBench {
         .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       println(s"shingle rows: ${sh.count()}")
       println(s"buckets: ${buckets.count()}, multi-doc: ${buckets.where(size(col("docs")) > 1).count()}")
-      val pairsRaw = buckets
-        .where(size(col("docs")) > 1)
-        .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
-        .select(col("doc_a"), explode(slice(col("docs"), col("i") + 2, size(col("docs")))).as("doc_b"))
+      val pairsRaw = DedupDocs.explodePairs(buckets.where(size(col("docs")) > 1))
       println(s"exploded pair rows: ${pairsRaw.count()}")
       println(s"distinct pairs: ${pairsRaw.distinct().count()}")
     }

@@ -262,13 +262,38 @@ class RecV2Spec extends SparkSpec {
     val batchDir = Files.createTempDirectory("recbatch").toFile.getAbsolutePath
     RecSynth.write(s"$batchDir/x.rec", (0 until 30).map(i => (1000L + i, (c: Int) => c.toShort)))
     RecSynth.write(s"$batchDir/y.rec", (0 until 20).map(i => (2000L + i, (c: Int) => c.toShort)))
+    // config-only rollover file (no complete packet yet): contributes no
+    // rows and must not abort the scan
+    RecSynth.write(s"$batchDir/z.rec", Seq.empty)
     val df = spark.read.format("rec").load(batchDir)
     assert(df.count() == 50)
     assert(df.groupBy("file_rank").count().count() == 2)
-    // catalog agg pushdown expands the directory too
+    // catalog agg pushdown expands the directory too (and skips z.rec)
     val q = df.agg(min("ts").as("lo"), max("ts").as("hi"))
     assert(q.queryExecution.executedPlan.toString.contains("rec catalog agg"))
     assert(q.collect().head.toSeq == Seq(1000L, 2019L))
+  }
+
+  test("streaming defers a mid-write rollover file instead of dying") {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = Files.createTempDirectory("recrace").toFile.getAbsolutePath
+    RecSynth.write(s"$d/a_good.rec", (0 until 20).map(i => (i.toLong, (c: Int) => 1.toShort)))
+    // rollover race: the new file's XML prefix is only half-written
+    val partial = new java.io.FileOutputStream(s"$d/b_midwrite.rec")
+    partial.write(RecSynth.xml.getBytes("US-ASCII"), 0, 60)
+    partial.close()
+    def run(): Long = {
+      val q = spark.readStream.format("rec").load(d)
+        .writeStream.format("parquet")
+        .option("path", s"$d/out").option("checkpointLocation", s"$d/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$d/out").count()
+    }
+    assert(run() == 20) // survives; the unparseable file is deferred
+    // acquisition finishes the config and the first packets land
+    RecSynth.write(s"$d/b_midwrite.rec", (0 until 5).map(i => (i.toLong, (c: Int) => 2.toShort)))
+    assert(run() == 25)
   }
 
   test("live extract_channels: rec stream into per-channel partitioned parquet") {
