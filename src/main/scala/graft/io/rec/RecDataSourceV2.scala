@@ -228,6 +228,15 @@ class RecCatalogAggScan(paths: Seq[String], spec: RecAggSpec) extends Scan with 
     .map(c => (c, RecFormat.packetCount(c, hconf)))
     .filter(_._2 > 0)
     .map { case (c, total) => (c, total, RecFormat.timestampBounds(c, hconf)) }
+    .map { case t @ (c, _, (first, last)) =>
+      require(
+        first <= last,
+        s"${c.path}: first ts $first > last ts $last — file violates the " +
+          "non-decreasing-timestamp invariant the catalog aggregates rely on " +
+          "(jagular/utils.py:323-328); set aggPushdown=false and repair"
+      )
+      t
+    }
     .sortBy(_._3._1)
     .zipWithIndex
     .map { case ((_, total, (first, last)), rank) =>
@@ -328,6 +337,18 @@ class RecScanV2(
       .map(c => (c, RecFormat.packetCount(c, hconf)))
       .filter(_._2 > 0)
       .map { case (c, total) => (c, total, RecFormat.timestampBounds(c, hconf)) }
+      .map { case t @ (c, _, (first, last)) =>
+        // necessary condition for the non-decreasing invariant both the
+        // whole-file pruning and the catalog aggregates lean on; an
+        // interior dip still needs the reader's guard, but a reversed
+        // file fails at planning instead of answering wrong
+        require(
+          first <= last,
+          s"${c.path}: first ts $first > last ts $last — file violates the " +
+            "non-decreasing-timestamp invariant (jagular/utils.py:323-328)"
+        )
+        t
+      }
       .sortBy(_._3._1)
       .zipWithIndex
     ranked.flatMap { case ((cfg, total, (first, last)), rank) =>
