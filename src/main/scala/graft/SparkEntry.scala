@@ -296,10 +296,13 @@ object SparkEntry {
 
   /** Dedup clusters: MinHash-LSH candidate pairs → connected components
     * → (doc_id, cluster_id = min doc of the component). The step that
-    * turns pair sets into deduplication decisions. */
+    * turns pair sets into deduplication decisions. Uses STAR pairs
+    * (bucket head vs rest): O(members) per bucket instead of O(members²)
+    * with the identical transitive closure — which is also what the
+    * oracle's recursive CTE computes over the full pair set. */
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = DedupDocs.minhashLshPairs(docs, k = 3, numHashes = 16, rowsPerBand = 4)
+    val pairs = DedupDocs.minhashLshPairs(docs, k = 3, numHashes = 16, rowsPerBand = 4, star = true)
     DedupDocs.connectedComponents(docs.select("doc_id"), pairs)
   }
 

@@ -53,6 +53,19 @@ object DedupDocs {
         explode(slice(col("docs"), col("i") + 2, size(col("docs")))).as("doc_b")
       )
 
+  /** Star pairs: bucket head vs every other member — O(m) rows instead of
+    * O(m²), with the SAME transitive closure (the star keeps the bucket
+    * connected). The right shape when pairs feed CLUSTERING: a bucket of
+    * 1M boilerplate copies yields 10⁶ star edges instead of 5·10¹¹
+    * pairs. Not a substitute when the pair LIST itself is the product. */
+  private[graft] def explodeStarPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .select(element_at(col("docs"), 1).as("doc_a"), col("docs"))
+      .select(
+        col("doc_a"),
+        explode(slice(col("docs"), lit(2), size(col("docs")))).as("doc_b")
+      )
+
   /** Exact pairwise n-gram Jaccard similarity >= threshold, blocked by a
     * `blockCol` (e.g. source) to bound the candidate space — the standard
     * blocking trick that keeps the pair join linear-ish instead of n².
@@ -138,12 +151,20 @@ object DedupDocs {
     * comparison ever materializes, and the signature pipeline
     * (tokenize → shingle → md5 → min-agg) runs exactly ONCE — pairs come
     * from grouping the bucket membership, not from a self-join that would
-    * recompute the whole subtree per side. */
+    * recompute the whole subtree per side.
+    *
+    * `star = true` emits bucket-head-vs-rest STAR edges instead of all
+    * within-bucket pairs: O(members) instead of O(members²) per bucket,
+    * with the same connected components — use it when the pairs feed
+    * [[connectedComponents]]; at 100 TB one mass-duplicated boilerplate
+    * bucket makes the quadratic form intractable and the star form
+    * linear. */
   def minhashLshPairs(
       documents: DataFrame,
       k: Int,
       numHashes: Int,
-      rowsPerBand: Int
+      rowsPerBand: Int,
+      star: Boolean = false
   ): DataFrame = {
     // NOTE: exact banding only — a partial trailing band would inflate
     // candidate recall unpredictably; pad numHashes instead
@@ -168,7 +189,7 @@ object DedupDocs {
       .groupBy("band", "band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .where(size(col("docs")) > 1)
-    explodePairs(buckets).distinct()
+    (if (star) explodeStarPairs(buckets) else explodePairs(buckets)).distinct()
   }
 
   /** SimHash near-duplicate pairs: band the 64-bit simhash into four

@@ -87,6 +87,23 @@ class OpsSpec extends SparkSpec {
     assert(cc == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("star LSH pairs yield the SAME clusters as all-pairs, with O(m) edges") {
+    // six near-identical docs (one LSH bucket) + two distinct singletons
+    val docs = (0L to 7L).map { i =>
+      val text =
+        if (i <= 5) "the quick brown fox jumps over the lazy dog again today"
+        else s"utterly unrelated content number $i zz qq ww ee rr tt yy uu"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val all = DedupDocs.minhashLshPairs(docs, k = 3, numHashes = 16, rowsPerBand = 4)
+    val star = DedupDocs.minhashLshPairs(docs, k = 3, numHashes = 16, rowsPerBand = 4, star = true)
+    assert(star.count() < all.count()) // 5 star edges vs 15 pairs for the 6-clique
+    val ccOf = (p: org.apache.spark.sql.DataFrame) =>
+      DedupDocs.connectedComponents(docs.select("doc_id"), p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccOf(star) == ccOf(all))
+  }
+
   test("ngram jaccard: NULL-block docs join to nothing (equi-join semantics)") {
     val df = Seq(
       (0L, "a b c d e f", Option("s1")),
