@@ -76,22 +76,28 @@ object DedupDocs {
     * and the pair intersection counts derive from that single exchange
     * (the self-join formulation would re-run tokenize+shingle per branch).
     * Ultra-frequent shingles are the skew axis at scale — buckets stream
-    * their pairs (see [[explodePairs]]); in a 100 TB run you would
-    * additionally drop top-percentile shingles (stopword n-grams carry no
-    * dedup signal), which bounds every bucket. */
+    * their pairs (see [[explodePairs]]), and `maxDocFreq` is the 100 TB
+    * knob: shingles appearing in more than that many documents of a
+    * block (stopword n-grams — no dedup signal, quadratic pair cost) are
+    * DROPPED FROM THE SHINGLE UNIVERSE, bounding every bucket's fan-out.
+    * Sizes and intersections both come from the post-cap buckets, so the
+    * Jaccard stays internally consistent (similarity over the reduced
+    * universe). Default None = exact over all shingles. */
   def ngramJaccardPairs(
       documents: DataFrame,
       k: Int,
       threshold: Double,
-      blockCol: String
+      blockCol: String,
+      maxDocFreq: Option[Int] = None
   ): DataFrame = {
     // NULL blocks join to nothing under equi-join semantics (and in the
     // SQL oracle); drop them before bucketing, or they would collapse
     // into one giant NULL bucket
     val sh = shingles(documents.where(col(blockCol).isNotNull), k, carry = Seq(blockCol))
-    val buckets = sh
+    val allBuckets = sh
       .groupBy(col(blockCol), col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+    val buckets = maxDocFreq.fold(allBuckets)(cap => allBuckets.where(size(col("docs")) <= cap))
     // n_sh per doc: every (block, shingle) bucket holds a doc at most once
     // (shingles are distinct per doc), so exploding the bucket membership
     // recovers the per-doc distinct-shingle count from the SAME exchange.

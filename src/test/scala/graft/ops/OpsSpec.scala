@@ -87,6 +87,27 @@ class OpsSpec extends SparkSpec {
     assert(cc == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("ngram jaccard maxDocFreq drops stopword shingles from the universe") {
+    // "x y z" appears in ALL four docs (the stopword shingle); each pair
+    // of (0,1) and (2,3) also shares a rare discriminating shingle set
+    val df = Seq(
+      (0L, "x y z a b c", "s"),
+      (1L, "x y z a b c", "s"),
+      (2L, "x y z d e f", "s"),
+      (3L, "x y z d e f", "s")
+    ).toDF("doc_id", "text", "source")
+    // exact: identical docs pair at jaccard 1.0
+    val exact = DedupDocs.ngramJaccardPairs(df, k = 3, threshold = 0.9, blockCol = "source")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((0L, 1L), (2L, 3L)))
+    // cap at 2: the 4-doc "x y z" bucket is dropped; identical pairs
+    // still reach 1.0 on their remaining shingles
+    val capped = DedupDocs
+      .ngramJaccardPairs(df, k = 3, threshold = 0.9, blockCol = "source", maxDocFreq = Some(2))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((0L, 1L), (2L, 3L)))
+  }
+
   test("star LSH pairs yield the SAME clusters as all-pairs, with O(m) edges") {
     // six near-identical docs (one LSH bucket) + two distinct singletons
     val docs = (0L to 7L).map { i =>
