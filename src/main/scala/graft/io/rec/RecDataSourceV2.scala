@@ -85,6 +85,43 @@ object RecDataSourceV2 {
     mapper.writeValueAsString(ps.toArray)
   }
 
+  /** The shared planning pipeline: expand → parse → count → bounds-probe
+    * → stitched (first-ts) sort, skipping zero-packet files (config
+    * written, no complete packet yet — they contribute no rows, and the
+    * bounds probe needs a whole packet). Returns
+    * `(cfg, packetCount, (firstTs, lastTs))` in rank order.
+    *
+    * `verifyBounds` asserts `first <= last` per file — the O(1) necessary
+    * condition of the non-decreasing-timestamp invariant. Pass it
+    * whenever the CONSUMER trusts the bounds beyond mere ordering
+    * (ts-range pruning, catalog MIN/MAX aggregates); leave it false for
+    * an unfiltered row scan, which reads every packet and is complete
+    * regardless of ordering — that unfiltered scan is the documented
+    * repair path for a broken file and must stay readable. */
+  def rankedBounds(
+      raw: Seq[String],
+      hconf: org.apache.hadoop.conf.Configuration,
+      verifyBounds: Boolean,
+      consumer: String
+  ): Seq[(RecFormat.RecConfig, Long, (Long, Long))] =
+    expandPaths(raw, hconf)
+      .map(p => RecFormat.parseConfig(p, hconf))
+      .map(c => (c, RecFormat.packetCount(c, hconf)))
+      .filter(_._2 > 0)
+      .map { case (c, total) =>
+        val bounds @ (first, last) = RecFormat.timestampBounds(c, hconf)
+        if (verifyBounds)
+          require(
+            first <= last,
+            s"${c.path}: first ts $first > last ts $last — file violates the " +
+              s"non-decreasing-timestamp invariant (jagular/utils.py:323-328) that $consumer " +
+              "relies on; re-read the file unfiltered and repair ordering first " +
+              "(graft.ts.Validation / Dedup)"
+          )
+        (c, total, bounds)
+      }
+      .sortBy(_._3._1)
+
   /** Directory load paths expand to their current `*.rec` members
     * (lexicographic). Batch expands ONCE at scan planning; the streaming
     * source re-lists per `latestOffset` to pick up session rollover.
@@ -219,25 +256,12 @@ class RecCatalogAggScan(paths: Seq[String], spec: RecAggSpec) extends Scan with 
   private lazy val hconf =
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
-  /** (file_rank, count, first_ts, last_ts) in stitched order; zero-packet
-    * files are skipped like the row scan does (no rows → no aggregate
-    * contribution, and the bounds probe needs a whole packet). */
+  /** (file_rank, count, first_ts, last_ts) in stitched order. MIN/MAX
+    * answers trust the bounds probes, so the first<=last sanity check is
+    * always on here (an unfiltered row scan with aggPushdown=false is
+    * the escape for a file that fails it). */
   private lazy val catalog: Array[Array[Long]] = RecDataSourceV2
-    .expandPaths(paths, hconf)
-    .map(p => RecFormat.parseConfig(p, hconf))
-    .map(c => (c, RecFormat.packetCount(c, hconf)))
-    .filter(_._2 > 0)
-    .map { case (c, total) => (c, total, RecFormat.timestampBounds(c, hconf)) }
-    .map { case t @ (c, _, (first, last)) =>
-      require(
-        first <= last,
-        s"${c.path}: first ts $first > last ts $last — file violates the " +
-          "non-decreasing-timestamp invariant the catalog aggregates rely on " +
-          "(jagular/utils.py:323-328); set aggPushdown=false and repair"
-      )
-      t
-    }
-    .sortBy(_._3._1)
+    .rankedBounds(paths, hconf, verifyBounds = true, consumer = "the catalog aggregates (set aggPushdown=false to full-scan)")
     .zipWithIndex
     .map { case ((_, total, (first, last)), rank) =>
       val row = Array.newBuilder[Long]
@@ -327,29 +351,18 @@ class RecScanV2(
   private lazy val hconf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
   /** Files in stitched (start-ts) order with their pruned packet range.
-    * Zero-packet files (config written, no complete packet yet — live
-    * acquisition right after rollover) contribute no rows and are
-    * skipped BEFORE the bounds probe, which requires a whole packet. */
+    * Bounds verification is gated on a ts filter being pushed — an
+    * UNFILTERED scan reads every packet and is complete regardless of
+    * ordering (it is the repair path for a broken file; see
+    * [[RecDataSourceV2.rankedBounds]]). */
   private lazy val plannedRanges: Seq[(RecFormat.RecConfig, Int, Long, Long)] = {
     val ranked = RecDataSourceV2
-      .expandPaths(paths, hconf)
-      .map(p => RecFormat.parseConfig(p, hconf))
-      .map(c => (c, RecFormat.packetCount(c, hconf)))
-      .filter(_._2 > 0)
-      .map { case (c, total) => (c, total, RecFormat.timestampBounds(c, hconf)) }
-      .map { case t @ (c, _, (first, last)) =>
-        // necessary condition for the non-decreasing invariant both the
-        // whole-file pruning and the catalog aggregates lean on; an
-        // interior dip still needs the reader's guard, but a reversed
-        // file fails at planning instead of answering wrong
-        require(
-          first <= last,
-          s"${c.path}: first ts $first > last ts $last — file violates the " +
-            "non-decreasing-timestamp invariant (jagular/utils.py:323-328)"
-        )
-        t
-      }
-      .sortBy(_._3._1)
+      .rankedBounds(
+        paths,
+        hconf,
+        verifyBounds = tsMin.nonEmpty || tsMax.nonEmpty,
+        consumer = "ts-range pruning"
+      )
       .zipWithIndex
     ranked.flatMap { case ((cfg, total, (first, last)), rank) =>
       if (tsMin.exists(_ > last) || tsMax.exists(_ < first)) Nil // whole-file prune

@@ -57,12 +57,15 @@ object DedupDocs {
     * O(m²), with the SAME transitive closure (the star keeps the bucket
     * connected). The right shape when pairs feed CLUSTERING: a bucket of
     * 1M boilerplate copies yields 10⁶ star edges instead of 5·10¹¹
-    * pairs. Not a substitute when the pair LIST itself is the product. */
+    * pairs. Not a substitute when the pair LIST itself is the product.
+    * Cost: within a bucket, non-head members sit at distance 2 instead
+    * of 1, so a component's diameter — and min-label propagation's round
+    * count — can double; [[connectedComponents]]' default `maxIters`
+    * leaves headroom for that. */
   private[graft] def explodeStarPairs(buckets: DataFrame): DataFrame =
     buckets
-      .select(element_at(col("docs"), 1).as("doc_a"), col("docs"))
       .select(
-        col("doc_a"),
+        element_at(col("docs"), 1).as("doc_a"),
         explode(slice(col("docs"), lit(2), size(col("docs")))).as("doc_b")
       )
 
@@ -90,6 +93,8 @@ object DedupDocs {
       blockCol: String,
       maxDocFreq: Option[Int] = None
   ): DataFrame = {
+    // a cap below 2 silently drops every pair-capable bucket — reject it
+    maxDocFreq.foreach(cap => require(cap >= 2, s"maxDocFreq must be >= 2, got $cap"))
     // NULL blocks join to nothing under equi-join semantics (and in the
     // SQL oracle); drop them before bucketing, or they would collapse
     // into one giant NULL bucket
@@ -256,7 +261,9 @@ object DedupDocs {
   def connectedComponents(
       docs: DataFrame,
       pairs: DataFrame,
-      maxIters: Int = 20
+      // headroom for star-shaped pair sets, whose per-bucket distance of
+      // 2 (vs a clique's 1) can double a chained component's diameter
+      maxIters: Int = 40
   ): DataFrame = {
     import org.apache.spark.rdd.RDD
     import org.apache.spark.sql.catalyst.InternalRow
