@@ -73,6 +73,86 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: gap fill with step > 1 fills exactly the on-grid interior points") {
+    trials(8) { rnd =>
+      val step = 2L + rnd.nextInt(4)
+      val maxGap = 4L
+      var t = rnd.nextLong(50).abs
+      val rows = List.fill(3 + rnd.nextInt(10)) {
+        val r = (t, rnd.nextDouble() * 100)
+        t += step + rnd.nextLong(4 * step).abs // arbitrary (often off-grid) gaps
+        r
+      }
+      val df = rows.toDF("ts", "v")
+      val out = GapFill.linear(df, "ts", "v", step = step, maxGapSize = maxGap)
+        .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+      // reference model: for each bracketing pair, every ts0 + j*step
+      // strictly inside a fillable gap must appear exactly once
+      val expectedFills = rows.map(_._1).sliding(2).flatMap {
+        case Seq(a, b) if b - a > step && b - a <= maxGap * step + step =>
+          Iterator.from(1).map(j => a + j * step).takeWhile(_ < b)
+        case _ => Iterator.empty
+      }.toSet
+      assert(out.filter(_._2 == 1).map(_._1) == expectedFills, s"rows=$rows step=$step")
+    }
+  }
+
+  test("property: star pairs and all pairs give identical connected components") {
+    import graft.ops.DedupDocs
+    import org.apache.spark.sql.functions._
+    trials(5) { rnd =>
+      // random buckets over a small doc universe (overlapping membership
+      // chains components together)
+      val nDocs = 12 + rnd.nextInt(10)
+      val buckets = List.fill(4 + rnd.nextInt(6)) {
+        val m = 2 + rnd.nextInt(5)
+        List.fill(m)(rnd.nextInt(nDocs).toLong).distinct.sorted
+      }.filter(_.size > 1)
+      whenever(buckets.nonEmpty) {
+        val bdf = buckets.map(b => Tuple1(b)).toDF("docs")
+        val docs = (0L until nDocs.toLong).toDF("doc_id")
+        def cc(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+          DedupDocs.connectedComponents(docs, pairs)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val all = cc(DedupDocs.explodePairs(bdf))
+        val star = cc(DedupDocs.explodeStarPairs(bdf))
+        assert(star == all, s"buckets=$buckets")
+      }
+    }
+  }
+
+  test("property: packed-lane simhash == naive 64-column signed-sum simhash") {
+    import org.apache.spark.sql.functions._
+    trials(4) { rnd =>
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "ij", "kl")
+      val docs = (0L until (5 + rnd.nextInt(8)).toLong).map { id =>
+        (id, List.fill(1 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val packed = graft.ops.DedupDocs.simhash(docs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // naive reference: 64 separate signed sums
+      val tok = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("__md5", md5(col("tok").cast("binary")))
+        .withColumn("th_hi", conv(substring(col("__md5"), 1, 8), 16, 10).cast("long"))
+        .withColumn("th_lo", conv(substring(col("__md5"), 9, 8), 16, 10).cast("long"))
+      val bitCols = (0 until 64).map { b =>
+        val src = if (b < 32) col("th_lo") else col("th_hi")
+        val shift = if (b < 32) b else b - 32
+        sum(when(shiftright(src, shift).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"s$b")
+      }
+      val naiveSim = (0 until 64)
+        .map(b => when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+        .reduce(_.bitwiseOR(_))
+      val naive = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+        .select(col("doc_id"), naiveSim.as("simhash"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(packed == naive)
+    }
+  }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
   test("property: OrderedStream neighbors == keyless window lag/lead") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
