@@ -174,6 +174,13 @@ object RecFormat {
     finally in.close()
   }
 
+  /** Timestamp of a single packet: one open + one seek. Used by pruned
+    * readers to seed their monotonicity guard with the packet BEFORE the
+    * split, so a decreasing ts across a split (or pruning) boundary is
+    * caught, not just one inside the split. */
+  def tsAt(cfg: RecConfig, i: Long, hadoopConf: Configuration): Long =
+    withOpen(cfg, hadoopConf)(in => tsAtPacket(in, cfg, i))
+
   /** Binary search (valid because in-file timestamps are non-decreasing,
     * the invariant the reference enforces — jagular/utils.py:323-328):
     * smallest packet index with ts >= t. O(log n) seeks, ONE open. */

@@ -185,8 +185,16 @@ class RecScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
     * without touching a packet that could detect it, so for suspect data
     * set option `aggPushdown=false` to force the full-scan aggregate (an
     * unfiltered scan is always complete), or run `graft.ts.Validation`
-    * first — any ts-FILTERED read of such a file already fails loudly via
-    * the reader's monotonicity guard. */
+    * first. (A ts-FILTERED read fails loudly on a violation in any
+    * region it actually scans — boundary-seeded reader guard — but a
+    * whole-file prune can skip the offending region without detecting
+    * it: pruning under a violated write-side invariant is inherently
+    * best-effort.)
+    *
+    * Ungrouped COUNT over a catalog with NO packet-bearing files is
+    * declined: zero partial rows would final-aggregate to NULL where the
+    * full scan correctly returns 0 (empty MIN/MAX are NULL either way,
+    * and a grouped aggregate over zero files is correctly empty). */
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (tsMin.nonEmpty || tsMax.nonEmpty) return false
     if (Option(options.get("aggpushdown")).exists(_.equalsIgnoreCase("false"))) return false
@@ -203,6 +211,14 @@ class RecScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
       case _ => return false
     }
     if (!groupOk || ops.isEmpty) return false
+    if (agg.groupByExpressions.isEmpty && ops.contains("count")) {
+      val hconf =
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+      val anyPackets = RecDataSourceV2
+        .expandPaths(paths, hconf)
+        .exists(p => RecFormat.packetCount(RecFormat.parseConfig(p, hconf), hconf) > 0)
+      if (!anyPackets) return false
+    }
     aggSpec = Some(RecAggSpec(agg.groupByExpressions.nonEmpty, ops.toSeq))
     true
   }
@@ -256,24 +272,36 @@ class RecCatalogAggScan(paths: Seq[String], spec: RecAggSpec) extends Scan with 
   private lazy val hconf =
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
-  /** (file_rank, count, first_ts, last_ts) in stitched order. MIN/MAX
-    * answers trust the bounds probes, so the first<=last sanity check is
-    * always on here (an unfiltered row scan with aggPushdown=false is
-    * the escape for a file that fails it). */
-  private lazy val catalog: Array[Array[Long]] = RecDataSourceV2
-    .rankedBounds(paths, hconf, verifyBounds = true, consumer = "the catalog aggregates (set aggPushdown=false to full-scan)")
-    .zipWithIndex
-    .map { case ((_, total, (first, last)), rank) =>
-      val row = Array.newBuilder[Long]
-      if (spec.groupByFileRank) row += rank.toLong
-      spec.ops.foreach {
-        case "count" => row += total
-        case "min_ts" => row += first
-        case "max_ts" => row += last
-      }
-      row.result()
-    }
-    .toArray
+  /** Pre-aggregated rows. An ungrouped COUNT-only aggregate is answered
+    * from file sizes alone — COUNT is invariant-free, needs no ordering,
+    * and must not pay bounds probes or fail their sanity check. Anything
+    * involving MIN/MAX(ts) or a file_rank grouping trusts the bounds
+    * probes (ranks ARE the first-ts sort), so those run with the
+    * first<=last verification on (an unfiltered row scan with
+    * aggPushdown=false is the escape for a file that fails it). */
+  private lazy val catalog: Array[Array[Long]] =
+    if (!spec.groupByFileRank && spec.ops.forall(_ == "count"))
+      RecDataSourceV2
+        .expandPaths(paths, hconf)
+        .map(p => RecFormat.packetCount(RecFormat.parseConfig(p, hconf), hconf))
+        .filter(_ > 0)
+        .map(total => spec.ops.map(_ => total).toArray)
+        .toArray
+    else
+      RecDataSourceV2
+        .rankedBounds(paths, hconf, verifyBounds = true, consumer = "the catalog aggregates (set aggPushdown=false to full-scan)")
+        .zipWithIndex
+        .map { case ((_, total, (first, last)), rank) =>
+          val row = Array.newBuilder[Long]
+          if (spec.groupByFileRank) row += rank.toLong
+          spec.ops.foreach {
+            case "count" => row += total
+            case "min_ts" => row += first
+            case "max_ts" => row += last
+          }
+          row.result()
+        }
+        .toArray
 
   override def readSchema(): StructType = {
     val fields = Array.newBuilder[org.apache.spark.sql.types.StructField]
@@ -469,7 +497,13 @@ class RecPartitionReader(
   private val arrWriter =
     if (needValues) new UnsafeArrayWriter(writer, 2) else null
   private var pos = part.startPacket - 1
-  private var prevTs = Long.MinValue
+  // guard seeded with the packet BEFORE the split (one extra probe, only
+  // on guarded = ts-filtered reads): without it a dip exactly at a split
+  // or pruning boundary would be invisible to the per-split check
+  private var prevTs =
+    if (guardMonotonic && part.startPacket > 0)
+      RecFormat.tsAt(part.cfg, part.startPacket - 1, hconf)
+    else Long.MinValue
 
   override def next(): Boolean = {
     if (!it.hasNext) return false

@@ -104,8 +104,12 @@ class RecMicroBatchStream(
     val known = start.files.map(_._1)
     val fresh = listing.map(_._1).filterNot(known.toSet)
     val kept = known.map { p =>
-      // a known file missing from the listing (deleted?) makes no progress
-      p -> lens.get(p).flatMap(countOf(p, _)).getOrElse(startCounts(p))
+      // a known file missing from the listing (deleted?) makes no
+      // progress; a SHRUNKEN length (truncation repair, or a stale
+      // eventually-consistent listing) must not move the committed
+      // offset backwards — regrowth past an un-clamped smaller count
+      // would re-emit already-delivered packets
+      p -> math.max(startCounts(p), lens.get(p).flatMap(countOf(p, _)).getOrElse(startCounts(p)))
     }
     val added = fresh.flatMap(p => countOf(p, lens(p)).map(p -> _))
     RecStreamOffset(kept ++ added)
@@ -136,11 +140,18 @@ class RecMicroBatchStream(
     val s = start.asInstanceOf[RecStreamOffset].files.toMap
     val e = end.asInstanceOf[RecStreamOffset].files
     e.zipWithIndex.flatMap { case ((p, hi), rank) =>
-      val cfg = cfgOf(p)
       val lo = s.getOrElse(p, 0L)
-      val perSplit = math.max(1L, targetSplitBytes / cfg.packetSize)
-      (lo until hi by perSplit).map { pk =>
-        RecInputPartition(cfg, rank, pk, math.min(perSplit, hi - pk))
+      // parse the config ONLY for files contributing packets this batch:
+      // a deleted file rides in the offset forever at its last count
+      // (advance() tolerates it), and resolving its config here would
+      // throw and wedge every restarted batch
+      if (lo >= hi) Nil
+      else {
+        val cfg = cfgOf(p)
+        val perSplit = math.max(1L, targetSplitBytes / cfg.packetSize)
+        (lo until hi by perSplit).map { pk =>
+          RecInputPartition(cfg, rank, pk, math.min(perSplit, hi - pk))
+        }
       }
     }.toArray
   }

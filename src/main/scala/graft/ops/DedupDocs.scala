@@ -287,7 +287,12 @@ object DedupDocs {
     }
 
     // symmetric edge list in ONE pass over pairs (a union of two selects
-    // would evaluate the upstream candidate pipeline once per branch)
+    // would evaluate the upstream candidate pipeline once per branch),
+    // RESTRICTED to the docs-induced subgraph: labels must never
+    // propagate through — or resolve to — a doc outside `docs`, so a
+    // caller clustering a SUBSET (one source, one shard) against a
+    // wider pair set gets the subgraph components, not the full-graph
+    // ones (two endpoint semi-joins, once, before the loop)
     val (edges, edgesRdd) = cut(
       pairs
         .select(
@@ -299,6 +304,9 @@ object DedupDocs {
           ).as("e")
         )
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .join(docs.select(col("doc_id").as("src")), Seq("src"), "left_semi")
+        .join(docs.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
     )
     // Round 1 fused with member discovery: while labels are still the
     // identity, each member's neighbor-min is just min(dst), so ONE
@@ -369,17 +377,27 @@ object DedupDocs {
     * oracle hashes agree).
     *
     * Packing bounds the per-doc token count at 32 767 (2^15−1, the lane
-    * capacity). The bound is enforced explicitly: a doc exceeding it
-    * fails loudly with an actionable message (chunk the document
-    * upstream), never a wrong hash. The 15-bit spacing leaves the top
-    * lane at bit 45, so the Long running sum cannot overflow before the
-    * guard fires (ANSI mode — Spark 4's default — would otherwise throw
-    * a bare 'long overflow' mid-aggregation; legacy mode would wrap
-    * silently). */
+    * capacity). The bound is enforced BEFORE tokenization — per document
+    * row, so an oversized doc fails with the actionable message (chunk
+    * the document upstream) in every mode, before any aggregation could
+    * overflow — never a wrong hash. (A post-aggregation guard would be
+    * too late: beyond ~2^18 tokens the packed Long sum itself overflows
+    * first, which under ANSI mode — Spark 4's default — dies as a bare
+    * 'long overflow' mid-aggregation.) */
   def simhash(documents: DataFrame): DataFrame = {
     val MaxTokens = 32767 // 15-bit lane capacity
     val tok = documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .select(
+        col("doc_id"),
+        explode(
+          when(size(col("__toks")) <= MaxTokens, col("__toks"))
+            .otherwise(raise_error(lit(
+              s"simhash: document exceeds $MaxTokens tokens — the packed popcount lanes " +
+                "would overflow; chunk the document and combine per-chunk hashes upstream"
+            )))
+        ).as("tok")
+      )
       .withColumn("__md5", md5(col("tok").cast("binary"))) // one digest per token
       .withColumn("th_hi", conv(substring(col("__md5"), 1, 8), 16, 10).cast("long"))
       .withColumn("th_lo", conv(substring(col("__md5"), 9, 8), 16, 10).cast("long"))
@@ -401,16 +419,6 @@ object DedupDocs {
         when(c * 2 > col("__n"), shiftleft(lit(1L), b)).otherwise(0L)
       }
       .reduce(_.bitwiseOR(_))
-    // assert_true rides INSIDE the output expression (a dropped check
-    // column would be pruned away and never evaluated)
-    val guard = coalesce(
-      assert_true(
-        col("__n") <= MaxTokens,
-        lit(s"simhash: document exceeds $MaxTokens tokens — the packed popcount lanes " +
-          "would overflow; chunk the document and combine per-chunk hashes upstream")
-      ).cast("long"),
-      lit(0L)
-    )
-    agg.select(col("doc_id"), sim.bitwiseOR(guard).as("simhash"))
+    agg.select(col("doc_id"), sim.as("simhash"))
   }
 }

@@ -274,6 +274,14 @@ class RecV2Spec extends SparkSpec {
     assert(q.collect().head.toSeq == Seq(1000L, 2019L))
   }
 
+  test("count over only config-only files is 0, not NULL (pushdown declined)") {
+    val d = Files.createTempDirectory("reczero").toFile.getAbsolutePath
+    RecSynth.write(s"$d/only_config.rec", Seq.empty)
+    val df = spark.read.format("rec").load(d)
+    val r = df.agg(count(lit(1)).as("n")).collect().head
+    assert(!r.isNullAt(0) && r.getLong(0) == 0L)
+  }
+
   test("streaming defers a mid-write rollover file instead of dying") {
     import org.apache.spark.sql.streaming.Trigger
     val d = Files.createTempDirectory("recrace").toFile.getAbsolutePath

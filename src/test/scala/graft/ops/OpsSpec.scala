@@ -125,6 +125,27 @@ class OpsSpec extends SparkSpec {
     assert(ccOf(star) == ccOf(all))
   }
 
+  test("connected components stay scoped to the docs-induced subgraph") {
+    // pairs reference doc 3, which is NOT in docs: 5 and 7 must remain
+    // separate singletons, not merge through the outside vertex
+    val docs = Seq(5L, 7L).toDF("doc_id")
+    val pairs = Seq((3L, 5L), (3L, 7L)).toDF("doc_a", "doc_b")
+    val cc = DedupDocs.connectedComponents(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(5L -> 5L, 7L -> 7L))
+  }
+
+  test("simhash rejects oversized documents loudly, before aggregation") {
+    val big = (0L, Seq.fill(40000)("tok").mkString(" "))
+    val df = Seq(big).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      DedupDocs.simhash(df).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("chunk the document")), e.toString)
+  }
+
   test("ngram jaccard: NULL-block docs join to nothing (equi-join semantics)") {
     val df = Seq(
       (0L, "a b c d e f", Option("s1")),
