@@ -65,7 +65,14 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // BETWEEN queries (outside the timed window): drop persisted RDDs
+      // the global-order primitives and iterative loops anchor on (they
+      // otherwise accumulate until the ContextCleaner gets around to
+      // them, inflating later queries' GC pressure)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
