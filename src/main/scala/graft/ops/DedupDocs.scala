@@ -257,13 +257,22 @@ object DedupDocs {
     * label) pairs; near-dup graphs are sparse forests of small cliques,
     * so rounds ≈ 2-4 in practice; the loop is capped and persists each
     * iteration (lineage would otherwise grow exponentially).
+    *
+    * When the (already docs-scoped, deduplicated) edge set fits the
+    * driver — `driverEdgeLimit`, same spirit as Spark collecting a
+    * broadcast join side — the components are solved in one union-find
+    * pass on the driver and shipped back as a broadcast-sized label
+    * table: one collect beats N shuffle rounds. The distributed loop
+    * remains the path for graphs beyond the limit; pass
+    * `driverEdgeLimit = 0` to force it.
     */
   def connectedComponents(
       docs: DataFrame,
       pairs: DataFrame,
       // headroom for star-shaped pair sets, whose per-bucket distance of
       // 2 (vs a clique's 1) can double a chained component's diameter
-      maxIters: Int = 40
+      maxIters: Int = 40,
+      driverEdgeLimit: Long = 4000000L
   ): DataFrame = {
     import org.apache.spark.rdd.RDD
     import org.apache.spark.sql.catalyst.InternalRow
@@ -308,57 +317,92 @@ object DedupDocs {
         .join(docs.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
     )
-    // Round 1 fused with member discovery: while labels are still the
-    // identity, each member's neighbor-min is just min(dst), so ONE
-    // groupBy over the symmetric edges yields both the member set (src
-    // covers every pair member) and the first-round labels — no separate
-    // distinct materialization, no first join.
-    var (labels, labelsRdd) = cut(
-      edges
-        .groupBy(col("src").as("doc_id"))
-        .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
-    )
-    // the fused groupBy above IS propagation round 1; the loop runs the
-    // remaining maxIters-1 rounds (it needs at least one pass to detect
-    // convergence, hence the floor on maxIters)
-    require(maxIters >= 2, s"maxIters must be >= 2, got $maxIters")
-    var iter = 1
-    var converged = false
-    while (!converged && iter < maxIters) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-      // the changed flag rides in the materialized frame, so convergence
-      // detection and the next-labels materialization are ONE job
-      val (next, nextRdd) = cut(
-        labels
-          .withColumnRenamed("cluster_id", "__old")
-          .join(neighborMin, Seq("doc_id"), "left")
-          .select(
-            col("doc_id"),
-            least(col("__old"), coalesce(col("nbr_min"), col("__old"))).as("cluster_id"),
-            (coalesce(col("nbr_min"), col("__old")) < col("__old")).as("__changed")
+    // the count also materializes the cached edge RDD for whichever path
+    // runs below
+    val nEdges = edges.count()
+
+    val memberLabels: DataFrame =
+      if (nEdges <= driverEdgeLimit) {
+        // broadcast-sized graph: one union-find pass on the driver
+        // (union-by-min root, path compression) replaces N shuffle
+        // rounds. Root = component min by induction: every union keeps
+        // the smaller root.
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edges.collect().foreach { row =>
+          val a = row.getLong(0)
+          val b = row.getLong(1)
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a)
+          val rb = find(b)
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        edgesRdd.unpersist(blocking = false)
+        val rows = parent.keys.toSeq.map(d => (d, find(d)))
+        broadcast(spark.createDataFrame(rows).toDF("doc_id", "cluster_id"))
+      } else {
+        // Round 1 fused with member discovery: while labels are still the
+        // identity, each member's neighbor-min is just min(dst), so ONE
+        // groupBy over the symmetric edges yields both the member set (src
+        // covers every pair member) and the first-round labels — no separate
+        // distinct materialization, no first join.
+        var (labels, labelsRdd) = cut(
+          edges
+            .groupBy(col("src").as("doc_id"))
+            .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
+        )
+        // the fused groupBy above IS propagation round 1; the loop runs the
+        // remaining maxIters-1 rounds (it needs at least one pass to detect
+        // convergence, hence the floor on maxIters)
+        require(maxIters >= 2, s"maxIters must be >= 2, got $maxIters")
+        var iter = 1
+        var converged = false
+        while (!converged && iter < maxIters) {
+          val neighborMin = edges
+            .join(labels, edges("dst") === labels("doc_id"))
+            .groupBy(col("src").as("doc_id"))
+            .agg(min(col("cluster_id")).as("nbr_min"))
+          // the changed flag rides in the materialized frame, so convergence
+          // detection and the next-labels materialization are ONE job
+          val (next, nextRdd) = cut(
+            labels
+              .withColumnRenamed("cluster_id", "__old")
+              .join(neighborMin, Seq("doc_id"), "left")
+              .select(
+                col("doc_id"),
+                least(col("__old"), coalesce(col("nbr_min"), col("__old"))).as("cluster_id"),
+                (coalesce(col("nbr_min"), col("__old")) < col("__old")).as("__changed")
+              )
           )
-      )
-      // full count, NOT limit(1): CollectLimit can stop after materializing
-      // only the partitions that produced a hit, and unpersisting the
-      // predecessor below would then force later iterations to recompute
-      // the rest through a chain of unpersisted parents
-      val changed = next.where(col("__changed")).count()
-      labelsRdd.unpersist(blocking = false)
-      labels = next.select("doc_id", "cluster_id")
-      labelsRdd = nextRdd
-      converged = changed == 0
-      iter += 1
-    }
-    edgesRdd.unpersist(blocking = false)
-    // fail LOUDLY: a component with diameter > maxIters would otherwise
-    // silently return partially-propagated labels
-    require(converged, s"connected components did not converge in $maxIters rounds — raise maxIters")
-    // singletons (docs in no pair) never entered the loop: label = own id
+          // full count, NOT limit(1): CollectLimit can stop after materializing
+          // only the partitions that produced a hit, and unpersisting the
+          // predecessor below would then force later iterations to recompute
+          // the rest through a chain of unpersisted parents
+          val changed = next.where(col("__changed")).count()
+          labelsRdd.unpersist(blocking = false)
+          labels = next.select("doc_id", "cluster_id")
+          labelsRdd = nextRdd
+          converged = changed == 0
+          iter += 1
+        }
+        edgesRdd.unpersist(blocking = false)
+        // fail LOUDLY: a component with diameter > maxIters would otherwise
+        // silently return partially-propagated labels
+        require(converged, s"connected components did not converge in $maxIters rounds — raise maxIters")
+        labels
+      }
+
+    // singletons (docs in no pair) never entered either path: label = own id
     docs
-      .join(labels, Seq("doc_id"), "left")
+      .join(memberLabels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 

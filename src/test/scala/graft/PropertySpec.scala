@@ -111,12 +111,17 @@ class PropertySpec extends SparkSpec {
       whenever(buckets.nonEmpty) {
         val bdf = buckets.map(b => Tuple1(b)).toDF("docs")
         val docs = (0L until nDocs.toLong).toDF("doc_id")
-        def cc(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
-          DedupDocs.connectedComponents(docs, pairs)
+        // limit=0 forces the distributed loop; default takes the
+        // driver union-find fast path — all four must agree
+        def cc(pairs: org.apache.spark.sql.DataFrame, limit: Long): Map[Long, Long] =
+          DedupDocs.connectedComponents(docs, pairs, driverEdgeLimit = limit)
             .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val all = cc(DedupDocs.explodePairs(bdf))
-        val star = cc(DedupDocs.explodeStarPairs(bdf))
-        assert(star == all, s"buckets=$buckets")
+        val allPairs = DedupDocs.explodePairs(bdf)
+        val starPairs = DedupDocs.explodeStarPairs(bdf)
+        val reference = cc(allPairs, limit = 4000000L)
+        assert(cc(starPairs, limit = 4000000L) == reference, s"buckets=$buckets")
+        assert(cc(allPairs, limit = 0L) == reference, s"buckets=$buckets (distributed)")
+        assert(cc(starPairs, limit = 0L) == reference, s"buckets=$buckets (distributed star)")
       }
     }
   }
