@@ -33,7 +33,8 @@ object Graft {
     * mid-stream). Same schema as [[RecSession.packets]]; compose with
     * `posexplode(values)` + `writeStream.partitionBy("channel")` for a
     * live extract_channels. */
-  def openStream(spark: SparkSession, pathsOrDir: Seq[String]): DataFrame =
+  def openStream(spark: SparkSession, pathsOrDir: Seq[String]): DataFrame = {
+    require(pathsOrDir.nonEmpty, "openStream needs at least one path")
     pathsOrDir match {
       case Seq(one) => spark.readStream.format("rec").load(one)
       case many =>
@@ -44,6 +45,7 @@ object Graft {
           .option("paths", graft.io.rec.RecDataSourceV2.pathsOption(many))
           .load()
     }
+  }
 
   /** The reference's `detect_spikes` composition
     * (jagular/spikes.py:142-186): MAD threshold → ≥2-consecutive

@@ -85,11 +85,24 @@ object RecDataSourceV2 {
     mapper.writeValueAsString(ps.toArray)
   }
 
-  /** The shared planning pipeline: expand → parse → count → bounds-probe
-    * → stitched (first-ts) sort, skipping zero-packet files (config
-    * written, no complete packet yet — they contribute no rows, and the
-    * bounds probe needs a whole packet). Returns
-    * `(cfg, packetCount, (firstTs, lastTs))` in rank order.
+  /** Expand → parse → count, ONCE. One ScanBuilder computes this a single
+    * time and shares it between the aggregate-pushdown probe and the scan
+    * it builds — re-listing per consumer would double driver-side IO on a
+    * large remote path set and open a TOCTOU window between probe and
+    * catalog. */
+  def listCounts(
+      raw: Seq[String],
+      hconf: org.apache.hadoop.conf.Configuration
+  ): Seq[(RecFormat.RecConfig, Long)] =
+    expandPaths(raw, hconf)
+      .map(p => RecFormat.parseConfig(p, hconf))
+      .map(c => (c, RecFormat.packetCount(c, hconf)))
+
+  /** The shared planning pipeline over a pre-computed [[listCounts]]
+    * listing: bounds-probe → stitched (first-ts) sort, skipping
+    * zero-packet files (config written, no complete packet yet — they
+    * contribute no rows, and the bounds probe needs a whole packet).
+    * Returns `(cfg, packetCount, (firstTs, lastTs))` in rank order.
     *
     * `verifyBounds` asserts `first <= last` per file — the O(1) necessary
     * condition of the non-decreasing-timestamp invariant. Pass it
@@ -99,14 +112,12 @@ object RecDataSourceV2 {
     * regardless of ordering — that unfiltered scan is the documented
     * repair path for a broken file and must stay readable. */
   def rankedBounds(
-      raw: Seq[String],
+      counts: Seq[(RecFormat.RecConfig, Long)],
       hconf: org.apache.hadoop.conf.Configuration,
       verifyBounds: Boolean,
       consumer: String
   ): Seq[(RecFormat.RecConfig, Long, (Long, Long))] =
-    expandPaths(raw, hconf)
-      .map(p => RecFormat.parseConfig(p, hconf))
-      .map(c => (c, RecFormat.packetCount(c, hconf)))
+    counts
       .filter(_._2 > 0)
       .map { case (c, total) =>
         val bounds @ (first, last) = RecFormat.timestampBounds(c, hconf)
@@ -166,6 +177,14 @@ class RecScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
   private var pushed: Array[Filter] = Array.empty
   private var aggSpec: Option[RecAggSpec] = None
 
+  private lazy val hconf =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+  // ONE directory expansion + config parse + packet count per ScanBuilder,
+  // shared by the pushAggregation probe and whichever scan build() makes
+  // (no doubled listing IO, no TOCTOU between probe and catalog)
+  private lazy val counts: Seq[(RecFormat.RecConfig, Long)] =
+    RecDataSourceV2.listCounts(paths, hconf)
+
   /** COUNT(*) / MIN(ts) / MAX(ts), optionally grouped by file_rank,
     * answered from the 2-packet bounds catalog (reference: A1/A2 session
     * summary, jagular/io.py:160-193) — ZERO packet decode. At 100 TB this
@@ -212,12 +231,7 @@ class RecScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
     }
     if (!groupOk || ops.isEmpty) return false
     if (agg.groupByExpressions.isEmpty && ops.contains("count")) {
-      val hconf =
-        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
-      val anyPackets = RecDataSourceV2
-        .expandPaths(paths, hconf)
-        .exists(p => RecFormat.packetCount(RecFormat.parseConfig(p, hconf), hconf) > 0)
-      if (!anyPackets) return false
+      if (!counts.exists(_._2 > 0)) return false
     }
     aggSpec = Some(RecAggSpec(agg.groupByExpressions.nonEmpty, ops.toSeq))
     true
@@ -248,12 +262,12 @@ class RecScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
 
   override def build(): Scan = {
     aggSpec match {
-      case Some(spec) => new RecCatalogAggScan(paths, spec)
+      case Some(spec) => new RecCatalogAggScan(paths, counts, spec)
       case None =>
         val subset = Option(options.get("channels"))
           .map(_.split(",").map(_.trim.toInt))
         val split = Option(options.get("targetsplitbytes")).map(_.toLong).getOrElse(128L << 20)
-        new RecScanV2(paths, required, tsMin, tsMax, subset, split)
+        new RecScanV2(paths, () => counts, required, tsMin, tsMax, subset, split)
     }
   }
 }
@@ -267,29 +281,34 @@ case class RecAggSpec(groupByFileRank: Boolean, ops: Seq[String])
   * 2-packet probes [[RecFormat.timestampBounds]] already does at planning
   * time. Emitted rows are PARTIAL aggregates (Spark plans the final
   * merge). */
-class RecCatalogAggScan(paths: Seq[String], spec: RecAggSpec) extends Scan with Batch {
+class RecCatalogAggScan(
+    paths: Seq[String],
+    counts: Seq[(RecFormat.RecConfig, Long)],
+    spec: RecAggSpec
+) extends Scan
+    with Batch {
 
   private lazy val hconf =
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
-  /** Pre-aggregated rows. An ungrouped COUNT-only aggregate is answered
-    * from file sizes alone — COUNT is invariant-free, needs no ordering,
-    * and must not pay bounds probes or fail their sanity check. Anything
-    * involving MIN/MAX(ts) or a file_rank grouping trusts the bounds
-    * probes (ranks ARE the first-ts sort), so those run with the
-    * first<=last verification on (an unfiltered row scan with
-    * aggPushdown=false is the escape for a file that fails it). */
+  /** Pre-aggregated rows over the ScanBuilder's shared listing. An
+    * ungrouped COUNT-only aggregate is answered from file sizes alone —
+    * COUNT is invariant-free, needs no ordering, and must not pay bounds
+    * probes or fail their sanity check. Anything involving MIN/MAX(ts) or
+    * a file_rank grouping trusts the bounds probes (ranks ARE the
+    * first-ts sort), so those run with the first<=last verification on
+    * (an unfiltered row scan with aggPushdown=false is the escape for a
+    * file that fails it). */
   private lazy val catalog: Array[Array[Long]] =
     if (!spec.groupByFileRank && spec.ops.forall(_ == "count"))
-      RecDataSourceV2
-        .expandPaths(paths, hconf)
-        .map(p => RecFormat.packetCount(RecFormat.parseConfig(p, hconf), hconf))
+      counts
+        .map(_._2)
         .filter(_ > 0)
         .map(total => spec.ops.map(_ => total).toArray)
         .toArray
     else
       RecDataSourceV2
-        .rankedBounds(paths, hconf, verifyBounds = true, consumer = "the catalog aggregates (set aggPushdown=false to full-scan)")
+        .rankedBounds(counts, hconf, verifyBounds = true, consumer = "the catalog aggregates (set aggPushdown=false to full-scan)")
         .zipWithIndex
         .map { case ((_, total, (first, last)), rank) =>
           val row = Array.newBuilder[Long]
@@ -355,6 +374,10 @@ case class RecInputPartition(
 
 class RecScanV2(
     paths: Seq[String],
+    // thunk over the ScanBuilder's shared listing: batch planning reuses
+    // it; the streaming path below never forces it (the stream re-lists
+    // per micro-batch by design)
+    counts: () => Seq[(RecFormat.RecConfig, Long)],
     required: StructType,
     tsMin: Option[Long],
     tsMax: Option[Long],
@@ -386,7 +409,7 @@ class RecScanV2(
   private lazy val plannedRanges: Seq[(RecFormat.RecConfig, Int, Long, Long)] = {
     val ranked = RecDataSourceV2
       .rankedBounds(
-        paths,
+        counts(),
         hconf,
         verifyBounds = tsMin.nonEmpty || tsMax.nonEmpty,
         consumer = "ts-range pruning"

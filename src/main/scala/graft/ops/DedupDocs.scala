@@ -262,9 +262,14 @@ object DedupDocs {
     * driver — `driverEdgeLimit`, same spirit as Spark collecting a
     * broadcast join side — the components are solved in one union-find
     * pass on the driver and shipped back as a broadcast-sized label
-    * table: one collect beats N shuffle rounds. The distributed loop
+    * table: one collect beats N shuffle rounds. The fast path only fires
+    * for LongType doc ids (it unions primitive longs); any other id type
+    * takes the type-agnostic distributed loop. The distributed loop also
     * remains the path for graphs beyond the limit; pass
-    * `driverEdgeLimit = 0` to force it.
+    * `driverEdgeLimit = 0` to force it. Driver memory: the collect holds
+    * ~2 longs per edge plus a HashMap entry per distinct member —
+    * the 1M default is ~50 MB transient; size the limit to your driver
+    * heap before raising it.
     */
   def connectedComponents(
       docs: DataFrame,
@@ -272,7 +277,7 @@ object DedupDocs {
       // headroom for star-shaped pair sets, whose per-bucket distance of
       // 2 (vs a clique's 1) can double a chained component's diameter
       maxIters: Int = 40,
-      driverEdgeLimit: Long = 4000000L
+      driverEdgeLimit: Long = 1000000L
   ): DataFrame = {
     import org.apache.spark.rdd.RDD
     import org.apache.spark.sql.catalyst.InternalRow
@@ -321,12 +326,18 @@ object DedupDocs {
     // runs below
     val nEdges = edges.count()
 
+    // the driver fast path unions primitive longs; non-long doc ids
+    // (string, int, ...) take the type-agnostic distributed loop below
+    val longIds = edges.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+
     val memberLabels: DataFrame =
-      if (nEdges <= driverEdgeLimit) {
+      if (nEdges <= driverEdgeLimit && longIds) {
         // broadcast-sized graph: one union-find pass on the driver
         // (union-by-min root, path compression) replaces N shuffle
         // rounds. Root = component min by induction: every union keeps
-        // the smaller root.
+        // the smaller root. Collect primitives straight off the cached
+        // InternalRow RDD — no external-Row boxing on the wire.
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
@@ -335,15 +346,14 @@ object DedupDocs {
           while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
           r
         }
-        edges.collect().foreach { row =>
-          val a = row.getLong(0)
-          val b = row.getLong(1)
-          if (!parent.contains(a)) parent(a) = a
-          if (!parent.contains(b)) parent(b) = b
-          val ra = find(a)
-          val rb = find(b)
-          if (ra < rb) parent(rb) = ra
-          else if (rb < ra) parent(ra) = rb
+        edgesRdd.map(r => (r.getLong(0), r.getLong(1))).collect().foreach {
+          case (a, b) =>
+            if (!parent.contains(a)) parent(a) = a
+            if (!parent.contains(b)) parent(b) = b
+            val ra = find(a)
+            val rb = find(b)
+            if (ra < rb) parent(rb) = ra
+            else if (rb < ra) parent(ra) = rb
         }
         edgesRdd.unpersist(blocking = false)
         val rows = parent.keys.toSeq.map(d => (d, find(d)))

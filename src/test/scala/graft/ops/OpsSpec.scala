@@ -125,6 +125,17 @@ class OpsSpec extends SparkSpec {
     assert(ccOf(star) == ccOf(all))
   }
 
+  test("connected components handle non-Long doc ids (skip the driver fast path)") {
+    // string ids: the driver union-find unions primitive longs, so the
+    // fast path must gate itself off and the distributed loop must give
+    // the same (min-label) components under string ordering
+    val docs = Seq("a", "b", "c", "z").toDF("doc_id")
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("doc_a", "doc_b")
+    val cc = DedupDocs.connectedComponents(docs, pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
+  }
+
   test("connected components stay scoped to the docs-induced subgraph") {
     // pairs reference doc 3, which is NOT in docs: 5 and 7 must remain
     // separate singletons, not merge through the outside vertex
