@@ -6,8 +6,21 @@ import org.apache.spark.sql.SparkSession
   * sf dir given by SPARK_GRAFT_SF_DIR. A warm-up pass first touches every
   * table (parquet footers, codegen, broadcast machinery) so per-query
   * numbers measure the query, not JVM/session warm-up; queries then run
-  * in sorted name order for round-over-round comparability. */
+  * in sorted name order for round-over-round comparability.
+  *
+  * Each query is timed REPEATS times and the MEDIAN reported: single-run
+  * numbers on this box wobble ±15% (JIT/GC), enough to fake a 2×
+  * regression on any 1–4 s query — rounds 4/5 spent a full cycle proving
+  * one such phantom. Override with SPARK_GRAFT_BENCH_REPEATS (dev loops
+  * can set 1). */
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -53,32 +66,39 @@ object Bench {
       if (wanted.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => wanted(k) }
 
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: materializes EVERY column (count() would let Catalyst
-      // prune unreferenced aggregates and under-measure)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          // a crashed query must not masquerade as a fast one
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val times = (1 to repeats).flatMap { _ =>
+        if (failed.contains(name)) None // don't re-run a crashed query
+        else {
+          val t0 = System.nanoTime()
+          // noop sink: materializes EVERY column (count() would let
+          // Catalyst prune unreferenced aggregates and under-measure)
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch {
+            case e: Throwable =>
+              // a crashed query must not masquerade as a fast one
+              failed += name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // BETWEEN runs (outside the timed window): drop persisted RDDs
+          // the global-order primitives and iterative loops anchor on
+          // (they otherwise accumulate until the ContextCleaner gets
+          // around to them, inflating later runs' GC pressure)
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          spark.catalog.clearCache()
+          Some(dt)
+        }
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // BETWEEN queries (outside the timed window): drop persisted RDDs
-      // the global-order primitives and iterative loops anchor on (they
-      // otherwise accumulate until the ContextCleaner gets around to
-      // them, inflating later queries' GC pressure)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
-      name -> dt
+      name -> median(times)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"repeats":$repeats,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,15 +22,37 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Deterministic Lloyd's k-means on a driver-collected sample. */
+  /** Deterministic Lloyd's k-means on a driver-collected sample.
+    *
+    * The sample is hash-spread and ORDER-INVARIANT: rows are kept by
+    * `xxhash64(embedding) % stride == 0` (stride sized from a count so
+    * ~sampleSize survive) and sorted by two independent content hashes
+    * before the strided init picks seeds. A `limit()` would instead
+    * collect whichever partitions answered first — at cluster scale a
+    * single corner of the corpus, silently skewing centroids, cell
+    * balance, and recall. Content hashing keeps the same centroids for
+    * the same corpus regardless of partitioning, file order, or
+    * parallelism (IvfSpec asserts this). */
   def trainCentroids(
       corpus: DataFrame,
       nLists: Int,
       sampleSize: Int = 100000,
       iters: Int = 8
   ): Array[Array[Double]] = {
-    val sample = corpus
-      .select("embedding")
+    val emb = corpus.select("embedding")
+    val total = emb.count()
+    val stride = math.max(1L, total / math.max(1, sampleSize))
+    val sample = emb
+      .select(
+        col("embedding"),
+        xxhash64(col("embedding")).as("__h1"),
+        // second, independently-seeded hash: the sort tiebreak (h1
+        // collisions across DISTINCT vectors would otherwise leave the
+        // order partition-dependent)
+        xxhash64(lit(1), col("embedding")).as("__h2")
+      )
+      .where(pmod(col("__h1"), lit(stride)) === 0)
+      .orderBy(col("__h1"), col("__h2"))
       .limit(sampleSize)
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)

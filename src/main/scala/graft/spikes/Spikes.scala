@@ -115,6 +115,20 @@ object Spikes {
     org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(df.sparkSession, rdd, schema)
   }
 
+  /** Broadcast `df` only when `rows` rows of its schema provably fit the
+    * session's `autoBroadcastJoinThreshold` (UnsafeRow footprint ≈ 8 B
+    * null-bit word + 8 B per fixed-width field). An unconditional
+    * `broadcast()` hint is a scale cliff: Spark honors it regardless of
+    * size, so a peak stream that is sparse at test scale but large at
+    * 100 TB would OOM the driver instead of degrading to a shuffle
+    * join. Callers pass an EXACT `rows` (one O(peaks) count job — noise
+    * next to the sample scan the join feeds). */
+  private[graft] def broadcastIfSmall(df: DataFrame, rows: Long): DataFrame = {
+    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val bytes = rows * (8L + 8L * df.schema.size)
+    if (thr > 0 && bytes <= thr) broadcast(df) else df
+  }
+
   /** Common average reference (A4, jagular/spikes.py:92-117): the mean
     * across channels at each timestamp, and the per-sample CAR-subtracted
     * signal. The mean goes through DECIMAL so it is independent of
@@ -141,12 +155,15 @@ object Spikes {
     * `[peak - halfWidth, peak + halfWidth)`, zero-padded at stream edges.
     *
     * Implemented by EXPLODING each peak into its 2·halfWidth wanted
-    * sample indices and broadcast hash-joining on the exact index — a
-    * codegen'd equi-join, NOT a range-condition join (which Spark can
-    * only execute as a BroadcastNestedLoopJoin: O(samples × peaks)
-    * predicate evaluations). The broadcast side grows by the patch
-    * width, but peaks ≪ samples, so at 100 TB this is still the plan
-    * you want: one scan of the samples, one hash probe per sample.
+    * sample indices and hash-joining on the exact index — a codegen'd
+    * equi-join, NOT a range-condition join (which Spark can only
+    * execute as a BroadcastNestedLoopJoin: O(samples × peaks)
+    * predicate evaluations). The exploded peak side is broadcast ONLY
+    * when its counted size fits the session broadcast threshold
+    * (peaks ≪ samples in the typical sparse-spike regime: one scan of
+    * the samples, one hash probe per sample); a dense peak stream
+    * degrades to a plain shuffled equi-join on `__join_idx` instead of
+    * OOMing the driver.
     * Output one row per EXISTING (peak, offset) sample — exploded form,
     * exactly comparable by an SQL oracle; offsets beyond the stream
     * edge are simply absent (fixed-size zero padding is the assembly
@@ -162,8 +179,9 @@ object Spikes {
       halfWidth: Int,
       keys: Seq[String] = Nil
   ): DataFrame = {
-    val p = peaks
-      .select((keys.map(col) :+ col(idxCol).as("peak_idx")): _*)
+    val projected = peaks.select((keys.map(col) :+ col(idxCol).as("peak_idx")): _*)
+    val nPeaks = projected.count()
+    val p = projected
       .select(
         (keys.map(col) :+ col("peak_idx") :+
           explode(sequence(lit(-halfWidth.toLong), lit((halfWidth - 1).toLong))).as("offset")): _*
@@ -178,7 +196,7 @@ object Spikes {
       c && col(k) === col(s"__pk_$k")
     )
     samples
-      .join(broadcast(p), cond)
+      .join(broadcastIfSmall(p, nPeaks * 2L * halfWidth), cond)
       .select(
         (keys.map(col) :+ col("peak_idx") :+ col("offset") :+
           col(valueCol).as("value")): _*
@@ -207,8 +225,9 @@ object Spikes {
       else Window.partitionBy(keys.map(col): _*).orderBy(col(idxCol))
     val w = w0.rowsBetween(-halfWidth, halfWidth - 1)
     val framed = samples.withColumn("patch", collect_list(col(valueCol)).over(w))
+    val pk = peaks.select(col(idxCol).as("peak_idx"))
     framed
-      .join(broadcast(peaks.select(col(idxCol).as("peak_idx"))), col(idxCol) === col("peak_idx"))
+      .join(broadcastIfSmall(pk, pk.count()), col(idxCol) === col("peak_idx"))
       .select((keys.map(col) :+ col("peak_idx") :+ col("patch")): _*)
   }
 }

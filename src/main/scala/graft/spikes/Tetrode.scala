@@ -35,16 +35,22 @@ object Tetrode {
       maxAmplitude: Double,
       sampRate: Double
   ): DataFrame = {
-    // exploded-peak-index broadcast equi-join (see Spikes.extractPatches:
-    // a range-condition join would be a BroadcastNestedLoopJoin)
-    val p = peaks
-      .select(col(idxCol).as("peak_idx"))
+    // exploded-peak-index equi-join (see Spikes.extractPatches: a
+    // range-condition join would be a BroadcastNestedLoopJoin); the peak
+    // side is broadcast only when its counted size fits the session
+    // threshold — a dense peak stream falls back to a shuffled equi-join
+    val projected = peaks.select(col(idxCol).as("peak_idx"))
+    val nPeaks = projected.count()
+    val p = projected
       .select(
         col("peak_idx"),
         explode(sequence(lit(-halfWidth.toLong), lit((halfWidth - 1).toLong))).as("__off")
       )
     val patches = samples
-      .join(broadcast(p), col(idxCol) === col("peak_idx") + col("__off"))
+      .join(
+        Spikes.broadcastIfSmall(p, nPeaks * 2L * halfWidth),
+        col(idxCol) === col("peak_idx") + col("__off")
+      )
       .select(
         col("peak_idx"),
         col(channelCol).as("channel"),

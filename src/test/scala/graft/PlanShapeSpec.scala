@@ -89,6 +89,35 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("patch extraction degrades to a shuffled equi-join when the peak side exceeds the broadcast threshold") {
+    import org.apache.spark.sql.functions._
+    val samples = spark.range(2000).select(col("id").as("idx"), (col("id") % 97).cast("double").as("v"))
+    val peaks = spark.range(0, 2000, 10).select(col("id").as("idx"))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val expected =
+      try {
+        spark.conf.set(key, (1024 * 1024).toString)
+        val df = graft.spikes.Spikes.extractPatches(samples, peaks, "idx", "v", halfWidth = 2)
+        assert((stripAQEPlan(executed(df)).toString + df.queryExecution.executedPlan.toString)
+          .contains("BroadcastHashJoin"))
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      } finally spark.conf.set(key, saved)
+    try {
+      // threshold 0 → guard refuses the broadcast AND Spark's own
+      // auto-broadcast is off: the fallback plan must be a plain
+      // shuffled equi-join on __join_idx, never a nested loop — and the
+      // rows must be identical to the broadcast plan's
+      spark.conf.set(key, "0")
+      val df = graft.spikes.Spikes.extractPatches(samples, peaks, "idx", "v", halfWidth = 2)
+      val p = stripAQEPlan(executed(df)).toString + df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == expected)
+    } finally spark.conf.set(key, saved)
+  }
+
   test("keyed sessionize shuffles once on the key, no global sort") {
     val df = SparkEntry.queries("q_user_sessions")(spark, dir)
     val plan = executed(df)

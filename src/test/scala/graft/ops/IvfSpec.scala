@@ -29,6 +29,20 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("centroid training is invariant to input partitioning and row order") {
+    val e = Tables.embeddings(spark, dir)
+    val base = Ivf.trainCentroids(e, nLists = 4, sampleSize = 64)
+    // same rows, radically different physical layout: reversed order,
+    // different partition count — a limit()-style sample would collect a
+    // different subset and train different centroids
+    val shuffled = e.orderBy(col("vec_id").desc).repartition(7)
+    val alt = Ivf.trainCentroids(shuffled, nLists = 4, sampleSize = 64)
+    assert(base.length == alt.length)
+    base.zip(alt).foreach { case (a, b) => assert(a.sameElements(b)) }
+    val coalesced = Ivf.trainCentroids(e.coalesce(1), nLists = 4, sampleSize = 64)
+    base.zip(coalesced).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
   test("pretty formatting utilities") {
     import graft.util.Pretty
     assert(Pretty.bytes(512) == "512 bytes")
