@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotF32
+import graft.functions.{DotF32, PolyHash}
 
 /** SparkSessionExtensions entry point: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` to get the
@@ -17,6 +17,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("dot_f32"),
         new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
         (children: Seq[Expression]) => DotF32(children(0), children(1))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("poly_hash"),
+        new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+        (children: Seq[Expression]) =>
+          PolyHash(children.head, PolyHash.DefaultBase, PolyHash.DefaultMod)
       )
     )
     // bounded-range gather joins → exploded equi-joins (kills the BNLJ)

@@ -5,9 +5,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search over the `embeddings` table
-  * (`embedding: Array[Float]`). Dot products / norms are computed with
-  * higher-order functions (`aggregate` / `zip_with`) in double precision,
-  * left-to-right — deterministic, codegen'd, no UDF.
+  * (`embedding: Array[Float]`). Dot products / norms run through the
+  * native codegen'd [[graft.functions.DotF32]] expression in double
+  * precision, left-to-right — deterministic, no UDF. (Spark's
+  * higher-order functions are interpreted, not codegen'd — that is WHY
+  * DotF32 exists; only the cold-path lshBucket projection still uses
+  * them.)
   *
   * Scale notes: brute-force top-k broadcasts the (small) query set and
   * scans the corpus once — the right baseline plan. The LSH variant maps

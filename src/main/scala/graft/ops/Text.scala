@@ -4,9 +4,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline, over the
-  * `documents` table. All integer/string outputs — exactly reproducible by
-  * a SQL oracle, and all codegen'd built-ins (no UDFs) so they survive a
-  * 100 TB scan.
+  * `documents` table. All integer/string outputs — exactly reproducible
+  * by a SQL oracle, no UDFs. Token/regex stats are codegen'd built-ins;
+  * the lambda-based ones (qualityScores/langId filters) run as
+  * interpreted HOFs, and the fingerprint hash is a native codegen'd
+  * expression ([[graft.functions.PolyHash]]).
   */
 object Text {
 
@@ -64,16 +66,18 @@ object Text {
   }
 
   /** Deterministic rolling-hash document fingerprint: polynomial hash of
-    * the char codes, base 31 mod 1e9+7 (modulus keeps the accumulator in
-    * Long range — ANSI-safe and engine-portable), plus md5. Pure column
-    * arithmetic via aggregate() — codegen-friendly. */
+    * the text bytes, base 31 mod 1e9+7 (modulus keeps the accumulator in
+    * Long range — ANSI-safe and engine-portable), plus md5. The hash is
+    * a native codegen'd byte-iterating expression
+    * ([[graft.functions.PolyHash]]) — the HOF formulation
+    * (`aggregate(transform(split(text,''), ...))`) materialized a
+    * per-char array per row and ran the fold interpreted. Identical
+    * values on ASCII text (the documents contract). */
   def fingerprints(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
       md5(col("text").cast("binary")).as("md5_hex"),
-      expr(
-        "aggregate(transform(split(text, ''), c -> ascii(c)), 0L, (acc, x) -> (acc * 31L + x) % 1000000007L)"
-      ).as("poly_hash")
+      graft.functions.PolyHash.polyHash(col("text")).as("poly_hash")
     )
 
   /** n-gram-heuristic language ID: scores text against per-language marker

@@ -128,6 +128,24 @@ object SigBench {
     time("ngram-jaccard-current") {
       graft.ops.DedupDocs.ngramJaccardPairs(docs, 3, 0.8, "source")
     }
+
+    // ---- rolling-hash fingerprint: interpreted HOF vs native codegen ----
+    // H: the retired formulation — per-char split + interpreted fold
+    time("polyhash-hof") {
+      docs.select(
+        col("doc_id"),
+        expr(
+          "aggregate(transform(split(text, ''), c -> ascii(c)), 0L, (acc, x) -> (acc * 31L + x) % 1000000007L)"
+        ).as("poly_hash")
+      )
+    }
+    // I: shipped — byte-iterating codegen'd expression
+    time("polyhash-native") {
+      docs.select(
+        col("doc_id"),
+        graft.functions.PolyHash.polyHash(col("text")).as("poly_hash")
+      )
+    }
     spark.stop()
   }
 }
