@@ -251,6 +251,19 @@ object SparkEntry {
     Spikes.censor(peaks, "event_id", width = 5L, keys = Nil)
   }
 
+  /** W3 KEYED refractory censor — the shape that scales: one independent
+    * loop-carried fold per user (repartition by key, fold within
+    * partitions; embarrassingly parallel across keys), vs the keyless
+    * q_spike_censor whose truly-global walk is inherently one task. At
+    * 100 TB the key is the channel/tetrode — the reference's own unit of
+    * work. Oracle: the same recursive-CTE censor walk, per key. */
+  private def qSpikeCensorKeyed(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_id", "value")
+    val thr = Spikes.madThreshold(ev, "value", 2.0).first().getDouble(0)
+    val hits = ev.where(col("value") > thr)
+    Spikes.censor(hits, "event_id", width = 500L, keys = Seq("user_id"))
+  }
+
   /** G4 dumbsample: every 10th event per user + the last. */
   private def qDecimate(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select("user_id", "event_id")
@@ -384,6 +397,14 @@ object SparkEntry {
     * label. */
   private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.blockedNearDupPairs(Tables.embeddings(s, dir), "label", minCosine = 0.3)
+
+  /** Sign-LSH near-dup pairs: random-hyperplane sign buckets → candidate
+    * equi-join on bucket → exact cosine filter. The bucket scan is one
+    * pass; candidate generation shuffles on the bucket key — no n² pair
+    * set (the 100 TB path of blockedNearDupPairs when no natural block
+    * column exists). */
+  private def qSignLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(Tables.embeddings(s, dir), dim = 64, numPlanes = 8, minCosine = 0.3)
 
   /** IVF ANN with full probing (nProbe == nLists) — must equal the exact
     * brute-force top-k, which is what the oracle checks; the machinery
@@ -628,6 +649,7 @@ object SparkEntry {
     "q_sim_topk" -> (qSimTopK _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_spike_censor" -> (qSpikeCensor _),
+    "q_spike_censor_keyed" -> (qSpikeCensorKeyed _),
     "q_decimate" -> (qDecimate _),
     "q_tetrode" -> (qTetrode _),
     "q_lang_id" -> (qLangId _),
@@ -637,6 +659,7 @@ object SparkEntry {
     "q_filtfilt" -> (qFiltfilt _),
     "q_align" -> (qAlign _),
     "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_sign_lsh" -> (qSignLsh _),
     "q_ivf_topk" -> (qIvfTopK _),
     "q_car" -> (qCar _),
     "q5_nation" -> (q5Nation _),
@@ -891,6 +914,23 @@ object SparkEntry {
         |      FROM u GROUP BY vec_a, vec_b)
         |SELECT vec_a, vec_b, round(dp / (sqrt(xx) * sqrt(yy)), 6) AS cos_sim
         |FROM d WHERE round(dp / (sqrt(xx) * sqrt(yy)), 6) >= 0.3""".stripMargin,
+    // bucket expression GENERATED from the live plane constants
+    // (Similarity.lshBucketSql) — candidates are same-bucket pairs, the
+    // cosine is the usual unnest-SUM rounded at 6dp
+    "q_sign_lsh" -> {
+      val bucket = Similarity.lshBucketSql("embedding", 64, 8)
+      s"""WITH bk AS MATERIALIZED (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.embedding AS ea, y.embedding AS eb
+         |      FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |u AS (SELECT vec_a, vec_b, unnest(ea) AS xv, unnest(eb) AS yv FROM p),
+         |d AS (SELECT vec_a, vec_b,
+         |        SUM(CAST(xv AS DOUBLE) * CAST(yv AS DOUBLE)) AS dp,
+         |        SUM(CAST(xv AS DOUBLE) * CAST(xv AS DOUBLE)) AS xx,
+         |        SUM(CAST(yv AS DOUBLE) * CAST(yv AS DOUBLE)) AS yy
+         |      FROM u GROUP BY vec_a, vec_b)
+         |SELECT vec_a, vec_b, round(dp / (sqrt(xx) * sqrt(yy)), 6) AS cos_sim
+         |FROM d WHERE round(dp / (sqrt(xx) * sqrt(yy)), 6) >= 0.3""".stripMargin
+    },
     "q_ivf_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
         |p AS (SELECT query_id, vec_id, qe, embedding AS ee FROM embeddings, q WHERE vec_id <> query_id),
@@ -926,6 +966,21 @@ object SparkEntry {
         |SELECT h.idx AS event_id, h.value AS value
         |FROM keep JOIN h ON keep.idx = h.idx
         |WHERE keep.idx IS NOT NULL""".stripMargin,
+    // same censor walk, one recursion per user: the seed is each user's
+    // first hit, every step jumps to that user's next hit >= last + width
+    // (upstream CTEs MATERIALIZED — recursive rounds re-evaluate plain ones)
+    "q_spike_censor_keyed" ->
+      """WITH RECURSIVE t AS (SELECT 2 * median(abs(value) / 0.6745) AS thr FROM events),
+        |h AS MATERIALIZED (SELECT user_id, event_id AS idx, value FROM events, t WHERE value > thr),
+        |keep(user_id, idx) AS (
+        |  SELECT user_id, MIN(idx) FROM h GROUP BY user_id
+        |  UNION ALL
+        |  SELECT keep.user_id, (SELECT MIN(h.idx) FROM h WHERE h.user_id = keep.user_id AND h.idx >= keep.idx + 500)
+        |  FROM keep
+        |  WHERE EXISTS (SELECT 1 FROM h WHERE h.user_id = keep.user_id AND h.idx >= keep.idx + 500)
+        |)
+        |SELECT h.user_id AS user_id, h.idx AS event_id, h.value AS value
+        |FROM keep JOIN h ON keep.user_id = h.user_id AND keep.idx = h.idx""".stripMargin,
     "q_align_linear" ->
       """WITH t AS (SELECT 2 * median(abs(value) / 0.6745) AS thr FROM events),
         |hits AS (SELECT event_id, value FROM events, t WHERE value > thr),

@@ -91,6 +91,20 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** DuckDB SQL for the [[lshBucket]] key, GENERATED from the same
+    * [[planeComponent]] constants so oracle and engine cannot drift.
+    * Per plane: a left-to-right literal sum (matching the HOF fold order
+    * bit-for-bit — the sign decision at proj ≈ 0 depends on it), every
+    * literal CAST AS DOUBLE (bare numeric literals default to DECIMAL in
+    * DuckDB and would silently change the arithmetic). */
+  def lshBucketSql(embCol: String, dim: Int, numPlanes: Int): String =
+    (0 until numPlanes).map { p =>
+      val terms = (0 until dim)
+        .map(j => s"CAST($embCol[${j + 1}] AS DOUBLE) * CAST(${planeComponent(p, j)} AS DOUBLE)")
+        .mkString(" + ")
+      s"(CASE WHEN CAST(0 AS DOUBLE) + $terms >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** LSH-bucketed near-duplicate pairs: same bucket → candidate → exact
     * cosine filter. Approximate recall, exact precision. */
   def lshNearDupPairs(
