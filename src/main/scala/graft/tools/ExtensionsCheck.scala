@@ -3,8 +3,9 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Integration check for the GraftExtensions registration path: builds a
-  * session WITH spark.sql.extensions and asserts (1) dot_f32 resolves in
-  * SQL, (2) RangeGatherRewrite fires on a range gather join. Run:
+  * session WITH spark.sql.extensions and asserts (1) dot_f32 and
+  * poly_hash resolve in SQL, (2) RangeGatherRewrite fires on a range
+  * gather join. Run:
   * `sbt "runMain graft.tools.ExtensionsCheck"` — prints EXTENSIONS OK. */
 object ExtensionsCheck {
   def main(args: Array[String]): Unit = {
@@ -22,6 +23,9 @@ object ExtensionsCheck {
       .sql("SELECT dot_f32(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
       .collect()(0).getDouble(0)
     assert(dot == 11.0, s"dot_f32 via SQL returned $dot")
+
+    val ph = spark.sql("SELECT poly_hash('a') AS h").collect()(0).getLong(0)
+    assert(ph == 'a'.toLong, s"poly_hash via SQL returned $ph")
 
     // (2) optimizer rule active in the session
     import org.apache.spark.sql.functions._
