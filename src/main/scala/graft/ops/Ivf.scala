@@ -85,7 +85,9 @@ object Ivf {
     centroids
   }
 
-  /** Corpus with a `cell` column + the centroid table. */
+  /** Corpus with a `cell` column + the centroid table — the IVF INDEX.
+    * Build once per corpus (persist or write both sides); serve query
+    * batches with [[topKIndexed]]. */
   def assignCells(corpus: DataFrame, nLists: Int, sampleSize: Int = 100000): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     val centroids = trainCentroids(corpus, nLists, sampleSize)
@@ -110,7 +112,11 @@ object Ivf {
     (assigned, centroidDf)
   }
 
-  /** Top-k per query via IVF probing. `queries` small (broadcast). */
+  /** Top-k per query via IVF probing. `queries` small (broadcast).
+    * Convenience wrapper that trains + assigns + probes in one call; a
+    * real corpus builds the index ONCE ([[assignCells]], persisted /
+    * written out) and serves many query batches through
+    * [[topKIndexed]] — training cost amortizes to zero. */
   def topK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -119,6 +125,21 @@ object Ivf {
       nProbe: Int
   ): DataFrame = {
     val (assigned, centroids) = assignCells(corpus, nLists)
+    topKIndexed(assigned, centroids, queries, k, nProbe)
+  }
+
+  /** Top-k per query over a PRE-BUILT index: `assigned` is the corpus
+    * with its `cell` column, `centroids` the (cell, centroid) table —
+    * both from [[assignCells]]. Probing is one broadcast cell-ranking
+    * cross join (|queries| × nLists rows) plus one bucket equi-join on
+    * `cell` touching ~nProbe/nLists of the corpus. */
+  def topKIndexed(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
     // rank cells per query by centroid distance, keep nProbe
     val qc = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))

@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   *    preserved) — token/shingle statistics and within-copy duplicate
   *    structure survive, while cross-copy shingle matches vanish
   *    (verbatim N× duplication would instead explode every LSH bucket
-  *    quadratically and measure a different workload).
+  *    quadratically and measure a different workload);
+  *  - embeddings: vec_id shifted; each copy applies a deterministic
+  *    per-(copy, dim) SIGN FLIP to every component — within-copy dot
+  *    products and norms are bit-identical to the source (so each
+  *    copy's neighborhood structure replicates exactly) while
+  *    cross-copy cosines decorrelate.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
@@ -79,6 +84,26 @@ object ScaleGen {
       )
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val maxVid = emb.agg(max("vec_id")).first().getLong(0)
+    emb
+      .crossJoin(copyDf)
+      .select(
+        (col("vec_id") + col("__copy") * (maxVid + 1L)).as("vec_id"),
+        transform(
+          col("embedding"),
+          (x, j) =>
+            when(
+              col("__copy") === 0 ||
+                pmod(xxhash64(col("__copy"), j), lit(2)) === 0,
+              x
+            ).otherwise(-x)
+        ).as("embedding"),
+        col("label")
+      )
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     println(s"""{"scalegen":"done","copies":$copies,"out":"$out"}""")
     spark.stop()
