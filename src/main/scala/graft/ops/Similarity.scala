@@ -76,20 +76,21 @@ object Similarity {
     java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
   }
 
+  /** The (numPlanes × dim) hyperplane matrix — pure function of the
+    * indices, computed once on the driver. */
+  def planeMatrix(dim: Int, numPlanes: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map(p => (0 until dim).map(j => planeComponent(p, j)))
+
   /** Sign-LSH bucket key: `numPlanes` sign bits of hyperplane dot
-    * products against literal (constant-folded) plane vectors. */
-  def lshBucket(embedding: Column, dim: Int, numPlanes: Int): Column = {
-    val bits = (0 until numPlanes).map { p =>
-      val plane = array((0 until dim).map(j => lit(planeComponent(p, j))): _*)
-      val proj = aggregate(
-        zip_with(embedding, plane, (x, c) => x.cast("double") * c),
-        lit(0.0),
-        (acc, v) => acc + v
-      )
-      when(proj >= 0, shiftleft(lit(1), p)).otherwise(0)
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+    * products. Native codegen'd expression
+    * ([[graft.functions.SignLshBucket]]) — one fused loop over the
+    * embedding with the plane matrix as a reference object; same
+    * left-to-right double accumulation (and NULL/length edge semantics)
+    * as the `numPlanes` interpreted `aggregate(zip_with(...))` chains it
+    * replaced, so bucket keys — and the oracle SQL generated from the
+    * same constants ([[lshBucketSql]]) — are unchanged. */
+  def lshBucket(embedding: Column, dim: Int, numPlanes: Int): Column =
+    graft.functions.SignLshBucket.bucket(embedding, planeMatrix(dim, numPlanes))
 
   /** DuckDB SQL for the [[lshBucket]] key, GENERATED from the same
     * [[planeComponent]] constants so oracle and engine cannot drift.
