@@ -177,10 +177,14 @@ object Spikes {
       idxCol: String,
       valueCol: String,
       halfWidth: Int,
-      keys: Seq[String] = Nil
+      keys: Seq[String] = Nil,
+      // callers that already know the peak cardinality (a censored
+      // stream they just counted, a catalog row count) pass it here to
+      // skip the guard's extra O(peaks-pipeline) count job
+      peakCountHint: Option[Long] = None
   ): DataFrame = {
     val projected = peaks.select((keys.map(col) :+ col(idxCol).as("peak_idx")): _*)
-    val nPeaks = projected.count()
+    val nPeaks = peakCountHint.getOrElse(projected.count())
     val p = projected
       .select(
         (keys.map(col) :+ col("peak_idx") :+
