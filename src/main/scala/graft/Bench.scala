@@ -8,11 +8,13 @@ import org.apache.spark.sql.SparkSession
   * numbers measure the query, not JVM/session warm-up; queries then run
   * in sorted name order for round-over-round comparability.
   *
-  * Each query is timed REPEATS times and the MEDIAN reported: single-run
+  * Each query is timed REPEATS times — as REPEATS interleaved passes over
+  * the whole suite, not back-to-back — and the MEDIAN reported: single-run
   * numbers on this box wobble ±15% (JIT/GC), enough to fake a 2×
   * regression on any 1–4 s query — rounds 4/5 spent a full cycle proving
-  * one such phantom. Override with SPARK_GRAFT_BENCH_REPEATS (dev loops
-  * can set 1). */
+  * one such phantom, and round 6's back-to-back repeats let a transient
+  * disturbance fake a 4.6× on q_decimate_fir (all three repeats shared
+  * it). Override with SPARK_GRAFT_BENCH_REPEATS (dev loops can set 1). */
 object Bench {
 
   private def median(xs: Seq[Double]): Double = {
@@ -68,31 +70,43 @@ object Bench {
 
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to repeats).flatMap { _ =>
-        if (failed.contains(name)) None // don't re-run a crashed query
-        else {
-          val t0 = System.nanoTime()
-          // noop sink: materializes EVERY column (count() would let
-          // Catalyst prune unreferenced aggregates and under-measure)
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch {
-            case e: Throwable =>
-              // a crashed query must not masquerade as a fast one
-              failed += name
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          }
-          val dt = (System.nanoTime() - t0) / 1e9
-          // BETWEEN runs (outside the timed window): drop persisted RDDs
-          // the global-order primitives and iterative loops anchor on
-          // (they otherwise accumulate until the ContextCleaner gets
-          // around to them, inflating later runs' GC pressure)
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-          spark.catalog.clearCache()
-          Some(dt)
+    val names = selected.toSeq.sortBy(_._1)
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    // INTERLEAVED repeats: run the whole suite `repeats` times rather than
+    // each query back-to-back. Back-to-back repeats share any transient
+    // box-level disturbance (GC storm, ContextCleaner backlog, external
+    // load), so the median doesn't protect against it — round 6 recorded a
+    // phantom 4.6× on q_decimate_fir this way (0.33 s when re-measured).
+    // Interleaving spaces a query's repeats a full suite apart, so a
+    // localized disturbance lands on at most one of them.
+    for (_ <- 1 to repeats; (name, fn) <- names if !failed.contains(name)) {
+      val t0 = System.nanoTime()
+      // noop sink: materializes EVERY column (count() would let
+      // Catalyst prune unreferenced aggregates and under-measure)
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch {
+          case e: Throwable =>
+            // a crashed query is excluded from times entirely — a crash
+            // duration must not masquerade as a (possibly fast) run
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
         }
-      }
-      name -> median(times)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (ok) times(name) = times.getOrElse(name, Vector.empty) :+ dt
+      // BETWEEN runs (outside the timed window): drop persisted RDDs
+      // the global-order primitives and iterative loops anchor on
+      // (they otherwise accumulate until the ContextCleaner gets
+      // around to them, inflating later runs' GC pressure)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
+    // queries that crashed (on any run) report no time and are excluded
+    // from the total — they are listed in errors instead
+    val results = names.collect {
+      case (name, _) if !failed.contains(name) && times.contains(name) =>
+        name -> median(times(name))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -31,17 +31,18 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // Two deliberate cross joins of a broadcast-tiny side:
     //  - q_sim_topk is brute force BY DEFINITION (corpus × broadcast
     //    query set — the baseline the IVF path is measured against);
-    //  - q_ivf_topk cross-joins queries × centroids (|q| × nLists rows)
-    //    to rank cells.
+    //  - q_ivf_topk / q_ivf_serve cross-join queries × centroids
+    //    (|q| × nLists rows) to rank cells.
     // Every other plan must be nested-loop-free.
-    val allowed = Set("q_sim_topk", "q_ivf_topk")
+    val allowed = Set("q_sim_topk", "q_ivf_topk", "q_ivf_serve")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(allowed).foreach { name =>
       val p = planString(name)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a BNLJ:\n$p")
     }
     // and the exception stays what it is: the heavy candidate join in
-    // q_ivf_topk is a hash join on cell
+    // the IVF queries is a hash join on cell
     assert(planString("q_ivf_topk").contains("BroadcastHashJoin"))
+    assert(planString("q_ivf_serve").contains("BroadcastHashJoin"))
   }
 
   test("no CartesianProduct in ANY declared query") {
