@@ -16,15 +16,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (
         FunctionIdentifier("dot_f32"),
         new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
-        (children: Seq[Expression]) => DotF32(children(0), children(1))
+        DotF32.builder(_)
       )
     )
     ext.injectFunction(
       (
         FunctionIdentifier("poly_hash"),
         new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
-        (children: Seq[Expression]) =>
-          PolyHash(children.head, PolyHash.DefaultBase, PolyHash.DefaultMod)
+        PolyHash.builder(_)
       )
     )
     // bounded-range gather joins → exploded equi-joins (kills the BNLJ)

@@ -94,6 +94,17 @@ object DotF32 {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotF32(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Arity-checked SQL builder shared by [[register]] and
+    * [[graft.GraftExtensions]]: exactly two array args (a one-arg call
+    * must fail analysis, not throw IndexOutOfBounds; a three-arg call
+    * must not silently drop the extra). */
+  def builder(children: Seq[Expression]): Expression = children match {
+    case Seq(a, b) => DotF32(a, b)
+    case other =>
+      throw Bridge.analysisError(
+        s"dot_f32 expects exactly 2 arguments, got ${other.length}")
+  }
+
   /** Register `dot_f32` in a session's function registry so `expr` / SQL
     * can reach it (the [[graft.GraftExtensions]] route does the same via
     * SparkSessionExtensions at session build time). */
@@ -101,6 +112,6 @@ object DotF32 {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
-      (children: Seq[Expression]) => DotF32(children(0), children(1))
+      builder(_)
     )
 }

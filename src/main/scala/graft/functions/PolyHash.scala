@@ -81,12 +81,36 @@ object PolyHash {
   def polyHash(c: Column, base: Long = DefaultBase, mod: Long = DefaultMod): Column =
     Bridge.column(PolyHash(Bridge.expression(c), base, mod))
 
-  /** Register `poly_hash(str)` (fingerprint defaults) in a session's
-    * function registry so `expr` / SQL can reach it. */
+  /** Arity-checked SQL builder shared by [[register]] and
+    * [[graft.GraftExtensions]]: `poly_hash(str[, base[, mod]])`, where
+    * base/mod must be foldable integer literals. Anything else fails
+    * analysis with a named error — extra args must never be silently
+    * discarded (a `poly_hash(text, 37)` that computed the base-31 hash
+    * would be a wrong answer, not a convenience). */
+  def builder(children: Seq[Expression]): Expression = {
+    def longLit(e: Expression, what: String): Long = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+      case other =>
+        throw Bridge.analysisError(
+          s"poly_hash $what must be an integer literal, got ${other.sql}")
+    }
+    children match {
+      case Seq(s) => PolyHash(s, DefaultBase, DefaultMod)
+      case Seq(s, b) => PolyHash(s, longLit(b, "base"), DefaultMod)
+      case Seq(s, b, m) => PolyHash(s, longLit(b, "base"), longLit(m, "mod"))
+      case other =>
+        throw Bridge.analysisError(
+          s"poly_hash expects 1 to 3 arguments (str[, base[, mod]]), got ${other.length}")
+    }
+  }
+
+  /** Register `poly_hash(str[, base[, mod]])` in a session's function
+    * registry so `expr` / SQL can reach it. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
-      (children: Seq[Expression]) => PolyHash(children.head, DefaultBase, DefaultMod)
+      builder(_)
     )
 }

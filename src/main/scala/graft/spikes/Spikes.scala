@@ -116,16 +116,29 @@ object Spikes {
   }
 
   /** Broadcast `df` only when `rows` rows of its schema provably fit the
-    * session's `autoBroadcastJoinThreshold` (UnsafeRow footprint ≈ 8 B
-    * null-bit word + 8 B per fixed-width field). An unconditional
+    * session's `autoBroadcastJoinThreshold`. An unconditional
     * `broadcast()` hint is a scale cliff: Spark honors it regardless of
     * size, so a peak stream that is sparse at test scale but large at
     * 100 TB would OOM the driver instead of degrading to a shuffle
-    * join. Callers pass an EXACT `rows` (one O(peaks) count job — noise
-    * next to the sample scan the join feeds). */
+    * join.
+    *
+    * UnsafeRow footprint model: 8 B null-bit word + 8 B fixed slot per
+    * field, plus a 64 B variable-length allowance for each non-fixed-width
+    * field (string channel ids, short arrays) — fixed-width-only schemas
+    * are exact, variable-width ones conservative rather than flattering.
+    *
+    * Callers pass an EXACT `rows` (one O(peaks) count job — noise next to
+    * the sample scan the join feeds). An UNDERCOUNT defeats the guard —
+    * `peakCountHint`-style shortcuts must be counts of the actual joined
+    * side, never estimates. */
   private[graft] def broadcastIfSmall(df: DataFrame, rows: Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeRow
     val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    val bytes = rows * (8L + 8L * df.schema.size)
+    val perRow = 8L + df.schema.fields.map { f =>
+      if (UnsafeRow.isFixedLength(f.dataType)) 8L
+      else 8L + math.max(f.dataType.defaultSize.toLong, 64L)
+    }.sum
+    val bytes = rows * perRow
     if (thr > 0 && bytes <= thr) broadcast(df) else df
   }
 
@@ -180,7 +193,9 @@ object Spikes {
       keys: Seq[String] = Nil,
       // callers that already know the peak cardinality (a censored
       // stream they just counted, a catalog row count) pass it here to
-      // skip the guard's extra O(peaks-pipeline) count job
+      // skip the guard's extra O(peaks-pipeline) count job. Must be
+      // EXACT or an overcount: an undercount defeats the broadcast
+      // guard and re-opens the driver-OOM path it exists to close.
       peakCountHint: Option[Long] = None
   ): DataFrame = {
     val projected = peaks.select((keys.map(col) :+ col(idxCol).as("peak_idx")): _*)
@@ -224,14 +239,200 @@ object Spikes {
       keys: Seq[String] = Nil
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w0 =
-      if (keys.isEmpty) Window.orderBy(col(idxCol))
-      else Window.partitionBy(keys.map(col): _*).orderBy(col(idxCol))
-    val w = w0.rowsBetween(-halfWidth, halfWidth - 1)
-    val framed = samples.withColumn("patch", collect_list(col(valueCol)).over(w))
+    val framed =
+      if (keys.isEmpty)
+        // keyless: a `Window.orderBy(idx)` with no partition key executes
+        // in ONE task — the boundary-exchange gather below is the
+        // scalable equivalent (same trick ts/OrderedStream uses for
+        // lag/lead, widened to a halfWidth frame)
+        framesGlobal(samples, idxCol, valueCol, halfWidth)
+      else {
+        val w = Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(col(idxCol))
+          .rowsBetween(-halfWidth, halfWidth - 1)
+        samples.withColumn("patch", collect_list(col(valueCol)).over(w))
+      }
     val pk = peaks.select(col(idxCol).as("peak_idx"))
     framed
       .join(broadcastIfSmall(pk, pk.count()), col(idxCol) === col("peak_idx"))
       .select((keys.map(col) :+ col("peak_idx") :+ col("patch")): _*)
+  }
+
+  /** Scalable keyless ROWS-frame gather: appends a `patch` column holding
+    * the `[i−halfWidth, i+halfWidth)` window of `valueCol` (by global
+    * `idxCol` row order, null values skipped — `collect_list` semantics)
+    * WITHOUT a single-task ordered window.
+    *
+    * Algorithm (the [[graft.ts.OrderedStream]] boundary exchange, widened
+    * from one neighbor row to `halfWidth`): range-repartition + local
+    * sort; collect each partition's FIRST and LAST `halfWidth` values
+    * (O(numPartitions × halfWidth) driver rows); stitch each partition's
+    * preceding/following pad on the driver (walking across short or empty
+    * partitions); broadcast the pads back; each partition then builds
+    * every row's frame locally from one streaming pass with a 2·halfWidth
+    * sliding buffer. Two jobs, no single-task stage, task memory
+    * O(partition). Requires a unique `idxCol` (ties across a partition
+    * boundary would be nondeterministic), like every global-order
+    * primitive here. */
+  private[graft] def framesGlobal(
+      df: DataFrame,
+      idxCol: String,
+      valueCol: String,
+      halfWidth: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.ArrayType
+    import org.apache.spark.storage.StorageLevel
+
+    require(halfWidth > 0, "halfWidth must be positive")
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val cols = df.columns
+    val valPos = cols.indexOf(valueCol)
+    require(valPos >= 0, s"no column $valueCol")
+    val k = halfWidth
+
+    val sorted = df.repartitionByRange(n, col(idxCol)).sortWithinPartitions(col(idxCol))
+    val schema = sorted.schema
+    val valType = schema(valPos).dataType
+    val baseTypes = schema.fields.map(_.dataType)
+    val nBase = baseTypes.length
+
+    // persist anchors the sampled range partitioning across the two
+    // passes (see OrderedStream's scaladoc); rows copied out of the
+    // reused UnsafeRow slot first
+    val internal = Bridge
+      .toInternalRdd(sorted)
+      .mapPartitions(_.map(_.copy()), preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // pass 1: first/last k values (copied to Catalyst value form) per
+    // non-empty partition
+    val ends = internal
+      .mapPartitionsWithIndex { (pid, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val head = scala.collection.mutable.ArrayBuffer.empty[Any]
+          val tail = new Array[Any](k)
+          var count = 0L
+          it.foreach { r =>
+            val v = InternalRow.copyValue(r.get(valPos, valType))
+            if (count < k) head += v
+            tail((count % k).toInt) = v
+            count += 1
+          }
+          val tailLen = math.min(count, k.toLong).toInt
+          val tailArr = Array.tabulate(tailLen)(i => tail(((count - tailLen + i) % k).toInt))
+          Iterator.single((pid, head.toArray, tailArr))
+        }
+      }
+      .collect()
+
+    val heads = Array.fill(n)(Array.empty[Any])
+    val tails = Array.fill(n)(Array.empty[Any])
+    ends.foreach { case (pid, h, t) => heads(pid) = h; tails(pid) = t }
+    // pad BEFORE partition p (ascending, adjacent to p's first row): walk
+    // backward gathering tails — a tail shorter than k IS its whole
+    // partition, so continuing to p-2, p-3... is exact
+    val prevPads = Array.tabulate(n) { p =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var q = p - 1
+      while (buf.length < k && q >= 0) {
+        val t = tails(q)
+        buf.prependAll(t.takeRight(math.min(k - buf.length, t.length)))
+        q -= 1
+      }
+      buf.toArray
+    }
+    val nextPads = Array.tabulate(n) { p =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var q = p + 1
+      while (buf.length < k && q < n) {
+        val h = heads(q)
+        buf.appendAll(h.take(math.min(k - buf.length, h.length)))
+        q += 1
+      }
+      buf.toArray
+    }
+    val bc = spark.sparkContext.broadcast((prevPads, nextPads))
+
+    val outSchema = StructType(
+      schema.fields :+ StructField("patch", ArrayType(valType, containsNull = false), nullable = false)
+    )
+
+    // pass 2: one streaming pass per partition over
+    // (prevPad ++ rows ++ nextPad) with a 2k-value sliding buffer; a row
+    // at combined position p emits once position p+k-1 (or stream end)
+    // has been consumed, its frame = non-null values at [p-k, p+k-1]
+    val outRdd = internal.mapPartitionsWithIndex { (pid, rows) =>
+      val (prevB, nextB) = bc.value
+      val padBefore = prevB(pid)
+      val padAfter = nextB(pid)
+      new Iterator[InternalRow] {
+        private val vals = scala.collection.mutable.ArrayDeque.empty[Any]
+        private var basePos = 0L // combined position of vals.head
+        private var consumed = 0L // values consumed from the combined stream
+        private var ended = false // whole combined stream consumed
+        private val pending = scala.collection.mutable.Queue.empty[(InternalRow, Long)]
+        private val out = scala.collection.mutable.Queue.empty[InternalRow]
+        private var rowPos = padBefore.length.toLong // combined position of the next data row
+        private var nextIdx = 0
+
+        padBefore.foreach(feed)
+
+        private def feed(v: Any): Unit = {
+          vals.append(v)
+          consumed += 1
+        }
+
+        private def emitReady(): Unit = {
+          while (pending.nonEmpty &&
+            (ended || consumed - 1 >= pending.head._2 + k - 1)) {
+            val (r, p) = pending.dequeue()
+            val lo = math.max(p - k, 0L)
+            val hi = math.min(p + k - 1, consumed - 1)
+            val frame = scala.collection.mutable.ArrayBuffer.empty[Any]
+            var q = lo
+            while (q <= hi) {
+              val v = vals((q - basePos).toInt)
+              if (v != null) frame += v
+              q += 1
+            }
+            val fields = new Array[Any](nBase + 1)
+            var i = 0
+            while (i < nBase) { fields(i) = r.get(i, baseTypes(i)); i += 1 }
+            fields(nBase) = new GenericArrayData(frame.toArray)
+            out.enqueue(new GenericInternalRow(fields))
+          }
+          // oldest still-pending row needs values from its p-k on; with
+          // none pending the next row can only need consumed-k on
+          val needFrom = pending.headOption.map(_._2 - k).getOrElse(consumed - k)
+          while (basePos < needFrom && vals.nonEmpty) { vals.removeHead(); basePos += 1 }
+        }
+
+        private def advance(): Unit = {
+          while (out.isEmpty && !(ended && pending.isEmpty)) {
+            if (rows.hasNext) {
+              val r = rows.next()
+              pending.enqueue((r, rowPos))
+              feed(r.get(valPos, valType))
+              rowPos += 1
+            } else if (nextIdx < padAfter.length) {
+              feed(padAfter(nextIdx))
+              nextIdx += 1
+            } else ended = true
+            emitReady()
+          }
+        }
+
+        override def hasNext: Boolean = { advance(); out.nonEmpty }
+        override def next(): InternalRow = { advance(); out.dequeue() }
+      }
+    }
+    Bridge.internalCreateDataFrame(spark, outRdd, outSchema)
   }
 }

@@ -58,6 +58,8 @@ object AnnBench {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
+    require(exact.nonEmpty,
+      s"brute-force top-$k returned no rows for $sfDir — recall undefined (empty/too-small embeddings table?)")
     def recallAt(np: Int): Double = {
       val approx = graft.ops.Ivf
         .topKIndexed(cached, centroids, queries, k, np)

@@ -64,16 +64,27 @@ object ScaleGen {
     docs.crossJoin(copyDf)
       .select(
         (col("doc_id") + col("__copy") * (maxDid + 1L)).as("doc_id"),
+        // length-EXACT token remap: split with limit -1 keeps empty
+        // tokens (runs of spaces / leading / trailing survive the
+        // round-trip), empty tokens stay empty, and the md5 is repeated
+        // to cover tokens longer than one 32-char digest before being
+        // cut to the token's exact length — so n_chars stays truthful
+        // for every copy
         when(col("__copy") === 0, col("text")).otherwise(
           concat_ws(
             " ",
             transform(
-              split(col("text"), " "),
+              split(col("text"), " ", -1),
               t =>
-                substring(
-                  md5(concat(t, lit("#"), col("__copy").cast("string"))),
-                  lit(1),
-                  greatest(length(t), lit(1))
+                when(length(t) === 0, t).otherwise(
+                  substring(
+                    repeat(
+                      md5(concat(t, lit("#"), col("__copy").cast("string"))),
+                      (ceil(length(t) / lit(32.0))).cast("int")
+                    ),
+                    lit(1),
+                    length(t)
+                  )
                 )
             )
           )

@@ -27,4 +27,16 @@ object Bridge {
     * (UnsafeRow): callers that buffer or cache MUST `.copy()`. */
   def toInternalRdd(df: DataFrame): RDD[InternalRow] =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.toRdd
+
+  /** A plain-message AnalysisException (the string constructor is
+    * `protected[sql]`) for function-builder arity/argument errors. */
+  def analysisError(message: String): org.apache.spark.sql.AnalysisException =
+    new org.apache.spark.sql.AnalysisException(
+      message = message,
+      line = None,
+      startPosition = None,
+      cause = None,
+      errorClass = None,
+      messageParameters = Map.empty,
+      context = Array.empty)
 }

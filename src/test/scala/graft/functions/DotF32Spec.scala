@@ -50,4 +50,13 @@ class DotF32Spec extends SparkSpec {
       .where(col("d") > 0).count()
     assert(out == 100)
   }
+
+  test("SQL builder rejects wrong arities with a named error") {
+    DotF32.register(spark)
+    Seq((Array(1.0f), Array(2.0f))).toDF("a", "b").createOrReplaceTempView("dot_arity")
+    val e1 = intercept[Exception](spark.sql("SELECT dot_f32(a) FROM dot_arity"))
+    assert(e1.getMessage.contains("dot_f32 expects exactly 2 arguments"))
+    val e3 = intercept[Exception](spark.sql("SELECT dot_f32(a, b, a) FROM dot_arity"))
+    assert(e3.getMessage.contains("dot_f32 expects exactly 2 arguments"))
+  }
 }

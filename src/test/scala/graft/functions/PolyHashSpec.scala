@@ -49,4 +49,29 @@ class PolyHashSpec extends SparkSpec {
       assert(r.getLong(0) >= 0L && r.getLong(0) < 1000000007L)
     }
   }
+
+  test("SQL builder honors base/mod literals and rejects bad arities") {
+    PolyHash.register(spark)
+    df.createOrReplaceTempView("ph_arity_docs")
+    // poly_hash(text, 37) must compute the base-37 hash, not silently
+    // fall back to the default base
+    val sql37 = spark.sql("SELECT poly_hash(text, 37) AS h FROM ph_arity_docs")
+      .collect().map(_.getLong(0))
+    val api37 = df.select(PolyHash.polyHash(col("text"), base = 37L))
+      .collect().map(_.getLong(0))
+    assert(sql37.toSeq == api37.toSeq)
+    val sqlMod = spark.sql("SELECT poly_hash(text, 31, 97) AS h FROM ph_arity_docs")
+      .collect().map(_.getLong(0))
+    val apiMod = df.select(PolyHash.polyHash(col("text"), 31L, 97L))
+      .collect().map(_.getLong(0))
+    assert(sqlMod.toSeq == apiMod.toSeq)
+    val e0 = intercept[Exception](spark.sql("SELECT poly_hash() FROM ph_arity_docs"))
+    assert(e0.getMessage.contains("poly_hash expects 1 to 3 arguments"))
+    val e4 = intercept[Exception](
+      spark.sql("SELECT poly_hash(text, 1, 2, 3) FROM ph_arity_docs"))
+    assert(e4.getMessage.contains("poly_hash expects 1 to 3 arguments"))
+    val eNonLit = intercept[Exception](
+      spark.sql("SELECT poly_hash(text, length(text)) FROM ph_arity_docs"))
+    assert(eNonLit.getMessage.contains("must be an integer literal"))
+  }
 }
