@@ -34,23 +34,19 @@ object ExtractChannels {
   ): DataFrame = {
     val raw = RecScan.read(spark, paths, channelSubset = channelSubset)
 
-    // U2 + W1 + J4/F1 all fused at the packet level (PacketGapFill): ONE
-    // range partition of the packet stream applies dedup-keep-first
-    // (equal timestamps are always partition-local under range
-    // partitioning; tie-break = stream order), assigns epochs, and
-    // synthesizes interpolated packets (numpy interp1d + astype(int16)
-    // truncation semantics). A separate Dedup.keepFirst step would hash-
-    // shuffle the full packet payloads a second time — the widest data
-    // in flight in the whole pipeline. The per-channel explode happens
-    // exactly once, afterward.
+    // U2 + W1 + J4/F1 + the per-channel explode, all fused at the packet
+    // level (PacketGapFill): ONE range partition of the packet stream
+    // applies dedup-keep-first (equal timestamps are always
+    // partition-local under range partitioning; tie-break = stream
+    // order), assigns epochs, synthesizes interpolated packets (numpy
+    // interp1d + astype(int16) truncation semantics), and emits the
+    // long-layout channel rows directly. A separate Dedup.keepFirst step
+    // would hash-shuffle the full packet payloads a second time — the
+    // widest data in flight in the whole pipeline — and a separate
+    // posexplode would rebuild every packet's array column only to take
+    // it apart again.
     PacketGapFill
-      .fillAndSegment(raw, maxGapSize, dedupTieBreak = Seq("file_rank", "pos"))
-      .select(
-        col("segment_id"),
-        col("ts"),
-        col("interpolated"),
-        posexplode(col("values")).as(Seq("channel", "value"))
-      )
+      .fillAndSegmentExploded(raw, maxGapSize, dedupTieBreak = Seq("file_rank", "pos"))
   }
 
   /** Full pipeline incl. the partitioned columnar sink (S8) and the

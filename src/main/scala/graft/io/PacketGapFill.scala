@@ -1,7 +1,9 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
@@ -16,6 +18,13 @@ import org.apache.spark.storage.StorageLevel
   * union) this removes the widest shuffle of the extract pipeline: gap
   * logic runs on n_packets rows instead of n_packets × n_channels, and
   * the explode happens exactly once on the final stream.
+  *
+  * Both passes run on Catalyst InternalRows end to end
+  * (`Bridge.toInternalRdd` → `UnsafeRowWriter` → `internalCreateDataFrame`):
+  * the previous external-Row formulation boxed every channel sample twice
+  * (Row.getSeq[Short] per packet in, CatalystTypeConverters per row out),
+  * which dominated extract_channels' wall time — the decode kernel itself
+  * runs at memcpy-ish speed.
   */
 object PacketGapFill {
 
@@ -32,6 +41,26 @@ object PacketGapFill {
       maxGapSize: Long,
       numPartitions: Int = 0,
       dedupTieBreak: Seq[String] = Nil
+  ): DataFrame = run(df, maxGapSize, numPartitions, dedupTieBreak, exploded = false)
+
+  /** [[fillAndSegment]] with the per-channel explode FUSED into the same
+    * pass: emits `(segment_id, ts, interpolated, channel, value)` rows
+    * (five fixed-width fields, no per-packet array column, no Generate
+    * operator) straight from the gap-fill iterator — the layout
+    * extract_channels wants. */
+  def fillAndSegmentExploded(
+      df: DataFrame,
+      maxGapSize: Long,
+      numPartitions: Int = 0,
+      dedupTieBreak: Seq[String] = Nil
+  ): DataFrame = run(df, maxGapSize, numPartitions, dedupTieBreak, exploded = true)
+
+  private def run(
+      df: DataFrame,
+      maxGapSize: Long,
+      numPartitions: Int,
+      dedupTieBreak: Seq[String],
+      exploded: Boolean
   ): DataFrame = {
     val spark = df.sparkSession
     val n =
@@ -50,17 +79,24 @@ object PacketGapFill {
       .select((Seq(col("ts"), col("values")) ++ dedupTieBreak.map(col)): _*)
       .repartitionByRange(n, col("ts"))
       .sortWithinPartitions((Seq(col("ts")) ++ dedupTieBreak.map(col)): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK) // correctness anchor (see Sessionize)
     val dedup = dedupTieBreak.nonEmpty
+    // persist the copied UnsafeRow RDD, not the DataFrame: it is both the
+    // correctness anchor fixing the sampled range partitioning across the
+    // two passes (see Sessionize) and much cheaper than the relation
+    // cache, which would encode every packet into columnar batches only
+    // to decode them back per pass
+    val internal = Bridge
+      .toInternalRdd(sorted)
+      .mapPartitions(_.map(_.copy()), preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    final case class Stat(pid: Int, firstTs: Long, firstVals: Seq[Short], lastTs: Long, breaks: Long)
-    val stats = sorted.rdd
+    val stats = internal
       .mapPartitionsWithIndex { (pid, it) =>
         if (!it.hasNext) Iterator.empty
         else {
           val first = it.next()
           val firstTs = first.getLong(0)
-          val firstVals = first.getSeq[Short](1)
+          val firstVals = first.getArray(1).toShortArray()
           var prev = firstTs
           var last = firstTs
           var breaks = 0L
@@ -71,104 +107,147 @@ object PacketGapFill {
               prev = ts; last = ts
             }
           }
-          Iterator.single(Stat(pid, firstTs, firstVals, last, breaks))
+          Iterator.single((pid, firstTs, firstVals, last, breaks))
         }
       }
       .collect()
-      .sortBy(_.pid)
+      .sortBy(_._1)
 
     // driver: segment-id offsets + the boundary rows needed for cross-
     // partition gap interpolation
     val offsets = new Array[Long](n)
-    val nextFirst = new Array[(Long, Seq[Short])](n) // next non-empty partition's first row
+    val nextFirst = new Array[(Long, Array[Short])](n) // next non-empty partition's first row
     var acc = 0L
     var prevLast = Long.MinValue
-    val byPid = stats.map(s => s.pid -> s).toMap
+    val byPid = stats.map(s => s._1 -> s).toMap
     (0 until n).foreach { pid =>
       byPid.get(pid) match {
-        case Some(s) =>
-          val bb = prevLast != Long.MinValue && s.firstTs - prevLast >= breakAt
+        case Some((_, firstTs, _, lastTs, breaks)) =>
+          val bb = prevLast != Long.MinValue && firstTs - prevLast >= breakAt
           offsets(pid) = acc + (if (bb) 1L else 0L)
-          acc = offsets(pid) + s.breaks
-          prevLast = s.lastTs
+          acc = offsets(pid) + breaks
+          prevLast = lastTs
         case None =>
           offsets(pid) = acc
       }
     }
-    var carry: (Long, Seq[Short]) = null
+    var carry: (Long, Array[Short]) = null
     (n - 1) to 0 by -1 foreach { pid =>
       nextFirst(pid) = carry
-      byPid.get(pid).foreach(s => carry = (s.firstTs, s.firstVals))
+      byPid.get(pid).foreach(s => carry = (s._2, s._3))
     }
     val bc = spark.sparkContext.broadcast((offsets, nextFirst, breakAt, maxGapSize))
 
-    val outSchema = StructType(Seq(
-      StructField("ts", LongType, nullable = false),
-      StructField("values", ArrayType(ShortType, containsNull = false), nullable = false),
-      StructField("segment_id", LongType, nullable = false),
-      StructField("interpolated", IntegerType, nullable = false)
-    ))
+    val outSchema =
+      if (exploded)
+        StructType(Seq(
+          StructField("segment_id", LongType, nullable = false),
+          StructField("ts", LongType, nullable = false),
+          StructField("interpolated", IntegerType, nullable = false),
+          StructField("channel", IntegerType, nullable = false),
+          StructField("value", ShortType, nullable = false)
+        ))
+      else
+        StructType(Seq(
+          StructField("ts", LongType, nullable = false),
+          StructField("values", ArrayType(ShortType, containsNull = false), nullable = false),
+          StructField("segment_id", LongType, nullable = false),
+          StructField("interpolated", IntegerType, nullable = false)
+        ))
 
-    val outRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val outRdd = internal.mapPartitionsWithIndex { (pid, it0) =>
+      import org.apache.spark.sql.catalyst.expressions.codegen.{UnsafeArrayWriter, UnsafeRowWriter}
       val (offs, nxtF, brk, maxGap) = bc.value
       val dedupB = dedup
-      val buf = it.buffered
+      val buf = it0.map(r => (r.getLong(0), r.getArray(1).toShortArray())).buffered
       var seg = offs(pid)
       var prevTs = Long.MinValue
 
-      def interpRows(t0: Long, v0: Seq[Short], t1: Long, v1: Seq[Short], segId: Long): Iterator[Row] = {
+      def interpPackets(
+          t0: Long, v0: Array[Short], t1: Long, v1: Array[Short], segId: Long
+      ): Iterator[(Long, Array[Short], Long, Int)] = {
         val d = t1 - t0
         if (d <= 1 || d > maxGap + 1) Iterator.empty
         else {
-          val a0 = v0.toArray
-          val a1 = v1.toArray
           // channel-count homogeneity is enforced at the scan
           // (RecScan.read), but a direct caller could mix sources
           require(
-            a0.length == a1.length,
-            s"packet channel counts differ across a gap: ${a0.length} vs ${a1.length}"
+            v0.length == v1.length,
+            s"packet channel counts differ across a gap: ${v0.length} vs ${v1.length}"
           )
           (t0 + 1 until t1).iterator.map { t =>
-            val vals = new Array[Short](a0.length)
+            val vals = new Array[Short](v0.length)
             var c = 0
-            while (c < a0.length) {
+            while (c < v0.length) {
               // numpy interp1d + astype(int16): double math, truncate to 0
-              vals(c) = (a0(c) + (t - t0).toDouble * (a1(c) - a0(c)) / d.toDouble).toShort
+              vals(c) = (v0(c) + (t - t0).toDouble * (v1(c) - v0(c)) / d.toDouble).toShort
               c += 1
             }
-            Row(t, vals.toSeq, segId, 1)
+            (t, vals, segId, 1)
           }
         }
       }
 
-      new Iterator[Row] {
-        private var pending: Iterator[Row] = Iterator.empty
+      // logical packet stream incl. synthesized gap packets
+      val packets = new Iterator[(Long, Array[Short], Long, Int)] {
+        private var pending: Iterator[(Long, Array[Short], Long, Int)] = Iterator.empty
         override def hasNext: Boolean = pending.hasNext || buf.hasNext
-        override def next(): Row = {
+        override def next(): (Long, Array[Short], Long, Int) = {
           if (pending.hasNext) return pending.next()
-          val r = buf.next()
-          val ts = r.getLong(0)
-          val vals = r.getSeq[Short](1)
+          val (ts, vals) = buf.next()
           if (prevTs != Long.MinValue && ts - prevTs >= brk) seg += 1
           prevTs = ts
           // fused U2: drop the rest of a duplicate-ts run (sorted by
           // tie-break, so this row is the deterministic keeper)
           if (dedupB) {
-            while (buf.hasNext && buf.head.getLong(0) == ts) buf.next()
+            while (buf.hasNext && buf.head._1 == ts) buf.next()
           }
           // queue interpolations toward the next row (or boundary row)
-          val nxt: Option[(Long, Seq[Short])] =
-            if (buf.hasNext) Some((buf.head.getLong(0), buf.head.getSeq[Short](1)))
-            else Option(nxtF(pid))
+          val nxt: Option[(Long, Array[Short])] =
+            if (buf.hasNext) Some(buf.head) else Option(nxtF(pid))
           nxt match {
             case Some((nt, nv)) if nt - ts > 1 && nt - ts <= maxGap + 1 =>
-              pending = interpRows(ts, vals, nt, nv, seg)
+              pending = interpPackets(ts, vals, nt, nv, seg)
             case _ =>
           }
-          Row(ts, vals, seg, 0)
+          (ts, vals, seg, 0)
+        }
+      }
+
+      // the emitted UnsafeRow is REUSED across iterations: the plan-side
+      // consumer (RDDScanExec) re-projects every ExistingRDD row into its
+      // own buffer anyway, so a per-row copy here would only double the
+      // allocation rate of the widest stream in the pipeline
+      if (exploded) {
+        val writer = new UnsafeRowWriter(5)
+        packets.flatMap { case (ts, vals, segId, interp) =>
+          (0 until vals.length).iterator.map { c =>
+            writer.reset()
+            writer.write(0, segId)
+            writer.write(1, ts)
+            writer.write(2, interp)
+            writer.write(3, c)
+            writer.write(4, vals(c))
+            writer.getRow: InternalRow
+          }
+        }
+      } else {
+        val writer = new UnsafeRowWriter(4)
+        val arrWriter = new UnsafeArrayWriter(writer, 2)
+        packets.map { case (ts, vals, segId, interp) =>
+          writer.reset()
+          writer.write(0, ts)
+          writer.write(2, segId)
+          writer.write(3, interp)
+          val cursorBefore = writer.cursor()
+          arrWriter.initialize(vals.length)
+          var i = 0
+          while (i < vals.length) { arrWriter.write(i, vals(i)); i += 1 }
+          writer.setOffsetAndSizeFromPreviousCursor(1, cursorBefore)
+          writer.getRow: InternalRow
         }
       }
     }
-    spark.createDataFrame(outRdd, outSchema)
+    Bridge.internalCreateDataFrame(spark, outRdd, outSchema)
   }
 }

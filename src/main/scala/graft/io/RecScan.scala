@@ -102,10 +102,13 @@ object RecScan {
 
     val subset = channelSubset.map(_.toArray)
     // Emit UnsafeRows serialized directly by an UnsafeRowWriter: one
-    // contiguous buffer write + one byte-array copy per packet, instead
-    // of GenericInternalRow + boxed array + a downstream UnsafeProjection
-    // re-doing the same serialization. This is the row-based reader's
-    // floor; the decode kernel itself runs at memcpy-ish speed
+    // contiguous buffer write per packet, instead of GenericInternalRow +
+    // boxed array + a downstream UnsafeProjection re-doing the same
+    // serialization. The row is REUSED across packets — the plan-side
+    // consumer (RDDScanExec) re-projects every ExistingRDD row into its
+    // own buffer, and graft's direct toInternalRdd consumers copy
+    // whatever they buffer. This is the row-based reader's floor; the
+    // decode kernel itself runs at memcpy-ish speed
     // (graft.tools.DecodeBench).
     val rdd = spark.sparkContext
       .parallelize(splits, math.max(1, splits.size))
@@ -134,7 +137,7 @@ object RecScan {
           var i = 0
           while (i < vals.length) { arrWriter.write(i, vals(i)); i += 1 }
           writer.setOffsetAndSizeFromPreviousCursor(3, cursorBefore)
-          writer.getRow.copy(): InternalRow
+          writer.getRow: InternalRow
         }
       }
     org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(spark, rdd, schema)

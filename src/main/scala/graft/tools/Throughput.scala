@@ -65,22 +65,49 @@ object Throughput {
     val bytes = writeRec(f, nPackets)
     println(f"generated $nPackets%,d packets, ${bytes / 1e6}%.1f MB")
 
-    // decode-only scan
-    var t0 = System.nanoTime()
-    val decoded = graft.io.RecScan.read(spark, Seq(f), targetSplitBytes = 8L << 20)
-    val cnt = decoded.count()
-    var dt = (System.nanoTime() - t0) / 1e9
-    println(f"decode: $cnt%,d packets in $dt%.2f s = ${bytes / 1e6 / dt}%.1f MB/s, ${cnt * 4 / dt / 1e6}%.1f Msamples/s")
+    // warm-up on a small prefix file: first-job costs (whole-stage codegen
+    // compile, JIT of the decode/gap-fill kernels, scheduler/broadcast
+    // machinery) are one-time and would otherwise be billed to whichever
+    // stage runs first — rounds 1-6 under-reported decode/extract by
+    // 3-20x this way (ScanProbe: identical scan, 0.85-1.6 s cold vs
+    // 0.14-0.2 s warm)
+    val fw = s"$dir/warm.rec"
+    writeRec(fw, 100000)
+    graft.io.ExtractChannels.extract(spark, Seq(fw), maxGapSize = 150L).count()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
 
-    // full extract (dedup + sessionize + gapfill + explode), materialized
-    // so the next stage doesn't recompute the lineage
-    t0 = System.nanoTime()
+    def median3(body: => Long): (Long, Double) = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val n = body
+        val dt = (System.nanoTime() - t0) / 1e9
+        // gap-fill's internal persist anchors would otherwise accumulate
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        (n, dt)
+      }
+      (runs.head._1, runs.map(_._2).sorted.apply(1))
+    }
+
+    // decode-only scan
+    val (cnt, dtDecode) = median3 {
+      graft.io.RecScan.read(spark, Seq(f), targetSplitBytes = 8L << 20).count()
+    }
+    println(f"decode: $cnt%,d packets in $dtDecode%.2f s = ${bytes / 1e6 / dtDecode}%.1f MB/s, ${cnt * 4 / dtDecode / 1e6}%.1f Msamples/s")
+
+    // full extract (dedup + sessionize + gapfill + fused explode)
+    val (n2, dtExtract) = median3 {
+      graft.io.ExtractChannels.extract(spark, Seq(f), maxGapSize = 150L).count()
+    }
+    println(f"extract: $n2%,d channel-samples in $dtExtract%.2f s = ${bytes / 1e6 / dtExtract}%.1f MB/s input rate")
+
+    // materialized copy for the filter stage (not part of extract timing;
+    // the reference's filtering likewise starts from written store)
     val extracted = graft.io.ExtractChannels
       .extract(spark, Seq(f), maxGapSize = 150L)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n2 = extracted.count()
-    dt = (System.nanoTime() - t0) / 1e9
-    println(f"extract: $n2%,d channel-samples in $dt%.2f s = ${bytes / 1e6 / dt}%.1f MB/s input rate")
+    extracted.count()
+    var t0 = System.nanoTime()
+    var dt = 0.0
 
     // per-segment zero-phase bandpass on the extracted store (reuses the
     // segment_id the extract pipeline already computed)
