@@ -25,6 +25,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * the plane dimension makes every projection NULL, and
   * `when(proj >= 0, bit).otherwise(0)` turns NULL into an unset bit —
   * so the result is 0, never NULL (this expression is non-nullable).
+  * A NaN projection SETS the bit: SQL comparison semantics (Spark and
+  * the DuckDB oracle alike) order NaN above every value, so the sign
+  * test is `!(acc < 0)`, not Java's `acc >= 0`
+  * (CodegenEquivalenceSpec pins this property).
   *
   * SURVEY.md §4.3 case (b), same family as [[DotF32]]/[[PolyHash]].
   */
@@ -64,7 +68,11 @@ case class SignLshBucket(child: Expression, planes: Seq[Seq[Double]])
       var acc = 0.0
       var j = 0
       while (j < dim) { acc += arr.getFloat(j).toDouble * plane(j); j += 1 }
-      if (acc >= 0) bucket |= 1 << p
+      // !(acc < 0), NOT acc >= 0: Spark SQL (and the DuckDB oracle) order
+      // NaN above every value, so a NaN projection must SET the bit —
+      // Java's primitive >= would leave it unset (CodegenEquivalenceSpec
+      // pins this against the when(proj >= 0) HOF chain)
+      if (!(acc < 0)) bucket |= 1 << p
       p += 1
     }
     bucket
@@ -99,7 +107,7 @@ case class SignLshBucket(child: Expression, planes: Seq[Seq[Double]])
         |      for (int $j = 0; $j < $dim; $j++) {
         |        $acc += ((double) $arr.getFloat($j)) * ${acc}_plane[$j];
         |      }
-        |      if ($acc >= 0) $bucket |= 1 << $p;
+        |      if (!($acc < 0)) $bucket |= 1 << $p; // NaN sets the bit (SQL NaN ordering)
         |    }
         |  }
         |}
