@@ -140,9 +140,16 @@ object SosFiltFilt {
       }
     )
     val sosB = sos // serialized into the closure (tiny)
-    val rdd = arranged.rdd.mapPartitions { it =>
+    // InternalRow end to end (same as PacketGapFill): the external-Row
+    // formulation converted 16 bytes of payload through boxed Rows twice
+    // per sample. Keys/carry values are copied out of the reused
+    // UnsafeRow; ts/value land in primitive builders.
+    val inTypes = arranged.schema.fields.map(_.dataType)
+    val rdd = org.apache.spark.sql.graftbridge.Bridge.toInternalRdd(arranged).mapPartitions { it =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
       val buf = it.buffered
-      new Iterator[Row] {
+      new Iterator[InternalRow] {
         private var outKeys: Array[Any] = null
         private var outTs: Array[Long] = null
         private var outVal: Array[Double] = null
@@ -152,7 +159,7 @@ object SosFiltFilt {
 
         private def fillGroup(): Unit = {
           val first = buf.head
-          val k = Array.tabulate[Any](nKeys)(first.get)
+          val k = Array.tabulate[Any](nKeys)(j => InternalRow.copyValue(first.get(j, inTypes(j))))
           val ts = new scala.collection.mutable.ArrayBuilder.ofLong
           val vs = new scala.collection.mutable.ArrayBuilder.ofDouble
           val cs = Array.fill(carryPos.length)(Seq.newBuilder[Any])
@@ -161,14 +168,17 @@ object SosFiltFilt {
             val r = buf.head
             var same = true
             var j = 0
-            while (same && j < nKeys) { same = r.get(j) == k(j); j += 1 }
+            while (same && j < nKeys) { same = r.get(j, inTypes(j)) == k(j); j += 1 }
             if (!same) done = true
             else {
               buf.next()
               ts += r.getLong(tsPos)
-              vs += toDouble(r.get(vPos))
+              vs += toDouble(r.get(vPos, inTypes(vPos)))
               var c = 0
-              while (c < carryPos.length) { cs(c) += r.get(carryPos(c)); c += 1 }
+              while (c < carryPos.length) {
+                cs(c) += InternalRow.copyValue(r.get(carryPos(c), inTypes(carryPos(c))))
+                c += 1
+              }
             }
           }
           outKeys = k
@@ -180,7 +190,7 @@ object SosFiltFilt {
         }
 
         override def hasNext: Boolean = i < len || buf.hasNext
-        override def next(): Row = {
+        override def next(): InternalRow = {
           if (i >= len) fillGroup()
           val vals = new Array[Any](nKeys + 2 + carryPos.length)
           var j = 0
@@ -190,11 +200,11 @@ object SosFiltFilt {
           var c = 0
           while (c < carryPos.length) { vals(nKeys + 2 + c) = outCarry(c)(i); c += 1 }
           i += 1
-          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+          new GenericInternalRow(vals)
         }
       }
     }
-    df.sparkSession.createDataFrame(rdd, schema)
+    org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(df.sparkSession, rdd, schema)
   }
 
   private def toDouble(v: Any): Double = v match {

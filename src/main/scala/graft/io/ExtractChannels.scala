@@ -34,19 +34,40 @@ object ExtractChannels {
   ): DataFrame = {
     val raw = RecScan.read(spark, paths, channelSubset = channelSubset)
 
+    // The `.rec` scan's splits are already globally ts-ordered whenever
+    // the files' time-ranges are pairwise disjoint (always true for a
+    // single file; the normal acquisition layout for a session of
+    // rollover files) — checked from the 2-packet-per-file bounds, NOT
+    // assumed. In that case the gap-fill pass runs with ZERO shuffle and
+    // zero cache: at 100 TB that is the difference between re-shuffling
+    // the entire sample stream and never moving it. Overlapping files
+    // fall back to the range shuffle, which handles any interleaving.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val bounds = paths
+      .map { p =>
+        val cfg = RecFormat.parseConfig(p, hconf)
+        RecFormat.timestampBounds(cfg, hconf)
+      }
+      .sortBy(_._1)
+    val disjoint = bounds.iterator.sliding(2).withPartial(false).forall { w =>
+      w.head._2 <= w.last._1 // equal boundary ts allowed: dedup handles it
+    }
+
     // U2 + W1 + J4/F1 + the per-channel explode, all fused at the packet
-    // level (PacketGapFill): ONE range partition of the packet stream
-    // applies dedup-keep-first (equal timestamps are always
-    // partition-local under range partitioning; tie-break = stream
-    // order), assigns epochs, synthesizes interpolated packets (numpy
-    // interp1d + astype(int16) truncation semantics), and emits the
-    // long-layout channel rows directly. A separate Dedup.keepFirst step
-    // would hash-shuffle the full packet payloads a second time — the
-    // widest data in flight in the whole pipeline — and a separate
-    // posexplode would rebuild every packet's array column only to take
-    // it apart again.
-    PacketGapFill
-      .fillAndSegmentExploded(raw, maxGapSize, dedupTieBreak = Seq("file_rank", "pos"))
+    // level (PacketGapFill): ONE pass over the packet stream applies
+    // dedup-keep-first (tie-break = stream order), assigns epochs,
+    // synthesizes interpolated packets (numpy interp1d + astype(int16)
+    // truncation semantics), and emits the long-layout channel rows
+    // directly. A separate Dedup.keepFirst step would hash-shuffle the
+    // full packet payloads a second time — the widest data in flight in
+    // the whole pipeline — and a separate posexplode would rebuild every
+    // packet's array column only to take it apart again.
+    PacketGapFill.fillAndSegmentExploded(
+      raw,
+      maxGapSize,
+      dedupTieBreak = Seq("file_rank", "pos"),
+      alreadySorted = disjoint
+    )
   }
 
   /** Full pipeline incl. the partitioned columnar sink (S8) and the

@@ -8,40 +8,57 @@ import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
 /** Fused sessionize + small-gap interpolation at the PACKET level (before
-  * the per-channel explode): one range partition pass computes, per
-  * partition, (first/last row, local break count); the driver resolves
-  * boundary breaks and segment-id offsets; a second pass assigns segment
-  * ids AND synthesizes interpolated packets inline, interpolating the
-  * whole channel array per missing timestamp.
+  * the per-channel explode): one pass computes, per partition, boundary
+  * stats (first rows / last ts / local break count); the driver resolves
+  * boundary breaks, segment-id offsets, and cross-partition interpolation
+  * targets; a second pass assigns segment ids AND synthesizes
+  * interpolated packets inline, interpolating the whole channel array per
+  * missing timestamp.
   *
   * Compared to the long-layout route (explode → window per channel →
   * union) this removes the widest shuffle of the extract pipeline: gap
   * logic runs on n_packets rows instead of n_packets × n_channels, and
   * the explode happens exactly once on the final stream.
   *
+  * Two physical modes:
+  *  - DEFAULT: range-repartition + local sort on ts (one shuffle of the
+  *    packet payloads), for inputs in arbitrary order;
+  *  - `alreadySorted = true`: the input's existing partitions are taken
+  *    as a globally ts-ordered stream (the `.rec` scan's natural layout
+  *    when file time-ranges are disjoint — see ExtractChannels) and the
+  *    shuffle AND the cache are skipped entirely: both passes re-run the
+  *    cheap deterministic scan. Duplicate-ts runs and gaps may then
+  *    straddle partition boundaries; the boundary stats carry enough
+  *    (previous partition's last ts, next partitions' first TWO distinct
+  *    rows) to keep dedup-keep-first, break counting, and gap
+  *    interpolation exact — spec-asserted equal to the shuffle mode.
+  *    Sortedness is validated during the stats pass, not assumed.
+  *
   * Both passes run on Catalyst InternalRows end to end
   * (`Bridge.toInternalRdd` → `UnsafeRowWriter` → `internalCreateDataFrame`):
-  * the previous external-Row formulation boxed every channel sample twice
-  * (Row.getSeq[Short] per packet in, CatalystTypeConverters per row out),
-  * which dominated extract_channels' wall time — the decode kernel itself
-  * runs at memcpy-ish speed.
+  * an external-Row formulation would box every channel sample twice
+  * (Row.getSeq[Short] in, CatalystTypeConverters out), which dominated
+  * extract_channels' wall time — the decode kernel itself runs at
+  * memcpy-ish speed.
   */
 object PacketGapFill {
 
   /** @param df (ts: Long, values: array<short>) — packet stream. Pass
     *           `dedupTieBreak` (e.g. file_rank, pos) to ALSO apply U2
-    *           dedup-keep-first inside the same pass: equal timestamps
-    *           always land in one range partition, so the dedup is
-    *           purely partition-local — fusing it here removes a whole
-    *           hash shuffle of the packet payloads from the extract
-    *           pipeline (the widest data in flight).
+    *           dedup-keep-first inside the same pass: fusing it here
+    *           removes a whole hash shuffle of the packet payloads from
+    *           the extract pipeline (the widest data in flight). In
+    *           `alreadySorted` mode the input must already be ordered by
+    *           (ts, tieBreak...), as the `.rec` scan is.
     * @return (ts, values, segment_id, interpolated) */
   def fillAndSegment(
       df: DataFrame,
       maxGapSize: Long,
       numPartitions: Int = 0,
-      dedupTieBreak: Seq[String] = Nil
-  ): DataFrame = run(df, maxGapSize, numPartitions, dedupTieBreak, exploded = false)
+      dedupTieBreak: Seq[String] = Nil,
+      alreadySorted: Boolean = false
+  ): DataFrame =
+    run(df, maxGapSize, numPartitions, dedupTieBreak, exploded = false, alreadySorted)
 
   /** [[fillAndSegment]] with the per-channel explode FUSED into the same
     * pass: emits `(segment_id, ts, interpolated, channel, value)` rows
@@ -52,43 +69,70 @@ object PacketGapFill {
       df: DataFrame,
       maxGapSize: Long,
       numPartitions: Int = 0,
-      dedupTieBreak: Seq[String] = Nil
-  ): DataFrame = run(df, maxGapSize, numPartitions, dedupTieBreak, exploded = true)
+      dedupTieBreak: Seq[String] = Nil,
+      alreadySorted: Boolean = false
+  ): DataFrame =
+    run(df, maxGapSize, numPartitions, dedupTieBreak, exploded = true, alreadySorted)
+
+  /** Per-partition boundary stats from pass 1. `first2*` is the first row
+    * whose ts EXCEEDS firstTs (null vals = no such row): with boundary-
+    * straddling duplicate runs, the cross-partition interpolation target
+    * for a partition ending at ts L is the first row anywhere after it
+    * with ts > L — which is always one of (first, first2) of a following
+    * partition. */
+  private final case class Stat(
+      pid: Int,
+      firstTs: Long,
+      firstVals: Array[Short],
+      first2Ts: Long,
+      first2Vals: Array[Short],
+      lastTs: Long,
+      breaks: Long,
+      sortedOk: Boolean
+  )
 
   private def run(
       df: DataFrame,
       maxGapSize: Long,
       numPartitions: Int,
       dedupTieBreak: Seq[String],
-      exploded: Boolean
+      exploded: Boolean,
+      alreadySorted: Boolean
   ): DataFrame = {
     val spark = df.sparkSession
-    val n =
-      if (numPartitions > 0) numPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     require(
       df.columns.contains("ts") && df.columns.contains("values"),
       "need ts and values columns"
     )
     // epoch break at diff >= maxGap+2; fill when 1 < diff <= maxGap+1
     val breakAt = maxGapSize + 2
-
-    // sort by (ts, tieBreak...) so the FIRST row of each duplicate run is
-    // the keeper (deterministic keep-first, matching Dedup.keepFirst)
-    val sorted = df
-      .select((Seq(col("ts"), col("values")) ++ dedupTieBreak.map(col)): _*)
-      .repartitionByRange(n, col("ts"))
-      .sortWithinPartitions((Seq(col("ts")) ++ dedupTieBreak.map(col)): _*)
     val dedup = dedupTieBreak.nonEmpty
-    // persist the copied UnsafeRow RDD, not the DataFrame: it is both the
-    // correctness anchor fixing the sampled range partitioning across the
-    // two passes (see Sessionize) and much cheaper than the relation
-    // cache, which would encode every packet into columnar batches only
-    // to decode them back per pass
-    val internal = Bridge
-      .toInternalRdd(sorted)
-      .mapPartitions(_.map(_.copy()), preservesPartitioning = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Default mode: one range shuffle + local sort by (ts, tieBreak...) so
+    // the FIRST row of each duplicate run is the keeper; persist the
+    // copied UnsafeRow RDD (not the DataFrame: the relation cache would
+    // encode every packet into columnar batches only to decode them back)
+    // as the correctness anchor fixing the sampled range partitioning
+    // across the two passes (see Sessionize).
+    // Sorted mode: no shuffle, no cache — the scan is deterministic and
+    // cheap, so each pass just re-runs it.
+    val internal =
+      if (alreadySorted)
+        Bridge.toInternalRdd(df.select(col("ts"), col("values")))
+      else {
+        val n =
+          if (numPartitions > 0) numPartitions
+          else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        val sorted = df
+          .select((Seq(col("ts"), col("values")) ++ dedupTieBreak.map(col)): _*)
+          .repartitionByRange(n, col("ts"))
+          .sortWithinPartitions((Seq(col("ts")) ++ dedupTieBreak.map(col)): _*)
+        Bridge
+          .toInternalRdd(sorted)
+          .mapPartitions(_.map(_.copy()), preservesPartitioning = true)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
+    val n = internal.getNumPartitions
 
     val stats = internal
       .mapPartitionsWithIndex { (pid, it) =>
@@ -97,46 +141,92 @@ object PacketGapFill {
           val first = it.next()
           val firstTs = first.getLong(0)
           val firstVals = first.getArray(1).toShortArray()
+          var first2Ts = Long.MinValue
+          var first2Vals: Array[Short] = null
           var prev = firstTs
           var last = firstTs
+          var raw = firstTs
           var breaks = 0L
+          var sortedOk = true
           it.foreach { r =>
             val ts = r.getLong(0)
+            if (ts < raw) sortedOk = false
+            raw = ts
+            if (first2Vals == null && ts > firstTs) {
+              first2Ts = ts
+              first2Vals = r.getArray(1).toShortArray()
+            }
             if (!(dedup && ts == prev)) {
               if (ts - prev >= breakAt) breaks += 1
               prev = ts; last = ts
             }
           }
-          Iterator.single((pid, firstTs, firstVals, last, breaks))
+          Iterator.single(Stat(pid, firstTs, firstVals, first2Ts, first2Vals, last, breaks, sortedOk))
         }
       }
       .collect()
-      .sortBy(_._1)
+      .sortBy(_.pid)
 
-    // driver: segment-id offsets + the boundary rows needed for cross-
-    // partition gap interpolation
+    if (alreadySorted) {
+      // sortedness was a CLAIM (catalog bounds can't see inside a file —
+      // the reference's own sample recordings carry out-of-order
+      // timestamps); the stats pass just checked it for real. If it does
+      // not hold, fall back to the shuffle mode — one wasted cheap scan,
+      // never a wrong answer.
+      val globallyOrdered = stats.forall(_.sortedOk) &&
+        stats.iterator.sliding(2).withPartial(false).forall { w =>
+          w.head.lastTs <= w.last.firstTs
+        }
+      if (!globallyOrdered)
+        return run(df, maxGapSize, numPartitions, dedupTieBreak, exploded, alreadySorted = false)
+    } else {
+      // under range partitioning + local sort this is an invariant, not
+      // an input property — a violation is a bug, not bad data
+      require(stats.forall(_.sortedOk), "PacketGapFill: post-shuffle partition not ts-sorted")
+    }
+
+    // driver: segment-id offsets, the previous partition's last kept ts
+    // (so boundary-straddling duplicate runs drop their tail), and the
+    // cross-partition interpolation target
+    val byPid = stats.map(s => s.pid -> s).toMap
     val offsets = new Array[Long](n)
-    val nextFirst = new Array[(Long, Array[Short])](n) // next non-empty partition's first row
+    val prevLastTs = Array.fill(n)(Long.MinValue)
     var acc = 0L
     var prevLast = Long.MinValue
-    val byPid = stats.map(s => s._1 -> s).toMap
     (0 until n).foreach { pid =>
+      prevLastTs(pid) = prevLast
       byPid.get(pid) match {
-        case Some((_, firstTs, _, lastTs, breaks)) =>
-          val bb = prevLast != Long.MinValue && firstTs - prevLast >= breakAt
+        case Some(s) =>
+          val bb = prevLast != Long.MinValue && s.firstTs - prevLast >= breakAt
           offsets(pid) = acc + (if (bb) 1L else 0L)
-          acc = offsets(pid) + breaks
-          prevLast = lastTs
+          acc = offsets(pid) + s.breaks
+          prevLast = s.lastTs
         case None =>
           offsets(pid) = acc
       }
     }
-    var carry: (Long, Array[Short]) = null
-    (n - 1) to 0 by -1 foreach { pid =>
-      nextFirst(pid) = carry
-      byPid.get(pid).foreach(s => carry = (s._2, s._3))
+    // interp target after partition p's last row: with dedup, the first
+    // row anywhere after p with ts > lastTs(p) (a boundary dup's keeper
+    // already emitted upstream); without dedup, the literal next row
+    // (equal ts ⇒ d = 0 ⇒ no interp, matching in-partition behavior)
+    val nextAfter = new Array[(Long, Array[Short])](n)
+    (0 until n).foreach { pid =>
+      byPid.get(pid).foreach { s =>
+        var q = pid + 1
+        var found: (Long, Array[Short]) = null
+        while (found == null && q < n) {
+          byPid.get(q).foreach { t =>
+            if (!dedup) found = (t.firstTs, t.firstVals)
+            else if (t.firstTs > s.lastTs) found = (t.firstTs, t.firstVals)
+            else if (t.first2Vals != null && t.first2Ts > s.lastTs)
+              found = (t.first2Ts, t.first2Vals)
+          }
+          q += 1
+        }
+        nextAfter(pid) = found
+      }
     }
-    val bc = spark.sparkContext.broadcast((offsets, nextFirst, breakAt, maxGapSize))
+    val bc = spark.sparkContext.broadcast((offsets, nextAfter, prevLastTs, breakAt, maxGapSize))
 
     val outSchema =
       if (exploded)
@@ -157,11 +247,20 @@ object PacketGapFill {
 
     val outRdd = internal.mapPartitionsWithIndex { (pid, it0) =>
       import org.apache.spark.sql.catalyst.expressions.codegen.{UnsafeArrayWriter, UnsafeRowWriter}
-      val (offs, nxtF, brk, maxGap) = bc.value
+      val (offs, nxtA, prevL, brk, maxGap) = bc.value
       val dedupB = dedup
       val buf = it0.map(r => (r.getLong(0), r.getArray(1).toShortArray())).buffered
       var seg = offs(pid)
       var prevTs = Long.MinValue
+      // boundary-straddling duplicate run: these rows' keeper already
+      // emitted in an earlier partition. Dropping them must still seed
+      // prevTs, because this partition's local break count (offsets
+      // accounting) started from this duplicated timestamp.
+      if (dedupB && prevL(pid) != Long.MinValue) {
+        while (buf.hasNext && buf.head._1 == prevL(pid)) {
+          prevTs = buf.next()._1
+        }
+      }
 
       def interpPackets(
           t0: Long, v0: Array[Short], t1: Long, v1: Array[Short], segId: Long
@@ -197,14 +296,15 @@ object PacketGapFill {
           val (ts, vals) = buf.next()
           if (prevTs != Long.MinValue && ts - prevTs >= brk) seg += 1
           prevTs = ts
-          // fused U2: drop the rest of a duplicate-ts run (sorted by
+          // fused U2: drop the rest of a duplicate-ts run (ordered by
           // tie-break, so this row is the deterministic keeper)
           if (dedupB) {
             while (buf.hasNext && buf.head._1 == ts) buf.next()
           }
-          // queue interpolations toward the next row (or boundary row)
+          // queue interpolations toward the next row (or the
+          // driver-resolved row after this partition)
           val nxt: Option[(Long, Array[Short])] =
-            if (buf.hasNext) Some(buf.head) else Option(nxtF(pid))
+            if (buf.hasNext) Some(buf.head) else Option(nxtA(pid))
           nxt match {
             case Some((nt, nv)) if nt - ts > 1 && nt - ts <= maxGap + 1 =>
               pending = interpPackets(ts, vals, nt, nv, seg)
