@@ -58,8 +58,10 @@ object RawChannelScan {
         val tbuf = new java.io.DataInputStream(new java.io.BufferedInputStream(tin, 1 << 20))
         // stream lazily: a split is up to targetSplitRecords rows —
         // materializing it as Array[Row] would be ~GBs of transient heap
-        // per task at the default split size
-        new Iterator[Row] {
+        // per task at the default split size. UnsafeRow emission, row
+        // REUSED per iterator (RDDScanExec re-projects — see RecScan).
+        val writer = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(2)
+        new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
           private var i = 0L
           private var closed = false
           override def hasNext: Boolean = {
@@ -67,7 +69,7 @@ object RawChannelScan {
             if (!more && !closed) { cbuf.close(); tbuf.close(); closed = true }
             more
           }
-          override def next(): Row = {
+          override def next(): org.apache.spark.sql.catalyst.InternalRow = {
             val v = (cbuf.read() | (cbuf.read() << 8)).toShort
             val ts =
               if (tsBytes == 4)
@@ -81,11 +83,14 @@ object RawChannelScan {
               }
             i += 1
             if (i == total && !closed) { cbuf.close(); tbuf.close(); closed = true }
-            Row(ts, v)
+            writer.reset()
+            writer.write(0, ts)
+            writer.write(1, v)
+            writer.getRow
           }
         }
       }
-    spark.createDataFrame(rdd, schema)
+    org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(spark, rdd, schema)
   }
 
   /** S8 interop sink: write a long-layout channel DataFrame
