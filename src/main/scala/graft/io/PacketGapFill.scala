@@ -15,6 +15,11 @@ import org.apache.spark.storage.StorageLevel
   * interpolated packets inline, interpolating the whole channel array per
   * missing timestamp.
   *
+  * Semantics per the reference's sanitize/extract chain: dedup keep-first
+  * (jagular/utils.py:323-390), epoch break at gap > maxGapSize
+  * (utils.py:400-402), linear interpolation with numpy astype(int16)
+  * truncation for fillable gaps (utils.py:459-528).
+  *
   * Compared to the long-layout route (explode → window per channel →
   * union) this removes the widest shuffle of the extract pipeline: gap
   * logic runs on n_packets rows instead of n_packets × n_channels, and
