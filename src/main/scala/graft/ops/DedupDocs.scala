@@ -136,8 +136,28 @@ object DedupDocs {
     * SQL oracle. The per-(doc, seed) min is computed with `numHashes`
     * min-aggregates over an array column (no row explosion), then
     * unpivoted. */
-  /** Wide per-doc signature: one row per doc with columns m0..m{n-1}. */
-  private def wideSignatures(documents: DataFrame, k: Int, numHashes: Int): DataFrame = {
+  /** Wide per-doc signature: one row per doc with columns m0..m{n-1}.
+    * One native kernel call per document ([[graft.functions.MinHashSig]]
+    * — the whole shingle→md5→min pipeline in a single byte pass), so no
+    * shingle explode and no numHashes-column aggregate exist in the plan
+    * at all. Docs with < k tokens have no shingles and drop out, exactly
+    * like the groupBy over zero exploded rows they produced before. */
+  private def wideSignatures(documents: DataFrame, k: Int, numHashes: Int): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("text"), k, numHashes).as("__ms")
+      )
+      .where(col("__ms").isNotNull)
+      .select(
+        col("doc_id") +:
+          (0 until numHashes).map(s => col("__ms").getItem(s).as(s"m$s")): _*
+      )
+
+  /** The HOF/SQL formulation [[wideSignatures]] replaced — what the
+    * DuckDB oracle spells. Kept for the bit-for-bit equivalence spec
+    * (MinHashSigSpec). */
+  private[graft] def wideSignaturesHof(documents: DataFrame, k: Int, numHashes: Int): DataFrame = {
     val hashed = shingles(documents, k)
       .withColumn("__md5", md5(col("shingle").cast("binary")))
       .withColumn("h1", conv(substring(col("__md5"), 1, 15), 16, 10).cast("long"))
