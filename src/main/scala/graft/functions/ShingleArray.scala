@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native distinct word-k-shingle kernel: the
+  * `split → transform(sequence)(slice + concat_ws) → array_distinct`
+  * chain ([[graft.ops.DedupDocs.shingles]]) as one pass over the
+  * document's UTF-8 bytes. A k-token shingle joined by single spaces IS a
+  * contiguous byte range of the original buffer (the split separator is
+  * the join separator), so each shingle is a zero-copy UTF8String view of
+  * that range — the HOF chain instead materialized a token array, k-token
+  * slices, joined strings, and an O(shingles) distinct pass per document.
+  *
+  * BIT-IDENTICAL to the HOF formulation (ShingleArraySpec): empty tokens
+  * from space runs are tokens, first-occurrence order is preserved
+  * (array_distinct semantics), and documents with fewer than k tokens
+  * yield an EMPTY array (explode drops them, matching the HOF form's
+  * when-guard). Same family as [[MinHashSig]] — CodegenFallback because
+  * the per-row work (token scan + hash-set dedup) dwarfs fallback boxing.
+  */
+case class ShingleArray(child: Expression, k: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(k >= 1, s"shingle size k=$k must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_array expects a string arg, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_array"
+
+  private val Space = ' '.toByte
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var s = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == Space) {
+        starts += s; ends += i; s = i + 1
+      }
+      i += 1
+    }
+    val t = starts.length
+    if (t < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.HashSet[UTF8String](t * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](t - k + 1)
+    var sh = 0
+    while (sh <= t - k) {
+      val sgl = UTF8String.fromBytes(bytes, starts(sh), ends(sh + k - 1) - starts(sh))
+      if (seen.add(sgl)) out += sgl
+      sh += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleArray {
+
+  /** Column-level surface. */
+  def shingleArray(text: Column, k: Int): Column =
+    Bridge.column(ShingleArray(Bridge.expression(text), k))
+}

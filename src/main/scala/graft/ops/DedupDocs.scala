@@ -20,9 +20,21 @@ object DedupDocs {
 
   /** Word k-shingles, distinct per doc; `carry` columns ride along.
     * Documents with fewer than k tokens contribute NO shingles (matching
-    * DuckDB's empty generate_series — an unguarded descending sequence
-    * would make slice() throw on them). */
+    * DuckDB's empty generate_series). One native kernel call per document
+    * ([[graft.functions.ShingleArray]] — zero-copy byte-range shingles,
+    * in-pass dedup) instead of the split/transform/slice/concat_ws/
+    * array_distinct chain; ShingleArraySpec pins bit-for-bit equality
+    * with that formulation (kept below as [[shinglesHof]]). */
   def shingles(documents: DataFrame, k: Int, carry: Seq[String] = Nil): DataFrame =
+    documents
+      .select(
+        (Seq(col("doc_id")) ++ carry.map(col) :+
+          explode(graft.functions.ShingleArray.shingleArray(col("text"), k)).as("shingle")): _*
+      )
+
+  /** The HOF formulation [[shingles]] replaced — what the DuckDB oracle
+    * spells. Kept for the equivalence spec. */
+  private[graft] def shinglesHof(documents: DataFrame, k: Int, carry: Seq[String] = Nil): DataFrame =
     documents
       .select((Seq(col("doc_id")) ++ carry.map(col) :+ split(col("text"), " ").as("toks")): _*)
       .select(
