@@ -146,11 +146,19 @@ class OpsSpec extends SparkSpec {
     assert(cc == Map(5L -> 5L, 7L -> 7L))
   }
 
-  test("simhash rejects oversized documents loudly, before aggregation") {
+  test("simhash handles documents beyond the old lane capacity; lane form still rejects") {
+    // the native kernel (int vote counters) has no token bound — a doc
+    // past the lane form's 32 767 cap must hash, and hash identically to
+    // a collapsed equivalent (all-same-token votes are sign-stable)
     val big = (0L, Seq.fill(40000)("tok").mkString(" "))
+    val one = (0L, "tok")
     val df = Seq(big).toDF("doc_id", "text")
+    val hBig = DedupDocs.simhash(df).collect()(0).getLong(1)
+    val hOne = DedupDocs.simhash(Seq(one).toDF("doc_id", "text")).collect()(0).getLong(1)
+    assert(hBig == hOne) // unanimous votes → same sign per bit
+    // the retained lane formulation keeps its loud pre-aggregation guard
     val e = intercept[Exception] {
-      DedupDocs.simhash(df).collect()
+      DedupDocs.simhashHof(df).collect()
     }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
