@@ -30,9 +30,22 @@ object SigBench {
       }
     }
 
-    // A: current exploded + 16-way min-agg
+    // A: the retired HOF pipeline — exploded shingles + 16-way min-agg
+    time("minhash-hof") {
+      graft.ops.DedupDocs.wideSignaturesHof(docs, k, numHashes)
+    }
+
+    // A': shipped — one-pass native kernel (functions/MinHashSig)
+    time("minhash-native") {
+      docs.select(
+        col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("text"), k, numHashes).as("ms")
+      ).where(col("ms").isNotNull)
+    }
+
+    // B: HOF stage anatomy — exploded + 16-way min-agg spelled inline
     time("exploded-agg") {
-      val hashed = graft.ops.DedupDocs.shingles(docs, k)
+      val hashed = graft.ops.DedupDocs.shinglesHof(docs, k)
         .withColumn("__md5", md5(col("shingle").cast("binary")))
         .withColumn("h1", conv(substring(col("__md5"), 1, 15), 16, 10).cast("long"))
         .withColumn("h2", conv(substring(col("__md5"), 17, 15), 16, 10).cast("long") % 1000000007L)
@@ -65,29 +78,31 @@ object SigBench {
       hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     }
 
-    // D: stage isolation — shingle+explode only
-    time("shingle-count") {
+    // D: stage isolation — shingle+explode only (HOF vs native kernel)
+    time("shingle-count-hof") {
+      graft.ops.DedupDocs.shinglesHof(docs, k).groupBy("doc_id").agg(count(lit(1)).as("n"))
+    }
+    time("shingle-count-native") {
       graft.ops.DedupDocs.shingles(docs, k).groupBy("doc_id").agg(count(lit(1)).as("n"))
     }
 
     // E: shingle + md5, no conv
     time("md5-count") {
-      graft.ops.DedupDocs.shingles(docs, k)
+      graft.ops.DedupDocs.shinglesHof(docs, k)
         .withColumn("__md5", md5(col("shingle").cast("binary")))
         .groupBy("doc_id").agg(min("__md5").as("m"))
     }
 
     // ---- simhash variants ----
-    // F: current — 64 sum-agg columns with when()
-    time("simhash-64col") {
+    // F: shipped — one-pass native kernel (functions/SimHash64)
+    time("simhash-native") {
       graft.ops.DedupDocs.simhash(docs)
     }
 
-    // G: packed lanes — 16 sum-agg columns, each packing 4 popcount lanes
-    // (s_b = 2*c_b - n recovers the signed sum). This measured ~30%
-    // faster than F and is what shipped as DedupDocs.simhash (which also
-    // adds the lane-capacity guard — see its scaladoc for the layout).
-    time("simhash-packed") {
+    // G: the retired packed-lane aggregate — 16 sum-agg columns, each
+    // packing 4 popcount lanes (s_b = 2*c_b - n recovers the signed
+    // sum); itself ~30% faster than the 64-when-column formulation.
+    time("simhash-packed-hof") {
       val tok = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .withColumn("__md5", md5(col("tok").cast("binary")))
