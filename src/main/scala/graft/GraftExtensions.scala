@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotF32, PolyHash}
+import graft.functions.{DotF32, MinHashSig, PolyHash, ShingleArray, SimHash64}
 
 /** SparkSessionExtensions entry point: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` to get the
@@ -24,6 +24,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("poly_hash"),
         new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
         PolyHash.builder(_)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("minhash_sig"),
+        new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+        MinHashSig.builder(_)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("simhash64"),
+        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+        SimHash64.builder(_)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("shingle_array"),
+        new ExpressionInfo(classOf[ShingleArray].getName, "shingle_array"),
+        ShingleArray.builder(_)
       )
     )
     // bounded-range gather joins → exploded equi-joins (kills the BNLJ)

@@ -120,4 +120,21 @@ object MinHashSig {
   /** Column-level surface. */
   def minhashSig(text: Column, k: Int, numHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(text), k, numHashes))
+
+  /** Arity-checked SQL builder: `minhash_sig(text, k, numHashes)` with
+    * foldable integer literals for k/numHashes. */
+  def builder(children: Seq[Expression]): Expression = {
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other =>
+        throw Bridge.analysisError(
+          s"minhash_sig $what must be an integer literal, got ${other.sql}")
+    }
+    children match {
+      case Seq(t, k, n) => MinHashSig(t, intLit(k, "k"), intLit(n, "numHashes"))
+      case other =>
+        throw Bridge.analysisError(
+          s"minhash_sig expects 3 arguments (text, k, numHashes), got ${other.length}")
+    }
+  }
 }

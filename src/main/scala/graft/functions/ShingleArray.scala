@@ -75,4 +75,17 @@ object ShingleArray {
   /** Column-level surface. */
   def shingleArray(text: Column, k: Int): Column =
     Bridge.column(ShingleArray(Bridge.expression(text), k))
+
+  /** Arity-checked SQL builder: `shingle_array(text, k)` with a foldable
+    * integer literal k. */
+  def builder(children: Seq[Expression]): Expression = children match {
+    case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+      ShingleArray(t, k)
+    case Seq(_, other) =>
+      throw Bridge.analysisError(
+        s"shingle_array k must be an integer literal, got ${other.sql}")
+    case other =>
+      throw Bridge.analysisError(
+        s"shingle_array expects 2 arguments (text, k), got ${other.length}")
+  }
 }

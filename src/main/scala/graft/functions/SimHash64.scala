@@ -91,4 +91,12 @@ object SimHash64 {
   /** Column-level surface. */
   def simhash64(text: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(text)))
+
+  /** Arity-checked SQL builder: `simhash64(text)`. */
+  def builder(children: Seq[Expression]): Expression = children match {
+    case Seq(t) => SimHash64(t)
+    case other =>
+      throw Bridge.analysisError(
+        s"simhash64 expects exactly 1 argument, got ${other.length}")
+  }
 }

@@ -27,6 +27,13 @@ object ExtensionsCheck {
     val ph = spark.sql("SELECT poly_hash('a') AS h").collect()(0).getLong(0)
     assert(ph == 'a'.toLong, s"poly_hash via SQL returned $ph")
 
+    val sh = spark.sql("SELECT simhash64('a b c') AS s").collect()(0).getLong(0)
+    val sg = spark.sql("SELECT size(shingle_array('a b c', 2)) AS n").collect()(0).getInt(0)
+    assert(sg == 2, s"shingle_array via SQL returned size $sg")
+    val ms = spark.sql("SELECT size(minhash_sig('a b c d', 2, 8)) AS n").collect()(0).getInt(0)
+    assert(ms == 8, s"minhash_sig via SQL returned size $ms")
+    val _ = sh // value asserted bit-for-bit in SimHash64Spec; here: resolves + runs
+
     // (2) optimizer rule active in the session
     import org.apache.spark.sql.functions._
     val samples = (0L until 50L).map(i => (i, i * 2.0)).toDF("idx", "v")
