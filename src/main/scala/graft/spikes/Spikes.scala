@@ -253,9 +253,17 @@ object Spikes {
           .rowsBetween(-halfWidth, halfWidth - 1)
         samples.withColumn("patch", collect_list(col(valueCol)).over(w))
       }
-    val pk = peaks.select(col(idxCol).as("peak_idx"))
+    // keys join too (renamed to keep the condition unambiguous): a
+    // multichannel stream must gather each peak only from its own
+    // channel, exactly like extractPatches' range-join form
+    val pk = peaks.select(
+      (keys.map(k => col(k).as(s"__pk_$k")) :+ col(idxCol).as("peak_idx")): _*
+    )
+    val cond = keys.foldLeft(col(idxCol) === col("peak_idx"))((c, k) =>
+      c && col(k) === col(s"__pk_$k")
+    )
     framed
-      .join(broadcastIfSmall(pk, pk.count()), col(idxCol) === col("peak_idx"))
+      .join(broadcastIfSmall(pk, pk.count()), cond)
       .select((keys.map(col) :+ col("peak_idx") :+ col("patch")): _*)
   }
 

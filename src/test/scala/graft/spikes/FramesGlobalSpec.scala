@@ -74,4 +74,29 @@ class FramesGlobalSpec extends SparkSpec {
     val plan = Spikes.framesGlobal(df, "idx", "v", 3).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
   }
+
+  test("keyed window-gather joins peaks on their key, matching the range-join form") {
+    // two channels with distinct values at the same idx range: a peak on
+    // channel 0 must gather ONLY channel-0 samples
+    val samples = (0L until 20L).flatMap(i =>
+      Seq((0, i, i.toDouble), (1, i, 1000.0 + i))).toDF("ch", "idx", "v")
+    val peaks = Seq((0, 10L), (1, 15L)).toDF("ch", "idx")
+    val viaWindow = Spikes
+      .extractPatchesWindow(samples, peaks, "idx", "v", halfWidth = 2, keys = Seq("ch"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2).toList)
+      .toMap
+    assert(viaWindow.keySet == Set((0, 10L), (1, 15L))) // one patch per (key, peak)
+    assert(viaWindow((0, 10L)) == List(8.0, 9.0, 10.0, 11.0))
+    assert(viaWindow((1, 15L)) == List(1013.0, 1014.0, 1015.0, 1016.0))
+    val viaJoin = Spikes
+      .extractPatches(samples, peaks, "idx", "v", halfWidth = 2, keys = Seq("ch"))
+      .groupBy("ch", "peak_idx")
+      .agg(sort_array(collect_list(struct(col("offset"), col("value")))).as("p"))
+      .select(col("ch"), col("peak_idx"), expr("transform(p, x -> x.value)").as("patch"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2).toList)
+      .toMap
+    assert(viaWindow == viaJoin)
+  }
 }
