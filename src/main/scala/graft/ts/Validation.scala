@@ -14,9 +14,74 @@ object Validation {
 
   /** One-row report: (n_rows, n_dup_keys, n_out_of_order, is_sorted,
     * has_dups). Sortedness is judged against `orderCol` ordering
-    * (A7, jagular/utils.py:54-74: any `x[i+1] < x[i]`). Uses the two-pass
-    * [[OrderedStream]] neighbor exchange, not a keyless window. */
-  def report(df: DataFrame, tsCol: String, orderCol: String): DataFrame = {
+    * (A7, jagular/utils.py:54-74: any `x[i+1] < x[i]`).
+    *
+    * Long timestamps (the engine's convention) take a dedicated
+    * aggregate-only path: ONE range-sorted stats pass collecting, per
+    * partition, (rows, local violations, first/last ts in order) — the
+    * driver adds the O(partitions) boundary comparisons — plus one
+    * count/countDistinct aggregate. No persist of the sorted stream, no
+    * materialized neighbor columns: the general
+    * [[OrderedStream.withNeighbors]] route (kept as the fallback for
+    * non-long ts types) caches the ENTIRE dataset to anchor its two
+    * passes, which is the wrong trade when the consumer only wants five
+    * scalars from a 100 TB recording. */
+  def report(df: DataFrame, tsCol: String, orderCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => reportLongTs(df, tsCol, orderCol)
+      case _ => reportViaNeighbors(df, tsCol, orderCol)
+    }
+
+  private def reportLongTs(df: DataFrame, tsCol: String, orderCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df
+      .select(col(orderCol), col(tsCol))
+      .repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    // SQL null semantics, like the neighbor form: a comparison involving
+    // a NULL ts (either side) is no violation
+    val stats = org.apache.spark.sql.graftbridge.Bridge
+      .toInternalRdd(sorted)
+      .mapPartitionsWithIndex { (pid, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next()
+          val firstNull = first.isNullAt(1)
+          val firstTs = if (firstNull) 0L else first.getLong(1)
+          var prevNull = firstNull
+          var prev = firstTs
+          var viol = 0L
+          it.foreach { r =>
+            val isNull = r.isNullAt(1)
+            val ts = if (isNull) 0L else r.getLong(1)
+            if (!isNull && !prevNull && ts < prev) viol += 1
+            prevNull = isNull; prev = ts
+          }
+          Iterator.single((pid, viol, firstNull, firstTs, prevNull, prev))
+        }
+      }
+      .collect()
+      .sortBy(_._1)
+    var outOfOrder = stats.map(_._2).sum
+    var prevLastNull = true
+    var prevLast = Long.MinValue
+    stats.foreach { case (_, _, firstNull, first, lastNull, last) =>
+      if (!prevLastNull && !firstNull && first < prevLast) outOfOrder += 1
+      prevLastNull = lastNull
+      prevLast = last
+    }
+    val agg = df.agg(count(lit(1)), countDistinct(col(tsCol))).first()
+    val nRows = agg.getLong(0)
+    val nDistinct = agg.getLong(1)
+    import spark.implicits._
+    Seq((nRows, nRows - nDistinct, outOfOrder,
+      if (outOfOrder == 0L) 1 else 0, if (nRows > nDistinct) 1 else 0))
+      .toDF("n_rows", "n_dup_rows", "n_out_of_order", "is_sorted", "has_dups")
+  }
+
+  /** Type-generic fallback via the neighbor exchange. */
+  private[graft] def reportViaNeighbors(df: DataFrame, tsCol: String, orderCol: String): DataFrame = {
     val withPrev = OrderedStream
       .withNeighbors(df, orderCol, Seq(tsCol))
       .withColumnRenamed(s"__prev_$tsCol", "__prev")

@@ -134,4 +134,22 @@ class TsSpec extends SparkSpec {
     assert(r.getAs[Int]("is_sorted") == 0)
     assert(r.getAs[Int]("has_dups") == 1)
   }
+
+  test("property: stats-pass report == neighbor-exchange report, incl. NULL ts") {
+    (1 to 6).foreach { trial =>
+      val rnd = new scala.util.Random(trial * 6151)
+      val rows = (0L until (20 + rnd.nextInt(120)).toLong).map { pos =>
+        val ts: java.lang.Long =
+          if (rnd.nextInt(20) == 0) null
+          else java.lang.Long.valueOf(rnd.nextInt(40).toLong)
+        (pos, ts)
+      }
+      val df = rows.toDF("pos", "ts").repartition(1 + rnd.nextInt(6))
+      def canon(out: org.apache.spark.sql.DataFrame) =
+        out.collect()(0).toSeq
+      val fast = canon(Validation.report(df, "ts", "pos"))
+      val legacy = canon(Validation.reportViaNeighbors(df, "ts", "pos"))
+      assert(fast == legacy, s"trial=$trial rows=${rows.take(20)}")
+    }
+  }
 }
