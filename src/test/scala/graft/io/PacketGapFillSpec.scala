@@ -109,6 +109,36 @@ class PacketGapFillSpec extends SparkSpec {
     }
   }
 
+  test("fused exploded form == packet form + posexplode, both modes") {
+    val tss = Seq(1L, 2L, 2L, 5L, 6L, 50L, 51L)
+    val df = packetDf(tss, 3)
+    def canon(out: org.apache.spark.sql.DataFrame) = out
+      .select("segment_id", "ts", "interpolated", "channel", "value")
+      .orderBy("ts", "channel")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getShort(4)))
+      .toList
+    for (sortedMode <- Seq(false, true)) {
+      val viaPacket = canon(
+        PacketGapFill
+          .fillAndSegment(df, 3L, dedupTieBreak = Seq("file_rank", "pos"), alreadySorted = sortedMode)
+          .select(
+            org.apache.spark.sql.functions.col("segment_id"),
+            org.apache.spark.sql.functions.col("ts"),
+            org.apache.spark.sql.functions.col("interpolated"),
+            org.apache.spark.sql.functions
+              .posexplode(org.apache.spark.sql.functions.col("values"))
+              .as(Seq("channel", "value"))
+          )
+      )
+      val viaFused = canon(
+        PacketGapFill.fillAndSegmentExploded(
+          df, 3L, dedupTieBreak = Seq("file_rank", "pos"), alreadySorted = sortedMode)
+      )
+      assert(viaFused == viaPacket, s"sortedMode=$sortedMode")
+    }
+  }
+
   test("unsorted input under alreadySorted FALLS BACK to the shuffle mode, never wrong") {
     // a sorted-looking claim disproved by the data (the reference's own
     // sample recordings have out-of-order timestamps inside a file)
