@@ -72,6 +72,48 @@ class ZeroShuffleExtractSpec extends SparkSpec {
     assert(fused.exists(t => t._2 == 7L && t._3 == 1))
   }
 
+  test("randomized multi-file session across real scan splits matches the shuffle path") {
+    val rnd = new scala.util.Random(90210)
+    var t = 0L
+    val files = (0 until 5).map { _ =>
+      val packets = scala.collection.mutable.ArrayBuffer.empty[(Long, Int => Short)]
+      (0 until 4000).foreach { _ =>
+        packets += ((t, v(t)))
+        if (rnd.nextInt(50) == 0) packets += ((t, v(t + 7))) // dup (second loses)
+        t += (rnd.nextInt(30) match {
+          case 0 => 2L + rnd.nextInt(3) // fillable gap (maxGap 4)
+          case 1 => 200L // epoch break
+          case _ => 1L
+        })
+      }
+      // occasionally end a file with a dup of its own last ts, so the
+      // NEXT file can start at that exact ts (boundary dup across files)
+      val out = packets.toSeq
+      if (rnd.nextBoolean()) { t -= 1 } // next file starts AT this file's last ts
+      out
+    }
+    val paths = mkSession(files)
+    // force many small splits so file-interior split boundaries exist too
+    val raw = RecScan.read(spark, paths, targetSplitBytes = 64L * 73)
+    def canonDf(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("segment_id", "interpolated")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("ts")).as("ts_sum"),
+        sum(col("value").cast("long")).as("v_sum")
+      )
+      .orderBy("segment_id", "interpolated")
+      .collect()
+      .map(_.toSeq)
+      .toList
+    val sorted = canonDf(PacketGapFill.fillAndSegmentExploded(
+      raw, 4L, dedupTieBreak = Seq("file_rank", "pos"), alreadySorted = true))
+    val shuffled = canonDf(PacketGapFill.fillAndSegmentExploded(
+      raw, 4L, dedupTieBreak = Seq("file_rank", "pos")))
+    assert(sorted == shuffled)
+    assert(sorted.nonEmpty)
+  }
+
   test("OVERLAPPING files fall back to the shuffle path and stay correct") {
     val paths = mkSession(Seq(
       (0L to 10L).map(t => (t, v(t))),
