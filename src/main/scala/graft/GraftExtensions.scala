@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotF32, MinHashSig, PolyHash, ShingleArray, SimHash64}
+import graft.functions.{CharClassRuns, DotF32, MinHashSig, PolyHash, ShingleArray, SimHash64}
 
 /** SparkSessionExtensions entry point: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` to get the
@@ -45,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("shingle_array"),
         new ExpressionInfo(classOf[ShingleArray].getName, "shingle_array"),
         ShingleArray.builder(_)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("char_class_runs"),
+        new ExpressionInfo(classOf[CharClassRuns].getName, "char_class_runs"),
+        CharClassRuns.builder(_)
       )
     )
     // bounded-range gather joins → exploded equi-joins (kills the BNLJ)

@@ -45,10 +45,33 @@ object Text {
 
   /** BPE-ish regex tokenization stats: run counts per character class
     * (alpha / numeric / punctuation) — the pre-tokenizer split a BPE
-    * vocabulary sees. Single-class patterns (no alternation, no
-    * shorthand escapes), so Java regex and RE2 (DuckDB) count
-    * identically; the total is their sum by construction. */
-  def regexTokenStats(documents: DataFrame): DataFrame = {
+    * vocabulary sees. One codegen'd byte pass
+    * ([[graft.functions.CharClassRuns]]) instead of three full
+    * `regexp_extract_all` scans; byte-level run counting is exact for
+    * these ASCII classes (non-ASCII chars are byte-contiguous punct —
+    * TextKernelSpec pins equality with the regex formulation, which the
+    * SQL oracle spells). */
+  def regexTokenStats(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        graft.functions.CharClassRuns.charClassRuns(col("text")).as("__r")
+      )
+      .select(
+        col("doc_id"),
+        col("__r").getItem(0).as("n_alpha"),
+        col("__r").getItem(1).as("n_num"),
+        col("__r").getItem(2).as("n_punct")
+      )
+      .withColumn("n_bpe_tokens", col("n_alpha") + col("n_num") + col("n_punct"))
+      .withColumn(
+        "punct_ratio",
+        round(col("n_punct").cast("double") / greatest(col("n_bpe_tokens"), lit(1L)), 4)
+      )
+
+  /** The three-regex formulation [[regexTokenStats]] replaced — what the
+    * DuckDB oracle spells; kept for the equivalence spec. */
+  private[graft] def regexTokenStatsHof(documents: DataFrame): DataFrame = {
     def runs(pattern: String): org.apache.spark.sql.Column =
       size(regexp_extract_all(col("text"), lit(pattern), lit(0))).cast("long")
     documents
