@@ -24,8 +24,28 @@ object Text {
     )
 
   /** Quality-score heuristics (length / mean word length / stopword ratio /
-    * type-token ratio), rounded to 4dp for oracle stability. */
+    * type-token ratio), rounded to 4dp for oracle stability. The stopword
+    * count is a one-pass native token-set kernel
+    * ([[graft.functions.TokenSetCounts]]) instead of an interpreted
+    * `filter(toks, isin)` HOF (TextKernelSpec pins equality). */
   def qualityScores(documents: DataFrame, stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val nStop = graft.functions.TokenSetCounts
+      .tokenSetCounts(col("text"), Seq(stopwords))
+      .getItem(0)
+      .cast("double")
+    documents.select(
+      col("doc_id"),
+      round(length(regexp_replace(col("text"), " ", "")).cast("double") / nTok, 4)
+        .as("mean_word_len"),
+      round(nStop / nTok, 4).as("stopword_ratio"),
+      round(size(array_distinct(toks)).cast("double") / nTok, 4).as("type_token_ratio")
+    )
+  }
+
+  /** The interpreted-HOF stopword formulation — kept for the spec. */
+  private[graft] def qualityScoresHof(documents: DataFrame, stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
     val toks = split(col("text"), " ")
     val nTok = size(toks).cast("double")
     val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("double")
@@ -105,14 +125,32 @@ object Text {
 
   /** n-gram-heuristic language ID: scores text against per-language marker
     * token sets and picks the best (ties → 'und'). Deterministic CASE
-    * logic, mirrored verbatim in the SQL oracle. */
+    * logic, mirrored verbatim in the SQL oracle. All marker sets are
+    * scored by ONE pass of the native token-set kernel (one array column)
+    * instead of one interpreted `filter(toks, isin)` HOF per language. */
   def langId(documents: DataFrame, markers: Map[String, Seq[String]]): DataFrame = {
+    val langs = markers.toSeq.sortBy(_._1)
+    val counts = graft.functions.TokenSetCounts
+      .tokenSetCounts(col("text"), langs.map(_._2))
+    val scored = langs.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> counts.getItem(i)
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    // when-chain in sorted-lang order → first-alphabetical wins ties
+    val pickFirst = scored.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (None, (lang, s)) => Some(when(s === best && best > 0, lit(lang)))
+      case (Some(c), (lang, s)) => Some(c.when(s === best && best > 0, lit(lang)))
+    }.get.otherwise(lit("und"))
+    documents.select(col("doc_id"), pickFirst.as("lang_pred"))
+  }
+
+  /** The per-language interpreted-HOF formulation — kept for the spec. */
+  private[graft] def langIdHof(documents: DataFrame, markers: Map[String, Seq[String]]): DataFrame = {
     val toks = split(col("text"), " ")
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
       lang -> size(filter(toks, t => t.isin(ms.map(lit(_)): _*)))
     }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    // when-chain in sorted-lang order → first-alphabetical wins ties
     val pickFirst = scored.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
       case (None, (lang, s)) => Some(when(s === best && best > 0, lit(lang)))
       case (Some(c), (lang, s)) => Some(c.when(s === best && best > 0, lit(lang)))
