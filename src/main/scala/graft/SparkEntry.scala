@@ -424,9 +424,27 @@ object SparkEntry {
     * re-trains inside the timed window — deliberately does NOT show). */
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  // temp index dirs are reclaimed at JVM exit (File.deleteOnExit can't
+  // remove non-empty dirs); the cache key is the sf dir PATH only, so a
+  // REGENERATED sf dir within one JVM would serve a stale index — fine
+  // for the bench/verify drivers, which generate data before launching
+  private val ivfTempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      ivfTempDirs.forEach { base =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(base).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+        } catch { case _: Exception => () }
+      }))
+  }
   private def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (aPath, cPath) = ivfIndexCache.getOrElseUpdate(dir, {
-      val base = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+      val baseDir = java.nio.file.Files.createTempDirectory("graft-ivf-")
+      ivfTempDirs.add(baseDir)
+      val base = baseDir.toString
       val (assigned, centroids) = Ivf.assignCells(Tables.embeddings(s, dir), nLists = 8)
       val ap = s"$base/assigned.parquet"
       val cp = s"$base/centroids.parquet"

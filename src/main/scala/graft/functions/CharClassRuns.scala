@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * ([[graft.ops.Text.regexTokenStats]]).
   *
   * Byte-level is exact for these classes: letters/digits/whitespace
-  * (" \t\n\r\f", the explicit class the SQL oracle uses — RE2 `\s`
+  * (" \t\n\r\x0B\f" — [[graft.ops.Text.WhitespaceClass]], the explicit class the SQL oracle uses — RE2 `\s`
   * differs) are single ASCII bytes, and every non-ASCII byte
   * (lead or continuation, ≥ 0x80) belongs to the punct class, so a run
   * of non-ASCII CHARS is byte-contiguous and counts as ONE punct run,

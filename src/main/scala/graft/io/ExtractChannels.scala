@@ -32,7 +32,10 @@ object ExtractChannels {
       maxGapSize: Long = 150L,
       channelSubset: Option[Seq[Int]] = None
   ): DataFrame = {
-    val raw = RecScan.read(spark, paths, channelSubset = channelSubset)
+    // Headers + 2-packet bounds are parsed ONCE (RecScan.rankedMeta) and
+    // shared between the disjointness check here and the scan itself.
+    val meta = RecScan.rankedMeta(spark, paths)
+    val raw = RecScan.readMeta(spark, meta, channelSubset = channelSubset)
 
     // The `.rec` scan's splits are already globally ts-ordered whenever
     // the files' time-ranges are pairwise disjoint (always true for a
@@ -42,15 +45,8 @@ object ExtractChannels {
     // zero cache: at 100 TB that is the difference between re-shuffling
     // the entire sample stream and never moving it. Overlapping files
     // fall back to the range shuffle, which handles any interleaving.
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val bounds = paths
-      .map { p =>
-        val cfg = RecFormat.parseConfig(p, hconf)
-        RecFormat.timestampBounds(cfg, hconf)
-      }
-      .sortBy(_._1)
-    val disjoint = bounds.iterator.sliding(2).withPartial(false).forall { w =>
-      w.head._2 <= w.last._1 // equal boundary ts allowed: dedup handles it
+    val disjoint = meta.iterator.sliding(2).withPartial(false).forall { w =>
+      w.head._3 <= w.last._2 // equal boundary ts allowed: dedup handles it
     }
 
     // U2 + W1 + J4/F1 + the per-channel explode, all fused at the packet

@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, InterpretedOrdering}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -37,7 +38,13 @@ import org.apache.spark.storage.StorageLevel
   *    (previous partition's last ts, next partitions' first TWO distinct
   *    rows) to keep dedup-keep-first, break counting, and gap
   *    interpolation exact — spec-asserted equal to the shuffle mode.
-  *    Sortedness is validated during the stats pass, not assumed.
+  *    Sortedness is validated during the stats pass, not assumed — and
+  *    with `dedupTieBreak` the tie-break columns are carried through the
+  *    scan so the SAME pass also validates that equal-ts runs arrive in
+  *    non-decreasing tie-break order (within and across partitions);
+  *    either violation falls back to the shuffle mode, so keep-first
+  *    resolves to the (ts, tieBreak...) keeper in BOTH modes, never to
+  *    arbitrary stream order.
   *
   * Both passes run on Catalyst InternalRows end to end
   * (`Bridge.toInternalRdd` → `UnsafeRowWriter` → `internalCreateDataFrame`):
@@ -54,7 +61,10 @@ object PacketGapFill {
     *           removes a whole hash shuffle of the packet payloads from
     *           the extract pipeline (the widest data in flight). In
     *           `alreadySorted` mode the input must already be ordered by
-    *           (ts, tieBreak...), as the `.rec` scan is.
+    *           (ts, tieBreak...), as the `.rec` scan is — the stats pass
+    *           validates this (ts monotonicity AND tie-break order inside
+    *           equal-ts runs) and falls back to the shuffle mode if it
+    *           does not hold.
     * @return (ts, values, segment_id, interpolated) */
   def fillAndSegment(
       df: DataFrame,
@@ -93,7 +103,13 @@ object PacketGapFill {
       first2Vals: Array[Short],
       lastTs: Long,
       breaks: Long,
-      sortedOk: Boolean
+      sortedOk: Boolean,
+      // sorted-mode-with-dedup only (null otherwise): whether equal-ts
+      // runs inside this partition kept tie-break order, plus the first
+      // and last rows' tie-break values for the cross-boundary check
+      tieOk: Boolean = true,
+      firstTie: InternalRow = null,
+      lastTie: InternalRow = null
   )
 
   private def run(
@@ -121,9 +137,16 @@ object PacketGapFill {
     // across the two passes (see Sessionize).
     // Sorted mode: no shuffle, no cache — the scan is deterministic and
     // cheap, so each pass just re-runs it.
+    // sorted mode with fused dedup: carry the tie-break columns (ordinals
+    // 2+; the fill pass only reads 0-1) so the stats pass can validate
+    // the documented (ts, tieBreak...) order precondition for real
+    val checkTies = alreadySorted && dedup
+    val tieTypes: Seq[DataType] =
+      if (checkTies) dedupTieBreak.map(c => df.schema(c).dataType) else Nil
     val internal =
       if (alreadySorted)
-        Bridge.toInternalRdd(df.select(col("ts"), col("values")))
+        Bridge.toInternalRdd(
+          df.select((Seq(col("ts"), col("values")) ++ (if (dedup) dedupTieBreak.map(col) else Nil)): _*))
       else {
         val n =
           if (numPartitions > 0) numPartitions
@@ -143,9 +166,28 @@ object PacketGapFill {
       .mapPartitionsWithIndex { (pid, it) =>
         if (!it.hasNext) Iterator.empty
         else {
+          val tieOrd = if (checkTies) InterpretedOrdering.forSchema(tieTypes) else null
+          // detached copy of the row's tie-break fields (the scan reuses
+          // its UnsafeRow buffer across iterations)
+          def tieOf(r: InternalRow): InternalRow =
+            if (!checkTies) null
+            else {
+              val a = new Array[Any](tieTypes.length)
+              var j = 0
+              while (j < a.length) {
+                val v = r.get(2 + j, tieTypes(j))
+                a(j) = if (v == null) null else InternalRow.copyValue(v)
+                j += 1
+              }
+              new GenericInternalRow(a)
+            }
           val first = it.next()
           val firstTs = first.getLong(0)
           val firstVals = first.getArray(1).toShortArray()
+          val firstTie = tieOf(first)
+          var prevTie = firstTie
+          var lastTie = firstTie
+          var tieOk = true
           var first2Ts = Long.MinValue
           var first2Vals: Array[Short] = null
           var prev = firstTs
@@ -156,6 +198,12 @@ object PacketGapFill {
           it.foreach { r =>
             val ts = r.getLong(0)
             if (ts < raw) sortedOk = false
+            if (checkTies) {
+              val cur = tieOf(r)
+              if (ts == raw && tieOrd.compare(prevTie, cur) > 0) tieOk = false
+              prevTie = cur
+              lastTie = cur
+            }
             raw = ts
             if (first2Vals == null && ts > firstTs) {
               first2Ts = ts
@@ -166,7 +214,8 @@ object PacketGapFill {
               prev = ts; last = ts
             }
           }
-          Iterator.single(Stat(pid, firstTs, firstVals, first2Ts, first2Vals, last, breaks, sortedOk))
+          Iterator.single(Stat(pid, firstTs, firstVals, first2Ts, first2Vals, last, breaks,
+            sortedOk, tieOk, firstTie, lastTie))
         }
       }
       .collect()
@@ -178,9 +227,13 @@ object PacketGapFill {
       // timestamps); the stats pass just checked it for real. If it does
       // not hold, fall back to the shuffle mode — one wasted cheap scan,
       // never a wrong answer.
-      val globallyOrdered = stats.forall(_.sortedOk) &&
+      val tieOrd = if (checkTies) InterpretedOrdering.forSchema(tieTypes) else null
+      val globallyOrdered = stats.forall(s => s.sortedOk && s.tieOk) &&
         stats.iterator.sliding(2).withPartial(false).forall { w =>
-          w.head.lastTs <= w.last.firstTs
+          w.head.lastTs < w.last.firstTs ||
+            (w.head.lastTs == w.last.firstTs &&
+              // an equal-ts run straddling the boundary keeps tie order
+              (!checkTies || tieOrd.compare(w.head.lastTie, w.last.firstTie) <= 0))
         }
       if (!globallyOrdered)
         return run(df, maxGapSize, numPartitions, dedupTieBreak, exploded, alreadySorted = false)

@@ -65,6 +65,22 @@ object RecScan {
       first("sampling_rate").as("fs")
     )
 
+  /** Per-file parsed config + 2-packet ts bounds, rank-sorted by start
+    * ts. Parse ONCE and share: callers that need both the bounds (e.g.
+    * ExtractChannels' disjointness check) and the scan hand the result to
+    * [[readMeta]] instead of paying a second header+bounds read per file. */
+  def rankedMeta(
+      spark: SparkSession,
+      paths: Seq[String]
+  ): Seq[(RecFormat.RecConfig, Long, Long)] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    paths.map { p =>
+      val cfg = RecFormat.parseConfig(p, hconf)
+      val (first, last) = RecFormat.timestampBounds(cfg, hconf)
+      (cfg, first, last)
+    }.sortBy(_._2)
+  }
+
   /** Distributed decode of the files (catalog order), optionally taking a
     * channel subset (indices into the spike-channel projection —
     * `subset='all'` ⇒ None, reference: jagular/utils.py:430-431). */
@@ -73,10 +89,19 @@ object RecScan {
       paths: Seq[String],
       targetSplitBytes: Long = 128L << 20,
       channelSubset: Option[Seq[Int]] = None
+  ): DataFrame =
+    readMeta(spark, rankedMeta(spark, paths), targetSplitBytes, channelSubset)
+
+  /** [[read]] over pre-parsed [[rankedMeta]] output. */
+  def readMeta(
+      spark: SparkSession,
+      meta: Seq[(RecFormat.RecConfig, Long, Long)],
+      targetSplitBytes: Long = 128L << 20,
+      channelSubset: Option[Seq[Int]] = None
   ): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val serConf = new SerializableConfiguration(hconf)
-    val cfgs = paths.map(p => RecFormat.parseConfig(p, hconf))
+    val cfgs = meta.map(_._1)
     // a stitched session must be channel-homogeneous: mixed workspaces
     // would emit values arrays of different lengths into one column (and
     // break downstream per-channel logic like the packet gap fill)
@@ -84,11 +109,7 @@ object RecScan {
       cfgs.map(_.nSpikeChannels).distinct.size <= 1,
       s"mixed spike-channel counts across files: ${cfgs.map(c => s"${c.path}=${c.nSpikeChannels}").mkString(", ")}"
     )
-    val ranked = cfgs
-      .map(c => (c, RecFormat.timestampBounds(c, hconf)._1))
-      .sortBy(_._2)
-      .map(_._1)
-      .zipWithIndex
+    val ranked = cfgs.zipWithIndex
 
     // packet-aligned splits
     final case class Split(cfg: RecFormat.RecConfig, rank: Int, startPacket: Long, count: Long)

@@ -20,7 +20,7 @@ object Validation {
     * aggregate-only path: ONE range-sorted stats pass collecting, per
     * partition, (rows, local violations, first/last ts in order) — the
     * driver adds the O(partitions) boundary comparisons — plus one
-    * count/countDistinct aggregate. No persist of the sorted stream, no
+    * countDistinct aggregate. No persist of the sorted stream, no
     * materialized neighbor columns: the general
     * [[OrderedStream.withNeighbors]] route (kept as the fallback for
     * non-long ts types) caches the ENTIRE dataset to anchor its two
@@ -52,31 +52,40 @@ object Validation {
           var prevNull = firstNull
           var prev = firstTs
           var viol = 0L
+          var rows = 1L
           it.foreach { r =>
             val isNull = r.isNullAt(1)
             val ts = if (isNull) 0L else r.getLong(1)
             if (!isNull && !prevNull && ts < prev) viol += 1
-            prevNull = isNull; prev = ts
+            prevNull = isNull; prev = ts; rows += 1
           }
-          Iterator.single((pid, viol, firstNull, firstTs, prevNull, prev))
+          Iterator.single((pid, rows, viol, firstNull, firstTs, prevNull, prev))
         }
       }
       .collect()
       .sortBy(_._1)
-    var outOfOrder = stats.map(_._2).sum
+    // n_rows comes from the SAME scan as n_out_of_order (per-partition row
+    // counts), so those three report fields are mutually consistent even
+    // on a non-deterministic input
+    val nRows = stats.map(_._2).sum
+    var outOfOrder = stats.map(_._3).sum
     var prevLastNull = true
     var prevLast = Long.MinValue
-    stats.foreach { case (_, _, firstNull, first, lastNull, last) =>
+    stats.foreach { case (_, _, _, firstNull, first, lastNull, last) =>
       if (!prevLastNull && !firstNull && first < prevLast) outOfOrder += 1
       prevLastNull = lastNull
       prevLast = last
     }
-    val agg = df.agg(count(lit(1)), countDistinct(col(tsCol))).first()
-    val nRows = agg.getLong(0)
-    val nDistinct = agg.getLong(1)
+    // the distinct count needs its own hash aggregate (the stats pass is
+    // ordered by orderCol, not ts); on a non-deterministic input this
+    // second scan may see different rows — n_dup_rows then reflects that
+    // scan, and the max(0, _) guard keeps it from going negative rather
+    // than caching the full stream just to pin five scalars
+    val nDistinct = df.agg(countDistinct(col(tsCol))).first().getLong(0)
+    val nDup = math.max(0L, nRows - nDistinct)
     import spark.implicits._
-    Seq((nRows, nRows - nDistinct, outOfOrder,
-      if (outOfOrder == 0L) 1 else 0, if (nRows > nDistinct) 1 else 0))
+    Seq((nRows, nDup, outOfOrder,
+      if (outOfOrder == 0L) 1 else 0, if (nDup > 0L) 1 else 0))
       .toDF("n_rows", "n_dup_rows", "n_out_of_order", "is_sorted", "has_dups")
   }
 

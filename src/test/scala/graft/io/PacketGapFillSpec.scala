@@ -153,6 +153,43 @@ class PacketGapFillSpec extends SparkSpec {
     assert(viaSortedClaim.map(_._1) == Seq(3L, 4L, 5L, 6L, 7L)) // dedup'd + filled
   }
 
+  test("equal-ts run out of tie-break order under alreadySorted falls back: keeper is the tie-break minimum, not stream-first") {
+    // ts-sorted stream, but the dup run arrives pos=5 before pos=1 — the
+    // shuffle mode's keeper is pos=1 (vals [20]); stream-first would
+    // wrongly keep pos=5 (vals [10])
+    val rows = Seq(
+      Row(1L, Seq(1.toShort), 0, 0L),
+      Row(2L, Seq(10.toShort), 0, 5L),
+      Row(2L, Seq(20.toShort), 0, 1L),
+      Row(3L, Seq(3.toShort), 0, 6L)
+    )
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    def canon(out: DataFrame) = out
+      .orderBy("ts").collect().map(r => (r.getLong(0), r.getSeq[Short](1).toList)).toList
+    val viaSortedClaim = canon(PacketGapFill
+      .fillAndSegment(df, 3L, dedupTieBreak = Seq("file_rank", "pos"), alreadySorted = true))
+    val viaShuffle = canon(PacketGapFill
+      .fillAndSegment(df, 3L, dedupTieBreak = Seq("file_rank", "pos")))
+    assert(viaSortedClaim == viaShuffle)
+    assert(viaSortedClaim.find(_._1 == 2L).get._2 == List(20.toShort))
+  }
+
+  test("tie-break violation STRADDLING a partition boundary is caught too") {
+    // [1, 2(pos=5) | 2(pos=1), 3]: each partition is internally fine; only
+    // the cross-boundary run order is wrong
+    val rows = Seq(
+      Row(1L, Seq(1.toShort), 0, 0L),
+      Row(2L, Seq(10.toShort), 0, 5L),
+      Row(2L, Seq(20.toShort), 0, 1L),
+      Row(3L, Seq(3.toShort), 0, 6L)
+    )
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val kept2 = PacketGapFill
+      .fillAndSegment(df, 3L, dedupTieBreak = Seq("file_rank", "pos"), alreadySorted = true)
+      .where("ts = 2").collect().map(_.getSeq[Short](1).toList).toList
+    assert(kept2 == List(List(20.toShort)))
+  }
+
   test("overlapping partitions under alreadySorted fall back to the shuffle mode") {
     // two partitions [10, 20 | 15, 25]: each sorted, ranges overlap
     val rows = Seq(10L, 20L, 15L, 25L).zipWithIndex.map { case (ts, i) =>
