@@ -126,9 +126,10 @@ object Align {
     out
   }
 
-  /** Spark surface: align a column of waveforms
-    * (`array<array<double>>`, samples × channels). UDF v1 — a Catalyst
-    * Expression with codegen only if benchmarks demand (SURVEY.md §4.3). */
+  /** External-Row UDF formulation — kept as the plumbing oracle for the
+    * native kernel (AlignWaveformSpec asserts bit-identical output): both
+    * run [[alignWaveformToPeak]], so any divergence is array-conversion
+    * plumbing, which is exactly what the spec pins. */
   def alignUdf(sBefore: Int, sAfter: Int, pad: Boolean, kind: String)
       : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (wf: Seq[Seq[Double]]) =>
@@ -141,8 +142,17 @@ object Align {
       ).map(_.toSeq).toSeq
     }
 
-  /** Whole-column alignment over a DataFrame. */
+  /** Whole-column alignment over a DataFrame — native kernel
+    * ([[graft.functions.AlignWaveform]]): primitive arrays end to end
+    * instead of the UDF's boxed Seq[Seq[Double]] round-trip. */
   def alignColumn(df: DataFrame, waveformCol: String, sBefore: Int, sAfter: Int,
+      pad: Boolean = false, kind: String = "cubic"): DataFrame =
+    df.withColumn(
+      waveformCol,
+      graft.functions.AlignWaveform.alignWaveform(col(waveformCol), sBefore, sAfter, pad, kind))
+
+  /** [[alignColumn]] via the UDF — equivalence-spec + SigBench surface. */
+  private[graft] def alignColumnUdf(df: DataFrame, waveformCol: String, sBefore: Int, sAfter: Int,
       pad: Boolean = false, kind: String = "cubic"): DataFrame =
     df.withColumn(waveformCol, alignUdf(sBefore, sAfter, pad, kind)(col(waveformCol)))
 }

@@ -161,6 +161,33 @@ object SigBench {
         graft.functions.PolyHash.polyHash(col("text")).as("poly_hash")
       )
     }
+
+    // ---- spline alignment: external-Row UDF vs native kernel ----
+    // q_align's waveform build (patch gather + groupBy) dominates its
+    // bench time, so isolate the kernel: synthesize a wide batch of
+    // 6-sample × 4-channel waveforms directly and time ONLY the align.
+    {
+      val wfs = spark.range(200000).select(
+        col("id"),
+        transform(
+          sequence(lit(0), lit(5)),
+          s => transform(
+            sequence(lit(0), lit(3)),
+            c => exp((s.cast("double") - lit(2.6) - c.cast("double") * 0.1)
+              * (lit(2.6) + c.cast("double") * 0.1 - s.cast("double")) / 2.0) * 100.0
+              + pmod(col("id") * 37 + c.cast("long"), lit(97L)).cast("double") / 10.0
+          )
+        ).as("waveform")
+      ).persist()
+      wfs.count()
+      time("align-udf") {
+        graft.align.Align.alignColumnUdf(wfs, "waveform", 2, 2)
+      }
+      time("align-native") {
+        graft.align.Align.alignColumn(wfs, "waveform", 2, 2)
+      }
+      wfs.unpersist()
+    }
     spark.stop()
   }
 }
