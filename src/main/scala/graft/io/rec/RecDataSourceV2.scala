@@ -46,9 +46,17 @@ import graft.io.RecFormat
   *  - **Statistics** (`SupportsReportStatistics`): post-pruning
   *    byte/row counts, so AQE and join planning see the real scan size.
   *
+  *  - **Columnar reads**: the batch scan emits `ColumnarBatch`es of
+  *    OnHeapColumnVectors (4096 packets/batch), so Spark's vectorized
+  *    ColumnarToRow codegen replaces the per-row reader loop — the
+  *    row-iterator virtual-call overhead was the residual between the
+  *    1.3–2.1 GB/s decode kernel and the ~1 GB/s DataFrame scan
+  *    (ScanProbe). `columnar=false` restores the row reader (A/B
+  *    surface; also exercised by RecV2Spec for parity).
+  *
   * Options: `channels` = comma-separated spike-channel indices to keep
   * (projection into the workspace document order, reference:
-  * jagular/utils.py:430-431); `targetSplitBytes`.
+  * jagular/utils.py:430-431); `targetSplitBytes`; `columnar`.
   */
 class RecDataSourceV2 extends TableProvider with DataSourceRegister {
   override def shortName(): String = "rec"
@@ -267,7 +275,8 @@ class RecScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
         val subset = Option(options.get("channels"))
           .map(_.split(",").map(_.trim.toInt))
         val split = Option(options.get("targetsplitbytes")).map(_.toLong).getOrElse(128L << 20)
-        new RecScanV2(paths, () => counts, required, tsMin, tsMax, subset, split)
+        val columnar = !Option(options.get("columnar")).exists(_.equalsIgnoreCase("false"))
+        new RecScanV2(paths, () => counts, required, tsMin, tsMax, subset, split, columnar)
     }
   }
 }
@@ -382,7 +391,8 @@ class RecScanV2(
     tsMin: Option[Long],
     tsMax: Option[Long],
     channelSubset: Option[Array[Int]],
-    targetSplitBytes: Long
+    targetSplitBytes: Long,
+    columnar: Boolean = true
 ) extends Scan
     with Batch
     with SupportsReportStatistics {
@@ -451,7 +461,8 @@ class RecScanV2(
     // the monotonicity guard exists to protect the BINARY-SEARCH pruning;
     // an unpruned scan of a non-monotonic file is complete and correct
     // (and is the repair path the guard's error message points to)
-    new RecReaderFactory(required, channelSubset, serConf, guardMonotonic = tsMin.nonEmpty || tsMax.nonEmpty)
+    new RecReaderFactory(required, channelSubset, serConf,
+      guardMonotonic = tsMin.nonEmpty || tsMax.nonEmpty, columnar = columnar)
   }
 }
 
@@ -459,11 +470,21 @@ class RecReaderFactory(
     required: StructType,
     channelSubset: Option[Array[Int]],
     serConf: SerializableConfiguration,
-    guardMonotonic: Boolean = false
+    guardMonotonic: Boolean = false,
+    columnar: Boolean = true
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RecInputPartition]
     new RecPartitionReader(p, required, channelSubset, serConf.value, guardMonotonic)
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(
+      partition: InputPartition
+  ): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[RecInputPartition]
+    new RecColumnarPartitionReader(p, required, channelSubset, serConf.value, guardMonotonic)
   }
 }
 
@@ -577,8 +598,114 @@ class RecPartitionReader(
 }
 
 object RecPartitionReader {
-  private final val EmitFileRank = 0
-  private final val EmitPos = 1
-  private final val EmitTs = 2
-  private final val EmitValues = 3
+  private[rec] final val EmitFileRank = 0
+  private[rec] final val EmitPos = 1
+  private[rec] final val EmitTs = 2
+  private[rec] final val EmitValues = 3
+}
+
+/** Columnar dual of [[RecPartitionReader]]: decodes the packet range into
+  * `ColumnarBatch`es of OnHeapColumnVectors (BatchSize packets each), so
+  * the plan's ColumnarToRow boundary — Spark's vectorized codegen — does
+  * the row assembly instead of a per-row UnsafeRowWriter + virtual
+  * next()/get() pair. The `values` column appends each packet's channel
+  * block into the array vector's child short vector in one call.
+  *
+  * Same semantics as the row reader (RecV2Spec asserts parity on every
+  * projection / pruning / subset combination): required-column pruning,
+  * channel subset, and the boundary-seeded monotonicity guard on
+  * ts-filtered scans. Vectors are reset and reused per batch; consumers
+  * retaining rows copy, per the PartitionReader contract.
+  */
+class RecColumnarPartitionReader(
+    part: RecInputPartition,
+    required: StructType,
+    channelSubset: Option[Array[Int]],
+    hconf: Configuration,
+    guardMonotonic: Boolean = false
+) extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import RecPartitionReader._
+
+  private val BatchSize = 4096
+
+  private val emit: Array[Int] = required.fields.map(_.name match {
+    case "file_rank" => EmitFileRank
+    case "pos" => EmitPos
+    case "ts" => EmitTs
+    case "values" => EmitValues
+    case other => throw new IllegalArgumentException(s"unknown column $other")
+  })
+  private val needValues = emit.contains(EmitValues)
+  private val subset: Array[Int] = channelSubset.orNull
+
+  private val it = RecFormat.decodeRange(
+    part.cfg,
+    part.startPacket,
+    part.count,
+    hconf,
+    decodeValues = needValues
+  )
+  private val vectors =
+    org.apache.spark.sql.execution.vectorized.OnHeapColumnVector.allocateColumns(BatchSize, required)
+  private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+    vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
+  private var pos = part.startPacket - 1
+  private var prevTs =
+    if (guardMonotonic && part.startPacket > 0)
+      RecFormat.tsAt(part.cfg, part.startPacket - 1, hconf)
+    else Long.MinValue
+  private var subsetBuf: Array[Short] =
+    if (subset != null) new Array[Short](subset.length) else null
+
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    while (n < BatchSize && it.hasNext) {
+      val pkt = it.next()
+      pos += 1
+      if (guardMonotonic) {
+        if (pkt.ts < prevTs)
+          throw new IllegalStateException(
+            s"rec file ${part.cfg.path}: timestamp ${pkt.ts} at packet $pos decreases below " +
+              s"$prevTs — the file violates the non-decreasing-timestamp invariant " +
+              "(jagular/utils.py:323-328) that ts-range pushdown's binary search depends on; " +
+              "refusing to return a silently incomplete scan. Re-read without a ts filter " +
+              "and repair ordering first (graft.ts.Validation / Dedup)."
+          )
+        prevTs = pkt.ts
+      }
+      i = 0
+      while (i < emit.length) {
+        emit(i) match {
+          case EmitFileRank => vectors(i).putInt(n, part.fileRank)
+          case EmitPos => vectors(i).putLong(n, pos)
+          case EmitTs => vectors(i).putLong(n, pkt.ts)
+          case EmitValues =>
+            val vals =
+              if (subset == null) pkt.values
+              else {
+                var j = 0
+                while (j < subset.length) { subsetBuf(j) = pkt.values(subset(j)); j += 1 }
+                subsetBuf
+              }
+            val child = vectors(i).arrayData()
+            val start = child.getElementsAppended
+            child.appendShorts(vals.length, vals, 0)
+            vectors(i).putArray(n, start, vals.length)
+        }
+        i += 1
+      }
+      n += 1
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = {
+    it.close()
+    batch.close()
+  }
 }

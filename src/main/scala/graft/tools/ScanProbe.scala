@@ -53,6 +53,20 @@ object ScanProbe {
     time("df-count") {
       graft.io.RecScan.read(spark, Seq(path), splitBytes).count()
     }
+
+    // DSv2 scan, full row materialization (values incl.), row reader vs
+    // ColumnarBatch reader — toRdd forces the ColumnarToRow boundary, so
+    // both paths end at the same UnsafeRow stream
+    def v2(columnar: Boolean) = org.apache.spark.sql.graftbridge.Bridge
+      .toInternalRdd(
+        spark.read.format("rec")
+          .option("targetSplitBytes", splitBytes.toString)
+          .option("columnar", columnar.toString)
+          .load(path))
+      .mapPartitions { it => var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator.single(n) }
+      .sum().toLong
+    time("v2-row-reader") { v2(columnar = false) }
+    time("v2-columnar") { v2(columnar = true) }
     spark.stop()
   }
 }

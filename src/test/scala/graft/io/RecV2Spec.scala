@@ -31,6 +31,30 @@ class RecV2Spec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("columnar batches are the default read path and match the row reader exactly") {
+    val cols = spark.read.format("rec").load(fileA, fileB)
+    // the default plan crosses a ColumnarToRow boundary (vectorized scan)
+    assert(cols.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val rows = spark.read.format("rec").option("columnar", "false").load(fileA, fileB)
+    assert(!rows.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("file_rank", "pos").collect().map(_.toSeq.map {
+        case s: scala.collection.Seq[_] => s.toList
+        case x => x
+      })
+    assert(canon(cols).sameElements(canon(rows)))
+    // pruning + subset + ts filter parity (incl. a batch-boundary-ish range)
+    for (opts <- Seq(Map.empty[String, String], Map("channels" -> "2,0"))) {
+      def rd(columnar: Boolean) = opts
+        .foldLeft(spark.read.format("rec").option("columnar", columnar.toString))(
+          (r, kv) => r.option(kv._1, kv._2))
+        .load(fileA, fileB)
+        .where(col("ts").between(1200, 5100))
+        .select("ts", "values")
+      assert(canon(rd(true)).sameElements(canon(rd(false))), s"opts=$opts")
+    }
+  }
+
   test("ts-range pushdown prunes files and packet ranges") {
     val df = spark.read.format("rec").load(fileA, fileB)
     // range entirely inside fileA: fileB contributes no partitions
