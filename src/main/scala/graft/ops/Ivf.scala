@@ -132,13 +132,28 @@ object Ivf {
     * with its `cell` column, `centroids` the (cell, centroid) table —
     * both from [[assignCells]]. Probing is one broadcast cell-ranking
     * cross join (|queries| × nLists rows) plus one bucket equi-join on
-    * `cell` touching ~nProbe/nLists of the corpus. */
+    * `cell` touching ~nProbe/nLists of the corpus.
+    *
+    * `pruneIndexScan` (default true) collects the batch's probed cells
+    * (≤ nLists values, one tiny driver job at plan-build time) and
+    * applies them as a STATIC `cell IN (...)` filter on the index scan.
+    * Against a `partitionBy("cell")` parquet index that is partition
+    * pruning at planning time — only the probed cells' files are listed
+    * and read, the O(nProbe/nLists)-I/O layout a 100 TB index wants.
+    * Static because it is deterministic: Spark's dynamic partition
+    * pruning inserts its filter here but falls back to a no-op literal
+    * when the broadcast-reuse heuristic declines (observed at AnnBench
+    * scale), and a serving path should not leave 92 % of its I/O to a
+    * heuristic. NOTE the batch-union effect either way: a batch probing
+    * 8/64 cells per query prunes to the UNION of its probed cells, so
+    * per-query I/O wins need small/targeted batches. */
   def topKIndexed(
       assigned: DataFrame,
       centroids: DataFrame,
       queries: DataFrame,
       k: Int,
-      nProbe: Int
+      nProbe: Int,
+      pruneIndexScan: Boolean = true
   ): DataFrame = {
     // rank cells per query by centroid distance, keep nProbe
     val qc = queries
@@ -161,7 +176,13 @@ object Ivf {
       .select(col("query_id"), col("qe"), Similarity.norm(col("qe")).as("qn"), col("cell"))
     // candidate join on cell, exact cosine (norms precomputed per row,
     // one dot-product traversal per candidate pair), top-k
-    val scored = assigned
+    val indexSide =
+      if (!pruneIndexScan) assigned
+      else {
+        val probedCells = probed.select("cell").distinct().collect().map(_.get(0))
+        assigned.where(col("cell").isin(probedCells.toIndexedSeq: _*))
+      }
+    val scored = indexSide
       .withColumn("cn", Similarity.norm(col("embedding")))
       .join(probed, "cell")
       .where(col("vec_id") =!= col("query_id"))

@@ -52,6 +52,46 @@ object AnnBench {
 
     val tIvf = timeMedian(graft.ops.Ivf.topKIndexed(cached, centroids, queries, k, nProbe))
 
+    // ON-DISK index layouts, same serving code: flat parquet scans the
+    // whole index per query batch; cell-PARTITIONED parquet joins on cell
+    // against the small broadcast probe side, so dynamic partition
+    // pruning reads only the probed cells' files — the layout a 100 TB
+    // index wants (nProbe/nLists of the I/O)
+    val idxDir = java.nio.file.Files.createTempDirectory("annbench-idx-").toString
+    cached.write.mode("overwrite").parquet(s"$idxDir/flat.parquet")
+    cached.write.mode("overwrite").partitionBy("cell").parquet(s"$idxDir/assigned.parquet")
+    centroids.write.mode("overwrite").parquet(s"$idxDir/centroids.parquet")
+    val pCentroids = spark.read.parquet(s"$idxDir/centroids.parquet")
+    val tServeFlat = timeMedian(graft.ops.Ivf.topKIndexed(
+      spark.read.parquet(s"$idxDir/flat.parquet"), pCentroids, queries, k, nProbe))
+    val pAssigned = spark.read.parquet(s"$idxDir/assigned.parquet")
+    val servePlan = graft.ops.Ivf.topKIndexed(pAssigned, pCentroids, queries, k, nProbe)
+    val tServePartitioned = timeMedian(servePlan)
+    servePlan.collect() // populate THIS QueryExecution's scan metrics
+    val executedServe = servePlan.queryExecution.executedPlan
+    val dppActive = executedServe.toString.contains("dynamicpruning")
+    // rows the index scan actually produced under DPP. NOTE the batch
+    // effect: pruning keeps the UNION of the batch's probed cells, so a
+    // 50-query batch probing 8/64 cells each covers nearly every cell —
+    // the per-query I/O win shows on SMALL batches (the serving case),
+    // so it is measured on a single query alongside the full batch
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    def idxRowsRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      helper
+        .collectWithSubqueries(df.queryExecution.executedPlan) {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.metadata.get("Location").exists(_.contains("assigned.parquet")) =>
+            f.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+        }
+        .headOption.getOrElse(-1L)
+    }
+    val rowsBatch = idxRowsRead(
+      graft.ops.Ivf.topKIndexed(pAssigned, pCentroids, queries, k, nProbe))
+    val rowsSingle = idxRowsRead(
+      graft.ops.Ivf.topKIndexed(
+        pAssigned, pCentroids, corpus.where(col("vec_id") === 0), k, nProbe))
+
     val exact = graft.ops.Similarity
       .bruteForceTopK(corpus, queries, k)
       .select("query_id", "vec_id")
@@ -75,6 +115,9 @@ object AnnBench {
     println(
       s"""{"ann":"bench","n":$n,"k":$k,"nLists":$nLists,"nProbe":$nProbe,""" +
         s""""brute_sec":$tBrute,"ivf_build_sec":$tBuild,"ivf_query_sec":$tIvf,""" +
+        s""""ivf_query_flat_parquet_sec":$tServeFlat,""" +
+        s""""ivf_query_partitioned_sec":$tServePartitioned,"dpp_active":$dppActive,""" +
+        s""""index_rows_read_batch50":$rowsBatch,"index_rows_read_single_query":$rowsSingle,"index_rows_total":$n,""" +
         s""""recall":$recall,"recall_2x_probe":$recall2,"sf":"$sfDir"}"""
     )
     spark.stop()

@@ -45,6 +45,26 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(planString("q_ivf_serve").contains("BroadcastHashJoin"))
   }
 
+  test("q_ivf_serve scans a cell-partitioned index with a static probed-cell partition filter") {
+    // the serving join's corpus side must be the partitionBy("cell")
+    // parquet index scanned under a static `cell IN (probed...)` filter
+    // (Ivf.topKIndexed pruneIndexScan): at corpus scale that is the
+    // difference between reading nProbe/nLists of the index and all of
+    // it. DPP is deliberately NOT relied on — its broadcast-reuse
+    // heuristic demotes the filter to a no-op literal at serving scale.
+    val df = SparkEntry.queries("q_ivf_serve")(spark, dir)
+    val plan = executed(df)
+    val scans = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(plan) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("assigned.parquet")) => f
+      }
+    assert(scans.nonEmpty, "no parquet index scan found in q_ivf_serve")
+    assert(
+      scans.exists(_.partitionFilters.exists(_.toString.toLowerCase.contains("cell"))),
+      s"index scan has no cell partition filter: ${scans.map(_.partitionFilters).mkString(";")}")
+  }
+
   test("no CartesianProduct in ANY declared query") {
     // even the deliberate tiny cross joins must broadcast (BNLJ), never
     // fall to a shuffled CartesianProductExec

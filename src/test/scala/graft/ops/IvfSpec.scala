@@ -29,6 +29,23 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("static probed-cell index pruning changes I/O, never results") {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.where(col("vec_id") < 3)
+    val (assigned, centroids) = Ivf.assignCells(e, nLists = 8)
+    // partitioned parquet round-trip, like a real served index
+    val base = java.nio.file.Files.createTempDirectory("ivfspec-").toString
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$base/assigned.parquet")
+    centroids.write.mode("overwrite").parquet(s"$base/centroids.parquet")
+    val a = spark.read.parquet(s"$base/assigned.parquet")
+    val c = spark.read.parquet(s"$base/centroids.parquet")
+    def canon(pruned: Boolean) = Ivf
+      .topKIndexed(a, c, q, k = 5, nProbe = 3, pruneIndexScan = pruned)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(canon(pruned = true) == canon(pruned = false))
+  }
+
   test("centroid training is invariant to input partitioning and row order") {
     val e = Tables.embeddings(spark, dir)
     val base = Ivf.trainCentroids(e, nLists = 4, sampleSize = 64)
