@@ -276,7 +276,8 @@ class RecScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
           .map(_.split(",").map(_.trim.toInt))
         val split = Option(options.get("targetsplitbytes")).map(_.toLong).getOrElse(128L << 20)
         val columnar = !Option(options.get("columnar")).exists(_.equalsIgnoreCase("false"))
-        new RecScanV2(paths, () => counts, required, tsMin, tsMax, subset, split, columnar)
+        val maxPerTrigger = Option(options.get("maxpacketspertrigger")).map(_.toLong)
+        new RecScanV2(paths, () => counts, required, tsMin, tsMax, subset, split, columnar, maxPerTrigger)
     }
   }
 }
@@ -392,7 +393,8 @@ class RecScanV2(
     tsMax: Option[Long],
     channelSubset: Option[Array[Int]],
     targetSplitBytes: Long,
-    columnar: Boolean = true
+    columnar: Boolean = true,
+    maxPacketsPerTrigger: Option[Long] = None
 ) extends Scan
     with Batch
     with SupportsReportStatistics {
@@ -402,7 +404,7 @@ class RecScanV2(
   override def toMicroBatchStream(
       checkpointLocation: String
   ): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new RecMicroBatchStream(paths, required, channelSubset, targetSplitBytes)
+    new RecMicroBatchStream(paths, required, channelSubset, targetSplitBytes, maxPacketsPerTrigger)
   override def description(): String =
     s"rec scan [${paths.size} files, ts in [${tsMin.getOrElse("-inf")}, ${tsMax.getOrElse("+inf")}], " +
       s"cols ${required.fieldNames.mkString(",")}]"

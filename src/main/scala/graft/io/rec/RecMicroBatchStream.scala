@@ -52,12 +52,20 @@ import graft.io.RecFormat
   * Configs are parsed once per file and cached; `planInputPartitions`
   * resolves every file from the OFFSET's list (not instance state), so a
   * checkpoint replay on a fresh stream object plans the same batch.
+  *
+  * `maxPacketsPerTrigger` (option) bounds each micro-batch's admission
+  * in packets, allocated in file order: the backpressure knob for a
+  * drain that would otherwise arrive as a few giant batches (stateful
+  * consumers pay per-batch group sorts), and a genuine rate limit when
+  * the query shares the cluster. Unset = drain all available
+  * (ReadLimit.allAvailable), the previous behavior.
   */
 class RecMicroBatchStream(
     paths: Seq[String],
     required: StructType,
     channelSubset: Option[Array[Int]],
-    targetSplitBytes: Long
+    targetSplitBytes: Long,
+    maxPacketsPerTrigger: Option[Long] = None
 ) extends MicroBatchStream
     with SupportsAdmissionControl
     with SupportsTriggerAvailableNow
@@ -97,8 +105,13 @@ class RecMicroBatchStream(
         None
     }
 
-  /** End offset = committed start's file order + parseable new files. */
-  private def advance(start: RecStreamOffset, listing: Seq[(String, Long)]): RecStreamOffset = {
+  /** End offset = committed start's file order + parseable new files,
+    * optionally admission-capped at `budget` NEW packets (file order). */
+  private def advance(
+      start: RecStreamOffset,
+      listing: Seq[(String, Long)],
+      budget: Long = Long.MaxValue
+  ): RecStreamOffset = {
     val lens = listing.toMap
     val startCounts = start.files.toMap
     val known = start.files.map(_._1)
@@ -112,7 +125,19 @@ class RecMicroBatchStream(
       p -> math.max(startCounts(p), lens.get(p).flatMap(countOf(p, _)).getOrElse(startCounts(p)))
     }
     val added = fresh.flatMap(p => countOf(p, lens(p)).map(p -> _))
-    RecStreamOffset(kept ++ added)
+    val uncapped = kept ++ added
+    if (budget == Long.MaxValue) RecStreamOffset(uncapped)
+    else {
+      // cap NEW packets at `budget`, allocated in offset-file order —
+      // later files wait their turn, preserving the stitched order
+      var remaining = budget
+      RecStreamOffset(uncapped.map { case (p, target) =>
+        val from = startCounts.getOrElse(p, 0L)
+        val take = math.max(0L, math.min(target - from, remaining))
+        remaining -= take
+        p -> (from + take)
+      })
+    }
   }
 
   override def initialOffset(): Offset = RecStreamOffset(Seq.empty)
@@ -124,10 +149,16 @@ class RecMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     frozenListing = Some(listNow())
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    advance(start.asInstanceOf[RecStreamOffset], frozenListing.getOrElse(listNow()))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val budget = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => m.maxRows()
+      case _ => Long.MaxValue
+    }
+    advance(start.asInstanceOf[RecStreamOffset], frozenListing.getOrElse(listNow()), budget)
+  }
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    maxPacketsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

@@ -57,22 +57,28 @@ object Streaming {
       .groupByKey(_.key)
       .flatMapGroupsWithState[(Long, Double), Filled](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (key, rows, state: GroupState[(Long, Double)]) =>
+          // per-batch groups can be large under a big trigger budget:
+          // sort an array in place (no boxed Seq copy), update the state
+          // EAGERLY from the sorted tail (state writes must happen before
+          // this function returns), and emit a fully LAZY iterator — the
+          // fill stream is never materialized per group
+          val arr = rows.toArray
+          scala.util.Sorting.stableSort(arr, (a: Sample, b: Sample) => a.ts < b.ts)
           var carried: Option[(Long, Double)] = state.getOption
-          val out = rows.toSeq.sortBy(_.ts).flatMap { s =>
+          state.update((arr.last.ts, arr.last.value))
+          arr.iterator.flatMap { s =>
             val fills = carried match {
               case Some((pt, pv))
                   if s.ts - pt > step && s.ts - pt <= maxGapSize * step + step =>
-                (pt + step until s.ts by step).map { t =>
+                (pt + step until s.ts by step).iterator.map { t =>
                   val v = pv + (t - pt).toDouble * (s.value - pv) / (s.ts - pt).toDouble
                   Filled(key, t, v, interpolated = true)
                 }
-              case _ => Seq.empty
+              case _ => Iterator.empty
             }
             carried = Some((s.ts, s.value))
-            fills :+ Filled(key, s.ts, s.value, interpolated = false)
+            fills ++ Iterator.single(Filled(key, s.ts, s.value, interpolated = false))
           }
-          carried.foreach(state.update)
-          out.iterator
       }
   }
 

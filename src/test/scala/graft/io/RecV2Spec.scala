@@ -220,6 +220,42 @@ class RecV2Spec extends SparkSpec {
     assert(run() == 10)
   }
 
+  test("maxPacketsPerTrigger bounds per-micro-batch admission, exactly-once across files") {
+    import org.apache.spark.sql.streaming.Trigger
+    val pA = s"$dir/cap_a.rec"
+    val pB = s"$dir/cap_b.rec"
+    RecSynth.write(pA, (0 until 250).map(i => (i.toLong, (c: Int) => c.toShort)))
+    RecSynth.write(pB, (0 until 150).map(i => (1000L + i, (c: Int) => c.toShort)))
+    val outDir = s"$dir/cap_out"
+    val ckpt = s"$dir/cap_ckpt"
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0) batchSizes.synchronized { batchSizes += e.progress.numInputRows }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = spark.readStream.format("rec")
+        .option("maxPacketsPerTrigger", "100")
+        .option("paths", graft.io.rec.RecDataSourceV2.pathsOption(Seq(pA, pB)))
+        .load()
+        .select("file_rank", "pos", "ts")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.streams.removeListener(listener)
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 400) // exactly once, both files complete
+    assert(out.select("file_rank", "pos").distinct().count() == 400)
+    val sizes = batchSizes.synchronized(batchSizes.toList)
+    assert(sizes.forall(_ <= 100), s"a batch exceeded the cap: $sizes")
+    assert(sizes.length >= 4, s"expected >= 4 capped batches, got $sizes")
+  }
+
   test("micro-batch streaming follows a growing rec file across restarts") {
     import org.apache.spark.sql.streaming.Trigger
     val p = s"$dir/stream.rec"
