@@ -87,12 +87,31 @@ object Ivf {
 
   /** Corpus with a `cell` column + the centroid table — the IVF INDEX.
     * Build once per corpus (persist or write both sides); serve query
-    * batches with [[topKIndexed]]. */
+    * batches with [[topKIndexed]]. Assignment is the native
+    * [[graft.functions.ArgminCell]] kernel — a primitive argmin sweep
+    * per vector instead of the boxed-Seq UDF (kept below as the
+    * equivalence oracle); this is the full-corpus scan of index build,
+    * the one place the per-row cost multiplies by ALL vectors. */
   def assignCells(corpus: DataFrame, nLists: Int, sampleSize: Int = 100000): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     val centroids = trainCentroids(corpus, nLists, sampleSize)
+    val assigned = corpus.withColumn(
+      "cell",
+      graft.functions.ArgminCell.argminCell(col("embedding"), centroids))
+    val centroidDf = spark
+      .createDataFrame(centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+      .toDF("cell", "centroid")
+    (assigned, centroidDf)
+  }
+
+  /** The UDF formulation [[assignCells]]' kernel replaced — equivalence
+    * oracle for ArgminCellSpec. */
+  private[graft] def cellUdf(
+      spark: SparkSession,
+      centroids: Array[Array[Double]]
+  ): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val bc = spark.sparkContext.broadcast(centroids)
-    val cellUdf = udf { (emb: Seq[Float]) =>
+    udf { (emb: Seq[Float]) =>
       val cs = bc.value
       var best = 0; var bestD = Double.MaxValue
       var c = 0
@@ -105,11 +124,6 @@ object Ivf {
       }
       best
     }
-    val assigned = corpus.withColumn("cell", cellUdf(col("embedding")))
-    val centroidDf = spark
-      .createDataFrame(centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
-      .toDF("cell", "centroid")
-    (assigned, centroidDf)
   }
 
   /** Top-k per query via IVF probing. `queries` small (broadcast).

@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Native [[ArgminCell]] vs the boxed-Seq UDF it replaced: identical
+  * assignments on randomized embeddings/centroids, including exact-tie
+  * vectors (lowest cell index wins in both) and degenerate centroids. */
+class ArgminCellSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = true)
+  ))
+
+  private def assignBoth(rows: Seq[Row], centroids: Array[Array[Double]]): (Seq[(Int, Any)], Seq[(Int, Any)]) = {
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.orderBy("id").collect().map(r => (r.getInt(0), r.get(1))).toSeq
+    val native = canon(df.select(col("id"), ArgminCell.argminCell(col("embedding"), centroids).as("cell")))
+    val viaUdf = canon(df.select(col("id"), graft.ops.Ivf.cellUdf(spark, centroids)(col("embedding")).as("cell")))
+    (native, viaUdf)
+  }
+
+  test("native kernel == UDF on random embeddings and centroids") {
+    val rnd = new scala.util.Random(99)
+    val dim = 16
+    val centroids = Array.fill(8, dim)(rnd.nextDouble() * 4 - 2)
+    val rows = (0 until 200).map { i =>
+      Row(i, Seq.fill(dim)((rnd.nextDouble() * 4 - 2).toFloat))
+    }
+    val (native, viaUdf) = assignBoth(rows, centroids)
+    assert(native == viaUdf)
+  }
+
+  test("exact ties break to the lowest cell index in both forms") {
+    // two identical centroids: every vector ties between cell 0 and 1
+    val centroids = Array(Array(1.0, 1.0), Array(1.0, 1.0), Array(9.0, 9.0))
+    val rows = (0 until 10).map(i => Row(i, Seq(i.toFloat / 10, i.toFloat / 10)))
+    val (native, viaUdf) = assignBoth(rows, centroids)
+    assert(native == viaUdf)
+    assert(native.forall(_._2 == 0))
+  }
+
+  test("null embeddings stay null; assignCells end-to-end unchanged") {
+    val centroids = Array(Array(0.0, 0.0), Array(5.0, 5.0))
+    val rows = Seq(Row(0, Seq(0.1f, 0.2f)), Row(1, null), Row(2, Seq(4.9f, 5.1f)))
+    val (native, _) = assignBoth(rows.filter(_.get(1) != null), centroids)
+    assert(native == Seq((0, 0), (2, 1)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val out = df.select(ArgminCell.argminCell(col("embedding"), centroids).as("cell"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getInt(0))
+    assert(out.toSeq == Seq(0, null, 1))
+  }
+}
