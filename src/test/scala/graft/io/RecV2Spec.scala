@@ -169,25 +169,29 @@ class RecV2Spec extends SparkSpec {
     assert(df.where(col("pos") === 50).select("ts").head().getLong(0) == 7000L)
   }
 
-  test("monotonicity guard catches a ts dip exactly AT a split boundary") {
+  test("monotonicity guard catches a ts dip exactly AT a split boundary (both readers)") {
     val p = s"$dir/nonmono_split.rec"
     // dip at packet 50 = the FIRST packet of the second split (50 packets
     // per split): a per-split guard starting fresh would miss it; the
-    // boundary-seeded guard probes packet 49 and catches the drop
+    // boundary-seeded guard probes packet 49 and catches the drop —
+    // in the columnar batch reader AND the row reader
     RecSynth.write(
       p,
       (0 until 100).map(i => (if (i == 50) 7000L else 8000L + i, (c: Int) => c.toShort))
     )
-    val df = spark.read.format("rec")
-      .option("targetSplitBytes", (73 * 50).toString)
-      .load(p)
-    val e = intercept[org.apache.spark.SparkException] {
-      df.where(col("ts") >= 8000).count()
+    for (columnar <- Seq(true, false)) {
+      val df = spark.read.format("rec")
+        .option("targetSplitBytes", (73 * 50).toString)
+        .option("columnar", columnar.toString)
+        .load(p)
+      val e = intercept[org.apache.spark.SparkException] {
+        df.where(col("ts") >= 8000).count()
+      }
+      assert(e.getMessage.contains("non-decreasing-timestamp"), s"columnar=$columnar: ${e.getMessage}")
+      // unfiltered scan (collect, not count — count would answer from
+      // the catalog) still reads the file completely
+      assert(df.select("ts").collect().length == 100, s"columnar=$columnar")
     }
-    assert(e.getMessage.contains("non-decreasing-timestamp"), e.getMessage)
-    // unfiltered ROW scan (collect, not count — count would answer from
-    // the catalog) still reads the file completely
-    assert(df.select("ts").collect().length == 100)
   }
 
   test("aggPushdown=false forces the full-scan aggregate") {
