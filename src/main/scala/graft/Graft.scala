@@ -32,16 +32,24 @@ object Graft {
     * growing `.rec` files (or a session DIRECTORY — rollover files join
     * mid-stream). Same schema as [[RecSession.packets]]; compose with
     * `posexplode(values)` + `writeStream.partitionBy("channel")` for a
-    * live extract_channels. */
-  def openStream(spark: SparkSession, pathsOrDir: Seq[String]): DataFrame = {
+    * live extract_channels. `maxPacketsPerTrigger` bounds each
+    * micro-batch's admission (file order) — the backpressure knob for
+    * catch-up drains feeding stateful stages. */
+  def openStream(
+      spark: SparkSession,
+      pathsOrDir: Seq[String],
+      maxPacketsPerTrigger: Option[Long] = None
+  ): DataFrame = {
     require(pathsOrDir.nonEmpty, "openStream needs at least one path")
+    val reader0 = spark.readStream.format("rec")
+    val reader = maxPacketsPerTrigger
+      .fold(reader0)(n => reader0.option("maxPacketsPerTrigger", n.toString))
     pathsOrDir match {
-      case Seq(one) => spark.readStream.format("rec").load(one)
+      case Seq(one) => reader.load(one)
       case many =>
         // DataStreamReader.load has no varargs form; the source reads the
         // same JSON-array `paths` option the batch reader uses
-        spark.readStream
-          .format("rec")
+        reader
           .option("paths", graft.io.rec.RecDataSourceV2.pathsOption(many))
           .load()
     }
