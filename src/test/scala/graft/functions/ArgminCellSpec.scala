@@ -44,6 +44,27 @@ class ArgminCellSpec extends SparkSpec {
     assert(native.forall(_._2 == 0))
   }
 
+  test("NaN / infinite components assign identically in both forms") {
+    // NaN distances never win the strict < update (NaN < best is false),
+    // so a vector with any NaN component keeps the first finite-beating
+    // cell — or cell 0 if every distance is NaN. Both forms share that
+    // logic; this pins it against the float-math path change.
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val centroids = Array.fill(6, dim)(rnd.nextDouble() * 2 - 1)
+    val specials = Seq(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity, -0.0f, 0.0f)
+    val rows = (0 until 120).map { i =>
+      Row(i, Seq.tabulate(dim) { j =>
+        if (rnd.nextInt(4) == 0) specials(rnd.nextInt(specials.length))
+        else (rnd.nextDouble() * 2 - 1).toFloat
+      })
+    }
+    val allNaN = Seq(Row(999, Seq.fill(dim)(Float.NaN)))
+    val (native, viaUdf) = assignBoth(rows ++ allNaN, centroids)
+    assert(native == viaUdf)
+    assert(native.find(_._1 == 999).get._2 == 0) // all-NaN -> cell 0, both forms
+  }
+
   test("null embeddings stay null; assignCells end-to-end unchanged") {
     val centroids = Array(Array(0.0, 0.0), Array(5.0, 5.0))
     val rows = Seq(Row(0, Seq(0.1f, 0.2f)), Row(1, null), Row(2, Seq(4.9f, 5.1f)))
