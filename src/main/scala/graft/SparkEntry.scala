@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ts.{Dedup, GapFill, Sessionize, Validation}
 import graft.spikes.Spikes
-import graft.ops.{DedupDocs, Ivf, Similarity, Text}
+import graft.ops.{Decontaminate, DedupDocs, Ivf, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -306,6 +306,18 @@ object SparkEntry {
   /** 64-bit SimHash over tokens. */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     DedupDocs.simhash(Tables.documents(s, dir))
+
+  /** Benchmark decontamination: corpus docs sharing distinct word
+    * 3-grams with the `src0` benchmark slice (broadcast shingle-set
+    * semi-join, O(matches) aggregate; flagged at >= 5 shared shingles —
+    * calibrated on the sf0.01 corpus where the overlap median is 3). */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame =
+    Decontaminate.overlapFlags(
+      Tables.documents(s, dir),
+      isBench = col("source") === "src0",
+      k = 3,
+      minOverlap = 5
+    )
 
   /** Dedup clusters: MinHash-LSH candidate pairs → connected components
     * → (doc_id, cluster_id = min doc of the component). The step that
@@ -743,7 +755,8 @@ object SparkEntry {
     "q_simhash_neardup" -> (qSimhashNearDup _),
     "q_frames" -> (qFrames _),
     "q_dedup_clusters" -> (qDedupClusters _),
-    "q_salted_join" -> (qSaltedJoin _)
+    "q_salted_join" -> (qSaltedJoin _),
+    "q_decontaminate" -> (qDecontaminate _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1166,6 +1179,16 @@ object SparkEntry {
         |SELECT doc_id, n_alpha, n_num, n_punct,
         |       n_alpha + n_num + n_punct AS n_bpe_tokens,
         |       round(CAST(n_punct AS DOUBLE) / greatest(n_alpha + n_num + n_punct, 1), 4) AS punct_ratio
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+        |       FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+        |m AS (SELECT s.doc_id, COUNT(*) AS n_overlap
+        |      FROM sh s JOIN bench b USING (shingle)
+        |      WHERE s.source <> 'src0' GROUP BY s.doc_id)
+        |SELECT doc_id, n_overlap, CAST(n_overlap >= 5 AS INT) AS contaminated FROM m""".stripMargin
   )
 }

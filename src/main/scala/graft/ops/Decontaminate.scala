@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for a training-data pipeline: flag corpus
+  * documents that share word k-shingles with a benchmark/eval set, so
+  * eval content doesn't leak into training data.
+  *
+  * Physical plan (the 100 TB shape): the benchmark side is tiny relative
+  * to the corpus (eval suites are ~1e4–1e6 docs), so its distinct-shingle
+  * set is BROADCAST and the corpus stream is never shuffled for the
+  * match: corpus shingles explode in place ([[DedupDocs.shingles]] —
+  * ShingleArray dedupes per doc in-kernel), a broadcast-hash LEFT SEMI
+  * join keeps matching shingles only, and ONE aggregation produces the
+  * per-doc overlap counts. A document's shingles never span partitions
+  * (explode doesn't split a row), so map-side partial aggregation
+  * collapses each doc to a single row before the exchange — the shuffle
+  * is O(docs with ≥1 match), and zero-overlap documents (the vast
+  * majority at scale) never enter it at all.
+  */
+object Decontaminate {
+
+  /** Per-document count of DISTINCT word k-shingles shared with the
+    * benchmark set. Documents with zero overlap are omitted — at scale
+    * that is almost everyone, and emitting them would turn the O(matches)
+    * aggregate into an O(corpus) join. */
+  def overlapCounts(documents: DataFrame, isBench: Column, k: Int): DataFrame = {
+    val benchShingles =
+      DedupDocs.shingles(documents.where(isBench), k).select("shingle").distinct()
+    // shingles are distinct per doc already, so count(*) IS the distinct
+    // overlap count
+    DedupDocs
+      .shingles(documents.where(!isBench), k)
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** [[overlapCounts]] plus the contamination verdict at `minOverlap`
+    * distinct shared shingles (int 0/1 for engine/oracle portability). */
+  def overlapFlags(documents: DataFrame, isBench: Column, k: Int, minOverlap: Int): DataFrame =
+    overlapCounts(documents, isBench, k)
+      .withColumn("contaminated", (col("n_overlap") >= minOverlap).cast("int"))
+
+  /** The decontaminated corpus: non-benchmark documents minus the flagged
+    * ones. The flagged id set is small by construction (contamination is
+    * the exception), so the anti-join broadcasts and the corpus is
+    * filtered without a shuffle. */
+  def clean(documents: DataFrame, isBench: Column, k: Int, minOverlap: Int): DataFrame = {
+    val flagged = overlapFlags(documents, isBench, k, minOverlap)
+      .where(col("contaminated") === 1)
+      .select("doc_id")
+    documents.where(!isBench).join(broadcast(flagged), Seq("doc_id"), "left_anti")
+  }
+}

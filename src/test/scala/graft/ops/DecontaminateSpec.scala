@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val k = 3
+
+  private def docs = Seq(
+    // benchmark slice: two docs, one shared shingle universe
+    (0L, "alpha beta gamma delta", "bench"),
+    (1L, "one two three four five", "bench"),
+    // corpus: overlaps bench doc 0 on 2 distinct shingles
+    (10L, "alpha beta gamma delta epsilon", "web"),
+    // corpus: repeats its only overlapping shingle — still counts ONCE
+    (11L, "one two three one two three", "web"),
+    // corpus: overlaps both bench docs
+    (12L, "alpha beta gamma one two three", "web"),
+    // corpus: no overlap
+    (13L, "zz yy xx ww vv", "web"),
+    // corpus: shorter than k tokens — no shingles at all
+    (14L, "zz yy", "web")
+  ).toDF("doc_id", "text", "source")
+
+  private val isBench = col("source") === "bench"
+
+  test("overlapCounts counts distinct shared shingles; zero-overlap docs omitted") {
+    val out = Decontaminate
+      .overlapCounts(docs, isBench, k)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // doc 10: "alpha beta gamma", "beta gamma delta" both in bench
+    // doc 11: "one two three" appears twice in the doc, once in bench → 1
+    // doc 12: "alpha beta gamma" + "one two three" → 2
+    assert(out == Map(10L -> 2L, 11L -> 1L, 12L -> 2L))
+  }
+
+  test("overlapFlags applies the minOverlap verdict as int") {
+    val out = Decontaminate
+      .overlapFlags(docs, isBench, k, minOverlap = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2))))
+      .toMap
+    assert(out == Map(10L -> ((2L, 1)), 11L -> ((1L, 0)), 12L -> ((2L, 1))))
+  }
+
+  test("clean drops benchmark docs and contaminated corpus docs only") {
+    val kept = Decontaminate
+      .clean(docs, isBench, k, minOverlap = 2)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    assert(kept.toSeq == Seq(11L, 13L, 14L))
+  }
+
+  test("null-source rows are excluded from both sides") {
+    val withNull = docs.union(
+      Seq((20L, "alpha beta gamma delta", null.asInstanceOf[String])).toDF("doc_id", "text", "source"))
+    val out = Decontaminate.overlapCounts(withNull, isBench, k)
+    assert(!out.collect().map(_.getLong(0)).contains(20L))
+  }
+
+  test("benchmark shingle set broadcasts (no shuffle of the corpus stream for the match)") {
+    val plan = Decontaminate
+      .overlapCounts(docs, isBench, k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"))
+  }
+}
