@@ -307,6 +307,11 @@ object SparkEntry {
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     DedupDocs.simhash(Tables.documents(s, dir))
 
+  /** Gopher-style n-gram repetition quality signals (one-pass native
+    * kernel; the oracle spells the explode/groupBy formulation). */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    Text.repetition(Tables.documents(s, dir))
+
   /** Benchmark decontamination: corpus docs sharing distinct word
     * 3-grams with the `src0` benchmark slice (broadcast shingle-set
     * semi-join, O(matches) aggregate; flagged at >= 5 shared shingles —
@@ -756,7 +761,8 @@ object SparkEntry {
     "q_frames" -> (qFrames _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_salted_join" -> (qSaltedJoin _),
-    "q_decontaminate" -> (qDecontaminate _)
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_repetition" -> (qRepetition _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1189,6 +1195,28 @@ object SparkEntry {
         |m AS (SELECT s.doc_id, COUNT(*) AS n_overlap
         |      FROM sh s JOIN bench b USING (shingle)
         |      WHERE s.source <> 'src0' GROUP BY s.doc_id)
-        |SELECT doc_id, n_overlap, CAST(n_overlap >= 5 AS INT) AS contaminated FROM m""".stripMargin
+        |SELECT doc_id, n_overlap, CAST(n_overlap >= 5 AS INT) AS contaminated FROM m""".stripMargin,
+    "q_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g1 AS (SELECT doc_id, t[i + 1] AS g FROM toks, unnest(generate_series(0, len(t) - 1)) AS u(i)),
+        |c1 AS (SELECT doc_id, g, COUNT(*) AS c FROM g1 GROUP BY doc_id, g),
+        |s1 AS (SELECT doc_id, SUM(c) AS total, MAX(c) AS top, COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup FROM c1 GROUP BY doc_id),
+        |g2 AS (SELECT doc_id, array_to_string(t[i + 1 : i + 2], ' ') AS g FROM toks, unnest(generate_series(0, len(t) - 2)) AS u(i)),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+        |s2 AS (SELECT doc_id, SUM(c) AS total, MAX(c) AS top, COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS g FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+        |s3 AS (SELECT doc_id, SUM(c) AS total, MAX(c) AS top, COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup FROM c3 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(s1.total, 0) AS BIGINT) AS n_tokens,
+        |       round(CAST(COALESCE(s1.dup, 0) AS DOUBLE) / greatest(COALESCE(s1.total, 0), 1), 4) AS dup_token_frac,
+        |       round(CAST(COALESCE(s2.top, 0) AS DOUBLE) / greatest(COALESCE(s2.total, 0), 1), 4) AS top_2gram_frac,
+        |       round(CAST(COALESCE(s2.dup, 0) AS DOUBLE) / greatest(COALESCE(s2.total, 0), 1), 4) AS dup_2gram_frac,
+        |       round(CAST(COALESCE(s3.top, 0) AS DOUBLE) / greatest(COALESCE(s3.total, 0), 1), 4) AS top_3gram_frac,
+        |       round(CAST(COALESCE(s3.dup, 0) AS DOUBLE) / greatest(COALESCE(s3.total, 0), 1), 4) AS dup_3gram_frac
+        |FROM documents d
+        |LEFT JOIN s1 ON s1.doc_id = d.doc_id
+        |LEFT JOIN s2 ON s2.doc_id = d.doc_id
+        |LEFT JOIN s3 ON s3.doc_id = d.doc_id""".stripMargin
   )
 }

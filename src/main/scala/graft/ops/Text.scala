@@ -144,6 +144,100 @@ object Text {
     documents.select(col("doc_id"), pickFirst.as("lang_pred"))
   }
 
+  /** Gopher-style repetition quality signals over word n-grams: the
+    * fraction of token occurrences whose token repeats, and for 2-/3-
+    * grams the most-frequent-gram fraction and the duplicated-gram
+    * occurrence fraction (all 4dp-rounded, 0.0 for docs shorter than n).
+    * High values mark boilerplate/templated text a pretraining pipeline
+    * down-weights or drops.
+    *
+    * One native kernel pass per document
+    * ([[graft.functions.RepetitionStats]] — all three n's share one
+    * tokenization, byte-exact span counting) instead of an explode →
+    * groupBy(doc, gram) → groupBy(doc) double exchange per n
+    * ([[repetitionExploded]], kept as the equivalence oracle — what the
+    * SQL oracle spells). Per-doc state is bounded by document length, so
+    * the whole operator is a stateless projection: no shuffle at any
+    * scale. */
+  def repetition(documents: DataFrame): DataFrame = {
+    val r = graft.functions.RepetitionStats.repetitionStats(col("text"), Seq(1, 2, 3))
+    def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      round(num.cast("double") / greatest(den, lit(1L)).cast("double"), 4)
+    documents
+      .select(col("doc_id"), r.as("__r"))
+      .select(
+        col("doc_id"),
+        col("__r").getItem(0).as("n_tokens"),
+        frac(col("__r").getItem(2), col("__r").getItem(0)).as("dup_token_frac"),
+        frac(col("__r").getItem(4), col("__r").getItem(3)).as("top_2gram_frac"),
+        frac(col("__r").getItem(5), col("__r").getItem(3)).as("dup_2gram_frac"),
+        frac(col("__r").getItem(7), col("__r").getItem(6)).as("top_3gram_frac"),
+        frac(col("__r").getItem(8), col("__r").getItem(6)).as("dup_3gram_frac")
+      )
+  }
+
+  /** The distributed explode/groupBy formulation [[repetition]] replaced
+    * — kept for the equivalence spec (and what the DuckDB oracle
+    * spells). */
+  private[graft] def repetitionExploded(documents: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    def gramStats(n: Int) = {
+      val grams = documents.select(
+        col("doc_id"),
+        explode(
+          when(
+            size(toks) >= n,
+            transform(
+              sequence(lit(0), size(toks) - n),
+              i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+            )
+          ).otherwise(array().cast("array<string>"))
+        ).as("g")
+      )
+      grams
+        .groupBy("doc_id", "g")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum("c").as("total"),
+          max("c").as("top"),
+          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup")
+        )
+    }
+    def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      round(num.cast("double") / greatest(den, lit(1L)).cast("double"), 4)
+    val s1 = gramStats(1)
+    val s2 = gramStats(2)
+    val s3 = gramStats(3)
+    documents
+      .select(col("doc_id"))
+      .join(s1, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("total"), lit(0L)).as("n_tokens"),
+        frac(coalesce(col("dup"), lit(0L)), coalesce(col("total"), lit(0L))).as("dup_token_frac")
+      )
+      .join(
+        s2.select(
+          col("doc_id"),
+          frac(col("top"), col("total")).as("top_2gram_frac"),
+          frac(col("dup"), col("total")).as("dup_2gram_frac")
+        ),
+        Seq("doc_id"),
+        "left"
+      )
+      .join(
+        s3.select(
+          col("doc_id"),
+          frac(col("top"), col("total")).as("top_3gram_frac"),
+          frac(col("dup"), col("total")).as("dup_3gram_frac")
+        ),
+        Seq("doc_id"),
+        "left"
+      )
+      .na.fill(0.0, Seq("top_2gram_frac", "dup_2gram_frac", "top_3gram_frac", "dup_3gram_frac"))
+  }
+
   /** The per-language interpreted-HOF formulation — kept for the spec. */
   private[graft] def langIdHof(documents: DataFrame, markers: Map[String, Seq[String]]): DataFrame = {
     val toks = split(col("text"), " ")
