@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ts.{Dedup, GapFill, Sessionize, Validation}
 import graft.spikes.Spikes
-import graft.ops.{Decontaminate, DedupDocs, Ivf, Similarity, Text}
+import graft.ops.{Decontaminate, DedupDocs, Ivf, Mixture, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -306,6 +306,23 @@ object SparkEntry {
   /** 64-bit SimHash over tokens. */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     DedupDocs.simhash(Tables.documents(s, dir))
+
+  /** Mixture weights for q_mixture: benchmark src0 and src6+ excluded,
+    * graded weights over five sources. */
+  private val mixtureWeights =
+    Map("src1" -> 1.0, "src2" -> 0.75, "src3" -> 0.5, "src4" -> 0.25, "src5" -> 0.1)
+
+  /** Deterministic hash-keyed weighted mixture sample (retry-stable —
+    * no rand()). */
+  private def qMixture(s: SparkSession, dir: String): DataFrame =
+    Mixture
+      .sample(Tables.documents(s, dir), mixtureWeights, salt = "mix1")
+      .select("doc_id", "source")
+
+  /** Greedy concat-and-chunk sequence packing: 512-token budget per
+    * source group. */
+  private def qPack(s: SparkSession, dir: String): DataFrame =
+    Mixture.packSequences(Tables.documents(s, dir), budget = 512, groupCols = Seq("source"))
 
   /** Gopher-style n-gram repetition quality signals (one-pass native
     * kernel; the oracle spells the explode/groupBy formulation). */
@@ -762,7 +779,9 @@ object SparkEntry {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_decontaminate" -> (qDecontaminate _),
-    "q_repetition" -> (qRepetition _)
+    "q_repetition" -> (qRepetition _),
+    "q_mixture" -> (qMixture _),
+    "q_pack" -> (qPack _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1217,6 +1236,19 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN s1 ON s1.doc_id = d.doc_id
         |LEFT JOIN s2 ON s2.doc_id = d.doc_id
-        |LEFT JOIN s3 ON s3.doc_id = d.doc_id""".stripMargin
+        |LEFT JOIN s3 ON s3.doc_id = d.doc_id""".stripMargin,
+    "q_mixture" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 <
+        |      CASE source WHEN 'src1' THEN 1.0 WHEN 'src2' THEN 0.75 WHEN 'src3' THEN 0.5
+        |                  WHEN 'src4' THEN 0.25 WHEN 'src5' THEN 0.1 ELSE 0.0 END""".stripMargin,
+    "q_pack" ->
+      """WITH d AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |o AS (SELECT doc_id, source, n_tokens,
+        |        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |      FROM d)
+        |SELECT doc_id, source, n_tokens, start_off,
+        |       start_off // 512 AS seq_id, start_off % 512 AS seq_off FROM o""".stripMargin
   )
 }

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mixture construction: deterministic per-source weighted
+  * sampling, and greedy sequence packing of documents into fixed token
+  * budgets.
+  *
+  * Sampling is HASH-derived, not RNG-derived, on purpose: `rand()` is
+  * not stable under task retry or repartitioning (a re-run task draws a
+  * different stream), so at 100 TB a failed executor would silently
+  * change the mixture. A content-keyed hash gives every row a permanent
+  * uniform draw — the same doc is kept or dropped on every run, retry,
+  * and engine (the SQL oracle reproduces it bit-for-bit) — and changing
+  * the salt re-rolls the whole mixture reproducibly. Both operators are
+  * narrow (projection/filter; window per group for packing): no shuffle
+  * for sampling at any scale.
+  */
+object Mixture {
+
+  /** Deterministic uniform draw in [0, 1): the first 8 md5 hex chars of
+    * `salt || id` as a 32-bit integer, scaled. Engine-portable (DuckDB:
+    * `('0x' || substr(md5(...), 1, 8))::UBIGINT / 2^32`). */
+  def uniformHash(salt: String, id: Column): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+
+  /** Per-source weighted sample: keep a row iff its uniform draw is
+    * under the source's weight (sources absent from `weights` get 0 and
+    * are dropped — e.g. a benchmark slice). A weight of 1.0 keeps the
+    * source whole. */
+  def sample(
+      documents: DataFrame,
+      weights: Map[String, Double],
+      salt: String,
+      sourceCol: String = "source"
+  ): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
+      s"weights must be in [0, 1], got $weights")
+    val w = weights.toSeq
+      .sortBy(_._1)
+      .foldLeft(Option.empty[Column]) {
+        case (None, (src, wt)) => Some(when(col(sourceCol) === src, lit(wt)))
+        case (Some(c), (src, wt)) => Some(c.when(col(sourceCol) === src, lit(wt)))
+      }
+      .fold(lit(0.0))(_.otherwise(lit(0.0)))
+    documents.where(uniformHash(salt, col("doc_id")) < w)
+  }
+
+  /** Greedy sequence packing (the standard pretraining concat-and-chunk):
+    * documents are concatenated per group in `orderCol` order and the
+    * token stream is cut into `budget`-token sequences; each doc reports
+    * the sequence it STARTS in and its offset there. Window per group —
+    * embarrassingly parallel across groups (the 100 TB axis: source /
+    * shard); a single giant group degrades to one sort, for which the
+    * two-pass running-sum shape (W1 / q_running_sum machinery) is the
+    * escape hatch. */
+  def packSequences(
+      documents: DataFrame,
+      budget: Int,
+      groupCols: Seq[String],
+      orderCol: String = "doc_id"
+  ): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(
+        (col(orderCol) +: groupCols.map(col) :+
+          size(split(col("text"), " ")).cast("long").as("n_tokens")): _*
+      )
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"start_off div $budget"))
+      .withColumn("seq_off", col("start_off") % budget)
+  }
+}

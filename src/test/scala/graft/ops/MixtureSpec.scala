@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int, sources: Seq[String]) =
+    (0 until n).map(i => (i.toLong, s"tok$i text", sources(i % sources.length)))
+      .toDF("doc_id", "text", "source")
+
+  test("sample is deterministic and respects weight 1.0 / 0.0 exactly") {
+    val df = docs(200, Seq("keep", "drop", "half"))
+    val weights = Map("keep" -> 1.0, "half" -> 0.5) // "drop" absent → 0
+    val out1 = Mixture.sample(df, weights, "s1").select("doc_id").collect().map(_.getLong(0)).sorted
+    val out2 = Mixture.sample(df, weights, "s1").select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out1.sameElements(out2), "same salt must give identical samples")
+    val bySrc = Mixture.sample(df, weights, "s1").groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.getOrElse("keep", 0L) == 67L, "weight 1.0 keeps every row")
+    assert(!bySrc.contains("drop"), "absent source drops every row")
+    val halfRate = bySrc.getOrElse("half", 0L).toDouble / 66.0
+    assert(halfRate > 0.3 && halfRate < 0.7, s"weight 0.5 rate was $halfRate")
+  }
+
+  test("different salts re-roll the mixture") {
+    val df = docs(300, Seq("a"))
+    val s1 = Mixture.sample(df, Map("a" -> 0.5), "salt-one").collect().map(_.getLong(0)).toSet
+    val s2 = Mixture.sample(df, Map("a" -> 0.5), "salt-two").collect().map(_.getLong(0)).toSet
+    assert(s1 != s2)
+  }
+
+  test("sample rejects out-of-range weights") {
+    val df = docs(4, Seq("a"))
+    intercept[IllegalArgumentException](Mixture.sample(df, Map("a" -> 1.5), "s"))
+  }
+
+  test("packSequences: directed packing with a doc straddling the budget") {
+    // per-group token stream: 3 + 4 + 2 tokens, budget 5:
+    // doc 0 starts seq 0 off 0; doc 1 starts seq 0 off 3 (straddles into
+    // seq 1); doc 2 starts at global offset 7 → seq 1 off 2
+    val df = Seq(
+      (0L, "a b c", "g1"),
+      (1L, "d e f g", "g1"),
+      (2L, "h i", "g1"),
+      (10L, "x y z w v u", "g2") // independent group restarts at 0
+    ).toDF("doc_id", "text", "source")
+    val out = Mixture.packSequences(df, budget = 5, groupCols = Seq("source"))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 3L, 0L, 0L, 0L),
+      (1L, 4L, 3L, 0L, 3L),
+      (2L, 2L, 7L, 1L, 2L),
+      (10L, 6L, 0L, 0L, 0L)
+    ))
+  }
+
+  test("packSequences seq_off is always under the budget") {
+    val df = docs(100, Seq("a", "b"))
+    val bad = Mixture.packSequences(df, budget = 7, groupCols = Seq("source"))
+      .where(col("seq_off") >= 7 || col("seq_off") < 0 || col("seq_id") < 0)
+    assert(bad.count() == 0)
+  }
+}
