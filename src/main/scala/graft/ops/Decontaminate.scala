@@ -24,15 +24,25 @@ object Decontaminate {
   /** Per-document count of DISTINCT word k-shingles shared with the
     * benchmark set. Documents with zero overlap are omitted — at scale
     * that is almost everyone, and emitting them would turn the O(matches)
-    * aggregate into an O(corpus) join. */
+    * aggregate into an O(corpus) join.
+    *
+    * The broadcast is COUNT-GATED, not forced ([[graft.spikes.Spikes
+    * .broadcastIfSmall]] — same guard as the patch-gather join): an
+    * oversized benchmark side degrades to a shuffled semi-join instead
+    * of OOMing the driver. The exact distinct-shingle count costs one
+    * extra aggregate over the bench slice — by assumption the small
+    * side, and when it isn't, the fallback it buys is exactly what's
+    * needed. */
   def overlapCounts(documents: DataFrame, isBench: Column, k: Int): DataFrame = {
     val benchShingles =
       DedupDocs.shingles(documents.where(isBench), k).select("shingle").distinct()
+    val gated =
+      graft.spikes.Spikes.broadcastIfSmall(benchShingles, benchShingles.count())
     // shingles are distinct per doc already, so count(*) IS the distinct
     // overlap count
     DedupDocs
       .shingles(documents.where(!isBench), k)
-      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .join(gated, Seq("shingle"), "left_semi")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))
   }

@@ -70,4 +70,17 @@ class DecontaminateSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"))
   }
+
+  test("an oversized benchmark side degrades to a shuffled semi-join, same result") {
+    val expected = Decontaminate.overlapCounts(docs, isBench, k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // every side is now "too big" for the gate
+      val out = Decontaminate.overlapCounts(docs, isBench, k)
+      assert(!out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      assert(out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+    } finally spark.conf.set(key, old)
+  }
 }
