@@ -329,6 +329,11 @@ object SparkEntry {
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
     Text.repetition(Tables.documents(s, dir))
 
+  /** Corpus-level vocabulary mining: top-10 word 3-grams per source
+    * (deterministic count-desc/gram-asc order). */
+  private def qTopNgrams(s: SparkSession, dir: String): DataFrame =
+    Text.topNgrams(Tables.documents(s, dir), n = 3, k = 10)
+
   /** Benchmark decontamination: corpus docs sharing distinct word
     * 3-grams with the `src0` benchmark slice (broadcast shingle-set
     * semi-join, O(matches) aggregate; flagged at >= 5 shared shingles —
@@ -781,7 +786,8 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_repetition" -> (qRepetition _),
     "q_mixture" -> (qMixture _),
-    "q_pack" -> (qPack _)
+    "q_pack" -> (qPack _),
+    "q_top_ngrams" -> (qTopNgrams _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1249,6 +1255,15 @@ object SparkEntry {
         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
         |      FROM d)
         |SELECT doc_id, source, n_tokens, start_off,
-        |       start_off // 512 AS seq_id, start_off % 512 AS seq_off FROM o""".stripMargin
+        |       start_off // 512 AS seq_id, start_off % 512 AS seq_off FROM o""".stripMargin,
+    "q_top_ngrams" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT source, array_to_string(t[i + 1 : i + 3], ' ') AS ngram
+        |      FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
+        |c AS (SELECT source, ngram, COUNT(*) AS n_occurrences FROM g GROUP BY source, ngram),
+        |r AS (SELECT source, ngram, n_occurrences,
+        |        row_number() OVER (PARTITION BY source ORDER BY n_occurrences DESC, ngram ASC) AS rank
+        |      FROM c)
+        |SELECT source, ngram, n_occurrences, rank FROM r WHERE rank <= 10""".stripMargin
   )
 }

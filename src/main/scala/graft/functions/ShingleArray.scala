@@ -24,8 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * yield an EMPTY array (explode drops them, matching the HOF form's
   * when-guard). Same family as [[MinHashSig]] — CodegenFallback because
   * the per-row work (token scan + hash-set dedup) dwarfs fallback boxing.
+  *
+  * `dedup = false` emits EVERY occurrence in order (the HOF chain minus
+  * `array_distinct`) — the shape corpus-level n-gram COUNTING needs
+  * ([[graft.ops.Text.topNgrams]]), where dropping repeats would drop the
+  * counts themselves.
   */
-case class ShingleArray(child: Expression, k: Int)
+case class ShingleArray(child: Expression, k: Int, dedup: Boolean = true)
     extends UnaryExpression
     with CodegenFallback {
 
@@ -55,12 +60,12 @@ case class ShingleArray(child: Expression, k: Int)
     }
     val t = starts.length
     if (t < k) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.HashSet[UTF8String](t * 2)
+    val seen = if (dedup) new java.util.HashSet[UTF8String](t * 2) else null
     val out = new scala.collection.mutable.ArrayBuffer[Any](t - k + 1)
     var sh = 0
     while (sh <= t - k) {
       val sgl = UTF8String.fromBytes(bytes, starts(sh), ends(sh + k - 1) - starts(sh))
-      if (seen.add(sgl)) out += sgl
+      if (seen == null || seen.add(sgl)) out += sgl
       sh += 1
     }
     new GenericArrayData(out.toArray)
@@ -73,19 +78,22 @@ case class ShingleArray(child: Expression, k: Int)
 object ShingleArray {
 
   /** Column-level surface. */
-  def shingleArray(text: Column, k: Int): Column =
-    Bridge.column(ShingleArray(Bridge.expression(text), k))
+  def shingleArray(text: Column, k: Int, dedup: Boolean = true): Column =
+    Bridge.column(ShingleArray(Bridge.expression(text), k, dedup))
 
-  /** Arity-checked SQL builder: `shingle_array(text, k)` with a foldable
-    * integer literal k. */
+  /** Arity-checked SQL builder: `shingle_array(text, k[, dedup])` with
+    * foldable literals. */
   def builder(children: Seq[Expression]): Expression = children match {
     case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
       ShingleArray(t, k)
+    case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _),
+        org.apache.spark.sql.catalyst.expressions.Literal(d: Boolean, _)) =>
+      ShingleArray(t, k, d)
     case Seq(_, other) =>
       throw Bridge.analysisError(
         s"shingle_array k must be an integer literal, got ${other.sql}")
     case other =>
       throw Bridge.analysisError(
-        s"shingle_array expects 2 arguments (text, k), got ${other.length}")
+        s"shingle_array expects (text, k) or (text, k, dedup) with literal args, got ${other.length} args")
   }
 }

@@ -48,4 +48,27 @@ class ShingleArraySpec extends SparkSpec {
       compare(texts, 1 + rnd.nextInt(4))
     }
   }
+
+  test("dedup=false emits every occurrence in order (HOF chain minus array_distinct)") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(9291)
+    val texts = Seq("a b a b a b", "x  y x  y", "", "solo", "数据 引擎 数据 引擎") ++
+      (1 to 30).map { _ =>
+        (0 until rnd.nextInt(20)).map(_ => Seq("a", "bb", "", "c")(rnd.nextInt(4))).mkString(" ")
+      }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    (1 to 3).foreach { k =>
+      val toks = split(col("text"), " ")
+      val native = df.select(col("doc_id"),
+        ShingleArray.shingleArray(col("text"), k, dedup = false).as("g"))
+      val hof = df.select(col("doc_id"),
+        when(size(toks) >= k,
+          transform(sequence(lit(0), size(toks) - k),
+            i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+          .otherwise(array().cast("array<string>")).as("g"))
+      def canon(out: org.apache.spark.sql.DataFrame) =
+        out.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[String](1).toList)).toList
+      assert(canon(native) == canon(hof), s"k=$k")
+    }
+  }
 }

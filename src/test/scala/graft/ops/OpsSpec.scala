@@ -56,6 +56,44 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1L)))
   }
 
+  test("topNgrams ranks per group by count with deterministic tie-break") {
+    val df = Seq(
+      (0L, "a b a b a b", "s1"), // bigrams in s1: "a b"×3, "b a"×2
+      (1L, "c d", "s1"),
+      (2L, "z z z", "s2") // "z z"×2
+    ).toDF("doc_id", "text", "source")
+    val out = Text.topNgrams(df, n = 2, k = 2, groupCols = Seq("source"))
+      .orderBy("source", "rank")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      ("s1", "a b", 3L, 1),
+      ("s1", "b a", 2L, 2), // beats "c d" (count 1); ties break gram-asc
+      ("s2", "z z", 2L, 1)
+    ))
+  }
+
+  test("topNgrams minCount prunes before the rank window") {
+    val df = Seq((0L, "a b a b c d", "s1")).toDF("doc_id", "text", "source")
+    val out = Text.topNgrams(df, n = 2, k = 10, minCount = 2L)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a b", 2L)))
+  }
+
+  test("topNgrams kernel form equals the HOF formulation") {
+    val rnd = new scala.util.Random(6553)
+    val df = (0 until 60).map { i =>
+      val text = (0 until rnd.nextInt(30))
+        .map(_ => Seq("a", "b", "cc", "")(rnd.nextInt(4))).mkString(" ")
+      (i.toLong, text, s"s${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.orderBy("source", "rank").collect().map(_.toSeq).toList
+    (1 to 3).foreach { n =>
+      assert(canon(Text.topNgrams(df, n, 5)) == canon(Text.topNgramsHof(df, n, 5)), s"n=$n")
+    }
+  }
+
   test("token stats") {
     val df = Seq((0L, "the cat the hat")).toDF("doc_id", "text")
     val r = Text.tokenStats(df).first()
