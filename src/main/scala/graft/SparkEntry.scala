@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ts.{Dedup, GapFill, Sessionize, Validation}
 import graft.spikes.Spikes
-import graft.ops.{Decontaminate, DedupDocs, Ivf, Mixture, Similarity, Text}
+import graft.ops.{Curation, Decontaminate, DedupDocs, Ivf, Mixture, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -333,6 +333,24 @@ object SparkEntry {
     * (deterministic count-desc/gram-asc order). */
   private def qTopNgrams(s: SparkSession, dir: String): DataFrame =
     Text.topNgrams(Tables.documents(s, dir), n = 3, k = 10)
+
+  /** The full curation chain end-to-end (quality → repetition →
+    * decontamination → dedup → mixture → packing), gates calibrated on
+    * the sf0.01 distributions so every stage bites. */
+  private def qCurate(s: SparkSession, dir: String): DataFrame =
+    Curation
+      .curate(
+        Tables.documents(s, dir),
+        isBench = col("source") === "src0",
+        Curation.Config(
+          minStopwordRatio = 0.02,
+          maxMeanWordLen = 5.0,
+          maxDup2gramFrac = 0.15,
+          weights = mixtureWeights,
+          salt = "curate1"
+        )
+      )
+      .select("doc_id", "source", "n_tokens", "start_off", "seq_id", "seq_off")
 
   /** Benchmark decontamination: corpus docs sharing distinct word
     * 3-grams with the `src0` benchmark slice (broadcast shingle-set
@@ -787,7 +805,8 @@ object SparkEntry {
     "q_repetition" -> (qRepetition _),
     "q_mixture" -> (qMixture _),
     "q_pack" -> (qPack _),
-    "q_top_ngrams" -> (qTopNgrams _)
+    "q_top_ngrams" -> (qTopNgrams _),
+    "q_curate" -> (qCurate _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1264,6 +1283,35 @@ object SparkEntry {
         |r AS (SELECT source, ngram, n_occurrences,
         |        row_number() OVER (PARTITION BY source ORDER BY n_occurrences DESC, ngram ASC) AS rank
         |      FROM c)
-        |SELECT source, ngram, n_occurrences, rank FROM r WHERE rank <= 10""".stripMargin
+        |SELECT source, ngram, n_occurrences, rank FROM r WHERE rank <= 10""".stripMargin,
+    "q_curate" ->
+      """WITH toks AS (SELECT doc_id, text, source, string_split(text, ' ') AS t FROM documents),
+        |q AS (SELECT doc_id, text, source, t,
+        |        len(list_filter(t, x -> x IN ('the', 'a'))) / CAST(len(t) AS DOUBLE) AS stop_ratio,
+        |        length(replace(text, ' ', '')) / CAST(len(t) AS DOUBLE) AS mwl
+        |      FROM toks),
+        |g2 AS (SELECT doc_id, array_to_string(t[i + 1 : i + 2], ' ') AS g FROM toks, unnest(generate_series(0, len(t) - 2)) AS u(i)),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+        |d2 AS (SELECT doc_id, CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS DOUBLE) / SUM(c) AS dup2 FROM c2 GROUP BY doc_id),
+        |gated AS (SELECT q.doc_id, q.text, q.source, q.t FROM q LEFT JOIN d2 ON d2.doc_id = q.doc_id
+        |          WHERE q.stop_ratio BETWEEN 0.02 AND 1.0 AND q.mwl BETWEEN 0.0 AND 5.0 AND COALESCE(d2.dup2, 0) <= 0.15),
+        |sh AS (SELECT DISTINCT doc_id, source, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+        |       FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+        |cm AS (SELECT s.doc_id, COUNT(*) AS n_overlap FROM sh s JOIN bench b USING (shingle)
+        |       WHERE s.source <> 'src0' AND s.doc_id IN (SELECT doc_id FROM gated) GROUP BY s.doc_id),
+        |cleaned AS (SELECT * FROM gated WHERE source <> 'src0'
+        |            AND doc_id NOT IN (SELECT doc_id FROM cm WHERE n_overlap >= 5)),
+        |dd AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM cleaned),
+        |samp AS (SELECT doc_id, source, t FROM dd WHERE rn = 1
+        |         AND ('0x' || substr(md5('curate1' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 <
+        |             CASE source WHEN 'src1' THEN 1.0 WHEN 'src2' THEN 0.75 WHEN 'src3' THEN 0.5
+        |                         WHEN 'src4' THEN 0.25 WHEN 'src5' THEN 0.1 ELSE 0.0 END),
+        |p AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens,
+        |        CAST(COALESCE(SUM(CAST(len(t) AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |      FROM samp)
+        |SELECT doc_id, source, n_tokens, start_off,
+        |       start_off // 512 AS seq_id, start_off % 512 AS seq_off FROM p""".stripMargin
   )
 }

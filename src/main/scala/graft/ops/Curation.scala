@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the standard pretraining data-prep chain
+  * as ONE composable operator, the way the reference composes its spike
+  * chain (G5) from A3→P5→W2→W3→W4. Stages, in pipeline order:
+  *
+  *  1. quality gate — stopword ratio + mean word length bounds
+  *     (one [[graft.functions.TokenSetCounts]] pass);
+  *  2. repetition gate — duplicated-2-gram occurrence fraction bound
+  *     (one [[graft.functions.RepetitionStats]] pass);
+  *  3. benchmark decontamination ([[Decontaminate.clean]]);
+  *  4. exact dedup keep-first (first = min id per content md5);
+  *  5. deterministic weighted mixture sampling ([[Mixture.sample]]);
+  *  6. greedy sequence packing ([[Mixture.packSequences]]).
+  *
+  * Physical shape: stages 1–2 fuse into a single stateless projection +
+  * filter over the scan (both kernels are per-row — no self-joins
+  * against the stats queries); 3 is a broadcast semi-join + O(matches)
+  * aggregate; 4 is the chain's one corpus-wide shuffle (on the content
+  * hash); 5 is a hash filter; 6 windows per source. At 100 TB nothing
+  * here materializes more than once, and only stage 4 moves the
+  * surviving corpus.
+  */
+object Curation {
+
+  /** Gate thresholds + mixture parameters; defaults are permissive. */
+  case class Config(
+      minStopwordRatio: Double = 0.0,
+      maxStopwordRatio: Double = 1.0,
+      minMeanWordLen: Double = 0.0,
+      maxMeanWordLen: Double = Double.MaxValue,
+      maxDup2gramFrac: Double = 1.0,
+      stopwords: Seq[String] = Seq("the", "a"),
+      decontaminateK: Int = 3,
+      decontaminateMinOverlap: Int = 5,
+      weights: Map[String, Double] = Map.empty,
+      salt: String = "curate",
+      packBudget: Int = 512
+  )
+
+  /** The curated, packed corpus: survivors of every gate, with their
+    * sequence assignment (`seq_id`, `seq_off`) and kept doc columns. */
+  def curate(documents: DataFrame, isBench: Column, cfg: Config): DataFrame = {
+    // stages 1+2: one projection computes every per-row signal, one
+    // filter applies the gates — no joins, no shuffle
+    val nTok = size(split(col("text"), " ")).cast("double")
+    val nStop = graft.functions.TokenSetCounts
+      .tokenSetCounts(col("text"), Seq(cfg.stopwords))
+      .getItem(0)
+      .cast("double")
+    val rep = graft.functions.RepetitionStats.repetitionStats(col("text"), Seq(2))
+    val gated = documents
+      .withColumn("__stop_ratio", nStop / nTok)
+      .withColumn(
+        "__mean_wlen",
+        length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+      )
+      .withColumn(
+        "__dup2",
+        rep.getItem(2).cast("double") / greatest(rep.getItem(0), lit(1L)).cast("double")
+      )
+      .where(
+        col("__stop_ratio").between(cfg.minStopwordRatio, cfg.maxStopwordRatio) &&
+          col("__mean_wlen").between(cfg.minMeanWordLen, cfg.maxMeanWordLen) &&
+          col("__dup2") <= cfg.maxDup2gramFrac
+      )
+      .drop("__stop_ratio", "__mean_wlen", "__dup2")
+
+    // stage 3: decontaminate the gated corpus against the UNGATED
+    // benchmark slice — the eval set must be matched whole, so the bench
+    // side comes from `documents`, not `gated`
+    val cleaned = Decontaminate.cleanAgainst(
+      gated.where(!isBench),
+      documents.where(isBench),
+      cfg.decontaminateK,
+      cfg.decontaminateMinOverlap
+    )
+
+    // stage 4: exact dedup keep-first — the chain's one corpus shuffle
+    val byContent = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+    val deduped = cleaned
+      .withColumn("__rn", row_number().over(byContent))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+
+    // stages 5+6
+    val sampled = Mixture.sample(deduped, cfg.weights, cfg.salt)
+    Mixture
+      .packSequences(sampled, cfg.packBudget, groupCols = Seq("source"))
+      .join(sampled, Seq("doc_id", "source"))
+  }
+}

@@ -18,34 +18,41 @@ import org.apache.spark.sql.functions._
   * collapses each doc to a single row before the exchange — the shuffle
   * is O(docs with ≥1 match), and zero-overlap documents (the vast
   * majority at scale) never enter it at all.
+  *
+  * The `*Against` forms take corpus and benchmark as separate frames
+  * (the deployment shape — eval suites live in their own table); the
+  * `isBench`-predicate forms carve both out of one frame.
   */
 object Decontaminate {
 
-  /** Per-document count of DISTINCT word k-shingles shared with the
-    * benchmark set. Documents with zero overlap are omitted — at scale
-    * that is almost everyone, and emitting them would turn the O(matches)
-    * aggregate into an O(corpus) join.
-    *
-    * The broadcast is COUNT-GATED, not forced ([[graft.spikes.Spikes
-    * .broadcastIfSmall]] — same guard as the patch-gather join): an
-    * oversized benchmark side degrades to a shuffled semi-join instead
-    * of OOMing the driver. The exact distinct-shingle count costs one
-    * extra aggregate over the bench slice — by assumption the small
-    * side, and when it isn't, the fallback it buys is exactly what's
-    * needed. */
-  def overlapCounts(documents: DataFrame, isBench: Column, k: Int): DataFrame = {
-    val benchShingles =
-      DedupDocs.shingles(documents.where(isBench), k).select("shingle").distinct()
+  /** Per-corpus-document count of DISTINCT word k-shingles shared with
+    * the benchmark frame. Documents with zero overlap are omitted — at
+    * scale that is almost everyone, and emitting them would turn the
+    * O(matches) aggregate into an O(corpus) join. */
+  def overlapCountsAgainst(corpus: DataFrame, bench: DataFrame, k: Int): DataFrame = {
+    val benchShingles = DedupDocs.shingles(bench, k).select("shingle").distinct()
+    // COUNT-GATED broadcast, not forced ([[graft.spikes.Spikes
+    // .broadcastIfSmall]] — same guard as the patch-gather join): an
+    // oversized benchmark side degrades to a shuffled semi-join instead
+    // of OOMing the driver. The exact distinct-shingle count costs one
+    // extra aggregate over the bench slice — by assumption the small
+    // side, and when it isn't, the fallback it buys is exactly what's
+    // needed.
     val gated =
       graft.spikes.Spikes.broadcastIfSmall(benchShingles, benchShingles.count())
     // shingles are distinct per doc already, so count(*) IS the distinct
     // overlap count
     DedupDocs
-      .shingles(documents.where(!isBench), k)
+      .shingles(corpus, k)
       .join(gated, Seq("shingle"), "left_semi")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))
   }
+
+  /** [[overlapCountsAgainst]] with corpus/benchmark carved out of one
+    * frame by the `isBench` predicate. */
+  def overlapCounts(documents: DataFrame, isBench: Column, k: Int): DataFrame =
+    overlapCountsAgainst(documents.where(!isBench), documents.where(isBench), k)
 
   /** [[overlapCounts]] plus the contamination verdict at `minOverlap`
     * distinct shared shingles (int 0/1 for engine/oracle portability). */
@@ -53,14 +60,19 @@ object Decontaminate {
     overlapCounts(documents, isBench, k)
       .withColumn("contaminated", (col("n_overlap") >= minOverlap).cast("int"))
 
-  /** The decontaminated corpus: non-benchmark documents minus the flagged
-    * ones. The flagged id set is small by construction (contamination is
-    * the exception), so the anti-join broadcasts and the corpus is
-    * filtered without a shuffle. */
-  def clean(documents: DataFrame, isBench: Column, k: Int, minOverlap: Int): DataFrame = {
-    val flagged = overlapFlags(documents, isBench, k, minOverlap)
-      .where(col("contaminated") === 1)
+  /** The decontaminated corpus: `corpus` minus documents with at least
+    * `minOverlap` distinct shingles shared with `bench`. The flagged id
+    * set is small by construction (contamination is the exception), so
+    * the anti-join broadcasts and the corpus is filtered without a
+    * shuffle. */
+  def cleanAgainst(corpus: DataFrame, bench: DataFrame, k: Int, minOverlap: Int): DataFrame = {
+    val flagged = overlapCountsAgainst(corpus, bench, k)
+      .where(col("n_overlap") >= minOverlap)
       .select("doc_id")
-    documents.where(!isBench).join(broadcast(flagged), Seq("doc_id"), "left_anti")
+    corpus.join(broadcast(flagged), Seq("doc_id"), "left_anti")
   }
+
+  /** [[cleanAgainst]] with corpus/benchmark carved out of one frame. */
+  def clean(documents: DataFrame, isBench: Column, k: Int, minOverlap: Int): DataFrame =
+    cleanAgainst(documents.where(!isBench), documents.where(isBench), k, minOverlap)
 }
