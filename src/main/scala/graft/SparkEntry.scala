@@ -322,7 +322,9 @@ object SparkEntry {
   /** Greedy concat-and-chunk sequence packing: 512-token budget per
     * source group. */
   private def qPack(s: SparkSession, dir: String): DataFrame =
-    Mixture.packSequences(Tables.documents(s, dir), budget = 512, groupCols = Seq("source"))
+    Mixture
+      .packSequences(Tables.documents(s, dir), budget = 512, groupCols = Seq("source"))
+      .select("doc_id", "source", "n_tokens", "start_off", "seq_id", "seq_off")
 
   /** Gopher-style n-gram repetition quality signals (one-pass native
     * kernel; the oracle spells the explode/groupBy formulation). */

@@ -42,8 +42,12 @@ object Curation {
       packBudget: Int = 512
   )
 
-  /** The curated, packed corpus: survivors of every gate, with their
-    * sequence assignment (`seq_id`, `seq_off`) and kept doc columns. */
+  /** The curated corpus's packed-sequence assignment: one row per
+    * surviving document — (doc_id, source, n_tokens, start_off, seq_id,
+    * seq_off). Deliberately NARROW: re-attaching text through the pack
+    * window's sort measured 2× the whole chain at 100×, and a join-back
+    * inside the operator re-executes stages 1–5 for the second consumer
+    * — callers needing payloads join documents once at write time. */
   def curate(documents: DataFrame, isBench: Column, cfg: Config): DataFrame = {
     // stages 1+2: one projection computes every per-row signal, one
     // filter applies the gates — no joins, no shuffle
@@ -87,10 +91,8 @@ object Curation {
       .where(col("__rn") === 1)
       .drop("__rn")
 
-    // stages 5+6
+    // stages 5+6 — narrow assignment out (see scaladoc)
     val sampled = Mixture.sample(deduped, cfg.weights, cfg.salt)
-    Mixture
-      .packSequences(sampled, cfg.packBudget, groupCols = Seq("source"))
-      .join(sampled, Seq("doc_id", "source"))
+    Mixture.packSequences(sampled, cfg.packBudget, groupCols = Seq("source"))
   }
 }

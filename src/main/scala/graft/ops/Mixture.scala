@@ -56,7 +56,16 @@ object Mixture {
     * embarrassingly parallel across groups (the 100 TB axis: source /
     * shard); a single giant group degrades to one sort, for which the
     * two-pass running-sum shape (W1 / q_running_sum machinery) is the
-    * escape hatch. */
+    * escape hatch.
+    *
+    * Output is the NARROW assignment (`orderCol`, groupCols, `n_tokens`,
+    * `start_off`, `seq_id`, `seq_off`) on purpose: the window's exchange
+    * sorts its whole input, and a measured A/B at 100× showed carrying
+    * the text payload through that sort costs 2× the entire chain
+    * (8.3 s vs 4.1 s in q_curate) — more than even re-executing the
+    * upstream plan for a join-back. Callers who want payloads beside
+    * the assignment should join ONCE at write time (a hash exchange,
+    * not a sort). */
   def packSequences(
       documents: DataFrame,
       budget: Int,

@@ -40,8 +40,8 @@ class CurationSpec extends SparkSpec {
     // (6 tokens) starts at global offset 7 → seq 1, off 3 (budget 4)
     assert(byId(10L) == ((7L, 0L, 0L, 0L)))
     assert(byId(14L) == ((6L, 7L, 1L, 3L)))
-    // doc columns survive the chain
-    assert(out.forall(r => r.getAs[String]("text").nonEmpty))
+    // narrow assignment out: payloads are a write-time join, not carried
+    assert(!out.head.schema.fieldNames.contains("text"))
   }
 
   test("permissive config keeps every non-bench doc with weight 1.0") {

@@ -49,7 +49,8 @@ class MixtureSpec extends SparkSpec {
     val out = Mixture.packSequences(df, budget = 5, groupCols = Seq("source"))
       .orderBy("doc_id")
       .collect()
-      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("start_off"), r.getAs[Long]("seq_id"), r.getAs[Long]("seq_off")))
     assert(out.toSeq == Seq(
       (0L, 3L, 0L, 0L, 0L),
       (1L, 4L, 3L, 0L, 3L),
