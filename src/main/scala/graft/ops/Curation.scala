@@ -42,37 +42,31 @@ object Curation {
       packBudget: Int = 512
   )
 
-  /** The curated corpus's packed-sequence assignment: one row per
-    * surviving document — (doc_id, source, n_tokens, start_off, seq_id,
-    * seq_off). Deliberately NARROW: re-attaching text through the pack
-    * window's sort measured 2× the whole chain at 100×, and a join-back
-    * inside the operator re-executes stages 1–5 for the second consumer
-    * — callers needing payloads join documents once at write time. */
-  def curate(documents: DataFrame, isBench: Column, cfg: Config): DataFrame = {
-    // stages 1+2: one projection computes every per-row signal, one
-    // filter applies the gates — no joins, no shuffle
+  /** Stages 1+2 as one boolean Column over `text` — shared verbatim by
+    * the batch and streaming forms (both kernels are per-row, so the
+    * whole gate is a stateless filter). */
+  private[graft] def gatePredicate(cfg: Config): Column = {
     val nTok = size(split(col("text"), " ")).cast("double")
     val nStop = graft.functions.TokenSetCounts
       .tokenSetCounts(col("text"), Seq(cfg.stopwords))
       .getItem(0)
       .cast("double")
     val rep = graft.functions.RepetitionStats.repetitionStats(col("text"), Seq(2))
-    val gated = documents
-      .withColumn("__stop_ratio", nStop / nTok)
-      .withColumn(
-        "__mean_wlen",
-        length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
-      )
-      .withColumn(
-        "__dup2",
-        rep.getItem(2).cast("double") / greatest(rep.getItem(0), lit(1L)).cast("double")
-      )
-      .where(
-        col("__stop_ratio").between(cfg.minStopwordRatio, cfg.maxStopwordRatio) &&
-          col("__mean_wlen").between(cfg.minMeanWordLen, cfg.maxMeanWordLen) &&
-          col("__dup2") <= cfg.maxDup2gramFrac
-      )
-      .drop("__stop_ratio", "__mean_wlen", "__dup2")
+    val dup2 = rep.getItem(2).cast("double") / greatest(rep.getItem(0), lit(1L)).cast("double")
+    (nStop / nTok).between(cfg.minStopwordRatio, cfg.maxStopwordRatio) &&
+      (length(regexp_replace(col("text"), " ", "")).cast("double") / nTok)
+        .between(cfg.minMeanWordLen, cfg.maxMeanWordLen) &&
+      dup2 <= cfg.maxDup2gramFrac
+  }
+
+  /** Stages 1–5 (everything but packing): the screened, sampled corpus
+    * with full doc columns — the chain's reusable prefix (and what the
+    * STREAMING form, [[graft.streaming.Streaming.curateStream]], mirrors
+    * stage for stage; packing is a global prefix sum and stays batch). */
+  def screen(documents: DataFrame, isBench: Column, cfg: Config): DataFrame = {
+    // stages 1+2: one stateless kernel projection + filter — no joins,
+    // no shuffle
+    val gated = documents.where(gatePredicate(cfg))
 
     // stage 3: decontaminate the gated corpus against the UNGATED
     // benchmark slice — the eval set must be matched whole, so the bench
@@ -91,8 +85,20 @@ object Curation {
       .where(col("__rn") === 1)
       .drop("__rn")
 
-    // stages 5+6 — narrow assignment out (see scaladoc)
-    val sampled = Mixture.sample(deduped, cfg.weights, cfg.salt)
-    Mixture.packSequences(sampled, cfg.packBudget, groupCols = Seq("source"))
+    // stage 5
+    Mixture.sample(deduped, cfg.weights, cfg.salt)
   }
+
+  /** The curated corpus's packed-sequence assignment: one row per
+    * surviving document — (doc_id, source, n_tokens, start_off, seq_id,
+    * seq_off). Deliberately NARROW: re-attaching text through the pack
+    * window's sort measured 2× the whole chain at 100×, and a join-back
+    * inside the operator re-executes stages 1–5 for the second consumer
+    * — callers needing payloads join documents once at write time. */
+  def curate(documents: DataFrame, isBench: Column, cfg: Config): DataFrame =
+    Mixture.packSequences(
+      screen(documents, isBench, cfg),
+      cfg.packBudget,
+      groupCols = Seq("source")
+    )
 }

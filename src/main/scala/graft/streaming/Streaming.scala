@@ -130,6 +130,57 @@ object Streaming {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols :+ eventTimeCol)
 
+  /** The curation chain's streaming prefix (stages 1–5 of
+    * [[graft.ops.Curation]]) for ingest-time admission control — a
+    * document stream is screened as it arrives instead of in a nightly
+    * batch. Stage-for-stage mapping:
+    *
+    *  - quality + repetition gates: the SAME `gatePredicate` Column as
+    *    batch (stateless kernel filter);
+    *  - decontamination: the static benchmark's distinct shingles are
+    *    collected ONCE at plan build and baked into a per-row
+    *    [[graft.functions.ShingleSetOverlap]] — no streaming aggregation,
+    *    no join state (bounded by the same assumption that makes the
+    *    batch broadcast legal; the count-gated batch form is the escape
+    *    hatch for oversized benchmark sets);
+    *  - exact dedup: `dropDuplicatesWithinWatermark` on the content md5
+    *    — keep-FIRST-ARRIVAL, and only within the watermark horizon
+    *    (batch keep-first = min doc_id over all time; the difference is
+    *    inherent to unbounded streams and stated, not hidden);
+    *  - mixture sampling: the same deterministic hash filter (stateless,
+    *    so retries/replays keep or drop the same docs — exactly why
+    *    rand() was never an option).
+    *
+    * Packing (stage 6) is a global prefix sum — inherently batch; run it
+    * over the materialized screened table. */
+  def curateStream(
+      docStream: DataFrame,
+      bench: DataFrame,
+      cfg: graft.ops.Curation.Config,
+      eventTimeCol: String,
+      watermark: String
+  ): DataFrame = {
+    val benchShingles = graft.ops.DedupDocs
+      .shingles(bench, cfg.decontaminateK)
+      .select("shingle")
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+    docStream
+      .where(graft.ops.Curation.gatePredicate(cfg))
+      .where(
+        graft.functions.ShingleSetOverlap
+          .shingleSetOverlap(col("text"), cfg.decontaminateK, benchShingles)
+          < cfg.decontaminateMinOverlap
+      )
+      .withColumn("__content_md5", md5(col("text").cast("binary")))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__content_md5"))
+      .drop("__content_md5")
+      .transform(graft.ops.Mixture.sample(_, cfg.weights, cfg.salt))
+  }
+
   /** W3 censor as arbitrary stateful processing: per key, keep a
     * detection only if it is ≥ `width` after the last KEPT one. State is
     * one Long per key. Requires per-key in-order delivery within a batch

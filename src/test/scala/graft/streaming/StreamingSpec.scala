@@ -105,6 +105,59 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq(4L, 5L))
   }
 
+  test("streaming curation screens a doc stream like the batch chain") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((0L, "secret eval question about math", "bench"))
+      .toDF("doc_id", "text", "source")
+    val cfg = graft.ops.Curation.Config(
+      maxMeanWordLen = 6.0,
+      maxDup2gramFrac = 0.5,
+      decontaminateMinOverlap = 3,
+      weights = Map("web" -> 1.0)
+    )
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "source", "ts")
+    val q = Streaming
+      .curateStream(stream, bench, cfg, "ts", "10 seconds")
+      .writeStream.format("memory").queryName("curated").outputMode("append").start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // batch 1: survivor, quality-gated, repetition-gated, contaminated
+    input.addData(
+      (10L, "the quick brown fox jumps over dog", "web", t(1)),
+      (11L, "zzzzzzzzzz yyyyyyyyyy xxxxxxxxxx wwwwwwwwww", "web", t(2)),
+      (12L, "the spam the spam the spam the spam", "web", t(3)),
+      (13L, "intro secret eval question about math end", "web", t(4))
+    )
+    q.processAllAvailable()
+    // batch 2: exact dup of the survivor (within watermark — dropped),
+    // a weight-0 source, a fresh survivor
+    input.addData(
+      (14L, "the quick brown fox jumps over dog", "web", t(5)),
+      (15L, "some other text from excluded source", "lowsrc", t(6)),
+      (16L, "a second clean doc the end", "web", t(7))
+    )
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT doc_id FROM curated").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(streamed.toSeq == Seq(10L, 16L))
+    // batch parity on the same rows (arrival order == id order here, so
+    // keep-first-arrival and keep-min-id agree)
+    val batchDocs = Seq(
+      (0L, "secret eval question about math", "bench"),
+      (10L, "the quick brown fox jumps over dog", "web"),
+      (11L, "zzzzzzzzzz yyyyyyyyyy xxxxxxxxxx wwwwwwwwww", "web"),
+      (12L, "the spam the spam the spam the spam", "web"),
+      (13L, "intro secret eval question about math end", "web"),
+      (14L, "the quick brown fox jumps over dog", "web"),
+      (15L, "some other text from excluded source", "lowsrc"),
+      (16L, "a second clean doc the end", "web")
+    ).toDF("doc_id", "text", "source")
+    val batch = graft.ops.Curation
+      .screen(batchDocs, col("source") === "bench", cfg)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(batch.toSeq == streamed.toSeq)
+  }
+
   test("streaming dedup keep-first drops duplicate (key, ts) within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double)]
