@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ts.{Dedup, GapFill, Sessionize, Validation}
 import graft.spikes.Spikes
-import graft.ops.{Curation, Decontaminate, DedupDocs, Ivf, Mixture, Similarity, Text}
+import graft.ops.{Curation, Decontaminate, DedupDocs, IncrementalDedup, Ivf, Mixture, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -242,6 +242,19 @@ object SparkEntry {
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     DedupDocs.minhashLshPairs(Tables.documents(s, dir), k = 3, numHashes = 16, rowsPerBand = 4)
 
+  /** Incremental LSH dedup: the `doc_id % 4 == 0` quarter plays the
+    * ingest batch, the rest the persisted corpus (whose band index is
+    * what a real deployment would READ, not rebuild — built here because
+    * the oracle owns no side state). The batch side is broadcast; the
+    * index side never shuffles. */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val idx = IncrementalDedup.buildIndex(
+      docs.where(col("doc_id") % 4 =!= 0), k = 3, numHashes = 16, rowsPerBand = 4)
+    IncrementalDedup.screen(
+      docs.where(col("doc_id") % 4 === 0), idx, k = 3, numHashes = 16, rowsPerBand = 4)
+  }
+
   /** Full spike chain incl. refractory censor (oracle-checked: the
     * loop-carried censor walk runs as a recursive CTE). */
   private def qSpikeCensor(s: SparkSession, dir: String): DataFrame = {
@@ -309,7 +322,7 @@ object SparkEntry {
 
   /** Mixture weights for q_mixture: benchmark src0 and src6+ excluded,
     * graded weights over five sources. */
-  private val mixtureWeights =
+  private[graft] val mixtureWeights =
     Map("src1" -> 1.0, "src2" -> 0.75, "src3" -> 0.5, "src4" -> 0.25, "src5" -> 0.1)
 
   /** Deterministic hash-keyed weighted mixture sample (retry-stable —
@@ -778,6 +791,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_sim_topk" -> (qSimTopK _),
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_spike_censor" -> (qSpikeCensor _),
     "q_spike_censor_keyed" -> (qSpikeCensorKeyed _),
     "q_decimate" -> (qDecimate _),
@@ -974,6 +988,35 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+        |       FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
+        |seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+        |hs AS (SELECT doc_id,
+        |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+        |         ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 1000000007 AS h2
+        |       FROM sh),
+        |mh AS (SELECT doc_id, seed, MIN(h1 + seed * h2) AS minhash
+        |       FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
+        |bands AS (SELECT doc_id, seed // 4 AS band,
+        |            string_agg(seed || ':' || minhash, ',' ORDER BY seed) AS band_key
+        |          FROM mh GROUP BY doc_id, seed // 4),
+        |cb AS (SELECT * FROM bands WHERE doc_id % 4 <> 0),
+        |nb AS (SELECT * FROM bands WHERE doc_id % 4 = 0),
+        |vs_corpus AS (SELECT DISTINCT nb.doc_id FROM nb JOIN cb
+        |                ON nb.band = cb.band AND nb.band_key = cb.band_key),
+        |bmin AS (SELECT band, band_key, MIN(doc_id) AS min_id FROM nb GROUP BY band, band_key),
+        |within_new AS (SELECT DISTINCT nb.doc_id FROM nb JOIN bmin
+        |                 ON nb.band = bmin.band AND nb.band_key = bmin.band_key
+        |                    AND nb.doc_id > bmin.min_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup_of_corpus,
+        |  CASE WHEN w.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup_within_new
+        |FROM documents d
+        |LEFT JOIN vs_corpus v ON d.doc_id = v.doc_id
+        |LEFT JOIN within_new w ON d.doc_id = w.doc_id
+        |WHERE d.doc_id % 4 = 0""".stripMargin,
     "q_decimate" ->
       """WITH r AS (SELECT user_id, event_id,
         |             row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn,

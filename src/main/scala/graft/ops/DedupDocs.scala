@@ -243,20 +243,22 @@ object DedupDocs {
     * [[connectedComponents]]; at 100 TB one mass-duplicated boilerplate
     * bucket makes the quadratic form intractable and the star form
     * linear. */
-  def minhashLshPairs(
+  /** Per-doc LSH band keys `(doc_id, band, band_key)` — the row unit an
+    * incremental pipeline PERSISTS as its corpus index (see
+    * [[IncrementalDedup]]). Band keys "s0:h0,s1:h1,..." (seed order —
+    * byte-identical to the SQL oracle) are built DIRECTLY from the wide
+    * signature row: no unpivot, no per-(doc,band) re-aggregation
+    * shuffle. Docs with < k tokens have no shingles, hence no rows. */
+  def bandKeys(
       documents: DataFrame,
       k: Int,
       numHashes: Int,
-      rowsPerBand: Int,
-      star: Boolean = false
+      rowsPerBand: Int
   ): DataFrame = {
     // NOTE: exact banding only — a partial trailing band would inflate
     // candidate recall unpredictably; pad numHashes instead
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val numBands = numHashes / rowsPerBand
-    // band keys "s0:h0,s1:h1,..." (seed order — byte-identical to the SQL
-    // oracle) built DIRECTLY from the wide signature row: no unpivot, no
-    // per-(doc,band) re-aggregation shuffle.
     val bandStructs = (0 until numBands).map { b =>
       val key = concat_ws(
         ",",
@@ -266,9 +268,19 @@ object DedupDocs {
       )
       struct(lit(b).as("band"), key.as("band_key"))
     }
-    val sig = wideSignatures(documents, k, numHashes)
+    wideSignatures(documents, k, numHashes)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  def minhashLshPairs(
+      documents: DataFrame,
+      k: Int,
+      numHashes: Int,
+      rowsPerBand: Int,
+      star: Boolean = false
+  ): DataFrame = {
+    val sig = bandKeys(documents, k, numHashes, rowsPerBand)
     val buckets = sig
       .groupBy("band", "band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
