@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ts.{Dedup, GapFill, Sessionize, Validation}
 import graft.spikes.Spikes
-import graft.ops.{Curation, Decontaminate, DedupDocs, IncrementalDedup, Ivf, Mixture, Similarity, Text}
+import graft.ops.{Curation, Decontaminate, DedupDocs, IncrementalDedup, Ivf, Mixture, Pq, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -253,6 +253,17 @@ object SparkEntry {
       docs.where(col("doc_id") % 4 =!= 0), k = 3, numHashes = 16, rowsPerBand = 4)
     IncrementalDedup.screen(
       docs.where(col("doc_id") % 4 === 0), idx, k = 3, numHashes = 16, rowsPerBand = 4)
+  }
+
+  /** PQ serving shape: ADC shortlist from the m-byte codes table, exact
+    * L2 re-rank of the fetched shortlist. NOT SQL-expressible (k-means
+    * codebooks) → the driver records the weaker rows-only check; PqSpec
+    * pins encode/ADC semantics, training determinism, and recall. */
+  private def qPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cb = Pq.train(e, m = 4, ksub = 16, iters = 6)
+    Pq.adcTopKReranked(
+      Pq.encode(e, cb), e, e.where(col("vec_id") < 5), cb, k = 10, rerank = 4)
   }
 
   /** Full spike chain incl. refractory censor (oracle-checked: the
@@ -792,6 +803,7 @@ object SparkEntry {
     "q_sim_topk" -> (qSimTopK _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_pq_topk" -> (qPqTopk _),
     "q_spike_censor" -> (qSpikeCensor _),
     "q_spike_censor_keyed" -> (qSpikeCensorKeyed _),
     "q_decimate" -> (qDecimate _),

@@ -38,11 +38,18 @@ object Ivf {
       nLists: Int,
       sampleSize: Int = 100000,
       iters: Int = 8
-  ): Array[Array[Double]] = {
+  ): Array[Array[Double]] =
+    lloyd(collectSample(corpus, sampleSize), nLists, iters)
+
+  /** The deterministic training sample described above — shared with
+    * [[Pq]], whose per-subspace codebooks must come from the SAME
+    * order-invariant sample recipe so IVF cells and PQ codes trained on
+    * one corpus agree across partitionings. */
+  private[graft] def collectSample(corpus: DataFrame, sampleSize: Int): Array[Array[Double]] = {
     val emb = corpus.select("embedding")
     val total = emb.count()
     val stride = math.max(1L, total / math.max(1, sampleSize))
-    val sample = emb
+    emb
       .select(
         col("embedding"),
         xxhash64(col("embedding")).as("__h1"),
@@ -56,17 +63,25 @@ object Ivf {
       .limit(sampleSize)
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(sample.length >= nLists, s"need >= $nLists vectors to train")
+  }
+
+  /** Deterministic Lloyd's iteration: evenly strided init over the given
+    * sample order, fixed `iters` sweeps, empty cells keep their centroid. */
+  private[graft] def lloyd(
+      sample: Array[Array[Double]],
+      k: Int,
+      iters: Int
+  ): Array[Array[Double]] = {
+    require(sample.length >= k, s"need >= $k vectors to train")
     val dim = sample(0).length
-    // init: evenly strided sample points (deterministic)
-    var centroids = Array.tabulate(nLists)(i => sample(i * sample.length / nLists).clone())
+    var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
     (0 until iters).foreach { _ =>
-      val sums = Array.fill(nLists)(new Array[Double](dim))
-      val counts = new Array[Long](nLists)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
       sample.foreach { v =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
-        while (c < nLists) {
+        while (c < k) {
           var d = 0.0; var j = 0
           val ct = centroids(c)
           while (j < dim) { val t = v(j) - ct(j); d += t * t; j += 1 }
@@ -77,7 +92,7 @@ object Ivf {
         while (j < dim) { sums(best)(j) += v(j); j += 1 }
         counts(best) += 1
       }
-      centroids = Array.tabulate(nLists) { c =>
+      centroids = Array.tabulate(k) { c =>
         if (counts(c) == 0) centroids(c)
         else { val s = sums(c); s.map(_ / counts(c)) }
       }
