@@ -266,6 +266,18 @@ object SparkEntry {
       Pq.encode(e, cb), e, e.where(col("vec_id") < 5), cb, k = 10, rerank = 4)
   }
 
+  /** IVF-PQ serving shape: coarse cells + residual codes, probed-cell
+    * ADC shortlist, exact re-rank. Rows-only check like q_pq_topk;
+    * PqSpec pins residual semantics and the recall advantage. */
+  private def qIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cents = Ivf.trainCentroids(e, nLists = 16, iters = 6)
+    val cb = Pq.trainResidual(e, cents, m = 4, ksub = 16, iters = 6)
+    Pq.ivfPqTopK(
+      Pq.encodeIvfPq(e, cents, cb).select(col("vec_id"), col("cell"), col("code")),
+      e, e.where(col("vec_id") < 5), cents, cb, k = 10, nProbe = 4, rerank = 4)
+  }
+
   /** Full spike chain incl. refractory censor (oracle-checked: the
     * loop-carried censor walk runs as a recursive CTE). */
   private def qSpikeCensor(s: SparkSession, dir: String): DataFrame = {
@@ -804,6 +816,7 @@ object SparkEntry {
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_pq_topk" -> (qPqTopk _),
+    "q_ivfpq_topk" -> (qIvfPqTopk _),
     "q_spike_censor" -> (qSpikeCensor _),
     "q_spike_censor_keyed" -> (qSpikeCensorKeyed _),
     "q_decimate" -> (qDecimate _),

@@ -153,8 +153,18 @@ object Pq {
     require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
     val shortlist = adcTopK(codes, queries, codebooks, k * rerank)
       .select(col("query_id"), col("vec_id"))
-    // shortlist is |queries|·rerank·k rows — broadcast it; the full
-    // vector table streams
+    rerankExact(shortlist, corpus, queries, k)
+  }
+
+  /** Exact-L2 re-rank of a `(query_id, vec_id)` shortlist: the shortlist
+    * is |queries|·rerank·k rows — broadcast it; the full vector table is
+    * the probe side of both joins and never shuffles. */
+  private def rerankExact(
+      shortlist: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int
+  ): DataFrame = {
     val fetched = corpus
       .select(col("vec_id"), col("embedding"))
       .join(broadcast(shortlist), Seq("vec_id"))
@@ -168,5 +178,131 @@ object Pq {
       .select(col("query_id"), col("vec_id"), round(sq, 6).as("l2_dist"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  // ----- IVF-PQ: residual quantization under a coarse quantizer -----
+
+  /** Residual codebooks for IVF-PQ, trained on `x − centroid(cell(x))`
+    * over the shared deterministic sample. Subtracting the coarse
+    * centroid removes the cluster-center component, so code resolution
+    * is spent on WITHIN-cell variation — on tightly clustered corpora
+    * this is the difference between useless and usable ADC recall
+    * (PqBench measures both). */
+  def trainResidual(
+      corpus: DataFrame,
+      centroids: Array[Array[Double]],
+      m: Int,
+      ksub: Int,
+      sampleSize: Int = 100000,
+      iters: Int = 8
+  ): Array[Array[Array[Double]]] = {
+    require(ksub >= 1 && ksub <= 256, s"1..256 codewords (codes are bytes), got $ksub")
+    val sample = Ivf.collectSample(corpus, sampleSize)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val dsub = dim / m
+    val residuals = sample.map { v =>
+      val c = centroids(nearestCentroid(v, centroids))
+      Array.tabulate(dim)(j => v(j) - c(j))
+    }
+    Array.tabulate(m) { s =>
+      val sub = residuals.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      Ivf.lloyd(sub, ksub, iters)
+    }
+  }
+
+  private[graft] def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val ct = centroids(c)
+      var d = 0.0; var j = 0
+      while (j < ct.length) { val t = v(j) - ct(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The IVF-PQ index: `(…ids…, cell, code)` — coarse cell via the
+    * [[graft.functions.ArgminCell]] kernel, residual code via the fused
+    * [[graft.functions.PqEncodeResidual]] (the residual vector never
+    * materializes). Write it `partitionBy("cell")` and serving prunes to
+    * the probed cells' files. */
+  def encodeIvfPq(
+      corpus: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]
+  ): DataFrame =
+    corpus
+      .withColumn("cell", graft.functions.ArgminCell.argminCell(col("embedding"), centroids))
+      .withColumn(
+        "code",
+        graft.functions.PqEncodeResidual
+          .pqEncodeResidual(col("embedding"), col("cell"), centroids, codebooks))
+
+  /** IVF-PQ serving: probe `nProbe` cells per query, ADC-score only
+    * those cells' codes against per-(query, cell) RESIDUAL LUTs
+    * (`‖x−q‖² = ‖r_x − (q − centroid)‖²`, so scores stay comparable
+    * across cells), shortlist `rerank·k`, exact re-rank on the fetched
+    * vectors. Cell ranking and LUTs are driver-computed from the
+    * collected queries (|queries|·nProbe·m·ksub doubles — broadcast);
+    * with `pruneIndexScan` the probed-cell union becomes a static
+    * `cell IN (…)` filter, which against a cell-partitioned codes table
+    * is partition pruning at planning time — the same
+    * O(probed/total)-I/O layout as [[Ivf.topKIndexed]], but scanning
+    * m-byte codes instead of 4·dim-byte vectors. */
+  def ivfPqTopK(
+      index: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      nProbe: Int,
+      rerank: Int = 4,
+      pruneIndexScan: Boolean = true
+  ): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.length, s"nProbe $nProbe out of range")
+    require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
+    val spark = index.sparkSession
+    val qRows = queries.select(col("vec_id"), col("embedding")).collect().flatMap { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1).map(_.toDouble).toArray
+      val ranked = centroids.indices
+        .map(c => (c, {
+          val ct = centroids(c)
+          var d = 0.0; var j = 0
+          while (j < ct.length) { val t = q(j) - ct(j); d += t * t; j += 1 }
+          d
+        }))
+        .sortBy { case (c, d) => (d, c) }
+        .take(nProbe)
+      ranked.map { case (c, _) =>
+        val ct = centroids(c)
+        val rq = Array.tabulate(q.length)(j => q(j) - ct(j))
+        (qid, c, lutFor(rq, codebooks).toSeq)
+      }
+    }.toSeq
+    val luts = spark.createDataFrame(qRows).toDF("query_id", "cell", "lut")
+    val probed = index
+      .transform(df =>
+        if (pruneIndexScan) {
+          val cells = qRows.map(_._2).distinct.sorted
+          df.where(col("cell").isin(cells: _*))
+        } else df)
+      .join(broadcast(luts), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_dist").asc, col("vec_id").asc)
+    val shortlist = probed
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        round(graft.functions.PqAdc.pqAdc(col("code"), col("lut")), 6).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k * rerank)
+      .select(col("query_id"), col("vec_id"))
+    rerankExact(shortlist, corpus, queries, k)
   }
 }

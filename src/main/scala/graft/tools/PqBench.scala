@@ -56,6 +56,12 @@ object PqBench {
       val f = new java.io.File(p)
       Option(f.listFiles()).map(_.filter(_.isFile).map(_.length()).sum).getOrElse(0L)
     }
+    def sizeOfTree(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(p))
+    }
     val rawBytes = sizeOf(s"$sfDir/embeddings.parquet") match {
       case 0L => new java.io.File(s"$sfDir/embeddings.parquet").length()
       case s => s
@@ -79,12 +85,36 @@ object PqBench {
     val rR4 = recallOf(graft.ops.Pq.adcTopKReranked(codes, corpus, queries, cb, k, rerank = 4))
     val rR8 = recallOf(graft.ops.Pq.adcTopKReranked(codes, corpus, queries, cb, k, rerank = 8))
 
+    // IVF-PQ: coarse cells + residual codes, served from a
+    // cell-PARTITIONED parquet index (the probed-cell pruning layout)
+    val nLists = 64
+    val nProbe = 8
+    val t2 = System.nanoTime()
+    val cents = graft.ops.Ivf.trainCentroids(corpus, nLists, sampleSize = 256 * nLists)
+    val cbRes = graft.ops.Pq.trainResidual(corpus, cents, m, ksub, sampleSize = 100000, iters = 8)
+    graft.ops.Pq.encodeIvfPq(corpus, cents, cbRes)
+      .select("vec_id", "cell", "code")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/ivfpq.parquet")
+    val tIvfPqBuild = (System.nanoTime() - t2) / 1e9
+    val ivfpqIdx = spark.read.parquet(s"$dir/ivfpq.parquet")
+    def ivfpq(np: Int, rr: Int) =
+      graft.ops.Pq.ivfPqTopK(ivfpqIdx, corpus, queries, cents, cbRes, k, np, rr)
+    val tIvfPq = timeMedian(ivfpq(nProbe, 4))
+    val rIvfPq4 = recallOf(ivfpq(nProbe, 4))
+    val rIvfPq8 = recallOf(ivfpq(nProbe, 8))
+    val rIvfPq2x = recallOf(ivfpq(nProbe * 2, 8))
+    val rIvfPq32 = recallOf(ivfpq(nProbe, 32))
+    val ivfpqBytes = sizeOfTree(s"$dir/ivfpq.parquet")
+
     println(
       s"""{"pq":"bench","n":$n,"k":$k,"m":$m,"ksub":$ksub,""" +
         s""""exact_sec":$tExact,"train_sec":$tTrain,"encode_sec":$tEncode,""" +
         s""""adc_sec":$tAdc,"rerank4_sec":$tRerank4,""" +
         s""""raw_parquet_bytes":$rawBytes,"codes_parquet_bytes":$codeBytes,""" +
-        f""""recall_adc":$rAdc%.3f,"recall_rerank2":$rR2%.3f,"recall_rerank4":$rR4%.3f,"recall_rerank8":$rR8%.3f,"sf":"$sfDir"}"""
+        f""""recall_adc":$rAdc%.3f,"recall_rerank2":$rR2%.3f,"recall_rerank4":$rR4%.3f,"recall_rerank8":$rR8%.3f,""" +
+        s""""ivfpq_nlists":$nLists,"ivfpq_nprobe":$nProbe,"ivfpq_build_sec":$tIvfPqBuild,""" +
+        s""""ivfpq_query_sec":$tIvfPq,"ivfpq_index_bytes":$ivfpqBytes,""" +
+        f""""recall_ivfpq_rerank4":$rIvfPq4%.3f,"recall_ivfpq_rerank8":$rIvfPq8%.3f,"recall_ivfpq_2xprobe_rerank8":$rIvfPq2x%.3f,"recall_ivfpq_rerank32":$rIvfPq32%.3f,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

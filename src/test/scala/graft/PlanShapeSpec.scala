@@ -32,9 +32,14 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     //  - q_sim_topk is brute force BY DEFINITION (corpus × broadcast
     //    query set — the baseline the IVF path is measured against);
     //  - q_ivf_topk / q_ivf_serve cross-join queries × centroids
-    //    (|q| × nLists rows) to rank cells.
+    //    (|q| × nLists rows) to rank cells;
+    //  - q_pq_topk cross-joins the corpus CODES table with the
+    //    broadcast per-query LUT set (the ADC scan — every code row is
+    //    scored against every query by design, at m lookups per pair);
+    //    its rerank joins are hash joins. q_ivfpq_topk replaces even
+    //    that with a hash join on cell (asserted below).
     // Every other plan must be nested-loop-free.
-    val allowed = Set("q_sim_topk", "q_ivf_topk", "q_ivf_serve")
+    val allowed = Set("q_sim_topk", "q_ivf_topk", "q_ivf_serve", "q_pq_topk")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(allowed).foreach { name =>
       val p = planString(name)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a BNLJ:\n$p")
@@ -43,6 +48,9 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // the IVF queries is a hash join on cell
     assert(planString("q_ivf_topk").contains("BroadcastHashJoin"))
     assert(planString("q_ivf_serve").contains("BroadcastHashJoin"))
+    // IVF-PQ's probed-cell ADC join is likewise a hash join on cell —
+    // BNLJ-free end to end
+    assert(planString("q_ivfpq_topk").contains("BroadcastHashJoin"))
   }
 
   test("q_ivf_serve scans a cell-partitioned index with a static probed-cell partition filter") {

@@ -131,4 +131,56 @@ class PqSpec extends SparkSpec {
     assert(r1 <= r4 && r4 <= r12, s"recall not monotone in rerank depth: $r1, $r4, $r12")
     assert(r12 >= 0.9, s"mean recall@10 $r12 < 0.9 at rerank=12 (1: $r1, 4: $r4)")
   }
+
+  test("residual encode: hand-checkable code for a known cell assignment") {
+    // centroid (10,10); residual codebook words (0,0) and (1,1)
+    val cents = Array(Array(10.0, 10.0))
+    val cb = Array(Array(Array(0.0, 0.0), Array(1.0, 1.0)))
+    val df = Seq(
+      (0L, Seq(10.1f, 10.2f)),  // residual (0.1,0.2) -> word 0
+      (1L, Seq(11.1f, 10.9f))   // residual (1.1,0.9) -> word 1
+    ).toDF("vec_id", "embedding")
+    val got = Pq.encodeIvfPq(df, cents, cb)
+      .select("vec_id", "cell", "code").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getAs[Array[Byte]](2).toSeq))).toMap
+    assert(got(0L) == ((0, Seq(0.toByte))))
+    assert(got(1L) == ((0, Seq(1.toByte))))
+  }
+
+  test("IVF-PQ beats plain PQ on tight clusters and reaches exact with full probe") {
+    val dim = 16
+    val data = clustered(800, dim, 8, seed = 33L, sigma = 0.25)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 5)
+
+    val exact = Pq.l2TopK(df, queries, 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+      val got = res.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+
+    // plain PQ at the same budget
+    val cbFlat = Pq.train(df, m = 4, ksub = 64, sampleSize = 800, iters = 6)
+    val rFlat = recallOf(
+      Pq.adcTopKReranked(Pq.encode(df, cbFlat), df, queries, cbFlat, k = 10, rerank = 4))
+
+    // IVF-PQ: 8 coarse cells (matching the generator), residual codes
+    val cents = Ivf.trainCentroids(df, nLists = 8, sampleSize = 800, iters = 6)
+    val cbRes = Pq.trainResidual(df, cents, m = 4, ksub = 64, sampleSize = 800, iters = 6)
+    val index = Pq.encodeIvfPq(df, cents, cbRes).select("vec_id", "cell", "code")
+    val rIvfPq = recallOf(
+      Pq.ivfPqTopK(index, df, queries, cents, cbRes, k = 10, nProbe = 2, rerank = 4))
+    assert(rIvfPq > rFlat,
+      s"residual coding should beat flat PQ on tight clusters: ivfpq=$rIvfPq flat=$rFlat")
+    assert(rIvfPq >= 0.8, s"IVF-PQ recall@10 $rIvfPq < 0.8 at nProbe=2, rerank=4")
+
+    // full probe + deep rerank must recover the exact result entirely
+    val rFull = recallOf(
+      Pq.ivfPqTopK(index, df, queries, cents, cbRes, k = 10, nProbe = 8, rerank = 80))
+    assert(rFull == 1.0, s"full probe + exhaustive rerank recall $rFull != 1.0")
+  }
 }
