@@ -255,6 +255,11 @@ object SparkEntry {
       docs.where(col("doc_id") % 4 === 0), idx, k = 3, numHashes = 16, rowsPerBand = 4)
   }
 
+  /** Context-window chunking of the documents table (size 32, overlap 4
+    * — every token covered, consecutive chunks share 4 tokens). */
+  private def qChunkDocs(s: SparkSession, dir: String): DataFrame =
+    Text.chunkDocs(Tables.documents(s, dir), size = 32, overlap = 4)
+
   /** PQ serving shape: ADC shortlist from the m-byte codes table, exact
     * L2 re-rank of the fetched shortlist. NOT SQL-expressible (k-means
     * codebooks) → the driver records the weaker rows-only check; PqSpec
@@ -817,6 +822,7 @@ object SparkEntry {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_pq_topk" -> (qPqTopk _),
     "q_ivfpq_topk" -> (qIvfPqTopk _),
+    "q_chunk_docs" -> (qChunkDocs _),
     "q_spike_censor" -> (qSpikeCensor _),
     "q_spike_censor_keyed" -> (qSpikeCensorKeyed _),
     "q_decimate" -> (qDecimate _),
@@ -1042,6 +1048,13 @@ object SparkEntry {
         |LEFT JOIN vs_corpus v ON d.doc_id = v.doc_id
         |LEFT JOIN within_new w ON d.doc_id = w.doc_id
         |WHERE d.doc_id % 4 = 0""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |e AS (SELECT doc_id, toks, unnest(generate_series(0, (len(toks) - 1) // 28)) AS chunk_id FROM t)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(least(32, len(toks) - chunk_id * 28) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(toks[chunk_id * 28 + 1 : chunk_id * 28 + 32], ' ') AS chunk_text
+        |FROM e""".stripMargin,
     "q_decimate" ->
       """WITH r AS (SELECT user_id, event_id,
         |             row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn,

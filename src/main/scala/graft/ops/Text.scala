@@ -329,4 +329,40 @@ object Text {
     }.get.otherwise(lit("und"))
     documents.select(col("doc_id"), pickFirst.as("lang_pred"))
   }
+
+  /** Context-window chunking: split each document's whitespace tokens
+    * into windows of `size` tokens whose starts advance by
+    * `size − overlap` — the long-document → training-example step of a
+    * pretraining pipeline. Starts are `0, step, 2·step, … < n_tokens`,
+    * so every token lands in ≥ 1 chunk, consecutive chunks share
+    * `overlap` tokens, and the last chunk may be short (a document
+    * shorter than `size` yields exactly one chunk). Chunk text re-joins
+    * with single spaces — the same lossy-on-space-runs convention as
+    * every token op here (and the SQL oracle).
+    *
+    * One generate per doc, no shuffle, no join: at 100 TB this is a
+    * stateless map whose output is partitioned exactly like its input.
+    * Output: `(doc_id, chunk_id, n_chunk_tokens, chunk_text)`. */
+  def chunkDocs(documents: DataFrame, size: Int, overlap: Int): DataFrame = {
+    require(size >= 1, s"chunk size must be >= 1, got $size")
+    require(overlap >= 0 && overlap < size, s"overlap must be in [0, size), got $overlap")
+    val step = size - overlap
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .select(
+        col("doc_id"),
+        col("__toks"),
+        explode(sequence(
+          lit(0),
+          floor((org.apache.spark.sql.functions.size(col("__toks")) - 1) / step).cast("int")
+        )).as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        least(
+          lit(size),
+          org.apache.spark.sql.functions.size(col("__toks")) - col("chunk_id") * step
+        ).cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("__toks"), col("chunk_id") * step + 1, lit(size)), " ").as("chunk_text"))
+  }
 }
