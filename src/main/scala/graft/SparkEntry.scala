@@ -260,6 +260,11 @@ object SparkEntry {
   private def qChunkDocs(s: SparkSession, dir: String): DataFrame =
     Text.chunkDocs(Tables.documents(s, dir), size = 32, overlap = 4)
 
+  /** Per-source corpus report (exact-percentile oracle form; the
+    * t-digest approx form is the 100 TB path, spec-compared). */
+  private def qCorpusStats(s: SparkSession, dir: String): DataFrame =
+    Text.corpusStats(Tables.documents(s, dir))
+
   /** PQ serving shape: ADC shortlist from the m-byte codes table, exact
     * L2 re-rank of the fetched shortlist. NOT SQL-expressible (k-means
     * codebooks) → the driver records the weaker rows-only check; PqSpec
@@ -823,6 +828,7 @@ object SparkEntry {
     "q_pq_topk" -> (qPqTopk _),
     "q_ivfpq_topk" -> (qIvfPqTopk _),
     "q_chunk_docs" -> (qChunkDocs _),
+    "q_corpus_stats" -> (qCorpusStats _),
     "q_spike_censor" -> (qSpikeCensor _),
     "q_spike_censor_keyed" -> (qSpikeCensorKeyed _),
     "q_decimate" -> (qDecimate _),
@@ -1055,6 +1061,14 @@ object SparkEntry {
         |  CAST(least(32, len(toks) - chunk_id * 28) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(toks[chunk_id * 28 + 1 : chunk_id * 28 + 32], ' ') AS chunk_text
         |FROM e""".stripMargin,
+    "q_corpus_stats" ->
+      """WITH t AS (SELECT source, len(string_split(text, ' ')) AS nt, length(text) AS nc FROM documents)
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        |  round(AVG(nt), 4) AS mean_tokens,
+        |  round(quantile_cont(nt, 0.5), 4) AS p50_tokens,
+        |  round(quantile_cont(nt, 0.9), 4) AS p90_tokens,
+        |  round(AVG(nc), 4) AS mean_chars
+        |FROM t GROUP BY source""".stripMargin,
     "q_decimate" ->
       """WITH r AS (SELECT user_id, event_id,
         |             row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn,

@@ -330,6 +330,43 @@ object Text {
     documents.select(col("doc_id"), pickFirst.as("lang_pred"))
   }
 
+  /** Per-source corpus report: doc counts, token totals, token-count
+    * percentiles, mean chars — the summary a mixture designer reads
+    * before setting [[Mixture]] weights. This EXACT-percentile form is
+    * the oracle contract; `percentile` buffers every group value, so at
+    * 100 TB use [[corpusStatsApprox]] (t-digest sketch: mergeable,
+    * map-side combinable, bounded memory) and accept the documented
+    * error bound. */
+  def corpusStats(documents: DataFrame): DataFrame =
+    corpusStatsWith(documents,
+      nt => expr(s"percentile($nt, 0.5)"),
+      nt => expr(s"percentile($nt, 0.9)"))
+
+  /** The scale form: `approx_percentile` (t-digest). Same schema. */
+  def corpusStatsApprox(documents: DataFrame, accuracy: Int = 10000): DataFrame =
+    corpusStatsWith(documents,
+      nt => expr(s"approx_percentile($nt, 0.5, $accuracy)").cast("double"),
+      nt => expr(s"approx_percentile($nt, 0.9, $accuracy)").cast("double"))
+
+  private def corpusStatsWith(
+      documents: DataFrame,
+      p50: String => org.apache.spark.sql.Column,
+      p90: String => org.apache.spark.sql.Column
+  ): DataFrame =
+    documents
+      .select(
+        col("source"),
+        org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long").as("__nt"),
+        length(col("text")).cast("long").as("__nc"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__nt").as("total_tokens"),
+        round(avg("__nt"), 4).as("mean_tokens"),
+        round(p50("__nt"), 4).as("p50_tokens"),
+        round(p90("__nt"), 4).as("p90_tokens"),
+        round(avg("__nc"), 4).as("mean_chars"))
+
   /** Context-window chunking: split each document's whitespace tokens
     * into windows of `size` tokens whose starts advance by
     * `size − overlap` — the long-document → training-example step of a

@@ -237,4 +237,26 @@ class OpsSpec extends SparkSpec {
     assert(out(0L) == out(1L))
     assert(out(0L) != out(2L))
   }
+
+  test("corpusStatsApprox (the scale form) tracks the exact report") {
+    val rnd = new scala.util.Random(4242)
+    val df = (0L until 400L).map { i =>
+      val src = s"s${i % 3}"
+      (i, (0 to rnd.nextInt(50)).map(_ => "w").mkString(" "), src)
+    }.toDF("doc_id", "text", "source")
+    def byKey(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) -> r).toMap
+    val exact = byKey(Text.corpusStats(df))
+    val approx = byKey(Text.corpusStatsApprox(df))
+    assert(exact.keySet == approx.keySet)
+    exact.keySet.foreach { s =>
+      // counts/sums/means identical; percentiles within one token at
+      // this accuracy (t-digest vs interpolating exact)
+      assert(exact(s).getLong(1) == approx(s).getLong(1), s"n_docs $s")
+      assert(exact(s).getLong(2) == approx(s).getLong(2), s"total_tokens $s")
+      assert(exact(s).getDouble(3) == approx(s).getDouble(3), s"mean_tokens $s")
+      assert(math.abs(exact(s).getDouble(4) - approx(s).getDouble(4)) <= 1.0, s"p50 $s")
+      assert(math.abs(exact(s).getDouble(5) - approx(s).getDouble(5)) <= 1.0, s"p90 $s")
+    }
+  }
 }
