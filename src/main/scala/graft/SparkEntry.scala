@@ -574,6 +574,41 @@ object SparkEntry {
     Ivf.topKIndexed(assigned, centroids, queries, k = 10, nProbe = 8)
   }
 
+  // same lifecycle as ivfIndexCache (shared shutdown-hook cleanup, same
+  // same-session staleness note); codebooks/centroids live with the path
+  private val ivfPqCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Array[Array[Double]], Array[Array[Array[Double]]])]
+  private def ivfPqIndex(
+      s: SparkSession,
+      dir: String
+  ): (String, Array[Array[Double]], Array[Array[Array[Double]]]) =
+    ivfPqCache.getOrElseUpdate(dir, {
+      val baseDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-")
+      ivfTempDirs.add(baseDir)
+      val e = Tables.embeddings(s, dir)
+      val cents = Ivf.trainCentroids(e, nLists = 16, iters = 6)
+      val cb = Pq.trainResidual(e, cents, m = 4, ksub = 16, iters = 6)
+      val p = s"${baseDir.toString}/codes.parquet"
+      // cell-partitioned codes: the probed-cell static IN-filter prunes
+      // to the probed cells' files at planning time
+      Pq.encodeIvfPq(e, cents, cb)
+        .select(col("vec_id"), col("cell"), col("code"))
+        .write.mode("overwrite").partitionBy("cell").parquet(p)
+      (p, cents, cb)
+    })
+
+  /** IVF-PQ SERVING over a pre-built cell-partitioned codes index: times
+    * only the probed-cell ADC scan + shortlist re-rank, the steady-state
+    * cost (training + encode paid once per corpus, like q_ivf_serve).
+    * Same parameters as q_ivfpq_topk, so results are identical. */
+  private def qIvfPqServe(s: SparkSession, dir: String): DataFrame = {
+    val (p, cents, cb) = ivfPqIndex(s, dir)
+    Pq.ivfPqTopK(
+      s.read.parquet(p), Tables.embeddings(s, dir),
+      Tables.embeddings(s, dir).where(col("vec_id") < 5),
+      cents, cb, k = 10, nProbe = 4, rerank = 4)
+  }
+
   /** A4 common average reference + CAR-subtracted samples on the
     * synthetic 4-channel signal. */
   private def qCar(s: SparkSession, dir: String): DataFrame = {
@@ -827,6 +862,7 @@ object SparkEntry {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_pq_topk" -> (qPqTopk _),
     "q_ivfpq_topk" -> (qIvfPqTopk _),
+    "q_ivfpq_serve" -> (qIvfPqServe _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_spike_censor" -> (qSpikeCensor _),

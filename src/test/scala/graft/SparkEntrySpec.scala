@@ -15,7 +15,7 @@ class SparkEntrySpec extends SparkSpec {
     // k-means-trained codebooks/centroids are not SQL-expressible, so
     // the PQ serving queries get the driver's weaker rows-only check
     // (semantics pinned by PqSpec instead)
-    val rowsOnly = Set("q_pq_topk", "q_ivfpq_topk")
+    val rowsOnly = Set("q_pq_topk", "q_ivfpq_topk", "q_ivfpq_serve")
     assert((qk -- ok) == rowsOnly, s"unexpected rows-only: ${qk -- ok -- rowsOnly}")
   }
 
