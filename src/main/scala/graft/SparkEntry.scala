@@ -265,6 +265,23 @@ object SparkEntry {
   private def qCorpusStats(s: SparkSession, dir: String): DataFrame =
     Text.corpusStats(Tables.documents(s, dir))
 
+  /** Deterministic 80/10/10 train/val/test assignment. */
+  private def qSplitAssign(s: SparkSession, dir: String): DataFrame =
+    Mixture
+      .splitAssign(
+        Tables.documents(s, dir),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        salt = "split1")
+      .select("doc_id", "source", "split")
+
+  /** Deterministic global training-order shuffle (two-pass scalable
+    * rank — no single-partition window; the oracle spells the same
+    * permutation as one global row_number). */
+  private def qShuffle(s: SparkSession, dir: String): DataFrame =
+    Mixture
+      .deterministicShuffle(Tables.documents(s, dir), salt = "shuf1")
+      .select("doc_id", "shuffle_rank")
+
   /** PQ serving shape: ADC shortlist from the m-byte codes table, exact
     * L2 re-rank of the fetched shortlist. NOT SQL-expressible (k-means
     * codebooks) → the driver records the weaker rows-only check; PqSpec
@@ -865,6 +882,8 @@ object SparkEntry {
     "q_ivfpq_serve" -> (qIvfPqServe _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_corpus_stats" -> (qCorpusStats _),
+    "q_split_assign" -> (qSplitAssign _),
+    "q_shuffle" -> (qShuffle _),
     "q_spike_censor" -> (qSpikeCensor _),
     "q_spike_censor_keyed" -> (qSpikeCensorKeyed _),
     "q_decimate" -> (qDecimate _),
@@ -1105,6 +1124,18 @@ object SparkEntry {
         |  round(quantile_cont(nt, 0.9), 4) AS p90_tokens,
         |  round(AVG(nc), 4) AS mean_chars
         |FROM t GROUP BY source""".stripMargin,
+    "q_split_assign" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN ('0x' || substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 < 0.8 THEN 'train'
+        |       WHEN ('0x' || substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "q_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (
+        |    ORDER BY ('0x' || substr(md5('shuf1' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0,
+        |             doc_id) - 1 AS shuffle_rank
+        |FROM documents""".stripMargin,
     "q_decimate" ->
       """WITH r AS (SELECT user_id, event_id,
         |             row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn,

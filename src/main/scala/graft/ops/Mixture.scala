@@ -86,4 +86,71 @@ object Mixture {
       .withColumn("seq_id", expr(s"start_off div $budget"))
       .withColumn("seq_off", col("start_off") % budget)
   }
+
+  /** Deterministic train/val/test assignment: the SAME uniform draw as
+    * [[sample]] against cumulative fraction thresholds — stateless, no
+    * shuffle, retry/repartition-stable, and a row keeps its split
+    * forever as the corpus grows (the property random splits lose).
+    * Cumulative bounds are computed with BigDecimal so clean inputs
+    * (0.8/0.1/0.1) give the clean literals the SQL oracle spells.
+    * Appends a `split` column; fractions must sum to 1. */
+  def splitAssign(
+      documents: DataFrame,
+      fractions: Seq[(String, Double)],
+      salt: String,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0.0), s"bad fractions $fractions")
+    val cums = fractions
+      .scanLeft(BigDecimal(0)) { case (acc, (_, f)) => acc + BigDecimal(f) }
+      .tail
+    require((cums.last - BigDecimal(1)).abs < BigDecimal("1e-9"),
+      s"fractions must sum to 1, got ${cums.last}")
+    val u = uniformHash(salt, col(idCol))
+    // last label is the <= 1 catch-all: u < 1 always, so every row lands
+    val chain = fractions.init.zip(cums.init).foldLeft(Option.empty[Column]) {
+      case (None, ((label, _), c)) => Some(when(u < lit(c.toDouble), lit(label)))
+      case (Some(w), ((label, _), c)) => Some(w.when(u < lit(c.toDouble), lit(label)))
+    }
+    documents.withColumn(
+      "split",
+      chain.fold(lit(fractions.last._1))(_.otherwise(lit(fractions.last._1))))
+  }
+
+  /** Deterministic global training-order shuffle: a dense 0-based rank
+    * in `(uniformHash(salt, id), id)` order — the same reproducible
+    * permutation on any partitioning, parallelism, or retry. NOT a
+    * global single-partition window: the scalable two-pass shape (range
+    * partition on the hash → O(partitions) driver count summary →
+    * offset + local index), the recipe
+    * [[graft.ts.Sessionize.withSegmentIdGlobal]] documents. The persist
+    * is a correctness anchor — the range partitioner samples boundaries
+    * at job time, so the count pass and the rank pass must see the same
+    * partitioning. Output: input columns + `shuffle_rank`. */
+  def deterministicShuffle(
+      documents: DataFrame,
+      salt: String,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val spark = documents.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parted = documents
+      .withColumn("__h", uniformHash(salt, col(idCol)))
+      .repartitionByRange(n, col("__h"), col(idCol))
+      .sortWithinPartitions(col("__h"), col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = parted
+      .groupBy(spark_partition_id().as("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until n).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offsetMap = map(
+      (0 until n).flatMap(p => Seq(lit(p), lit(offsets(p)))): _*)
+    parted
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn(
+        "shuffle_rank",
+        element_at(offsetMap, spark_partition_id()) +
+          col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      .drop("__h", "__mid")
+  }
 }

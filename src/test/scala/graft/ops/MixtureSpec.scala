@@ -65,4 +65,43 @@ class MixtureSpec extends SparkSpec {
       .where(col("seq_off") >= 7 || col("seq_off") < 0 || col("seq_id") < 0)
     assert(bad.count() == 0)
   }
+
+  test("splitAssign is total, repartition-stable, and ~respects fractions") {
+    val df = docs(2000, Seq("a", "b"))
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Mixture.splitAssign(df, fr, "s1").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Mixture.splitAssign(df.repartition(17), fr, "s1").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    assert(a.size == 2000 && a.values.toSet.subsetOf(Set("train", "val", "test")))
+    val trainFrac = a.values.count(_ == "train") / 2000.0
+    assert(math.abs(trainFrac - 0.8) < 0.05, s"train frac $trainFrac")
+    // growth stability: the first 1000 docs keep their assignment
+    val small = Mixture.splitAssign(docs(1000, Seq("a", "b")), fr, "s1")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    small.foreach { case (id, s) => assert(a(id) == s, s"doc $id moved splits on growth") }
+  }
+
+  test("deterministicShuffle equals the global-window permutation and is partitioning-invariant") {
+    val df = docs(500, Seq("a", "b"))
+    def winForm(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("__h", Mixture.uniformHash("s2", col("doc_id")))
+      .withColumn("shuffle_rank",
+        org.apache.spark.sql.functions.row_number()
+          .over(org.apache.spark.sql.expressions.Window.orderBy(col("__h"), col("doc_id")))
+          .cast("long") - 1L)
+      .select("doc_id", "shuffle_rank")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = winForm(df)
+    val got = Mixture.deterministicShuffle(df, "s2").select("doc_id", "shuffle_rank")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    val got2 = Mixture.deterministicShuffle(df.repartition(11), "s2")
+      .select("doc_id", "shuffle_rank")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == expected)
+    // dense permutation: ranks are exactly 0..n-1
+    assert(got.values.toSeq.sorted == (0L until 500L))
+  }
 }
