@@ -53,6 +53,20 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(planString("q_ivfpq_topk").contains("BroadcastHashJoin"))
   }
 
+  test("q_dedup_incremental broadcasts the BATCH side — the corpus index never shuffles") {
+    // the 100 TB property of IncrementalDedup.screen: the index-vs-batch
+    // join must be a BroadcastHashJoin whose BUILD side is the batch's
+    // band keys, leaving the (at scale, huge) index as the streamed
+    // probe side with no Exchange under it
+    val p = planString("q_dedup_incremental")
+    assert(p.contains("BroadcastHashJoin"), s"expected a broadcast join:\n$p")
+    // the inner index-probe join builds right (the broadcast batch keys)
+    assert(p.contains("BroadcastHashJoin [band") && p.contains("BuildRight"),
+      s"index join must build on the broadcast batch side:\n$p")
+    assert(!p.contains("SortMergeJoin [band"),
+      s"the (band, band_key) join must never sort-merge (index-side shuffle):\n$p")
+  }
+
   test("q_ivf_serve scans a cell-partitioned index with a static probed-cell partition filter") {
     // the serving join's corpus side must be the partitionBy("cell")
     // parquet index scanned under a static `cell IN (probed...)` filter
