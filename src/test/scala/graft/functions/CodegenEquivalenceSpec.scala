@@ -132,6 +132,82 @@ class CodegenEquivalenceSpec extends SparkSpec {
     assert(rows.map(_.getInt(0)).distinct.length > 2)
   }
 
+  // ------------------------------------------------------------- PqAdc
+
+  private val doubleGen: Gen[Double] = Gen.frequency(
+    8 -> Gen.chooseNum(-100.0, 100.0),
+    1 -> Gen.oneOf(0.0, -0.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.MinPositiveValue))
+
+  /** Mirror of PqAdc.nullSafeEval: the pure-fold truth. */
+  private def refAdc(codes: Option[Array[Byte]], lut: Option[List[Option[Double]]]): Option[Double] =
+    (codes, lut) match {
+      case (Some(cs), Some(l)) if cs.nonEmpty && l.length % cs.length == 0 =>
+        val ksub = l.length / cs.length
+        var acc = 0.0
+        var s = 0
+        while (s < cs.length) {
+          val c = cs(s) & 0xff
+          if (c >= ksub) return None
+          l(s * ksub + c) match {
+            case Some(v) => acc += v
+            case None => return None
+          }
+          s += 1
+        }
+        Some(acc)
+      case _ => None
+    }
+
+  test("scalacheck-generated: PqAdc codegen == interpreted == pure fold (NULLs, ragged LUTs, out-of-range codes)") {
+    val caseGen: Gen[(Option[Array[Byte]], Option[List[Option[Double]]])] = for {
+      m <- Gen.chooseNum(1, 3)
+      ksub <- Gen.chooseNum(1, 4)
+      codes <- Gen.frequency(
+        6 -> Gen.listOfN(m, Gen.chooseNum(0, ksub - 1)).map(l => Option(l.map(_.toByte).toArray)),
+        2 -> Gen.listOfN(m, Gen.chooseNum(0, 255)).map(l => Option(l.map(_.toByte).toArray)),
+        1 -> Gen.const(Option(Array.empty[Byte])),
+        1 -> Gen.const(Option.empty[Array[Byte]]))
+      lutLen <- Gen.frequency(
+        7 -> Gen.const(m * ksub),
+        1 -> Gen.const(m * ksub + 1),
+        1 -> Gen.const(math.max(0, m * ksub - 1)),
+        1 -> Gen.const(0))
+      lut <- Gen.frequency(
+        8 -> Gen.listOfN(lutLen, doubleGen.map(Option(_))).map(Option(_)),
+        1 -> Gen.listOfN(lutLen, Gen.option(doubleGen)).map(Option(_)),
+        1 -> Gen.const(Option.empty[List[Option[Double]]]))
+    } yield (codes, lut)
+
+    val cases = samples(caseGen, 500, 777L)
+    val df = cases.map { case (c, l) => (c.orNull, l.map(_.map(_.map(d => d: java.lang.Double).orNull)).orNull) }
+      .toDF("code", "lut")
+    val rows = df.select(PqAdc.pqAdc(col("code"), col("lut")).as("native")).collect()
+    assert(rows.length == cases.length)
+    rows.zip(cases).foreach { case (r, (c, l)) =>
+      val expected = refAdc(c, l)
+      val interp = PqAdc(
+        Literal.create(c.orNull, BinaryType),
+        Literal.create(
+          l.map(_.map(_.map(d => d: java.lang.Double).orNull)).orNull,
+          ArrayType(DoubleType, containsNull = true))
+      ).eval(null).asInstanceOf[java.lang.Double]
+      expected match {
+        case None =>
+          assert(r.isNullAt(0), s"codegen should be NULL for codes=${c.map(_.toSeq)} lut=$l")
+          assert(interp == null, s"interpreted should be NULL for codes=${c.map(_.toSeq)} lut=$l")
+        case Some(v) =>
+          assert(!r.isNullAt(0), s"codegen unexpectedly NULL for codes=${c.map(_.toSeq)} lut=$l")
+          val g = r.getDouble(0)
+          // NaN == NaN for this comparison; bit-identical otherwise
+          assert(java.lang.Double.compare(g, v) == 0, s"codegen $g != ref $v")
+          assert(java.lang.Double.compare(interp.doubleValue(), v) == 0, s"interp $interp != ref $v")
+      }
+    }
+    // the well-formed majority should produce real sums
+    assert(rows.count(r => !r.isNullAt(0)) > cases.length / 3)
+  }
+
   test("scalacheck: SignLshBucket interpreted eval == pure fold (well-formed vectors)") {
     val gen = Gen.listOfN(dim, floatGen)
     def ref(a: List[Float]): Int =
