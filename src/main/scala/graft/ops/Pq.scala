@@ -101,7 +101,12 @@ object Pq {
     }.toSeq
     val luts = spark.createDataFrame(qRows).toDF("query_id", "lut")
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc_dist").asc, col("vec_id").asc)
+    // project to (vec_id, code) BEFORE the scan join: a codes table that
+    // still carries the embedding (e.g. encode()'s output used directly)
+    // must not drag 4·dim-byte vectors through the ADC scan — the
+    // m-byte-per-row scan IS the operator's point
     codes
+      .select(col("vec_id"), col("code"))
       .crossJoin(broadcast(luts))
       .where(col("vec_id") =!= col("query_id"))
       .select(
@@ -287,6 +292,7 @@ object Pq {
     }.toSeq
     val luts = spark.createDataFrame(qRows).toDF("query_id", "cell", "lut")
     val probed = index
+      .select(col("vec_id"), col("cell"), col("code")) // never drag extra columns through the scan
       .transform(df =>
         if (pruneIndexScan) {
           val cells = qRows.map(_._2).distinct.sorted
