@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ts.{Dedup, GapFill, Sessionize, Validation}
 import graft.spikes.Spikes
-import graft.ops.{Curation, Decontaminate, DedupDocs, IncrementalDedup, Ivf, Mixture, Pq, Similarity, Text}
+import graft.ops.{Curation, Decontaminate, DedupDocs, IncrementalDedup, Ivf, Lm, Mixture, Pq, Redact, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -427,6 +427,29 @@ object SparkEntry {
       isBench = col("source") === "src0",
       k = 3,
       minOverlap = 5
+    )
+
+  /** Corpus-LM quality scoring: per-doc avg token log-prob + perplexity
+    * under the corpus's own add-1-smoothed unigram LM (CCNet-style
+    * filtering signal; vocab aggregated once, collected small →
+    * broadcast scoring join). */
+  private def qLmScore(s: SparkSession, dir: String): DataFrame =
+    Lm.lmScore(Tables.documents(s, dir))
+
+  /** Duplicated-span coverage: token 10-grams occurring >1 time in the
+    * corpus mark their positions duplicated; per-doc covered-token
+    * fraction (Lee et al.-style exact-substring dedup signal). */
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    DedupDocs.dupSpans(Tables.documents(s, dir), k = 10)
+
+  /** Dictionary scrubbing via the [[Redact]] PII machinery: blocklisted
+    * terms replaced by a placeholder, per-doc match counts. (The PII
+    * patterns themselves are spec-exercised — the synthetic corpus has
+    * no digits or '@'.) */
+  private def qRedact(s: SparkSession, dir: String): DataFrame =
+    Redact.redactReport(
+      Tables.documents(s, dir),
+      Seq(("blocked", Redact.blocklistPattern(Seq("spark", "table")), "[TERM]"))
     )
 
   /** Dedup clusters: MinHash-LSH candidate pairs → connected components
@@ -914,7 +937,10 @@ object SparkEntry {
     "q_mixture" -> (qMixture _),
     "q_pack" -> (qPack _),
     "q_top_ngrams" -> (qTopNgrams _),
-    "q_curate" -> (qCurate _)
+    "q_curate" -> (qCurate _),
+    "q_lm_score" -> (qLmScore _),
+    "q_dup_spans" -> (qDupSpans _),
+    "q_redact" -> (qRedact _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1476,6 +1502,39 @@ object SparkEntry {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
         |      FROM samp)
         |SELECT doc_id, source, n_tokens, start_off,
-        |       start_off // 512 AS seq_id, start_off % 512 AS seq_off FROM p""".stripMargin
+        |       start_off // 512 AS seq_id, start_off % 512 AS seq_off FROM p""".stripMargin,
+    "q_lm_score" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |nv AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM cnt)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |       round(SUM(ln((c + 1) / (n + v))) / COUNT(*), 4) AS avg_logprob,
+        |       round(exp(-SUM(ln((c + 1) / (n + v))) / COUNT(*)), 4) AS ppl
+        |FROM toks t JOIN cnt USING (tok) CROSS JOIN nv
+        |GROUP BY t.doc_id""".stripMargin,
+    "q_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, i, array_to_string(t[i + 1 : i + 10], ' ') AS g
+        |        FROM toks, unnest(generate_series(0, len(t) - 10)) AS u(i)),
+        |dup AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) > 1),
+        |ds AS (SELECT doc_id, i FROM pos WHERE g IN (SELECT g FROM dup)),
+        |st AS (SELECT doc_id, COUNT(*) AS n_dup_starts FROM ds GROUP BY doc_id),
+        |cov AS (SELECT doc_id, COUNT(*) AS n_covered FROM
+        |          (SELECT DISTINCT doc_id, i + j AS p
+        |           FROM ds, unnest(generate_series(0, 9)) AS v(j))
+        |        GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(COALESCE(st.n_dup_starts, 0) AS BIGINT) AS n_dup_starts,
+        |       CAST(COALESCE(cov.n_covered, 0) AS BIGINT) AS n_covered,
+        |       round(CAST(COALESCE(cov.n_covered, 0) AS DOUBLE) / len(string_split(d.text, ' ')), 4) AS dup_frac
+        |FROM documents d
+        |LEFT JOIN st ON st.doc_id = d.doc_id
+        |LEFT JOIN cov ON cov.doc_id = d.doc_id""".stripMargin,
+    "q_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(spark|table)\b')) AS BIGINT) AS n_blocked,
+        |  regexp_replace(text, '\b(spark|table)\b', '[TERM]', 'g') AS redacted
+        |FROM documents""".stripMargin
   )
 }

@@ -18,6 +18,58 @@ object DedupDocs {
       .groupBy(md5(col("text").cast("binary")).as("content_md5"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Cross-document duplicated-span detection, the Spark-native reduction
+    * of exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): a token k-gram occurring
+    * more than once in the corpus (any document, including twice in the
+    * same one) marks its k token positions as duplicated; each document
+    * reports how much of it is covered by such spans. Union-ing the
+    * per-start intervals through a DISTINCT on (doc, position) merges
+    * overlapping/adjacent duplicated grams into maximal-span coverage —
+    * the same quantity a suffix-array pass would report, computed with
+    * joins and aggregates instead of a single-node suffix array.
+    *
+    * Output: (doc_id, n_tokens, n_dup_starts, n_covered, dup_frac) for
+    * EVERY document — zero rows matter, they are the clean majority.
+    *
+    * Physical plan (the 100 TB shape): the gram-frequency aggregate is
+    * the one big exchange and it map-side combines (the exchange carries
+    * distinct grams, not occurrences); duplicated grams are the tiny
+    * minority, so the semi-join back onto positions keeps O(dup starts)
+    * rows, and the coverage explode is k× that — everything after the
+    * first aggregate is sized by the duplication rate, not the corpus. */
+  def dupSpans(documents: DataFrame, k: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = when(
+      size(toks) >= k,
+      transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))
+      )
+    ).otherwise(array().cast("array<string>"))
+    val pos = documents.select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
+    val dupGrams = pos.groupBy("gram").agg(count(lit(1)).as("occ")).where(col("occ") > 1)
+    val dupStarts = pos.join(dupGrams.select("gram"), Seq("gram"), "left_semi")
+    val perDocStarts = dupStarts.groupBy("doc_id").agg(count(lit(1)).as("n_dup_starts"))
+    val perDocCovered = dupStarts
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_covered"))
+    documents
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(perDocStarts, Seq("doc_id"), "left_outer")
+      .join(perDocCovered, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        round(coalesce(col("n_covered"), lit(0L)).cast("double") / col("n_tokens"), 4)
+          .as("dup_frac")
+      )
+  }
+
   /** Word k-shingles, distinct per doc; `carry` columns ride along.
     * Documents with fewer than k tokens contribute NO shingles (matching
     * DuckDB's empty generate_series). One native kernel call per document

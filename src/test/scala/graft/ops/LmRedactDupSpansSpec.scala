@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus-LM scoring, duplicated-span coverage, and regex redaction:
+  * hand-computed fixtures, path equivalence (broadcast vs shuffled LM
+  * join), and the PII patterns on injected fixtures (the synthetic
+  * corpus has no digits/'@', so the driver oracle only exercises the
+  * blocklist form). */
+class LmRedactDupSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- Lm -------------------------------------------------------------
+
+  private val lmDocs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+
+  test("lmScore: hand-computed add-1 unigram log-probs") {
+    // counts: a=2 b=2 c=1; N=5, V=3, denom=8
+    val out = Lm.lmScore(lmDocs).orderBy("doc_id").collect()
+    val d0 = out(0)
+    assert(d0.getLong(1) == 3L)
+    // all three tokens have p=3/8 → avg = ln(0.375) = -0.980829...
+    assert(math.abs(d0.getDouble(2) - -0.9808) < 1e-9)
+    // ppl from the unrounded avg: exp(ln(8/3)) = 8/3
+    assert(math.abs(d0.getDouble(3) - 2.6667) < 1e-9)
+    val d1 = out(1)
+    assert(d1.getLong(1) == 2L)
+    assert(math.abs(d1.getDouble(2) - -1.1836) < 1e-9) // (ln(3/8)+ln(2/8))/2
+    assert(math.abs(d1.getDouble(3) - 3.266) < 1e-9) // sqrt(32/3)
+  }
+
+  test("lmScore: shuffled-join fallback matches the broadcast path") {
+    val broadcastPath = Lm.lmScore(lmDocs).orderBy("doc_id").collect().toSeq
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = Lm.lmScore(lmDocs).orderBy("doc_id").collect().toSeq
+      assert(shuffled == broadcastPath)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  // --- DedupDocs.dupSpans ---------------------------------------------
+
+  test("dupSpans: cross-doc shared grams, coverage union, short docs") {
+    val docs = Seq(
+      (0L, "a b c d e"), // "a b c","b c d" shared with doc1
+      (1L, "x a b c d y"),
+      (2L, "p q") // shorter than k → all zeros
+    ).toDF("doc_id", "text")
+    val out = DedupDocs
+      .dupSpans(docs, k = 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // doc0: starts {0,1} cover positions {0,1,2,3} of 5 tokens
+    assert(out(0) == ((0L, 5L, 2L, 4L, 0.8)))
+    // doc1: starts {1,2} cover {1,2,3,4} of 6
+    assert(out(1) == ((1L, 6L, 2L, 4L, 0.6667)))
+    assert(out(2) == ((2L, 2L, 0L, 0L, 0.0)))
+  }
+
+  test("dupSpans: within-doc repetition counts as duplication") {
+    val docs = Seq((0L, "m n o m n o m n o")).toDF("doc_id", "text")
+    // every 3-gram repeats within the doc → full coverage
+    val out = DedupDocs.dupSpans(docs, k = 3).collect()(0)
+    assert(out.getLong(1) == 9L && out.getLong(2) == 7L && out.getLong(3) == 9L)
+    assert(out.getDouble(4) == 1.0)
+  }
+
+  test("dupSpans: unique corpus reports zero everywhere") {
+    val docs = Seq((0L, "a b c d"), (1L, "e f g h")).toDF("doc_id", "text")
+    val out = DedupDocs.dupSpans(docs, k = 3).collect()
+    assert(out.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L && r.getDouble(4) == 0.0))
+  }
+
+  // --- Redact ----------------------------------------------------------
+
+  test("PII patterns: email, ipv4, phone on injected fixtures") {
+    val docs = Seq(
+      (0L, "mail john.doe+x@ex-ample.co or jane@site.org now"),
+      (1L, "server 10.0.0.1 and 192.168.1.255."),
+      (2L, "call 555-123-4567 or 555 123 4567"),
+      (3L, "clean text with no pii at all")
+    ).toDF("doc_id", "text")
+    val out = Redact
+      .redactReport(docs, Redact.PiiPatterns.All)
+      .orderBy("doc_id")
+      .collect()
+    assert(out(0).getLong(1) == 2L && out(0).getString(4) == "mail <EMAIL> or <EMAIL> now")
+    assert(out(1).getLong(2) == 2L && out(1).getString(4) == "server <IP> and <IP>.")
+    assert(out(2).getLong(3) == 2L && out(2).getString(4) == "call <PHONE> or <PHONE>")
+    assert(out(3).toSeq.slice(1, 4) == Seq(0L, 0L, 0L))
+    assert(out(3).getString(4) == "clean text with no pii at all")
+  }
+
+  test("redact is idempotent: placeholders never re-match") {
+    val docs = Seq((0L, "a@b.co 1.2.3.4 555-123-4567")).toDF("doc_id", "text")
+    val once = Redact
+      .redact(docs, Redact.PiiPatterns.All)
+      .select(col("doc_id"), col("redacted").as("text"))
+    val twice = Redact.redactReport(once, Redact.PiiPatterns.All).collect()(0)
+    assert(twice.getLong(1) == 0L && twice.getLong(2) == 0L && twice.getLong(3) == 0L)
+    assert(twice.getString(4) == "<EMAIL> <IP> <PHONE>")
+  }
+
+  test("blocklist pattern respects word boundaries") {
+    val docs = Seq((0L, "spark sparky spark")).toDF("doc_id", "text")
+    val out = Redact
+      .redactReport(docs, Seq(("blocked", Redact.blocklistPattern(Seq("spark")), "[X]")))
+      .collect()(0)
+    assert(out.getLong(1) == 2L)
+    assert(out.getString(2) == "[X] sparky [X]")
+  }
+}
