@@ -23,11 +23,11 @@ object DedupDocs {
     * Training Data Makes Language Models Better"): a token k-gram occurring
     * more than once in the corpus (any document, including twice in the
     * same one) marks its k token positions as duplicated; each document
-    * reports how much of it is covered by such spans. Union-ing the
-    * per-start intervals through a DISTINCT on (doc, position) merges
-    * overlapping/adjacent duplicated grams into maximal-span coverage —
-    * the same quantity a suffix-array pass would report, computed with
-    * joins and aggregates instead of a single-node suffix array.
+    * reports how much of it is covered by such spans. Overlapping and
+    * adjacent duplicated grams merge into maximal-span coverage (a fold
+    * over the sorted dup starts — min(k, gap) per start) — the same
+    * quantity a suffix-array pass would report, computed with joins and
+    * aggregates instead of a single-node suffix array.
     *
     * Output: (doc_id, n_tokens, n_dup_starts, n_covered, dup_frac) for
     * EVERY document — zero rows matter, they are the clean majority.
@@ -50,16 +50,31 @@ object DedupDocs {
     val pos = documents.select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
     val dupGrams = pos.groupBy("gram").agg(count(lit(1)).as("occ")).where(col("occ") > 1)
     val dupStarts = pos.join(dupGrams.select("gram"), Seq("gram"), "left_semi")
-    val perDocStarts = dupStarts.groupBy("doc_id").agg(count(lit(1)).as("n_dup_starts"))
-    val perDocCovered = dupStarts
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
-      .distinct()
+    // Covered tokens = union length of the [start, start+k) intervals.
+    // For per-doc SORTED starts that is a fold — each start past the
+    // first contributes min(k, gap to its predecessor) — so ONE per-doc
+    // aggregate replaces an interval explode + corpus-wide DISTINCT,
+    // and the gram-frequency subtree is built once, not once per
+    // consumer. collect_list is bounded by per-doc dup starts (≤ doc
+    // tokens; [[graft.ops.Text.chunkDocs]] is the long-doc guard).
+    val covered = aggregate(
+      sort_array(collect_list(col("pos"))),
+      struct(lit(-1).as("prev"), lit(0L).as("acc")),
+      (st, s) =>
+        struct(
+          s.as("prev"),
+          (st.getField("acc") +
+            when(st.getField("prev") < 0, lit(k))
+              .otherwise(least(lit(k), s - st.getField("prev")))).as("acc")
+        ),
+      st => st.getField("acc")
+    )
+    val perDoc = dupStarts
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_covered"))
+      .agg(count(lit(1)).as("n_dup_starts"), covered.as("n_covered"))
     documents
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
-      .join(perDocStarts, Seq("doc_id"), "left_outer")
-      .join(perDocCovered, Seq("doc_id"), "left_outer")
+      .join(perDoc, Seq("doc_id"), "left_outer")
       .select(
         col("doc_id"),
         col("n_tokens"),
