@@ -39,6 +39,21 @@ object DedupDocs {
     * rows, and the coverage explode is k× that — everything after the
     * first aggregate is sized by the duplication rate, not the corpus. */
   def dupSpans(documents: DataFrame, k: Int): DataFrame = {
+    // gram identity = 16-byte MD5 per position ([[graft.functions
+    // .GramHashes]] — zero-copy byte-range digests): no per-position
+    // slice/concat_ws string build, fixed-width exchange keys. The
+    // string-gram formulation is kept below as [[dupSpansHof]] (what
+    // the SQL oracle spells; LmRedactDupSpansSpec pins equality).
+    val pos = documents.select(
+      col("doc_id"),
+      posexplode(graft.functions.GramHashes.gramHashes(col("text"), k)).as(Seq("pos", "gram"))
+    )
+    dupSpansFrom(documents, pos, k)
+  }
+
+  /** The string-gram formulation of [[dupSpans]] — what the SQL oracle
+    * spells. Kept for the equivalence spec. */
+  private[graft] def dupSpansHof(documents: DataFrame, k: Int): DataFrame = {
     val toks = split(col("text"), " ")
     val grams = when(
       size(toks) >= k,
@@ -48,6 +63,13 @@ object DedupDocs {
       )
     ).otherwise(array().cast("array<string>"))
     val pos = documents.select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
+    dupSpansFrom(documents, pos, k)
+  }
+
+  /** Shared tail of the dup-span forms: gram-frequency aggregate →
+    * semi-join → per-doc fold. */
+  private def dupSpansFrom(documents: DataFrame, pos: DataFrame, k: Int): DataFrame = {
+    val toks = split(col("text"), " ")
     val dupGrams = pos.groupBy("gram").agg(count(lit(1)).as("occ")).where(col("occ") > 1)
     val dupStarts = pos.join(dupGrams.select("gram"), Seq("gram"), "left_semi")
     // Covered tokens = union length of the [start, start+k) intervals.

@@ -74,6 +74,50 @@ class LmRedactDupSpansSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L && r.getDouble(4) == 0.0))
   }
 
+  test("gramHashes kernel equals md5 of the HOF gram strings") {
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, ""), // single empty token
+      (2L, "  a  b "), // empty tokens from leading/consecutive/trailing spaces
+      (3L, "héllo wörld ünïcode tokens here"),
+      (4L, "a b") // fewer than k tokens → NULL
+    ).toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val hof = when(
+      size(toks) >= 3,
+      transform(
+        sequence(lit(0), size(toks) - 3),
+        i => md5(concat_ws(" ", slice(toks, i + 1, lit(3))).cast("binary"))
+      )
+    )
+    val native = transform(
+      graft.functions.GramHashes.gramHashes(col("text"), 3),
+      g => lower(hex(g))
+    )
+    val rows = docs
+      .select(col("doc_id"), hof.as("h"), native.as("n"))
+      .orderBy("doc_id")
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null mismatch for doc ${r.getLong(0)}")
+      if (!r.isNullAt(1)) assert(r.getSeq[String](1) == r.getSeq[String](2))
+    }
+    assert(rows(4).isNullAt(1) && rows(4).isNullAt(2))
+  }
+
+  test("dupSpans: digest form equals the string-gram form on a random corpus") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (0L until 60L)
+      .map(i => (i, Seq.fill(5 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val native = DedupDocs.dupSpans(docs, k = 4).orderBy("doc_id").collect().toSeq
+    val hof = DedupDocs.dupSpansHof(docs, k = 4).orderBy("doc_id").collect().toSeq
+    assert(native == hof)
+    // the tiny vocab guarantees real duplication — the comparison is not vacuous
+    assert(native.exists(_.getLong(2) > 0L))
+  }
+
   // --- Redact ----------------------------------------------------------
 
   test("PII patterns: email, ipv4, phone on injected fixtures") {
