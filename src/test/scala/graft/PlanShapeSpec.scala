@@ -67,6 +67,27 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"the (band, band_key) join must never sort-merge (index-side shuffle):\n$p")
   }
 
+  test("q_lm_score scores through a broadcast join — the token stream never shuffles for the vocab") {
+    // the 100 TB property of Lm.lmScore: the vocabulary side (collected
+    // to a local relation when count-gated small) must broadcast, so
+    // the only exchange over the token stream is the map-side-combined
+    // per-doc aggregate. A SortMergeJoin here would shuffle every token
+    // occurrence by token value.
+    val p = planString("q_lm_score")
+    assert(p.contains("BroadcastHashJoin"), s"expected a broadcast scoring join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token stream must not shuffle for the vocab join:\n$p")
+  }
+
+  test("q_dup_spans: gram exchange on fixed-width digest keys, dup set broadcast back") {
+    // dupSpans's semi-join of positions against the duplicated-gram set
+    // must broadcast the (small, duplication-rate-sized) dup set — a
+    // sort-merge semi-join would re-shuffle every gram occurrence.
+    val p = planString("q_dup_spans")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected a broadcast semi-join against the dup-gram set:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"positions must not shuffle for the semi-join:\n$p")
+  }
+
   test("q_ivf_serve scans a cell-partitioned index with a static probed-cell partition filter") {
     // the serving join's corpus side must be the partitionBy("cell")
     // parquet index scanned under a static `cell IN (probed...)` filter
