@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ts.{Dedup, GapFill, Sessionize, Validation}
 import graft.spikes.Spikes
-import graft.ops.{Curation, Decontaminate, DedupDocs, IncrementalDedup, Ivf, Lm, Mixture, Pq, Redact, Similarity, Text}
+import graft.ops.{Bm25, Curation, Decontaminate, DedupDocs, IncrementalDedup, Ivf, Lm, Mixture, Pq, Redact, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -450,6 +450,19 @@ object SparkEntry {
     Redact.redactReport(
       Tables.documents(s, dir),
       Seq(("blocked", Redact.blocklistPattern(Seq("spark", "table")), "[TERM]"))
+    )
+
+  /** BM25 lexical top-k retrieval: the lexical counterpart of the ANN
+    * stack (decontamination review / topical mining / hybrid retrieval's
+    * sparse side). Token arrays are filtered to the query terms BEFORE
+    * exploding, df folds into per-term idf constants, and top-k is
+    * TakeOrderedAndProject — no join, no full sort. "zzz" exercises the
+    * absent-term path. */
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    Bm25.topK(
+      Tables.documents(s, dir),
+      Seq("scan", "join", "vector", "stream", "merge", "zzz"),
+      k = 25
     )
 
   /** Dedup clusters: MinHash-LSH candidate pairs → connected components
@@ -940,7 +953,8 @@ object SparkEntry {
     "q_curate" -> (qCurate _),
     "q_lm_score" -> (qLmScore _),
     "q_dup_spans" -> (qDupSpans _),
-    "q_redact" -> (qRedact _)
+    "q_redact" -> (qRedact _),
+    "q_bm25" -> (qBm25 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1535,6 +1549,20 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\b(spark|table)\b')) AS BIGINT) AS n_blocked,
         |  regexp_replace(text, '\b(spark|table)\b', '[TERM]', 'g') AS redacted
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_bm25" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |stats AS (SELECT COUNT(*) AS n, AVG(len(t)) AS avgdl FROM docs),
+        |toks AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, unnest(t) AS tok FROM docs),
+        |tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+        |       WHERE tok IN ('scan', 'join', 'vector', 'stream', 'merge', 'zzz')
+        |       GROUP BY doc_id, dl, tok),
+        |df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tf) GROUP BY tok),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_terms,
+        |         round(SUM(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * 2.2
+        |                   / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+        |       FROM tf JOIN df USING (tok) CROSS JOIN stats GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
   )
 }
