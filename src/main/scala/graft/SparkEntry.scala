@@ -283,23 +283,30 @@ object SparkEntry {
       .select("doc_id", "shuffle_rank")
 
   /** PQ serving shape: ADC shortlist from the m-byte codes table, exact
-    * L2 re-rank of the fetched shortlist. NOT SQL-expressible (k-means
-    * codebooks) → the driver records the weaker rows-only check; PqSpec
-    * pins encode/ADC semantics, training determinism, and recall. */
+    * L2 re-rank of the fetched shortlist. The k-means codebooks are
+    * driver-side arrays: training records them so [[oracleSql]] can
+    * constant-fold them into a DuckDB VALUES table (the q_align /
+    * q_filtfilt generated-oracle recipe) — ADC is then m lookups + SUM
+    * in plain SQL, and the query is fully hash-checked. PqSpec pins
+    * encode/ADC kernel semantics, training determinism, and recall. */
   private def qPqTopk(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val cb = Pq.train(e, m = 4, ksub = 16, iters = 6)
+    pqOracleArtifacts = Some(cb)
     Pq.adcTopKReranked(
       Pq.encode(e, cb), e, e.where(col("vec_id") < 5), cb, k = 10, rerank = 4)
   }
 
   /** IVF-PQ serving shape: coarse cells + residual codes, probed-cell
-    * ADC shortlist, exact re-rank. Rows-only check like q_pq_topk;
-    * PqSpec pins residual semantics and the recall advantage. */
+    * ADC shortlist, exact re-rank. Oracle-checked like q_pq_topk: the
+    * trained centroids + residual codebooks become VALUES tables in the
+    * generated SQL. PqSpec pins residual semantics and the recall
+    * advantage. */
   private def qIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val cents = Ivf.trainCentroids(e, nLists = 16, iters = 6)
     val cb = Pq.trainResidual(e, cents, m = 4, ksub = 16, iters = 6)
+    ivfPqOracleArtifacts = Some((cents, cb))
     Pq.ivfPqTopK(
       Pq.encodeIvfPq(e, cents, cb).select(col("vec_id"), col("cell"), col("code")),
       e, e.where(col("vec_id") < 5), cents, cb, k = 10, nProbe = 4, rerank = 4)
@@ -656,6 +663,7 @@ object SparkEntry {
     * Same parameters as q_ivfpq_topk, so results are identical. */
   private def qIvfPqServe(s: SparkSession, dir: String): DataFrame = {
     val (p, cents, cb) = ivfPqIndex(s, dir)
+    ivfPqOracleArtifacts = Some((cents, cb))
     Pq.ivfPqTopK(
       s.read.parquet(p), Tables.embeddings(s, dir),
       Tables.embeddings(s, dir).where(col("vec_id") < 5),
@@ -849,6 +857,133 @@ object SparkEntry {
        |       THEN CAST(floor(xr - 2.0) AS INT) + 1 ELSE 1 END AS jl FROM g$reflGuard)
        |SELECT peak_idx, j AS sample_idx, round($terms, 6) AS value FROM gj""".stripMargin
   }
+
+  // ---- PQ-family generated oracles ------------------------------------
+  // The q_align/q_filtfilt recipe applied to the ANN stack: the trained
+  // codebooks/centroids are driver-side arrays, recorded when the query
+  // runs and constant-folded into DuckDB VALUES tables, so "k-means ∉
+  // SQL" stops being an oracle gap. Verify runs EVERY query before it
+  // dumps oracle_sql.json, so the artifacts are always populated there;
+  // before any run the map simply omits the three entries.
+  @volatile private var pqOracleArtifacts: Option[Array[Array[Array[Double]]]] = None
+  @volatile private var ivfPqOracleArtifacts
+      : Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
+
+  private def dbl(v: Double): String = s"CAST($v AS DOUBLE)"
+
+  /** Shared tail: ADC shortlist (rank ≤ k·rerank on the 6dp-rounded ADC
+    * distance, vec_id tiebreak) → fetch shortlist vectors → exact
+    * squared-L2 re-rank, spelled xx + qq − 2·dp exactly like
+    * [[Pq.adcTopKReranked]]'s rerank. Expects an `adc` CTE with
+    * (query_id, vec_id, adc_dist). */
+  private def pqRerankSqlTail(k: Int, rerank: Int): String =
+    s"""sl AS MATERIALIZED (SELECT query_id, vec_id FROM
+       |        (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC) AS rn FROM adc)
+       |      WHERE rn <= ${k * rerank}),
+       |pr AS MATERIALIZED (SELECT s.query_id, s.vec_id, a.embedding AS ea, b.embedding AS qe
+       |      FROM sl s JOIN embeddings a ON a.vec_id = s.vec_id
+       |                JOIN embeddings b ON b.vec_id = s.query_id),
+       |uu AS (SELECT query_id, vec_id, unnest(ea) AS x, unnest(qe) AS y FROM pr),
+       |l2 AS (SELECT query_id, vec_id,
+       |        round(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) + SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+       |              - 2 * SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 6) AS l2_dist
+       |      FROM uu GROUP BY query_id, vec_id)
+       |SELECT query_id, vec_id, l2_dist, rank FROM
+       |  (SELECT query_id, vec_id, l2_dist, row_number() OVER (PARTITION BY query_id ORDER BY l2_dist ASC, vec_id ASC) AS rank FROM l2)
+       |WHERE rank <= $k""".stripMargin
+
+  /** q_pq_topk oracle: codebooks as a (s, c, j, w) VALUES table; codes
+    * via per-(vec, subspace) argmin; and — because the queries ARE
+    * corpus rows — the per-query ADC LUT is the SAME argmin-distance
+    * table restricted to query ids. */
+  private def pqOracleSql(
+      cb: Array[Array[Array[Double]]],
+      k: Int,
+      rerank: Int
+  ): String = {
+    val m = cb.length; val ksub = cb(0).length; val dsub = cb(0)(0).length
+    val dim = m * dsub
+    val vals = (for { s <- 0 until m; c <- 0 until ksub; j <- 0 until dsub }
+      yield s"($s,$c,$j,${dbl(cb(s)(c)(j))})").mkString(",")
+    s"""WITH cb(s, c, j, w) AS MATERIALIZED (VALUES $vals),
+       |comp AS MATERIALIZED (SELECT vec_id, unnest(generate_series(0, ${dim - 1})) AS jj,
+       |        unnest(embedding) AS v FROM embeddings),
+       |cd AS MATERIALIZED (SELECT vec_id, cb.s, cb.c,
+       |        SUM((CAST(v AS DOUBLE) - w) * (CAST(v AS DOUBLE) - w)) AS dist
+       |      FROM comp JOIN cb ON cb.s = jj // $dsub AND cb.j = jj % $dsub
+       |      GROUP BY vec_id, cb.s, cb.c),
+       |codes AS MATERIALIZED (SELECT vec_id, s, c FROM
+       |        (SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn FROM cd)
+       |      WHERE rn = 1),
+       |adc AS MATERIALIZED (SELECT q.vec_id AS query_id, cs.vec_id AS vec_id, round(SUM(q.dist), 6) AS adc_dist
+       |      FROM codes cs JOIN (SELECT * FROM cd WHERE vec_id < 5) q ON q.s = cs.s AND q.c = cs.c
+       |      WHERE cs.vec_id <> q.vec_id
+       |      GROUP BY q.vec_id, cs.vec_id),
+       |${pqRerankSqlTail(k, rerank)}""".stripMargin
+  }
+
+  /** q_ivfpq_topk / q_ivfpq_serve oracle (identical parameters ⇒ one
+    * SQL): coarse centroids + residual codebooks as VALUES tables; cell
+    * assignment and probe ranking as argmin/rank windows over the same
+    * per-(vec, cell) distance CTE; per-(query, cell) RESIDUAL LUTs keep
+    * ADC comparable across cells, exactly like [[Pq.ivfPqTopK]]. */
+  private def ivfPqOracleSql(
+      cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]],
+      k: Int,
+      nProbe: Int,
+      rerank: Int
+  ): String = {
+    val m = cb.length; val ksub = cb(0).length; val dsub = cb(0)(0).length
+    val dim = m * dsub
+    val ctVals = (for { cell <- cents.indices; j <- 0 until dim }
+      yield s"($cell,$j,${dbl(cents(cell)(j))})").mkString(",")
+    val cbVals = (for { s <- 0 until m; c <- 0 until ksub; j <- 0 until dsub }
+      yield s"($s,$c,$j,${dbl(cb(s)(c)(j))})").mkString(",")
+    s"""WITH ct(cell, j, w) AS MATERIALIZED (VALUES $ctVals),
+       |cbt(s, c, j, w) AS MATERIALIZED (VALUES $cbVals),
+       |comp AS MATERIALIZED (SELECT vec_id, unnest(generate_series(0, ${dim - 1})) AS jj,
+       |        unnest(embedding) AS v FROM embeddings),
+       |cdist AS MATERIALIZED (SELECT vec_id, cell,
+       |        SUM((CAST(v AS DOUBLE) - w) * (CAST(v AS DOUBLE) - w)) AS dist
+       |      FROM comp JOIN ct ON ct.j = jj GROUP BY vec_id, cell),
+       |acell AS MATERIALIZED (SELECT vec_id, cell FROM
+       |        (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM cdist)
+       |      WHERE rn = 1),
+       |rcomp AS MATERIALIZED (SELECT comp.vec_id AS vec_id, jj, CAST(v AS DOUBLE) - w AS rv
+       |      FROM comp JOIN acell ON acell.vec_id = comp.vec_id
+       |                JOIN ct ON ct.cell = acell.cell AND ct.j = comp.jj),
+       |rcd AS MATERIALIZED (SELECT vec_id, cbt.s, cbt.c, SUM((rv - w) * (rv - w)) AS dist
+       |      FROM rcomp JOIN cbt ON cbt.s = jj // $dsub AND cbt.j = jj % $dsub
+       |      GROUP BY vec_id, cbt.s, cbt.c),
+       |codes AS MATERIALIZED (SELECT vec_id, s, c FROM
+       |        (SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn FROM rcd)
+       |      WHERE rn = 1),
+       |probed AS MATERIALIZED (SELECT vec_id AS query_id, cell FROM
+       |        (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM cdist WHERE vec_id < 5)
+       |      WHERE rn <= $nProbe),
+       |qr AS MATERIALIZED (SELECT p.query_id, p.cell, jj, CAST(v AS DOUBLE) - w AS rv
+       |      FROM probed p JOIN comp ON comp.vec_id = p.query_id
+       |                    JOIN ct ON ct.cell = p.cell AND ct.j = comp.jj),
+       |qlut AS MATERIALIZED (SELECT query_id, cell, cbt.s, cbt.c, SUM((rv - w) * (rv - w)) AS lut
+       |      FROM qr JOIN cbt ON cbt.s = jj // $dsub AND cbt.j = jj % $dsub
+       |      GROUP BY query_id, cell, cbt.s, cbt.c),
+       |adc AS MATERIALIZED (SELECT q.query_id AS query_id, a.vec_id AS vec_id, round(SUM(q.lut), 6) AS adc_dist
+       |      FROM acell a JOIN codes cs ON cs.vec_id = a.vec_id
+       |           JOIN qlut q ON q.cell = a.cell AND q.s = cs.s AND q.c = cs.c
+       |      WHERE a.vec_id <> q.query_id
+       |      GROUP BY q.query_id, a.vec_id),
+       |${pqRerankSqlTail(k, rerank)}""".stripMargin
+  }
+
+  /** The three PQ-family oracle entries, present once the queries have
+    * trained (i.e. always, under Verify's run-then-dump order). */
+  private def pqFamilyOracles: Map[String, String] =
+    pqOracleArtifacts.map(cb => "q_pq_topk" -> pqOracleSql(cb, k = 10, rerank = 4)).toMap ++
+      ivfPqOracleArtifacts.map { case (cents, cb) =>
+        val sql = ivfPqOracleSql(cents, cb, k = 10, nProbe = 4, rerank = 4)
+        Map("q_ivfpq_topk" -> sql, "q_ivfpq_serve" -> sql)
+      }.getOrElse(Map.empty[String, String])
 
   /** BPE-ish regex token counting over documents (pre-tokenizer run
     * counts per character class + punctuation ratio). */
@@ -1564,5 +1699,5 @@ object SparkEntry {
         |       FROM tf JOIN df USING (tok) CROSS JOIN stats GROUP BY doc_id)
         |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, score
         |FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
-  )
+  ) ++ pqFamilyOracles
 }

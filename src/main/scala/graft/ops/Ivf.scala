@@ -159,13 +159,15 @@ object Ivf {
 
   /** Top-k per query over a PRE-BUILT index: `assigned` is the corpus
     * with its `cell` column, `centroids` the (cell, centroid) table —
-    * both from [[assignCells]]. Probing is one broadcast cell-ranking
-    * cross join (|queries| × nLists rows) plus one bucket equi-join on
-    * `cell` touching ~nProbe/nLists of the corpus.
+    * both from [[assignCells]]. Cells are ranked per query ON THE
+    * DRIVER from the collected batch (|queries| · nLists distance
+    * sweeps — the same recipe as [[Pq.ivfPqTopK]]), so the serving plan
+    * is ONE job: a bucket equi-join on `cell` against the broadcast
+    * probe rows, touching ~nProbe/nLists of the corpus.
     *
-    * `pruneIndexScan` (default true) collects the batch's probed cells
-    * (≤ nLists values, one tiny driver job at plan-build time) and
-    * applies them as a STATIC `cell IN (...)` filter on the index scan.
+    * `pruneIndexScan` (default true) applies the batch's probed cells
+    * (≤ nLists values, known driver-side — no extra job) as a STATIC
+    * `cell IN (...)` filter on the index scan.
     * Against a `partitionBy("cell")` parquet index that is partition
     * pruning at planning time — only the probed cells' files are listed
     * and read, the O(nProbe/nLists)-I/O layout a 100 TB index wants.
@@ -184,36 +186,53 @@ object Ivf {
       nProbe: Int,
       pruneIndexScan: Boolean = true
   ): DataFrame = {
-    // rank cells per query by centroid distance, keep nProbe
-    val qc = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .crossJoin(broadcast(centroids))
-      .withColumn(
-        "cdist",
-        aggregate(
-          zip_with(col("qe"), col("centroid"), (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-          lit(0.0),
-          (acc, v) => acc + v
-        )
-      )
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("cdist").asc, col("cell").asc)
-    val probed = qc
-      .withColumn("crank", row_number().over(w))
-      .where(col("crank") <= nProbe)
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    // Cell ranking runs on the DRIVER from the collected query batch
+    // (|queries| · nLists distance sweeps — both sides are small by
+    // contract: the batch is a serving request, the centroid table has
+    // nLists rows). The previous cross-join + rank-window formulation
+    // cost a second full execution of its un-persisted subtree when the
+    // probed-cell set was collected for the static scan filter (the
+    // known double-consumed-subtree trap — measured as q_ivf_topk
+    // 0.60→0.94 s in r8). Distances accumulate left-to-right exactly
+    // like the zip_with/aggregate fold they replace, so the probed cell
+    // set — and therefore every result — is bit-identical.
+    val cents = centroids
+      .select(col("cell"), col("centroid"))
+      .collect()
+      .map(r => (r.getAs[Number]("cell").intValue, r.getSeq[Double](1).toArray))
+    val probedRows: Seq[(Long, Int, Seq[Float])] = queries
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .toSeq
+      .flatMap { r =>
+        val qid = r.getLong(0)
+        val qe = r.getSeq[Float](1)
+        cents
+          .map { case (cell, ct) =>
+            var d = 0.0; var j = 0
+            while (j < ct.length) { val t = qe(j).toDouble - ct(j); d += t * t; j += 1 }
+            (cell, d)
+          }
+          .sortBy { case (cell, dist) => (dist, cell) }
+          .take(nProbe)
+          .map { case (cell, _) => (qid, cell, qe) }
+      }
+    val probed = probedRows
+      .toDF("query_id", "cell", "qe")
       .select(col("query_id"), col("qe"), Similarity.norm(col("qe")).as("qn"), col("cell"))
     // candidate join on cell, exact cosine (norms precomputed per row,
     // one dot-product traversal per candidate pair), top-k
     val indexSide =
       if (!pruneIndexScan) assigned
       else {
-        val probedCells = probed.select("cell").distinct().collect().map(_.get(0))
-        assigned.where(col("cell").isin(probedCells.toIndexedSeq: _*))
+        val probedCells = probedRows.map(_._2).distinct.sorted
+        assigned.where(col("cell").isin(probedCells: _*))
       }
     val scored = indexSide
       .withColumn("cn", Similarity.norm(col("embedding")))
-      .join(probed, "cell")
+      .join(broadcast(probed), "cell")
       .where(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),

@@ -9,14 +9,19 @@ class SparkEntrySpec extends SparkSpec {
 
   test("every oracle key has a matching query; aliases are stable") {
     val qk = SparkEntry.queries.keySet
+    val ok0 = SparkEntry.oracleSql.keySet
+    assert(ok0.subsetOf(qk), s"oracle keys without queries: ${ok0 -- qk}")
+    // The PQ family's oracles are GENERATED from the trained codebooks/
+    // centroids, recorded when the queries run; the only keys allowed to
+    // be absent BEFORE a run are exactly those three.
+    val generated = Set("q_pq_topk", "q_ivfpq_topk", "q_ivfpq_serve")
+    assert((qk -- ok0).subsetOf(generated), s"unexpected oracle-less: ${qk -- ok0 -- generated}")
+    // After a smoke-scale run (Verify's run-then-dump order) the map
+    // covers EVERY query — no rows-only entries remain.
+    val dir = "/root/testdata/sf0.001"
+    Seq("q_pq_topk", "q_ivfpq_topk").foreach(n => SparkEntry.queries(n)(spark, dir).count())
     val ok = SparkEntry.oracleSql.keySet
-    assert(ok.subsetOf(qk), s"oracle keys without queries: ${ok -- qk}")
-    // rows-only queries are the documented kernel exceptions only:
-    // k-means-trained codebooks/centroids are not SQL-expressible, so
-    // the PQ serving queries get the driver's weaker rows-only check
-    // (semantics pinned by PqSpec instead)
-    val rowsOnly = Set("q_pq_topk", "q_ivfpq_topk", "q_ivfpq_serve")
-    assert((qk -- ok) == rowsOnly, s"unexpected rows-only: ${qk -- ok -- rowsOnly}")
+    assert(ok == qk, s"queries without an oracle after running: ${qk -- ok}")
   }
 
   test("every query runs and yields a non-empty schema at smoke scale") {
