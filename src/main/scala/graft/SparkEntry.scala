@@ -472,6 +472,28 @@ object SparkEntry {
       k = 25
     )
 
+  // same lifecycle as ivfIndexCache (shutdown-hook cleanup via
+  // ivfTempDirs, same same-session staleness note)
+  private val bm25IndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def bm25Index(s: SparkSession, dir: String): String =
+    bm25IndexCache.getOrElseUpdate(dir, {
+      val baseDir = java.nio.file.Files.createTempDirectory("graft-bm25-")
+      ivfTempDirs.add(baseDir)
+      Bm25.buildIndex(Tables.documents(s, dir), baseDir.toString, nBuckets = 64)
+      baseDir.toString
+    })
+
+  /** BM25 SERVING over a pre-built bucket-partitioned postings index
+    * ([[graft.ops.Bm25.buildIndex]]): times only the probe — a static
+    * bucket-pruned df lookup + postings scan, no corpus tokenize. Same
+    * terms/k as q_bm25, so results (and the oracle) are identical. */
+  private def qBm25Serve(s: SparkSession, dir: String): DataFrame =
+    Bm25.topKIndexed(
+      s, bm25Index(s, dir),
+      Seq("scan", "join", "vector", "stream", "merge", "zzz"),
+      k = 25
+    )
+
   /** Dedup clusters: MinHash-LSH candidate pairs → connected components
     * → (doc_id, cluster_id = min doc of the component). The step that
     * turns pair sets into deduplication decisions. Uses STAR pairs
@@ -1089,7 +1111,8 @@ object SparkEntry {
     "q_lm_score" -> (qLmScore _),
     "q_dup_spans" -> (qDupSpans _),
     "q_redact" -> (qRedact _),
-    "q_bm25" -> (qBm25 _)
+    "q_bm25" -> (qBm25 _),
+    "q_bm25_serve" -> (qBm25Serve _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1685,19 +1708,26 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '\b(spark|table)\b')) AS BIGINT) AS n_blocked,
         |  regexp_replace(text, '\b(spark|table)\b', '[TERM]', 'g') AS redacted
         |FROM documents""".stripMargin,
-    "q_bm25" ->
-      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |stats AS (SELECT COUNT(*) AS n, AVG(len(t)) AS avgdl FROM docs),
-        |toks AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, unnest(t) AS tok FROM docs),
-        |tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
-        |       WHERE tok IN ('scan', 'join', 'vector', 'stream', 'merge', 'zzz')
-        |       GROUP BY doc_id, dl, tok),
-        |df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tf) GROUP BY tok),
-        |sc AS (SELECT doc_id, COUNT(*) AS n_terms,
-        |         round(SUM(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * 2.2
-        |                   / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-        |       FROM tf JOIN df USING (tok) CROSS JOIN stats GROUP BY doc_id)
-        |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, score
-        |FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+    "q_bm25" -> bm25OracleSql,
+    // identical parameters (and a spec-pinned identical plan contract)
+    // ⇒ the serving probe shares the scan-form oracle
+    "q_bm25_serve" -> bm25OracleSql
   ) ++ pqFamilyOracles
+
+  /** Shared oracle for q_bm25 and q_bm25_serve (same terms/k ⇒ same
+    * result; the serving index merely materializes tf/df/stats). */
+  private val bm25OracleSql: String =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |stats AS (SELECT COUNT(*) AS n, AVG(len(t)) AS avgdl FROM docs),
+      |toks AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, unnest(t) AS tok FROM docs),
+      |tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+      |       WHERE tok IN ('scan', 'join', 'vector', 'stream', 'merge', 'zzz')
+      |       GROUP BY doc_id, dl, tok),
+      |df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tf) GROUP BY tok),
+      |sc AS (SELECT doc_id, COUNT(*) AS n_terms,
+      |         round(SUM(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * 2.2
+      |                   / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      |       FROM tf JOIN df USING (tok) CROSS JOIN stats GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, score
+      |FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
 }

@@ -108,6 +108,28 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"index scan has no cell partition filter: ${scans.map(_.partitionFilters).mkString(";")}")
   }
 
+  test("q_bm25_serve probes a bucket-partitioned postings index: static partition filter + pushed tok predicate") {
+    // the serving probe must touch only the query terms' hash buckets
+    // (static `bucket IN (...)` computed driver-side via Bm25.termBucket)
+    // and push `tok IN (...)` into the surviving files' row groups — at
+    // corpus scale that is the difference between reading |q| buckets of
+    // postings and the whole inverted index
+    val df = SparkEntry.queries("q_bm25_serve")(spark, dir)
+    val plan = executed(df)
+    val scans = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(plan) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("postings")) => f
+      }
+    assert(scans.nonEmpty, "no postings scan found in q_bm25_serve")
+    assert(
+      scans.exists(_.partitionFilters.exists(_.toString.toLowerCase.contains("bucket"))),
+      s"postings scan has no bucket partition filter: ${scans.map(_.partitionFilters).mkString(";")}")
+    assert(
+      scans.exists(_.metadata.get("PushedFilters").exists(_.contains("In(tok"))),
+      s"tok IN predicate not pushed to the postings scan: ${scans.map(_.metadata.get("PushedFilters")).mkString(";")}")
+  }
+
   test("no CartesianProduct in ANY declared query") {
     // even the deliberate tiny cross joins must broadcast (BNLJ), never
     // fall to a shuffled CartesianProductExec

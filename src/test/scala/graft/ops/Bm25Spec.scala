@@ -39,4 +39,46 @@ class Bm25Spec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(3L, 4L))
     assert(out.map(_.getDouble(2)).distinct.length == 1)
   }
+
+  private def withIndex(df: org.apache.spark.sql.DataFrame)(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-idx-").toString
+    try { Bm25.buildIndex(df, dir, nBuckets = 8); f(dir) }
+    finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("topKIndexed: identical results to the scan-form topK") {
+    withIndex(docs) { dir =>
+      for (q <- Seq(Seq("a", "c"), Seq("a", "c", "zzz"), Seq("b"))) {
+        val scan = Bm25.topK(docs, q, k = 10).collect().toSeq
+        val idx = Bm25.topKIndexed(spark, dir, q, k = 10).collect().toSeq
+        assert(idx == scan, s"serve/scan divergence for terms $q")
+      }
+    }
+  }
+
+  test("topKIndexed: all-absent query terms yield an empty, stable-schema result") {
+    withIndex(docs) { dir =>
+      val out = Bm25.topKIndexed(spark, dir, Seq("zzz", "qqq"), k = 5)
+      assert(out.isEmpty)
+      assert(out.columns.toSeq == Seq("doc_id", "n_terms", "score"))
+    }
+  }
+
+  test("termBucket matches Spark's pmod(hash(tok), n) bucketing exactly") {
+    // build-side bucketing and probe-side pruning must agree or serving
+    // silently reads the wrong partitions (empty results, no error)
+    import org.apache.spark.sql.functions.{col, hash, pmod, lit}
+    val terms = Seq("scan", "join", "vector", "stream", "merge", "zzz", "", "a", "ünïcode")
+    val sparkSide = terms.toDF("tok")
+      .select(col("tok"), pmod(hash(col("tok")), lit(8)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    terms.foreach { t =>
+      assert(Bm25.termBucket(t, 8) == sparkSide(t), s"bucket mismatch for '$t'")
+    }
+  }
 }
