@@ -255,6 +255,20 @@ object SparkEntry {
       docs.where(col("doc_id") % 4 === 0), idx, k = 3, numHashes = 16, rowsPerBand = 4)
   }
 
+  /** Signature-verified incremental screening: same corpus/batch split
+    * as q_dedup_incremental, but the index carries minhash signatures
+    * and a band collision only flags when the pair's estimated Jaccard
+    * (matching components / 16) reaches 0.5 — the precision knob over
+    * collision-as-decision. */
+  private def qDedupIncrementalVerified(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val idx = IncrementalDedup.buildIndexWithSignatures(
+      docs.where(col("doc_id") % 4 =!= 0), k = 3, numHashes = 16, rowsPerBand = 4)
+    IncrementalDedup.screenVerified(
+      docs.where(col("doc_id") % 4 === 0), idx,
+      k = 3, numHashes = 16, rowsPerBand = 4, minJaccard = 0.5)
+  }
+
   /** Context-window chunking of the documents table (size 32, overlap 4
     * — every token covered, consecutive chunks share 4 tokens). */
   private def qChunkDocs(s: SparkSession, dir: String): DataFrame =
@@ -1070,6 +1084,7 @@ object SparkEntry {
     "q_sim_topk" -> (qSimTopK _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_incremental_verified" -> (qDedupIncrementalVerified _),
     "q_pq_topk" -> (qPqTopk _),
     "q_ivfpq_topk" -> (qIvfPqTopk _),
     "q_ivfpq_serve" -> (qIvfPqServe _),
@@ -1270,7 +1285,7 @@ object SparkEntry {
         |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
         |         ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 1000000007 AS h2
         |       FROM sh),
-        |mh AS (SELECT doc_id, seed, MIN(h1 + seed * h2) AS minhash
+        |mh AS (SELECT doc_id, seed, MIN((h1 % 1000000007 + seed * h2) % 1000000007) AS minhash
         |       FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
         |bands AS (SELECT doc_id, seed // 4 AS band,
         |            string_agg(seed || ':' || minhash, ',' ORDER BY seed) AS band_key
@@ -1287,7 +1302,7 @@ object SparkEntry {
         |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
         |         ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 1000000007 AS h2
         |       FROM sh),
-        |mh AS (SELECT doc_id, seed, MIN(h1 + seed * h2) AS minhash
+        |mh AS (SELECT doc_id, seed, MIN((h1 % 1000000007 + seed * h2) % 1000000007) AS minhash
         |       FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
         |bands AS (SELECT doc_id, seed // 4 AS band,
         |            string_agg(seed || ':' || minhash, ',' ORDER BY seed) AS band_key
@@ -1300,6 +1315,52 @@ object SparkEntry {
         |within_new AS (SELECT DISTINCT nb.doc_id FROM nb JOIN bmin
         |                 ON nb.band = bmin.band AND nb.band_key = bmin.band_key
         |                    AND nb.doc_id > bmin.min_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup_of_corpus,
+        |  CASE WHEN w.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup_within_new
+        |FROM documents d
+        |LEFT JOIN vs_corpus v ON d.doc_id = v.doc_id
+        |LEFT JOIN within_new w ON d.doc_id = w.doc_id
+        |WHERE d.doc_id % 4 = 0""".stripMargin,
+    // same band-key pipeline; collisions become CANDIDATE pairs whose
+    // matching-signature-component count must reach 8/16 (= estimated
+    // Jaccard 0.5) before flagging — integer compare on both sides
+    "q_dedup_incremental_verified" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+        |       FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
+        |seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+        |hs AS (SELECT doc_id,
+        |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+        |         ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 1000000007 AS h2
+        |       FROM sh),
+        |mh AS (SELECT doc_id, seed, MIN((h1 % 1000000007 + seed * h2) % 1000000007) AS minhash
+        |       FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
+        |bands AS (SELECT doc_id, seed // 4 AS band,
+        |            string_agg(seed || ':' || minhash, ',' ORDER BY seed) AS band_key
+        |          FROM mh GROUP BY doc_id, seed // 4),
+        |cb AS (SELECT * FROM bands WHERE doc_id % 4 <> 0),
+        |nb AS (SELECT * FROM bands WHERE doc_id % 4 = 0),
+        |cand_c AS (SELECT DISTINCT nb.doc_id AS nid, cb.doc_id AS cid FROM nb JOIN cb
+        |             ON nb.band = cb.band AND nb.band_key = cb.band_key),
+        |vs_corpus AS (SELECT DISTINCT nid AS doc_id FROM
+        |                (SELECT c.nid, c.cid,
+        |                   SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) AS nmatch
+        |                 FROM cand_c c
+        |                 JOIN mh ma ON ma.doc_id = c.nid
+        |                 JOIN mh mb ON mb.doc_id = c.cid AND mb.seed = ma.seed
+        |                 GROUP BY c.nid, c.cid)
+        |              WHERE nmatch >= 8),
+        |cand_w AS (SELECT DISTINCT a.doc_id AS aid, b.doc_id AS bid FROM nb a JOIN nb b
+        |             ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |within_new AS (SELECT DISTINCT bid AS doc_id FROM
+        |                 (SELECT c.aid, c.bid,
+        |                    SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) AS nmatch
+        |                  FROM cand_w c
+        |                  JOIN mh ma ON ma.doc_id = c.aid
+        |                  JOIN mh mb ON mb.doc_id = c.bid AND mb.seed = ma.seed
+        |                  GROUP BY c.aid, c.bid)
+        |               WHERE nmatch >= 8)
         |SELECT d.doc_id,
         |  CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup_of_corpus,
         |  CASE WHEN w.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup_within_new
@@ -1528,7 +1589,7 @@ object SparkEntry {
         |           ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
         |           ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 1000000007 AS h2
         |         FROM sh),
-        |  mh AS (SELECT doc_id, seed, MIN(h1 + seed * h2) AS minhash
+        |  mh AS (SELECT doc_id, seed, MIN((h1 % 1000000007 + seed * h2) % 1000000007) AS minhash
         |         FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
         |  bands AS (SELECT doc_id, seed // 4 AS band,
         |              string_agg(seed || ':' || minhash, ',' ORDER BY seed) AS band_key

@@ -27,8 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (what `md5(cast(concat_ws(' ', slice(...)) AS binary))` hashes),
   *    fed to the digest without building the string;
   *  - `h1` = first 15 hex chars as a long = the digest's first 60 bits;
-  *    `h2` = hex chars 17..31 = bits 64..123, mod 1e9+7 — the same
-  *    Carter-Wegman family `h1 + s·h2`;
+  *    `h2` = hex chars 17..31 = bits 64..123, mod 1e9+7 — double-hashing
+  *    family `(h1 mod p + s·h2) mod p`, p = 1e9+7. The outer reduction
+  *    is load-bearing: without it the unreduced 60-bit `h1` term dwarfs
+  *    `s·h2` (≤ 1.5e10), the per-seed argmin collapses to the single
+  *    min-h1 shingle, and the "16-hash" signature degenerates to one
+  *    hash repeated — match counts only ever 0 or numHashes, no LSH
+  *    S-curve (measured in r9: every candidate pair scored 0/16 or
+  *    16/16 before the fix);
   *  - duplicate shingles need no `array_distinct`: they cannot change a
   *    minimum.
   *
@@ -100,9 +106,10 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
       j = 8
       while (j < 15) { h2 = (h2 << 8) | (d(j) & 0xffL); j += 1 }
       h2 = ((h2 << 4) | ((d(15) & 0xf0L) >>> 4)) % Mod
+      val h1m = h1 % Mod
       var seed = 0
       while (seed < numHashes) {
-        val v = h1 + seed.toLong * h2
+        val v = (h1m + seed.toLong * h2) % Mod
         if (v < mins(seed)) mins(seed) = v
         seed += 1
       }

@@ -272,12 +272,18 @@ object DedupDocs {
 
   /** MinHash signature: for each of `numHashes` seeds, the minimum hash
     * over the doc's shingles. ONE md5 per shingle; the seed family is the
-    * Carter-Wegman combination `h_s = h1 + s·(h2 mod 1e9+7)` of the two
-    * md5 halves — 16× fewer digests than hashing (seed, shingle) pairs,
-    * same independence in practice, and still byte-reproducible by the
-    * SQL oracle. The per-(doc, seed) min is computed with `numHashes`
-    * min-aggregates over an array column (no row explosion), then
-    * unpivoted. */
+    * double-hashing combination `h_s = (h1 mod p + s·(h2 mod p)) mod p`,
+    * p = 1e9+7, of the two md5 halves — 16× fewer digests than hashing
+    * (seed, shingle) pairs, still byte-reproducible by the SQL oracle.
+    * The OUTER mod is what makes the seeds independent in practice: the
+    * unreduced form `h1 + s·h2` (shipped through r8) left the 60-bit h1
+    * dominant, every seed's argmin was the same min-h1 shingle, and the
+    * signature carried the variance of ONE hash — match counts between
+    * any candidate pair were exactly 0 or numHashes, never partial
+    * (measured in r9 on random corpora), which nullified both the LSH
+    * band S-curve and any estimated-Jaccard verification. The
+    * per-(doc, seed) min is computed with `numHashes` min-aggregates
+    * over an array column (no row explosion), then unpivoted. */
   /** Wide per-doc signature: one row per doc with columns m0..m{n-1}.
     * One native kernel call per document ([[graft.functions.MinHashSig]]
     * — the whole shingle→md5→min pipeline in a single byte pass), so no
@@ -305,7 +311,7 @@ object DedupDocs {
       .withColumn("h1", conv(substring(col("__md5"), 1, 15), 16, 10).cast("long"))
       .withColumn("h2", conv(substring(col("__md5"), 17, 15), 16, 10).cast("long") % 1000000007L)
     val minCols = (0 until numHashes).map { s =>
-      min(col("h1") + lit(s.toLong) * col("h2")).as(s"m$s")
+      min((col("h1") % 1000000007L + lit(s.toLong) * col("h2")) % 1000000007L).as(s"m$s")
     }
     hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
   }
@@ -343,6 +349,21 @@ object DedupDocs {
       k: Int,
       numHashes: Int,
       rowsPerBand: Int
+  ): DataFrame =
+    bandKeysWithSig(documents, k, numHashes, rowsPerBand)
+      .select("doc_id", "band", "band_key") // sig array pruned by Catalyst
+
+  /** [[bandKeys]] plus the full minhash signature on every band row
+    * (`sig`: numHashes longs, ~128 bytes at the default 16 — still tiny
+    * vs the payload the index exists to avoid). Carrying the signature
+    * lets an incremental screen VERIFY a band collision's estimated
+    * Jaccard before flagging ([[IncrementalDedup.screenVerified]])
+    * instead of treating any single-band collision as a dup verdict. */
+  def bandKeysWithSig(
+      documents: DataFrame,
+      k: Int,
+      numHashes: Int,
+      rowsPerBand: Int
   ): DataFrame = {
     // NOTE: exact banding only — a partial trailing band would inflate
     // candidate recall unpredictably; pad numHashes instead
@@ -357,9 +378,14 @@ object DedupDocs {
       )
       struct(lit(b).as("band"), key.as("band_key"))
     }
+    val sig = array((0 until numHashes).map(s => col(s"m$s")): _*)
     wideSignatures(documents, k, numHashes)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .select(col("doc_id"), sig.as("sig"), explode(array(bandStructs: _*)).as("bk"))
+      .select(
+        col("doc_id"),
+        col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"),
+        col("sig"))
   }
 
   def minhashLshPairs(

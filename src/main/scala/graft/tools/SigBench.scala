@@ -50,7 +50,7 @@ object SigBench {
         .withColumn("h1", conv(substring(col("__md5"), 1, 15), 16, 10).cast("long"))
         .withColumn("h2", conv(substring(col("__md5"), 17, 15), 16, 10).cast("long") % 1000000007L)
       val minCols = (0 until numHashes).map { s =>
-        min(col("h1") + lit(s.toLong) * col("h2")).as(s"m$s")
+        min((col("h1") % 1000000007L + lit(s.toLong) * col("h2")) % 1000000007L).as(s"m$s")
       }
       hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     }
@@ -73,7 +73,7 @@ object SigBench {
         .withColumn("h1", conv(substring(col("__md5"), 1, 15), 16, 10).cast("long"))
         .withColumn("h2", conv(substring(col("__md5"), 17, 15), 16, 10).cast("long") % 1000000007L)
       val minCols = (0 until numHashes).map { s =>
-        min(col("h1") + lit(s.toLong) * col("h2")).as(s"m$s")
+        min((col("h1") % 1000000007L + lit(s.toLong) * col("h2")) % 1000000007L).as(s"m$s")
       }
       hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     }
