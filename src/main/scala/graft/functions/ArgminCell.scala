@@ -18,12 +18,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   *
   * Centroids ride IN the expression (nLists × dim doubles — a few KiB
   * for any practical IVF config; they are driver-trained constants, not
-  * data), so the expression serializes once per task like a broadcast.
-  * Ties break to the LOWEST cell index (strict `<` update), matching the
-  * UDF and the driver-side training loop. CodegenFallback: per-row work
+  * data), so the expression serializes once per task like a broadcast —
+  * as a Seq, so two plans with equal centroids are `semanticEqual`
+  * (array-typed params compare by reference and would defeat plan
+  * canonicalization; the [[PqEncode]] pattern). Ties break to the
+  * LOWEST cell index (strict `<` update), matching the UDF and the
+  * driver-side training loop. Malformed input FAILS FAST: an embedding
+  * shorter than the centroid dim raises and kills the job — this kernel
+  * runs at INDEX-BUILD time, where silently filing a bad vector under a
+  * legal cell would corrupt the index for every query after; contrast
+  * [[PqEncode]], whose NULL-on-malformed suits a per-row encoder whose
+  * output is independently checkable. CodegenFallback: per-row work
   * is an nLists × dim distance sweep (same family as [[MinHashSig]]).
   */
-case class ArgminCell(child: Expression, centroids: Array[Array[Double]])
+case class ArgminCell(child: Expression, centroids: Seq[Seq[Double]])
     extends UnaryExpression
     with CodegenFallback {
 
@@ -38,13 +46,15 @@ case class ArgminCell(child: Expression, centroids: Array[Array[Double]])
   override def dataType: DataType = IntegerType
   override def prettyName: String = "argmin_cell"
 
-  private val dim = centroids(0).length
+  private val dim = centroids.head.length
   // flattened row-major: cache-friendly sweep, one bounds check pattern
   @transient private lazy val flat: Array[Double] = {
     val f = new Array[Double](centroids.length * dim)
     var c = 0
     while (c < centroids.length) {
-      System.arraycopy(centroids(c), 0, f, c * dim, dim)
+      val row = centroids(c)
+      var j = 0
+      while (j < dim) { f(c * dim + j) = row(j); j += 1 }
       c += 1
     }
     f
@@ -82,5 +92,5 @@ case class ArgminCell(child: Expression, centroids: Array[Array[Double]])
 
 object ArgminCell {
   def argminCell(c: Column, centroids: Array[Array[Double]]): Column =
-    Bridge.column(ArgminCell(Bridge.expression(c), centroids))
+    Bridge.column(ArgminCell(Bridge.expression(c), centroids.map(_.toVector).toVector))
 }

@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, FloatType}
   * strict `<`, NaN distances never win (any comparison with NaN is
   * false; a NaN in slot 0 stays only if nothing beats it). A NULL input
   * or a length ≠ m·dsub yields NULL (nullable, unlike ArgminCell's
-  * bucket-0 — an encoder must not silently file bad vectors under a
+  * fail-fast — an encoder must not silently file bad vectors under a
   * legal code). CodegenFallback: per-row work is m·ksub·dsub multiply-
   * adds, dwarfing row plumbing.
   */

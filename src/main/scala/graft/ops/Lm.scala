@@ -49,12 +49,16 @@ object Lm {
     // ONE corpus-scan aggregate, cached only long enough to decide the
     // join strategy: when the vocabulary fits the broadcast threshold
     // (the normal case — vocab grows sub-linearly in corpus size), the
-    // counts are collected into a LocalRelation, the cache is released
-    // eagerly, and the scoring join is broadcast-hash with no second
-    // corpus scan. An oversized vocabulary keeps the cached table and
-    // degrades to a shuffled join instead of OOMing the driver.
+    // counts are collected into a LocalRelation and the scoring join is
+    // broadcast-hash with no second corpus scan. An oversized vocabulary
+    // degrades to a shuffled join instead of OOMing the driver; there
+    // the counts table is RECOMPUTED by the scoring join (one extra
+    // token-stream pass, deterministic) rather than left pinned in
+    // cache for the session lifetime. Either way the cache is released
+    // before this method returns.
     val cnt = unigramCounts(documents).persist(StorageLevel.MEMORY_AND_DISK)
-    val vocab = cnt.count()
+    val stats = cnt.agg(count(lit(1)).as("v"), sum(col("c")).as("n")).head()
+    val vocab = stats.getLong(0)
     val perRowBytes = 80L // tok string + long count, UnsafeRow-ish
     val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
     val (cntSide, nTotal) =
@@ -67,7 +71,8 @@ object Lm {
         )
         (broadcast(local), rows.iterator.map(_.getLong(1)).sum)
       } else {
-        (cnt, cnt.agg(sum(col("c"))).head().getLong(0))
+        cnt.unpersist()
+        (cnt, stats.getLong(1))
       }
     val denom = lit((nTotal + vocab).toDouble)
     val perTok = log((col("c").cast("double") + lit(1.0)) / denom)

@@ -120,13 +120,19 @@ object Mixture {
   /** Deterministic global training-order shuffle: a dense 0-based rank
     * in `(uniformHash(salt, id), id)` order — the same reproducible
     * permutation on any partitioning, parallelism, or retry. NOT a
-    * global single-partition window: the scalable two-pass shape (range
-    * partition on the hash → O(partitions) driver count summary →
-    * offset + local index), the recipe
-    * [[graft.ts.Sessionize.withSegmentIdGlobal]] documents. The persist
-    * is a correctness anchor — the range partitioner samples boundaries
-    * at job time, so the count pass and the rank pass must see the same
-    * partitioning. Output: input columns + `shuffle_rank`. */
+    * global single-partition window: the scalable two-pass shape
+    * (O(buckets) driver count summary → bucket offset + local rank, the
+    * recipe [[graft.ts.Sessionize.withSegmentIdGlobal]] documents), with
+    * the bucket a PURE FUNCTION of the row — `floor(hash · n)`, monotone
+    * in the hash, so bucket-local ranks plus bucket offsets ARE the
+    * global rank. Hash uniformity keeps the buckets balanced. Pure
+    * bucketing is what makes the two passes agree with no persist (the
+    * earlier range-partition form had to pin the corpus in cache because
+    * its sampled boundaries differ across jobs — a session-lifetime
+    * cache of the full dataset, untenable at the 100 TB scale this op
+    * exists for): both passes recompute the same bucket on any retry,
+    * at the price of scanning the source twice. Output: input columns +
+    * `shuffle_rank`. */
   def deterministicShuffle(
       documents: DataFrame,
       salt: String,
@@ -134,23 +140,20 @@ object Mixture {
   ): DataFrame = {
     val spark = documents.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val parted = documents
-      .withColumn("__h", uniformHash(salt, col(idCol)))
-      .repartitionByRange(n, col("__h"), col(idCol))
-      .sortWithinPartitions(col("__h"), col(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = parted
-      .groupBy(spark_partition_id().as("__pid")).count()
+    val u = uniformHash(salt, col(idCol))
+    val bucket = least(floor(u * lit(n)).cast("int"), lit(n - 1))
+    val withB = documents.withColumn("__h", u).withColumn("__b", bucket)
+    val counts = withB
+      .groupBy(col("__b")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until n).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
     val offsetMap = map(
       (0 until n).flatMap(p => Seq(lit(p), lit(offsets(p)))): _*)
-    parted
-      .withColumn("__mid", monotonically_increasing_id())
+    val w = Window.partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+    withB
       .withColumn(
         "shuffle_rank",
-        element_at(offsetMap, spark_partition_id()) +
-          col("__mid").bitwiseAND(lit((1L << 33) - 1)))
-      .drop("__h", "__mid")
+        element_at(offsetMap, col("__b")) + row_number().over(w) - 1)
+      .drop("__h", "__b")
   }
 }

@@ -35,9 +35,20 @@ object Redact {
   }
 
   /** A word-boundary alternation over literal `terms` (dictionary
-    * scrubbing). Terms must be regex-safe literals. */
-  def blocklistPattern(terms: Seq[String]): String =
+    * scrubbing). Terms must be regex-safe literals — enforced, because a
+    * metacharacter would silently change what gets scrubbed, and
+    * `\Q…\E` quoting is Java-only (the DuckDB/RE2 oracle could not
+    * mirror it). An empty term list is rejected: `\b()\b` matches the
+    * empty string at every word boundary and would inject the
+    * replacement throughout the text. */
+  def blocklistPattern(terms: Seq[String]): String = {
+    require(terms.nonEmpty, "empty blocklist: \\b()\\b matches at every word boundary")
+    val meta = "\\^$.|?*+()[]{}".toSet
+    terms.foreach { t =>
+      require(t.nonEmpty && !t.exists(meta), s"blocklist term is not a regex-safe literal: '$t'")
+    }
     terms.mkString("\\b(", "|", ")\\b")
+  }
 
   /** Apply `patterns` = (name, regex, replacement) in order; output the
     * original columns plus `redacted` (the scrubbed text) and one

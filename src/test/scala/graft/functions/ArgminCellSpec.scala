@@ -75,4 +75,20 @@ class ArgminCellSpec extends SparkSpec {
       .collect().map(r => if (r.isNullAt(0)) null else r.getInt(0))
     assert(out.toSeq == Seq(0, null, 1))
   }
+
+  test("equal centroid tables give semantically equal expressions") {
+    // Seq-typed param => structural equality; independently-built but
+    // value-equal Array[Array[Double]] inputs must canonicalize together
+    // (reference-equality on an array param would defeat plan reuse)
+    import org.apache.spark.sql.graftbridge.Bridge
+    // shared child isolates the param under test: the centroid table,
+    // built twice from independent (non-eq) arrays, must compare equal
+    val child = Bridge.expression(col("embedding"))
+    def mk() = Array(Array(1.0, 2.0), Array(3.0, 4.0)).map(_.toVector).toVector
+    val a = ArgminCell(child, mk())
+    val b = ArgminCell(child, mk())
+    assert(a.semanticEquals(b))
+    val c = ArgminCell(child, Vector(Vector(1.0, 2.5), Vector(3.0, 4.0)))
+    assert(!a.semanticEquals(c))
+  }
 }

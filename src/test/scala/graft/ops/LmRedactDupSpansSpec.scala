@@ -156,4 +156,15 @@ class LmRedactDupSpansSpec extends SparkSpec {
     assert(out.getLong(1) == 2L)
     assert(out.getString(2) == "[X] sparky [X]")
   }
+
+  test("blocklist pattern rejects empty lists and regex metacharacters") {
+    // \b()\b matches the empty string at every word boundary — refuse it
+    intercept[IllegalArgumentException](Redact.blocklistPattern(Seq.empty))
+    intercept[IllegalArgumentException](Redact.blocklistPattern(Seq("spark", "")))
+    // '.' would match ANY char; the literal-only contract is enforced,
+    // not just documented (RE2 oracle cannot mirror \Q…\E quoting)
+    intercept[IllegalArgumentException](Redact.blocklistPattern(Seq("a.b")))
+    intercept[IllegalArgumentException](Redact.blocklistPattern(Seq("a|b")))
+    assert(Redact.blocklistPattern(Seq("foo", "bar-baz")) == "\\b(foo|bar-baz)\\b")
+  }
 }
