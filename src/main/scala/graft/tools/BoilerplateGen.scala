@@ -19,6 +19,25 @@ import org.apache.spark.sql.functions._
   * Only documents.parquet is written; NgramCapBench points at the dir.
   */
 object BoilerplateGen {
+
+  /** The injection itself, shared with [[ScreenBench]]: `fraction` of
+    * docs (md5-selected) get one of `nTemplates` fixed 12-token
+    * boilerplate sentences appended. */
+  def inject(docs: org.apache.spark.sql.DataFrame, fraction: Double, nTemplates: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val template = concat_ws(" ",
+      (0 until 12).map(i => concat(lit(s"bp${i}x"), col("__tpl"))): _*)
+    val sel = abs(hash(col("doc_id"), lit(20260813))) % 1000000
+    docs
+      .withColumn("__tpl",
+        when(sel < (fraction * 1000000).toLong,
+          (abs(hash(col("doc_id"), lit(7))) % nTemplates).cast("string")))
+      .withColumn("text",
+        when(col("__tpl").isNotNull, concat_ws(" ", col("text"), template))
+          .otherwise(col("text")))
+      .drop("__tpl")
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: BoilerplateGen <srcDir> <outDir> [fraction] [nTemplates]")
     val src = args(0)
@@ -34,18 +53,7 @@ object BoilerplateGen {
 
     // 12-token templates built from a template id — token identity only
     // matters within the corpus, so synthetic words are fine
-    val template = concat_ws(" ",
-      (0 until 12).map(i => concat(lit(s"bp${i}x"), col("__tpl"))): _*)
-
-    val sel = abs(hash(col("doc_id"), lit(20260813))) % 1000000
-    spark.read.parquet(s"$src/documents.parquet")
-      .withColumn("__tpl",
-        when(sel < (fraction * 1000000).toLong,
-          (abs(hash(col("doc_id"), lit(7))) % nTemplates).cast("string")))
-      .withColumn("text",
-        when(col("__tpl").isNotNull, concat_ws(" ", col("text"), template))
-          .otherwise(col("text")))
-      .drop("__tpl")
+    inject(spark.read.parquet(s"$src/documents.parquet"), fraction, nTemplates)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     spark.stop()
