@@ -16,7 +16,10 @@ import org.apache.spark.sql.streaming.Trigger
   * measured the same way with the screen replaced by `select(*)`.
   *
   * `runMain graft.tools.CurateBench [sfDir] [chunks] [mode]` —
-  * mode `curate` (default) or `raw` (source ceiling, same files).
+  * mode `curate` (default), `raw` (source ceiling, same files),
+  * `nodedup` (stateless prefix only), or `neardup` (full curate chain
+  * PLUS the signature-verified corpus band-index probe per trigger —
+  * [[graft.streaming.Streaming.nearDupScreenStream]]).
   * Use a `ScaleGen` dir (e.g. /tmp/scale10) for a longer steady state.
   */
 object CurateBench {
@@ -26,8 +29,11 @@ object CurateBench {
     val chunks = if (args.length > 1) args(1).toInt else 20
     val mode = if (args.length > 2) args(2) else "curate"
     // nodedup: the stateless prefix only (gates + per-row decontamination
-    // + mixture), no watermark state — isolates the state-store cost
-    require(Seq("curate", "raw", "nodedup").contains(mode), s"mode must be curate|raw|nodedup, got $mode")
+    // + mixture), no watermark state — isolates the state-store cost.
+    // neardup: the full curate chain PLUS the per-trigger corpus
+    // band-index probe (signature-verified) — complete admission control
+    require(Seq("curate", "raw", "nodedup", "neardup").contains(mode),
+      s"mode must be curate|raw|nodedup|neardup, got $mode")
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -90,7 +96,7 @@ object CurateBench {
     )
     val transformed = mode match {
       case "raw" => stream
-      case "curate" =>
+      case "curate" | "neardup" =>
         graft.streaming.Streaming.curateStream(stream, bench, cfg, "ts", "10 seconds")
       case _ => // nodedup: curateStream's stateless stages, no watermark state
         val benchShingles = graft.ops.DedupDocs
@@ -104,11 +110,30 @@ object CurateBench {
               < cfg.decontaminateMinOverlap)
           .transform(graft.ops.Mixture.sample(_, cfg.weights, cfg.salt))
     }
-    val q = transformed.writeStream
-      .format("noop")
-      .trigger(Trigger.ProcessingTime("200 milliseconds"))
-      .option("checkpointLocation", s"$root/ckpt")
-      .start()
+    val q = mode match {
+      case "neardup" =>
+        // persisted corpus index (3/4 of the corpus), probed per trigger
+        // by the micro-batch's broadcast band keys; persist = the bench
+        // analog of the index living as a parquet table
+        val corpus = docs.where(col("doc_id") % 4 =!= 0).drop("ts")
+        val idx = graft.ops.IncrementalDedup
+          .buildIndexWithSignatures(corpus, k = 3, numHashes = 16, rowsPerBand = 4)
+          .persist()
+        println(s"corpus index rows: ${idx.count()}")
+        graft.streaming.Streaming
+          .nearDupScreenStream(transformed, idx, 3, 16, 4, Some(0.5)) { screened =>
+            screened.write.format("noop").mode("overwrite").save()
+          }
+          .trigger(Trigger.ProcessingTime("200 milliseconds"))
+          .option("checkpointLocation", s"$root/ckpt")
+          .start()
+      case _ =>
+        transformed.writeStream
+          .format("noop")
+          .trigger(Trigger.ProcessingTime("200 milliseconds"))
+          .option("checkpointLocation", s"$root/ckpt")
+          .start()
+    }
 
     // drop the remaining chunks in as fast as the fs moves them — the
     // question is how fast the SCREEN drains, so the writer must never

@@ -181,4 +181,54 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(rows.toSeq == Seq(1.0, 2.0, 3.0))
   }
+
+  test("streaming near-dup screen matches batch screenVerified per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val (kk, nh, rpb) = (3, 16, 4)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    val rnd = new scala.util.Random(90210)
+    def doc() = (0 until 20).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    def nearOf(text: String) = { // keep 18 of 20 tokens: J ≈ 0.8, verifies
+      val toks = text.split(" ")
+      (toks.take(18) ++ Seq(vocab(rnd.nextInt(vocab.length)), vocab(rnd.nextInt(vocab.length)))).mkString(" ")
+    }
+    val corpusRows = (0L until 20L).map(i => (i, doc()))
+    val fresh103 = doc()
+    val batch1 = Seq(
+      (100L, corpusRows(3)._2),         // exact corpus dup
+      (101L, doc()),                    // fresh
+      (102L, nearOf(corpusRows(5)._2))  // near-dup of corpus
+    )
+    val batch2 = Seq(
+      (103L, fresh103),                 // fresh
+      (104L, fresh103)                  // exact within-batch dup of 103
+    )
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val idx = graft.ops.IncrementalDedup.buildIndexWithSignatures(corpus, kk, nh, rpb)
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val got = scala.collection.mutable.ArrayBuffer[Map[Long, (Int, Int)]]()
+    val q = Streaming
+      .nearDupScreenStream(stream, idx, kk, nh, rpb, minJaccard = Some(0.5)) { screened =>
+        val m = screened.collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+        if (m.nonEmpty) got.synchronized { got += m }
+      }
+      .start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // parity: each micro-batch verdict == the batch operator on those rows
+    def batchScreen(rows: Seq[(Long, String)]) = graft.ops.IncrementalDedup
+      .screenVerified(rows.toDF("doc_id", "text"), idx, kk, nh, rpb, minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got.toSeq == Seq(batchScreen(batch1), batchScreen(batch2)))
+    // and the verdicts themselves are the planted ones
+    assert(got(0)(100L)._1 == 1 && got(0)(101L) == ((0, 0)) && got(0)(102L)._1 == 1)
+    assert(got(1)(103L) == ((0, 0)) && got(1)(104L) == ((0, 1)))
+  }
 }
