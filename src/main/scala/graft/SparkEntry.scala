@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ts.{Dedup, GapFill, Sessionize, Validation}
 import graft.spikes.Spikes
-import graft.ops.{Bm25, Curation, Decontaminate, DedupDocs, IncrementalDedup, Ivf, Lm, Mixture, Pq, Redact, Similarity, Text}
+import graft.ops.{Bm25, Curation, Decontaminate, DedupDocs, IncrementalDedup, Ivf, Lm, Mixture, Pq, Redact, SemDedup, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -706,6 +706,16 @@ object SparkEntry {
       cents, cb, k = 10, nProbe = 4, rerank = 4)
   }
 
+  /** SemDeDup semantic dedup: k-means cells (the IVF trainer), pairwise
+    * cosine WITHIN a cell only, keep-lowest-id. The centroids are
+    * recorded for the generated oracle (the PQ-family recipe). */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val (result, cents) =
+      SemDedup.semDedup(Tables.embeddings(s, dir), nLists = 8, minCosine = 0.3)
+    semDedupOracleArtifacts = Some(cents)
+    result
+  }
+
   /** A4 common average reference + CAR-subtracted samples on the
     * synthetic 4-channel signal. */
   private def qCar(s: SparkSession, dir: String): DataFrame = {
@@ -904,6 +914,7 @@ object SparkEntry {
   @volatile private var pqOracleArtifacts: Option[Array[Array[Array[Double]]]] = None
   @volatile private var ivfPqOracleArtifacts
       : Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
+  @volatile private var semDedupOracleArtifacts: Option[Array[Array[Double]]] = None
 
   private def dbl(v: Double): String = s"CAST($v AS DOUBLE)"
 
@@ -1012,14 +1023,53 @@ object SparkEntry {
        |${pqRerankSqlTail(k, rerank)}""".stripMargin
   }
 
-  /** The three PQ-family oracle entries, present once the queries have
-    * trained (i.e. always, under Verify's run-then-dump order). */
+  /** q_semdedup oracle: trained centroids as a VALUES table, cell
+    * assignment as the same argmin/rank window as the IVF-PQ oracle,
+    * then pairwise cosine restricted to same-cell smaller-id pairs and
+    * the keep-lowest-id verdict — [[graft.ops.SemDedup]] in SQL. */
+  private def semDedupOracleSql(cents: Array[Array[Double]], minCosine: Double): String = {
+    val dim = cents(0).length
+    val ctVals = (for { cell <- cents.indices; j <- 0 until dim }
+      yield s"($cell,$j,${dbl(cents(cell)(j))})").mkString(",")
+    s"""WITH ct(cell, j, w) AS MATERIALIZED (VALUES $ctVals),
+       |comp AS MATERIALIZED (SELECT vec_id, unnest(generate_series(0, ${dim - 1})) AS jj,
+       |        unnest(embedding) AS v FROM embeddings),
+       |cdist AS MATERIALIZED (SELECT vec_id, cell,
+       |        SUM((CAST(v AS DOUBLE) - w) * (CAST(v AS DOUBLE) - w)) AS dist
+       |      FROM comp JOIN ct ON ct.j = jj GROUP BY vec_id, cell),
+       |acell AS MATERIALIZED (SELECT vec_id, cell FROM
+       |        (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM cdist)
+       |      WHERE rn = 1),
+       |nr AS MATERIALIZED (SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+       |      FROM comp GROUP BY vec_id),
+       |p AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb
+       |      FROM acell a JOIN acell b ON a.cell = b.cell AND a.vec_id > b.vec_id),
+       |pr AS MATERIALIZED (SELECT p.va, p.vb, ea.embedding AS xa, eb.embedding AS xb
+       |      FROM p JOIN embeddings ea ON ea.vec_id = p.va
+       |             JOIN embeddings eb ON eb.vec_id = p.vb),
+       |uu AS (SELECT va, vb, unnest(xa) AS x, unnest(xb) AS y FROM pr),
+       |dp AS (SELECT va, vb, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS d FROM uu GROUP BY va, vb),
+       |cs AS (SELECT va, vb, round(d / (na.nrm * nb.nrm), 6) AS cos_sim
+       |      FROM dp JOIN nr na ON na.vec_id = va JOIN nr nb ON nb.vec_id = vb),
+       |dups AS (SELECT va AS vec_id, MIN(vb) AS dup_of FROM cs
+       |      WHERE cos_sim >= ${dbl(minCosine)} GROUP BY va)
+       |SELECT a.vec_id, a.cell,
+       |       CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+       |       COALESCE(d.dup_of, -1) AS dup_of
+       |FROM acell a LEFT JOIN dups d ON d.vec_id = a.vec_id""".stripMargin
+  }
+
+  /** The generated-oracle entries (PQ family + SemDeDup), present once
+    * the queries have trained (i.e. always, under Verify's
+    * run-then-dump order). */
   private def pqFamilyOracles: Map[String, String] =
     pqOracleArtifacts.map(cb => "q_pq_topk" -> pqOracleSql(cb, k = 10, rerank = 4)).toMap ++
       ivfPqOracleArtifacts.map { case (cents, cb) =>
         val sql = ivfPqOracleSql(cents, cb, k = 10, nProbe = 4, rerank = 4)
         Map("q_ivfpq_topk" -> sql, "q_ivfpq_serve" -> sql)
-      }.getOrElse(Map.empty[String, String])
+      }.getOrElse(Map.empty[String, String]) ++
+      semDedupOracleArtifacts
+        .map(c => "q_semdedup" -> semDedupOracleSql(c, minCosine = 0.3)).toMap
 
   /** BPE-ish regex token counting over documents (pre-tokenizer run
     * counts per character class + punctuation ratio). */
@@ -1127,7 +1177,8 @@ object SparkEntry {
     "q_dup_spans" -> (qDupSpans _),
     "q_redact" -> (qRedact _),
     "q_bm25" -> (qBm25 _),
-    "q_bm25_serve" -> (qBm25Serve _)
+    "q_bm25_serve" -> (qBm25Serve _),
+    "q_semdedup" -> (qSemDedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style SEMANTIC deduplication over an embedding column: the
+  * cluster-then-compare recipe of Abbas et al. 2023 ("SemDeDup: Data-
+  * efficient learning at web-scale through semantic deduplication",
+  * arXiv:2303.09540). K-means partitions the corpus into `nLists`
+  * cells (the same deterministic trainer the IVF index uses —
+  * [[Ivf.trainCentroids]] / [[graft.functions.ArgminCell]]), and the
+  * quadratic pairwise-cosine comparison runs only WITHIN a cell.
+  *
+  * Why this is the embedding-dedup scale path: global pairwise cosine
+  * is O(n²) and un-shardable, while cluster-scoped comparison is an
+  * equi-join on `cell` — one shuffle on a small key, with the pair
+  * count bounded by Σ|cell|² instead of n². At 100 TB, `nLists` grows
+  * with the corpus (the paper uses tens of thousands of clusters) so
+  * the per-cell quadratic term stays constant; the cell join parallels
+  * perfectly across executors and no global pair set ever
+  * materializes. The cross-cell misses this admits are the documented
+  * recall trade of the method (near-dups straddling a Voronoi border),
+  * exactly as in the paper.
+  *
+  * Retention rule: within a cell, a row is a duplicate iff some row
+  * with a SMALLER `vec_id` lies within `minCosine` of it; `dup_of`
+  * reports the smallest such neighbor. Keep-lowest-id is deterministic
+  * under retries and repartitioning and is what the SQL oracle spells.
+  * (The paper keeps the member with the lowest similarity to the cell
+  * centroid — a tuning choice on WHICH representative survives, not on
+  * what counts as a duplicate; id-order retention makes the operator's
+  * output a pure function of the corpus.)
+  *
+  * Cosine is rounded to 6dp BEFORE the threshold comparison, and norms
+  * are computed once per row (not per pair), exactly like
+  * [[Similarity.bruteForceTopK]].
+  */
+object SemDedup {
+
+  /** Train + assign + dedup in one call. A real corpus trains/assigns
+    * once ([[Ivf.assignCells]], persisted) and runs [[semDedupAssigned]]
+    * on the stored assignment — the shape [[Ivf.topKIndexed]] documents.
+    * Returns (result, centroids) so callers (and the generated oracle)
+    * can reproduce the assignment. */
+  def semDedup(
+      corpus: DataFrame,
+      nLists: Int,
+      minCosine: Double,
+      sampleSize: Int = 100000
+  ): (DataFrame, Array[Array[Double]]) = {
+    val centroids = Ivf.trainCentroids(corpus, nLists, sampleSize)
+    val assigned = corpus.withColumn(
+      "cell",
+      graft.functions.ArgminCell.argminCell(col("embedding"), centroids))
+    (semDedupAssigned(assigned), centroids)
+  }
+
+  /** The dedup verdict over a pre-assigned corpus (`vec_id`,
+    * `embedding`, `cell`). Output: (vec_id, cell, is_dup, dup_of) —
+    * `is_dup` 1 iff a smaller-id neighbor in the same cell has cosine
+    * ≥ `minCosine` (6dp-rounded), `dup_of` the smallest such id (NULL
+    * sentinel -1 for keepers, so the int column survives the oracle's
+    * pandas-shaped compare). */
+  def semDedupAssigned(assigned: DataFrame, minCosine: Double = MinCosineDefault): DataFrame = {
+    val c = assigned
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .withColumn("__nrm", Similarity.norm(col("embedding")))
+    val dups = c
+      .as("a")
+      .join(
+        c.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("nbr"),
+        round(
+          Similarity.dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.__nrm") * col("b.__nrm")),
+          6
+        ).as("cos_sim")
+      )
+      .where(col("cos_sim") >= minCosine)
+      .groupBy("vec_id")
+      .agg(min("nbr").as("dup_of"))
+    assigned
+      .select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("cell"),
+        when(col("dup_of").isNotNull, lit(1)).otherwise(lit(0)).as("is_dup"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of")
+      )
+  }
+
+  val MinCosineDefault = 0.3
+}
