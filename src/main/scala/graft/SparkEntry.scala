@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ts.{Dedup, GapFill, Sessionize, Validation}
 import graft.spikes.Spikes
-import graft.ops.{Bm25, Curation, Decontaminate, DedupDocs, IncrementalDedup, Ivf, Lm, Mixture, Pq, Redact, SemDedup, Similarity, Text}
+import graft.ops.{Bm25, Curation, Decontaminate, DedupDocs, IncrementalDedup, Ivf, Lm, Mixture, Pq, QualityClassifier, Redact, SemDedup, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -716,6 +716,23 @@ object SparkEntry {
     result
   }
 
+  /** Hashed-linear quality classifier: distill the stopword-ratio gate
+    * into 64 hashed unigram-frequency features + logistic regression
+    * (deterministic driver-side training on a content-hash sample),
+    * then score the whole corpus in one generate + one combine. The
+    * trained model is recorded for the generated oracle. */
+  private def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nTok = size(split(col("text"), " ")).cast("double")
+    val nStop = graft.functions.TokenSetCounts
+      .tokenSetCounts(col("text"), Seq(Seq("the", "a")))
+      .getItem(0)
+      .cast("double")
+    val model = QualityClassifier.train(docs, nStop / nTok >= 0.05)
+    qcOracleArtifacts = Some(model)
+    QualityClassifier.score(docs, model)
+  }
+
   /** A4 common average reference + CAR-subtracted samples on the
     * synthetic 4-channel signal. */
   private def qCar(s: SparkSession, dir: String): DataFrame = {
@@ -915,6 +932,7 @@ object SparkEntry {
   @volatile private var ivfPqOracleArtifacts
       : Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
   @volatile private var semDedupOracleArtifacts: Option[Array[Array[Double]]] = None
+  @volatile private var qcOracleArtifacts: Option[QualityClassifier.Model] = None
 
   private def dbl(v: Double): String = s"CAST($v AS DOUBLE)"
 
@@ -1069,7 +1087,9 @@ object SparkEntry {
         Map("q_ivfpq_topk" -> sql, "q_ivfpq_serve" -> sql)
       }.getOrElse(Map.empty[String, String]) ++
       semDedupOracleArtifacts
-        .map(c => "q_semdedup" -> semDedupOracleSql(c, minCosine = 0.3)).toMap
+        .map(c => "q_semdedup" -> semDedupOracleSql(c, minCosine = 0.3)).toMap ++
+      qcOracleArtifacts
+        .map(m => "q_quality_classifier" -> QualityClassifier.scoreSql(m)).toMap
 
   /** BPE-ish regex token counting over documents (pre-tokenizer run
     * counts per character class + punctuation ratio). */
@@ -1178,7 +1198,8 @@ object SparkEntry {
     "q_redact" -> (qRedact _),
     "q_bm25" -> (qBm25 _),
     "q_bm25_serve" -> (qBm25Serve _),
-    "q_semdedup" -> (qSemDedup _)
+    "q_semdedup" -> (qSemDedup _),
+    "q_quality_classifier" -> (qQualityClassifier _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
