@@ -716,6 +716,11 @@ object SparkEntry {
     result
   }
 
+  /** Per-source token-budget sampling: every source capped at 600
+    * tokens, docs taken in the deterministic hash order. */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame =
+    Mixture.tokenBudgetPerSource(Tables.documents(s, dir), budgetTokens = 600L, salt = "tb1")
+
   /** Hashed-linear quality classifier: distill the stopword-ratio gate
     * into 64 hashed unigram-frequency features + logistic regression
     * (deterministic driver-side training on a content-hash sample),
@@ -1199,7 +1204,8 @@ object SparkEntry {
     "q_bm25" -> (qBm25 _),
     "q_bm25_serve" -> (qBm25Serve _),
     "q_semdedup" -> (qSemDedup _),
-    "q_quality_classifier" -> (qQualityClassifier _)
+    "q_quality_classifier" -> (qQualityClassifier _),
+    "q_token_budget" -> (qTokenBudget _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1844,7 +1850,16 @@ object SparkEntry {
     "q_bm25" -> bm25OracleSql,
     // identical parameters (and a spec-pinned identical plan contract)
     // ⇒ the serving probe shares the scan-form oracle
-    "q_bm25_serve" -> bm25OracleSql
+    "q_bm25_serve" -> bm25OracleSql,
+    "q_token_budget" ->
+      """WITH d AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |        ('0x' || substr(md5('tb1' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 AS u
+        |      FROM documents),
+        |o AS (SELECT doc_id, source, n_tokens,
+        |        COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM d)
+        |SELECT doc_id, source, n_tokens FROM o WHERE cb < 600""".stripMargin
   ) ++ pqFamilyOracles
 
   /** Shared oracle for q_bm25 and q_bm25_serve (same terms/k ⇒ same

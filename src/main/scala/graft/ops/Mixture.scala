@@ -156,4 +156,43 @@ object Mixture {
         element_at(offsetMap, col("__b")) + row_number().over(w) - 1)
       .drop("__h", "__b")
   }
+
+  /** Per-source TOKEN-budget sampling: cap every source's contribution
+    * at `budgetTokens` tokens (how mixture targets are actually stated
+    * for pretraining corpora — token counts, not doc counts or keep
+    * fractions, and over-represented sources get truncated while small
+    * ones survive whole). Docs are taken in the deterministic
+    * [[uniformHash]] order (an unbiased per-source sample, the same
+    * draw the other mixture ops use — retry/repartition-stable, salt
+    * re-rolls) and a doc is kept iff the tokens BEFORE it in that order
+    * are under the budget, so the kept set is a pure prefix: at least
+    * one doc per non-empty source, the last one may straddle the line.
+    *
+    * One window per source (single shuffle on the source key),
+    * embarrassingly parallel across sources — the 100 TB axis; a single
+    * pathological giant source degrades to one sorted partition, for
+    * which the two-pass [[deterministicShuffle]] shape is the escape
+    * hatch. Output: (doc_id, source, n_tokens) of kept docs. */
+  def tokenBudgetPerSource(
+      documents: DataFrame,
+      budgetTokens: Long,
+      salt: String,
+      sourceCol: String = "source"
+  ): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    val u = uniformHash(salt, col("doc_id"))
+    val w = Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col("__u"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(
+        col("doc_id"),
+        col(sourceCol),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        u.as("__u"))
+      .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .where(col("__before") < budgetTokens)
+      .select(col("doc_id"), col(sourceCol), col("n_tokens"))
+  }
 }

@@ -202,9 +202,16 @@ object Streaming {
     * dups are the upstream watermark-dedup stage's job; cross-batch
     * NEAR-dup state would be an unbounded in-flight signature store —
     * the supported contract is the batch path's append cycle
-    * ([[graft.ops.IncrementalDedup.admitted]] rows join the corpus and
-    * their band rows join the index between triggers; `corpusIndex` is
-    * re-read per trigger, so an index append is picked up live).
+    * ([[graft.ops.IncrementalDedup.admit]]ted rows join the corpus and
+    * their band rows join the index between triggers). `corpusIndex`
+    * is BY-NAME for exactly that cycle: a `DataFrame` from
+    * `spark.read.parquet(path)` pins its file listing when it is
+    * CREATED, so a pre-built frame would silently keep screening
+    * against the launch-time index forever; re-evaluating the argument
+    * each trigger (`spark.read.parquet(path)` again) picks appended
+    * index files up live. StreamingSpec's append-cycle test drives
+    * both facts: an admit-append between triggers is seen, and the
+    * sibling stale-frame pitfall is pinned.
     *
     * The micro-batch is persisted for the callback's duration: the
     * screen consumes it from several plan branches, and an unpersisted
@@ -221,7 +228,7 @@ object Streaming {
     * the [[graft.ops.IncrementalDedup.screen]] schema). */
   def nearDupScreenStream(
       docStream: DataFrame,
-      corpusIndex: DataFrame,
+      corpusIndex: => DataFrame,
       k: Int,
       numHashes: Int,
       rowsPerBand: Int,
@@ -230,13 +237,14 @@ object Streaming {
     docStream.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
       val b = batch.toDF().persist()
       try {
+        val idx = corpusIndex // fresh evaluation per trigger (see scaladoc)
         val screened = minJaccard match {
           case Some(j) =>
             graft.ops.IncrementalDedup.screenVerified(
-              b, corpusIndex, k, numHashes, rowsPerBand, j)
+              b, idx, k, numHashes, rowsPerBand, j)
           case None =>
             graft.ops.IncrementalDedup.screen(
-              b, corpusIndex, k, numHashes, rowsPerBand)
+              b, idx, k, numHashes, rowsPerBand)
         }
         sink(screened)
       } finally b.unpersist()

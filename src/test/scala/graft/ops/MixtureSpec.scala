@@ -104,4 +104,34 @@ class MixtureSpec extends SparkSpec {
     // dense permutation: ranks are exactly 0..n-1
     assert(got.values.toSeq.sorted == (0L until 500L))
   }
+
+  test("token budget keeps the hash-order prefix per source and is order-invariant") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val budget = 600L
+    val kept = Mixture.tokenBudgetPerSource(docs, budget, "tb1")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val keptIds = kept.map(_._1).toSet
+    // driver-side recompute of the contract
+    val all = docs
+      .select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.split(col("text"), " ")).cast("long").as("n"),
+        Mixture.uniformHash("tb1", col("doc_id")).as("u"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    all.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._1)).foreach { case (id, _, n, _) =>
+        assert(keptIds.contains(id) == (cum < budget), s"doc $id")
+        cum += n
+      }
+    }
+    // every source survives, none un-truncated (600 < every source total)
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySrc.keySet == all.map(_._2).toSet)
+    bySrc.values.foreach(t => assert(t >= budget, s"kept prefix must reach the budget, got $t"))
+    // repartition/order invariance
+    val again = Mixture
+      .tokenBudgetPerSource(docs.orderBy(col("doc_id").desc).repartition(7), budget, "tb1")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(again == keptIds)
+  }
 }

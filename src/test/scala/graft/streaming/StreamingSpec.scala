@@ -231,4 +231,61 @@ class StreamingSpec extends SparkSpec {
     assert(got(0)(100L)._1 == 1 && got(0)(101L) == ((0, 0)) && got(0)(102L)._1 == 1)
     assert(got(1)(103L) == ((0, 0)) && got(1)(104L) == ((0, 1)))
   }
+
+  test("index append between triggers is picked up (the full incremental cycle)") {
+    implicit val sqlCtx = spark.sqlContext
+    val (kk, nh, rpb) = (3, 16, 4)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    val rnd = new scala.util.Random(424242)
+    def doc() = (0 until 20).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val corpus = (0L until 10L).map(i => (i, doc())).toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("idx-cycle-").toString
+    graft.ops.IncrementalDedup.buildIndexWithSignatures(corpus, kk, nh, rpb)
+      .write.mode("overwrite").parquet(idxDir)
+
+    val fresh = doc()
+    val batch1 = Seq((100L, fresh))          // novel → admitted
+    val batch2 = Seq((200L, fresh))          // exact copy of the ADMITTED doc
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val got = scala.collection.mutable.ArrayBuffer[Map[Long, (Int, Int)]]()
+    val q = Streaming
+      // BY-NAME index read: evaluated fresh inside every trigger
+      .nearDupScreenStream(stream, spark.read.parquet(idxDir), kk, nh, rpb, None) { screened =>
+        val m = screened.collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+        if (m.nonEmpty) got.synchronized { got += m }
+      }
+      .start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    assert(got(0)(100L) == ((0, 0))) // admitted
+    // the append cycle: the admitted doc's band rows join the index
+    graft.ops.IncrementalDedup
+      .buildIndexWithSignatures(batch1.toDF("doc_id", "text"), kk, nh, rpb)
+      .write.mode("append").parquet(idxDir)
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(got(1)(200L)._1 == 1, "appended index rows must be seen by the next trigger")
+
+    // the pitfall the by-name parameter exists for: a PRE-BUILT frame
+    // pinned its file listing at creation and misses the same append
+    val stale = spark.read.parquet(idxDir)
+    // (re-list via a fresh read: the stale frame was created AFTER the
+    // append here, so to reproduce the pitfall we append once more)
+    val fresh2 = doc()
+    graft.ops.IncrementalDedup
+      .buildIndexWithSignatures(Seq((300L, fresh2)).toDF("doc_id", "text"), kk, nh, rpb)
+      .write.mode("append").parquet(idxDir)
+    val verdictStale = graft.ops.IncrementalDedup
+      .screen(Seq((400L, fresh2)).toDF("doc_id", "text"), stale, kk, nh, rpb)
+      .collect().head.getInt(1)
+    val verdictFresh = graft.ops.IncrementalDedup
+      .screen(Seq((400L, fresh2)).toDF("doc_id", "text"), spark.read.parquet(idxDir), kk, nh, rpb)
+      .collect().head.getInt(1)
+    assert(verdictFresh == 1)
+    assert(verdictStale == 0, "a pre-built frame misses appends — the by-name contract is load-bearing")
+  }
 }
