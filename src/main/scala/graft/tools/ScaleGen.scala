@@ -39,18 +39,30 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val ev = spark.read.parquet(s"$src/events.parquet")
+    // Normalize ts to epoch-micros longs for the shift arithmetic (the
+    // same physical-type branch as Tables.events — nanos-as-long or
+    // TIMESTAMP(MICROS) testdata generations both work), then write back
+    // as timestamp so the scaled dir round-trips through Tables.events.
+    val evRaw = spark.read.parquet(s"$src/events.parquet")
+    val tsUsCol = evRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col("ts"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other => throw new IllegalStateException(s"events.ts: $other")
+    }
+    val ev = evRaw.withColumn("ts", tsUsCol)
     val (minTs, maxTs, maxEid, maxUid) = {
       val r = ev.agg(min("ts"), max("ts"), max("event_id"), max("user_id")).first()
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
-    // span + 1h (nanos): keeps copies temporally disjoint at any gap param
-    val tsShift = (maxTs - minTs) + 3600L * 1000000000L
+    // span + 1h (micros): keeps copies temporally disjoint at any gap param
+    val tsShift = (maxTs - minTs) + 3600L * 1000000L
     val copyDf = spark.range(copies).select(col("id").as("__copy"))
     ev.crossJoin(copyDf)
       .select(
         (col("event_id") + col("__copy") * (maxEid + 1L)).as("event_id"),
-        (col("ts") + col("__copy") * tsShift).as("ts"),
+        timestamp_micros(col("ts") + col("__copy") * tsShift).as("ts"),
         (col("user_id") + col("__copy") * (maxUid + 1L)).as("user_id"),
         col("event_type"),
         col("value"),

@@ -11,15 +11,17 @@ class SparkEntrySpec extends SparkSpec {
     val qk = SparkEntry.queries.keySet
     val ok0 = SparkEntry.oracleSql.keySet
     assert(ok0.subsetOf(qk), s"oracle keys without queries: ${ok0 -- qk}")
-    // The PQ family's oracles are GENERATED from the trained codebooks/
-    // centroids, recorded when the queries run; the only keys allowed to
-    // be absent BEFORE a run are exactly those three.
-    val generated = Set("q_pq_topk", "q_ivfpq_topk", "q_ivfpq_serve")
+    // Oracles GENERATED from trained artifacts (PQ codebooks, k-means
+    // centroids, the distilled classifier weights) are recorded when the
+    // queries run; only these keys may be absent BEFORE a run.
+    val generated = Set(
+      "q_pq_topk", "q_ivfpq_topk", "q_ivfpq_serve", "q_semdedup", "q_quality_classifier")
     assert((qk -- ok0).subsetOf(generated), s"unexpected oracle-less: ${qk -- ok0 -- generated}")
     // After a smoke-scale run (Verify's run-then-dump order) the map
     // covers EVERY query — no rows-only entries remain.
     val dir = "/root/testdata/sf0.001"
-    Seq("q_pq_topk", "q_ivfpq_topk").foreach(n => SparkEntry.queries(n)(spark, dir).count())
+    Seq("q_pq_topk", "q_ivfpq_topk", "q_semdedup", "q_quality_classifier")
+      .foreach(n => SparkEntry.queries(n)(spark, dir).count())
     val ok = SparkEntry.oracleSql.keySet
     assert(ok == qk, s"queries without an oracle after running: ${qk -- ok}")
   }
