@@ -463,6 +463,12 @@ object SparkEntry {
   private def qDupSpans(s: SparkSession, dir: String): DataFrame =
     DedupDocs.dupSpans(Tables.documents(s, dir), k = 10)
 
+  /** Exact-substring span removal (the [[qDupSpans]] remediation): strip
+    * every token covered by a corpus-duplicated 10-gram, rebuild the
+    * text in token order. */
+  private def qStripSpans(s: SparkSession, dir: String): DataFrame =
+    DedupDocs.stripDupSpans(Tables.documents(s, dir), k = 10)
+
   /** Dictionary scrubbing via the [[Redact]] PII machinery: blocklisted
     * terms replaced by a placeholder, per-doc match counts. (The PII
     * patterns themselves are spec-exercised — the synthetic corpus has
@@ -1200,6 +1206,7 @@ object SparkEntry {
     "q_curate" -> (qCurate _),
     "q_lm_score" -> (qLmScore _),
     "q_dup_spans" -> (qDupSpans _),
+    "q_strip_spans" -> (qStripSpans _),
     "q_redact" -> (qRedact _),
     "q_bm25" -> (qBm25 _),
     "q_bm25_serve" -> (qBm25Serve _),
@@ -1842,6 +1849,26 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN st ON st.doc_id = d.doc_id
         |LEFT JOIN cov ON cov.doc_id = d.doc_id""".stripMargin,
+    "q_strip_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, i, array_to_string(t[i + 1 : i + 10], ' ') AS g
+        |        FROM toks, unnest(generate_series(0, len(t) - 10)) AS u(i)),
+        |dup AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) > 1),
+        |ds AS (SELECT doc_id, i FROM pos WHERE g IN (SELECT g FROM dup)),
+        |tok AS (SELECT doc_id, i - 1 AS idx, t[i] AS tok
+        |        FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+        |kept AS (SELECT tok.doc_id, tok.idx, tok.tok FROM tok
+        |         WHERE NOT EXISTS (SELECT 1 FROM ds
+        |                           WHERE ds.doc_id = tok.doc_id
+        |                             AND tok.idx >= ds.i AND tok.idx < ds.i + 10)),
+        |ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_clean,
+        |              COUNT(*) AS n_kept
+        |       FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       COALESCE(ka.text_clean, '') AS text_clean,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(string_split(d.text, ' ')) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN ka ON ka.doc_id = d.doc_id""".stripMargin,
     "q_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\b(spark|table)\b')) AS BIGINT) AS n_blocked,

@@ -107,6 +107,83 @@ object DedupDocs {
       )
   }
 
+  /** Exact-substring span REMOVAL — the remediation counterpart of
+    * [[dupSpans]] (the RefinedWeb/Gopher pipeline step: don't just
+    * MEASURE duplicated substrings, strip them): every token covered by
+    * a duplicated k-gram (a gram occurring more than once corpus-wide —
+    * the [[dupSpans]] contract, including twice in one document) is
+    * dropped, and the survivors are rejoined in token order.
+    *
+    * Output: (doc_id, text_clean, n_tokens, n_removed) for EVERY
+    * document — clean docs pass through with n_removed = 0, fully
+    * duplicated docs come back with text_clean = "".
+    *
+    * Physical plan (the 100 TB shape): the gram-frequency subtree is
+    * [[dupSpans]]' — kernel digests, one O(gram-occurrence) exchange on
+    * 16-byte keys, dup starts collapsed to ONE row per AFFECTED doc.
+    * That per-affected-doc starts frame joins back onto the corpus; when
+    * the doc count bounds it under the broadcast threshold the corpus
+    * text never shuffles (the [[Decontaminate]] shape). The gate is the
+    * CHEAP conservative bound — total doc count × per-row estimate, one
+    * parquet-metadata job — rather than a count of the starts frame
+    * itself, which would either re-execute the whole gram aggregate (the
+    * double-consumed-subtree trap, COVERAGE.md r8) or pin a persisted
+    * copy with no release point (the Mixture advisory). Oversized
+    * corpora degrade to one shuffled join — for a text-rewriting op that
+    * floor is inherent; run it AFTER doc-level dedup, which removes the
+    * mass duplicates that would inflate the starts side.
+    *
+    * The kept-token projection folds token index × per-doc dup starts —
+    * O(doc length × starts per doc), bounded like the [[dupSpansFrom]]
+    * coverage fold, with [[graft.ops.Text.chunkDocs]] as the long-doc
+    * guard.
+    */
+  def stripDupSpans(documents: DataFrame, k: Int): DataFrame = {
+    val pos = documents.select(
+      col("doc_id"),
+      posexplode(graft.functions.GramHashes.gramHashes(col("text"), k)).as(Seq("pos", "gram"))
+    )
+    stripDupSpansFrom(documents, pos, k)
+  }
+
+  /** The string-gram formulation of [[stripDupSpans]] — what the SQL
+    * oracle spells. Kept for the equivalence spec. */
+  private[graft] def stripDupSpansHof(documents: DataFrame, k: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = when(
+      size(toks) >= k,
+      transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))
+      )
+    ).otherwise(array().cast("array<string>"))
+    val pos = documents.select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
+    stripDupSpansFrom(documents, pos, k)
+  }
+
+  private def stripDupSpansFrom(documents: DataFrame, pos: DataFrame, k: Int): DataFrame = {
+    val dupGrams = pos.groupBy("gram").agg(count(lit(1)).as("occ")).where(col("occ") > 1)
+    val starts = pos
+      .join(dupGrams.select("gram"), Seq("gram"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    // Conservative gate: starts rows ≤ total docs, and doc count off
+    // parquet metadata is ~free — no second execution of the gram
+    // aggregate, nothing persisted.
+    val gated = graft.spikes.Spikes.broadcastIfSmall(starts, documents.count())
+    val toks = split(col("text"), " ")
+    val st = coalesce(col("__starts"), array().cast("array<int>"))
+    val kept = filter(toks, (_, i) => !exists(st, s => i >= s && i < s + k))
+    documents
+      .join(gated, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        concat_ws(" ", kept).as("text_clean"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(toks) - size(kept)).cast("long").as("n_removed")
+      )
+  }
+
   /** Word k-shingles, distinct per doc; `carry` columns ride along.
     * Documents with fewer than k tokens contribute NO shingles (matching
     * DuckDB's empty generate_series). One native kernel call per document

@@ -118,6 +118,47 @@ class LmRedactDupSpansSpec extends SparkSpec {
     assert(native.exists(_.getLong(2) > 0L))
   }
 
+  test("stripDupSpans: hand-computed removal, within-doc dups, short docs") {
+    val docs = Seq(
+      (0L, "x p q r y"), // "p q r" duplicated corpus-wide → covered
+      (1L, "z p q r w"),
+      (2L, "a b"), // fewer than k tokens → no grams, untouched
+      (3L, "p q r p q r"), // within-doc duplicate gram → fully covered
+      (4L, "u v w x y") // unique grams → untouched
+    ).toDF("doc_id", "text")
+    val out = DedupDocs
+      .stripDupSpans(docs, k = 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((0L, "x y", 5L, 3L)))
+    assert(out(1) == ((1L, "z w", 5L, 3L)))
+    assert(out(2) == ((2L, "a b", 2L, 0L)))
+    assert(out(3) == ((3L, "", 6L, 6L)))
+    assert(out(4) == ((4L, "u v w x y", 5L, 0L)))
+  }
+
+  test("stripDupSpans: digest form equals string-gram form; n_removed equals dupSpans coverage") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (0L until 60L)
+      .map(i => (i, Seq.fill(5 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val native = DedupDocs.stripDupSpans(docs, k = 4).orderBy("doc_id").collect().toSeq
+    val hof = DedupDocs.stripDupSpansHof(docs, k = 4).orderBy("doc_id").collect().toSeq
+    assert(native == hof)
+    // removal count must equal the dupSpans coverage count doc by doc —
+    // the two ops share the maximal-span contract
+    val cov = DedupDocs
+      .dupSpans(docs, k = 4)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(3))
+      .toMap
+    native.foreach(r => assert(r.getLong(3) == cov(r.getLong(0)), s"doc ${r.getLong(0)}"))
+    assert(native.exists(_.getLong(3) > 0L))
+  }
+
   // --- Redact ----------------------------------------------------------
 
   test("PII patterns: email, ipv4, phone on injected fixtures") {
