@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ts.{Dedup, GapFill, Sessionize, Validation}
 import graft.spikes.Spikes
-import graft.ops.{Bm25, Curation, Decontaminate, DedupDocs, IncrementalDedup, Ivf, Lm, Mixture, Pq, QualityClassifier, Redact, SemDedup, Similarity, Text}
+import graft.ops.{Bm25, Curation, Decontaminate, DedupDocs, Dsir, IncrementalDedup, Ivf, Lm, Mixture, Pq, QualityClassifier, Redact, SemDedup, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -744,6 +744,17 @@ object SparkEntry {
     QualityClassifier.score(docs, model)
   }
 
+  /** DSIR importance resampling: hashed-unigram target (lang='en') vs
+    * background log-likelihood-ratio scores, top-50 selection. The
+    * estimated bucket weights are recorded for the generated oracle
+    * (the trained-artifact recipe). */
+  private def qDsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = Dsir.train(docs, col("lang") === "en", numBuckets = 1024, salt = "dsir0")
+    dsirOracleArtifacts = Some(w)
+    Dsir.resample(docs, w, k = 50)
+  }
+
   /** A4 common average reference + CAR-subtracted samples on the
     * synthetic 4-channel signal. */
   private def qCar(s: SparkSession, dir: String): DataFrame = {
@@ -944,6 +955,7 @@ object SparkEntry {
       : Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
   @volatile private var semDedupOracleArtifacts: Option[Array[Array[Double]]] = None
   @volatile private var qcOracleArtifacts: Option[QualityClassifier.Model] = None
+  @volatile private var dsirOracleArtifacts: Option[Dsir.Weights] = None
 
   private def dbl(v: Double): String = s"CAST($v AS DOUBLE)"
 
@@ -1100,7 +1112,9 @@ object SparkEntry {
       semDedupOracleArtifacts
         .map(c => "q_semdedup" -> semDedupOracleSql(c, minCosine = 0.3)).toMap ++
       qcOracleArtifacts
-        .map(m => "q_quality_classifier" -> QualityClassifier.scoreSql(m)).toMap
+        .map(m => "q_quality_classifier" -> QualityClassifier.scoreSql(m)).toMap ++
+      dsirOracleArtifacts
+        .map(w => "q_dsir" -> Dsir.scoreSql(w, k = 50)).toMap
 
   /** BPE-ish regex token counting over documents (pre-tokenizer run
     * counts per character class + punctuation ratio). */
@@ -1207,6 +1221,7 @@ object SparkEntry {
     "q_lm_score" -> (qLmScore _),
     "q_dup_spans" -> (qDupSpans _),
     "q_strip_spans" -> (qStripSpans _),
+    "q_dsir" -> (qDsir _),
     "q_redact" -> (qRedact _),
     "q_bm25" -> (qBm25 _),
     "q_bm25_serve" -> (qBm25Serve _),
