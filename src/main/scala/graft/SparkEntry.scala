@@ -728,7 +728,7 @@ object SparkEntry {
     Mixture.tokenBudgetPerSource(Tables.documents(s, dir), budgetTokens = 600L, salt = "tb1")
 
   /** Hashed-linear quality classifier: distill the stopword-ratio gate
-    * into 64 hashed unigram-frequency features + logistic regression
+    * into 4096 hashed unigram-frequency features + logistic regression
     * (deterministic driver-side training on a content-hash sample),
     * then score the whole corpus in one generate + one combine. The
     * trained model is recorded for the generated oracle. */

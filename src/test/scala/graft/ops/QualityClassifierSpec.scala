@@ -26,6 +26,22 @@ class QualityClassifierSpec extends SparkSpec {
     assert(a.weights.sameElements(b.weights))
   }
 
+  test("sparse training is BIT-identical to the dense sweep it replaced") {
+    val docs = Tables.documents(spark, dir)
+    // full default hyperparameters except iters (kept test-sized; the
+    // identity argument is per-operation, so it holds for any iters)
+    val sparse = QualityClassifier.train(docs, teacher, sampleSize = 200, iters = 120)
+    val dense = QualityClassifier.trainDense(docs, teacher, sampleSize = 200, iters = 120)
+    assert(java.lang.Double.doubleToLongBits(sparse.intercept) ==
+      java.lang.Double.doubleToLongBits(dense.intercept))
+    assert(sparse.weights.length == dense.weights.length)
+    sparse.weights.indices.foreach { j =>
+      assert(java.lang.Double.doubleToLongBits(sparse.weights(j)) ==
+        java.lang.Double.doubleToLongBits(dense.weights(j)),
+        s"bucket $j: ${sparse.weights(j)} vs ${dense.weights(j)}")
+    }
+  }
+
   test("the distilled model actually learns the teacher (accuracy >> base rate)") {
     val docs = Tables.documents(spark, dir)
     val model = QualityClassifier.train(docs, teacher)
