@@ -755,6 +755,17 @@ object SparkEntry {
     Dsir.resample(docs, w, k = 50)
   }
 
+  /** DSIR with Xie et al.'s full hashed-n-gram estimator (unigrams +
+    * adjacent bigrams, `gramSize = 2`) — the word-order-aware variant;
+    * same one-aggregate training and constant-folded scoring shape. */
+  private def qDsirBigram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = Dsir.train(docs, col("lang") === "en",
+      numBuckets = 1024, salt = "dsir2", gramSize = 2)
+    dsir2OracleArtifacts = Some(w)
+    Dsir.resample(docs, w, k = 50)
+  }
+
   /** A4 common average reference + CAR-subtracted samples on the
     * synthetic 4-channel signal. */
   private def qCar(s: SparkSession, dir: String): DataFrame = {
@@ -956,6 +967,7 @@ object SparkEntry {
   @volatile private var semDedupOracleArtifacts: Option[Array[Array[Double]]] = None
   @volatile private var qcOracleArtifacts: Option[QualityClassifier.Model] = None
   @volatile private var dsirOracleArtifacts: Option[Dsir.Weights] = None
+  @volatile private var dsir2OracleArtifacts: Option[Dsir.Weights] = None
 
   private def dbl(v: Double): String = s"CAST($v AS DOUBLE)"
 
@@ -1114,7 +1126,9 @@ object SparkEntry {
       qcOracleArtifacts
         .map(m => "q_quality_classifier" -> QualityClassifier.scoreSql(m)).toMap ++
       dsirOracleArtifacts
-        .map(w => "q_dsir" -> Dsir.scoreSql(w, k = 50)).toMap
+        .map(w => "q_dsir" -> Dsir.scoreSql(w, k = 50)).toMap ++
+      dsir2OracleArtifacts
+        .map(w => "q_dsir_bigram" -> Dsir.scoreSql(w, k = 50)).toMap
 
   /** BPE-ish regex token counting over documents (pre-tokenizer run
     * counts per character class + punctuation ratio). */
@@ -1222,6 +1236,7 @@ object SparkEntry {
     "q_dup_spans" -> (qDupSpans _),
     "q_strip_spans" -> (qStripSpans _),
     "q_dsir" -> (qDsir _),
+    "q_dsir_bigram" -> (qDsirBigram _),
     "q_redact" -> (qRedact _),
     "q_bm25" -> (qBm25 _),
     "q_bm25_serve" -> (qBm25Serve _),

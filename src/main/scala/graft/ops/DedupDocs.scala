@@ -138,17 +138,25 @@ object DedupDocs {
     * coverage fold, with [[graft.ops.Text.chunkDocs]] as the long-doc
     * guard.
     */
-  def stripDupSpans(documents: DataFrame, k: Int): DataFrame = {
+  def stripDupSpans(
+      documents: DataFrame,
+      k: Int,
+      sizeHint: Option[(Long, Long)] = None
+  ): DataFrame = {
     val pos = documents.select(
       col("doc_id"),
       posexplode(graft.functions.GramHashes.gramHashes(col("text"), k)).as(Seq("pos", "gram"))
     )
-    stripDupSpansFrom(documents, pos, k)
+    stripDupSpansFrom(documents, pos, k, sizeHint)
   }
 
   /** The string-gram formulation of [[stripDupSpans]] — what the SQL
     * oracle spells. Kept for the equivalence spec. */
-  private[graft] def stripDupSpansHof(documents: DataFrame, k: Int): DataFrame = {
+  private[graft] def stripDupSpansHof(
+      documents: DataFrame,
+      k: Int,
+      sizeHint: Option[(Long, Long)] = None
+  ): DataFrame = {
     val toks = split(col("text"), " ")
     val grams = when(
       size(toks) >= k,
@@ -158,19 +166,48 @@ object DedupDocs {
       )
     ).otherwise(array().cast("array<string>"))
     val pos = documents.select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
-    stripDupSpansFrom(documents, pos, k)
+    stripDupSpansFrom(documents, pos, k, sizeHint)
   }
 
-  private def stripDupSpansFrom(documents: DataFrame, pos: DataFrame, k: Int): DataFrame = {
+  private def stripDupSpansFrom(
+      documents: DataFrame,
+      pos: DataFrame,
+      k: Int,
+      sizeHint: Option[(Long, Long)]
+  ): DataFrame = {
     val dupGrams = pos.groupBy("gram").agg(count(lit(1)).as("occ")).where(col("occ") > 1)
     val starts = pos
       .join(dupGrams.select("gram"), Seq("gram"), "left_semi")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("__starts"))
-    // Conservative gate: starts rows ≤ total docs, and doc count off
-    // parquet metadata is ~free — no second execution of the gram
-    // aggregate, nothing persisted.
-    val gated = graft.spikes.Spikes.broadcastIfSmall(starts, documents.count())
+    // BYTE-bounded broadcast gate (r9 advisory): the starts frame has
+    // ≤ one row per doc, but its `__starts` array<int> is variable
+    // length — a heavily duplicated corpus can carry thousands of
+    // starts per row, so a generic per-row allowance can under-count
+    // 10–100× and defeat the OOM guard broadcastIfSmall exists for.
+    // Sound bound with NO execution of the gram subtree: dup starts ⊆
+    // gram positions ⊆ token positions, and n_tokens per doc is exactly
+    // spaces+1 — so one (count, Σ n_tokens) aggregate (a single
+    // text-column scan, bounded next to this op's own ≥2 text passes)
+    // caps the broadcast at 32 B/row + 8 B/token. Callers with a
+    // pre-transformed input (e.g. [[graft.ops.Text.chunkDocs]] output,
+    // where even the count() is no longer a metadata job) pass
+    // `sizeHint = (docCount, tokenCount)` — the peakCountHint pattern —
+    // and the job is skipped; an UNDERSTATED hint defeats the guard.
+    val (nDocs, totalTokens) = sizeHint.getOrElse {
+      val r = documents
+        .agg(
+          count(lit(1)),
+          coalesce(
+            sum((length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+              + lit(1)).cast("long")),
+            lit(0L)))
+        .first()
+      (r.getLong(0), r.getLong(1))
+    }
+    val thr = documents.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val startsBytes = nDocs * 32L + 8L * totalTokens
+    val gated = if (thr > 0 && startsBytes <= thr) broadcast(starts) else starts
     val toks = split(col("text"), " ")
     val st = coalesce(col("__starts"), array().cast("array<int>"))
     val kept = filter(toks, (_, i) => !exists(st, s => i >= s && i < s + k))

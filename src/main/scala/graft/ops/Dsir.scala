@@ -33,25 +33,53 @@ object Dsir {
     * p_background(b) per hash bucket, add-1 smoothed. `deltaDefault` is
     * the smoothing-only value for buckets no training token hit — the
     * map-miss fallback (unreachable when scoring the training corpus
-    * itself, but the contract for new data). */
+    * itself, but the contract for new data). `gramSize` records which
+    * gram stream the weights were estimated on, so scoring can't be
+    * mismatched against them. */
   case class Weights(
       delta: Map[Long, Double],
       deltaDefault: Double,
       numBuckets: Int,
-      salt: String
+      salt: String,
+      gramSize: Int = 1
   )
 
-  /** Estimate bucketed target/background token distributions in one
+  /** The hashed gram stream per document: unigrams (`gramSize = 1`, the
+    * cheap default) or unigrams + adjacent bigrams (`gramSize = 2`,
+    * Xie et al. §2.1's actual estimator — bigrams catch the word-order
+    * signal unigram bags lose). One array expression feeding the same
+    * explode; bigram count is exactly max(0, n_tokens − 1), so the
+    * stream stays linear in doc length. */
+  private def grams(gramSize: Int): Column = {
+    val toks = split(col("text"), " ")
+    gramSize match {
+      case 1 => toks
+      case 2 =>
+        concat(
+          toks,
+          when(
+            size(toks) >= 2,
+            transform(
+              sequence(lit(0), size(toks) - 2),
+              i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+          ).otherwise(array().cast("array<string>")))
+      case other =>
+        throw new IllegalArgumentException(s"gramSize must be 1 or 2, got $other")
+    }
+  }
+
+  /** Estimate bucketed target/background gram distributions in one
     * aggregate. `isTarget` is any boolean Column over the doc row (e.g.
     * `col("lang") === "en"` or a benchmark-membership flag). */
   def train(
       documents: DataFrame,
       isTarget: Column,
       numBuckets: Int = 1024,
-      salt: String = "dsir0"
+      salt: String = "dsir0",
+      gramSize: Int = 1
   ): Weights = {
     val counts = documents
-      .select(isTarget.cast("long").as("__t"), explode(split(col("text"), " ")).as("__tok"))
+      .select(isTarget.cast("long").as("__t"), explode(grams(gramSize)).as("__tok"))
       .groupBy(QualityClassifier.bucket(col("__tok"), numBuckets, salt).as("b"))
       .agg(sum(col("__t")).as("ct"), sum(lit(1L) - col("__t")).as("cb"))
       .collect() // ≤ numBuckets rows by construction
@@ -62,7 +90,7 @@ object Dsir {
     val delta = counts.map { case (bk, ct, cb) =>
       bk -> (math.log((ct + 1.0) / (nT + b)) - math.log((cb + 1.0) / (nB + b)))
     }.toMap
-    Weights(delta, math.log(nB + b) - math.log(nT + b), numBuckets, salt)
+    Weights(delta, math.log(nB + b) - math.log(nT + b), numBuckets, salt, gramSize)
   }
 
   /** Per-document importance score: mean per-token delta-log, rounded to
@@ -75,7 +103,7 @@ object Dsir {
       element_at(dmap, QualityClassifier.bucket(col("__tok"), w.numBuckets, w.salt)),
       lit(w.deltaDefault))
     documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("__tok"))
+      .select(col("doc_id"), explode(grams(w.gramSize)).as("__tok"))
       .groupBy("doc_id")
       .agg(sum(deltaOfTok).as("__s"), count(lit(1)).as("__n"))
       .select(col("doc_id"), round(col("__s") / col("__n"), 6).as("score"))
@@ -91,11 +119,27 @@ object Dsir {
     * estimated weights (nonzero-delta buckets as a VALUES table,
     * map-miss fallback as the same COALESCE default). */
   def scoreSql(w: Weights, k: Int): String = {
+    // an empty/degenerate corpus would otherwise emit `VALUES ` — a
+    // DuckDB syntax error at verify time instead of a clear failure here
+    require(w.delta.nonEmpty, "empty weight table: train() saw no tokens")
     val vals = w.delta.toSeq.sorted
       .map { case (b, d) => s"($b,CAST($d AS DOUBLE))" }
       .mkString(",")
+    // the gram stream mirrors [[grams]]: unigrams, or unigrams UNION ALL
+    // adjacent bigrams (slice t[i+1 : i+2] joined with a space — exactly
+    // the engine's concat_ws over slice)
+    val tokCte = w.gramSize match {
+      case 1 =>
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)"
+      case 2 =>
+        """toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          |tok AS (SELECT doc_id, unnest(ts) AS t FROM toks
+          |        UNION ALL
+          |        SELECT doc_id, array_to_string(ts[i + 1 : i + 2], ' ') AS t
+          |        FROM toks, unnest(generate_series(0, len(ts) - 2)) AS u(i))""".stripMargin
+    }
     s"""WITH w(b, wt) AS MATERIALIZED (VALUES $vals),
-       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |$tokCte,
        |tb AS (SELECT doc_id, ('0x' || substr(md5('${w.salt}:' || t), 1, 8))::BIGINT % ${w.numBuckets} AS b FROM tok),
        |s AS (SELECT doc_id, SUM(COALESCE(wt, CAST(${w.deltaDefault} AS DOUBLE))) AS sw, COUNT(*) AS n
        |      FROM tb LEFT JOIN w USING (b) GROUP BY doc_id)

@@ -168,18 +168,55 @@ object Mixture {
     * are under the budget, so the kept set is a pure prefix: at least
     * one doc per non-empty source, the last one may straddle the line.
     *
-    * One window per source (single shuffle on the source key),
-    * embarrassingly parallel across sources — the 100 TB axis; a single
-    * pathological giant source degrades to one sorted partition, for
-    * which the two-pass [[deterministicShuffle]] shape is the escape
-    * hatch. Output: (doc_id, source, n_tokens) of kept docs. */
+    * Two physical plans, auto-selected, IDENTICAL output (spec-pinned):
+    *  - **windowed** (the default): one window per source (single
+    *    shuffle on the source key), embarrassingly parallel across
+    *    sources — but every doc of a source lands in ONE task, and a
+    *    pretraining corpus routinely has one dominant source (a web
+    *    crawl at 80 %+), which turns that task into the job.
+    *  - **two-pass** (chosen when the largest source exceeds
+    *    `giantSourceRows`): the [[deterministicShuffle]] recipe applied
+    *    per source — the hash-derived order key `u` is cut into
+    *    `spark.sql.shuffle.partitions` monotone buckets (a PURE
+    *    function of the row, so both passes agree on any retry with
+    *    nothing persisted); pass 1 aggregates per-(source, bucket)
+    *    token sums (map-side combinable, driver-tiny collect), pass 2
+    *    windows WITHIN (source, bucket) and adds the broadcast bucket
+    *    offset. The dominant source now sorts as ~n_partitions
+    *    independent tasks instead of one. Prefix sums are exact long
+    *    arithmetic, so the two forms agree bit-for-bit.
+    *
+    * The auto-gate costs one map-side-combinable count aggregate; pass
+    * `giantSourceRows = Long.MaxValue` to skip it (always windowed) or
+    * `0` to force the two-pass form. Output: (doc_id, source,
+    * n_tokens) of kept docs. */
   def tokenBudgetPerSource(
+      documents: DataFrame,
+      budgetTokens: Long,
+      salt: String,
+      sourceCol: String = "source",
+      giantSourceRows: Long = 50L * 1000 * 1000
+  ): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    val needTwoPass =
+      giantSourceRows == 0L ||
+        (giantSourceRows != Long.MaxValue && {
+          val m = documents
+            .groupBy(col(sourceCol)).count()
+            .agg(max(col("count"))).collect()(0)
+          !m.isNullAt(0) && m.getLong(0) > giantSourceRows
+        })
+    if (needTwoPass) tokenBudgetTwoPass(documents, budgetTokens, salt, sourceCol)
+    else tokenBudgetWindowed(documents, budgetTokens, salt, sourceCol)
+  }
+
+  /** The one-window-per-source plan (see [[tokenBudgetPerSource]]). */
+  private[graft] def tokenBudgetWindowed(
       documents: DataFrame,
       budgetTokens: Long,
       salt: String,
       sourceCol: String = "source"
   ): DataFrame = {
-    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
     val u = uniformHash(salt, col("doc_id"))
     val w = Window
       .partitionBy(col(sourceCol))
@@ -193,6 +230,58 @@ object Mixture {
         u.as("__u"))
       .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .where(col("__before") < budgetTokens)
+      .select(col("doc_id"), col(sourceCol), col("n_tokens"))
+  }
+
+  /** The giant-source plan: per-(source, hash-bucket) prefix sums +
+    * broadcast bucket offsets (see [[tokenBudgetPerSource]]). */
+  private[graft] def tokenBudgetTwoPass(
+      documents: DataFrame,
+      budgetTokens: Long,
+      salt: String,
+      sourceCol: String = "source"
+  ): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val u = uniformHash(salt, col("doc_id"))
+    // monotone in u ⇒ bucket-local (u, doc_id) order + bucket offsets
+    // reproduce the source-global order exactly
+    val bucket = least(floor(col("__u") * lit(n)).cast("int"), lit(n - 1))
+    val base = documents
+      .select(
+        col("doc_id"),
+        col(sourceCol),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        u.as("__u"))
+      .withColumn("__b", bucket)
+    // pass 1: per-(source, bucket) token sums — map-side combinable,
+    // ≤ nSources·n rows on the driver
+    val sums = base
+      .groupBy(col(sourceCol), col("__b"))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val offsets = sums.keysIterator.map(_._1).toSeq.distinct.sorted.flatMap { src =>
+      (0 until n).scanLeft((src, 0, 0L)) { case ((_, _, acc), b) =>
+        (src, b + 1, acc + sums.getOrElse((src, b), 0L))
+      }.init
+    }
+    val offDf = broadcast(
+      offsets.toDF(sourceCol + "__o", "__b__o", "__off"))
+    // pass 2: window WITHIN (source, bucket) — the dominant source is
+    // now ~n independent sorts — then add the bucket's global offset
+    val w = Window
+      .partitionBy(col(sourceCol), col("__b"))
+      .orderBy(col("__u"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("__local", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .join(
+        offDf,
+        col(sourceCol) === col(sourceCol + "__o") && col("__b") === col("__b__o"))
+      .where(col("__local") + col("__off") < budgetTokens)
       .select(col("doc_id"), col(sourceCol), col("n_tokens"))
   }
 }

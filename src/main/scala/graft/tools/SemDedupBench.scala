@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SemDeDup scale-shape measurement, BOTH axes the scaladoc claims
+  * (`ops/SemDedup.scala`): at fixed `nLists` the per-cell pair count —
+  * Σ|cell|² — grows quadratically with corpus size, while growing
+  * `nLists` with the corpus holds per-cell population (and so cost per
+  * doc) flat. One timed run per (dir, nLists) pair lets COVERAGE.md
+  * tabulate both.
+  *
+  * `runMain graft.tools.SemDedupBench <sfDir> <nLists> [minCosine]` —
+  * prints corpus size, cell-population stats (max/p95 — the quadratic
+  * term's base), and warm median-of-3 wall time for the full semDedup
+  * (train + assign + within-cell pairwise + verdict join, noop sink).
+  */
+object SemDedupBench {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: SemDedupBench <sfDir> <nLists> [minCosine]")
+    val sfDir = args(0)
+    val nLists = args(1).toInt
+    val minCosine = if (args.length > 2) args(2).toDouble else 0.3
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      val (result, _) = graft.ops.SemDedup.semDedup(emb, nLists, minCosine)
+      result.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run() // warm-up
+    val times = Seq.fill(3)(run()).sorted
+    // cell-population shape (the Σ|cell|² base) from a fresh assignment
+    val cents = graft.ops.Ivf.trainCentroids(emb, nLists)
+    val cells = emb
+      .withColumn("cell",
+        graft.functions.ArgminCell.argminCell(col("embedding"), cents))
+      .groupBy("cell").count()
+      .agg(max("count"), expr("percentile(count, 0.95)"), avg("count"))
+      .first()
+    println(s"""{"op":"semdedup","sf":"$sfDir","n":$n,"nLists":$nLists,""" +
+      s""""median_sec":${times(1)},"max_cell":${cells.getLong(0)},""" +
+      s""""p95_cell":${cells.getDouble(1)},"avg_cell":${cells.getDouble(2)}}""")
+    spark.stop()
+  }
+}

@@ -134,4 +134,28 @@ class MixtureSpec extends SparkSpec {
       .collect().map(r => r.getLong(0)).toSet
     assert(again == keptIds)
   }
+
+  test("two-pass giant-source token budget is identical to the windowed plan") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    for (budget <- Seq(1L, 600L, 5000L)) {
+      val windowed = Mixture.tokenBudgetWindowed(docs, budget, "tb1")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+      val twoPass = Mixture.tokenBudgetTwoPass(docs, budget, "tb1")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+      assert(twoPass.sameElements(windowed), s"budget $budget")
+      // the public auto-gate picks the two-pass form when forced and
+      // still agrees (threshold 0 ⇒ every source is 'giant')
+      val forced = Mixture.tokenBudgetPerSource(docs, budget, "tb1",
+          giantSourceRows = 0L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+      assert(forced.sameElements(windowed), s"budget $budget (forced)")
+    }
+    // order/partitioning invariance of the two-pass form itself
+    val a = Mixture.tokenBudgetTwoPass(docs, 600L, "tb1")
+      .collect().map(_.getLong(0)).toSet
+    val b = Mixture
+      .tokenBudgetTwoPass(docs.orderBy(col("doc_id").desc).repartition(7), 600L, "tb1")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
 }
