@@ -41,8 +41,21 @@ object SemDedupBench {
     }
     run() // warm-up
     val times = Seq.fill(3)(run()).sorted
+    // decomposition: centroid training (driver Lloyd over the bounded
+    // sample — grows with nLists × sampleSize, NOT with the corpus) vs
+    // the distributed assign + within-cell pairwise pass
+    val tTrain0 = System.nanoTime()
+    val centsT = graft.ops.Ivf.trainCentroids(emb, nLists)
+    val trainSec = (System.nanoTime() - tTrain0) / 1e9
+    val tPair0 = System.nanoTime()
+    graft.ops.SemDedup.semDedupAssigned(
+      emb.withColumn("cell",
+        graft.functions.ArgminCell.argminCell(col("embedding"), centsT)),
+      minCosine)
+      .write.format("noop").mode("overwrite").save()
+    val pairSec = (System.nanoTime() - tPair0) / 1e9
     // cell-population shape (the Σ|cell|² base) from a fresh assignment
-    val cents = graft.ops.Ivf.trainCentroids(emb, nLists)
+    val cents = centsT
     val cells = emb
       .withColumn("cell",
         graft.functions.ArgminCell.argminCell(col("embedding"), cents))
@@ -50,7 +63,8 @@ object SemDedupBench {
       .agg(max("count"), expr("percentile(count, 0.95)"), avg("count"))
       .first()
     println(s"""{"op":"semdedup","sf":"$sfDir","n":$n,"nLists":$nLists,""" +
-      s""""median_sec":${times(1)},"max_cell":${cells.getLong(0)},""" +
+      s""""median_sec":${times(1)},"train_sec":$trainSec,"pair_sec":$pairSec,""" +
+      s""""max_cell":${cells.getLong(0)},""" +
       s""""p95_cell":${cells.getDouble(1)},"avg_cell":${cells.getDouble(2)}}""")
     spark.stop()
   }
