@@ -47,10 +47,15 @@ object Dsir {
   /** The hashed gram stream per document: unigrams (`gramSize = 1`, the
     * cheap default) or unigrams + adjacent bigrams (`gramSize = 2`,
     * Xie et al. §2.1's actual estimator — bigrams catch the word-order
-    * signal unigram bags lose). One array expression feeding the same
-    * explode; bigram count is exactly max(0, n_tokens − 1), so the
-    * stream stays linear in doc length. */
-  private def grams(gramSize: Int): Column = {
+    * signal unigram bags lose). Bigram count is exactly max(0,
+    * n_tokens − 1), so the stream stays linear in doc length.
+    *
+    * This expression-tree form is the SPEC/ORACLE twin (what the DuckDB
+    * SQL spells); the execution path goes through the
+    * [[graft.functions.GramBuckets]] kernel, which emits the same gram
+    * stream's BUCKET ids directly in one byte pass (GramBucketsSpec
+    * pins element-for-element equality). */
+  private[graft] def grams(gramSize: Int): Column = {
     val toks = split(col("text"), " ")
     gramSize match {
       case 1 => toks
@@ -79,8 +84,11 @@ object Dsir {
       gramSize: Int = 1
   ): Weights = {
     val counts = documents
-      .select(isTarget.cast("long").as("__t"), explode(grams(gramSize)).as("__tok"))
-      .groupBy(QualityClassifier.bucket(col("__tok"), numBuckets, salt).as("b"))
+      .select(
+        isTarget.cast("long").as("__t"),
+        explode(graft.functions.GramBuckets
+          .gramBuckets(col("text"), numBuckets, salt, gramSize)).as("b"))
+      .groupBy(col("b"))
       .agg(sum(col("__t")).as("ct"), sum(lit(1L) - col("__t")).as("cb"))
       .collect() // ≤ numBuckets rows by construction
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -99,11 +107,12 @@ object Dsir {
     * differences). Output (doc_id, score) for every document. */
   def score(documents: DataFrame, w: Weights): DataFrame = {
     val dmap = typedLit(w.delta)
-    val deltaOfTok = coalesce(
-      element_at(dmap, QualityClassifier.bucket(col("__tok"), w.numBuckets, w.salt)),
-      lit(w.deltaDefault))
+    val deltaOfTok = coalesce(element_at(dmap, col("__b")), lit(w.deltaDefault))
     documents
-      .select(col("doc_id"), explode(grams(w.gramSize)).as("__tok"))
+      .select(
+        col("doc_id"),
+        explode(graft.functions.GramBuckets
+          .gramBuckets(col("text"), w.numBuckets, w.salt, w.gramSize)).as("__b"))
       .groupBy("doc_id")
       .agg(sum(deltaOfTok).as("__s"), count(lit(1)).as("__n"))
       .select(col("doc_id"), round(col("__s") / col("__n"), 6).as("score"))

@@ -223,13 +223,17 @@ object QualityClassifier {
     * oracle reproduces. */
   def score(documents: DataFrame, model: Model): DataFrame = {
     val wmap = typedLit(nonzero(model).toMap)
-    val wOfTok = coalesce(
-      element_at(wmap, bucket(col("__tok"), model.numBuckets, model.salt)),
-      lit(0.0))
+    val wOfTok = coalesce(element_at(wmap, col("__b")), lit(0.0))
     val z =
       col("__sw") / col("__n") + lit(model.intercept)
     documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("__tok"))
+      .select(
+        col("doc_id"),
+        // one-byte-pass bucket kernel; [[bucket]] is the spec/oracle twin
+        // (GramBucketsSpec pins equality)
+        explode(graft.functions.GramBuckets
+          .gramBuckets(col("text"), model.numBuckets, model.salt, gramSize = 1))
+          .as("__b"))
       .groupBy("doc_id")
       .agg(sum(wOfTok).as("__sw"), count(lit(1)).as("__n"))
       .select(
