@@ -28,26 +28,80 @@ object Decontaminate {
   /** Per-corpus-document count of DISTINCT word k-shingles shared with
     * the benchmark frame. Documents with zero overlap are omitted — at
     * scale that is almost everyone, and emitting them would turn the
-    * O(matches) aggregate into an O(corpus) join. */
+    * O(matches) aggregate into an O(corpus) join.
+    *
+    * Two plans, auto-selected on the [[graft.spikes.Spikes
+    * .fitsBroadcast]] byte model, IDENTICAL output (spec-pinned):
+    *  - bench shingle set provably under the broadcast threshold →
+    *    broadcast LEFT SEMI, the corpus never shuffles (the common
+    *    case: eval suites are ~1e4–1e6 docs);
+    *  - oversized bench set → the old degradation shuffled the ENTIRE
+    *    corpus shingle stream (the 100 TB cliff). Now a BLOOM
+    *    pre-filter runs first: one bench-side aggregate builds a bloom
+    *    over the shingle xxhash64s (Spark's own BloomFilterAggregate —
+    *    ~1.2 MB per million shingles at 1 % fpp, broadcastable at ANY
+    *    bench size that fits a driver), the constant-folded
+    *    might_contain prunes the corpus stream IN the scan stage, and
+    *    only survivors (true matches + ε false positives) enter the
+    *    exact shuffled semi-join that makes the result exact. The
+    *    shuffle is O(matches + ε·corpus-shingles) instead of
+    *    O(corpus-shingles). */
   def overlapCountsAgainst(corpus: DataFrame, bench: DataFrame, k: Int): DataFrame = {
     val benchShingles = DedupDocs.shingles(bench, k).select("shingle").distinct()
-    // COUNT-GATED broadcast, not forced ([[graft.spikes.Spikes
-    // .broadcastIfSmall]] — same guard as the patch-gather join): an
-    // oversized benchmark side degrades to a shuffled semi-join instead
-    // of OOMing the driver. The exact distinct-shingle count costs one
-    // extra aggregate over the bench slice — by assumption the small
-    // side, and when it isn't, the fallback it buys is exactly what's
-    // needed.
-    val gated =
-      graft.spikes.Spikes.broadcastIfSmall(benchShingles, benchShingles.count())
-    // shingles are distinct per doc already, so count(*) IS the distinct
-    // overlap count
-    DedupDocs
-      .shingles(corpus, k)
-      .join(gated, Seq("shingle"), "left_semi")
+    // COUNT-GATED, not forced: the exact distinct-shingle count costs
+    // one extra aggregate over the bench slice — by assumption the
+    // small side, and when it isn't, the plan switch it buys is
+    // exactly what's needed.
+    val n = benchShingles.count()
+    if (n == 0L || graft.spikes.Spikes.fitsBroadcast(benchShingles, n))
+      overlapFrom(DedupDocs.shingles(corpus, k), broadcast(benchShingles))
+    else
+      overlapCountsBloom(corpus, benchShingles, n, k)
+  }
+
+  /** The Bloom-prefiltered large-benchmark plan (see
+    * [[overlapCountsAgainst]]); `benchShingles` must be distinct.
+    * Exactness: might_contain has no false NEGATIVES, so the exact
+    * semi-join over the survivors returns precisely the rows the
+    * direct semi-join would — the bloom only sheds non-matching rows
+    * early. */
+  private[graft] def overlapCountsBloom(
+      corpus: DataFrame,
+      benchShingles: DataFrame,
+      benchCount: Long,
+      k: Int,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(benchCount, fpp)
+    val bloomAgg = Bridge.column(
+      new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("shingle"))),
+        Literal(benchCount),
+        Literal(numBits)
+      ).toAggregateExpression())
+    val bloom = benchShingles.agg(bloomAgg.as("bf")).collect()(0).getAs[Array[Byte]](0)
+    require(bloom != null, "bloom aggregate returned null for a non-empty bench side")
+    val mightContain = Bridge.column(
+      BloomFilterMightContain(
+        Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
+        Bridge.expression(xxhash64(col("shingle")))))
+    overlapFrom(
+      DedupDocs.shingles(corpus, k).where(mightContain),
+      benchShingles)
+  }
+
+  /** Shared tail: exact semi-join + per-doc overlap count. Shingles are
+    * distinct per doc already, so count(*) IS the distinct overlap
+    * count. */
+  private def overlapFrom(corpusShingles: DataFrame, benchShingles: DataFrame): DataFrame =
+    corpusShingles
+      .join(benchShingles, Seq("shingle"), "left_semi")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))
-  }
 
   /** [[overlapCountsAgainst]] with corpus/benchmark carved out of one
     * frame by the `isBench` predicate. */

@@ -131,7 +131,14 @@ object Spikes {
     * the sample scan the join feeds). An UNDERCOUNT defeats the guard —
     * `peakCountHint`-style shortcuts must be counts of the actual joined
     * side, never estimates. */
-  private[graft] def broadcastIfSmall(df: DataFrame, rows: Long): DataFrame = {
+  private[graft] def broadcastIfSmall(df: DataFrame, rows: Long): DataFrame =
+    if (fitsBroadcast(df, rows)) broadcast(df) else df
+
+  /** The [[broadcastIfSmall]] decision alone — for callers that pick a
+    * different PLAN (not just a join hint) when the small side isn't
+    * provably small, e.g. [[graft.ops.Decontaminate]]'s Bloom
+    * pre-filter path. */
+  private[graft] def fitsBroadcast(df: DataFrame, rows: Long): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.UnsafeRow
     val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     val perRow = 8L + df.schema.fields.map { f =>
@@ -139,7 +146,7 @@ object Spikes {
       else 8L + math.max(f.dataType.defaultSize.toLong, 64L)
     }.sum
     val bytes = rows * perRow
-    if (thr > 0 && bytes <= thr) broadcast(df) else df
+    thr > 0 && bytes <= thr
   }
 
   /** Common average reference (A4, jagular/spikes.py:92-117): the mean

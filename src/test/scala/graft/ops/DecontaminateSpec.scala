@@ -38,6 +38,36 @@ class DecontaminateSpec extends SparkSpec {
     assert(out == Map(10L -> 2L, 11L -> 1L, 12L -> 2L))
   }
 
+  test("bloom pre-filter plan is identical to the broadcast plan") {
+    val real = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val isB = col("doc_id") % 7 === 0
+    val corpus = real.where(!isB)
+    val bench = real.where(isB)
+    val exact = Decontaminate.overlapCountsAgainst(corpus, bench, k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val benchShingles = DedupDocs.shingles(bench, k).select("shingle").distinct()
+    val viaBloom = Decontaminate
+      .overlapCountsBloom(corpus, benchShingles, benchShingles.count(), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBloom == exact)
+    assert(exact.nonEmpty, "fixture must actually produce overlaps")
+    // a tiny bloom (high fpp pressure) must still be exact — false
+    // positives only cost work, never wrong rows
+    val tiny = Decontaminate
+      .overlapCountsBloom(corpus, benchShingles, benchShingles.count(), k, fpp = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tiny == exact)
+    // auto-select: an absurdly low broadcast threshold forces the bloom
+    // path through the public API and the answer must not change
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      val forced = Decontaminate.overlapCountsAgainst(corpus, bench, k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(forced == exact)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("overlapFlags applies the minOverlap verdict as int") {
     val out = Decontaminate
       .overlapFlags(docs, isBench, k, minOverlap = 2)
