@@ -450,6 +450,16 @@ object SparkEntry {
       minOverlap = 5
     )
 
+  /** Fuzzy decontamination: corpus docs NEAR-duplicating the `src0`
+    * benchmark slice via MinHash-LSH band collision (16 hashes, 4
+    * bands — the q_minhash_lsh parameters) — the paraphrase-robust
+    * companion to [[qDecontaminate]]'s exact-shingle overlap. */
+  private def qDecontamFuzzy(s: SparkSession, dir: String): DataFrame =
+    Decontaminate.fuzzyOverlap(
+      Tables.documents(s, dir),
+      isBench = col("source") === "src0",
+      k = 3)
+
   /** Corpus-LM quality scoring: per-doc avg token log-prob + perplexity
     * under the corpus's own add-1-smoothed unigram LM (CCNet-style
     * filtering signal; vocab aggregated once, collected small →
@@ -1227,6 +1237,7 @@ object SparkEntry {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontam_fuzzy" -> (qDecontamFuzzy _),
     "q_repetition" -> (qRepetition _),
     "q_mixture" -> (qMixture _),
     "q_pack" -> (qPack _),
@@ -1778,6 +1789,28 @@ object SparkEntry {
         |      FROM sh s JOIN bench b USING (shingle)
         |      WHERE s.source <> 'src0' GROUP BY s.doc_id)
         |SELECT doc_id, n_overlap, CAST(n_overlap >= 5 AS INT) AS contaminated FROM m""".stripMargin,
+    // the q_minhash_lsh band recipe with the src0 slice as the index
+    // side: per corpus doc, how many of its 4 signature bands collide
+    // with ANY benchmark doc's band
+    "q_decontam_fuzzy" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+        |       FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
+        |seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+        |hs AS (SELECT doc_id, source,
+        |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+        |         ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 1000000007 AS h2
+        |       FROM sh),
+        |mh AS (SELECT doc_id, source, seed, MIN((h1 % 1000000007 + seed * h2) % 1000000007) AS minhash
+        |       FROM hs CROSS JOIN seeds GROUP BY doc_id, source, seed),
+        |bands AS (SELECT doc_id, source, seed // 4 AS band,
+        |            string_agg(seed || ':' || minhash, ',' ORDER BY seed) AS band_key
+        |          FROM mh GROUP BY doc_id, source, seed // 4),
+        |bb AS (SELECT DISTINCT band, band_key FROM bands WHERE source = 'src0'),
+        |cb AS (SELECT * FROM bands WHERE source <> 'src0')
+        |SELECT cb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_bands
+        |FROM cb JOIN bb ON cb.band = bb.band AND cb.band_key = bb.band_key
+        |GROUP BY cb.doc_id""".stripMargin,
     "q_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |g1 AS (SELECT doc_id, t[i + 1] AS g FROM toks, unnest(generate_series(0, len(t) - 1)) AS u(i)),

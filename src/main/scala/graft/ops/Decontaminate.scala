@@ -129,4 +129,59 @@ object Decontaminate {
   /** [[cleanAgainst]] with corpus/benchmark carved out of one frame. */
   def clean(documents: DataFrame, isBench: Column, k: Int, minOverlap: Int): DataFrame =
     cleanAgainst(documents.where(!isBench), documents.where(isBench), k, minOverlap)
+
+  /** FUZZY decontamination: corpus documents that are NEAR-duplicates of
+    * benchmark documents, via MinHash-LSH band collision — the companion
+    * check production pipelines run beside the exact-shingle overlap
+    * (a lightly paraphrased or truncated eval question shares few exact
+    * k-shingles but still collides on signature bands).
+    *
+    * Physical plan (the [[IncrementalDedup.screen]] shape with the
+    * benchmark as the index): both sides run the ONE-pass
+    * [[DedupDocs.bandKeys]] signature pipeline (native MinHashSig
+    * kernel); the bench side collapses to its DISTINCT (band, band_key)
+    * set — ≤ benchDocs × numBands rows, count-gated broadcast — and the
+    * corpus stream is matched with a broadcast LEFT SEMI + one per-doc
+    * count. No pair set, no corpus shuffle beyond the per-doc combine;
+    * zero-collision documents (the vast majority) never enter the
+    * exchange. Output: (doc_id, n_hit_bands ∈ [1..numBands]) per
+    * colliding corpus doc — thresholding on n_hit_bands trades recall
+    * for precision exactly like the screen's verified variant.
+    *
+    * Oracle: the full band recipe is SQL-expressible (the
+    * q_minhash_lsh/q_dedup_incremental family), so the fuzzy verdict
+    * sits inside the hard correctness signal. */
+  def fuzzyOverlapAgainst(
+      corpus: DataFrame,
+      bench: DataFrame,
+      k: Int,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
+    val benchBands = DedupDocs
+      .bandKeys(bench, k, numHashes, rowsPerBand)
+      .select("band", "band_key")
+      .distinct()
+    val gated =
+      graft.spikes.Spikes.broadcastIfSmall(benchBands, benchBands.count())
+    DedupDocs
+      .bandKeys(corpus, k, numHashes, rowsPerBand)
+      .join(gated, Seq("band", "band_key"), "left_semi")
+      // one row per (doc, band) by construction ⇒ count(*) is the
+      // distinct colliding-band count
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_bands"))
+  }
+
+  /** [[fuzzyOverlapAgainst]] with corpus/benchmark carved out of one
+    * frame by the `isBench` predicate. */
+  def fuzzyOverlap(
+      documents: DataFrame,
+      isBench: Column,
+      k: Int,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4
+  ): DataFrame =
+    fuzzyOverlapAgainst(
+      documents.where(!isBench), documents.where(isBench), k, numHashes, rowsPerBand)
 }

@@ -68,6 +68,27 @@ class DecontaminateSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("fuzzyOverlap flags signature-band collisions, not exact text only") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "bench"),
+      // identical text → identical signature → all 4 bands collide
+      (10L, "alpha beta gamma delta epsilon zeta eta theta", "web"),
+      // one token changed → most shingles survive → ≥1 band collides
+      // (near-dup: this is the case exact-shingle overlap under-counts)
+      (11L, "alpha beta gamma delta epsilon zeta eta iota", "web"),
+      // unrelated → no collision
+      (12L, "uu vv ww xx yy zz aa bb", "web"),
+      // under k tokens → no shingles, no bands, absent
+      (13L, "uu vv", "web")
+    ).toDF("doc_id", "text", "source")
+    val out = Decontaminate
+      .fuzzyOverlap(df, col("source") === "bench", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.getOrElse(10L, 0L) == 4L, s"identical doc must hit all 4 bands: $out")
+    assert(out.getOrElse(11L, 0L) >= 1L, s"near-dup doc must hit >= 1 band: $out")
+    assert(!out.contains(12L) && !out.contains(13L), s"unrelated/short docs must be absent: $out")
+  }
+
   test("overlapFlags applies the minOverlap verdict as int") {
     val out = Decontaminate
       .overlapFlags(docs, isBench, k, minOverlap = 2)
