@@ -460,6 +460,15 @@ object SparkEntry {
       isBench = col("source") === "src0",
       k = 3)
 
+  /** [[qDecontamFuzzy]] with signature verification at estimated
+    * Jaccard ≥ 0.5 (the screenVerified precision knob — a lone 4-hash
+    * band collision no longer drops a training doc). */
+  private def qDecontamFuzzyVerified(s: SparkSession, dir: String): DataFrame =
+    Decontaminate.fuzzyOverlapVerified(
+      Tables.documents(s, dir),
+      isBench = col("source") === "src0",
+      k = 3)
+
   /** Corpus-LM quality scoring: per-doc avg token log-prob + perplexity
     * under the corpus's own add-1-smoothed unigram LM (CCNet-style
     * filtering signal; vocab aggregated once, collected small →
@@ -1238,6 +1247,7 @@ object SparkEntry {
     "q_salted_join" -> (qSaltedJoin _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontam_fuzzy" -> (qDecontamFuzzy _),
+    "q_decontam_fuzzy_verified" -> (qDecontamFuzzyVerified _),
     "q_repetition" -> (qRepetition _),
     "q_mixture" -> (qMixture _),
     "q_pack" -> (qPack _),
@@ -1811,6 +1821,36 @@ object SparkEntry {
         |SELECT cb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_bands
         |FROM cb JOIN bb ON cb.band = bb.band AND cb.band_key = bb.band_key
         |GROUP BY cb.doc_id""".stripMargin,
+    // the verified variant: band collisions are candidates; the flag
+    // needs >= 8 of 16 matching signature components (estimated
+    // Jaccard >= 0.5) against some bench doc, reported as the best
+    // match count (integer compare — cannot float-diverge)
+    "q_decontam_fuzzy_verified" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+        |       FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
+        |seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+        |hs AS (SELECT doc_id, source,
+        |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+        |         ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 1000000007 AS h2
+        |       FROM sh),
+        |mh AS (SELECT doc_id, source, seed, MIN((h1 % 1000000007 + seed * h2) % 1000000007) AS minhash
+        |       FROM hs CROSS JOIN seeds GROUP BY doc_id, source, seed),
+        |bands AS (SELECT doc_id, source, seed // 4 AS band,
+        |            string_agg(seed || ':' || minhash, ',' ORDER BY seed) AS band_key
+        |          FROM mh GROUP BY doc_id, source, seed // 4),
+        |bb AS (SELECT * FROM bands WHERE source = 'src0'),
+        |cb AS (SELECT * FROM bands WHERE source <> 'src0'),
+        |cand AS (SELECT DISTINCT cb.doc_id AS cid, bb.doc_id AS bid
+        |         FROM cb JOIN bb ON cb.band = bb.band AND cb.band_key = bb.band_key),
+        |ver AS (SELECT c.cid, c.bid,
+        |          SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) AS nmatch
+        |        FROM cand c
+        |        JOIN mh ma ON ma.doc_id = c.cid
+        |        JOIN mh mb ON mb.doc_id = c.bid AND mb.seed = ma.seed
+        |        GROUP BY c.cid, c.bid)
+        |SELECT cid AS doc_id, CAST(MAX(nmatch) AS INT) AS best_matches
+        |FROM ver WHERE nmatch >= 8 GROUP BY cid""".stripMargin,
     "q_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |g1 AS (SELECT doc_id, t[i + 1] AS g FROM toks, unnest(generate_series(0, len(t) - 1)) AS u(i)),

@@ -89,6 +89,30 @@ class DecontaminateSpec extends SparkSpec {
     assert(!out.contains(12L) && !out.contains(13L), s"unrelated/short docs must be absent: $out")
   }
 
+  test("fuzzyOverlapVerified keeps true near-dups and rejects weak collisions") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "bench"),
+      (10L, "alpha beta gamma delta epsilon zeta eta theta", "web"), // identical
+      (11L, "alpha beta gamma delta epsilon zeta eta iota", "web"), // near-dup
+      (12L, "uu vv ww xx yy zz aa bb", "web")
+    ).toDF("doc_id", "text", "source")
+    val out = Decontaminate
+      .fuzzyOverlapVerified(df, col("source") === "bench", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.getOrElse(10L, 0) == 16, s"identical doc: all 16 components match: $out")
+    out.get(11L).foreach(m => assert(m >= 8 && m < 16, s"near-dup estimate: $out"))
+    assert(!out.contains(12L))
+    // at minJaccard <= rowsPerBand/numHashes it degenerates to the
+    // unverified collision set
+    val loose = Decontaminate
+      .fuzzyOverlapVerified(df, col("source") === "bench", k = 3, minJaccard = 0.25)
+      .collect().map(_.getLong(0)).toSet
+    val coll = Decontaminate
+      .fuzzyOverlap(df, col("source") === "bench", k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose == coll)
+  }
+
   test("overlapFlags applies the minOverlap verdict as int") {
     val out = Decontaminate
       .overlapFlags(docs, isBench, k, minOverlap = 2)
