@@ -67,7 +67,64 @@ object Ivf {
 
   /** Deterministic Lloyd's iteration: evenly strided init over the given
     * sample order, fixed `iters` sweeps, empty cells keep their centroid. */
+  /** Driver-side Lloyd over the bounded sample. The ASSIGNMENT phase —
+    * the O(n·k·dim) term that dominates once nLists grows with the
+    * corpus (SemDedupBench measured 20.5 s of a 27 s run at nLists=800)
+    * — runs on the driver's cores via a parallel index stream: each
+    * point's argmin is a pure function of (point, centroids) with a
+    * strict `<` / lowest-index tiebreak, so scheduling cannot change
+    * any verdict. The fp-sensitive ACCUMULATION stays sequential in
+    * sample order, preserving the exact addition order of the old fused
+    * loop — centroids are BIT-identical to it (IvfSpec pins this
+    * against the retained [[lloydFused]]), so every generated oracle
+    * (IVF/PQ/SemDeDup families) regenerates unchanged. */
   private[graft] def lloyd(
+      sample: Array[Array[Double]],
+      k: Int,
+      iters: Int
+  ): Array[Array[Double]] = {
+    require(sample.length >= k, s"need >= $k vectors to train")
+    val dim = sample(0).length
+    var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
+    (0 until iters).foreach { _ =>
+      val cents = centroids
+      val assign = new Array[Int](sample.length)
+      java.util.stream.IntStream.range(0, sample.length).parallel().forEach { i =>
+        val v = sample(i)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          val ct = cents(c)
+          while (j < dim) { val t = v(j) - ct(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(i) = best
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < sample.length) {
+        val v = sample(i)
+        val best = assign(i)
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else { val s = sums(c); s.map(_ / counts(c)) }
+      }
+    }
+    centroids
+  }
+
+  /** The original fused sequential sweep — retained ONLY as the
+    * bit-identity witness for [[lloyd]]'s parallel assignment phase
+    * (IvfSpec). */
+  private[graft] def lloydFused(
       sample: Array[Array[Double]],
       k: Int,
       iters: Int

@@ -60,6 +60,22 @@ class IvfSpec extends SparkSpec {
     base.zip(coalesced).foreach { case (a, b) => assert(a.sameElements(b)) }
   }
 
+  test("parallel-assignment lloyd is BIT-identical to the fused sequential sweep") {
+    val rnd = new scala.util.Random(7)
+    val sample = Array.fill(500)(Array.fill(16)(rnd.nextGaussian()))
+    for (k <- Seq(1, 4, 33)) {
+      val par = Ivf.lloyd(sample, k, iters = 6)
+      val seq = Ivf.lloydFused(sample, k, iters = 6)
+      assert(par.length == seq.length)
+      par.zip(seq).foreach { case (a, b) =>
+        a.zip(b).foreach { case (x, y) =>
+          assert(java.lang.Double.doubleToLongBits(x) ==
+            java.lang.Double.doubleToLongBits(y), s"k=$k: $x vs $y")
+        }
+      }
+    }
+  }
+
   test("pretty formatting utilities") {
     import graft.util.Pretty
     assert(Pretty.bytes(512) == "512 bytes")
