@@ -194,18 +194,27 @@ object DedupDocs {
     // where even the count() is no longer a metadata job) pass
     // `sizeHint = (docCount, tokenCount)` — the peakCountHint pattern —
     // and the job is skipped; an UNDERSTATED hint defeats the guard.
-    val (nDocs, totalTokens) = sizeHint.getOrElse {
-      val r = documents
-        .agg(
-          count(lit(1)),
-          coalesce(
-            sum((length(col("text")) - length(regexp_replace(col("text"), " ", ""))
-              + lit(1)).cast("long")),
-            lit(0L)))
-        .first()
-      (r.getLong(0), r.getLong(1))
-    }
     val thr = documents.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val (nDocs, totalTokens) = sizeHint.getOrElse {
+      // SHORT-CIRCUIT: the exact token-sum needs a text-column scan,
+      // but the 32 B/row floor alone often already rules broadcast out
+      // (or broadcasting is disabled) — a metadata-only count decides
+      // that for free, and the stats scan runs only when the floor
+      // passes and the token sum could still tip the verdict.
+      val nd = documents.count()
+      if (thr <= 0 || nd * 32L > thr) (nd, Long.MaxValue / 16L)
+      else {
+        val r = documents
+          .agg(
+            count(lit(1)),
+            coalesce(
+              sum((length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+                + lit(1)).cast("long")),
+              lit(0L)))
+          .first()
+        (r.getLong(0), r.getLong(1))
+      }
+    }
     val startsBytes = nDocs * 32L + 8L * totalTokens
     val gated = if (thr > 0 && startsBytes <= thr) broadcast(starts) else starts
     val toks = split(col("text"), " ")
