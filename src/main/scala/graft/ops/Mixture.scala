@@ -263,11 +263,16 @@ object Mixture {
       .collect()
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
       .toMap
-    val offsets = sums.keysIterator.map(_._1).toSeq.distinct.sorted.flatMap { src =>
-      (0 until n).scanLeft((src, 0, 0L)) { case ((_, _, acc), b) =>
-        (src, b + 1, acc + sums.getOrElse((src, b), 0L))
-      }.init
-    }
+    // a NULL source is one more group (the windowed form's partitionBy
+    // treats it that way too): sort through Option so the driver pass
+    // can't NPE, and join back null-safely below
+    val offsets = sums.keysIterator.map(_._1).toSeq.distinct
+      .sortBy(Option(_))
+      .flatMap { src =>
+        (0 until n).scanLeft((src, 0, 0L)) { case ((_, _, acc), b) =>
+          (src, b + 1, acc + sums.getOrElse((src, b), 0L))
+        }.init
+      }
     val offDf = broadcast(
       offsets.toDF(sourceCol + "__o", "__b__o", "__off"))
     // pass 2: window WITHIN (source, bucket) — the dominant source is
@@ -280,7 +285,7 @@ object Mixture {
       .withColumn("__local", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .join(
         offDf,
-        col(sourceCol) === col(sourceCol + "__o") && col("__b") === col("__b__o"))
+        col(sourceCol) <=> col(sourceCol + "__o") && col("__b") === col("__b__o"))
       .where(col("__local") + col("__off") < budgetTokens)
       .select(col("doc_id"), col(sourceCol), col("n_tokens"))
   }

@@ -158,4 +158,17 @@ class MixtureSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(a == b)
   }
+
+  test("two-pass token budget keeps NULL-source rows exactly like the windowed plan") {
+    val df = (0 until 60).map { i =>
+      val src = if (i % 3 == 0) null else s"s${i % 2}"
+      (i.toLong, ("tok " * (i % 7 + 1)).trim, src)
+    }.toDF("doc_id", "text", "source")
+    val windowed = Mixture.tokenBudgetWindowed(df, 20L, "nz")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).sortBy(_._1)
+    val twoPass = Mixture.tokenBudgetTwoPass(df, 20L, "nz")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).sortBy(_._1)
+    assert(twoPass.sameElements(windowed))
+    assert(windowed.exists(_._2.isEmpty), "fixture must include kept NULL-source rows")
+  }
 }
