@@ -257,24 +257,33 @@ object Mixture {
       .withColumn("__b", bucket)
     // pass 1: per-(source, bucket) token sums — map-side combinable,
     // ≤ nSources·n rows on the driver
+    // source values are handled as opaque Any (the windowed form is
+    // type-generic; so is this one), and a NULL source is one more
+    // group — the windowed partitionBy treats it that way too
     val sums = base
       .groupBy(col(sourceCol), col("__b"))
       .agg(sum(col("n_tokens")).as("__t"))
       .collect()
-      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .map(r => (r.get(0), r.getInt(1)) -> r.getLong(2))
       .toMap
-    // a NULL source is one more group (the windowed form's partitionBy
-    // treats it that way too): sort through Option so the driver pass
-    // can't NPE, and join back null-safely below
-    val offsets = sums.keysIterator.map(_._1).toSeq.distinct
-      .sortBy(Option(_))
-      .flatMap { src =>
-        (0 until n).scanLeft((src, 0, 0L)) { case ((_, _, acc), b) =>
-          (src, b + 1, acc + sums.getOrElse((src, b), 0L))
-        }.init
-      }
+    val offsets = sums.keysIterator.map(_._1).toSeq.distinct.flatMap { src =>
+      (0 until n).scanLeft((src, 0, 0L)) { case ((_, _, acc), b) =>
+        (src, b + 1, acc + sums.getOrElse((src, b), 0L))
+      }.init
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        sourceCol + "__o", base.schema(sourceCol).dataType),
+      org.apache.spark.sql.types.StructField(
+        "__b__o", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "__off", org.apache.spark.sql.types.LongType, nullable = false)))
     val offDf = broadcast(
-      offsets.toDF(sourceCol + "__o", "__b__o", "__off"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(offsets.map { case (s, b, o) =>
+          org.apache.spark.sql.Row(s, b, o)
+        }: _*),
+        offSchema))
     // pass 2: window WITHIN (source, bucket) — the dominant source is
     // now ~n independent sorts — then add the bucket's global offset
     val w = Window

@@ -171,4 +171,15 @@ class MixtureSpec extends SparkSpec {
     assert(twoPass.sameElements(windowed))
     assert(windowed.exists(_._2.isEmpty), "fixture must include kept NULL-source rows")
   }
+
+  test("two-pass token budget accepts non-string source columns") {
+    val df = (0 until 40)
+      .map(i => (i.toLong, ("tok " * (i % 5 + 1)).trim, (i % 3).toLong))
+      .toDF("doc_id", "text", "source")
+    val windowed = Mixture.tokenBudgetWindowed(df, 15L, "it")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val twoPass = Mixture.tokenBudgetTwoPass(df, 15L, "it")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(twoPass.sameElements(windowed))
+  }
 }
