@@ -186,10 +186,23 @@ object Mixture {
     *    independent tasks instead of one. Prefix sums are exact long
     *    arithmetic, so the two forms agree bit-for-bit.
     *
-    * The auto-gate costs one map-side-combinable count aggregate; pass
+    * The two plans COMPOSE per source: only sources whose row count
+    * exceeds `giantSourceRows` route through the two-pass form; every
+    * other source keeps the windowed plan. The split matters at both
+    * ends — a domain-keyed mixture can have 10⁶+ sources (whose
+    * per-(source, bucket) sums would bloat the two-pass driver collect
+    * for no benefit) AND one crawl source with 10⁸⁺ docs (which the
+    * windowed plan would single-task-sort); the hybrid bounds the
+    * collect by O(giant sources × buckets) while each source gets the
+    * plan its size needs. Sources partition the rows, and both plans
+    * are parity-proven per source, so the union is exactly the
+    * windowed answer.
+    *
+    * The auto-gate costs one map-side-combinable count aggregate whose
+    * collect is bounded by the number of GIANT sources; pass
     * `giantSourceRows = Long.MaxValue` to skip it (always windowed) or
-    * `0` to force the two-pass form. Output: (doc_id, source,
-    * n_tokens) of kept docs. */
+    * `0` to force the two-pass form everywhere. Output: (doc_id,
+    * source, n_tokens) of kept docs. */
   def tokenBudgetPerSource(
       documents: DataFrame,
       budgetTokens: Long,
@@ -198,16 +211,30 @@ object Mixture {
       giantSourceRows: Long = 50L * 1000 * 1000
   ): DataFrame = {
     require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
-    val needTwoPass =
-      giantSourceRows == 0L ||
-        (giantSourceRows != Long.MaxValue && {
-          val m = documents
-            .groupBy(col(sourceCol)).count()
-            .agg(max(col("count"))).collect()(0)
-          !m.isNullAt(0) && m.getLong(0) > giantSourceRows
-        })
-    if (needTwoPass) tokenBudgetTwoPass(documents, budgetTokens, salt, sourceCol)
-    else tokenBudgetWindowed(documents, budgetTokens, salt, sourceCol)
+    if (giantSourceRows == Long.MaxValue)
+      return tokenBudgetWindowed(documents, budgetTokens, salt, sourceCol)
+    val giants = documents
+      .groupBy(col(sourceCol)).count()
+      .where(col("count") > giantSourceRows)
+      .select(sourceCol)
+      .collect()
+      .map(_.get(0))
+    if (giants.isEmpty)
+      tokenBudgetWindowed(documents, budgetTokens, salt, sourceCol)
+    else {
+      val hasNullGiant = giants.contains(null)
+      val nonNull = giants.filter(_ != null)
+      val inSet =
+        if (nonNull.isEmpty) lit(false)
+        else col(sourceCol).isin(nonNull.toIndexedSeq: _*)
+      val isGiant =
+        when(col(sourceCol).isNull, lit(hasNullGiant))
+          .otherwise(coalesce(inSet, lit(false)))
+      val small = documents.where(!isGiant)
+      val giant = documents.where(isGiant)
+      tokenBudgetWindowed(small, budgetTokens, salt, sourceCol)
+        .unionByName(tokenBudgetTwoPass(giant, budgetTokens, salt, sourceCol))
+    }
   }
 
   /** The one-window-per-source plan (see [[tokenBudgetPerSource]]). */

@@ -172,6 +172,22 @@ class MixtureSpec extends SparkSpec {
     assert(windowed.exists(_._2.isEmpty), "fixture must include kept NULL-source rows")
   }
 
+  test("hybrid gate routes only giant sources through the two-pass plan, same answer") {
+    // one dominant "web" source (120 docs), two small ones (20 each) —
+    // threshold 50 puts exactly one source on the two-pass path
+    val df = (0 until 160).map { i =>
+      val src = if (i < 120) "web" else if (i < 140) "books" else "code"
+      (i.toLong, ("tok " * (i % 9 + 1)).trim, src)
+    }.toDF("doc_id", "text", "source")
+    val windowed = Mixture.tokenBudgetWindowed(df, 90L, "tb1")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val hybrid = Mixture.tokenBudgetPerSource(df, 90L, "tb1", giantSourceRows = 50L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(hybrid.sameElements(windowed))
+    // every source must survive in the hybrid output (both branches ran)
+    assert(hybrid.map(_._2).toSet == Set("web", "books", "code"))
+  }
+
   test("two-pass token budget accepts non-string source columns") {
     val df = (0 until 40)
       .map(i => (i.toLong, ("tok " * (i % 5 + 1)).trim, (i % 3).toLong))
