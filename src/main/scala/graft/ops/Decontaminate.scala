@@ -39,19 +39,31 @@ object Decontaminate {
     *    corpus shingle stream (the 100 TB cliff). Now a BLOOM
     *    pre-filter runs first: one bench-side aggregate builds a bloom
     *    over the shingle xxhash64s (Spark's own BloomFilterAggregate —
-    *    ~1.2 MB per million shingles at 1 % fpp, broadcastable at ANY
-    *    bench size that fits a driver), the constant-folded
+    *    ~1.2 MB per million shingles at 1 % fpp), the constant-folded
     *    might_contain prunes the corpus stream IN the scan stage, and
     *    only survivors (true matches + ε false positives) enter the
     *    exact shuffled semi-join that makes the result exact. The
     *    shuffle is O(matches + ε·corpus-shingles) instead of
-    *    O(corpus-shingles). */
+    *    O(corpus-shingles). Spark clamps the filter to its
+    *    runtime-filter session caps (4M items / 64M bits by default) —
+    *    past the point where the clamped filter still gives ~5
+    *    bits/item the bloom would saturate toward fpp 1, so the path
+    *    detects that and falls back to the plain shuffled semi-join
+    *    (raise `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` to
+    *    extend the bloom regime). */
   def overlapCountsAgainst(corpus: DataFrame, bench: DataFrame, k: Int): DataFrame = {
+    // The bench shingle set is consumed 2-3 times (gate count, optional
+    // bloom aggregate, the exact semi-join), so it persists: it is the
+    // INDEX side — deployments build it once per eval suite and screen
+    // many corpora against it. Spark's LRU (and Bench's between-query
+    // clearCache) bounds the residency; at ~16 B/shingle in memory the
+    // cache is small next to the corpus stream it saves re-exploding.
     val benchShingles = DedupDocs.shingles(bench, k).select("shingle").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // COUNT-GATED, not forced: the exact distinct-shingle count costs
     // one extra aggregate over the bench slice — by assumption the
     // small side, and when it isn't, the plan switch it buys is
-    // exactly what's needed.
+    // exactly what's needed. (This count also materializes the cache.)
     val n = benchShingles.count()
     if (n == 0L || graft.spikes.Spikes.fitsBroadcast(benchShingles, n))
       overlapFrom(DedupDocs.shingles(corpus, k), broadcast(benchShingles))
@@ -75,13 +87,28 @@ object Decontaminate {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftbridge.Bridge
-    val numBits = org.apache.spark.util.sketch.BloomFilter
+    val conf = corpus.sparkSession.conf
+    // Spark CLAMPS BloomFilterAggregate to the runtime-filter session
+    // caps (maxNumItems default 4M, maxNumBits default 64M) regardless
+    // of the requested size. A saturated bloom has no false NEGATIVES —
+    // results stay exact — but its fpp climbs toward 1 and the
+    // pre-filter sheds nothing while still paying a per-row probe; so
+    // when the CLAMPED filter cannot give ~5 bits/item (fpp ≳ 0.1),
+    // skip the bloom and go straight to the shuffled exact semi-join.
+    val maxBits = conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val maxItems = conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val wantBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(benchCount, fpp)
+    val effBits = math.min(wantBits, maxBits)
+    if (effBits / math.max(benchCount, 1L) < 5L)
+      return overlapFrom(DedupDocs.shingles(corpus, k), benchShingles)
     val bloomAgg = Bridge.column(
       new BloomFilterAggregate(
         Bridge.expression(xxhash64(col("shingle"))),
-        Literal(benchCount),
-        Literal(numBits)
+        Literal(math.min(benchCount, maxItems)),
+        Literal(effBits)
       ).toAggregateExpression())
     val bloom = benchShingles.agg(bloomAgg.as("bf")).collect()(0).getAs[Array[Byte]](0)
     require(bloom != null, "bloom aggregate returned null for a non-empty bench side")
@@ -216,8 +243,19 @@ object Decontaminate {
       .bandKeysWithSig(bench, k, numHashes, rowsPerBand)
       .select(col("band"), col("band_key"), col("sig").as("__bsig"))
       .distinct()
+    // local byte gate: the generic broadcastIfSmall model allots 64 B
+    // per variable-width field, which under-counts the numHashes-long
+    // sig array ~2× (8 B offset/size + 8 B header + 8 B per hash) —
+    // exactly the under-count class that defeats the OOM guard. Model
+    // the row exactly: null word + band long + band-key string
+    // (offset/size + ~8 B/hash of "s:hash," text) + the sig array.
+    val thr = bench.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    // null word + band long + band-key string (offset/size + ~16 B per
+    // "seed:hash," component) + sig array (offset/size + header + 8 B/hash)
+    val perRow = 8L + 8L + (8L + 16L * rowsPerBand) + (16L + 8L * numHashes)
+    val nBands = benchBands.count()
     val gated =
-      graft.spikes.Spikes.broadcastIfSmall(benchBands, benchBands.count())
+      if (thr > 0 && nBands * perRow <= thr) broadcast(benchBands) else benchBands
     val matches = aggregate(
       zip_with(col("sig"), col("__bsig"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0),

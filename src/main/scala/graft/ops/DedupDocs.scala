@@ -189,7 +189,12 @@ object DedupDocs {
     // gram positions ⊆ token positions, and n_tokens per doc is exactly
     // spaces+1 — so one (count, Σ n_tokens) aggregate (a single
     // text-column scan, bounded next to this op's own ≥2 text passes)
-    // caps the broadcast at 32 B/row + 8 B/token. Callers with a
+    // caps the broadcast at 48 B/row + 4 B/token (UnsafeArrayData packs
+    // the no-null int starts at 4 B each; the row overhead term is
+    // generous). Still pessimistic on mostly-unique corpora — dup
+    // starts are usually far under the all-tokens bound — but the only
+    // tighter number requires executing the gram aggregate (the
+    // double-execution trap). Callers with a
     // pre-transformed input (e.g. [[graft.ops.Text.chunkDocs]] output,
     // where even the count() is no longer a metadata job) pass
     // `sizeHint = (docCount, tokenCount)` — the peakCountHint pattern —
@@ -197,12 +202,12 @@ object DedupDocs {
     val thr = documents.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     val (nDocs, totalTokens) = sizeHint.getOrElse {
       // SHORT-CIRCUIT: the exact token-sum needs a text-column scan,
-      // but the 32 B/row floor alone often already rules broadcast out
+      // but the 48 B/row floor alone often already rules broadcast out
       // (or broadcasting is disabled) — a metadata-only count decides
       // that for free, and the stats scan runs only when the floor
       // passes and the token sum could still tip the verdict.
       val nd = documents.count()
-      if (thr <= 0 || nd * 32L > thr) (nd, Long.MaxValue / 16L)
+      if (thr <= 0 || nd * 48L > thr) (nd, Long.MaxValue / 16L)
       else {
         val r = documents
           .agg(
@@ -215,7 +220,7 @@ object DedupDocs {
         (r.getLong(0), r.getLong(1))
       }
     }
-    val startsBytes = nDocs * 32L + 8L * totalTokens
+    val startsBytes = nDocs * 48L + 4L * totalTokens
     val gated = if (thr > 0 && startsBytes <= thr) broadcast(starts) else starts
     val toks = split(col("text"), " ")
     val st = coalesce(col("__starts"), array().cast("array<int>"))

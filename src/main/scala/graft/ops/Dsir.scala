@@ -83,9 +83,13 @@ object Dsir {
       salt: String = "dsir0",
       gramSize: Int = 1
   ): Weights = {
+    // a NULL teacher verdict counts as background (false) — without the
+    // coalesce, a bucket hit only by NULL-verdict rows would aggregate
+    // (NULL, NULL) and crash the collect, and mixed buckets would
+    // silently drop those rows from both distributions
     val counts = documents
       .select(
-        isTarget.cast("long").as("__t"),
+        coalesce(isTarget, lit(false)).cast("long").as("__t"),
         explode(graft.functions.GramBuckets
           .gramBuckets(col("text"), numBuckets, salt, gramSize)).as("b"))
       .groupBy(col("b"))
@@ -146,6 +150,8 @@ object Dsir {
           |        UNION ALL
           |        SELECT doc_id, array_to_string(ts[i + 1 : i + 2], ' ') AS t
           |        FROM toks, unnest(generate_series(0, len(ts) - 2)) AS u(i))""".stripMargin
+      case other => // Weights is a public case class — train() isn't the only door
+        throw new IllegalArgumentException(s"gramSize must be 1 or 2, got $other")
     }
     s"""WITH w(b, wt) AS MATERIALIZED (VALUES $vals),
        |$tokCte,

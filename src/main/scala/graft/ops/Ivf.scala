@@ -65,9 +65,10 @@ object Ivf {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
   }
 
-  /** Deterministic Lloyd's iteration: evenly strided init over the given
-    * sample order, fixed `iters` sweeps, empty cells keep their centroid. */
-  /** Driver-side Lloyd over the bounded sample. The ASSIGNMENT phase —
+  /** Deterministic Lloyd's iteration: evenly strided init over the
+    * given sample order, fixed `iters` sweeps, empty cells keep their
+    * centroid. Driver-side over the bounded sample. The ASSIGNMENT
+    * phase —
     * the O(n·k·dim) term that dominates once nLists grows with the
     * corpus (SemDedupBench measured 20.5 s of a 27 s run at nLists=800)
     * — runs on the driver's cores via a parallel index stream: each

@@ -66,6 +66,21 @@ class DecontaminateSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(forced == exact)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    // saturation fallback: when the clamped filter can't reach ~5
+    // bits/item the bloom is skipped, and the answer still must not
+    // change (the plain shuffled semi-join)
+    val maxBits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prev = spark.conf.getOption(maxBits)
+    try {
+      spark.conf.set(maxBits, "64") // 64 bits for thousands of shingles
+      val saturated = Decontaminate
+        .overlapCountsBloom(corpus, benchShingles, benchShingles.count(), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(saturated == exact)
+    } finally prev match {
+      case Some(v) => spark.conf.set(maxBits, v)
+      case None => spark.conf.unset(maxBits)
+    }
   }
 
   test("fuzzyOverlap flags signature-band collisions, not exact text only") {

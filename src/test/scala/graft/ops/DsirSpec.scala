@@ -45,6 +45,22 @@ class DsirSpec extends SparkSpec {
     assert(w1.delta != w2.delta, "bigram stream must change the estimated weights")
   }
 
+  test("NULL teacher verdicts count as background instead of crashing training") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "aa bb cc", Some("en")),
+      (1L, "dd ee ff", None), // NULL lang → NULL teacher verdict
+      (2L, "aa dd gg", Some("de"))
+    ).toDF("doc_id", "text", "lang")
+    val w = Dsir.train(df, col("lang") === "en", numBuckets = 64, salt = "nt")
+    // doc 1's tokens must be in the background distribution: its
+    // exclusive tokens get a negative delta like doc 2's
+    val wNoNull = Dsir.train(
+      df.withColumn("lang", coalesce(col("lang"), lit("xx"))),
+      col("lang") === "en", numBuckets = 64, salt = "nt")
+    assert(w.delta == wNoNull.delta && w.deltaDefault == wNoNull.deltaDefault)
+  }
+
   test("scoreSql rejects an empty weight table instead of emitting bad SQL") {
     val w = Dsir.Weights(Map.empty, 0.0, 16, "s")
     intercept[IllegalArgumentException](Dsir.scoreSql(w, 5))
