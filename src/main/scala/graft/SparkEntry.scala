@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.io.{ExtractChannels, RecFixture, RecScan}
 import graft.model.Tables
 import graft.ts.{Dedup, GapFill, Sessionize, Validation}
 import graft.spikes.Spikes
@@ -1193,8 +1194,50 @@ object SparkEntry {
       .select(col("peak_idx"), col("j").as("sample_idx"), round(col("v"), 6).as("value"))
   }
 
+  // ---- `.rec` binary-source chain, inside the hard oracle signal ------
+  // DuckDB cannot read `.rec`, so these three run the REAL scan/extract
+  // pipeline over the reference's sample recordings + the deterministic
+  // RecFixture files, while the oracle re-implements the semantics in
+  // SQL over the raw decoded packets as an inline VALUES twin (the
+  // q_align / q_pq generated-oracle recipe). Covers S1-S5/P1-P3/A1/A2
+  // plus the sanitize chain U2/W1/F1/F9/F13/O3/J2/U1 on real `.rec`
+  // bytes. Reference semantics: jagular/io.py:88-193, utils.py:392-549.
+
+  private val recSamplePaths: Seq[String] =
+    (1 to 5).map(i => s"/root/reference/sample_data/sample_data_$i.rec")
+
+  /** A1/O1: per-file catalog (2-packet bounds read + packet-count from
+    * file size), checked against a FULL decode of every packet — the
+    * bounds shortcut and the streaming decoder must agree. */
+  private def qRecCatalog(s: SparkSession, dir: String): DataFrame =
+    RecScan
+      .catalog(s, recSamplePaths)
+      .select(col("file_rank"), col("start_ts"), col("stop_ts"), col("n_packets"))
+
+  /** A2: session summary over the catalog. */
+  private def qRecSession(s: SparkSession, dir: String): DataFrame =
+    RecScan
+      .sessionSummary(RecScan.catalog(s, recSamplePaths))
+      .select(
+        col("start_ts"),
+        col("stop_ts"),
+        col("duration_w_gaps"),
+        col("duration_wo_gaps"),
+        col("n_packets")
+      )
+
+  /** F13/G-chain: full extract_channels over the planted-shape fixture —
+    * stitched multi-file scan → dedup-keep-first → sessionize → linear
+    * gap fill (int16 truncation) → per-channel explode, all on real
+    * `.rec` bytes through the zero-shuffle sorted path. */
+  private def qRecExtract(s: SparkSession, dir: String): DataFrame =
+    ExtractChannels.extract(s, RecFixture.ensure(), maxGapSize = RecFixture.maxGapSize)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rec_catalog" -> (qRecCatalog _),
+    "q_rec_session" -> (qRecSession _),
+    "q_rec_extract" -> (qRecExtract _),
     "q_session_epochs" -> (qSessionEpochs _),
     "q_user_sessions" -> (qUserSessions _),
     "q_gap_stats" -> (qGapStats _),
@@ -1269,6 +1312,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_rec_catalog" -> recCatalogOracleSql,
+    "q_rec_session" -> recSessionOracleSql,
+    "q_rec_extract" -> recExtractOracleSql,
     "q_session_epochs" ->
       s"""WITH e AS (SELECT epoch_us(ts) AS ts_us FROM events),
          |d AS (SELECT ts_us, CASE WHEN ts_us - lag(ts_us) OVER (ORDER BY ts_us) >= $GlobalGapUs THEN 1 ELSE 0 END AS brk FROM e),
@@ -1991,6 +2037,81 @@ object SparkEntry {
         |      FROM d)
         |SELECT doc_id, source, n_tokens FROM o WHERE cb < 600""".stripMargin
   ) ++ pqFamilyOracles
+
+  // ---- `.rec` generated oracles ---------------------------------------
+
+  /** Sample recordings decoded driver-side (through the same RecFormat
+    * reader the scan uses, full-packet pass) to a (file_rank, pos, ts)
+    * VALUES twin — 55 packets. */
+  private lazy val recSampleTsValues: String =
+    RecFixture
+      .decodeRaw(recSamplePaths)
+      .map { case (r, p, ts, _) => s"($r,$p,$ts)" }
+      .mkString(",")
+
+  /** Per-file bounds/count from the FULL twin: `arg_min/arg_max(ts, pos)`
+    * reproduces the first/last-packet bounds semantics (S2 reads exactly
+    * those two packets), count(*) checks the size-derived packet count. */
+  private lazy val recBoundsCte: String =
+    s"""WITH raw(file_rank, pos, ts) AS MATERIALIZED (VALUES $recSampleTsValues),
+       |b AS (SELECT file_rank, arg_min(ts, pos) AS start_ts, arg_max(ts, pos) AS stop_ts,
+       |             COUNT(*) AS n_packets
+       |      FROM raw GROUP BY file_rank)""".stripMargin
+
+  private lazy val recCatalogOracleSql: String =
+    s"""$recBoundsCte
+       |SELECT CAST(file_rank AS INT) AS file_rank, CAST(start_ts AS BIGINT) AS start_ts,
+       |       CAST(stop_ts AS BIGINT) AS stop_ts, CAST(n_packets AS BIGINT) AS n_packets
+       |FROM b""".stripMargin
+
+  private lazy val recSessionOracleSql: String =
+    s"""$recBoundsCte
+       |SELECT CAST(MIN(start_ts) AS BIGINT) AS start_ts, CAST(MAX(stop_ts) AS BIGINT) AS stop_ts,
+       |       CAST(MAX(stop_ts) - MIN(start_ts) AS BIGINT) AS duration_w_gaps,
+       |       CAST(SUM(stop_ts - start_ts) AS BIGINT) AS duration_wo_gaps,
+       |       CAST(SUM(n_packets) AS BIGINT) AS n_packets
+       |FROM b""".stripMargin
+
+  /** q_rec_extract oracle: the fixture's raw decoded packets (exploded
+    * per spike channel) as a VALUES twin, then the sanitize chain
+    * re-implemented in SQL — keep-first by (file_rank, pos), epoch break
+    * at diff ≥ maxGap+2, linear interpolation with trunc-toward-zero
+    * int16 semantics for runs of ≤ maxGap missing samples. */
+  private lazy val recExtractOracleSql: String = {
+    val vals = RecFixture
+      .decodeRaw(RecFixture.ensure())
+      .iterator
+      .flatMap { case (r, p, ts, vs) =>
+        vs.iterator.zipWithIndex.map { case (v, c) => s"($r,$p,$ts,$c,$v)" }
+      }
+      .mkString(",")
+    val brk = RecFixture.maxGapSize + 2
+    val maxD = RecFixture.maxGapSize + 1
+    s"""WITH raw(file_rank, pos, ts, channel, value) AS MATERIALIZED (VALUES $vals),
+       |keep AS MATERIALIZED (SELECT ts, channel, value FROM
+       |        (SELECT ts, channel, value,
+       |                row_number() OVER (PARTITION BY ts, channel ORDER BY file_rank, pos) AS rn
+       |         FROM raw)
+       |      WHERE rn = 1),
+       |pk AS (SELECT DISTINCT ts FROM keep),
+       |p0 AS (SELECT ts, lag(ts) OVER (ORDER BY ts) AS prev, lead(ts) OVER (ORDER BY ts) AS nxt FROM pk),
+       |sg AS MATERIALIZED (SELECT ts, nxt,
+       |        SUM(CASE WHEN prev IS NOT NULL AND ts - prev >= $brk THEN 1 ELSE 0 END)
+       |          OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+       |      FROM p0),
+       |gaps AS (SELECT seg, ts AS t0, nxt AS t1 FROM sg
+       |         WHERE nxt IS NOT NULL AND nxt - ts > 1 AND nxt - ts <= $maxD),
+       |it AS (SELECT seg, t0, t1, u.t AS t FROM gaps, unnest(generate_series(t0 + 1, t1 - 1)) AS u(t)),
+       |interp AS (SELECT i.seg, i.t AS ts, k0.channel,
+       |        CAST(TRUNC(k0.value + (i.t - i.t0) * (k1.value - k0.value) / CAST(i.t1 - i.t0 AS DOUBLE)) AS SMALLINT) AS value
+       |      FROM it i JOIN keep k0 ON k0.ts = i.t0
+       |                JOIN keep k1 ON k1.ts = i.t1 AND k1.channel = k0.channel)
+       |SELECT CAST(s.seg AS BIGINT) AS segment_id, CAST(k.ts AS BIGINT) AS ts, 0 AS interpolated,
+       |       CAST(k.channel AS INT) AS channel, CAST(k.value AS SMALLINT) AS value
+       |FROM keep k JOIN sg s ON s.ts = k.ts
+       |UNION ALL
+       |SELECT CAST(seg AS BIGINT), CAST(ts AS BIGINT), 1, CAST(channel AS INT), value FROM interp""".stripMargin
+  }
 
   /** Shared oracle for q_bm25 and q_bm25_serve (same terms/k ⇒ same
     * result; the serving index merely materializes tf/df/stats). */
