@@ -586,6 +586,33 @@ object SparkEntry {
       )
   }
 
+  /** REAL image decode + resize, hard-oracle form: deterministic
+    * fixture rasters (pixels are pure arithmetic in (img_id, x, y))
+    * round-trip the JDK PNG/BMP codecs, then box-filter resize to 8×6,
+    * emitted per pixel. The oracle recomputes the ground-truth pixels
+    * and the integer box filter arithmetically — no decoder on the
+    * oracle side, so a decode bug CANNOT cancel out. */
+  private def qImageResize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.resizeRgb(
+      graft.ops.Multimodal.imageFixture(s, n = 40), "img_id", outW = 8, outH = 6)
+
+  private val imageResizeOracleSql: String =
+    """WITH ids AS (SELECT unnest(generate_series(0, 39)) AS img_id),
+      |dims AS (SELECT img_id, 16 + img_id % 7 AS w, 12 + img_id % 5 AS h FROM ids),
+      |px AS (SELECT img_id, w, h, ux.x AS x, uy.y AS y
+      |       FROM dims, unnest(generate_series(0, w - 1)) AS ux(x),
+      |                  unnest(generate_series(0, h - 1)) AS uy(y)),
+      |m AS (SELECT img_id, x * 8 // w AS ox, y * 6 // h AS oy,
+      |        (img_id * 31 + x * 7 + y * 13) % 256 AS r,
+      |        (img_id * 17 + x * 3 + y * 11) % 256 AS g,
+      |        (img_id * 23 + x * 5 + y * 19) % 256 AS b
+      |      FROM px)
+      |SELECT CAST(img_id AS BIGINT) AS img_id, CAST(ox AS INT) AS x, CAST(oy AS INT) AS y,
+      |       CAST(SUM(r) // COUNT(*) AS INT) AS r,
+      |       CAST(SUM(g) // COUNT(*) AS INT) AS g,
+      |       CAST(SUM(b) // COUNT(*) AS INT) AS b
+      |FROM m GROUP BY img_id, ox, oy""".stripMargin
+
   /** G2 zero-phase filtering per user signal (oracle: generated
     * recursive-CTE biquad — see filtfiltOracleSql). */
   private def qFiltfilt(s: SparkSession, dir: String): DataFrame = {
@@ -1271,6 +1298,7 @@ object SparkEntry {
     "q_fingerprints" -> (qFingerprints _),
     "q_simhash" -> (qSimhash _),
     "q_multimodal" -> (qMultimodal _),
+    "q_image_resize" -> (qImageResize _),
     "q_filtfilt" -> (qFiltfilt _),
     "q_align" -> (qAlign _),
     "q_embed_neardup" -> (qEmbedNearDup _),
@@ -1315,6 +1343,7 @@ object SparkEntry {
     "q_rec_catalog" -> recCatalogOracleSql,
     "q_rec_session" -> recSessionOracleSql,
     "q_rec_extract" -> recExtractOracleSql,
+    "q_image_resize" -> imageResizeOracleSql,
     "q_session_epochs" ->
       s"""WITH e AS (SELECT epoch_us(ts) AS ts_us FROM events),
          |d AS (SELECT ts_us, CASE WHEN ts_us - lag(ts_us) OVER (ORDER BY ts_us) >= $GlobalGapUs THEN 1 ELSE 0 END AS brk FROM e),

@@ -88,7 +88,168 @@ object Multimodal {
     Bridge.internalCreateDataFrame(df.sparkSession, rdd, outSchema)
   }
 
-  /** STUB raster resize — replace with a real image library. Treats the
+  // ---- real image codec (JDK javax.imageio — no external libraries) ----
+
+  /** Decode an image payload with the JDK's built-in readers (PNG, BMP,
+    * GIF, JPEG): returns (w, h, row-major packed 0xRRGGBB ints), or None
+    * when the bytes are not a decodable image (no magic-byte match) —
+    * the caller's cue to fall back to [[resizeStub]]. Both PNG and BMP
+    * are lossless, so a decode of [[encodePng]]/`encodeBmp` output
+    * round-trips pixels exactly. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      // one bulk getRGB: per-pixel getRGB(x, y) re-enters the color
+      // model per call; the bulk form converts a row at a time
+      val argb = img.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < argb.length) { argb(i) = argb(i) & 0xffffff; i += 1 }
+      Some((w, h, argb))
+    }
+  }
+
+  /** Exact integer box-filter resize on a packed-RGB raster: source
+    * pixel (x, y) lands in bucket (x·outW / w, y·outH / h) (integer
+    * division), each output pixel is the per-channel floor-mean of its
+    * bucket. Requires w ≥ outW and h ≥ outH (downsample), which makes
+    * every bucket non-empty. Integer-exact end to end, so an oracle can
+    * reproduce it in SQL arithmetic. */
+  def boxResizeRgb(w: Int, h: Int, rgb: Array[Int], outW: Int, outH: Int): Array[Int] = {
+    require(w >= outW && h >= outH, s"box resize is downsample-only: ${w}x$h -> ${outW}x$outH")
+    val sumR = new Array[Long](outW * outH)
+    val sumG = new Array[Long](outW * outH)
+    val sumB = new Array[Long](outW * outH)
+    val cnt = new Array[Long](outW * outH)
+    var y = 0
+    while (y < h) {
+      val oy = y * outH / h
+      var x = 0
+      while (x < w) {
+        val o = oy * outW + (x * outW / w)
+        val v = rgb(y * w + x)
+        sumR(o) += (v >> 16) & 0xff
+        sumG(o) += (v >> 8) & 0xff
+        sumB(o) += v & 0xff
+        cnt(o) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Int](outW * outH)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (((sumR(i) / cnt(i)).toInt) << 16) |
+        (((sumG(i) / cnt(i)).toInt) << 8) |
+        (sumB(i) / cnt(i)).toInt
+      i += 1
+    }
+    out
+  }
+
+  /** Encode a packed-RGB raster (losslessly) with the JDK's PNG writer. */
+  def encodePng(w: Int, h: Int, rgb: Array[Int]): Array[Byte] =
+    encodeVia("png", w, h, rgb)
+
+  /** Encode a packed-RGB raster (losslessly) with the JDK's BMP writer. */
+  def encodeBmp(w: Int, h: Int, rgb: Array[Int]): Array[Byte] =
+    encodeVia("bmp", w, h, rgb)
+
+  private def encodeVia(fmt: String, w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, rgb, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK $fmt writer")
+    bos.toByteArray
+  }
+
+  /** Real decode → box-filter resize over the binary column, emitting
+    * one row per OUTPUT PIXEL (`key, x, y, r, g, b`) — the
+    * oracle-comparable form of the image path (a PNG re-encode is not
+    * SQL-checkable; pixels are). Batched partition kernel, same shape as
+    * [[extractFeatures]]. Payloads that are not decodable images are an
+    * error here (use [[resize]] for the stub-fallback binary→binary
+    * stage). */
+  def resizeRgb(df: DataFrame, keyCol: String, outW: Int, outH: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.graftbridge.Bridge
+    val payloadIdx = df.columns.indexOf("payload")
+    require(payloadIdx >= 0, "call withPayload first")
+    val keyIdx = df.columns.indexOf(keyCol)
+    val keyType = df.schema(keyIdx).dataType
+    val outSchema = StructType(Seq(
+      df.schema(keyIdx),
+      StructField("x", IntegerType, nullable = false),
+      StructField("y", IntegerType, nullable = false),
+      StructField("r", IntegerType, nullable = false),
+      StructField("g", IntegerType, nullable = false),
+      StructField("b", IntegerType, nullable = false)
+    ))
+    val rdd = Bridge.toInternalRdd(df).mapPartitions { it =>
+      it.flatMap { r =>
+        val key = InternalRow.copyValue(r.get(keyIdx, keyType))
+        val payload = r.getBinary(payloadIdx)
+        val (w, h, rgb) = decodeImage(payload).getOrElse(
+          throw new IllegalArgumentException("resizeRgb: payload is not a decodable image"))
+        val out = boxResizeRgb(w, h, rgb, outW, outH)
+        (0 until outH).iterator.flatMap { y =>
+          (0 until outW).iterator.map { x =>
+            val v = out(y * outW + x)
+            new GenericInternalRow(Array[Any](
+              key, x, y, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff
+            )): InternalRow
+          }
+        }
+      }
+    }
+    Bridge.internalCreateDataFrame(df.sparkSession, rdd, outSchema)
+  }
+
+  /** Deterministic image fixture, generated DISTRIBUTED: `n` images
+    * whose pixel channels are pure arithmetic in (img_id, x, y) — so an
+    * oracle can recompute the ground-truth pixels without any decoder —
+    * encoded through the REAL JDK writers (PNG for even ids, BMP for
+    * odd: both lossless). Dims vary per id to exercise ragged batches. */
+  def imageFixture(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.graftbridge.Bridge
+    val rdd = Bridge.toInternalRdd(spark.range(n).toDF("img_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = (16 + (id % 7).toInt, 12 + (id % 5).toInt)
+        val rgb = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val pr = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            val pg = ((id * 17 + x * 3 + y * 11) % 256).toInt
+            val pb = ((id * 23 + x * 5 + y * 19) % 256).toInt
+            rgb(y * w + x) = (pr << 16) | (pg << 8) | pb
+            x += 1
+          }
+          y += 1
+        }
+        val bytes = if (id % 2 == 0) encodePng(w, h, rgb) else encodeBmp(w, h, rgb)
+        new GenericInternalRow(Array[Any](id, bytes)): InternalRow
+      }
+    }
+    Bridge.internalCreateDataFrame(
+      spark,
+      rdd,
+      StructType(Seq(
+        StructField("img_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)
+      ))
+    )
+  }
+
+  /** STUB raster resize — the no-library fallback for payloads the JDK
+    * readers cannot decode (raw tensors, exotic formats). Treats the
     * payload as a (w × h) row-major raster (FakeDecoder geometry) and
     * nearest-neighbor samples it to (outW × outH). The Spark-side
     * contract is the real one: binary in, binary out, batched per
@@ -113,7 +274,11 @@ object Multimodal {
   }
 
   /** Resize stage over the binary column (batched kernel, same shape as
-    * [[extractFeatures]]): appends `resized: binary` of outW×outH. */
+    * [[extractFeatures]]): appends `resized: binary`. Payloads the JDK
+    * image readers recognize (PNG/BMP/GIF/JPEG) take the REAL path —
+    * decode → [[boxResizeRgb]] → lossless PNG re-encode; anything else
+    * (raw tensors, text stand-ins, exotic formats) falls back to the
+    * deterministic [[resizeStub]], keeping the stage total. */
   def resize(df: DataFrame, outW: Int, outH: Int): DataFrame = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -130,7 +295,13 @@ object Multimodal {
         val vals = new Array[Any](types.length + 1)
         var i = 0
         while (i < types.length) { vals(i) = InternalRow.copyValue(r.get(i, types(i))); i += 1 }
-        vals(types.length) = resizeStub(r.getBinary(payloadIdx), outW, outH)
+        val payload = r.getBinary(payloadIdx)
+        vals(types.length) = decodeImage(payload) match {
+          case Some((w, h, rgb)) if w >= outW && h >= outH =>
+            val out = boxResizeRgb(w, h, rgb, outW, outH)
+            encodePng(outW, outH, out)
+          case _ => resizeStub(payload, outW, outH)
+        }
         new GenericInternalRow(vals): InternalRow
       }
     }

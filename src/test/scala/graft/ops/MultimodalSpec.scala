@@ -52,6 +52,67 @@ class MultimodalSpec extends SparkSpec {
     assert(r.length == 4)
   }
 
+  test("PNG and BMP codecs round-trip pixels exactly") {
+    val (w, h) = (9, 5)
+    val rgb = Array.tabulate(w * h)(i => ((i * 37) % 256 << 16) | ((i * 91) % 256 << 8) | (i * 13) % 256)
+    Seq(Multimodal.encodePng(w, h, rgb), Multimodal.encodeBmp(w, h, rgb)).foreach { bytes =>
+      val Some((dw, dh, drgb)) = Multimodal.decodeImage(bytes)
+      assert((dw, dh) == ((w, h)))
+      assert(drgb.toSeq == rgb.toSeq)
+    }
+    // non-image bytes → None (the stub-fallback cue)
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  test("box-filter resize is the exact integer bucket mean") {
+    // 4x2 → 2x1: buckets {(0,0),(1,0),(0,1),(1,1)} and {(2,*),(3,*)}
+    val rgb = Array(
+      0x010203, 0x050607, 0x090a0b, 0x0d0e0f,
+      0x111213, 0x151617, 0x191a1b, 0x1d1e1f)
+    val out = Multimodal.boxResizeRgb(4, 2, rgb, 2, 1)
+    // channel means: ((1+5+17+21)/4, ...) = (11, 12, 13); ((9+13+25+29)/4, ...) = (19, 20, 21)
+    assert(out.toSeq == Seq(0x0b0c0d, 0x131415))
+  }
+
+  test("resize stage takes the real path for decodable payloads") {
+    import org.apache.spark.sql.functions.udf
+    val (w, h) = (8, 6)
+    val rgb = Array.tabulate(w * h)(i => (i * 31) % 256 << 16 | (i * 7) % 256)
+    val png = Multimodal.encodePng(w, h, rgb)
+    val toPayload = udf(() => png)
+    val df = Seq(1L).toDF("doc_id").withColumn("payload", toPayload())
+    val out = Multimodal.resize(df, outW = 4, outH = 3).select("resized").collect()
+    val Some((rw, rh, rrgb)) = Multimodal.decodeImage(out(0).getAs[Array[Byte]](0))
+    assert((rw, rh) == ((4, 3)))
+    assert(rrgb.toSeq == Multimodal.boxResizeRgb(w, h, rgb, 4, 3).toSeq)
+  }
+
+  test("q_image_resize pixels match a local recompute of the fixture math") {
+    val got = graft.SparkEntry.queries("q_image_resize")(spark, "unused")
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), (r.getInt(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    assert(got.size == 40 * 8 * 6)
+    // spot-check a handful of images against the independent pixel formula
+    Seq(0L, 1L, 13L, 39L).foreach { id =>
+      val (w, h) = (16 + (id % 7).toInt, 12 + (id % 5).toInt)
+      val buckets = scala.collection.mutable.Map
+        .empty[(Int, Int), (Long, Long, Long, Long)].withDefaultValue((0L, 0L, 0L, 0L))
+      for (y <- 0 until h; x <- 0 until w) {
+        val key = (x * 8 / w, y * 6 / h)
+        val (sr, sg, sb, n) = buckets(key)
+        buckets(key) = (
+          sr + (id * 31 + x * 7 + y * 13) % 256,
+          sg + (id * 17 + x * 3 + y * 11) % 256,
+          sb + (id * 23 + x * 5 + y * 19) % 256,
+          n + 1)
+      }
+      buckets.foreach { case ((ox, oy), (sr, sg, sb, n)) =>
+        assert(got((id, ox, oy)) == (((sr / n).toInt, (sg / n).toInt, (sb / n).toInt)), s"img $id ($ox,$oy)")
+      }
+    }
+  }
+
   test("window-gather patch variant matches the range-join values") {
     val samples = (0L to 20L).map(i => (i, i.toDouble * 2)).toDF("idx", "v")
     val peaks = Seq(5L, 12L).toDF("idx")
