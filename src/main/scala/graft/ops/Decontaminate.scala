@@ -51,25 +51,41 @@ object Decontaminate {
     *    detects that and falls back to the plain shuffled semi-join
     *    (raise `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` to
     *    extend the bloom regime). */
-  def overlapCountsAgainst(corpus: DataFrame, bench: DataFrame, k: Int): DataFrame = {
-    // The bench shingle set is consumed 2-3 times (gate count, optional
-    // bloom aggregate, the exact semi-join), so it persists: it is the
-    // INDEX side — deployments build it once per eval suite and screen
-    // many corpora against it. Spark's LRU (and Bench's between-query
-    // clearCache) bounds the residency; at ~16 B/shingle in memory the
-    // cache is small next to the corpus stream it saves re-exploding.
-    val benchShingles = DedupDocs.shingles(bench, k).select("shingle").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // COUNT-GATED, not forced: the exact distinct-shingle count costs
-    // one extra aggregate over the bench slice — by assumption the
-    // small side, and when it isn't, the plan switch it buys is
-    // exactly what's needed. (This count also materializes the cache.)
-    val n = benchShingles.count()
-    if (n == 0L || graft.spikes.Spikes.fitsBroadcast(benchShingles, n))
-      overlapFrom(DedupDocs.shingles(corpus, k), broadcast(benchShingles))
-    else
-      overlapCountsBloom(corpus, benchShingles, n, k)
+  def overlapCountsAgainst(corpus: DataFrame, bench: DataFrame, k: Int): DataFrame =
+    overlapCountsAgainstIndex(corpus, buildShingleIndex(bench, k), k)
+
+  /** The persisted bench-side distinct-shingle frame + its exact count,
+    * with CALLER-CONTROLLED lifecycle: [[overlapCountsAgainst]] builds
+    * one per call and leaves the cache to LRU (fine one-shot; Bench
+    * clearCaches between queries), but a deployment screening many
+    * corpora against one eval suite should build the index ONCE, reuse
+    * it across [[overlapCountsAgainstIndex]] calls, and `close()` it
+    * when the suite rotates — bounded residency instead of eviction
+    * luck. */
+  final case class ShingleIndex(shingles: DataFrame, n: Long) extends AutoCloseable {
+    override def close(): Unit = { shingles.unpersist(); () }
   }
+
+  /** Build the [[ShingleIndex]]: distinct bench shingles, persisted
+    * (the set is consumed 2-3 times: gate count, optional bloom
+    * aggregate, the exact semi-join; at ~16 B/shingle the cache is
+    * small next to the corpus stream it saves re-exploding). The count
+    * both materializes the cache and drives the plan gate. */
+  def buildShingleIndex(bench: DataFrame, k: Int): ShingleIndex = {
+    val s = DedupDocs.shingles(bench, k).select("shingle").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ShingleIndex(s, s.count())
+  }
+
+  /** [[overlapCountsAgainst]] over a pre-built [[ShingleIndex]] — the
+    * many-corpora deployment form. COUNT-GATED plan choice: broadcast
+    * semi-join when the index provably fits, Bloom pre-filter plan
+    * otherwise. */
+  def overlapCountsAgainstIndex(corpus: DataFrame, idx: ShingleIndex, k: Int): DataFrame =
+    if (idx.n == 0L || graft.spikes.Spikes.fitsBroadcast(idx.shingles, idx.n))
+      overlapFrom(DedupDocs.shingles(corpus, k), broadcast(idx.shingles))
+    else
+      overlapCountsBloom(corpus, idx.shingles, idx.n, k)
 
   /** The Bloom-prefiltered large-benchmark plan (see
     * [[overlapCountsAgainst]]); `benchShingles` must be distinct.
@@ -83,18 +99,46 @@ object Decontaminate {
       benchCount: Long,
       k: Int,
       fpp: Double = 0.01
-  ): DataFrame = {
+  ): DataFrame =
+    shingleBloomBytes(benchShingles, benchCount, fpp) match {
+      case None =>
+        // clamped filter would saturate — plain shuffled exact semi-join
+        overlapFrom(DedupDocs.shingles(corpus, k), benchShingles)
+      case Some(bloom) =>
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.graftbridge.Bridge
+        val mightContain = Bridge.column(
+          BloomFilterMightContain(
+            Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
+            Bridge.expression(xxhash64(col("shingle")))))
+        overlapFrom(
+          DedupDocs.shingles(corpus, k).where(mightContain),
+          benchShingles)
+    }
+
+  /** Serialized Bloom filter over `benchShingles`' xxhash64s (the
+    * `BloomFilterAggregate` wire format `BloomFilterMightContain` and
+    * [[graft.functions.ShingleBloomOverlap]] both read), or None when
+    * the session-clamped filter would saturate.
+    *
+    * Spark CLAMPS BloomFilterAggregate to the runtime-filter session
+    * caps (maxNumItems default 4M, maxNumBits default 64M) regardless
+    * of the requested size. A saturated bloom has no false NEGATIVES —
+    * exactness-by-prefilter survives — but its fpp climbs toward 1 and
+    * the filter sheds nothing while still paying a per-row probe; so
+    * when the CLAMPED filter cannot give ~5 bits/item (fpp ≳ 0.1),
+    * return None and let the caller pick its fallback (raise
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` to extend
+    * the bloom regime). */
+  private[graft] def shingleBloomBytes(
+      benchShingles: DataFrame,
+      benchCount: Long,
+      fpp: Double = 0.01
+  ): Option[Array[Byte]] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graftbridge.Bridge
-    val conf = corpus.sparkSession.conf
-    // Spark CLAMPS BloomFilterAggregate to the runtime-filter session
-    // caps (maxNumItems default 4M, maxNumBits default 64M) regardless
-    // of the requested size. A saturated bloom has no false NEGATIVES —
-    // results stay exact — but its fpp climbs toward 1 and the
-    // pre-filter sheds nothing while still paying a per-row probe; so
-    // when the CLAMPED filter cannot give ~5 bits/item (fpp ≳ 0.1),
-    // skip the bloom and go straight to the shuffled exact semi-join.
+    val conf = benchShingles.sparkSession.conf
     val maxBits = conf
       .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
     val maxItems = conf
@@ -102,23 +146,54 @@ object Decontaminate {
     val wantBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(benchCount, fpp)
     val effBits = math.min(wantBits, maxBits)
-    if (effBits / math.max(benchCount, 1L) < 5L)
-      return overlapFrom(DedupDocs.shingles(corpus, k), benchShingles)
-    val bloomAgg = Bridge.column(
-      new BloomFilterAggregate(
-        Bridge.expression(xxhash64(col("shingle"))),
-        Literal(math.min(benchCount, maxItems)),
-        Literal(effBits)
-      ).toAggregateExpression())
-    val bloom = benchShingles.agg(bloomAgg.as("bf")).collect()(0).getAs[Array[Byte]](0)
-    require(bloom != null, "bloom aggregate returned null for a non-empty bench side")
-    val mightContain = Bridge.column(
-      BloomFilterMightContain(
-        Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
-        Bridge.expression(xxhash64(col("shingle")))))
-    overlapFrom(
-      DedupDocs.shingles(corpus, k).where(mightContain),
-      benchShingles)
+    if (effBits / math.max(benchCount, 1L) < 5L) None
+    else {
+      val bloomAgg = Bridge.column(
+        new BloomFilterAggregate(
+          Bridge.expression(xxhash64(col("shingle"))),
+          Literal(math.min(benchCount, maxItems)),
+          Literal(effBits)
+        ).toAggregateExpression())
+      val bloom = benchShingles.agg(bloomAgg.as("bf")).collect()(0).getAs[Array[Byte]](0)
+      require(bloom != null, "bloom aggregate returned null for a non-empty bench side")
+      Some(bloom)
+    }
+  }
+
+  /** Per-ROW decontamination overlap Column for STREAMING admission
+    * control ([[graft.streaming.Streaming.curateStream]]) — the
+    * join-based [[overlapCountsAgainst]] would need a streaming
+    * aggregation and its watermark state, so the stream path matches
+    * per row against driver-built state, with the SAME gated plan
+    * selection the batch path uses:
+    *  - bench set provably under the broadcast byte model → exact
+    *    executor-side hash set ([[graft.functions.ShingleSetOverlap]]),
+    *    verdicts identical to the batch join;
+    *  - oversized → Bloom probe ([[graft.functions.ShingleBloomOverlap]],
+    *    ~1.2 MB per million shingles): NO false negatives — no
+    *    contaminated doc slips through — with ~fpp count inflation
+    *    that can drop an fpp-sized sliver of clean docs at the
+    *    threshold (the conservative direction for training data);
+    *  - bloom would saturate under the session's runtime-filter caps →
+    *    fail fast with the knob to raise, rather than silently
+    *    collecting an executor-OOM-sized set. */
+  def rowOverlapCount(bench: DataFrame, k: Int, textCol: Column): Column = {
+    val idx = buildShingleIndex(bench, k)
+    try {
+      if (idx.n == 0L || graft.spikes.Spikes.fitsBroadcast(idx.shingles, idx.n)) {
+        val set = idx.shingles.collect().map(_.getString(0)).toIndexedSeq
+        graft.functions.ShingleSetOverlap.shingleSetOverlap(textCol, k, set)
+      } else
+        shingleBloomBytes(idx.shingles, idx.n) match {
+          case Some(bytes) =>
+            graft.functions.ShingleBloomOverlap.shingleBloomOverlap(textCol, k, bytes)
+          case None => throw new IllegalArgumentException(
+            s"bench shingle set (${idx.n} distinct) exceeds both the broadcast " +
+              "threshold and the clamped bloom capacity; raise " +
+              "spark.sql.optimizer.runtime.bloomFilter.maxNumBits (1.2 MB per 1M " +
+              "shingles at 1% fpp) or screen in batch")
+        }
+    } finally { idx.close() } // both paths fully materialized driver-side
   }
 
   /** Shared tail: exact semi-join + per-doc overlap count. Shingles are
@@ -243,19 +318,14 @@ object Decontaminate {
       .bandKeysWithSig(bench, k, numHashes, rowsPerBand)
       .select(col("band"), col("band_key"), col("sig").as("__bsig"))
       .distinct()
-    // local byte gate: the generic broadcastIfSmall model allots 64 B
-    // per variable-width field, which under-counts the numHashes-long
-    // sig array ~2× (8 B offset/size + 8 B header + 8 B per hash) —
-    // exactly the under-count class that defeats the OOM guard. Model
-    // the row exactly: null word + band long + band-key string
-    // (offset/size + ~8 B/hash of "s:hash," text) + the sig array.
-    val thr = bench.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    // null word + band long + band-key string (offset/size + ~16 B per
-    // "seed:hash," component) + sig array (offset/size + header + 8 B/hash)
+    // exact per-row byte model (the generic 64 B variable-width
+    // allowance under-counts the sig array ~2×): null word + band long
+    // + band-key string (8 B offset/size + ~16 B of "seed:hash," text
+    // per band component) + sig array (8 B offset/size + 8 B header +
+    // 8 B per hash)
     val perRow = 8L + 8L + (8L + 16L * rowsPerBand) + (16L + 8L * numHashes)
-    val nBands = benchBands.count()
-    val gated =
-      if (thr > 0 && nBands * perRow <= thr) broadcast(benchBands) else benchBands
+    val gated = graft.spikes.Spikes
+      .broadcastIfSmallExact(benchBands, benchBands.count(), perRow)
     val matches = aggregate(
       zip_with(col("sig"), col("__bsig"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0),

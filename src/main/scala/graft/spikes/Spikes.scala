@@ -134,6 +134,20 @@ object Spikes {
   private[graft] def broadcastIfSmall(df: DataFrame, rows: Long): DataFrame =
     if (fitsBroadcast(df, rows)) broadcast(df) else df
 
+  /** [[broadcastIfSmall]] with an EXPLICIT per-row byte model, for
+    * sides whose variable-width fields the generic 64 B allowance
+    * under-counts (e.g. a numHashes-long signature array) — the
+    * under-count class that defeats the OOM guard. Callers own the
+    * accuracy of `perRowBytes`. */
+  private[graft] def broadcastIfSmallExact(
+      df: DataFrame,
+      rows: Long,
+      perRowBytes: Long
+  ): DataFrame = {
+    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (thr > 0 && rows * perRowBytes <= thr) broadcast(df) else df
+  }
+
   /** The [[broadcastIfSmall]] decision alone — for callers that pick a
     * different PLAN (not just a join hint) when the small side isn't
     * provably small, e.g. [[graft.ops.Decontaminate]]'s Bloom

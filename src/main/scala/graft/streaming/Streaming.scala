@@ -137,12 +137,13 @@ object Streaming {
     *
     *  - quality + repetition gates: the SAME `gatePredicate` Column as
     *    batch (stateless kernel filter);
-    *  - decontamination: the static benchmark's distinct shingles are
-    *    collected ONCE at plan build and baked into a per-row
-    *    [[graft.functions.ShingleSetOverlap]] — no streaming aggregation,
-    *    no join state (bounded by the same assumption that makes the
-    *    batch broadcast legal; the count-gated batch form is the escape
-    *    hatch for oversized benchmark sets);
+    *  - decontamination: a per-row overlap kernel built ONCE at plan
+    *    build by [[graft.ops.Decontaminate.rowOverlapCount]] — no
+    *    streaming aggregation, no join state — with the batch path's
+    *    gated plan selection: exact broadcast set when the bench fits
+    *    the broadcast byte model, Bloom probe (no false negatives,
+    *    ~fpp count inflation) when it doesn't, fail-fast past the
+    *    clamped bloom capacity;
     *  - exact dedup: `dropDuplicatesWithinWatermark` on the content md5
     *    — keep-FIRST-ARRIVAL, and only within the watermark horizon
     *    (batch keep-first = min doc_id over all time; the difference is
@@ -160,20 +161,11 @@ object Streaming {
       eventTimeCol: String,
       watermark: String
   ): DataFrame = {
-    val benchShingles = graft.ops.DedupDocs
-      .shingles(bench, cfg.decontaminateK)
-      .select("shingle")
-      .distinct()
-      .collect()
-      .map(_.getString(0))
-      .toSeq
+    val overlap = graft.ops.Decontaminate
+      .rowOverlapCount(bench, cfg.decontaminateK, col("text"))
     docStream
       .where(graft.ops.Curation.gatePredicate(cfg))
-      .where(
-        graft.functions.ShingleSetOverlap
-          .shingleSetOverlap(col("text"), cfg.decontaminateK, benchShingles)
-          < cfg.decontaminateMinOverlap
-      )
+      .where(overlap < cfg.decontaminateMinOverlap)
       .withColumn("__content_md5", md5(col("text").cast("binary")))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("__content_md5"))

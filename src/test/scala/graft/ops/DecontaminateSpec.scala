@@ -83,6 +83,54 @@ class DecontaminateSpec extends SparkSpec {
     }
   }
 
+  test("rowOverlapCount: exact path matches the batch join; bloom path no false negatives") {
+    val bench = docs.where(isBench)
+    val corpus = docs.where(!isBench)
+    val exactCol = Decontaminate.rowOverlapCount(bench, k, col("text"))
+    assert(org.apache.spark.sql.graftbridge.Bridge.expression(exactCol).toString.contains("shingle_set_overlap"))
+    val exact = corpus.select(col("doc_id"), exactCol.as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-row form INCLUDES zero-overlap docs (the batch join omits them)
+    assert(exact == Map(10L -> 2L, 11L -> 1L, 12L -> 2L, 13L -> 0L, 14L -> 0L))
+    // an absurdly low broadcast threshold forces the bloom kernel
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+      val bloomCol = Decontaminate.rowOverlapCount(bench, k, col("text"))
+      assert(org.apache.spark.sql.graftbridge.Bridge.expression(bloomCol).toString.contains("shingle_bloom_overlap"))
+      val viaBloom = corpus.select(col("doc_id"), bloomCol.as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the bloom contract: NO false negatives (counts never shrink —
+      // contaminated docs can't slip through); ~fpp inflation is allowed
+      // (this tiny 48-bit filter does produce one FP shingle here)
+      assert(viaBloom.keySet == exact.keySet)
+      exact.foreach { case (id, n) =>
+        assert(viaBloom(id) >= n, s"doc $id: bloom ${viaBloom(id)} < exact $n")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("rowOverlapCount fails fast past the clamped bloom capacity") {
+    val bench = docs.where(isBench)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val maxBits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prev = spark.conf.getOption(maxBits)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+      spark.conf.set(maxBits, "8") // 8 bits for 5 shingles → saturated
+      val e = intercept[IllegalArgumentException] {
+        Decontaminate.rowOverlapCount(bench, k, col("text"))
+      }
+      assert(e.getMessage.contains("maxNumBits"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      prev match {
+        case Some(v) => spark.conf.set(maxBits, v)
+        case None => spark.conf.unset(maxBits)
+      }
+    }
+  }
+
   test("fuzzyOverlap flags signature-band collisions, not exact text only") {
     val df = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta", "bench"),

@@ -158,6 +158,50 @@ class StreamingSpec extends SparkSpec {
     assert(batch.toSeq == streamed.toSeq)
   }
 
+  test("streaming curation under a forced-oversized bench takes the bloom screen, parity holds") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((0L, "secret eval question about math", "bench"))
+      .toDF("doc_id", "text", "source")
+    val cfg = graft.ops.Curation.Config(
+      maxMeanWordLen = 6.0,
+      maxDup2gramFrac = 0.5,
+      decontaminateMinOverlap = 3,
+      weights = Map("web" -> 1.0)
+    )
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // too small for ANY broadcast/exact-set: both the stream screen and
+      // the batch chain must fall to their bloom plans and still agree
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+      val input = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+      val stream = input.toDF().toDF("doc_id", "text", "source", "ts")
+      val q = Streaming
+        .curateStream(stream, bench, cfg, "ts", "10 seconds")
+        .writeStream.format("memory").queryName("curated_bloom").outputMode("append").start()
+      def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+      input.addData(
+        (10L, "the quick brown fox jumps over dog", "web", t(1)),
+        (13L, "intro secret eval question about math end", "web", t(4)),
+        (16L, "a second clean doc the end", "web", t(7))
+      )
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id FROM curated_bloom")
+        .collect().map(_.getLong(0)).sorted
+      q.stop()
+      assert(streamed.toSeq == Seq(10L, 16L))
+      val batchDocs = Seq(
+        (0L, "secret eval question about math", "bench"),
+        (10L, "the quick brown fox jumps over dog", "web"),
+        (13L, "intro secret eval question about math end", "web"),
+        (16L, "a second clean doc the end", "web")
+      ).toDF("doc_id", "text", "source")
+      val batch = graft.ops.Curation
+        .screen(batchDocs, col("source") === "bench", cfg)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(batch.toSeq == streamed.toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("streaming dedup keep-first drops duplicate (key, ts) within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double)]
