@@ -90,17 +90,23 @@ case class GramBuckets(
 
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
-    val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
-    var s = 0
+    // presize raw offset arrays from a space-count pass (the
+    // GramHashes/MinHashSig layout) — an ArrayBuffer[Int] here would box
+    // every offset in the kernel's hot loop
+    var t = 1
     var i = 0
+    while (i < bytes.length) { if (bytes(i) == Space) t += 1; i += 1 }
+    val starts = new Array[Int](t)
+    val ends = new Array[Int](t)
+    var s = 0
+    var w = 0
+    i = 0
     while (i <= bytes.length) {
       if (i == bytes.length || bytes(i) == Space) {
-        starts += s; ends += i; s = i + 1
+        starts(w) = s; ends(w) = i; w += 1; s = i + 1
       }
       i += 1
     }
-    val t = starts.length
     val nBi = if (gramSize == 2 && t >= 2) t - 1 else 0
     val md = digestLocal.get()
     val out = new Array[Long](t + nBi)

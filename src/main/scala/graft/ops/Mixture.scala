@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
+  /** Driver-collect bound for [[tokenBudgetTwoPass]]'s per-(source,
+    * bucket) sums: 1M entries ≈ low hundreds of MB of driver map — far
+    * past any giant-source layout the plan is meant for. */
+  private val MaxTwoPassGroups = 1000000L
+
   /** Deterministic uniform draw in [0, 1): the first 8 md5 hex chars of
     * `salt || id` as a 32-bit integer, scaled. Engine-portable (DuckDB:
     * `('0x' || substr(md5(...), 1, 8))::UBIGINT / 2^32`). */
@@ -287,9 +292,22 @@ object Mixture {
     // source values are handled as opaque Any (the windowed form is
     // type-generic; so is this one), and a NULL source is one more
     // group — the windowed partitionBy treats it that way too
-    val sums = base
+    val grouped = base
       .groupBy(col(sourceCol), col("__b"))
       .agg(sum(col("n_tokens")).as("__t"))
+    // driver-safety cap: under the hybrid gate nSources is the handful
+    // of giant sources, but a forced call (giantSourceRows = 0) on a
+    // high-cardinality source column would make this collect O(nSources
+    // × buckets) with no bound. The count is one extra pass over the
+    // already-combined aggregate — noise next to the corpus scan.
+    val nGroups = grouped.count()
+    require(
+      nGroups <= MaxTwoPassGroups,
+      s"tokenBudgetTwoPass: $nGroups (source, bucket) groups exceed the " +
+        s"driver-collect cap $MaxTwoPassGroups — the source column is too " +
+        "high-cardinality for the two-pass plan; use tokenBudgetPerSource's " +
+        "hybrid gate (windowed plan) for many-small-source layouts")
+    val sums = grouped
       .collect()
       .map(r => (r.get(0), r.getInt(1)) -> r.getLong(2))
       .toMap
