@@ -122,6 +122,103 @@ object Ivf {
     centroids
   }
 
+  /** Distributed Lloyd trainer — the documented upgrade for nLists ≥
+    * ~10⁴, where the driver assignment phase's O(sample·nLists·dim) per
+    * sweep stops fitting one machine (at nLists 10⁴ × sample 10⁵ ×
+    * dim 64 a sweep is 6·10¹⁰ flops — minutes per iteration on driver
+    * cores, seconds across a cluster).
+    *
+    * Same order-invariant recipe as [[trainCentroids]]: the hash-strided
+    * content-sorted sample, the same strided init over that order, the
+    * same strict-< / lowest-index assignment tie-break (the native
+    * [[graft.functions.ArgminCell]] kernel, broadcast centroids). The
+    * accumulation — the one phase whose fp addition order a shuffle
+    * would otherwise scramble — runs as per-(cell, component)
+    * DECIMAL(38,12) sums: exact and associative, so the trained
+    * centroids are BIT-identical across partitionings and parallelism
+    * (IvfSpec pins a repartition A/B). They are NOT bit-equal to the
+    * driver trainer's double accumulation — the two agree to fp
+    * tolerance and on every assignment for separated data (spec-pinned);
+    * pick ONE trainer per index build.
+    *
+    * Per iteration: the centroid table rides the stage's task binary
+    * (serialized once per stage — nLists·dim·8 B, 5 MB at 10⁴×64), one
+    * shuffle of sample·dim skinny component rows, one nLists·dim-row
+    * driver collect. The sample itself never moves. */
+  def trainCentroidsDistributed(
+      corpus: DataFrame,
+      nLists: Int,
+      sampleSize: Int = 100000,
+      iters: Int = 8
+  ): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    val emb = corpus.select("embedding")
+    val total = emb.count()
+    val stride = math.max(1L, total / math.max(1, sampleSize))
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sample = emb
+      .select(
+        col("embedding"),
+        xxhash64(col("embedding")).as("__h1"),
+        xxhash64(lit(1), col("embedding")).as("__h2"))
+      .where(pmod(col("__h1"), lit(stride)) === 0)
+      .orderBy(col("__h1"), col("__h2"))
+      .limit(sampleSize)
+      // the global limit collapses to one partition; restore parallelism
+      // (safe: every downstream step is order-invariant by construction)
+      .repartition(n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cnt = sample.count()
+      require(cnt >= nLists, s"need >= $nLists vectors to train, got $cnt")
+      // strided seeds over the (h1, h2) content order — the driver
+      // trainer's sample(i·len/k) init, collected as k rows
+      val seedIdx = (0 until nLists).map(i => i.toLong * cnt / nLists).toSet
+      var centroids: Array[Array[Double]] = sample
+        .orderBy("__h1", "__h2")
+        .rdd
+        .zipWithIndex()
+        .filter { case (_, i) => seedIdx.contains(i) }
+        .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
+        .collect()
+        .sortBy(_._1)
+        .map(_._2)
+      val dim = centroids(0).length
+      (0 until iters).foreach { _ =>
+        val stats = sample
+          .withColumn(
+            "cell",
+            graft.functions.ArgminCell.argminCell(col("embedding"), centroids))
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("j", "v")))
+          .groupBy("cell", "j")
+          .agg(
+            sum(col("v").cast("decimal(38,12)")).as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+        val sums = Array.fill(nLists)(new Array[Double](dim))
+        val counts = new Array[Long](nLists)
+        stats.foreach { r =>
+          val c = r.getInt(0)
+          // exact decimal sum → one double division: a fixed function of
+          // exact inputs, so deterministic regardless of execution order
+          sums(c)(r.getInt(1)) = r.getDecimal(2).doubleValue()
+          counts(c) = r.getLong(3)
+        }
+        val prev = centroids
+        centroids = Array.tabulate(nLists) { c =>
+          if (counts(c) == 0) prev(c)
+          else {
+            val m = new Array[Double](dim)
+            var j = 0
+            while (j < dim) { m(j) = sums(c)(j) / counts(c); j += 1 }
+            m
+          }
+        }
+      }
+      centroids
+    } finally { sample.unpersist(); () }
+  }
+
   /** The original fused sequential sweep — retained ONLY as the
     * bit-identity witness for [[lloyd]]'s parallel assignment phase
     * (IvfSpec). */

@@ -76,6 +76,42 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("distributed trainer: partition-invariant bits, driver-trainer agreement") {
+    val e = Tables.embeddings(spark, dir)
+    val dist = Ivf.trainCentroidsDistributed(e, nLists = 4, sampleSize = 64, iters = 4)
+    // bit-identical across radically different physical layouts: the
+    // decimal accumulation removes fp order from the one shuffled phase
+    val alt = Ivf.trainCentroidsDistributed(
+      e.orderBy(col("vec_id").desc).repartition(7), nLists = 4, sampleSize = 64, iters = 4)
+    dist.zip(alt).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x) ==
+          java.lang.Double.doubleToLongBits(y), s"$x vs $y")
+      }
+    }
+    // same recipe as the driver trainer ⇒ same sample, same init, same
+    // tie-breaks; only the accumulation arithmetic differs (decimal vs
+    // double) — centroids agree to fp tolerance
+    val driver = Ivf.trainCentroids(e, nLists = 4, sampleSize = 64, iters = 4)
+    dist.zip(driver).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9, s"$x vs $y") }
+    }
+    // and on separated data the two trainers' ASSIGNMENTS are identical
+    val sep = spark.createDataFrame(
+      (0 until 90).map { i =>
+        val c = i % 3
+        (i.toLong, Seq.tabulate(8)(j => (c * 10.0 + (if (j == c) 1.0 else 0.0) + i * 1e-4).toFloat))
+      }
+    ).toDF("vec_id", "embedding")
+    val d2 = Ivf.trainCentroidsDistributed(sep, nLists = 3, sampleSize = 90, iters = 4)
+    val t2 = Ivf.trainCentroids(sep, nLists = 3, sampleSize = 90, iters = 4)
+    val aDist = sep.withColumn("cell", graft.functions.ArgminCell.argminCell(col("embedding"), d2))
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val aDriver = sep.withColumn("cell", graft.functions.ArgminCell.argminCell(col("embedding"), t2))
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(aDist == aDriver)
+  }
+
   test("pretty formatting utilities") {
     import graft.util.Pretty
     assert(Pretty.bytes(512) == "512 bytes")
