@@ -567,10 +567,12 @@ object DedupDocs {
 
   /** Connected components over a near-dup pair set — the step that turns
     * candidate PAIRS into duplicate CLUSTERS with one canonical keeper
-    * (min doc_id) each. Iterative min-label propagation: every round
-    * each doc adopts the smallest label among itself and its neighbors;
-    * converges in O(component diameter) rounds (checked via an
-    * aggregate, not a driver collect of the data). Deterministic: the
+    * (min doc_id) each. Iterative min-label propagation WITH pointer
+    * jumping: every round each doc adopts the smallest label among
+    * itself and its neighbors, then jumps to that label's own label —
+    * so chains collapse exponentially and the loop converges in
+    * O(log component diameter) rounds (checked via an aggregate, not a
+    * driver collect of the data). Deterministic: the
     * final label of every member is the component's global min doc_id,
     * independent of iteration order — which is also what a SQL
     * transitive-closure oracle computes.
@@ -602,10 +604,15 @@ object DedupDocs {
   def connectedComponents(
       docs: DataFrame,
       pairs: DataFrame,
-      // headroom for star-shaped pair sets, whose per-bucket distance of
-      // 2 (vs a clique's 1) can double a chained component's diameter
+      // the distributed loop pointer-jumps, so rounds ≈ log2(component
+      // diameter) + 2 — 40 covers any physically storable graph; the
+      // floor is convergence-DETECTION head-room, not diameter head-room
       maxIters: Int = 40,
-      driverEdgeLimit: Long = 1000000L
+      driverEdgeLimit: Long = 1000000L,
+      // per-round observer for the distributed loop: (round, labels
+      // changed this round). Benches/specs read convergence behavior
+      // through it; no-op by default.
+      progress: (Int, Long) => Unit = (_, _) => ()
   ): DataFrame = {
     import org.apache.spark.rdd.RDD
     import org.apache.spark.sql.catalyst.InternalRow
@@ -708,16 +715,36 @@ object DedupDocs {
             .join(labels, edges("dst") === labels("doc_id"))
             .groupBy(col("src").as("doc_id"))
             .agg(min(col("cluster_id")).as("nbr_min"))
+          // candidate = min(own label, neighbor labels) — plain
+          // min-propagation, which alone converges in O(diameter) rounds
+          val cand = labels
+            .withColumnRenamed("cluster_id", "__old")
+            .join(neighborMin, Seq("doc_id"), "left")
+            .select(
+              col("doc_id"),
+              col("__old"),
+              least(col("__old"), coalesce(col("nbr_min"), col("__old"))).as("__cand"))
+          // POINTER JUMP: adopt the candidate label's OWN current label
+          // (label values are always member doc ids, so the lookup is a
+          // self-join against this round's labels). Chains halve every
+          // round — convergence in O(log diameter) instead of
+          // O(diameter); a 10^4-long chain closes in ~15 rounds, not
+          // 10^4. Labels only ever decrease and never below the
+          // component min, so the no-change fixed point is unchanged:
+          // unchanged ⇒ neighbor-min fixed ⇒ (edges are symmetric)
+          // labels constant per component ⇒ constant = component min.
           // the changed flag rides in the materialized frame, so convergence
           // detection and the next-labels materialization are ONE job
+          val jump = labels
+            .select(col("doc_id").as("__cand"), col("cluster_id").as("__jump"))
           val (next, nextRdd) = cut(
-            labels
-              .withColumnRenamed("cluster_id", "__old")
-              .join(neighborMin, Seq("doc_id"), "left")
+            cand
+              .join(jump, Seq("__cand"), "left")
               .select(
                 col("doc_id"),
-                least(col("__old"), coalesce(col("nbr_min"), col("__old"))).as("cluster_id"),
-                (coalesce(col("nbr_min"), col("__old")) < col("__old")).as("__changed")
+                least(col("__cand"), coalesce(col("__jump"), col("__cand"))).as("cluster_id"),
+                (least(col("__cand"), coalesce(col("__jump"), col("__cand"))) < col("__old"))
+                  .as("__changed")
               )
           )
           // full count, NOT limit(1): CollectLimit can stop after materializing
@@ -725,6 +752,7 @@ object DedupDocs {
           // predecessor below would then force later iterations to recompute
           // the rest through a chain of unpersisted parents
           val changed = next.where(col("__changed")).count()
+          progress(iter, changed)
           labelsRdd.unpersist(blocking = false)
           labels = next.select("doc_id", "cluster_id")
           labelsRdd = nextRdd

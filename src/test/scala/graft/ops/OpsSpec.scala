@@ -174,6 +174,21 @@ class OpsSpec extends SparkSpec {
     assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
   }
 
+  test("connected components pointer-jump past maxIters-deep chains") {
+    // a 120-long path has diameter 119 — plain min-propagation would blow
+    // the maxIters=40 guard; the pointer-jumping loop must close it in
+    // ~log2(119) rounds. driverEdgeLimit=0 forces the distributed path.
+    val docs = (0L to 119L).toDF("doc_id")
+    val pairs = (0L until 119L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    var rounds = 0
+    val cc = DedupDocs
+      .connectedComponents(docs, pairs, driverEdgeLimit = 0L,
+        progress = (r, _) => rounds = r)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == (0L to 119L).map(_ -> 0L).toMap)
+    assert(rounds <= 12, s"expected O(log diameter) convergence, took $rounds rounds")
+  }
+
   test("connected components stay scoped to the docs-induced subgraph") {
     // pairs reference doc 3, which is NOT in docs: 5 and 7 must remain
     // separate singletons, not merge through the outside vertex
