@@ -38,18 +38,36 @@ object DedupDocs {
     * minority, so the semi-join back onto positions keeps O(dup starts)
     * rows, and the coverage explode is k× that — everything after the
     * first aggregate is sized by the duplication rate, not the corpus. */
-  def dupSpans(documents: DataFrame, k: Int): DataFrame = {
-    // gram identity = 16-byte MD5 per position ([[graft.functions
-    // .GramHashes]] — zero-copy byte-range digests): no per-position
-    // slice/concat_ws string build, fixed-width exchange keys. The
-    // string-gram formulation is kept below as [[dupSpansHof]] (what
-    // the SQL oracle spells; LmRedactDupSpansSpec pins equality).
-    val pos = documents.select(
+  def dupSpans(documents: DataFrame, k: Int): DataFrame =
+    // gram identity = 16-byte two-seed xxHash64 pair per position
+    // ([[graft.functions.GramXxPair]] — zero-copy byte-range hashes):
+    // no per-position slice/concat_ws string build, fixed-width
+    // exchange keys, and no MessageDigest per-call overhead — which,
+    // not the MD5 block math, dominated the digest cost (DupSpansBench
+    // A/B, COVERAGE r11). The MD5 form is retained as [[dupSpansMd5]]
+    // and the string-gram form as [[dupSpansHof]] (what the SQL oracle
+    // spells); LmRedactDupSpansSpec pins all three equal.
+    dupSpansFrom(documents, xxPairPositions(documents, k), k)
+
+  /** [[dupSpans]] with the 16-byte-MD5 gram identity — the pre-r11
+    * formulation, retained as the equivalence baseline and for callers
+    * that want a cryptographic gram key. */
+  private[graft] def dupSpansMd5(documents: DataFrame, k: Int): DataFrame =
+    dupSpansFrom(documents, md5Positions(documents, k), k)
+
+  /** (doc_id, pos, gram) with the 16-byte [[GramXxPair]] identity. */
+  private def xxPairPositions(documents: DataFrame, k: Int): DataFrame =
+    documents.select(
+      col("doc_id"),
+      posexplode(graft.functions.GramXxPair.gramXxPair(col("text"), k)).as(Seq("pos", "gram"))
+    )
+
+  /** (doc_id, pos, gram) with the 16-byte MD5 gram digest. */
+  private def md5Positions(documents: DataFrame, k: Int): DataFrame =
+    documents.select(
       col("doc_id"),
       posexplode(graft.functions.GramHashes.gramHashes(col("text"), k)).as(Seq("pos", "gram"))
     )
-    dupSpansFrom(documents, pos, k)
-  }
 
   /** The string-gram formulation of [[dupSpans]] — what the SQL oracle
     * spells. Kept for the equivalence spec. */
@@ -67,7 +85,8 @@ object DedupDocs {
   }
 
   /** Shared tail of the dup-span forms: gram-frequency aggregate →
-    * semi-join → per-doc fold. */
+    * semi-join → per-doc fold. `gram` is any faithful identity column
+    * (xx-pair binary, MD5 binary, or the HOF gram string). */
   private def dupSpansFrom(documents: DataFrame, pos: DataFrame, k: Int): DataFrame = {
     val toks = split(col("text"), " ")
     val dupGrams = pos.groupBy("gram").agg(count(lit(1)).as("occ")).where(col("occ") > 1)
@@ -119,8 +138,9 @@ object DedupDocs {
     * duplicated docs come back with text_clean = "".
     *
     * Physical plan (the 100 TB shape): the gram-frequency subtree is
-    * [[dupSpans]]' — kernel digests, one O(gram-occurrence) exchange on
-    * 16-byte keys, dup starts collapsed to ONE row per AFFECTED doc.
+    * [[dupSpans]]' — kernel gram identities, one O(gram-occurrence)
+    * exchange on two flat long keys, dup starts collapsed to ONE row
+    * per AFFECTED doc.
     * That per-affected-doc starts frame joins back onto the corpus; when
     * the doc count bounds it under the broadcast threshold the corpus
     * text never shuffles (the [[Decontaminate]] shape). The gate is the
@@ -142,13 +162,18 @@ object DedupDocs {
       documents: DataFrame,
       k: Int,
       sizeHint: Option[(Long, Long)] = None
-  ): DataFrame = {
-    val pos = documents.select(
-      col("doc_id"),
-      posexplode(graft.functions.GramHashes.gramHashes(col("text"), k)).as(Seq("pos", "gram"))
-    )
-    stripDupSpansFrom(documents, pos, k, sizeHint)
-  }
+  ): DataFrame =
+    // xx-pair gram identity, same rationale as [[dupSpans]]
+    stripDupSpansFrom(documents, xxPairPositions(documents, k), k, sizeHint)
+
+  /** [[stripDupSpans]] with the 16-byte-MD5 gram identity — retained as
+    * the equivalence baseline (LmRedactDupSpansSpec). */
+  private[graft] def stripDupSpansMd5(
+      documents: DataFrame,
+      k: Int,
+      sizeHint: Option[(Long, Long)] = None
+  ): DataFrame =
+    stripDupSpansFrom(documents, md5Positions(documents, k), k, sizeHint)
 
   /** The string-gram formulation of [[stripDupSpans]] — what the SQL
     * oracle spells. Kept for the equivalence spec. */

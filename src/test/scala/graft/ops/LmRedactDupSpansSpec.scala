@@ -105,6 +105,26 @@ class LmRedactDupSpansSpec extends SparkSpec {
     assert(rows(4).isNullAt(1) && rows(4).isNullAt(2))
   }
 
+  test("GramXxPair: equal grams collide, distinct grams differ per seed, <k is NULL") {
+    val docs = Seq(
+      (0L, "p q r s"),   // grams: "p q r", "q r s"
+      (1L, "x p q r s"), // shares both grams of doc 0, shifted
+      (2L, "a b")        // fewer than k=3 tokens → NULL
+    ).toDF("doc_id", "text")
+    val rows = docs
+      .select(col("doc_id"), graft.functions.GramXxPair.gramXxPair(col("text"), 3).as("h"))
+      .orderBy("doc_id").collect()
+    val h0 = rows(0).getSeq[Array[Byte]](1).map(_.toSeq)
+    val h1 = rows(1).getSeq[Array[Byte]](1).map(_.toSeq)
+    assert(h0.size == 2 && h1.size == 3)
+    assert(h0.forall(_.size == 16))
+    assert(h1.drop(1) == h0)      // same gram text → same key, any position
+    assert(h0.distinct.size == 2) // distinct grams hash apart
+    // the two seeds are independent streams: halves of each key differ
+    h0.foreach(k => assert(k.take(8) != k.drop(8)))
+    assert(rows(2).isNullAt(1))
+  }
+
   test("dupSpans: digest form equals the string-gram form on a random corpus") {
     val rnd = new scala.util.Random(42)
     val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
@@ -116,6 +136,14 @@ class LmRedactDupSpansSpec extends SparkSpec {
     assert(native == hof)
     // the tiny vocab guarantees real duplication — the comparison is not vacuous
     assert(native.exists(_.getLong(2) > 0L))
+    // the retained MD5-identity baselines must agree row-for-row with
+    // the xx-pair default
+    val md5Form = DedupDocs.dupSpansMd5(docs, k = 4).orderBy("doc_id").collect().toSeq
+    assert(md5Form == native)
+    val strip = DedupDocs.stripDupSpans(docs, k = 4).orderBy("doc_id").collect().toSeq
+    val stripMd5 =
+      DedupDocs.stripDupSpansMd5(docs, k = 4).orderBy("doc_id").collect().toSeq
+    assert(stripMd5 == strip)
   }
 
   test("stripDupSpans: hand-computed removal, within-doc dups, short docs") {
