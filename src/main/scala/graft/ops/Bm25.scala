@@ -119,26 +119,38 @@ object Bm25 {
     * postings row count per tok, no second corpus pass).
     */
   def buildIndex(documents: DataFrame, path: String, nBuckets: Int = 64): Unit = {
-    val toks = documents.select(
-      col("doc_id"),
-      size(split(col("text"), " ")).cast("double").as("dl"),
-      explode(split(col("text"), " ")).as("tok")
-    )
-    val postings = toks
-      .groupBy("doc_id", "dl", "tok")
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .withColumn("bucket", pmod(hash(col("tok")), lit(nBuckets)))
-    postings
-      .repartition(col("bucket"))
+    // ONE postings exchange and ZERO aggregate stages (was: explode all
+    // occurrences → tf groupBy exchange → repartition-by-bucket
+    // exchange). Term frequency is a PER-DOCUMENT quantity, so the
+    // [[graft.functions.TokenTfPairs]] kernel computes it before
+    // anything moves: the exchange carries one COMPLETE row per
+    // distinct (doc, term) — strictly fewer rows than the occurrence
+    // stream, already combined, nothing to aggregate shuffle-side
+    // (Bm25Bench r11 A/B). The 2×nBuckets slot count keeps
+    // hash(bucket)→slot collisions from halving write parallelism when
+    // nBuckets ≈ shuffle partitions.
+    val bucketed = documents
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("dl"),
+        explode(graft.functions.TokenTfPairs.tokenTfPairs(col("text"))).as("p"))
+      .select(
+        col("doc_id"), col("dl"), col("p.tok").as("tok"),
+        col("p.tf").cast("double").as("tf"),
+        pmod(hash(col("p.tok")), lit(nBuckets)).as("bucket"))
+      .repartition(2 * nBuckets, col("bucket"))
+    bucketed
       .sortWithinPartitions("tok", "doc_id")
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
-    // one postings row per distinct (doc, tok) ⇒ df = COUNT(*) per tok
-    val dfTab = documents.sparkSession.read
+    // one postings row per distinct (doc, tok) ⇒ df = COUNT(*) per tok;
+    // a (bucket, tok)-column re-read of the written postings is cheaper
+    // than persisting the full frame across both writes (measured)
+    documents.sparkSession.read
       .parquet(s"$path/postings")
       .groupBy("bucket", "tok")
       .agg(count(lit(1)).as("df"))
-    dfTab.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/df")
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/df")
     documents
       .agg(
         count(lit(1)).as("n_docs"),
