@@ -489,6 +489,28 @@ object SparkEntry {
   private def qStripSpans(s: SparkSession, dir: String): DataFrame =
     DedupDocs.stripDupSpans(Tables.documents(s, dir), k = 10)
 
+  /** LINE-level dedup (RefinedWeb/Falcon boilerplate removal): a line
+    * occurring in ≥2 distinct documents is stripped from all of them.
+    * The corpus has no newlines, so the query first linifies each
+    * document deterministically (a line break every 20 tokens — shared
+    * near-dup prefixes then collide as real duplicate lines; 53 dup
+    * lines / 112 occurrences at sf0.01), with the identical
+    * linification spelled in the oracle. */
+  private def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = split(col("text"), " ")
+    val nLines = ceil(size(toks) / lit(20.0)).cast("int")
+    val linified = docs.select(
+      col("doc_id"),
+      concat_ws(
+        "\n",
+        transform(
+          sequence(lit(0), nLines - 1),
+          i => concat_ws(" ", slice(toks, i * 20 + 1, lit(20))))
+      ).as("text"))
+    DedupDocs.stripDupLines(linified, minDocs = 2)
+  }
+
   /** Dictionary scrubbing via the [[Redact]] PII machinery: blocklisted
     * terms replaced by a placeholder, per-doc match counts. (The PII
     * patterns themselves are spec-exercised — the synthetic corpus has
@@ -1327,6 +1349,7 @@ object SparkEntry {
     "q_lm_score" -> (qLmScore _),
     "q_dup_spans" -> (qDupSpans _),
     "q_strip_spans" -> (qStripSpans _),
+    "q_line_dedup" -> (qLineDedup _),
     "q_dsir" -> (qDsir _),
     "q_dsir_bigram" -> (qDsirBigram _),
     "q_redact" -> (qRedact _),
@@ -2047,6 +2070,23 @@ object SparkEntry {
         |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
         |       CAST(len(string_split(d.text, ' ')) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed
         |FROM documents d LEFT JOIN ka ON ka.doc_id = d.doc_id""".stripMargin,
+    "q_line_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |lin AS (SELECT doc_id, i AS ln, array_to_string(t[20*i+1 : 20*i+20], ' ') AS line
+        |        FROM toks, unnest(generate_series(0, CAST(ceil(len(t)/20.0) AS BIGINT) - 1)) AS u(i)),
+        |dup AS (SELECT line FROM lin GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+        |rm AS (SELECT doc_id, ln FROM lin WHERE line IN (SELECT line FROM dup)),
+        |kept AS (SELECT l.doc_id, l.ln, l.line FROM lin l
+        |         WHERE NOT EXISTS (SELECT 1 FROM rm WHERE rm.doc_id = l.doc_id AND rm.ln = l.ln)),
+        |ka AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS text_clean,
+        |              COUNT(*) AS n_kept
+        |       FROM kept GROUP BY doc_id),
+        |nl AS (SELECT doc_id, CAST(ceil(len(t)/20.0) AS BIGINT) AS n_lines FROM toks)
+        |SELECT n.doc_id,
+        |       COALESCE(ka.text_clean, '') AS text_clean,
+        |       n.n_lines,
+        |       CAST(n.n_lines - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM nl n LEFT JOIN ka ON ka.doc_id = n.doc_id""".stripMargin,
     "q_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\b(spark|table)\b')) AS BIGINT) AS n_blocked,

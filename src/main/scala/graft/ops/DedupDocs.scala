@@ -260,6 +260,68 @@ object DedupDocs {
       )
   }
 
+  /** LINE-level dedup — the RefinedWeb/Falcon curation step the span
+    * forms don't cover: a LINE (delimiter-split unit — newline for web
+    * text) whose exact text occurs in at least `minDocs` DISTINCT
+    * documents is boilerplate (nav bars, cookie banners, footers) and
+    * is removed from EVERY document, with survivors rejoined in line
+    * order. Differs from [[stripDupSpans]] on all three axes that
+    * matter: the unit is a whole line (not a token k-gram), the
+    * threshold counts DISTINCT DOCUMENTS (a line repeated within one
+    * document is not boilerplate), and removal applies to all
+    * occurrences including the first.
+    *
+    * Output: (doc_id, text_clean, n_lines, n_removed) for EVERY
+    * document.
+    *
+    * Physical plan (the 100 TB shape): one exchange — the per-line
+    * distinct-doc count (line occurrences are collapsed to one row per
+    * (doc, line) IN the kernel-side projection via array_distinct
+    * before the count, so the exchange carries distinct pairs);
+    * flagged lines semi-join back (AQE broadcasts the boilerplate
+    * minority) and one per-doc fold collects removal indices. Line
+    * identity crosses the wire as the line STRING — boilerplate lines
+    * are short and the SQL oracle spells the same string grouping; a
+    * [[graft.functions.GramXxPair]]-style 16-byte key is the documented
+    * upgrade if a corpus carries pathologically long duplicated lines.
+    */
+  def stripDupLines(
+      documents: DataFrame,
+      minDocs: Int = 2,
+      delim: String = "\n"
+  ): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = split(col("text"), java.util.regex.Pattern.quote(delim), -1)
+    val occ = documents.select(
+      col("doc_id"),
+      posexplode(lines).as(Seq("ln", "line"))
+    )
+    // distinct docs per line WITHOUT countDistinct's two-phase expand:
+    // collapse to distinct (doc, line) first (map-side combinable), then
+    // a plain count — one logical exchange chain on the line key
+    val dupLines = occ
+      .select("doc_id", "line")
+      .distinct()
+      .groupBy("line")
+      .agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("line")
+    val removals = occ
+      .join(dupLines, Seq("line"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("ln"))).as("__rm"))
+    val rm = coalesce(col("__rm"), array().cast("array<int>"))
+    val kept = filter(lines, (_, i) => !array_contains(rm, i))
+    documents
+      .join(removals, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        concat_ws(delim, kept).as("text_clean"),
+        size(lines).cast("long").as("n_lines"),
+        size(rm).cast("long").as("n_removed")
+      )
+  }
+
   /** Word k-shingles, distinct per doc; `carry` columns ride along.
     * Documents with fewer than k tokens contribute NO shingles (matching
     * DuckDB's empty generate_series). One native kernel call per document

@@ -189,6 +189,36 @@ class LmRedactDupSpansSpec extends SparkSpec {
 
   // --- Redact ----------------------------------------------------------
 
+  test("stripDupLines: cross-doc boilerplate removed everywhere, within-doc repeats kept") {
+    val docs = Seq(
+      (0L, "cookie banner\nreal content A\ncookie banner"), // banner dups across docs AND within
+      (1L, "cookie banner\nreal content B"),
+      (2L, "solo line\nsolo line"), // repeated only WITHIN one doc → kept
+      (3L, "")                      // one empty line; unique → kept
+    ).toDF("doc_id", "text")
+    val out = DedupDocs.stripDupLines(docs, minDocs = 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((0L, "real content A", 3L, 2L))) // both banner copies removed
+    assert(out(1) == ((1L, "real content B", 2L, 1L)))
+    assert(out(2) == ((2L, "solo line\nsolo line", 2L, 0L)))
+    assert(out(3) == ((3L, "", 1L, 0L)))
+  }
+
+  test("stripDupLines: minDocs threshold counts distinct documents") {
+    val docs = Seq(
+      (0L, "x\ny"), (1L, "x\nz"), (2L, "x\nw")
+    ).toDF("doc_id", "text")
+    // "x" is in 3 docs: survives minDocs=4, removed at minDocs=3
+    val keep = DedupDocs.stripDupLines(docs, minDocs = 4)
+      .agg(sum("n_removed")).collect()(0).getLong(0)
+    assert(keep == 0L)
+    val drop = DedupDocs.stripDupLines(docs, minDocs = 3)
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(drop == Seq("y", "z", "w"))
+  }
+
   test("PII patterns: email, ipv4, phone on injected fixtures") {
     val docs = Seq(
       (0L, "mail john.doe+x@ex-ample.co or jane@site.org now"),
