@@ -65,6 +65,17 @@ object SparkEntry {
   }
 
   /** A6 gap lengths between global segments. */
+  /** A9 median forward-step estimate (jagular/utils.py:189-190) over the
+    * full event stream — the keyless path, so the diffs come from the
+    * [[graft.ts.OrderedStream]] neighbor exchange (two-pass range
+    * partition), not a single-task global window. Exact median, rounded
+    * to 1dp on both sides (integer-multiset median is k or k+0.5 —
+    * exact in a double either way). */
+  private def qMedianStep(s: SparkSession, dir: String): DataFrame =
+    Sessionize
+      .medianStep(Tables.events(s, dir).select("ts_us"), "ts_us")
+      .select(round(col("step"), 1).as("step"))
+
   private def qGapStats(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select("ts_us")
     val seg = Sessionize.withSegmentIdGlobal(ev, "ts_us", GlobalGapUs)
@@ -1290,6 +1301,7 @@ object SparkEntry {
     "q_session_epochs" -> (qSessionEpochs _),
     "q_user_sessions" -> (qUserSessions _),
     "q_gap_stats" -> (qGapStats _),
+    "q_median_step" -> (qMedianStep _),
     "q_dedup_keep_first" -> (qDedupKeepFirst _),
     "q_gapfill" -> (qGapFill _),
     "q_ts_validation" -> (qTsValidation _),
@@ -1379,6 +1391,10 @@ object SparkEntry {
          |s AS (SELECT user_id, ts_us, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment_id FROM d)
          |SELECT user_id, CAST(segment_id AS BIGINT) AS segment_id, MIN(ts_us) AS start_us, MAX(ts_us) + 1 AS stop_us, COUNT(*) AS n_events
          |FROM s GROUP BY user_id, segment_id""".stripMargin,
+    "q_median_step" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us FROM events),
+        |d AS (SELECT ts_us - lag(ts_us) OVER (ORDER BY ts_us) AS d FROM e)
+        |SELECT round(median(d), 1) AS step FROM d WHERE d IS NOT NULL""".stripMargin,
     "q_gap_stats" ->
       s"""WITH e AS (SELECT epoch_us(ts) AS ts_us FROM events),
          |d AS (SELECT ts_us, CASE WHEN ts_us - lag(ts_us) OVER (ORDER BY ts_us) >= $GlobalGapUs THEN 1 ELSE 0 END AS brk FROM e),
