@@ -432,6 +432,17 @@ object SparkEntry {
   private def qTopNgrams(s: SparkSession, dir: String): DataFrame =
     Text.topNgrams(Tables.documents(s, dir), n = 3, k = 10)
 
+  /** The bounded-memory sketch form of q_top_ngrams (mergeable
+    * Misra-Gries, [[graft.functions.SpaceSavingTopK]]): capacity is
+    * sized above the per-source gram universe, so err = 0, counts are
+    * exact, and the EXACT oracle SQL pins the sketch end to end (the
+    * compaction regime is TopKSketchSpec's job). err is asserted, not
+    * emitted — the oracle's column contract is the exact operator's. */
+  private def qTopNgramsSketch(s: SparkSession, dir: String): DataFrame =
+    Text.topNgramsSketch(Tables.documents(s, dir), n = 3, k = 10, capacity = 1 << 18)
+      .where(col("err") === 0L)
+      .select("source", "ngram", "n_occurrences", "rank")
+
   /** The full curation chain end-to-end (quality → repetition →
     * decontamination → dedup → mixture → packing), gates calibrated on
     * the sf0.01 distributions so every stage bites. */
@@ -1357,6 +1368,7 @@ object SparkEntry {
     "q_mixture" -> (qMixture _),
     "q_pack" -> (qPack _),
     "q_top_ngrams" -> (qTopNgrams _),
+    "q_top_ngrams_sketch" -> (qTopNgramsSketch _),
     "q_curate" -> (qCurate _),
     "q_lm_score" -> (qLmScore _),
     "q_dup_spans" -> (qDupSpans _),
@@ -1371,6 +1383,16 @@ object SparkEntry {
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_token_budget" -> (qTokenBudget _)
   )
+
+  private lazy val topNgramsOracleSql: String =
+    """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT source, array_to_string(t[i + 1 : i + 3], ' ') AS ngram
+      |      FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
+      |c AS (SELECT source, ngram, COUNT(*) AS n_occurrences FROM g GROUP BY source, ngram),
+      |r AS (SELECT source, ngram, n_occurrences,
+      |        row_number() OVER (PARTITION BY source ORDER BY n_occurrences DESC, ngram ASC) AS rank
+      |      FROM c)
+      |SELECT source, ngram, n_occurrences, rank FROM r WHERE rank <= 10""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -2000,15 +2022,10 @@ object SparkEntry {
         |      FROM d)
         |SELECT doc_id, source, n_tokens, start_off,
         |       start_off // 512 AS seq_id, start_off % 512 AS seq_off FROM o""".stripMargin,
-    "q_top_ngrams" ->
-      """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
-        |g AS (SELECT source, array_to_string(t[i + 1 : i + 3], ' ') AS ngram
-        |      FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
-        |c AS (SELECT source, ngram, COUNT(*) AS n_occurrences FROM g GROUP BY source, ngram),
-        |r AS (SELECT source, ngram, n_occurrences,
-        |        row_number() OVER (PARTITION BY source ORDER BY n_occurrences DESC, ngram ASC) AS rank
-        |      FROM c)
-        |SELECT source, ngram, n_occurrences, rank FROM r WHERE rank <= 10""".stripMargin,
+    // capacity above the gram universe => err = 0 => the sketch is pinned
+    // by the exact operator's oracle
+    "q_top_ngrams_sketch" -> topNgramsOracleSql,
+    "q_top_ngrams" -> topNgramsOracleSql,
     "q_curate" ->
       """WITH toks AS (SELECT doc_id, text, source, string_split(text, ' ') AS t FROM documents),
         |q AS (SELECT doc_id, text, source, t,

@@ -316,6 +316,64 @@ object Text {
       .where(col("rank") <= k)
   }
 
+  /** [[topNgrams]] via the bounded-memory [[graft.functions
+    * .SpaceSavingTopK]] sketch — the 100 TB path for vocab mining: the
+    * exact form's one exchange carries EVERY distinct n-gram (the
+    * correct answer locally, an impossible exchange over trillions of
+    * distinct grams), while this one carries one capacity-bounded
+    * summary per (partition, group) and answers with an error
+    * certificate: output rows add `err`, with
+    * `est ≤ true ≤ est + err` and every gram of true count > err
+    * guaranteed present. err = 0 ⟺ the summary never compacted ⟺
+    * counts are exact and the result EQUALS [[topNgrams]] (the regime
+    * the q_top_ngrams_sketch oracle pins; the compaction regime is
+    * spec-pinned against exact recounts — TopKSketchSpec).
+    *
+    * Capacity sizing: per-group distinct grams ≤ capacity keeps err at
+    * 0; past that, memory stays O(capacity) and err grows as the
+    * deducted mass. The heavy-hitter guarantee needs
+    * capacity ≳ group-gram-count / target-min-frequency.
+    *
+    * MEMORY MODEL (sized the hard way — an oversized capacity OOMs, r11
+    * TopNgramsBench): Spark's ObjectHashAggregate holds every group's
+    * summary per task, so a task costs
+    * `n_groups × 2 × capacity × ~140 B` once group universes saturate
+    * (maps grow lazily — small groups never pay). At 32 tasks × 20
+    * groups, capacity 2¹⁶ is ~11 GB (OOM on a 16 GB heap) while 2¹³ is
+    * ~1.4 GB. Size capacity to
+    * `heap_budget / (tasks × groups × 280 B)`. */
+  def topNgramsSketch(
+      documents: DataFrame,
+      n: Int,
+      k: Int,
+      capacity: Int,
+      groupCols: Seq[String] = Seq("source"),
+      minCount: Long = 1L
+  ): DataFrame = {
+    val grams = documents.select(
+      (groupCols.map(col) :+
+        explode(
+          graft.functions.ShingleArray.shingleArray(col("text"), n, dedup = false)
+        ).as("ngram")): _*
+    )
+    val sketched = grams
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.SpaceSavingTopK.topkSketch(col("ngram"), capacity).as("__top"))
+      .select((groupCols.map(col) :+ explode(col("__top")).as("e")): _*)
+      .select(
+        (groupCols.map(col) :+
+          col("e.item").as("ngram") :+
+          col("e.est").as("n_occurrences") :+
+          col("e.err").as("err")): _*)
+      .where(col("n_occurrences") >= minCount)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("n_occurrences").desc, col("ngram").asc)
+    sketched
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** The per-language interpreted-HOF formulation — kept for the spec. */
   private[graft] def langIdHof(documents: DataFrame, markers: Map[String, Seq[String]]): DataFrame = {
     val toks = split(col("text"), " ")
