@@ -499,6 +499,15 @@ object SparkEntry {
   private def qLmScore(s: SparkSession, dir: String): DataFrame =
     Lm.lmScore(Tables.documents(s, dir))
 
+  /** Bigram Stupid Backoff scoring — the rung above q_lm_score on the
+    * CCNet quality-filter ladder (hit path c2/c1, backoff path
+    * 0.4·add-1 unigram). minCount=2 prunes hapax bigrams so the
+    * backoff branch is actually EXERCISED when scoring the training
+    * corpus itself (at minCount=1 every scored bigram is in the model
+    * and the backoff term would be dead code in both engines). */
+  private def qLmBigram(s: SparkSession, dir: String): DataFrame =
+    Lm.bigramScore(Tables.documents(s, dir), minCount = 2)
+
   /** Duplicated-span coverage: token 10-grams occurring >1 time in the
     * corpus mark their positions duplicated; per-doc covered-token
     * fraction (Lee et al.-style exact-substring dedup signal). */
@@ -1371,6 +1380,7 @@ object SparkEntry {
     "q_top_ngrams_sketch" -> (qTopNgramsSketch _),
     "q_curate" -> (qCurate _),
     "q_lm_score" -> (qLmScore _),
+    "q_lm_bigram" -> (qLmBigram _),
     "q_dup_spans" -> (qDupSpans _),
     "q_strip_spans" -> (qStripSpans _),
     "q_line_dedup" -> (qLineDedup _),
@@ -2064,6 +2074,25 @@ object SparkEntry {
         |       round(exp(-SUM(ln((c + 1) / (n + v))) / COUNT(*)), 4) AS ppl
         |FROM toks t JOIN cnt USING (tok) CROSS JOIN nv
         |GROUP BY t.doc_id""".stripMargin,
+    "q_lm_bigram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |c1 AS (SELECT tok, COUNT(*) AS c FROM u GROUP BY tok),
+        |nv AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM c1),
+        |pairs AS (SELECT doc_id, t[i] AS a, t[i + 1] AS b
+        |          FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+        |c2 AS (SELECT a, b, COUNT(*) AS c2 FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2)
+        |SELECT p.doc_id, COUNT(*) AS n_bigrams,
+        |       round(SUM(CASE WHEN c2.c2 IS NOT NULL THEN ln(c2.c2 / ca.c)
+        |                 ELSE ln(0.4 * (cb.c + 1) / (n + v)) END) / COUNT(*), 4) AS avg_logscore,
+        |       round(exp(-SUM(CASE WHEN c2.c2 IS NOT NULL THEN ln(c2.c2 / ca.c)
+        |                 ELSE ln(0.4 * (cb.c + 1) / (n + v)) END) / COUNT(*)), 4) AS ppl
+        |FROM pairs p
+        |LEFT JOIN c2 ON p.a = c2.a AND p.b = c2.b
+        |JOIN c1 ca ON p.a = ca.tok
+        |JOIN c1 cb ON p.b = cb.tok
+        |CROSS JOIN nv
+        |GROUP BY p.doc_id""".stripMargin,
     "q_dup_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |pos AS (SELECT doc_id, i, array_to_string(t[i + 1 : i + 10], ' ') AS g

@@ -85,4 +85,107 @@ object Lm {
         round(exp(-sum(perTok) / count(lit(1))), 4).as("ppl")
       )
   }
+
+  /** Per-document adjacent token pairs: (doc_id, a, b), one row per
+    * bigram in reading order. Built from the token ARRAY with two
+    * slices zipped — no window, no self-join, no per-doc shuffle; a
+    * document with fewer than 2 tokens contributes no rows (slice
+    * length `size-1 = 0` is the empty array on both engines). */
+  def bigramPairs(documents: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    documents
+      .select(
+        col("doc_id"),
+        explode(
+          arrays_zip(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1))
+        ).as("p")
+      )
+      .select(col("doc_id"), col("p.0").as("a"), col("p.1").as("b"))
+  }
+
+  /** Corpus bigram counts (a, b, c2), optionally count-pruned.
+    * `minCount > 1` drops rare bigrams from the model — the standard
+    * backoff-LM pruning knob that bounds the model table at web scale
+    * (hapax bigrams are the long tail; pruned pairs fall through to
+    * the unigram backoff at SCORE time, so the semantics stay
+    * well-defined, they just back off earlier). */
+  def bigramCounts(documents: DataFrame, minCount: Int = 1): DataFrame = {
+    val cnt = bigramPairs(documents)
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("c2"))
+    if (minCount > 1) cnt.where(col("c2") >= minCount) else cnt
+  }
+
+  /** Per-document average log-score and "perplexity" under a bigram
+    * Stupid Backoff model (Brants et al. 2007, "Large Language Models
+    * in Machine Translation") estimated from the corpus itself — the
+    * next rung above [[lmScore]] on the CCNet-style quality-filter
+    * ladder. Per bigram position i ≥ 2:
+    *
+    *   S(t_i | t_i−1) = c2(t_i−1, t_i) / c1(t_i−1)       if c2 > 0
+    *                  = 0.4 · (c1(t_i) + 1) / (N + V)     otherwise
+    *
+    * (backoff base = the same add-1 unigram as [[lmScore]]; 0.4 is the
+    * paper's fixed backoff weight — scores are unnormalized by design,
+    * hence avg_logSCORE, and ppl = exp(−avg) is the same monotone
+    * transform, a ranking signal rather than a true perplexity).
+    *
+    * Output: (doc_id, n_bigrams, avg_logscore, ppl); documents with
+    * fewer than 2 tokens have no bigrams and produce no row.
+    *
+    * Physical plan (the 100 TB shape): TWO model aggregates, each with
+    * map-side partial combine — the unigram exchange is O(vocab) and
+    * the bigram exchange O(distinct bigrams). Both model tables are
+    * count-gated broadcasts onto the pair stream
+    * ([[graft.spikes.Spikes.broadcastIfSmall]]): the unigram table
+    * virtually always fits; the bigram table is the one that grows —
+    * `minCount` prunes its hapax tail (typically 40-60 % of distinct
+    * bigrams), and past the gate it degrades to a shuffled join on the
+    * pair key instead of OOMing the driver. The final per-doc aggregate
+    * collapses map-side exactly like [[lmScore]].
+    */
+  def bigramScore(documents: DataFrame, minCount: Int = 1): DataFrame = {
+    val spark = documents.sparkSession
+    val pairs = bigramPairs(documents)
+    val c1 = unigramCounts(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = c1.agg(count(lit(1)).as("v"), sum(col("c")).as("n")).head()
+    val vocab = stats.getLong(0)
+    val nTotal = stats.getLong(1)
+    val c2 = bigramCounts(documents, minCount)
+    val c2n = c2.count()
+    // the unigram table feeds TWO scoring joins (history denominator,
+    // backoff numerator) — in the broadcast case collect it ONCE into a
+    // LocalRelation so the corpus isn't re-aggregated per join side
+    // (the lmScore recipe); past the gate both joins shuffle and the
+    // persisted aggregate is reused by the cache instead
+    val c1base =
+      if (graft.spikes.Spikes.fitsBroadcast(c1, vocab)) {
+        val rows = c1.collect()
+        c1.unpersist()
+        broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), c1.schema))
+      } else c1
+    val ca = c1base.select(col("tok").as("a"), col("c").as("ca"))
+    val cb = c1base.select(col("tok").as("b"), col("c").as("cb"))
+    val c2side = graft.spikes.Spikes.broadcastIfSmall(c2, c2n)
+    val denom = lit((nTotal + vocab).toDouble)
+    // spelled exactly like the SQL oracle, term by term: ln(c2/ca) on
+    // the hit path, ln(0.4·(cb+1)/(N+V)) on the backoff path
+    val term = when(
+      col("c2").isNotNull,
+      log(col("c2").cast("double") / col("ca").cast("double"))
+    ).otherwise(log(lit(0.4) * (col("cb").cast("double") + lit(1.0)) / denom))
+    val out = pairs
+      .join(c2side, Seq("a", "b"), "left_outer")
+      .join(ca, Seq("a"))
+      .join(cb, Seq("b"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum(term) / count(lit(1)), 4).as("avg_logscore"),
+        round(exp(-sum(term) / count(lit(1))), 4).as("ppl")
+      )
+    c1.unpersist()
+    out
+  }
 }

@@ -266,4 +266,43 @@ class LmRedactDupSpansSpec extends SparkSpec {
     intercept[IllegalArgumentException](Redact.blocklistPattern(Seq("a|b")))
     assert(Redact.blocklistPattern(Seq("foo", "bar-baz")) == "\\b(foo|bar-baz)\\b")
   }
+
+  // --- Lm.bigramScore --------------------------------------------------
+
+  // counts: a=3 b=3 c=2; N=8 V=3 denom=11
+  // bigrams: (a,b)=3 (b,a)=1 (b,c)=1
+  private val bgDocs =
+    Seq((0L, "a b a b"), (1L, "a b c"), (2L, "c")).toDF("doc_id", "text")
+
+  test("bigramScore: hand-computed, minCount=1 (every pair a model hit)") {
+    val out = Lm.bigramScore(bgDocs).orderBy("doc_id").collect()
+    assert(out.length == 2) // d2 has one token → no bigrams → no row
+    // d0: ln(3/3), ln(1/3), ln(3/3) → avg = ln(1/3)/3
+    assert(out(0).getLong(1) == 3L)
+    assert(math.abs(out(0).getDouble(2) - math.rint(math.log(1.0 / 3) / 3 * 1e4) / 1e4) < 1e-12)
+    // d1: ln(3/3), ln(1/3) → avg = ln(1/3)/2
+    assert(out(1).getLong(1) == 2L)
+    assert(math.abs(out(1).getDouble(2) - math.rint(math.log(1.0 / 3) / 2 * 1e4) / 1e4) < 1e-12)
+    assert(math.abs(out(1).getDouble(3) - math.rint(math.exp(-math.log(1.0 / 3) / 2) * 1e4) / 1e4) < 1e-12)
+  }
+
+  test("bigramScore: minCount=2 prunes hapax bigrams into the backoff path") {
+    val out = Lm.bigramScore(bgDocs, minCount = 2).orderBy("doc_id").collect()
+    // model is {(a,b): 3} only; (b,a) and (b,c) back off to
+    // 0.4·(c1+1)/11 with c1(a)=3, c1(c)=2
+    val backA = math.log(0.4 * 4 / 11.0)
+    val backC = math.log(0.4 * 3 / 11.0)
+    assert(math.abs(out(0).getDouble(2) - math.rint(backA / 3 * 1e4) / 1e4) < 1e-12)
+    assert(math.abs(out(1).getDouble(2) - math.rint(backC / 2 * 1e4) / 1e4) < 1e-12)
+  }
+
+  test("bigramScore: shuffled-join fallback matches the broadcast path") {
+    val b = Lm.bigramScore(bgDocs, minCount = 2).orderBy("doc_id").collect().toSeq
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val s = Lm.bigramScore(bgDocs, minCount = 2).orderBy("doc_id").collect().toSeq
+      assert(s == b)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
 }
