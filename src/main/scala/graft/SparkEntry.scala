@@ -8,7 +8,7 @@ import graft.io.{ExtractChannels, RecFixture, RecScan}
 import graft.model.Tables
 import graft.ts.{Dedup, GapFill, Sessionize, Validation}
 import graft.spikes.Spikes
-import graft.ops.{Bm25, Curation, Decontaminate, DedupDocs, Dsir, IncrementalDedup, Ivf, Lm, Mixture, Pq, QualityClassifier, Redact, SemDedup, Similarity, Text}
+import graft.ops.{Bm25, Bpe, Curation, Decontaminate, DedupDocs, Dsir, IncrementalDedup, Ivf, Lm, Mixture, Pq, QualityClassifier, Redact, SemDedup, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1068,6 +1068,7 @@ object SparkEntry {
   @volatile private var qcOracleArtifacts: Option[QualityClassifier.Model] = None
   @volatile private var dsirOracleArtifacts: Option[Dsir.Weights] = None
   @volatile private var dsir2OracleArtifacts: Option[Dsir.Weights] = None
+  @volatile private var bpeOracleMerges: Option[Seq[(String, String)]] = None
 
   private def dbl(v: Double): String = s"CAST($v AS DOUBLE)"
 
@@ -1228,12 +1229,46 @@ object SparkEntry {
       dsirOracleArtifacts
         .map(w => "q_dsir" -> Dsir.scoreSql(w, k = 50)).toMap ++
       dsir2OracleArtifacts
-        .map(w => "q_dsir_bigram" -> Dsir.scoreSql(w, k = 50)).toMap
+        .map(w => "q_dsir_bigram" -> Dsir.scoreSql(w, k = 50)).toMap ++
+      bpeOracleMerges
+        .map(m => "q_bpe_encode" -> bpeOracleSql(m)).toMap
 
   /** BPE-ish regex token counting over documents (pre-tokenizer run
     * counts per character class + punctuation ratio). */
   private def qTokenBpe(s: SparkSession, dir: String): DataFrame =
     Text.regexTokenStats(Tables.documents(s, dir))
+
+  /** TRAINED-subword segmentation ([[Bpe]]): corpus-trained merges
+    * (dict-bounded driver loop over one O(distinct words) exchange)
+    * applied by the zero-shuffle native kernel. The merge list is
+    * recorded so [[oracleSql]] can generate the bit-equivalent
+    * delimited replace-chain (each symbol as `<sym>`, one `replace`
+    * per rank — the delimiters make string replace exactly the
+    * non-overlapping adjacent-SYMBOL merge, immune to the
+    * suffix-boundary false match a bare space join would allow). */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.train(docs, numMerges = 30)
+    bpeOracleMerges = Some(merges)
+    Bpe.encode(docs, merges)
+  }
+
+  /** Generated oracle for q_bpe_encode (see [[qBpeEncode]]). */
+  private def bpeOracleSql(merges: Seq[(String, String)]): String = {
+    def esc(x: String) = x.replace("'", "''")
+    val chain = merges.foldLeft("regexp_replace(w, '(.)', '<\\1>', 'g')") {
+      case (acc, (a, b)) => s"replace($acc, '<${esc(a)}><${esc(b)}>', '<${esc(a)}${esc(b)}>')"
+    }
+    s"""WITH words AS (SELECT doc_id, i, t[i] AS w
+       |               FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |               unnest(generate_series(1, len(t))) AS g(i)),
+       |tok AS (SELECT doc_id, i, trim(replace($chain, '><', ' '), '<>') AS s FROM words)
+       |SELECT doc_id,
+       |       string_agg(s, ' ' ORDER BY i) AS text_bpe,
+       |       CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(len(string_split(string_agg(s, ' ' ORDER BY i), ' ')) AS BIGINT) AS n_tokens
+       |FROM tok GROUP BY doc_id""".stripMargin
+  }
 
   /** F5 linear-mode sub-sample alignment expressed COLUMN-NATIVELY
     * (argmax → parabola vertex → clamped linear resample) — the engine-
@@ -1366,6 +1401,7 @@ object SparkEntry {
     "q_fir_smooth" -> (qFirSmooth _),
     "q_decimate_fir" -> (qDecimateFir _),
     "q_token_bpe" -> (qTokenBpe _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_simhash_neardup" -> (qSimhashNearDup _),
     "q_frames" -> (qFrames _),
     "q_dedup_clusters" -> (qDedupClusters _),
