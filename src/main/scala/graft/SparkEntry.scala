@@ -8,7 +8,7 @@ import graft.io.{ExtractChannels, RecFixture, RecScan}
 import graft.model.Tables
 import graft.ts.{Dedup, GapFill, Sessionize, Validation}
 import graft.spikes.Spikes
-import graft.ops.{Bm25, Bpe, Curation, Decontaminate, DedupDocs, Dsir, IncrementalDedup, Ivf, Lm, Mixture, Pq, QualityClassifier, Redact, SemDedup, Similarity, Text}
+import graft.ops.{Bm25, Bpe, Curation, Decontaminate, DedupDocs, Dsir, IncrementalDedup, Ivf, Lm, Mixture, Pca, Pq, QualityClassifier, Redact, SemDedup, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -247,6 +247,17 @@ object SparkEntry {
   private def qSimTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), k = 10)
+  }
+
+  /** PCA dimension reduction over the embedding table ([[Pca]]): one
+    * mergeable O(d²) moments aggregate → driver Jacobi eigensolve →
+    * zero-shuffle projection onto the top-4 components. The trained
+    * model is recorded for the generated term-sum oracle. */
+  private def qPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val model = Pca.fit(e, dim = 64, k = 4)
+    pcaOracleArtifacts = Some(model)
+    Pca.project(e, model)
   }
 
   /** MinHash-LSH candidate pairs (oracle-checked: the banding IS
@@ -1069,6 +1080,7 @@ object SparkEntry {
   @volatile private var dsirOracleArtifacts: Option[Dsir.Weights] = None
   @volatile private var dsir2OracleArtifacts: Option[Dsir.Weights] = None
   @volatile private var bpeOracleMerges: Option[Seq[(String, String)]] = None
+  @volatile private var pcaOracleArtifacts: Option[Pca.Model] = None
 
   private def dbl(v: Double): String = s"CAST($v AS DOUBLE)"
 
@@ -1231,7 +1243,9 @@ object SparkEntry {
       dsir2OracleArtifacts
         .map(w => "q_dsir_bigram" -> Dsir.scoreSql(w, k = 50)).toMap ++
       bpeOracleMerges
-        .map(m => "q_bpe_encode" -> bpeOracleSql(m)).toMap
+        .map(m => "q_bpe_encode" -> bpeOracleSql(m)).toMap ++
+      pcaOracleArtifacts
+        .map(m => "q_pca_project" -> Pca.projectSql(m)).toMap
 
   /** BPE-ish regex token counting over documents (pre-tokenizer run
     * counts per character class + punctuation ratio). */
@@ -1369,6 +1383,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_sim_topk" -> (qSimTopK _),
+    "q_pca_project" -> (qPcaProject _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_incremental_verified" -> (qDedupIncrementalVerified _),
