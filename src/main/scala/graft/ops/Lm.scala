@@ -86,35 +86,54 @@ object Lm {
       )
   }
 
-  /** Per-document adjacent token pairs: (doc_id, a, b), one row per
-    * bigram in reading order. Built from the token ARRAY with two
-    * slices zipped — no window, no self-join, no per-doc shuffle; a
-    * document with fewer than 2 tokens contributes no rows (slice
-    * length `size-1 = 0` is the empty array on both engines). */
-  def bigramPairs(documents: DataFrame): DataFrame = {
-    val t = split(col("text"), " ")
-    documents
-      .select(
-        col("doc_id"),
-        explode(
-          arrays_zip(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1))
-        ).as("p")
-      )
-      .select(col("doc_id"), col("p.0").as("a"), col("p.1").as("b"))
-  }
+  /** Per-document adjacent token 2-grams as ONE space-joined string
+    * column (doc_id, g) — the native [[graft.functions.ShingleArray]]
+    * kernel (k=2, dedup=false), one zero-copy pass over the document
+    * bytes. The first formulation here zipped two slices of
+    * `split(text)` inside the Generate, which re-evaluated the split
+    * per slice/size operand — 4 token-array materializations per row,
+    * measured 18× the unigram explode's cost at 100×. A bigram IS a
+    * byte range of the original text, so the gram string doubles as
+    * the join key against the model table (single-column key, no
+    * struct). */
+  def bigramGrams(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      explode(graft.functions.ShingleArray.shingleArray(col("text"), 2, dedup = false))
+        .as("g")
+    )
 
-  /** Corpus bigram counts (a, b, c2), optionally count-pruned.
-    * `minCount > 1` drops rare bigrams from the model — the standard
-    * backoff-LM pruning knob that bounds the model table at web scale
-    * (hapax bigrams are the long tail; pruned pairs fall through to
-    * the unigram backoff at SCORE time, so the semantics stay
-    * well-defined, they just back off earlier). */
-  def bigramCounts(documents: DataFrame, minCount: Int = 1): DataFrame = {
-    val cnt = bigramPairs(documents)
-      .groupBy("a", "b")
+  /** Per-document adjacent token pairs (doc_id, a, b) — the split-out
+    * form of [[bigramGrams]] (tokens cannot contain the separator, so
+    * the first/last space-field of the gram are exactly the pair). */
+  def bigramPairs(documents: DataFrame): DataFrame =
+    bigramGrams(documents).select(
+      col("doc_id"),
+      substring_index(col("g"), " ", 1).as("a"),
+      substring_index(col("g"), " ", -1).as("b")
+    )
+
+  /** Corpus bigram counts keyed by the gram string: (g, c2), optionally
+    * count-pruned. `minCount > 1` drops rare bigrams from the model —
+    * the standard backoff-LM pruning knob that bounds the model table
+    * at web scale (hapax bigrams are the long tail; pruned pairs fall
+    * through to the unigram backoff at SCORE time, so the semantics
+    * stay well-defined, they just back off earlier). */
+  def bigramGramCounts(documents: DataFrame, minCount: Int = 1): DataFrame = {
+    val cnt = bigramGrams(documents)
+      .groupBy("g")
       .agg(count(lit(1)).as("c2"))
     if (minCount > 1) cnt.where(col("c2") >= minCount) else cnt
   }
+
+  /** [[bigramGramCounts]] in (a, b, c2) form — the model-table surface
+    * for callers that persist or inspect the model. */
+  def bigramCounts(documents: DataFrame, minCount: Int = 1): DataFrame =
+    bigramGramCounts(documents, minCount).select(
+      substring_index(col("g"), " ", 1).as("a"),
+      substring_index(col("g"), " ", -1).as("b"),
+      col("c2")
+    )
 
   /** Per-document average log-score and "perplexity" under a bigram
     * Stupid Backoff model (Brants et al. 2007, "Large Language Models
@@ -146,13 +165,10 @@ object Lm {
     */
   def bigramScore(documents: DataFrame, minCount: Int = 1): DataFrame = {
     val spark = documents.sparkSession
-    val pairs = bigramPairs(documents)
     val c1 = unigramCounts(documents).persist(StorageLevel.MEMORY_AND_DISK)
     val stats = c1.agg(count(lit(1)).as("v"), sum(col("c")).as("n")).head()
     val vocab = stats.getLong(0)
     val nTotal = stats.getLong(1)
-    val c2 = bigramCounts(documents, minCount)
-    val c2n = c2.count()
     // the unigram table feeds TWO scoring joins (history denominator,
     // backoff numerator) — in the broadcast case collect it ONCE into a
     // LocalRelation so the corpus isn't re-aggregated per join side
@@ -167,23 +183,48 @@ object Lm {
       } else c1
     val ca = c1base.select(col("tok").as("a"), col("c").as("ca"))
     val cb = c1base.select(col("tok").as("b"), col("c").as("cb"))
-    val c2side = graft.spikes.Spikes.broadcastIfSmall(c2, c2n)
     val denom = lit((nTotal + vocab).toDouble)
-    // spelled exactly like the SQL oracle, term by term: ln(c2/ca) on
-    // the hit path, ln(0.4·(cb+1)/(N+V)) on the backoff path
+    // A gram's score depends only on the gram — so score each DISTINCT
+    // gram once, on the O(distinct bigrams) model table, instead of
+    // per occurrence on the stream (the first formulation here joined
+    // c2 + two c1 tables onto all O(tokens) gram occurrences through a
+    // sort-merge join — the stream's exchange+sort was 2/3 of the query
+    // at 100×). Hit/backoff classification happens on the full observed
+    // table (c2 >= minCount ⟺ membership in the pruned model), spelled
+    // exactly like the SQL oracle term by term: ln(c2/ca) on the hit
+    // path, ln(0.4·(cb+1)/(N+V)) on the backoff path.
     val term = when(
-      col("c2").isNotNull,
+      col("c2") >= minCount.toLong,
       log(col("c2").cast("double") / col("ca").cast("double"))
     ).otherwise(log(lit(0.4) * (col("cb").cast("double") + lit(1.0)) / denom))
-    val out = pairs
-      .join(c2side, Seq("a", "b"), "left_outer")
+    val scores = bigramGramCounts(documents, 1)
+      .withColumn("a", substring_index(col("g"), " ", 1))
+      .withColumn("b", substring_index(col("g"), " ", -1))
       .join(ca, Seq("a"))
       .join(cb, Seq("b"))
+      .select(col("g"), term.as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nScores = scores.count()
+    // count-gated broadcast of the score table: the normal case joins
+    // it map-side onto the gram stream — the stream NEVER shuffles and
+    // the per-doc aggregate collapses map-side (exchange O(docs)). An
+    // oversized gram table (web-scale distinct bigrams) unpersists and
+    // recomputes once inside a shuffled join instead of OOMing the
+    // driver — the same degrade contract as lmScore.
+    val scoresSide =
+      if (graft.spikes.Spikes.fitsBroadcast(scores, nScores)) {
+        val rows = scores.collect()
+        scores.unpersist()
+        broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), scores.schema))
+      } else { scores.unpersist(); scores }
+    val out = bigramGrams(documents)
+      .join(scoresSide, Seq("g"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),
-        round(sum(term) / count(lit(1)), 4).as("avg_logscore"),
-        round(exp(-sum(term) / count(lit(1))), 4).as("ppl")
+        round(sum(col("s")) / count(lit(1)), 4).as("avg_logscore"),
+        round(exp(-sum(col("s")) / count(lit(1))), 4).as("ppl")
       )
     c1.unpersist()
     out

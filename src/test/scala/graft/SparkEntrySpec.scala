@@ -16,13 +16,13 @@ class SparkEntrySpec extends SparkSpec {
     // queries run; only these keys may be absent BEFORE a run.
     val generated = Set(
       "q_pq_topk", "q_ivfpq_topk", "q_ivfpq_serve", "q_semdedup", "q_quality_classifier",
-      "q_dsir", "q_dsir_bigram")
+      "q_dsir", "q_dsir_bigram", "q_bpe_encode", "q_pca_project")
     assert((qk -- ok0).subsetOf(generated), s"unexpected oracle-less: ${qk -- ok0 -- generated}")
     // After a smoke-scale run (Verify's run-then-dump order) the map
     // covers EVERY query — no rows-only entries remain.
     val dir = "/root/testdata/sf0.001"
     Seq("q_pq_topk", "q_ivfpq_topk", "q_semdedup", "q_quality_classifier", "q_dsir",
-      "q_dsir_bigram")
+      "q_dsir_bigram", "q_bpe_encode", "q_pca_project")
       .foreach(n => SparkEntry.queries(n)(spark, dir).count())
     val ok = SparkEntry.oracleSql.keySet
     assert(ok == qk, s"queries without an oracle after running: ${qk -- ok}")
