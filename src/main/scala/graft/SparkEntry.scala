@@ -8,7 +8,7 @@ import graft.io.{ExtractChannels, RecFixture, RecScan}
 import graft.model.Tables
 import graft.ts.{Dedup, GapFill, Sessionize, Validation}
 import graft.spikes.Spikes
-import graft.ops.{Bm25, Bpe, Curation, Decontaminate, DedupDocs, Dsir, IncrementalDedup, Ivf, Lm, Mixture, Pca, Pq, QualityClassifier, Redact, SemDedup, Similarity, Text}
+import graft.ops.{Bm25, Bpe, Curation, Decontaminate, DedupDocs, Dsir, Graph, IncrementalDedup, Ivf, Lm, Mixture, Pca, Pq, QualityClassifier, Redact, SemDedup, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -608,6 +608,40 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     val pairs = DedupDocs.minhashLshPairs(docs, k = 3, numHashes = 16, rowsPerBand = 4, star = true)
     DedupDocs.connectedComponents(docs.select("doc_id"), pairs)
+  }
+
+  /** Weighted PageRank over the customer↔supplier co-purchase graph
+    * (orders⋈lineitem, both directions, weight = shared line items) —
+    * the authority-prior operator a link-graph curation pipeline runs
+    * over page/domain graphs ([[graft.ops.Graph.pagerank]]). 5 power
+    * iterations, d = 0.85; the oracle unrolls the identical recurrence
+    * as 5 chained CTEs. Ranks sum to 1; rounded to 6 dp on both sides. */
+  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val arcs = o
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    val edges = arcs
+      .select(
+        explode(
+          array(
+            struct(
+              concat(lit("c"), col("cust")).as("src"),
+              concat(lit("s"), col("supp")).as("dst"),
+              col("w")),
+            struct(
+              concat(lit("s"), col("supp")).as("src"),
+              concat(lit("c"), col("cust")).as("dst"),
+              col("w"))
+          )
+        ).as("e")
+      )
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+    Graph
+      .pagerank(edges, iterations = 5, damping = 0.85, weightCol = Some("w"))
+      .select(col("node"), round(col("rank"), 6).as("pr"))
   }
 
   /** Salted skew join: events (hot user keys) × per-user counts. The
@@ -1421,6 +1455,7 @@ object SparkEntry {
     "q_frames" -> (qFrames _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_salted_join" -> (qSaltedJoin _),
+    "q_pagerank" -> (qPagerank _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontam_fuzzy" -> (qDecontamFuzzy _),
     "q_decontam_fuzzy_verified" -> (qDecontamFuzzyVerified _),
@@ -1445,6 +1480,41 @@ object SparkEntry {
     "q_token_budget" -> (qTokenBudget _)
   )
 
+  /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
+    * a TRUE independent oracle (DuckDB recomputes the power iteration
+    * from the raw tables; nothing is copied from the Spark run). The
+    * arithmetic is spelled identically term by term ((1-d)·(1/n) + …)
+    * so the two engines walk the same float chain. */
+  private lazy val pagerankOracleSql: String = {
+    val iterations = (1 to 5).map { k =>
+      val prev = s"r${k - 1}"
+      s"""r$k AS (
+         |  SELECT nd.node,
+         |         (1.0 - 0.85) * (1.0 / nn.n) + 0.85 * (COALESCE(c.in_rank, 0) + d.dm * (1.0 / nn.n)) AS pr
+         |  FROM nodes nd
+         |  CROSS JOIN nn
+         |  LEFT JOIN (SELECT m.dst AS node, SUM(r.pr * m.p) AS in_rank
+         |             FROM m JOIN $prev r ON r.node = m.src GROUP BY m.dst) c ON c.node = nd.node
+         |  CROSS JOIN (SELECT COALESCE(SUM(r.pr), 0) AS dm FROM $prev r
+         |              WHERE NOT EXISTS (SELECT 1 FROM outw o WHERE o.src = r.node)) d)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH arcs AS (
+       |  SELECT 'c' || o_custkey AS cn, 's' || l_suppkey AS sn, CAST(COUNT(*) AS DOUBLE) AS w
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT cn AS src, sn AS dst, w FROM arcs
+       |  UNION ALL
+       |  SELECT sn AS src, cn AS dst, w FROM arcs),
+       |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+       |m AS (SELECT e.src, e.dst, e.w / o.out_w AS p FROM edges e JOIN outw o ON e.src = o.src),
+       |r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+       |$iterations
+       |SELECT node, ROUND(pr, 6) AS pr FROM r5""".stripMargin
+  }
+
   private lazy val topNgramsOracleSql: String =
     """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
       |g AS (SELECT source, array_to_string(t[i + 1 : i + 3], ' ') AS ngram
@@ -1462,6 +1532,7 @@ object SparkEntry {
     "q_rec_session" -> recSessionOracleSql,
     "q_rec_extract" -> recExtractOracleSql,
     "q_image_resize" -> imageResizeOracleSql,
+    "q_pagerank" -> pagerankOracleSql,
     "q_session_epochs" ->
       s"""WITH e AS (SELECT epoch_us(ts) AS ts_us FROM events),
          |d AS (SELECT ts_us, CASE WHEN ts_us - lag(ts_us) OVER (ORDER BY ts_us) >= $GlobalGapUs THEN 1 ELSE 0 END AS brk FROM e),

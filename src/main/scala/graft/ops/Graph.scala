@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph centrality for curation pipelines.
+  *
+  * Web-scale corpora carry a link structure (page → page, domain →
+  * domain, doc → quoted doc) and the standard authority signal over it
+  * is PageRank (Page et al. 1999; used as a quality prior by
+  * CommonCrawl-derived corpus builders). The operator is generic over
+  * any (src, dst[, weight]) edge list — the q_pagerank oracle drives it
+  * with the customer↔supplier co-purchase graph derived from
+  * orders⋈lineitem, and near-dup pair graphs from
+  * [[DedupDocs.minhashCandidates]] plug in unchanged.
+  *
+  * Execution shape (the 100 TB contract):
+  *   - The transition matrix (src, dst, p = w / outW) is built ONCE,
+  *     hash-partitioned by `src`, and persisted through the same
+  *     internal-row lineage cut as [[DedupDocs.connectedComponents]] —
+  *     each Lloyd-style round's logical plan is a scan of the cached
+  *     RDD, not a re-analysis of the whole upstream pipeline.
+  *   - Each iteration is ONE shuffle: ranks arrive hash-partitioned on
+  *     the node id from the previous round's groupBy, the matrix side is
+  *     cached pre-partitioned on `src`, so the join is exchange-free and
+  *     only the contribution groupBy(dst) exchanges.
+  *   - Dangling mass (rank parked on nodes with no out-edges) is folded
+  *     back uniformly inside the SAME plan via a one-row aggregate
+  *     cross-joined as a scalar — no extra driver action per round.
+  *   - Rounds are bounded by `iterations`; `tol > 0` adds an L1-delta
+  *     convergence check (one extra scalar aggregate per round).
+  *
+  * Semantics (mirrored term-for-term by the unrolled-CTE DuckDB oracle):
+  * parallel edges collapse by weight sum; self-loops are legal;
+  * `rank₀ = 1/N`; `rankₖ₊₁(v) = (1-d)/N + d·(Σ_{u→v} rankₖ(u)·p(u,v)
+  * + danglingₖ/N)`. Output is (node, rank) with Σ rank = 1.
+  */
+object Graph {
+
+  /** One lineage cut: persist the internal-row RDD and rebuild a
+    * DataFrame whose plan is just a scan of it (see
+    * [[DedupDocs.connectedComponents]] for the full rationale). */
+  private def cut(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
+    val spark = df.sparkSession
+    val rdd = Bridge
+      .toInternalRdd(df)
+      .mapPartitions(_.map(_.copy()), preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (Bridge.internalCreateDataFrame(spark, rdd, df.schema), rdd)
+  }
+
+  /** [[cut]] that also DECLARES hash layout + per-partition order to
+    * Catalyst ([[Bridge.internalCreateDataFramePartitioned]]): the
+    * caller must have ended `df` with `repartition(n, keys…)` +
+    * `sortWithinPartitions(keys…)`. The loop's static side is exchanged
+    * and sorted ONCE here instead of once per iteration. */
+  private def cutPartitioned(
+      df: DataFrame,
+      keys: Seq[String],
+      n: Int): (DataFrame, RDD[InternalRow]) = {
+    val spark = df.sparkSession
+    val rdd = Bridge
+      .toInternalRdd(df)
+      .mapPartitions(_.map(_.copy()), preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (Bridge.internalCreateDataFramePartitioned(spark, rdd, df.schema, keys, n, keys), rdd)
+  }
+
+  /** Weighted PageRank over an edge list.
+    *
+    * @param edges     (src, dst) pairs, any id type; directed
+    * @param iterations power-iteration rounds (the oracle unrolls the
+    *                  same count)
+    * @param damping   d in [0, 1)
+    * @param weightCol optional edge-weight column name in `edges`;
+    *                  absent ⇒ every edge weighs 1
+    * @param tol       if > 0, stop early once the L1 delta between
+    *                  consecutive rank vectors drops below it
+    * @return (node, rank) — rank sums to 1 over all nodes
+    */
+  def pagerank(
+      edges: DataFrame,
+      iterations: Int = 10,
+      damping: Double = 0.85,
+      weightCol: Option[String] = None,
+      tol: Double = 0.0
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping >= 0 && damping < 1, s"damping must be in [0,1), got $damping")
+    val spark = edges.sparkSession
+    val w = weightCol.map(col).getOrElse(lit(1.0)).cast("double")
+
+    // collapse parallel edges once; everything downstream is per unique arc
+    val arcs = edges
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(w).as("w"))
+
+    // node universe: src ∪ dst in one pass (explode, not union, so the
+    // upstream edge pipeline is evaluated once)
+    val (nodes, nodesRdd) = cut(
+      arcs
+        .select(explode(array(col("src"), col("dst"))).as("node"))
+        .groupBy("node")
+        .agg(count(lit(1)).as("__deg"))
+        .select("node")
+        .repartition(col("node"))
+    )
+    val n = nodes.count()
+    require(n > 0, "pagerank over an empty edge list")
+    val uniform = 1.0 / n
+
+    // transition matrix: hash-partitioned AND sorted on src ONCE, with
+    // the layout declared to Catalyst — every iteration's rank⋈matrix
+    // join then needs neither an exchange nor a sort on this (big,
+    // static) side; only the small rank vector moves
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val outW = arcs.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val (matrix, matrixRdd) = cutPartitioned(
+      arcs
+        .join(outW, Seq("src"))
+        .select(col("src"), col("dst"), (col("w") / col("out_w")).as("p"))
+        .repartition(shufflePartitions, col("src"))
+        .sortWithinPartitions("src"),
+      Seq("src"),
+      shufflePartitions
+    )
+    matrix.count()
+
+    // nodes with no out-edges park their rank; fold it back uniformly
+    val (dangling, danglingRdd) = cut(
+      nodes.join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
+    )
+    dangling.count()
+
+    var (ranks, ranksRdd) = cut(nodes.select(col("node"), lit(uniform).as("rank")))
+    ranks.count()
+
+    var iter = 0
+    var done = false
+    while (iter < iterations && !done) {
+      val contrib = matrix
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("p")).as("in_rank"))
+      val danglingMass = ranks
+        .join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      val (next, nextRdd) = cut(
+        nodes
+          .join(contrib, Seq("node"), "left")
+          .crossJoin(broadcast(danglingMass))
+          .select(
+            col("node"),
+            (lit((1.0 - damping) * uniform) +
+              lit(damping) *
+              (coalesce(col("in_rank"), lit(0.0)) + col("dm") * lit(uniform)))
+              .as("rank")
+          )
+      )
+      if (tol > 0) {
+        val delta = next
+          .join(ranks.withColumnRenamed("rank", "__prev"), Seq("node"))
+          .agg(sum(abs(col("rank") - col("__prev"))))
+          .head()
+          .getDouble(0)
+        if (delta < tol) done = true
+      } else {
+        next.count() // materialize before dropping the previous round
+      }
+      ranksRdd.unpersist(blocking = false)
+      ranks = next
+      ranksRdd = nextRdd
+      iter += 1
+    }
+
+    // Materialize the final vector before releasing the loop's cached
+    // inputs, then hand back the cache-backed frame itself (the
+    // connectedComponents precedent): O(nodes) rows × 2 columns is the
+    // natural serving artifact, and collecting it to the driver would
+    // cap the operator at driver-memory-sized graphs.
+    ranks.count()
+    Seq(matrixRdd, nodesRdd, danglingRdd).foreach(_.unpersist(blocking = false))
+    ranks
+  }
+}

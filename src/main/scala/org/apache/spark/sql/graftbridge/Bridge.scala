@@ -28,6 +28,52 @@ object Bridge {
   def toInternalRdd(df: DataFrame): RDD[InternalRow] =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.toRdd
 
+  /** [[internalCreateDataFrame]] that DECLARES the RDD's physical
+    * layout to Catalyst — the mechanism `Dataset.checkpoint` uses to
+    * keep its partitioning. A plain `LogicalRDD` defaults to
+    * `UnknownPartitioning`, so an iterative loop that caches its static
+    * side (transition matrix, edge list) re-exchanges it every round
+    * even though the rows never moved. Declaring
+    * `HashPartitioning(hashCols)` (and optionally per-partition
+    * `sortCols` order) lets ensureRequirements skip the exchange (and
+    * the sort) on the cached side.
+    *
+    * SAFETY CONTRACT: the claim must be physically true. Produce the
+    * source frame with an EXPLICIT-count `df.repartition(n, cols…)`
+    * (shuffle origin REPARTITION_BY_NUM — AQE never coalesces it, so
+    * the modulo mapping is exactly `HashPartitioning(cols, n)`), plus
+    * `sortWithinPartitions(sortCols…)` when declaring order. An
+    * AQE-coalesced exchange (plain groupBy output) must NOT be declared:
+    * its runtime partitioning is a contiguous-range merge of hash
+    * buckets, and a false claim silently mis-co-locates joins. The
+    * partition-count assert below catches the coalesced case. */
+  def internalCreateDataFramePartitioned(
+      spark: SparkSession,
+      rdd: RDD[InternalRow],
+      schema: StructType,
+      hashCols: Seq[String],
+      numPartitions: Int,
+      sortCols: Seq[String] = Nil): DataFrame = {
+    require(
+      rdd.getNumPartitions == numPartitions,
+      s"declared HashPartitioning($hashCols, $numPartitions) but the RDD has " +
+        s"${rdd.getNumPartitions} partitions — was the source exchange AQE-coalesced? " +
+        "Use df.repartition(n, cols…) with an explicit count.")
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+    def attr(n: String) = attrs.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column $n in ${schema.fieldNames.mkString(",")}"))
+    val part = org.apache.spark.sql.catalyst.plans.physical
+      .HashPartitioning(hashCols.map(attr), numPartitions)
+    val order = sortCols.map(n =>
+      org.apache.spark.sql.catalyst.expressions.SortOrder(
+        attr(n), org.apache.spark.sql.catalyst.expressions.Ascending))
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      cs,
+      org.apache.spark.sql.execution.LogicalRDD(
+        attrs, rdd, part, order, false, None)(cs, None, None))
+  }
+
   /** A plain-message AnalysisException (the string constructor is
     * `protected[sql]`) for function-builder arity/argument errors. */
   def analysisError(message: String): org.apache.spark.sql.AnalysisException =

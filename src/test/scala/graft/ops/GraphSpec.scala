@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Graph.pagerank]] vs an independent in-test dense power iteration
+  * (plain Scala arrays — no Spark), on graphs that exercise dangling
+  * nodes, weights, parallel-edge collapse, and self-loops. */
+class GraphSpec extends SparkSpec {
+
+  /** Dense reference: same recurrence, driver-side. */
+  private def densePr(
+      edges: Seq[(String, String, Double)],
+      iterations: Int,
+      d: Double
+  ): Map[String, Double] = {
+    val collapsed = edges
+      .groupBy(e => (e._1, e._2))
+      .map { case ((s, t), es) => (s, t, es.map(_._3).sum) }
+      .toSeq
+    val nodes = collapsed.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    val outW = collapsed.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var rank = Array.fill(n)(1.0 / n)
+    val dangling = nodes.filterNot(outW.contains).map(idx)
+    (1 to iterations).foreach { _ =>
+      val next = Array.fill(n)((1.0 - d) * (1.0 / n))
+      val dm = dangling.map(rank).sum
+      collapsed.foreach { case (s, t, w) =>
+        next(idx(t)) += d * rank(idx(s)) * (w / outW(s))
+      }
+      (0 until n).foreach(i => next(i) += d * dm * (1.0 / n))
+      rank = next
+    }
+    nodes.map(v => v -> rank(idx(v))).toMap
+  }
+
+  private def run(
+      edges: Seq[(String, String, Double)],
+      iterations: Int = 8,
+      d: Double = 0.85,
+      parts: Int = 1
+  ): Map[String, Double] = {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst", "w").repartition(parts)
+    Graph
+      .pagerank(df, iterations, d, weightCol = Some("w"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+  }
+
+  private def assertClose(a: Map[String, Double], b: Map[String, Double]): Unit = {
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, s"$k: $v vs ${b(k)}") }
+  }
+
+  private val chainWithDangling = Seq(
+    ("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 2.0),
+    ("a", "d", 3.0) // d has no out-edges: dangling
+  )
+
+  test("matches the dense reference on a weighted graph with a dangling node") {
+    val got = run(chainWithDangling)
+    assertClose(got, densePr(chainWithDangling, 8, 0.85))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "ranks must sum to 1")
+  }
+
+  test("parallel edges collapse by weight sum; self-loops are legal") {
+    val multi = Seq(
+      ("x", "y", 1.0), ("x", "y", 2.0), // parallel: same as one 3.0 edge
+      ("y", "x", 1.0), ("y", "y", 0.5)  // self-loop keeps rank in place
+    )
+    assertClose(run(multi), densePr(multi, 8, 0.85))
+  }
+
+  test("partition count does not change the result") {
+    val p1 = run(chainWithDangling, parts = 1)
+    val p7 = run(chainWithDangling, parts = 7)
+    assertClose(p1, p7)
+  }
+
+  test("unweighted form: absent weightCol means weight 1 per edge") {
+    import spark.implicits._
+    val df = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")).toDF("src", "dst")
+    val got = Graph
+      .pagerank(df, iterations = 6)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    val want = densePr(Seq(("a", "b", 1.0), ("b", "a", 1.0), ("a", "c", 1.0), ("c", "a", 1.0)), 6, 0.85)
+    assertClose(got, want)
+  }
+
+  test("declared hash layout skips the exchange AND the sort on the cached side") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val src = (1 to 1000).map(i => (s"n$i", i.toDouble)).toDF("k", "v")
+      .repartition(n, col("k"))
+      .sortWithinPartitions("k")
+    val rdd = Bridge.toInternalRdd(src).mapPartitions(_.map(_.copy()), true)
+    val declared = Bridge.internalCreateDataFramePartitioned(
+      spark, rdd, src.schema, Seq("k"), n, Seq("k"))
+    val other = (1 to 1000).map(i => (s"n$i", i.toLong)).toDF("k", "c")
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = declared.join(other, Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // exactly ONE exchange and ONE sort (the undeclared side); a second
+      // of either means the declaration was ignored
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      val sorts = "Sort \\[".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+      assert(sorts == 1, s"expected 1 sort, got $sorts:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("tol stops early once converged and still returns a valid distribution") {
+    // strongly connected 2-cycle converges fast; a loose tol must not
+    // change the fixed point materially
+    val cyc = Seq(("a", "b", 1.0), ("b", "a", 1.0))
+    val got = run(cyc, iterations = 50) // reference: effectively converged
+    import spark.implicits._
+    val df = cyc.toDF("src", "dst", "w")
+    val early = Graph
+      .pagerank(df, iterations = 50, weightCol = Some("w"), tol = 1e-10)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    assertClose(got, early)
+  }
+}
