@@ -694,6 +694,29 @@ object SparkEntry {
     graft.ops.Multimodal.resizeRgb(
       graft.ops.Multimodal.imageFixture(s, n = 40), "img_id", outW = 8, outH = 6)
 
+  /** Real JDK WAV decode → per-frame integer-exact features (Σs², zero
+    * crossings) over a deterministic PCM16 fixture whose samples are
+    * pure arithmetic in (aud_id, i) — the oracle recomputes them in SQL
+    * with no decoder, so a green row certifies the javax.sound encode →
+    * decode round trip AND the frame kernel. */
+  private def qAudioFrames(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.audioFrames(
+      graft.ops.Multimodal.audioFixture(s, n = 40), "aud_id", frameSize = 160)
+
+  private val audioFramesOracleSql: String =
+    """WITH ids AS (SELECT unnest(generate_series(0, 39)) AS aud_id),
+      |lens AS (SELECT aud_id, 400 + (aud_id % 5) * 160 AS len FROM ids),
+      |s AS (SELECT aud_id, i, ((aud_id * 37 + i * 131) % 65536) - 32768 AS v, i // 160 AS frame
+      |      FROM lens, unnest(generate_series(0, len - 1)) AS u(i)),
+      |w AS (SELECT aud_id, frame, i, v,
+      |             lag(v) OVER (PARTITION BY aud_id, frame ORDER BY i) AS pv
+      |      FROM s)
+      |SELECT CAST(aud_id AS BIGINT) AS aud_id, CAST(frame AS INT) AS frame,
+      |       CAST(COUNT(*) AS INT) AS n_samples,
+      |       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+      |       CAST(SUM(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0) THEN 1 ELSE 0 END) AS INT) AS n_zero_cross
+      |FROM w GROUP BY aud_id, frame""".stripMargin
+
   private val imageResizeOracleSql: String =
     """WITH ids AS (SELECT unnest(generate_series(0, 39)) AS img_id),
       |dims AS (SELECT img_id, 16 + img_id % 7 AS w, 12 + img_id % 5 AS h FROM ids),
@@ -1437,6 +1460,7 @@ object SparkEntry {
     "q_simhash" -> (qSimhash _),
     "q_multimodal" -> (qMultimodal _),
     "q_image_resize" -> (qImageResize _),
+    "q_audio_frames" -> (qAudioFrames _),
     "q_filtfilt" -> (qFiltfilt _),
     "q_align" -> (qAlign _),
     "q_embed_neardup" -> (qEmbedNearDup _),
@@ -1532,6 +1556,7 @@ object SparkEntry {
     "q_rec_session" -> recSessionOracleSql,
     "q_rec_extract" -> recExtractOracleSql,
     "q_image_resize" -> imageResizeOracleSql,
+    "q_audio_frames" -> audioFramesOracleSql,
     "q_pagerank" -> pagerankOracleSql,
     "q_session_epochs" ->
       s"""WITH e AS (SELECT epoch_us(ts) AS ts_us FROM events),

@@ -308,6 +308,138 @@ object Multimodal {
     Bridge.internalCreateDataFrame(df.sparkSession, rdd, outSchema)
   }
 
+  // ---- real audio codec (JDK javax.sound.sampled — no external libraries) ----
+
+  /** Encode mono PCM16 samples as a RIFF/WAVE payload through the JDK's
+    * own writer (`AudioSystem.write`). PCM is uncompressed, so a decode
+    * of this output round-trips samples exactly. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(
+      AudioFormat.Encoding.PCM_SIGNED, sampleRate.toFloat,
+      16, 1, 2, sampleRate.toFloat, false) // 16-bit mono little-endian
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode a WAV payload with the JDK's built-in reader: returns
+    * (sampleRate, mono PCM16 samples), or None when the bytes are not a
+    * RIFF/WAVE stream — the caller's cue to fall back to a stub, the
+    * same contract as [[decodeImage]]. Only the PCM16-mono profile this
+    * pipeline writes is accepted; other profiles raise (a silent
+    * re-quantization would corrupt features). */
+  def decodeWavPcm16(payload: Array[Byte]): Option[(Int, Array[Short])] = {
+    import javax.sound.sampled._
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch { case _: UnsupportedAudioFileException => return None }
+    val fmt = ais.getFormat
+    require(
+      fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"decodeWavPcm16: unsupported profile $fmt")
+    val bytes = ais.readAllBytes()
+    val out = new Array[Short](bytes.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+      i += 1
+    }
+    Some((fmt.getSampleRate.toInt, out))
+  }
+
+  /** Deterministic audio fixture, generated DISTRIBUTED: `n` clips whose
+    * PCM16 samples are pure arithmetic in (aud_id, i) — so an oracle can
+    * recompute the ground truth without any decoder — encoded through
+    * the REAL JDK WAV writer. Lengths vary per id to exercise partial
+    * trailing frames. */
+  def audioFixture(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.graftbridge.Bridge
+    val rdd = Bridge.toInternalRdd(spark.range(n).toDF("aud_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val len = 400 + (id % 5).toInt * 160
+        val samples = new Array[Short](len)
+        var i = 0
+        while (i < len) {
+          samples(i) = (((id * 37 + i.toLong * 131) % 65536L) - 32768L).toShort
+          i += 1
+        }
+        new GenericInternalRow(Array[Any](id, encodeWavPcm16(8000, samples))): InternalRow
+      }
+    }
+    Bridge.internalCreateDataFrame(
+      spark,
+      rdd,
+      StructType(Seq(
+        StructField("aud_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)
+      ))
+    )
+  }
+
+  /** Real WAV decode → fixed-size frame analysis over the binary column,
+    * emitting one row per FRAME with integer-exact features — energy as
+    * Σs² and zero crossings as #{i > 0 : (sᵢ < 0) ≠ (sᵢ₋₁ < 0)} within
+    * the frame — so an oracle can recompute them in SQL arithmetic (an
+    * RMS double would drag rounding semantics into the compare; Σs² is
+    * the same information, exactly). Trailing partial frames are kept
+    * with their true `n_samples`. Batched partition kernel, same shape
+    * as [[resizeRgb]]. */
+  def audioFrames(df: DataFrame, keyCol: String, frameSize: Int): DataFrame = {
+    require(frameSize > 0)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.graftbridge.Bridge
+    val payloadIdx = df.columns.indexOf("payload")
+    require(payloadIdx >= 0, "call withPayload first")
+    val keyIdx = df.columns.indexOf(keyCol)
+    val keyType = df.schema(keyIdx).dataType
+    val outSchema = StructType(Seq(
+      df.schema(keyIdx),
+      StructField("frame", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("n_zero_cross", IntegerType, nullable = false)
+    ))
+    val rdd = Bridge.toInternalRdd(df).mapPartitions { it =>
+      it.flatMap { r =>
+        val key = InternalRow.copyValue(r.get(keyIdx, keyType))
+        val payload = r.getBinary(payloadIdx)
+        val (_, samples) = decodeWavPcm16(payload).getOrElse(
+          throw new IllegalArgumentException("audioFrames: payload is not a RIFF/WAVE stream"))
+        val nFrames = (samples.length + frameSize - 1) / frameSize
+        (0 until nFrames).iterator.map { f =>
+          val start = f * frameSize
+          val end = math.min(start + frameSize, samples.length)
+          var sumSq = 0L
+          var zc = 0
+          var i = start
+          while (i < end) {
+            val s = samples(i).toLong
+            sumSq += s * s
+            if (i > start && (samples(i) < 0) != (samples(i - 1) < 0)) zc += 1
+            i += 1
+          }
+          new GenericInternalRow(Array[Any](key, f, end - start, sumSq, zc)): InternalRow
+        }
+      }
+    }
+    Bridge.internalCreateDataFrame(df.sparkSession, rdd, outSchema)
+  }
+
   /** Deterministic frame sampling for "video" payloads: split the byte
     * stream into `frameBytes` frames, keep every `stride`-th — pure
     * column ops, no kernel needed. */

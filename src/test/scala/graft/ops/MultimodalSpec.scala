@@ -113,6 +113,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV PCM16 encode -> JDK decode round-trips samples exactly") {
+    val samples = Array.tabulate(1000)(i =>
+      (((i * 7919) % 65536) - 32768).toShort)
+    val wav = Multimodal.encodeWavPcm16(8000, samples)
+    val (rate, back) = Multimodal.decodeWavPcm16(wav).get
+    assert(rate == 8000)
+    assert(back.toSeq == samples.toSeq)
+    assert(Multimodal.decodeWavPcm16("not audio".getBytes).isEmpty)
+  }
+
+  test("audioFrames matches an independent driver-side recompute") {
+    val df = Multimodal.audioFixture(spark, n = 12).repartition(5)
+    val got = Multimodal
+      .audioFrames(df, "aud_id", frameSize = 160)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getLong(3), r.getInt(4)))
+      .toMap
+    for (id <- 0L until 12L) {
+      val len = 400 + (id % 5).toInt * 160
+      val s = Array.tabulate(len)(i => (((id * 37 + i.toLong * 131) % 65536L) - 32768L).toInt)
+      val nFrames = (len + 159) / 160
+      for (f <- 0 until nFrames) {
+        val fr = s.slice(f * 160, math.min((f + 1) * 160, len))
+        val sumSq = fr.map(v => v.toLong * v).sum
+        val zc = fr.sliding(2).count(p => p.length == 2 && (p(1) < 0) != (p(0) < 0))
+        assert(got((id, f)) == ((fr.length, sumSq, zc)), s"aud $id frame $f")
+      }
+    }
+  }
+
   test("window-gather patch variant matches the range-join values") {
     val samples = (0L to 20L).map(i => (i, i.toDouble * 2)).toDF("idx", "v")
     val peaks = Seq(5L, 12L).toDF("idx")
