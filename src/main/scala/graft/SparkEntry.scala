@@ -426,6 +426,12 @@ object SparkEntry {
       .sample(Tables.documents(s, dir), mixtureWeights, salt = "mix1")
       .select("doc_id", "source")
 
+  /** Temperature-reweighted sampling (mixture proportions ∝ n_s^α):
+    * rates derived FROM the corpus token totals, smallest source kept
+    * whole, larger sources hash-downsampled. α = 0.5. */
+  private def qTemperatureSample(s: SparkSession, dir: String): DataFrame =
+    Mixture.temperatureSample(Tables.documents(s, dir), alpha = 0.5, salt = "temp1")
+
   /** Greedy concat-and-chunk sequence packing: 512-token budget per
     * source group. */
   private def qPack(s: SparkSession, dir: String): DataFrame =
@@ -1485,6 +1491,7 @@ object SparkEntry {
     "q_decontam_fuzzy_verified" -> (qDecontamFuzzyVerified _),
     "q_repetition" -> (qRepetition _),
     "q_mixture" -> (qMixture _),
+    "q_temperature_sample" -> (qTemperatureSample _),
     "q_pack" -> (qPack _),
     "q_top_ngrams" -> (qTopNgrams _),
     "q_top_ngrams_sketch" -> (qTopNgramsSketch _),
@@ -2171,6 +2178,15 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 <
         |      CASE source WHEN 'src1' THEN 1.0 WHEN 'src2' THEN 0.75 WHEN 'src3' THEN 0.5
         |                  WHEN 'src4' THEN 0.25 WHEN 'src5' THEN 0.1 ELSE 0.0 END""".stripMargin,
+    "q_temperature_sample" ->
+      """WITH per AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |             FROM documents GROUP BY source),
+        |mn AS (SELECT MIN(n_tokens) AS n_min FROM per),
+        |rates AS (SELECT source, POWER(CAST(n_min AS DOUBLE) / CAST(n_tokens AS DOUBLE), 1.0 - 0.5) AS rate
+        |          FROM per CROSS JOIN mn)
+        |SELECT d.doc_id, d.source, ROUND(r.rate, 6) AS rate
+        |FROM documents d JOIN rates r ON r.source = d.source
+        |WHERE ('0x' || substr(md5('temp1' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 < r.rate""".stripMargin,
     "q_pack" ->
       """WITH d AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
         |o AS (SELECT doc_id, source, n_tokens,

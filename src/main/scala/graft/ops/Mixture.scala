@@ -54,6 +54,47 @@ object Mixture {
     documents.where(uniformHash(salt, col("doc_id")) < w)
   }
 
+  /** Temperature-reweighted corpus sampling (the mT5 / GPT-3 mixing
+    * rule): target mixture proportions ∝ n_s^α flatten the source
+    * distribution for α < 1, realized WITHOUT replacement by keeping
+    * each source at rate (n_min / n_s)^(1−α) — the smallest source is
+    * kept whole, larger sources are hash-downsampled toward the
+    * temperature-flattened share. α = 1 keeps everything; α → 0
+    * approaches equal token counts per source.
+    *
+    * One O(sources) aggregate computes token totals; the rate table is
+    * count-gate-broadcast back onto the corpus (same contract as the LM
+    * scoring joins), so the corpus itself NEVER shuffles — the filter is
+    * a map-side hash compare, retry/repartition-stable like [[sample]].
+    * Emits (doc_id, source, rate) for kept docs, rate rounded for the
+    * oracle compare. */
+  def temperatureSample(
+      documents: DataFrame,
+      alpha: Double,
+      salt: String,
+      sourceCol: String = "source"
+  ): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val perSrc = documents
+      .groupBy(col(sourceCol))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val nMin = perSrc.agg(min(col("n_tokens")).as("n_min"))
+    val rates = perSrc
+      .crossJoin(broadcast(nMin))
+      .select(
+        col(sourceCol),
+        pow(col("n_min").cast("double") / col("n_tokens").cast("double"), 1.0 - alpha)
+          .as("rate")
+      )
+    val nSources = rates.count()
+    val ratesSide = graft.spikes.Spikes.broadcastIfSmall(rates, nSources)
+    documents
+      .select(col("doc_id"), col(sourceCol))
+      .join(ratesSide, Seq(sourceCol))
+      .where(uniformHash(salt, col("doc_id")) < col("rate"))
+      .select(col("doc_id"), col(sourceCol), round(col("rate"), 6).as("rate"))
+  }
+
   /** Greedy sequence packing (the standard pretraining concat-and-chunk):
     * documents are concatenated per group in `orderCol` order and the
     * token stream is cut into `budget`-token sequences; each doc reports

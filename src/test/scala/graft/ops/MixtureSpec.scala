@@ -198,4 +198,30 @@ class MixtureSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(twoPass.sameElements(windowed))
   }
+
+  test("temperatureSample: rates follow (n_min/n_s)^(1-alpha); alpha=1 keeps all") {
+    // big: 300 docs × 2 tokens; small: 100 docs × 2 tokens
+    val df = (0 until 400)
+      .map(i => (i.toLong, "a b", if (i < 300) "big" else "small"))
+      .toDF("doc_id", "text", "source")
+    val out = Mixture.temperatureSample(df, alpha = 0.5, salt = "t1")
+    val rates = out.select("source", "rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("small") == 1.0, "smallest source is kept whole")
+    val want = math.pow(200.0 / 600.0, 0.5)
+    assert(math.abs(rates("big") - want) < 1e-6, s"big rate ${rates("big")} vs $want")
+    // realized keep-rate concentrates near the target
+    val kept = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 100L)
+    val bigRate = kept("big").toDouble / 300.0
+    assert(math.abs(bigRate - want) < 0.15, s"realized big rate $bigRate")
+    // alpha = 1: every source at rate 1
+    assert(Mixture.temperatureSample(df, alpha = 1.0, salt = "t1").count() == 400L)
+    // determinism
+    val again = Mixture.temperatureSample(df, alpha = 0.5, salt = "t1")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val first = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(first.sameElements(again))
+  }
 }
