@@ -432,6 +432,11 @@ object SparkEntry {
   private def qTemperatureSample(s: SparkSession, dir: String): DataFrame =
     Mixture.temperatureSample(Tables.documents(s, dir), alpha = 0.5, salt = "temp1")
 
+  /** Exact-25-per-source deterministic sample (eval carving): rank by
+    * the uniform hash draw, keep the 25 smallest per source. */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Mixture.stratifiedSample(Tables.documents(s, dir), k = 25, salt = "strat1")
+
   /** Greedy concat-and-chunk sequence packing: 512-token budget per
     * source group. */
   private def qPack(s: SparkSession, dir: String): DataFrame =
@@ -1492,6 +1497,7 @@ object SparkEntry {
     "q_repetition" -> (qRepetition _),
     "q_mixture" -> (qMixture _),
     "q_temperature_sample" -> (qTemperatureSample _),
+    "q_stratified_sample" -> (qStratifiedSample _),
     "q_pack" -> (qPack _),
     "q_top_ngrams" -> (qTopNgrams _),
     "q_top_ngrams_sketch" -> (qTopNgramsSketch _),
@@ -2178,6 +2184,14 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 <
         |      CASE source WHEN 'src1' THEN 1.0 WHEN 'src2' THEN 0.75 WHEN 'src3' THEN 0.5
         |                  WHEN 'src4' THEN 0.25 WHEN 'src5' THEN 0.1 ELSE 0.0 END""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             ('0x' || substr(md5('strat1' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 AS u
+        |           FROM documents),
+        |r AS (SELECT doc_id, source,
+        |        CAST(row_number() OVER (PARTITION BY source ORDER BY u ASC, doc_id ASC) AS INT) AS draw_rank
+        |      FROM d)
+        |SELECT doc_id, source, draw_rank FROM r WHERE draw_rank <= 25""".stripMargin,
     "q_temperature_sample" ->
       """WITH per AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |             FROM documents GROUP BY source),

@@ -95,6 +95,33 @@ object Mixture {
       .select(col("doc_id"), col(sourceCol), round(col("rate"), 6).as("rate"))
   }
 
+  /** Exact-k-per-source sample (eval-set carving, balanced inspection
+    * slices): rank every doc by the SAME deterministic uniform draw as
+    * [[sample]] and keep the k smallest per source — so the selection is
+    * retry/repartition-stable, stable under corpus GROWTH for the
+    * already-chosen docs' relative order, and reproducible from the salt
+    * alone. Ties (a 2⁻³² hash collision) break by doc_id. One window
+    * sort per source partition — embarrassingly parallel across sources,
+    * the 100 TB axis; for k ≪ partition size a TakeOrderedAndProject-
+    * style per-partition pre-truncation would cut the sort, which AQE
+    * does not do for windows — the documented upgrade if eval carving
+    * ever dominates a pipeline. */
+  def stratifiedSample(
+      documents: DataFrame,
+      k: Int,
+      salt: String,
+      sourceCol: String = "source"
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window
+      .partitionBy(col(sourceCol))
+      .orderBy(uniformHash(salt, col("doc_id")).asc, col("doc_id").asc)
+    documents
+      .select(col("doc_id"), col(sourceCol))
+      .withColumn("draw_rank", row_number().over(w))
+      .where(col("draw_rank") <= k)
+  }
+
   /** Greedy sequence packing (the standard pretraining concat-and-chunk):
     * documents are concatenated per group in `orderCol` order and the
     * token stream is cut into `budget`-token sequences; each doc reports

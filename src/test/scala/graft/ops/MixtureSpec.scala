@@ -199,6 +199,25 @@ class MixtureSpec extends SparkSpec {
     assert(twoPass.sameElements(windowed))
   }
 
+  test("stratifiedSample: exactly k per source, deterministic, growth-stable prefix") {
+    val df = docs(300, Seq("a", "b", "c"))
+    val out = Mixture.stratifiedSample(df, k = 10, salt = "s")
+    val bySrc = out.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("a" -> 10L, "b" -> 10L, "c" -> 10L))
+    // short source: keeps all rows when the source has fewer than k
+    val small = docs(4, Seq("x"))
+    assert(Mixture.stratifiedSample(small, k = 10, salt = "s").count() == 4L)
+    // deterministic across runs and partitionings
+    val a = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Mixture.stratifiedSample(df.repartition(7), k = 10, salt = "s")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    // a smaller k selects a PREFIX of the larger k's choice per source
+    val k5 = Mixture.stratifiedSample(df, k = 5, salt = "s")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k5.subsetOf(a.toSet))
+  }
+
   test("temperatureSample: rates follow (n_min/n_s)^(1-alpha); alpha=1 keeps all") {
     // big: 300 docs × 2 tokens; small: 100 docs × 2 tokens
     val df = (0 until 400)
