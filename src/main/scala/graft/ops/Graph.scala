@@ -87,7 +87,19 @@ object Graph {
       iterations: Int = 10,
       damping: Double = 0.85,
       weightCol: Option[String] = None,
-      tol: Double = 0.0
+      tol: Double = 0.0,
+      // broadcast-sized graphs skip the distributed loop: 5–10 rounds of
+      // tiny-stage scheduling cost more than one driver pass (the
+      // connectedComponents driverEdgeLimit precedent — the 1.2M-arc
+      // co-purchase graph measured 12.4 s distributed vs ~2 s driver; a
+      // 2M-arc collect is ~200 MB transient on the driver)
+      driverEdgeLimit: Long = 2000000L,
+      // a caller whose edge list is ALREADY one row per (src, dst) — a
+      // groupBy/distinct output, a deduplicated edge table — skips the
+      // operator's own collapse exchange (1 full shuffle of the edge
+      // list). The promise is the caller's: duplicate arcs under this
+      // flag double-count weight.
+      assumeCollapsed: Boolean = false
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping >= 0 && damping < 1, s"damping must be in [0,1), got $damping")
@@ -95,9 +107,18 @@ object Graph {
     val w = weightCol.map(col).getOrElse(lit(1.0)).cast("double")
 
     // collapse parallel edges once; everything downstream is per unique arc
-    val arcs = edges
-      .groupBy(col("src"), col("dst"))
-      .agg(sum(w).as("w"))
+    val (arcs, arcsRdd) = cut(
+      if (assumeCollapsed) edges.select(col("src"), col("dst"), w.as("w"))
+      else edges.groupBy(col("src"), col("dst")).agg(sum(w).as("w"))
+    )
+    val nArcs = arcs.count()
+    if (nArcs <= driverEdgeLimit) {
+      // InternalRow copies straight off the cache — collecting external
+      // Rows instead measured 2.5 s of pure conversion at 1.2M arcs
+      val rows = arcsRdd.collect()
+      arcsRdd.unpersist(blocking = false)
+      return pagerankDriver(spark, rows, arcs.schema, iterations, damping, tol)
+    }
 
     // node universe: src ∪ dst in one pass (explode, not union, so the
     // upstream edge pipeline is evaluated once)
@@ -130,11 +151,14 @@ object Graph {
     )
     matrix.count()
 
-    // nodes with no out-edges park their rank; fold it back uniformly
+    // nodes with no out-edges park their rank; fold it back uniformly.
+    // Counting here both materializes the cache AND lets a graph with no
+    // dangling nodes (every symmetric graph) drop the whole term — one
+    // aggregate + one broadcast fewer per round
     val (dangling, danglingRdd) = cut(
       nodes.join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
     )
-    dangling.count()
+    val nDangling = dangling.count()
 
     var (ranks, ranksRdd) = cut(nodes.select(col("node"), lit(uniform).as("rank")))
     ranks.count()
@@ -146,21 +170,27 @@ object Graph {
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("p")).as("in_rank"))
-      val danglingMass = ranks
-        .join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
-      val (next, nextRdd) = cut(
-        nodes
-          .join(contrib, Seq("node"), "left")
-          .crossJoin(broadcast(danglingMass))
-          .select(
+      val withContrib = nodes.join(contrib, Seq("node"), "left")
+      val folded =
+        if (nDangling == 0L) {
+          withContrib.select(
             col("node"),
             (lit((1.0 - damping) * uniform) +
-              lit(damping) *
-              (coalesce(col("in_rank"), lit(0.0)) + col("dm") * lit(uniform)))
-              .as("rank")
-          )
-      )
+              lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+        } else {
+          val danglingMass = ranks
+            .join(dangling, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+          withContrib
+            .crossJoin(broadcast(danglingMass))
+            .select(
+              col("node"),
+              (lit((1.0 - damping) * uniform) +
+                lit(damping) *
+                (coalesce(col("in_rank"), lit(0.0)) + col("dm") * lit(uniform)))
+                .as("rank"))
+        }
+      val (next, nextRdd) = cut(folded)
       if (tol > 0) {
         val delta = next
           .join(ranks.withColumnRenamed("rank", "__prev"), Seq("node"))
@@ -183,7 +213,66 @@ object Graph {
     // natural serving artifact, and collecting it to the driver would
     // cap the operator at driver-memory-sized graphs.
     ranks.count()
-    Seq(matrixRdd, nodesRdd, danglingRdd).foreach(_.unpersist(blocking = false))
+    Seq(arcsRdd, matrixRdd, nodesRdd, danglingRdd).foreach(_.unpersist(blocking = false))
     ranks
+  }
+
+  /** Driver power iteration for broadcast-sized graphs: identical
+    * recurrence, flat primitive arrays, zero per-round scheduling.
+    * Operates on INTERNAL rows end to end (UTF8String keys in, internal
+    * result rows out) so the gate pays no external-Row conversion. */
+  private def pagerankDriver(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Array[InternalRow],
+      schema: org.apache.spark.sql.types.StructType,
+      iterations: Int,
+      damping: Double,
+      tol: Double
+  ): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val srcType = schema.fields(0).dataType
+    val dstType = schema.fields(1).dataType
+    val idx = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+    def id(v: Any): Int = idx.getOrElseUpdate(v, idx.size)
+    val es = rows.map(r =>
+      (id(InternalRow.copyValue(r.get(0, srcType))),
+        id(InternalRow.copyValue(r.get(1, dstType))),
+        r.getDouble(2)))
+    val n = idx.size
+    require(n > 0, "pagerank over an empty edge list")
+    val outW = new Array[Double](n)
+    es.foreach { case (s, _, wt) => outW(s) += wt }
+    var rank = Array.fill(n)(1.0 / n)
+    var iter = 0
+    var done = false
+    while (iter < iterations && !done) {
+      val next = Array.fill(n)((1.0 - damping) * (1.0 / n))
+      var dm = 0.0
+      var i = 0
+      while (i < n) { if (outW(i) == 0.0) dm += rank(i); i += 1 }
+      es.foreach { case (s, t, wt) => next(t) += damping * rank(s) * (wt / outW(s)) }
+      val dmShare = damping * dm * (1.0 / n)
+      i = 0
+      while (i < n) { next(i) += dmShare; i += 1 }
+      if (tol > 0) {
+        var delta = 0.0
+        i = 0
+        while (i < n) { delta += math.abs(next(i) - rank(i)); i += 1 }
+        if (delta < tol) done = true
+      }
+      rank = next
+      iter += 1
+    }
+    val outSchema = StructType(Seq(
+      schema.fields(0).copy(name = "node"),
+      StructField("rank", DoubleType, nullable = false)))
+    val outRows = idx.toSeq.map { case (v, i) =>
+      new GenericInternalRow(Array[Any](v, rank(i))): InternalRow
+    }
+    Bridge.internalCreateDataFrame(
+      spark,
+      spark.sparkContext.parallelize(outRows, math.max(1, n / 500000)),
+      outSchema)
   }
 }

@@ -40,7 +40,8 @@ object PrBench {
         )
         .where(col("src") =!= col("dst"))
       val t0 = System.nanoTime()
-      val ranks = graft.ops.Graph.pagerank(edges, iterations = 5)
+      // driverEdgeLimit = 0: this bench measures the DISTRIBUTED loop
+      val ranks = graft.ops.Graph.pagerank(edges, iterations = 5, driverEdgeLimit = 0L)
       val n = ranks.count()
       val top = ranks.orderBy(desc("rank")).limit(3).collect()
       val sec = (System.nanoTime() - t0) / 1e9

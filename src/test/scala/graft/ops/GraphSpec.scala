@@ -40,12 +40,13 @@ class GraphSpec extends SparkSpec {
       edges: Seq[(String, String, Double)],
       iterations: Int = 8,
       d: Double = 0.85,
-      parts: Int = 1
+      parts: Int = 1,
+      driverEdgeLimit: Long = 1000000L
   ): Map[String, Double] = {
     import spark.implicits._
     val df = edges.toDF("src", "dst", "w").repartition(parts)
     Graph
-      .pagerank(df, iterations, d, weightCol = Some("w"))
+      .pagerank(df, iterations, d, weightCol = Some("w"), driverEdgeLimit = driverEdgeLimit)
       .collect()
       .map(r => r.getString(0) -> r.getDouble(1))
       .toMap
@@ -65,6 +66,12 @@ class GraphSpec extends SparkSpec {
     val got = run(chainWithDangling)
     assertClose(got, densePr(chainWithDangling, 8, 0.85))
     assert(math.abs(got.values.sum - 1.0) < 1e-9, "ranks must sum to 1")
+  }
+
+  test("distributed loop (forced) agrees with the driver fast path") {
+    val viaDriver = run(chainWithDangling)
+    val viaLoop = run(chainWithDangling, driverEdgeLimit = 0L)
+    assertClose(viaDriver, viaLoop)
   }
 
   test("parallel edges collapse by weight sum; self-loops are legal") {
