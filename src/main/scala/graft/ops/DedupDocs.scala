@@ -706,26 +706,10 @@ object DedupDocs {
       // through it; no-op by default.
       progress: (Int, Long) => Unit = (_, _) => ()
   ): DataFrame = {
-    import org.apache.spark.rdd.RDD
-    import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.graftbridge.Bridge
-    import org.apache.spark.storage.StorageLevel
     val spark = docs.sparkSession
 
-    // Lineage cut for the iterative loop: persist the INTERNAL-row RDD and
-    // rebuild a DataFrame whose logical plan is just a scan of it. A plain
-    // persist() keeps the full Catalyst plan — every round would then
-    // re-analyze a plan embedding the entire upstream candidate pipeline
-    // AND growing by one join per round, so driver planning time (not the
-    // tiny data) dominates the loop. The RDD keeps its own lineage, so
-    // fault-tolerance is unchanged (unlike localCheckpoint).
-    def cut(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
-      val rdd = Bridge
-        .toInternalRdd(df)
-        .mapPartitions(_.map(_.copy()), preservesPartitioning = true)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      (Bridge.internalCreateDataFrame(spark, rdd, df.schema), rdd)
-    }
+    // Lineage cut for the iterative loop — see graft.util.LoopFrames.
+    import graft.util.LoopFrames.{cut, cutPartitioned}
 
     // symmetric edge list in ONE pass over pairs (a union of two selects
     // would evaluate the upstream candidate pipeline once per branch),
@@ -796,6 +780,21 @@ object DedupDocs {
             .groupBy(col("src").as("doc_id"))
             .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
         )
+        // The loop's STATIC side re-keyed once on the join key with the
+        // layout DECLARED (LoopFrames.cutPartitioned): every round's
+        // neighbor-min join then plans neither an exchange nor a sort for
+        // the edge list — only the label vector moves. Pays one extra
+        // O(E) exchange here; saves one per round.
+        val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val (edgesByDst, edgesByDstRdd) = cutPartitioned(
+          edges
+            .repartition(shufflePartitions, col("dst"))
+            .sortWithinPartitions("dst"),
+          Seq("dst"),
+          shufflePartitions
+        )
+        edgesByDst.count()
+        edgesRdd.unpersist(blocking = false)
         // the fused groupBy above IS propagation round 1; the loop runs the
         // remaining maxIters-1 rounds (it needs at least one pass to detect
         // convergence, hence the floor on maxIters)
@@ -803,8 +802,8 @@ object DedupDocs {
         var iter = 1
         var converged = false
         while (!converged && iter < maxIters) {
-          val neighborMin = edges
-            .join(labels, edges("dst") === labels("doc_id"))
+          val neighborMin = edgesByDst
+            .join(labels, edgesByDst("dst") === labels("doc_id"))
             .groupBy(col("src").as("doc_id"))
             .agg(min(col("cluster_id")).as("nbr_min"))
           // candidate = min(own label, neighbor labels) — plain
@@ -851,7 +850,7 @@ object DedupDocs {
           converged = changed == 0
           iter += 1
         }
-        edgesRdd.unpersist(blocking = false)
+        edgesByDstRdd.unpersist(blocking = false)
         // fail LOUDLY: a component with diameter > maxIters would otherwise
         // silently return partially-propagated labels
         require(converged, s"connected components did not converge in $maxIters rounds — raise maxIters")

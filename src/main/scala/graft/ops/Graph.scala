@@ -1,11 +1,9 @@
 package graft.ops
 
-import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed graph centrality for curation pipelines.
   *
@@ -41,34 +39,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  /** One lineage cut: persist the internal-row RDD and rebuild a
-    * DataFrame whose plan is just a scan of it (see
-    * [[DedupDocs.connectedComponents]] for the full rationale). */
-  private def cut(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
-    val spark = df.sparkSession
-    val rdd = Bridge
-      .toInternalRdd(df)
-      .mapPartitions(_.map(_.copy()), preservesPartitioning = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    (Bridge.internalCreateDataFrame(spark, rdd, df.schema), rdd)
-  }
-
-  /** [[cut]] that also DECLARES hash layout + per-partition order to
-    * Catalyst ([[Bridge.internalCreateDataFramePartitioned]]): the
-    * caller must have ended `df` with `repartition(n, keys…)` +
-    * `sortWithinPartitions(keys…)`. The loop's static side is exchanged
-    * and sorted ONCE here instead of once per iteration. */
-  private def cutPartitioned(
-      df: DataFrame,
-      keys: Seq[String],
-      n: Int): (DataFrame, RDD[InternalRow]) = {
-    val spark = df.sparkSession
-    val rdd = Bridge
-      .toInternalRdd(df)
-      .mapPartitions(_.map(_.copy()), preservesPartitioning = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    (Bridge.internalCreateDataFramePartitioned(spark, rdd, df.schema, keys, n, keys), rdd)
-  }
+  import graft.util.LoopFrames.{cut, cutPartitioned}
 
   /** Weighted PageRank over an edge list.
     *

@@ -123,6 +123,16 @@ class GraphSpec extends SparkSpec {
       assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
       assert(sorts == 1, s"expected 1 sort, got $sorts:\n$plan")
       assert(joined.count() == 1000)
+      // cross-NAME equi-join (the connectedComponents neighbor-min shape:
+      // edges.dst === labels.doc_id) must also skip the declared side
+      val renamed = other.withColumnRenamed("k", "k2")
+      val crossName = declared.join(renamed, declared("k") === renamed("k2"))
+      val cnPlan = crossName.queryExecution.executedPlan.toString
+      val cnExchanges = "Exchange hashpartitioning".r.findAllIn(cnPlan).length
+      val cnSorts = "Sort \\[".r.findAllIn(cnPlan).length
+      assert(cnExchanges == 1, s"cross-name: expected 1 exchange, got $cnExchanges:\n$cnPlan")
+      assert(cnSorts == 1, s"cross-name: expected 1 sort, got $cnSorts:\n$cnPlan")
+      assert(crossName.count() == 1000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
