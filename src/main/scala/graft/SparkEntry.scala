@@ -661,6 +661,19 @@ object SparkEntry {
       .select(col("node"), round(col("rank"), 6).as("pr"))
   }
 
+  /** Canonical selection over the near-dup clusters: the q_dedup_clusters
+    * components re-scored so each cluster keeps its HIGHEST
+    * type-token-ratio member (ties → smallest doc_id) instead of
+    * keep-first — the curation refinement that keeps the clean original
+    * over truncated/wrapped copies. */
+  private def qDedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = DedupDocs.minhashLshPairs(docs, k = 3, numHashes = 16, rowsPerBand = 4, star = true)
+    val clusters = DedupDocs.connectedComponents(docs.select("doc_id"), pairs)
+    val scores = Text.qualityScores(docs).select(col("doc_id"), col("type_token_ratio"))
+    DedupDocs.canonicalPerCluster(clusters, scores, "type_token_ratio")
+  }
+
   /** Salted skew join: events (hot user keys) × per-user counts. The
     * salt fans a hot key across reducers; the RESULT must be identical
     * to the plain equi-join — which is exactly what the oracle checks. */
@@ -1495,6 +1508,7 @@ object SparkEntry {
     "q_simhash_neardup" -> (qSimhashNearDup _),
     "q_frames" -> (qFrames _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_canonical" -> (qDedupCanonical _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_pagerank" -> (qPagerank _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -2054,6 +2068,42 @@ object SparkEntry {
         |  SELECT e.src, cc.label FROM cc JOIN edges e ON e.dst = cc.doc_id
         |)
         |SELECT doc_id, MIN(label) AS cluster_id FROM cc GROUP BY doc_id""".stripMargin,
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE pairs AS MATERIALIZED (
+        |  WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+        |         FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
+        |  seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+        |  hs AS (SELECT doc_id,
+        |           ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+        |           ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 1000000007 AS h2
+        |         FROM sh),
+        |  mh AS (SELECT doc_id, seed, MIN((h1 % 1000000007 + seed * h2) % 1000000007) AS minhash
+        |         FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
+        |  bands AS (SELECT doc_id, seed // 4 AS band,
+        |              string_agg(seed || ':' || minhash, ',' ORDER BY seed) AS band_key
+        |            FROM mh GROUP BY doc_id, seed // 4)
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |edges AS MATERIALIZED (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |cc(doc_id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, cc.label FROM cc JOIN edges e ON e.dst = cc.doc_id
+        |),
+        |clusters AS (SELECT doc_id, MIN(label) AS cluster_id FROM cc GROUP BY doc_id),
+        |scored AS (
+        |  SELECT c.doc_id, c.cluster_id,
+        |         round(CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE) / len(string_split(d.text, ' ')), 4) AS ttr
+        |  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+        |ranked AS (
+        |  SELECT doc_id, cluster_id,
+        |         row_number() OVER (PARTITION BY cluster_id ORDER BY ttr DESC, doc_id ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, cluster_id, rk = 1 AS keep FROM ranked""".stripMargin,
     // documents.text is ASCII (asserted by the checker's schema gate at
     // every sf), so VARCHAR substring == byte slicing == Spark's binary
     // substring

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for a training-data pipeline: exact, MinHash/LSH,
@@ -258,6 +259,30 @@ object DedupDocs {
         size(toks).cast("long").as("n_tokens"),
         (size(toks) - size(kept)).cast("long").as("n_removed")
       )
+  }
+
+  /** Canonical selection per dup-cluster: given cluster assignments
+    * ([[connectedComponents]] output) and a per-doc score, keep the
+    * HIGHEST-scoring member of each cluster (ties → smallest doc_id) —
+    * the curation refinement over keep-first dedup: near-dup clusters
+    * mix a clean original with truncated/boilerplate-wrapped copies,
+    * and keep-first picks whichever has the smallest id. One window
+    * sort per cluster partition (clusters are near-dup groups — tiny
+    * fan-in, embarrassingly parallel across clusters). Emits every doc
+    * with its cluster and a `keep` verdict, so downstream stages can
+    * filter or audit. */
+  def canonicalPerCluster(
+      clusters: DataFrame,
+      scores: DataFrame,
+      scoreCol: String
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col("doc_id").asc)
+    clusters
+      .join(scores.select(col("doc_id"), col(scoreCol)), Seq("doc_id"))
+      .withColumn("pick_rank", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), (col("pick_rank") === 1).as("keep"))
   }
 
   /** LINE-level dedup — the RefinedWeb/Falcon curation step the span

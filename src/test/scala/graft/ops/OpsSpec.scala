@@ -274,4 +274,23 @@ class OpsSpec extends SparkSpec {
       assert(math.abs(exact(s).getDouble(5) - approx(s).getDouble(5)) <= 1.0, s"p90 $s")
     }
   }
+
+  test("canonicalPerCluster keeps the argmax-score member, ties break by doc_id") {
+    val clusters = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L), // cluster 100
+      (4L, 200L), (5L, 200L),             // cluster 200: tied scores
+      (6L, 300L)                          // singleton
+    ).toDF("doc_id", "cluster_id")
+    val scores = Seq(
+      (1L, 0.3), (2L, 0.9), (3L, 0.5),
+      (4L, 0.7), (5L, 0.7),
+      (6L, 0.1)
+    ).toDF("doc_id", "s")
+    val out = DedupDocs.canonicalPerCluster(clusters, scores, "s")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(2L) == ((100L, true)) && !out(1L)._2 && !out(3L)._2, "argmax wins")
+    assert(out(4L) == ((200L, true)) && !out(5L)._2, "tie breaks by smaller doc_id")
+    assert(out(6L) == ((300L, true)), "singleton keeps itself")
+    assert(out.size == 6)
+  }
 }
