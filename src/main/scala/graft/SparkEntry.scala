@@ -437,6 +437,11 @@ object SparkEntry {
   private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
     Mixture.stratifiedSample(Tables.documents(s, dir), k = 25, salt = "strat1")
 
+  /** Token-balanced serpentine shard assignment: 8 output shards,
+    * global size-rank via the two-pass range-partition machinery. */
+  private def qShardAssign(s: SparkSession, dir: String): DataFrame =
+    Mixture.shardAssign(Tables.documents(s, dir), nShards = 8)
+
   /** Greedy concat-and-chunk sequence packing: 512-token budget per
     * source group. */
   private def qPack(s: SparkSession, dir: String): DataFrame =
@@ -1518,6 +1523,7 @@ object SparkEntry {
     "q_mixture" -> (qMixture _),
     "q_temperature_sample" -> (qTemperatureSample _),
     "q_stratified_sample" -> (qStratifiedSample _),
+    "q_shard_assign" -> (qShardAssign _),
     "q_pack" -> (qPack _),
     "q_top_ngrams" -> (qTopNgrams _),
     "q_top_ngrams_sketch" -> (qTopNgramsSketch _),
@@ -2240,6 +2246,14 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 <
         |      CASE source WHEN 'src1' THEN 1.0 WHEN 'src2' THEN 0.75 WHEN 'src3' THEN 0.5
         |                  WHEN 'src4' THEN 0.25 WHEN 'src5' THEN 0.1 ELSE 0.0 END""".stripMargin,
+    "q_shard_assign" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |        row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1 AS rk
+        |      FROM d)
+        |SELECT doc_id, n_tokens,
+        |       CAST(CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - (rk % 8) END AS INT) AS shard
+        |FROM r""".stripMargin,
     "q_stratified_sample" ->
       """WITH d AS (SELECT doc_id, source,
         |             ('0x' || substr(md5('strat1' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 AS u

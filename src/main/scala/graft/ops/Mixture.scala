@@ -122,6 +122,79 @@ object Mixture {
       .where(col("draw_rank") <= k)
   }
 
+  /** Token-balanced shard assignment (the output-file layout step: N
+    * training shards with near-equal token totals, so no reader strag-
+    * gles): docs are globally ranked by token count DESC (doc_id
+    * tiebreak) and dealt SERPENTINE — round r assigns positions left-to-
+    * right, round r+1 right-to-left — the streaming form of LPT
+    * scheduling; on a descending sequence the imbalance is bounded by a
+    * single document, not by systematic drift (plain round-robin gives
+    * shard 0 the largest doc of EVERY round).
+    *
+    * The global rank uses the repo's two-pass range-partition shape
+    * ([[graft.ts.Sessionize.withSegmentIdGlobal]]): range-partition +
+    * local sort, O(partitions) count summary to the driver, then a
+    * rank-offset map per partition — no keyless window, no single-task
+    * sort. Returns (doc_id, n_tokens, shard); the frame is backed by
+    * the pass-1 cache (the range partitioner must not resample between
+    * passes). */
+  def shardAssign(
+      documents: DataFrame,
+      nShards: Int,
+      numPartitions: Int = 0
+  ): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.storage.StorageLevel
+    val spark = documents.sparkSession
+    val n =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val base = documents.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val docIdType = base.schema.fields(0).dataType
+    val sorted = Bridge
+      .toInternalRdd(
+        base
+          .repartitionByRange(n, col("n_tokens").desc, col("doc_id").asc)
+          .sortWithinPartitions(col("n_tokens").desc, col("doc_id").asc))
+      .mapPartitions(_.map(_.copy()), preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted
+      .mapPartitionsWithIndex { (pid, it) =>
+        var c = 0L; while (it.hasNext) { it.next(); c += 1 }
+        Iterator.single(pid -> c)
+      }
+      .collect()
+      .toMap
+    val offsets = new Array[Long](n)
+    var acc = 0L
+    (0 until n).foreach { pid => offsets(pid) = acc; acc += counts.getOrElse(pid, 0L) }
+    val out = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var r = offsets(pid)
+      it.map { row =>
+        val round = r / nShards
+        val pos = (r % nShards).toInt
+        val shard = if (round % 2 == 0L) pos else nShards - 1 - pos
+        r += 1
+        new GenericInternalRow(Array[Any](
+          InternalRow.copyValue(row.get(0, docIdType)), row.getLong(1), shard)): InternalRow
+      }
+    }
+    Bridge.internalCreateDataFrame(
+      spark,
+      out,
+      org.apache.spark.sql.types.StructType(Seq(
+        base.schema.fields(0),
+        org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.IntegerType, nullable = false)
+      ))
+    )
+  }
+
   /** Greedy sequence packing (the standard pretraining concat-and-chunk):
     * documents are concatenated per group in `orderCol` order and the
     * token stream is cut into `budget`-token sequences; each doc reports

@@ -218,6 +218,30 @@ class MixtureSpec extends SparkSpec {
     assert(k5.subsetOf(a.toSet))
   }
 
+  test("shardAssign: serpentine LPT — driver-reference parity, balance, partition invariance") {
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 500L)
+      .map(i => (i, (0 to rnd.nextInt(60)).map(_ => "w").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Mixture.shardAssign(df, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // driver reference: sort desc by (tokens, -id? no: id asc), serpentine deal
+    val ref = out.map(t => (t._1, t._2)).sortBy { case (id, tok) => (-tok, id) }
+      .zipWithIndex.map { case ((id, tok), rk) =>
+        val pos = rk % 8
+        id -> (if ((rk / 8) % 2 == 0) pos else 7 - pos)
+      }.toMap
+    out.foreach { case (id, _, shard) => assert(shard == ref(id), s"doc $id") }
+    // balance: every shard's token total within one max-doc of each other
+    val totals = out.groupBy(_._3).map { case (_, xs) => xs.map(_._2).sum }
+    val maxDoc = out.map(_._2).max
+    assert(totals.max - totals.min <= maxDoc, s"imbalance ${totals.max - totals.min} > $maxDoc")
+    // partition invariance
+    val again = Mixture.shardAssign(df.repartition(11), nShards = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    out.foreach { case (id, _, shard) => assert(again(id) == shard) }
+  }
+
   test("temperatureSample: rates follow (n_min/n_s)^(1-alpha); alpha=1 keeps all") {
     // big: 300 docs × 2 tokens; small: 100 docs × 2 tokens
     val df = (0 until 400)
