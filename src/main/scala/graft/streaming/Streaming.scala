@@ -31,6 +31,38 @@ object Streaming {
         col("n_events")
       )
 
+  /** Per-source ingestion telemetry over TUMBLING event-time windows
+    * with a watermark — the admission-control dashboard for a streaming
+    * curation pipeline (docs/s and tokens/s per source and window).
+    * Complements [[sessionCounts]] (gap windows) with the fixed-window
+    * + watermark + late-data-drop shape: in Append mode a window emits
+    * exactly once, after the watermark passes its end, and rows later
+    * than the watermark are dropped rather than mutating an emitted
+    * window (the exactly-once contract a downstream ledger needs).
+    * State is bounded by (sources × open windows) — watermark expiry
+    * evicts closed windows, so a year-long stream holds only the
+    * in-flight tail. */
+  def tokenRateStream(
+      docs: DataFrame,
+      tsCol: String,
+      windowDuration: String,
+      watermarkDelay: String
+  ): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens")
+      )
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("source"),
+        col("n_docs"),
+        col("n_tokens")
+      )
+
   /** Event for the streaming censor: a detection at sample `idx` on `key`. */
   final case class Detection(key: String, idx: Long)
   final case class Kept(key: String, idx: Long)

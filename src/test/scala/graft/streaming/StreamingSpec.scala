@@ -332,4 +332,41 @@ class StreamingSpec extends SparkSpec {
     assert(verdictFresh == 1)
     assert(verdictStale == 0, "a pre-built frame misses appends — the by-name contract is load-bearing")
   }
+
+  test("tokenRateStream: windows emit once after the watermark, late rows drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val q = Streaming
+      .tokenRateStream(
+        input.toDF().toDF("event_time", "source", "text"),
+        "event_time", windowDuration = "10 seconds", watermarkDelay = "5 seconds")
+      .writeStream
+      .format("memory")
+      .queryName("rates")
+      .outputMode("append")
+      .start()
+    // window [0,10): two docs, 5 tokens total
+    input.addData((ts(1), "web", "a b c"), (ts(4), "web", "d e"))
+    q.processAllAvailable()
+    // nothing emitted yet: watermark (max 4s − 5s) has not passed 10s
+    assert(spark.sql("SELECT * FROM rates").count() == 0)
+    // advance event time far enough to close [0,10)
+    input.addData((ts(20), "web", "x y"))
+    q.processAllAvailable()
+    val first = spark.sql("SELECT source, n_docs, n_tokens FROM rates").collect()
+    assert(first.length == 1)
+    assert(first.head.getString(0) == "web" && first.head.getLong(1) == 2L && first.head.getLong(2) == 5L)
+    // a LATE row for the emitted window (event time 3s, watermark now 15s) is dropped
+    input.addData((ts(3), "web", "late late late"))
+    q.processAllAvailable()
+    input.addData((ts(40), "web", "z")) // close [20,30) too
+    q.processAllAvailable()
+    val all = spark.sql("SELECT window_start, n_docs, n_tokens FROM rates ORDER BY window_start").collect()
+    q.stop()
+    // still exactly one row for [0,10) with the original totals, one for [20,30)
+    assert(all.length == 2, all.mkString(";"))
+    assert(all.head.getLong(1) == 2L && all.head.getLong(2) == 5L, "late row must not mutate an emitted window")
+    assert(all(1).getLong(1) == 1L && all(1).getLong(2) == 2L)
+  }
 }
