@@ -78,15 +78,19 @@ object Mixture {
     val perSrc = documents
       .groupBy(col(sourceCol))
       .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
-    val nMin = perSrc.agg(min(col("n_tokens")).as("n_min"))
+    // n_min and the broadcast-gate count come from ONE job over the
+    // per-source aggregate — folding the global min into the plan as a
+    // 1-row cross join would cost the same corpus pass but plan a
+    // (harmless-looking, PlanShapeSpec-banned) nested-loop join.
+    val statsRow = perSrc.agg(count(lit(1)).as("n"), min(col("n_tokens")).as("n_min")).head()
+    val nSources = statsRow.getLong(0)
+    val nMinTokens = if (nSources == 0L) 0L else statsRow.getLong(1)
     val rates = perSrc
-      .crossJoin(broadcast(nMin))
       .select(
         col(sourceCol),
-        pow(col("n_min").cast("double") / col("n_tokens").cast("double"), 1.0 - alpha)
+        pow(lit(nMinTokens).cast("double") / col("n_tokens").cast("double"), 1.0 - alpha)
           .as("rate")
       )
-    val nSources = rates.count()
     val ratesSide = graft.spikes.Spikes.broadcastIfSmall(rates, nSources)
     documents
       .select(col("doc_id"), col(sourceCol))
