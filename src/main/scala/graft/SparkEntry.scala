@@ -302,6 +302,31 @@ object SparkEntry {
   private def qCorpusStats(s: SparkSession, dir: String): DataFrame =
     Text.corpusStats(Tables.documents(s, dir))
 
+  /** Per-language percentile quality gate ([[Text.percentileGate]]):
+    * keep each language's top half by type-token ratio. The rank comes
+    * from a (lang, score) histogram, never a per-language corpus sort —
+    * the oracle spells the textbook percent_rank window, the engine the
+    * scalable twin. */
+  private def qQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val scored = Text
+      .qualityScores(Tables.documents(s, dir), keep = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("type_token_ratio").as("score"))
+    Text
+      .percentileGate(scored, "score", Seq("lang"), minPercentile = 0.5)
+      .select("doc_id", "lang", "score", "pct")
+  }
+
+  /** Sidecar-metadata extraction ([[graft.ops.Metadata.fieldStats]]):
+    * per-event-type stats of the numeric `k` field parsed out of the
+    * `props` JSON string — codegen'd parse, no UDF, no extra scan. */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Metadata
+      .fieldStats(
+        Tables.events(s, dir).select("event_type", "props"),
+        jsonCol = "props",
+        fieldPath = "k",
+        groupCols = Seq("event_type"))
+
   /** Deterministic 80/10/10 train/val/test assignment. */
   private def qSplitAssign(s: SparkSession, dir: String): DataFrame =
     Mixture
@@ -1540,7 +1565,9 @@ object SparkEntry {
     "q_bm25_serve" -> (qBm25Serve _),
     "q_semdedup" -> (qSemDedup _),
     "q_quality_classifier" -> (qQualityClassifier _),
-    "q_token_budget" -> (qTokenBudget _)
+    "q_token_budget" -> (qTokenBudget _),
+    "q_quality_gate" -> (qQualityGate _),
+    "q_json_extract" -> (qJsonExtract _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -2413,7 +2440,26 @@ object SparkEntry {
         |        COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
         |      FROM d)
-        |SELECT doc_id, source, n_tokens FROM o WHERE cb < 600""".stripMargin
+        |SELECT doc_id, source, n_tokens FROM o WHERE cb < 600""".stripMargin,
+    // textbook percent_rank window — the engine computes the identical
+    // (rank−1)/(n−1) values from a (lang, score) histogram instead of a
+    // per-language corpus sort (Text.percentileGate)
+    "q_quality_gate" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS score
+        |FROM documents),
+        |r AS (SELECT doc_id, lang, score,
+        |        percent_rank() OVER (PARTITION BY lang ORDER BY score) AS pr
+        |      FROM q)
+        |SELECT doc_id, lang, score, round(pr, 6) AS pct FROM r WHERE pr >= 0.5""".stripMargin,
+    "q_json_extract" ->
+      """WITH v AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+        |a AS (SELECT event_type, COUNT(*) AS n_rows, COUNT(k) AS n_parsed,
+        |        CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_v
+        |      FROM v GROUP BY event_type)
+        |SELECT event_type, n_rows, n_parsed, sum_v,
+        |  CASE WHEN n_parsed > 0 THEN round(CAST(sum_v AS DOUBLE) / n_parsed, 4) ELSE -1.0 END AS mean_v
+        |FROM a""".stripMargin
   ) ++ pqFamilyOracles
 
   // ---- `.rec` generated oracles ---------------------------------------

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir, only) = args.toSeq match {
+      case Seq(sf, out, rest @ _*) => (sf, out, rest.toSet)
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [queryName...]")
+    }
+    require(only.subsetOf(SparkEntry.queries.keySet),
+      s"unknown queries: ${(only -- SparkEntry.queries.keySet).mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +24,11 @@ object Verify {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
       f.delete()
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev subset: extra args name the queries to dump (driver passes none)
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(only).toMap
+    selected.foreach { case (name, fn) =>
       // remove any previous round's output FIRST: a query that fails
       // before its overwrite must not leave stale results for the
       // compare to validate as a false pass

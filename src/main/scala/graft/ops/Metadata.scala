@@ -37,9 +37,10 @@ object Metadata {
   }
 
   /** Per-group stats of one numeric JSON field: row count, non-null
-    * parse count, sum and 4dp mean of the extracted value. Decimal
-    * accumulation keeps the sum associative (order-independent ⇒
-    * oracle-exact); the mean divides the exact sum. */
+    * parse count, exact integer sum, and 4dp mean. The mean divides the
+    * exact long sum as a double (not a streamed float average), so it is
+    * order-independent and oracle-exact; an unparseable group gets the
+    * −1 sentinel (NULL doubles break value hashing in the compare). */
   def fieldStats(
       df: DataFrame,
       jsonCol: String,
@@ -52,8 +53,12 @@ object Metadata {
       .agg(
         count(lit(1)).as("n_rows"),
         count(col("_v")).as("n_parsed"),
-        coalesce(sum(col("_v")), lit(0L)).as("sum_v"),
-        round(avg(col("_v").cast("decimal(20,4)")).cast("double"), 4).as("mean_v")
+        coalesce(sum(col("_v")), lit(0L)).as("sum_v")
       )
+      .withColumn(
+        "mean_v",
+        when(col("n_parsed") > 0L,
+          round(col("sum_v").cast("double") / col("n_parsed").cast("double"), 4))
+          .otherwise(lit(-1.0)))
   }
 }

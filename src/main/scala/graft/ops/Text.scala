@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline, over the
@@ -28,7 +29,11 @@ object Text {
     * count is a one-pass native token-set kernel
     * ([[graft.functions.TokenSetCounts]]) instead of an interpreted
     * `filter(toks, isin)` HOF (TextKernelSpec pins equality). */
-  def qualityScores(documents: DataFrame, stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+  def qualityScores(
+      documents: DataFrame,
+      stopwords: Seq[String] = Seq("the", "a"),
+      keep: Seq[String] = Nil
+  ): DataFrame = {
     val toks = split(col("text"), " ")
     val nTok = size(toks).cast("double")
     val nStop = graft.functions.TokenSetCounts
@@ -36,11 +41,11 @@ object Text {
       .getItem(0)
       .cast("double")
     documents.select(
-      col("doc_id"),
-      round(length(regexp_replace(col("text"), " ", "")).cast("double") / nTok, 4)
-        .as("mean_word_len"),
-      round(nStop / nTok, 4).as("stopword_ratio"),
-      round(size(array_distinct(toks)).cast("double") / nTok, 4).as("type_token_ratio")
+      col("doc_id") +: keep.map(col) :+
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") / nTok, 4)
+          .as("mean_word_len") :+
+        round(nStop / nTok, 4).as("stopword_ratio") :+
+        round(size(array_distinct(toks)).cast("double") / nTok, 4).as("type_token_ratio"): _*
     )
   }
 
@@ -459,5 +464,62 @@ object Text {
           org.apache.spark.sql.functions.size(col("__toks")) - col("chunk_id") * step
         ).cast("long").as("n_chunk_tokens"),
         array_join(slice(col("__toks"), col("chunk_id") * step + 1, lit(size)), " ").as("chunk_text"))
+  }
+
+  /** Per-key percentile gate — "keep the top (1−p) of each language /
+    * source by quality score", the threshold step between a scorer
+    * ([[qualityScores]], [[graft.ops.QualityClassifier]]) and the kept
+    * corpus. A row survives when its `percent_rank()` within its key
+    * group (ascending by score) is ≥ `minPercentile`.
+    *
+    * Scale shape: the textbook spelling — `percent_rank() OVER
+    * (PARTITION BY lang ORDER BY score)` — sorts EVERY row of a key
+    * inside one task; with a handful of languages over a 100 TB corpus
+    * that is a single-task cliff. Instead the rank is computed on the
+    * (key, score) HISTOGRAM: one map-side-combinable aggregate builds
+    * per-(key, rounded-score) counts (bounded by |keys| × |distinct
+    * rounded scores| — thousands, not corpus-sized), a window over that
+    * tiny frame turns cumulative counts into the exact same
+    * `(rank−1)/(n−1)` values, and the per-score ranks broadcast back
+    * onto the corpus (count-gated; shuffled join fallback beyond the
+    * gate). The corpus itself never sorts and never shuffles on the
+    * broadcast path. Scores must be pre-rounded (they are, 4dp) so the
+    * histogram is exact, not approximate.
+    *
+    * Output: input columns + `pct` (the percent_rank, 6dp), filtered to
+    * survivors. Ties share a rank (min-rank semantics, same as SQL
+    * `percent_rank`); a single-row group ranks 0. */
+  def percentileGate(
+      scored: DataFrame,
+      scoreCol: String,
+      keyCols: Seq[String],
+      minPercentile: Double
+  ): DataFrame = {
+    require(minPercentile >= 0.0 && minPercentile <= 1.0,
+      s"minPercentile must be in [0, 1], got $minPercentile")
+    require(keyCols.nonEmpty, "keyCols must be non-empty (global gating: pass a constant key)")
+    val keys = keyCols.map(col)
+    val hist = scored
+      .groupBy(keys :+ col(scoreCol): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val wOrd = w.orderBy(col(scoreCol).asc)
+    // less = rows strictly below this score; n = group size. percent_rank
+    // = (rank−1)/(n−1) with min-rank ties ⇒ exactly less/(n−1).
+    val ranked = hist
+      .withColumn("__less", coalesce(
+        sum(col("__cnt")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(w))
+      .select(
+        (keys :+ col(scoreCol)) :+
+          when(col("__n") > 1L, col("__less").cast("double") / (col("__n") - 1L).cast("double"))
+            .otherwise(lit(0.0)).as("__pr"): _*)
+      .where(col("__pr") >= minPercentile)
+    val nKept = ranked.count()
+    scored
+      .join(graft.spikes.Spikes.broadcastIfSmall(ranked, nKept),
+        keyCols :+ scoreCol)
+      .withColumn("pct", round(col("__pr"), 6))
+      .drop("__pr")
   }
 }
