@@ -639,6 +639,24 @@ object SparkEntry {
       k = 25
     )
 
+  /** Hybrid retrieval: RRF fusion ([[graft.ops.Hybrid]]) of the q_bm25
+    * lexical top-25 with the dense cosine top-25 for query vector 0 —
+    * fusion runs over the two candidate LISTS (≤25 rows each), so the
+    * join and final top-k are O(N) regardless of corpus size; the
+    * corpus work stays inside the retrievers. */
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = graft.ops.Hybrid
+      .withRank(
+        Bm25.topK(Tables.documents(s, dir), Seq("scan", "join", "vector", "stream", "merge", "zzz"), k = 25),
+        Seq(col("score").desc, col("doc_id").asc))
+      .select("doc_id", "rank")
+    val e = Tables.embeddings(s, dir)
+    val dense = graft.ops.Similarity
+      .bruteForceTopK(e, e.where(col("vec_id") === 0), k = 25)
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    graft.ops.Hybrid.rrfFuse(lex, dense, k = 15)
+  }
+
   /** Dedup clusters: MinHash-LSH candidate pairs → connected components
     * → (doc_id, cluster_id = min doc of the component). The step that
     * turns pair sets into deduplication decisions. Uses STAR pairs
@@ -1567,7 +1585,8 @@ object SparkEntry {
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_token_budget" -> (qTokenBudget _),
     "q_quality_gate" -> (qQualityGate _),
-    "q_json_extract" -> (qJsonExtract _)
+    "q_json_extract" -> (qJsonExtract _),
+    "q_hybrid_rrf" -> (qHybridRrf _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -2459,7 +2478,44 @@ object SparkEntry {
         |      FROM v GROUP BY event_type)
         |SELECT event_type, n_rows, n_parsed, sum_v,
         |  CASE WHEN n_parsed > 0 THEN round(CAST(sum_v AS DOUBLE) / n_parsed, 4) ELSE -1.0 END AS mean_v
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    // RRF fusion of the q_bm25 lexical chain (same CTEs/terms/rounding)
+    // with the q_sim_topk cosine chain pinned to query vector 0; every
+    // float literal CAST AS DOUBLE (bare 1.0 is DECIMAL in DuckDB)
+    "q_hybrid_rrf" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |stats AS (SELECT COUNT(*) AS n, AVG(len(t)) AS avgdl FROM docs),
+        |toks AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, unnest(t) AS tok FROM docs),
+        |tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+        |       WHERE tok IN ('scan', 'join', 'vector', 'stream', 'merge', 'zzz')
+        |       GROUP BY doc_id, dl, tok),
+        |df AS (SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tf) GROUP BY tok),
+        |sc AS (SELECT doc_id, round(SUM(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * 2.2
+        |                  / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+        |       FROM tf JOIN df USING (tok) CROSS JOIN stats GROUP BY doc_id),
+        |lex AS (SELECT doc_id, lex_rank FROM
+        |          (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank FROM sc)
+        |        WHERE lex_rank <= 25),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |p AS (SELECT vec_id, qe, embedding AS ee FROM embeddings, q WHERE vec_id <> 0),
+        |u AS (SELECT vec_id, unnest(qe) AS qv, unnest(ee) AS ev FROM p),
+        |dd AS (SELECT vec_id,
+        |         SUM(CAST(qv AS DOUBLE) * CAST(ev AS DOUBLE)) AS dp,
+        |         SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS qq,
+        |         SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS ee2
+        |       FROM u GROUP BY vec_id),
+        |cs AS (SELECT vec_id, round(dp / (sqrt(qq) * sqrt(ee2)), 6) AS cos_sim FROM dd),
+        |dense AS (SELECT vec_id AS doc_id, dense_rank FROM
+        |            (SELECT vec_id, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS dense_rank FROM cs)
+        |          WHERE dense_rank <= 25),
+        |f AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+        |        COALESCE(l.lex_rank, -1) AS lex_rank,
+        |        COALESCE(d.dense_rank, -1) AS dense_rank,
+        |        round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0)
+        |              + COALESCE(CAST(1.0 AS DOUBLE) / (60 + d.dense_rank), 0), 6) AS rrf_score
+        |      FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+        |SELECT doc_id, lex_rank, dense_rank, rrf_score
+        |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin
   ) ++ pqFamilyOracles
 
   // ---- `.rec` generated oracles ---------------------------------------
