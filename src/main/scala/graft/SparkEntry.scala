@@ -316,6 +316,16 @@ object SparkEntry {
       .select("doc_id", "lang", "score", "pct")
   }
 
+  /** Canonical normalization ([[Text.normalizeDocs]]): collapse → lower
+    * → NFC. The corpus is ASCII (fast path), so a decomposed-Unicode
+    * suffix (e + combining acute U+0301, double space, upper case) is
+    * appended on BOTH sides to make the oracle exercise real
+    * composition, not just the identity path. */
+  private def qNormalize(s: SparkSession, dir: String): DataFrame =
+    Text.normalizeDocs(
+      Tables.documents(s, dir)
+        .withColumn("text", concat(col("text"), lit(" Cafe\u0301  STRASSE"))))
+
   /** Sidecar-metadata extraction ([[graft.ops.Metadata.fieldStats]]):
     * per-event-type stats of the numeric `k` field parsed out of the
     * `props` JSON string — codegen'd parse, no UDF, no extra scan. */
@@ -1586,7 +1596,8 @@ object SparkEntry {
     "q_token_budget" -> (qTokenBudget _),
     "q_quality_gate" -> (qQualityGate _),
     "q_json_extract" -> (qJsonExtract _),
-    "q_hybrid_rrf" -> (qHybridRrf _)
+    "q_hybrid_rrf" -> (qHybridRrf _),
+    "q_normalize" -> (qNormalize _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -2515,7 +2526,13 @@ object SparkEntry {
         |              + COALESCE(CAST(1.0 AS DOUBLE) / (60 + d.dense_rank), 0), 6) AS rrf_score
         |      FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
         |SELECT doc_id, lex_rank, dense_rank, rrf_score
-        |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin
+        |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin,
+    // same decomposed suffix (chr(769) = combining acute U+0301), same
+    // op order: collapse space runs → lower → NFC compose
+    "q_normalize" ->
+      """SELECT doc_id,
+        |  nfc_normalize(lower(regexp_replace(text || ' Cafe' || chr(769) || '  STRASSE', ' +', ' ', 'g'))) AS norm_text
+        |FROM documents""".stripMargin
   ) ++ pqFamilyOracles
 
   // ---- `.rec` generated oracles ---------------------------------------

@@ -466,6 +466,22 @@ object Text {
         array_join(slice(col("__toks"), col("chunk_id") * step + 1, lit(size)), " ").as("chunk_text"))
   }
 
+  /** Canonical text normalization — the cleaning step every dedup /
+    * fingerprint / tokenize pass assumes has already happened: space
+    * runs collapse to one space, case folds to lower, and Unicode
+    * composes to NFC ([[graft.functions.NfcNormalize]], a codegen'd
+    * native expression — Spark has no NFC built-in) so decomposed
+    * e+◌́ and precomposed é become the same bytes. Order matters and is
+    * part of the contract (and the SQL oracle): collapse → lower → NFC.
+    * Stateless per-row map: no shuffle, output partitioned like input,
+    * ASCII rows take a branchy byte-scan fast path with no allocation. */
+  def normalizeDocs(documents: DataFrame, textCol: String = "text"): DataFrame =
+    documents.select(
+      col("doc_id"),
+      graft.functions.NfcNormalize
+        .nfc(lower(regexp_replace(col(textCol), " +", " ")))
+        .as("norm_text"))
+
   /** Per-key percentile gate — "keep the top (1−p) of each language /
     * source by quality score", the threshold step between a scorer
     * ([[qualityScores]], [[graft.ops.QualityClassifier]]) and the kept
