@@ -260,6 +260,15 @@ object SparkEntry {
     Pca.project(e, model)
   }
 
+  /** SQ8 int8-quantized cosine top-k ([[graft.ops.Sq]]): per-vector
+    * max-abs scaling to tinyint, integer-exact scoring (the scales
+    * cancel in cosine), 4× smaller serving rows. Same query set /
+    * k / tie contract as q_sim_topk so the two are comparable. */
+  private def qSq8Topk(s: SparkSession, dir: String): DataFrame = {
+    val qz = graft.ops.Sq.quantize(Tables.embeddings(s, dir))
+    graft.ops.Sq.topK(qz, qz.where(col("vec_id") < 5), k = 10)
+  }
+
   /** MinHash-LSH candidate pairs (oracle-checked: the banding IS
     * SQL-expressible — see the q_minhash_lsh entry). */
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -1597,7 +1606,8 @@ object SparkEntry {
     "q_quality_gate" -> (qQualityGate _),
     "q_json_extract" -> (qJsonExtract _),
     "q_hybrid_rrf" -> (qHybridRrf _),
-    "q_normalize" -> (qNormalize _)
+    "q_normalize" -> (qNormalize _),
+    "q_sq8_topk" -> (qSq8Topk _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -2532,7 +2542,31 @@ object SparkEntry {
     "q_normalize" ->
       """SELECT doc_id,
         |  nfc_normalize(lower(regexp_replace(text || ' Cafe' || chr(769) || '  STRASSE', ' +', ' ', 'g'))) AS norm_text
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // SQ8: the only float step is quantization itself (plain IEEE double
+    // ops, spelled identically); scoring is exact int64 so no rounding
+    // convention is needed before the 6dp cosine round
+    "q_sq8_topk" ->
+      """WITH qz AS (SELECT vec_id,
+        |        greatest(CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0, 1e-30) AS scale,
+        |        embedding
+        |      FROM embeddings),
+        |qv AS (SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS q
+        |       FROM qz),
+        |p AS (SELECT qq.vec_id AS query_id, c.vec_id, qq.q AS a, c.q AS b
+        |      FROM qv c, (SELECT * FROM qv WHERE vec_id < 5) qq
+        |      WHERE c.vec_id <> qq.vec_id),
+        |u AS (SELECT query_id, vec_id, unnest(a) AS av, unnest(b) AS bv FROM p),
+        |d AS (SELECT query_id, vec_id, SUM(av * bv) AS dp, SUM(av * av) AS sa, SUM(bv * bv) AS sb
+        |      FROM u GROUP BY query_id, vec_id),
+        |c2 AS (SELECT query_id, vec_id,
+        |         round(CAST(dp AS DOUBLE) / (sqrt(CAST(sa AS DOUBLE)) * sqrt(CAST(sb AS DOUBLE))), 6) AS cos_q
+        |       FROM d),
+        |r AS (SELECT query_id, vec_id, cos_q,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, vec_id ASC) AS rank
+        |      FROM c2)
+        |SELECT query_id, vec_id, cos_q, rank FROM r WHERE rank <= 10""".stripMargin
   ) ++ pqFamilyOracles
 
   // ---- `.rec` generated oracles ---------------------------------------

@@ -39,7 +39,13 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     //    its rerank joins are hash joins. q_ivfpq_topk replaces even
     //    that with a hash join on cell (asserted below).
     // Every other plan must be nested-loop-free.
-    val allowed = Set("q_sim_topk", "q_ivf_topk", "q_ivf_serve", "q_pq_topk")
+    //  - q_sq8_topk is the same brute-force baseline over the int8-
+    //    quantized table (corpus × broadcast quantized query set);
+    //  - q_hybrid_rrf's dense retriever IS the q_sim_topk brute-force
+    //    baseline (the fusion itself is an O(N) equi-join of candidate
+    //    lists — swap in the IVF retriever for the sublinear path).
+    val allowed = Set(
+      "q_sim_topk", "q_ivf_topk", "q_ivf_serve", "q_pq_topk", "q_sq8_topk", "q_hybrid_rrf")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(allowed).foreach { name =>
       val p = planString(name)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a BNLJ:\n$p")
