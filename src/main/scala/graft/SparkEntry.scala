@@ -269,6 +269,20 @@ object SparkEntry {
     graft.ops.Sq.topK(qz, qz.where(col("vec_id") < 5), k = 10)
   }
 
+  /** IVF-probed SQ8 serving ([[graft.ops.Sq.topKIvf]]): the quantized
+    * column dropped into the IVF index shape — cell-assigned int8 rows,
+    * driver cell ranking, broadcast probe, bucket equi-join. Full
+    * probing (nProbe == nLists) makes it equal [[qSq8Topk]] exactly, so
+    * it shares that oracle; the machinery is what runs at nProbe <
+    * nLists. */
+  private def qIvfSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val (assigned, cents) = Ivf.assignCells(e, nLists = 8)
+    val assignedQ = graft.ops.Sq.quantize(assigned).select("vec_id", "cell", "qvec", "qsq")
+    val queries = graft.ops.Sq.quantize(e.where(col("vec_id") < 5), dropInput = false)
+    graft.ops.Sq.topKIvf(assignedQ, cents, queries, k = 10, nProbe = 8)
+  }
+
   /** MinHash-LSH candidate pairs (oracle-checked: the banding IS
     * SQL-expressible — see the q_minhash_lsh entry). */
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -1607,7 +1621,8 @@ object SparkEntry {
     "q_json_extract" -> (qJsonExtract _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_normalize" -> (qNormalize _),
-    "q_sq8_topk" -> (qSq8Topk _)
+    "q_sq8_topk" -> (qSq8Topk _),
+    "q_ivf_sq8" -> (qIvfSq8 _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -2546,28 +2561,35 @@ object SparkEntry {
     // SQ8: the only float step is quantization itself (plain IEEE double
     // ops, spelled identically); scoring is exact int64 so no rounding
     // convention is needed before the 6dp cosine round
-    "q_sq8_topk" ->
-      """WITH qz AS (SELECT vec_id,
-        |        greatest(CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0, 1e-30) AS scale,
-        |        embedding
-        |      FROM embeddings),
-        |qv AS (SELECT vec_id,
-        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS q
-        |       FROM qz),
-        |p AS (SELECT qq.vec_id AS query_id, c.vec_id, qq.q AS a, c.q AS b
-        |      FROM qv c, (SELECT * FROM qv WHERE vec_id < 5) qq
-        |      WHERE c.vec_id <> qq.vec_id),
-        |u AS (SELECT query_id, vec_id, unnest(a) AS av, unnest(b) AS bv FROM p),
-        |d AS (SELECT query_id, vec_id, SUM(av * bv) AS dp, SUM(av * av) AS sa, SUM(bv * bv) AS sb
-        |      FROM u GROUP BY query_id, vec_id),
-        |c2 AS (SELECT query_id, vec_id,
-        |         round(CAST(dp AS DOUBLE) / (sqrt(CAST(sa AS DOUBLE)) * sqrt(CAST(sb AS DOUBLE))), 6) AS cos_q
-        |       FROM d),
-        |r AS (SELECT query_id, vec_id, cos_q,
-        |        row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, vec_id ASC) AS rank
-        |      FROM c2)
-        |SELECT query_id, vec_id, cos_q, rank FROM r WHERE rank <= 10""".stripMargin
+    "q_sq8_topk" -> sq8OracleSql,
+    // full probing => identical result, shared oracle (the q_ivf_topk /
+    // q_ivf_serve recipe)
+    "q_ivf_sq8" -> sq8OracleSql
   ) ++ pqFamilyOracles
+
+  /** Shared oracle for q_sq8_topk and q_ivf_sq8 (full probing ⇒ every
+    * pair scored exactly once ⇒ identical results). */
+  private val sq8OracleSql: String =
+    """WITH qz AS (SELECT vec_id,
+      |        greatest(CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0, 1e-30) AS scale,
+      |        embedding
+      |      FROM embeddings),
+      |qv AS (SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS q
+      |       FROM qz),
+      |p AS (SELECT qq.vec_id AS query_id, c.vec_id, qq.q AS a, c.q AS b
+      |      FROM qv c, (SELECT * FROM qv WHERE vec_id < 5) qq
+      |      WHERE c.vec_id <> qq.vec_id),
+      |u AS (SELECT query_id, vec_id, unnest(a) AS av, unnest(b) AS bv FROM p),
+      |d AS (SELECT query_id, vec_id, SUM(av * bv) AS dp, SUM(av * av) AS sa, SUM(bv * bv) AS sb
+      |      FROM u GROUP BY query_id, vec_id),
+      |c2 AS (SELECT query_id, vec_id,
+      |         round(CAST(dp AS DOUBLE) / (sqrt(CAST(sa AS DOUBLE)) * sqrt(CAST(sb AS DOUBLE))), 6) AS cos_q
+      |       FROM d),
+      |r AS (SELECT query_id, vec_id, cos_q,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, vec_id ASC) AS rank
+      |      FROM c2)
+      |SELECT query_id, vec_id, cos_q, rank FROM r WHERE rank <= 10""".stripMargin
 
   // ---- `.rec` generated oracles ---------------------------------------
 

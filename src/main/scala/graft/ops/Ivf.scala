@@ -333,31 +333,28 @@ object Ivf {
     * heuristic. NOTE the batch-union effect either way: a batch probing
     * 8/64 cells per query prunes to the UNION of its probed cells, so
     * per-query I/O wins need small/targeted batches. */
-  def topKIndexed(
-      assigned: DataFrame,
-      centroids: DataFrame,
+  /** Rank cells per query ON THE DRIVER from the collected batch
+    * (|queries| · nLists distance sweeps — both sides small by contract:
+    * the batch is a serving request, the centroid table has nLists
+    * rows). A cross-join + rank-window formulation instead costs a
+    * second full execution of its un-persisted subtree when the
+    * probed-cell set is collected for the static scan filter (the known
+    * double-consumed-subtree trap — measured as q_ivf_topk 0.60→0.94 s
+    * in r8). Distances accumulate left-to-right exactly like the
+    * zip_with/aggregate fold they replaced, so the probed cell set — and
+    * therefore every result — is bit-identical. Shared by the f32 path
+    * below and the SQ8 path ([[Sq.topKIvf]]): returns
+    * (query_id, probed cell, f32 query embedding). */
+  private[ops] def rankCells(
       queries: DataFrame,
-      k: Int,
-      nProbe: Int,
-      pruneIndexScan: Boolean = true
-  ): DataFrame = {
-    val spark = assigned.sparkSession
-    import spark.implicits._
-    // Cell ranking runs on the DRIVER from the collected query batch
-    // (|queries| · nLists distance sweeps — both sides are small by
-    // contract: the batch is a serving request, the centroid table has
-    // nLists rows). The previous cross-join + rank-window formulation
-    // cost a second full execution of its un-persisted subtree when the
-    // probed-cell set was collected for the static scan filter (the
-    // known double-consumed-subtree trap — measured as q_ivf_topk
-    // 0.60→0.94 s in r8). Distances accumulate left-to-right exactly
-    // like the zip_with/aggregate fold they replace, so the probed cell
-    // set — and therefore every result — is bit-identical.
+      centroids: DataFrame,
+      nProbe: Int
+  ): Seq[(Long, Int, Seq[Float])] = {
     val cents = centroids
       .select(col("cell"), col("centroid"))
       .collect()
       .map(r => (r.getAs[Number]("cell").intValue, r.getSeq[Double](1).toArray))
-    val probedRows: Seq[(Long, Int, Seq[Float])] = queries
+    queries
       .select(col("vec_id"), col("embedding"))
       .collect()
       .toSeq
@@ -374,6 +371,19 @@ object Ivf {
           .take(nProbe)
           .map { case (cell, _) => (qid, cell, qe) }
       }
+  }
+
+  def topKIndexed(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      pruneIndexScan: Boolean = true
+  ): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val probedRows = rankCells(queries, centroids, nProbe)
     val probed = probedRows
       .toDF("query_id", "cell", "qe")
       .select(col("query_id"), col("qe"), Similarity.norm(col("qe")).as("qn"), col("cell"))

@@ -35,16 +35,20 @@ object Sq {
     * ⇒ |x/scale| ≤ 127, and the +0.5 rounding cannot push past the open
     * bound. The 1e-30 floor keeps an all-zero vector from dividing by
     * zero (its q is all zeros). */
-  def quantize(embeddings: DataFrame, embCol: String = "embedding"): DataFrame = {
+  def quantize(
+      embeddings: DataFrame,
+      embCol: String = "embedding",
+      dropInput: Boolean = true
+  ): DataFrame = {
     val scale = greatest(
       array_max(transform(col(embCol), x => abs(x))).cast("double") / lit(127.0),
       lit(1e-30))
-    embeddings
+    val q = embeddings
       .withColumn("scale", scale)
       .withColumn("qvec",
         transform(col(embCol), x => floor(x.cast("double") / col("scale") + lit(0.5)).cast("tinyint")))
       .withColumn("qsq", DotI8.dot(col("qvec"), col("qvec")))
-      .drop(embCol)
+    if (dropInput) q.drop(embCol) else q
   }
 
   /** Quantized cosine: scales cancel, so this is int64-exact. */
@@ -64,6 +68,57 @@ object Sq {
     val scored = corpus
       .select(col("vec_id"), col("qvec"), col("qsq"))
       .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        round(cosineQ(col("qvec"), col("q_qvec"), col("qsq"), col("q_qsq")), 6).as("cos_q"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_q").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_q", "rank")
+  }
+
+  /** IVF-probed SQ8 serving — the sublinear path: the quantized column
+    * drops in wherever the f32 column was. `assignedQ` is the
+    * cell-assigned corpus with qvec/qsq and NO f32 column (that is the
+    * 4× memory point); `centroids` from [[Ivf.assignCells]]; `queries`
+    * quantized with `dropInput = false` (the f32 embedding ranks cells
+    * driver-side via [[Ivf.rankCells]], the int8 columns score). Same
+    * plan shape as [[Ivf.topKIndexed]]: broadcast probe rows, bucket
+    * equi-join on cell (~nProbe/nLists of the index touched, static
+    * probed-cell pruning), per-query window over candidates. At
+    * nProbe == nLists this equals [[topK]] exactly (every pair scored
+    * once) — which is what its oracle checks. */
+  def topKIvf(
+      assignedQ: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      pruneIndexScan: Boolean = true
+  ): DataFrame = {
+    val spark = assignedQ.sparkSession
+    import spark.implicits._
+    val probedRows = Ivf.rankCells(queries, centroids, nProbe)
+    val probePairs = probedRows.map { case (qid, cell, _) => (qid, cell) }
+      .toDF("query_id", "cell")
+    val probe = probePairs.join(
+      queries.select(
+        col("vec_id").as("query_id"),
+        col("qvec").as("q_qvec"),
+        col("qsq").as("q_qsq")),
+      Seq("query_id"))
+    val indexSide =
+      if (!pruneIndexScan) assignedQ
+      else {
+        val probedCells = probedRows.map(_._2).distinct.sorted
+        assignedQ.where(col("cell").isin(probedCells: _*))
+      }
+    val scored = indexSide
+      .select(col("vec_id"), col("cell"), col("qvec"), col("qsq"))
+      .join(broadcast(probe), "cell")
       .where(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),

@@ -75,6 +75,27 @@ class SqSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall: exact=$exact got=$got")
   }
 
+  test("topKIvf at full probing equals brute-force SQ8 topK; partial probing recalls the clusters") {
+    val e = embeddings()
+    val (assigned, cents) = Ivf.assignCells(e, nLists = 4)
+    val assignedQ = Sq.quantize(assigned).select("vec_id", "cell", "qvec", "qsq")
+    val queries = Sq.quantize(e.where(col("vec_id") < 3), dropInput = false)
+    val qz = Sq.quantize(e)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+    val full = rows(Sq.topKIvf(assignedQ, cents, queries, k = 5, nProbe = 4))
+    val brute = rows(Sq.topK(qz, qz.where(col("vec_id") < 3), k = 5))
+    assert(full == brute)
+
+    // partial probing: the query's own cluster cells dominate its top-k
+    val partial = Sq.topKIvf(assignedQ, cents, queries, k = 5, nProbe = 2)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val recall = (bruteIds intersect partial).size.toDouble / bruteIds.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("all-zero vector quantizes to zeros without dividing by zero") {
     val df = Seq((0L, Array.fill(4)(0.0f)), (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
