@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharClassRuns, DotF32, MinHashSig, PolyHash, ShingleArray, SimHash64}
+import graft.functions.{CharClassRuns, DotF32, DotI8, MinHashSig, NfcNormalize, PolyHash, ShingleArray, SimHash64}
 
 /** SparkSessionExtensions entry point: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` to get the
@@ -52,6 +52,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("char_class_runs"),
         new ExpressionInfo(classOf[CharClassRuns].getName, "char_class_runs"),
         CharClassRuns.builder(_)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("dot_i8"),
+        new ExpressionInfo(classOf[DotI8].getName, "dot_i8"),
+        DotI8.builder(_)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("nfc_normalize"),
+        new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+        NfcNormalize.builder(_)
       )
     )
     // bounded-range gather joins → exploded equi-joins (kills the BNLJ)

@@ -81,4 +81,12 @@ case class DotI8(left: Expression, right: Expression) extends BinaryExpression {
 object DotI8 {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotI8(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Arity-checked SQL builder (the [[DotF32.builder]] contract). */
+  def builder(children: Seq[Expression]): Expression = children match {
+    case Seq(a, b) => DotI8(a, b)
+    case other =>
+      throw Bridge.analysisError(
+        s"dot_i8 expects exactly 2 arguments, got ${other.length}")
+  }
 }

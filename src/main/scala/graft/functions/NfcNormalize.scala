@@ -66,4 +66,12 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
 object NfcNormalize {
   def nfc(c: Column): Column = Bridge.column(NfcNormalize(Bridge.expression(c)))
+
+  /** Arity-checked SQL builder (the [[DotF32.builder]] contract). */
+  def builder(children: Seq[Expression]): Expression = children match {
+    case Seq(c) => NfcNormalize(c)
+    case other =>
+      throw Bridge.analysisError(
+        s"nfc_normalize expects exactly 1 argument, got ${other.length}")
+  }
 }

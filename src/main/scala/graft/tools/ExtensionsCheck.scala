@@ -33,6 +33,12 @@ object ExtensionsCheck {
     val ms = spark.sql("SELECT size(minhash_sig('a b c d', 2, 8)) AS n").collect()(0).getInt(0)
     assert(ms == 8, s"minhash_sig via SQL returned size $ms")
     val _ = sh // value asserted bit-for-bit in SimHash64Spec; here: resolves + runs
+    val di = spark
+      .sql("SELECT dot_i8(array(CAST(2 AS TINYINT), CAST(-3 AS TINYINT)), array(CAST(4 AS TINYINT), CAST(5 AS TINYINT))) AS d")
+      .collect()(0).getLong(0)
+    assert(di == -7L, s"dot_i8 via SQL returned $di")
+    val nf = spark.sql("SELECT nfc_normalize('Cafe\u0301') AS s").collect()(0).getString(0)
+    assert(nf == "Caf\u00e9", s"nfc_normalize via SQL returned $nf")
 
     // (2) optimizer rule active in the session
     import org.apache.spark.sql.functions._
