@@ -360,6 +360,22 @@ object SparkEntry {
         fieldPath = "k",
         groupCols = Seq("event_type"))
 
+  /** Curriculum / annealing order ([[Mixture.curriculumOrder]]): phase
+    * "main" = the whole corpus, phase "anneal" = the q_quality_gate
+    * survivors re-sampled after it — phase-major global rank via the
+    * two-pass shuffle recipe, each phase an independent deterministic
+    * reshuffle. */
+  private def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = Text
+      .qualityScores(docs, keep = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("type_token_ratio").as("score"))
+    val anneal = Text.percentileGate(scored, "score", Seq("lang"), 0.5).select("doc_id")
+    Mixture.curriculumOrder(
+      Seq("main" -> docs.select("doc_id"), "anneal" -> anneal),
+      salt = "cur1")
+  }
+
   /** Deterministic 80/10/10 train/val/test assignment. */
   private def qSplitAssign(s: SparkSession, dir: String): DataFrame =
     Mixture
@@ -1622,7 +1638,8 @@ object SparkEntry {
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_normalize" -> (qNormalize _),
     "q_sq8_topk" -> (qSq8Topk _),
-    "q_ivf_sq8" -> (qIvfSq8 _)
+    "q_ivf_sq8" -> (qIvfSq8 _),
+    "q_curriculum" -> (qCurriculum _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -2564,7 +2581,26 @@ object SparkEntry {
     "q_sq8_topk" -> sq8OracleSql,
     // full probing => identical result, shared oracle (the q_ivf_topk /
     // q_ivf_serve recipe)
-    "q_ivf_sq8" -> sq8OracleSql
+    "q_ivf_sq8" -> sq8OracleSql,
+    // phase-major global row_number == the engine's two-pass
+    // (phase, hash-bucket) rank: floor(u·n) is monotone in u, so bucket-
+    // major + in-bucket (u, id) order IS (p, u, id) order
+    "q_curriculum" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS score
+        |FROM documents),
+        |r AS (SELECT doc_id, lang, score,
+        |        percent_rank() OVER (PARTITION BY lang ORDER BY score) AS pr
+        |      FROM q),
+        |m AS (SELECT 'main' AS phase, 0 AS p, doc_id FROM documents),
+        |a AS (SELECT 'anneal' AS phase, 1 AS p, doc_id FROM r WHERE pr >= 0.5),
+        |un AS (SELECT * FROM m UNION ALL SELECT * FROM a),
+        |h AS (SELECT phase, p, doc_id,
+        |        ('0x' || substr(md5('cur1' || phase || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 AS u
+        |      FROM un)
+        |SELECT phase, doc_id,
+        |  row_number() OVER (ORDER BY p, u, doc_id) - 1 AS curriculum_rank
+        |FROM h""".stripMargin
   ) ++ pqFamilyOracles
 
   /** Shared oracle for q_sq8_topk and q_ivf_sq8 (full probing ⇒ every

@@ -307,6 +307,53 @@ object Mixture {
       .drop("__h", "__b")
   }
 
+  /** Curriculum / annealing order — the phase-major training layout
+    * modern pretraining runs use (a broad "main" phase, then a
+    * high-quality "anneal"/decay phase re-sampling gated data; a doc
+    * may appear in several phases). Docs are ranked phase-major, and
+    * WITHIN a phase by the same deterministic [[uniformHash]] draw as
+    * [[deterministicShuffle]] (phase name folded into the hash, so each
+    * phase is an independent reshuffle; salt re-rolls everything;
+    * retry/repartition-stable, no `rand()`).
+    *
+    * Scale shape: the global rank is the [[deterministicShuffle]]
+    * two-pass recipe over the phase union with a (phase, hash-bucket)
+    * composite key — one bounded count collect (phases × buckets) plus
+    * per-bucket windows; no single-task global sort. Output:
+    * (phase, doc_id, curriculum_rank) with ranks 0-based and contiguous
+    * across phases in declaration order. */
+  def curriculumOrder(
+      phases: Seq[(String, DataFrame)],
+      salt: String,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(phases.nonEmpty, "need at least one phase")
+    require(phases.map(_._1).distinct.size == phases.size,
+      s"phase names must be distinct, got ${phases.map(_._1)}")
+    val spark = phases.head._2.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val tagged = phases.zipWithIndex.map { case ((name, df), i) =>
+      df.select(lit(name).as("phase"), lit(i).as("__p"), col(idCol))
+    }.reduce(_ unionByName _)
+    val u = uniformHash(salt, concat(col("phase"), lit(":"), col(idCol).cast("string")))
+    val bucket = least(floor(u * lit(n)).cast("int"), lit(n - 1))
+    val withB = tagged
+      .withColumn("__h", u)
+      .withColumn("__cb", col("__p") * n + bucket)
+    val counts = withB
+      .groupBy(col("__cb")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val keys = (0 until phases.size * n)
+    val offsets = keys.scanLeft(0L)((acc, c) => acc + counts.getOrElse(c, 0L))
+    val offsetMap = map(keys.flatMap(c => Seq(lit(c), lit(offsets(c)))): _*)
+    val w = Window.partitionBy(col("__cb")).orderBy(col("__h"), col(idCol))
+    withB
+      .withColumn(
+        "curriculum_rank",
+        element_at(offsetMap, col("__cb")) + row_number().over(w) - 1)
+      .select(col("phase"), col(idCol), col("curriculum_rank"))
+  }
+
   /** Per-source TOKEN-budget sampling: cap every source's contribution
     * at `budgetTokens` tokens (how mixture targets are actually stated
     * for pretraining corpora — token counts, not doc counts or keep

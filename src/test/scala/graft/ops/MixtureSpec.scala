@@ -267,4 +267,51 @@ class MixtureSpec extends SparkSpec {
     val first = out.select("doc_id").collect().map(_.getLong(0)).sorted
     assert(first.sameElements(again))
   }
+
+  test("curriculumOrder: phase-major contiguous 0-based ranks, per-phase independent reshuffle") {
+    val all = docs(100, Seq("a", "b")).select("doc_id")
+    val anneal = all.where(col("doc_id") % 3 === 0)
+    val got = Mixture.curriculumOrder(Seq("main" -> all, "anneal" -> anneal), "cur-test")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    // contiguous 0..n-1, no gaps or dupes
+    assert(got.map(_._3).sorted.toSeq == (0L until got.length.toLong))
+    // phase-major: every main rank < every anneal rank
+    val mainRanks = got.filter(_._1 == "main").map(_._3)
+    val annealRanks = got.filter(_._1 == "anneal").map(_._3)
+    assert(mainRanks.length == 100 && annealRanks.length == 34)
+    assert(mainRanks.max < annealRanks.min)
+    // a doc in both phases draws independently: the relative order of
+    // anneal docs differs from their relative order inside main
+    val annealDocsInMain = got.filter(t => t._1 == "main" && t._2 % 3 == 0)
+      .sortBy(_._3).map(_._2).toSeq
+    val annealOrder = got.filter(_._1 == "anneal").sortBy(_._3).map(_._2).toSeq
+    assert(annealDocsInMain != annealOrder)
+  }
+
+  test("curriculumOrder matches the single-window phase-major row_number spelling") {
+    import org.apache.spark.sql.expressions.Window
+    val all = docs(80, Seq("a")).select("doc_id")
+    val anneal = all.where(col("doc_id") % 2 === 0)
+    val got = Mixture.curriculumOrder(Seq("main" -> all, "anneal" -> anneal), "s1")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val un = all.select(lit("main").as("phase"), lit(0).as("p"), col("doc_id"))
+      .unionByName(anneal.select(lit("anneal").as("phase"), lit(1).as("p"), col("doc_id")))
+    val u = Mixture.uniformHash("s1", concat(col("phase"), lit(":"), col("doc_id").cast("string")))
+    val want = un
+      .withColumn("curriculum_rank",
+        row_number().over(Window.orderBy(col("p"), u, col("doc_id"))).cast("long") - 1)
+      .select("phase", "doc_id", "curriculum_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("curriculumOrder: salt re-rolls, same salt is stable, partition-count invariant") {
+    val all = docs(60, Seq("a")).select("doc_id")
+    def run(salt: String, parts: Int) =
+      Mixture.curriculumOrder(Seq("only" -> all.repartition(parts)), salt)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(run("x", 2) == run("x", 7))
+    assert(run("x", 2) != run("y", 2))
+  }
 }
