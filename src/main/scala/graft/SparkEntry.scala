@@ -1546,11 +1546,23 @@ object SparkEntry {
   private def qRecExtract(s: SparkSession, dir: String): DataFrame =
     ExtractChannels.extract(s, RecFixture.ensure(), maxGapSize = RecFixture.maxGapSize)
 
+  /** F6 bit→µV scaling over the extracted `.rec` chain (the 4096/2¹⁵
+    * SpikeGadgets constant, an exact 0.125 in binary — spelled
+    * identically in the oracle). Puts F6 in the hard oracle signal. */
+  private def qRecUv(s: SparkSession, dir: String): DataFrame =
+    ExtractChannels
+      .extract(s, RecFixture.ensure(), maxGapSize = RecFixture.maxGapSize)
+      .select(
+        col("ts"),
+        col("channel"),
+        round(graft.functions.Funcs.bitsToMicrovolts(col("value").cast("double")), 4).as("uv"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rec_catalog" -> (qRecCatalog _),
     "q_rec_session" -> (qRecSession _),
     "q_rec_extract" -> (qRecExtract _),
+    "q_rec_uv" -> (qRecUv _),
     "q_session_epochs" -> (qSessionEpochs _),
     "q_user_sessions" -> (qUserSessions _),
     "q_gap_stats" -> (qGapStats _),
@@ -1693,6 +1705,7 @@ object SparkEntry {
     "q_rec_catalog" -> recCatalogOracleSql,
     "q_rec_session" -> recSessionOracleSql,
     "q_rec_extract" -> recExtractOracleSql,
+    "q_rec_uv" -> recUvOracleSql,
     "q_image_resize" -> imageResizeOracleSql,
     "q_audio_frames" -> audioFramesOracleSql,
     "q_pagerank" -> pagerankOracleSql,
@@ -2701,6 +2714,12 @@ object SparkEntry {
        |UNION ALL
        |SELECT CAST(seg AS BIGINT), CAST(ts AS BIGINT), 1, CAST(channel AS INT), value FROM interp""".stripMargin
   }
+
+  /** F6 twin: the extract oracle's value column through the exact-0.125
+    * scaling. */
+  private lazy val recUvOracleSql: String =
+    s"""SELECT ts, channel, round(CAST(value AS DOUBLE) * 0.125, 4) AS uv
+       |FROM ($recExtractOracleSql)""".stripMargin
 
   /** Shared oracle for q_bm25 and q_bm25_serve (same terms/k ⇒ same
     * result; the serving index merely materializes tf/df/stats). */
