@@ -199,6 +199,27 @@ object Mixture {
     )
   }
 
+  /** Materialize the corpus as `nShards` token-balanced training shards
+    * under `outDir` — the output-layout sink closing the curation loop:
+    * `partitionBy("shard")` parquet, exactly ONE file per shard
+    * directory (each shard hash-lands in one task; the partitioned
+    * writer then splits by value), so a training job maps readers to
+    * shards 1:1 and no reader straggles.
+    *
+    * Cost, stated honestly: [[shardAssign]]'s slim (doc_id, n_tokens)
+    * two-pass rank, a corpus join back on doc_id, and the writer's
+    * repartition — exact global balance costs one full-row exchange;
+    * the cheap alternative (hash sharding, no balance) is a plain
+    * `partitionBy(pmod(hash(doc_id), n))` write. A shard filter on
+    * read-back partition-prunes (verified in MixtureSpec). */
+  def writeShards(documents: DataFrame, outDir: String, nShards: Int): Unit = {
+    val assign = shardAssign(documents, nShards).select(col("doc_id"), col("shard"))
+    documents
+      .join(assign, "doc_id")
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
   /** Greedy sequence packing (the standard pretraining concat-and-chunk):
     * documents are concatenated per group in `orderCol` order and the
     * token stream is cut into `budget`-token sequences; each doc reports

@@ -306,6 +306,44 @@ class MixtureSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("writeShards: one file per shard dir, read-back complete, shard filter partition-prunes") {
+    val df = docs(200, Seq("a", "b", "c"))
+    val out = java.nio.file.Files.createTempDirectory("graft-shards-").toString
+    try {
+      Mixture.writeShards(df, out, nShards = 4)
+      // layout: shard=0..3 dirs, exactly one parquet data file each
+      (0 until 4).foreach { sh =>
+        val dir = new java.io.File(s"$out/shard=$sh")
+        assert(dir.isDirectory, s"missing $dir")
+        val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"shard $sh has ${files.length} files")
+      }
+      // read-back completeness
+      val back = spark.read.parquet(out)
+      assert(back.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+        (0L until 200L))
+      // a shard predicate reaches the scan as a partition filter
+      val one = back.where(col("shard") === 2)
+      one.collect()
+      val scans = one.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.exists(_.partitionFilters.exists(_.toString.contains("shard"))),
+        scans.map(_.partitionFilters).mkString(";"))
+      // balance: shard token totals within one max-doc of each other
+      val sums = back
+        .select(col("shard"), size(split(col("text"), " ")).cast("long").as("t"))
+        .groupBy("shard").agg(sum("t").as("s"))
+        .collect().map(_.getLong(1))
+      val maxDoc = back.select(max(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+      assert(sums.max - sums.min <= maxDoc, s"imbalance ${sums.mkString(",")} vs maxDoc $maxDoc")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("curriculumOrder: salt re-rolls, same salt is stable, partition-count invariant") {
     val all = docs(60, Seq("a")).select("doc_id")
     def run(salt: String, parts: Int) =
