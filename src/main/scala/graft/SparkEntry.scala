@@ -113,6 +113,25 @@ object SparkEntry {
       .select(col("sts"), round(col("value"), 4).as("value"), col("interpolated"))
   }
 
+  /** Event-time TUMBLING-WINDOW aggregation in batch — the hash-checked
+    * twin of the streaming windowed-agg semantics (tokenRateStream /
+    * sessionCounts run the same epoch-aligned windows with a watermark).
+    * Integral-micros timestamps make the window a plain integer
+    * division; one map-side-combinable aggregate (the exact
+    * distinct-user count is the one expand). */
+  private def qEventWindows(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 900000000L // 15 min
+    Tables.events(s, dir)
+      .groupBy(expr(s"ts_us div $winUs").as("win"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        (col("win") * winUs).as("win_start_us"),
+        col("event_type"), col("n_events"), col("n_users"), col("sum_value"))
+  }
+
   /** F13/F14 timestamp validation report. */
   private def qTsValidation(s: SparkSession, dir: String): DataFrame =
     Validation.report(Tables.events(s, dir), "ts_us", "event_id")
@@ -1570,6 +1589,7 @@ object SparkEntry {
     "q_dedup_keep_first" -> (qDedupKeepFirst _),
     "q_gapfill" -> (qGapFill _),
     "q_ts_validation" -> (qTsValidation _),
+    "q_event_windows" -> (qEventWindows _),
     "q_mad_crossings" -> (qMadCrossings _),
     "q_patch_extract" -> (qPatchExtract _),
     "q_running_sum" -> (qRunningSum _),
@@ -1766,6 +1786,11 @@ object SparkEntry {
         |p AS (SELECT a.event_id AS peak_idx FROM h a JOIN h b ON a.event_id + 1 = b.event_id)
         |SELECT p.peak_idx, e.event_id - p.peak_idx AS offset, e.value AS value
         |FROM events e JOIN p ON e.event_id >= p.peak_idx - 3 AND e.event_id < p.peak_idx + 3""".stripMargin,
+    "q_event_windows" ->
+      """SELECT (epoch_us(ts) // 900000000) * 900000000 AS win_start_us, event_type,
+        |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_running_sum" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
