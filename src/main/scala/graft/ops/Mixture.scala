@@ -358,9 +358,15 @@ object Mixture {
     }.reduce(_ unionByName _)
     val u = uniformHash(salt, concat(col("phase"), lit(":"), col(idCol).cast("string")))
     val bucket = least(floor(u * lit(n)).cast("int"), lit(n - 1))
+    // Slim (phase, id, hash, bucket) frame CACHED between the counts
+    // pass and the final rank pass — without it every phase INPUT
+    // subtree (e.g. a quality-gate pipeline feeding the anneal phase)
+    // re-executes for each pass (the shardAssign pass-1-cache
+    // precedent; measured as most of q_curriculum's first bench row).
     val withB = tagged
       .withColumn("__h", u)
       .withColumn("__cb", col("__p") * n + bucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = withB
       .groupBy(col("__cb")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

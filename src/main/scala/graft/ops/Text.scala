@@ -531,11 +531,32 @@ object Text {
           when(col("__n") > 1L, col("__less").cast("double") / (col("__n") - 1L).cast("double"))
             .otherwise(lit(0.0)).as("__pr"): _*)
       .where(col("__pr") >= minPercentile)
-    val nKept = ranked.count()
+    // The histogram is tiny by construction (|keys| × distinct ROUNDED
+    // scores), so collect it ONCE and rebuild a local relation: a
+    // count-then-join spelling would execute the scored→histogram
+    // pipeline twice (once for the broadcast gate's count, once in the
+    // final plan) — measured as the dominant cost of q_curriculum's
+    // anneal subtree. A cap guards the pathological unbounded-score
+    // case; past it, fall back to the two-execution plan.
+    val rankedRows = ranked.limit(MaxDriverHistRows + 1).collect()
+    val rankedSide =
+      if (rankedRows.length <= MaxDriverHistRows) {
+        val local = scored.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rankedRows: _*), ranked.schema)
+        graft.spikes.Spikes.broadcastIfSmall(local, rankedRows.length.toLong)
+      } else {
+        val nKept = ranked.count()
+        graft.spikes.Spikes.broadcastIfSmall(ranked, nKept)
+      }
     scored
-      .join(graft.spikes.Spikes.broadcastIfSmall(ranked, nKept),
-        keyCols :+ scoreCol)
+      .join(rankedSide, keyCols :+ scoreCol)
       .withColumn("pct", round(col("__pr"), 6))
       .drop("__pr")
   }
+
+  /** Driver-side bound for [[percentileGate]]'s collected histogram —
+    * generous for rounded scores (keys × ≤10⁴ distinct values) while
+    * keeping a pathological unrounded score column from flooding the
+    * driver. */
+  private val MaxDriverHistRows = 2000000
 }
