@@ -368,6 +368,29 @@ object SparkEntry {
       Tables.documents(s, dir)
         .withColumn("text", concat(col("text"), lit(" Cafe\u0301  STRASSE"))))
 
+  /** Gopher-style rule filter ([[Text.gopherFilter]]) — thresholds cut
+    * inside this corpus's measured distributions so every rule
+    * exercises both outcomes. */
+  private def qGopher(s: SparkSession, dir: String): DataFrame =
+    Text.gopherFilter(
+      Tables.documents(s, dir),
+      minTokens = 20, maxTokens = 80,
+      minMwl = 4.0, maxMwl = 10.0,
+      minStopRatio = 0.02, minTtr = 0.35)
+
+  /** HTML extraction ([[Text.stripHtml]]): the corpus wrapped in a
+    * deterministic page shell (tags, attributes, a style block, a
+    * script block, entities) on BOTH sides, so the oracle checks real
+    * tag/entity handling, not identity. */
+  private def qHtmlStrip(s: SparkSession, dir: String): DataFrame =
+    Text.stripHtml(
+      Tables.documents(s, dir).withColumn(
+        "text",
+        concat(
+          lit("<html><head><style>p { color: red }</style></head><body><p class=\"x\">"),
+          col("text"),
+          lit(" &amp; more &lt;tags&gt; &quot;q&#39;</p><script>var x = 1;</script></body></html>"))))
+
   /** Sidecar-metadata extraction ([[graft.ops.Metadata.fieldStats]]):
     * per-event-type stats of the numeric `k` field parsed out of the
     * `props` JSON string — codegen'd parse, no UDF, no extra scan. */
@@ -1671,7 +1694,9 @@ object SparkEntry {
     "q_normalize" -> (qNormalize _),
     "q_sq8_topk" -> (qSq8Topk _),
     "q_ivf_sq8" -> (qIvfSq8 _),
-    "q_curriculum" -> (qCurriculum _)
+    "q_curriculum" -> (qCurriculum _),
+    "q_gopher" -> (qGopher _),
+    "q_html_strip" -> (qHtmlStrip _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -2638,7 +2663,33 @@ object SparkEntry {
         |      FROM un)
         |SELECT phase, doc_id,
         |  row_number() OVER (ORDER BY p, u, doc_id) - 1 AS curriculum_rank
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+    "q_gopher" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS mean_word_len,
+        |  round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS type_token_ratio
+        |FROM documents)
+        |SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, type_token_ratio,
+        |  CAST(n_tokens >= 20 AND n_tokens <= 80
+        |       AND mean_word_len >= 4.0 AND mean_word_len <= 10.0
+        |       AND stopword_ratio >= 0.02 AND type_token_ratio >= 0.35 AS INT) AS passes
+        |FROM s""".stripMargin,
+    // same page shell appended on both sides; entity decode order is part
+    // of the contract (&amp; last, so '&amp;lt;' decodes to '&lt;')
+    "q_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><style>p { color: red }</style></head><body><p class="x">' || text ||
+        |  ' &amp; more &lt;tags&gt; &quot;q&#39;</p><script>var x = 1;</script></body></html>' AS t
+        |FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(t, '(?i)<(script|style)[^>]*>[^<]*</(script|style)>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1),
+        |d AS (SELECT doc_id,
+        |        replace(replace(replace(replace(replace(t,
+        |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+        |      FROM s2)
+        |SELECT doc_id, trim(regexp_replace(t, ' +', ' ', 'g')) AS clean_text FROM d""".stripMargin
   ) ++ pqFamilyOracles
 
   /** Shared oracle for q_sq8_topk and q_ivf_sq8 (full probing ⇒ every

@@ -466,6 +466,61 @@ object Text {
         array_join(slice(col("__toks"), col("chunk_id") * step + 1, lit(size)), " ").as("chunk_text"))
   }
 
+  /** Gopher-style rule filter (Rae et al. 2021 §A1.1, the canonical
+    * heuristic baseline every curation pipeline starts from): token
+    * count in [minTokens, maxTokens], mean word length in [minMwl,
+    * maxMwl], stopword ratio ≥ minStopRatio, type-token ratio ≥ minTtr.
+    * Emits every signal plus the combined verdict so downstream can
+    * re-cut thresholds without recomputing, one stateless pass, no
+    * shuffle. Thresholds are parameters — the published constants
+    * assume real prose; callers tune for their corpus. */
+  def gopherFilter(
+      documents: DataFrame,
+      minTokens: Long = 50,
+      maxTokens: Long = 100000,
+      minMwl: Double = 3.0,
+      maxMwl: Double = 10.0,
+      minStopRatio: Double = 0.01,
+      minTtr: Double = 0.1,
+      stopwords: Seq[String] = Seq("the", "a")
+  ): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("long")
+    val nTokD = nTok.cast("double")
+    val mwl = round(length(regexp_replace(col("text"), " ", "")).cast("double") / nTokD, 4)
+    val stopR = round(
+      graft.functions.TokenSetCounts.tokenSetCounts(col("text"), Seq(stopwords))
+        .getItem(0).cast("double") / nTokD, 4)
+    val ttr = round(size(array_distinct(toks)).cast("double") / nTokD, 4)
+    documents
+      .select(col("doc_id"), nTok.as("n_tokens"), mwl.as("mean_word_len"),
+        stopR.as("stopword_ratio"), ttr.as("type_token_ratio"))
+      .withColumn("passes",
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+          col("mean_word_len") >= minMwl && col("mean_word_len") <= maxMwl &&
+          col("stopword_ratio") >= minStopRatio &&
+          col("type_token_ratio") >= minTtr).cast("int"))
+  }
+
+  /** HTML → text: strip tags, decode the five standard entities, collapse
+    * the whitespace the removal leaves behind — the extraction step
+    * between a crawl dump and every text op here. Regex-only (RE2-safe
+    * pattern, same spelling as the SQL oracle), stateless per-row map.
+    * Script/style blocks drop with their CONTENT (a bare tag-strip would
+    * leak javascript into the corpus). */
+  def stripHtml(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val noBlocks = regexp_replace(
+      col(textCol),
+      "(?i)<(script|style)[^>]*>[^<]*</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
+    documents.select(
+      col("doc_id"),
+      trim(regexp_replace(decoded, " +", " ")).as("clean_text"))
+  }
+
   /** Canonical text normalization — the cleaning step every dedup /
     * fingerprint / tokenize pass assumes has already happened: space
     * runs collapse to one space, case folds to lower, and Unicode

@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Text.gopherFilter]] + [[Text.stripHtml]] semantics. */
+class TextFilterSpec extends SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  test("gopherFilter: each rule rejects independently, a good doc passes") {
+    val rows = Seq(
+      // 10 tokens, mwl 4.1, stop 0.2, ttr 0.9 — passes everything
+      (1L, "the quick brown foxes jumped over a very lazy dogs"),
+      (2L, "too short"),                                      // n_tokens < 4
+      (3L, "a a a a a a a a a a"),                            // ttr + mwl fail
+      (4L, "quick brown foxes jumped over very lazy dogs here now") // no stopwords
+    ).toDF("doc_id", "text")
+    val got = Text.gopherFilter(rows,
+      minTokens = 4, maxTokens = 100, minMwl = 2.0, maxMwl = 10.0,
+      minStopRatio = 0.05, minTtr = 0.5)
+      .select("doc_id", "passes").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0))
+  }
+
+  test("stripHtml: tags and script/style content drop, entities decode in order, whitespace collapses") {
+    val rows = Seq(
+      (1L, "<p>hello <b>world</b></p>"),
+      (2L, "<script>var hidden = 'secret';</script>visible<style>h1{}</style>"),
+      (3L, "tom &amp; jerry &lt;3 &quot;quoted&#39;"),
+      // double-encoded: &amp;lt; must decode to the LITERAL '&lt;', not '<'
+      (4L, "escaped: &amp;lt;tag&amp;gt;"),
+      (5L, "<div class=\"a\" data-x='1'>attrs</div>"),
+      (6L, "  <p>  spaced   out  </p>  ")
+    ).toDF("doc_id", "text")
+    val got = Text.stripHtml(rows)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == "hello world")
+    assert(got(2L) == "visible")
+    assert(got(3L) == "tom & jerry <3 \"quoted'")
+    assert(got(4L) == "escaped: &lt;tag&gt;")
+    assert(got(5L) == "attrs")
+    assert(got(6L) == "spaced out")
+  }
+}
