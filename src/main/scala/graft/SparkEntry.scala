@@ -132,6 +132,17 @@ object SparkEntry {
         col("event_type"), col("n_events"), col("n_users"), col("sum_value"))
   }
 
+  /** Per-event-type z-score anomaly flags ([[graft.ops.Anomaly]]): the
+    * ingestion-telemetry guardrail, k=2 so the synthetic uniform-ish
+    * values still flag tails. DECIMAL-exact sums ⇒ engine and oracle
+    * walk identical doubles. */
+  private def qZscore(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Anomaly
+      .zscoreFlags(
+        Tables.events(s, dir).select("event_id", "event_type", "value"),
+        valueCol = "value", groupCols = Seq("event_type"), k = 2.0)
+      .select("event_id", "event_type", "value", "z", "group_mean")
+
   /** F13/F14 timestamp validation report. */
   private def qTsValidation(s: SparkSession, dir: String): DataFrame =
     Validation.report(Tables.events(s, dir), "ts_us", "event_id")
@@ -367,6 +378,11 @@ object SparkEntry {
     Text.normalizeDocs(
       Tables.documents(s, dir)
         .withColumn("text", concat(col("text"), lit(" Cafe\u0301  STRASSE"))))
+
+  /** PMI collocation mining ([[Text.pmiBigrams]]): top-20 bigrams with
+    * ≥5 occurrences by pointwise mutual information. */
+  private def qPmi(s: SparkSession, dir: String): DataFrame =
+    Text.pmiBigrams(Tables.documents(s, dir), minCount = 5, k = 20)
 
   /** Gopher-style rule filter ([[Text.gopherFilter]]) — thresholds cut
     * inside this corpus's measured distributions so every rule
@@ -1613,6 +1629,7 @@ object SparkEntry {
     "q_gapfill" -> (qGapFill _),
     "q_ts_validation" -> (qTsValidation _),
     "q_event_windows" -> (qEventWindows _),
+    "q_zscore" -> (qZscore _),
     "q_mad_crossings" -> (qMadCrossings _),
     "q_patch_extract" -> (qPatchExtract _),
     "q_running_sum" -> (qRunningSum _),
@@ -1696,6 +1713,7 @@ object SparkEntry {
     "q_ivf_sq8" -> (qIvfSq8 _),
     "q_curriculum" -> (qCurriculum _),
     "q_gopher" -> (qGopher _),
+    "q_pmi" -> (qPmi _),
     "q_html_strip" -> (qHtmlStrip _)
   )
 
@@ -1811,6 +1829,17 @@ object SparkEntry {
         |p AS (SELECT a.event_id AS peak_idx FROM h a JOIN h b ON a.event_id + 1 = b.event_id)
         |SELECT p.peak_idx, e.event_id - p.peak_idx AS offset, e.value AS value
         |FROM events e JOIN p ON e.event_id >= p.peak_idx - 3 AND e.event_id < p.peak_idx + 3""".stripMargin,
+    "q_zscore" ->
+      """WITH st AS (SELECT event_type, COUNT(*) AS n,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq
+        |      FROM events GROUP BY event_type),
+        |m AS (SELECT event_type, s / n AS mean, sqrt(greatest(sq / n - (s / n) * (s / n), 0)) AS std FROM st)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - m.mean) / m.std, 4) AS z,
+        |  round(m.mean, 4) AS group_mean
+        |FROM events e JOIN m USING (event_type)
+        |WHERE m.std > 0 AND abs(e.value - m.mean) > 2.0 * m.std""".stripMargin,
     "q_event_windows" ->
       """SELECT (epoch_us(ts) // 900000000) * 900000000 AS win_start_us, event_type,
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
@@ -2664,6 +2693,19 @@ object SparkEntry {
         |SELECT phase, doc_id,
         |  row_number() OVER (ORDER BY p, u, doc_id) - 1 AS curriculum_rank
         |FROM h""".stripMargin,
+    "q_pmi" ->
+      """WITH docs AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |tot AS (SELECT CAST(SUM(len(t)) AS DOUBLE) AS n1, CAST(SUM(greatest(len(t) - 1, 0)) AS DOUBLE) AS n2 FROM docs),
+        |uni AS (SELECT tok AS w, COUNT(*) AS c FROM (SELECT unnest(t) AS tok FROM docs) GROUP BY tok),
+        |bi AS (SELECT array_to_string(t[i + 1 : i + 2], ' ') AS bigram
+        |       FROM docs, unnest(generate_series(0, len(t) - 2)) AS u(i)),
+        |bc AS (SELECT bigram, COUNT(*) AS c_ab FROM bi GROUP BY bigram HAVING COUNT(*) >= 5),
+        |j AS (SELECT bc.bigram, bc.c_ab, ua.c AS c_a, ub.c AS c_b,
+        |        round(ln((bc.c_ab / n2) / ((ua.c / n1) * (ub.c / n1))), 4) AS pmi
+        |      FROM bc CROSS JOIN tot
+        |      JOIN uni ua ON ua.w = string_split(bc.bigram, ' ')[1]
+        |      JOIN uni ub ON ub.w = string_split(bc.bigram, ' ')[2])
+        |SELECT bigram, c_ab, c_a, c_b, pmi FROM j ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
     "q_gopher" ->
       """WITH s AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -466,6 +466,55 @@ object Text {
         array_join(slice(col("__toks"), col("chunk_id") * step + 1, lit(size)), " ").as("chunk_text"))
   }
 
+  /** PMI collocation mining — pointwise mutual information over corpus
+    * bigrams, the lexical-statistics step behind tokenizer vocabulary
+    * decisions and multi-word-expression detection:
+    *
+    *   pmi(a,b) = ln( (c_ab / N₂) / ((c_a / N₁) · (c_b / N₁)) )
+    *
+    * All counts are exact integers (bigrams via the zero-copy
+    * [[graft.functions.ShingleArray]] kernel, occurrences not distinct),
+    * so the doubles are one fixed arithmetic spelling away from the
+    * counts — oracle-identical. Two corpus token passes (bigram +
+    * unigram aggregates, both map-side combinable), the unigram count
+    * table count-gate-broadcast onto the surviving (≥ minCount) bigrams
+    * — at corpus scale the bigram aggregate is the only big exchange.
+    * Output: top-`k` by (4dp pmi desc, bigram) among bigrams with
+    * c_ab ≥ minCount. */
+  def pmiBigrams(documents: DataFrame, minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"bad params minCount=$minCount k=$k")
+    val toks = split(col("text"), " ")
+    val totals = documents
+      .agg(
+        sum(size(toks)).cast("double").as("n1"),
+        sum(greatest(size(toks) - 1, lit(0))).cast("double").as("n2"))
+      .head()
+    val n1 = totals.getDouble(0)
+    val n2 = totals.getDouble(1)
+    val uni = documents
+      .select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nVocab = uni.count()
+    val uniB = graft.spikes.Spikes.broadcastIfSmall(uni, nVocab)
+    val bi = documents
+      .select(explode(graft.functions.ShingleArray.shingleArray(col("text"), 2, dedup = false)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    bi
+      .join(uniB.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uniB.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .select(
+        col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        round(
+          log((col("c_ab").cast("double") / lit(n2)) /
+            ((col("c_a").cast("double") / lit(n1)) * (col("c_b").cast("double") / lit(n1)))),
+          4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** Gopher-style rule filter (Rae et al. 2021 §A1.1, the canonical
     * heuristic baseline every curation pipeline starts from): token
     * count in [minTokens, maxTokens], mean word length in [minMwl,
