@@ -318,6 +318,15 @@ object SparkEntry {
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     DedupDocs.minhashLshPairs(Tables.documents(s, dir), k = 3, numHashes = 16, rowsPerBand = 4)
 
+  /** Cross-source duplicate-leakage matrix
+    * ([[DedupDocs.sourceOverlapMatrix]]): the q_minhash_lsh pair set
+    * rolled up to normalized (source, source) counts — the
+    * which-sources-copy-from-each-other report a mixture designer reads
+    * before choosing weights. */
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    DedupDocs.sourceOverlapMatrix(
+      Tables.documents(s, dir), k = 3, numHashes = 16, rowsPerBand = 4)
+
   /** Incremental LSH dedup: the `doc_id % 4 == 0` quarter plays the
     * ingest batch, the rest the persisted corpus (whose band index is
     * what a real deployment would READ, not rebuild — built here because
@@ -1641,6 +1650,7 @@ object SparkEntry {
     "q_sim_topk" -> (qSimTopK _),
     "q_pca_project" -> (qPcaProject _),
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_source_overlap" -> (qSourceOverlap _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_incremental_verified" -> (qDedupIncrementalVerified _),
     "q_pq_topk" -> (qPqTopk _),
@@ -1936,22 +1946,24 @@ object SparkEntry {
         |      FROM c)
         |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10""".stripMargin,
     "q_minhash_lsh" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
-        |       FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
-        |seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
-        |hs AS (SELECT doc_id,
-        |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
-        |         ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 1000000007 AS h2
-        |       FROM sh),
-        |mh AS (SELECT doc_id, seed, MIN((h1 % 1000000007 + seed * h2) % 1000000007) AS minhash
-        |       FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
-        |bands AS (SELECT doc_id, seed // 4 AS band,
-        |            string_agg(seed || ':' || minhash, ',' ORDER BY seed) AS band_key
-        |          FROM mh GROUP BY doc_id, seed // 4)
+      s"""$minhashBandsCte
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
+    // the q_minhash_lsh pair set rolled up to a normalized (source,
+    // source) leakage matrix
+    "q_source_overlap" ->
+      s"""$minhashBandsCte,
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM bands a JOIN bands b
+        |            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |ps AS (SELECT least(da.source, db.source) AS source_a,
+        |              greatest(da.source, db.source) AS source_b
+        |       FROM pairs
+        |       JOIN documents da ON da.doc_id = pairs.doc_a
+        |       JOIN documents db ON db.doc_id = pairs.doc_b)
+        |SELECT source_a, source_b, COUNT(*) AS n_pairs
+        |FROM ps GROUP BY source_a, source_b""".stripMargin,
     "q_dedup_incremental" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
@@ -2733,6 +2745,24 @@ object SparkEntry {
         |      FROM s2)
         |SELECT doc_id, trim(regexp_replace(t, ' +', ' ', 'g')) AS clean_text FROM d""".stripMargin
   ) ++ pqFamilyOracles
+
+  /** Shared CTE chain for the MinHash-LSH oracles (q_minhash_lsh,
+    * q_source_overlap): shingles → (h1,h2) seeds → minhash per seed →
+    * band keys. */
+  private val minhashBandsCte: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+      |       FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
+      |seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+      |hs AS (SELECT doc_id,
+      |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+      |         ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 1000000007 AS h2
+      |       FROM sh),
+      |mh AS (SELECT doc_id, seed, MIN((h1 % 1000000007 + seed * h2) % 1000000007) AS minhash
+      |       FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
+      |bands AS (SELECT doc_id, seed // 4 AS band,
+      |            string_agg(seed || ':' || minhash, ',' ORDER BY seed) AS band_key
+      |          FROM mh GROUP BY doc_id, seed // 4)""".stripMargin
 
   /** Shared oracle for q_sq8_topk and q_ivf_sq8 (full probing ⇒ every
     * pair scored exactly once ⇒ identical results). */

@@ -633,6 +633,37 @@ object DedupDocs {
         col("sig"))
   }
 
+  /** Cross-source duplicate-leakage matrix: MinHash-LSH near-dup pairs
+    * rolled up to (source, source) counts — the report that tells a
+    * mixture designer which sources copy from each other (and how much
+    * of a source is boilerplate shared with another) before weights are
+    * chosen. The pair set is persisted slim (two longs/row) between the
+    * broadcast-gate count and the final rollup — the repeated-subtree
+    * rule: without it the whole LSH pipeline runs twice. Pairs then
+    * broadcast onto the (doc_id, source) projection, so the corpus
+    * never shuffles for the lookup; source pairs are normalized
+    * (least/greatest) so the matrix is upper-triangular. */
+  def sourceOverlapMatrix(
+      documents: DataFrame,
+      k: Int,
+      numHashes: Int,
+      rowsPerBand: Int,
+      sourceCol: String = "source"
+  ): DataFrame = {
+    val pairs = minhashLshPairs(documents, k, numHashes, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.count()
+    val p = graft.spikes.Spikes.broadcastIfSmall(pairs, nPairs)
+    val src = documents.select(col("doc_id"), col(sourceCol))
+    p.join(src.select(col("doc_id").as("doc_a"), col(sourceCol).as("__sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col(sourceCol).as("__sb")), "doc_b")
+      .select(
+        least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   def minhashLshPairs(
       documents: DataFrame,
       k: Int,

@@ -56,6 +56,19 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1L)))
   }
 
+  test("sourceOverlapMatrix rolls LSH pairs up to normalized source pairs") {
+    val df = Seq(
+      (0L, "a b c d e f g h", "web"),
+      (1L, "a b c d e f g h", "books"), // cross-source dup
+      (2L, "a b c d e f g h", "web"),   // within-web dup of 0
+      (3L, "q r s t u v w x", "books")
+    ).toDF("doc_id", "text", "source")
+    val out = DedupDocs.sourceOverlapMatrix(df, 3, 16, 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // pairs: (0,1) web/books, (0,2) web/web, (1,2) books/web — normalized
+    assert(out == Set(("books", "web", 2L), ("web", "web", 1L)))
+  }
+
   test("topNgrams ranks per group by count with deterministic tie-break") {
     val df = Seq(
       (0L, "a b a b a b", "s1"), // bigrams in s1: "a b"×3, "b a"×2
