@@ -318,6 +318,13 @@ object SparkEntry {
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     DedupDocs.minhashLshPairs(Tables.documents(s, dir), k = 3, numHashes = 16, rowsPerBand = 4)
 
+  /** Broder containment near-dup pairs
+    * ([[DedupDocs.ngramContainmentPairs]]): catches the short-doc-
+    * quoted-inside-long-doc duplication class whose Jaccard stays tiny. */
+  private def qContainment(s: SparkSession, dir: String): DataFrame =
+    DedupDocs.ngramContainmentPairs(
+      Tables.documents(s, dir), k = 3, threshold = 0.6, blockCol = "source")
+
   /** Cross-source duplicate-leakage matrix
     * ([[DedupDocs.sourceOverlapMatrix]]): the q_minhash_lsh pair set
     * rolled up to normalized (source, source) counts — the
@@ -1651,6 +1658,7 @@ object SparkEntry {
     "q_pca_project" -> (qPcaProject _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_source_overlap" -> (qSourceOverlap _),
+    "q_containment" -> (qContainment _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_incremental_verified" -> (qDedupIncrementalVerified _),
     "q_pq_topk" -> (qPqTopk _),
@@ -1931,6 +1939,22 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8""".stripMargin,
+    "q_containment" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+        |       FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4) AS containment,
+        |       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4) >= 0.6""".stripMargin,
     "q_sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
         |p AS (SELECT query_id, vec_id, qe, embedding AS ee FROM embeddings, q WHERE vec_id <> query_id),

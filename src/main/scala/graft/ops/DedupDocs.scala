@@ -515,6 +515,57 @@ object DedupDocs {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Broder CONTAINMENT near-dup pairs — the metric Jaccard misses: a
+    * short document wholly quoted inside a long one has tiny Jaccard
+    * (union is dominated by the long side) but containment
+    * |A∩B| / min(|A|, |B|) ≈ 1. The wrapper/quote/boilerplate-insert
+    * duplication class in web corpora is exactly this shape. Same
+    * blocked exact plumbing as [[ngramJaccardPairs]] (one
+    * (block, shingle) exchange, singleton shingles shed pre-collect);
+    * emits both metrics so a reviewer sees WHY the pair surfaced.
+    * Scale contract identical to the Jaccard form: exact within blocks;
+    * MinHash-LSH is the unblocked 100 TB screen. */
+  def ngramContainmentPairs(
+      documents: DataFrame,
+      k: Int,
+      threshold: Double,
+      blockCol: String
+  ): DataFrame = {
+    // (no maxDocFreq knob here: a capped shingle universe would need the
+    // Jaccard form's dropped-shingle size adjustment to stay an honest
+    // denominator — use ngramJaccardPairs when capping)
+    val base = documents.where(col(blockCol).isNotNull)
+    val sh = shingles(base, k, carry = Seq(blockCol))
+    val byShingle = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(blockCol), col("shingle"))
+    val withDf = sh.withColumn("__df", count(lit(1)).over(byShingle))
+    val pairable = withDf.where(col("__df") > 1)
+    val buckets = pairable
+      .groupBy(col(blockCol), col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+    val sizes = base
+      .select(
+        col("doc_id"),
+        size(graft.functions.ShingleArray.shingleArray(col("text"), k)).cast("long").as("n_sh"))
+      .where(col("n_sh") > 0)
+    explodePairs(buckets)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn(
+        "containment",
+        round(col("n_inter").cast("double") / least(col("n_a"), col("n_b")).cast("double"), 4))
+      .withColumn(
+        "jaccard",
+        round(
+          col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double"),
+          4))
+      .where(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment", "jaccard")
+  }
+
   /** MinHash signature: for each of `numHashes` seeds, the minimum hash
     * over the doc's shingles. ONE md5 per shingle; the seed family is the
     * double-hashing combination `h_s = (h1 mod p + s·(h2 mod p)) mod p`,

@@ -56,6 +56,23 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1L)))
   }
 
+  test("containment flags a short doc quoted inside a long one that Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon"
+    val long = s"one two three four five six seven eight nine ten $short eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val df = Seq((0L, long, "s"), (1L, short, "s"), (2L, "unrelated words only here", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = DedupDocs.ngramContainmentPairs(df, 3, threshold = 0.9, blockCol = "source")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 1)
+    val (a, b, c, j) = got.head
+    // every shingle of the short doc appears in the long one ⇒ containment 1
+    assert((a, b) == ((0L, 1L)) && c == 1.0)
+    assert(j < 0.15, s"jaccard $j should be small — that's the point")
+    // and the Jaccard form at a 0.8 threshold does NOT surface the pair
+    assert(DedupDocs.ngramJaccardPairs(df, 3, 0.8, "source").count() == 0L)
+  }
+
   test("sourceOverlapMatrix rolls LSH pairs up to normalized source pairs") {
     val df = Seq(
       (0L, "a b c d e f g h", "web"),
