@@ -318,6 +318,10 @@ object SparkEntry {
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     DedupDocs.minhashLshPairs(Tables.documents(s, dir), k = 3, numHashes = 16, rowsPerBand = 4)
 
+  /** Per-source exact-duplication report ([[DedupDocs.dupRateBySource]]). */
+  private def qDupRate(s: SparkSession, dir: String): DataFrame =
+    DedupDocs.dupRateBySource(Tables.documents(s, dir))
+
   /** Broder containment near-dup pairs
     * ([[DedupDocs.ngramContainmentPairs]]): catches the short-doc-
     * quoted-inside-long-doc duplication class whose Jaccard stays tiny. */
@@ -1659,6 +1663,7 @@ object SparkEntry {
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_containment" -> (qContainment _),
+    "q_dup_rate" -> (qDupRate _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_incremental_verified" -> (qDedupIncrementalVerified _),
     "q_pq_topk" -> (qPqTopk _),
@@ -1939,6 +1944,10 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8""".stripMargin,
+    "q_dup_rate" ->
+      """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique,
+        |  round(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 4) AS dup_rate
+        |FROM documents GROUP BY source""".stripMargin,
     "q_containment" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, source,

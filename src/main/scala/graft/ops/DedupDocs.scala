@@ -684,6 +684,23 @@ object DedupDocs {
         col("sig"))
   }
 
+  /** Per-source exact-duplication report — the monitoring number a
+    * curation dashboard tracks per ingest: how much of each source is
+    * verbatim copies. Distinct-ness is counted over the 128-bit content
+    * digest, not the text itself, so the distinct aggregation exchanges
+    * 32-byte hashes instead of documents (the line-dedup hash-pair
+    * lesson). One aggregate, map-side combinable. */
+  def dupRateBySource(documents: DataFrame, sourceCol: String = "source"): DataFrame =
+    documents
+      .select(col(sourceCol), md5(col("text")).as("__h"))
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("__h")).as("n_unique"))
+      .withColumn(
+        "dup_rate",
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs").cast("double"), 4))
+
   /** Cross-source duplicate-leakage matrix: MinHash-LSH near-dup pairs
     * rolled up to (source, source) counts — the report that tells a
     * mixture designer which sources copy from each other (and how much

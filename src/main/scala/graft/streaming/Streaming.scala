@@ -274,6 +274,59 @@ object Streaming {
       } finally b.unpersist()
     }
 
+  /** Ingestion-telemetry anomaly flags on a live stream — the
+    * train-batch / score-stream split of [[graft.ops.Anomaly]]: per-group
+    * mean/σ are FIT OFFLINE on a reference corpus (the batch operator's
+    * stats), collapsed to a literal lookup (groups are bounded — event
+    * types, sources), and every streamed row is a stateless map-side
+    * compare. No state store, no shuffle, works in append mode with any
+    * trigger; retraining is redeploying the stats map — the same
+    * model-as-constant shape as the LM scoring joins. */
+  def zscoreFlagStream(
+      events: DataFrame,
+      referenceStats: Map[String, (Double, Double)], // group → (mean, std)
+      valueCol: String,
+      groupCol: String,
+      k: Double = 3.0
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val mean = element_at(typedLit(referenceStats.view.mapValues(_._1).toMap), col(groupCol))
+    val std = element_at(typedLit(referenceStats.view.mapValues(_._2).toMap), col(groupCol))
+    events
+      .withColumn("__mean", mean)
+      .withColumn("__std", std)
+      .where(col("__std").isNotNull && col("__std") > 0.0 &&
+        abs(col(valueCol) - col("__mean")) > lit(k) * col("__std"))
+      .withColumn("z", round((col(valueCol) - col("__mean")) / col("__std"), 4))
+      .withColumn("group_mean", round(col("__mean"), 4))
+      .drop("__mean", "__std")
+  }
+
+  /** Collapse [[graft.ops.Anomaly]]'s per-group stats frame to the
+    * literal map [[zscoreFlagStream]] embeds (driver-side, bounded by
+    * group cardinality). */
+  def fitZscoreStats(
+      events: DataFrame,
+      valueCol: String,
+      groupCol: String
+  ): Map[String, (Double, Double)] = {
+    val dec = col(valueCol).cast("decimal(18,2)")
+    events
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec).cast("double").as("s"),
+        sum(dec * dec).cast("double").as("sq"))
+      .collect()
+      .map { r =>
+        val n = r.getLong(1).toDouble
+        val mean = r.getDouble(2) / n
+        val std = math.sqrt(math.max(r.getDouble(3) / n - mean * mean, 0.0))
+        r.getString(0) -> (mean, std)
+      }
+      .toMap
+  }
+
   /** W3 censor as arbitrary stateful processing: per key, keep a
     * detection only if it is ≥ `width` after the last KEPT one. State is
     * one Long per key. Requires per-key in-order delivery within a batch

@@ -369,4 +369,38 @@ class StreamingSpec extends SparkSpec {
     assert(all.head.getLong(1) == 2L && all.head.getLong(2) == 5L, "late row must not mutate an emitted window")
     assert(all(1).getLong(1) == 1L && all(1).getLong(2) == 2L)
   }
+
+  test("streaming z-score flags match the batch operator on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 9L).map(i => (i, "a", 10.0)) ++ Seq((10L, "a", 100.0)) ++
+      (11L to 15L).map(i => (i, "b", 5.0))
+    val ref = rows.toDF("event_id", "event_type", "value")
+    val stats = Streaming.fitZscoreStats(ref, "value", "event_type")
+    // fitted stats reproduce the batch operator's spelling exactly
+    assert(stats("a") == (19.0, 27.0) && stats("b")._2 == 0.0)
+
+    val input = MemoryStream[(Long, String, Double)]
+    val q = Streaming
+      .zscoreFlagStream(
+        input.toDF().toDF("event_id", "event_type", "value"),
+        stats, "value", "event_type", k = 2.0)
+      .writeStream.format("memory").queryName("zflags").outputMode("append")
+      .start()
+    input.addData(rows.take(8): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(8): _*) // outlier arrives in batch 2
+    q.processAllAvailable()
+    val got = spark.sql("SELECT event_id, z FROM zflags").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    q.stop()
+    val want = graft.ops.Anomaly
+      .zscoreFlags(ref, "value", Seq("event_type"), k = 2.0)
+      .select("event_id", "z").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == want && want == Set((10L, 3.0)))
+    // a group missing from the stats map is passed through unflagged, not an error
+    assert(Streaming
+      .zscoreFlagStream(Seq((1L, "unknown", 9e9)).toDF("event_id", "event_type", "value"),
+        stats, "value", "event_type", k = 2.0)
+      .count() == 0L)
+  }
 }
