@@ -318,6 +318,11 @@ object SparkEntry {
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     DedupDocs.minhashLshPairs(Tables.documents(s, dir), k = 3, numHashes = 16, rowsPerBand = 4)
 
+  /** Per-source vocabulary size ([[Text.vocabSize]], exact form —
+    * the HLL twin is spec-measured in VocabSketchSpec). */
+  private def qVocab(s: SparkSession, dir: String): DataFrame =
+    Text.vocabSize(Tables.documents(s, dir), Seq("source"))
+
   /** Per-source exact-duplication report ([[DedupDocs.dupRateBySource]]). */
   private def qDupRate(s: SparkSession, dir: String): DataFrame =
     DedupDocs.dupRateBySource(Tables.documents(s, dir))
@@ -1664,6 +1669,7 @@ object SparkEntry {
     "q_source_overlap" -> (qSourceOverlap _),
     "q_containment" -> (qContainment _),
     "q_dup_rate" -> (qDupRate _),
+    "q_vocab" -> (qVocab _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_incremental_verified" -> (qDedupIncrementalVerified _),
     "q_pq_topk" -> (qPqTopk _),
@@ -1944,6 +1950,10 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.8""".stripMargin,
+    "q_vocab" ->
+      """SELECT source, COUNT(DISTINCT tok) AS vocab
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY source""".stripMargin,
     "q_dup_rate" ->
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique,
         |  round(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 4) AS dup_rate

@@ -466,6 +466,30 @@ object Text {
         array_join(slice(col("__toks"), col("chunk_id") * step + 1, lit(size)), " ").as("chunk_text"))
   }
 
+  /** Per-group vocabulary size (distinct tokens) — exact and HLL forms.
+    * The exact form's distinct aggregate must ship every (group, token)
+    * pair to its reducer (partial distinct collapses repeats map-side,
+    * but the distinct-key set itself crosses the wire: O(vocab) per
+    * group); the HLL form ([[vocabSizeApprox]], Spark's built-in
+    * HyperLogLog++) exchanges one fixed ~KB sketch per group per
+    * partition regardless of vocabulary — the 100 TB form, with rsd the
+    * accuracy knob. VocabSketchSpec measures the actual error against
+    * the exact count (the topNgramsSketch honesty precedent: report the
+    * bound, measure the reality). */
+  def vocabSize(documents: DataFrame, groupCols: Seq[String]): DataFrame =
+    documents
+      .select(groupCols.map(col) :+ explode(split(col("text"), " ")).as("__tok"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(countDistinct(col("__tok")).as("vocab"))
+
+  /** HLL++ twin of [[vocabSize]]: `rsd` = target relative standard
+    * deviation (Spark default 0.05). */
+  def vocabSizeApprox(documents: DataFrame, groupCols: Seq[String], rsd: Double = 0.05): DataFrame =
+    documents
+      .select(groupCols.map(col) :+ explode(split(col("text"), " ")).as("__tok"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(approx_count_distinct(col("__tok"), rsd).as("vocab_approx"))
+
   /** PMI collocation mining — pointwise mutual information over corpus
     * bigrams, the lexical-statistics step behind tokenizer vocabulary
     * decisions and multi-word-expression detection:
