@@ -443,6 +443,15 @@ object SparkEntry {
         fieldPath = "k",
         groupCols = Seq("event_type"))
 
+  /** Per-source epoch replication ([[Mixture.epochReplicate]]): src0
+    * 3 epochs, src1 2, src2 dropped, everything else 1. */
+  private def qEpochs(s: SparkSession, dir: String): DataFrame =
+    Mixture
+      .epochReplicate(
+        Tables.documents(s, dir),
+        Map("src0" -> 3, "src1" -> 2, "src2" -> 0))
+      .select("doc_id", "source", "epoch")
+
   /** Curriculum / annealing order ([[Mixture.curriculumOrder]]): phase
     * "main" = the whole corpus, phase "anneal" = the q_quality_gate
     * survivors re-sampled after it — phase-major global rank via the
@@ -1741,6 +1750,7 @@ object SparkEntry {
     "q_sq8_topk" -> (qSq8Topk _),
     "q_ivf_sq8" -> (qIvfSq8 _),
     "q_curriculum" -> (qCurriculum _),
+    "q_epochs" -> (qEpochs _),
     "q_gopher" -> (qGopher _),
     "q_pmi" -> (qPmi _),
     "q_html_strip" -> (qHtmlStrip _)
@@ -2761,6 +2771,11 @@ object SparkEntry {
         |      JOIN uni ua ON ua.w = string_split(bc.bigram, ' ')[1]
         |      JOIN uni ub ON ub.w = string_split(bc.bigram, ' ')[2])
         |SELECT bigram, c_ab, c_a, c_b, pmi FROM j ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
+    "q_epochs" ->
+      """SELECT doc_id, source, CAST(u.e AS INT) AS epoch
+        |FROM documents,
+        |  unnest(generate_series(0, CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+        |                                        WHEN 'src2' THEN -1 ELSE 0 END)) AS u(e)""".stripMargin,
     "q_gopher" ->
       """WITH s AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -199,6 +199,30 @@ object Mixture {
     )
   }
 
+  /** Per-source epoch replication (data echoing): repeat each source's
+    * docs `factor` times — how a mixture actually realizes >1 epochs
+    * over small high-quality sources (Wikipedia 3×, books 2×, crawl 1×)
+    * inside one training pass. Replication is a generator (`explode` of
+    * a literal range per row): no shuffle, no join, output partitioned
+    * like the input; each copy carries its 0-based `epoch` so
+    * downstream shuffling ([[deterministicShuffle]] salted with the
+    * epoch) decorrelates copies. Sources absent from `factors` default
+    * to 1 epoch; factor 0 drops the source. */
+  def epochReplicate(
+      documents: DataFrame,
+      factors: Map[String, Int],
+      sourceCol: String = "source"
+  ): DataFrame = {
+    require(factors.values.forall(_ >= 0), s"factors must be >= 0, got $factors")
+    val f = coalesce(
+      element_at(typedLit(factors), col(sourceCol)),
+      lit(1))
+    // Spark's sequence(0, -1) steps BACKWARD ([0, -1]) rather than being
+    // empty — factor 0 must produce an empty array explicitly
+    val epochs = when(f > 0, sequence(lit(0), f - 1)).otherwise(array().cast("array<int>"))
+    documents.withColumn("epoch", explode(epochs))
+  }
+
   /** Materialize the corpus as `nShards` token-balanced training shards
     * under `outDir` — the output-layout sink closing the curation loop:
     * `partitionBy("shard")` parquet, exactly ONE file per shard

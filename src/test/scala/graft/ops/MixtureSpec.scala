@@ -306,6 +306,21 @@ class MixtureSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("epochReplicate: factors replicate, absent defaults to 1, zero drops, no shuffle") {
+    val df = docs(30, Seq("w", "b", "x")) // 10 docs each
+    val out = Mixture.epochReplicate(df, Map("w" -> 3, "x" -> 0))
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("w" -> 30L, "b" -> 10L))
+    // epochs are 0-based and complete per doc
+    val epochs = out.where(col("source") === "w").groupBy("doc_id")
+      .agg(sort_array(collect_list(col("epoch"))).as("e"))
+      .collect().map(_.getSeq[Int](1).toList).distinct.toList
+    assert(epochs == List(List(0, 1, 2)))
+    // plan: a generate, no Exchange
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("writeShards: one file per shard dir, read-back complete, shard filter partition-prunes") {
     val df = docs(200, Seq("a", "b", "c"))
     val out = java.nio.file.Files.createTempDirectory("graft-shards-").toString
