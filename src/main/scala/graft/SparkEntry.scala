@@ -629,11 +629,17 @@ object SparkEntry {
     * Misra-Gries, [[graft.functions.SpaceSavingTopK]]): capacity is
     * sized above the per-source gram universe, so err = 0, counts are
     * exact, and the EXACT oracle SQL pins the sketch end to end (the
-    * compaction regime is TopKSketchSpec's job). err is asserted, not
-    * emitted — the oracle's column contract is the exact operator's. */
+    * compaction regime is TopKSketchSpec's job). err is ASSERTED in the
+    * plan (`assert_true` — the job fails loudly on compaction) rather
+    * than filtered: a silent `where(err = 0)` would drop a whole
+    * group's rows if corpus growth ever pushed it past capacity and
+    * surface only as a confusing oracle diff. The oracle's column
+    * contract stays the exact operator's. */
   private def qTopNgramsSketch(s: SparkSession, dir: String): DataFrame =
     Text.topNgramsSketch(Tables.documents(s, dir), n = 3, k = 10, capacity = 1 << 18)
-      .where(col("err") === 0L)
+      .withColumn("__err_guard", assert_true(col("err") === 0L,
+        lit("q_top_ngrams_sketch: sketch compacted (err > 0) — raise capacity")))
+      .where(col("__err_guard").isNull) // always true; keeps the assert un-pruned
       .select("source", "ngram", "n_occurrences", "rank")
 
   /** The full curation chain end-to-end (quality → repetition →
@@ -1869,7 +1875,7 @@ object SparkEntry {
         |SELECT p.peak_idx, e.event_id - p.peak_idx AS offset, e.value AS value
         |FROM events e JOIN p ON e.event_id >= p.peak_idx - 3 AND e.event_id < p.peak_idx + 3""".stripMargin,
     "q_zscore" ->
-      """WITH st AS (SELECT event_type, COUNT(*) AS n,
+      """WITH st AS (SELECT event_type, COUNT(CAST(value AS DECIMAL(18,2))) AS n,
         |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
         |        CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq
         |      FROM events GROUP BY event_type),
@@ -2795,7 +2801,8 @@ object SparkEntry {
         |  '<html><head><style>p { color: red }</style></head><body><p class="x">' || text ||
         |  ' &amp; more &lt;tags&gt; &quot;q&#39;</p><script>var x = 1;</script></body></html>' AS t
         |FROM documents),
-        |s1 AS (SELECT doc_id, regexp_replace(t, '(?i)<(script|style)[^>]*>[^<]*</(script|style)>', ' ', 'g') AS t FROM h),
+        |s0 AS (SELECT doc_id, regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        |s1 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s0),
         |s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1),
         |d AS (SELECT doc_id,
         |        replace(replace(replace(replace(replace(t,
@@ -2832,9 +2839,10 @@ object SparkEntry {
       |qv AS (SELECT vec_id,
       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS q
       |       FROM qz),
+      |sqn AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS s FROM qv),
       |p AS (SELECT qq.vec_id AS query_id, c.vec_id, qq.q AS a, c.q AS b
-      |      FROM qv c, (SELECT * FROM qv WHERE vec_id < 5) qq
-      |      WHERE c.vec_id <> qq.vec_id),
+      |      FROM sqn c, (SELECT * FROM sqn WHERE vec_id < 5) qq
+      |      WHERE c.vec_id <> qq.vec_id AND c.s > 0 AND qq.s > 0),
       |u AS (SELECT query_id, vec_id, unnest(a) AS av, unnest(b) AS bv FROM p),
       |d AS (SELECT query_id, vec_id, SUM(av * bv) AS dp, SUM(av * av) AS sa, SUM(bv * bv) AS sb
       |      FROM u GROUP BY query_id, vec_id),

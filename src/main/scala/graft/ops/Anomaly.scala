@@ -27,23 +27,45 @@ object Anomaly {
   ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val dec = col(valueCol).cast("decimal(18,2)")
+    // n counts the VALUES THAT ENTERED THE SUMS (the decimal cast nulls
+    // |v| ≥ ~10¹⁶ under non-ANSI semantics): counting raw rows would put
+    // dropped values in the denominator but not the numerator, silently
+    // skewing mean/σ. Dropped rows still flow through the compare below
+    // — a 10¹⁷ outlier is flagged against the clean stats.
     val stats = events
       .groupBy(groupCols.map(col): _*)
       .agg(
-        count(lit(1)).as("__n"),
+        count(dec).as("__n"),
         sum(dec).cast("double").as("__sum"),
         sum(dec * dec).cast("double").as("__sumsq"))
+      .where(col("__n") > 0L)
       .withColumn("__mean", col("__sum") / col("__n"))
       .withColumn("__var", greatest(col("__sumsq") / col("__n") - col("__mean") * col("__mean"), lit(0.0)))
       .withColumn("__std", sqrt(col("__var")))
       .select(groupCols.map(col) :+ col("__mean") :+ col("__std"): _*)
-    val nGroups = stats.count()
+    // collect ONCE to a local relation (groups are bounded — event types,
+    // sources; capped against pathological group columns): a
+    // count-then-join spelling executes the stats aggregate twice — the
+    // repeated-subtree rule (see Text.percentileGate).
+    val statsRows = stats.limit(MaxDriverGroups + 1).collect()
+    val statsSide =
+      if (statsRows.length <= MaxDriverGroups) {
+        val local = events.sparkSession.createDataFrame(
+          java.util.Arrays.asList(statsRows: _*), stats.schema)
+        graft.spikes.Spikes.broadcastIfSmall(local, statsRows.length.toLong)
+      } else {
+        val nGroups = stats.count()
+        graft.spikes.Spikes.broadcastIfSmall(stats, nGroups)
+      }
     events
-      .join(graft.spikes.Spikes.broadcastIfSmall(stats, nGroups), groupCols)
+      .join(statsSide, groupCols)
       .where(col("__std") > 0.0 &&
         abs(col(valueCol) - col("__mean")) > lit(k) * col("__std"))
       .withColumn("z", round((col(valueCol) - col("__mean")) / col("__std"), 4))
       .withColumn("group_mean", round(col("__mean"), 4))
       .drop("__mean", "__std")
   }
+
+  /** Driver-side bound for the collected per-group stats table. */
+  private val MaxDriverGroups = 2000000
 }

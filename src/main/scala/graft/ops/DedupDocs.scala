@@ -276,11 +276,19 @@ object DedupDocs {
       scores: DataFrame,
       scoreCol: String
   ): DataFrame = {
+    // LEFT join: an inner join would silently DROP cluster members
+    // missing from the scores frame (scores computed on a filtered or
+    // sampled slice), losing their audit rows and possibly crowning the
+    // wrong canonical. Unscored members rank BELOW every scored one
+    // (−∞ sentinel), ties still break keep-first on doc_id — an
+    // all-unscored cluster degrades to plain keep-first.
     val w = Window
       .partitionBy(col("cluster_id"))
-      .orderBy(col(scoreCol).desc, col("doc_id").asc)
+      .orderBy(
+        coalesce(col(scoreCol), lit(Double.NegativeInfinity)).desc,
+        col("doc_id").asc)
     clusters
-      .join(scores.select(col("doc_id"), col(scoreCol)), Seq("doc_id"))
+      .join(scores.select(col("doc_id"), col(scoreCol)), Seq("doc_id"), "left")
       .withColumn("pick_rank", row_number().over(w))
       .select(col("doc_id"), col("cluster_id"), (col("pick_rank") === 1).as("keep"))
   }
@@ -918,6 +926,11 @@ object DedupDocs {
           shufflePartitions
         )
         edgesByDst.count()
+        // materialize the round-1 labels WHILE the edges cache is still
+        // live: cut() persists lazily, so unpersisting edgesRdd first
+        // would make the loop's first action recompute the entire
+        // upstream pairs pipeline through the uncached lineage
+        labelsRdd.count()
         edgesRdd.unpersist(blocking = false)
         // the fused groupBy above IS propagation round 1; the loop runs the
         // remaining maxIters-1 rounds (it needs at least one pass to detect

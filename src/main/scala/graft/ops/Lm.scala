@@ -217,7 +217,14 @@ object Lm {
         scores.unpersist()
         broadcast(spark.createDataFrame(
           spark.sparkContext.parallelize(rows.toIndexedSeq, 1), scores.schema))
-      } else { scores.unpersist(); scores }
+      } else
+        // degrade path: the cache STAYS LIVE — the returned plan consumes
+        // it, and an eager unpersist here would recompute the whole
+        // scores subtree (two corpus aggregates + two unigram joins) when
+        // the caller finally executes (the pass-1-cache precedent,
+        // shardAssign/curriculumOrder). Lifecycle belongs to the session,
+        // as with the other persisted model frames.
+        scores
     val out = bigramGrams(documents)
       .join(scoresSide, Seq("g"))
       .groupBy("doc_id")
@@ -226,7 +233,10 @@ object Lm {
         round(sum(col("s")) / count(lit(1)), 4).as("avg_logscore"),
         round(exp(-sum(col("s")) / count(lit(1))), 4).as("ppl")
       )
-    c1.unpersist()
+    // c1's cache may only drop when the scoring joins consumed the
+    // collected LocalRelation instead of c1 itself — in the degrade case
+    // the returned plan still reads it twice
+    if (c1base ne c1) c1.unpersist()
     out
   }
 }

@@ -541,17 +541,18 @@ object Mixture {
     // driver-safety cap: under the hybrid gate nSources is the handful
     // of giant sources, but a forced call (giantSourceRows = 0) on a
     // high-cardinality source column would make this collect O(nSources
-    // × buckets) with no bound. The count is one extra pass over the
-    // already-combined aggregate — noise next to the corpus scan.
-    val nGroups = grouped.count()
+    // × buckets) with no bound. ONE limit-probed collect enforces the
+    // cap — a count-then-collect spelling would execute the corpus
+    // aggregation twice (the repeated-subtree rule; see
+    // Text.percentileGate).
+    val groupRows = grouped.limit(MaxTwoPassGroups.toInt + 1).collect()
     require(
-      nGroups <= MaxTwoPassGroups,
-      s"tokenBudgetTwoPass: $nGroups (source, bucket) groups exceed the " +
-        s"driver-collect cap $MaxTwoPassGroups — the source column is too " +
+      groupRows.length <= MaxTwoPassGroups,
+      s"tokenBudgetTwoPass: over ${MaxTwoPassGroups} (source, bucket) groups " +
+        "exceed the driver-collect cap — the source column is too " +
         "high-cardinality for the two-pass plan; use tokenBudgetPerSource's " +
         "hybrid gate (windowed plan) for many-small-source layouts")
-    val sums = grouped
-      .collect()
+    val sums = groupRows
       .map(r => (r.get(0), r.getInt(1)) -> r.getLong(2))
       .toMap
     val offsets = sums.keysIterator.map(_._1).toSeq.distinct.flatMap { src =>

@@ -67,7 +67,13 @@ object Sq {
       col("qsq").as("q_qsq"))
     val scored = corpus
       .select(col("vec_id"), col("qvec"), col("qsq"))
-      .crossJoin(broadcast(q))
+      // a zero-norm vector has no direction: its cosine is 0/0 = NaN,
+      // and NaN orders ABOVE every real cosine in a desc sort (both in
+      // Spark and DuckDB) — it would rank FIRST for every query. Exclude
+      // zero-norm rows from scoring on both sides (mirrored in the SQL
+      // oracle).
+      .where(col("qsq") > 0L)
+      .crossJoin(broadcast(q.where(col("q_qsq") > 0L)))
       .where(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),
@@ -118,7 +124,8 @@ object Sq {
       }
     val scored = indexSide
       .select(col("vec_id"), col("cell"), col("qvec"), col("qsq"))
-      .join(broadcast(probe), "cell")
+      .where(col("qsq") > 0L) // zero-norm exclusion, as in [[topK]]
+      .join(broadcast(probe.where(col("q_qsq") > 0L)), "cell")
       .where(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),

@@ -582,9 +582,14 @@ object Text {
     * Script/style blocks drop with their CONTENT (a bare tag-strip would
     * leak javascript into the corpus). */
   def stripHtml(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    // per-tag non-greedy DOTALL blocks: a '[^<]*' body would fail on any
+    // script containing '<' (comparisons, HTML strings — i.e. most real
+    // scripts) and leak its mangled content; separate script/style
+    // patterns also refuse mismatched pairs like <script>...</style>
+    val noScript = regexp_replace(
+      col(textCol), "(?is)<script[^>]*>.*?</script>", " ")
     val noBlocks = regexp_replace(
-      col(textCol),
-      "(?i)<(script|style)[^>]*>[^<]*</(script|style)>", " ")
+      noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"

@@ -314,9 +314,10 @@ object Streaming {
     events
       .groupBy(col(groupCol))
       .agg(
-        count(lit(1)).as("n"),
+        count(dec).as("n"), // parsed values only — the Anomaly.zscoreFlags n contract
         sum(dec).cast("double").as("s"),
         sum(dec * dec).cast("double").as("sq"))
+      .where(col("n") > 0)
       .collect()
       .map { r =>
         val n = r.getLong(1).toDouble

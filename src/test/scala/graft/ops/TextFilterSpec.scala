@@ -28,6 +28,8 @@ class TextFilterSpec extends SparkSpec {
     val rows = Seq(
       (1L, "<p>hello <b>world</b></p>"),
       (2L, "<script>var hidden = 'secret';</script>visible<style>h1{}</style>"),
+      // script bodies with '<' (comparisons) — the real-world shape
+      (7L, "<script>if (a<b && c<d) alert(1)</script>kept<script>x<1</script>"),
       (3L, "tom &amp; jerry &lt;3 &quot;quoted&#39;"),
       // double-encoded: &amp;lt; must decode to the LITERAL '&lt;', not '<'
       (4L, "escaped: &amp;lt;tag&amp;gt;"),
@@ -38,6 +40,7 @@ class TextFilterSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(got(1L) == "hello world")
     assert(got(2L) == "visible")
+    assert(got(7L) == "kept")
     assert(got(3L) == "tom & jerry <3 \"quoted'")
     assert(got(4L) == "escaped: &lt;tag&gt;")
     assert(got(5L) == "attrs")
