@@ -143,6 +143,20 @@ object SparkEntry {
         valueCol = "value", groupCols = Seq("event_type"), k = 2.0)
       .select("event_id", "event_type", "value", "z", "group_mean")
 
+  /** Windowed power spectra ([[graft.dsp.Spectral]]): per-user 8-sample
+    * windows over the event value stream through the radix-2 FFT
+    * kernel; the oracle recomputes every bin with an UNROLLED direct
+    * DFT (generated literal trig sums) — an independent formulation, so
+    * the FFT butterflies are cross-checked end to end, not
+    * self-compared. */
+  private def qPsd(s: SparkSession, dir: String): DataFrame =
+    graft.dsp.Spectral.windowPowerSpectra(
+      Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value"),
+      keyCols = Seq("user_id"),
+      orderCols = Seq(col("ts_us").asc, col("event_id").asc),
+      valueCol = "value",
+      windowSize = 8)
+
   /** F13/F14 timestamp validation report. */
   private def qTsValidation(s: SparkSession, dir: String): DataFrame =
     Validation.report(Tables.events(s, dir), "ts_us", "event_id")
@@ -1670,6 +1684,7 @@ object SparkEntry {
     "q_ts_validation" -> (qTsValidation _),
     "q_event_windows" -> (qEventWindows _),
     "q_zscore" -> (qZscore _),
+    "q_psd" -> (qPsd _),
     "q_mad_crossings" -> (qMadCrossings _),
     "q_patch_extract" -> (qPatchExtract _),
     "q_running_sum" -> (qRunningSum _),
@@ -1874,6 +1889,7 @@ object SparkEntry {
         |p AS (SELECT a.event_id AS peak_idx FROM h a JOIN h b ON a.event_id + 1 = b.event_id)
         |SELECT p.peak_idx, e.event_id - p.peak_idx AS offset, e.value AS value
         |FROM events e JOIN p ON e.event_id >= p.peak_idx - 3 AND e.event_id < p.peak_idx + 3""".stripMargin,
+    "q_psd" -> psdOracleSql,
     "q_zscore" ->
       """WITH st AS (SELECT event_type, COUNT(CAST(value AS DECIMAL(18,2))) AS n,
         |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
@@ -2810,6 +2826,40 @@ object SparkEntry {
         |      FROM s2)
         |SELECT doc_id, trim(regexp_replace(t, ' +', ' ', 'g')) AS clean_text FROM d""".stripMargin
   ) ++ pqFamilyOracles
+
+  /** q_psd: the FFT kernel's bins recomputed with an UNROLLED direct
+    * DFT — literal cos/sin constants generated from the same driver
+    * arithmetic (the lshBucketSql recipe), every literal CAST AS DOUBLE.
+    * Powers compare on round(log10(p + 1), 4): on the log scale the
+    * butterflies-vs-direct-sums float discrepancy is ~1e-16, far from
+    * any rounding boundary. */
+  private lazy val psdOracleSql: String = {
+    val n = 8
+    def cs(j: Int, k: Int): Double = math.cos(-2.0 * math.Pi * j * k / n)
+    def sn(j: Int, k: Int): Double = math.sin(-2.0 * math.Pi * j * k / n)
+    def trigSum(k: Int, f: (Int, Int) => Double): String = {
+      val cases = (0 until n)
+        .map(j => s"WHEN $j THEN CAST(${f(j, k)} AS DOUBLE)")
+        .mkString(" ")
+      s"SUM(value * (CASE j $cases END))"
+    }
+    val aggs = (0 to n / 2).flatMap { k =>
+      Seq(s"${trigSum(k, cs)} AS re$k", s"${trigSum(k, sn)} AS im$k")
+    }.mkString(",\n        ")
+    val branches = (0 to n / 2).map { k =>
+      s"SELECT user_id, win, $k AS bin, round(log10(re$k * re$k + im$k * im$k + 1), 4) AS log_power FROM f"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+r AS (SELECT user_id, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - 1 AS rn
+      FROM e),
+w AS (SELECT user_id, rn // $n AS win, CAST(rn % $n AS INT) AS j, value FROM r),
+g AS (SELECT user_id, win, COUNT(*) AS nn,
+        $aggs
+      FROM w GROUP BY user_id, win),
+f AS (SELECT * FROM g WHERE nn = $n)
+$branches"""
+  }
 
   /** Shared CTE chain for the MinHash-LSH oracles (q_minhash_lsh,
     * q_source_overlap): shingles → (h1,h2) seeds → minhash per seed →

@@ -1,0 +1,80 @@
+package graft.dsp
+
+import graft.SparkSpec
+import graft.functions.FftPowerBins
+import org.apache.spark.sql.functions._
+
+class SpectralSpec extends SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  test("FFT power bins match the naive O(n^2) DFT for random windows of every size") {
+    for (n <- Seq(2, 4, 8, 16, 64); seed <- 1 to 3) {
+      val x = Array.fill(n)(rng(seed * 100 + n).nextDouble() * 200 - 100)
+      val re = x.clone(); val im = new Array[Double](n)
+      FftPowerBins.fftInPlace(re, im)
+      val fft = (0 to n / 2).map(k => re(k) * re(k) + im(k) * im(k))
+      val dft = FftPowerBins.dftPowerBins(x)
+      fft.zip(dft).zipWithIndex.foreach { case ((a, b), k) =>
+        assert(math.abs(a - b) <= 1e-9 * (1.0 + math.abs(b)), s"n=$n k=$k fft=$a dft=$b")
+      }
+    }
+  }
+
+  test("a pure sinusoid at bin frequency concentrates all AC power in that bin") {
+    val n = 32
+    val k0 = 5
+    val x = Array.tabulate(n)(j => math.cos(2 * math.Pi * k0 * j / n))
+    val re = x.clone(); val im = new Array[Double](n)
+    FftPowerBins.fftInPlace(re, im)
+    val p = (0 to n / 2).map(k => re(k) * re(k) + im(k) * im(k))
+    // |X_k0|² = (n/2)² for a unit cosine; every other bin ~0
+    assert(math.abs(p(k0) - math.pow(n / 2.0, 2)) < 1e-9, p(k0).toString)
+    p.zipWithIndex.filter(_._2 != k0).foreach { case (v, k) =>
+      assert(v < 1e-18, s"bin $k leaked $v")
+    }
+  }
+
+  test("Parseval: sum of two-sided powers equals n * time-domain energy") {
+    val n = 16
+    val x = Array.fill(n)(rng(7).nextDouble() * 10 - 5)
+    val re = x.clone(); val im = new Array[Double](n)
+    FftPowerBins.fftInPlace(re, im)
+    val spec = (0 until n).map(k => re(k) * re(k) + im(k) * im(k)).sum
+    val time = x.map(v => v * v).sum * n
+    assert(math.abs(spec - time) < 1e-8 * time)
+  }
+
+  test("expression: null element / non-power-of-two / empty yield NULL") {
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0)), // ok, n=4
+      (2L, Seq[java.lang.Double](1.0, 2.0, 3.0)),      // n=3 → null
+      (3L, Seq[java.lang.Double](1.0, null, 3.0, 4.0)), // null elem → null
+      (4L, Seq.empty[java.lang.Double])                // empty → null
+    ).toDF("id", "arr")
+      .select(col("id"), FftPowerBins.powerBins(col("arr").cast("array<double>")).as("p"))
+      .orderBy("id").collect()
+    assert(!df(0).isNullAt(1) && df(0).getSeq[Double](1).length == 3)
+    assert(df(1).isNullAt(1) && df(2).isNullAt(1) && df(3).isNullAt(1))
+  }
+
+  test("windowPowerSpectra drops partial tail windows and keys windows independently") {
+    // key "a": 19 samples → 2 full windows of 8, tail of 3 dropped;
+    // key "b": 8 samples → 1 window
+    val rows = (0 until 19).map(i => ("a", i.toLong, (i % 5).toDouble)) ++
+      (0 until 8).map(i => ("b", i.toLong, 1.0))
+    val df = rows.toDF("k", "ts", "value")
+    val out = Spectral.windowPowerSpectra(df, Seq("k"), Seq(col("ts").asc), "value", 8)
+    val byKey = out.groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 5 bins per window (8/2 + 1)
+    assert(byKey == Map("a" -> 10L, "b" -> 5L))
+    // constant window: all power in DC → log10(64+1) at bin 0, 0 elsewhere
+    val b = out.where(col("k") === "b").orderBy("bin")
+      .collect().map(r => (r.getInt(r.fieldIndex("bin")), r.getDouble(r.fieldIndex("log_power"))))
+    assert(b.head == ((0, math.rint(math.log10(65.0) * 1e4) / 1e4)))
+    assert(b.tail.forall(_._2 == 0.0), b.mkString(","))
+  }
+}
