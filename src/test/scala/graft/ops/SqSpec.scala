@@ -105,4 +105,16 @@ class SqSpec extends SparkSpec {
     assert(q(0).getAs[Long]("qsq") == 0L)
     assert(q(1).getSeq[Byte](q(1).fieldIndex("qvec")).toSeq == Seq[Byte](127, 0, 0, 0))
   }
+
+  test("a zero-norm corpus vector never enters any top-k (its NaN cosine is excluded)") {
+    val base = embeddings()
+    val zero = Seq((999L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val qz = Sq.quantize(base.unionByName(zero))
+    val got = Sq.topK(qz, qz.where(col("vec_id") < 2), k = 50)
+    assert(!got.select("vec_id").collect().map(_.getLong(0)).contains(999L))
+    // and a zero-norm QUERY produces no rows rather than NaN ranks
+    val zq = Sq.topK(qz, qz.where(col("vec_id") === 999L), k = 5)
+    assert(zq.count() == 0L)
+  }
 }
