@@ -157,6 +157,19 @@ object SparkEntry {
       valueCol = "value",
       windowSize = 8)
 
+  /** Band-power rollup over the q_psd windows ([[graft.dsp.Spectral
+    * .windowBandPower]]): low = bins 0-1, mid = 2, high = 3-4 — raw bin
+    * powers summed ascending-k then log-compressed, oracle spelled
+    * identically from the unrolled DFT bins. */
+  private def qBandPower(s: SparkSession, dir: String): DataFrame =
+    graft.dsp.Spectral.windowBandPower(
+      Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value"),
+      keyCols = Seq("user_id"),
+      orderCols = Seq(col("ts_us").asc, col("event_id").asc),
+      valueCol = "value",
+      windowSize = 8,
+      bands = Seq(("low", 0, 1), ("mid", 2, 2), ("high", 3, 4)))
+
   /** F13/F14 timestamp validation report. */
   private def qTsValidation(s: SparkSession, dir: String): DataFrame =
     Validation.report(Tables.events(s, dir), "ts_us", "event_id")
@@ -1685,6 +1698,7 @@ object SparkEntry {
     "q_event_windows" -> (qEventWindows _),
     "q_zscore" -> (qZscore _),
     "q_psd" -> (qPsd _),
+    "q_band_power" -> (qBandPower _),
     "q_mad_crossings" -> (qMadCrossings _),
     "q_patch_extract" -> (qPatchExtract _),
     "q_running_sum" -> (qRunningSum _),
@@ -1890,6 +1904,7 @@ object SparkEntry {
         |SELECT p.peak_idx, e.event_id - p.peak_idx AS offset, e.value AS value
         |FROM events e JOIN p ON e.event_id >= p.peak_idx - 3 AND e.event_id < p.peak_idx + 3""".stripMargin,
     "q_psd" -> psdOracleSql,
+    "q_band_power" -> bandPowerOracleSql,
     "q_zscore" ->
       """WITH st AS (SELECT event_type, COUNT(CAST(value AS DECIMAL(18,2))) AS n,
         |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
@@ -2848,6 +2863,39 @@ object SparkEntry {
     }.mkString(",\n        ")
     val branches = (0 to n / 2).map { k =>
       s"SELECT user_id, win, $k AS bin, round(log10(re$k * re$k + im$k * im$k + 1), 4) AS log_power FROM f"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+r AS (SELECT user_id, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - 1 AS rn
+      FROM e),
+w AS (SELECT user_id, rn // $n AS win, CAST(rn % $n AS INT) AS j, value FROM r),
+g AS (SELECT user_id, win, COUNT(*) AS nn,
+        $aggs
+      FROM w GROUP BY user_id, win),
+f AS (SELECT * FROM g WHERE nn = $n)
+$branches"""
+  }
+
+  /** q_band_power: the psd oracle's g CTE with per-band ascending-k
+    * power sums. */
+  private lazy val bandPowerOracleSql: String = {
+    val n = 8
+    def cs(j: Int, k: Int): Double = math.cos(-2.0 * math.Pi * j * k / n)
+    def sn(j: Int, k: Int): Double = math.sin(-2.0 * math.Pi * j * k / n)
+    def trigSum(k: Int, f: (Int, Int) => Double): String = {
+      val cases = (0 until n)
+        .map(j => s"WHEN $j THEN CAST(${f(j, k)} AS DOUBLE)")
+        .mkString(" ")
+      s"SUM(value * (CASE j $cases END))"
+    }
+    val aggs = (0 to n / 2).flatMap { k =>
+      Seq(s"${trigSum(k, cs)} AS re$k", s"${trigSum(k, sn)} AS im$k")
+    }.mkString(",\n        ")
+    val bands = Seq(("low", 0, 1), ("mid", 2, 2), ("high", 3, 4))
+    val branches = bands.map { case (name, lo, hi) =>
+      // ascending-k left-to-right sum, the engine's aggregate fold order
+      val terms = (lo to hi).map(k => s"re$k * re$k + im$k * im$k").mkString(" + ")
+      s"SELECT user_id, win, '$name' AS band, round(log10($terms + 1), 4) AS log_power FROM f"
     }.mkString("\nUNION ALL\n")
     s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
 r AS (SELECT user_id, value,

@@ -33,6 +33,55 @@ object Spectral {
       orderCols: Seq[Column],
       valueCol: String,
       windowSize: Int
+  ): DataFrame =
+    powerWindows(signal, keyCols, orderCols, valueCol, windowSize)
+      .select(
+        keyCols.map(col) :+ col("win") :+
+          posexplode(col("__p")): _*)
+      .withColumnRenamed("pos", "bin")
+      .withColumn("log_power", round(log10(col("col") + lit(1.0)), 4))
+      .drop("col")
+
+  /** Band-power rollup — the feature a pipeline actually consumes
+    * (theta/gamma ratios, audio energy bands): RAW bin powers sum within
+    * each `(name, loBin, hiBin)` band (inclusive, ascending-k fold —
+    * spelled identically in the oracle) and log-compress like the
+    * per-bin form. Output: keys…, win, band, log_power. */
+  def windowBandPower(
+      signal: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      valueCol: String,
+      windowSize: Int,
+      bands: Seq[(String, Int, Int)]
+  ): DataFrame = {
+    require(bands.nonEmpty, "bands must be non-empty")
+    bands.foreach { case (n, lo, hi) =>
+      require(lo >= 0 && hi >= lo && hi <= windowSize / 2, s"bad band ($n, $lo, $hi)")
+    }
+    val base = powerWindows(signal, keyCols, orderCols, valueCol, windowSize)
+    val bandStructs = bands.map { case (name, lo, hi) =>
+      val sum = aggregate(
+        slice(col("__p"), lo + 1, hi - lo + 1), lit(0.0), (acc, p) => acc + p)
+      struct(lit(name).as("band"), round(log10(sum + lit(1.0)), 4).as("log_power"))
+    }
+    base
+      .select(
+        keyCols.map(col) :+ col("win") :+
+          explode(array(bandStructs: _*)).as("__b"): _*)
+      .select(
+        keyCols.map(col) :+ col("win") :+
+          col("__b.band").as("band") :+ col("__b.log_power").as("log_power"): _*)
+  }
+
+  /** Shared window assembly + FFT: (keys…, win, __p = one-sided bin
+    * powers) for complete windows only. */
+  private def powerWindows(
+      signal: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      valueCol: String,
+      windowSize: Int
   ): DataFrame = {
     require(windowSize >= 2 && (windowSize & (windowSize - 1)) == 0,
       s"windowSize must be a power of two >= 2, got $windowSize")
@@ -40,7 +89,7 @@ object Spectral {
     val keys = keyCols.map(col)
     val w = Window.partitionBy(keys: _*).orderBy(orderCols: _*)
     val rn = row_number().over(w) - 1
-    val windows = signal
+    signal
       .withColumn("__rn", rn)
       .withColumn("win", (col("__rn") / windowSize).cast("long"))
       .withColumn("__j", (col("__rn") % windowSize).cast("int"))
@@ -51,12 +100,7 @@ object Spectral {
           .as("__s"))
       .where(col("__n") === windowSize.toLong)
       .withColumn("__arr", transform(col("__s"), s => s.getField("__v")))
-    windows
-      .select(
-        keys :+ col("win") :+
-          posexplode(graft.functions.FftPowerBins.powerBins(col("__arr"))): _*)
-      .withColumnRenamed("pos", "bin")
-      .withColumn("log_power", round(log10(col("col") + lit(1.0)), 4))
-      .drop("col")
+      .withColumn("__p", graft.functions.FftPowerBins.powerBins(col("__arr")))
+      .select(keys :+ col("win") :+ col("__p"): _*)
   }
 }

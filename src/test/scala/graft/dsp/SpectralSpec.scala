@@ -61,6 +61,21 @@ class SpectralSpec extends SparkSpec {
     assert(df(1).isNullAt(1) && df(2).isNullAt(1) && df(3).isNullAt(1))
   }
 
+  test("windowBandPower sums raw bin powers per band before log-compression") {
+    val rows = (0 until 8).map(i => ("a", i.toLong, (i % 3).toDouble))
+    val df = rows.toDF("k", "ts", "value")
+    val bins = Spectral.windowPowerSpectra(df, Seq("k"), Seq(col("ts").asc), "value", 8)
+      .orderBy("bin").collect()
+      .map(r => math.pow(10, r.getDouble(r.fieldIndex("log_power"))) - 1.0)
+    val bands = Spectral.windowBandPower(df, Seq("k"), Seq(col("ts").asc), "value", 8,
+      Seq(("low", 0, 1), ("high", 2, 4)))
+      .collect().map(r => r.getString(r.fieldIndex("band")) -> r.getDouble(r.fieldIndex("log_power"))).toMap
+    // reconstructed raw sums agree to rounding error with the band rows
+    def logc(p: Double) = math.rint(math.log10(p + 1) * 1e4) / 1e4
+    assert(math.abs(bands("low") - logc(bins(0) + bins(1))) < 2e-4, bands.toString)
+    assert(math.abs(bands("high") - logc(bins(2) + bins(3) + bins(4))) < 2e-4)
+  }
+
   test("windowPowerSpectra drops partial tail windows and keys windows independently") {
     // key "a": 19 samples → 2 full windows of 8, tail of 3 dropped;
     // key "b": 8 samples → 1 window
