@@ -170,6 +170,19 @@ object SparkEntry {
       windowSize = 8,
       bands = Seq(("low", 0, 1), ("mid", 2, 2), ("high", 3, 4)))
 
+  /** STFT: q_psd's windows hopped by 4 (50 % overlap — the Welch
+    * standard) through [[graft.dsp.Spectral.windowPowerSpectraHopped]];
+    * the oracle re-derives window membership with an explicit
+    * generate_series join. */
+  private def qStft(s: SparkSession, dir: String): DataFrame =
+    graft.dsp.Spectral.windowPowerSpectraHopped(
+      Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value"),
+      keyCols = Seq("user_id"),
+      orderCols = Seq(col("ts_us").asc, col("event_id").asc),
+      valueCol = "value",
+      windowSize = 8,
+      hop = 4)
+
   /** F13/F14 timestamp validation report. */
   private def qTsValidation(s: SparkSession, dir: String): DataFrame =
     Validation.report(Tables.events(s, dir), "ts_us", "event_id")
@@ -1699,6 +1712,7 @@ object SparkEntry {
     "q_zscore" -> (qZscore _),
     "q_psd" -> (qPsd _),
     "q_band_power" -> (qBandPower _),
+    "q_stft" -> (qStft _),
     "q_mad_crossings" -> (qMadCrossings _),
     "q_patch_extract" -> (qPatchExtract _),
     "q_running_sum" -> (qRunningSum _),
@@ -1905,6 +1919,7 @@ object SparkEntry {
         |FROM events e JOIN p ON e.event_id >= p.peak_idx - 3 AND e.event_id < p.peak_idx + 3""".stripMargin,
     "q_psd" -> psdOracleSql,
     "q_band_power" -> bandPowerOracleSql,
+    "q_stft" -> stftOracleSql,
     "q_zscore" ->
       """WITH st AS (SELECT event_type, COUNT(CAST(value AS DECIMAL(18,2))) AS n,
         |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
@@ -2848,8 +2863,11 @@ object SparkEntry {
     * Powers compare on round(log10(p + 1), 4): on the log scale the
     * butterflies-vs-direct-sums float discrepancy is ~1e-16, far from
     * any rounding boundary. */
-  private lazy val psdOracleSql: String = {
-    val n = 8
+  /** Shared generator for the spectral oracles: unrolled-DFT aggregates
+    * over a caller-supplied window-membership CTE (literal trig
+    * constants from the same driver arithmetic as the engine's
+    * reference DFT — the lshBucketSql recipe). */
+  private def dftOracle(n: Int, wCte: String, finalBranches: Int => String): String = {
     def cs(j: Int, k: Int): Double = math.cos(-2.0 * math.Pi * j * k / n)
     def sn(j: Int, k: Int): Double = math.sin(-2.0 * math.Pi * j * k / n)
     def trigSum(k: Int, f: (Int, Int) => Double): String = {
@@ -2861,20 +2879,38 @@ object SparkEntry {
     val aggs = (0 to n / 2).flatMap { k =>
       Seq(s"${trigSum(k, cs)} AS re$k", s"${trigSum(k, sn)} AS im$k")
     }.mkString(",\n        ")
-    val branches = (0 to n / 2).map { k =>
-      s"SELECT user_id, win, $k AS bin, round(log10(re$k * re$k + im$k * im$k + 1), 4) AS log_power FROM f"
-    }.mkString("\nUNION ALL\n")
     s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
 r AS (SELECT user_id, value,
         row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - 1 AS rn
       FROM e),
-w AS (SELECT user_id, rn // $n AS win, CAST(rn % $n AS INT) AS j, value FROM r),
+$wCte,
 g AS (SELECT user_id, win, COUNT(*) AS nn,
         $aggs
       FROM w GROUP BY user_id, win),
 f AS (SELECT * FROM g WHERE nn = $n)
-$branches"""
+${finalBranches(n)}"""
   }
+
+  private def psdBinBranches(n: Int): String =
+    (0 to n / 2).map { k =>
+      s"SELECT user_id, win, $k AS bin, round(log10(re$k * re$k + im$k * im$k + 1), 4) AS log_power FROM f"
+    }.mkString("\nUNION ALL\n")
+
+  private lazy val psdOracleSql: String =
+    dftOracle(8,
+      "w AS (SELECT user_id, rn // 8 AS win, CAST(rn % 8 AS INT) AS j, value FROM r)",
+      psdBinBranches)
+
+  /** q_stft: 8-sample windows hopped by 4 (Welch 50 % overlap) — the
+    * membership generator spelled with explicit double floor (DuckDB's
+    * `//` truncation vs floor on negatives must not enter the picture). */
+  private lazy val stftOracleSql: String =
+    dftOracle(8,
+      """w AS (SELECT user_id, u.win AS win, CAST(rn - u.win * 4 AS INT) AS j, value
+      FROM r, unnest(generate_series(
+        greatest(0, -CAST(floor((7 - rn) / 4.0) AS BIGINT)),
+        rn // 4)) AS u(win))""",
+      psdBinBranches)
 
   /** q_band_power: the psd oracle's g CTE with per-band ascending-k
     * power sums. */

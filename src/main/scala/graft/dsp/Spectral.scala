@@ -74,25 +74,67 @@ object Spectral {
           col("__b.band").as("band") :+ col("__b.log_power").as("log_power"): _*)
   }
 
+  /** STFT form: windows of `windowSize` whose starts advance by `hop`
+    * (< windowSize ⇒ overlap; hop = windowSize/2 is the Welch-standard
+    * 50 %). Each sample belongs to ≤ ⌈size/hop⌉ windows — membership is
+    * a per-row generator (window w covers [w·hop, w·hop+size)), so the
+    * duplication factor is the overlap ratio, known and bounded; the
+    * rest of the plan is [[windowPowerSpectra]] unchanged. Output
+    * schema identical (win = window index over starts). */
+  def windowPowerSpectraHopped(
+      signal: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      valueCol: String,
+      windowSize: Int,
+      hop: Int
+  ): DataFrame =
+    powerWindows(signal, keyCols, orderCols, valueCol, windowSize, hop)
+      .select(
+        keyCols.map(col) :+ col("win") :+
+          posexplode(col("__p")): _*)
+      .withColumnRenamed("pos", "bin")
+      .withColumn("log_power", round(log10(col("col") + lit(1.0)), 4))
+      .drop("col")
+
   /** Shared window assembly + FFT: (keys…, win, __p = one-sided bin
-    * powers) for complete windows only. */
+    * powers) for complete windows only. `hop` = windowSize is the
+    * non-overlapping fast path (win/j by plain division — no
+    * generator); hop < windowSize explodes each sample into its
+    * member windows. */
   private def powerWindows(
       signal: DataFrame,
       keyCols: Seq[String],
       orderCols: Seq[Column],
       valueCol: String,
-      windowSize: Int
+      windowSize: Int,
+      hop: Int = 0
   ): DataFrame = {
     require(windowSize >= 2 && (windowSize & (windowSize - 1)) == 0,
       s"windowSize must be a power of two >= 2, got $windowSize")
+    val h = if (hop == 0) windowSize else hop
+    require(h >= 1 && h <= windowSize, s"hop must be in [1, windowSize], got $h")
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     val keys = keyCols.map(col)
     val w = Window.partitionBy(keys: _*).orderBy(orderCols: _*)
     val rn = row_number().over(w) - 1
-    signal
-      .withColumn("__rn", rn)
-      .withColumn("win", (col("__rn") / windowSize).cast("long"))
-      .withColumn("__j", (col("__rn") % windowSize).cast("int"))
+    val withWin =
+      if (h == windowSize)
+        signal
+          .withColumn("__rn", rn)
+          .withColumn("win", (col("__rn") / windowSize).cast("long"))
+          .withColumn("__j", (col("__rn") % windowSize).cast("int"))
+      else
+        // sample rn belongs to windows w with w·h ≤ rn < w·h + size:
+        // w ∈ [⌈(rn−size+1)/h⌉ clamped at 0, rn div h]
+        signal
+          .withColumn("__rn", rn)
+          .withColumn("__wlo",
+            greatest(lit(0L), -floor((lit(windowSize - 1).cast("long") - col("__rn")) / h).cast("long")))
+          .withColumn("win", explode(sequence(col("__wlo"), (col("__rn") / h).cast("long"))))
+          .withColumn("__j", (col("__rn") - col("win") * h).cast("int"))
+          .drop("__wlo")
+    withWin
       .groupBy(keys :+ col("win"): _*)
       .agg(
         count(lit(1)).as("__n"),

@@ -61,6 +61,28 @@ class SpectralSpec extends SparkSpec {
     assert(df(1).isNullAt(1) && df(2).isNullAt(1) && df(3).isNullAt(1))
   }
 
+  test("hopped windows: hop == size equals the non-overlapping form; 50% overlap doubles coverage") {
+    val rows = (0 until 32).map(i => ("a", i.toLong, ((i * 7) % 11).toDouble))
+    val df = rows.toDF("k", "ts", "value")
+    def collect(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(r.fieldIndex("win")), r.getInt(r.fieldIndex("bin")),
+        r.getDouble(r.fieldIndex("log_power")))).toSet
+    val plain = collect(Spectral.windowPowerSpectra(df, Seq("k"), Seq(col("ts").asc), "value", 8))
+    val hopFull = collect(Spectral.windowPowerSpectraHopped(df, Seq("k"), Seq(col("ts").asc), "value", 8, 8))
+    assert(hopFull == plain)
+    val hopped = Spectral.windowPowerSpectraHopped(df, Seq("k"), Seq(col("ts").asc), "value", 8, 4)
+    // 32 samples, size 8, hop 4 → starts 0,4,...,24 = 7 complete windows
+    assert(hopped.select("win").distinct().count() == 7L)
+    // window w's spectrum equals the FFT of its slice, computed directly
+    val w3 = hopped.where(col("win") === 3).orderBy("bin").collect()
+      .map(r => r.getDouble(r.fieldIndex("log_power")))
+    val slice = rows.slice(12, 20).map(_._3).toArray
+    val re = slice.clone(); val im = new Array[Double](8)
+    FftPowerBins.fftInPlace(re, im)
+    val want = (0 to 4).map(k => math.rint(math.log10(re(k) * re(k) + im(k) * im(k) + 1) * 1e4) / 1e4)
+    assert(w3.toSeq == want)
+  }
+
   test("windowBandPower sums raw bin powers per band before log-compression") {
     val rows = (0 until 8).map(i => ("a", i.toLong, (i % 3).toDouble))
     val df = rows.toDF("k", "ts", "value")
