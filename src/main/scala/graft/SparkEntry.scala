@@ -612,6 +612,11 @@ object SparkEntry {
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     Text.langId(Tables.documents(s, dir), langMarkers)
 
+  /** Language-ID with confidence margin ([[Text.langIdWithMargin]]):
+    * the routing signal for a cascade (margin 0 = ambiguous). */
+  private def qLangMargin(s: SparkSession, dir: String): DataFrame =
+    Text.langIdWithMargin(Tables.documents(s, dir), langMarkers)
+
   /** Rolling-hash + md5 fingerprints. */
   private def qFingerprints(s: SparkSession, dir: String): DataFrame =
     Text.fingerprints(Tables.documents(s, dir))
@@ -1742,6 +1747,7 @@ object SparkEntry {
     "q_decimate" -> (qDecimate _),
     "q_tetrode" -> (qTetrode _),
     "q_lang_id" -> (qLangId _),
+    "q_lang_margin" -> (qLangMargin _),
     "q_fingerprints" -> (qFingerprints _),
     "q_simhash" -> (qSimhash _),
     "q_multimodal" -> (qMultimodal _),
@@ -2189,6 +2195,25 @@ object SparkEntry {
         |SELECT patches.peak_idx, channel, "offset", value,
         |       round(patches.peak_idx / 1000.0, 9) AS time_s
         |FROM patches JOIN ok ON patches.peak_idx = ok.peak_idx""".stripMargin,
+    "q_lang_margin" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die'))) AS s_de,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS s_en,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('el', 'la'))) AS s_es,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('le', 'un'))) AS s_fr
+        |FROM documents),
+        |o AS (SELECT doc_id, s_de, s_en, s_es, s_fr,
+        |        list_sort([s_de, s_en, s_es, s_fr], 'DESC') AS srt
+        |      FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN s_de = srt[1] AND srt[1] > 0 THEN 'de'
+        |       WHEN s_en = srt[1] AND srt[1] > 0 THEN 'en'
+        |       WHEN s_es = srt[1] AND srt[1] > 0 THEN 'es'
+        |       WHEN s_fr = srt[1] AND srt[1] > 0 THEN 'fr'
+        |       ELSE 'und' END AS lang_pred,
+        |  CAST(srt[1] AS INT) AS best_count,
+        |  CAST(srt[1] - srt[2] AS INT) AS margin
+        |FROM o""".stripMargin,
     "q_lang_id" ->
       """WITH s AS (SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die'))) AS s_de,

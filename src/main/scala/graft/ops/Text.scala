@@ -149,6 +149,32 @@ object Text {
     documents.select(col("doc_id"), pickFirst.as("lang_pred"))
   }
 
+  /** [[langId]] with a CONFIDENCE margin: best and second-best marker
+    * counts from one sorted score array — `margin = best − second` is
+    * the routing signal (margin 0 = ambiguous between two languages →
+    * send to review / a heavier model; the standard cascade shape).
+    * Same pick/tie semantics as [[langId]], same single kernel pass. */
+  def langIdWithMargin(documents: DataFrame, markers: Map[String, Seq[String]]): DataFrame = {
+    val langs = markers.toSeq.sortBy(_._1)
+    val counts = graft.functions.TokenSetCounts
+      .tokenSetCounts(col("text"), langs.map(_._2))
+    val scored = langs.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> counts.getItem(i)
+    }
+    val sorted = sort_array(array(scored.map(_._2): _*), asc = false)
+    val best = sorted.getItem(0)
+    val second = sorted.getItem(1)
+    val pickFirst = scored.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (None, (lang, s)) => Some(when(s === best && best > 0, lit(lang)))
+      case (Some(c), (lang, s)) => Some(c.when(s === best && best > 0, lit(lang)))
+    }.get.otherwise(lit("und"))
+    documents.select(
+      col("doc_id"),
+      pickFirst.as("lang_pred"),
+      best.as("best_count"),
+      (best - second).as("margin"))
+  }
+
   /** Gopher-style repetition quality signals over word n-grams: the
     * fraction of token occurrences whose token repeats, and for 2-/3-
     * grams the most-frequent-gram fraction and the duplicated-gram

@@ -24,6 +24,21 @@ class TextFilterSpec extends SparkSpec {
     assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0))
   }
 
+  test("langIdWithMargin: margin separates confident picks from ties; und has margin 0 semantics") {
+    val markers = Map("en" -> Seq("the", "a"), "fr" -> Seq("le", "un"))
+    val rows = Seq(
+      (1L, "the a the word"),   // en 3, fr 0 -> margin 3
+      (2L, "the le word"),      // tie 1-1 -> en (alphabetical), margin 0
+      (3L, "word only here")    // und, best 0, margin 0
+    ).toDF("doc_id", "text")
+    val got = Text.langIdWithMargin(rows, markers)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, "en", 3L, 3L), (2L, "en", 1L, 0L), (3L, "und", 0L, 0L)))
+    // agrees with langId's pick on every row
+    val picks = Text.langId(rows, markers).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.map(t => (t._1, t._2)) == picks)
+  }
+
   test("stripHtml: tags and script/style content drop, entities decode in order, whitespace collapses") {
     val rows = Seq(
       (1L, "<p>hello <b>world</b></p>"),
