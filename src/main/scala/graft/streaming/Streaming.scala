@@ -328,6 +328,29 @@ object Streaming {
       .toMap
   }
 
+  /** Spectral features at ingest — [[graft.dsp.Spectral.windowBandPower]]
+    * per micro-batch (the batch-per-trigger recipe of
+    * [[nearDupScreenStream]]: inside foreachBatch the micro-batch IS a
+    * batch DataFrame, so the operator runs UNCHANGED and stream/batch
+    * parity holds by construction). Windows are scoped to the TRIGGER:
+    * a window straddling two triggers is dropped by the operator's own
+    * complete-window rule, not half-computed — the right behavior for
+    * telemetry features (cross-trigger windows would need an unbounded
+    * in-flight sample store; batch over the stored stream is the
+    * supported path for exact global windows, as with near-dup state). */
+  def bandPowerStream(
+      signal: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      windowSize: Int,
+      bands: Seq[(String, Int, Int)]
+  )(sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    signal.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      sink(graft.dsp.Spectral.windowBandPower(
+        batch.toDF(), keyCols, orderCols.map(col(_).asc), valueCol, windowSize, bands))
+    }
+
   /** W3 censor as arbitrary stateful processing: per key, keep a
     * detection only if it is ≥ `width` after the last KEPT one. State is
     * one Long per key. Requires per-key in-order delivery within a batch

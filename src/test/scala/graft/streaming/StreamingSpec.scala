@@ -370,6 +370,33 @@ class StreamingSpec extends SparkSpec {
     assert(all(1).getLong(1) == 1L && all(1).getLong(2) == 2L)
   }
 
+  test("streaming band power equals the batch operator per trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val bands = Seq(("low", 0, 1), ("high", 2, 4))
+    val t1 = (0 until 16).map(i => ("a", i.toLong, ((i * 3) % 7).toDouble))
+    val t2 = (0 until 8).map(i => ("b", i.toLong, (i % 2).toDouble))
+    val results = scala.collection.mutable.ArrayBuffer.empty[Set[(String, Long, String, Double)]]
+    val input = MemoryStream[(String, Long, Double)]
+    val q = Streaming
+      .bandPowerStream(
+        input.toDF().toDF("k", "ts", "value"),
+        Seq("k"), Seq("ts"), "value", windowSize = 8, bands = bands) { out =>
+        results += out.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+      }
+      .start()
+    input.addData(t1: _*); q.processAllAvailable()
+    input.addData(t2: _*); q.processAllAvailable()
+    q.stop()
+    def batchOn(rows: Seq[(String, Long, Double)]) =
+      graft.dsp.Spectral.windowBandPower(
+        rows.toDF("k", "ts", "value"), Seq("k"), Seq(col("ts").asc), "value", 8, bands)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(results.length == 2)
+    assert(results(0) == batchOn(t1) && results(0).size == 4) // 2 windows x 2 bands
+    assert(results(1) == batchOn(t2) && results(1).size == 2)
+  }
+
   test("streaming z-score flags match the batch operator on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val rows = (1L to 9L).map(i => (i, "a", 10.0)) ++ Seq((10L, "a", 100.0)) ++
