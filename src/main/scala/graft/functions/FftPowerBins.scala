@@ -65,6 +65,14 @@ object FftPowerBins {
   def powerBins(window: Column): Column =
     Bridge.column(FftPowerBins(Bridge.expression(window)))
 
+  /** Arity-checked SQL builder (the [[DotF32.builder]] contract). */
+  def builder(children: Seq[Expression]): Expression = children match {
+    case Seq(c) => FftPowerBins(c)
+    case other =>
+      throw Bridge.analysisError(
+        s"fft_power_bins expects exactly 1 argument, got ${other.length}")
+  }
+
   /** Iterative radix-2 Cooley-Tukey, in place; `re.length` must be a
     * power of two. Twiddles are computed per stage from `Math.cos/sin`
     * of exact binary-fraction angles — deterministic across JVMs. */

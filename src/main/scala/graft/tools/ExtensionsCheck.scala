@@ -40,6 +40,11 @@ object ExtensionsCheck {
     val nf = spark.sql("SELECT nfc_normalize('Cafe\u0301') AS s").collect()(0).getString(0)
     assert(nf == "Caf\u00e9", s"nfc_normalize via SQL returned $nf")
 
+    val fp = spark
+      .sql("SELECT fft_power_bins(array(CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) AS p")
+      .collect()(0).getSeq[Double](0)
+    assert(fp == Seq(4.0, 0.0), s"fft_power_bins via SQL returned $fp")
+
     // (2) optimizer rule active in the session
     import org.apache.spark.sql.functions._
     val samples = (0L until 50L).map(i => (i, i * 2.0)).toDF("idx", "v")
