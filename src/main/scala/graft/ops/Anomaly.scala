@@ -66,6 +66,11 @@ object Anomaly {
       .drop("__mean", "__std")
   }
 
-  /** Driver-side bound for the collected per-group stats table. */
-  private val MaxDriverGroups = 2000000
+  /** Driver-side bound for the collected per-group stats table. Kept
+    * small on purpose: the gate itself is `limit(cap+1).collect()`, so
+    * the cap bounds the boxed-Row materialization on the driver (a 2M
+    * cap would let the "safety gate" allocate hundreds of MB before
+    * tripping). Past the cap the op falls back to the two-execution
+    * count-then-join plan. */
+  private val MaxDriverGroups = 100000
 }

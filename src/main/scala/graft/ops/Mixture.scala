@@ -387,10 +387,16 @@ object Mixture {
     // subtree (e.g. a quality-gate pipeline feeding the anneal phase)
     // re-executes for each pass (the shardAssign pass-1-cache
     // precedent; measured as most of q_curriculum's first bench row).
-    val withB = tagged
-      .withColumn("__h", u)
-      .withColumn("__cb", col("__p") * n + bucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The cache must outlive this call (the returned lazy plan reads
+    // it), so it is registered with [[graft.util.CacheRegistry]] —
+    // long-lived sessions call `CacheRegistry.releaseAll()` between
+    // pipelines; dropping it early only costs recompute, not
+    // correctness (__h/__cb are pure functions of the row).
+    val withB = graft.util.CacheRegistry.track(
+      tagged
+        .withColumn("__h", u)
+        .withColumn("__cb", col("__p") * n + bucket)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val counts = withB
       .groupBy(col("__cb")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -163,7 +163,12 @@ object Text {
     }
     val sorted = sort_array(array(scored.map(_._2): _*), asc = false)
     val best = sorted.getItem(0)
-    val second = sorted.getItem(1)
+    // With a single-language marker map there IS no second-best score —
+    // getItem(1) throws under ANSI and would otherwise silently null the
+    // margin. Null-tolerant get() + coalesce treats the missing
+    // runner-up as 0, so margin degrades to best_count (the doc contract
+    // "margin 0 = ambiguous" stays meaningful).
+    val second = coalesce(get(sorted, lit(1)), lit(0L))
     val pickFirst = scored.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
       case (None, (lang, s)) => Some(when(s === best && best > 0, lit(lang)))
       case (Some(c), (lang, s)) => Some(c.when(s === best && best > 0, lit(lang)))
@@ -544,8 +549,22 @@ object Text {
     val uni = documents
       .select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val nVocab = uni.count()
-    val uniB = graft.spikes.Spikes.broadcastIfSmall(uni, nVocab)
+    // The unigram table is referenced TWICE below (w1 + w2 joins), and a
+    // count-then-join gate would run the aggregate a third time — the
+    // repeated-subtree rule (percentileGate's limit-probe spelling).
+    // Collect once to a local relation when the vocab fits the driver
+    // cap (distinct words — bounded for any natural-language corpus);
+    // past the cap, fall back to the two-execution count gate.
+    val uniRows = uni.limit(MaxDriverHistRows + 1).collect()
+    val uniB =
+      if (uniRows.length <= MaxDriverHistRows) {
+        val local = documents.sparkSession.createDataFrame(
+          java.util.Arrays.asList(uniRows: _*), uni.schema)
+        graft.spikes.Spikes.broadcastIfSmall(local, uniRows.length.toLong)
+      } else {
+        val nVocab = uni.count()
+        graft.spikes.Spikes.broadcastIfSmall(uni, nVocab)
+      }
     val bi = documents
       .select(explode(graft.functions.ShingleArray.shingleArray(col("text"), 2, dedup = false)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
@@ -714,8 +733,10 @@ object Text {
   }
 
   /** Driver-side bound for [[percentileGate]]'s collected histogram —
-    * generous for rounded scores (keys × ≤10⁴ distinct values) while
+    * roomy for rounded scores (keys × ≤10⁴ distinct values) while
     * keeping a pathological unrounded score column from flooding the
-    * driver. */
-  private val MaxDriverHistRows = 2000000
+    * driver. Small on purpose: the gate is `limit(cap+1).collect()`, so
+    * the cap bounds the boxed-Row allocation the probe itself performs;
+    * past it the op falls back to the two-execution plan. */
+  private val MaxDriverHistRows = 100000
 }

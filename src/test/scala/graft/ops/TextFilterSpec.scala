@@ -39,6 +39,17 @@ class TextFilterSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)) == picks)
   }
 
+  test("langIdWithMargin: single-language marker map degrades margin to best_count, not NULL") {
+    val markers = Map("en" -> Seq("the", "a"))
+    val rows = Seq(
+      (1L, "the a the word"), // en 3 -> margin 3 (no runner-up)
+      (2L, "word only here")  // und, best 0, margin 0
+    ).toDF("doc_id", "text")
+    val got = Text.langIdWithMargin(rows, markers)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, "en", 3L, 3L), (2L, "und", 0L, 0L)))
+  }
+
   test("stripHtml: tags and script/style content drop, entities decode in order, whitespace collapses") {
     val rows = Seq(
       (1L, "<p>hello <b>world</b></p>"),
