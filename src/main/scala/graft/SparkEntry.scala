@@ -1700,8 +1700,54 @@ object SparkEntry {
         col("channel"),
         round(graft.functions.Funcs.bitsToMicrovolts(col("value").cast("double")), 4).as("uv"))
 
+  /** Deterministic MESSY URL per document — uppercase scheme/host,
+    * default ports, tracking params, unsorted params, trailing slash,
+    * fragment — every case [[graft.ops.Urls.normalizeUrl]] must fix.
+    * Pure arithmetic in doc_id, so the oracle constructs the expected
+    * CANONICAL form directly (it never runs the normalizer — a
+    * normalization bug cannot cancel out). */
+  private def messyUrl: org.apache.spark.sql.Column = concat(
+    when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
+    when(col("doc_id") % 3 === 0, lit("WWW.Example.COM"))
+      .when(col("doc_id") % 3 === 1, lit("news.example.com"))
+      .otherwise(lit("Blog.Other.ORG")),
+    when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")),
+    lit("/p/"), (col("doc_id") % 50).cast("string"),
+    when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0, lit("?utm_source=x&b=2&a=1"))
+      .when(col("doc_id") % 5 === 1, lit("?b=2&a=1"))
+      .when(col("doc_id") % 5 === 2, lit("?a=1&b=2&gclid=99"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+
+  /** URL canonicalization ([[graft.ops.Urls.normalizeUrl]]) + registrable
+    * domain — stateless projection, zero shuffle. */
+  private def qUrlNormalize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      graft.ops.Urls.normalizeUrl(messyUrl).as("url_norm"),
+      graft.ops.Urls.registrableDomain(messyUrl).as("domain"))
+
+  /** Per-domain crawl rollup over the canonical URLs (pages, distinct
+    * canonical URLs, dup rate) — one map-side-combinable aggregate. */
+  private def qDomainStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Urls.domainStats(
+      Tables.documents(s, dir).withColumn("url", messyUrl), "url")
+
+  /** Canonical-URL keep-first dedup ([[graft.ops.Urls.dedupByUrl]]):
+    * the crawl-side exact dedup that runs before any content hash. */
+  private def qUrlDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Urls
+      .dedupByUrl(
+        Tables.documents(s, dir).select(col("doc_id"), messyUrl.as("url")),
+        "url", "doc_id")
+      .select(col("doc_id"), graft.ops.Urls.normalizeUrl(col("url")).as("url_norm"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_url_normalize" -> (qUrlNormalize _),
+    "q_domain_stats" -> (qDomainStats _),
+    "q_url_dedup" -> (qUrlDedup _),
     "q_rec_catalog" -> (qRecCatalog _),
     "q_rec_session" -> (qRecSession _),
     "q_rec_extract" -> (qRecExtract _),
@@ -1858,7 +1904,35 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Shared CTE constructing the expected CANONICAL url per doc —
+    * direct arithmetic, the normalizer never runs on the oracle side. */
+  private val urlCanonCte: String =
+    """c AS (SELECT doc_id,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END) ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN 'www.example.com'
+      |        WHEN doc_id % 3 = 1 THEN 'news.example.com'
+      |        ELSE 'blog.other.org' END) ||
+      |  '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 5 IN (0, 1, 2) THEN '?a=1&b=2' ELSE '' END) AS url_norm,
+      |  (CASE WHEN doc_id % 3 IN (0, 1) THEN 'example.com' ELSE 'other.org' END) AS domain
+      |FROM documents)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_url_normalize" ->
+      s"""WITH $urlCanonCte
+         |SELECT doc_id, url_norm, domain FROM c""".stripMargin,
+    "q_domain_stats" ->
+      s"""WITH $urlCanonCte
+         |SELECT domain, COUNT(*) AS n_pages,
+         |  COUNT(DISTINCT url_norm) AS n_unique_urls,
+         |  round(CAST(1 AS DOUBLE) - CAST(COUNT(DISTINCT url_norm) AS DOUBLE) / COUNT(*), 4) AS dup_rate
+         |FROM c GROUP BY domain""".stripMargin,
+    "q_url_dedup" ->
+      s"""WITH $urlCanonCte
+         |SELECT doc_id, url_norm FROM (
+         |  SELECT doc_id, url_norm,
+         |         row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) AS rn
+         |  FROM c) WHERE rn = 1""".stripMargin,
     "q_rec_catalog" -> recCatalogOracleSql,
     "q_rec_session" -> recSessionOracleSql,
     "q_rec_extract" -> recExtractOracleSql,

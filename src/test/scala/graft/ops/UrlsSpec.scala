@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Urls]] canonicalization contract — the edge cases the oracle
+  * fixture's arithmetic doesn't reach. */
+class UrlsSpec extends SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  private def norm(url: String): Option[String] = {
+    val r = Seq(url).toDF("u").select(Urls.normalizeUrl(col("u"))).head()
+    if (r.isNullAt(0)) None else Some(r.getString(0))
+  }
+
+  test("normalizeUrl: scheme/host lowercase, default port, fragment, tracking params, param sort, trailing slash") {
+    assert(norm("HTTP://WWW.Ex.COM:80/a/b/?b=2&a=1&utm_campaign=z#frag")
+      == Some("http://www.ex.com/a/b?a=1&b=2"))
+    assert(norm("https://Ex.com:443/x") == Some("https://ex.com/x"))
+  }
+
+  test("normalizeUrl: non-default port kept, root slash kept, empty path kept") {
+    assert(norm("http://ex.com:8080/a") == Some("http://ex.com:8080/a"))
+    assert(norm("https://ex.com:80/a") == Some("https://ex.com:80/a")) // :80 is NOT https default
+    assert(norm("http://ex.com/") == Some("http://ex.com/"))
+    assert(norm("http://ex.com") == Some("http://ex.com"))
+  }
+
+  test("normalizeUrl: all-tracking query drops entirely; mixed keeps sorted survivors; '=' in values survives") {
+    assert(norm("http://ex.com/p?utm_source=a&gclid=1&fbclid=2") == Some("http://ex.com/p"))
+    assert(norm("http://ex.com/p?z=9&a=b=c") == Some("http://ex.com/p?a=b=c&z=9"))
+    // utm must match the PARAM NAME, not a value
+    assert(norm("http://ex.com/p?q=utm_source") == Some("http://ex.com/p?q=utm_source"))
+  }
+
+  test("normalizeUrl: non-URL strings are NULL (quarantine signal)") {
+    assert(norm("not a url") == None)
+    assert(norm("//protocol-relative.com/x") == None)
+  }
+
+  test("registrableDomain: last two labels; single-label host passes through") {
+    val got = Seq(
+      "http://a.b.Example.COM/x",
+      "https://localhost/x",
+      "http://ex.com:8080/y"
+    ).toDF("u").select(Urls.registrableDomain(col("u"))).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("example.com", "localhost", "ex.com"))
+  }
+
+  test("filterBlockedDomains drops blocked registrable domains, keeps null-domain rows") {
+    val df = Seq(
+      (1L, "http://spam.bad.com/x"),
+      (2L, "http://ok.good.com/x"),
+      (3L, "garbage")
+    ).toDF("id", "url")
+    val kept = Urls.filterBlockedDomains(df, "url", Seq("BAD.com"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("dedupByUrl keeps smallest id per canonical url across messy variants") {
+    val df = Seq(
+      (5L, "HTTP://Ex.COM:80/a?b=2&a=1#f"),
+      (9L, "http://ex.com/a?a=1&b=2"),
+      (7L, "http://ex.com/b")
+    ).toDF("doc_id", "url")
+    val kept = Urls.dedupByUrl(df, "url", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L, 7L))
+  }
+}
