@@ -1743,8 +1743,15 @@ object SparkEntry {
         "url", "doc_id")
       .select(col("doc_id"), graft.ops.Urls.normalizeUrl(col("url")).as("url_norm"))
 
+  /** Exact phrase search, batch HOF form ([[graft.ops.Phrase
+    * .phraseMatches]]) — overlapping token-level matches, zero shuffle.
+    * The indexed serving form is spec-pinned equal (PhraseSpec). */
+  private def qPhraseSearch(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Phrase.phraseMatches(Tables.documents(s, dir), "batch batch")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_phrase_search" -> (qPhraseSearch _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_domain_stats" -> (qDomainStats _),
     "q_url_dedup" -> (qUrlDedup _),
@@ -1918,6 +1925,12 @@ object SparkEntry {
       |FROM documents)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_phrase_search" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |p AS (SELECT doc_id, i FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |      WHERE t[i] = 'batch' AND t[i + 1] = 'batch')
+        |SELECT doc_id, COUNT(*) AS n_hits, CAST(MIN(i) - 1 AS INT) AS first_pos
+        |FROM p GROUP BY doc_id""".stripMargin,
     "q_url_normalize" ->
       s"""WITH $urlCanonCte
          |SELECT doc_id, url_norm, domain FROM c""".stripMargin,
