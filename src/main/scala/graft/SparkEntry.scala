@@ -1749,8 +1749,15 @@ object SparkEntry {
   private def qPhraseSearch(s: SparkSession, dir: String): DataFrame =
     graft.ops.Phrase.phraseMatches(Tables.documents(s, dir), "batch batch")
 
+  /** CCNet-style per-language perplexity thirds ([[graft.ops.Lm
+    * .ccnetBuckets]]) — value-cut head/middle/tail, histogram-broadcast
+    * plan (no per-language corpus window). */
+  private def qCcnetBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Lm.ccnetBuckets(Tables.documents(s, dir))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_phrase_search" -> (qPhraseSearch _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_domain_stats" -> (qDomainStats _),
@@ -1925,6 +1932,23 @@ object SparkEntry {
       |FROM documents)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |nv AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM cnt),
+        |sc AS (SELECT t.doc_id, round(exp(-SUM(ln((c + 1) / (n + v))) / COUNT(*)), 4) AS ppl
+        |       FROM toks t JOIN cnt USING (tok) CROSS JOIN nv GROUP BY t.doc_id),
+        |sl AS (SELECT sc.doc_id, d.lang, sc.ppl FROM sc JOIN documents d USING (doc_id)),
+        |h AS (SELECT lang, ppl, COUNT(*) AS c FROM sl GROUP BY 1, 2),
+        |w AS (SELECT lang, ppl,
+        |        SUM(c) OVER (PARTITION BY lang ORDER BY ppl ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS n_less,
+        |        SUM(c) OVER (PARTITION BY lang) AS n
+        |      FROM h)
+        |SELECT sl.doc_id, sl.lang, sl.ppl,
+        |  CASE WHEN w.n_less * 3 < w.n THEN 'head'
+        |       WHEN w.n_less * 3 < 2 * w.n THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sl JOIN w ON sl.lang = w.lang AND sl.ppl = w.ppl""".stripMargin,
     "q_phrase_search" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |p AS (SELECT doc_id, i FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)

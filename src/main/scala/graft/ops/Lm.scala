@@ -239,4 +239,63 @@ object Lm {
     if (c1base ne c1) c1.unpersist()
     out
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): every doc
+    * lands in `head` / `middle` / `tail` thirds of its LANGUAGE's
+    * perplexity distribution — the standard pre-mixture quality split
+    * (train on head+middle, drop or re-weight tail).
+    *
+    * Bucket contract (value-cut, not ntile): with n docs in the
+    * language and n_less = docs with strictly smaller 4dp-rounded ppl,
+    * bucket = head iff 3·n_less < n, middle iff 3·n_less < 2n, else
+    * tail. Equal-ppl docs share a bucket (CCNet cuts on the score
+    * value), and the integer comparison makes the split exact on both
+    * engines.
+    *
+    * 100 TB shape: NO per-language corpus window (one language = one
+    * task is exactly the dominant-crawl-source trap). The distribution
+    * is reduced to a (lang, ppl) HISTOGRAM — bounded by langs × ≤10⁴
+    * distinct rounded values — cumulated driver-side via the
+    * limit-probe local-relation recipe (percentileGate), and bucket
+    * assignment is a broadcast join + integer compare: the corpus
+    * never shuffles beyond [[lmScore]]'s own aggregates. Like
+    * percentileGate, the scored subtree executes twice (histogram +
+    * final join); pass a persisted frame via `scoredIn` to avoid it. */
+  def ccnetBuckets(
+      documents: DataFrame,
+      langCol: String = "lang",
+      scoredIn: Option[DataFrame] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    val scored = scoredIn.getOrElse(
+      lmScore(documents)
+        .join(documents.select(col("doc_id"), col(langCol).as("lang")), "doc_id"))
+    val hist = scored.groupBy(col("lang"), col("ppl")).agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy("lang").orderBy("ppl")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__n_less", sum("__c").over(wCum) - col("__c"))
+      .withColumn("__n", sum("__c").over(Window.partitionBy("lang")))
+      .select("lang", "ppl", "__n_less", "__n")
+    val probe = cum.limit(MaxDriverHistRows + 1).collect()
+    val cumSide =
+      if (probe.length <= MaxDriverHistRows)
+        broadcast(spark.createDataFrame(java.util.Arrays.asList(probe: _*), cum.schema))
+      else
+        graft.util.CacheRegistry.track(
+          cum.persist(StorageLevel.MEMORY_AND_DISK))
+    scored
+      .join(cumSide, Seq("lang", "ppl"))
+      .select(
+        col("doc_id"), col("lang"), col("ppl"),
+        when(col("__n_less") * 3 < col("__n"), lit("head"))
+          .when(col("__n_less") * 3 < col("__n") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** Driver cap for [[ccnetBuckets]]'s collected histogram (langs ×
+    * distinct rounded ppl — tiny in practice; the cap guards the
+    * pathological unrounded-score case). */
+  private val MaxDriverHistRows = 100000
 }

@@ -15,6 +15,39 @@ class LmRedactDupSpansSpec extends SparkSpec {
 
   private val lmDocs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
 
+  test("ccnetBuckets: value-cut thirds per language, equal-ppl docs share a bucket") {
+    // bypass lmScore: feed a prebuilt scored frame so bucket arithmetic
+    // is pinned directly. lang L1: ppl 1,1,2,3,3,9 (n=6) ->
+    // n_less(1)=0 head, n_less(2)=2 3*2=6<12 middle, n_less(3)=3
+    // 9<12 middle... wait 3*3=9 >= 6 so not head; 9 < 12 middle;
+    // n_less(9)=5 15>=12 tail. lang L2: single doc -> head.
+    val scored = Seq(
+      (1L, "L1", 1.0), (2L, "L1", 1.0), (3L, "L1", 2.0),
+      (4L, "L1", 3.0), (5L, "L1", 3.0), (6L, "L1", 9.0),
+      (7L, "L2", 42.0)
+    ).toDF("doc_id", "lang", "ppl")
+    val got = Lm.ccnetBuckets(scored.select("doc_id"), scoredIn = Some(scored))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(
+      1L -> "head", 2L -> "head", 3L -> "middle",
+      4L -> "middle", 5L -> "middle", 6L -> "tail",
+      7L -> "head"))
+  }
+
+  test("ccnetBuckets end-to-end over lmScore carries lang and splits ~equally") {
+    val docs = Seq(
+      (0L, "a a b", "en"), (1L, "b c", "en"), (2L, "a b c", "en"),
+      (3L, "zz qq", "fr"), (4L, "a a a", "fr"), (5L, "b b", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val got = Lm.ccnetBuckets(docs).collect()
+    assert(got.length == 6)
+    val buckets = got.map(_.getString(3)).toSet
+    assert(buckets.subsetOf(Set("head", "middle", "tail")))
+    // every lang has a head (n_less=0 always satisfies 0 < n)
+    val headLangs = got.filter(_.getString(3) == "head").map(_.getString(1)).toSet
+    assert(headLangs == Set("en", "fr"))
+  }
+
   test("lmScore: hand-computed add-1 unigram log-probs") {
     // counts: a=2 b=2 c=1; N=5, V=3, denom=8
     val out = Lm.lmScore(lmDocs).orderBy("doc_id").collect()
