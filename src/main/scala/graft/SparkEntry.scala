@@ -1755,8 +1755,29 @@ object SparkEntry {
   private def qCcnetBuckets(s: SparkSession, dir: String): DataFrame =
     graft.ops.Lm.ccnetBuckets(Tables.documents(s, dir))
 
+  /** Perceptual image hash over REAL decoded pixels ([[graft.ops
+    * .Multimodal.dhash]]): JDK decode → integer gray box-resize to 9×8
+    * → 64-bit gradient-sign hash, emitted as unsigned 32-bit halves.
+    * The paired fixture plants near-duplicates (single-pixel edits);
+    * the oracle recomputes every bit arithmetically — no decoder on
+    * the oracle side. */
+  private def qImageDhash(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.dhash(
+      graft.ops.Multimodal.imageFixturePaired(s, nBase = 30), "img_id")
+
+  /** Banded near-duplicate image pairs over the dHashes (pigeonhole
+    * candidates + exact bit_count ≤ 2) — no all-pairs anywhere; the
+    * oracle brute-forces the 60-image fixture. */
+  private def qImageNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.dhashNearDupPairs(
+      graft.ops.Multimodal.dhash(
+        graft.ops.Multimodal.imageFixturePaired(s, nBase = 30), "img_id"),
+      "img_id", maxHamming = 2)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_image_dhash" -> (qImageDhash _),
+    "q_image_neardup" -> (qImageNearDup _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_phrase_search" -> (qPhraseSearch _),
     "q_url_normalize" -> (qUrlNormalize _),
@@ -1931,7 +1952,43 @@ object SparkEntry {
       |  (CASE WHEN doc_id % 3 IN (0, 1) THEN 'example.com' ELSE 'other.org' END) AS domain
       |FROM documents)""".stripMargin
 
+  /** Shared dHash-recompute CTE chain for the paired image fixture —
+    * pure arithmetic (BT.601 integer luma, floor box-means, gradient
+    * bits packed into unsigned 32-bit halves); no decoder runs here. */
+  private val dhashCtes: String =
+    """ids AS (SELECT unnest(generate_series(0, 59)) AS img_id),
+      |meta AS (SELECT img_id, img_id % 30 AS b, img_id >= 30 AS pert FROM ids),
+      |dims AS (SELECT img_id, b, pert, 18 + b % 5 AS w, 16 + b % 3 AS h FROM meta),
+      |px AS (SELECT img_id, b, pert, w, h, ux.x AS x, uy.y AS y
+      |       FROM dims, unnest(generate_series(0, w - 1)) AS ux(x),
+      |                  unnest(generate_series(0, h - 1)) AS uy(y)),
+      |g AS (SELECT img_id, x * 9 // w AS ox, y * 8 // h AS oy,
+      |        (299 * (CASE WHEN pert AND x = 0 AND y = 0
+      |                     THEN ((b * 31 + x * 7 + y * 13) % 256 + 1) % 256
+      |                     ELSE (b * 31 + x * 7 + y * 13) % 256 END)
+      |         + 587 * ((b * 17 + x * 3 + y * 11) % 256)
+      |         + 114 * ((b * 23 + x * 5 + y * 19) % 256)) // 1000 AS gray
+      |      FROM px),
+      |g9 AS (SELECT img_id, ox, oy, SUM(gray) // COUNT(*) AS gv FROM g GROUP BY 1, 2, 3),
+      |bits AS (SELECT l.img_id, l.oy * 8 + l.ox AS idx,
+      |           CASE WHEN r.gv > l.gv THEN 1 ELSE 0 END AS bit
+      |         FROM g9 l JOIN g9 r ON r.img_id = l.img_id AND r.oy = l.oy AND r.ox = l.ox + 1
+      |         WHERE l.ox < 8),
+      |hs AS (SELECT img_id,
+      |         CAST(SUM(CASE WHEN idx >= 32 THEN CAST(bit AS BIGINT) << (idx - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+      |         CAST(SUM(CASE WHEN idx < 32 THEN CAST(bit AS BIGINT) << idx ELSE 0 END) AS BIGINT) AS dhash_lo
+      |       FROM bits GROUP BY img_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_image_dhash" ->
+      s"""WITH $dhashCtes
+         |SELECT CAST(img_id AS BIGINT) AS img_id, dhash_hi, dhash_lo FROM hs""".stripMargin,
+    "q_image_neardup" ->
+      s"""WITH $dhashCtes
+         |SELECT CAST(a.img_id AS BIGINT) AS img_a, CAST(b.img_id AS BIGINT) AS img_b,
+         |  CAST(bit_count(xor(a.dhash_hi, b.dhash_hi)) + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT) AS hamming
+         |FROM hs a JOIN hs b ON a.img_id < b.img_id
+         |WHERE bit_count(xor(a.dhash_hi, b.dhash_hi)) + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 2""".stripMargin,
     "q_ccnet_buckets" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),

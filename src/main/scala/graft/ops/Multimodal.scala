@@ -455,4 +455,159 @@ object Multimodal {
         expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")
       )
   }
+
+  /** Integer luma of a packed-RGB pixel: (299·r + 587·g + 114·b) / 1000
+    * floor — the BT.601 weights in exact integer arithmetic, so a SQL
+    * oracle reproduces every gray value bit for bit. */
+  def grayOf(rgb: Int): Int =
+    (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+
+  /** dHash (difference hash) of a decoded raster: gray → integer
+    * box-filter resize to 9×8 (same bucket scheme as [[boxResizeRgb]],
+    * floor-mean of the per-SOURCE-pixel luma) → 64 bits, bit (y·8 + x)
+    * set iff gray[y][x+1] > gray[y][x]. The standard perceptual
+    * near-dup signature for images (adjacent-gradient sign survives
+    * re-encode/resize/small edits; Hamming distance ≈ visual change).
+    * Integer-exact end to end. */
+  def dhash64(w: Int, h: Int, rgb: Array[Int]): Long = {
+    require(w >= 9 && h >= 8, s"dhash is downsample-only: ${w}x$h")
+    val sum = new Array[Long](9 * 8)
+    val cnt = new Array[Long](9 * 8)
+    var y = 0
+    while (y < h) {
+      val oy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val o = oy * 9 + (x * 9 / w)
+        sum(o) += grayOf(rgb(y * w + x))
+        cnt(o) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var oy = 0
+    while (oy < 8) {
+      var ox = 0
+      while (ox < 8) {
+        val l = sum(oy * 9 + ox) / cnt(oy * 9 + ox)
+        val r = sum(oy * 9 + ox + 1) / cnt(oy * 9 + ox + 1)
+        if (r > l) hash |= 1L << (oy * 8 + ox)
+        ox += 1
+      }
+      oy += 1
+    }
+    hash
+  }
+
+  /** Per-image dHash over the binary payload column: REAL decode
+    * (JDK readers) → [[dhash64]], emitted as two unsigned 32-bit
+    * halves (`dhash_hi`, `dhash_lo`) so a SQL oracle can rebuild the
+    * hash without signed-overflow gymnastics. Batched partition
+    * kernel, stateless projection — zero shuffle at any scale. */
+  def dhash(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.graftbridge.Bridge
+    val payloadIdx = df.columns.indexOf("payload")
+    require(payloadIdx >= 0, "call withPayload first")
+    val keyIdx = df.columns.indexOf(keyCol)
+    val keyType = df.schema(keyIdx).dataType
+    val outSchema = StructType(Seq(
+      df.schema(keyIdx),
+      StructField("dhash_hi", LongType, nullable = false),
+      StructField("dhash_lo", LongType, nullable = false)
+    ))
+    val rdd = Bridge.toInternalRdd(df).mapPartitions { it =>
+      it.map { r =>
+        val key = InternalRow.copyValue(r.get(keyIdx, keyType))
+        val (w, h, rgb) = decodeImage(r.getBinary(payloadIdx)).getOrElse(
+          throw new IllegalArgumentException("dhash: payload is not a decodable image"))
+        val hash = dhash64(w, h, rgb)
+        new GenericInternalRow(Array[Any](
+          key, (hash >>> 32) & 0xffffffffL, hash & 0xffffffffL)): InternalRow
+      }
+    }
+    Bridge.internalCreateDataFrame(df.sparkSession, rdd, outSchema)
+  }
+
+  /** Near-duplicate image pairs over a [[dhash]] frame: the 64-bit hash
+    * banded into four 16-bit keys (pigeonhole: Hamming ≤ 3 ⇒ at least
+    * one band agrees), candidates from bucket membership (one
+    * aggregate, no all-pairs), exact `bit_count` filter — the
+    * [[DedupDocs.simhashNearDupPairs]] shape applied to the image
+    * modality. */
+  def dhashNearDupPairs(hashes: DataFrame, keyCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, s"4-band pigeonhole guarantees recall only for Hamming <= 3, got $maxHamming")
+    // bitwise reassembly — hi * 2^32 would signed-overflow under ANSI
+    // when bit 63 is set; shiftleft|or is the wrap-free spelling
+    val hash = shiftleft(col("dhash_hi"), 32).bitwiseOR(col("dhash_lo")).as("hash")
+    val sig = hashes.select(col(keyCol).as("doc_id"), hash)
+    val banded = sig.select(
+      col("doc_id"),
+      col("hash"),
+      explode(array((0 until 4).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("hash"), 16 * b).bitwiseAND(65535L).as("band_key")
+        )
+      }: _*)).as("bk")
+    )
+    val buckets = banded
+      .groupBy(col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("hash")))).as("docs"))
+      .where(size(col("docs")) > 1)
+    DedupDocs.explodePairs(buckets)
+      .select(
+        col("doc_a.doc_id").as("img_a"),
+        col("doc_b.doc_id").as("img_b"),
+        bit_count(col("doc_a.hash").bitwiseXOR(col("doc_b.hash"))).cast("long").as("hamming")
+      )
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** [[imageFixture]] with PLANTED near-duplicates: ids 0..nBase-1 are
+    * the base rasters (dims ≥ 9×8 for [[dhash64]]), ids
+    * nBase..2·nBase-1 repeat base id−nBase with a single-pixel
+    * perturbation (+1 mod 256 on the red channel at (0,0)) — a visual
+    * near-dup whose dHash lands within a couple of bits of its base.
+    * Same pure-arithmetic pixels, same lossless JDK encode round-trip. */
+  def imageFixturePaired(spark: org.apache.spark.sql.SparkSession, nBase: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.graftbridge.Bridge
+    val rdd = Bridge.toInternalRdd(spark.range(2L * nBase).toDF("img_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val base = id % nBase
+        val pert = id >= nBase
+        val (w, h) = (18 + (base % 5).toInt, 16 + (base % 3).toInt)
+        val rgb = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var pr = ((base * 31 + x * 7 + y * 13) % 256).toInt
+            if (pert && x == 0 && y == 0) pr = (pr + 1) % 256
+            val pg = ((base * 17 + x * 3 + y * 11) % 256).toInt
+            val pb = ((base * 23 + x * 5 + y * 19) % 256).toInt
+            rgb(y * w + x) = (pr << 16) | (pg << 8) | pb
+            x += 1
+          }
+          y += 1
+        }
+        val bytes = if (id % 2 == 0) encodePng(w, h, rgb) else encodeBmp(w, h, rgb)
+        new GenericInternalRow(Array[Any](id, bytes)): InternalRow
+      }
+    }
+    Bridge.internalCreateDataFrame(
+      spark,
+      rdd,
+      StructType(Seq(
+        StructField("img_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)
+      ))
+    )
+  }
 }

@@ -143,6 +143,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dhash64: hand-computed bits on a 9x8 gradient raster; flat raster hashes to 0") {
+    // 9x8 raster increasing left-to-right in gray: every adjacent pair
+    // has right > left -> all 64 bits set
+    val grad = Array.tabulate(9 * 8) { i => val x = i % 9; val g = x * 20; (g << 16) | (g << 8) | g }
+    assert(Multimodal.dhash64(9, 8, grad) == -1L)
+    val flat = Array.fill(9 * 8)(0x7f7f7f)
+    assert(Multimodal.dhash64(9, 8, flat) == 0L)
+  }
+
+  test("dhash is invariant across PNG/BMP encodes of the same raster") {
+    val rgb = Array.tabulate(18 * 16) { i => (i * 2654435761L & 0xffffff).toInt }
+    val png = Multimodal.decodeImage(Multimodal.encodePng(18, 16, rgb)).get
+    val bmp = Multimodal.decodeImage(Multimodal.encodeBmp(18, 16, rgb)).get
+    assert(Multimodal.dhash64(png._1, png._2, png._3) == Multimodal.dhash64(bmp._1, bmp._2, bmp._3))
+  }
+
+  test("dhashNearDupPairs: planted single-pixel edits pair with their base at small hamming") {
+    val fx = Multimodal.imageFixturePaired(spark, nBase = 8)
+    val hashes = Multimodal.dhash(fx, "img_id")
+    val pairs = Multimodal.dhashNearDupPairs(hashes, "img_id", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // each base i should pair with its perturbed copy i+8
+    val planted = pairs.filter { case (a, b, _) => b == a + 8 }
+    assert(planted.length == 8, s"got ${pairs.mkString(",")}")
+    assert(planted.forall(_._3 <= 2))
+  }
+
   test("window-gather patch variant matches the range-join values") {
     val samples = (0L to 20L).map(i => (i, i.toDouble * 2)).toDF("idx", "v")
     val peaks = Seq(5L, 12L).toDF("idx")
