@@ -1774,8 +1774,19 @@ object SparkEntry {
         graft.ops.Multimodal.imageFixturePaired(s, nBase = 30), "img_id"),
       "img_id", maxHamming = 2)
 
+  /** Voice-activity segments over the REAL WAV decode chain
+    * ([[graft.ops.Multimodal.vadSegments]]): energy gate at mean-square
+    * 3.58e8 (≈ the fixture's uniform-PCM expectation, so frames split
+    * both ways), gaps-and-islands per clip. The oracle recomputes
+    * frames AND segmentation from the raw sample arithmetic. */
+  private def qVad(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.vadSegments(
+      graft.ops.Multimodal.audioFixture(s, n = 40), "aud_id",
+      frameSize = 160, thrMeanSq = 358000000L)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vad" -> (qVad _),
     "q_image_dhash" -> (qImageDhash _),
     "q_image_neardup" -> (qImageNearDup _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
@@ -1980,6 +1991,23 @@ object SparkEntry {
       |       FROM bits GROUP BY img_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_vad" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 39)) AS aud_id),
+        |lens AS (SELECT aud_id, 400 + (aud_id % 5) * 160 AS len FROM ids),
+        |s AS (SELECT aud_id, i, ((aud_id * 37 + i * 131) % 65536) - 32768 AS v, i // 160 AS frame
+        |      FROM lens, unnest(generate_series(0, len - 1)) AS u(i)),
+        |f AS (SELECT aud_id, frame, COUNT(*) AS n, SUM(v * v) AS ss FROM s GROUP BY 1, 2),
+        |vo AS (SELECT aud_id, frame FROM f WHERE ss > 358000000 * n),
+        |i AS (SELECT aud_id, frame,
+        |        frame - row_number() OVER (PARTITION BY aud_id ORDER BY frame) AS isl
+        |      FROM vo),
+        |d AS (SELECT aud_id, frame,
+        |        dense_rank() OVER (PARTITION BY aud_id ORDER BY isl) - 1 AS seg_id
+        |      FROM i)
+        |SELECT CAST(aud_id AS BIGINT) AS aud_id, CAST(seg_id AS INT) AS seg_id,
+        |       CAST(MIN(frame) AS INT) AS start_frame, CAST(MAX(frame) AS INT) AS end_frame,
+        |       CAST(COUNT(*) AS INT) AS n_frames
+        |FROM d GROUP BY aud_id, seg_id""".stripMargin,
     "q_image_dhash" ->
       s"""WITH $dhashCtes
          |SELECT CAST(img_id AS BIGINT) AS img_id, dhash_hi, dhash_lo FROM hs""".stripMargin,

@@ -456,6 +456,39 @@ object Multimodal {
       )
   }
 
+  /** Energy-gated voice-activity segments over [[audioFrames]] — the
+    * silence-trim / speech-extent step an audio-curation pipeline runs
+    * before transcription or feature extraction. A frame is VOICED iff
+    * its mean square power exceeds `thrMeanSq` — spelled as the integer
+    * compare `sum_sq > thrMeanSq · n_samples` (exact on both engines,
+    * partial tail frames normalized per sample); runs of consecutive
+    * voiced frames collapse to (seg_id, start_frame, end_frame,
+    * n_frames) via the gaps-and-islands recipe ([[graft.ts.Sessionize]]
+    * shape, keyed per clip — windows partition on the clip key, whose
+    * cardinality is the corpus, so no single-task window anywhere). */
+  def vadSegments(
+      df: DataFrame,
+      keyCol: String,
+      frameSize: Int,
+      thrMeanSq: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val voiced = audioFrames(df, keyCol, frameSize)
+      .where(col("sum_sq") > lit(thrMeanSq) * col("n_samples"))
+    val isl = voiced.withColumn(
+      "__isl",
+      col("frame") - row_number().over(Window.partitionBy(keyCol).orderBy("frame")))
+    isl
+      .withColumn(
+        "seg_id",
+        (dense_rank().over(Window.partitionBy(keyCol).orderBy("__isl")) - 1).cast("int"))
+      .groupBy(col(keyCol), col("seg_id"))
+      .agg(
+        min("frame").as("start_frame"),
+        max("frame").as("end_frame"),
+        count(lit(1)).cast("int").as("n_frames"))
+  }
+
   /** Integer luma of a packed-RGB pixel: (299·r + 587·g + 114·b) / 1000
     * floor — the BT.601 weights in exact integer arithmetic, so a SQL
     * oracle reproduces every gray value bit for bit. */

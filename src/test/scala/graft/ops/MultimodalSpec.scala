@@ -143,6 +143,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("vadSegments: silent/loud frame runs segment exactly, boundary frame is NOT voiced (strict >)") {
+    // clip 0: frames of 4 samples - loud(1000) loud silent(0) loud -> segments [0,1] and [3,3]
+    // threshold meanSq 100: frame sum_sq = 4*1000^2 > 400 voiced; silent 0 not
+    val loud = Array.fill[Short](4)(1000)
+    val silent = Array.fill[Short](4)(0)
+    // clip 1: exactly threshold meanSq (10*10=100, sum_sq=400 = 100*4) -> strict > makes it SILENT
+    val border = Array.fill[Short](4)(10)
+    val clips = Seq(
+      (0L, Multimodal.encodeWavPcm16(8000, loud ++ loud ++ silent ++ loud)),
+      (1L, Multimodal.encodeWavPcm16(8000, border ++ loud))
+    ).toDF("aud_id", "payload")
+    val got = Multimodal.vadSegments(clips, "aud_id", frameSize = 4, thrMeanSq = 100L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSet
+    assert(got == Set(
+      (0L, 0, 0, 1, 2), // frames 0-1 voiced
+      (0L, 1, 3, 3, 1), // frame 3 voiced after the silent gap
+      (1L, 0, 1, 1, 1)  // border frame 0 excluded by strict >
+    ))
+  }
+
   test("dhash64: hand-computed bits on a 9x8 gradient raster; flat raster hashes to 0") {
     // 9x8 raster increasing left-to-right in gray: every adjacent pair
     // has right > left -> all 64 bits set
