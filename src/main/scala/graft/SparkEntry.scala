@@ -1784,8 +1784,27 @@ object SparkEntry {
       graft.ops.Multimodal.audioFixture(s, n = 40), "aud_id",
       frameSize = 160, thrMeanSq = 358000000L)
 
+  /** Generic keyed backward as-of join ([[graft.ops.AsOf
+    * .asofBackward]]): every click event carries the latest prior
+    * purchase value for its user — union-tag + one window, single
+    * shuffle, no range join. Oracle: DuckDB's NATIVE `ASOF LEFT JOIN`
+    * (a fully independent engine implementation of the semantics). */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val left = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_us")
+    val right = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts_us").agg(max("value").as("purchase_value"))
+    graft.ops.AsOf
+      .asofBackward(left, right, Seq("user_id"), "ts_us", Seq("purchase_value"))
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        round(col("purchase_value"), 4).as("last_purchase"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin _),
     "q_vad" -> (qVad _),
     "q_image_dhash" -> (qImageDhash _),
     "q_image_neardup" -> (qImageNearDup _),
@@ -1991,6 +2010,12 @@ object SparkEntry {
       |       FROM bits GROUP BY img_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS pv
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts_us, round(r.pv, 4) AS last_purchase
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts_us <= l.ts_us""".stripMargin,
     "q_vad" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 39)) AS aud_id),
         |lens AS (SELECT aud_id, 400 + (aud_id % 5) * 160 AS len FROM ids),

@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[AsOf.asofBackward]] semantics: inclusive bound, LEFT nulls,
+  * per-key isolation, row-consistent multi-column payloads. */
+class AsOfSpec extends SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  test("backward as-of: latest right at or before left time, inclusive bound, LEFT nulls") {
+    val left = Seq((1L, 10L), (1L, 15L), (1L, 4L), (2L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, "a"), (1L, 15L, "b"), (3L, 1L, "z")).toDF("k", "t", "v")
+    val got = AsOf.asofBackward(left, right, Seq("k"), "t", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(got == Set(
+      (1L, 10L, Some("a")),
+      (1L, 15L, Some("b")), // right at exactly t=15 matches (inclusive)
+      (1L, 4L, None),       // nothing at or before 4
+      (2L, 10L, None)       // key 2 never sees key 1/3 rows
+    ))
+  }
+
+  test("multi-column payload is carried from ONE right row even when a column is null") {
+    val left = Seq((1L, 20L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 5L, Some("early"), Some(100L)),
+      (1L, 10L, Some("late"), None: Option[Long]) // latest row: y is null
+    ).toDF("k", "t", "x", "y")
+    val r = AsOf.asofBackward(left, right, Seq("k"), "t", Seq("x", "y")).head()
+    // both columns come from the t=10 row: x="late", y=null — NOT a mix
+    assert(r.getString(2) == "late" && r.isNullAt(3))
+  }
+
+  test("composite key as-of") {
+    val left = Seq((1L, "a", 10L), (1L, "b", 10L)).toDF("k1", "k2", "t")
+    val right = Seq((1L, "a", 5L, 1.5), (1L, "b", 6L, 2.5)).toDF("k1", "k2", "t", "v")
+    val got = AsOf.asofBackward(left, right, Seq("k1", "k2"), "t", Seq("v"))
+      .collect().map(r => (r.getString(1), r.getDouble(3))).toSet
+    assert(got == Set(("a", 1.5), ("b", 2.5)))
+  }
+}
