@@ -1802,8 +1802,25 @@ object SparkEntry {
         round(col("purchase_value"), 4).as("last_purchase"))
   }
 
+  /** Embedding-space outlier screen ([[graft.ops.Similarity
+    * .centroidOutliers]]): per-label centroid distance, z-scored —
+    * DECIMAL-exact centroid sums, distances rounded before stats. */
+  private def qEmbedOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.centroidOutliers(Tables.embeddings(s, dir))
+
+  /** Hard-negative mining ([[graft.ops.Similarity.hardNegatives]]):
+    * top-8 most-similar DIFFERENT-label vectors per query — the
+    * contrastive-training negative sampler (brute-force baseline form;
+    * IVF buckets are the sublinear path). */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    graft.ops.Similarity.hardNegatives(e, e.where(col("vec_id") < 5), k = 8)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hard_negatives" -> (qHardNegatives _),
+    "q_embed_outliers" -> (qEmbedOutliers _),
     "q_asof_join" -> (qAsofJoin _),
     "q_vad" -> (qVad _),
     "q_image_dhash" -> (qImageDhash _),
@@ -2010,6 +2027,38 @@ object SparkEntry {
       |       FROM bits GROUP BY img_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |p AS (SELECT query_id, vec_id, label, qe, embedding AS ee FROM embeddings, q WHERE label <> ql),
+        |u AS (SELECT query_id, vec_id, label, unnest(qe) AS qv, unnest(ee) AS ev FROM p),
+        |d AS (SELECT query_id, vec_id, label,
+        |        SUM(CAST(qv AS DOUBLE) * CAST(ev AS DOUBLE)) AS dp,
+        |        SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS qq,
+        |        SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS ee2
+        |      FROM u GROUP BY 1, 2, 3),
+        |c AS (SELECT query_id, vec_id, label, round(dp / (sqrt(qq) * sqrt(ee2)), 6) AS cos_sim FROM d),
+        |r AS (SELECT query_id, vec_id, label, cos_sim,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        |      FROM c)
+        |SELECT query_id, vec_id, label, cos_sim, rank FROM r WHERE rank <= 8""".stripMargin,
+    "q_embed_outliers" ->
+      """WITH u AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS v
+        |           FROM embeddings),
+        |cent AS (SELECT label, d,
+        |           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+        |         FROM u GROUP BY 1, 2),
+        |dist AS (SELECT u.vec_id, u.label,
+        |           round(sqrt(SUM((CAST(u.v AS DOUBLE) - cent.c) * (CAST(u.v AS DOUBLE) - cent.c))), 6) AS dist
+        |         FROM u JOIN cent USING (label, d) GROUP BY 1, 2),
+        |st AS (SELECT label, COUNT(*) AS n,
+        |         CAST(SUM(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) AS s,
+        |         CAST(SUM(CAST(dist AS DECIMAL(18,6)) * CAST(dist AS DECIMAL(18,6))) AS DOUBLE) AS sq
+        |       FROM dist GROUP BY 1),
+        |m AS (SELECT label, s / n AS mean, sqrt(greatest(sq / n - (s / n) * (s / n), 0)) AS std FROM st)
+        |SELECT d.vec_id, d.label, d.dist,
+        |  round((d.dist - m.mean) / m.std, 4) AS z,
+        |  CAST(abs(d.dist - m.mean) > 2.0 * m.std AS INT) AS is_outlier
+        |FROM dist d JOIN m USING (label) WHERE m.std > 0""".stripMargin,
     "q_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
         |r AS (SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS pv

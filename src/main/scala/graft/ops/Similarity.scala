@@ -152,4 +152,105 @@ object Similarity {
       )
       .where(col("cos_sim") >= minCosine)
   }
+
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most similar corpus vectors with a DIFFERENT label —
+    * the near-miss negatives that carry the gradient signal (easy
+    * random negatives are near-orthogonal and teach nothing). Same
+    * broadcast-query brute-force baseline plan as [[bruteForceTopK]]
+    * with the label-inequality predicate fused into the pair filter;
+    * at corpus scale the candidate step swaps to the IVF/LSH bucket
+    * paths ([[graft.ops.Ivf]]), negatives filtered per bucket. */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int
+  ): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("query_id"),
+      col("label").as("query_label"),
+      col("embedding").as("qe"),
+      norm(col("embedding")).as("qn")
+    )
+    val scored = corpus
+      .withColumn("cn", norm(col("embedding")))
+      .crossJoin(broadcast(q))
+      .where(col("label") =!= col("query_label"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        col("label"),
+        round(dot(col("embedding"), col("qe")) / (col("cn") * col("qn")), 6).as("cos_sim")
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "label", "cos_sim", "rank")
+  }
+
+  /** Per-label centroid-distance outlier flags — the embedding-space
+    * quality screen (CLIP-score-style filtering, mislabeled-cluster
+    * detection) a multimodal curation pipeline runs before training:
+    * a vector far from its label's centroid is a labeling or encoding
+    * suspect.
+    *
+    * Determinism contract: the centroid's cross-row per-dim sums go
+    * through DECIMAL(20,10) (exact, associative — double sums across
+    * Spark partials and a single-threaded oracle would drift), spelled
+    * `CAST(CAST(v AS DOUBLE) AS DECIMAL)` so both engines round the
+    * float identically. Distances round to 6dp BEFORE the z-score
+    * stats, which then use exact DECIMAL(18,6) sums — the
+    * [[Anomaly]] recipe.
+    *
+    * Plan: one posexplode aggregate whose exchange is labels × dims
+    * (not corpus-sized), centroids broadcast back as a local relation,
+    * distance is a per-row HOF fold in array order, and the z-stats
+    * aggregate is labels-sized. The corpus itself never shuffles. */
+  def centroidOutliers(embeddings: DataFrame, zThreshold: Double = 2.0): DataFrame = {
+    val spark = embeddings.sparkSession
+    val ex = embeddings.select(
+      col("label"),
+      posexplode(col("embedding")).as(Seq("d", "v")))
+    val cent = ex
+      .groupBy("label", "d")
+      .agg((sum(col("v").cast("double").cast("decimal(20,10)")).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(d, c))), x -> x.c)").as("cent"))
+    // labels × dims — tiny; collect to a local relation (no repeated
+    // centroid subtree) and broadcast
+    val centRows = cent.collect()
+    val centSide = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(centRows: _*), cent.schema))
+    val dist = embeddings
+      .join(centSide, "label")
+      .select(
+        col("vec_id"), col("label"),
+        round(
+          sqrt(aggregate(
+            zip_with(col("embedding"), col("cent"),
+              (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+            lit(0.0), (acc, x) => acc + x)),
+          6).as("dist"))
+    val decD = col("dist").cast("decimal(18,6)")
+    val st = dist
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(decD).cast("double").as("__s"),
+        sum(decD * decD).cast("double").as("__sq"))
+      .withColumn("__mean", col("__s") / col("__n"))
+      .withColumn("__std",
+        sqrt(greatest(col("__sq") / col("__n") - col("__mean") * col("__mean"), lit(0.0))))
+      .select("label", "__mean", "__std")
+    dist
+      .join(broadcast(st), "label")
+      .where(col("__std") > 0.0)
+      .select(
+        col("vec_id"), col("label"), col("dist"),
+        round((col("dist") - col("__mean")) / col("__std"), 4).as("z"),
+        (abs(col("dist") - col("__mean")) > lit(zThreshold) * col("__std")).cast("int")
+          .as("is_outlier"))
+  }
 }

@@ -44,8 +44,12 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     //  - q_hybrid_rrf's dense retriever IS the q_sim_topk brute-force
     //    baseline (the fusion itself is an O(N) equi-join of candidate
     //    lists — swap in the IVF retriever for the sublinear path).
+    //  - q_hard_negatives is the same brute-force baseline with a
+    //    label-inequality predicate fused into the pair filter (the
+    //    IVF bucket path is the sublinear swap-in).
     val allowed = Set(
-      "q_sim_topk", "q_ivf_topk", "q_ivf_serve", "q_pq_topk", "q_sq8_topk", "q_hybrid_rrf")
+      "q_sim_topk", "q_ivf_topk", "q_ivf_serve", "q_pq_topk", "q_sq8_topk", "q_hybrid_rrf",
+      "q_hard_negatives")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(allowed).foreach { name =>
       val p = planString(name)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a BNLJ:\n$p")
