@@ -2056,7 +2056,7 @@ object SparkEntry {
         |       FROM dist GROUP BY 1),
         |m AS (SELECT label, s / n AS mean, sqrt(greatest(sq / n - (s / n) * (s / n), 0)) AS std FROM st)
         |SELECT d.vec_id, d.label, d.dist,
-        |  round((d.dist - m.mean) / m.std, 4) AS z,
+        |  round((d.dist - m.mean) / m.std, 4) + CAST(0 AS DOUBLE) AS z,
         |  CAST(abs(d.dist - m.mean) > 2.0 * m.std AS INT) AS is_outlier
         |FROM dist d JOIN m USING (label) WHERE m.std > 0""".stripMargin,
     "q_asof_join" ->

@@ -249,7 +249,9 @@ object Similarity {
       .where(col("__std") > 0.0)
       .select(
         col("vec_id"), col("label"), col("dist"),
-        round((col("dist") - col("__mean")) / col("__std"), 4).as("z"),
+        // + 0.0 folds IEEE -0.0 (a tiny negative rounded to zero) into
+        // +0.0 — DuckDB emits +0.0 for the same value
+        (round((col("dist") - col("__mean")) / col("__std"), 4) + lit(0.0)).as("z"),
         (abs(col("dist") - col("__mean")) > lit(zThreshold) * col("__std")).cast("int")
           .as("is_outlier"))
   }
