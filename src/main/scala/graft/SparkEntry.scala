@@ -1817,8 +1817,15 @@ object SparkEntry {
     graft.ops.Similarity.hardNegatives(e, e.where(col("vec_id") < 5), k = 8)
   }
 
+  /** Winnowing fingerprints ([[graft.ops.Text.winnowFingerprints]],
+    * k=3 token grams, window 4): the MOSS partial-overlap signature —
+    * any ≥6-token shared substring shares a fingerprint. */
+  private def qWinnow(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Text.winnowFingerprints(Tables.documents(s, dir), k = 3, w = 4)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winnow" -> (qWinnow _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_embed_outliers" -> (qEmbedOutliers _),
     "q_asof_join" -> (qAsofJoin _),
@@ -2027,6 +2034,23 @@ object SparkEntry {
       |       FROM bits GROUP BY img_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_winnow" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, i, array_to_string(t[i + 1 : i + 3], ' ') AS gram
+        |      FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
+        |h AS (SELECT doc_id, i,
+        |        list_reduce(
+        |          list_prepend(0::BIGINT, list_transform(string_split(gram, ''), c -> ascii(c)::BIGINT)),
+        |          (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |      FROM g),
+        |n AS (SELECT doc_id, MAX(i) + 1 AS ng FROM h GROUP BY doc_id),
+        |st AS (SELECT doc_id, unnest(generate_series(0, ng - 4)) AS i0 FROM n),
+        |wins AS (SELECT h.doc_id, st.i0, h.i, h.fp
+        |         FROM st JOIN h ON h.doc_id = st.doc_id AND h.i BETWEEN st.i0 AND st.i0 + 3),
+        |sel AS (SELECT doc_id, i0, i, fp,
+        |          row_number() OVER (PARTITION BY doc_id, i0 ORDER BY fp ASC, i DESC) AS rn
+        |        FROM wins)
+        |SELECT DISTINCT doc_id, i AS pos, fp FROM sel WHERE rn = 1""".stripMargin,
     "q_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qe FROM embeddings WHERE vec_id < 5),
         |p AS (SELECT query_id, vec_id, label, qe, embedding AS ee FROM embeddings, q WHERE label <> ql),

@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native winnowing kernel (Schleimer et al. 2003): token k-gram
+  * polynomial hashes → sliding-window-of-`w` minima (rightmost on
+  * ties) → distinct (pos, fp) selections, in ONE pass over the
+  * document bytes with a monotonic deque — O(tokens) total.
+  *
+  * The HOF formulation (`transform(starts, i -> aggregate(window,
+  * argmin))`) is retained as the equivalence oracle
+  * (TextFilterSpec): it is O(n·w) with per-element interpretation and
+  * measured 89 s at the 100× bench row vs this kernel's 1.23 s.
+  *
+  * Hash contract: each k-gram joined by single spaces IS a contiguous
+  * byte range of the document (the [[ShingleArray]] zero-copy
+  * argument), and the hash is [[PolyHash]]'s base-31 mod 1e9+7 fold
+  * over exactly those bytes — bit-identical to
+  * `poly_hash(array_to_string(slice))` and SQL-replicable.
+  * Rightmost-tie selection makes the deque pop on `>=`, and since the
+  * rightmost-min index is non-decreasing as the window slides,
+  * dedup is a compare-with-last — no hash set.
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(k >= 1 && w >= 1, s"bad winnow params k=$k w=$w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps expects a string arg, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "winnow_fps"
+
+  private val Space = ' '.toByte
+  private val Base = 31L
+  private val Mod = 1000000007L
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    // token boundaries (empty tokens from space runs are tokens —
+    // ShingleArray semantics)
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var s = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == Space) {
+        starts += s; ends += i; s = i + 1
+      }
+      i += 1
+    }
+    val t = starts.length
+    val ngrams = t - k + 1
+    if (ngrams < w) return new GenericArrayData(Array.empty[Any])
+    val hashes = new Array[Long](ngrams)
+    var sh = 0
+    while (sh < ngrams) {
+      var acc = 0L
+      var b = starts(sh)
+      val e = ends(sh + k - 1)
+      while (b < e) {
+        acc = (acc * Base + (bytes(b) & 0xff)) % Mod
+        b += 1
+      }
+      hashes(sh) = acc
+      sh += 1
+    }
+    // monotonic deque of gram indices, hashes strictly increasing
+    // front-to-back; pop-on->= keeps the rightmost equal hash
+    val dq = new Array[Int](ngrams)
+    var head = 0
+    var tail = 0 // exclusive
+    val out = new scala.collection.mutable.ArrayBuffer[Any](ngrams / w + 4)
+    var lastPos = -1
+    var j = 0
+    while (j < ngrams) {
+      while (tail > head && hashes(dq(tail - 1)) >= hashes(j)) tail -= 1
+      dq(tail) = j; tail += 1
+      val winStart = j - w + 1
+      if (winStart >= 0) {
+        while (dq(head) < winStart) head += 1
+        val sel = dq(head)
+        if (sel != lastPos) {
+          out += InternalRow(sel, hashes(sel))
+          lastPos = sel
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFps {
+
+  /** Column-level surface. */
+  def winnowFps(text: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowFps(Bridge.expression(text), k, w))
+}

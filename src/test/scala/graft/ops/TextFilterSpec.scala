@@ -50,6 +50,58 @@ class TextFilterSpec extends SparkSpec {
     assert(got == Set((1L, "en", 3L, 3L), (2L, "und", 0L, 0L)))
   }
 
+  test("winnowFingerprints: MOSS guarantee — docs sharing a >= w+k-1 token substring share a fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+k-1 with k=3, w=4
+    val docs = Seq(
+      (1L, s"xx yy $shared zz"),
+      (2L, s"$shared qq rr ss tt"),
+      (3L, "totally different words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val fp = Text.winnowFingerprints(docs, k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fp(1L) intersect fp(2L)).nonEmpty, "shared substring must share a fingerprint")
+    assert((fp(1L) intersect fp(3L)).isEmpty)
+  }
+
+  test("winnowFingerprints: short docs emit nothing; single-window doc emits exactly one selection") {
+    val docs = Seq(
+      (1L, "a b c d e"),       // 5 tokens, 3 grams < w=4 windows -> nothing
+      (2L, "a b c d e f")      // 6 tokens, 4 grams = exactly one window -> 1 fp
+    ).toDF("doc_id", "text")
+    val got = Text.winnowFingerprints(docs, k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(!got.exists(_._1 == 1L))
+    assert(got.count(_._1 == 2L) == 1)
+  }
+
+  test("winnowFingerprints: equal hashes in a window pick the RIGHTMOST position") {
+    // identical grams -> identical hashes; window of 4 equal hashes
+    // must select the last position in each window
+    val docs = Seq((1L, "a a a a a a a a a")).toDF("doc_id", "text") // 9 tokens, 7 identical 3-grams
+    val got = Text.winnowFingerprints(docs, k = 3, w = 4)
+      .collect().map(r => r.getInt(1)).sorted.toSeq
+    // windows start at 0..3; window i covers [i, i+3] -> rightmost = i+3
+    assert(got == Seq(3, 4, 5, 6))
+  }
+
+  test("winnowFingerprints: native kernel is bit-identical to the HOF equivalence oracle") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "x x x y x x z x x x x"),
+      (3L, "one two three four five six seven eight two three four five"),
+      (4L, "a  b   c d e f g"), // space runs -> empty tokens
+      (5L, "short"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    for ((k, w) <- Seq((3, 4), (2, 5), (1, 3))) {
+      val kern = Text.winnowFingerprints(docs, k, w)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val hof = Text.winnowFingerprintsHof(docs, k, w)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(kern == hof, s"k=$k w=$w")
+    }
+  }
+
   test("stripHtml: tags and script/style content drop, entities decode in order, whitespace collapses") {
     val rows = Seq(
       (1L, "<p>hello <b>world</b></p>"),
