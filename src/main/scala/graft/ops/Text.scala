@@ -139,11 +139,11 @@ object Text {
     *
     * Gram hash is the same base-31 mod 1e9+7 polynomial as
     * [[fingerprints]] (engine-portable, SQL-replicable). The whole
-    * operator is a stateless projection (HOF chain over the gram-hash
-    * array, no shuffle); per-doc cost is O(n·w) in the interpreted HOF
-    * — a native monotonic-deque kernel (O(n)) is the upgrade if
-    * winnowing ever dominates a profile. Docs shorter than w+k−1
-    * tokens emit nothing (no complete window). */
+    * operator is a stateless projection — the native
+    * [[graft.functions.WinnowFps]] monotonic-deque kernel, O(tokens)
+    * per doc, no shuffle at any scale ([[winnowFingerprintsHof]] is
+    * the retained equivalence oracle). Docs shorter than w+k−1 tokens
+    * emit nothing (no complete window). */
   def winnowFingerprints(documents: DataFrame, k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"bad params k=$k w=$w")
     documents
