@@ -1823,8 +1823,23 @@ object SparkEntry {
   private def qWinnow(s: SparkSession, dir: String): DataFrame =
     graft.ops.Text.winnowFingerprints(Tables.documents(s, dir), k = 3, w = 4)
 
+  /** Per-doc 3-gram novelty ([[graft.ops.Text.novelty]]): fraction of
+    * distinct grams with corpus df = 1 — join-free (gram df aggregate
+    * carries min(doc_id), so df-1 grams route straight to their owner). */
+  private def qNovelty(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Text.novelty(Tables.documents(s, dir), k = 3)
+
+  /** MOSS overlap report ([[graft.ops.Text.winnowOverlapPairs]]): doc
+    * pairs sharing ≥ 3 winnow fingerprints (doc-freq-capped buckets,
+    * pairs from one aggregate — no all-pairs). */
+  private def qWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Text.winnowOverlapPairs(
+      Tables.documents(s, dir), k = 3, w = 4, minShared = 3, maxDocFreq = 50)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winnow_pairs" -> (qWinnowPairs _),
+    "q_novelty" -> (qNovelty _),
     "q_winnow" -> (qWinnow _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_embed_outliers" -> (qEmbedOutliers _),
@@ -2033,24 +2048,49 @@ object SparkEntry {
       |         CAST(SUM(CASE WHEN idx < 32 THEN CAST(bit AS BIGINT) << idx ELSE 0 END) AS BIGINT) AS dhash_lo
       |       FROM bits GROUP BY img_id)""".stripMargin
 
+  /** Shared winnowing-recompute CTE chain (gram poly-hashes + window
+    * argmin with the rightmost-tie rule) — q_winnow / q_winnow_pairs. */
+  private val winnowCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, i, array_to_string(t[i + 1 : i + 3], ' ') AS gram
+      |      FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
+      |h AS (SELECT doc_id, i,
+      |        list_reduce(
+      |          list_prepend(0::BIGINT, list_transform(string_split(gram, ''), c -> ascii(c)::BIGINT)),
+      |          (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+      |      FROM g),
+      |n AS (SELECT doc_id, MAX(i) + 1 AS ng FROM h GROUP BY doc_id),
+      |st AS (SELECT doc_id, unnest(generate_series(0, ng - 4)) AS i0 FROM n),
+      |wins AS (SELECT h.doc_id, st.i0, h.i, h.fp
+      |         FROM st JOIN h ON h.doc_id = st.doc_id AND h.i BETWEEN st.i0 AND st.i0 + 3),
+      |sel AS (SELECT doc_id, i0, i, fp,
+      |          row_number() OVER (PARTITION BY doc_id, i0 ORDER BY fp ASC, i DESC) AS rn
+      |        FROM wins)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    "q_winnow" ->
+    "q_novelty" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |g AS (SELECT doc_id, i, array_to_string(t[i + 1 : i + 3], ' ') AS gram
+        |g AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS g
         |      FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
-        |h AS (SELECT doc_id, i,
-        |        list_reduce(
-        |          list_prepend(0::BIGINT, list_transform(string_split(gram, ''), c -> ascii(c)::BIGINT)),
-        |          (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
-        |      FROM g),
-        |n AS (SELECT doc_id, MAX(i) + 1 AS ng FROM h GROUP BY doc_id),
-        |st AS (SELECT doc_id, unnest(generate_series(0, ng - 4)) AS i0 FROM n),
-        |wins AS (SELECT h.doc_id, st.i0, h.i, h.fp
-        |         FROM st JOIN h ON h.doc_id = st.doc_id AND h.i BETWEEN st.i0 AND st.i0 + 3),
-        |sel AS (SELECT doc_id, i0, i, fp,
-        |          row_number() OVER (PARTITION BY doc_id, i0 ORDER BY fp ASC, i DESC) AS rn
-        |        FROM wins)
-        |SELECT DISTINCT doc_id, i AS pos, fp FROM sel WHERE rn = 1""".stripMargin,
+        |df AS (SELECT g, COUNT(*) AS df, MIN(doc_id) AS d1 FROM g GROUP BY g),
+        |uniq AS (SELECT d1 AS doc_id, COUNT(*) AS n_unique FROM df WHERE df = 1 GROUP BY d1),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_grams, COALESCE(u.n_unique, 0) AS n_unique,
+        |  round(CAST(COALESCE(u.n_unique, 0) AS DOUBLE) / t.n_grams, 4) AS novelty
+        |FROM tot t LEFT JOIN uniq u USING (doc_id)""".stripMargin,
+    "q_winnow" ->
+      s"""WITH $winnowCtes
+         |SELECT DISTINCT doc_id, i AS pos, fp FROM sel WHERE rn = 1""".stripMargin,
+    "q_winnow_pairs" ->
+      s"""WITH $winnowCtes,
+         |fps AS (SELECT DISTINCT doc_id, fp FROM sel WHERE rn = 1),
+         |cnt AS (SELECT fp, COUNT(*) AS nd FROM fps GROUP BY fp),
+         |ok AS (SELECT fp FROM cnt WHERE nd > 1 AND nd <= 50),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |      JOIN ok ON ok.fp = a.fp)
+         |SELECT doc_a, doc_b, COUNT(*) AS n_shared
+         |FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
     "q_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qe FROM embeddings WHERE vec_id < 5),
         |p AS (SELECT query_id, vec_id, label, qe, embedding AS ee FROM embeddings, q WHERE label <> ql),

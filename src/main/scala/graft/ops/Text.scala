@@ -183,6 +183,61 @@ object Text {
         col("sel.fp").as("fp"))
   }
 
+  /** Partial-overlap candidate pairs from [[winnowFingerprints]] — the
+    * MOSS report: doc pairs sharing ≥ `minShared` winnow fingerprints,
+    * i.e. pairs with substring-level copying a doc-level MinHash
+    * misses. Same bucket shape as the LSH families (fingerprint →
+    * member list → pairs from ONE aggregate, no all-pairs);
+    * `maxDocFreq` sheds ubiquitous fingerprints (stop-phrase grams)
+    * before the pair explode — the [[DedupDocs]] doc-freq-cap lesson. */
+  def winnowOverlapPairs(
+      documents: DataFrame,
+      k: Int,
+      w: Int,
+      minShared: Long,
+      maxDocFreq: Int = 50
+  ): DataFrame = {
+    val fps = winnowFingerprints(documents, k, w).select("doc_id", "fp").distinct()
+    val buckets = fps
+      .groupBy("fp")
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .where(size(col("docs")) > 1 && size(col("docs")) <= maxDocFreq)
+    graft.ops.DedupDocs.explodePairs(buckets)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * k-grams that appear in NO other document (corpus doc-frequency 1)
+    * — low novelty marks boilerplate/near-copies, high novelty marks
+    * unique content; the doc-level memorization/duplication signal
+    * behind "fraction of text duplicated elsewhere" corpus reports.
+    *
+    * Plan (the join-free shape): a gram with df = 1 belongs to exactly
+    * one doc, so ONE (gram → count, min(doc_id)) aggregate yields both
+    * the df filter AND the owning doc — no corpus-sized join back on
+    * the gram key (the naive spelling's second big exchange). The
+    * unique-gram counts then join per-doc totals on doc_id. Docs with
+    * fewer than k tokens emit nothing. */
+  def novelty(documents: DataFrame, k: Int): DataFrame = {
+    val grams = documents.select(
+      col("doc_id"),
+      explode(graft.functions.ShingleArray.shingleArray(col("text"), k, dedup = true)).as("g"))
+    val df = grams.groupBy("g").agg(count(lit(1)).as("__df"), min("doc_id").as("__d1"))
+    val uniq = df.where(col("__df") === 1)
+      .groupBy(col("__d1").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    val tot = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    tot
+      .join(uniq, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round(coalesce(col("n_unique"), lit(0L)).cast("double") / col("n_grams").cast("double"), 4)
+          .as("novelty"))
+  }
+
   /** n-gram-heuristic language ID: scores text against per-language marker
     * token sets and picks the best (ties → 'und'). Deterministic CASE
     * logic, mirrored verbatim in the SQL oracle. All marker sets are
