@@ -117,4 +117,16 @@ object WinnowFps {
   /** Column-level surface. */
   def winnowFps(text: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowFps(Bridge.expression(text), k, w))
+
+  /** Arity-checked SQL builder: `winnow_fps(text, k, w)` with foldable
+    * literals. */
+  def builder(children: Seq[Expression]): Expression = children match {
+    case Seq(t,
+        org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _),
+        org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _)) =>
+      WinnowFps(t, k, w)
+    case other =>
+      throw Bridge.analysisError(
+        s"winnow_fps expects (text, k, w) with integer literal k/w, got ${other.length} args")
+  }
 }

@@ -45,6 +45,13 @@ object ExtensionsCheck {
       .collect()(0).getSeq[Double](0)
     assert(fp == Seq(4.0, 0.0), s"fft_power_bins via SQL returned $fp")
 
+    // winnow of 6 identical tokens at (k=3, w=4): one window, one
+    // selection at the rightmost gram position
+    val wf = spark
+      .sql("SELECT winnow_fps('a a a a a a', 3, 4) AS f")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(wf.length == 1 && wf.head.getInt(0) == 3, s"winnow_fps via SQL returned $wf")
+
     // (2) optimizer rule active in the session
     import org.apache.spark.sql.functions._
     val samples = (0L until 50L).map(i => (i, i * 2.0)).toDF("idx", "v")
