@@ -114,6 +114,45 @@ object Streaming {
       }
   }
 
+  /** Input row for [[asofEnrichStream]]: `side` 0 = state update (the
+    * dimension stream), 1 = probe event (the fact stream). */
+  final case class AsOfInput(key: String, ts: Long, side: Int, value: Double)
+  final case class AsOfEnriched(key: String, ts: Long, value: Option[Double])
+
+  /** Streaming twin of [[graft.ops.AsOf.asofBackward]]: a live event
+    * stream enriched with the LATEST prior dimension value per key (the
+    * point-in-time feature lookup, at ingest). Both streams arrive as
+    * one tagged union; per key the state carries only the latest
+    * update — O(keys) state, no buffering of either stream. Within a
+    * micro-batch rows sort by (ts, side) so an update at exactly the
+    * probe's ts is visible (the inclusive `<=` bound of the batch
+    * operator); across micro-batches the carried state provides it.
+    * Probes before any update emit None. Requires per-key in-order
+    * delivery across batches (the [[gapFillStream]] precondition). */
+  def asofEnrichStream(rows: Dataset[AsOfInput]): Dataset[AsOfEnriched] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Double), AsOfEnriched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state: GroupState[(Long, Double)]) =>
+          val arr = it.toArray
+          scala.util.Sorting.stableSort(
+            arr,
+            (a: AsOfInput, b: AsOfInput) => a.ts < b.ts || (a.ts == b.ts && a.side < b.side))
+          var carried: Option[(Long, Double)] = state.getOption
+          val out = arr.iterator.flatMap { r =>
+            if (r.side == 0) {
+              carried = Some((r.ts, r.value))
+              Iterator.empty
+            } else
+              Iterator.single(AsOfEnriched(key, r.ts, carried.map(_._2)))
+          }.toVector // materialize BEFORE the state write below
+          carried.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** W2 consecutive-crossing detection as streaming state: per key,
     * carry the previous sample's (idx, aboveThreshold) across
     * micro-batches; emit idx when sample idx and idx+1 are BOTH above

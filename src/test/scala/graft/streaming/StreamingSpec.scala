@@ -430,4 +430,41 @@ class StreamingSpec extends SparkSpec {
         stats, "value", "event_type", k = 2.0)
       .count() == 0L)
   }
+
+  test("streaming as-of enrich matches the batch as-of across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.AsOfInput]
+    val q = Streaming
+      .asofEnrichStream(input.toDS())
+      .writeStream.format("memory").queryName("asof_enriched").outputMode("append")
+      .start()
+    // batch 1: update@5=1.5, probe@4 (before any state), probe@5
+    // (same-ts update visible — inclusive bound), probe@7
+    input.addData(
+      Streaming.AsOfInput("k", 5, 0, 1.5),
+      Streaming.AsOfInput("k", 4, 1, 0),
+      Streaming.AsOfInput("k", 5, 1, 0),
+      Streaming.AsOfInput("k", 7, 1, 0))
+    q.processAllAvailable()
+    // batch 2: the state must carry update@5 across the boundary;
+    // then update@10=2.5 takes over
+    input.addData(
+      Streaming.AsOfInput("k", 9, 1, 0),
+      Streaming.AsOfInput("k", 10, 0, 2.5),
+      Streaming.AsOfInput("k", 11, 1, 0),
+      Streaming.AsOfInput("other", 3, 1, 0)) // key isolation
+    q.processAllAvailable()
+    val got = spark.sql("SELECT key, ts, value FROM asof_enriched").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    q.stop()
+    assert(got == Set(
+      ("k", 4L, None), ("k", 5L, Some(1.5)), ("k", 7L, Some(1.5)),
+      ("k", 9L, Some(1.5)), ("k", 11L, Some(2.5)), ("other", 3L, None)))
+    // parity with the batch operator on the equivalent frames
+    val left = Seq(("k", 4L), ("k", 5L), ("k", 7L), ("k", 9L), ("k", 11L), ("other", 3L)).toDF("key", "t")
+    val right = Seq(("k", 5L, 1.5), ("k", 10L, 2.5)).toDF("key", "t", "v")
+    val batch = graft.ops.AsOf.asofBackward(left, right, Seq("key"), "t", Seq("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(batch == got)
+  }
 }
