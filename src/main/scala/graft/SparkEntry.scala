@@ -1836,8 +1836,15 @@ object SparkEntry {
     graft.ops.Text.winnowOverlapPairs(
       Tables.documents(s, dir), k = 3, w = 4, minShared = 3, maxDocFreq = 50)
 
+  /** Tokenizer-coverage report ([[graft.ops.Text.oovRate]], vocab =
+    * corpus top-20 unigrams): per-doc OOV fraction via the one-pass
+    * token-set kernel — no explode, no join. */
+  private def qOovRate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Text.oovRate(Tables.documents(s, dir), vocabSize = 20)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_oov_rate" -> (qOovRate _),
     "q_winnow_pairs" -> (qWinnowPairs _),
     "q_novelty" -> (qNovelty _),
     "q_winnow" -> (qWinnow _),
@@ -2068,6 +2075,14 @@ object SparkEntry {
       |        FROM wins)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_oov_rate" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |v AS (SELECT tok FROM cnt ORDER BY c DESC, tok ASC LIMIT 20)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN t.tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+        |  round(CAST(SUM(CASE WHEN t.tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*), 4) AS oov_rate
+        |FROM toks t GROUP BY doc_id""".stripMargin,
     "q_novelty" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |g AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS g

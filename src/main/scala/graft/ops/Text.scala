@@ -208,6 +208,32 @@ object Text {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Per-document OOV rate against the corpus's own top-`vocabSize`
+    * unigram vocabulary — the tokenizer-coverage report (how much of
+    * each doc a fixed vocab fails to cover; high OOV → the doc is in
+    * the wrong language/script for the tokenizer, or the vocab is too
+    * small). Vocabulary = top-N by (count desc, token asc) — computed
+    * once at plan-build time (the [[Bm25]]/[[Lm]] model-build
+    * lifecycle: an O(vocab) aggregate, driver-collected) and folded
+    * into the one-pass [[graft.functions.TokenSetCounts]] kernel as a
+    * literal set, so scoring is a stateless projection: no explode, no
+    * join, zero shuffle over the corpus. */
+  def oovRate(documents: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1 && vocabSize <= 1000000, s"bad vocabSize $vocabSize")
+    val vocab = Lm.unigramCounts(documents)
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(vocabSize)
+      .collect().map(_.getString(0)).toSeq
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val inVocab = graft.functions.TokenSetCounts
+      .tokenSetCounts(col("text"), Seq(vocab)).getItem(0)
+    documents.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      (nTok - inVocab).as("n_oov"),
+      round((nTok - inVocab).cast("double") / nTok.cast("double"), 4).as("oov_rate"))
+  }
+
   /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
     * k-grams that appear in NO other document (corpus doc-frequency 1)
     * — low novelty marks boilerplate/near-copies, high novelty marks
