@@ -109,6 +109,10 @@ object Bench {
       // around to them, inflating later runs' GC pressure)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
+      // and drop the ops' registered caches (curriculumOrder /
+      // ccnetBuckets / large-pair fallbacks) so the tracked list stays
+      // bounded across the interleaved passes
+      graft.util.CacheRegistry.releaseAll()
     }
     // queries that crashed (on any run) report no time and are excluded
     // from the total — they are listed in errors instead

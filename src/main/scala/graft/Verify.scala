@@ -39,6 +39,9 @@ object Verify {
         deleteRec(new java.io.File(s"$outDir/$name")) // no partial output either
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release op-registered caches between queries (the 122-query
+      // sweep would otherwise accumulate every tracked frame)
+      graft.util.CacheRegistry.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
