@@ -2115,7 +2115,7 @@ object SparkEntry {
         |        SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS qq,
         |        SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS ee2
         |      FROM u GROUP BY 1, 2, 3),
-        |c AS (SELECT query_id, vec_id, label, round(dp / (sqrt(qq) * sqrt(ee2)), 6) AS cos_sim FROM d),
+        |c AS (SELECT query_id, vec_id, label, round(dp / (sqrt(qq) * sqrt(ee2)), 6) + CAST(0 AS DOUBLE) AS cos_sim FROM d),
         |r AS (SELECT query_id, vec_id, label, cos_sim,
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
         |      FROM c)

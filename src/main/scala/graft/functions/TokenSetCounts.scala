@@ -18,10 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[graft.ops.Text.qualityScores]] / [[graft.ops.Text.langId]]).
   *
   * Token occurrences count every time they appear (the HOF filter keeps
-  * duplicates), and a token counts at most once per set. Sets are tiny
-  * (stopword/marker lists), so membership is a length-gated linear byte
-  * compare against the precomputed UTF-8 forms. Same family as
-  * [[MinHashSig]]; CodegenFallback because per-row work dominates.
+  * duplicates), and a token counts at most once per set. Membership is
+  * a hash-set probe on a zero-copy UTF8String view of the token bytes —
+  * O(1) per (token, set) whether the set is a 2-word stopword list or a
+  * 100k-entry tokenizer vocabulary ([[graft.ops.Text.oovRate]]; the
+  * original length-gated linear member scan made large vocabularies
+  * O(tokens × |set|)). Same family as [[MinHashSig]]; CodegenFallback
+  * because per-row work dominates.
   */
 case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
     extends UnaryExpression
@@ -37,36 +40,28 @@ case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "token_set_counts"
 
-  @transient private lazy val members: Array[Array[Array[Byte]]] =
-    sets.map(_.map(_.getBytes("UTF-8")).toArray).toArray
+  @transient private lazy val memberSets: Array[java.util.HashSet[UTF8String]] =
+    sets.map { set =>
+      val hs = new java.util.HashSet[UTF8String](set.size * 2)
+      set.foreach(m => hs.add(UTF8String.fromString(m)))
+      hs
+    }.toArray
 
   private val Space = ' '.toByte
 
-  private def tokenInSet(bytes: Array[Byte], start: Int, end: Int, set: Array[Array[Byte]]): Boolean = {
-    val len = end - start
-    var m = 0
-    while (m < set.length) {
-      val cand = set(m)
-      if (cand.length == len) {
-        var j = 0
-        while (j < len && bytes(start + j) == cand(j)) j += 1
-        if (j == len) return true
-      }
-      m += 1
-    }
-    false
-  }
-
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    val counts = new Array[Long](members.length)
+    val counts = new Array[Long](memberSets.length)
     var s = 0
     var i = 0
     while (i <= bytes.length) {
       if (i == bytes.length || bytes(i) == Space) {
+        // zero-copy view of the token bytes — UTF8String hashes and
+        // compares by content
+        val tok = UTF8String.fromBytes(bytes, s, i - s)
         var g = 0
-        while (g < members.length) {
-          if (tokenInSet(bytes, s, i, members(g))) counts(g) += 1
+        while (g < memberSets.length) {
+          if (memberSets(g).contains(tok)) counts(g) += 1
           g += 1
         }
         s = i + 1

@@ -153,6 +153,10 @@ object Similarity {
       .where(col("cos_sim") >= minCosine)
   }
 
+  /** Driver cap for [[centroidOutliers]]' collected centroid table
+    * (labels × dims rows). */
+  private val MaxDriverCentroidRows = 100000
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the k most similar corpus vectors with a DIFFERENT label —
     * the near-miss negatives that carry the gradient signal (easy
@@ -180,7 +184,12 @@ object Similarity {
         col("query_id"),
         col("vec_id"),
         col("label"),
-        round(dot(col("embedding"), col("qe")) / (col("cn") * col("qn")), 6).as("cos_sim")
+        // + 0.0 folds IEEE -0.0 (a near-orthogonal negative cosine
+        // rounded to zero — exactly the easy-negative case) into +0.0;
+        // DuckDB's round() can emit -0.0 there and the compare (and
+        // the rank order at the boundary) would diverge
+        (round(dot(col("embedding"), col("qe")) / (col("cn") * col("qn")), 6) + lit(0.0))
+          .as("cos_sim")
       )
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
     scored
@@ -218,11 +227,20 @@ object Similarity {
         count(lit(1))).as("c"))
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(d, c))), x -> x.c)").as("cent"))
-    // labels × dims — tiny; collect to a local relation (no repeated
-    // centroid subtree) and broadcast
-    val centRows = cent.collect()
-    val centSide = broadcast(spark.createDataFrame(
-      java.util.Arrays.asList(centRows: _*), cent.schema))
+    // labels × dims — tiny in any sane labeling; the limit-probe cap
+    // bounds the driver collect against a pathological high-cardinality
+    // label column (the Anomaly/percentileGate recipe), with a
+    // persisted-frame fallback past it
+    val centRows = cent.limit(MaxDriverCentroidRows + 1).collect()
+    val centSide =
+      if (centRows.length <= MaxDriverCentroidRows)
+        broadcast(spark.createDataFrame(
+          java.util.Arrays.asList(centRows: _*), cent.schema))
+      else {
+        val tracked = graft.util.CacheRegistry.track(
+          cent.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        graft.spikes.Spikes.broadcastIfSmall(tracked, tracked.count())
+      }
     val dist = embeddings
       .join(centSide, "label")
       .select(

@@ -52,7 +52,10 @@ object Urls {
   /** Query string with tracking params removed and survivors sorted
     * bytewise; empty when nothing survives. */
   private def normQuery(url: Column): Column = {
-    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    // the '?' must come BEFORE any '#': a bare "\\?" would match a
+    // question mark inside the fragment and leak fragment content into
+    // the canonical form
+    val q = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
     val parts = filter(
       split(q, "&"),
       kv => kv =!= "" && !kv.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"))
@@ -120,9 +123,14 @@ object Urls {
     * deterministic-keep-first contract as [[DedupDocs.dedupExact]]. */
   def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(normalizeUrl(col(urlCol))).orderBy(col(idCol))
+    val canon = normalizeUrl(col(urlCol))
+    val w = Window.partitionBy(canon).orderBy(col(idCol))
+    // rows with an unparseable URL canonicalize to NULL — they are NOT
+    // duplicates of each other (quarantine contract), so they pass
+    // through unconditionally instead of collapsing into the shared
+    // NULL window partition
     df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
+      .where(canon.isNull || col("__rn") === 1)
       .drop("__rn")
   }
 }

@@ -35,6 +35,22 @@ class UrlsSpec extends SparkSpec {
     assert(norm("http://ex.com/p?q=utm_source") == Some("http://ex.com/p?q=utm_source"))
   }
 
+  test("normalizeUrl: a '?' inside the fragment is NOT a query — fragment drops whole") {
+    assert(norm("http://ex.com/p#section?b=1") == Some("http://ex.com/p"))
+    assert(norm("http://ex.com/p?a=1#frag?b=2") == Some("http://ex.com/p?a=1"))
+  }
+
+  test("dedupByUrl passes unparseable (NULL-canonical) rows through instead of collapsing them") {
+    val df = Seq(
+      (1L, "garbage-a"),
+      (2L, "garbage-b"),
+      (3L, "http://ex.com/x")
+    ).toDF("doc_id", "url")
+    val kept = Urls.dedupByUrl(df, "url", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
   test("normalizeUrl: non-URL strings are NULL (quarantine signal)") {
     assert(norm("not a url") == None)
     assert(norm("//protocol-relative.com/x") == None)
