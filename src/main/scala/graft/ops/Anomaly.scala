@@ -46,17 +46,8 @@ object Anomaly {
     // collect ONCE to a local relation (groups are bounded — event types,
     // sources; capped against pathological group columns): a
     // count-then-join spelling executes the stats aggregate twice — the
-    // repeated-subtree rule (see Text.percentileGate).
-    val statsRows = stats.limit(MaxDriverGroups + 1).collect()
-    val statsSide =
-      if (statsRows.length <= MaxDriverGroups) {
-        val local = events.sparkSession.createDataFrame(
-          java.util.Arrays.asList(statsRows: _*), stats.schema)
-        graft.spikes.Spikes.broadcastIfSmall(local, statsRows.length.toLong)
-      } else {
-        val nGroups = stats.count()
-        graft.spikes.Spikes.broadcastIfSmall(stats, nGroups)
-      }
+    // repeated-subtree rule. Shared recipe: [[graft.util.DriverSide]].
+    val statsSide = graft.util.DriverSide.smallSideOrTracked(stats)
     events
       .join(statsSide, groupCols)
       .where(col("__std") > 0.0 &&
@@ -66,11 +57,4 @@ object Anomaly {
       .drop("__mean", "__std")
   }
 
-  /** Driver-side bound for the collected per-group stats table. Kept
-    * small on purpose: the gate itself is `limit(cap+1).collect()`, so
-    * the cap bounds the boxed-Row materialization on the driver (a 2M
-    * cap would let the "safety gate" allocate hundreds of MB before
-    * tripping). Past the cap the op falls back to the two-execution
-    * count-then-join plan. */
-  private val MaxDriverGroups = 100000
 }

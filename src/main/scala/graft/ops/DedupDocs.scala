@@ -729,23 +729,11 @@ object DedupDocs {
     val pairsRaw = minhashLshPairs(documents, k, numHashes, rowsPerBand)
     // The pair set is referenced by the returned plan AND needed for the
     // broadcast-gate count — the repeated-subtree rule says don't run
-    // the LSH pipeline twice. Common case: the near-dup pair set is tiny
-    // (two longs/row) → one limit-probe execution collected to a local
-    // relation, nothing stays persisted. Rare huge-pair-set case: fall
-    // back to a persisted frame registered with
-    // [[graft.util.CacheRegistry]] (release between pipelines).
-    val probe = pairsRaw.limit(MaxDriverPairRows + 1).collect()
-    val p =
-      if (probe.length <= MaxDriverPairRows) {
-        val local = documents.sparkSession.createDataFrame(
-          java.util.Arrays.asList(probe: _*), pairsRaw.schema)
-        graft.spikes.Spikes.broadcastIfSmall(local, probe.length.toLong)
-      } else {
-        val pairs = graft.util.CacheRegistry.track(
-          pairsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val nPairs = pairs.count()
-        graft.spikes.Spikes.broadcastIfSmall(pairs, nPairs)
-      }
+    // the LSH pipeline twice. Shared limit-probe recipe
+    // ([[graft.util.DriverSide]]): local relation in the common tiny-
+    // pair-set case (nothing stays persisted), CacheRegistry-tracked
+    // persist for a huge pair set.
+    val p = graft.util.DriverSide.smallSideOrTracked(pairsRaw)
     val src = documents.select(col("doc_id"), col(sourceCol))
     p.join(src.select(col("doc_id").as("doc_a"), col(sourceCol).as("__sa")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col(sourceCol).as("__sb")), "doc_b")
@@ -755,12 +743,6 @@ object DedupDocs {
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_pairs"))
   }
-
-  /** Driver cap for [[sourceOverlapMatrix]]'s limit-probe collect of the
-    * near-dup pair set — two longs + two ids per row, so 100k rows is a
-    * few MB of boxed Rows at most; past it the persisted-frame fallback
-    * takes over. */
-  private val MaxDriverPairRows = 100000
 
   def minhashLshPairs(
       documents: DataFrame,

@@ -287,13 +287,7 @@ object Lm {
       .withColumn("__n_less", sum("__c").over(wCum) - col("__c"))
       .withColumn("__n", sum("__c").over(Window.partitionBy("lang")))
       .select("lang", "ppl", "__n_less", "__n")
-    val probe = cum.limit(MaxDriverHistRows + 1).collect()
-    val cumSide =
-      if (probe.length <= MaxDriverHistRows)
-        broadcast(spark.createDataFrame(java.util.Arrays.asList(probe: _*), cum.schema))
-      else
-        graft.util.CacheRegistry.track(
-          cum.persist(StorageLevel.MEMORY_AND_DISK))
+    val cumSide = graft.util.DriverSide.smallSideOrTracked(cum)
     scored
       .join(cumSide, Seq("lang", "ppl"))
       .select(
@@ -303,8 +297,4 @@ object Lm {
           .otherwise(lit("tail")).as("bucket"))
   }
 
-  /** Driver cap for [[ccnetBuckets]]'s collected histogram (langs ×
-    * distinct rounded ppl — tiny in practice; the cap guards the
-    * pathological unrounded-score case). */
-  private val MaxDriverHistRows = 100000
 }

@@ -153,10 +153,6 @@ object Similarity {
       .where(col("cos_sim") >= minCosine)
   }
 
-  /** Driver cap for [[centroidOutliers]]' collected centroid table
-    * (labels × dims rows). */
-  private val MaxDriverCentroidRows = 100000
-
   /** Hard-negative mining for contrastive training: for each query
     * vector, the k most similar corpus vectors with a DIFFERENT label —
     * the near-miss negatives that carry the gradient signal (easy
@@ -227,20 +223,11 @@ object Similarity {
         count(lit(1))).as("c"))
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(d, c))), x -> x.c)").as("cent"))
-    // labels × dims — tiny in any sane labeling; the limit-probe cap
-    // bounds the driver collect against a pathological high-cardinality
-    // label column (the Anomaly/percentileGate recipe), with a
-    // persisted-frame fallback past it
-    val centRows = cent.limit(MaxDriverCentroidRows + 1).collect()
-    val centSide =
-      if (centRows.length <= MaxDriverCentroidRows)
-        broadcast(spark.createDataFrame(
-          java.util.Arrays.asList(centRows: _*), cent.schema))
-      else {
-        val tracked = graft.util.CacheRegistry.track(
-          cent.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        graft.spikes.Spikes.broadcastIfSmall(tracked, tracked.count())
-      }
+    // labels × dims — tiny in any sane labeling; the shared limit-probe
+    // recipe ([[graft.util.DriverSide]]) bounds the driver collect
+    // against a pathological high-cardinality label column, with a
+    // CacheRegistry-tracked persisted fallback past the cap
+    val centSide = graft.util.DriverSide.smallSideOrTracked(cent)
     val dist = embeddings
       .join(centSide, "label")
       .select(

@@ -687,20 +687,10 @@ object Text {
       .groupBy("w").agg(count(lit(1)).as("c"))
     // The unigram table is referenced TWICE below (w1 + w2 joins), and a
     // count-then-join gate would run the aggregate a third time — the
-    // repeated-subtree rule (percentileGate's limit-probe spelling).
-    // Collect once to a local relation when the vocab fits the driver
-    // cap (distinct words — bounded for any natural-language corpus);
-    // past the cap, fall back to the two-execution count gate.
-    val uniRows = uni.limit(MaxDriverHistRows + 1).collect()
-    val uniB =
-      if (uniRows.length <= MaxDriverHistRows) {
-        val local = documents.sparkSession.createDataFrame(
-          java.util.Arrays.asList(uniRows: _*), uni.schema)
-        graft.spikes.Spikes.broadcastIfSmall(local, uniRows.length.toLong)
-      } else {
-        val nVocab = uni.count()
-        graft.spikes.Spikes.broadcastIfSmall(uni, nVocab)
-      }
+    // repeated-subtree rule. Shared limit-probe recipe:
+    // [[graft.util.DriverSide]] (local relation within the cap,
+    // CacheRegistry-tracked persist past it).
+    val uniB = graft.util.DriverSide.smallSideOrTracked(uni)
     val bi = documents
       .select(explode(graft.functions.ShingleArray.shingleArray(col("text"), 2, dedup = false)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
@@ -850,29 +840,12 @@ object Text {
     // count-then-join spelling would execute the scored→histogram
     // pipeline twice (once for the broadcast gate's count, once in the
     // final plan) — measured as the dominant cost of q_curriculum's
-    // anneal subtree. A cap guards the pathological unbounded-score
-    // case; past it, fall back to the two-execution plan.
-    val rankedRows = ranked.limit(MaxDriverHistRows + 1).collect()
-    val rankedSide =
-      if (rankedRows.length <= MaxDriverHistRows) {
-        val local = scored.sparkSession.createDataFrame(
-          java.util.Arrays.asList(rankedRows: _*), ranked.schema)
-        graft.spikes.Spikes.broadcastIfSmall(local, rankedRows.length.toLong)
-      } else {
-        val nKept = ranked.count()
-        graft.spikes.Spikes.broadcastIfSmall(ranked, nKept)
-      }
+    // anneal subtree. Shared limit-probe recipe:
+    // [[graft.util.DriverSide]].
+    val rankedSide = graft.util.DriverSide.smallSideOrTracked(ranked)
     scored
       .join(rankedSide, keyCols :+ scoreCol)
       .withColumn("pct", round(col("__pr"), 6))
       .drop("__pr")
   }
-
-  /** Driver-side bound for [[percentileGate]]'s collected histogram —
-    * roomy for rounded scores (keys × ≤10⁴ distinct values) while
-    * keeping a pathological unrounded score column from flooding the
-    * driver. Small on purpose: the gate is `limit(cap+1).collect()`, so
-    * the cap bounds the boxed-Row allocation the probe itself performs;
-    * past it the op falls back to the two-execution plan. */
-  private val MaxDriverHistRows = 100000
 }
