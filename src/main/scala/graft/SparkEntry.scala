@@ -1842,8 +1842,15 @@ object SparkEntry {
   private def qOovRate(s: SparkSession, dir: String): DataFrame =
     graft.ops.Text.oovRate(Tables.documents(s, dir), vocabSize = 20)
 
+  /** Compression-ratio quality signal ([[graft.ops.Text
+    * .compressionRatio]]) — no oracle SQL (DuckDB has no deflate):
+    * driver records the rows-only check; semantics spec-pinned. */
+  private def qCompressRatio(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Text.compressionRatio(Tables.documents(s, dir))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_compress_ratio" -> (qCompressRatio _),
     "q_oov_rate" -> (qOovRate _),
     "q_winnow_pairs" -> (qWinnowPairs _),
     "q_novelty" -> (qNovelty _),

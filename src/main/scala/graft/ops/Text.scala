@@ -208,6 +208,28 @@ object Text {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Compression-ratio quality signal: deflate(text) size over raw
+    * UTF-8 size — templated/boilerplate/machine-generated text
+    * compresses far below natural prose, so a LOW ratio is a drop/
+    * down-weight flag (the heuristic FineWeb-class pipelines pair with
+    * the Gopher rules). Stateless projection over the native
+    * [[graft.functions.DeflateSize]] kernel — zero shuffle. Ratio is
+    * 4dp-rounded; an empty doc still carries the 2-byte raw-deflate
+    * terminator (ratio 2.0 via the max(bytes,1) denominator — callers
+    * gate on length first). NOT SQL-replicable (no deflate
+    * in the oracle engine) → rows-only driver check + spec-pinned
+    * semantics. */
+  def compressionRatio(documents: DataFrame): DataFrame = {
+    val nComp = graft.functions.DeflateSize.deflateSize(col("text")).cast("long")
+    documents.select(
+      col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      nComp.as("n_deflate"),
+      round(nComp.cast("double") /
+        greatest(octet_length(col("text")).cast("long"), lit(1L)).cast("double"), 4)
+        .as("compress_ratio"))
+  }
+
   /** Per-document OOV rate against the corpus's own top-`vocabSize`
     * unigram vocabulary — the tokenizer-coverage report (how much of
     * each doc a fixed vocab fails to cover; high OOV → the doc is in

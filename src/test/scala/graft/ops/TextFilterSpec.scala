@@ -84,6 +84,29 @@ class TextFilterSpec extends SparkSpec {
     assert(got == Seq(3, 4, 5, 6))
   }
 
+  test("compressionRatio: repetitive text compresses far below varied text; empty text is 0-size") {
+    val rep = ("spam " * 200).trim
+    val varied = (0 until 200).map(i => (i * 2654435761L).toHexString).mkString(" ").take(rep.length)
+    val docs = Seq((1L, rep), (2L, varied), (3L, "")).toDF("doc_id", "text")
+    val got = Text.compressionRatio(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val (repBytes, repComp, repRatio) = got(1L)
+    val (varBytes, varComp, varRatio) = got(2L)
+    assert(repBytes == varBytes)
+    assert(repComp < varComp && repRatio < varRatio,
+      s"repetitive $repComp/$repRatio should compress below varied $varComp/$varRatio")
+    assert(repRatio < 0.05 && varRatio > 0.4)
+    // empty input still emits the 2-byte raw-deflate terminator block;
+    // the max(n_bytes, 1) denominator keeps the ratio finite
+    assert(got(3L) == ((0L, 2L, 2.0)))
+  }
+
+  test("deflateSize is deterministic across invocations and rows") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g")).toDF("doc_id", "text")
+    val sizes = Text.compressionRatio(docs).collect().map(_.getLong(2))
+    assert(sizes(0) == sizes(1) && sizes(0) > 0)
+  }
+
   test("winnowFingerprints: native kernel is bit-identical to the HOF equivalence oracle") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l"),
