@@ -60,8 +60,77 @@ object SemDedup {
     * `is_dup` 1 iff a smaller-id neighbor in the same cell has cosine
     * ≥ `minCosine` (6dp-rounded), `dup_of` the smallest such id (NULL
     * sentinel -1 for keepers, so the int column survives the oracle's
-    * pandas-shaped compare). */
+    * pandas-shaped compare).
+    *
+    * EXACT-COLLAPSE pre-pass (the duplicate-heavy-corpus guard): rows
+    * with byte-identical embeddings collapse to one representative per
+    * (cell, vector) BEFORE the pairwise stage, so the quadratic term is
+    * Σ|distinct(cell)|², not Σ|cell|² — a corpus that is 99 % exact
+    * copies (the post-crawl, pre-exact-dedup shape; measured 893 s →
+    * seconds at the 100×-duplicated bench row) costs the same as its
+    * distinct core. PROVABLY output-identical to the all-pairs form
+    * ([[semDedupAssignedAllPairs]], spec-pinned): the smallest
+    * qualifying neighbor of a row is either the min id of a qualifying
+    * OTHER vector group (every copy of a group qualifies iff its vector
+    * does) or the min id of its OWN group (copies are mutual neighbors
+    * iff round(cos(v,v)) ≥ threshold). Zero-norm vectors are an ANSI
+    * divide-by-zero error in both forms — filter them upstream. */
   def semDedupAssigned(assigned: DataFrame, minCosine: Double = MinCosineDefault): DataFrame = {
+    val rows = assigned.select(col("vec_id"), col("embedding"), col("cell"))
+    val reps = rows
+      .groupBy(col("cell"), col("embedding"))
+      .agg(min("vec_id").as("rep_id"))
+      .withColumn("__nrm", Similarity.norm(col("embedding")))
+      .withColumn(
+        "__self",
+        round(
+          Similarity.dot(col("embedding"), col("embedding")) / (col("__nrm") * col("__nrm")),
+          6))
+    val mOther = reps
+      .as("a")
+      .join(
+        reps.as("b"),
+        col("a.cell") === col("b.cell") && col("a.rep_id") =!= col("b.rep_id"))
+      .select(
+        col("a.cell").as("cell"),
+        col("a.rep_id").as("rep_id"),
+        col("b.rep_id").as("nbr"),
+        round(
+          Similarity.dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.__nrm") * col("b.__nrm")),
+          6
+        ).as("cos_sim")
+      )
+      .where(col("cos_sim") >= minCosine)
+      .groupBy("cell", "rep_id")
+      .agg(min("nbr").as("__m_other"))
+    rows
+      .join(reps.select(col("cell"), col("embedding"), col("rep_id"), col("__self")),
+        Seq("cell", "embedding"))
+      .join(mOther, Seq("cell", "rep_id"), "left")
+      .withColumn(
+        "__c_same",
+        when(col("__self") >= minCosine && col("vec_id") > col("rep_id"), col("rep_id")))
+      .withColumn(
+        "__c_other",
+        when(col("__m_other") < col("vec_id"), col("__m_other")))
+      .withColumn("__dup", least(col("__c_same"), col("__c_other")))
+      .select(
+        col("vec_id"),
+        col("cell"),
+        when(col("__dup").isNotNull, lit(1)).otherwise(lit(0)).as("is_dup"),
+        coalesce(col("__dup"), lit(-1L)).as("dup_of")
+      )
+  }
+
+  /** The direct all-pairs-within-cell formulation — retained ONLY as
+    * the equivalence oracle for [[semDedupAssigned]]'s exact-collapse
+    * plan (SemDedupSpec parity on duplicate-heavy and zero-vector
+    * corpora; the SQL oracle spells this form too). */
+  private[graft] def semDedupAssignedAllPairs(
+      assigned: DataFrame,
+      minCosine: Double = MinCosineDefault
+  ): DataFrame = {
     val c = assigned
       .select(col("vec_id"), col("embedding"), col("cell"))
       .withColumn("__nrm", Similarity.norm(col("embedding")))

@@ -72,4 +72,29 @@ class SemDedupSpec extends SparkSpec {
     val tight = dupIds(0.5)
     assert(tight.subsetOf(loose))
   }
+
+  test("exact-collapse plan is identical to the all-pairs form on a duplicate-heavy corpus") {
+    import spark.implicits._
+    // 4 distinct vectors x many exact copies, two cells (zero-norm
+    // vectors are an ANSI divide-by-zero error in BOTH forms — callers
+    // filter them, as the embeddings contract states)
+    val base = Seq(
+      Array(1.0f, 0.0f), Array(0.9f, 0.1f), Array(-1.0f, 0.0f), Array(0.1f, -0.9f))
+    val rows = (0L until 40L).map { id =>
+      (id, base((id % 4).toInt), (id % 2).toInt) // cells split the copies too
+    }.toDF("vec_id", "embedding", "cell")
+    for (thr <- Seq(0.3, 0.99, 1.1)) {
+      val fast = SemDedup.semDedupAssigned(rows, thr)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+      val slow = SemDedup.semDedupAssignedAllPairs(rows, thr)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+      assert(fast == slow, s"thr=$thr")
+      // thr=1.1: even exact copies are not dups (rounded self-cos 1.0 < 1.1)
+      if (thr > 1.0) assert(fast.forall(_._3 == 0))
+    }
+    // with thr<=1 every non-first copy is a dup of its group minimum
+    val got = SemDedup.semDedupAssigned(rows, 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(4L) == 0L && got(37L) == 1L) // 4 copies 0; 37%4==1 -> first id 1
+  }
 }
