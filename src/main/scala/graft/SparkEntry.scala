@@ -1848,8 +1848,45 @@ object SparkEntry {
   private def qCompressRatio(s: SparkSession, dir: String): DataFrame =
     graft.ops.Text.compressionRatio(Tables.documents(s, dir))
 
+  /** O2 total-order global sort ([[graft.ts.GlobalSort
+    * .rankByValueBuckets]]): two-pass value-bucket recipe — no
+    * single-task global window; rank is a pure function of the data. */
+  private def qGlobalSort(s: SparkSession, dir: String): DataFrame =
+    graft.ts.GlobalSort
+      .rankByValueBuckets(
+        Tables.events(s, dir).select("event_id", "ts_us"), "ts_us", Seq("event_id"))
+      .select("rank", "event_id", "ts_us")
+
+  /** W5 epoch-bounded CHUNKED zero-phase filtering against the SAME
+    * recursive-CTE oracle as q_filtfilt: small buffer/overlap forces
+    * real chunk splits + boundary duplication, and the overlap is long
+    * enough that core rows match the whole-segment filter at the 6dp
+    * round (the order-2 Butterworth impulse response is far below 1e-6
+    * after 96 samples). Puts W5 in the hard oracle signal. */
+  private def qFiltfiltChunked(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_id", "value")
+    val sos = graft.dsp.FilterDesign.butter(2, Seq(0.25), graft.dsp.FilterDesign.Lowpass)
+    // chunk on a CONTIGUOUS per-user sample index, not the sparse global
+    // event_id — the overlap is warm-up SAMPLES, so the chunk axis must
+    // be dense in rows for 96 units to mean 96 rows of IIR settling
+    val withIdx = ev.withColumn(
+      "idx",
+      (row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")) - 1).cast("long"))
+    graft.dsp.SosFiltFilt
+      .filtfiltChunked(withIdx, sos, Seq("user_id"), "idx", "value",
+        bufferLen = 256L, overlapLen = 96L)
+      // the chunked kernel keeps only (keys, ts, value) — map the dense
+      // index back to its event_id
+      .join(withIdx.select("user_id", "idx", "event_id"), Seq("user_id", "idx"))
+      .select(col("user_id"), col("event_id"), round(col("value"), 6).as("value"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_global_sort" -> (qGlobalSort _),
+    "q_filtfilt_chunked" -> (qFiltfiltChunked _),
     "q_compress_ratio" -> (qCompressRatio _),
     "q_oov_rate" -> (qOovRate _),
     "q_winnow_pairs" -> (qWinnowPairs _),
@@ -2728,6 +2765,13 @@ object SparkEntry {
     // as unrolled MATERIALIZED stages. Every declared query is now
     // oracle-checked.
     "q_filtfilt" -> filtfiltOracleSql,
+    // the chunked variant must produce the SAME values as the
+    // whole-segment filter (sufficient overlap) — same oracle
+    "q_filtfilt_chunked" -> filtfiltOracleSql,
+    "q_global_sort" ->
+      """SELECT row_number() OVER (ORDER BY epoch_us(ts), event_id) - 1 AS rank,
+        |       event_id, epoch_us(ts) AS ts_us
+        |FROM events""".stripMargin,
     "q_align" -> alignOracleSql,
     // salting must be invisible in the result: the oracle is the PLAIN join
     "q_salted_join" ->
