@@ -1883,8 +1883,21 @@ object SparkEntry {
       .select(col("user_id"), col("event_id"), round(col("value"), 6).as("value"))
   }
 
+  /** Scalable containment join ([[graft.ts.IntervalJoin]]): every
+    * event attributed to the global session epoch containing it —
+    * bucketized equi-join + exact post-filter, no BNLJ. */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_id", "ts_us")
+    val epochs = qSessionEpochs(s, dir).select("segment_id", "start_us", "stop_us")
+    graft.ts.IntervalJoin
+      .containmentJoin(ev, epochs, "ts_us", "start_us", "stop_us",
+        bucketWidth = 900000000L)
+      .select("event_id", "ts_us", "segment_id")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_join" -> (qIntervalJoin _),
     "q_global_sort" -> (qGlobalSort _),
     "q_filtfilt_chunked" -> (qFiltfiltChunked _),
     "q_compress_ratio" -> (qCompressRatio _),
@@ -2772,6 +2785,14 @@ object SparkEntry {
       """SELECT row_number() OVER (ORDER BY epoch_us(ts), event_id) - 1 AS rank,
         |       event_id, epoch_us(ts) AS ts_us
         |FROM events""".stripMargin,
+    "q_interval_join" ->
+      s"""WITH e AS (SELECT epoch_us(ts) AS ts_us FROM events),
+         |d AS (SELECT ts_us, CASE WHEN ts_us - lag(ts_us) OVER (ORDER BY ts_us) >= $GlobalGapUs THEN 1 ELSE 0 END AS brk FROM e),
+         |s AS (SELECT ts_us, SUM(brk) OVER (ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment_id FROM d),
+         |g AS (SELECT CAST(segment_id AS BIGINT) AS segment_id, MIN(ts_us) AS start_us, MAX(ts_us) + 1 AS stop_us FROM s GROUP BY segment_id)
+         |SELECT ev.event_id, epoch_us(ev.ts) AS ts_us, g.segment_id
+         |FROM events ev JOIN g
+         |  ON epoch_us(ev.ts) >= g.start_us AND epoch_us(ev.ts) < g.stop_us""".stripMargin,
     "q_align" -> alignOracleSql,
     // salting must be invisible in the result: the oracle is the PLAIN join
     "q_salted_join" ->

@@ -1,0 +1,51 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalable INTERVAL (containment) join: attach to every point row the
+  * interval(s) `[start, stop)` containing it — event→epoch attribution,
+  * reading→session assignment, the range-predicate join Spark executes
+  * as a BroadcastNestedLoopJoin if written naively (the banned plan).
+  *
+  * The scale spelling is BUCKETIZATION: time is cut into fixed-width
+  * buckets, each interval EXPLODES into every bucket it overlaps
+  * (sequence over the bucket range), points key to their single bucket,
+  * and the join is a plain equi-join on the bucket id with the exact
+  * containment predicate as a post-filter. Each qualifying (point,
+  * interval) pair meets in exactly one bucket — the point's — so no
+  * dedup is needed. Cost: |intervals| × (width/bucketWidth) exploded
+  * rows + one hash join; pick `bucketWidth` near the typical interval
+  * width so the explosion factor stays O(1). Long intervals fan out
+  * across buckets (bounded, linear), hot buckets parallelize like any
+  * equi-join key. No nested loop at any scale.
+  */
+object IntervalJoin {
+
+  /** Join `points` (with `tsCol`) to `intervals` (with `startCol`,
+    * `stopCol`; half-open `[start, stop)`), emitting every point row
+    * paired with every containing interval row (inner semantics —
+    * uncovered points drop). Columns from both sides survive; name
+    * collisions are the caller's to resolve beforehand. */
+  def containmentJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      tsCol: String,
+      startCol: String,
+      stopCol: String,
+      bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
+    val p = points.withColumn("__b", bucketOf(col(tsCol)))
+    // stop is exclusive: an interval touching a bucket only at its stop
+    // boundary contributes nothing there — (stop - 1) is the last
+    // covered instant
+    val iv = intervals.withColumn(
+      "__b",
+      explode(sequence(bucketOf(col(startCol)), bucketOf(col(stopCol) - 1))))
+    p.join(iv, Seq("__b"))
+      .where(col(tsCol) >= col(startCol) && col(tsCol) < col(stopCol))
+      .drop("__b")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ts
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[IntervalJoin.containmentJoin]] — containment semantics and the
+  * exactly-one-bucket-meeting guarantee (no dedup needed). */
+class IntervalJoinSpec extends SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  private val intervals = Seq(
+    (10L, 0L, 10L),    // [0, 10)
+    (20L, 5L, 25L),    // overlaps the first -> points 5..9 match both
+    (30L, 100L, 101L), // width-1 interval
+    (40L, 50L, 90L)    // spans many buckets at width 8
+  ).toDF("iv_id", "start", "stop")
+
+  private def join(points: Seq[Long], width: Long): Set[(Long, Long)] =
+    IntervalJoin
+      .containmentJoin(points.toDF("ts").withColumn("pid", col("ts")),
+        intervals, "ts", "start", "stop", width)
+      .select("pid", "iv_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("containment with overlaps, half-open bounds, and uncovered points") {
+    val got = join(Seq(0L, 7L, 9L, 10L, 24L, 25L, 100L, 101L, 999L), width = 8L)
+    assert(got == Set(
+      (0L, 10L),            // start inclusive
+      (7L, 10L), (7L, 20L), // overlap region -> both intervals
+      (9L, 10L), (9L, 20L),
+      (10L, 20L),           // stop of [0,10) exclusive
+      (24L, 20L),           // last covered instant of [5,25)
+      (100L, 30L)           // width-1 interval
+      // 25, 101, 999 uncovered -> dropped
+    ))
+  }
+
+  test("each qualifying pair appears EXACTLY once regardless of bucket width (long fan-out intervals)") {
+    for (w <- Seq(1L, 3L, 8L, 64L, 1000L)) {
+      val rows = IntervalJoin
+        .containmentJoin(Seq(55L, 89L).toDF("ts"), intervals, "ts", "start", "stop", w)
+        .collect()
+      assert(rows.length == 2, s"width $w: ${rows.mkString(",")}") // both inside [50,90) only
+    }
+  }
+
+  test("the bucketized plan is an equi-join, not a nested loop") {
+    val q = IntervalJoin.containmentJoin(
+      spark.range(100).select(col("id").as("ts")),
+      intervals, "ts", "start", "stop", bucketWidth = 8L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
