@@ -1895,8 +1895,33 @@ object SparkEntry {
       .select("event_id", "ts_us", "segment_id")
   }
 
+  /** F8 frange in the hard signal: per-user sample grids with a
+    * non-divisible step (0.37 s over a capped duration) — exercising
+    * the reference's linspace-not-step semantics
+    * ([[graft.functions.Funcs.frange]]; jagular/utils.py:17-22). */
+  private def qFrange(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(least((max("ts_us") - min("ts_us")) / lit(1e6), lit(20.0)).as("stop"))
+    b.select(
+        col("user_id"),
+        posexplode(graft.functions.Funcs.frange(lit(0.0), col("stop"), lit(0.37)))
+          .as(Seq("i", "v")))
+      .select(col("user_id"), col("i").cast("long").as("i"), round(col("v"), 6).as("v"))
+  }
+
+  /** F12 integrality report over the events value column
+    * ([[graft.ts.Validation.nonIntegralCount]]) — the oracle respells
+    * the predicate with floor() (DuckDB's double→bigint cast ROUNDS
+    * where Spark truncates; floor(v) = v is the cast-free integrality
+    * test and counts the same rows). */
+  private def qIntegrality(s: SparkSession, dir: String): DataFrame =
+    graft.ts.Validation.nonIntegralCount(Tables.events(s, dir), "value")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_frange" -> (qFrange _),
+    "q_integrality" -> (qIntegrality _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_global_sort" -> (qGlobalSort _),
     "q_filtfilt_chunked" -> (qFiltfiltChunked _),
@@ -2784,6 +2809,20 @@ object SparkEntry {
     "q_global_sort" ->
       """SELECT row_number() OVER (ORDER BY epoch_us(ts), event_id) - 1 AS rank,
         |       event_id, epoch_us(ts) AS ts_us
+        |FROM events""".stripMargin,
+    "q_frange" ->
+      """WITH b AS (SELECT user_id,
+        |             least((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / CAST(1000000 AS DOUBLE),
+        |                   CAST(20 AS DOUBLE)) AS stop
+        |           FROM events GROUP BY user_id),
+        |n AS (SELECT user_id, stop,
+        |        CAST(floor(stop / CAST(0.37 AS DOUBLE)) AS BIGINT) AS num
+        |      FROM b)
+        |SELECT user_id, i, round(CAST(0 AS DOUBLE) + i * stop / num, 6) AS v
+        |FROM n, unnest(generate_series(0, num - 1)) AS u(i)
+        |WHERE num > 0""".stripMargin,
+    "q_integrality" ->
+      """SELECT CAST(COALESCE(SUM(CASE WHEN floor(value) <> value THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_non_integral
         |FROM events""".stripMargin,
     "q_interval_join" ->
       s"""WITH e AS (SELECT epoch_us(ts) AS ts_us FROM events),
