@@ -1876,10 +1876,7 @@ object SparkEntry {
           .partitionBy("user_id").orderBy("event_id")) - 1).cast("long"))
     graft.dsp.SosFiltFilt
       .filtfiltChunked(withIdx, sos, Seq("user_id"), "idx", "value",
-        bufferLen = 256L, overlapLen = 96L)
-      // the chunked kernel keeps only (keys, ts, value) — map the dense
-      // index back to its event_id
-      .join(withIdx.select("user_id", "idx", "event_id"), Seq("user_id", "idx"))
+        bufferLen = 256L, overlapLen = 96L, carry = Seq("event_id"))
       .select(col("user_id"), col("event_id"), round(col("value"), 6).as("value"))
   }
 
@@ -1911,10 +1908,9 @@ object SparkEntry {
   }
 
   /** F12 integrality report over the events value column
-    * ([[graft.ts.Validation.nonIntegralCount]]) — the oracle respells
-    * the predicate with floor() (DuckDB's double→bigint cast ROUNDS
-    * where Spark truncates; floor(v) = v is the cast-free integrality
-    * test and counts the same rows). */
+    * ([[graft.ts.Validation.nonIntegralCount]]) — the `v % 1 ≠ 0`
+    * spelling is identical on both engines including NaN/±Inf and is
+    * ANSI-overflow-free (see the op scaladoc). */
   private def qIntegrality(s: SparkSession, dir: String): DataFrame =
     graft.ts.Validation.nonIntegralCount(Tables.events(s, dir), "value")
 
@@ -2822,7 +2818,7 @@ object SparkEntry {
         |FROM n, unnest(generate_series(0, num - 1)) AS u(i)
         |WHERE num > 0""".stripMargin,
     "q_integrality" ->
-      """SELECT CAST(COALESCE(SUM(CASE WHEN floor(value) <> value THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_non_integral
+      """SELECT CAST(COALESCE(SUM(CASE WHEN value % 1 <> 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_non_integral
         |FROM events""".stripMargin,
     "q_interval_join" ->
       s"""WITH e AS (SELECT epoch_us(ts) AS ts_us FROM events),

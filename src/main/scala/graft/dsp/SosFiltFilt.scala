@@ -232,7 +232,8 @@ object SosFiltFilt {
       tsCol: String,
       valueCol: String,
       bufferLen: Long = 1L << 22,
-      overlapLen: Long = 60000L
+      overlapLen: Long = 60000L,
+      carry: Seq[String] = Nil
   ): DataFrame = {
     require(keys.nonEmpty, "need at least one group key")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
@@ -263,7 +264,7 @@ object SosFiltFilt {
       keys :+ "__tochunk",
       tsCol,
       valueCol,
-      carry = Seq("__core")
+      carry = "__core" +: carry
     )
     filtered
       .where(col("__core") === 1)

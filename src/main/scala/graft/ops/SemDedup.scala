@@ -52,7 +52,7 @@ object SemDedup {
     val assigned = corpus.withColumn(
       "cell",
       graft.functions.ArgminCell.argminCell(col("embedding"), centroids))
-    (semDedupAssigned(assigned), centroids)
+    (semDedupAssigned(assigned, minCosine), centroids)
   }
 
   /** The dedup verdict over a pre-assigned corpus (`vec_id`,
@@ -104,9 +104,17 @@ object SemDedup {
       .where(col("cos_sim") >= minCosine)
       .groupBy("cell", "rep_id")
       .agg(min("nbr").as("__m_other"))
+    // NULL-SAFE join back: a plain equi-join would silently DROP rows
+    // with a NULL embedding or cell, while the all-pairs form emits
+    // them as keepers (their cosines are NULL → never qualify). <=>
+    // matches the null groups groupBy already created.
+    val repSide = reps.select(
+      col("cell").as("__rc"), col("embedding").as("__re"),
+      col("rep_id"), col("__self"))
     rows
-      .join(reps.select(col("cell"), col("embedding"), col("rep_id"), col("__self")),
-        Seq("cell", "embedding"))
+      .join(repSide,
+        col("cell") <=> col("__rc") && col("embedding") <=> col("__re"))
+      .drop("__rc", "__re")
       .join(mOther, Seq("cell", "rep_id"), "left")
       .withColumn(
         "__c_same",

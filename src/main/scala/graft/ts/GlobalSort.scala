@@ -39,12 +39,26 @@ object GlobalSort {
     val n =
       if (numBuckets > 0) numBuckets
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val mm = df.agg(min(col(tsCol)), max(col(tsCol))).head()
-    if (mm.isNullAt(0)) return df.withColumn("rank", lit(0L)).limit(0)
+    // min/count in one pass: count(col) vs count(*) disagreeing is the
+    // NULL detector — a NULL ts would otherwise surface as a null
+    // bucket key and a broken rank sequence
+    val mm = df.agg(min(col(tsCol)), max(col(tsCol)), count(col(tsCol)), count(lit(1))).head()
+    if (mm.isNullAt(0) && mm.getLong(3) == 0L)
+      return df.withColumn("rank", lit(0L)).limit(0)
+    require(mm.getLong(2) == mm.getLong(3),
+      s"$tsCol contains NULLs (${mm.getLong(3) - mm.getLong(2)} rows) — a total order over NULL is undefined; filter or impute first")
     val mn = mm.getLong(0)
     val mx = mm.getLong(1)
+    // fail fast on a range that overflows Long arithmetic (a column
+    // spanning > 2^63): the bucket expression below would wrap silently
+    val range =
+      try math.subtractExact(mx, mn)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"$tsCol range [$mn, $mx] exceeds Long.MaxValue — rebase the timestamps first")
+      }
     // width ≥ 1 and n·width covers the range — bucket ∈ [0, n-1]
-    val width = math.max(1L, (mx - mn) / n + 1L)
+    val width = math.max(1L, range / n + 1L)
     val bucket = least(((col(tsCol) - mn) / width).cast("int"), lit(n - 1))
     val withB = df.withColumn("__b", bucket)
     val counts = withB.groupBy("__b").count()

@@ -40,10 +40,16 @@ object IntervalJoin {
     val p = points.withColumn("__b", bucketOf(col(tsCol)))
     // stop is exclusive: an interval touching a bucket only at its stop
     // boundary contributes nothing there — (stop - 1) is the last
-    // covered instant
+    // covered instant. Inverted/empty intervals (start >= stop) must
+    // explode to NOTHING: a bare sequence(a, b) with a > b auto-steps
+    // -1 and would fan a single corrupt row into a huge descending
+    // bucket list before the post-filter could drop it.
     val iv = intervals.withColumn(
       "__b",
-      explode(sequence(bucketOf(col(startCol)), bucketOf(col(stopCol) - 1))))
+      explode(
+        when(col(startCol) < col(stopCol),
+          sequence(bucketOf(col(startCol)), bucketOf(col(stopCol) - 1)))
+          .otherwise(lit(Array.empty[Long]))))
     p.join(iv, Seq("__b"))
       .where(col(tsCol) >= col(startCol) && col(tsCol) < col(stopCol))
       .drop("__b")

@@ -110,11 +110,18 @@ object Validation {
     )
   }
 
-  /** Integrality predicate (F12, jagular/utils.py:297-306): every value of
-    * `c` castable to long without loss. One-row (n_non_integral). */
+  /** Integrality predicate (F12, jagular/utils.py:297-306): every value
+    * of `c` integral (no fractional part). One-row (n_non_integral).
+    * Spelled `v % 1 ≠ 0` rather than a long-cast round-trip or floor():
+    * both of those overflow/throw on |v| ≥ 2⁶³ (Spark's floor(double)
+    * returns LONG) and disagree across engines on NaN, while IEEE
+    * remainder is total — NaN % 1 = NaN ≠ 0 and ±Inf % 1 = NaN ≠ 0 on
+    * BOTH engines (non-finite counts as non-integral, which is what a
+    * "castable to long" validation wants), large finite doubles are
+    * exact fixed points, and nothing can throw under ANSI. */
   def nonIntegralCount(df: DataFrame, c: String): DataFrame =
     df.agg(
-      sum(when(col(c).cast("long").cast(df.schema(c).dataType) =!= col(c), 1L).otherwise(0L))
+      coalesce(sum(when(col(c) % lit(1.0) =!= 0.0, 1L).otherwise(0L)), lit(0L))
         .as("n_non_integral")
     )
 

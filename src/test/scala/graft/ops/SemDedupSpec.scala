@@ -97,4 +97,28 @@ class SemDedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got(4L) == 0L && got(37L) == 1L) // 4 copies 0; 37%4==1 -> first id 1
   }
+
+  test("NULL-embedding rows survive the collapse as keepers, matching the all-pairs form") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Some(Array(1.0f, 0.0f)), 0),
+      (1L, Some(Array(1.0f, 0.0f)), 0),
+      (2L, None: Option[Array[Float]], 0) // null embedding -> keeper in both forms
+    ).toDF("vec_id", "embedding", "cell")
+    val fast = SemDedup.semDedupAssigned(rows, 0.3)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    val slow = SemDedup.semDedupAssignedAllPairs(rows, 0.3)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    assert(fast == slow)
+    assert(fast.contains((2L, 0, -1L)))
+  }
+
+  test("semDedup threads minCosine through to the verdict") {
+    val e = graft.model.Tables.embeddings(spark, dir)
+    val loose = SemDedup.semDedup(e, nLists = 2, minCosine = 0.2)._1
+      .where(org.apache.spark.sql.functions.col("is_dup") === 1).count()
+    val tight = SemDedup.semDedup(e, nLists = 2, minCosine = 0.9)._1
+      .where(org.apache.spark.sql.functions.col("is_dup") === 1).count()
+    assert(tight < loose, s"tight=$tight loose=$loose — minCosine ignored?")
+  }
 }

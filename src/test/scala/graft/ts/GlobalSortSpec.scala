@@ -40,6 +40,22 @@ class GlobalSortSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("NULL timestamps are rejected with a clear error, not silent NULL ranks") {
+    val df = Seq((1L, Some(10L)), (2L, None: Option[Long])).toDF("id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      GlobalSort.rankByValueBuckets(df, "ts", Seq("id")).collect()
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
+  test("a range overflowing Long arithmetic fails fast instead of wrapping buckets") {
+    val df = Seq((1L, Long.MinValue / 2 - 10L), (2L, Long.MaxValue / 2 + 10L)).toDF("id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      GlobalSort.rankByValueBuckets(df, "ts", Seq("id")).collect()
+    }
+    assert(e.getMessage.contains("range"))
+  }
+
   test("empty input yields empty output with the rank column") {
     val df = GlobalSort.rankByValueBuckets(
       Seq.empty[(Long, Long)].toDF("id", "ts"), "ts", Seq("id"))

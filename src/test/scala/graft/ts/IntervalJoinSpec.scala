@@ -46,6 +46,14 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("inverted and empty intervals explode to nothing instead of a descending bucket fan-out") {
+    val bad = Seq((1L, 1000000L, 0L), (2L, 5L, 5L), (3L, 0L, 10L)).toDF("iv_id", "start", "stop")
+    val got = IntervalJoin
+      .containmentJoin(Seq(3L).toDF("ts"), bad, "ts", "start", "stop", bucketWidth = 2L)
+      .select("iv_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L)) // only the valid interval matches; no blow-up
+  }
+
   test("the bucketized plan is an equi-join, not a nested loop") {
     val q = IntervalJoin.containmentJoin(
       spark.range(100).select(col("id").as("ts")),
