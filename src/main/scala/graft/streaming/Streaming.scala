@@ -114,6 +114,42 @@ object Streaming {
       }
   }
 
+  /** Trending tokens at ingest: watermarked TUMBLING-window top-k token
+    * heavy hitters via the Space-Saving sketch
+    * ([[graft.functions.SpaceSavingTopK]] — a TypedImperativeAggregate,
+    * so the state store carries one bounded `capacity`-entry summary
+    * per window instead of the full token histogram; the same sketch
+    * the batch [[graft.ops.Text.topNgramsSketch]] path uses, with the
+    * same deduction-certificate `err` column). Emits once per CLOSED
+    * window (append mode): (win_start, token, n_est, err), top-k by
+    * (est desc, token asc). The spike/drift monitor a curation
+    * pipeline runs next to the admission-control stream. */
+  def trendingTokensStream(
+      docs: DataFrame,
+      tsCol: String,
+      windowDur: String,
+      watermark: String,
+      k: Int,
+      capacity: Int
+  ): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(graft.functions.SpaceSavingTopK.topkSketch(col("tok"), capacity).as("__top"))
+      .select(
+        col("window.start").as("win_start"),
+        explode(expr(
+          s"""slice(array_sort(__top, (a, b) ->
+             |  CASE WHEN a.est > b.est THEN -1 WHEN a.est < b.est THEN 1
+             |       WHEN a.item < b.item THEN -1 WHEN a.item > b.item THEN 1
+             |       ELSE 0 END), 1, $k)""".stripMargin)).as("e"))
+      .select(
+        col("win_start"),
+        col("e.item").as("token"),
+        col("e.est").as("n_est"),
+        col("e.err").as("err"))
+
   /** Input row for [[asofEnrichStream]]: `side` 0 = state update (the
     * dimension stream), 1 = probe event (the fact stream). */
   final case class AsOfInput(key: String, ts: Long, side: Int, value: Double)

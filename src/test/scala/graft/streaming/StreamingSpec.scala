@@ -431,6 +431,28 @@ class StreamingSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("trendingTokensStream: closed windows emit exact top-k when capacity covers the vocab") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Streaming
+      .trendingTokensStream(
+        input.toDF().toDF("ts", "text"),
+        "ts", windowDur = "10 seconds", watermark = "0 seconds", k = 2, capacity = 64)
+      .writeStream.format("memory").queryName("trending").outputMode("append")
+      .start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // window [0,10): spam x3, alpha x2, beta x1 -> top2 = spam, alpha
+    input.addData((t(1), "spam alpha spam"), (t(5), "spam alpha beta"))
+    q.processAllAvailable()
+    // event at t=25 pushes the watermark past the first window
+    input.addData((t(25), "later tokens here"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT token, n_est FROM trending").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got == Set(("spam", 3L), ("alpha", 2L)))
+  }
+
   test("streaming as-of enrich matches the batch as-of across micro-batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streaming.AsOfInput]
