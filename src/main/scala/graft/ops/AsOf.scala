@@ -43,6 +43,12 @@ object AsOf {
     val leftCols = left.columns.toSeq
     require(!valueCols.exists(leftCols.contains),
       s"value columns $valueCols collide with left columns")
+    // fail fast instead of silently corrupting the union/window when an
+    // input already carries one of the internal tagging columns
+    val reserved = (c: String) => c == "__side" || c == "__p" || c.startsWith("__v_")
+    val clash = (leftCols ++ right.columns).filter(reserved).distinct
+    require(clash.isEmpty,
+      s"input columns $clash collide with reserved internal names (__side, __p, __v_*)")
     val l = left
       .withColumn("__side", lit(1))
       .select((leftCols.map(col) :+ col("__side")) ++

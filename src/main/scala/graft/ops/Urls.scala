@@ -31,15 +31,22 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
-  /** `scheme://host[:port]` → lowercased scheme + host, default port
-    * dropped. Input column must be a URL string. */
+  /** `scheme://[user@]host[:port]` → lowercased scheme + host, default
+    * port dropped. Userinfo (anything up to the authority's last `@`) is
+    * passed through CASE-PRESERVED — credentials are case-sensitive,
+    * only scheme and host are case-insensitive per RFC 3986 §6.2.2.1.
+    * Input column must be a URL string. */
   private def lowerAuthority(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostPort = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val auth = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    // userinfo = up to the LAST '@' ('@' is illegal in host, so any '@'
+    // in the authority belongs to userinfo)
+    val userinfo = regexp_extract(auth, "^(.*@)", 1)
+    val hostPort = lower(regexp_replace(auth, "^.*@", ""))
     val noDefPort = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .otherwise(hostPort)
-    concat(scheme, lit("://"), noDefPort)
+    concat(scheme, lit("://"), userinfo, noDefPort)
   }
 
   /** Path component (everything between authority and `?`/`#`),
@@ -52,10 +59,12 @@ object Urls {
   /** Query string with tracking params removed and survivors sorted
     * bytewise; empty when nothing survives. */
   private def normQuery(url: Column): Column = {
-    // the '?' must come BEFORE any '#': a bare "\\?" would match a
-    // question mark inside the fragment and leak fragment content into
-    // the canonical form
-    val q = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
+    // anchor on the FIRST '?' before any '#': `^[^#]*\?` is greedy and
+    // would anchor on the LAST '?', silently dropping params before a
+    // literal '?' inside the query (http://ex.com/p?a=1?x=2 → ?x=2);
+    // and a bare "\\?" would match inside the fragment and leak
+    // fragment content into the canonical form
+    val q = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val parts = filter(
       split(q, "&"),
       kv => kv =!= "" && !kv.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"))
@@ -71,9 +80,14 @@ object Urls {
       url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
       concat(lowerAuthority(url), normPath(url), normQuery(url)))
 
-  /** Lowercased host of a URL (port stripped). */
+  /** Lowercased host of a URL (userinfo and port stripped). Userinfo
+    * runs to the authority's LAST `@` ('@' is illegal in a host), so
+    * `http://user:pw@host.com/x` yields `host.com`, not `user` — a
+    * blocklisted domain cannot smuggle past [[filterBlockedDomains]]
+    * behind credentials. */
   def host(url: Column): Column = {
-    val h = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    val auth = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val h = lower(regexp_replace(regexp_replace(auth, "^.*@", ""), ":[0-9]*$", ""))
     when(h =!= "", h)
   }
 

@@ -30,8 +30,10 @@ object CacheRegistry {
   def releaseAll(): Unit = {
     var df = tracked.poll()
     while (df != null) {
+      // NonFatal only: swallowing InterruptedException or a VM error
+      // here would clear a thread interrupt / mask a dying JVM
       try df.unpersist(blocking = false)
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
       df = tracked.poll()
     }
   }

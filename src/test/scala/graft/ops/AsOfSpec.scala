@@ -34,6 +34,20 @@ class AsOfSpec extends SparkSpec {
     assert(r.getString(2) == "late" && r.isNullAt(3))
   }
 
+  test("reserved internal column names on either input fail fast") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, "a")).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      AsOf.asofBackward(left.withColumn("__side", lit(1)), right, Seq("k"), "t", Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.asofBackward(left, right.withColumn("__p", lit(1)), Seq("k"), "t", Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.asofBackward(left, right.withColumn("__v_x", lit(1)), Seq("k"), "t", Seq("v"))
+    }
+  }
+
   test("composite key as-of") {
     val left = Seq((1L, "a", 10L), (1L, "b", 10L)).toDF("k1", "k2", "t")
     val right = Seq((1L, "a", 5L, 1.5), (1L, "b", 6L, 2.5)).toDF("k1", "k2", "t", "v")

@@ -76,6 +76,30 @@ class UrlsSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("normQuery anchors on the FIRST '?': a literal '?' in the query keeps earlier params") {
+    // greedy-anchor bug: params before the second '?' were dropped
+    assert(norm("http://ex.com/p?a=1?x=2") == Some("http://ex.com/p?a=1?x=2"))
+    assert(norm("http://ex.com/p?b=2?z&a=1#f") == Some("http://ex.com/p?a=1&b=2?z"))
+  }
+
+  test("host/registrableDomain strip userinfo — credentials can't smuggle a domain past the blocklist") {
+    val got = Seq(
+      "http://user:pw@Host.COM/x",
+      "http://user@a.b.ex.com:8080/y"
+    ).toDF("u").select(Urls.host(col("u")), Urls.registrableDomain(col("u")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("host.com", "host.com"), ("a.b.ex.com", "ex.com")))
+    val df = Seq((1L, "http://creds:x@spam.bad.com/x"), (2L, "http://ok.good.com/x"))
+      .toDF("id", "url")
+    val kept = Urls.filterBlockedDomains(df, "url", Seq("bad.com"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
+  test("normalizeUrl preserves userinfo case, lowercases only scheme+host, drops default port behind userinfo") {
+    assert(norm("HTTP://User:PW@Ex.COM:80/a") == Some("http://User:PW@ex.com/a"))
+  }
+
   test("dedupByUrl keeps smallest id per canonical url across messy variants") {
     val df = Seq(
       (5L, "HTTP://Ex.COM:80/a?b=2&a=1#f"),
