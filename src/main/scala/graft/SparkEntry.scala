@@ -832,10 +832,13 @@ object SparkEntry {
     )
 
   /** Hybrid retrieval: RRF fusion ([[graft.ops.Hybrid]]) of the q_bm25
-    * lexical top-25 with the dense cosine top-25 for query vector 0 —
-    * fusion runs over the two candidate LISTS (≤25 rows each), so the
-    * join and final top-k are O(N) regardless of corpus size; the
-    * corpus work stays inside the retrievers. */
+    * lexical top-25 with the dense top-25 for query vector 0 — fusion
+    * runs over the two candidate LISTS (≤25 rows each), so the join and
+    * final top-k are O(N) regardless of corpus size; the corpus work
+    * stays inside the retrievers. The dense retriever is the IVF path
+    * ([[graft.ops.Ivf.topK]], hash join on cell — no nested-loop plan);
+    * at nProbe == nLists it returns exactly the brute-force top-25, so
+    * the oracle's brute-force SQL is unchanged. */
   private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
     val lex = graft.ops.Hybrid
       .withRank(
@@ -843,8 +846,8 @@ object SparkEntry {
         Seq(col("score").desc, col("doc_id").asc))
       .select("doc_id", "rank")
     val e = Tables.embeddings(s, dir)
-    val dense = graft.ops.Similarity
-      .bruteForceTopK(e, e.where(col("vec_id") === 0), k = 25)
+    val dense = Ivf
+      .topK(e, e.where(col("vec_id") === 0), k = 25, nLists = 8, nProbe = 8)
       .select(col("vec_id").as("doc_id"), col("rank"))
     graft.ops.Hybrid.rrfFuse(lex, dense, k = 15)
   }
@@ -1808,13 +1811,18 @@ object SparkEntry {
   private def qEmbedOutliers(s: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.centroidOutliers(Tables.embeddings(s, dir))
 
-  /** Hard-negative mining ([[graft.ops.Similarity.hardNegatives]]):
-    * top-8 most-similar DIFFERENT-label vectors per query — the
-    * contrastive-training negative sampler (brute-force baseline form;
-    * IVF buckets are the sublinear path). */
+  /** Hard-negative mining through the IVF index ([[graft.ops.Ivf
+    * .hardNegativesIndexed]]): top-8 most-similar DIFFERENT-label
+    * vectors per query, candidates from probed cells with the label
+    * inequality applied per bucket — a hash join on `cell`, no
+    * nested-loop plan. Full probing (nProbe == nLists) makes the result
+    * EXACTLY the brute-force [[graft.ops.Similarity.hardNegatives]]
+    * (retained as the recall oracle — IvfSpec measures recall at
+    * nProbe < nLists), which is what the oracle SQL computes. */
   private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    graft.ops.Similarity.hardNegatives(e, e.where(col("vec_id") < 5), k = 8)
+    val (assigned, centroids) = Ivf.assignCells(e, nLists = 8)
+    Ivf.hardNegativesIndexed(assigned, centroids, e.where(col("vec_id") < 5), k = 8, nProbe = 8)
   }
 
   /** Winnowing fingerprints ([[graft.ops.Text.winnowFingerprints]],

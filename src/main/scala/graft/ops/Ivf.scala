@@ -373,6 +373,65 @@ object Ivf {
       }
   }
 
+  /** Hard-negative mining through the IVF index — the sublinear sibling
+    * of [[Similarity.hardNegatives]] (which stays as the brute-force
+    * recall oracle). Candidates come from the query's `nProbe` closest
+    * cells (bucket equi-join on `cell`, same plan as [[topKIndexed]] —
+    * no nested-loop anywhere); the label-inequality predicate is applied
+    * per bucket, so at scale only ~nProbe/nLists of the corpus is
+    * scored per query batch. `queries` must carry (vec_id, label,
+    * embedding). With nProbe == nLists the result is EXACTLY the
+    * brute-force output (full probing is exhaustive — which is how the
+    * oracle checks it); recall at nProbe < nLists is measured in
+    * IvfSpec against the brute-force form. Output schema matches
+    * [[Similarity.hardNegatives]]: (query_id, vec_id, label, cos_sim,
+    * rank), cos_sim rounded to 6dp with the same IEEE -0.0 fold. */
+  def hardNegativesIndexed(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      pruneIndexScan: Boolean = true
+  ): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val probedRows = rankCells(queries, centroids, nProbe)
+    // attach the query label to the probe rows: both sides are
+    // serving-batch-sized (|q| · nProbe vs |q|), a trivial local join
+    val qlab = queries.select(col("vec_id").as("query_id"), col("label").as("query_label"))
+    val probed = probedRows
+      .toDF("query_id", "cell", "qe")
+      .join(qlab, "query_id")
+      .select(
+        col("query_id"), col("query_label"), col("qe"),
+        Similarity.norm(col("qe")).as("qn"), col("cell"))
+    val indexSide =
+      if (!pruneIndexScan) assigned
+      else {
+        val probedCells = probedRows.map(_._2).distinct.sorted
+        assigned.where(col("cell").isin(probedCells: _*))
+      }
+    val scored = indexSide
+      .withColumn("cn", Similarity.norm(col("embedding")))
+      .join(broadcast(probed), "cell")
+      .where(col("label") =!= col("query_label"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        col("label"),
+        // same 6dp round + IEEE -0.0 fold as Similarity.hardNegatives
+        (round(Similarity.dot(col("embedding"), col("qe")) / (col("cn") * col("qn")), 6) +
+          lit(0.0)).as("cos_sim"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "label", "cos_sim", "rank")
+  }
+
   def topKIndexed(
       assigned: DataFrame,
       centroids: DataFrame,

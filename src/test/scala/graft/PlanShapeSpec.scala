@@ -40,16 +40,13 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     //    that with a hash join on cell (asserted below).
     // Every other plan must be nested-loop-free.
     //  - q_sq8_topk is the same brute-force baseline over the int8-
-    //    quantized table (corpus × broadcast quantized query set);
-    //  - q_hybrid_rrf's dense retriever IS the q_sim_topk brute-force
-    //    baseline (the fusion itself is an O(N) equi-join of candidate
-    //    lists — swap in the IVF retriever for the sublinear path).
-    //  - q_hard_negatives is the same brute-force baseline with a
-    //    label-inequality predicate fused into the pair filter (the
-    //    IVF bucket path is the sublinear swap-in).
+    //    quantized table (corpus × broadcast quantized query set).
+    // r13: q_hybrid_rrf (dense side now the IVF retriever) and
+    // q_hard_negatives (candidates now via Ivf.hardNegativesIndexed's
+    // cell join, label inequality per bucket) left this list — their
+    // plans are asserted BNLJ-free below.
     val allowed = Set(
-      "q_sim_topk", "q_ivf_topk", "q_ivf_serve", "q_pq_topk", "q_sq8_topk", "q_hybrid_rrf",
-      "q_hard_negatives")
+      "q_sim_topk", "q_ivf_topk", "q_ivf_serve", "q_pq_topk", "q_sq8_topk")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(allowed).foreach { name =>
       val p = planString(name)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a BNLJ:\n$p")
@@ -61,6 +58,10 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // IVF-PQ's probed-cell ADC join is likewise a hash join on cell —
     // BNLJ-free end to end
     assert(planString("q_ivfpq_topk").contains("BroadcastHashJoin"))
+    // r13: the two queries that LEFT the allowlist score candidates
+    // through the IVF cell hash-join
+    assert(planString("q_hard_negatives").contains("BroadcastHashJoin"))
+    assert(planString("q_hybrid_rrf").contains("BroadcastHashJoin"))
   }
 
   test("q_dedup_incremental broadcasts the BATCH side — the corpus index never shuffles") {

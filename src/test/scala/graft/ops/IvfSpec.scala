@@ -29,6 +29,24 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("hard negatives via IVF: full probing equals brute force exactly; partial probing keeps recall") {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.where(col("vec_id") < 5)
+    val (assigned, centroids) = Ivf.assignCells(e, nLists = 8)
+    val brute = Similarity.hardNegatives(e, q, k = 8)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4))).toSeq
+    val full = Ivf.hardNegativesIndexed(assigned, centroids, q, k = 8, nProbe = 8)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4))).toSeq
+    assert(full == brute) // exhaustive probing IS the brute-force result
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    val partial = Ivf.hardNegativesIndexed(assigned, centroids, q, k = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bruteSet & partial).size.toDouble / bruteSet.size
+    assert(recall >= 0.5, s"recall $recall") // half the probe work, recorded in COVERAGE.md
+  }
+
   test("static probed-cell index pruning changes I/O, never results") {
     val e = Tables.embeddings(spark, dir)
     val q = e.where(col("vec_id") < 3)
