@@ -933,14 +933,23 @@ object SparkEntry {
   private def qSimhashNearDup(s: SparkSession, dir: String): DataFrame =
     DedupDocs.simhashNearDupPairs(Tables.documents(s, dir), maxHamming = 3)
 
-  /** Multimodal payload features (scalar part; the feature vector is
-    * covered by unit tests — see Multimodal.FakeDecoder stub). */
-  private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
-    val d = graft.ops.Multimodal.withPayload(Tables.documents(s, dir), "text")
+  /** Multimodal feature extraction over REAL decoded pixels: the JDK
+    * codec fixture (PNG even ids / BMP odd, pure-arithmetic pixels)
+    * rides [[graft.ops.Multimodal.extractFeatures]] — true decoded
+    * (width, height) plus 8 integer-exact pooled-luma features, each
+    * recomputed by the oracle from the fixture arithmetic with no
+    * decoder, so a green row certifies the real decode path end to
+    * end. The FakeDecoder fallback for undecodable payloads stays
+    * spec-covered (MultimodalSpec). */
+  private def qMultimodal(s: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal
-      .extractFeatures(d, "doc_id")
-      .select("doc_id", "byte_len", "content_md5", "width", "height")
-  }
+      .extractFeatures(graft.ops.Multimodal.imageFixture(s, n = 40), "img_id", dim = 8)
+      .select(
+        col("img_id"), col("width"), col("height"),
+        posexplode(col("features")).as(Seq("fi", "fv")))
+      .select(
+        col("img_id"), col("width"), col("height"),
+        col("fi"), col("fv").cast("double").as("fv"))
 
   /** Multimodal frame sampling: the "video" payload split into
     * fixed-size frames, every 2nd kept, fingerprinted. Pure column ops
@@ -2686,16 +2695,28 @@ object SparkEntry {
         |           (CASE WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << b) END)
         |         ELSE 0 END) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
-    // width/height clamped to >= 1 on BOTH sides (FakeDecoder clamps;
-    // empty payloads would otherwise give 0 here and 1 there)
+    // real-decode path: the oracle recomputes dims + pooled-luma
+    // features from the fixture's pure-arithmetic pixels (BT.601
+    // integer luma, 1-D box buckets, floor means) — no decoder runs
+    // on the oracle side, so agreement certifies the JDK decode
     "q_multimodal" ->
-      """SELECT doc_id,
-        |  octet_length(CAST(text AS BLOB)) AS byte_len,
-        |  md5(text) AS content_md5,
-        |  greatest(CAST(floor(sqrt(octet_length(CAST(text AS BLOB)))) AS INT), 1) AS width,
-        |  greatest(CAST(octet_length(CAST(text AS BLOB)) //
-        |       greatest(CAST(floor(sqrt(octet_length(CAST(text AS BLOB)))) AS INT), 1) AS INT), 1) AS height
-        |FROM documents""".stripMargin,
+      """WITH ids AS (SELECT unnest(generate_series(0, 39)) AS img_id),
+        |dims AS (SELECT img_id, 16 + img_id % 7 AS w, 12 + img_id % 5 AS h FROM ids),
+        |px AS (SELECT img_id, w, h, ux.x AS x, uy.y AS y
+        |       FROM dims, unnest(generate_series(0, w - 1)) AS ux(x),
+        |                  unnest(generate_series(0, h - 1)) AS uy(y)),
+        |g AS (SELECT img_id, (y * w + x) * 8 // (w * h) AS fi,
+        |        (299 * ((img_id * 31 + x * 7 + y * 13) % 256)
+        |         + 587 * ((img_id * 17 + x * 3 + y * 11) % 256)
+        |         + 114 * ((img_id * 23 + x * 5 + y * 19) % 256)) // 1000 AS gray
+        |      FROM px),
+        |f AS (SELECT img_id, fi, SUM(gray) // COUNT(*) AS fm FROM g GROUP BY 1, 2),
+        |fb AS (SELECT d.img_id, d.w, d.h, u.fi
+        |       FROM dims d, unnest(generate_series(0, 7)) AS u(fi))
+        |SELECT CAST(fb.img_id AS BIGINT) AS img_id, CAST(fb.w AS INT) AS width,
+        |       CAST(fb.h AS INT) AS height, CAST(fb.fi AS INT) AS fi,
+        |       CAST(COALESCE(f.fm, 0) AS DOUBLE) AS fv
+        |FROM fb LEFT JOIN f ON f.img_id = fb.img_id AND f.fi = fb.fi""".stripMargin,
     "q_embed_neardup" ->
       """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb
         |           FROM embeddings a JOIN embeddings b

@@ -10,10 +10,14 @@ import org.apache.spark.sql.types._
   * kernels (the Scala analog of `mapInPandas`) so a real decoder drops in
   * without touching the plan.
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
-  * environment): [[FakeDecoder]] is a clearly-marked deterministic stand-in
-  * that exercises the real Spark-side contract — schema, batching,
-  * partitioning, and kernel signature.
+  * Image payloads decode through the REAL JDK codecs
+  * (`javax.imageio` — PNG/BMP/GIF/JPEG) in [[decodeImage]] /
+  * [[extractFeatures]] / [[resizeRgb]] / [[dhash]]; audio through the
+  * JDK WAV reader in [[decodeWavPcm16]]. Only payloads NO JDK reader
+  * recognizes (raw tensors, exotic containers) fall back to the
+  * clearly-marked deterministic [[FakeDecoder]] stand-in, which keeps
+  * the stage total while exercising the same Spark-side contract —
+  * schema, batching, partitioning, kernel signature.
   */
 object Multimodal {
 
@@ -25,9 +29,11 @@ object Multimodal {
     StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)
   ))
 
-  /** STUB decoder — replace with a real image/audio decoder. Deterministic:
-    * pretends the payload is a (w × h) raster derived from the byte length
-    * and emits `dim` pooled features from the byte stream. */
+  /** STUB decoder — the fallback for payloads no JDK reader recognizes
+    * (real images take [[decodeImage]] inside [[extractFeatures]]).
+    * Deterministic: pretends the payload is a (w × h) raster derived
+    * from the byte length and emits `dim` pooled features from the byte
+    * stream. */
   object FakeDecoder {
     def decode(payload: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
       val w = math.max(1, math.sqrt(payload.length.toDouble).toInt)
@@ -47,9 +53,39 @@ object Multimodal {
   def withPayload(df: DataFrame, sourceCol: String): DataFrame =
     df.withColumn("payload", col(sourceCol).cast("binary"))
 
+  /** Integer-exact pooled-luma features of a decoded raster: pixel
+    * linear index p (row-major) lands in bucket p·dim/nPix (the
+    * [[boxResizeRgb]] bucket scheme in 1-D), each feature is the
+    * floor-mean BT.601 luma ([[grayOf]]) of its bucket — small exact
+    * integers carried as Float, so a SQL oracle recomputes every value
+    * bit for bit from fixture arithmetic. Buckets a tiny payload leaves
+    * empty (nPix < dim) stay 0. */
+  def pooledLumaFeatures(w: Int, h: Int, rgb: Array[Int], dim: Int): Array[Float] = {
+    val n = w * h
+    val sum = new Array[Long](dim)
+    val cnt = new Array[Long](dim)
+    var p = 0
+    while (p < n) {
+      val b = (p.toLong * dim / n).toInt
+      sum(b) += grayOf(rgb(p))
+      cnt(b) += 1
+      p += 1
+    }
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) { if (cnt(i) > 0) out(i) = (sum(i) / cnt(i)).toFloat; i += 1 }
+    out
+  }
+
   /** Batched feature extraction over the binary column: one kernel call
     * per partition, vectorized over rows (the mapInPandas shape). Keeps
-    * the key column + appends the feature struct fields. */
+    * the key column + appends the feature struct fields.
+    *
+    * Payloads the JDK image readers recognize take the REAL path —
+    * [[decodeImage]] → true (width, height) + integer-exact
+    * [[pooledLumaFeatures]] (oracle-checked over real decoded pixels in
+    * q_multimodal); anything else falls back to the deterministic
+    * [[FakeDecoder]] stub so the stage stays total over mixed corpora. */
   def extractFeatures(df: DataFrame, keyCol: String, dim: Int = 8): DataFrame = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -70,7 +106,10 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         val payload = r.getBinary(payloadIdx)
-        val (w, h, feats) = FakeDecoder.decode(payload, dim)
+        val (w, h, feats) = decodeImage(payload) match {
+          case Some((iw, ih, rgb)) => (iw, ih, pooledLumaFeatures(iw, ih, rgb, dim))
+          case None                => FakeDecoder.decode(payload, dim)
+        }
         md.reset()
         val md5hex = md.digest(payload).map("%02x".format(_)).mkString
         new GenericInternalRow(Array[Any](

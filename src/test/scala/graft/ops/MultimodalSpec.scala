@@ -28,6 +28,22 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).getAs[Int]("height") == 1)
   }
 
+  test("extractFeatures takes the REAL decode path for image payloads: true dims + integer-exact pooled luma") {
+    val (w, h) = (10, 6)
+    val rgb = Array.tabulate(w * h)(i => ((i * 37) % 256 << 16) | ((i * 91) % 256 << 8) | (i * 13) % 256)
+    val png = Multimodal.encodePng(w, h, rgb)
+    val df = Seq((7L, png)).toDF("doc_id", "payload")
+    val r = Multimodal.extractFeatures(df, "doc_id", dim = 4).head()
+    assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+    val feats = r.getSeq[Float](5)
+    // recompute: 1-D box buckets over row-major pixel index, floor-mean luma
+    val expected = Multimodal.pooledLumaFeatures(w, h, rgb, 4).toSeq
+    assert(feats == expected)
+    // and the reference value is itself the hand arithmetic for bucket 0
+    val b0 = (0 until w * h).filter(p => p * 4 / (w * h) == 0)
+    assert(expected(0) == (b0.map(p => Multimodal.grayOf(rgb(p)).toLong).sum / b0.length).toFloat)
+  }
+
   test("frame sampling splits the byte stream with stride") {
     val out = Multimodal
       .sampleFrames(Multimodal.withPayload(docs.where(col("doc_id") === 1), "text"), frameBytes = 2, stride = 2)
