@@ -24,9 +24,18 @@ import org.apache.spark.sql.functions._
   * carried row is the last in an unspecified intra-tie order, the same
   * ambiguity DuckDB has. Skew note: the window partitions on the key
   * columns, so cardinality = keys; a single dominant key degrades to
-  * one task — for that shape, pre-bucket time into (key, epoch) spans
-  * the way [[Mixture]]'s two-pass budget recipe does. */
+  * one task — [[asofBackwardBucketed]] is the escape hatch for that
+  * shape (parity-pinned in AsOfSpec, skew row measured in
+  * COVERAGE.md). */
 object AsOf {
+
+  private def requireNoReservedCols(left: DataFrame, right: DataFrame): Unit = {
+    val reserved =
+      (c: String) => c == "__side" || c == "__p" || c == "__epoch" || c.startsWith("__v_")
+    val clash = (left.columns ++ right.columns).filter(reserved).distinct.toSeq
+    require(clash.isEmpty,
+      s"input columns $clash collide with reserved internal names (__side, __p, __epoch, __v_*)")
+  }
 
   /** Backward as-of join. `valueCols` are the right-side payload
     * columns to carry (emitted under the same names); left columns pass
@@ -45,10 +54,7 @@ object AsOf {
       s"value columns $valueCols collide with left columns")
     // fail fast instead of silently corrupting the union/window when an
     // input already carries one of the internal tagging columns
-    val reserved = (c: String) => c == "__side" || c == "__p" || c.startsWith("__v_")
-    val clash = (leftCols ++ right.columns).filter(reserved).distinct
-    require(clash.isEmpty,
-      s"input columns $clash collide with reserved internal names (__side, __p, __v_*)")
+    requireNoReservedCols(left, right)
     val l = left
       .withColumn("__side", lit(1))
       .select((leftCols.map(col) :+ col("__side")) ++
@@ -74,6 +80,104 @@ object AsOf {
     val carried = tagged
       .withColumn("__p", last(payload, ignoreNulls = true).over(w))
     carried
+      .where(col("__side") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(c => col("__p").getField(c).as(c)): _*)
+  }
+
+  /** Skew-proof backward as-of join — identical results to
+    * [[asofBackward]] (AsOfSpec pins parity), built for a DOMINANT KEY:
+    * the plain form's window partitions on the key columns, so one key
+    * holding most rows serializes into one task. Here time is bucketed
+    * into `bucketWidth`-sized epochs and the big window is replaced by
+    * a (key, epoch)-partitioned one, so a hot key fans out across its
+    * epochs.
+    *
+    * Two passes:
+    *  1. per-(key, epoch) LAST right payload (one map-side-combinable
+    *     aggregate), then a carry-in per epoch via a window over the
+    *     (key, DISTINCT epoch) spine — at most (keys × epochs) rows,
+    *     orders of magnitude below the raw row count;
+    *  2. union carry-in boundary rows (sorted first via NULL time) +
+    *     right + left inside each (key, epoch) partition, one
+    *     `last(_, ignoreNulls)` scan — the asofBackward recipe with the
+    *     hot key split epoch-wise.
+    *
+    * Same tie semantics (right at exactly left.time wins; right side
+    * unique per (key, time) by contract). Costs two extra small
+    * exchanges (spine + epoch aggregate), so the plain form stays the
+    * default; pick `bucketWidth` so a hot key's rows spread over
+    * hundreds of epochs (e.g. an hour of event time). */
+  def asofBackwardBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      valueCols: Seq[String],
+      bucketWidth: Long
+  ): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty, "need key and value columns")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val leftCols = left.columns.toSeq
+    require(!valueCols.exists(leftCols.contains),
+      s"value columns $valueCols collide with left columns")
+    requireNoReservedCols(left, right)
+    // floor-division epoch, exact on longs incl. negatives (pmod >= 0)
+    def epochOf(t: Column): Column =
+      ((t - pmod(t, lit(bucketWidth))) / bucketWidth).cast("long")
+
+    val payloadT = struct(valueCols.map(c => col(s"__v_$c").as(c)): _*)
+    val keyE = keyCols :+ "__epoch"
+
+    val r = right
+      .select((keyCols.map(col) :+ col(timeCol)) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+      .withColumn("__epoch", epochOf(col(timeCol)))
+    // pass 1a: last right payload per (key, epoch) — right is unique
+    // per (key, time) by contract, so max_by on time is deterministic
+    val rLast = r
+      .groupBy(keyE.map(col): _*)
+      .agg(max_by(payloadT, col(timeCol)).as("__p_in_epoch"))
+    // pass 1b: carry-in per epoch over the DISTINCT-epoch spine (both
+    // sides contribute epochs: a left row in an all-quiet epoch still
+    // needs the carry from earlier epochs)
+    val spine = left
+      .select(keyCols.map(col) :+ epochOf(col(timeCol)).as("__epoch"): _*)
+      .union(r.select(keyE.map(col): _*))
+      .distinct()
+    val wCarry = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__epoch").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = spine
+      .join(rLast, keyE, "left")
+      .withColumn("__p", last(col("__p_in_epoch"), ignoreNulls = true).over(wCarry))
+      .drop("__p_in_epoch")
+
+    // pass 2: the asofBackward union-tag scan, per (key, epoch). The
+    // payload STRUCT is built per side BEFORE the union — a carry-in
+    // whose struct is non-null but all-null-fielded (a legitimate
+    // all-null right payload) stays a real carry, exactly like the
+    // plain form; a NULL struct (no earlier right row) is skipped by
+    // ignoreNulls. Carry rows get NULL time + side -1 → sorted first.
+    val timeType = left.schema(timeCol).dataType
+    val carryRows = carryIn.select(
+      keyE.map(col) :+ lit(null).cast(timeType).as(timeCol) :+
+        lit(-1).as("__side") :+ col("__p").as("__pp"): _*)
+    val rTagged = r.select(
+      keyE.map(col) :+ col(timeCol) :+ lit(0).as("__side") :+ payloadT.as("__pp"): _*)
+    val lTagged = left
+      .withColumn("__epoch", epochOf(col(timeCol)))
+      .withColumn("__side", lit(1))
+      .withColumn("__pp", lit(null).cast(rTagged.schema("__pp").dataType))
+    val tagged = lTagged
+      .unionByName(rTagged, allowMissingColumns = true)
+      .unionByName(carryRows, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(keyE.map(col): _*)
+      .orderBy(col(timeCol).asc_nulls_first, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("__p", last(col("__pp"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .select(leftCols.map(col) ++ valueCols.map(c => col("__p").getField(c).as(c)): _*)
   }

@@ -48,6 +48,38 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("bucketed (skew-hatch) form is row-identical to the window form across bucket widths") {
+    // hot key 1 (many rows), quiet key 2, key 3 right-only; negative
+    // times, epoch-spanning gaps, exact-time tie (inclusive bound),
+    // left rows in epochs with no right rows (pure carry-in)
+    val left = ((0L until 40L).map(i => (1L, i * 3 - 20)) ++
+      Seq((1L, 15L), (2L, 10L), (2L, -5L))).toDF("k", "t")
+    val right = (Seq((1L, -7L, "n"), (1L, 15L, "b"), (1L, 60L, "c"), (3L, 1L, "z")) ++
+      (0L until 5L).map(i => (2L, i * 20, s"r$i"))).toDF("k", "t", "v")
+    val expected = AsOf.asofBackward(left, right, Seq("k"), "t", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSeq.sorted
+    Seq(1L, 7L, 1000L).foreach { w =>
+      val got = AsOf.asofBackwardBucketed(left, right, Seq("k"), "t", Seq("v"), bucketWidth = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSeq.sorted
+      assert(got == expected, s"bucketWidth=$w")
+    }
+  }
+
+  test("bucketed form carries an all-null-fielded payload like the plain form") {
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 5L, Option.empty[String], Option.empty[Long]))
+      .toDF("k", "t", "x", "y")
+    // carry-in crosses many epochs; the payload struct is non-null with
+    // null fields — must surface as a MATCHED row with null columns,
+    // not be dropped as "no earlier right row"
+    val plain = AsOf.asofBackward(left, right, Seq("k"), "t", Seq("x", "y")).head()
+    val bucketed = AsOf
+      .asofBackwardBucketed(left, right, Seq("k"), "t", Seq("x", "y"), bucketWidth = 3)
+      .head()
+    assert(plain.isNullAt(2) && plain.isNullAt(3))
+    assert(bucketed.isNullAt(2) && bucketed.isNullAt(3))
+  }
+
   test("composite key as-of") {
     val left = Seq((1L, "a", 10L), (1L, "b", 10L)).toDF("k1", "k2", "t")
     val right = Seq((1L, "a", 5L, 1.5), (1L, "b", 6L, 2.5)).toDF("k1", "k2", "t", "v")
