@@ -1746,6 +1746,28 @@ object SparkEntry {
     graft.ops.Urls.domainStats(
       Tables.documents(s, dir).withColumn("url", messyUrl), "url")
 
+  /** PSL registrable domains + percent-encoding normalization, hard
+    * oracle form: six URL shapes (pure arithmetic in doc_id) exercising
+    * 2-label public suffixes (`co.uk`/`ac.jp`/`com.au`), a bare-suffix
+    * host, userinfo + non-default port, unreserved escapes in both hex
+    * cases, and a reserved `%2F` that must SURVIVE. The oracle states
+    * the expected canonical form and domain LITERALLY per residue —
+    * [[graft.ops.Urls.normalizeUrl]]/[[graft.ops.Urls
+    * .registrableDomain]] never run on the oracle side, so a
+    * normalization bug cannot cancel out. */
+  private def qUrlCuration(s: SparkSession, dir: String): DataFrame = {
+    val raw = when(col("doc_id") % 6 === 0, lit("HTTP://Shop.Example.CO.UK:80/p/%7Ealice/"))
+      .when(col("doc_id") % 6 === 1, lit("https://a.b.News.AC.JP:443/x?%62=2&a=1"))
+      .when(col("doc_id") % 6 === 2, lit("http://User:PW@www.Big.COM.AU:8080/%41%42"))
+      .when(col("doc_id") % 6 === 3, lit("http://deep.sub.Other.ORG/a%2Fb?gclid=9&z=%7a"))
+      .when(col("doc_id") % 6 === 4, lit("https://GOV.UK/services"))
+      .otherwise(lit("http://example.com/%7e%30%39"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      graft.ops.Urls.normalizeUrl(raw).as("url_norm"),
+      graft.ops.Urls.registrableDomain(raw).as("domain"))
+  }
+
   /** Canonical-URL keep-first dedup ([[graft.ops.Urls.dedupByUrl]]):
     * the crawl-side exact dedup that runs before any content hash. */
   private def qUrlDedup(s: SparkSession, dir: String): DataFrame =
@@ -1952,6 +1974,7 @@ object SparkEntry {
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_phrase_search" -> (qPhraseSearch _),
     "q_url_normalize" -> (qUrlNormalize _),
+    "q_url_curation" -> (qUrlCuration _),
     "q_domain_stats" -> (qDomainStats _),
     "q_url_dedup" -> (qUrlDedup _),
     "q_rec_catalog" -> (qRecCatalog _),
@@ -2291,6 +2314,25 @@ object SparkEntry {
     "q_url_normalize" ->
       s"""WITH $urlCanonCte
          |SELECT doc_id, url_norm, domain FROM c""".stripMargin,
+    // expected canonical + PSL domain stated LITERALLY per residue —
+    // the normalizer never runs here (a bug cannot cancel out)
+    "q_url_curation" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN 'http://shop.example.co.uk/p/~alice'
+        |    WHEN 1 THEN 'https://a.b.news.ac.jp/x?a=1&b=2'
+        |    WHEN 2 THEN 'http://User:PW@www.big.com.au:8080/AB'
+        |    WHEN 3 THEN 'http://deep.sub.other.org/a%2Fb?z=z'
+        |    WHEN 4 THEN 'https://gov.uk/services'
+        |    ELSE 'http://example.com/~09' END AS url_norm,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN 'example.co.uk'
+        |    WHEN 1 THEN 'news.ac.jp'
+        |    WHEN 2 THEN 'big.com.au'
+        |    WHEN 3 THEN 'other.org'
+        |    WHEN 4 THEN 'gov.uk'
+        |    ELSE 'example.com' END AS domain
+        |FROM documents""".stripMargin,
     "q_domain_stats" ->
       s"""WITH $urlCanonCte
          |SELECT domain, COUNT(*) AS n_pages,

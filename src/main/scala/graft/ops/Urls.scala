@@ -24,10 +24,14 @@ import org.apache.spark.sql.functions._
   *   - surviving query params sorted bytewise (order-insensitive dedup)
   *   - trailing `/` dropped from a non-root path
   *
-  * Limitations (documented, deliberate): no percent-encoding
-  * normalization, and [[registrableDomain]] is public-suffix-LITE (last
-  * two host labels) — a real deployment swaps in the Mozilla PSL table
-  * as a broadcast map join, same plan shape.
+  * [[registrableDomain]] consults a pinned subset of the Mozilla
+  * Public Suffix List ([[publicSuffixes2]]) so `a.example.co.uk`
+  * groups under `example.co.uk`, not `co.uk`; a deployment tracking
+  * the full published list swaps the constant, same plan shape.
+  *
+  * Limitation (documented, deliberate): percent-encoding
+  * normalization decodes only the UNRESERVED escapes (see
+  * [[normalizeUrl]]); reserved escapes keep their original hex case.
   */
 object Urls {
 
@@ -72,13 +76,53 @@ object Urls {
       .otherwise(lit(""))
   }
 
+  /** The 66 percent-escapes of RFC 3986 UNRESERVED characters
+    * (ALPHA / DIGIT / "-" / "." / "_" / "~") as (case-insensitive
+    * regex, replacement) pairs — the escapes that are ALWAYS safe to
+    * decode (`%7Euser` ≡ `~user`); decoding a reserved escape (`%2F`)
+    * would change URL structure, so those keep their bytes. Decoded
+    * characters cannot form new escapes ('%' itself is reserved), so
+    * the fold order is immaterial. Shared with the generated oracle
+    * SQL ([[percentDecodeUnreservedSql]]) so engine and oracle cannot
+    * drift. */
+  private[ops] val unreservedEscapes: Seq[(String, String)] = {
+    val chars = (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')).map(_.toString) ++
+      Seq("-", ".", "_", "~")
+    chars.map { c =>
+      val hex = "%02X".format(c.head.toInt)
+      // hex letter digits match either case (%7E / %7e); numeric hex
+      // digits have no case
+      val pat =
+        if (hex(1).isLetter) s"%${hex(0)}[${hex(1)}${hex(1).toLower}]" else s"%$hex"
+      (pat, c)
+    }
+  }
+
+  /** Decode the unreserved percent-escapes of a URL column (both hex
+    * cases); reserved escapes pass through untouched. Pure chained
+    * regexp_replace — codegen'd, no UDF. */
+  def percentDecodeUnreserved(url: Column): Column =
+    unreservedEscapes.foldLeft(url) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
+
+  /** DuckDB SQL for [[percentDecodeUnreserved]], GENERATED from the
+    * same escape table. */
+  def percentDecodeUnreservedSql(expr: String): String =
+    unreservedEscapes.foldLeft(expr) { case (e, (pat, rep)) =>
+      s"regexp_replace($e, '$pat', '$rep', 'g')"
+    }
+
   /** The canonical form of a URL column (see the object doc for the
-    * exact contract). Non-URL strings (no `scheme://`) normalize to
-    * NULL — the caller's signal to quarantine the row. */
-  def normalizeUrl(url: Column): Column =
+    * exact contract; unreserved percent-escapes are decoded FIRST —
+    * decoded characters are never structural, so the downstream
+    * scheme/path/query parsing is unaffected). Non-URL strings (no
+    * `scheme://`) normalize to NULL — the caller's signal to
+    * quarantine the row. */
+  def normalizeUrl(url: Column): Column = {
+    val u = percentDecodeUnreserved(url)
     when(
-      url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
-      concat(lowerAuthority(url), normPath(url), normQuery(url)))
+      u.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+      concat(lowerAuthority(u), normPath(u), normQuery(u)))
+  }
 
   /** Lowercased host of a URL (userinfo and port stripped). Userinfo
     * runs to the authority's LAST `@` ('@' is illegal in a host), so
@@ -91,14 +135,82 @@ object Urls {
     when(h =!= "", h)
   }
 
-  /** Public-suffix-LITE registrable domain: the last two labels of the
-    * host (`a.b.example.com` → `example.com`). Swap in a broadcast PSL
-    * map for exactness on multi-label suffixes (`.co.uk`). */
+  /** Pinned subset of the Mozilla Public Suffix List (ICANN section,
+    * publicsuffix.org): the widely-registered TWO-LABEL public suffixes
+    * under which third-level names are what a registrant actually owns
+    * (`example.co.uk`, not `co.uk`). A deployment tracking the full
+    * list (incl. 3-label suffixes and wildcard rules) swaps this
+    * constant for the published file — the plan shape (a literal IN
+    * set folded into codegen) is unchanged. */
+  private[ops] val publicSuffixes2: Seq[String] = Seq(
+    // uk / ie / il / ae / at
+    "co.uk", "org.uk", "me.uk", "net.uk", "ltd.uk", "plc.uk", "ac.uk", "gov.uk", "sch.uk",
+    "nhs.uk", "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il", "k12.il",
+    "co.ae", "net.ae", "org.ae", "ac.ae", "gov.ae", "sch.ae", "mil.ae",
+    "co.at", "or.at", "ac.at", "gv.at",
+    // jp / kr / tw / hk / sg / th / id / my / ph / vn / cn / in
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "gr.jp", "lg.jp",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "mil.kr", "ac.kr",
+    "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw", "mil.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "co.th", "net.th", "or.th", "ac.th", "go.th", "in.th", "mi.th",
+    "co.id", "net.id", "or.id", "ac.id", "go.id", "sch.id", "web.id", "my.id", "biz.id",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my", "mil.my", "name.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "mil.ph", "ngo.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn", "ac.vn", "biz.vn",
+    "info.vn", "name.vn", "pro.vn", "health.vn",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in", "edu.in",
+    "res.in", "gov.in", "mil.in", "nic.in",
+    // au / nz
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "school.nz", "geek.nz", "gen.nz",
+    "kiwi.nz", "maori.nz",
+    // americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br", "art.br", "blog.br",
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "int.ar", "mil.ar", "tur.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "mil.co", "nom.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe", "mil.pe", "nom.pe",
+    "com.ve", "net.ve", "org.ve", "edu.ve", "gob.ve", "mil.ve", "co.ve",
+    "com.uy", "net.uy", "org.uy", "edu.uy", "gub.uy", "mil.uy",
+    "com.ec", "net.ec", "org.ec", "edu.ec", "gob.ec", "mil.ec",
+    // europe / africa / middle east
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "mil.tr", "k12.tr", "gen.tr",
+    "av.tr", "bel.tr", "biz.tr", "info.tr",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "mil.pl", "info.pl", "biz.pl",
+    "waw.pl",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua", "kiev.ua",
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+    "co.za", "net.za", "org.za", "gov.za", "edu.za", "ac.za", "web.za",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "info.ke", "me.ke", "mobi.ke", "sc.ke", "ac.ke",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "mil.ng", "mobi.ng", "name.ng",
+    "sch.ng", "i.ng",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "eun.eg", "mil.eg", "name.eg",
+    "sci.eg",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa", "pub.sa", "sch.sa",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.pt", "net.pt", "org.pt", "edu.pt", "gov.pt", "int.pt", "publ.pt", "nome.pt"
+  )
+
+  /** Registrable domain per the pinned PSL subset: if the host's last
+    * TWO labels are a public suffix (`co.uk`), the registrable domain
+    * is the last THREE labels (`example.co.uk`); otherwise the last
+    * two (`example.com`). A host that IS a bare public suffix (or a
+    * bare TLD / single label) passes through unchanged — this operator
+    * is total by design (the strict PSL returns "no registrable
+    * domain" there; a crawl rollup wants a non-null group key).
+    * Userinfo and port are stripped via [[host]]. */
   def registrableDomain(url: Column): Column = {
     val h = host(url)
     val labels = split(h, "\\.")
-    when(size(labels) >= 2,
-      concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    when(size(labels) >= 3 && last2.isin(publicSuffixes2: _*),
+      concat_ws(".",
+        element_at(labels, -3), element_at(labels, -2), element_at(labels, -1)))
+      .when(size(labels) >= 2, last2)
       .otherwise(h)
   }
 

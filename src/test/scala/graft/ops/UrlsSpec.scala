@@ -65,6 +65,27 @@ class UrlsSpec extends SparkSpec {
     assert(got == Seq("example.com", "localhost", "ex.com"))
   }
 
+  test("registrableDomain consults the pinned PSL: co.uk-style suffixes keep three labels") {
+    val got = Seq(
+      "http://shop.Example.CO.UK/x",   // 2-label public suffix → 3 labels
+      "http://a.b.news.ac.jp/x",       // deep subdomain under a PSL suffix
+      "https://www.big.com.au/x",
+      "http://GOV.UK/services",        // host IS a bare suffix → passthrough (total-function contract)
+      "http://co.uk.example.com/x"     // 'co.uk' as SUBdomain labels is NOT a suffix position
+    ).toDF("u").select(Urls.registrableDomain(col("u"))).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("example.co.uk", "news.ac.jp", "big.com.au", "gov.uk", "example.com"))
+  }
+
+  test("percent-decoding: unreserved escapes decode (both hex cases), reserved escapes survive") {
+    assert(norm("http://ex.com/%7Ealice/%2Fkeep?%61=1")
+      == Some("http://ex.com/~alice/%2Fkeep?a=1"))
+    assert(norm("http://ex.com/%7e%30%39") == Some("http://ex.com/~09"))
+    // %2F is '/', %3D is '=', %25 is '%' — all reserved, all kept
+    assert(norm("http://ex.com/a%2Fb?x=%3D&y=%25") == Some("http://ex.com/a%2Fb?x=%3D&y=%25"))
+    // decoded '~' trailing a dir path doesn't break trailing-slash logic
+    assert(norm("http://ex.com/%7E/") == Some("http://ex.com/~"))
+  }
+
   test("filterBlockedDomains drops blocked registrable domains, keeps null-domain rows") {
     val df = Seq(
       (1L, "http://spam.bad.com/x"),
