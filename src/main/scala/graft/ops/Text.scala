@@ -189,8 +189,41 @@ object Text {
     * misses. Same bucket shape as the LSH families (fingerprint →
     * member list → pairs from ONE aggregate, no all-pairs);
     * `maxDocFreq` sheds ubiquitous fingerprints (stop-phrase grams)
-    * before the pair explode — the [[DedupDocs]] doc-freq-cap lesson. */
+    * before the pair explode — the [[DedupDocs]] doc-freq-cap lesson.
+    *
+    * The bucket aggregate is the capped-set kernel
+    * ([[graft.functions.CappedLongSet]]): a stop-phrase fingerprint's
+    * member list SATURATES (and frees) the moment it exceeds the df
+    * cap — map-side partials dedup and saturate before the exchange,
+    * so the over-cap buckets the filter would discard never shuffle
+    * their members or merge their lists, and the formerly separate
+    * `distinct()` pass rides the same aggregate (one exchange total,
+    * down from two). Output-identical to the collect_set formulation
+    * (retained below as the equivalence oracle). */
   def winnowOverlapPairs(
+      documents: DataFrame,
+      k: Int,
+      w: Int,
+      minShared: Long,
+      maxDocFreq: Int = 50
+  ): DataFrame = {
+    val fps = winnowFingerprints(documents, k, w).select("doc_id", "fp")
+    val buckets = fps
+      .groupBy("fp")
+      .agg(graft.functions.CappedLongSet.cappedSet(col("doc_id"), maxDocFreq).as("docs"))
+      .where(col("docs").isNotNull && size(col("docs")) > 1)
+    graft.ops.DedupDocs.explodePairs(buckets)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** The collect_set formulation [[winnowOverlapPairs]] replaced —
+    * retained ONLY as the equivalence oracle (TextFilterSpec parity):
+    * it materializes every bucket's full member list (incl. the
+    * over-cap ones the filter then discards) and needs a separate
+    * distinct() exchange. */
+  private[graft] def winnowOverlapPairsCollect(
       documents: DataFrame,
       k: Int,
       w: Int,
