@@ -1953,8 +1953,24 @@ object SparkEntry {
   private def qIntegrality(s: SparkSession, dir: String): DataFrame =
     graft.ts.Validation.nonIntegralCount(Tables.events(s, dir), "value")
 
+  /** Z-order layout clustering in the hard signal
+    * ([[graft.ops.ZOrder]]): Morton code over (user_id, ts_us) with
+    * integer-only quantization (division-only — ANSI-overflow-free on
+    * µs timestamps). The per-z-prefix bucket profile covers EVERY row,
+    * so quantize+interleave are pinned bit-exactly; the DuckDB side is
+    * generated by the same [[graft.ops.ZOrder.interleaveSql]] spelling,
+    * so engine and oracle cannot drift structurally. The layout/pruning
+    * payoff is measured in ZOrderBench (COVERAGE.md). */
+  private def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    graft.ops.ZOrder.withZValue(ev, Seq("user_id", "ts_us"), bits = 16)
+      .groupBy(shiftright(col("z"), 24).as("z_bucket"))
+      .agg(count(lit(1)).as("n"), min("z").as("z_min"), max("z").as("z_max"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder" -> (qZorder _),
     "q_frange" -> (qFrange _),
     "q_integrality" -> (qIntegrality _),
     "q_interval_join" -> (qIntervalJoin _),
@@ -2193,6 +2209,17 @@ object SparkEntry {
       |        FROM wins)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_zorder" -> {
+      val z = graft.ops.ZOrder.interleaveSql(
+        Seq("e.user_id", "e.ts_us"), Seq("b.mn0", "b.mn1"), Seq("b.mx0", "b.mx1"), 16)
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         |b AS (SELECT MIN(user_id) AS mn0, MAX(user_id) AS mx0,
+         |             MIN(ts_us) AS mn1, MAX(ts_us) AS mx1 FROM e),
+         |zt AS (SELECT ($z) AS z FROM e, b)
+         |SELECT z >> 24 AS z_bucket, COUNT(*) AS n,
+         |       MIN(z) AS z_min, MAX(z) AS z_max
+         |FROM zt GROUP BY 1""".stripMargin
+    },
     "q_oov_rate" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
