@@ -76,40 +76,56 @@ object Urls {
       .otherwise(lit(""))
   }
 
-  /** The 66 percent-escapes of RFC 3986 UNRESERVED characters
-    * (ALPHA / DIGIT / "-" / "." / "_" / "~") as (case-insensitive
-    * regex, replacement) pairs — the escapes that are ALWAYS safe to
-    * decode (`%7Euser` ≡ `~user`); decoding a reserved escape (`%2F`)
-    * would change URL structure, so those keep their bytes. Decoded
-    * characters cannot form new escapes ('%' itself is reserved), so
-    * the fold order is immaterial. Shared with the generated oracle
-    * SQL ([[percentDecodeUnreservedSql]]) so engine and oracle cannot
-    * drift. */
-  private[ops] val unreservedEscapes: Seq[(String, String)] = {
-    val chars = (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')).map(_.toString) ++
-      Seq("-", ".", "_", "~")
-    chars.map { c =>
-      val hex = "%02X".format(c.head.toInt)
-      // hex letter digits match either case (%7E / %7e); numeric hex
-      // digits have no case
-      val pat =
-        if (hex(1).isLetter) s"%${hex(0)}[${hex(1)}${hex(1).toLower}]" else s"%$hex"
-      (pat, c)
-    }
+  /** Decode the RFC 3986 UNRESERVED percent-escapes (ALPHA / DIGIT /
+    * "-" / "." / "_" / "~", both hex cases) of a URL column in ONE
+    * left-to-right pass — the escapes that are ALWAYS safe to decode
+    * (`%7Euser` ≡ `~user`); decoding a reserved escape (`%2F`) would
+    * change URL structure, so those keep their bytes. Native codegen'd
+    * kernel ([[graft.functions.PercentDecodeUnreserved]]): the
+    * original 66-pattern regexp_replace chain was the 100× sweep's
+    * worst regression AND cascaded on adversarial input (`%7%41` →
+    * `z` — the `%41`→`A` pass manufactures a new `%7A` escape for a
+    * later pass; a single pass decodes each SOURCE escape once:
+    * `%7%41` → `%7A`). */
+  def percentDecodeUnreserved(url: Column): Column =
+    graft.functions.PercentDecodeUnreserved.percentDecodeUnreserved(url)
+
+  /** HOF twin of [[percentDecodeUnreserved]] — split on '%', decode
+    * each piece's leading hex pair iff unreserved. Single-pass by
+    * construction (every '%' in the INPUT heads exactly one piece, so
+    * no decoded output can be re-decoded). Retained as the kernel's
+    * equivalence oracle (UrlsSpec). */
+  private[ops] def percentDecodeUnreservedHof(url: Column): Column = {
+    val parts = split(url, "%", -1)
+    // decode each piece after the first: leading 2 hex digits that
+    // decode to an unreserved char → chr(code) ++ rest, else restore '%'
+    val decoded = transform(
+      slice(parts, lit(2), greatest(size(parts) - 1, lit(0))),
+      s => {
+        val hex = substring(s, 1, 2)
+        val code = conv(hex, 16, 10).cast("int")
+        val isUnres = hex.rlike("^[0-9A-Fa-f]{2}$") && (
+          code.between(65, 90) || code.between(97, 122) ||
+            code.between(48, 57) || code.isin(45, 46, 95, 126))
+        when(isUnres, concat(chr(code), substring(s, 3, 1000000)))
+          .otherwise(concat(lit("%"), s))
+      })
+    concat(element_at(parts, 1), array_join(decoded, ""))
   }
 
-  /** Decode the unreserved percent-escapes of a URL column (both hex
-    * cases); reserved escapes pass through untouched. Pure chained
-    * regexp_replace — codegen'd, no UDF. */
-  def percentDecodeUnreserved(url: Column): Column =
-    unreservedEscapes.foldLeft(url) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
-
-  /** DuckDB SQL for [[percentDecodeUnreserved]], GENERATED from the
-    * same escape table. */
-  def percentDecodeUnreservedSql(expr: String): String =
-    unreservedEscapes.foldLeft(expr) { case (e, (pat, rep)) =>
-      s"regexp_replace($e, '$pat', '$rep', 'g')"
-    }
+  /** DuckDB SQL for [[percentDecodeUnreserved]] — the same
+    * split-on-'%' single-pass formulation as the HOF twin, so engine
+    * and oracle share semantics by construction. */
+  def percentDecodeUnreservedSql(expr: String): String = {
+    val p = s"str_split($expr, '%')"
+    val code = "('0x' || substr(s, 1, 2))::INT"
+    val isUnres = s"regexp_matches(s, '^[0-9A-Fa-f]{2}') AND " +
+      s"(($code BETWEEN 65 AND 90) OR ($code BETWEEN 97 AND 122) OR " +
+      s"($code BETWEEN 48 AND 57) OR $code IN (45, 46, 95, 126))"
+    s"($p[1] || array_to_string(list_transform($p[2:], " +
+      s"s -> CASE WHEN $isUnres THEN chr($code) || substr(s, 3) " +
+      s"ELSE '%' || s END), ''))"
+  }
 
   /** The canonical form of a URL column (see the object doc for the
     * exact contract; unreserved percent-escapes are decoded FIRST —

@@ -131,6 +131,10 @@ object ZOrder {
     require(cols.nonEmpty, "need at least one z-order column")
     val aggs = cols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.foreach { case (c, j) =>
+      require(!bounds.isNullAt(2 * j) && !bounds.isNullAt(2 * j + 1),
+        s"z-order column '$c' has no non-NULL values (empty input?) — cannot quantize")
+    }
     val ranges = cols.indices.map(j => bounds.getLong(2 * j + 1) - bounds.getLong(2 * j))
     val widths =
       if (balanced) ranges.map(r => math.min(bits, effectiveBits(r)))

@@ -131,4 +131,33 @@ class UrlsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(5L, 7L))
   }
+
+  test("percent-decode native kernel ≡ HOF split twin on adversarial escapes; single-pass, no cascade") {
+    val cases = Seq(
+      "http://ex.com/%7Euser",      // lowercase-hex unreserved
+      "http://ex.com/%7euser",
+      "http://ex.com/a%2Fb",        // reserved survives
+      "http://ex.com/%41%42%43",    // consecutive decodes
+      "http://ex.com/%%41",         // bare % then escape
+      "http://ex.com/%7%41",        // THE cascade case: must stay %7A, never z
+      "http://ex.com/%4",           // truncated escape at end
+      "http://ex.com/%",            // trailing %
+      "http://ex.com/%zz%G1",       // invalid hex
+      "http://ex.com/%2541",        // %25 = '%' is reserved: stays %2541
+      "héllo%20wörld%2E",           // multi-byte UTF-8 around escapes
+      ""                            // empty
+    )
+    val df = cases.toDF("u").select(
+      col("u"),
+      Urls.percentDecodeUnreserved(col("u")).as("native"),
+      Urls.percentDecodeUnreservedHof(col("u")).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getString(1) == r.getString(2), s"input '${r.getString(0)}'")
+    }
+    // the cascade case pinned literally: one pass decodes %41→A and
+    // leaves the manufactured-looking %7A alone
+    val cascade = Seq("x%7%41y").toDF("u")
+      .select(Urls.percentDecodeUnreserved(col("u"))).head().getString(0)
+    assert(cascade == "x%7Ay")
+  }
 }
