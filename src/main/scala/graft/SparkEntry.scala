@@ -1777,6 +1777,49 @@ object SparkEntry {
         "url", "doc_id")
       .select(col("doc_id"), graft.ops.Urls.normalizeUrl(col("url")).as("url_norm"))
 
+  /** Deterministic typo-domain column: 50 md5-derived 8-hex hostnames;
+    * every `doc_id % 7 == 0` row mis-spells its hostname by DELETING
+    * the 4th hex character — the planted typosquat mass
+    * [[qFuzzyJoin]]/[[qFuzzyLink]] must recover. Pure arithmetic in
+    * doc_id, respelled verbatim by the oracle. */
+  private def typoDomainHash: org.apache.spark.sql.Column =
+    md5((col("doc_id") % 50).cast("string").cast("binary"))
+
+  private def typoDomain: org.apache.spark.sql.Column = {
+    val h = typoDomainHash
+    when(
+      col("doc_id") % 7 === 0,
+      concat(substring(h, 1, 3), substring(h, 5, 4), lit(".example.com")))
+      .otherwise(concat(substring(h, 1, 8), lit(".example.com")))
+  }
+
+  /** Edit-distance near-domain pairs ([[graft.ops.FuzzyJoin
+    * .editDistancePairs]]): FastSS deletion-neighborhood candidates,
+    * ONE exchange on the variant key, exact levenshtein verify — no
+    * all-pairs anywhere. The oracle brute-forces the ~100-string
+    * distinct-domain universe (bounded by construction; the operator's
+    * plan is the one that runs on an unbounded crawl). */
+  private def qFuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.FuzzyJoin
+      .editDistancePairs(
+        Tables.documents(s, dir).select(typoDomain.as("domain")), "domain", maxDist = 1)
+      .select(col("str_a").as("domain_a"), col("str_b").as("domain_b"), col("dist"))
+
+  /** Fuzzy linkage serve form ([[graft.ops.FuzzyJoin
+    * .linkToDictionary]]): each mis-spelled domain links to its best
+    * dictionary entry (min distance, bytewise tie-break) through the
+    * same deletion-variant equi-join — the noisy-key entity-resolution
+    * shape. */
+  private def qFuzzyLink(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val h = typoDomainHash
+    val probes = docs
+      .where(col("doc_id") % 7 === 0)
+      .select(concat(substring(h, 1, 3), substring(h, 5, 4), lit(".example.com")).as("probe"))
+    val dict = docs.select(concat(substring(h, 1, 8), lit(".example.com")).as("domain"))
+    graft.ops.FuzzyJoin.linkToDictionary(probes, "probe", dict, "domain", maxDist = 1)
+  }
+
   /** Exact phrase search, batch HOF form ([[graft.ops.Phrase
     * .phraseMatches]]) — overlapping token-level matches, zero shuffle.
     * The indexed serving form is spec-pinned equal (PhraseSpec). */
@@ -2099,7 +2142,9 @@ object SparkEntry {
     "q_epochs" -> (qEpochs _),
     "q_gopher" -> (qGopher _),
     "q_pmi" -> (qPmi _),
-    "q_html_strip" -> (qHtmlStrip _)
+    "q_html_strip" -> (qHtmlStrip _),
+    "q_fuzzy_join" -> (qFuzzyJoin _),
+    "q_fuzzy_link" -> (qFuzzyLink _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -2208,6 +2253,18 @@ object SparkEntry {
       |          row_number() OVER (PARTITION BY doc_id, i0 ORDER BY fp ASC, i DESC) AS rn
       |        FROM wins)""".stripMargin
 
+  /** Distinct typo-domain universe ([[typoDomain]] respelled): the
+    * shared base of the q_fuzzy_* oracles. */
+  private lazy val typoDomainCte: String =
+    // `||` never starts a line: this CTE is interpolated into callers
+    // that stripMargin AGAIN, which would eat the first pipe
+    """dom AS (
+      |  SELECT DISTINCT CASE WHEN doc_id % 7 = 0
+      |    THEN substr(md5(CAST(doc_id % 50 AS VARCHAR)), 1, 3) ||
+      |      substr(md5(CAST(doc_id % 50 AS VARCHAR)), 5, 4) || '.example.com'
+      |    ELSE substr(md5(CAST(doc_id % 50 AS VARCHAR)), 1, 8) || '.example.com' END AS s
+      |  FROM documents)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_zorder" -> {
       val z = graft.ops.ZOrder.interleaveSql(
@@ -2220,6 +2277,25 @@ object SparkEntry {
          |       MIN(z) AS z_min, MAX(z) AS z_max
          |FROM zt GROUP BY 1""".stripMargin
     },
+    "q_fuzzy_join" ->
+      s"""WITH $typoDomainCte
+         |SELECT a.s AS domain_a, b.s AS domain_b,
+         |       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+         |FROM dom a JOIN dom b ON a.s < b.s
+         |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin,
+    "q_fuzzy_link" ->
+      """WITH p AS (SELECT DISTINCT substr(md5(CAST(doc_id % 50 AS VARCHAR)), 1, 3)
+        |                        || substr(md5(CAST(doc_id % 50 AS VARCHAR)), 5, 4)
+        |                        || '.example.com' AS probe
+        |           FROM documents WHERE doc_id % 7 = 0),
+        |d AS (SELECT DISTINCT substr(md5(CAST(doc_id % 50 AS VARCHAR)), 1, 8)
+        |                   || '.example.com' AS m FROM documents),
+        |c AS (SELECT p.probe, d.m, CAST(levenshtein(p.probe, d.m) AS INTEGER) AS dist
+        |      FROM p CROSS JOIN d WHERE levenshtein(p.probe, d.m) <= 1),
+        |r AS (SELECT probe, m, dist,
+        |             row_number() OVER (PARTITION BY probe ORDER BY dist ASC, m ASC) AS rn
+        |      FROM c)
+        |SELECT probe, m AS "match", dist FROM r WHERE rn = 1""".stripMargin,
     "q_oov_rate" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
