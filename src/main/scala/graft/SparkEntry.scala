@@ -1777,6 +1777,35 @@ object SparkEntry {
         "url", "doc_id")
       .select(col("doc_id"), graft.ops.Urls.normalizeUrl(col("url")).as("url_norm"))
 
+  /** Domain-level crawl graph ([[graft.ops.Urls.domainEdges]]) over a
+    * synthesized page shell: each document gets a base URL on one of 20
+    * `siteN.com` hosts and an anchor set exercising every href
+    * resolution shape — absolute, protocol-relative (`//host`),
+    * root-relative (`/path`), path-relative (`sub/p.html`), plus a
+    * fragment-only and a `mailto:` link that must DROP — and a hub
+    * link on every page. The oracle never runs extraction or
+    * resolution: it states each residue's expected edge LITERALLY from
+    * the same doc_id arithmetic. */
+  private def qLinkGraph(s: SparkSession, dir: String): DataFrame = {
+    val host = concat(lit("site"), (col("doc_id") % 20).cast("string"), lit(".com"))
+    val dst = concat(lit("site"), ((col("doc_id") + 1) % 20).cast("string"), lit(".com"))
+    val baseUrl = concat(
+      lit("http://"), host, lit("/a/b/page"), (col("doc_id") % 10).cast("string"), lit(".html"))
+    val varying = when(
+      col("doc_id") % 5 === 0,
+      concat(lit("<a href=\"http://"), dst, lit("/p1\">x</a>")))
+      .when(col("doc_id") % 5 === 1, concat(lit("<a href=\"//"), dst, lit("/p2\">x</a>")))
+      .when(col("doc_id") % 5 === 2, lit("<a href=\"/local/p3\">x</a>"))
+      .when(col("doc_id") % 5 === 3, lit("<a HREF='sub/p4.html'>x</a>"))
+      .otherwise(lit("<a href=\"#top\">x</a><a href=\"mailto:a@b.c\">m</a>"))
+    val html = concat(
+      lit("<html><body>"), varying,
+      lit("<a href=\"https://hub.example.org/h\">hub</a></body></html>"))
+    graft.ops.Urls.domainEdges(
+      Tables.documents(s, dir).select(col("doc_id"), baseUrl.as("base_url"), html.as("html")),
+      "html", "base_url")
+  }
+
   /** Deterministic typo-domain column: 50 md5-derived 8-hex hostnames;
     * every `doc_id % 7 == 0` row mis-spells its hostname by DELETING
     * the 4th hex character — the planted typosquat mass
@@ -2144,7 +2173,8 @@ object SparkEntry {
     "q_pmi" -> (qPmi _),
     "q_html_strip" -> (qHtmlStrip _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
-    "q_fuzzy_link" -> (qFuzzyLink _)
+    "q_fuzzy_link" -> (qFuzzyLink _),
+    "q_link_graph" -> (qLinkGraph _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -2283,6 +2313,18 @@ object SparkEntry {
          |       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
          |FROM dom a JOIN dom b ON a.s < b.s
          |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin,
+    "q_link_graph" ->
+      """WITH d AS (SELECT doc_id,
+        |  'site' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS src,
+        |  'site' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com' AS dst FROM documents),
+        |e AS (
+        |  SELECT src AS src_domain, dst AS dst_domain FROM d WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT src, dst FROM d WHERE doc_id % 5 = 1
+        |  UNION ALL SELECT src, src FROM d WHERE doc_id % 5 = 2
+        |  UNION ALL SELECT src, src FROM d WHERE doc_id % 5 = 3
+        |  UNION ALL SELECT src, 'example.org' FROM d)
+        |SELECT src_domain, dst_domain, COUNT(*) AS n_links
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "q_fuzzy_link" ->
       """WITH p AS (SELECT DISTINCT substr(md5(CAST(doc_id % 50 AS VARCHAR)), 1, 3)
         |                        || substr(md5(CAST(doc_id % 50 AS VARCHAR)), 5, 4)

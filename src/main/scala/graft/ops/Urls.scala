@@ -275,4 +275,57 @@ object Urls {
       .where(canon.isNull || col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Resolve an href against its page's base URL (RFC 3986 §5 subset —
+    * the cases a crawler meets; no dot-segment collapse):
+    *   - absolute (`scheme://…`) → itself
+    *   - protocol-relative (`//host/…`) → base scheme + href
+    *   - root-relative (`/path`) → base origin + href
+    *   - path-relative (`sub/p.html`) → base origin + base dir + href
+    *   - empty / fragment-only / other schemes (`mailto:` …) → NULL
+    * Pure Column chain; NULL for an unparseable base. */
+  private[graft] def resolveHref(href: Column, base: Column): Column = {
+    val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val origin = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val basePath = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val baseDir = when(basePath === "", lit("/"))
+      .otherwise(regexp_replace(basePath, "/[^/]*$", "/"))
+    val h = trim(href)
+    when(scheme === "" || origin === "", lit(null).cast("string"))
+      .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), h)
+      .when(h.startsWith("//"), concat(scheme, lit(":"), h))
+      .when(h.startsWith("/"), concat(origin, h))
+      .when(h === "" || h.startsWith("#"), lit(null).cast("string"))
+      .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null).cast("string")) // mailto:, javascript:
+      .otherwise(concat(origin, baseDir, h))
+  }
+
+  /** Outbound links of an HTML column: every quoted `href` attribute
+    * (either quote style, attribute name case-insensitive), resolved
+    * against `baseCol` with [[resolveHref]], http(s) targets only.
+    * Output: `carry` columns + `url` (one row per link — a stateless
+    * explode, zero shuffle; the crawl-graph front end). */
+  def extractLinks(df: DataFrame, htmlCol: String, baseCol: String, carry: Seq[String]): DataFrame = {
+    // backreference pairs the quote style; group 2 is the href value
+    val hrefs = regexp_extract_all(
+      col(htmlCol), lit("(?i)href\\s*=\\s*([\"'])(.*?)\\1"), lit(2))
+    df.select((carry.map(col) :+ col(baseCol).as("__b") :+ explode(hrefs).as("__h")): _*)
+      .select((carry.map(col) :+ resolveHref(col("__h"), col("__b")).as("url")): _*)
+      .where(col("url").isNotNull && col("url").rlike("^(?i)https?://"))
+  }
+
+  /** Domain-level crawl graph: [[extractLinks]] rolled up to
+    * (src_domain, dst_domain, n_links) over registrable domains — the
+    * edge list [[graft.ops.Graph.pagerank]] consumes for authority
+    * scoring. ONE map-side-combinable aggregate past the stateless
+    * link explode; edge cardinality (≤ domains²) bounds the exchange,
+    * not the page count. */
+  def domainEdges(df: DataFrame, htmlCol: String, baseCol: String): DataFrame =
+    extractLinks(df, htmlCol, baseCol, carry = Seq(baseCol))
+      .select(
+        registrableDomain(col(baseCol)).as("src_domain"),
+        registrableDomain(col("url")).as("dst_domain"))
+      .where(col("src_domain").isNotNull && col("dst_domain").isNotNull)
+      .groupBy("src_domain", "dst_domain")
+      .agg(count(lit(1)).as("n_links"))
 }

@@ -160,4 +160,51 @@ class UrlsSpec extends SparkSpec {
       .select(Urls.percentDecodeUnreserved(col("u"))).head().getString(0)
     assert(cascade == "x%7Ay")
   }
+
+  private def resolve(href: String, base: String): Option[String] = {
+    val r = Seq((href, base)).toDF("h", "b")
+      .select(Urls.resolveHref(col("h"), col("b"))).head()
+    if (r.isNullAt(0)) None else Some(r.getString(0))
+  }
+
+  test("resolveHref: every resolution shape") {
+    val base = "http://ex.com/a/b/page.html"
+    assert(resolve("https://other.org/x", base) == Some("https://other.org/x"))
+    assert(resolve("//cdn.net/y", base) == Some("http://cdn.net/y"))
+    assert(resolve("//cdn.net/y", "https://ex.com/p") == Some("https://cdn.net/y"))
+    assert(resolve("/root/z", base) == Some("http://ex.com/root/z"))
+    assert(resolve("sub/p.html", base) == Some("http://ex.com/a/b/sub/p.html"))
+    assert(resolve("p2.html", "http://ex.com") == Some("http://ex.com/p2.html"))
+    assert(resolve("", base) == None)
+    assert(resolve("#frag", base) == None)
+    assert(resolve("mailto:a@b.c", base) == None)
+    assert(resolve("javascript:void(0)", base) == None)
+    assert(resolve("x.html", "not a url") == None)
+  }
+
+  test("extractLinks: quote styles, attr case, http(s)-only filter, carry columns") {
+    val html =
+      """<a href="http://a.com/1">x</a><a HREF='//b.com/2'>y</a>
+        |<a href="/p">z</a><a href="ftp://files.net/f">f</a>
+        |<a href="#top">t</a><img src="i.png">""".stripMargin
+    val df = Seq((7L, "http://ex.com/d/page.html", html)).toDF("doc_id", "base", "html")
+    val got = Urls.extractLinks(df, "html", "base", carry = Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (7L, "http://a.com/1"),
+      (7L, "http://b.com/2"),
+      (7L, "http://ex.com/p")))
+  }
+
+  test("domainEdges: registrable-domain rollup with counts") {
+    val df = Seq(
+      ("http://www.sub.site1.com/p", "<a href=\"http://a.site2.com/x\">1</a><a href=\"/self\">2</a>"),
+      ("http://site1.com/q", "<a href=\"https://site2.com/y\">3</a>")
+    ).toDF("base", "html")
+    val got = Urls.domainEdges(df, "html", "base")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("site1.com", "site2.com", 2L),
+      ("site1.com", "site1.com", 1L)))
+  }
 }
