@@ -1777,6 +1777,20 @@ object SparkEntry {
         "url", "doc_id")
       .select(col("doc_id"), graft.ops.Urls.normalizeUrl(col("url")).as("url_norm"))
 
+  /** Per-source distinct 3-gram cardinality via the KMV sketch
+    * ([[graft.ops.Cardinality.kmvDistinct]], k = 64): O(k) state per
+    * group at any corpus size — the telemetry primitive that replaces
+    * an exact countDistinct shuffle of the gram universe. The
+    * deterministic 60-bit hash makes the whole estimate hash-exact
+    * oracle-checkable (`ORDER BY hash LIMIT k` is the same sketch in
+    * SQL) — the reproducibility HLL can't give. */
+  private def qDistinctSketch(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir).select(
+      col("source"),
+      explode(graft.functions.ShingleArray.shingleArray(col("text"), 3)).as("gram"))
+    graft.ops.Cardinality.kmvDistinct(grams, "source", "gram", k = 64)
+  }
+
   /** Domain-level crawl graph ([[graft.ops.Urls.domainEdges]]) over a
     * synthesized page shell: each document gets a base URL on one of 20
     * `siteN.com` hosts and an anchor set exercising every href
@@ -2174,7 +2188,8 @@ object SparkEntry {
     "q_html_strip" -> (qHtmlStrip _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_fuzzy_link" -> (qFuzzyLink _),
-    "q_link_graph" -> (qLinkGraph _)
+    "q_link_graph" -> (qLinkGraph _),
+    "q_distinct_sketch" -> (qDistinctSketch _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -2313,6 +2328,20 @@ object SparkEntry {
          |       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
          |FROM dom a JOIN dom b ON a.s < b.s
          |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin,
+    "q_distinct_sketch" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT source, array_to_string(t[i + 1 : i + 3], ' ') AS g
+        |      FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
+        |h AS (SELECT DISTINCT source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM g),
+        |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+        |agg AS (SELECT source, COUNT(*) AS nd,
+        |               MAX(CASE WHEN rn <= 64 THEN h END) AS kth
+        |        FROM rk GROUP BY source)
+        |SELECT source,
+        |  CAST(LEAST(nd, 64) AS INTEGER) AS n_kmv,
+        |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+        |       ELSE round(63.0 * (pow(2.0, 60.0) / CAST(kth AS DOUBLE)), 4) END AS est_distinct
+        |FROM agg""".stripMargin,
     "q_link_graph" ->
       """WITH d AS (SELECT doc_id,
         |  'site' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS src,

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distinct-cardinality estimation with the KMV sketch
+  * ([[graft.functions.KMinValues]]) — the telemetry primitive a
+  * pipeline runs per shard/source/day at 100 TB, where exact
+  * `countDistinct` would shuffle the full distinct universe. The
+  * sketch keeps O(k) state per group (map-side partials included), so
+  * the exchange carries k longs per group instead of the universe.
+  *
+  * Unlike HLL (`approx_count_distinct`), KMV over a DETERMINISTIC
+  * hash is reproducible by an independent engine — `ORDER BY hash
+  * LIMIT k` is the same sketch in SQL — so the whole estimate is
+  * hash-exact oracle-checkable. The hash is the repo's standard
+  * md5-front-15-hex 60-bit spelling (the [[DedupDocs]] MinHash
+  * family's), uniform enough on real keys for the ±1/√k error bound.
+  *
+  * Estimator (Beyer et al. 2007, unbiased form): with h_(k) the k-th
+  * smallest of D = 2^60 hash points, E ≈ (k−1) · D / h_(k); a group
+  * with fewer than k distinct values is EXACT (the sketch holds the
+  * whole universe).
+  */
+object Cardinality {
+
+  /** 60-bit deterministic item hash — md5 front 15 hex digits. */
+  private[graft] def itemHash(item: Column): Column =
+    conv(substring(md5(item.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Per-group distinct estimate of `itemCol`:
+    * `(groupCol, n_kmv, est_distinct)` — n_kmv = sketch fill (= k once
+    * the group passes k distinct), est_distinct = exact count below k,
+    * KMV estimate at or above. ONE map-side-combinable aggregate. */
+  def kmvDistinct(df: DataFrame, groupCol: String, itemCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2 for the (k-1) estimator, got $k")
+    val kmv = graft.functions.KMinValues
+      .kMinValues(itemHash(col(itemCol)), k)
+    df.select(col(groupCol), col(itemCol))
+      .where(col(itemCol).isNotNull)
+      .groupBy(groupCol)
+      .agg(kmv.as("__kmv"))
+      .select(
+        col(groupCol),
+        size(col("__kmv")).as("n_kmv"),
+        when(size(col("__kmv")) < k, size(col("__kmv")).cast("double"))
+          .otherwise(
+            round(
+              lit((k - 1).toDouble) *
+                (pow(lit(2.0), lit(60.0)) / element_at(col("__kmv"), k).cast("double")),
+              4))
+          .as("est_distinct"))
+  }
+}

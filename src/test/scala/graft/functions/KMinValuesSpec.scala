@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[KMinValues]] — the bounded KMV sketch aggregate must equal the
+  * unbounded SQL spelling `slice(sort_array(collect_set(x)), 1, k)`
+  * on every partitioning, and the [[graft.ops.Cardinality]] estimator
+  * must be exact under k and within the KMV error bound above it. */
+class KMinValuesSpec extends SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  test("kMinValues ≡ slice(sort_array(collect_set), 1, k) across repartitionings") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(5000)((rnd.nextInt(4), rnd.nextLong() & 0x0FFFFFFFFFFFFFFFL))
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("g", "v").repartition(parts)
+      val got = df.groupBy("g")
+        .agg(
+          KMinValues.kMinValues(col("v"), 16).as("kmv"),
+          slice(sort_array(collect_set(col("v"))), 1, 16).as("ref"))
+      got.collect().foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"g=${r.getInt(0)} parts=$parts")
+      }
+    }
+  }
+
+  test("groups under k distinct return the full sorted universe; nulls ignored") {
+    val df = Seq[(Int, Option[Long])]((0, Some(5L)), (0, Some(3L)), (0, Some(5L)), (0, None))
+      .toDF("g", "v")
+    val got = df.groupBy("g").agg(KMinValues.kMinValues(col("v"), 16)).head()
+    assert(got.getSeq[Long](1) == Seq(3L, 5L))
+  }
+
+  test("estimator: exact below k, within 3/sqrt(k) relative error above") {
+    val n = 20000
+    val df = (0 until n).map(i => ("big", s"item_$i")).toDF("g", "item")
+      .union(Seq(("small", "a"), ("small", "b"), ("small", "a")).toDF("g", "item"))
+    val k = 256
+    val got = graft.ops.Cardinality.kmvDistinct(df, "g", "item", k)
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got("small") == ((2, 2.0)))
+    val (fill, est) = got("big")
+    assert(fill == k)
+    val relErr = math.abs(est - n) / n.toDouble
+    assert(relErr < 3.0 / math.sqrt(k), s"est=$est relErr=$relErr")
+  }
+}
