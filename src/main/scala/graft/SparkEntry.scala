@@ -1777,6 +1777,24 @@ object SparkEntry {
         "url", "doc_id")
       .select(col("doc_id"), graft.ops.Urls.normalizeUrl(col("url")).as("url_norm"))
 
+  /** Domain authority over the crawl graph: [[qLinkGraph]]'s edge list
+    * pushed through [[graft.ops.Graph.pagerank]] (5 iterations,
+    * d = 0.85, link counts as weights) — the end-to-end crawl → graph
+    * → authority chain a domain-quality prior comes from. The
+    * `example.org` hub is a DANGLING node (no out-edges), so the
+    * dangling-mass fold is exercised, not just covered. */
+  private def qLinkAuthority(s: SparkSession, dir: String): DataFrame = {
+    val edges = qLinkGraph(s, dir).select(
+      col("src_domain").as("src"),
+      col("dst_domain").as("dst"),
+      col("n_links").cast("double").as("w"))
+    Graph
+      .pagerank(edges, iterations = 5, damping = 0.85, weightCol = Some("w"),
+        // domainEdges output is a groupBy result — one row per (src, dst)
+        assumeCollapsed = true)
+      .select(col("node"), round(col("rank"), 6).as("pr"))
+  }
+
   /** Per-source distinct 3-gram cardinality via the KMV sketch
     * ([[graft.ops.Cardinality.kmvDistinct]], k = 64): O(k) state per
     * group at any corpus size — the telemetry primitive that replaces
@@ -2189,6 +2207,7 @@ object SparkEntry {
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_fuzzy_link" -> (qFuzzyLink _),
     "q_link_graph" -> (qLinkGraph _),
+    "q_link_authority" -> (qLinkAuthority _),
     "q_distinct_sketch" -> (qDistinctSketch _)
   )
 
@@ -2197,8 +2216,12 @@ object SparkEntry {
     * from the raw tables; nothing is copied from the Spark run). The
     * arithmetic is spelled identically term by term ((1-d)·(1/n) + …)
     * so the two engines walk the same float chain. */
-  private lazy val pagerankOracleSql: String = {
-    val iterations = (1 to 5).map { k =>
+  /** The power-iteration recurrence over a caller-supplied
+    * `edges(src, dst, w)` CTE chain — shared by [[pagerankOracleSql]]
+    * and the q_link_authority oracle (same arithmetic, different
+    * graphs). */
+  private def pagerankRecurrenceSql(edgesCtes: String, iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
       val prev = s"r${k - 1}"
       s"""r$k AS (
          |  SELECT nd.node,
@@ -2210,22 +2233,46 @@ object SparkEntry {
          |  CROSS JOIN (SELECT COALESCE(SUM(r.pr), 0) AS dm FROM $prev r
          |              WHERE NOT EXISTS (SELECT 1 FROM outw o WHERE o.src = r.node)) d)""".stripMargin
     }.mkString(",\n")
-    s"""WITH arcs AS (
-       |  SELECT 2 * o_custkey AS cn, 2 * l_suppkey + 1 AS sn, CAST(COUNT(*) AS DOUBLE) AS w
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-       |  GROUP BY 1, 2),
-       |edges AS (
-       |  SELECT cn AS src, sn AS dst, w FROM arcs
-       |  UNION ALL
-       |  SELECT sn AS src, cn AS dst, w FROM arcs),
+    s"""WITH $edgesCtes,
        |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
        |outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
        |m AS (SELECT e.src, e.dst, e.w / o.out_w AS p FROM edges e JOIN outw o ON e.src = o.src),
        |r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
-       |$iterations
-       |SELECT node, ROUND(pr, 6) AS pr FROM r5""".stripMargin
+       |$iters
+       |SELECT node, ROUND(pr, 6) AS pr FROM r$iterations""".stripMargin
   }
+
+  private lazy val pagerankOracleSql: String =
+    pagerankRecurrenceSql(
+      """arcs AS (
+        |  SELECT 2 * o_custkey AS cn, 2 * l_suppkey + 1 AS sn, CAST(COUNT(*) AS DOUBLE) AS w
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT cn AS src, sn AS dst, w FROM arcs
+        |  UNION ALL
+        |  SELECT sn AS src, cn AS dst, w FROM arcs)""".stripMargin,
+      iterations = 5)
+
+  /** q_link_authority: the q_link_graph edge list (respelled literally
+    * from the doc_id arithmetic, extraction/resolution never run here)
+    * pushed through the same recurrence — the end-to-end crawl→graph→
+    * authority chain. */
+  private lazy val linkAuthorityOracleSql: String =
+    pagerankRecurrenceSql(
+      """lg AS (SELECT doc_id,
+        |  'site' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS s,
+        |  'site' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com' AS d FROM documents),
+        |le AS (
+        |  SELECT s, d FROM lg WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT s, d FROM lg WHERE doc_id % 5 = 1
+        |  UNION ALL SELECT s, s FROM lg WHERE doc_id % 5 = 2
+        |  UNION ALL SELECT s, s FROM lg WHERE doc_id % 5 = 3
+        |  UNION ALL SELECT s, 'example.org' FROM lg),
+        |edges AS (SELECT s AS src, d AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+        |          FROM le GROUP BY 1, 2)""".stripMargin,
+      iterations = 5)
 
   private lazy val topNgramsOracleSql: String =
     """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
@@ -2328,6 +2375,7 @@ object SparkEntry {
          |       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
          |FROM dom a JOIN dom b ON a.s < b.s
          |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin,
+    "q_link_authority" -> linkAuthorityOracleSql,
     "q_distinct_sketch" ->
       """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
         |g AS (SELECT source, array_to_string(t[i + 1 : i + 3], ' ') AS g
