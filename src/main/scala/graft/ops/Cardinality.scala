@@ -28,6 +28,19 @@ object Cardinality {
   private[graft] def itemHash(item: Column): Column =
     conv(substring(md5(item.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** Sketch → (fill, estimate) projection over a kMinValues array —
+    * shared by the batch rollup and the streaming window monitor so
+    * both walk the identical float chain. */
+  private[graft] def estimate(kmvCol: Column, k: Int): (Column, Column) = (
+    size(kmvCol).as("n_kmv"),
+    when(size(kmvCol) < k, size(kmvCol).cast("double"))
+      .otherwise(
+        round(
+          lit((k - 1).toDouble) *
+            (pow(lit(2.0), lit(60.0)) / element_at(kmvCol, k).cast("double")),
+          4))
+      .as("est_distinct"))
+
   /** Per-group distinct estimate of `itemCol`:
     * `(groupCol, n_kmv, est_distinct)` — n_kmv = sketch fill (= k once
     * the group passes k distinct), est_distinct = exact count below k,
@@ -36,19 +49,11 @@ object Cardinality {
     require(k >= 2, s"k must be >= 2 for the (k-1) estimator, got $k")
     val kmv = graft.functions.KMinValues
       .kMinValues(itemHash(col(itemCol)), k)
+    val (fill, est) = estimate(col("__kmv"), k)
     df.select(col(groupCol), col(itemCol))
       .where(col(itemCol).isNotNull)
       .groupBy(groupCol)
       .agg(kmv.as("__kmv"))
-      .select(
-        col(groupCol),
-        size(col("__kmv")).as("n_kmv"),
-        when(size(col("__kmv")) < k, size(col("__kmv")).cast("double"))
-          .otherwise(
-            round(
-              lit((k - 1).toDouble) *
-                (pow(lit(2.0), lit(60.0)) / element_at(col("__kmv"), k).cast("double")),
-              4))
-          .as("est_distinct"))
+      .select(col(groupCol), fill, est)
   }
 }

@@ -150,6 +150,33 @@ object Streaming {
         col("e.est").as("n_est"),
         col("e.err").as("err"))
 
+  /** Streaming distinct-cardinality monitor: per event-time window,
+    * the KMV estimate of distinct `itemCol` values
+    * ([[graft.functions.KMinValues]] — the k smallest distinct 60-bit
+    * hashes). O(k) state per OPEN window regardless of ingest volume,
+    * watermark-evicted — the diversity-drift telemetry a live pipeline
+    * watches (a collapsing distinct rate is the classic
+    * upstream-dedup-broke / stuck-producer signal). Identical
+    * hash + estimator chain as the batch
+    * [[graft.ops.Cardinality.kmvDistinct]]; StreamingSpec pins parity
+    * against the batch rollup on a replayed stream. */
+  def distinctRateStream(
+      rows: DataFrame,
+      tsCol: String,
+      itemCol: String,
+      windowDur: String,
+      watermark: String,
+      k: Int
+  ): DataFrame = {
+    val (fill, est) = graft.ops.Cardinality.estimate(col("__kmv"), k)
+    rows
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), graft.ops.Cardinality.itemHash(col(itemCol)).as("__h"))
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(graft.functions.KMinValues.kMinValues(col("__h"), k).as("__kmv"))
+      .select(col("window.start").as("win_start"), fill, est)
+  }
+
   /** Input row for [[asofEnrichStream]]: `side` 0 = state update (the
     * dimension stream), 1 = probe event (the fact stream). */
   final case class AsOfInput(key: String, ts: Long, side: Int, value: Double)

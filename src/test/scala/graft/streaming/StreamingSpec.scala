@@ -489,4 +489,49 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
     assert(batch == got)
   }
+
+  test("distinctRateStream: windowed KMV estimate, batch parity, bounded state, late-row drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val k = 8
+    val q = Streaming
+      .distinctRateStream(
+        input.toDF().toDF("event_time", "item"),
+        "event_time", "item", windowDur = "10 seconds", watermark = "5 seconds", k = k)
+      .writeStream
+      .format("memory")
+      .queryName("distinct_rate")
+      .outputMode("append")
+      .start()
+    // window [0,10): 30 distinct items (> k: estimator regime), repeats
+    // split across two micro-batches so partial-merge runs
+    val items = (0 until 30).map(i => s"item_$i")
+    input.addData(items.take(20).zipWithIndex.map { case (it, i) => (ts(1 + i % 5), it) }: _*)
+    q.processAllAvailable()
+    input.addData((items.drop(20) ++ items.take(10)).zipWithIndex.map { case (it, i) =>
+      (ts(2 + i % 5), it)
+    }: _*)
+    q.processAllAvailable()
+    input.addData((ts(20), "closer"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT win_start, n_kmv, est_distinct FROM distinct_rate").collect()
+    assert(got.length == 1)
+    assert(got.head.getInt(1) == k)
+    // batch parity: the identical rows through the batch rollup
+    val batchDf = items.zipWithIndex
+      .map { case (it, _) => ("w0", it) } ++ items.take(10).map(("w0", _))
+    val batch = graft.ops.Cardinality
+      .kmvDistinct(batchDf.toDF("g", "item"), "g", "item", k)
+      .head()
+    assert(got.head.getDouble(2) == batch.getDouble(2))
+    // a late row (event time 3 < watermark 15) must not resurrect the window
+    input.addData((ts(3), "very_late_item"))
+    q.processAllAvailable()
+    input.addData((ts(40), "closer2"))
+    q.processAllAvailable()
+    val all = spark.sql("SELECT win_start, n_kmv FROM distinct_rate ORDER BY win_start").collect()
+    q.stop()
+    assert(all.length == 2, all.mkString(";")) // [0,10) once, [20,30) once
+  }
 }
