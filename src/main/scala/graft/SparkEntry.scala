@@ -1795,6 +1795,49 @@ object SparkEntry {
       .select(col("node"), round(col("rank"), 6).as("pr"))
   }
 
+  /** Content-defined chunking ([[graft.functions.CdcChunks]], w = 2,
+    * modulus 16): token-granular Rabin/FastCDC cuts — boundaries
+    * depend on local content, so an edit shifts only its own chunk,
+    * not every downstream one (the fixed-size q_chunk_docs failure
+    * mode). Stateless kernel explode, zero shuffle; the oracle
+    * recomputes every cut (gram poly-hash → cumulative boundary count
+    * → string_agg) in DuckDB. */
+  private def qCdcChunks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      posexplode(graft.functions.CdcChunks.cdcChunks(col("text"), 2, 16))
+        .as(Seq("chunk_idx", "chunk")))
+
+  /** Chunk-level dedup over the CDC chunks: per document, how many of
+    * its chunks also occur in ANOTHER document — the shift-robust
+    * shared-boilerplate measure (doc-level hashes miss it, fixed-size
+    * chunks lose it after one insertion). Same plan family as
+    * [[qDupSpans]]: one chunk-frequency exchange + semi-join, per-doc
+    * totals from the kernel array (no second aggregate consumer). */
+  private def qCdcDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"),
+      graft.functions.CdcChunks.cdcChunks(col("text"), 2, 16).as("__chs"))
+    val chunks = docs.select(col("doc_id"), explode(col("__chs")).as("chunk"))
+    val dup = chunks
+      .groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .where(col("__nd") > 1)
+    val dupPerDoc = chunks
+      .join(dup.select("chunk"), Seq("chunk"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_chunks"))
+    docs
+      .select(col("doc_id"), size(col("__chs")).cast("long").as("n_chunks"))
+      .join(dupPerDoc, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        round(coalesce(col("n_dup_chunks"), lit(0L)).cast("double") / col("n_chunks"), 4)
+          .as("dup_frac"))
+  }
+
   /** Per-source distinct 3-gram cardinality via the KMV sketch
     * ([[graft.ops.Cardinality.kmvDistinct]], k = 64): O(k) state per
     * group at any corpus size — the telemetry primitive that replaces
@@ -2208,7 +2251,9 @@ object SparkEntry {
     "q_fuzzy_link" -> (qFuzzyLink _),
     "q_link_graph" -> (qLinkGraph _),
     "q_link_authority" -> (qLinkAuthority _),
-    "q_distinct_sketch" -> (qDistinctSketch _)
+    "q_distinct_sketch" -> (qDistinctSketch _),
+    "q_cdc_chunks" -> (qCdcChunks _),
+    "q_cdc_dedup" -> (qCdcDedup _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -2357,7 +2402,43 @@ object SparkEntry {
       |    ELSE substr(md5(CAST(doc_id % 50 AS VARCHAR)), 1, 8) || '.example.com' END AS s
       |  FROM documents)""".stripMargin
 
+  /** Shared CTE chain recomputing the CDC chunking (w = 2, modulus 16)
+    * from raw text: gram poly-hash (the winnow spelling), cut
+    * positions, cumulative boundary count, chunk reassembly. The
+    * kernel never runs on the oracle side. */
+  private lazy val cdcChunksCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |cfp AS (SELECT doc_id, i, len(t) AS nt,
+      |         list_reduce(
+      |           list_prepend(0::BIGINT, list_transform(
+      |             string_split(array_to_string(t[i + 1 : i + 2], ' '), ''),
+      |             c -> ascii(c)::BIGINT)),
+      |           (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+      |       FROM toks, unnest(generate_series(0, len(t) - 2)) AS u(i)),
+      |cuts AS (SELECT doc_id, i + 2 AS b FROM cfp WHERE fp % 16 = 0 AND i + 2 < nt),
+      |cpos AS (SELECT doc_id, i AS pos, t[i + 1] AS tok
+      |        FROM toks, unnest(generate_series(0, len(t) - 1)) AS u(i)),
+      |cid AS (SELECT p.doc_id, p.pos, p.tok,
+      |               SUM(CASE WHEN c.b IS NOT NULL THEN 1 ELSE 0 END)
+      |                 OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS chunk_idx
+      |        FROM cpos p LEFT JOIN cuts c ON c.doc_id = p.doc_id AND c.b = p.pos),
+      |chunks AS (SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+      |                  string_agg(tok, ' ' ORDER BY pos) AS chunk
+      |           FROM cid GROUP BY doc_id, chunk_idx)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_cdc_chunks" ->
+      s"""WITH $cdcChunksCtes
+         |SELECT doc_id, chunk_idx, chunk FROM chunks""".stripMargin,
+    "q_cdc_dedup" ->
+      s"""WITH $cdcChunksCtes,
+         |occ AS (SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs FROM chunks GROUP BY chunk),
+         |per AS (SELECT c.doc_id, COUNT(*) AS n_chunks,
+         |               CAST(SUM(CASE WHEN o.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+         |        FROM chunks c JOIN occ o ON o.chunk = c.chunk GROUP BY c.doc_id)
+         |SELECT doc_id, n_chunks, n_dup_chunks,
+         |       round(CAST(n_dup_chunks AS DOUBLE) / n_chunks, 4) AS dup_frac
+         |FROM per""".stripMargin,
     "q_zorder" -> {
       val z = graft.ops.ZOrder.interleaveSql(
         Seq("e.user_id", "e.ts_us"), Seq("b.mn0", "b.mn1"), Seq("b.mx0", "b.mx1"), 16)

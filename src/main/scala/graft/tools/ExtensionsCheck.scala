@@ -52,6 +52,13 @@ object ExtensionsCheck {
       .collect()(0).getSeq[org.apache.spark.sql.Row](0)
     assert(wf.length == 1 && wf.head.getInt(0) == 3, s"winnow_fps via SQL returned $wf")
 
+    // cdc at modulus 2: 'a b' poly-hash parity decides each cut; just
+    // assert the partition property end-to-end through SQL
+    val cc = spark
+      .sql("SELECT array_join(cdc_chunks('a b a b a b', 2, 2), ' ') AS s")
+      .collect()(0).getString(0)
+    assert(cc == "a b a b a b", s"cdc_chunks via SQL returned '$cc'")
+
     // (2) optimizer rule active in the session
     import org.apache.spark.sql.functions._
     val samples = (0L until 50L).map(i => (i, i * 2.0)).toDF("idx", "v")
