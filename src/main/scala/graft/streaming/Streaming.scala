@@ -166,12 +166,23 @@ object Streaming {
       itemCol: String,
       windowDur: String,
       watermark: String,
-      k: Int
+      k: Int,
+      // md5Hash = true: the batch-parity / SQL-reproducible hash
+      // (md5-front-60-bit, [[graft.ops.Cardinality.itemHash]]).
+      // false: codegen'd xxhash64 folded to the same 60-bit domain —
+      // ~2× ingest rate (DistinctRateBench), same estimator and error
+      // bound, just not respellable in an external SQL engine. A live
+      // monitor wants the rate; pick md5 only when cross-checking
+      // against the batch rollup.
+      md5Hash: Boolean = true
   ): DataFrame = {
     val (fill, est) = graft.ops.Cardinality.estimate(col("__kmv"), k)
+    val h =
+      if (md5Hash) graft.ops.Cardinality.itemHash(col(itemCol))
+      else shiftrightunsigned(xxhash64(col(itemCol)), 4)
     rows
       .withWatermark(tsCol, watermark)
-      .select(col(tsCol), graft.ops.Cardinality.itemHash(col(itemCol)).as("__h"))
+      .select(col(tsCol), h.as("__h"))
       .groupBy(window(col(tsCol), windowDur))
       .agg(graft.functions.KMinValues.kMinValues(col("__h"), k).as("__kmv"))
       .select(col("window.start").as("win_start"), fill, est)
