@@ -27,6 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokens is one chunk. Hash = base-31 mod 1e9+7 over the gram bytes,
   * bit-identical to `poly_hash(array_to_string(slice))` and
   * SQL-replicable — the oracle recomputes every cut in DuckDB.
+  *
+  * BYTE-based like the whole fingerprint family ([[PolyHash]],
+  * [[WinnowFps]]): it equals the char-based `ascii()` SQL respelling
+  * exactly on ASCII text — the `documents.text` contract (the driver's
+  * schema gate asserts ASCII at every sf). On non-ASCII text the cuts
+  * are still valid content-defined cuts (multi-byte sequences hash per
+  * byte), but a code-point-based oracle would diverge.
   */
 case class CdcChunks(child: Expression, w: Int, modulus: Int)
     extends UnaryExpression

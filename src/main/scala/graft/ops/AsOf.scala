@@ -1,8 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Generic keyed backward AS-OF join — for every left row, the payload
   * of the LATEST right row with `right.time <= left.time` on the same
@@ -30,11 +32,11 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   private def requireNoReservedCols(left: DataFrame, right: DataFrame): Unit = {
-    val reserved =
-      (c: String) => c == "__side" || c == "__p" || c == "__epoch" || c.startsWith("__v_")
+    val reserved = (c: String) =>
+      c == "__side" || c == "__p" || c == "__pp" || c == "__epoch" || c.startsWith("__v_")
     val clash = (left.columns ++ right.columns).filter(reserved).distinct.toSeq
     require(clash.isEmpty,
-      s"input columns $clash collide with reserved internal names (__side, __p, __epoch, __v_*)")
+      s"input columns $clash collide with reserved internal names (__side, __p, __pp, __epoch, __v_*)")
   }
 
   /** Backward as-of join. `valueCols` are the right-side payload
@@ -121,9 +123,15 @@ object AsOf {
     require(!valueCols.exists(leftCols.contains),
       s"value columns $valueCols collide with left columns")
     requireNoReservedCols(left, right)
-    // floor-division epoch, exact on longs incl. negatives (pmod >= 0)
+    // floor-division epoch, exact on longs incl. negatives (pmod >= 0).
+    // TRUE integral division: `/` on longs is DOUBLE division, inexact
+    // past 2^53 — a nanosecond timestamp (~1.7e18) at a small
+    // bucketWidth could land a boundary row in the wrong epoch and
+    // silently break parity with asofBackward.
     def epochOf(t: Column): Column =
-      ((t - pmod(t, lit(bucketWidth))) / bucketWidth).cast("long")
+      Bridge.column(IntegralDivide(
+        Bridge.expression(t - pmod(t, lit(bucketWidth))),
+        Bridge.expression(lit(bucketWidth))))
 
     val payloadT = struct(valueCols.map(c => col(s"__v_$c").as(c)): _*)
     val keyE = keyCols :+ "__epoch"

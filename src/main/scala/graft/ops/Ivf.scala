@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest-neighbor search: partition the
@@ -386,6 +386,48 @@ object Ivf {
     * IvfSpec against the brute-force form. Output schema matches
     * [[Similarity.hardNegatives]]: (query_id, vec_id, label, cos_sim,
     * rank), cos_sim rounded to 6dp with the same IEEE -0.0 fold. */
+  /** Shared IVF serving plumbing behind [[topKIndexed]] and
+    * [[hardNegativesIndexed]]: optionally prune the index scan to the
+    * batch's probed cells (the static `cell IN (...)` filter — see the
+    * [[topKIndexed]] note on why static beats dynamic partition
+    * pruning here), precompute the corpus-row norm, and bucket
+    * equi-join against the broadcast probe rows. `probed` must carry
+    * (query_id, qe, qn, cell) plus any caller columns (e.g. the query
+    * label); candidates come back with `cn` attached. */
+  private def probedCandidates(
+      assigned: DataFrame,
+      probedRows: Seq[(Long, Int, Seq[Float])],
+      probed: DataFrame,
+      pruneIndexScan: Boolean
+  ): DataFrame = {
+    val indexSide =
+      if (!pruneIndexScan) assigned
+      else {
+        val probedCells = probedRows.map(_._2).distinct.sorted
+        assigned.where(col("cell").isin(probedCells: _*))
+      }
+    indexSide
+      .withColumn("cn", Similarity.norm(col("embedding")))
+      .join(broadcast(probed), "cell")
+  }
+
+  /** Exact cosine of a candidate pair at 6dp (norms precomputed per
+    * row, one dot-product traversal per pair). */
+  private def cosSim6: Column =
+    round(Similarity.dot(col("embedding"), col("qe")) / (col("cn") * col("qn")), 6)
+
+  /** row_number over (cos_sim desc, vec_id asc) per query, keep ≤ k —
+    * the deterministic top-k tie-break every serving path shares. */
+  private def rankTopK(scored: DataFrame, k: Int, outCols: Seq[String]): DataFrame = {
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= k)
+      .select(outCols.map(col): _*)
+  }
+
   def hardNegativesIndexed(
       assigned: DataFrame,
       centroids: DataFrame,
@@ -406,30 +448,15 @@ object Ivf {
       .select(
         col("query_id"), col("query_label"), col("qe"),
         Similarity.norm(col("qe")).as("qn"), col("cell"))
-    val indexSide =
-      if (!pruneIndexScan) assigned
-      else {
-        val probedCells = probedRows.map(_._2).distinct.sorted
-        assigned.where(col("cell").isin(probedCells: _*))
-      }
-    val scored = indexSide
-      .withColumn("cn", Similarity.norm(col("embedding")))
-      .join(broadcast(probed), "cell")
+    val scored = probedCandidates(assigned, probedRows, probed, pruneIndexScan)
       .where(col("label") =!= col("query_label"))
       .select(
         col("query_id"),
         col("vec_id"),
         col("label"),
         // same 6dp round + IEEE -0.0 fold as Similarity.hardNegatives
-        (round(Similarity.dot(col("embedding"), col("qe")) / (col("cn") * col("qn")), 6) +
-          lit(0.0)).as("cos_sim"))
-    val wr = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(wr))
-      .where(col("rank") <= k)
-      .select("query_id", "vec_id", "label", "cos_sim", "rank")
+        (cosSim6 + lit(0.0)).as("cos_sim"))
+    rankTopK(scored, k, Seq("query_id", "vec_id", "label", "cos_sim", "rank"))
   }
 
   def topKIndexed(
@@ -446,32 +473,9 @@ object Ivf {
     val probed = probedRows
       .toDF("query_id", "cell", "qe")
       .select(col("query_id"), col("qe"), Similarity.norm(col("qe")).as("qn"), col("cell"))
-    // candidate join on cell, exact cosine (norms precomputed per row,
-    // one dot-product traversal per candidate pair), top-k
-    val indexSide =
-      if (!pruneIndexScan) assigned
-      else {
-        val probedCells = probedRows.map(_._2).distinct.sorted
-        assigned.where(col("cell").isin(probedCells: _*))
-      }
-    val scored = indexSide
-      .withColumn("cn", Similarity.norm(col("embedding")))
-      .join(broadcast(probed), "cell")
+    val scored = probedCandidates(assigned, probedRows, probed, pruneIndexScan)
       .where(col("vec_id") =!= col("query_id"))
-      .select(
-        col("query_id"),
-        col("vec_id"),
-        round(
-          Similarity.dot(col("embedding"), col("qe")) / (col("cn") * col("qn")),
-          6
-        ).as("cos_sim")
-      )
-    val wr = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(wr))
-      .where(col("rank") <= k)
-      .select("query_id", "vec_id", "cos_sim", "rank")
+      .select(col("query_id"), col("vec_id"), cosSim6.as("cos_sim"))
+    rankTopK(scored, k, Seq("query_id", "vec_id", "cos_sim", "rank"))
   }
 }

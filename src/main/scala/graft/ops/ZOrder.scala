@@ -40,12 +40,18 @@ object ZOrder {
 
   /** `(v - mn) div step` with `step = ((mx - mn) div 2^bits) + 1`:
     * monotone map of [mn, mx] onto [0, 2^bits) using only subtraction
-    * and division — immune to ANSI overflow for any long range. NULLs
+    * and division — immune to ANSI overflow for any long range. The
+    * subtractions run in DECIMAL(21,0): a long-long difference can
+    * exceed Long range itself (span up to 2^64 − 1 for hash-valued or
+    * sentinel-laden columns — ANSI would throw, non-ANSI wraps to a
+    * garbage layout); decimal keeps the difference exact and
+    * IntegralDivide accepts decimal operands, returning LONG. NULLs
     * propagate (NULL quantizes to NULL; callers decide placement). */
   def quantize(v: Column, mn: Column, mx: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
-    val step = intDiv(mx - mn, lit(1L << bits)) + lit(1L)
-    intDiv(v - mn, step)
+    val dec = "decimal(21,0)"
+    val step = intDiv(mx.cast(dec) - mn.cast(dec), lit(1L << bits)) + lit(1L)
+    intDiv(v.cast(dec) - mn.cast(dec), step)
   }
 
   /** Morton-interleave already-quantized non-negative columns (each
@@ -137,7 +143,10 @@ object ZOrder {
     }
     val ranges = cols.indices.map(j => bounds.getLong(2 * j + 1) - bounds.getLong(2 * j))
     val widths =
-      if (balanced) ranges.map(r => math.min(bits, effectiveBits(r)))
+      // a wrapped (negative) difference means the true span exceeds
+      // Long range (≥ 2^63) — every bit is live, so the effective
+      // width is 64 (capped to `bits` below, which is ≤ 62)
+      if (balanced) ranges.map(r => math.min(bits, if (r < 0) 64 else effectiveBits(r)))
       else Seq.fill(cols.size)(bits)
     val qs = cols.zipWithIndex.map { case (c, j) =>
       quantize(col(c).cast("long"), lit(bounds.getLong(2 * j)), lit(bounds.getLong(2 * j + 1)), widths(j))

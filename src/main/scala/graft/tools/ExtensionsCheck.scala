@@ -59,6 +59,11 @@ object ExtensionsCheck {
       .collect()(0).getString(0)
     assert(cc == "a b a b a b", s"cdc_chunks via SQL returned '$cc'")
 
+    val pd = spark
+      .sql("SELECT percent_decode_unreserved('%7Euser%2Fx') AS s")
+      .collect()(0).getString(0)
+    assert(pd == "~user%2Fx", s"percent_decode_unreserved via SQL returned '$pd'")
+
     // (2) optimizer rule active in the session
     import org.apache.spark.sql.functions._
     val samples = (0L until 50L).map(i => (i, i * 2.0)).toDF("idx", "v")

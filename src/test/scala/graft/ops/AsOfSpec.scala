@@ -46,6 +46,27 @@ class AsOfSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       AsOf.asofBackward(left, right.withColumn("__v_x", lit(1)), Seq("k"), "t", Seq("v"))
     }
+    // __pp is the BUCKETED form's internal payload column — both entry
+    // points share the guard, so it must reject there too
+    intercept[IllegalArgumentException] {
+      AsOf.asofBackwardBucketed(
+        left.withColumn("__pp", lit(1)), right, Seq("k"), "t", Seq("v"), bucketWidth = 10)
+    }
+  }
+
+  test("bucketed form is exact at nanosecond-scale times (integral epoch division)") {
+    // |t| > 2^53: double division would misplace epoch boundaries; the
+    // integral-divide epoch must keep parity with the window form
+    val t0 = 1700000000000000000L // ~2023 in ns
+    val left = (0L until 20L).map(i => (1L, t0 + i * 7L)).toDF("k", "t")
+    val right = (0L until 6L).map(i => (1L, t0 + i * 23L, s"v$i")).toDF("k", "t", "v")
+    val expected = AsOf.asofBackward(left, right, Seq("k"), "t", Seq("v"))
+      .collect().map(r => (r.getLong(1), Option(r.getString(2)))).toSeq.sorted
+    Seq(3L, 16L).foreach { w =>
+      val got = AsOf.asofBackwardBucketed(left, right, Seq("k"), "t", Seq("v"), bucketWidth = w)
+        .collect().map(r => (r.getLong(1), Option(r.getString(2)))).toSeq.sorted
+      assert(got == expected, s"bucketWidth=$w")
+    }
   }
 
   test("bucketed (skew-hatch) form is row-identical to the window form across bucket widths") {

@@ -75,6 +75,23 @@ class ZOrderSpec extends SparkSpec {
     assert(qs.toSeq == qs.sorted.toSeq)
   }
 
+  test("quantize and withZValue survive a span exceeding Long range") {
+    // mx - mn = 2^64 - 1 overflows a long subtraction outright: the
+    // decimal spelling must stay exact, in-range, and monotone
+    val vs = Seq(Long.MinValue, -1L, 0L, 1L, Long.MaxValue)
+    val qs = vs.toDF("v")
+      .select(ZOrder.quantize(col("v"), lit(Long.MinValue), lit(Long.MaxValue), 16).as("q"))
+      .collect().map(_.getLong(0))
+    qs.foreach(q => assert(q >= 0L && q < 65536L, s"q=$q"))
+    assert(qs.toSeq == qs.sorted.toSeq)
+    assert(qs.head == 0L && qs.last == 65535L)
+    // end-to-end: the driver-side width derivation must not trip on the
+    // wrapped span either
+    val df = Seq((Long.MinValue, 1L), (Long.MaxValue, 2L), (0L, 3L)).toDF("a", "b")
+    val z = ZOrder.withZValue(df, Seq("a", "b"), 8, balanced = true)
+    assert(z.select("z").collect().map(_.getLong(0)).forall(_ >= 0L))
+  }
+
   test("effectiveBits: exact widths at powers of two") {
     assert(ZOrder.effectiveBits(0L) == 1)
     assert(ZOrder.effectiveBits(1L) == 1)
