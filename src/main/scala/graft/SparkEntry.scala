@@ -1856,7 +1856,8 @@ object SparkEntry {
     * synthesized page shell: each document gets a base URL on one of 20
     * `siteN.com` hosts and an anchor set exercising every href
     * resolution shape — absolute, protocol-relative (`//host`),
-    * root-relative (`/path`), path-relative (`sub/p.html`), plus a
+    * root-relative (`/path`), query-relative (`?x=1`), path-relative
+    * (`sub/p.html`), plus a
     * fragment-only and a `mailto:` link that must DROP — and a hub
     * link on every page. The oracle never runs extraction or
     * resolution: it states each residue's expected edge LITERALLY from
@@ -1870,7 +1871,9 @@ object SparkEntry {
       col("doc_id") % 5 === 0,
       concat(lit("<a href=\"http://"), dst, lit("/p1\">x</a>")))
       .when(col("doc_id") % 5 === 1, concat(lit("<a href=\"//"), dst, lit("/p2\">x</a>")))
-      .when(col("doc_id") % 5 === 2, lit("<a href=\"/local/p3\">x</a>"))
+      .when(
+        col("doc_id") % 5 === 2,
+        lit("<a href=\"/local/p3\">x</a><a href=\"?x=1\">q</a>"))
       .when(col("doc_id") % 5 === 3, lit("<a HREF='sub/p4.html'>x</a>"))
       .otherwise(lit("<a href=\"#top\">x</a><a href=\"mailto:a@b.c\">m</a>"))
     val html = concat(
@@ -1880,6 +1883,40 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"), baseUrl.as("base_url"), html.as("html")),
       "html", "base_url")
   }
+
+  /** Anchor-text term rollup ([[graft.ops.Urls.anchorTermStats]]) over
+    * a synthesized page shell: each doc links to its successor site
+    * with an anchor text chosen by doc_id residue — residue 0 carries
+    * inner markup (`<b>Breaking</b> News`) that must strip, and the
+    * News/news case split must fold. The oracle states each residue's
+    * expected TERMS literally from the doc_id arithmetic — extraction,
+    * tag-stripping, and tokenization never run on the oracle side. */
+  private def qAnchorText(s: SparkSession, dir: String): DataFrame = {
+    val base = concat(
+      lit("http://site"), (col("doc_id") % 20).cast("string"), lit(".com/idx.html"))
+    val dst = concat(lit("site"), ((col("doc_id") + 1) % 20).cast("string"), lit(".com"))
+    val anchor = when(col("doc_id") % 3 === 0, lit("<b>Breaking</b> News"))
+      .when(col("doc_id") % 3 === 1, lit("news archive"))
+      .otherwise(lit("Sports"))
+    val html = concat(
+      lit("<html><body><a href=\"http://"), dst, lit("/p\">"), anchor,
+      lit("</a></body></html>"))
+    graft.ops.Urls.anchorTermStats(
+      Tables.documents(s, dir).select(col("doc_id"), base.as("base_url"), html.as("html")),
+      "html", "base_url", topM = 3)
+  }
+
+  /** Weighted sampling without replacement ([[graft.ops.Mixture
+    * .prioritySample]], Efraimidis–Spirakis A-ES): top-100 documents by
+    * u^(1/n_tokens) — token-count-proportional selection with an
+    * exact-k guarantee, deterministic from the salt. Global form:
+    * TakeOrderedAndProject, no global sort. */
+  private def qPrioritySample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Mixture.prioritySample(
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      k = 100, weightCol = "n_tokens", salt = "prio1")
 
   /** Deterministic typo-domain column: 50 md5-derived 8-hex hostnames;
     * every `doc_id % 7 == 0` row mis-spells its hostname by DELETING
@@ -2253,7 +2290,9 @@ object SparkEntry {
     "q_link_authority" -> (qLinkAuthority _),
     "q_distinct_sketch" -> (qDistinctSketch _),
     "q_cdc_chunks" -> (qCdcChunks _),
-    "q_cdc_dedup" -> (qCdcDedup _)
+    "q_cdc_dedup" -> (qCdcDedup _),
+    "q_anchor_text" -> (qAnchorText _),
+    "q_priority_sample" -> (qPrioritySample _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -2312,6 +2351,7 @@ object SparkEntry {
         |le AS (
         |  SELECT s, d FROM lg WHERE doc_id % 5 = 0
         |  UNION ALL SELECT s, d FROM lg WHERE doc_id % 5 = 1
+        |  UNION ALL SELECT s, s FROM lg WHERE doc_id % 5 = 2
         |  UNION ALL SELECT s, s FROM lg WHERE doc_id % 5 = 2
         |  UNION ALL SELECT s, s FROM lg WHERE doc_id % 5 = 3
         |  UNION ALL SELECT s, 'example.org' FROM lg),
@@ -2479,10 +2519,39 @@ object SparkEntry {
         |  SELECT src AS src_domain, dst AS dst_domain FROM d WHERE doc_id % 5 = 0
         |  UNION ALL SELECT src, dst FROM d WHERE doc_id % 5 = 1
         |  UNION ALL SELECT src, src FROM d WHERE doc_id % 5 = 2
+        |  UNION ALL SELECT src, src FROM d WHERE doc_id % 5 = 2
         |  UNION ALL SELECT src, src FROM d WHERE doc_id % 5 = 3
         |  UNION ALL SELECT src, 'example.org' FROM d)
         |SELECT src_domain, dst_domain, COUNT(*) AS n_links
         |FROM e GROUP BY 1, 2""".stripMargin,
+    // terms stated literally from the residue arithmetic: residue 0 →
+    // {breaking, news} (markup stripped, case folded), 1 → {news,
+    // archive}, 2 → {sports}; extraction never runs oracle-side
+    "q_anchor_text" ->
+      """WITH d AS (SELECT doc_id,
+        |  'site' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com' AS dom FROM documents),
+        |t AS (
+        |  SELECT dom, CASE WHEN doc_id % 3 = 0 THEN 'breaking'
+        |                   WHEN doc_id % 3 = 1 THEN 'news'
+        |                   ELSE 'sports' END AS term FROM d
+        |  UNION ALL
+        |  SELECT dom, CASE WHEN doc_id % 3 = 0 THEN 'news'
+        |                   WHEN doc_id % 3 = 1 THEN 'archive' END FROM d),
+        |c AS (SELECT dom AS dst_domain, term, COUNT(*) AS n
+        |      FROM t WHERE term IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT dst_domain, term, n,
+        |        CAST(row_number() OVER (PARTITION BY dst_domain ORDER BY n DESC, term ASC) AS INT) AS rank
+        |      FROM c)
+        |SELECT dst_domain, term, n, rank FROM r WHERE rank <= 3""".stripMargin,
+    "q_priority_sample" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |k AS (SELECT doc_id, n_tokens,
+        |        POWER(('0x' || substr(md5('prio1' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0,
+        |              1.0 / n_tokens) AS key
+        |      FROM d WHERE n_tokens > 0),
+        |r AS (SELECT doc_id, n_tokens, key,
+        |        CAST(row_number() OVER (ORDER BY key DESC, doc_id ASC) AS INT) AS draw_rank FROM k)
+        |SELECT doc_id, n_tokens, ROUND(key, 6) AS draw_key, draw_rank FROM r WHERE draw_rank <= 100""".stripMargin,
     "q_fuzzy_link" ->
       """WITH p AS (SELECT DISTINCT substr(md5(CAST(doc_id % 50 AS VARCHAR)), 1, 3)
         |                        || substr(md5(CAST(doc_id % 50 AS VARCHAR)), 5, 4)

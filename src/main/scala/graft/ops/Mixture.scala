@@ -126,6 +126,60 @@ object Mixture {
       .where(col("draw_rank") <= k)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+    * algorithm A-ES): every row draws the deterministic uniform
+    * u = [[uniformHash]](salt, id) and gets key = u^(1/w); the k
+    * LARGEST keys are exactly a weight-proportional sample without
+    * replacement. This is the one sampling shape the hash-filter
+    * family above cannot express: per-ROW weights (sample documents ∝
+    * token count, quality score, dedup-cluster mass) with an exact-k
+    * guarantee, no replacement, and no accept/reject loop.
+    *
+    * Same determinism contract as [[sample]]/[[stratifiedSample]]:
+    * retry/repartition-stable, reproducible from the salt, and the
+    * draw survives corpus growth (a new row displaces at most the
+    * current rank-k row, never reshuffles the selection).
+    *
+    * Plan shape: `strataCol = None` (global top-k) sorts nothing
+    * globally — `orderBy().limit(k)` plans TakeOrderedAndProject,
+    * per-partition heap top-k + driver merge of k·partitions rows,
+    * the 100 TB-safe spelling. `Some(col)` ranks per stratum with one
+    * window (parallel across strata — the same shape as
+    * [[stratifiedSample]]). Rows with weight ≤ 0 or NULL cannot be
+    * drawn and are dropped. Output: (id, strata?, weight, draw_key
+    * rounded 6dp, draw_rank); ties (identical keys) break by id. */
+  def prioritySample(
+      documents: DataFrame,
+      k: Int,
+      weightCol: String,
+      salt: String,
+      idCol: String = "doc_id",
+      strataCol: Option[String] = None
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = col(weightCol).cast("double")
+    val key = pow(uniformHash(salt, col(idCol)), lit(1.0) / w)
+    val outCols =
+      (col(idCol) +: strataCol.map(col).toSeq) ++
+        Seq(col(weightCol), round(col("__key"), 6).as("draw_key"), col("draw_rank"))
+    val base = documents
+      .where(w.isNotNull && w > 0.0)
+      .select((col(idCol) +: strataCol.map(col).toSeq :+ col(weightCol)): _*)
+      .withColumn("__key", key)
+    val ranked = strataCol match {
+      case Some(sc) =>
+        val win = Window.partitionBy(col(sc)).orderBy(col("__key").desc, col(idCol).asc)
+        base.withColumn("draw_rank", row_number().over(win)).where(col("draw_rank") <= k)
+      case None =>
+        // TakeOrderedAndProject (no global sort); the rank window then
+        // runs over k already-selected rows — a single trivial task
+        val topK = base.orderBy(col("__key").desc, col(idCol).asc).limit(k)
+        val win = Window.orderBy(col("__key").desc, col(idCol).asc)
+        topK.withColumn("draw_rank", row_number().over(win))
+    }
+    ranked.select(outCols: _*)
+  }
+
   /** Token-balanced shard assignment (the output-file layout step: N
     * training shards with near-equal token totals, so no reader strag-
     * gles): docs are globally ranked by token count DESC (doc_id

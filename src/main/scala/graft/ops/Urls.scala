@@ -277,10 +277,15 @@ object Urls {
   }
 
   /** Resolve an href against its page's base URL (RFC 3986 §5 subset —
-    * the cases a crawler meets; no dot-segment collapse):
+    * the cases a crawler meets; no dot-segment collapse, so `../x`
+    * resolves to the EQUIVALENT un-collapsed `dir/../x` form):
     *   - absolute (`scheme://…`) → itself
     *   - protocol-relative (`//host/…`) → base scheme + href
     *   - root-relative (`/path`) → base origin + href
+    *   - query-relative (`?page=2`) → base origin + base PATH + href
+    *     (RFC 3986 §5.3: same path, replaced query — the common
+    *     pagination link; routing it through the path-relative fallback
+    *     would silently drop the final path segment)
     *   - path-relative (`sub/p.html`) → base origin + base dir + href
     *   - empty / fragment-only / other schemes (`mailto:` …) → NULL
     * Pure Column chain; NULL for an unparseable base. */
@@ -295,6 +300,7 @@ object Urls {
       .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), h)
       .when(h.startsWith("//"), concat(scheme, lit(":"), h))
       .when(h.startsWith("/"), concat(origin, h))
+      .when(h.startsWith("?"), concat(origin, basePath, h))
       .when(h === "" || h.startsWith("#"), lit(null).cast("string"))
       .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null).cast("string")) // mailto:, javascript:
       .otherwise(concat(origin, baseDir, h))
@@ -312,6 +318,57 @@ object Urls {
     df.select((carry.map(col) :+ col(baseCol).as("__b") :+ explode(hrefs).as("__h")): _*)
       .select((carry.map(col) :+ resolveHref(col("__h"), col("__b")).as("url")): _*)
       .where(col("url").isNotNull && col("url").rlike("^(?i)https?://"))
+  }
+
+  /** Outbound links WITH their anchor text: full `<a …>text</a>`
+    * elements (either quote style, attribute case-insensitive, text may
+    * span lines), href resolved against `baseCol` with [[resolveHref]],
+    * http(s) targets only; inner markup (`<b>`, spans) is stripped from
+    * the text. Output: `carry` columns + `url` + `anchor` — one row per
+    * link, a stateless explode like [[extractLinks]] (zero shuffle).
+    * The two `regexp_extract_all` calls share one pattern, so the href
+    * and text arrays are position-aligned by construction. */
+  def extractLinksWithText(
+      df: DataFrame, htmlCol: String, baseCol: String, carry: Seq[String]): DataFrame = {
+    val pat = lit("(?is)<a\\s[^>]*?href\\s*=\\s*([\"'])(.*?)\\1[^>]*>(.*?)</a>")
+    val hrefs = regexp_extract_all(col(htmlCol), pat, lit(2)).as("h")
+    val texts = regexp_extract_all(col(htmlCol), pat, lit(3)).as("t")
+    df.select((carry.map(col) :+ col(baseCol).as("__b") :+
+        explode(arrays_zip(hrefs, texts)).as("__ht")): _*)
+      .select((carry.map(col) :+
+        resolveHref(col("__ht.h"), col("__b")).as("url") :+
+        trim(regexp_replace(col("__ht.t"), "<[^>]*>", "")).as("anchor")): _*)
+      .where(col("url").isNotNull && col("url").rlike("^(?i)https?://"))
+  }
+
+  /** Anchor-text term rollup per DESTINATION domain — the classic
+    * anchor-text relevance/label signal (what the web calls a page is
+    * often a better topic label than the page itself; search engines
+    * and crawl-curation quality priors both key on it). Terms are the
+    * lowercased alphanumeric runs of each anchor; top `topM` terms per
+    * registrable destination domain by (count desc, term asc).
+    *
+    * Plan: stateless link+term explode → ONE map-side-combinable
+    * (domain, term) count → a window per domain partition. The
+    * exchange is bounded by the distinct (domain, term) cardinality,
+    * not the page count — the same scaling argument as
+    * [[domainStats]]/[[domainEdges]]. */
+  def anchorTermStats(
+      df: DataFrame, htmlCol: String, baseCol: String, topM: Int): DataFrame = {
+    require(topM > 0, s"topM must be positive, got $topM")
+    val links = extractLinksWithText(df, htmlCol, baseCol, carry = Seq.empty)
+    val terms = links
+      .select(
+        registrableDomain(col("url")).as("dst_domain"),
+        explode(split(lower(col("anchor")), "[^a-z0-9]+")).as("term"))
+      .where(col("dst_domain").isNotNull && col("term") =!= "")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("dst_domain")).orderBy(col("n").desc, col("term").asc)
+    terms
+      .groupBy("dst_domain", "term")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topM)
   }
 
   /** Domain-level crawl graph: [[extractLinks]] rolled up to

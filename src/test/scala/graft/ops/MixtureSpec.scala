@@ -218,6 +218,61 @@ class MixtureSpec extends SparkSpec {
     assert(k5.subsetOf(a.toSet))
   }
 
+  private def aesReference(
+      rows: Seq[(Long, Double)], salt: String, k: Int): Seq[(Long, Double)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows
+      .filter(_._2 > 0.0)
+      .map { case (id, w) =>
+        val hex = md.digest(s"$salt$id".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(8)
+        val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+        (id, math.pow(u, 1.0 / w))
+      }
+      .sortBy { case (id, key) => (-key, id) }
+      .take(k)
+  }
+
+  test("prioritySample: exact driver-reference parity (global and stratified)") {
+    val rows = (0L until 200L).map(i => (i, (i % 7 + 1).toDouble, if (i % 2 == 0) "a" else "b"))
+    val df = rows.toDF("doc_id", "w", "source")
+    val got = Mixture.prioritySample(df, k = 20, weightCol = "w", salt = "ps")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3))).sortBy(_._3)
+    val ref = aesReference(rows.map(t => (t._1, t._2)), "ps", 20)
+    assert(got.map(_._1).sameElements(ref.map(_._1)))
+    got.zip(ref).foreach { case ((_, keyRounded, rank), (_, keyRef)) =>
+      val expected = BigDecimal(keyRef).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(keyRounded == expected, s"rank $rank")
+    }
+    // stratified: the per-stratum selection is the reference run per source
+    val strat = Mixture
+      .prioritySample(df, k = 10, weightCol = "w", salt = "ps", strataCol = Some("source"))
+      .collect().map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    Seq("a", "b").foreach { src =>
+      val srcRows = rows.filter(_._3 == src).map(t => (t._1, t._2))
+      assert(strat(src) == aesReference(srcRows, "ps", 10).map(_._1).toSet, src)
+    }
+  }
+
+  test("prioritySample: repartition-stable, weight-monotone, edge cases") {
+    val rows = (0L until 100L).map(i => (i, if (i < 3) 1e9 else 1.0))
+    val df = rows.toDF("doc_id", "w")
+    val a = Mixture.prioritySample(df, k = 5, weightCol = "w", salt = "s")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Mixture.prioritySample(df.repartition(7), k = 5, weightCol = "w", salt = "s")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // the three heavy rows (key = u^(1e-9) ≈ 1) must all be drawn
+    assert(Set(0L, 1L, 2L).subsetOf(a))
+    // weight <= 0 / NULL rows cannot be drawn; k > N returns all positive-weight rows
+    val mixed = Seq((1L, Some(2.0)), (2L, Some(0.0)), (3L, Some(-1.0)), (4L, None))
+      .toDF("doc_id", "w")
+    val kept = Mixture.prioritySample(mixed, k = 10, weightCol = "w", salt = "s")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("shardAssign: serpentine LPT — driver-reference parity, balance, partition invariance") {
     val rnd = new scala.util.Random(7)
     val df = (0L until 500L)

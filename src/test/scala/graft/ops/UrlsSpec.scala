@@ -175,6 +175,11 @@ class UrlsSpec extends SparkSpec {
     assert(resolve("/root/z", base) == Some("http://ex.com/root/z"))
     assert(resolve("sub/p.html", base) == Some("http://ex.com/a/b/sub/p.html"))
     assert(resolve("p2.html", "http://ex.com") == Some("http://ex.com/p2.html"))
+    // query-relative (RFC 3986 §5.3): same path, replaced query — NOT
+    // the path-relative fallback (which would drop the final segment)
+    assert(resolve("?page=2", base) == Some("http://ex.com/a/b/page.html?page=2"))
+    assert(resolve("?p=1", "http://ex.com/q?old=0#f") == Some("http://ex.com/q?p=1"))
+    assert(resolve("?x", "http://ex.com") == Some("http://ex.com?x"))
     assert(resolve("", base) == None)
     assert(resolve("#frag", base) == None)
     assert(resolve("mailto:a@b.c", base) == None)
@@ -194,6 +199,33 @@ class UrlsSpec extends SparkSpec {
       (7L, "http://a.com/1"),
       (7L, "http://b.com/2"),
       (7L, "http://ex.com/p")))
+  }
+
+  test("extractLinksWithText: href/text alignment, markup strip, multiline text") {
+    val html =
+      """<a href="http://a.com/1"><b>Breaking</b> News</a>
+        |<a HREF='/p' class="x">local
+        |link</a><a href="mailto:z@b.c">drop</a>""".stripMargin
+    val df = Seq((1L, "http://ex.com/d/page.html", html)).toDF("doc_id", "base", "html")
+    val got = Urls.extractLinksWithText(df, "html", "base", carry = Seq("doc_id"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("http://a.com/1", "Breaking News"),
+      ("http://ex.com/p", "local\nlink")))
+  }
+
+  test("anchorTermStats: case fold, term split, top-m per destination domain") {
+    val df = Seq(
+      ("http://s.com/1", "<a href=\"http://t.com/a\">Breaking News</a>"),
+      ("http://s.com/2", "<a href=\"http://t.com/b\">news archive</a>"),
+      ("http://s.com/3", "<a href=\"http://t.com/c\">news</a><a href=\"http://u.com/\">Sports!</a>")
+    ).toDF("base", "html")
+    val got = Urls.anchorTermStats(df, "html", "base", topM = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == Set(
+      ("t.com", "news", 3L, 1),
+      ("t.com", "archive", 1L, 2), // ties with 'breaking' break bytewise: archive < breaking
+      ("u.com", "sports", 1L, 1)))
   }
 
   test("domainEdges: registrable-domain rollup with counts") {
