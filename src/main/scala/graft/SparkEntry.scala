@@ -1906,6 +1906,36 @@ object SparkEntry {
       "html", "base_url", topM = 3)
   }
 
+  /** Crawl-policy gate ([[graft.ops.Urls.parseRobotsRules]] →
+    * [[graft.ops.Urls.filterDisallowedPaths]]): per-domain robots.txt
+    * Disallow prefixes parsed from synthesized robots documents (even
+    * domains forbid /private/ and /tmp/; odd domains only /private/,
+    * with a comment line and an empty Disallow that must be ignored),
+    * applied to one URL per document. The oracle never parses or
+    * prefix-matches — it states the surviving residues literally from
+    * the doc_id arithmetic. */
+  private def qRobotsFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sec = when(col("doc_id") % 4 === 0, lit("private"))
+      .when(col("doc_id") % 4 === 1, lit("tmp"))
+      .when(col("doc_id") % 4 === 2, lit("articles"))
+      .otherwise(lit("public"))
+    val urls = docs.select(
+      col("doc_id"),
+      concat(
+        lit("http://site"), (col("doc_id") % 20).cast("string"), lit(".com/"),
+        sec, lit("/p"), col("doc_id").cast("string"), lit(".html")).as("url"))
+    val robotsTxt = when(
+      col("doc_id") % 2 === 0,
+      lit("User-agent: *\nDisallow: /private/\nDisallow: /tmp/\nAllow: /\n"))
+      .otherwise(lit("User-agent: *\nDisallow: /private/\n# maintenance\nDisallow:\n"))
+    val robots = docs.where(col("doc_id") < 20).select(
+      concat(lit("site"), col("doc_id").cast("string"), lit(".com")).as("domain"),
+      robotsTxt.as("robots"))
+    val rules = graft.ops.Urls.parseRobotsRules(robots, "robots", "domain")
+    graft.ops.Urls.filterDisallowedPaths(urls, "url", rules)
+  }
+
   /** Weighted sampling without replacement ([[graft.ops.Mixture
     * .prioritySample]], Efraimidis–Spirakis A-ES): top-100 documents by
     * u^(1/n_tokens) — token-count-proportional selection with an
@@ -2292,7 +2322,8 @@ object SparkEntry {
     "q_cdc_chunks" -> (qCdcChunks _),
     "q_cdc_dedup" -> (qCdcDedup _),
     "q_anchor_text" -> (qAnchorText _),
-    "q_priority_sample" -> (qPrioritySample _)
+    "q_priority_sample" -> (qPrioritySample _),
+    "q_robots_filter" -> (qRobotsFilter _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -2543,6 +2574,18 @@ object SparkEntry {
         |        CAST(row_number() OVER (PARTITION BY dst_domain ORDER BY n DESC, term ASC) AS INT) AS rank
         |      FROM c)
         |SELECT dst_domain, term, n, rank FROM r WHERE rank <= 3""".stripMargin,
+    // survivors stated literally: /private/ always disallowed; /tmp/
+    // disallowed on even domains only (domain index ≡ doc_id mod 2);
+    // parsing and prefix-matching never run oracle-side
+    "q_robots_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'private' WHEN doc_id % 4 = 1 THEN 'tmp'
+        |       WHEN doc_id % 4 = 2 THEN 'articles' ELSE 'public' END AS sec
+        |FROM documents)
+        |SELECT doc_id,
+        |  'http://site' || CAST(doc_id % 20 AS VARCHAR) || '.com/' || sec ||
+        |    '/p' || CAST(doc_id AS VARCHAR) || '.html' AS url
+        |FROM u WHERE sec <> 'private' AND NOT (sec = 'tmp' AND doc_id % 2 = 0)""".stripMargin,
     "q_priority_sample" ->
       """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
         |k AS (SELECT doc_id, n_tokens,

@@ -371,6 +371,44 @@ object Urls {
       .where(col("rank") <= topM)
   }
 
+  /** Parse robots.txt-style documents into per-domain Disallow
+    * path-prefix rules: one row per `Disallow:` directive (case-
+    * insensitive, empty-value directives — "allow everything" — are
+    * dropped). `domainCol` carries the domain the robots file governs.
+    * Stateless extract + explode, zero shuffle. Documented subset: the
+    * Disallow prefixes of ALL user-agent groups are honored (the
+    * conservative read a bulk crawler takes — no per-agent group
+    * resolution, no Allow longest-match precedence, no wildcards). */
+  def parseRobotsRules(df: DataFrame, robotsCol: String, domainCol: String): DataFrame =
+    df.select(
+        col(domainCol).as("domain"),
+        explode(regexp_extract_all(
+          col(robotsCol), lit("(?im)^\\s*Disallow\\s*:\\s*(\\S+)\\s*$"), lit(1)))
+          .as("path_prefix"))
+      .where(col("path_prefix") =!= "")
+
+  /** Drop URLs whose path (query included) starts with a Disallow
+    * prefix for their registrable domain — the crawl-policy gate
+    * between frontier and fetch (or, curation-side, the retroactive
+    * policy filter over an already-fetched corpus). `rules` is
+    * [[parseRobotsRules]] output (domain, path_prefix).
+    *
+    * Plan: ONE equi anti-join on domain with the prefix test as the
+    * join residual — Spark executes it as a broadcast (small rule set:
+    * the common case, robots files are tiny) or shuffled hash anti-join
+    * on the domain key; the corpus is never exploded per rule. A URL
+    * with no parseable domain passes (quarantine handled elsewhere —
+    * this operator answers only "does a rule forbid it"). */
+  def filterDisallowedPaths(df: DataFrame, urlCol: String, rules: DataFrame): DataFrame = {
+    val path = regexp_extract(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val r = rules.select(col("domain").as("__r_dom"), col("path_prefix").as("__r_pfx"))
+    df.withColumn("__dom", registrableDomain(col(urlCol)))
+      .withColumn("__path", when(path === "", lit("/")).otherwise(path))
+      .join(r, col("__dom") === col("__r_dom") && col("__path").startsWith(col("__r_pfx")),
+        "left_anti")
+      .drop("__dom", "__path")
+  }
+
   /** Domain-level crawl graph: [[extractLinks]] rolled up to
     * (src_domain, dst_domain, n_links) over registrable domains — the
     * edge list [[graft.ops.Graph.pagerank]] consumes for authority

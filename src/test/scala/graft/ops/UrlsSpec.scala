@@ -228,6 +228,37 @@ class UrlsSpec extends SparkSpec {
       ("u.com", "sports", 1L, 1)))
   }
 
+  test("parseRobotsRules: directive case, comments, empty Disallow, whitespace") {
+    val robots =
+      """User-agent: *
+        |# staging area
+        |Disallow: /private/
+        |disallow:   /tmp/
+        |Disallow:
+        |Allow: /
+        |""".stripMargin
+    val df = Seq(("ex.com", robots)).toDF("domain", "robots")
+    val got = Urls.parseRobotsRules(df, "robots", "domain")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("ex.com", "/private/"), ("ex.com", "/tmp/")))
+  }
+
+  test("filterDisallowedPaths: prefix match per domain, query included, unknown domain passes") {
+    val rules = Seq(("ex.com", "/private/"), ("ex.com", "/p?drop"), ("other.net", "/"))
+      .toDF("domain", "path_prefix")
+    val urls = Seq(
+      (1L, "http://ex.com/private/x.html"),   // dropped: prefix
+      (2L, "http://sub.ex.com/private/y"),    // dropped: registrable domain ex.com
+      (3L, "http://ex.com/privateer"),        // kept: /private/ is not a prefix of /privateer
+      (4L, "http://ex.com/p?drop=1"),         // dropped: query participates in the path test
+      (5L, "http://other.net"),               // dropped: "/" rule matches the empty→"/" path
+      (6L, "http://new.org/private/z")        // kept: no rules for new.org
+    ).toDF("doc_id", "url")
+    val kept = Urls.filterDisallowedPaths(urls, "url", rules)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 6L))
+  }
+
   test("domainEdges: registrable-domain rollup with counts") {
     val df = Seq(
       ("http://www.sub.site1.com/p", "<a href=\"http://a.site2.com/x\">1</a><a href=\"/self\">2</a>"),
