@@ -2050,6 +2050,43 @@ object SparkEntry {
         round(col("purchase_value"), 4).as("last_purchase"))
   }
 
+  private def asofSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, dir)
+    val left = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_us")
+    val right = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts_us").agg(max("value").as("purchase_value"))
+    (left, right)
+  }
+
+  /** FORWARD as-of ([[graft.ops.AsOf.asofForward]]): each click joined
+    * to the user's NEXT purchase at-or-after it — the look-ahead twin
+    * of q_asof_join, oracle = DuckDB native ASOF with `>=`. */
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val (left, right) = asofSides(s, dir)
+    graft.ops.AsOf
+      .asofForward(left, right, Seq("user_id"), "ts_us", Seq("purchase_value"))
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        round(col("purchase_value"), 4).as("next_purchase"))
+  }
+
+  /** NEAREST as-of with a 1-hour tolerance ([[graft.ops.AsOf
+    * .asofNearest]]): the closer purchase in time, ties backward,
+    * matches farther than an hour nulled — pandas merge_asof
+    * (direction="nearest", tolerance=...) semantics; oracle composes
+    * DuckDB's two ASOF directions and restates the pick literally. */
+  private def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val (left, right) = asofSides(s, dir)
+    graft.ops.AsOf
+      .asofNearest(
+        left, right, Seq("user_id"), "ts_us", Seq("purchase_value"),
+        tolerance = Some(3600000000L))
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        round(col("purchase_value"), 4).as("near_purchase"))
+  }
+
   /** Embedding-space outlier screen ([[graft.ops.Similarity
     * .centroidOutliers]]): per-label centroid distance, z-scored —
     * DECIMAL-exact centroid sums, distances rounded before stats. */
@@ -2323,7 +2360,9 @@ object SparkEntry {
     "q_cdc_dedup" -> (qCdcDedup _),
     "q_anchor_text" -> (qAnchorText _),
     "q_priority_sample" -> (qPrioritySample _),
-    "q_robots_filter" -> (qRobotsFilter _)
+    "q_robots_filter" -> (qRobotsFilter _),
+    "q_asof_forward" -> (qAsofForward _),
+    "q_asof_nearest" -> (qAsofNearest _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -2677,6 +2716,28 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT l.event_id, l.user_id, l.ts_us, round(r.pv, 4) AS last_purchase
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts_us <= l.ts_us""".stripMargin,
+    "q_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS pv
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts_us, round(r.pv, 4) AS next_purchase
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts_us >= l.ts_us""".stripMargin,
+    "q_asof_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS pv
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |b AS (SELECT l.event_id, l.user_id, l.ts_us, r.pv AS bv, r.ts_us AS bt
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts_us <= l.ts_us),
+        |f AS (SELECT l.event_id, r.pv AS fv, r.ts_us AS ft
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts_us >= l.ts_us)
+        |SELECT b.event_id, b.user_id, b.ts_us,
+        |  round(CASE
+        |    WHEN (bt IS NOT NULL AND b.ts_us - bt <= 3600000000)
+        |         AND (NOT (ft IS NOT NULL AND ft - b.ts_us <= 3600000000)
+        |              OR (b.ts_us - bt) <= (ft - b.ts_us)) THEN bv
+        |    WHEN ft IS NOT NULL AND ft - b.ts_us <= 3600000000 THEN fv
+        |    END, 4) AS near_purchase
+        |FROM b JOIN f USING (event_id)""".stripMargin,
     "q_vad" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 39)) AS aud_id),
         |lens AS (SELECT aud_id, 400 + (aud_id % 5) * 160 AS len FROM ids),

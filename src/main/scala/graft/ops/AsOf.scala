@@ -32,24 +32,20 @@ import org.apache.spark.sql.graftbridge.Bridge
 object AsOf {
 
   private def requireNoReservedCols(left: DataFrame, right: DataFrame): Unit = {
-    val reserved = (c: String) =>
-      c == "__side" || c == "__p" || c == "__pp" || c == "__epoch" || c.startsWith("__v_")
+    val names = Set("__side", "__p", "__pp", "__epoch", "__mt", "__pb", "__pf", "__bt", "__ft")
+    val reserved = (c: String) => names.contains(c) || c.startsWith("__v_")
     val clash = (left.columns ++ right.columns).filter(reserved).distinct.toSeq
     require(clash.isEmpty,
-      s"input columns $clash collide with reserved internal names (__side, __p, __pp, __epoch, __v_*)")
+      s"input columns $clash collide with reserved internal names (${names.mkString(", ")}, __v_*)")
   }
 
-  /** Backward as-of join. `valueCols` are the right-side payload
-    * columns to carry (emitted under the same names); left columns pass
-    * through unchanged. Left rows with no earlier right row get NULL
-    * payloads (LEFT semantics). */
-  def asofBackward(
+  private def validateAndTag(
       left: DataFrame,
       right: DataFrame,
       keyCols: Seq[String],
       timeCol: String,
       valueCols: Seq[String]
-  ): DataFrame = {
+  ): (Seq[String], DataFrame) = {
     require(keyCols.nonEmpty && valueCols.nonEmpty, "need key and value columns")
     val leftCols = left.columns.toSeq
     require(!valueCols.exists(leftCols.contains),
@@ -66,24 +62,142 @@ object AsOf {
       .select((keyCols.map(col) :+ col(timeCol) :+ col("__side")) ++
         valueCols.map(c => col(c).as(s"__v_$c")): _*)
     // unionByName fills the left-only columns with NULL on the right side
-    val tagged = l.unionByName(r, allowMissingColumns = true)
-    val w = Window
+    (leftCols, l.unionByName(r, allowMissingColumns = true))
+  }
+
+  // carry ONE struct, not per-column lasts: independent per-column
+  // carries could stitch values from DIFFERENT right rows when a
+  // payload column is legitimately NULL. The struct is NULLed on left
+  // rows (a struct of nulls is itself non-null) so ignoreNulls skips
+  // them.
+  private def rightPayload(valueCols: Seq[String]): Column =
+    when(col("__side") === 0, struct(valueCols.map(c => col(s"__v_$c").as(c)): _*))
+
+  private def asofDirectional(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      valueCols: Seq[String],
+      backward: Boolean,
+      tolerance: Option[Long]
+  ): DataFrame = {
+    tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
+    val (leftCols, tagged) = validateAndTag(left, right, keyCols, timeCol, valueCols)
+    // tie order puts the exact-time right row INSIDE the frame for both
+    // directions: right before left going backward, left before right
+    // going forward — the `<=`/`>=` inclusive bound (DuckDB ASOF)
+    val w0 = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).asc, if (backward) col("__side").asc else col("__side").desc)
+    val w =
+      if (backward) w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def pick(c: Column): Column =
+      if (backward) last(c, ignoreNulls = true).over(w)
+      else first(c, ignoreNulls = true).over(w)
+    val carried = tagged.withColumn("__p", pick(rightPayload(valueCols)))
+    // the matched right TIME rides a second window expression over the
+    // SAME frame — null on exactly the same rows as the payload, so both
+    // picks land on the same right row
+    val withT = tolerance.fold(carried)(_ =>
+      carried.withColumn("__mt", pick(when(col("__side") === 0, col(timeCol)))))
+    val proj = valueCols.map { c =>
+      val v = col("__p").getField(c)
+      tolerance.fold(v) { tol =>
+        val dist =
+          if (backward) col(timeCol) - col("__mt") else col("__mt") - col(timeCol)
+        when(col("__mt").isNotNull && dist <= tol, v)
+      }.as(c)
+    }
+    withT
+      .where(col("__side") === 1)
+      .select(leftCols.map(col) ++ proj: _*)
+  }
+
+  /** Backward as-of join. `valueCols` are the right-side payload
+    * columns to carry (emitted under the same names); left columns pass
+    * through unchanged. Left rows with no earlier right row get NULL
+    * payloads (LEFT semantics). `tolerance` (same unit as `timeCol`)
+    * additionally nulls matches STALER than that — the max-staleness
+    * bound of pandas `merge_asof(tolerance=...)`. */
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      valueCols: Seq[String],
+      tolerance: Option[Long] = None
+  ): DataFrame =
+    asofDirectional(left, right, keyCols, timeCol, valueCols, backward = true, tolerance)
+
+  /** FORWARD as-of join — for every left row, the payload of the
+    * EARLIEST right row with `right.time >= left.time` on the same key
+    * (inclusive — a right row at exactly left.time matches). The mirror
+    * of [[asofBackward]]: same single-shuffle union-tag recipe with the
+    * tie order reversed and `first(_, ignoreNulls)` over the forward
+    * frame. pandas `merge_asof(direction="forward")` semantics. */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      valueCols: Seq[String],
+      tolerance: Option[Long] = None
+  ): DataFrame =
+    asofDirectional(left, right, keyCols, timeCol, valueCols, backward = false, tolerance)
+
+  /** NEAREST as-of join — the closer in time of the backward and
+    * forward matches; exact ties (including an exact-time right row,
+    * distance 0) resolve BACKWARD, deterministically. pandas
+    * `merge_asof(direction="nearest")` semantics. `tolerance` bounds
+    * the accepted distance on both sides.
+    *
+    * One shuffle, one sort: both directions are window expressions over
+    * the same (key) partitioning and (time, side) order — the forward
+    * pick uses the forward frame on the BACKWARD tie order, which
+    * excludes an exact-time right row from the forward frame, but that
+    * row is the backward match at distance 0 and distance 0 always wins
+    * backward, so the result is unaffected. */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      valueCols: Seq[String],
+      tolerance: Option[Long] = None
+  ): DataFrame = {
+    tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
+    val (leftCols, tagged) = validateAndTag(left, right, keyCols, timeCol, valueCols)
+    val w0 = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(timeCol).asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // carry ONE struct, not per-column lasts: independent per-column
-    // carries could stitch values from DIFFERENT right rows when a
-    // payload column is legitimately NULL. The struct is NULLed on left
-    // rows (a struct of nulls is itself non-null) so ignoreNulls skips
-    // them.
-    val payload = when(
-      col("__side") === 0,
-      struct(valueCols.map(c => col(s"__v_$c").as(c)): _*))
-    val carried = tagged
-      .withColumn("__p", last(payload, ignoreNulls = true).over(w))
+    val wB = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val payload = rightPayload(valueCols)
+    val matchedT = when(col("__side") === 0, col(timeCol))
+    // all four picks in ONE projection → a single Window node (chained
+    // withColumn left four stacked WindowExecs, each buffering the
+    // partition rows once)
+    val carried = tagged.select(
+      col("*"),
+      last(payload, ignoreNulls = true).over(wB).as("__pb"),
+      last(matchedT, ignoreNulls = true).over(wB).as("__bt"),
+      first(payload, ignoreNulls = true).over(wF).as("__pf"),
+      first(matchedT, ignoreNulls = true).over(wF).as("__ft"))
+    val distB = col(timeCol) - col("__bt")
+    val distF = col("__ft") - col(timeCol)
+    val okB = col("__bt").isNotNull && tolerance.fold(lit(true))(t => distB <= t)
+    val okF = col("__ft").isNotNull && tolerance.fold(lit(true))(t => distF <= t)
+    val useB = okB && (!okF || distB <= distF)
+    val proj = valueCols.map { c =>
+      when(useB, col("__pb").getField(c))
+        .when(okF, col("__pf").getField(c))
+        .as(c)
+    }
     carried
       .where(col("__side") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(c => col("__p").getField(c).as(c)): _*)
+      .select(leftCols.map(col) ++ proj: _*)
   }
 
   /** Skew-proof backward as-of join — identical results to

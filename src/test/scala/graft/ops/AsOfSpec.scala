@@ -101,6 +101,87 @@ class AsOfSpec extends SparkSpec {
     assert(bucketed.isNullAt(2) && bucketed.isNullAt(3))
   }
 
+  test("forward as-of: earliest right at or after, inclusive bound, tolerance") {
+    val left = Seq((1L, 10L), (1L, 15L), (1L, 40L), (2L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 15L, "b"), (1L, 30L, "c"), (3L, 1L, "z")).toDF("k", "t", "v")
+    val got = AsOf.asofForward(left, right, Seq("k"), "t", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(got == Set(
+      (1L, 10L, Some("b")),
+      (1L, 15L, Some("b")), // exact time matches (inclusive)
+      (1L, 40L, None),      // nothing at or after 40
+      (2L, 10L, None)
+    ))
+    // tolerance 5: the t=10 click is 5 ahead of b (kept); t=16 → c is 14 ahead (nulled)
+    val tl = Seq((1L, 10L), (1L, 16L)).toDF("k", "t")
+    val tol = AsOf.asofForward(tl, right, Seq("k"), "t", Seq("v"), tolerance = Some(5L))
+      .collect().map(r => (r.getLong(1), Option(r.getString(2)))).toSet
+    assert(tol == Set((10L, Some("b")), (16L, None)))
+  }
+
+  test("nearest as-of: closer side wins, exact tie resolves backward, tolerance both sides") {
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 26L), (1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 12L, "r12"), (1L, 28L, "r28"), (1L, 20L, "r20")).toDF("k", "t", "v")
+    val got = AsOf.asofNearest(left, right, Seq("k"), "t", Seq("v"))
+      .collect().map(r => (r.getLong(1), r.getString(2))).toMap
+    assert(got == Map(
+      10L -> "r12",  // only-forward region
+      20L -> "r20",  // exact time: distance 0, backward
+      26L -> "r28",  // forward (2) beats backward (6)
+      100L -> "r28"  // only-backward region
+    ))
+    // equidistant: backward wins deterministically
+    val tie = AsOf.asofNearest(Seq((1L, 20L)).toDF("k", "t"),
+        Seq((1L, 12L, "lo"), (1L, 28L, "hi")).toDF("k", "t", "v"), Seq("k"), "t", Seq("v"))
+      .head().getString(2)
+    assert(tie == "lo")
+    // tolerance 3: t=10 keeps r12 (dist 2), t=26 keeps r28 (dist 2),
+    // t=100 nulls (nearest right is 72 away)
+    val tol = AsOf.asofNearest(left, right, Seq("k"), "t", Seq("v"), tolerance = Some(3L))
+      .collect().map(r => (r.getLong(1), Option(r.getString(2)))).toMap
+    assert(tol == Map(
+      10L -> Some("r12"), 20L -> Some("r20"), 26L -> Some("r28"), 100L -> None))
+  }
+
+  test("all three directions match a brute-force reference on randomized data") {
+    val rnd = new scala.util.Random(42)
+    val leftRows = (0 until 300).map(_ => (rnd.nextInt(5).toLong, rnd.nextInt(200).toLong))
+    val rightRows = (0 until 120)
+      .map(_ => (rnd.nextInt(6).toLong, rnd.nextInt(200).toLong))
+      .distinct // unique per (key, time) by contract
+      .zipWithIndex.map { case ((k, t), i) => (k, t, s"v$i") }
+    val left = leftRows.toDF("k", "t")
+    val right = rightRows.toDF("k", "t", "v")
+    val byKey = rightRows.groupBy(_._1)
+    def bw(k: Long, t: Long) = byKey.getOrElse(k, Nil).filter(_._2 <= t)
+      .sortBy(r => (r._2, r._3)).lastOption
+    def fw(k: Long, t: Long) = byKey.getOrElse(k, Nil).filter(_._2 >= t)
+      .sortBy(r => (r._2, r._3)).headOption
+    def check(df: org.apache.spark.sql.DataFrame, expect: (Long, Long) => Option[String]): Unit = {
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+        .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).toSet).toMap
+      leftRows.distinct.foreach { case (k, t) =>
+        assert(got((k, t)) == Set(expect(k, t)), s"key=$k t=$t")
+      }
+    }
+    check(AsOf.asofBackward(left, right, Seq("k"), "t", Seq("v")), (k, t) => bw(k, t).map(_._3))
+    check(AsOf.asofForward(left, right, Seq("k"), "t", Seq("v")), (k, t) => fw(k, t).map(_._3))
+    val tol = 15L
+    check(
+      AsOf.asofNearest(left, right, Seq("k"), "t", Seq("v"), tolerance = Some(tol)),
+      (k, t) => {
+        val b = bw(k, t).filter(r => t - r._2 <= tol)
+        val f = fw(k, t).filter(r => r._2 - t <= tol)
+        (b, f) match {
+          case (Some(br), Some(fr)) => if (t - br._2 <= fr._2 - t) Some(br._3) else Some(fr._3)
+          case (Some(br), None) => Some(br._3)
+          case (None, Some(fr)) => Some(fr._3)
+          case _ => None
+        }
+      })
+  }
+
   test("composite key as-of") {
     val left = Seq((1L, "a", 10L), (1L, "b", 10L)).toDF("k1", "k2", "t")
     val right = Seq((1L, "a", 5L, 1.5), (1L, "b", 6L, 2.5)).toDF("k1", "k2", "t", "v")
