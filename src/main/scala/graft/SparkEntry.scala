@@ -143,6 +143,21 @@ object SparkEntry {
         valueCol = "value", groupCols = Seq("event_type"), k = 2.0)
       .select("event_id", "event_type", "value", "z", "group_mean")
 
+  /** Two-sided CUSUM drift flags ([[graft.ops.Anomaly.cusumFlags]]):
+    * per-user cumulative excursions of the event value past
+    * target 50 ± slack 5, fired at h = 300 — the loop-carried SPC
+    * recurrence as two chained window passes (prefix sum − running
+    * min), DECIMAL-exact so the oracle walks the identical arithmetic. */
+  private def qCusum(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Anomaly.cusumFlags(
+      Tables.events(s, dir).select("event_id", "user_id", "ts_us", "value"),
+      valueCol = "value",
+      keyCols = Seq("user_id"),
+      orderCols = Seq("ts_us", "event_id"),
+      target = new java.math.BigDecimal("50.00"),
+      slack = new java.math.BigDecimal("5.00"),
+      h = new java.math.BigDecimal("300.00"))
+
   /** Windowed power spectra ([[graft.dsp.Spectral]]): per-user 8-sample
     * windows over the event value stream through the radix-2 FFT
     * kernel; the oracle recomputes every bin with an UNROLLED direct
@@ -2362,7 +2377,8 @@ object SparkEntry {
     "q_priority_sample" -> (qPrioritySample _),
     "q_robots_filter" -> (qRobotsFilter _),
     "q_asof_forward" -> (qAsofForward _),
-    "q_asof_nearest" -> (qAsofNearest _)
+    "q_asof_nearest" -> (qAsofNearest _),
+    "q_cusum" -> (qCusum _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -2716,6 +2732,18 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT l.event_id, l.user_id, l.ts_us, round(r.pv, 4) AS last_purchase
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts_us <= l.ts_us""".stripMargin,
+    "q_cusum" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |             CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |p AS (SELECT *, SUM(v - 50.00 - 5.00) OVER w AS pu, SUM(50.00 - v - 5.00) OVER w AS pd
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT *, pu - LEAST(0, MIN(pu) OVER w) AS su, pd - LEAST(0, MIN(pd) OVER w) AS sd
+        |      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, ts_us, event_id, round(CAST(v AS DOUBLE), 2) AS value,
+        |       round(CAST(su AS DOUBLE), 2) AS cusum_up, round(CAST(sd AS DOUBLE), 2) AS cusum_down
+        |FROM m WHERE su > 300.00 OR sd > 300.00""".stripMargin,
     "q_asof_forward" ->
       """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
         |r AS (SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS pv

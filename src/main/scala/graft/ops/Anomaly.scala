@@ -57,4 +57,67 @@ object Anomaly {
       .drop("__mean", "__std")
   }
 
+  /** Two-sided CUSUM drift detection (Page 1954) — the SEQUENTIAL
+    * complement of [[zscoreFlags]]: a point outlier trips the z-score,
+    * but a small persistent shift (a scorer drifting 10% for an hour, a
+    * crawler shard's doc sizes creeping) never does; the cumulative-sum
+    * statistic accumulates every excursion past `slack` and fires when
+    * the running total clears `h`.
+    *
+    * The textbook recurrence is loop-carried
+    * (`S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (vᵢ − target − slack))`) — not a fixed-frame
+    * window. The closed form IS: with prefix sums
+    * `Pᵢ = Σⱼ≤ᵢ (vⱼ − target − slack)` and `P₀ = 0`,
+    * `S⁺ᵢ = Pᵢ − min₀≤ⱼ≤ᵢ Pⱼ` — a running sum and a running min, two
+    * chained codegen'd window passes over ONE key exchange and ONE
+    * sort (the downward side rides the same windows on its own
+    * series). No mapPartitions, no state store.
+    *
+    * All arithmetic is DECIMAL(18,2)-exact (the [[zscoreFlags]] /
+    * q_running_sum contract), so results are order-stable and
+    * engine-identical; `target`/`slack`/`h` are exact decimal
+    * constants — the SPC formulation with a KNOWN target (callers
+    * estimating the target from the stream compute it with
+    * [[zscoreFlags]]' stats pass first). Emits the rows where either
+    * side exceeds `h`: (keyCols, orderCols, value, cusum_up,
+    * cusum_down). Ordering must be made unique by `orderCols` (ties
+    * would make the prefix sum nondeterministic). */
+  def cusumFlags(
+      events: DataFrame,
+      valueCol: String,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      target: java.math.BigDecimal,
+      slack: java.math.BigDecimal,
+      h: java.math.BigDecimal
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty && orderCols.nonEmpty, "need key and order columns")
+    require(slack.signum >= 0, s"slack must be >= 0, got $slack")
+    require(h.signum > 0, s"h must be positive, got $h")
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = col(valueCol).cast("decimal(18,2)")
+    val zero = lit(java.math.BigDecimal.ZERO.setScale(2))
+    val prefixed = events.select(
+      col("*"),
+      sum(v - lit(target) - lit(slack)).over(w).as("__pu"),
+      sum(lit(target) - v - lit(slack)).over(w).as("__pd"))
+    // least(0, min) realizes the virtual P₀ = 0 start of the recurrence
+    val cusum = prefixed.select(
+      col("*"),
+      (col("__pu") - least(zero, min(col("__pu")).over(w))).as("__su"),
+      (col("__pd") - least(zero, min(col("__pd")).over(w))).as("__sd"))
+    // round(2) after the double cast: the values are exact at 2dp but
+    // engines disagree by 1 ulp on the decimal→double conversion itself
+    cusum
+      .where(col("__su") > lit(h) || col("__sd") > lit(h))
+      .select((keyCols ++ orderCols).map(col) ++ Seq(
+        round(v.cast("double"), 2).as("value"),
+        round(col("__su").cast("double"), 2).as("cusum_up"),
+        round(col("__sd").cast("double"), 2).as("cusum_down")): _*)
+  }
+
 }

@@ -31,6 +31,55 @@ class AnomalyPmiSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("cusumFlags: window closed form equals the textbook loop-carried recurrence") {
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      k <- 0L until 4L
+      i <- 0 until 80
+    } yield (k, i.toLong, math.rint(rnd.nextDouble() * 2000) / 100.0) // 2dp values
+    val df = rows.toDF("k", "i", "v")
+    val target = new java.math.BigDecimal("10.00")
+    val slack = new java.math.BigDecimal("1.00")
+    val h = new java.math.BigDecimal("20.00")
+    val got = Anomaly
+      .cusumFlags(df, "v", Seq("k"), Seq("i"), target, slack, h)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // driver reference: the literal recurrence, exact BigDecimal
+    val expected = rows.groupBy(_._1).flatMap { case (k, ks) =>
+      var su = BigDecimal(0); var sd = BigDecimal(0)
+      ks.sortBy(_._2).flatMap { case (_, i, v) =>
+        // BigDecimal.decimal == valueOf(double) — the canonical-string
+        // route Spark's double→decimal cast takes (exact for 2dp inputs)
+        val bv = BigDecimal.decimal(v).setScale(2)
+        su = (su + (bv - BigDecimal("10.00") - BigDecimal("1.00"))).max(0)
+        sd = (sd + (BigDecimal("10.00") - bv - BigDecimal("1.00"))).max(0)
+        if (su > BigDecimal("20.00") || sd > BigDecimal("20.00"))
+          Some((k, i) -> (su.toDouble, sd.toDouble))
+        else None
+      }
+    }
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should produce flags")
+  }
+
+  test("cusumFlags: a persistent small shift fires CUSUM but never the z-score") {
+    // 40 baseline points at 10, then 40 points at 11.2 — a 12% drift
+    // far inside 2σ of the mixed distribution
+    val rows = (0 until 40).map(i => (1L, i.toLong, 10.0)) ++
+      (40 until 80).map(i => (1L, i.toLong, 11.2))
+    val df = rows.toDF("k", "i", "v")
+    val z = Anomaly.zscoreFlags(df.withColumnRenamed("k", "event_type"), "v", Seq("event_type"), k = 2.0)
+    assert(z.count() == 0L)
+    val cs = Anomaly.cusumFlags(
+      df, "v", Seq("k"), Seq("i"),
+      new java.math.BigDecimal("10.00"), new java.math.BigDecimal("0.50"),
+      new java.math.BigDecimal("10.00"))
+    // drift of +0.7/point past slack accumulates; fires from point 54 on
+    val flaggedFrom = cs.agg(min("i")).head().getLong(0)
+    assert(flaggedFrom == 54L, s"first flag at $flaggedFrom")
+  }
+
   test("pmiBigrams: hand-computed counts and pmi on a fixed corpus") {
     // corpus: "x y x y" (bigrams: "x y","y x","x y"), "x y z"
     // (bigrams: "x y","y z") ⇒ c("x y")=3, N1=7, N2=5
