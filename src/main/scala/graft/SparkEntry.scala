@@ -158,6 +158,30 @@ object SparkEntry {
       slack = new java.math.BigDecimal("5.00"),
       h = new java.math.BigDecimal("300.00"))
 
+  /** Ordered funnel conversion ([[graft.ops.Funnel.conversion]]):
+    * view → click → purchase anchored at each user's first view, later
+    * steps strictly ordered and within 48 h of the anchor — the chained
+    * earliest-step windows ride ONE user exchange; the oracle walks the
+    * identical window chain. */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.conversion(
+      Tables.events(s, dir).select("user_id", "ts_us", "event_type"),
+      tsCol = "ts_us",
+      userCol = "user_id",
+      typeCol = "event_type",
+      steps = Seq("view", "click", "purchase"),
+      maxSpanUs = 172800000000L)
+
+  /** Weekly cohort retention ([[graft.ops.Funnel.retention]]): users
+    * grouped by the 7-day period of their first event, distinct-active
+    * counts per later period, rate against the offset-0 cohort size. */
+  private def qCohortRetention(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.retention(
+      Tables.events(s, dir).select("user_id", "ts_us"),
+      tsCol = "ts_us",
+      userCol = "user_id",
+      periodUs = 604800000000L)
+
   /** Windowed power spectra ([[graft.dsp.Spectral]]): per-user 8-sample
     * windows over the event value stream through the radix-2 FFT
     * kernel; the oracle recomputes every bin with an UNROLLED direct
@@ -2378,7 +2402,9 @@ object SparkEntry {
     "q_robots_filter" -> (qRobotsFilter _),
     "q_asof_forward" -> (qAsofForward _),
     "q_asof_nearest" -> (qAsofNearest _),
-    "q_cusum" -> (qCusum _)
+    "q_cusum" -> (qCusum _),
+    "q_funnel" -> (qFunnel _),
+    "q_cohort_retention" -> (qCohortRetention _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -2744,6 +2770,40 @@ object SparkEntry {
         |SELECT user_id, ts_us, event_id, round(CAST(v AS DOUBLE), 2) AS value,
         |       round(CAST(su AS DOUBLE), 2) AS cusum_up, round(CAST(sd AS DOUBLE), 2) AS cusum_down
         |FROM m WHERE su > 300.00 OR sd > 300.00""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |p1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+        |                   OVER (PARTITION BY user_id) AS t1 FROM e),
+        |p2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us > t1
+        |                           AND ts_us <= t1 + 172800000000 THEN ts_us END)
+        |                   OVER (PARTITION BY user_id) AS t2 FROM p1),
+        |p3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us > t2
+        |                           AND ts_us <= t1 + 172800000000 THEN ts_us END)
+        |                   OVER (PARTITION BY user_id) AS t3 FROM p2),
+        |u AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3 FROM p3 GROUP BY user_id),
+        |c AS (SELECT COUNT(t1) AS n1, COUNT(t2) AS n2, COUNT(t3) AS n3 FROM u),
+        |s AS (SELECT 1 AS step_idx, 'view' AS step_name, n1 AS n_users, n1 AS d FROM c
+        |      UNION ALL SELECT 2, 'click', n2, n1 FROM c
+        |      UNION ALL SELECT 3, 'purchase', n3, n1 FROM c)
+        |SELECT step_idx, step_name, n_users,
+        |       CASE WHEN d = 0 THEN 0.0
+        |            ELSE round(CAST(n_users AS DOUBLE) / d, 4) END AS conv_rate
+        |FROM s""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (SELECT *, MIN(ts_us) OVER (PARTITION BY user_id) AS first_ts FROM e),
+        |pr AS (SELECT user_id,
+        |         CAST((first_ts - first_ts % 604800000000) / 604800000000 AS BIGINT) AS cohort_period,
+        |         CAST((ts_us - ts_us % 604800000000) / 604800000000 AS BIGINT)
+        |           - CAST((first_ts - first_ts % 604800000000) / 604800000000 AS BIGINT) AS period_offset
+        |       FROM f),
+        |a AS (SELECT cohort_period, period_offset, COUNT(DISTINCT user_id) AS n_active
+        |      FROM pr GROUP BY 1, 2),
+        |s AS (SELECT *, MAX(CASE WHEN period_offset = 0 THEN n_active END)
+        |                  OVER (PARTITION BY cohort_period) AS sz FROM a)
+        |SELECT cohort_period, period_offset, n_active,
+        |       round(CAST(n_active AS DOUBLE) / sz, 4) AS retention
+        |FROM s""".stripMargin,
     "q_asof_forward" ->
       """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
         |r AS (SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS pv

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel conversion and cohort retention — the two event-
+  * analytics rollups every product/events warehouse runs, and (in a
+  * training-data pipeline) the acceptance analytics over ingest events
+  * (fetched → parsed → kept, per crawl shard). The reference engine has
+  * no event surface; these extend the events-table family
+  * (SURVEY §2 additions) alongside [[Anomaly]] and sessionization.
+  *
+  * Both operators are ONE exchange on the entity key: the funnel's
+  * chained "earliest step k after step k−1" scan is k window passes
+  * over the SAME user partitioning (Catalyst plans one Exchange and
+  * reuses it — the [[Anomaly.cusumFlags]] shape), and the per-user
+  * rollup that follows is partitioning-compatible, so no second
+  * shuffle. The final step-count frame is O(steps) rows.
+  *
+  * Funnel semantics (the deterministic "anchor at first entry" form):
+  * t₁ = the user's earliest step-1 event; tₖ = the earliest step-k
+  * event STRICTLY after tₖ₋₁ and within `maxSpan` of t₁. A user
+  * reaches step k iff tₖ exists. Greedy-earliest is the standard
+  * warehouse funnel (not the NP-ish "best anchor" variant): it is
+  * order-deterministic and each step needs only the previous step's
+  * timestamp, which is what makes the closed form window-expressible.
+  */
+object Funnel {
+
+  /** Per-step funnel rollup: (step_idx 1-based, step_name, n_users,
+    * conv_rate = n_users(step)/n_users(step 1) rounded 4dp; 0.0 when
+    * nobody enters). `tsCol` must be an integral epoch column (µs);
+    * `maxSpanUs` bounds tₖ − t₁ for every k ≥ 2. */
+  def conversion(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      maxSpanUs: Long
+  ): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"duplicate step names: $steps")
+    require(maxSpanUs > 0, s"maxSpanUs must be positive, got $maxSpanUs")
+    val w = Window.partitionBy(col(userCol))
+    val ts = col(tsCol)
+    // pass 1: the anchor; pass k: earliest step-k event after t(k-1)
+    // and within the span of the anchor — each pass only reads the
+    // PREVIOUS pass's materialized column, so the chain stays inside
+    // one user-hash Exchange (unbounded frames: no sort either)
+    val anchored = events.select(
+      col(userCol),
+      ts,
+      col(typeCol),
+      min(when(col(typeCol) === steps.head, ts)).over(w).as("__t1"))
+    val chained = steps.zipWithIndex.tail.foldLeft(anchored) {
+      case (df, (step, i)) =>
+        df.withColumn(
+          s"__t${i + 1}",
+          min(when(
+            col(typeCol) === step &&
+              ts > col(s"__t$i") &&
+              ts <= col("__t1") + lit(maxSpanUs),
+            ts)).over(w))
+    }
+    // per-user row (the __t columns are partition constants, so max()
+    // over the existing user partitioning adds no exchange), then the
+    // O(steps) global count — non-null tK implies non-null t(K-1), so
+    // the step counts are monotone by construction
+    val perUser = chained
+      .groupBy(col(userCol))
+      .agg(max(col("__t1")).as("__t1"),
+        steps.indices.tail.map(i => max(col(s"__t${i + 1}")).as(s"__t${i + 1}")): _*)
+    val counts = perUser.agg(
+      count(col("__t1")).as("__n1"),
+      steps.indices.tail.map(i => count(col(s"__t${i + 1}")).as(s"__n${i + 1}")): _*)
+    val stepRows = steps.zipWithIndex.map { case (step, i) =>
+      struct(
+        lit(i + 1).as("step_idx"),
+        lit(step).as("step_name"),
+        col(s"__n${i + 1}").as("n_users"))
+    }
+    counts
+      .select(explode(array(stepRows: _*)).as("__s"), col("__n1"))
+      .select(
+        col("__s.step_idx"),
+        col("__s.step_name"),
+        col("__s.n_users"),
+        when(col("__n1") === 0L, lit(0.0))
+          .otherwise(round(col("__s.n_users").cast("double") / col("__n1").cast("double"), 4))
+          .as("conv_rate"))
+  }
+
+  /** Cohort retention over fixed-width periods: group users by the
+    * period of their FIRST event (`cohort_period` = epoch-µs ts div
+    * `periodUs`), then count the distinct users of each cohort active
+    * in each later period. Output: (cohort_period, period_offset,
+    * n_active, retention = n_active / cohort size rounded 4dp).
+    * Offset 0 always holds the full cohort (a user's first event is in
+    * their own cohort period), which is what makes the retention
+    * denominator a window over the result instead of a second scan.
+    *
+    * Plan: one user-hash exchange (first-event window), a stateless
+    * period projection, then a distinct + count whose exchange is
+    * bounded by |cohorts × offsets × users-active| — the classic
+    * retention-matrix cardinality, far below the event count. The
+    * period arithmetic is subtract-mod (`ts − ts % p`) before the
+    * divide so the quotient is exact in DOUBLE for any epoch-µs value
+    * (the multiple of p is < 2⁵³; a raw ts/p divide could land a hair
+    * under an integer boundary and floor off by one). */
+  def retention(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      periodUs: Long
+  ): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    val ts = col(tsCol)
+    val p = lit(periodUs)
+    def periodOf(c: Column): Column = ((c - c % p) / p).cast("long")
+    val w = Window.partitionBy(col(userCol))
+    val withCohort = events
+      .select(col(userCol), ts)
+      .withColumn("__first", min(ts).over(w))
+      .select(
+        col(userCol),
+        periodOf(col("__first")).as("cohort_period"),
+        (periodOf(ts) - periodOf(col("__first"))).as("period_offset"))
+    val active = withCohort
+      .groupBy("cohort_period", "period_offset")
+      .agg(countDistinct(col(userCol)).as("n_active"))
+    val wc = Window.partitionBy(col("cohort_period"))
+    active
+      .withColumn("__size", max(when(col("period_offset") === 0L, col("n_active"))).over(wc))
+      .select(
+        col("cohort_period"),
+        col("period_offset"),
+        col("n_active"),
+        round(col("n_active").cast("double") / col("__size").cast("double"), 4)
+          .as("retention"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("conversion: matches the literal greedy-earliest reference on a random fixture") {
+    val rnd = new scala.util.Random(7)
+    val types = Vector("a", "b", "c", "x")
+    val rows = for {
+      u <- 0L until 25L
+      i <- 0 until 40
+    } yield (u, i.toLong * 1000L + rnd.nextInt(999), types(rnd.nextInt(types.size)))
+    val df = rows.toDF("u", "ts", "t")
+    val span = 15000L
+    val got = Funnel
+      .conversion(df, "ts", "u", "t", Seq("a", "b", "c"), span)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+
+    // driver reference: per user, anchor at first 'a', then earliest
+    // next step strictly after the previous and within span of anchor
+    val perUser = rows.groupBy(_._1).values.map { es =>
+      val sorted = es.sortBy(_._2)
+      val t1 = sorted.collectFirst { case (_, ts, "a") => ts }
+      val t2 = t1.flatMap(a => sorted.collectFirst { case (_, ts, "b") if ts > a && ts <= a + span => ts })
+      val t3 = (t1, t2) match {
+        case (Some(a), Some(b)) =>
+          sorted.collectFirst { case (_, ts, "c") if ts > b && ts <= a + span => ts }
+        case _ => None
+      }
+      (t1.isDefined, t2.isDefined, t3.isDefined)
+    }.toSeq
+    val n1 = perUser.count(_._1).toLong
+    val n2 = perUser.count(_._2).toLong
+    val n3 = perUser.count(_._3).toLong
+    def rate(n: Long) = if (n1 == 0) 0.0 else math.rint(n.toDouble / n1 * 10000) / 10000
+    assert(got.toSeq == Seq(
+      (1, "a", n1, rate(n1)), (2, "b", n2, rate(n2)), (3, "c", n3, rate(n3))))
+    assert(n1 > 0 && n2 > 0, "fixture should exercise the funnel")
+    assert(n2 < n1 || n3 < n2, "fixture should drop users between steps")
+  }
+
+  test("conversion: strict order and span are enforced") {
+    // u1 completes in order; u2 has the click BEFORE the view (no
+    // conversion); u3 clicks outside the span
+    val df = Seq(
+      (1L, 100L, "view"), (1L, 200L, "click"),
+      (2L, 200L, "click"), (2L, 300L, "view"),
+      (3L, 100L, "view"), (3L, 5000L, "click")
+    ).toDF("u", "ts", "t")
+    val got = Funnel.conversion(df, "ts", "u", "t", Seq("view", "click"), maxSpanUs = 1000L)
+      .orderBy("step_idx")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("view", 3L), ("click", 1L)).map { case (s, n) =>
+      (s, n, math.rint(n.toDouble / 3 * 10000) / 10000) })
+  }
+
+  test("conversion: the step chain runs in ONE user exchange") {
+    val df = Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 3L, "a")).toDF("u", "ts", "t")
+    val plan = Funnel.conversion(df, "ts", "u", "t", Seq("a", "b"), 10L)
+      .queryExecution.executedPlan.toString
+    val userExchanges = "hashpartitioning".r.findAllIn(plan).size
+    assert(userExchanges == 1, s"expected one user exchange, plan:\n$plan")
+  }
+
+  test("retention: hand fixture — offsets, counts, offset-0 rate is 1.0") {
+    // period = 100; u1 first in period 0 active in 0,1,3; u2 first in
+    // period 0 active in 0; u3 first in period 1 active in 1,2
+    val df = Seq(
+      (1L, 10L), (1L, 150L), (1L, 320L),
+      (2L, 20L),
+      (3L, 110L), (3L, 250L)
+    ).toDF("u", "ts")
+    val got = Funnel.retention(df, "ts", "u", periodUs = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(
+      (0L, 0L, 2L, 1.0), (0L, 1L, 1L, 0.5), (0L, 3L, 1L, 0.5),
+      (1L, 0L, 1L, 1.0), (1L, 1L, 1L, 1.0)))
+  }
+
+  test("retention: period arithmetic is exact at epoch-microsecond magnitudes") {
+    // a ts exactly on a period boundary and one just below it, at
+    // realistic 1.7e15 magnitudes — the subtract-mod form must not
+    // floor off by one
+    val p = 604800000000L
+    val boundary = 2811L * p
+    val df = Seq((1L, boundary), (1L, boundary - 1L), (1L, boundary + 1L)).toDF("u", "ts")
+    val got = Funnel.retention(df, "ts", "u", p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2810L, 0L), (2810L, 1L)))
+  }
+}
