@@ -1834,6 +1834,28 @@ object SparkEntry {
       .select(col("node"), round(col("rank"), 6).as("pr"))
   }
 
+  /** HITS hubs/authorities over the crawl link graph ([[qLinkGraph]]'s
+    * edge list through [[graft.ops.Graph.hits]], 5 rounds, link counts
+    * as weights) — the complementary signal to [[qLinkAuthority]]:
+    * PageRank scores global visit probability, HITS separates
+    * link-DIRECTORY quality (hub) from link-TARGET quality (authority).
+    * `example.org` is a pure sink (no out-links), so its hub must
+    * widen to exactly 0 while it competes on authority. */
+  private def qHits(s: SparkSession, dir: String): DataFrame = {
+    val edges = qLinkGraph(s, dir).select(
+      col("src_domain").as("src"),
+      col("dst_domain").as("dst"),
+      col("n_links").cast("double").as("w"))
+    Graph
+      .hits(edges, iterations = 5, weightCol = Some("w"),
+        // domainEdges output is a groupBy result — one row per (src, dst)
+        assumeCollapsed = true)
+      .select(
+        col("node"),
+        round(col("authority"), 6).as("authority"),
+        round(col("hub"), 6).as("hub"))
+  }
+
   /** Content-defined chunking ([[graft.functions.CdcChunks]], w = 2,
     * modulus 16): token-granular Rabin/FastCDC cuts — boundaries
     * depend on local content, so an edit shifts only its own chunk,
@@ -2404,7 +2426,8 @@ object SparkEntry {
     "q_asof_nearest" -> (qAsofNearest _),
     "q_cusum" -> (qCusum _),
     "q_funnel" -> (qFunnel _),
-    "q_cohort_retention" -> (qCohortRetention _)
+    "q_cohort_retention" -> (qCohortRetention _),
+    "q_hits" -> (qHits _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -2451,25 +2474,61 @@ object SparkEntry {
         |  SELECT sn AS src, cn AS dst, w FROM arcs)""".stripMargin,
       iterations = 5)
 
-  /** q_link_authority: the q_link_graph edge list (respelled literally
-    * from the doc_id arithmetic, extraction/resolution never run here)
-    * pushed through the same recurrence — the end-to-end crawl→graph→
-    * authority chain. */
+  /** The q_link_graph edge list respelled literally from the doc_id
+    * arithmetic (extraction/resolution never run on the oracle side) —
+    * shared by the q_link_authority and q_hits oracles. */
+  private val linkGraphEdgesCtes: String =
+    """lg AS (SELECT doc_id,
+      |  'site' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS s,
+      |  'site' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com' AS d FROM documents),
+      |le AS (
+      |  SELECT s, d FROM lg WHERE doc_id % 5 = 0
+      |  UNION ALL SELECT s, d FROM lg WHERE doc_id % 5 = 1
+      |  UNION ALL SELECT s, s FROM lg WHERE doc_id % 5 = 2
+      |  UNION ALL SELECT s, s FROM lg WHERE doc_id % 5 = 2
+      |  UNION ALL SELECT s, s FROM lg WHERE doc_id % 5 = 3
+      |  UNION ALL SELECT s, 'example.org' FROM lg),
+      |edges AS (SELECT s AS src, d AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+      |          FROM le GROUP BY 1, 2)""".stripMargin
+
+  /** q_link_authority: the q_link_graph edge list pushed through the
+    * same recurrence — the end-to-end crawl→graph→authority chain. */
   private lazy val linkAuthorityOracleSql: String =
-    pagerankRecurrenceSql(
-      """lg AS (SELECT doc_id,
-        |  'site' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS s,
-        |  'site' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com' AS d FROM documents),
-        |le AS (
-        |  SELECT s, d FROM lg WHERE doc_id % 5 = 0
-        |  UNION ALL SELECT s, d FROM lg WHERE doc_id % 5 = 1
-        |  UNION ALL SELECT s, s FROM lg WHERE doc_id % 5 = 2
-        |  UNION ALL SELECT s, s FROM lg WHERE doc_id % 5 = 2
-        |  UNION ALL SELECT s, s FROM lg WHERE doc_id % 5 = 3
-        |  UNION ALL SELECT s, 'example.org' FROM lg),
-        |edges AS (SELECT s AS src, d AS dst, CAST(COUNT(*) AS DOUBLE) AS w
-        |          FROM le GROUP BY 1, 2)""".stripMargin,
-      iterations = 5)
+    pagerankRecurrenceSql(linkGraphEdgesCtes, iterations = 5)
+
+  /** q_hits: the HITS mutual recurrence unrolled term for term — per
+    * round, an L1-normalized hub-weighted in-sum (authority) then an
+    * L1-normalized authority-weighted out-sum (hub), exactly as
+    * [[graft.ops.Graph.hits]] computes them; the final SELECT widens
+    * one-sided nodes to literal 0 the way the operator does. */
+  private def hitsRecurrenceSql(edgesCtes: String, iterations: Int): String = {
+    // each CTE references its predecessor exactly ONCE (the L1
+    // normalizer is a window SUM, not a scalar subquery) — DuckDB
+    // inlines non-materialized CTEs per reference, so a second
+    // reference per step would re-expand the whole chain 4^k times
+    val iters = (1 to iterations).map { k =>
+      s"""a$k AS (SELECT node, v / SUM(v) OVER () AS authority FROM (
+         |  SELECT e.dst AS node, SUM(h.hub * e.w) AS v
+         |  FROM edges e JOIN h${k - 1} h ON h.node = e.src GROUP BY e.dst)),
+         |h$k AS (SELECT node, v / SUM(v) OVER () AS hub FROM (
+         |  SELECT e.src AS node, SUM(a.authority * e.w) AS v
+         |  FROM edges e JOIN a$k a ON a.node = e.dst GROUP BY e.src))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCtes,
+       |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |h0 AS (SELECT node, 1.0 / nn.n AS hub FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT nd.node,
+       |       ROUND(COALESCE(a.authority, 0), 6) AS authority,
+       |       ROUND(COALESCE(h.hub, 0), 6) AS hub
+       |FROM nodes nd
+       |LEFT JOIN a$iterations a ON a.node = nd.node
+       |LEFT JOIN h$iterations h ON h.node = nd.node""".stripMargin
+  }
+
+  private lazy val hitsOracleSql: String =
+    hitsRecurrenceSql(linkGraphEdgesCtes, iterations = 5)
 
   private lazy val topNgramsOracleSql: String =
     """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
@@ -2609,6 +2668,7 @@ object SparkEntry {
          |FROM dom a JOIN dom b ON a.s < b.s
          |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin,
     "q_link_authority" -> linkAuthorityOracleSql,
+    "q_hits" -> hitsOracleSql,
     "q_distinct_sketch" ->
       """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
         |g AS (SELECT source, array_to_string(t[i + 1 : i + 3], ' ') AS g

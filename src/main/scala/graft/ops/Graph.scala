@@ -188,6 +188,183 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs and authorities (Kleinberg 1999) — the complementary
+    * centrality to [[pagerank]]: PageRank scores global visit
+    * probability; HITS separates "pointed at by good hubs" (authority)
+    * from "points at good authorities" (hub), which is the signal a
+    * crawl curator wants when link DIRECTORIES and link TARGETS play
+    * different roles (hub-y aggregator domains vs authoritative
+    * content domains).
+    *
+    * Recurrence (mirrored term-for-term by the unrolled-CTE oracle):
+    * h₀ = 1/N on every node; per round, a′(v) = Σ_{u→v} h(u)·w, then
+    * L1-normalize; h′(u) = Σ_{u→v} a(v)·w, then L1-normalize. L1 (not
+    * the textbook L2) keeps both normalizers plain SUM aggregates —
+    * same fixed point direction, and the scores read as mass shares.
+    * Given ≥1 edge the normalizers stay positive: every positive-hub
+    * node has an out-edge by construction, every positive-authority
+    * node an in-edge, so each half-round's total inherits positivity.
+    * Weights must be positive (a zero/negative weight can void that
+    * argument); parallel edges collapse by weight sum.
+    *
+    * Execution shape: the SAME loop contract as [[pagerank]] — the arc
+    * matrix is cached TWICE, hash-partitioned + sorted on `src` and on
+    * `dst` with the layout declared to Catalyst, so each half-round
+    * joins its static side exchange-free and only the O(nodes) score
+    * vector plus one groupBy combine move; normalization is a one-row
+    * aggregate broadcast back as a scalar. Score vectors stay SPARSE
+    * inside the loop (auth only on in-edged nodes, hub only on
+    * out-edged ones — the zeros the recurrence would carry anyway) and
+    * widen to the full node universe once at the end. Broadcast-sized
+    * graphs take the same driver fast path as pagerank.
+    *
+    * @return (node, authority, hub); each column sums to 1 (nodes
+    *         missing a side score 0.0)
+    */
+  def hits(
+      edges: DataFrame,
+      iterations: Int = 5,
+      weightCol: Option[String] = None,
+      driverEdgeLimit: Long = 2000000L,
+      assumeCollapsed: Boolean = false
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val spark = edges.sparkSession
+    val w = weightCol.map(col).getOrElse(lit(1.0)).cast("double")
+
+    val (arcs, arcsRdd) = cut(
+      if (assumeCollapsed) edges.select(col("src"), col("dst"), w.as("w"))
+      else edges.groupBy(col("src"), col("dst")).agg(sum(w).as("w"))
+    )
+    val nArcs = arcs.count()
+    require(nArcs > 0, "hits over an empty edge list")
+    if (nArcs <= driverEdgeLimit) {
+      val rows = arcsRdd.collect()
+      arcsRdd.unpersist(blocking = false)
+      return hitsDriver(spark, rows, arcs.schema, iterations)
+    }
+
+    val (nodes, nodesRdd) = cut(
+      arcs
+        .select(explode(array(col("src"), col("dst"))).as("node"))
+        .groupBy("node")
+        .agg(count(lit(1)).as("__deg"))
+        .select("node")
+        .repartition(col("node"))
+    )
+    val n = nodes.count()
+
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val (bySrc, bySrcRdd) = cutPartitioned(
+      arcs.repartition(shufflePartitions, col("src")).sortWithinPartitions("src"),
+      Seq("src"),
+      shufflePartitions)
+    bySrc.count()
+    val (byDst, byDstRdd) = cutPartitioned(
+      arcs.repartition(shufflePartitions, col("dst")).sortWithinPartitions("dst"),
+      Seq("dst"),
+      shufflePartitions)
+    byDst.count()
+
+    def l1Normalize(raw: DataFrame, valueCol: String): DataFrame = {
+      val total = raw.agg(sum(col(valueCol)).as("__t"))
+      raw.crossJoin(broadcast(total))
+        .select(col("node"), (col(valueCol) / col("__t")).as(valueCol))
+    }
+
+    var (hubs, hubsRdd) = cut(nodes.select(col("node"), lit(1.0 / n).as("hub")))
+    hubs.count()
+    var auths: DataFrame = null
+    var authsRdd: org.apache.spark.rdd.RDD[InternalRow] = null
+
+    var iter = 0
+    while (iter < iterations) {
+      val authRaw = bySrc
+        .join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("hub") * col("w")).as("authority"))
+      val (nextA, nextARdd) = cut(l1Normalize(authRaw, "authority"))
+      nextA.count()
+      if (authsRdd != null) authsRdd.unpersist(blocking = false)
+      auths = nextA
+      authsRdd = nextARdd
+
+      val hubRaw = byDst
+        .join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("authority") * col("w")).as("hub"))
+      val (nextH, nextHRdd) = cut(l1Normalize(hubRaw, "hub"))
+      nextH.count()
+      hubsRdd.unpersist(blocking = false)
+      hubs = nextH
+      hubsRdd = nextHRdd
+      iter += 1
+    }
+
+    val (out, _) = cut(
+      nodes
+        .join(auths, Seq("node"), "left")
+        .join(hubs, Seq("node"), "left")
+        .select(
+          col("node"),
+          coalesce(col("authority"), lit(0.0)).as("authority"),
+          coalesce(col("hub"), lit(0.0)).as("hub")))
+    out.count()
+    Seq(arcsRdd, nodesRdd, bySrcRdd, byDstRdd, authsRdd, hubsRdd)
+      .foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Driver HITS for broadcast-sized graphs: identical recurrence on
+    * flat primitive arrays (the [[pagerankDriver]] contract). */
+  private def hitsDriver(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Array[InternalRow],
+      schema: org.apache.spark.sql.types.StructType,
+      iterations: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val srcType = schema.fields(0).dataType
+    val dstType = schema.fields(1).dataType
+    val idx = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+    def id(v: Any): Int = idx.getOrElseUpdate(v, idx.size)
+    val es = rows.map(r =>
+      (id(InternalRow.copyValue(r.get(0, srcType))),
+        id(InternalRow.copyValue(r.get(1, dstType))),
+        r.getDouble(2)))
+    val n = idx.size
+    var hub = Array.fill(n)(1.0 / n)
+    var auth = new Array[Double](n)
+    var iter = 0
+    while (iter < iterations) {
+      val a2 = new Array[Double](n)
+      es.foreach { case (s, t, wt) => a2(t) += hub(s) * wt }
+      val at = a2.sum
+      var i = 0
+      while (i < n) { a2(i) /= at; i += 1 }
+      val h2 = new Array[Double](n)
+      es.foreach { case (s, t, wt) => h2(s) += a2(t) * wt }
+      val ht = h2.sum
+      i = 0
+      while (i < n) { h2(i) /= ht; i += 1 }
+      auth = a2
+      hub = h2
+      iter += 1
+    }
+    val outSchema = StructType(Seq(
+      schema.fields(0).copy(name = "node"),
+      StructField("authority", DoubleType, nullable = false),
+      StructField("hub", DoubleType, nullable = false)))
+    val outRows = idx.toSeq.map { case (v, i) =>
+      new GenericInternalRow(Array[Any](v, auth(i), hub(i))): InternalRow
+    }
+    Bridge.internalCreateDataFrame(
+      spark,
+      spark.sparkContext.parallelize(outRows, math.max(1, n / 500000)),
+      outSchema)
+  }
+
   /** Driver power iteration for broadcast-sized graphs: identical
     * recurrence, flat primitive arrays, zero per-round scheduling.
     * Operates on INTERNAL rows end to end (UTF8String keys in, internal

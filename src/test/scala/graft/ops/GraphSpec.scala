@@ -136,6 +136,85 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  /** Dense HITS reference: same L1-normalized recurrence, driver-side
+    * plain arrays — independent of [[Graph.hits]]'s own driver path. */
+  private def denseHits(
+      edges: Seq[(String, String, Double)],
+      iterations: Int
+  ): Map[String, (Double, Double)] = {
+    val collapsed = edges
+      .groupBy(e => (e._1, e._2))
+      .map { case ((s, t), es) => (s, t, es.map(_._3).sum) }
+      .toSeq
+    val nodes = collapsed.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    var hub = Array.fill(n)(1.0 / n)
+    var auth = new Array[Double](n)
+    (1 to iterations).foreach { _ =>
+      val a = new Array[Double](n)
+      collapsed.foreach { case (s, t, w) => a(idx(t)) += hub(idx(s)) * w }
+      val at = a.sum
+      auth = a.map(_ / at)
+      val h = new Array[Double](n)
+      collapsed.foreach { case (s, t, w) => h(idx(s)) += auth(idx(t)) * w }
+      val ht = h.sum
+      hub = h.map(_ / ht)
+    }
+    nodes.map(v => v -> (auth(idx(v)), hub(idx(v)))).toMap
+  }
+
+  private def runHits(
+      edges: Seq[(String, String, Double)],
+      iterations: Int = 6,
+      parts: Int = 1,
+      driverEdgeLimit: Long = 1000000L
+  ): Map[String, (Double, Double)] = {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst", "w").repartition(parts)
+    Graph
+      .hits(df, iterations, weightCol = Some("w"), driverEdgeLimit = driverEdgeLimit)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+  }
+
+  private def assertCloseHits(
+      a: Map[String, (Double, Double)],
+      b: Map[String, (Double, Double)]): Unit = {
+    assert(a.keySet == b.keySet, s"${a.keySet} vs ${b.keySet}")
+    a.foreach { case (k, (av, hv)) =>
+      assert(math.abs(av - b(k)._1) < 1e-12, s"$k auth: $av vs ${b(k)._1}")
+      assert(math.abs(hv - b(k)._2) < 1e-12, s"$k hub: $hv vs ${b(k)._2}")
+    }
+  }
+
+  test("hits matches the dense reference; pure-sink and pure-source nodes widen to 0") {
+    // d is a pure sink (authority only), a a strong hub; weights matter
+    val got = runHits(chainWithDangling)
+    val want = denseHits(chainWithDangling, 6)
+    assertCloseHits(got, want)
+    assert(got("d")._2 == 0.0, "sink node must have hub exactly 0")
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9, "authority sums to 1")
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9, "hub sums to 1")
+  }
+
+  test("hits distributed loop (forced) agrees with the driver fast path") {
+    val viaDriver = runHits(chainWithDangling, parts = 3)
+    val viaLoop = runHits(chainWithDangling, parts = 3, driverEdgeLimit = 0L)
+    // the two paths sum floats in different orders; 1e-12 absolute is
+    // the same tolerance the pagerank twin test uses
+    assertCloseHits(viaDriver, viaLoop)
+  }
+
+  test("hits collapses parallel edges and handles self-loops like the reference") {
+    val multi = Seq(
+      ("x", "y", 1.0), ("x", "y", 2.0),
+      ("y", "x", 1.0), ("y", "y", 0.5)
+    )
+    assertCloseHits(runHits(multi), denseHits(multi, 6))
+  }
+
   test("tol stops early once converged and still returns a valid distribution") {
     // strongly connected 2-cycle converges fast; a loose tol must not
     // change the fixed point materially
