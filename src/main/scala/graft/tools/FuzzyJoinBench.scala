@@ -67,6 +67,31 @@ object FuzzyJoinBench {
       s"""{"bench":"fuzzy_join","n_base":$nBase,"n_typo":${2 * nTypo},""" +
         s""""pairs_s":$tPairs,"n_pairs":$nPairs,"dist1_pairs":$planted,""" +
         s""""expected_planted":$expected,"link_s":$tLink}""")
+
+    // Adversarial short-key corpus: every string of length ≤ 3 over a
+    // 36-char alphabet (~48k distinct keys concentrating into ~1.3k
+    // dense length-2 variant buckets of ~100+ members each). Uncapped
+    // this is a tens-of-millions pair explode skewed onto few tasks;
+    // the capped form sheds the dense buckets (variantShed counts
+    // them) and stays bounded.
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val n = alpha.length
+    val shortKeys = spark.range(n.toLong * n * n).select(
+      concat(
+        element_at(lit(alpha.map(_.toString).toArray), (col("id") / (n * n)).cast("int") + 1),
+        element_at(lit(alpha.map(_.toString).toArray), ((col("id") / n) % n).cast("int") + 1),
+        element_at(lit(alpha.map(_.toString).toArray), (col("id") % n).cast("int") + 1)
+      ).as("domain"))
+    val tight = 64
+    val tAdv = timeMedian(
+      graft.ops.FuzzyJoin.editDistancePairs(shortKeys, "domain", maxDist = 1, maxBucket = tight))
+    val shed = graft.ops.FuzzyJoin.variantShed(shortKeys, "domain", 1, tight)
+    val shedRows = shed.count()
+    val shedMembers = shed.agg(sum("n_members")).collect()(0).getLong(0)
+    println(
+      s"""{"bench":"fuzzy_join_adversarial","n_keys":${n.toLong * n * n},""" +
+        s""""max_bucket":$tight,"capped_s":$tAdv,"shed_buckets":$shedRows,""" +
+        s""""shed_members":$shedMembers}""")
     spark.stop()
   }
 }

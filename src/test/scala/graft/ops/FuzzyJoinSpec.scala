@@ -87,6 +87,52 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got == Set(("cat", "cat", 0)))
   }
 
+  test("capped buckets: tiny cap sheds the degenerate short-key mass, variantShed counts it") {
+    // 30 distinct 1–2 char strings over {a,b}: with d=1 the ""-variant
+    // bucket holds every length-1 string and the single-char variants
+    // are dense — classic degenerate corpus.
+    val strs = (for {
+      a <- 'a' to 'b'; b <- Seq("", "a", "b", "aa", "ab", "ba", "bb")
+    } yield s"$a$b") ++ Seq("a", "b")
+    val df = strs.toDF("s")
+    // generous cap → exact (brute parity)
+    assert(
+      FuzzyJoin.editDistancePairs(df, "s", 1, maxBucket = 1000).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+        == brutePairs(strs, 1))
+    // cap 2 → every over-cap bucket shed; result ⊆ brute, bounded work
+    val capped = FuzzyJoin.editDistancePairs(df, "s", 1, maxBucket = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(capped.subsetOf(brutePairs(strs, 1)))
+    // the shed diagnostic reports exactly the buckets over the cap
+    val shed = FuzzyJoin.variantShed(df, "s", 1, maxBucket = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(shed.nonEmpty && shed.values.forall(_ > 2))
+    assert(shed.contains("a") || shed.contains("b")) // dense single-char variants
+    // and with the generous cap nothing is shed
+    assert(FuzzyJoin.variantShed(df, "s", 1, maxBucket = 1000).isEmpty)
+  }
+
+  test("cappedStringSet ≡ size(collect_set) <= cap filter (sorted members, NULL over cap)") {
+    val df = Seq(
+      ("k1", "b"), ("k1", "a"), ("k1", "a"), ("k1", "c"),
+      ("k2", "x"), ("k2", "y"), ("k3", "z")).toDF("k", "v")
+    val got = df.groupBy("k")
+      .agg(graft.functions.CappedStringSet.cappedStringSet(col("v"), 2).as("s"))
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[String](1)).map(_.toList)).toMap
+    assert(got == Map("k1" -> None, "k2" -> Some(List("x", "y")), "k3" -> Some(List("z"))))
+  }
+
+  test("linkToDictionary with a saturating cap still links through in-cap variants") {
+    // dict of 1-char words saturates the "" variant at cap 2, but each
+    // probe still reaches its exact match through the identity variant
+    val dict = Seq("a", "b", "c", "d", "e").toDF("w")
+    val probe = Seq("a", "e").toDF("p")
+    val got = FuzzyJoin.linkToDictionary(probe, "p", dict, "w", 1, maxBucket = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(("a", "a", 0), ("e", "e", 0)))
+  }
+
   test("deletionVariants: exact sets for small strings") {
     def variants(str: String, d: Int): Set[String] =
       Seq(str).toDF("s")
