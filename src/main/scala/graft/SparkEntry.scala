@@ -1968,13 +1968,19 @@ object SparkEntry {
   }
 
   /** Crawl-policy gate ([[graft.ops.Urls.parseRobotsRules]] →
-    * [[graft.ops.Urls.filterDisallowedPaths]]): per-domain robots.txt
-    * Disallow prefixes parsed from synthesized robots documents (even
-    * domains forbid /private/ and /tmp/; odd domains only /private/,
-    * with a comment line and an empty Disallow that must be ignored),
-    * applied to one URL per document. The oracle never parses or
-    * prefix-matches — it states the surviving residues literally from
-    * the doc_id arithmetic. */
+    * [[graft.ops.Urls.filterDisallowedPaths]]), RFC 9309 semantics:
+    * three robots flavors by domain index mod 3 — (0) plain Disallow
+    * prefixes with an INLINE comment on the /tmp/ value that must
+    * still parse, plus a shorter Allow that must lose longest-match;
+    * (1) Disallow-/ with an Allow-/public/ carve-out (the case a
+    * Disallow-only read drops entirely); (2) a slash-`*.html$`
+    * wildcard Disallow with a longer Allow-/articles/ carve-out.
+    * Applied to
+    * one URL per document, host-keyed. The oracle never parses,
+    * wildcard-matches, or ranks — it states the surviving residues
+    * literally from the doc_id arithmetic (each flavor yields a
+    * DIFFERENT survivor set, so any precedence/comment/wildcard bug
+    * changes the hash). */
   private def qRobotsFilter(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val sec = when(col("doc_id") % 4 === 0, lit("private"))
@@ -1986,10 +1992,12 @@ object SparkEntry {
       concat(
         lit("http://site"), (col("doc_id") % 20).cast("string"), lit(".com/"),
         sec, lit("/p"), col("doc_id").cast("string"), lit(".html")).as("url"))
+    val flavor = (col("doc_id") % 20) % 3
     val robotsTxt = when(
-      col("doc_id") % 2 === 0,
-      lit("User-agent: *\nDisallow: /private/\nDisallow: /tmp/\nAllow: /\n"))
-      .otherwise(lit("User-agent: *\nDisallow: /private/\n# maintenance\nDisallow:\n"))
+      flavor === 0,
+      lit("User-agent: *\nDisallow: /private/\nDisallow: /tmp/ # temp mirror\nAllow: /\n"))
+      .when(flavor === 1, lit("User-agent: *\nDisallow: /\nAllow: /public/\n"))
+      .otherwise(lit("User-agent: *\nDisallow: /*.html$\nAllow: /articles/\n"))
     val robots = docs.where(col("doc_id") < 20).select(
       concat(lit("site"), col("doc_id").cast("string"), lit(".com")).as("domain"),
       robotsTxt.as("robots"))
@@ -2715,18 +2723,23 @@ object SparkEntry {
         |        CAST(row_number() OVER (PARTITION BY dst_domain ORDER BY n DESC, term ASC) AS INT) AS rank
         |      FROM c)
         |SELECT dst_domain, term, n, rank FROM r WHERE rank <= 3""".stripMargin,
-    // survivors stated literally: /private/ always disallowed; /tmp/
-    // disallowed on even domains only (domain index ≡ doc_id mod 2);
-    // parsing and prefix-matching never run oracle-side
+    // survivors stated literally per robots flavor f = (doc_id%20)%3:
+    // f=0 (prefix Disallows incl. inline comment) → articles+public;
+    // f=1 (Disallow-/ + Allow-/public/) → public only; f=2 (/*.html$
+    // wildcard + longer Allow-/articles/) → articles only. Parsing,
+    // wildcard matching, and longest-match ranking never run
+    // oracle-side.
     "q_robots_filter" ->
-      """WITH u AS (SELECT doc_id,
+      """WITH u AS (SELECT doc_id, (doc_id % 20) % 3 AS f,
         |  CASE WHEN doc_id % 4 = 0 THEN 'private' WHEN doc_id % 4 = 1 THEN 'tmp'
         |       WHEN doc_id % 4 = 2 THEN 'articles' ELSE 'public' END AS sec
         |FROM documents)
         |SELECT doc_id,
         |  'http://site' || CAST(doc_id % 20 AS VARCHAR) || '.com/' || sec ||
         |    '/p' || CAST(doc_id AS VARCHAR) || '.html' AS url
-        |FROM u WHERE sec <> 'private' AND NOT (sec = 'tmp' AND doc_id % 2 = 0)""".stripMargin,
+        |FROM u WHERE (f = 0 AND sec IN ('articles', 'public'))
+        |   OR (f = 1 AND sec = 'public')
+        |   OR (f = 2 AND sec = 'articles')""".stripMargin,
     "q_priority_sample" ->
       """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
         |k AS (SELECT doc_id, n_tokens,

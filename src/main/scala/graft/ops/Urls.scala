@@ -371,42 +371,98 @@ object Urls {
       .where(col("rank") <= topM)
   }
 
-  /** Parse robots.txt-style documents into per-domain Disallow
-    * path-prefix rules: one row per `Disallow:` directive (case-
-    * insensitive, empty-value directives — "allow everything" — are
-    * dropped). `domainCol` carries the domain the robots file governs.
-    * Stateless extract + explode, zero shuffle. Documented subset: the
-    * Disallow prefixes of ALL user-agent groups are honored (the
-    * conservative read a bulk crawler takes — no per-agent group
-    * resolution, no Allow longest-match precedence, no wildcards). */
+  /** Parse robots.txt-style documents into per-host path rules: one
+    * row per `Allow:`/`Disallow:` directive — `(domain, rule_type,
+    * path_prefix)` with `rule_type ∈ {"allow", "disallow"}`. Case-
+    * insensitive directive names; the value stops at whitespace or an
+    * inline `#` comment (a literal `#` never occurs in a path — it
+    * delimits the fragment); empty-value directives (`Disallow:` =
+    * "allow everything") are no-op rows and are dropped. `domainCol`
+    * carries the HOST the robots file was fetched from — robots.txt
+    * scope is per-host (RFC 9309 §2.3), and [[filterDisallowedPaths]]
+    * joins on the URL's host verbatim. Stateless extract + explode,
+    * zero shuffle. Documented subset: rules of ALL user-agent groups
+    * are honored together (the conservative read a bulk crawler takes
+    * — no per-agent group resolution). */
   def parseRobotsRules(df: DataFrame, robotsCol: String, domainCol: String): DataFrame =
     df.select(
         col(domainCol).as("domain"),
         explode(regexp_extract_all(
-          col(robotsCol), lit("(?im)^\\s*Disallow\\s*:\\s*(\\S+)\\s*$"), lit(1)))
+          col(robotsCol),
+          lit("(?im)^[ \\t]*(?:Allow|Disallow)[ \\t]*:[ \\t]*[^\\s#]+"), lit(0)))
+          .as("__line"))
+      .select(
+        col("domain"),
+        lower(regexp_extract(col("__line"), "(?i)^[ \\t]*(Allow|Disallow)", 1))
+          .as("rule_type"),
+        regexp_extract(col("__line"), "(?i)^[ \\t]*(?:Allow|Disallow)[ \\t]*:[ \\t]*([^\\s#]+)", 1)
           .as("path_prefix"))
       .where(col("path_prefix") =!= "")
 
-  /** Drop URLs whose path (query included) starts with a Disallow
-    * prefix for their registrable domain — the crawl-policy gate
+  /** Regex compiled from a robots path pattern: every regex metachar
+    * escaped, then `*` → `.*` (any sequence, RFC 9309 §2.2.3) and a
+    * TRAILING `$` → end anchor (elsewhere `$` is literal), anchored at
+    * the path start. */
+  private def robotsPatternRegex(pat: Column): Column = {
+    val esc = regexp_replace(pat, "([\\\\.\\[\\]{}()*+?^$|])", "\\\\$1")
+    val wild = regexp_replace(esc, "\\\\\\*", ".*")
+    val anch = regexp_replace(wild, "\\\\\\$$", "\\$")
+    concat(lit("^"), anch)
+  }
+
+  /** Drop URLs a robots rule set forbids — the crawl-policy gate
     * between frontier and fetch (or, curation-side, the retroactive
     * policy filter over an already-fetched corpus). `rules` is
-    * [[parseRobotsRules]] output (domain, path_prefix).
+    * [[parseRobotsRules]] output `(domain, rule_type, path_prefix)`,
+    * keyed by HOST; the URL's full lowercased host (port and userinfo
+    * stripped) is the join key — a rule set fetched from `sub.ex.com`
+    * governs `sub.ex.com` only, per RFC 9309 §2.3.
     *
-    * Plan: ONE equi anti-join on domain with the prefix test as the
-    * join residual — Spark executes it as a broadcast (small rule set:
-    * the common case, robots files are tiny) or shuffled hash anti-join
-    * on the domain key; the corpus is never exploded per rule. A URL
-    * with no parseable domain passes (quarantine handled elsewhere —
-    * this operator answers only "does a rule forbid it"). */
+    * Evaluation is the RFC 9309 §2.2.2 match: among the rules whose
+    * pattern matches the URL's path (query included; `*` matches any
+    * sequence, trailing `$` anchors the end), the LONGEST pattern
+    * (octet length of the raw value) wins; an allow/disallow tie at
+    * equal length resolves to allow; no matching rule ⇒ allowed.
+    *
+    * Plan: the rules side collapses to ONE row per host (collect_list
+    * over the tiny rules frame, regex precompiled per rule before the
+    * collapse), then ONE equi left join on the host key — broadcast in
+    * the common case — and the verdict is a per-row HOF fold over the
+    * host's bounded rule array (`array_max` over (len, is_allow)
+    * structs = longest-match-wins with allow tie-break, by struct
+    * ordering). The corpus is never exploded per rule. Wildcard-free
+    * rules take a `startsWith` fast path; only wildcard rules pay the
+    * per-row regex. A URL with no parseable host passes (quarantine
+    * handled elsewhere — this operator answers only "does a rule
+    * forbid it"). */
   def filterDisallowedPaths(df: DataFrame, urlCol: String, rules: DataFrame): DataFrame = {
-    val path = regexp_extract(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
-    val r = rules.select(col("domain").as("__r_dom"), col("path_prefix").as("__r_pfx"))
-    df.withColumn("__dom", registrableDomain(col(urlCol)))
-      .withColumn("__path", when(path === "", lit("/")).otherwise(path))
-      .join(r, col("__dom") === col("__r_dom") && col("__path").startsWith(col("__r_pfx")),
-        "left_anti")
-      .drop("__dom", "__path")
+    val perHost = rules
+      .select(
+        col("domain"),
+        struct(
+          col("path_prefix").as("pat"),
+          robotsPatternRegex(col("path_prefix")).as("rx"),
+          (col("path_prefix").contains("*") || col("path_prefix").endsWith("$")).as("wild"),
+          length(col("path_prefix")).as("len"),
+          (col("rule_type") === "allow").as("is_allow")).as("__rule"))
+      .groupBy(col("domain").as("__r_dom"))
+      .agg(collect_list(col("__rule")).as("__rules"))
+    val rawPath = regexp_extract(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val joined = df
+      .withColumn("__host", host(col(urlCol)))
+      .withColumn("__path", path)
+      .join(perHost, col("__host") === col("__r_dom"), "left")
+    val matched = filter(
+      col("__rules"),
+      r =>
+        when(r.getField("wild"), regexp_like(col("__path"), r.getField("rx")))
+          .otherwise(col("__path").startsWith(r.getField("pat"))))
+    val best = array_max(
+      transform(matched, r => struct(r.getField("len").as("len"), r.getField("is_allow").as("is_allow"))))
+    joined
+      .where(col("__rules").isNull || best.isNull || best.getField("is_allow"))
+      .drop("__host", "__path", "__r_dom", "__rules")
   }
 
   /** Domain-level crawl graph: [[extractLinks]] rolled up to

@@ -228,27 +228,33 @@ class UrlsSpec extends SparkSpec {
       ("u.com", "sports", 1L, 1)))
   }
 
-  test("parseRobotsRules: directive case, comments, empty Disallow, whitespace") {
+  test("parseRobotsRules: directive case, comments (full-line + inline), empty Disallow, whitespace") {
     val robots =
       """User-agent: *
         |# staging area
         |Disallow: /private/
-        |disallow:   /tmp/
+        |disallow:   /tmp/ # staging mirror
         |Disallow:
         |Allow: /
         |""".stripMargin
     val df = Seq(("ex.com", robots)).toDF("domain", "robots")
     val got = Urls.parseRobotsRules(df, "robots", "domain")
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    assert(got == Set(("ex.com", "/private/"), ("ex.com", "/tmp/")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("ex.com", "disallow", "/private/"),
+      ("ex.com", "disallow", "/tmp/"),
+      ("ex.com", "allow", "/")))
   }
 
-  test("filterDisallowedPaths: prefix match per domain, query included, unknown domain passes") {
-    val rules = Seq(("ex.com", "/private/"), ("ex.com", "/p?drop"), ("other.net", "/"))
-      .toDF("domain", "path_prefix")
+  test("filterDisallowedPaths: prefix match per host, query included, unknown host passes") {
+    val rules = Seq(
+      ("ex.com", "disallow", "/private/"),
+      ("ex.com", "disallow", "/p?drop"),
+      ("other.net", "disallow", "/"))
+      .toDF("domain", "rule_type", "path_prefix")
     val urls = Seq(
       (1L, "http://ex.com/private/x.html"),   // dropped: prefix
-      (2L, "http://sub.ex.com/private/y"),    // dropped: registrable domain ex.com
+      (2L, "http://sub.ex.com/private/y"),    // kept: robots scope is per-HOST (RFC 9309 §2.3)
       (3L, "http://ex.com/privateer"),        // kept: /private/ is not a prefix of /privateer
       (4L, "http://ex.com/p?drop=1"),         // dropped: query participates in the path test
       (5L, "http://other.net"),               // dropped: "/" rule matches the empty→"/" path
@@ -256,7 +262,52 @@ class UrlsSpec extends SparkSpec {
     ).toDF("doc_id", "url")
     val kept = Urls.filterDisallowedPaths(urls, "url", rules)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(kept == Set(3L, 6L))
+    assert(kept == Set(2L, 3L, 6L))
+  }
+
+  test("filterDisallowedPaths: Allow longest-match precedence (RFC 9309 §2.2.2)") {
+    // Disallow-everything site with Allow carve-outs — the case the
+    // Disallow-only read gets entirely wrong (drops the whole site)
+    val rules = Seq(
+      ("ex.com", "disallow", "/"),
+      ("ex.com", "allow", "/public/"),
+      ("ex.com", "allow", "/a"),
+      ("tie.com", "allow", "/dir/"),
+      ("tie.com", "disallow", "/dir/")) // equal length → allow wins
+      .toDF("domain", "rule_type", "path_prefix")
+    val urls = Seq(
+      (1L, "http://ex.com/public/page.html"), // kept: /public/ (7) beats / (1)
+      (2L, "http://ex.com/secret/page.html"), // dropped: only / matches
+      (3L, "http://ex.com/about"),            // kept: /a (2) beats / (1)
+      (4L, "http://ex.com/"),                 // dropped: only / matches
+      (5L, "http://tie.com/dir/x")            // kept: allow wins the equal-length tie
+    ).toDF("doc_id", "url")
+    val kept = Urls.filterDisallowedPaths(urls, "url", rules)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
+  test("filterDisallowedPaths: * and trailing-$ wildcards; $ elsewhere and regex chars literal") {
+    val rules = Seq(
+      ("ex.com", "disallow", "/*.pdf$"),      // any path ending .pdf
+      ("ex.com", "disallow", "/tmp*/"),       // /tmp…/ anywhere below
+      ("ex.com", "allow", "/tmpfiles/keep/"), // longest-match carve-out
+      ("lit.com", "disallow", "/a$b/"),       // $ not trailing → literal
+      ("lit.com", "disallow", "/c.d/"))       // . is literal, must not match /cxd/
+      .toDF("domain", "rule_type", "path_prefix")
+    val urls = Seq(
+      (1L, "http://ex.com/docs/manual.pdf"),      // dropped: *.pdf$
+      (2L, "http://ex.com/docs/manual.pdf.html"), // kept: $ anchors the end
+      (3L, "http://ex.com/tmpfiles/x"),           // dropped: /tmp*/
+      (4L, "http://ex.com/tmpfiles/keep/y"),      // kept: longer Allow wins
+      (5L, "http://lit.com/a$b/z"),               // dropped: literal $
+      (6L, "http://lit.com/ab/z"),                // kept: $ is not a wildcard here
+      (7L, "http://lit.com/cxd/z"),               // kept: . escaped, no regex match
+      (8L, "http://lit.com/c.d/z")                // dropped: literal .
+    ).toDF("doc_id", "url")
+    val kept = Urls.filterDisallowedPaths(urls, "url", rules)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 6L, 7L))
   }
 
   test("domainEdges: registrable-domain rollup with counts") {
