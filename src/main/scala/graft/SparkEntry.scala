@@ -2689,7 +2689,7 @@ object SparkEntry {
         |SELECT source,
         |  CAST(LEAST(nd, 64) AS INTEGER) AS n_kmv,
         |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
-        |       ELSE round(63.0 * (pow(2.0, 60.0) / CAST(kth AS DOUBLE)), 4) END AS est_distinct
+        |       ELSE round(63.0 * (pow(2.0, 60.0) / CAST(GREATEST(kth, 1) AS DOUBLE)), 4) END AS est_distinct
         |FROM agg""".stripMargin,
     "q_link_graph" ->
       """WITH d AS (SELECT doc_id,

@@ -37,7 +37,13 @@ object Cardinality {
       .otherwise(
         round(
           lit((k - 1).toDouble) *
-            (pow(lit(2.0), lit(60.0)) / element_at(kmvCol, k).cast("double")),
+            // hash 0 is in the 60-bit domain: an unguarded k-th value
+            // of 0 would divide to Infinity (and diverge from the
+            // oracle's round()). greatest(·,1) pins that measure-zero
+            // corner to the max finite estimate; the oracle SQL
+            // carries the same GREATEST.
+            (pow(lit(2.0), lit(60.0)) /
+              greatest(element_at(kmvCol, k), lit(1L)).cast("double")),
           4))
       .as("est_distinct"))
 

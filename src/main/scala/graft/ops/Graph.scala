@@ -236,8 +236,16 @@ object Graph {
       if (assumeCollapsed) edges.select(col("src"), col("dst"), w.as("w"))
       else edges.groupBy(col("src"), col("dst")).agg(sum(w).as("w"))
     )
-    val nArcs = arcs.count()
+    // one pass for both gates: count for the driver-path decision, min
+    // collapsed weight for the positivity requirement the normalizer
+    // argument rests on (a zero/negative weight would make an L1 total
+    // 0 and the scores silently NULL/NaN — fail fast instead)
+    val arcStats = arcs.agg(count(lit(1)).as("__n"), min(col("w")).as("__mn")).collect()(0)
+    val nArcs = arcStats.getLong(0)
     require(nArcs > 0, "hits over an empty edge list")
+    require(
+      arcStats.getDouble(1) > 0.0,
+      s"hits requires positive edge weights; min collapsed weight = ${arcStats.getDouble(1)}")
     if (nArcs <= driverEdgeLimit) {
       val rows = arcsRdd.collect()
       arcsRdd.unpersist(blocking = false)

@@ -345,6 +345,14 @@ object Ivf {
     * therefore every result — is bit-identical. Shared by the f32 path
     * below and the SQ8 path ([[Sq.topKIvf]]): returns
     * (query_id, probed cell, f32 query embedding). */
+  /** Hard cap on the serving-batch collect in [[rankCells]]: the
+    * queries frame is collected to the driver BY CONTRACT (it is a
+    * serving request), so a caller handing it a corpus-sized frame
+    * must fail fast with a pointer to the indexed batch path, not OOM
+    * the driver. The probe itself is a `limit(cap+1)` — bounded
+    * allocation even on a pathological input. */
+  private[ops] val MaxServingBatch = 100000
+
   private[ops] def rankCells(
       queries: DataFrame,
       centroids: DataFrame,
@@ -354,10 +362,16 @@ object Ivf {
       .select(col("cell"), col("centroid"))
       .collect()
       .map(r => (r.getAs[Number]("cell").intValue, r.getSeq[Double](1).toArray))
-    queries
+    val qRows = queries
       .select(col("vec_id"), col("embedding"))
+      .limit(MaxServingBatch + 1)
       .collect()
-      .toSeq
+    require(
+      qRows.length <= MaxServingBatch,
+      s"rankCells is a serving-batch path (collects the queries frame to the driver): " +
+        s"got more than $MaxServingBatch query rows — for corpus-sized query frames use " +
+        s"the indexed batch operators (topKIndexed / hardNegativesIndexed cell joins)")
+    qRows.toSeq
       .flatMap { r =>
         val qid = r.getLong(0)
         val qe = r.getSeq[Float](1)

@@ -34,6 +34,16 @@ class KMinValuesSpec extends SparkSpec {
     assert(got.getSeq[Long](1) == Seq(3L, 5L))
   }
 
+  test("estimator guards the k-th-value-0 corner: finite max estimate, never Infinity") {
+    // hash 0 is in the 60-bit domain; an unguarded divide would yield
+    // Infinity. Drive estimate() directly with a sketch whose k-th
+    // smallest is 0 (only reachable when EVERY retained hash is 0).
+    val df = Seq(Seq(0L, 0L)).toDF("kmv")
+    val (_, est) = graft.ops.Cardinality.estimate(col("kmv"), 2)
+    val got = df.select(est).head().getDouble(0)
+    assert(!got.isInfinite && got == math.pow(2.0, 60.0))
+  }
+
   test("estimator: exact below k, within 3/sqrt(k) relative error above") {
     val n = 20000
     val df = (0 until n).map(i => ("big", s"item_$i")).toDF("g", "item")

@@ -215,6 +215,20 @@ class GraphSpec extends SparkSpec {
     assertCloseHits(runHits(multi), denseHits(multi, 6))
   }
 
+  test("hits fails fast on zero/negative collapsed weights (the L1 normalizer would divide by 0)") {
+    import spark.implicits._
+    val zero = Seq(("a", "b", 0.0), ("b", "a", 1.0)).toDF("src", "dst", "w")
+    val e = intercept[IllegalArgumentException] {
+      Graph.hits(zero, iterations = 2, weightCol = Some("w"))
+    }
+    assert(e.getMessage.contains("positive edge weights"))
+    // a negative weight that cancels a parallel edge collapses to 0 — also rejected
+    val cancel = Seq(("a", "b", 1.0), ("a", "b", -1.0), ("b", "a", 1.0)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      Graph.hits(cancel, iterations = 2, weightCol = Some("w"))
+    }
+  }
+
   test("tol stops early once converged and still returns a valid distribution") {
     // strongly connected 2-cycle converges fast; a loose tol must not
     // change the fixed point materially

@@ -130,6 +130,22 @@ class IvfSpec extends SparkSpec {
     assert(aDist == aDriver)
   }
 
+  test("rankCells fails fast on a corpus-sized queries frame (bounded limit-probe, no driver OOM)") {
+    import org.apache.spark.sql.functions._
+    val centroids = spark.createDataFrame(
+      Seq((0, Seq(0.0)), (1, Seq(1.0)))).toDF("cell", "centroid")
+    val huge = spark.range(Ivf.MaxServingBatch + 1L)
+      .select(col("id").as("vec_id"), array(lit(0.5f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Ivf.rankCells(huge, centroids, nProbe = 1)
+    }
+    assert(e.getMessage.contains("serving-batch"))
+    // and a batch at the cap boundary still serves
+    val ok = spark.range(3L)
+      .select(col("id").as("vec_id"), array(lit(0.5f)).as("embedding"))
+    assert(Ivf.rankCells(ok, centroids, nProbe = 1).size == 3)
+  }
+
   test("pretty formatting utilities") {
     import graft.util.Pretty
     assert(Pretty.bytes(512) == "512 bytes")
