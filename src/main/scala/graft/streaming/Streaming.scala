@@ -464,6 +464,67 @@ object Streaming {
         batch.toDF(), keyCols, orderCols.map(col(_).asc), valueCol, windowSize, bands))
     }
 
+  /** Event for the streaming funnel: `user` did `step` at epoch-µs `ts`. */
+  final case class FunnelEvent(user: String, ts: Long, step: String)
+
+  /** A funnel step advance: `user` reached 1-based `step_idx` at `ts`.
+    * Emitted at most once per (user, step). */
+  final case class StepReached(user: String, step_idx: Int, step_name: String, ts: Long)
+
+  /** Streaming twin of [[graft.ops.Funnel.conversion]]: the live
+    * ingest-acceptance monitor (fetched → parsed → kept per user/shard)
+    * emitting a [[StepReached]] row the moment a user advances a step —
+    * the append-mode event feed a dashboard counts per step (each user
+    * emits each step at most once, so `count by step_idx` IS the batch
+    * operator's `n_users` column; StreamingSpec pins that parity).
+    *
+    * Same greedy-earliest semantics as batch: t₁ = the user's first
+    * step-1 event; tₖ = the first step-k event STRICTLY after tₖ₋₁ and
+    * within `maxSpanUs` of t₁. With per-user in-order delivery across
+    * micro-batches (the [[gapFillStream]] precondition; within a batch
+    * rows are sorted by ts) first-seen ≡ earliest, so the streaming
+    * advance decisions match the batch window closed form exactly.
+    * State is O(steps) epoch-µs longs per user — bounded, independent
+    * of event volume. */
+  def funnelStream(
+      events: Dataset[FunnelEvent],
+      steps: Seq[String],
+      maxSpanUs: Long
+  ): Dataset[StepReached] = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"duplicate step names: $steps")
+    require(maxSpanUs > 0, s"maxSpanUs must be positive, got $maxSpanUs")
+    import events.sparkSession.implicits._
+    val stepIdx: Map[String, Int] = steps.zipWithIndex.toMap
+    val nSteps = steps.size
+    events
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[Seq[Long], StepReached](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[Seq[Long]]) =>
+          // state: per-step reached ts, -1 = unreached
+          val t = state.getOption.map(_.toArray).getOrElse(Array.fill(nSteps)(-1L))
+          val arr = rows.toArray
+          scala.util.Sorting.stableSort(arr, (a: FunnelEvent, b: FunnelEvent) => a.ts < b.ts)
+          val out = scala.collection.mutable.ArrayBuffer.empty[StepReached]
+          arr.foreach { e =>
+            stepIdx.get(e.step) match {
+              case Some(i) if t(i) < 0 =>
+                val advances =
+                  if (i == 0) true
+                  else t(i - 1) >= 0 && e.ts > t(i - 1) && e.ts <= t(0) + maxSpanUs
+                if (advances) {
+                  t(i) = e.ts
+                  out += StepReached(user, i + 1, steps(i), e.ts)
+                }
+              case _ => ()
+            }
+          }
+          state.update(t.toSeq)
+          out.iterator
+      }
+  }
+
   /** W3 censor as arbitrary stateful processing: per key, keep a
     * detection only if it is ≥ `width` after the last KEPT one. State is
     * one Long per key. Requires per-key in-order delivery within a batch

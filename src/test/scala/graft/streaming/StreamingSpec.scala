@@ -490,6 +490,58 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("funnelStream: step advances across micro-batches match batch conversion exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("fetch", "parse", "keep")
+    val input = MemoryStream[Streaming.FunnelEvent]
+    val q = Streaming
+      .funnelStream(input.toDS(), steps, maxSpanUs = 100L)
+      .writeStream.format("memory").queryName("funnel_steps").outputMode("append")
+      .start()
+    import Streaming.FunnelEvent
+    // batch 1. u1 advances two steps; u2 sees keep BEFORE parse (no
+    // skip); u3 anchors; u4's parse arrives before its fetch in the
+    // same batch (ts sort must fix it); u5's parse ties the anchor ts
+    // (strictly-after ⇒ no advance), then advances at 12
+    input.addData(
+      FunnelEvent("u1", 10, "fetch"), FunnelEvent("u1", 20, "parse"),
+      FunnelEvent("u2", 10, "fetch"), FunnelEvent("u2", 15, "keep"),
+      FunnelEvent("u3", 10, "fetch"),
+      FunnelEvent("u4", 5, "parse"), FunnelEvent("u4", 7, "fetch"), FunnelEvent("u4", 9, "parse"),
+      FunnelEvent("u5", 10, "fetch"), FunnelEvent("u5", 10, "parse"), FunnelEvent("u5", 12, "parse"))
+    q.processAllAvailable()
+    // batch 2: u1 completes (state carried); u2 now parses then keeps;
+    // u3's parse lands past the span (10+100 < 150 ⇒ no advance);
+    // duplicate u1 parse re-emits nothing
+    input.addData(
+      FunnelEvent("u1", 30, "keep"), FunnelEvent("u1", 25, "parse"),
+      FunnelEvent("u2", 50, "parse"), FunnelEvent("u2", 60, "keep"),
+      FunnelEvent("u3", 150, "parse"))
+    q.processAllAvailable()
+    val reached = spark.sql("SELECT user, step_idx, step_name, ts FROM funnel_steps").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    q.stop()
+    assert(reached == Set(
+      ("u1", 1, "fetch", 10L), ("u1", 2, "parse", 20L), ("u1", 3, "keep", 30L),
+      ("u2", 1, "fetch", 10L), ("u2", 2, "parse", 50L), ("u2", 3, "keep", 60L),
+      ("u3", 1, "fetch", 10L),
+      ("u4", 1, "fetch", 7L), ("u4", 2, "parse", 9L),
+      ("u5", 1, "fetch", 10L), ("u5", 2, "parse", 12L)))
+    // each (user, step) emitted at most once ⇒ count-by-step IS n_users;
+    // pin full parity against the batch operator on the same events
+    val allEvents = Seq(
+      ("u1", 10L, "fetch"), ("u1", 20L, "parse"), ("u2", 10L, "fetch"), ("u2", 15L, "keep"),
+      ("u3", 10L, "fetch"), ("u4", 5L, "parse"), ("u4", 7L, "fetch"), ("u4", 9L, "parse"),
+      ("u5", 10L, "fetch"), ("u5", 10L, "parse"), ("u5", 12L, "parse"),
+      ("u1", 30L, "keep"), ("u1", 25L, "parse"), ("u2", 50L, "parse"), ("u2", 60L, "keep"),
+      ("u3", 150L, "parse")).toDF("user", "ts", "etype")
+    val batch = graft.ops.Funnel.conversion(allEvents, "ts", "user", "etype", steps, 100L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val streamCounts = steps.indices.map(i =>
+      (i + 1) -> reached.count(_._2 == i + 1).toLong).toMap
+    assert(batch == streamCounts)
+  }
+
   test("distinctRateStream: windowed KMV estimate, batch parity, bounded state, late-row drop") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
