@@ -2202,10 +2202,26 @@ object SparkEntry {
     graft.ops.Text.oovRate(Tables.documents(s, dir), vocabSize = 20)
 
   /** Compression-ratio quality signal ([[graft.ops.Text
-    * .compressionRatio]]) — no oracle SQL (DuckDB has no deflate):
-    * driver records the rows-only check; semantics spec-pinned. */
-  private def qCompressRatio(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Text.compressionRatio(Tables.documents(s, dir))
+    * .compressionRatio]]) over texts SYNTHESIZED from the doc_id
+    * residue (r incompressible md5 blocks + (10−r) prose repeats), so
+    * the deflate sizes depend only on r ∈ 0..9 and the oracle can
+    * carry them as a GOLDEN LITERAL table — precomputed with CPython's
+    * zlib (raw stream, level 6, tools/gen_deflate_goldens.py), an
+    * implementation independent of the JDK Deflater the
+    * [[graft.functions.DeflateSize]] kernel runs. That turns the one
+    * formerly rows-only query into a full hash row: byte counts and
+    * the 4dp ratio arithmetic are recomputed SQL-side, the deflate
+    * values are cross-implementation-checked literals. The
+    * corpus-text form of the operator stays spec-pinned
+    * (TextFilterSpec monotonicity/empty/multibyte fixtures). */
+  private def qCompressRatio(s: SparkSession, dir: String): DataFrame = {
+    val r = (col("doc_id") % 10).cast("int")
+    val text = concat(
+      repeat(md5(r.cast("string").cast("binary")), r),
+      repeat(lit("the quick brown fox jumps over the lazy dog "), lit(10) - r))
+    graft.ops.Text.compressionRatio(
+      Tables.documents(s, dir).select(col("doc_id"), text.as("text")))
+  }
 
   /** O2 total-order global sort ([[graft.ts.GlobalSort
     * .rankByValueBuckets]]): two-pass value-bucket recipe — no
@@ -2669,6 +2685,22 @@ object SparkEntry {
          |       MIN(z) AS z_min, MAX(z) AS z_max
          |FROM zt GROUP BY 1""".stripMargin
     },
+    // n_deflate values are a GOLDEN LITERAL table per doc_id residue —
+    // precomputed by CPython zlib (raw, level 6) in
+    // tools/gen_deflate_goldens.py; byte counts and ratio arithmetic
+    // recomputed SQL-side. DuckDB strlen = byte length.
+    "q_compress_ratio" ->
+      """WITH g(r, nd) AS (VALUES (0, 50), (1, 79), (2, 82), (3, 81), (4, 79),
+        |                         (5, 79), (6, 79), (7, 79), (8, 79), (9, 75)),
+        |u AS (SELECT doc_id, CAST(doc_id % 10 AS INT) AS r,
+        |        repeat(md5(CAST(doc_id % 10 AS VARCHAR)), CAST(doc_id % 10 AS INT))
+        |          || repeat('the quick brown fox jumps over the lazy dog ', 10 - CAST(doc_id % 10 AS INT)) AS text
+        |      FROM documents)
+        |SELECT u.doc_id,
+        |  CAST(strlen(u.text) AS BIGINT) AS n_bytes,
+        |  CAST(g.nd AS BIGINT) AS n_deflate,
+        |  round(CAST(g.nd AS DOUBLE) / GREATEST(strlen(u.text), 1), 4) AS compress_ratio
+        |FROM u JOIN g ON g.r = u.r""".stripMargin,
     "q_fuzzy_join" ->
       s"""WITH $typoDomainCte
          |SELECT a.s AS domain_a, b.s AS domain_b,
