@@ -68,21 +68,38 @@ object ExtractChannels {
 
   /** Full pipeline incl. the partitioned columnar sink (S8) and the
     * post-write re-validation the reference performs
-    * (jagular/utils.py:544-547). Returns the validation report. */
+    * (jagular/utils.py:544-547). Returns the validation report.
+    *
+    * `zorderFiles = Some(n)` switches the sink from the
+    * directory-per-channel layout to a FLAT z-clustered layout on
+    * (channel, ts) in exactly `n` files
+    * ([[graft.ops.ZOrder.writeClustered]]): the same (channel × time)
+    * box pruning class via row-group min/max stats, without the
+    * |channels| × |sessions| directory/small-file explosion a
+    * large-probe-count store accumulates (measured layout trade in
+    * COVERAGE.md / ChannelZOrderBench). The default stays the
+    * reference's file-per-channel interchange layout. */
   def extractTo(
       spark: SparkSession,
       paths: Seq[String],
       outDir: String,
       maxGapSize: Long = 150L,
-      channelSubset: Option[Seq[Int]] = None
+      channelSubset: Option[Seq[Int]] = None,
+      zorderFiles: Option[Int] = None
   ): DataFrame = {
-    extract(spark, paths, maxGapSize, channelSubset)
-      .repartition(col("channel"))
-      .sortWithinPartitions("channel", "ts")
-      .write
-      .mode("overwrite")
-      .partitionBy("channel")
-      .parquet(outDir)
+    val data = extract(spark, paths, maxGapSize, channelSubset)
+    zorderFiles match {
+      case Some(n) =>
+        graft.ops.ZOrder.writeClustered(data, outDir, Seq("channel", "ts"), bits = 16, n)
+      case None =>
+        data
+          .repartition(col("channel"))
+          .sortWithinPartitions("channel", "ts")
+          .write
+          .mode("overwrite")
+          .partitionBy("channel")
+          .parquet(outDir)
+    }
 
     val written = spark.read.parquet(outDir)
     val perChannel = written

@@ -167,4 +167,25 @@ object ZOrder {
       .sortWithinPartitions("z")
       .drop("z")
   }
+
+  /** Z-clustered parquet SINK — [[clusterByZ]] wired into a write: the
+    * shard-writer layout option for tables whose hot queries are
+    * multi-dimensional boxes (channel × time, user × time,
+    * domain × fetch-time). Compared to `partitionBy(keyCol)` it trades
+    * exact key-directory pruning for row-group stats pruning on EVERY
+    * interleaved dimension while writing exactly `numFiles` files — at
+    * scale the difference between |keys| × |sessions| small files (the
+    * classic tiny-file explosion a 1024-channel store hits) and a flat
+    * bounded layout with the same pruning class (measured:
+    * ChannelZOrderBench / COVERAGE.md). */
+  def writeClustered(
+      df: DataFrame,
+      outDir: String,
+      cols: Seq[String],
+      bits: Int,
+      numFiles: Int): Unit =
+    clusterByZ(df, cols, bits, numFiles)
+      .write
+      .mode("overwrite")
+      .parquet(outDir)
 }

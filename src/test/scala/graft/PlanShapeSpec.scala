@@ -215,6 +215,24 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally spark.conf.set(key, saved)
   }
 
+  test("q_funnel: exactly ONE user-key exchange + the final O(steps) singleton") {
+    // the COVERAGE claim for Funnel.conversion: the k chained window
+    // passes and the per-user rollup all ride one user-hash Exchange;
+    // the only other exchange is the O(steps) global count. A Catalyst
+    // change that re-shuffles per step would show up as extra
+    // hashpartitioning exchanges here.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("q_funnel")(spark, dir)
+    val plan = executed(df)
+    val exchanges = collect(plan) { case e: ShuffleExchangeExec => e }
+    val parts = exchanges.map(_.outputPartitioning.toString)
+    assert(parts.count(_.contains("hashpartitioning")) == 1,
+      s"expected ONE user-hash exchange, got $parts:\n$plan")
+    assert(parts.count(_.contains("SinglePartition")) == 1,
+      s"expected ONE singleton count exchange, got $parts:\n$plan")
+    assert(exchanges.size == 2, s"unexpected extra exchanges: $parts\n$plan")
+  }
+
   test("keyed sessionize shuffles once on the key, no global sort") {
     val df = SparkEntry.queries("q_user_sessions")(spark, dir)
     val plan = executed(df)

@@ -150,4 +150,25 @@ class RecSpec extends SparkSpec {
     val chDirs = new java.io.File(outDir).listFiles().filter(_.getName.startsWith("channel="))
     assert(chDirs.length == 4)
   }
+
+  test("extractTo zorderFiles: flat z-clustered layout, identical data + report") {
+    val dir = Files.createTempDirectory("recsynth3").toFile.getPath
+    val f1 = s"$dir/a.rec"
+    RecSynth.write(f1, (0L to 9L).map(ts => (ts, (c: Int) => (ts + c).toShort)))
+    val report = ExtractChannels.extractTo(
+      spark, Seq(f1), s"$dir/z", zorderFiles = Some(2))
+    assert(report.collect().forall(r =>
+      r.getAs[Long]("n_rows") == 10L && r.getAs[Long]("n_dup_rows") == 0L))
+    // flat layout: no channel= directories, exactly the requested files
+    val top = new java.io.File(s"$dir/z").listFiles()
+    assert(!top.exists(_.getName.startsWith("channel=")))
+    assert(top.count(_.getName.endsWith(".parquet")) == 2)
+    // same rows as the partitioned layout
+    ExtractChannels.extractTo(spark, Seq(f1), s"$dir/p")
+    val a = spark.read.parquet(s"$dir/z").select("channel", "ts", "value")
+      .collect().map(r => (r.getAs[Int]("channel"), r.getLong(1), r.getShort(2))).toSet
+    val b = spark.read.parquet(s"$dir/p").select("channel", "ts", "value")
+      .collect().map(r => (r.getAs[Int]("channel"), r.getLong(1), r.getShort(2))).toSet
+    assert(a == b)
+  }
 }
