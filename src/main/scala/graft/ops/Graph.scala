@@ -133,6 +133,10 @@ object Graph {
 
     var (ranks, ranksRdd) = cut(nodes.select(col("node"), lit(uniform).as("rank")))
     ranks.count()
+    // the loop reads only the partitioned matrix / nodes / dangling
+    // caches — the unordered arc cache is a redundant full copy of the
+    // edge list from here
+    arcsRdd.unpersist(blocking = false)
 
     var iter = 0
     var done = false
@@ -273,6 +277,10 @@ object Graph {
       Seq("dst"),
       shufflePartitions)
     byDst.count()
+    // the loop reads only the two partitioned copies — the unordered
+    // arc cache is redundant from here (a full third copy of the edge
+    // list at 10⁷⁺ edges)
+    arcsRdd.unpersist(blocking = false)
 
     def l1Normalize(raw: DataFrame, valueCol: String): DataFrame = {
       val total = raw.agg(sum(col(valueCol)).as("__t"))
