@@ -1165,6 +1165,21 @@ object SparkEntry {
     Ivf.topKIndexed(assigned, centroids, queries, k = 10, nProbe = 8)
   }
 
+  /** Binary-quantization serving ([[graft.ops.Bq.topKBinaryIndexed]]):
+    * sign-bit codes → Hamming top-50 shortlist → exact f32 rerank →
+    * top-10, over the same pre-built IVF index as q_ivf_serve at full
+    * probing. The R = 50 shortlist makes the Hamming stage LOAD-
+    * BEARING (any pack/xor/bit_count/tie-break bug changes the
+    * result); the oracle replays the identical pack + Hamming + rank +
+    * rerank chain in SQL — cells never enter it (full probing is
+    * exhaustive). */
+  private def qBqServe(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, centroids) = ivfIndex(s, dir)
+    val queries = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+    graft.ops.Bq.topKBinaryIndexed(
+      assigned, centroids, queries, dim = 64, k = 10, nProbe = 8, hammingR = 50)
+  }
+
   // same lifecycle as ivfIndexCache (shared shutdown-hook cleanup, same
   // same-session staleness note); codebooks/centroids live with the path
   private val ivfPqCache = scala.collection.concurrent.TrieMap
@@ -2386,6 +2401,7 @@ object SparkEntry {
     "q_sign_lsh" -> (qSignLsh _),
     "q_ivf_topk" -> (qIvfTopK _),
     "q_ivf_serve" -> (qIvfServe _),
+    "q_bq_serve" -> (qBqServe _),
     "q_car" -> (qCar _),
     "q5_nation" -> (q5Nation _),
     "q6_forecast" -> (q6Forecast _),
@@ -3460,6 +3476,36 @@ object SparkEntry {
     "q_ivf_topk" -> ivfOracleSql,
     // serving path probes the SAME cells at nProbe == nLists — exact
     "q_ivf_serve" -> ivfOracleSql,
+    // binary-quantization serving: the pack expression is GENERATED
+    // from the live kernel spelling (Bq.packSignBitsSql); full probing
+    // keeps cells out of the oracle, but the Hamming top-50 shortlist
+    // and its (ham asc, vec_id asc) tie-break are replayed exactly —
+    // the rerank can only reorder within the shortlist
+    "q_bq_serve" -> {
+      val packC = graft.ops.Bq.packSignBitsSql("embedding", 64)
+      val packQ = graft.ops.Bq.packSignBitsSql("qe", 64)
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |qc AS (SELECT query_id, qe, """.stripMargin + packQ + """ AS qcode FROM q),
+        |c AS (SELECT vec_id, embedding, """.stripMargin + packC + """ AS code FROM embeddings),
+        |h AS (SELECT query_id, vec_id, qe, embedding AS ee,
+        |        list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 2),
+        |          w -> bit_count(xor(code[w], qcode[w]))::BIGINT)), (a, b) -> a + b) AS ham
+        |      FROM c, qc WHERE vec_id <> query_id),
+        |sl AS (SELECT query_id, vec_id, qe, ee,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY ham ASC, vec_id ASC) AS hr
+        |       FROM h),
+        |u AS (SELECT query_id, vec_id, unnest(qe) AS qv, unnest(ee) AS ev FROM sl WHERE hr <= 50),
+        |d AS (SELECT query_id, vec_id,
+        |        SUM(CAST(qv AS DOUBLE) * CAST(ev AS DOUBLE)) AS dp,
+        |        SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS qq,
+        |        SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS ee2
+        |      FROM u GROUP BY query_id, vec_id),
+        |c2 AS (SELECT query_id, vec_id, round(dp / (sqrt(qq) * sqrt(ee2)), 6) AS cos_sim FROM d),
+        |r AS (SELECT query_id, vec_id, cos_sim,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        |      FROM c2)
+        |SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10""".stripMargin
+    },
     "q_car" ->
       """WITH chans AS (SELECT event_id // 4 AS idx, event_id % 4 AS channel, value FROM events),
         |car AS (SELECT idx, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS car

@@ -62,4 +62,47 @@ object Cardinality {
       .agg(kmv.as("__kmv"))
       .select(col(groupCol), fill, est)
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) point-frequency
+    * estimates: `d` salted hash rows × `w` buckets, estimate = MIN over
+    * rows of the probed bucket's total — always ≥ the true count,
+    * within εN with probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉. The
+    * telemetry companion to [[kmvDistinct]] (distinct cardinality) and
+    * the Space-Saving top-k: CMS answers "how often does THIS item
+    * occur" from O(d·w) state instead of a full histogram — at 100 TB
+    * the sketch build is ONE exchange of at most d·w pre-combined
+    * bucket rows (the d-way explode is stateless), never the item
+    * universe.
+    *
+    * Deterministic md5-salted buckets (the repo's standard 60-bit hash
+    * spelling), so an independent engine replays the identical sketch
+    * — estimates INCLUDING collision overestimates are hash-exact
+    * oracle-checkable. Returns, for the `topN` items by true count
+    * (ties bytewise): (item, n_true, n_est), n_est ≥ n_true always. */
+  def cmsEstimates(df: DataFrame, itemCol: String, d: Int, w: Int, topN: Int): DataFrame = {
+    require(d >= 1 && d <= 16, s"d must be in [1, 16], got $d")
+    require(w >= 2, s"w must be >= 2, got $w")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val items = df.select(col(itemCol).as("item")).where(col(itemCol).isNotNull)
+    def bucket(i: Column, item: Column): Column =
+      pmod(itemHash(concat(lit("cms"), i.cast("string"), lit("|"), item)), lit(w.toLong))
+    val sketch = items
+      .select(explode(sequence(lit(0), lit(d - 1))).as("i"), col("item"))
+      .groupBy(col("i"), bucket(col("i"), col("item")).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val probes = items
+      .groupBy("item")
+      .agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("item").asc)
+      .limit(topN)
+    probes
+      .select(
+        col("item"), col("n_true"),
+        explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .withColumn("bucket", bucket(col("i"), col("item")))
+      .join(sketch, Seq("i", "bucket"))
+      .groupBy("item", "n_true")
+      .agg(min(col("c")).as("n_est"))
+      .select("item", "n_true", "n_est")
+  }
 }

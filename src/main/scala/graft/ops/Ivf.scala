@@ -408,7 +408,7 @@ object Ivf {
     * equi-join against the broadcast probe rows. `probed` must carry
     * (query_id, qe, qn, cell) plus any caller columns (e.g. the query
     * label); candidates come back with `cn` attached. */
-  private def probedCandidates(
+  private[ops] def probedCandidates(
       assigned: DataFrame,
       probedRows: Seq[(Long, Int, Seq[Float])],
       probed: DataFrame,
@@ -427,12 +427,12 @@ object Ivf {
 
   /** Exact cosine of a candidate pair at 6dp (norms precomputed per
     * row, one dot-product traversal per pair). */
-  private def cosSim6: Column =
+  private[ops] def cosSim6: Column =
     round(Similarity.dot(col("embedding"), col("qe")) / (col("cn") * col("qn")), 6)
 
   /** row_number over (cos_sim desc, vec_id asc) per query, keep ≤ k —
     * the deterministic top-k tie-break every serving path shares. */
-  private def rankTopK(scored: DataFrame, k: Int, outCols: Seq[String]): DataFrame = {
+  private[ops] def rankTopK(scored: DataFrame, k: Int, outCols: Seq[String]): DataFrame = {
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("vec_id").asc)

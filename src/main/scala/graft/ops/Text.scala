@@ -273,6 +273,38 @@ object Text {
     * into the one-pass [[graft.functions.TokenSetCounts]] kernel as a
     * literal set, so scoring is a stateless projection: no explode, no
     * join, zero shuffle over the corpus. */
+  /** Flesch readability over the classic vowel-run syllable heuristic —
+    * the grade-level quality signal curation pipelines keep beside the
+    * Gopher gates (too-low reading ease flags telegraphic/listy text,
+    * too-high flags run-on machine output). Deterministic and fully
+    * SQL-respellable: sentences = `[.!?]+` runs (min 1), words =
+    * non-empty `[a-z]+` tokens of the lowercased text (min 1),
+    * syllables per word = `[aeiouy]+` runs (min 1 per word). FRE =
+    * 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word); FK
+    * grade = 0.39·(words/sentence) + 11.8·(syllables/word) − 15.59;
+    * both rounded 4dp. Stateless projection — zero shuffle. */
+  def readability(documents: DataFrame): DataFrame = {
+    val text = col("text")
+    val nSent = greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+      .cast("long")
+    val words = filter(split(lower(text), "[^a-z]+"), w => w =!= "")
+    val nWords = greatest(size(words), lit(1)).cast("long")
+    val nSyll = greatest(
+      aggregate(words, lit(0L), (acc, w) =>
+        acc + greatest(size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))), lit(1))
+          .cast("long")),
+      lit(1L))
+    val wps = nWords.cast("double") / nSent.cast("double")
+    val spw = nSyll.cast("double") / nWords.cast("double")
+    documents.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      nSent.as("n_sentences"),
+      nSyll.as("n_syllables"),
+      round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4).as("flesch_ease"),
+      round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4).as("fk_grade"))
+  }
+
   def oovRate(documents: DataFrame, vocabSize: Int): DataFrame = {
     require(vocabSize >= 1 && vocabSize <= 1000000, s"bad vocabSize $vocabSize")
     val vocab = Lm.unigramCounts(documents)

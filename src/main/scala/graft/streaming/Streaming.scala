@@ -525,6 +525,63 @@ object Streaming {
       }
   }
 
+  /** Event for the streaming cohort monitor: `user` active at epoch-µs `ts`. */
+  final case class UserActivity(user: String, ts: Long)
+
+  /** First activity of a user in a retention cell: emitted once per
+    * (user, period_offset); `cohort_period` is the period of the
+    * user's first event. */
+  final case class CohortActive(user: String, cohort_period: Long, period_offset: Long)
+
+  /** Streaming twin of [[graft.ops.Funnel.retention]]: emits a
+    * [[CohortActive]] row the FIRST time a user is active in each
+    * period offset from their cohort (the period of their first-ever
+    * event). Because each (user, offset) emits exactly once, a
+    * downstream `count by (cohort_period, period_offset)` IS the batch
+    * operator's `n_active` distinct-user column — StreamingSpec pins
+    * that parity. Same subtract-mod period arithmetic as batch (exact
+    * for any epoch-µs value).
+    *
+    * State per user: the cohort period plus the set of offsets already
+    * emitted — bounded by the number of PERIODS the stream has lived
+    * (weeks of a weekly cohort monitor), not by event volume. Requires
+    * per-user in-order delivery across micro-batches only for the
+    * cohort assignment (a user's first-ever event must arrive first);
+    * within a batch rows are sorted by ts. */
+  def cohortStream(
+      events: Dataset[UserActivity],
+      periodUs: Long
+  ): Dataset[CohortActive] = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[Seq[Long], CohortActive](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[Seq[Long]]) =>
+          // same remainder semantics as the batch operator's
+          // `(c - c % p) / p` (Spark % = JVM %, sign of the dividend)
+          def periodOf(ts: Long): Long = (ts - ts % periodUs) / periodUs
+          val arr = rows.toArray
+          scala.util.Sorting.stableSort(arr, (a: UserActivity, b: UserActivity) => a.ts < b.ts)
+          // state layout: head = cohort period, tail = emitted offsets
+          val prev = state.getOption
+          var cohort = prev.map(_.head).getOrElse(periodOf(arr.head.ts))
+          val seen = scala.collection.mutable.Set.empty[Long]
+          prev.foreach(s => seen ++= s.tail)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CohortActive]
+          arr.foreach { e =>
+            val off = periodOf(e.ts) - cohort
+            if (off >= 0 && !seen.contains(off)) {
+              seen += off
+              out += CohortActive(user, cohort, off)
+            }
+          }
+          state.update(cohort +: seen.toSeq.sorted)
+          out.iterator
+      }
+  }
+
   /** W3 censor as arbitrary stateful processing: per key, keep a
     * detection only if it is ≥ `width` after the last KEPT one. State is
     * one Long per key. Requires per-key in-order delivery within a batch

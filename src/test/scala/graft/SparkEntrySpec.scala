@@ -17,10 +17,10 @@ class SparkEntrySpec extends SparkSpec {
     val generated = Set(
       "q_pq_topk", "q_ivfpq_topk", "q_ivfpq_serve", "q_semdedup", "q_quality_classifier",
       "q_dsir", "q_dsir_bigram", "q_bpe_encode", "q_pca_project")
-    // Declared rows-only queries: semantics not SQL-expressible in the
-    // oracle engine (deflate) — the driver records the weaker rows>0
-    // check and the semantics are spec-pinned instead.
-    val rowsOnly = Set("q_compress_ratio")
+    // No rows-only queries remain: q_compress_ratio (the former sole
+    // entry — DuckDB has no deflate) now checks against a golden
+    // literal table of CPython-zlib deflate sizes per fixture residue.
+    val rowsOnly = Set.empty[String]
     assert((qk -- ok0).subsetOf(generated ++ rowsOnly),
       s"unexpected oracle-less: ${qk -- ok0 -- generated -- rowsOnly}")
     // After a smoke-scale run (Verify's run-then-dump order) the map

@@ -542,6 +542,43 @@ class StreamingSpec extends SparkSpec {
     assert(batch == streamCounts)
   }
 
+  test("cohortStream: once-per-(user,offset) emission matches batch retention across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.UserActivity]
+    val q = Streaming
+      .cohortStream(input.toDS(), periodUs = 100L)
+      .writeStream.format("memory").queryName("cohort_active").outputMode("append")
+      .start()
+    import Streaming.UserActivity
+    // batch 1: u1 cohort 0 (events in periods 0,0,1 — the duplicate
+    // period-0 event must not re-emit); u2 cohort 1, arriving out of
+    // ts order within the batch (sort must anchor the cohort at 150)
+    input.addData(
+      UserActivity("u1", 10), UserActivity("u1", 50), UserActivity("u1", 120),
+      UserActivity("u2", 199), UserActivity("u2", 150))
+    q.processAllAvailable()
+    // batch 2: u1 active again in period 1 (seen — no emit) and in
+    // period 3; u2 in period 2 (offset 1 from cohort 1)
+    input.addData(
+      UserActivity("u1", 180), UserActivity("u1", 399),
+      UserActivity("u2", 250))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT user, cohort_period, period_offset FROM cohort_active").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got == Set(
+      ("u1", 0L, 0L), ("u1", 0L, 1L), ("u1", 0L, 3L),
+      ("u2", 1L, 0L), ("u2", 1L, 1L)))
+    // parity: count per (cohort, offset) == batch retention n_active
+    val allEvents = Seq(
+      ("u1", 10L), ("u1", 50L), ("u1", 120L), ("u2", 199L), ("u2", 150L),
+      ("u1", 180L), ("u1", 399L), ("u2", 250L)).toDF("user", "ts")
+    val batch = graft.ops.Funnel.retention(allEvents, "ts", "user", periodUs = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamCounts = got.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
+    assert(batch == streamCounts)
+  }
+
   test("distinctRateStream: windowed KMV estimate, batch parity, bounded state, late-row drop") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
