@@ -1871,6 +1871,19 @@ object SparkEntry {
         round(col("hub"), 6).as("hub"))
   }
 
+  /** Community detection ([[graft.ops.Graph.labelPropagation]]) over
+    * the q_link_graph domain edge list, weighted by link multiplicity:
+    * 3 synchronous rounds of max-weight/min-label updates over the
+    * undirected view, self-loops excluded. The oracle unrolls the
+    * identical 3 rounds term for term. */
+  private def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val edges = qLinkGraph(s, dir).select(
+      col("src_domain").as("src"),
+      col("dst_domain").as("dst"),
+      col("n_links").cast("double").as("w"))
+    Graph.labelPropagation(edges, iterations = 3, weightCol = Some("w"))
+  }
+
   /** Content-defined chunking ([[graft.functions.CdcChunks]], w = 2,
     * modulus 16): token-granular Rabin/FastCDC cuts — boundaries
     * depend on local content, so an edit shifts only its own chunk,
@@ -2238,6 +2251,26 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"), text.as("text")))
   }
 
+  /** Flesch readability ([[graft.ops.Text.readability]]) over the
+    * document text with a fixed punctuation suffix (so the sentence
+    * counter sees >1 sentence); words/syllables/both scores recomputed
+    * SQL-side from the identical vowel-run heuristic. */
+  private def qReadability(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Text.readability(
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(col("text"), lit(". The queue? Yes!")).as("text")))
+
+  /** Count-min sketch estimates ([[graft.ops.Cardinality
+    * .cmsEstimates]]) over document tokens at a deliberately SMALL
+    * width (w = 32 < vocabulary) so collision overestimates are real
+    * and the min-over-rows logic is load-bearing; the oracle replays
+    * the identical salted-hash sketch, collisions included. */
+  private def qCms(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cardinality.cmsEstimates(
+      Tables.documents(s, dir).select(explode(split(col("text"), " ")).as("tok")),
+      "tok", d = 4, w = 32, topN = 20)
+
   /** O2 total-order global sort ([[graft.ts.GlobalSort
     * .rankByValueBuckets]]): two-pass value-bucket recipe — no
     * single-task global window; rank is a pure function of the data. */
@@ -2454,6 +2487,9 @@ object SparkEntry {
     "q_html_strip" -> (qHtmlStrip _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_fuzzy_link" -> (qFuzzyLink _),
+    "q_label_prop" -> (qLabelProp _),
+    "q_readability" -> (qReadability _),
+    "q_cms" -> (qCms _),
     "q_link_graph" -> (qLinkGraph _),
     "q_link_authority" -> (qLinkAuthority _),
     "q_distinct_sketch" -> (qDistinctSketch _),
@@ -2569,6 +2605,32 @@ object SparkEntry {
 
   private lazy val hitsOracleSql: String =
     hitsRecurrenceSql(linkGraphEdgesCtes, iterations = 5)
+
+  /** q_label_prop: synchronous LPA unrolled — per round, every node
+    * takes the neighbor label with the max summed weight, ties to the
+    * bytewise smallest label, exactly as
+    * [[graft.ops.Graph.labelPropagation]] computes it. */
+  private def lpaRecurrenceSql(edgesCtes: String, iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""l$k AS (SELECT node, label FROM (
+         |  SELECT sym.a AS node, l.label,
+         |         row_number() OVER (PARTITION BY sym.a
+         |           ORDER BY SUM(sym.w) DESC, l.label ASC) AS r
+         |  FROM sym JOIN l${k - 1} l ON l.node = sym.b
+         |  GROUP BY sym.a, l.label) WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCtes,
+       |sym AS MATERIALIZED (SELECT a, b, SUM(w) AS w FROM (
+       |  SELECT src AS a, dst AS b, w FROM edges
+       |  UNION ALL SELECT dst AS a, src AS b, w FROM edges) t
+       | WHERE a <> b GROUP BY a, b),
+       |l0 AS (SELECT DISTINCT b AS node, b AS label FROM sym),
+       |$iters
+       |SELECT node, label FROM l$iterations""".stripMargin
+  }
+
+  private lazy val labelPropOracleSql: String =
+    lpaRecurrenceSql(linkGraphEdgesCtes, iterations = 3)
 
   private lazy val topNgramsOracleSql: String =
     """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
@@ -2725,6 +2787,44 @@ object SparkEntry {
          |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin,
     "q_link_authority" -> linkAuthorityOracleSql,
     "q_hits" -> hitsOracleSql,
+    "q_label_prop" -> labelPropOracleSql,
+    "q_readability" ->
+      """WITH t AS (SELECT doc_id, text || '. The queue? Yes!' AS text FROM documents),
+        |w AS (SELECT doc_id,
+        |        GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent,
+        |        list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS words
+        |      FROM t),
+        |s2 AS (SELECT doc_id,
+        |         CAST(n_sent AS BIGINT) AS s,
+        |         CAST(GREATEST(len(words), 1) AS BIGINT) AS w2,
+        |         CAST(GREATEST(list_reduce(list_prepend(0::BIGINT, list_transform(words,
+        |           x -> CAST(GREATEST(len(regexp_extract_all(x, '[aeiouy]+')), 1) AS BIGINT))),
+        |           (a, b) -> a + b), 1) AS BIGINT) AS sy
+        |       FROM w),
+        |n AS (SELECT doc_id, s, w2, sy,
+        |        206835 * s * w2 - 1015 * w2 * w2 - 84600 * sy * s AS n1,
+        |        390 * w2 * w2 + 11800 * sy * s - 15590 * s * w2 AS n2,
+        |        s * w2 AS d FROM s2)
+        |SELECT doc_id, w2 AS n_words, s AS n_sentences, sy AS n_syllables,
+        |  CAST(CASE WHEN n1 < 0 THEN -((2 * (-n1) + d) // (2 * d))
+        |            ELSE (2 * n1 + d) // (2 * d) END AS BIGINT) AS fre_milli,
+        |  CAST(CASE WHEN n2 < 0 THEN -((2 * (-n2) + d) // (2 * d))
+        |            ELSE (2 * n2 + d) // (2 * d) END AS BIGINT) AS fk_milli
+        |FROM n""".stripMargin,
+    "q_cms" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+        |b AS (SELECT u.i, item,
+        |        ('0x' || substr(md5('cms' || CAST(u.i AS VARCHAR) || '|' || item), 1, 15))::BIGINT % 32 AS bucket
+        |      FROM toks, unnest(generate_series(0, 3)) AS u(i)),
+        |sk AS (SELECT i, bucket, COUNT(*) AS c FROM b GROUP BY i, bucket),
+        |cnt AS (SELECT item, COUNT(*) AS n_true FROM toks GROUP BY item),
+        |probes AS (SELECT item, n_true FROM cnt ORDER BY n_true DESC, item ASC LIMIT 20),
+        |pb AS (SELECT p.item, p.n_true, g.i,
+        |        ('0x' || substr(md5('cms' || CAST(g.i AS VARCHAR) || '|' || p.item), 1, 15))::BIGINT % 32 AS bucket
+        |       FROM probes p, unnest(generate_series(0, 3)) AS g(i))
+        |SELECT p.item, p.n_true, MIN(sk.c) AS n_est
+        |FROM pb p JOIN sk ON sk.i = p.i AND sk.bucket = p.bucket
+        |GROUP BY p.item, p.n_true""".stripMargin,
     "q_distinct_sketch" ->
       """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
         |g AS (SELECT source, array_to_string(t[i + 1 : i + 3], ' ') AS g

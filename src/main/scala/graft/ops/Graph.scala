@@ -439,4 +439,80 @@ object Graph {
       spark.sparkContext.parallelize(outRows, math.max(1, n / 500000)),
       outSchema)
   }
+
+  /** SYNCHRONOUS label propagation (Raghavan et al. 2007) over the
+    * undirected view of the edge list — community detection for
+    * domain/host clustering on a crawl graph (which sites form a link
+    * neighborhood), the unsupervised sibling of the
+    * [[DedupDocs.connectedComponents]] equivalence classes (LPA splits
+    * a connected component into densely-linked communities; CC cannot).
+    *
+    * Deterministic variant, chosen so an independent engine can replay
+    * it: every node starts labeled with itself; each round, EVERY node
+    * simultaneously takes the neighbor label with the greatest total
+    * edge weight, ties to the bytewise smallest label (the asynchronous
+    * coin-flip variant of the paper is not reproducible). Self-loops
+    * are excluded (a node does not vote for itself); parallel edges
+    * collapse by weight sum — multiplicity IS the vote weight. Fixed
+    * `iterations` rounds: synchronous LPA can oscillate on bipartite
+    * structures, so a fixed count (not convergence) is the contract,
+    * and the oracle unrolls the same count.
+    *
+    * Execution shape: the symmetrized weighted arc list is exchanged
+    * and sorted ONCE on the voting side with the layout declared to
+    * Catalyst (the [[pagerank]]/[[hits]] loop contract) — each round
+    * moves only the O(nodes) label vector into the join plus one
+    * (node, label) vote combine, both bounded by the arc count, with
+    * lineage cut per round.
+    *
+    * @return (node, label) after `iterations` rounds — nodes sharing a
+    *         label are one community
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      iterations: Int = 3,
+      weightCol: Option[String] = None
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val spark = edges.sparkSession
+    val w = weightCol.map(col).getOrElse(lit(1.0)).cast("double")
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sym = edges
+      .select(col("src").as("a"), col("dst").as("b"), w.as("w"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b"), w.as("w")))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b")
+      .agg(sum(col("w")).as("w"))
+    val (nbr, nbrRdd) = cutPartitioned(
+      sym.repartition(shufflePartitions, col("b")).sortWithinPartitions("b"),
+      Seq("b"),
+      shufflePartitions)
+    nbr.count()
+
+    var (labels, labelsRdd) = cut(
+      nbr.select(col("b").as("node")).distinct().select(col("node"), col("node").as("label")))
+    labels.count()
+
+    import org.apache.spark.sql.expressions.Window
+    val wArg = Window.partitionBy("node").orderBy(col("v").desc, col("label").asc)
+    var iter = 0
+    while (iter < iterations) {
+      val votes = nbr
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a").as("node"), col("label"))
+        .agg(sum(col("w")).as("v"))
+      val (next, nextRdd) = cut(
+        votes
+          .withColumn("__r", row_number().over(wArg))
+          .where(col("__r") === 1)
+          .select("node", "label"))
+      next.count()
+      labelsRdd.unpersist(blocking = false)
+      labels = next
+      labelsRdd = nextRdd
+      iter += 1
+    }
+    nbrRdd.unpersist(blocking = false)
+    labels
+  }
 }

@@ -279,11 +279,24 @@ object Text {
     * too-high flags run-on machine output). Deterministic and fully
     * SQL-respellable: sentences = `[.!?]+` runs (min 1), words =
     * non-empty `[a-z]+` tokens of the lowercased text (min 1),
-    * syllables per word = `[aeiouy]+` runs (min 1 per word). FRE =
-    * 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word); FK
-    * grade = 0.39·(words/sentence) + 11.8·(syllables/word) − 15.59;
-    * both rounded 4dp. Stateless projection — zero shuffle. */
+    * syllables per word = `[aeiouy]+` runs (min 1 per word).
+    *
+    * Scores are exact MILLI-POINT integers — FRE = 206.835 −
+    * 1.015·(words/sentence) − 84.6·(syllables/word) and FK grade =
+    * 0.39·(words/sentence) + 11.8·(syllables/word) − 15.59, each ×1000
+    * and rounded half-away-from-zero via PURE INTEGER arithmetic
+    * (common denominator sentences·words). Small integer inputs make
+    * decimal-tie values (e.g. a power-of-two word count) COMMON, and
+    * double `round(…, 4)` resolves such ties differently across
+    * engines (shortest-repr HALF_UP vs binary value) — integer
+    * numerator/denominator rounding is tie-free and bit-identical in
+    * any engine. 64-bit safe through ~10⁶ sentences × 10⁷ syllables
+    * per document. Stateless projection — zero shuffle. */
   def readability(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      Bridge.column(IntegralDivide(Bridge.expression(a), Bridge.expression(b)))
     val text = col("text")
     val nSent = greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
       .cast("long")
@@ -294,15 +307,29 @@ object Text {
         acc + greatest(size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))), lit(1))
           .cast("long")),
       lit(1L))
-    val wps = nWords.cast("double") / nSent.cast("double")
-    val spw = nSyll.cast("double") / nWords.cast("double")
-    documents.select(
-      col("doc_id"),
-      nWords.as("n_words"),
-      nSent.as("n_sentences"),
-      nSyll.as("n_syllables"),
-      round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4).as("flesch_ease"),
-      round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4).as("fk_grade"))
+    // half-away-from-zero integer round of n/d (d > 0)
+    def roundDiv(n: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) = {
+      val mag = intDiv(lit(2L) * abs(n) + d, lit(2L) * d)
+      when(n < 0, -mag).otherwise(mag)
+    }
+    documents
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        nSent.as("n_sentences"),
+        nSyll.as("n_syllables"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"), {
+          val s = col("n_sentences"); val w = col("n_words"); val sy = col("n_syllables")
+          roundDiv(
+            lit(206835L) * s * w - lit(1015L) * w * w - lit(84600L) * sy * s,
+            s * w).as("fre_milli")
+        }, {
+          val s = col("n_sentences"); val w = col("n_words"); val sy = col("n_syllables")
+          roundDiv(
+            lit(390L) * w * w + lit(11800L) * sy * s - lit(15590L) * s * w,
+            s * w).as("fk_milli")
+        })
   }
 
   def oovRate(documents: DataFrame, vocabSize: Int): DataFrame = {

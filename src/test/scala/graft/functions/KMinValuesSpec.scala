@@ -34,6 +34,22 @@ class KMinValuesSpec extends SparkSpec {
     assert(got.getSeq[Long](1) == Seq(3L, 5L))
   }
 
+  test("cmsEstimates: never underestimates, exact at collision-free width, tight at small width") {
+    val items = (0 until 1000).map(i => s"item_${i % 37}") ++ Seq.fill(500)("hot")
+    val df = items.toDF("tok")
+    // wide sketch (w >> distinct): no collisions, estimates exact
+    val exact = graft.ops.Cardinality.cmsEstimates(df, "tok", d = 4, w = 4096, topN = 38)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(exact.nonEmpty && exact.forall { case (_, t, e) => e == t })
+    assert(exact.find(_._1 == "hot").exists(_._2 == 500L))
+    // narrow sketch (w = 8 << 38 distinct): collisions guaranteed —
+    // estimates are >= true everywhere and > true somewhere
+    val tight = graft.ops.Cardinality.cmsEstimates(df, "tok", d = 2, w = 8, topN = 38)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(tight.forall { case (t, e) => e >= t }, "CMS must never underestimate")
+    assert(tight.exists { case (t, e) => e > t }, "w=8 over 38 keys must collide")
+  }
+
   test("estimator guards the k-th-value-0 corner: finite max estimate, never Infinity") {
     // hash 0 is in the 60-bit domain; an unguarded divide would yield
     // Infinity. Drive estimate() directly with a sketch whose k-th

@@ -215,6 +215,42 @@ class GraphSpec extends SparkSpec {
     assertCloseHits(runHits(multi), denseHits(multi, 6))
   }
 
+  test("labelPropagation: barbell graph splits into its two triangles; ties break bytewise") {
+    import spark.implicits._
+    // two triangles {a,b,c} and {d,e,f} joined by one bridge c—d
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"),
+      ("d", "e"), ("e", "f"), ("f", "d"),
+      ("c", "d")).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // round 1 (all ties → min neighbor label): a→b? N(a)={b,c} → "b";
+    // b→{a,c}→"a"; c→{a,b,d}→"a"; d→{c,e,f}→"c"; e→{d,f}→"d"; f→{d,e}→"d".
+    // round 2: a: N labels {b:a, c:a} → "a"; b: {a:b, c:a} → "a";
+    // c: {a:b, b:a, d:c} → "a"? votes a=1(from b), b=1(from a), c=1(from d) → min "a";
+    // d: {c:a, e:d, f:d} → "d"; e: {d:c, f:d} → "c"? votes c=1, d=1 → "c";
+    // f: {d:c, e:d} → "c".
+    // round 3: a: {b:a, c:a} → "a"; b: {a:a, c:a} → "a"; c: {a:a, b:a, d:d} → "a";
+    // d: {c:a, e:c, f:c} → "c"; e: {d:d, f:c} → "c"; f: {d:d, e:c} → "c".
+    assert(got == Map(
+      "a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "c", "e" -> "c", "f" -> "c"))
+    // the two triangles end in distinct communities
+    assert(Set("a", "b", "c").map(got) != Set("d", "e", "f").map(got))
+  }
+
+  test("labelPropagation: edge weights outvote multiplicity-1 neighbors; self-loops ignored") {
+    import spark.implicits._
+    // x has neighbors y (weight 5) and z (weight 1): y's label wins
+    // every round even though z sorts first bytewise
+    val edges = Seq(
+      ("x", "y", 5.0), ("x", "z", 1.0), ("x", "x", 99.0)).toDF("src", "dst", "w")
+    val got = Graph.labelPropagation(edges, iterations = 1, weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("x") == "y")
+    assert(got("y") == "x" && got("z") == "x")
+  }
+
   test("hits fails fast on zero/negative collapsed weights (the L1 normalizer would divide by 0)") {
     import spark.implicits._
     val zero = Seq(("a", "b", 0.0), ("b", "a", 1.0)).toDF("src", "dst", "w")

@@ -84,6 +84,34 @@ class TextFilterSpec extends SparkSpec {
     assert(got == Seq(3, 4, 5, 6))
   }
 
+  test("readability: hand-computed counts and exact milli-point scores; empty-text floors") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The cat sat. The dog ran fast! Really?"),
+      (2L, "")).toDF("doc_id", "text")
+    val got = Text.readability(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // 8 words, 3 sentence runs, 9 syllables (really = ea + y runs);
+    // FRE*1000 = (206835*3*8 - 1015*64 - 84600*9*3) / 24 = 2614880/24
+    // -> 108953 (half-away); FK*1000 = -30600/24 = -1275 exact
+    assert(got(1L) == ((8L, 3L, 9L, 108953L, -1275L)))
+    // empty text: all counts floor to 1
+    assert(got(2L) == ((1L, 1L, 1L, 121220L, -3400L)))
+  }
+
+  test("readability: monotone — more syllables per word lowers ease, raises grade") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d. e f g h."),                  // monosyllabic
+      (2L, "elaborate vocabulary everywhere obviously. academia prioritizes polysyllabic terminology.")
+    ).toDF("doc_id", "text")
+    val got = Text.readability(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(got(1L)._1 > got(2L)._1, "simple text must read easier")
+    assert(got(1L)._2 < got(2L)._2, "simple text must grade lower")
+  }
+
   test("compressionRatio: repetitive text compresses far below varied text; empty text is 0-size") {
     val rep = ("spam " * 200).trim
     val varied = (0 until 200).map(i => (i * 2654435761L).toHexString).mkString(" ").take(rep.length)
