@@ -2271,6 +2271,17 @@ object SparkEntry {
       Tables.documents(s, dir).select(explode(split(col("text"), " ")).as("tok")),
       "tok", d = 4, w = 32, topN = 20)
 
+  /** Join-size estimation ([[graft.ops.Cardinality.joinSizeEstimate]])
+    * for lineitem ⋈ orders on orderkey — the planning primitive that
+    * decides broadcast/shuffle/salt from two d×w sketches without
+    * co-shuffling either side. The oracle replays the identical
+    * sketch inner product, collisions included. */
+  private def qJoinSize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cardinality.joinSizeEstimate(
+      Tables.lineitem(s, dir), "l_orderkey",
+      Tables.orders(s, dir), "o_orderkey",
+      d = 4, w = 4096)
+
   /** O2 total-order global sort ([[graft.ts.GlobalSort
     * .rankByValueBuckets]]): two-pass value-bucket recipe — no
     * single-task global window; rank is a pure function of the data. */
@@ -2490,6 +2501,7 @@ object SparkEntry {
     "q_label_prop" -> (qLabelProp _),
     "q_readability" -> (qReadability _),
     "q_cms" -> (qCms _),
+    "q_join_size" -> (qJoinSize _),
     "q_link_graph" -> (qLinkGraph _),
     "q_link_authority" -> (qLinkAuthority _),
     "q_distinct_sketch" -> (qDistinctSketch _),
@@ -2825,6 +2837,20 @@ object SparkEntry {
         |SELECT p.item, p.n_true, MIN(sk.c) AS n_est
         |FROM pb p JOIN sk ON sk.i = p.i AND sk.bucket = p.bucket
         |GROUP BY p.item, p.n_true""".stripMargin,
+    "q_join_size" ->
+      """WITH a AS (SELECT u.i,
+        |    ('0x' || substr(md5('cms' || CAST(u.i AS VARCHAR) || '|' || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT % 4096 AS bucket,
+        |    COUNT(*) AS ca
+        |  FROM lineitem, unnest(generate_series(0, 3)) AS u(i)
+        |  WHERE l_orderkey IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT u.i,
+        |    ('0x' || substr(md5('cms' || CAST(u.i AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 4096 AS bucket,
+        |    COUNT(*) AS cb
+        |  FROM orders, unnest(generate_series(0, 3)) AS u(i)
+        |  WHERE o_orderkey IS NOT NULL GROUP BY 1, 2),
+        |ip AS (SELECT a.i, CAST(SUM(a.ca * b.cb) AS BIGINT) AS ip
+        |       FROM a JOIN b ON a.i = b.i AND a.bucket = b.bucket GROUP BY a.i)
+        |SELECT CAST(MIN(ip) AS BIGINT) AS est_join_rows FROM ip""".stripMargin,
     "q_distinct_sketch" ->
       """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
         |g AS (SELECT source, array_to_string(t[i + 1 : i + 3], ' ') AS g

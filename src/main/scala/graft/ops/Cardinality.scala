@@ -63,6 +63,44 @@ object Cardinality {
       .select(col(groupCol), fill, est)
   }
 
+  /** Equi-join OUTPUT-SIZE estimate from per-side CMS rows (Cormode &
+    * Muthukrishnan 2005 §4.2): |A ⋈ B| ≈ min over hash rows i of
+    * Σ_bucket cntA_i[b] · cntB_i[b] — the inner product of the two
+    * sides' bucket histograms, an upper-bound estimator like the point
+    * query. This is the join-planning primitive (pick broadcast vs
+    * shuffle vs salt BEFORE running the join) at sketch cost: each
+    * side is ONE map-side-combinable aggregate into ≤ d·w rows, the
+    * final inner product is a d·w-row join — the corpora themselves
+    * never co-shuffle. Deterministic salted hashes ⇒ the whole
+    * estimate is oracle-replayable, collisions included. Returns one
+    * row: (est_join_rows). */
+  def joinSizeEstimate(
+      dfA: DataFrame,
+      keyA: String,
+      dfB: DataFrame,
+      keyB: String,
+      d: Int,
+      w: Int
+  ): DataFrame = {
+    require(d >= 1 && d <= 16, s"d must be in [1, 16], got $d")
+    require(w >= 2, s"w must be >= 2, got $w")
+    def sketchOf(df: DataFrame, keyCol: String, out: String): DataFrame = {
+      val items = df.select(col(keyCol).as("item")).where(col(keyCol).isNotNull)
+      items
+        .select(explode(sequence(lit(0), lit(d - 1))).as("i"), col("item"))
+        .groupBy(
+          col("i"),
+          pmod(itemHash(concat(lit("cms"), col("i").cast("string"), lit("|"), col("item"))),
+            lit(w.toLong)).as("bucket"))
+        .agg(count(lit(1)).as(out))
+    }
+    sketchOf(dfA, keyA, "ca")
+      .join(sketchOf(dfB, keyB, "cb"), Seq("i", "bucket"))
+      .groupBy("i")
+      .agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_join_rows"))
+  }
+
   /** Count-min sketch (Cormode & Muthukrishnan 2005) point-frequency
     * estimates: `d` salted hash rows × `w` buckets, estimate = MIN over
     * rows of the probed bucket's total — always ≥ the true count,

@@ -525,6 +525,61 @@ object Streaming {
       }
   }
 
+  /** Sample for the streaming CUSUM drift monitor. */
+  final case class CusumSample(key: String, ts: Long, value: Double)
+
+  /** A CUSUM alarm: one of the one-sided sums exceeded `h` at `ts`. */
+  final case class CusumAlarm(key: String, ts: Long, value: Double, cusum_up: Double, cusum_down: Double)
+
+  /** Streaming twin of [[graft.ops.Anomaly.cusumFlags]]: the live
+    * drift monitor over a metric stream (per-source quality score,
+    * acceptance rate, token rate). Batch derives the Page recurrence
+    * through a prefix-sum/running-min closed form; here the recurrence
+    * runs DIRECTLY in per-key state — S⁺ ← max(0, S⁺ + v − target −
+    * slack), S⁻ ← max(0, S⁻ + target − v − slack) — with the same
+    * DECIMAL(2dp) arithmetic (state is exact cent-scaled longs, values
+    * HALF_UP-rounded on entry exactly like the batch `cast` to
+    * decimal(18,2)), so a replayed stream produces the identical alarm
+    * rows (StreamingSpec pins the parity). Emits only rows where a
+    * side exceeds `h` (the batch filter). State: two longs per key.
+    * Requires per-key in-order delivery across micro-batches; rows are
+    * sorted by ts within each batch. */
+  def cusumStream(
+      samples: Dataset[CusumSample],
+      target: java.math.BigDecimal,
+      slack: java.math.BigDecimal,
+      h: java.math.BigDecimal
+  ): Dataset[CusumAlarm] = {
+    require(slack.signum >= 0, s"slack must be >= 0, got $slack")
+    require(h.signum > 0, s"h must be positive, got $h")
+    import samples.sparkSession.implicits._
+    def cents(b: java.math.BigDecimal): Long =
+      b.setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    val targetC = cents(target); val slackC = cents(slack); val hC = cents(h)
+    samples
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long), CusumAlarm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, Long)]) =>
+          var (su, sd) = state.getOption.getOrElse((0L, 0L))
+          val arr = rows.toArray
+          scala.util.Sorting.stableSort(arr, (a: CusumSample, b: CusumSample) => a.ts < b.ts)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumAlarm]
+          arr.foreach { s =>
+            // valueOf = shortest-repr based, matching Spark's
+            // double→decimal cast (a raw `new BigDecimal(double)` would
+            // use the exact binary expansion and flip .xx5 boundaries)
+            val vC = cents(java.math.BigDecimal.valueOf(s.value))
+            su = math.max(0L, su + vC - targetC - slackC)
+            sd = math.max(0L, sd + targetC - vC - slackC)
+            if (su > hC || sd > hC)
+              out += CusumAlarm(key, s.ts, vC / 100.0, su / 100.0, sd / 100.0)
+          }
+          state.update((su, sd))
+          out.iterator
+      }
+  }
+
   /** Event for the streaming cohort monitor: `user` active at epoch-µs `ts`. */
   final case class UserActivity(user: String, ts: Long)
 

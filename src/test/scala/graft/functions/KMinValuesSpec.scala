@@ -50,6 +50,26 @@ class KMinValuesSpec extends SparkSpec {
     assert(tight.exists { case (t, e) => e > t }, "w=8 over 38 keys must collide")
   }
 
+  test("joinSizeEstimate: never underestimates, exact at collision-free width") {
+    // A-side key i repeats (i % 7) + 1 times; B-side key i repeats
+    // (i % 3) + 1 times over the shared key range 0..99 → true join
+    // size = Σ_i repA(i) · repB(i), computable exactly.
+    val aRows = (0 until 100).flatMap(i => Seq.fill(i % 7 + 1)(i.toLong))
+    val bRows = (0 until 100).flatMap(i => Seq.fill(i % 3 + 1)(i.toLong))
+    val trueSize = (0 until 100).map(i => (i % 7 + 1).toLong * (i % 3 + 1)).sum
+    val a = aRows.toDF("ka")
+    val b = bRows.toDF("kb")
+    // wide sketch (w >> 100 distinct keys): collision-free, estimate exact
+    val exact = graft.ops.Cardinality.joinSizeEstimate(a, "ka", b, "kb", d = 4, w = 8192)
+      .head().getLong(0)
+    assert(exact == trueSize, s"collision-free estimate $exact != true $trueSize")
+    // narrow sketch (w = 8): collisions inflate the inner product —
+    // still an upper bound, never an underestimate
+    val coarse = graft.ops.Cardinality.joinSizeEstimate(a, "ka", b, "kb", d = 2, w = 8)
+      .head().getLong(0)
+    assert(coarse >= trueSize, "CMS inner product must never underestimate")
+  }
+
   test("estimator guards the k-th-value-0 corner: finite max estimate, never Infinity") {
     // hash 0 is in the 60-bit domain; an unguarded divide would yield
     // Infinity. Drive estimate() directly with a sketch whose k-th

@@ -542,6 +542,44 @@ class StreamingSpec extends SparkSpec {
     assert(batch == streamCounts)
   }
 
+  test("cusumStream: alarm rows match batch cusumFlags across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.CusumSample
+    def bd(s: String) = new java.math.BigDecimal(s)
+    val input = MemoryStream[CusumSample]
+    val q = Streaming
+      .cusumStream(input.toDS(), target = bd("10.00"), slack = bd("0.50"), h = bd("2.00"))
+      .writeStream.format("memory").queryName("cusum_alarms").outputMode("append")
+      .start()
+    // batch 1: upward drift accumulates (S+ = 0.5, 1.5, 1.5 — no alarm)
+    input.addData(
+      CusumSample("k", 1, 11.0), CusumSample("k", 2, 11.5), CusumSample("k", 3, 10.5),
+      CusumSample("other", 1, 10.0))
+    q.processAllAvailable()
+    // batch 2: state must carry S+ = 1.5 across the boundary; 11.2
+    // pushes to 2.2 > h → alarm; then a plunge drives S− over h too
+    input.addData(
+      CusumSample("k", 4, 11.2), CusumSample("k", 5, 6.0), CusumSample("k", 6, 6.0))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT key, ts, value, cusum_up, cusum_down FROM cusum_alarms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    q.stop()
+    // batch parity on the same rows
+    val events = Seq(
+      ("k", 1L, 11.0), ("k", 2L, 11.5), ("k", 3L, 10.5), ("other", 1L, 10.0),
+      ("k", 4L, 11.2), ("k", 5L, 6.0), ("k", 6L, 6.0)).toDF("key", "ts", "value")
+    val batch = graft.ops.Anomaly
+      .cusumFlags(events, "value", Seq("key"), Seq("ts"), bd("10.00"), bd("0.50"), bd("2.00"))
+      .select("key", "ts", "value", "cusum_up", "cusum_down").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == batch && got.nonEmpty)
+    // and the alarm set is what the recurrence says it is
+    assert(got.map(t => (t._2, t._4, t._5)) == Set(
+      (4L, 2.2, 0.0),     // S+ = 1.5 + 11.2 - 10.5 = 2.2 > 2
+      (5L, 0.0, 3.5),     // S- = 0 + 10 - 6 - 0.5 = 3.5 > 2
+      (6L, 0.0, 7.0)))    // S- = 3.5 + 3.5
+  }
+
   test("cohortStream: once-per-(user,offset) emission matches batch retention across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streaming.UserActivity]
