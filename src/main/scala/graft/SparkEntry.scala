@@ -1884,6 +1884,39 @@ object SparkEntry {
     Graph.labelPropagation(edges, iterations = 3, weightCol = Some("w"))
   }
 
+  /** Sorted-neighborhood dedup ([[graft.ops.Snm.matchPairs]], window 5,
+    * maxDist 2) — the blocking family member with a DATA-INDEPENDENT
+    * candidate count (exactly n·(w−1) minus the corpus tail; no hot
+    * bucket to shed, unlike every hash scheme on adversarial keys).
+    * Keys synthesize a record-linkage shape from doc_id arithmetic:
+    * per base number, an exact form, a last-digit-substituted typo,
+    * and a suffixed variant — the window sweeps them as sort
+    * neighbors. The oracle replays the identical total order
+    * (row_number over (key, doc_id)), windowed self-join, and
+    * levenshtein verify. */
+  private def qSnmDedup(s: SparkSession, dir: String): DataFrame = {
+    val b = lpad((col("doc_id") % 100).cast("string"), 4, "0")
+    val key = when(col("doc_id") % 3 === 0, concat(lit("rec "), b))
+      .when(col("doc_id") % 3 === 1, concat(lit("rec "), substring(b, 1, 3), lit("x")))
+      .otherwise(concat(lit("rec "), b, lit("z")))
+    graft.ops.Snm.matchPairs(
+      Tables.documents(s, dir).select(col("doc_id"), key.as("key")),
+      "doc_id", "key", window = 5, maxDist = 2)
+  }
+
+  /** Triangle counts + local clustering coefficient
+    * ([[graft.ops.Graph.triangleCounts]]) over the q_link_graph domain
+    * edges — the link-farm density signal next to authority. The ring
+    * sites close exactly 2 triangles each through the `example.org`
+    * hub; the hub sits in all 20; the oracle replays the same
+    * degree-ordered wedge enumeration literally. */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = qLinkGraph(s, dir).select(
+      col("src_domain").as("src"),
+      col("dst_domain").as("dst"))
+    Graph.triangleCounts(edges)
+  }
+
   /** Content-defined chunking ([[graft.functions.CdcChunks]], w = 2,
     * modulus 16): token-granular Rabin/FastCDC cuts — boundaries
     * depend on local content, so an edit shifts only its own chunk,
@@ -2499,6 +2532,8 @@ object SparkEntry {
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_fuzzy_link" -> (qFuzzyLink _),
     "q_label_prop" -> (qLabelProp _),
+    "q_triangles" -> (qTriangles _),
+    "q_snm_dedup" -> (qSnmDedup _),
     "q_readability" -> (qReadability _),
     "q_cms" -> (qCms _),
     "q_join_size" -> (qJoinSize _),
@@ -2643,6 +2678,31 @@ object SparkEntry {
 
   private lazy val labelPropOracleSql: String =
     lpaRecurrenceSql(linkGraphEdgesCtes, iterations = 3)
+
+  /** q_triangles: the degree-ordered wedge enumeration replayed
+    * literally — canonical undirected edges, (degree, id)-orientation,
+    * wedge pairs at the min-rank vertex closed against the edge set. */
+  private lazy val trianglesOracleSql: String =
+    s"""WITH $linkGraphEdgesCtes,
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |        FROM edges WHERE src <> dst),
+       |deg AS (SELECT v, COUNT(*) AS d FROM (
+       |  SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+       |o AS (SELECT
+       |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS lo,
+       |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS hi
+       |  FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+       |w AS (SELECT o1.lo AS c, o1.hi AS x, o2.hi AS y
+       |      FROM o o1 JOIN o o2 ON o1.lo = o2.lo AND o1.hi < o2.hi),
+       |t AS (SELECT c, x, y FROM w JOIN und e ON e.a = w.x AND e.b = w.y),
+       |pn AS (SELECT v, COUNT(*) AS nt FROM (
+       |  SELECT c AS v FROM t UNION ALL SELECT x AS v FROM t
+       |  UNION ALL SELECT y AS v FROM t) GROUP BY v)
+       |SELECT deg.v AS node, deg.d AS degree, COALESCE(pn.nt, 0) AS n_triangles,
+       |  ROUND(CASE WHEN deg.d >= 2
+       |             THEN 2.0 * COALESCE(pn.nt, 0) / (deg.d * (deg.d - 1.0))
+       |             ELSE 0.0 END, 6) AS lcc
+       |FROM deg LEFT JOIN pn ON pn.v = deg.v""".stripMargin
 
   private lazy val topNgramsOracleSql: String =
     """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
@@ -2800,6 +2860,22 @@ object SparkEntry {
     "q_link_authority" -> linkAuthorityOracleSql,
     "q_hits" -> hitsOracleSql,
     "q_label_prop" -> labelPropOracleSql,
+    "q_triangles" -> trianglesOracleSql,
+    "q_snm_dedup" ->
+      """WITH k AS (SELECT doc_id,
+        |    lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') AS b,
+        |    doc_id % 3 AS r FROM documents),
+        |keys AS (SELECT doc_id,
+        |    CASE r WHEN 0 THEN 'rec ' || b
+        |           WHEN 1 THEN 'rec ' || substr(b, 1, 3) || 'x'
+        |           ELSE 'rec ' || b || 'z' END AS key FROM k),
+        |rk AS (SELECT doc_id, key,
+        |         row_number() OVER (ORDER BY key, doc_id) AS rn FROM keys),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |             levenshtein(a.key, b.key) AS dist
+        |      FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn <= a.rn + 4)
+        |SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist FROM p
+        |WHERE dist <= 2""".stripMargin,
     "q_readability" ->
       """WITH t AS (SELECT doc_id, text || '. The queue? Yes!' AS text FROM documents),
         |w AS (SELECT doc_id,

@@ -515,4 +515,71 @@ object Graph {
     nbrRdd.unpersist(blocking = false)
     labels
   }
+
+  /** Per-node triangle counts + local clustering coefficient over the
+    * UNDIRECTED view of an edge list — the link-farm / mutual-citation
+    * density signal a crawl-quality prior reads next to [[pagerank]]
+    * (a domain whose neighborhood is a near-clique is a different
+    * beast from a hub with the same degree).
+    *
+    * Degree-ordered node-iterator (Suri & Vassilvitskii 2011, "the
+    * curse of the last reducer"): each canonical edge is oriented from
+    * its lower-(degree, id) endpoint to the higher, so every wedge is
+    * enumerated at its LOWEST-rank vertex — out-degrees are bounded by
+    * O(√m) on any graph, which caps the one super-linear step (the
+    * wedge self-join) at O(m^1.5) total and, critically, breaks up the
+    * hub rows: a 10M-degree hub node enumerates ZERO wedges (every
+    * incident edge points INTO it) instead of 10M² candidate pairs.
+    * Each triangle is found exactly once (wedge center = min-rank
+    * vertex, closed against the canonical edge set). Everything is an
+    * equi-join on node keys — no loop, no driver state, 100 TB shape.
+    *
+    * Semantics (mirrored literally by the DuckDB oracle): parallel
+    * edges collapse, direction and weights are ignored, self-loops are
+    * dropped; `lcc = 2·T(v) / (deg(v)·(deg(v)−1))`, 0 when deg < 2,
+    * rounded to 6dp on both sides.
+    *
+    * @return (node, degree, n_triangles, lcc)
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient low-(degree, id) → high: rank ties broken by node id so
+    // the orientation is a strict total order (acyclic by construction)
+    val o = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("lo"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("hi"))
+    val o2 = o.select(col("lo"), col("hi").as("hi2"))
+    val wedges = o.join(o2, "lo")
+      .where(col("hi") < col("hi2"))
+      .select(col("lo").as("c"), col("hi").as("x"), col("hi2").as("y"))
+    val tris = wedges.join(
+      und.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+    val perNode = tris
+      .select(explode(array(col("c"), col("x"), col("y"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("nt"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(
+        col("v").as("node"),
+        col("d").as("degree"),
+        coalesce(col("nt"), lit(0L)).as("n_triangles"),
+        round(
+          when(col("d") >= 2,
+            lit(2.0) * coalesce(col("nt"), lit(0L)).cast("double") /
+              (col("d").cast("double") * (col("d").cast("double") - 1.0)))
+            .otherwise(lit(0.0)),
+          6).as("lcc"))
+  }
 }

@@ -265,6 +265,37 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("triangleCounts: 4-clique + pendant, direction/parallels/self-loops ignored") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} (4 triangles, 3 per member) + pendant 5—1;
+    // noise: a reversed duplicate, a parallel edge, and a self-loop
+    // must all collapse into the same undirected simple graph
+    val edges = Seq(
+      ("n1", "n2"), ("n1", "n3"), ("n1", "n4"), ("n2", "n3"), ("n2", "n4"), ("n3", "n4"),
+      ("n5", "n1"),
+      ("n3", "n2"), // reversed duplicate of (n2, n3)
+      ("n1", "n2"), // parallel
+      ("n4", "n4")  // self-loop
+    ).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("n1") == ((4L, 3L, 0.5)))      // deg 4: clique + pendant
+    assert(got("n2") == ((3L, 3L, 1.0)))
+    assert(got("n3") == ((3L, 3L, 1.0)))
+    assert(got("n4") == ((3L, 3L, 1.0)))
+    assert(got("n5") == ((1L, 0L, 0.0)))      // deg < 2 → lcc 0
+    // total triangles = Σ per-node / 3
+    assert(got.values.map(_._2).sum == 12L)
+  }
+
+  test("triangleCounts: triangle-free star and path report zero everywhere") {
+    import spark.implicits._
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("a", "x")).toDF("src", "dst")
+    val got = Graph.triangleCounts(star).collect()
+    assert(got.forall(_.getLong(2) == 0L))
+    assert(got.forall(_.getDouble(3) == 0.0))
+  }
+
   test("tol stops early once converged and still returns a valid distribution") {
     // strongly connected 2-cycle converges fast; a loose tol must not
     // change the fixed point materially
