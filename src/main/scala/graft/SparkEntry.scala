@@ -1884,6 +1884,28 @@ object SparkEntry {
     Graph.labelPropagation(edges, iterations = 3, weightCol = Some("w"))
   }
 
+  /** One-pass data-quality profile ([[graft.ops.Profile.profile]]) —
+    * the per-ingest-batch validation gate: completeness, KMV distinct,
+    * range, and exact-decimal mean for four numeric and two string
+    * columns of lineitem, ALL from ONE map-side-combinable aggregate
+    * (one scan, not |columns| scans). Doubles are projected to
+    * DECIMAL(18,2) first per the operator's determinism contract
+    * (engine-stable string form for the distinct hash; exact sums). */
+  private def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_orderkey"),
+      col("l_quantity").cast("decimal(18,2)").as("quantity"),
+      col("l_extendedprice").cast("decimal(18,2)").as("price"),
+      col("l_discount").cast("decimal(18,2)").as("discount"),
+      col("l_returnflag"),
+      col("l_linestatus"))
+    graft.ops.Profile.profile(
+      li,
+      numericCols = Seq("l_orderkey", "quantity", "price", "discount"),
+      stringCols = Seq("l_returnflag", "l_linestatus"),
+      k = 64)
+  }
+
   /** Sorted-neighborhood dedup ([[graft.ops.Snm.matchPairs]], window 5,
     * maxDist 2) — the blocking family member with a DATA-INDEPENDENT
     * candidate count (exactly n·(w−1) minus the corpus tail; no hot
@@ -2534,6 +2556,7 @@ object SparkEntry {
     "q_label_prop" -> (qLabelProp _),
     "q_triangles" -> (qTriangles _),
     "q_snm_dedup" -> (qSnmDedup _),
+    "q_profile" -> (qProfile _),
     "q_readability" -> (qReadability _),
     "q_cms" -> (qCms _),
     "q_join_size" -> (qJoinSize _),
@@ -2678,6 +2701,42 @@ object SparkEntry {
 
   private lazy val labelPropOracleSql: String =
     lpaRecurrenceSql(linkGraphEdgesCtes, iterations = 3)
+
+  /** One q_profile column replayed: exact stats subquery × the KMV
+    * distinct replay (`ORDER BY hash LIMIT k` IS the sketch in SQL),
+    * cross-joined — `valExpr` feeds the null test and the distinct
+    * hash, `statExpr` the min/max/mean. */
+  private def profileColOracle(out: String, valExpr: String, statExpr: String): String =
+    s"""SELECT '$out' AS "column", s.n_rows, s.n_null, d.n_distinct,
+       |       s."min", s."max", s.mean FROM
+       |  (SELECT COUNT(*) AS n_rows, COUNT(*) - COUNT($valExpr) AS n_null,
+       |          MIN(CAST($statExpr AS DOUBLE)) AS "min",
+       |          MAX(CAST($statExpr AS DOUBLE)) AS "max",
+       |          CASE WHEN COUNT($valExpr) > 0 THEN
+       |            ROUND(CAST(SUM(CAST($statExpr AS DECIMAL(38,6))) AS DOUBLE)
+       |                  / COUNT($valExpr), 6)
+       |          END AS mean
+       |   FROM lineitem) s CROSS JOIN
+       |  (WITH hh AS (SELECT DISTINCT
+       |       ('0x' || substr(md5(CAST($valExpr AS VARCHAR)), 1, 15))::BIGINT AS h
+       |     FROM lineitem WHERE $valExpr IS NOT NULL),
+       |   rk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hh),
+       |   a AS (SELECT COUNT(*) AS nd, MAX(CASE WHEN rn <= 64 THEN h END) AS kth FROM rk)
+       |   SELECT CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+       |               ELSE round(63.0 * (pow(2.0, 60.0) / CAST(GREATEST(kth, 1) AS DOUBLE)), 4)
+       |          END AS n_distinct FROM a) d""".stripMargin
+
+  private lazy val profileOracleSql: String = Seq(
+    profileColOracle("l_orderkey", "l_orderkey", "l_orderkey"),
+    profileColOracle("quantity",
+      "CAST(l_quantity AS DECIMAL(18,2))", "CAST(l_quantity AS DECIMAL(18,2))"),
+    profileColOracle("price",
+      "CAST(l_extendedprice AS DECIMAL(18,2))", "CAST(l_extendedprice AS DECIMAL(18,2))"),
+    profileColOracle("discount",
+      "CAST(l_discount AS DECIMAL(18,2))", "CAST(l_discount AS DECIMAL(18,2))"),
+    profileColOracle("l_returnflag", "l_returnflag", "len(l_returnflag)"),
+    profileColOracle("l_linestatus", "l_linestatus", "len(l_linestatus)")
+  ).mkString("\nUNION ALL\n")
 
   /** q_triangles: the degree-ordered wedge enumeration replayed
     * literally — canonical undirected edges, (degree, id)-orientation,
@@ -2861,6 +2920,7 @@ object SparkEntry {
     "q_hits" -> hitsOracleSql,
     "q_label_prop" -> labelPropOracleSql,
     "q_triangles" -> trianglesOracleSql,
+    "q_profile" -> profileOracleSql,
     "q_snm_dedup" ->
       """WITH k AS (SELECT doc_id,
         |    lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') AS b,

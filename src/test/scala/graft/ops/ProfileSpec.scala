@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** [[Profile]] — the one-pass profiling contract: exact
+  * completeness/range/mean, KMV-exact distinct below k, and ONE
+  * aggregation pass (single Exchange) no matter how many columns. */
+class ProfileSpec extends SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  test("exact stats, nulls counted, distinct exact below k") {
+    val df = Seq[(java.lang.Long, Option[String])](
+      (1L, Some("aa")), (2L, Some("bbb")), (2L, None), (null, Some("aa"))
+    ).toDF("v", "t")
+    val got = Profile.profile(df, numericCols = Seq("v"), stringCols = Seq("t"), k = 16)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val v = got("v")
+    assert(v.getLong(1) == 4L && v.getLong(2) == 1L)           // n_rows, n_null
+    assert(v.getDouble(3) == 2.0)                              // distinct {1, 2}
+    assert(v.getDouble(4) == 1.0 && v.getDouble(5) == 2.0)     // min, max
+    assert(v.getDouble(6) == 1.666667)                         // mean over non-null, 6dp
+    val t = got("t")
+    assert(t.getLong(2) == 1L && t.getDouble(3) == 2.0)        // null; {aa, bbb}
+    assert(t.getDouble(4) == 2.0 && t.getDouble(5) == 3.0)     // len range
+    assert(t.getDouble(6) == 2.333333)                         // mean len, 6dp
+  }
+
+  test("all-null column yields 0 distinct and null min/max/mean") {
+    val df = Seq[(Int, Option[String])]((1, None), (2, None)).toDF("v", "t")
+    val r = Profile.profile(df, Seq("v"), Seq("t")).collect()
+      .find(_.getString(0) == "t").get
+    assert(r.getLong(2) == 2L && r.getDouble(3) == 0.0)
+    assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+  }
+
+  test("one aggregation pass: a 6-column profile has exactly one Exchange") {
+    val df = (0 until 1000).map(i =>
+      (i.toLong, i % 7, i % 13, s"s$i", s"t${i % 5}", s"u${i % 3}"))
+      .toDF("a", "b", "c", "d", "e", "f")
+    val plan = Profile
+      .profile(df, Seq("a", "b", "c"), Seq("d", "e", "f"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+}
