@@ -1884,6 +1884,21 @@ object SparkEntry {
     Graph.labelPropagation(edges, iterations = 3, weightCol = Some("w"))
   }
 
+  /** Join-skew advisor ([[graft.ops.SkewJoin.skewAdvisor]]) — the
+    * per-key companion to [[qJoinSize]]'s total: for the
+    * lineitem ⋈ lineitem supplier self-join (the part-co-occurrence
+    * planning shape), every supplier key's two-side multiplicity,
+    * exact DECIMAL fan-out, and the integral-ceil salt factor that
+    * caps a reduce task at 100k output rows. ONE map-side-combinable
+    * count per side; the corpora never meet — only the hot count rows
+    * do. */
+  private def qSkewAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    graft.ops.SkewJoin.skewAdvisor(
+      li, "l_suppkey", li, "l_suppkey",
+      hotThreshold = 300L, targetPairsPerTask = 100000L)
+  }
+
   /** One-pass data-quality profile ([[graft.ops.Profile.profile]]) —
     * the per-ingest-batch validation gate: completeness, KMV distinct,
     * range, and exact-decimal mean for four numeric and two string
@@ -2557,6 +2572,7 @@ object SparkEntry {
     "q_triangles" -> (qTriangles _),
     "q_snm_dedup" -> (qSnmDedup _),
     "q_profile" -> (qProfile _),
+    "q_skew_advisor" -> (qSkewAdvisor _),
     "q_readability" -> (qReadability _),
     "q_cms" -> (qCms _),
     "q_join_size" -> (qJoinSize _),
@@ -2921,6 +2937,16 @@ object SparkEntry {
     "q_label_prop" -> labelPropOracleSql,
     "q_triangles" -> trianglesOracleSql,
     "q_profile" -> profileOracleSql,
+    "q_skew_advisor" ->
+      """WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n
+        |           FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+        |hot AS (SELECT key FROM c WHERE n >= 300),
+        |r AS (SELECT hot.key, c1.n AS n_a, c2.n AS n_b,
+        |        CAST(CAST(c1.n AS DECIMAL(19,0)) * CAST(c2.n AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS est_pairs
+        |      FROM hot LEFT JOIN c c1 ON c1.key = hot.key LEFT JOIN c c2 ON c2.key = hot.key)
+        |SELECT key, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b, est_pairs,
+        |  CAST(GREATEST(1, (CAST(est_pairs AS HUGEINT) + 99999) // 100000) AS BIGINT) AS salt_factor
+        |FROM r""".stripMargin,
     "q_snm_dedup" ->
       """WITH k AS (SELECT doc_id,
         |    lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') AS b,
