@@ -1941,6 +1941,45 @@ object SparkEntry {
       "doc_id", "key", window = 5, maxDist = 2)
   }
 
+  /** Encoding-artifact screen ([[graft.ops.Text.encodingArtifacts]]) —
+    * the ftfy-class mojibake/replacement-char gate. The ASCII corpus
+    * gets one injected suffix per doc_id residue: a Latin-1
+    * double-decode ("CafÃ©"), a cp1252 one
+    * ("donâ€™t"), a U+FFFD-damaged byte, and a CLEAN
+    * accented word ("não") that must NOT flag. The oracle states
+    * each residue's counts literally — the regex never runs
+    * oracle-side. */
+  private def qMojibake(s: SparkSession, dir: String): DataFrame = {
+    val r = col("doc_id") % 4
+    val injected = when(r === 0, concat(col("text"), lit(" CafÃ©")))
+      .when(r === 1, concat(col("text"), lit(" donâ€™t")))
+      .when(r === 2, concat(col("text"), lit(" bad�byte")))
+      .otherwise(concat(col("text"), lit(" não clean")))
+    graft.ops.Text.encodingArtifacts(
+      Tables.documents(s, dir).select(col("doc_id"), injected.as("text")))
+  }
+
+  /** k-core ([[graft.ops.Graph.kCore]], k = 2) over a synthesized
+    * 25-group triangle-plus-pendant-chain graph (doc_id % 25 picks the
+    * group, doc_id % 6 the edge template — 25 coprime to 6, so every
+    * group gets all six edges at any scale): the chain p3—p2—p1 must
+    * CASCADE off one link per peel round before each triangle core
+    * stabilizes — exercising the iteration, not just the degree
+    * filter. The oracle unrolls the full 8 rounds unconditionally
+    * (peeling is monotone, so the operator's fixpoint early-stop is
+    * invisible). */
+  private def qKCore(s: SparkSession, dir: String): DataFrame = {
+    val g = concat(lit("g"), (col("doc_id") % 25).cast("string"))
+    val r = col("doc_id") % 6
+    val srcSuf = when(r === 0, ":t1").when(r === 1, ":t2").when(r === 2, ":t1")
+      .when(r === 3, ":t3").when(r === 4, ":p1").otherwise(":p2")
+    val dstSuf = when(r === 0, ":t2").when(r === 1, ":t3").when(r === 2, ":t3")
+      .when(r === 3, ":p1").when(r === 4, ":p2").otherwise(":p3")
+    val edges = Tables.documents(s, dir).select(
+      concat(g, srcSuf).as("src"), concat(g, dstSuf).as("dst"))
+    Graph.kCore(edges, k = 2, maxRounds = 8)
+  }
+
   /** Triangle counts + local clustering coefficient
     * ([[graft.ops.Graph.triangleCounts]]) over the q_link_graph domain
     * edges — the link-farm density signal next to authority. The ring
@@ -2570,6 +2609,8 @@ object SparkEntry {
     "q_fuzzy_link" -> (qFuzzyLink _),
     "q_label_prop" -> (qLabelProp _),
     "q_triangles" -> (qTriangles _),
+    "q_kcore" -> (qKCore _),
+    "q_mojibake" -> (qMojibake _),
     "q_snm_dedup" -> (qSnmDedup _),
     "q_profile" -> (qProfile _),
     "q_skew_advisor" -> (qSkewAdvisor _),
@@ -2757,6 +2798,37 @@ object SparkEntry {
   /** q_triangles: the degree-ordered wedge enumeration replayed
     * literally — canonical undirected edges, (degree, id)-orientation,
     * wedge pairs at the min-rank vertex closed against the edge set. */
+  /** q_kcore: the peel unrolled — per round, edges induced by the
+    * previous alive set, then the degree >= k filter; the final
+    * degree rollup runs over the round-8 induced edges. */
+  private lazy val kcoreOracleSql: String = {
+    val rounds = 8
+    val iters = (2 to rounds).map { i =>
+      s"""e$i AS (SELECT und.a, und.b FROM und
+         |  JOIN a${i - 1} x ON x.node = und.a JOIN a${i - 1} y ON y.node = und.b),
+         |a$i AS MATERIALIZED (SELECT node FROM (
+         |  SELECT a AS node FROM e$i UNION ALL SELECT b AS node FROM e$i) t
+         | GROUP BY node HAVING COUNT(*) >= 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id % 25 AS g, doc_id % 6 AS r FROM documents),
+       |raw AS (SELECT
+       |  'g' || CAST(g AS VARCHAR) || CASE r WHEN 0 THEN ':t1' WHEN 1 THEN ':t2'
+       |    WHEN 2 THEN ':t1' WHEN 3 THEN ':t3' WHEN 4 THEN ':p1' ELSE ':p2' END AS s,
+       |  'g' || CAST(g AS VARCHAR) || CASE r WHEN 0 THEN ':t2' WHEN 1 THEN ':t3'
+       |    WHEN 2 THEN ':t3' WHEN 3 THEN ':p1' WHEN 4 THEN ':p2' ELSE ':p3' END AS t
+       |  FROM d),
+       |und AS MATERIALIZED (SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b FROM raw WHERE s <> t),
+       |a1 AS MATERIALIZED (SELECT node FROM (
+       |  SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und) t0
+       | GROUP BY node HAVING COUNT(*) >= 2),
+       |$iters,
+       |ef AS (SELECT und.a, und.b FROM und
+       |  JOIN a$rounds x ON x.node = und.a JOIN a$rounds y ON y.node = und.b)
+       |SELECT node, COUNT(*) AS core_degree FROM (
+       |  SELECT a AS node FROM ef UNION ALL SELECT b AS node FROM ef) t1
+       |GROUP BY node""".stripMargin
+  }
+
   private lazy val trianglesOracleSql: String =
     s"""WITH $linkGraphEdgesCtes,
        |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -2936,6 +3008,13 @@ object SparkEntry {
     "q_hits" -> hitsOracleSql,
     "q_label_prop" -> labelPropOracleSql,
     "q_triangles" -> trianglesOracleSql,
+    "q_kcore" -> kcoreOracleSql,
+    "q_mojibake" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 1 ELSE 0 END AS INTEGER) AS n_mojibake,
+        |  CAST(CASE doc_id % 4 WHEN 2 THEN 1 ELSE 0 END AS INTEGER) AS n_replacement,
+        |  CAST(CASE doc_id % 4 WHEN 3 THEN 0 ELSE 1 END AS INTEGER) AS encoding_suspect
+        |FROM documents""".stripMargin,
     "q_profile" -> profileOracleSql,
     "q_skew_advisor" ->
       """WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n

@@ -516,6 +516,82 @@ object Graph {
     labels
   }
 
+  /** k-core of the UNDIRECTED simple view of an edge list: the maximal
+    * subgraph in which every node keeps degree ≥ k — the
+    * link-farm/spam-shell signal next to [[triangleCounts]] (a
+    * mutual-citation farm survives deep cores; organically linked
+    * pages shed early), and the standard "dense backbone" extractor.
+    *
+    * Iterative peeling: each round recomputes degrees over the
+    * surviving induced subgraph and drops nodes below k — removals
+    * CASCADE (a chain anchored on a dense core peels one link per
+    * round). Rounds are bounded by `maxRounds` with an early stop once
+    * a round removes nothing (one O(1) count per round, the same
+    * count-gated loop discipline as [[pagerank]]); peeling is
+    * monotone, so stopping at the fixpoint equals running all rounds —
+    * the oracle unrolls the full `maxRounds` unconditionally.
+    *
+    * Execution shape: the canonical edge list is cached once
+    * (lineage-cut); each round is two semi-joins of edges against the
+    * O(nodes) alive vector plus one degree rollup — all equi-joins on
+    * node keys, nothing driver-side but the per-round count.
+    *
+    * @return (node, core_degree) for nodes in the k-core after at most
+    *         `maxRounds` peels — core_degree is the node's degree
+    *         WITHIN the surviving subgraph (≥ k at the fixpoint)
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val (und, undRdd) = cut(
+      edges
+        .select(
+          least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+        .distinct())
+    und.count()
+    def degrees(alive: Option[DataFrame]): DataFrame = {
+      val kept = alive match {
+        case Some(av) =>
+          und
+            .join(av.select(col("node").as("a")), Seq("a"), "left_semi")
+            .join(av.select(col("node").as("b")), Seq("b"), "left_semi")
+        case None => und
+      }
+      kept.select(col("a").as("node"))
+        .unionAll(kept.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("core_degree"))
+    }
+    var (alive, aliveRdd) = cut(
+      degrees(None).where(col("core_degree") >= k).select("node"))
+    var n = alive.count()
+    var round = 1
+    var done = false
+    while (round < maxRounds && !done) {
+      val (next, nextRdd) = cut(
+        degrees(Some(alive)).where(col("core_degree") >= k).select("node"))
+      val m = next.count()
+      if (m == n) {
+        nextRdd.unpersist(blocking = false)
+        done = true
+      } else {
+        aliveRdd.unpersist(blocking = false)
+        alive = next
+        aliveRdd = nextRdd
+        n = m
+      }
+      round += 1
+    }
+    // materialize (via the same lineage cut) before dropping the
+    // caches the final plan reads from
+    val (res, _) = cut(degrees(Some(alive)).join(alive, Seq("node"), "left_semi"))
+    res.count()
+    aliveRdd.unpersist(blocking = false)
+    undRdd.unpersist(blocking = false)
+    res
+  }
+
   /** Per-node triangle counts + local clustering coefficient over the
     * UNDIRECTED view of an edge list — the link-farm / mutual-citation
     * density signal a crawl-quality prior reads next to [[pagerank]]

@@ -462,6 +462,35 @@ object Text {
       )
   }
 
+  /** Encoding-artifact (mojibake) detection — the ftfy-class screen a
+    * CommonCrawl-derived pipeline runs before any content analysis:
+    * UTF-8 bytes decoded as Latin-1/cp1252 leave fingerprint
+    * characters ('Ã'/'Â' lead bytes, 'â€¦'-family punctuation runs,
+    * the '€'/'™'/'œ' cp1252 tails) and lossy transcodes leave U+FFFD
+    * replacement chars. Counts both classes per document and flags any
+    * hit — a stateless projection (two codegen'd regexp counts), no
+    * shuffle at any scale.
+    *
+    * Heuristic, by design: a genuine Portuguese "não" written in
+    * NFC never matches ('ã' alone is not in the indicator set); the
+    * indicator chars are the ones essentially absent from clean text
+    * in ANY language ('Ã'/'Â'/'â' followed by a cp1252 symbol tail,
+    * or standalone '€'-family symbols glued to letters are what
+    * double-decoding manufactures). */
+  def encodingArtifacts(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    // lead char immediately followed by a continuation-byte tail: the
+    // two-char shape only a double-decode produces. Tails: U+0080-00BF
+    // (UTF-8 continuation bytes read as Latin-1) plus the 27 codepoints
+    // cp1252 maps the 0x80-9F control range to.
+    val mojibake = regexp_count(col(textCol), lit("[\u00C3\u00C2\u00E2][\\u0080-\\u00BF\\u20AC\\u201A\\u0192\\u201E\\u2026\\u2020\\u2021\\u02C6\\u2030\\u0160\\u2039\\u0152\\u017D\\u2018\\u2019\\u201C\\u201D\\u2022\\u2013\\u2014\\u02DC\\u2122\\u0161\\u203A\\u0153\\u017E\\u0178]"))
+    val replacement = regexp_count(col(textCol), lit("�"))
+    documents.select(
+      col("doc_id"),
+      mojibake.as("n_mojibake"),
+      replacement.as("n_replacement"),
+      (mojibake + replacement > 0).cast("int").as("encoding_suspect"))
+  }
+
   /** The distributed explode/groupBy formulation [[repetition]] replaced
     * — kept for the equivalence spec (and what the DuckDB oracle
     * spells). */

@@ -288,6 +288,24 @@ class GraphSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 12L)
   }
 
+  test("kCore: pendant chain cascades off over multiple rounds, triangle core survives") {
+    import spark.implicits._
+    // triangle {t1,t2,t3} + chain t3—p1—p2—p3: the 2-core is the
+    // triangle, reached only after THREE cascading peels (p3 → p2 → p1)
+    val edges = Seq(
+      ("t1", "t2"), ("t2", "t3"), ("t1", "t3"),
+      ("t3", "p1"), ("p1", "p2"), ("p2", "p3")).toDF("src", "dst")
+    val got = Graph.kCore(edges, k = 2, maxRounds = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("t1" -> 2L, "t2" -> 2L, "t3" -> 2L))
+    // bounded rounds stop mid-cascade: after 2 peels p1 still hangs on
+    val partial = Graph.kCore(edges, k = 2, maxRounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(partial == Map("t1" -> 2L, "t2" -> 2L, "t3" -> 3L, "p1" -> 1L))
+    // k above the max degree empties the graph
+    assert(Graph.kCore(edges, k = 4, maxRounds = 10).isEmpty)
+  }
+
   test("triangleCounts: triangle-free star and path report zero everywhere") {
     import spark.implicits._
     val star = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("a", "x")).toDF("src", "dst")

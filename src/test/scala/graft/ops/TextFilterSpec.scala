@@ -9,6 +9,23 @@ class TextFilterSpec extends SparkSpec {
   private lazy val s = spark
   import s.implicits._
 
+  test("encodingArtifacts: double-decode shapes flag, genuine accents never do") {
+    val rows = Seq(
+      (1L, "CafÃ© on the corner"),          // Latin-1 double decode: Ã + © tail
+      (2L, "donâ€™t say â€œhiâ€"),          // cp1252 quotes: 3 lead+tail pairs
+      (3L, "damaged � byte"),               // replacement char only
+      (4L, "não façade naïve NÃO BASTA"),   // clean accents — upper Ã is
+      (5L, "plain ascii text")              // followed by ASCII, not a tail
+    ).toDF("doc_id", "text")
+    val got = Text.encodingArtifacts(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(1L) == ((1, 0, 1)))
+    assert(got(2L) == ((3, 0, 1)))
+    assert(got(3L) == ((0, 1, 1)))
+    assert(got(4L) == ((0, 0, 0)))
+    assert(got(5L) == ((0, 0, 0)))
+  }
+
   test("gopherFilter: each rule rejects independently, a good doc passes") {
     val rows = Seq(
       // 10 tokens, mwl 4.1, stop 0.2, ttr 0.9 — passes everything
