@@ -40,13 +40,28 @@ object Profile {
       stringCols: Seq[String] = Nil,
       k: Int = 64
   ): DataFrame = {
+    val cols = checkCols(numericCols, stringCols, k)
+    val agg = df.agg(count(lit(1)).as("__n"), aggExprs(cols, k): _*)
+    agg.select(explode(rowStructs(cols, k)).as("__p")).select(col("__p.*"))
+  }
+
+  private[graft] def checkCols(
+      numericCols: Seq[String],
+      stringCols: Seq[String],
+      k: Int
+  ): Seq[(String, Boolean)] = {
     require(numericCols.nonEmpty || stringCols.nonEmpty, "no columns to profile")
     require(k >= 2, s"k must be >= 2 for the (k-1) estimator, got $k")
-    val cols = numericCols.map((_, false)) ++ stringCols.map((_, true))
-    def statVal(name: String, isString: Boolean): Column =
-      if (isString) length(col(name)) else col(name)
-    val aggExprs = cols.flatMap { case (name, isString) =>
-      val v = statVal(name, isString)
+    numericCols.map((_, false)) ++ stringCols.map((_, true))
+  }
+
+  /** The per-column aggregate battery — shared verbatim by the batch
+    * pass and the windowed streaming twin
+    * ([[graft.streaming.Streaming.profileStream]]), so both walk the
+    * identical count/KMV/min/max/decimal-sum chain. */
+  private[graft] def aggExprs(cols: Seq[(String, Boolean)], k: Int): Seq[Column] =
+    cols.flatMap { case (name, isString) =>
+      val v = if (isString) length(col(name)) else col(name)
       Seq(
         count(col(name)).as(s"__${name}__nn"),
         graft.functions.KMinValues
@@ -56,8 +71,11 @@ object Profile {
         max(v.cast("double")).as(s"__${name}__mx"),
         sum(v.cast("decimal(38,6)")).as(s"__${name}__sm"))
     }
-    val agg = df.agg(count(lit(1)).as("__n"), aggExprs: _*)
-    val rows = cols.map { case (name, _) =>
+
+  /** The aggregate row → per-column report structs (the [[aggExprs]]
+    * counterpart; explode the result to get the long-format rows). */
+  private[graft] def rowStructs(cols: Seq[(String, Boolean)], k: Int): Column =
+    array(cols.map { case (name, _) =>
       val (_, est) = Cardinality.estimate(col(s"__${name}__kmv"), k)
       struct(
         lit(name).as("column"),
@@ -69,7 +87,5 @@ object Profile {
         when(col(s"__${name}__nn") > 0,
           round(col(s"__${name}__sm").cast("double") / col(s"__${name}__nn"), 6))
           .as("mean"))
-    }
-    agg.select(explode(array(rows: _*)).as("__p")).select(col("__p.*"))
-  }
+    }: _*)
 }

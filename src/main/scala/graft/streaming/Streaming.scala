@@ -188,6 +188,37 @@ object Streaming {
       .select(col("window.start").as("win_start"), fill, est)
   }
 
+  /** Streaming twin of [[graft.ops.Profile.profile]] — the live
+    * per-ingest-batch data-quality monitor: one windowed aggregate
+    * computes the FULL per-column battery (completeness, KMV distinct,
+    * range, exact-decimal mean) for every profiled column, emitting
+    * one report row per (window, column) on window close. The
+    * aggregate battery is [[graft.ops.Profile.aggExprs]] VERBATIM
+    * (all algebraic + the mergeable KMV sketch, so partial-merge
+    * across micro-batches is exact), which is what makes the streamed
+    * report row-identical to the batch profile of the same window's
+    * rows — StreamingSpec pins the parity. State per window is
+    * O(columns · k). */
+  def profileStream(
+      rows: DataFrame,
+      tsCol: String,
+      windowDur: String,
+      watermark: String,
+      numericCols: Seq[String],
+      stringCols: Seq[String] = Nil,
+      k: Int = 64
+  ): DataFrame = {
+    val cols = graft.ops.Profile.checkCols(numericCols, stringCols, k)
+    rows
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("__n"), graft.ops.Profile.aggExprs(cols, k): _*)
+      .select(
+        col("window.start").as("win_start"),
+        explode(graft.ops.Profile.rowStructs(cols, k)).as("__p"))
+      .select(col("win_start"), col("__p.*"))
+  }
+
   /** Input row for [[asofEnrichStream]]: `side` 0 = state update (the
     * dimension stream), 1 = probe event (the fact stream). */
   final case class AsOfInput(key: String, ts: Long, side: Int, value: Double)

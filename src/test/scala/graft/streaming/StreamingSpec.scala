@@ -617,6 +617,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch == streamCounts)
   }
 
+  test("profileStream: per-window per-column report matches the batch profile row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, java.lang.Long, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val q = Streaming
+      .profileStream(
+        input.toDF().toDF("event_time", "v", "t"),
+        "event_time", windowDur = "10 seconds", watermark = "5 seconds",
+        numericCols = Seq("v"), stringCols = Seq("t"), k = 8)
+      .writeStream.format("memory").queryName("profile_stream").outputMode("append")
+      .start()
+    // window [0,10): values split across two micro-batches (partial
+    // merge), with a null in each column
+    val b1 = Seq((ts(1), 5L: java.lang.Long, "aa"), (ts(2), 7L: java.lang.Long, null))
+    val b2 = Seq((ts(3), null: java.lang.Long, "bbb"), (ts(4), 7L: java.lang.Long, "aa"))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    input.addData((ts(20), 1L: java.lang.Long, "x")); q.processAllAvailable()
+    val got = spark
+      .sql("SELECT * FROM profile_stream WHERE win_start = timestamp '1970-01-01 00:00:00'")
+      .drop("win_start")
+    // batch parity on the same four rows
+    import spark.implicits._
+    val batchDf = (b1 ++ b2).map { case (_, v, t) => (v, t) }.toDF("v", "t")
+    val batch = graft.ops.Profile.profile(batchDf, Seq("v"), Seq("t"), k = 8)
+    assert(got.collect().map(_.toString).sorted.toSeq ==
+      batch.collect().map(_.toString).sorted.toSeq)
+    assert(got.count() == 2)
+    q.stop()
+  }
+
   test("distinctRateStream: windowed KMV estimate, batch parity, bounded state, late-row drop") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
