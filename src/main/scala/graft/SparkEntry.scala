@@ -1941,6 +1941,30 @@ object SparkEntry {
       "doc_id", "key", window = 5, maxDist = 2)
   }
 
+  /** Trailing point-in-time features ([[graft.ops.Features.trailing]],
+    * 1-hour lookback): per event, count/sum/mean of `value` over the
+    * user's STRICTLY prior events — the leakage-free backfill frame
+    * (the upper bound excludes the event and its timestamp ties). ONE
+    * user-key exchange, codegen'd RANGE window — no self-join. */
+  private def qTrailingFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Features
+      .trailing(
+        Tables.events(s, dir).select("event_id", "user_id", "ts_us", "value"),
+        Seq("user_id"), "ts_us", "value", lookbackUs = 3600000000L)
+      .select("event_id", "user_id", "ts_us", "n_prior", "sum_prior", "mean_prior")
+
+  /** Leave-one-out target encoding
+    * ([[graft.ops.Features.targetEncodeLoo]]): order priority →
+    * total-price mean with each row's own label excluded — the
+    * target-leak-safe mean encoding. One category rollup + join
+    * back. */
+  private def qTargetEncode(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Features
+      .targetEncodeLoo(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_orderpriority", "o_totalprice")
+      .select("o_orderkey", "o_orderpriority", "n_cat", "loo_mean")
+
   /** Encoding-artifact screen ([[graft.ops.Text.encodingArtifacts]]) —
     * the ftfy-class mojibake/replacement-char gate. The ASCII corpus
     * gets one injected suffix per doc_id residue: a Latin-1
@@ -2611,6 +2635,8 @@ object SparkEntry {
     "q_triangles" -> (qTriangles _),
     "q_kcore" -> (qKCore _),
     "q_mojibake" -> (qMojibake _),
+    "q_trailing_features" -> (qTrailingFeatures _),
+    "q_target_encode" -> (qTargetEncode _),
     "q_snm_dedup" -> (qSnmDedup _),
     "q_profile" -> (qProfile _),
     "q_skew_advisor" -> (qSkewAdvisor _),
@@ -3009,6 +3035,27 @@ object SparkEntry {
     "q_label_prop" -> labelPropOracleSql,
     "q_triangles" -> trianglesOracleSql,
     "q_kcore" -> kcoreOracleSql,
+    "q_trailing_features" ->
+      """WITH w0 AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    COUNT(CAST(value AS DECIMAL(18,2))) OVER w AS n_prior,
+        |    SUM(CAST(value AS DECIMAL(18,2))) OVER w AS sum_prior
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |               RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts_us, n_prior, sum_prior,
+        |  CASE WHEN n_prior > 0
+        |       THEN ROUND(CAST(sum_prior AS DOUBLE) / n_prior, 6) END AS mean_prior
+        |FROM w0""".stripMargin,
+    "q_target_encode" ->
+      """WITH st AS (SELECT o_orderpriority AS cat,
+        |    COUNT(CAST(o_totalprice AS DECIMAL(18,2))) AS n_cat,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sm
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o_orderpriority, st.n_cat,
+        |  CASE WHEN o_totalprice IS NOT NULL AND st.n_cat > 1
+        |       THEN ROUND(CAST(sm - CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |                  / (st.n_cat - 1), 6) END AS loo_mean
+        |FROM orders JOIN st ON st.cat = orders.o_orderpriority""".stripMargin,
     "q_mojibake" ->
       """SELECT doc_id,
         |  CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 1 ELSE 0 END AS INTEGER) AS n_mojibake,

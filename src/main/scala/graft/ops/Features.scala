@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time feature engineering — the two primitives a tabular /
+  * event-driven training pipeline needs to build leakage-free features
+  * at 100 TB:
+  *
+  *  - [[trailing]]: per event, aggregates over the key's STRICTLY
+  *    PRIOR events inside a lookback horizon (the "activity in the
+  *    last 7 days" feature family). The upper bound excludes the
+  *    current row — a feature that can see its own event is label
+  *    leakage, the classic backfill bug.
+  *  - [[targetEncodeLoo]]: leave-one-out category → label-mean
+  *    encoding — each row's own label is subtracted from its
+  *    category's sum, the equally classic target-leak fix for mean
+  *    encoding.
+  *
+  * Both are ONE exchange each: trailing is a single event-time RANGE
+  * window per key partition (codegen'd running frame, no self-join —
+  * the naive `events ⋈ events ON ts BETWEEN` respelling is O(n·m)
+  * per key); target encoding is one map-side-combinable category
+  * rollup joined back (broadcast-sized for any sane category
+  * cardinality). Sums run in exact DECIMAL so the results are
+  * engine-replayable.
+  */
+object Features {
+
+  /** Trailing-window features: for every event, the count and
+    * exact-decimal sum of `valCol` over the same key's events with
+    * timestamp in `[ts − lookbackUs, ts − 1]` (strictly prior —
+    * point-in-time correct; simultaneous events at the SAME timestamp
+    * are excluded with it, which is the leakage-safe reading of a
+    * tie).
+    *
+    * @param tsCol  epoch-microsecond long event time
+    * @return input columns + (n_prior, sum_prior 2dp, mean_prior 6dp —
+    *         null when n_prior = 0)
+    */
+  def trailing(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valCol: String,
+      lookbackUs: Long
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "trailing features need at least one key column")
+    require(lookbackUs >= 1, s"lookbackUs must be >= 1, got $lookbackUs")
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol))
+      .rangeBetween(-lookbackUs, -1)
+    val v = col(valCol).cast("decimal(18,2)")
+    events
+      .withColumn("n_prior", count(v).over(w))
+      .withColumn("sum_prior", sum(v).over(w))
+      .withColumn(
+        "mean_prior",
+        when(col("n_prior") > 0,
+          round(col("sum_prior").cast("double") / col("n_prior"), 6)))
+  }
+
+  /** Leave-one-out target encoding: per row, the mean of `labelCol`
+    * over the OTHER rows of the same `catCol` category —
+    * `(Σ_cat − y) / (n_cat − 1)`, null for singleton categories (no
+    * other row to borrow from) and for null labels. Exact DECIMAL
+    * sums; mean rounded 6dp.
+    *
+    * @return input columns + (n_cat, loo_mean)
+    */
+  def targetEncodeLoo(df: DataFrame, catCol: String, labelCol: String): DataFrame = {
+    val y = col(labelCol).cast("decimal(18,2)")
+    val stats = df
+      .groupBy(col(catCol))
+      .agg(count(y).as("n_cat"), sum(y).as("__sum"))
+    df.join(stats, Seq(catCol), "left")
+      .withColumn(
+        "loo_mean",
+        when(y.isNotNull && col("n_cat") > 1,
+          round(((col("__sum") - y).cast("double")) / (col("n_cat") - 1), 6)))
+      .drop("__sum")
+  }
+}

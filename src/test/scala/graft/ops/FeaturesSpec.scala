@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** [[Features]] — point-in-time correctness is the whole contract:
+  * the trailing frame must exclude the current row AND its timestamp
+  * ties, and the LOO encoding must never see its own label. */
+class FeaturesSpec extends SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  test("trailing: strictly-prior range frame — ties excluded, horizon edge inclusive") {
+    val ev = Seq(
+      // user a: ts 100 (v=1), 200 (v=2), 200 (v=4, tie), 300 (v=8)
+      ("a", 100L, 1.0), ("a", 200L, 2.0), ("a", 200L, 4.0), ("a", 300L, 8.0),
+      // user b: isolated
+      ("b", 250L, 16.0)
+    ).toDF("k", "ts", "v")
+    val got = Features.trailing(ev, Seq("k"), "ts", "v", lookbackUs = 100L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)) ->
+        ((r.getLong(3), Option(r.getDecimal(4)).map(_.doubleValue), Option(r.get(5)))))
+      .toMap
+    assert(got(("a", 100L, 1.0))._1 == 0L)                 // nothing prior
+    assert(got(("a", 200L, 2.0)) == ((1L, Some(1.0), Some(1.0))))  // sees ts=100 only, NOT its tie
+    assert(got(("a", 200L, 4.0)) == ((1L, Some(1.0), Some(1.0))))  // ties symmetric
+    assert(got(("a", 300L, 8.0)) == ((2L, Some(6.0), Some(3.0))))  // [200, 299]: both ties, not ts=100
+    assert(got(("b", 250L, 16.0))._1 == 0L)                // keys isolated
+  }
+
+  test("targetEncodeLoo: own label excluded, singleton category null") {
+    val df = Seq(
+      (1L, "x", 10.0), (2L, "x", 20.0), (3L, "x", 30.0),
+      (4L, "solo", 99.0)
+    ).toDF("id", "cat", "y")
+    // the equi-join moves the cat key to column 0
+    val got = Features.targetEncodeLoo(df, "cat", "y")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3), Option(r.get(4))))).toMap
+    assert(got(1L) == ((3L, Some(25.0))))   // (20+30)/2
+    assert(got(2L) == ((3L, Some(20.0))))   // (10+30)/2
+    assert(got(3L) == ((3L, Some(15.0))))   // (10+20)/2
+    assert(got(4L) == ((1L, None)))         // nothing to borrow from
+  }
+}
