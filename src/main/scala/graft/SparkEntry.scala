@@ -1941,6 +1941,32 @@ object SparkEntry {
       "doc_id", "key", window = 5, maxDist = 2)
   }
 
+  /** Snapshot-drift gate ([[graft.ops.Profile.drift]]): "yesterday"
+    * (even order keys) vs "today" (odd keys) with injected damage on
+    * the today side — a fifth of prices go NULL (the column going
+    * dark) and half the survivors shift +60000 (a real mean move) —
+    * while o_custkey and the priority string stay statistically
+    * identical and must NOT flag. Both arms of the gate fire on
+    * `price`, neither on the controls. */
+  private def qProfileDrift(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val before = o.where(col("o_orderkey") % 2 === 0).select(
+      col("o_totalprice").cast("decimal(18,2)").as("price"),
+      col("o_custkey"), col("o_orderpriority"))
+    val after = o.where(col("o_orderkey") % 2 === 1).select(
+      when(col("o_orderkey") % 10 === 3, lit(null).cast("decimal(19,2)"))
+        .otherwise(
+          col("o_totalprice").cast("decimal(18,2)") +
+            when(col("o_orderkey") % 4 === 1, lit(60000)).otherwise(lit(0)))
+        .as("price"),
+      col("o_custkey"), col("o_orderpriority"))
+    graft.ops.Profile.drift(
+      before, after,
+      numericCols = Seq("price", "o_custkey"),
+      stringCols = Seq("o_orderpriority"),
+      k = 64, nullRateTol = 0.01, meanRelTol = 0.05)
+  }
+
   /** Trailing point-in-time features ([[graft.ops.Features.trailing]],
     * 1-hour lookback): per event, count/sum/mean of `value` over the
     * user's STRICTLY prior events — the leakage-free backfill frame
@@ -2636,6 +2662,7 @@ object SparkEntry {
     "q_kcore" -> (qKCore _),
     "q_mojibake" -> (qMojibake _),
     "q_trailing_features" -> (qTrailingFeatures _),
+    "q_profile_drift" -> (qProfileDrift _),
     "q_target_encode" -> (qTargetEncode _),
     "q_snm_dedup" -> (qSnmDedup _),
     "q_profile" -> (qProfile _),
@@ -2789,25 +2816,73 @@ object SparkEntry {
     * distinct replay (`ORDER BY hash LIMIT k` IS the sketch in SQL),
     * cross-joined — `valExpr` feeds the null test and the distinct
     * hash, `statExpr` the min/max/mean. */
-  private def profileColOracle(out: String, valExpr: String, statExpr: String): String =
+  private def profileColOracle(
+      out: String, valExpr: String, statExpr: String,
+      from: String = "lineitem"): String =
     s"""SELECT '$out' AS "column", s.n_rows, s.n_null, d.n_distinct,
-       |       s."min", s."max", s.mean FROM
+       |       s."min", s."max",
+       |       CASE WHEN s.nn > 0 THEN
+       |         CAST(CASE WHEN s.sm >= 0
+       |              THEN (2 * CAST(s.sm * 1000000 AS HUGEINT) + s.nn) // (2 * s.nn)
+       |              ELSE -((2 * CAST(-(s.sm * 1000000) AS HUGEINT) + s.nn) // (2 * s.nn))
+       |              END AS DOUBLE) / 1000000.0
+       |       END AS mean FROM
        |  (SELECT COUNT(*) AS n_rows, COUNT(*) - COUNT($valExpr) AS n_null,
+       |          COUNT($valExpr) AS nn,
        |          MIN(CAST($statExpr AS DOUBLE)) AS "min",
        |          MAX(CAST($statExpr AS DOUBLE)) AS "max",
-       |          CASE WHEN COUNT($valExpr) > 0 THEN
-       |            ROUND(CAST(SUM(CAST($statExpr AS DECIMAL(38,6))) AS DOUBLE)
-       |                  / COUNT($valExpr), 6)
-       |          END AS mean
-       |   FROM lineitem) s CROSS JOIN
+       |          SUM(CAST($statExpr AS DECIMAL(38,6))) AS sm
+       |   FROM $from) s CROSS JOIN
        |  (WITH hh AS (SELECT DISTINCT
        |       ('0x' || substr(md5(CAST($valExpr AS VARCHAR)), 1, 15))::BIGINT AS h
-       |     FROM lineitem WHERE $valExpr IS NOT NULL),
+       |     FROM $from WHERE $valExpr IS NOT NULL),
        |   rk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hh),
        |   a AS (SELECT COUNT(*) AS nd, MAX(CASE WHEN rn <= 64 THEN h END) AS kth FROM rk)
        |   SELECT CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
        |               ELSE round(63.0 * (pow(2.0, 60.0) / CAST(GREATEST(kth, 1) AS DOUBLE)), 4)
        |          END AS n_distinct FROM a) d""".stripMargin
+
+
+  /** q_profile_drift: the two snapshot profiles replayed column by
+    * column (the [[profileColOracle]] battery over the filtered/
+    * damaged subqueries), joined, with the delta/flag arithmetic run
+    * on the same already-rounded fields the operator uses. */
+  private lazy val profileDriftOracleSql: String = {
+    val beforeFrom =
+      """(SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |        o_custkey, o_orderpriority
+        | FROM orders WHERE o_orderkey % 2 = 0)""".stripMargin
+    val afterFrom =
+      """(SELECT CASE WHEN o_orderkey % 10 = 3 THEN NULL
+        |             ELSE CAST(o_totalprice AS DECIMAL(18,2)) +
+        |                  CASE WHEN o_orderkey % 4 = 1 THEN 60000 ELSE 0 END
+        |        END AS price,
+        |        o_custkey, o_orderpriority
+        | FROM orders WHERE o_orderkey % 2 = 1)""".stripMargin
+    def sideSql(from: String): String = Seq(
+      profileColOracle("price", "price", "price", from),
+      profileColOracle("o_custkey", "o_custkey", "o_custkey", from),
+      profileColOracle("o_orderpriority", "o_orderpriority", "len(o_orderpriority)", from)
+    ).mkString("\nUNION ALL\n")
+    s"""WITH pa AS MATERIALIZED (${sideSql(beforeFrom)}),
+       |pb AS MATERIALIZED (${sideSql(afterFrom)}),
+       |j AS (SELECT pa."column",
+       |        pa.n_rows AS n_rows_a, pb.n_rows AS n_rows_b,
+       |        ROUND(CAST(pa.n_null AS DOUBLE) / GREATEST(pa.n_rows, 1), 6) AS null_rate_a,
+       |        ROUND(CAST(pb.n_null AS DOUBLE) / GREATEST(pb.n_rows, 1), 6) AS null_rate_b,
+       |        pa.mean AS mean_a, pb.mean AS mean_b
+       |      FROM pa JOIN pb ON pb."column" = pa."column"),
+       |d AS (SELECT *,
+       |        CASE WHEN mean_a IS NOT NULL AND mean_b IS NOT NULL AND mean_a <> 0
+       |             THEN ROUND(ABS(mean_b - mean_a) / ABS(mean_a), 6) END AS mean_rel_delta
+       |      FROM j)
+       |SELECT "column", n_rows_a, n_rows_b, null_rate_a, null_rate_b,
+       |  mean_a, mean_b, mean_rel_delta,
+       |  CAST(CASE WHEN ABS(null_rate_b - null_rate_a) > 0.01
+       |              OR COALESCE(mean_rel_delta > 0.05, FALSE)
+       |       THEN 1 ELSE 0 END AS INTEGER) AS drift_flag
+       |FROM d""".stripMargin
+  }
 
   private lazy val profileOracleSql: String = Seq(
     profileColOracle("l_orderkey", "l_orderkey", "l_orderkey"),
@@ -3063,6 +3138,7 @@ object SparkEntry {
         |  CAST(CASE doc_id % 4 WHEN 3 THEN 0 ELSE 1 END AS INTEGER) AS encoding_suspect
         |FROM documents""".stripMargin,
     "q_profile" -> profileOracleSql,
+    "q_profile_drift" -> profileDriftOracleSql,
     "q_skew_advisor" ->
       """WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n
         |           FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),

@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** One-pass data-quality profiling — the validation gate a training
   * pipeline runs on every ingest batch before the data is allowed to
@@ -55,6 +57,51 @@ object Profile {
     numericCols.map((_, false)) ++ stringCols.map((_, true))
   }
 
+  /** Snapshot-drift gate: [[profile]] both frames, join per column,
+    * and flag columns whose null rate moved more than `nullRateTol`
+    * (absolute) or whose mean moved more than `meanRelTol` (relative
+    * to the before-mean) — the batch-over-batch validation the
+    * profile exists to feed ("yesterday's ingest vs today's").
+    * All deltas derive from the profiles' ALREADY-ROUNDED fields, so
+    * the gate is exactly as engine-replayable as the profile itself.
+    * A null mean on either side never flags mean drift (the null-rate
+    * arm is the signal for a column going dark).
+    *
+    * @return (column, n_rows_a, n_rows_b, null_rate_a, null_rate_b,
+    *         mean_a, mean_b, mean_rel_delta, drift_flag)
+    */
+  def drift(
+      before: DataFrame,
+      after: DataFrame,
+      numericCols: Seq[String],
+      stringCols: Seq[String] = Nil,
+      k: Int = 64,
+      nullRateTol: Double = 0.01,
+      meanRelTol: Double = 0.05
+  ): DataFrame = {
+    require(nullRateTol >= 0 && meanRelTol >= 0, "tolerances must be >= 0")
+    def side(df: DataFrame, suf: String): DataFrame =
+      profile(df, numericCols, stringCols, k).select(
+        col("column"),
+        col("n_rows").as(s"n_rows_$suf"),
+        round(col("n_null").cast("double") /
+          greatest(col("n_rows"), lit(1L)).cast("double"), 6).as(s"null_rate_$suf"),
+        col("mean").as(s"mean_$suf"))
+    val relDelta = when(
+      col("mean_a").isNotNull && col("mean_b").isNotNull && col("mean_a") =!= 0.0,
+      round(abs(col("mean_b") - col("mean_a")) / abs(col("mean_a")), 6))
+    side(before, "a")
+      .join(side(after, "b"), Seq("column"))
+      .withColumn("mean_rel_delta", relDelta)
+      .withColumn(
+        "drift_flag",
+        (abs(col("null_rate_b") - col("null_rate_a")) > nullRateTol ||
+          coalesce(col("mean_rel_delta") > meanRelTol, lit(false))).cast("int"))
+      .select(
+        "column", "n_rows_a", "n_rows_b", "null_rate_a", "null_rate_b",
+        "mean_a", "mean_b", "mean_rel_delta", "drift_flag")
+  }
+
   /** The per-column aggregate battery — shared verbatim by the batch
     * pass and the windowed streaming twin
     * ([[graft.streaming.Streaming.profileStream]]), so both walk the
@@ -72,20 +119,33 @@ object Profile {
         sum(v.cast("decimal(38,6)")).as(s"__${name}__sm"))
     }
 
+  private def intDiv(a: Column, b: Column): Column =
+    Bridge.column(IntegralDivide(Bridge.expression(a), Bridge.expression(b)))
+
   /** The aggregate row → per-column report structs (the [[aggExprs]]
-    * counterpart; explode the result to get the long-format rows). */
+    * counterpart; explode the result to get the long-format rows).
+    *
+    * The 6dp mean is INTEGER-EXACT (the [[Text.readability]] recipe):
+    * a double `round(sum/n, 6)` lands on rounding-boundary quotients
+    * often enough to split engines by one ulp (it did, at sf0.1), so
+    * the micro-scaled mean is computed by sign-aware half-up integral
+    * division — `(2·U + n) div (2·n)` over U = sum·10^6 — and only
+    * THEN widened to double, where both engines cast the same integer
+    * and divide by the same literal. */
   private[graft] def rowStructs(cols: Seq[(String, Boolean)], k: Int): Column =
     array(cols.map { case (name, _) =>
       val (_, est) = Cardinality.estimate(col(s"__${name}__kmv"), k)
+      val nn = col(s"__${name}__nn")
+      val u = (col(s"__${name}__sm") * lit(1000000)).cast("decimal(38,0)")
+      val meanMicro = when(u >= 0, intDiv(u * 2 + nn, nn * 2))
+        .otherwise(-intDiv((-u) * 2 + nn, nn * 2))
       struct(
         lit(name).as("column"),
         col("__n").as("n_rows"),
-        (col("__n") - col(s"__${name}__nn")).as("n_null"),
+        (col("__n") - nn).as("n_null"),
         est.as("n_distinct"),
         col(s"__${name}__mn").as("min"),
         col(s"__${name}__mx").as("max"),
-        when(col(s"__${name}__nn") > 0,
-          round(col(s"__${name}__sm").cast("double") / col(s"__${name}__nn"), 6))
-          .as("mean"))
+        when(nn > 0, meanMicro.cast("double") / lit(1000000.0)).as("mean"))
     }: _*)
 }

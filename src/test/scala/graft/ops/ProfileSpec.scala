@@ -35,6 +35,32 @@ class ProfileSpec extends SparkSpec {
     assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
   }
 
+  test("drift: null-rate and mean arms flag independently; stable columns stay quiet") {
+    val before = Seq((1.0, 5.0, "x"), (2.0, 5.0, "y"), (3.0, 5.0, "x"))
+      .toDF("moves", "stays", "s")
+    val after = Seq[(java.lang.Double, java.lang.Double, String)](
+      (10.0, 5.0, "x"), (20.0, 5.0, "y"), (null, 5.0, "x"))
+      .toDF("moves", "stays", "s")
+    val got = Profile
+      .drift(before, after, Seq("moves", "stays"), Seq("s"),
+        nullRateTol = 0.1, meanRelTol = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4), Option(r.get(7)), r.getInt(8)))).toMap
+    // moves: mean 2 → 15 (rel 6.5) AND a null appeared (rate 0 → 1/3)
+    assert(got("moves") == ((0.0, 0.333333, Some(6.5), 1)))
+    assert(got("stays") == ((0.0, 0.0, Some(0.0), 0)))
+    assert(got("s")._4 == 0)
+  }
+
+  test("drift: a null mean never trips the mean arm — the null-rate arm carries it") {
+    val before = Seq((1, Some(1.0)), (2, Some(2.0))).toDF("id", "v")
+    val after = Seq[(Int, Option[Double])]((1, None), (2, None)).toDF("id", "v")
+    val r = Profile.drift(before, after, Seq("v"), Nil).collect()
+      .find(_.getString(0) == "v").get
+    assert(r.isNullAt(7))          // mean_rel_delta null (mean_b is null)
+    assert(r.getInt(8) == 1)       // but the null-rate arm flags
+  }
+
   test("one aggregation pass: a 6-column profile has exactly one Exchange") {
     val df = (0 until 1000).map(i =>
       (i.toLong, i % 7, i % 13, s"s$i", s"t${i % 5}", s"u${i % 3}"))
