@@ -618,15 +618,22 @@ object Graph {
     * @return (node, degree, n_triangles, lcc)
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(
-        least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
-      .distinct()
-    val deg = und.select(col("a").as("v"))
-      .unionAll(und.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
+    // und is scanned ~5 times (degrees, orientation, closure) and deg
+    // 3 times — cut both once so the caller's upstream pipeline (often
+    // a full extraction chain) runs exactly once, not per reference
+    val (und, undRdd) = cut(
+      edges
+        .select(
+          least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+        .distinct())
+    val (deg, degRdd) = cut(
+      und.select(col("a").as("v"))
+        .unionAll(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d")))
+    // no intermediate count() barriers: the final materialization
+    // below computes-and-persists both cut RDDs on first use
     // orient low-(degree, id) → high: rank ties broken by node id so
     // the orientation is a strict total order (acyclic by construction)
     val o = und
@@ -646,7 +653,7 @@ object Graph {
     val perNode = tris
       .select(explode(array(col("c"), col("x"), col("y"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("nt"))
-    deg.join(perNode, Seq("v"), "left")
+    val out = deg.join(perNode, Seq("v"), "left")
       .select(
         col("v").as("node"),
         col("d").as("degree"),
@@ -657,5 +664,11 @@ object Graph {
               (col("d").cast("double") * (col("d").cast("double") - 1.0)))
             .otherwise(lit(0.0)),
           6).as("lcc"))
+    // materialize (lineage-cut) before releasing the shared caches
+    val (res, _) = cut(out)
+    res.count()
+    undRdd.unpersist(blocking = false)
+    degRdd.unpersist(blocking = false)
+    res
   }
 }
