@@ -1941,6 +1941,31 @@ object SparkEntry {
       "doc_id", "key", window = 5, maxDist = 2)
   }
 
+  /** Last-touch attribution ([[graft.ops.AsOf.asofBackward]] composed
+    * over the events stream): every purchase credited to the user's
+    * most recent prior click, voided past a 1-hour lookback — the
+    * classic marketing-attribution shape, and a second REAL consumer
+    * of the generic as-of family beyond its synthetic fixture.
+    * Same-timestamp touches collapse to max(event_id) on BOTH sides
+    * (the q_asof_join tie recipe), so the pick is deterministic. */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val lookback = 3600000000L
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val touches = ev.where(col("event_type") === "click")
+      .groupBy("user_id", "ts_us").agg(max(col("event_id")).as("touch_event"))
+      .withColumn("touch_ts", col("ts_us"))
+    val inWin = col("touch_ts") >= col("ts_us") - lookback
+    graft.ops.AsOf
+      .asofBackward(purchases, touches, Seq("user_id"), "ts_us",
+        valueCols = Seq("touch_event", "touch_ts"))
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        when(inWin, col("touch_event")).as("touch_event"),
+        when(inWin, col("ts_us") - col("touch_ts")).as("latency_us"))
+  }
+
   /** Snapshot-drift gate ([[graft.ops.Profile.drift]]): "yesterday"
     * (even order keys) vs "today" (odd keys) with injected damage on
     * the today side — a fifth of prices go NULL (the column going
@@ -2663,6 +2688,7 @@ object SparkEntry {
     "q_mojibake" -> (qMojibake _),
     "q_trailing_features" -> (qTrailingFeatures _),
     "q_profile_drift" -> (qProfileDrift _),
+    "q_attribution" -> (qAttribution _),
     "q_target_encode" -> (qTargetEncode _),
     "q_snm_dedup" -> (qSnmDedup _),
     "q_profile" -> (qProfile _),
@@ -3139,6 +3165,17 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_profile" -> profileOracleSql,
     "q_profile_drift" -> profileDriftOracleSql,
+    "q_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS touch_event
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |j AS (SELECT p.event_id, p.user_id, p.ts_us, c.touch_event, c.ts_us AS touch_ts
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us)
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN touch_ts >= ts_us - 3600000000 THEN touch_event END AS touch_event,
+        |  CASE WHEN touch_ts >= ts_us - 3600000000 THEN ts_us - touch_ts END AS latency_us
+        |FROM j""".stripMargin,
     "q_skew_advisor" ->
       """WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n
         |           FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
