@@ -1941,6 +1941,20 @@ object SparkEntry {
       "doc_id", "key", window = 5, maxDist = 2)
   }
 
+  /** Distributed histogram quantiles
+    * ([[graft.ops.Profile.histQuantiles]], 1000 buckets) over two
+    * lineitem measures at three probabilities — the profile's
+    * percentile arm WITHOUT a per-column sort: the exchange carries at
+    * most columns × buckets combined rows at any corpus size, and the
+    * estimator (lower edge of the first bucket reaching ⌈p·n⌉) is
+    * deterministic, so the oracle replays every floor/width step. */
+  private def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.histQuantiles(
+      Tables.lineitem(s, dir).select(
+        col("l_quantity").cast("double").as("quantity"),
+        col("l_extendedprice").cast("double").as("price")),
+      Seq("quantity", "price"), Seq(0.5, 0.9, 0.99), buckets = 1000)
+
   /** Last-touch attribution ([[graft.ops.AsOf.asofBackward]] composed
     * over the events stream): every purchase credited to the user's
     * most recent prior click, voided past a 1-hour lookback — the
@@ -2689,6 +2703,7 @@ object SparkEntry {
     "q_trailing_features" -> (qTrailingFeatures _),
     "q_profile_drift" -> (qProfileDrift _),
     "q_attribution" -> (qAttribution _),
+    "q_quantiles" -> (qQuantiles _),
     "q_target_encode" -> (qTargetEncode _),
     "q_snm_dedup" -> (qSnmDedup _),
     "q_profile" -> (qProfile _),
@@ -2837,6 +2852,31 @@ object SparkEntry {
 
   private lazy val labelPropOracleSql: String =
     lpaRecurrenceSql(linkGraphEdgesCtes, iterations = 3)
+
+
+  /** One q_quantiles column replayed: the same min/max → equi-width
+    * bucket → cumulative-count → first-bucket-past-⌈p·n⌉ chain, with
+    * the width arithmetic in the identical double ops. */
+  private def quantileColOracle(out: String, expr: String): String =
+    s"""SELECT '$out' AS "column", CAST(pp.prob AS DOUBLE) AS prob,
+       |       mm.mn + qb.qb * (CASE WHEN mm.mx > mm.mn
+       |                        THEN (mm.mx - mm.mn) / 1000.0 ELSE 1.0 END) AS q_est
+       |FROM (VALUES (0.5), (0.9), (0.99)) pp(prob)
+       |CROSS JOIN (SELECT MIN($expr) AS mn, MAX($expr) AS mx, COUNT($expr) AS nn
+       |            FROM lineitem) mm
+       |JOIN LATERAL (
+       |  SELECT MIN(bucket) AS qb FROM (
+       |    SELECT bucket, SUM(n) OVER (ORDER BY bucket) AS cum FROM (
+       |      SELECT LEAST(CAST(FLOOR(($expr - mm.mn) /
+       |               (CASE WHEN mm.mx > mm.mn THEN (mm.mx - mm.mn) / 1000.0 ELSE 1.0 END))
+       |             AS INTEGER), 999) AS bucket, COUNT(*) AS n
+       |      FROM lineitem WHERE $expr IS NOT NULL GROUP BY 1))
+       |  WHERE cum >= CEIL(CAST(pp.prob AS DOUBLE) * mm.nn)) qb ON TRUE""".stripMargin
+
+  private lazy val quantilesOracleSql: String = Seq(
+    quantileColOracle("quantity", "CAST(l_quantity AS DOUBLE)"),
+    quantileColOracle("price", "CAST(l_extendedprice AS DOUBLE)")
+  ).mkString("\nUNION ALL\n")
 
   /** One q_profile column replayed: exact stats subquery × the KMV
     * distinct replay (`ORDER BY hash LIMIT k` IS the sketch in SQL),
@@ -3165,6 +3205,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_profile" -> profileOracleSql,
     "q_profile_drift" -> profileDriftOracleSql,
+    "q_quantiles" -> quantilesOracleSql,
     "q_attribution" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
         |           FROM events WHERE event_type = 'purchase'),

@@ -122,6 +122,89 @@ object Profile {
   private def intDiv(a: Column, b: Column): Column =
     Bridge.column(IntegralDivide(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Histogram quantiles for many columns at once — the profile's
+    * percentile arm, WITHOUT a per-column sort: pass 1 is one tiny
+    * min/max aggregate; pass 2 buckets every value into an equi-width
+    * histogram and row-explodes to (column, bucket), so the exchange
+    * carries at most `columns × buckets` combined rows no matter the
+    * corpus size; the quantile is then the LOWER EDGE of the first
+    * bucket whose cumulative count reaches ⌈p·n⌉. Error is bounded by
+    * one bucket width ((max−min)/buckets) by construction —
+    * `approx_percentile` is tighter per byte, but this estimator is
+    * deterministic and exactly replayable by an independent engine
+    * (floor/width arithmetic on identical doubles), which the profile
+    * family's oracle contract requires.
+    *
+    * @return (column, prob, q_est) per column × prob; null q_est for
+    *         an all-null column
+    */
+  def histQuantiles(
+      df: DataFrame,
+      numericCols: Seq[String],
+      probs: Seq[Double],
+      buckets: Int = 1024
+  ): DataFrame = {
+    require(numericCols.nonEmpty, "no columns")
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1), s"bad probs $probs")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = df.sparkSession
+    val mm = df.agg(
+      count(lit(1)),
+      numericCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"mn_$c"),
+        max(col(c).cast("double")).as(s"mx_$c"),
+        count(col(c)).as(s"nn_$c"))): _*).head()
+    val bounds = numericCols.zipWithIndex.map { case (c, i) =>
+      c -> ((mm.get(1 + 3 * i), mm.get(2 + 3 * i), mm.getLong(3 + 3 * i)))
+    }.toMap
+    import org.apache.spark.sql.expressions.Window
+    val perCol = numericCols.map { c =>
+      val (mnA, mxA, nn) = bounds(c)
+      if (nn == 0L) lit(null).cast("int").as(s"__b_$c")
+      else {
+        val mn = mnA.asInstanceOf[Double]; val mx = mxA.asInstanceOf[Double]
+        val width = if (mx > mn) (mx - mn) / buckets else 1.0
+        least(
+          floor((col(c).cast("double") - lit(mn)) / lit(width)).cast("int"),
+          lit(buckets - 1)).as(s"__b_$c")
+      }
+    }
+    val counts = df.select(perCol: _*)
+      .select(explode(array(numericCols.map(c =>
+        struct(lit(c).as("column"), col(s"__b_$c").as("bucket"))): _*)).as("cb"))
+      .where(col("cb.bucket").isNotNull)
+      .groupBy(col("cb.column").as("column"), col("cb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy("column").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("n")).over(wCum))
+    import spark.implicits._
+    // tiny literal (column × prob) target frame — built locally, no
+    // cross join in the plan
+    val targets = (for {
+      p <- probs
+      c <- numericCols
+    } yield (c, p, bounds(c)._3)).toDF("column", "prob", "nn")
+    // per (column, prob): first bucket whose cum >= ceil(p * nn)
+    val picked = targets
+      .join(cum, Seq("column"), "left")
+      .where(col("cum") >= ceil(col("prob") * col("nn")))
+      .groupBy("column", "prob")
+      .agg(min(col("bucket")).as("qb"), max(col("nn")).as("__nn"))
+    picked.select(
+      col("column"), col("prob"),
+      numericCols.foldLeft(lit(null).cast("double")) { (acc, c) =>
+        val (mnA, mxA, nn) = bounds(c)
+        if (nn == 0L) acc
+        else {
+          val mn = mnA.asInstanceOf[Double]; val mx = mxA.asInstanceOf[Double]
+          val width = if (mx > mn) (mx - mn) / buckets else 1.0
+          when(col("column") === c, lit(mn) + col("qb").cast("double") * lit(width))
+            .otherwise(acc)
+        }
+      }.as("q_est"))
+  }
+
   /** The aggregate row → per-column report structs (the [[aggExprs]]
     * counterpart; explode the result to get the long-format rows).
     *

@@ -61,6 +61,31 @@ class ProfileSpec extends SparkSpec {
     assert(r.getInt(8) == 1)       // but the null-rate arm flags
   }
 
+  test("histQuantiles: within one bucket width of truth, stable across partitionings") {
+    val vals = (1 to 100).map(_.toDouble)
+    val width = (100.0 - 1.0) / 50
+    for (parts <- Seq(1, 7)) {
+      val df = vals.map(v => (v, v * 10)).toDF("a", "b").repartition(parts)
+      val got = Profile.histQuantiles(df, Seq("a", "b"), Seq(0.5, 0.95), buckets = 50)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      assert(math.abs(got(("a", 0.5)) - 50.0) <= width + 1e-9)
+      assert(math.abs(got(("a", 0.95)) - 95.0) <= width + 1e-9)
+      assert(math.abs(got(("b", 0.5)) - 500.0) <= 10 * width + 1e-9)
+      assert(got.size == 4)
+    }
+  }
+
+  test("histQuantiles: nulls ignored; constant column returns the constant") {
+    val df = Seq[(Option[Double], Double)](
+      (Some(1.0), 7.0), (None, 7.0), (Some(3.0), 7.0)).toDF("v", "c")
+    val got = Profile.histQuantiles(df, Seq("v", "c"), Seq(1.0), buckets = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // v: n=2, p=1.0 targets the 2nd value (3.0); estimate is its
+    // bucket's lower edge
+    assert(got("v") >= 1.0 && got("v") <= 3.0)
+    assert(got("c") == 7.0)
+  }
+
   test("one aggregation pass: a 6-column profile has exactly one Exchange") {
     val df = (0 until 1000).map(i =>
       (i.toLong, i % 7, i % 13, s"s$i", s"t${i % 5}", s"u${i % 3}"))
