@@ -2030,6 +2030,52 @@ object SparkEntry {
         "o_orderpriority", "o_totalprice")
       .select("o_orderkey", "o_orderpriority", "n_cat", "loo_mean")
 
+  /** CDC latest-snapshot compaction ([[graft.ops.Changelog.compact]]):
+    * the events stream read as a per-user changelog — each event a
+    * version stamped by its unique `ts_us`, `error` events as delete
+    * tombstones. Per user the latest version wins; a winning tombstone
+    * drops the user from the snapshot. ONE partial-aggregating
+    * exchange (argmax-by-struct), O(keys) shuffled — not the
+    * `row_number() = 1` respelling that sorts every version. */
+  private def qChangelogCompact(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Changelog.compact(
+      Tables.events(s, dir).select("user_id", "ts_us", "event_type", "value"),
+      keyCols = Seq("user_id"), ordCols = Seq("ts_us"),
+      opCol = "event_type", deleteOps = Set("error"))
+
+  /** Type-2 SCD history ([[graft.ops.Changelog.scd2]]): each user's
+    * `value` changes become validity intervals `[valid_from,
+    * valid_to)`, NULL-open while current. One key exchange + a
+    * codegen'd lead window. `ts_us` is unique per user in the fixture,
+    * so no tie columns are needed. */
+  private def qScd2(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Changelog.scd2(
+      Tables.events(s, dir).select("user_id", "ts_us", "value"),
+      keyCols = Seq("user_id"), tsCol = "ts_us")
+
+  /** Exact prefix-filtered Jaccard self-join
+    * ([[graft.ops.SetSim.jaccardSelfJoin]], t = 0.7) — the EXACT
+    * counterpart of the MinHash/SimHash near-dup screens (no false
+    * negatives). Token sets are synthesized from `doc_id`: class
+    * `doc_id % 97` supplies 12 base tokens, with the member at index
+    * `doc_id % 12` swapped for a per-index variant — same-class pairs
+    * land at J = 10/14 ≈ 0.714 (above t via the INTEGER cross-multiply
+    * 10·10 ≥ 7·14; a float reading of 0.7 would wobble), cross-class
+    * pairs share nothing. The oracle re-derives the same pairs through
+    * the naive token equi-join — a genuinely different algorithm, so
+    * the prefix filter's completeness is what's being checked. */
+  private def qSetsimJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = col("doc_id") % 97
+    val toks = transform(
+      sequence(lit(0L), lit(11L)),
+      j => concat(lit("s"),
+        when(j === col("doc_id") % 12, c * 100 + 50 + j)
+          .otherwise(c * 100 + j).cast("string")))
+    graft.ops.SetSim.jaccardSelfJoin(
+      Tables.documents(s, dir).select(col("doc_id"), toks.as("toks")),
+      "doc_id", "toks", threshold = 0.7)
+  }
+
   /** Encoding-artifact screen ([[graft.ops.Text.encodingArtifacts]]) —
     * the ftfy-class mojibake/replacement-char gate. The ASCII corpus
     * gets one injected suffix per doc_id residue: a Latin-1
@@ -2724,7 +2770,10 @@ object SparkEntry {
     "q_cusum" -> (qCusum _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
-    "q_hits" -> (qHits _)
+    "q_hits" -> (qHits _),
+    "q_changelog_compact" -> (qChangelogCompact _),
+    "q_scd2" -> (qScd2 _),
+    "q_setsim_join" -> (qSetsimJoin _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -3217,6 +3266,33 @@ object SparkEntry {
         |  CASE WHEN touch_ts >= ts_us - 3600000000 THEN touch_event END AS touch_event,
         |  CASE WHEN touch_ts >= ts_us - 3600000000 THEN ts_us - touch_ts END AS latency_us
         |FROM j""".stripMargin,
+    "q_changelog_compact" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts_us, event_type, value
+        |FROM v WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    "q_scd2" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, value,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS nxt
+        |  FROM events)
+        |SELECT user_id, ts_us, value, ts_us AS valid_from, nxt AS valid_to,
+        |  nxt IS NULL AS is_current
+        |FROM v""".stripMargin,
+    "q_setsim_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN j = doc_id % 12
+        |      THEN 's' || ((doc_id % 97) * 100 + 50 + j)
+        |      ELSE 's' || ((doc_id % 97) * 100 + j) END AS tok
+        |  FROM documents, (SELECT unnest(range(0, 12)) AS j) u),
+        |sizes AS (SELECT doc_id, COUNT(*) AS m FROM toks GROUP BY 1),
+        |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |       FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, sa.m + sb.m - inter AS uni
+        |FROM co JOIN sizes sa ON sa.doc_id = co.id_a
+        |        JOIN sizes sb ON sb.doc_id = co.id_b
+        |WHERE inter * 10 >= (sa.m + sb.m - inter) * 7""".stripMargin,
     "q_skew_advisor" ->
       """WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n
         |           FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),

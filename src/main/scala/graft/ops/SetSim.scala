@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CappedLongSet.cappedSet
+
+/** Exact set-similarity self-join — all pairs of records whose token
+  * SETS have Jaccard similarity ≥ t, without the all-pairs product.
+  * This is the exact counterpart of the probabilistic near-dup family
+  * ([[DedupDocs]] MinHash/SimHash): LSH trades false negatives for
+  * speed; this operator is EXACT (every qualifying pair, no misses)
+  * and gets its scale from the prefix-filtering principle
+  * (Chaudhuri et al. 2006 SSJoin; Xiao et al. 2008 PPJoin): order
+  * every set by one global total order (document frequency ascending,
+  * token bytewise as tie-break — rarest first), and any two sets with
+  * |x ∩ y| ≥ α must share a token within their first
+  * `m − α + 1` positions. For Jaccard ≥ t, α = ⌈t·max(mₓ, mᵧ)⌉ ≥
+  * ⌈t·m⌉ per side, so bucketing on each set's
+  * `m − ⌈t·m⌉ + 1`-prefix (its rarest tokens — the SMALLEST buckets)
+  * is a complete candidate filter. Candidates are verified with the
+  * true intersection; the threshold test is integer cross-multiplied
+  * (`den·inter ≥ num·union`), so no float boundary can split engines.
+  *
+  * '''Hot-bucket shed.''' A prefix bucket's pair cost is quadratic in
+  * its member count. Prefix tokens are by construction each set's
+  * rarest, so real corpora bucket small — but a degenerate corpus
+  * (thousands of identical sets) concentrates, and its OUTPUT is
+  * genuinely quadratic. Buckets are therefore bounded with the
+  * saturating [[graft.functions.CappedLongSet]] kernel (the
+  * [[FuzzyJoin]] / winnow recipe): over-cap buckets saturate map-side
+  * and are dropped — exact for every pair sharing at least one in-cap
+  * prefix token; [[prefixShed]] counts exactly what was dropped.
+  *
+  * Plan: token-frequency rollup → one id-key exchange assembling each
+  * set's globally-sorted order → stateless prefix explode → ONE
+  * capped-bucket exchange → within-bucket sorted pair explode →
+  * pair distinct → verify against the two token arrays (two id-key
+  * joins). Every exchange is bounded by ids, tokens, or candidate
+  * pairs — never by an all-pairs product.
+  */
+object SetSim {
+
+  /** Default distinct-member cap per prefix bucket (see class doc). */
+  val DefaultMaxBucket = 4096
+
+  /** Exact rational form of the threshold: t = num / den with den a
+    * power of ten — keeps every comparison integer. */
+  private def rational(t: Double): (Long, Long) = {
+    require(t > 0.0 && t <= 1.0, s"threshold must be in (0, 1], got $t")
+    val bd = BigDecimal(t.toString)
+    val den = math.pow(10, bd.scale).toLong
+    ((bd * den).toLongExact, den)
+  }
+
+  /** Normalized (id, toks, m): distinct non-empty tokens, empty sets
+    * dropped. */
+  private def prep(df: DataFrame, idCol: String, toksCol: String): DataFrame =
+    df.select(
+        col(idCol).cast("long").as("__id"),
+        array_distinct(filter(col(toksCol), t => t.isNotNull && length(t) > 0)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .withColumn("__m", size(col("__toks")).cast("long"))
+
+  /** Each id with its tokens re-sorted by the global (doc-frequency
+    * ASC, token ASC) order, plus the integer prefix length
+    * `m − ⌈t·m⌉ + 1`. */
+  private def intDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    Bridge.column(IntegralDivide(Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  private def orderedPrefix(docs: DataFrame, num: Long, den: Long): DataFrame = {
+    val tok = docs.select(col("__id"), explode(col("__toks")).as("__t"))
+    val freq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val ceilTm = intDiv(lit(num) * col("__m") + lit(den - 1), lit(den))
+    tok
+      .join(freq, "__t")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__t")))).as("__ord"))
+      .select(
+        col("__id"),
+        transform(col("__ord"), x => x.getField("__t")).as("__sorted"))
+      .withColumn("__m", size(col("__sorted")).cast("long"))
+      .withColumn("__p", (col("__m") - ceilTm + 1).cast("int"))
+  }
+
+  /** All pairs `(id_a, id_b, inter, uni)` with `id_a < id_b` and
+    * Jaccard(toks_a, toks_b) ≥ `threshold`, over distinct non-empty
+    * tokens. `inter`/`uni` are the exact intersection / union sizes
+    * (the caller derives the ratio; the operator never compares
+    * floats). Prefix buckets over `maxBucket` members are shed (class
+    * doc); with the default cap the output is exact on any corpus
+    * whose prefix buckets stay in-cap.
+    */
+  def jaccardSelfJoin(
+      df: DataFrame,
+      idCol: String,
+      toksCol: String,
+      threshold: Double,
+      maxBucket: Int = DefaultMaxBucket
+  ): DataFrame = {
+    val (num, den) = rational(threshold)
+    val docs = prep(df, idCol, toksCol)
+    val pref = orderedPrefix(docs, num, den)
+      .select(col("__id"), explode(slice(col("__sorted"), lit(1), col("__p"))).as("__t"))
+    val buckets = pref
+      .groupBy("__t")
+      .agg(cappedSet(col("__id"), maxBucket).as("__ids"))
+      .where(col("__ids").isNotNull && size(col("__ids")) > 1)
+    val cand = buckets
+      .select(explode(pairsOf(col("__ids"))).as("__pr"))
+      .select(col("__pr.a").as("id_a"), col("__pr.b").as("id_b"))
+      .distinct()
+    val sides = docs.select(col("__id"), col("__toks"), col("__m"))
+    cand
+      .join(sides.toDF("id_a", "__ta", "__ma"), "id_a")
+      .join(sides.toDF("id_b", "__tb", "__mb"), "id_b")
+      // size pre-filter: J ≥ t needs den·min(m) ≥ num·max(m)
+      .where(lit(den) * least(col("__ma"), col("__mb")) >=
+        lit(num) * greatest(col("__ma"), col("__mb")))
+      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("uni", col("__ma") + col("__mb") - col("inter"))
+      .where(lit(den) * col("inter") >= lit(num) * col("uni"))
+      .select("id_a", "id_b", "inter", "uni")
+  }
+
+  /** Shed diagnostic for [[jaccardSelfJoin]]: prefix tokens whose
+    * bucket exceeded `maxBucket` members, with TRUE member counts —
+    * count-only (map-side combinable), safe at any scale; empty ⇒ the
+    * capped join was exact. */
+  def prefixShed(
+      df: DataFrame,
+      idCol: String,
+      toksCol: String,
+      threshold: Double,
+      maxBucket: Int = DefaultMaxBucket
+  ): DataFrame = {
+    val (num, den) = rational(threshold)
+    orderedPrefix(prep(df, idCol, toksCol), num, den)
+      .select(explode(slice(col("__sorted"), lit(1), col("__p"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxBucket)
+  }
+
+  /** Ordered pairs (a < b, guaranteed by the sorted input array). */
+  private def pairsOf(sorted: Column): Column =
+    flatten(
+      transform(
+        sorted,
+        (a, i) =>
+          transform(
+            slice(sorted, i + 2, size(sorted)),
+            b => struct(a.as("a"), b.as("b")))))
+}

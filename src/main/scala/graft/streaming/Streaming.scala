@@ -693,4 +693,57 @@ object Streaming {
           out.iterator
       }
   }
+
+  /** A change-row for the streaming CDC compactor. `ord` must totally
+    * order versions within a key (change timestamp, or timestamp
+    * scaled + a sequence). */
+  final case class ChangeRow(key: Long, ord: Long, op: String, value: Double)
+
+  /** One snapshot update: the key's new current version the moment it
+    * changes; `deleted = true` means the winning version is a
+    * tombstone (downstream removes the key). */
+  final case class SnapshotUpdate(key: Long, ord: Long, op: String, value: Double, deleted: Boolean)
+
+  /** Streaming twin of [[graft.ops.Changelog.compact]]: the live
+    * merge-on-read view of a changelog — a [[SnapshotUpdate]] is
+    * emitted the moment a key's current version changes, forming the
+    * CDC-out feed a downstream serving table applies in order. An
+    * out-of-order older version (ord ≤ current) is absorbed silently —
+    * exactly the argmax semantics of the batch operator, so the LAST
+    * emission per key over any prefix of the stream equals the batch
+    * `compact` of that prefix (tombstoned keys appear with
+    * `deleted = true` instead of being absent — a stream cannot
+    * retract silence; StreamingSpec pins the parity).
+    *
+    * State is one (ord, op, value) per key — the snapshot itself, the
+    * floor for ANY latest-state operator; no per-version history is
+    * ever held. */
+  def compactStream(
+      changes: Dataset[ChangeRow],
+      deleteOps: Set[String]
+  ): Dataset[SnapshotUpdate] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, String, Double), SnapshotUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, String, Double)]) =>
+          var cur = state.getOption.orNull
+          var changed = false
+          // STRICT lexicographic (ord, op, value) win — the batch
+          // struct-max field order; a replayed duplicate of the
+          // current version compares equal and is a no-op.
+          rows.foreach { r =>
+            val wins = cur == null || r.ord > cur._1 ||
+              (r.ord == cur._1 &&
+                (r.op > cur._2 || (r.op == cur._2 && r.value > cur._3)))
+            if (wins) { cur = (r.ord, r.op, r.value); changed = true }
+          }
+          if (changed) {
+            state.update(cur)
+            Iterator.single(
+              SnapshotUpdate(key, cur._1, cur._2, cur._3, deleteOps.contains(cur._2)))
+          } else Iterator.empty
+      }
+  }
 }

@@ -692,4 +692,49 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(all.length == 2, all.mkString(";")) // [0,10) once, [20,30) once
   }
+
+  test("streaming CDC compact: last emission per key equals batch compact, tombstones flagged") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.ChangeRow]
+    val q = Streaming
+      .compactStream(input.toDS(), deleteOps = Set("D"))
+      .writeStream.format("memory").queryName("snapshot").outputMode("append")
+      .start()
+    // batch 1
+    input.addData(
+      Streaming.ChangeRow(1L, 10L, "I", 1.0), Streaming.ChangeRow(1L, 20L, "U", 2.0),
+      Streaming.ChangeRow(2L, 10L, "I", 5.0),
+      Streaming.ChangeRow(3L, 10L, "I", 7.0))
+    q.processAllAvailable()
+    // batch 2: key 1 advances; key 2 tombstoned; key 3 gets an OUT-OF-ORDER
+    // older version (must be absorbed) then a replay of its current version
+    input.addData(
+      Streaming.ChangeRow(1L, 30L, "U", 3.0),
+      Streaming.ChangeRow(2L, 40L, "D", 0.0),
+      Streaming.ChangeRow(3L, 5L, "U", 99.0),
+      Streaming.ChangeRow(3L, 10L, "I", 7.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT key, ord, op, value, deleted FROM snapshot").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getBoolean(4)))
+    q.stop()
+    // key 3 emitted exactly once: the stale + replayed rows were both no-ops
+    assert(rows.count(_._1 == 3L) == 1, rows.mkString(";"))
+    // last emission per key
+    val last = rows.groupBy(_._1).map { case (k, v) => k -> v.maxBy(_._2) }
+    assert(last(1L) == ((1L, 30L, "U", 3.0, false)))
+    assert(last(2L) == ((2L, 40L, "D", 0.0, true)))
+    assert(last(3L) == ((3L, 10L, "I", 7.0, false)))
+    // batch parity: non-deleted last emissions == Changelog.compact of the full log
+    val fullLog = Seq(
+      (1L, 10L, "I", 1.0), (1L, 20L, "U", 2.0), (2L, 10L, "I", 5.0), (3L, 10L, "I", 7.0),
+      (1L, 30L, "U", 3.0), (2L, 40L, "D", 0.0), (3L, 5L, "U", 99.0), (3L, 10L, "I", 7.0)
+    ).toDF("key", "ord", "op", "value")
+    val batch = graft.ops.Changelog
+      .compact(fullLog, Seq("key"), Seq("ord"), "op", Set("D"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    val streamed = last.values.filterNot(_._5).map(t => (t._1, t._2, t._3, t._4)).toSet
+    assert(streamed == batch)
+  }
 }
