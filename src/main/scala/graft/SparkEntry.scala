@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2076,6 +2076,36 @@ object SparkEntry {
       "doc_id", "toks", threshold = 0.7)
   }
 
+  /** Time-bucket OHLC resample ([[graft.ops.Resample.ohlc]], 10-minute
+    * buckets per user): open/close ride partial-merge-safe
+    * `min_by`/`max_by` on the unique `ts_us` — ONE map-side-combinable
+    * exchange, no window sort. The 6dp mean is the integer-exact
+    * Profile recipe (sign-aware half-up integral division of the
+    * micro-scaled decimal sum). */
+  private def qResample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Resample.ohlc(
+      Tables.events(s, dir).select("user_id", "ts_us", "value"),
+      Seq("user_id"), "ts_us", "value", bucketUs = 600000000L)
+
+  /** Co-citation similarity ([[graft.ops.Graph.coCitation]],
+    * minCommon = 2): related targets by shared citing sources. Each
+    * doc (source `p<doc_id>`) cites three residue-derived domains —
+    * all sources in a residue class cite the same triple, so
+    * same-class pairs accumulate class-sized `n_common` and the
+    * capped gather / pair rollup / in-degree join all exercise real
+    * multiplicity. The oracle re-derives the pairs through the naive
+    * source self-join — a different algorithm, checking the gather +
+    * posexplode pipeline end to end. */
+  private def qCocitation(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val src = concat(lit("p"), col("doc_id").cast("string"))
+    def dst(e: Column) = concat(lit("d"), e.cast("string"))
+    val edges = d.select(src.as("src"), dst(col("doc_id") % 40).as("dst"))
+      .unionAll(d.select(src.as("src"), dst((col("doc_id") + 3) % 40).as("dst")))
+      .unionAll(d.select(src.as("src"), dst((col("doc_id") * 2) % 40).as("dst")))
+    Graph.coCitation(edges, "src", "dst", minCommon = 2)
+  }
+
   /** Encoding-artifact screen ([[graft.ops.Text.encodingArtifacts]]) —
     * the ftfy-class mojibake/replacement-char gate. The ASCII corpus
     * gets one injected suffix per doc_id residue: a Latin-1
@@ -2773,7 +2803,9 @@ object SparkEntry {
     "q_hits" -> (qHits _),
     "q_changelog_compact" -> (qChangelogCompact _),
     "q_scd2" -> (qScd2 _),
-    "q_setsim_join" -> (qSetsimJoin _)
+    "q_setsim_join" -> (qSetsimJoin _),
+    "q_resample" -> (qResample _),
+    "q_cocitation" -> (qCocitation _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -3293,6 +3325,30 @@ object SparkEntry {
         |FROM co JOIN sizes sa ON sa.doc_id = co.id_a
         |        JOIN sizes sb ON sb.doc_id = co.id_b
         |WHERE inter * 10 >= (sa.m + sb.m - inter) * 7""".stripMargin,
+    "q_resample" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |  CAST(value AS DECIMAL(18,2)) AS v FROM events)
+        |SELECT user_id, ts_us - ts_us % 600000000 AS bucket_start, COUNT(*) AS n,
+        |  arg_min(v, ts_us) AS open, arg_max(v, ts_us) AS close,
+        |  MAX(v) AS high, MIN(v) AS low, SUM(v) AS vsum,
+        |  CAST(CASE WHEN SUM(v) >= 0
+        |    THEN (2 * CAST(SUM(v) * 1000000 AS HUGEINT) + COUNT(*)) // (2 * COUNT(*))
+        |    ELSE -((2 * CAST(-(SUM(v) * 1000000) AS HUGEINT) + COUNT(*)) // (2 * COUNT(*)))
+        |  END AS DOUBLE) / 1000000.0 AS vmean
+        |FROM v GROUP BY 1, 2""".stripMargin,
+    "q_cocitation" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'p' || doc_id AS s, d FROM (
+        |    SELECT doc_id, 'd' || (doc_id % 40) AS d FROM documents
+        |    UNION ALL SELECT doc_id, 'd' || ((doc_id + 3) % 40) FROM documents
+        |    UNION ALL SELECT doc_id, 'd' || ((doc_id * 2) % 40) FROM documents) t),
+        |co AS (SELECT a.d AS dst_a, b.d AS dst_b, COUNT(*) AS n_common
+        |       FROM e a JOIN e b ON a.s = b.s AND a.d < b.d
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT d, COUNT(*) AS dg FROM e GROUP BY 1)
+        |SELECT dst_a, dst_b, n_common, da.dg AS deg_a, db.dg AS deg_b
+        |FROM co JOIN deg da ON da.d = co.dst_a
+        |        JOIN deg db ON db.d = co.dst_b""".stripMargin,
     "q_skew_advisor" ->
       """WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n
         |           FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),

@@ -110,9 +110,13 @@ object FuzzyJoin {
       .groupBy("__v")
       .agg(cappedStringSet(col("__s"), maxBucket).as("__ss"))
       .where(col("__ss").isNotNull && size(col("__ss")) > 1)
-    val pairs = buckets
-      .select(explode(pairsOf(col("__ss"))).as("__p"))
-      .select(col("__p.a").as("str_a"), col("__p.b").as("str_b"))
+    // posexplode+slice pair explode (the shared DedupDocs shape): O(m)
+    // incremental state per output row — the HOF transform/flatten
+    // respelling materializes the full O(m²) pair array per bucket row
+    // before exploding, a real memory spike at the bucket cap
+    val pairs = DedupDocs
+      .explodePairs(buckets.select(col("__ss").as("docs")))
+      .select(col("doc_a").as("str_a"), col("doc_b").as("str_b"))
       .distinct()
     pairs
       .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
@@ -136,17 +140,6 @@ object FuzzyJoin {
       .groupBy(col("__v").as("variant"))
       .agg(count(lit(1)).as("n_members"))
       .where(col("n_members") > maxBucket)
-
-  /** Ordered pairs (a < b, guaranteed by the sorted input array) of a
-    * sorted distinct array — `[x1..xn]` → `[(x1,x2),(x1,x3),…]`. */
-  private def pairsOf(sorted: Column): Column =
-    flatten(
-      transform(
-        sorted,
-        (a, i) =>
-          transform(
-            slice(sorted, i + 2, size(sorted)),
-            b => struct(a.as("a"), b.as("b")))))
 
   /** Link each distinct probe string to its BEST dictionary match
     * within `maxDist`: minimum distance, ties broken by the bytewise

@@ -671,4 +671,84 @@ object Graph {
     degRdd.unpersist(blocking = false)
     res
   }
+
+  /** Default citing-set cap per source for [[coCitation]] — a page
+    * linking more than this many targets is a hub/boilerplate page
+    * whose co-citation signal is noise, and its pair cost is
+    * quadratic; shed it (logged via [[coCitationShed]]). Link-analysis
+    * practice caps out-degree anyway (Kleinberg's HITS root sets,
+    * SALSA samplers). */
+  val DefaultMaxCite = 256
+
+  /** Co-citation similarity (Small 1973): two targets are related when
+    * the SAME sources link both — "related domains/papers/products"
+    * from nothing but the link structure, the dual of the
+    * shared-out-link coupling measure. Output per unordered target
+    * pair (dst_a < dst_b bytewise): `n_common` (distinct sources
+    * citing both) and each side's total citing in-degree `deg_a` /
+    * `deg_b` — INTEGER counts only (cosine/Jaccard are one stateless
+    * division away; shipping them pre-divided would put a float
+    * boundary between engines). Pairs with `n_common < minCommon` are
+    * dropped (the long noise tail IS the output bulk otherwise).
+    *
+    * Plan: distinct edge dedup → ONE source-key exchange gathering
+    * each source's citing set through the saturating capped-set kernel
+    * (sources over `maxCite` targets shed map-side, O(1) memory) →
+    * within-bucket posexplode pair explode → one map-side-combinable
+    * pair rollup → in-degree join. The exchange volume is bounded by
+    * edges and surviving pairs — never an all-pairs product; a hub
+    * source can no longer pin one task.
+    */
+  def coCitation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      minCommon: Long = 2L,
+      maxCite: Int = DefaultMaxCite
+  ): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    // e is referenced twice (citing-set gather + in-degree rollup) —
+    // cut it so the caller's upstream extraction runs once
+    val (e, eRdd) = cut(
+      edges
+        .select(col(srcCol).cast("string").as("__s"), col(dstCol).cast("string").as("__d"))
+        .where(col("__s").isNotNull && col("__d").isNotNull)
+        .distinct())
+    val buckets = e
+      .groupBy("__s")
+      .agg(graft.functions.CappedStringSet.cappedStringSet(col("__d"), maxCite).as("docs"))
+      .where(col("docs").isNotNull && size(col("docs")) > 1)
+    val common = DedupDocs
+      .explodePairs(buckets)
+      .groupBy(col("doc_a").as("dst_a"), col("doc_b").as("dst_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= minCommon)
+    val indeg = e.groupBy(col("__d")).agg(count(lit(1)).as("__deg"))
+    val out = common
+      .join(indeg.toDF("dst_a", "deg_a"), "dst_a")
+      .join(indeg.toDF("dst_b", "deg_b"), "dst_b")
+      .select("dst_a", "dst_b", "n_common", "deg_a", "deg_b")
+    val (res, _) = cut(out)
+    res.count()
+    eRdd.unpersist(blocking = false)
+    res
+  }
+
+  /** Shed diagnostic for [[coCitation]]: sources whose citing set
+    * exceeded `maxCite` distinct targets, with TRUE counts —
+    * count-only, safe at any scale; empty ⇒ the capped run was
+    * exact. */
+  def coCitationShed(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxCite: Int = DefaultMaxCite
+  ): DataFrame =
+    edges
+      .select(col(srcCol).cast("string").as("source"), col(dstCol).cast("string").as("__d"))
+      .where(col("source").isNotNull && col("__d").isNotNull)
+      .distinct()
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_targets"))
+      .where(col("n_targets") > maxCite)
 }

@@ -114,9 +114,11 @@ object SetSim {
       .groupBy("__t")
       .agg(cappedSet(col("__id"), maxBucket).as("__ids"))
       .where(col("__ids").isNotNull && size(col("__ids")) > 1)
-    val cand = buckets
-      .select(explode(pairsOf(col("__ids"))).as("__pr"))
-      .select(col("__pr.a").as("id_a"), col("__pr.b").as("id_b"))
+    // posexplode+slice pair explode (the shared DedupDocs shape): no
+    // per-row O(m²) pair-array materialization at the bucket cap
+    val cand = DedupDocs
+      .explodePairs(buckets.select(col("__ids").as("docs")))
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
       .distinct()
     val sides = docs.select(col("__id"), col("__toks"), col("__m"))
     val out = cand
@@ -154,14 +156,4 @@ object SetSim {
       .agg(count(lit(1)).as("n_members"))
       .where(col("n_members") > maxBucket)
   }
-
-  /** Ordered pairs (a < b, guaranteed by the sorted input array). */
-  private def pairsOf(sorted: Column): Column =
-    flatten(
-      transform(
-        sorted,
-        (a, i) =>
-          transform(
-            slice(sorted, i + 2, size(sorted)),
-            b => struct(a.as("a"), b.as("b")))))
 }

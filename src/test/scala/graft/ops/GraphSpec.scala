@@ -328,4 +328,58 @@ class GraphSpec extends SparkSpec {
       .toMap
     assertClose(got, early)
   }
+
+  test("coCitation: shared-source counts, in-degrees, minCommon floor, parallel-edge dedup") {
+    import spark.implicits._
+    val edges = Seq(
+      // s1 and s2 both cite {x, y} → (x, y) co-cited twice
+      ("s1", "x"), ("s1", "y"),
+      ("s2", "x"), ("s2", "y"), ("s2", "y"), // parallel edge collapses
+      // s3 cites {x, z} → (x, z) co-cited ONCE → below minCommon=2
+      ("s3", "x"), ("s3", "z"),
+      // null source dropped
+      (null, "x")
+    ).toDF("src", "dst")
+    val got = Graph.coCitation(edges, "src", "dst", minCommon = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // deg: x cited by s1,s2,s3 = 3; y by s1,s2 = 2
+    assert(got == Map(("x", "y") -> ((2L, 3L, 2L))))
+  }
+
+  test("coCitation: over-cap hub sources shed, diagnostic reports them") {
+    import spark.implicits._
+    val hub = (0 until 50).map(i => ("hub", s"t$i"))
+    val pair = Seq(("a", "t1"), ("a", "t2"), ("b", "t1"), ("b", "t2"))
+    val edges = (hub ++ pair).toDF("src", "dst")
+    val got = Graph.coCitation(edges, "src", "dst", minCommon = 2, maxCite = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // only the (t1, t2) pair from a+b survives; the hub's 1225 pairs shed
+    assert(got.toSeq == Seq(("t1", "t2", 2L)))
+    val shed = Graph.coCitationShed(edges, "src", "dst", maxCite = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(shed.toSeq == Seq("hub" -> 50L))
+  }
+
+  test("coCitation equals the naive self-join respelling on a generated graph") {
+    import spark.implicits._
+    val edges = spark.range(0, 3000).select(
+      concat(lit("p"), (col("id") % 200).cast("string")).as("src"),
+      concat(lit("d"), (col("id") % 37).cast("string")).as("dst"))
+    val got = Graph.coCitation(edges, "src", "dst", minCommon = 2)
+    val e = edges.distinct()
+    val naive = e.toDF("s", "dst_a")
+      .join(e.toDF("s", "dst_b"), "s")
+      .where(col("dst_a") < col("dst_b"))
+      .groupBy("dst_a", "dst_b").agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= 2)
+    val deg = e.groupBy(col("dst")).agg(count(lit(1)).as("dg"))
+    val expect = naive
+      .join(deg.toDF("dst_a", "deg_a"), "dst_a")
+      .join(deg.toDF("dst_b", "deg_b"), "dst_b")
+      .select("dst_a", "dst_b", "n_common", "deg_a", "deg_b")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got.select("dst_a", "dst_b", "n_common", "deg_a", "deg_b")).isEmpty)
+  }
 }
