@@ -2106,6 +2106,65 @@ object SparkEntry {
     Graph.coCitation(edges, "src", "dst", minCommon = 2)
   }
 
+  /** Synthesized 3-rater annotation table over the embeddings labels:
+    * rater r1 is faithful, r2 flips to the next label on vec_id % 5,
+    * r3 abstains (NULL) on vec_id % 7 — so majorities, ties (both
+    * residues at once), and dropped votes all occur. */
+  private def annotationsFixture(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val l = concat(lit("l"), col("label").cast("string"))
+    val lFlip = concat(lit("l"), ((col("label") + 1) % 10).cast("string"))
+    e.select(col("vec_id").as("item"), lit("r1").as("rater"), l.as("label"))
+      .unionAll(e.select(col("vec_id").as("item"), lit("r2").as("rater"),
+        when(col("vec_id") % 5 === 0, lFlip).otherwise(l).as("label")))
+      .unionAll(e.select(col("vec_id").as("item"), lit("r3").as("rater"),
+        when(col("vec_id") % 7 === 0, lit(null).cast("string")).otherwise(l).as("label")))
+  }
+
+  /** Majority-vote label resolution ([[graft.ops.Labels.majorityVote]])
+    * over the 3-rater fixture: modal label per item, ties broken
+    * bytewise (vec_id divisible by both 5 and 7 produces a genuine
+    * 1-1 tie), integer-exact 6dp agreement. The oracle respells the
+    * argmax as a row_number window — a different algorithm over the
+    * same vote counts. */
+  private def qMajorityVote(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Labels.majorityVote(
+      annotationsFixture(s, dir), "item", "rater", "label")
+
+  /** Cohen's kappa ([[graft.ops.Labels.cohenKappa]]) between the
+    * faithful rater and the 20%-flipping rater — one row of exact
+    * integers (n, n_agree, Σ marginal products) plus the 6dp kappa in
+    * the denominator-cleared form `(n·agree − Σ)/(n² − Σ)`. */
+  private def qKappa(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val pairs = e.select(
+      concat(lit("l"), col("label").cast("string")).as("a"),
+      when(col("vec_id") % 5 === 0,
+        concat(lit("l"), ((col("label") + 1) % 10).cast("string")))
+        .otherwise(concat(lit("l"), col("label").cast("string"))).as("b"))
+    graft.ops.Labels.cohenKappa(pairs, "a", "b")
+  }
+
+  /** Scored-classifier fixture: score = (vec_id % 101)/100 as exact
+    * 4dp DECIMAL (hits both edges incl. the 1.0 clamp), label = 1 on
+    * vec_id % 3. */
+  private def scoredFixture(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      ((col("vec_id") % 101).cast("decimal(9,4)") / 100).as("score"),
+      when(col("vec_id") % 3 === 0, 1).otherwise(0).as("label"))
+
+  /** Reliability-diagram bins ([[graft.ops.Calibration.reliabilityBins]],
+    * 10 bins): per-bin count / positives / exact score mass — integers
+    * and decimals only, accuracy and confidence are one division away. */
+  private def qReliability(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Calibration.reliabilityBins(scoredFixture(s, dir), "score", "label", nBins = 10)
+
+  /** Expected calibration error ([[graft.ops.Calibration.ece]], 10
+    * bins): the telescoped `Σ|n_pos − score_sum| / n` form, DECIMAL-
+    * exact with one final 6dp half-up. */
+  private def qEce(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Calibration.ece(scoredFixture(s, dir), "score", "label", nBins = 10)
+
   /** Encoding-artifact screen ([[graft.ops.Text.encodingArtifacts]]) —
     * the ftfy-class mojibake/replacement-char gate. The ASCII corpus
     * gets one injected suffix per doc_id residue: a Latin-1
@@ -2805,7 +2864,11 @@ object SparkEntry {
     "q_scd2" -> (qScd2 _),
     "q_setsim_join" -> (qSetsimJoin _),
     "q_resample" -> (qResample _),
-    "q_cocitation" -> (qCocitation _)
+    "q_cocitation" -> (qCocitation _),
+    "q_majority_vote" -> (qMajorityVote _),
+    "q_kappa" -> (qKappa _),
+    "q_reliability" -> (qReliability _),
+    "q_ece" -> (qEce _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -3349,6 +3412,69 @@ object SparkEntry {
         |SELECT dst_a, dst_b, n_common, da.dg AS deg_a, db.dg AS deg_b
         |FROM co JOIN deg da ON da.d = co.dst_a
         |        JOIN deg db ON db.d = co.dst_b""".stripMargin,
+    "q_majority_vote" ->
+      """WITH ann AS (
+        |  SELECT vec_id AS item, 'r1' AS rater, 'l' || label AS label FROM embeddings
+        |  UNION ALL SELECT vec_id, 'r2',
+        |    'l' || (CASE WHEN vec_id % 5 = 0 THEN (label + 1) % 10 ELSE label END)
+        |  FROM embeddings
+        |  UNION ALL SELECT vec_id, 'r3',
+        |    CASE WHEN vec_id % 7 = 0 THEN NULL ELSE 'l' || label END
+        |  FROM embeddings),
+        |v AS (SELECT item, label, COUNT(*) AS cnt FROM (
+        |        SELECT DISTINCT item, rater, label FROM ann WHERE label IS NOT NULL) t
+        |      GROUP BY 1, 2),
+        |w AS (SELECT item, label, cnt,
+        |        CAST(SUM(cnt) OVER (PARTITION BY item) AS BIGINT) AS nv,
+        |        row_number() OVER (PARTITION BY item ORDER BY cnt DESC, label ASC) AS rn
+        |      FROM v)
+        |SELECT item, label, cnt AS n_agree, nv AS n_votes,
+        |  CAST((2 * CAST(cnt AS HUGEINT) * 1000000 + nv) // (2 * nv) AS DOUBLE)
+        |    / 1000000.0 AS agreement
+        |FROM w WHERE rn = 1""".stripMargin,
+    "q_kappa" ->
+      """WITH p AS (SELECT 'l' || label AS a,
+        |    CASE WHEN vec_id % 5 = 0 THEN 'l' || ((label + 1) % 10)
+        |         ELSE 'l' || label END AS b
+        |  FROM embeddings),
+        |base AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree FROM p),
+        |ma AS (SELECT a AS l, COUNT(*) AS ca FROM p GROUP BY 1),
+        |mb AS (SELECT b AS l, COUNT(*) AS cb FROM p GROUP BY 1),
+        |sm AS (SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS sum_marginal
+        |       FROM ma JOIN mb USING (l))
+        |SELECT n, n_agree, sum_marginal,
+        |  CASE WHEN n * n - sum_marginal <> 0 THEN
+        |    CASE WHEN n * n_agree - sum_marginal >= 0
+        |      THEN CAST((2 * CAST(n * n_agree - sum_marginal AS HUGEINT) * 1000000
+        |                 + (n * n - sum_marginal)) // (2 * (n * n - sum_marginal))
+        |                AS DOUBLE) / 1000000.0
+        |      ELSE -(CAST((2 * CAST(-(n * n_agree - sum_marginal) AS HUGEINT) * 1000000
+        |                   + (n * n - sum_marginal)) // (2 * (n * n - sum_marginal))
+        |                  AS DOUBLE) / 1000000.0)
+        |    END END AS kappa
+        |FROM base CROSS JOIN sm""".stripMargin,
+    "q_reliability" ->
+      """WITH sc AS (SELECT
+        |    CAST(CAST(vec_id % 101 AS DECIMAL(9,4)) / 100 AS DECIMAL(9,4)) AS s,
+        |    CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END AS label FROM embeddings)
+        |SELECT LEAST(CAST(FLOOR(s * 10) AS BIGINT), 9) AS bin, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  SUM(s) AS score_sum
+        |FROM sc GROUP BY 1""".stripMargin,
+    "q_ece" ->
+      """WITH sc AS (SELECT
+        |    CAST(CAST(vec_id % 101 AS DECIMAL(9,4)) / 100 AS DECIMAL(9,4)) AS s,
+        |    CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END AS label FROM embeddings),
+        |b AS (SELECT LEAST(CAST(FLOOR(s * 10) AS BIGINT), 9) AS bin, COUNT(*) AS n,
+        |        SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n_pos,
+        |        SUM(s) AS score_sum
+        |      FROM sc GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+        |        SUM(ABS(CAST(n_pos AS DECIMAL(38,4)) - score_sum)) AS d FROM b)
+        |SELECT n, CAST((2 * CAST(d * 1000000 AS HUGEINT) + n) // (2 * n) AS DOUBLE)
+        |  / 1000000.0 AS ece
+        |FROM t""".stripMargin,
     "q_skew_advisor" ->
       """WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n
         |           FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),

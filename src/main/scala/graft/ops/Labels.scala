@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Label-quality operators for supervised training data — the QA a
+  * labeling pipeline runs between raw annotations and the training
+  * table:
+  *
+  *  - [[majorityVote]]: per-item label resolution with agreement
+  *    stats (the aggregation step of every multi-rater labeling job);
+  *  - [[cohenKappa]]: chance-corrected inter-rater agreement between
+  *    two raters (Cohen 1960) — the standard "are these annotations
+  *    better than coin flips" gate.
+  *
+  * Both are map-side-combinable aggregates over (item, label) /
+  * label-pair counts — bounded by items × labels, never by
+  * annotation volume; no window, no driver state. Every ratio is
+  * derived from exact integer counts with the sign-aware half-up
+  * integral-division recipe ([[Text.readability]]), so the numbers
+  * are engine-replayable bit-for-bit.
+  */
+object Labels {
+
+  private def intDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    Bridge.column(IntegralDivide(Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** 6dp half-up of num/den over exact integer columns (den > 0). */
+  private def ratio6(num: Column, den: Column): Column = {
+    val u = (num.cast("decimal(38,0)") * lit(1000000))
+    val micro = when(u >= 0, intDiv(u * 2 + den, den * 2))
+      .otherwise(-intDiv((-u) * 2 + den, den * 2))
+    micro.cast("double") / lit(1000000.0)
+  }
+
+  /** Per-item majority label over a (item, rater, label) annotation
+    * table: `label` = the most-voted label (ties broken by the
+    * bytewise smallest label — deterministic under any partitioning),
+    * `n_votes` = total annotations for the item, `n_agree` = votes
+    * for the winner, `agreement` = 6dp n_agree/n_votes. EXACT
+    * duplicate annotations (same item, rater, label) count once; a
+    * rater re-voting a DIFFERENT label counts twice — resolve
+    * re-votes first via [[Changelog.compact]] keyed on (item, rater)
+    * with the annotation timestamp. NULL labels are dropped.
+    *
+    * Two map-side-combinable exchanges: (item, label) vote counts,
+    * then the per-item argmax via one `min(struct(-cnt, label))`.
+    */
+  def majorityVote(
+      annotations: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      labelCol: String
+  ): DataFrame = {
+    val votes = annotations
+      .select(col(itemCol).as("item"), col(raterCol).as("__r"),
+        col(labelCol).cast("string").as("__l"))
+      .where(col("__l").isNotNull)
+      .distinct()
+      .groupBy(col("item"), col("__l"))
+      .agg(count(lit(1)).as("__cnt"))
+    votes
+      .groupBy("item")
+      .agg(
+        min(struct((-col("__cnt")).as("nc"), col("__l").as("l"))).as("__w"),
+        sum(col("__cnt")).as("n_votes"))
+      .select(
+        col("item"),
+        col("__w.l").as("label"),
+        (-col("__w.nc")).as("n_agree"),
+        col("n_votes"))
+      .withColumn("agreement", ratio6(col("n_agree"), col("n_votes")))
+  }
+
+  /** Cohen's kappa between two raters over a paired (labelA, labelB)
+    * table (one row per co-annotated item; rows with a NULL side are
+    * dropped). Returns ONE row of exact integers plus the 6dp kappa:
+    * `n` items, `n_agree`, `sum_marginal` = Σ_k cntA(k)·cntB(k), and
+    * `kappa = (n·n_agree − Σ) / (n² − Σ)` — the po/pe form cleared of
+    * denominators, so the only rounding is the final 6dp half-up.
+    * NULL kappa when pe = 1 (both raters constant — kappa undefined).
+    *
+    * Shape: one (label-pair) rollup for agreement + two label-margin
+    * rollups joined on label — all bounded by the label vocabulary.
+    */
+  def cohenKappa(pairs: DataFrame, labelACol: String, labelBCol: String): DataFrame = {
+    val p = pairs
+      .select(col(labelACol).cast("string").as("__a"), col(labelBCol).cast("string").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+    val base = p.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("n_agree"))
+    val margA = p.groupBy(col("__a").as("__l")).agg(count(lit(1)).as("__ca"))
+    val margB = p.groupBy(col("__b").as("__l")).agg(count(lit(1)).as("__cb"))
+    val sm = margA.join(margB, "__l")
+      .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L)).as("sum_marginal"))
+    val num = col("n") * col("n_agree") - col("sum_marginal")
+    val den = col("n") * col("n") - col("sum_marginal")
+    // combine the two single-row aggregates by UNION + one final fold
+    // — joining singletons (cross, or any foldable-key equi-join)
+    // plans as a BroadcastNestedLoopJoin, which the plan-shape gate
+    // forbids globally; the union shape has no join at all
+    base.select(col("n"), col("n_agree"), lit(0L).as("sum_marginal"))
+      .unionAll(sm.select(lit(0L).as("n"), lit(0L).as("n_agree"), col("sum_marginal")))
+      .agg(
+        sum("n").as("n"),
+        sum("n_agree").as("n_agree"),
+        sum("sum_marginal").as("sum_marginal"))
+      .withColumn("kappa", when(den =!= 0, ratio6(num, den)))
+      .select("n", "n_agree", "sum_marginal", "kappa")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** [[Labels]] and [[Calibration]] — label/score QA: hand-computed
+  * kappa/ECE values, deterministic tie-breaks, loud failures. */
+class LabelsSpec extends SparkSpec {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  test("majorityVote: modal label, bytewise tie-break, exact-dup dedup, nulls dropped") {
+    val ann = Seq(
+      // item 1: b wins 2-1
+      (1L, "r1", "b"), (1L, "r2", "b"), (1L, "r3", "a"),
+      // item 2: tie a/b → "a" (bytewise smallest)
+      (2L, "r1", "a"), (2L, "r2", "b"),
+      // item 3: exact duplicate counts once; null dropped
+      (3L, "r1", "x"), (3L, "r1", "x"), (3L, "r2", null)
+    ).toDF("item", "rater", "label")
+    val got = Labels.majorityVote(ann, "item", "rater", "label")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) == (("b", 2L, 3L, 0.666667)))
+    assert(got(2L) == (("a", 1L, 2L, 0.5)))
+    assert(got(3L) == (("x", 1L, 1L, 1.0)))
+  }
+
+  test("cohenKappa: hand-computed values incl. perfect, chance, negative, undefined") {
+    def kappa(rows: Seq[(String, String)]): Option[Double] = {
+      val r = Labels.cohenKappa(rows.toDF("a", "b"), "a", "b").head()
+      Option(r.get(3)).map(_.asInstanceOf[Double])
+    }
+    // n=4, agree=3, margins A(a3,b1) B(a2,b2) → Σ=8, κ=(12−8)/(16−8)=0.5
+    assert(kappa(Seq(("a", "a"), ("a", "a"), ("b", "b"), ("a", "b"))) == Some(0.5))
+    assert(kappa(Seq(("a", "a"), ("b", "b"))) == Some(1.0))        // perfect
+    assert(kappa(Seq(("a", "b"), ("b", "a"))) == Some(-1.0))       // systematic disagree
+    assert(kappa(Seq(("a", "a"), ("a", "a"))) == None)             // pe = 1 → undefined
+    assert(kappa(Seq(("a", "b"), ("a", "b"))) == Some(0.0))        // disjoint constants
+  }
+
+  test("reliabilityBins: exact edges, 1.0 clamped, out-of-range fails loud") {
+    val df = Seq((0.0, 0), (0.2499, 0), (0.25, 1), (0.9, 1), (1.0, 1))
+      .toDF("score", "label")
+    val got = Calibration.reliabilityBins(df, "score", "label", nBins = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDecimal(3).doubleValue)))
+      .toMap
+    assert(got(0L) == ((2L, 0L, 0.2499)))
+    assert(got(1L) == ((1L, 1L, 0.25)))   // 0.25 lands in bin 1, not 0
+    assert(got(3L) == ((2L, 2L, 1.9)))    // 0.9 and the clamped 1.0
+    val bad = Seq((1.2, 1)).toDF("score", "label")
+    val e = intercept[Throwable] {
+      Calibration.reliabilityBins(bad, "score", "label", 4).collect()
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(chain.contains("Calibration: score outside"), chain)
+  }
+
+  test("ece: hand-computed telescoped value") {
+    // 2 bins: high bin (0.9,1),(0.8,0) → |1−1.7| = 0.7;
+    //         low bin (0.1,0),(0.2,1) → |1−0.3| = 0.7;  ece = 1.4/4
+    val df = Seq((0.9, 1), (0.8, 0), (0.1, 0), (0.2, 1)).toDF("score", "label")
+    val r = Calibration.ece(df, "score", "label", nBins = 2).head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 0.35)
+  }
+
+  test("ece: perfectly calibrated scores give zero") {
+    // each bin's mean score equals its positive rate exactly
+    val df = Seq(
+      (0.25, 0), (0.25, 0), (0.25, 0), (0.25, 1),  // bin 0 of [0,.5): acc .25 = conf
+      (0.75, 0), (0.75, 1), (0.75, 1), (0.75, 1)   // bin 1: acc .75 = conf
+    ).toDF("score", "label")
+    assert(Calibration.ece(df, "score", "label", 2).head().getDouble(1) == 0.0)
+  }
+}
