@@ -2165,6 +2165,23 @@ object SparkEntry {
   private def qEce(s: SparkSession, dir: String): DataFrame =
     graft.ops.Calibration.ece(scoredFixture(s, dir), "score", "label", nBins = 10)
 
+  /** Per-rater accuracy vs the majority label
+    * ([[graft.ops.Labels.raterAccuracy]]) over the 3-rater fixture:
+    * r1 ≈ 1.0 (faithful), r2 loses the vec_id % 5 flips, r3 only
+    * annotates the non-abstained items. One join + one rollup past
+    * the vote resolution. */
+  private def qRaterAccuracy(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Labels.raterAccuracy(
+      annotationsFixture(s, dir), "item", "rater", "label")
+
+  /** Per-document tf·idf keywords ([[graft.ops.Text.keywordsTfIdf]],
+    * k = 5) over the REAL document text: one lineage-cut (doc, token)
+    * rollup feeding both the df rollup and the score join, 4dp-rounded
+    * scores ranked with bytewise tie-break. */
+  private def qKeywords(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Text.keywordsTfIdf(
+      Tables.documents(s, dir).select("doc_id", "text"), k = 5)
+
   /** Encoding-artifact screen ([[graft.ops.Text.encodingArtifacts]]) —
     * the ftfy-class mojibake/replacement-char gate. The ASCII corpus
     * gets one injected suffix per doc_id residue: a Latin-1
@@ -2868,7 +2885,9 @@ object SparkEntry {
     "q_majority_vote" -> (qMajorityVote _),
     "q_kappa" -> (qKappa _),
     "q_reliability" -> (qReliability _),
-    "q_ece" -> (qEce _)
+    "q_ece" -> (qEce _),
+    "q_rater_accuracy" -> (qRaterAccuracy _),
+    "q_keywords" -> (qKeywords _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -3475,6 +3494,40 @@ object SparkEntry {
         |SELECT n, CAST((2 * CAST(d * 1000000 AS HUGEINT) + n) // (2 * n) AS DOUBLE)
         |  / 1000000.0 AS ece
         |FROM t""".stripMargin,
+    "q_rater_accuracy" ->
+      """WITH ann AS (
+        |  SELECT vec_id AS item, 'r1' AS rater, 'l' || label AS label FROM embeddings
+        |  UNION ALL SELECT vec_id, 'r2',
+        |    'l' || (CASE WHEN vec_id % 5 = 0 THEN (label + 1) % 10 ELSE label END)
+        |  FROM embeddings
+        |  UNION ALL SELECT vec_id, 'r3',
+        |    CASE WHEN vec_id % 7 = 0 THEN NULL ELSE 'l' || label END
+        |  FROM embeddings),
+        |dd AS (SELECT DISTINCT item, rater, label FROM ann WHERE label IS NOT NULL),
+        |v AS (SELECT item, label, COUNT(*) AS cnt FROM dd GROUP BY 1, 2),
+        |w AS (SELECT item, label,
+        |        row_number() OVER (PARTITION BY item ORDER BY cnt DESC, label ASC) AS rn
+        |      FROM v),
+        |maj AS (SELECT item, label AS mj FROM w WHERE rn = 1)
+        |SELECT rater, COUNT(*) AS n_items,
+        |  CAST(SUM(CASE WHEN dd.label = maj.mj THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |  CAST((2 * CAST(SUM(CASE WHEN dd.label = maj.mj THEN 1 ELSE 0 END) AS HUGEINT)
+        |        * 1000000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS accuracy
+        |FROM dd JOIN maj USING (item) GROUP BY 1""".stripMargin,
+    "q_keywords" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |toks AS (SELECT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |    FROM documents) u WHERE t <> ''),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.token, tf.tf, dfx.df,
+        |         round(tf.tf * ln(1.0 + (SELECT n FROM nn) * 1.0 / dfx.df), 4) AS score
+        |       FROM tf JOIN dfx USING (token)),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY score DESC, token ASC) AS INT) AS rank
+        |      FROM sc)
+        |SELECT doc_id, token, tf, df, score, rank FROM r WHERE rank <= 5""".stripMargin,
     "q_skew_advisor" ->
       """WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n
         |           FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),

@@ -75,6 +75,36 @@ object Labels {
       .withColumn("agreement", ratio6(col("n_agree"), col("n_votes")))
   }
 
+  /** Per-rater accuracy against the [[majorityVote]]-resolved labels —
+    * the annotator-quality report a labeling pipeline uses to weight
+    * or retire raters. For each rater: items annotated, matches with
+    * the resolved label, 6dp accuracy. One equi-join of the
+    * annotations against the (broadcast-sized per item-count) resolved
+    * table + one rater rollup; a rater's own vote is NOT excluded from
+    * the majority (the usual reading; leave-one-out resolution would
+    * need per-rater re-resolution).
+    */
+  def raterAccuracy(
+      annotations: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      labelCol: String
+  ): DataFrame = {
+    val resolved = majorityVote(annotations, itemCol, raterCol, labelCol)
+      .select(col("item"), col("label").as("__maj"))
+    annotations
+      .select(col(itemCol).as("item"), col(raterCol).as("rater"),
+        col(labelCol).cast("string").as("__l"))
+      .where(col("__l").isNotNull)
+      .distinct()
+      .join(resolved, "item")
+      .groupBy("rater")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(when(col("__l") === col("__maj"), 1L).otherwise(0L)).as("n_match"))
+      .withColumn("accuracy", ratio6(col("n_match"), col("n_items")))
+  }
+
   /** Cohen's kappa between two raters over a paired (labelA, labelB)
     * table (one row per co-annotated item; rows with a NULL side are
     * dropped). Returns ONE row of exact integers plus the 6dp kappa:

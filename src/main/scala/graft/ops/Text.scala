@@ -241,6 +241,46 @@ object Text {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Per-document keyword extraction: the top-k whitespace tokens by
+    * tf·idf (idf = ln(1 + N/df), the smooth form — strictly positive,
+    * so ubiquitous tokens still rank below everything rare instead of
+    * tying at zero). The per-document summarization/tagging primitive
+    * ([[topNgrams]] is its corpus-level sibling; [[Bm25]] the
+    * query-time scorer over the same statistics).
+    *
+    * Shape: ONE (doc, token) rollup — lineage-cut, it feeds both the
+    * document-frequency rollup and the score join — then a per-doc
+    * top-k window. Every exchange is bounded by distinct (doc, token)
+    * pairs / vocabulary; N is one count action (the [[Bm25]]
+    * precedent). Scores are 4dp-rounded on both engine and oracle
+    * sides BEFORE ranking (the lm-score precedent for log-derived
+    * values), ties broken by token bytewise.
+    */
+  def keywordsTfIdf(documents: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nDocs = documents.count()
+    val toks = documents.select(
+      col("doc_id"),
+      explode(filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)).as("token"))
+    val (tf, tfRdd) = graft.util.LoopFrames.cut(
+      toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token").asc)
+    val out = tf
+      .join(dfT, "token")
+      .withColumn("score",
+        round(col("tf") * log(lit(1.0) + lit(nDocs.toDouble) / col("df")), 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("doc_id", "token", "tf", "df", "score", "rank")
+    val (res, _) = graft.util.LoopFrames.cut(out)
+    res.count()
+    tfRdd.unpersist(blocking = false)
+    res
+  }
+
   /** Compression-ratio quality signal: deflate(text) size over raw
     * UTF-8 size — templated/boilerplate/machine-generated text
     * compresses far below natural prose, so a LOW ratio is a drop/

@@ -63,6 +63,38 @@ object Streaming {
         col("n_tokens")
       )
 
+  /** Streaming twin of [[graft.ops.Changelog]]'s sibling rollup
+    * [[graft.ops.Resample.ohlc]]: per (key, tumbling event-time
+    * window) open/high/low/close over a live metric stream. The
+    * argmin/argmax ride `min_by`/`max_by` exactly like batch — both
+    * are partial-MERGE-safe, so micro-batch partials combine into the
+    * identical answer regardless of arrival slicing (StreamingSpec
+    * pins batch parity). Append mode + watermark: a window emits once,
+    * after the watermark passes; state is O(keys × open windows). */
+  def ohlcStream(
+      events: DataFrame,
+      eventTimeCol: String,
+      keyCol: String,
+      windowDuration: String,
+      watermarkDelay: String
+  ): DataFrame = {
+    val v = col("value").cast("decimal(18,2)")
+    events
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(window(col(eventTimeCol), windowDuration), col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        min_by(v, col(eventTimeCol)).as("open"),
+        max_by(v, col(eventTimeCol)).as("close"),
+        max(v).as("high"),
+        min(v).as("low"),
+        sum(v).as("vsum"))
+      .select(
+        col("window.start").as("win_start"),
+        col(keyCol),
+        col("n"), col("open"), col("close"), col("high"), col("low"), col("vsum"))
+  }
+
   /** Event for the streaming censor: a detection at sample `idx` on `key`. */
   final case class Detection(key: String, idx: Long)
   final case class Kept(key: String, idx: Long)

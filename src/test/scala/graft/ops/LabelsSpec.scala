@@ -68,6 +68,43 @@ class LabelsSpec extends SparkSpec {
     assert(r.getDouble(1) == 0.35)
   }
 
+  test("raterAccuracy: per-rater match rate vs the resolved majority") {
+    val ann = Seq(
+      // items 1..3: majority "a"; r2 wrong on item 2; r3 skips item 3
+      (1L, "r1", "a"), (1L, "r2", "a"), (1L, "r3", "a"),
+      (2L, "r1", "a"), (2L, "r2", "b"), (2L, "r3", "a"),
+      (3L, "r1", "a"), (3L, "r2", "a")
+    ).toDF("item", "rater", "label")
+    val got = Labels.raterAccuracy(ann, "item", "rater", "label")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got("r1") == ((3L, 3L, 1.0)))
+    assert(got("r2") == ((3L, 2L, 0.666667)))
+    assert(got("r3") == ((2L, 2L, 1.0)))
+  }
+
+  test("keywordsTfIdf: rare tokens outrank common, k bound, bytewise ties") {
+    val docs = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common rare2"),
+      (3L, "common common")
+    ).toDF("doc_id", "text")
+    val got = Text.keywordsTfIdf(docs, k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(5)) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1: rare1 (tf1, df1, idf ln(4)) vs common (tf3, df3, idf ln(2))
+    // scores: 1·1.3863 = 1.3863 < 3·0.6931 = 2.0794 → common ranks first
+    assert(got((1L, 1)) == (("common", 3L, 3L)))
+    assert(got((1L, 2)) == (("rare1", 1L, 1L)))
+    assert(got((2L, 1)) == (("rare2", 1L, 1L))) // 1.3863 > 0.6931
+    assert(got((2L, 2)) == (("common", 1L, 3L)))
+    assert(got((3L, 1)) == (("common", 2L, 3L)))
+    // k bound: doc 3 has one distinct token → one row
+    assert(!got.contains((3L, 2)))
+  }
+
   test("ece: perfectly calibrated scores give zero") {
     // each bin's mean score equals its positive rate exactly
     val df = Seq(

@@ -693,6 +693,42 @@ class StreamingSpec extends SparkSpec {
     assert(all.length == 2, all.mkString(";")) // [0,10) once, [20,30) once
   }
 
+  test("streaming OHLC: window closes once with batch-identical stats across batch slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = Streaming
+      .ohlcStream(
+        input.toDS().toDF("et", "k", "value"),
+        "et", "k", windowDuration = "10 seconds", watermarkDelay = "5 seconds")
+      .writeStream.format("memory").queryName("ohlc").outputMode("append")
+      .start()
+    // window [0,10) split across two micro-batches, out of ts order
+    input.addData((ts(3), "a", 5.0), (ts(1), "a", 2.0))
+    q.processAllAvailable()
+    input.addData((ts(9), "a", 7.0), (ts(2), "a", 9.0))
+    q.processAllAvailable()
+    input.addData((ts(30), "a", 1.0)) // watermark past 10 → window closes
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT k, n, open, close, high, low, vsum FROM ohlc").collect()
+    assert(rows.length == 1, rows.mkString(";"))
+    val r = rows.head
+    assert((r.getString(0), r.getLong(1)) == (("a", 4L)))
+    assert(r.getDecimal(2).doubleValue == 2.0)   // open at ts 1
+    assert(r.getDecimal(3).doubleValue == 7.0)   // close at ts 9
+    assert(r.getDecimal(4).doubleValue == 9.0)
+    assert(r.getDecimal(5).doubleValue == 2.0)
+    assert(r.getDecimal(6).doubleValue == 23.0)
+    // batch parity on the same rows
+    val batch = graft.ops.Resample.ohlc(
+      Seq(("a", 3000000L, 5.0), ("a", 1000000L, 2.0), ("a", 9000000L, 7.0), ("a", 2000000L, 9.0))
+        .toDF("k", "ts", "v"),
+      Seq("k"), "ts", "v", bucketUs = 10000000L).head()
+    assert(batch.getLong(2) == 4L && batch.getDecimal(3).doubleValue == 2.0 &&
+      batch.getDecimal(4).doubleValue == 7.0)
+    q.stop()
+  }
+
   test("streaming CDC compact: last emission per key equals batch compact, tombstones flagged") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streaming.ChangeRow]
