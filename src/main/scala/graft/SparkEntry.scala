@@ -2182,6 +2182,22 @@ object SparkEntry {
     graft.ops.Text.keywordsTfIdf(
       Tables.documents(s, dir).select("doc_id", "text"), k = 5)
 
+  /** Token-distribution drift ([[graft.ops.Text.tokenDrift]]): JS
+    * divergence between the even-doc corpus and the odd-doc corpus
+    * with a planted token burst (every third odd doc gains two
+    * `driftterm` occurrences) — the burst is mass the before side has
+    * NEVER seen, exercising the one-sided term branches. Per-term
+    * doubles follow the identical operation order on both engines;
+    * the sum is 12dp-decimal (partition-order-free). */
+  private def qTokenDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val before = d.where(col("doc_id") % 2 === 0).select("text")
+    val after = d.where(col("doc_id") % 2 === 1).select(
+      when(col("doc_id") % 3 === 0, concat(col("text"), lit(" driftterm driftterm")))
+        .otherwise(col("text")).as("text"))
+    graft.ops.Text.tokenDrift(before, after)
+  }
+
   /** Encoding-artifact screen ([[graft.ops.Text.encodingArtifacts]]) —
     * the ftfy-class mojibake/replacement-char gate. The ASCII corpus
     * gets one injected suffix per doc_id residue: a Latin-1
@@ -2887,7 +2903,8 @@ object SparkEntry {
     "q_reliability" -> (qReliability _),
     "q_ece" -> (qEce _),
     "q_rater_accuracy" -> (qRaterAccuracy _),
-    "q_keywords" -> (qKeywords _)
+    "q_keywords" -> (qKeywords _),
+    "q_token_drift" -> (qTokenDrift _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -3528,6 +3545,33 @@ object SparkEntry {
         |        PARTITION BY doc_id ORDER BY score DESC, token ASC) AS INT) AS rank
         |      FROM sc)
         |SELECT doc_id, token, tf, df, score, rank FROM r WHERE rank <= 5""".stripMargin,
+    "q_token_drift" ->
+      """WITH a AS (SELECT token, COUNT(*) AS ca FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |    FROM documents WHERE doc_id % 2 = 0) u WHERE token <> '' GROUP BY 1),
+        |b0 AS (SELECT lower(text) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' driftterm driftterm' ELSE '' END AS t
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |b AS (SELECT token, COUNT(*) AS cb FROM (
+        |    SELECT unnest(string_split_regex(t, '\s+')) AS token FROM b0) u
+        |  WHERE token <> '' GROUP BY 1),
+        |j AS (SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |      FROM a FULL OUTER JOIN b ON a.token = b.token),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM j),
+        |terms AS (SELECT
+        |    CAST(round(
+        |      CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / na)
+        |             * ln((CAST(ca AS DOUBLE) / na)
+        |                  / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2.0)) / 2.0
+        |           ELSE 0.0 END +
+        |      CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / nb)
+        |             * ln((CAST(cb AS DOUBLE) / nb)
+        |                  / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2.0)) / 2.0
+        |           ELSE 0.0 END, 12) AS DECIMAL(38,12)) AS t
+        |  FROM j CROSS JOIN tot)
+        |SELECT (SELECT na FROM tot) AS n_tokens_a, (SELECT nb FROM tot) AS n_tokens_b,
+        |  COUNT(*) AS n_vocab, round(CAST(SUM(t) AS DOUBLE), 6) AS js
+        |FROM terms""".stripMargin,
     "q_skew_advisor" ->
       """WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n
         |           FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),

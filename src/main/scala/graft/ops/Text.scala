@@ -281,6 +281,66 @@ object Text {
     res
   }
 
+  /** Unigram-distribution drift between two corpora: Jensen–Shannon
+    * divergence over the whitespace-token distributions — the TEXT
+    * counterpart of [[Profile.drift]]'s numeric gate (a crawl batch
+    * whose token mix shifts — new language, new boilerplate, spam
+    * burst — moves JS long before any numeric column does). Returns
+    * ONE row: token totals, union vocabulary size, and `js` ∈
+    * [0, ln 2] at 6dp.
+    *
+    * Determinism across engines AND partitionings: a corpus-wide
+    * float Σ p·ln(p/m) is order-sensitive (float addition is not
+    * associative — Spark's own partial sums vary with partitioning),
+    * so each token's JS contribution is rounded to 12dp and summed as
+    * exact DECIMAL (associative, partition-order-free); only the
+    * per-term double (the [[keywordsTfIdf]] ln precedent) and one
+    * final 6dp round involve floats. Shape: one token rollup per
+    * side, one full outer join on token, one singleton fold — bounded
+    * by vocabulary, never corpus size.
+    */
+  def tokenDrift(before: DataFrame, after: DataFrame): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.select(explode(filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as(out))
+    val a = counts(before, "ca")
+    val b = counts(after, "cb")
+    // token-count table is referenced twice (totals fold, term pass) —
+    // cut its lineage so tokenization runs once per side
+    val (joined, joinedRdd) = graft.util.LoopFrames.cut(
+      a.join(b, Seq("token"), "full_outer")
+        .select(col("token"), coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb")))
+    // totals become driver-side literals via ONE tiny fold (the Bm25
+    // nDocs precedent): per-term probabilities need NA/NB as scalars,
+    // and attaching a one-row frame join-free has no clean plan shape
+    val (naV, nbV) = {
+      val r = joined.agg(sum("ca"), sum("cb")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(naV > 0 && nbV > 0, "tokenDrift needs non-empty corpora on both sides")
+    val pa = col("ca").cast("double") / lit(naV.toDouble)
+    val pb = col("cb").cast("double") / lit(nbV.toDouble)
+    val m = (pa + pb) / 2.0
+    val term =
+      when(col("ca") > 0, pa * log(pa / m) / 2.0).otherwise(lit(0.0)) +
+        when(col("cb") > 0, pb * log(pb / m) / 2.0).otherwise(lit(0.0))
+    val out = joined
+      .select(round(term, 12).cast("decimal(38,12)").as("__t"))
+      .agg(count(lit(1)).as("n_vocab"), sum("__t").as("__js"))
+      .select(
+        lit(naV).as("n_tokens_a"),
+        lit(nbV).as("n_tokens_b"),
+        col("n_vocab"),
+        round(col("__js").cast("double"), 6).as("js"))
+    // materialize (lineage-cut) before releasing the shared cache
+    val (res, _) = graft.util.LoopFrames.cut(out)
+    res.count()
+    joinedRdd.unpersist(blocking = false)
+    res
+  }
+
   /** Compression-ratio quality signal: deflate(text) size over raw
     * UTF-8 size — templated/boilerplate/machine-generated text
     * compresses far below natural prose, so a LOW ratio is a drop/

@@ -192,4 +192,23 @@ class TextFilterSpec extends SparkSpec {
     assert(got(5L) == "attrs")
     assert(got(6L) == "spaced out")
   }
+
+  test("tokenDrift: identical corpora → 0; disjoint → ln 2; partition-order-free") {
+    import spark.implicits._
+    val x = Seq("a b c", "a a d").toDF("text")
+    val same = Text.tokenDrift(x, x).head()
+    assert(same.getLong(0) == 6L && same.getLong(1) == 6L && same.getLong(2) == 4L)
+    assert(same.getDouble(3) == 0.0)
+    val y = Seq("p q", "r r").toDF("text")
+    val disjoint = Text.tokenDrift(x, y).head()
+    assert(disjoint.getDouble(3) == 0.693147) // ln 2 at 6dp
+    // hand-checked asymmetric case, invariant under repartitioning
+    val big = spark.range(0, 5000)
+      .select(concat(lit("t"), (col("id") % 50).cast("string")).as("text"))
+    val shifted = spark.range(0, 5000)
+      .select(concat(lit("t"), (col("id") % 60).cast("string")).as("text"))
+    val j1 = Text.tokenDrift(big, shifted).head().getDouble(3)
+    val j2 = Text.tokenDrift(big.repartition(13), shifted.repartition(7)).head().getDouble(3)
+    assert(j1 == j2 && j1 > 0.0 && j1 < 0.693147, s"$j1 vs $j2")
+  }
 }
