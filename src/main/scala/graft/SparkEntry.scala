@@ -2198,6 +2198,23 @@ object SparkEntry {
     graft.ops.Text.tokenDrift(before, after)
   }
 
+  /** Snapshot row-diff ([[graft.ops.Changelog.snapshotDiff]]): two
+    * builds of the orders table — keys divisible by 10 exist only in
+    * "old" (removed), by 7 only in "new" (added), by 5 get a price
+    * bump (changed) — classified per key through ONE full-outer
+    * equi-join with null-safe payload comparison. */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val price = col("o_totalprice").cast("decimal(18,2)")
+    val old = o.where(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey"), price.as("price"), col("o_orderstatus").as("status"))
+    val neu = o.where(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"),
+        (price + when(col("o_orderkey") % 5 === 0, 1).otherwise(0)).as("price"),
+        col("o_orderstatus").as("status"))
+    graft.ops.Changelog.snapshotDiff(old, neu, Seq("o_orderkey"))
+  }
+
   /** Encoding-artifact screen ([[graft.ops.Text.encodingArtifacts]]) —
     * the ftfy-class mojibake/replacement-char gate. The ASCII corpus
     * gets one injected suffix per doc_id residue: a Latin-1
@@ -2904,7 +2921,8 @@ object SparkEntry {
     "q_ece" -> (qEce _),
     "q_rater_accuracy" -> (qRaterAccuracy _),
     "q_keywords" -> (qKeywords _),
-    "q_token_drift" -> (qTokenDrift _)
+    "q_token_drift" -> (qTokenDrift _),
+    "q_snapshot_diff" -> (qSnapshotDiff _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -3572,6 +3590,21 @@ object SparkEntry {
         |SELECT (SELECT na FROM tot) AS n_tokens_a, (SELECT nb FROM tot) AS n_tokens_b,
         |  COUNT(*) AS n_vocab, round(CAST(SUM(t) AS DOUBLE), 6) AS js
         |FROM terms""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+        |             o_orderstatus AS st FROM orders WHERE o_orderkey % 10 <> 0),
+        |n AS (SELECT o_orderkey AS k,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) +
+        |          CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS p,
+        |        o_orderstatus AS st FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT COALESCE(o.k, n.k) AS o_orderkey,
+        |  o.p AS old_price, o.st AS old_status,
+        |  n.p AS new_price, n.st AS new_status,
+        |  CASE WHEN o.k IS NULL THEN 'added'
+        |       WHEN n.k IS NULL THEN 'removed'
+        |       WHEN o.p = n.p AND o.st = n.st THEN 'unchanged'
+        |       ELSE 'changed' END AS change
+        |FROM o FULL OUTER JOIN n ON o.k = n.k""".stripMargin,
     "q_skew_advisor" ->
       """WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n
         |           FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),

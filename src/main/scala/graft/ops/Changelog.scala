@@ -84,6 +84,46 @@ object Changelog {
       .where(!col(opCol).isin(deleteOps.toSeq: _*))
   }
 
+  /** Row-level diff between two table snapshots — the audit/regression
+    * primitive between two builds of a curated dataset ("what changed
+    * since yesterday's snapshot"). Per key present in either side:
+    * `change ∈ {added, removed, changed, unchanged}` with both sides'
+    * payloads (NULL on the absent side). Payload comparison is
+    * null-safe (`<=>` per column), so a column going NULL is
+    * `changed`, not silently equal.
+    *
+    * ONE full-outer equi-join on the key — both sides shuffle once,
+    * bounded by their row counts; no window, no driver state. Callers
+    * that only need counts aggregate `change` afterwards (map-side
+    * combinable).
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keyCols: Seq[String]
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(oldSnap.columns.sameElements(newSnap.columns),
+      s"snapshot schemas differ: ${oldSnap.columns.mkString(",")} vs ${newSnap.columns.mkString(",")}")
+    val payload = oldSnap.columns.filterNot(keyCols.contains).toSeq
+    val o = oldSnap.select(
+      keyCols.map(col) ++ payload.map(c => col(c).as(s"old_$c")) :+ lit(true).as("__in_old"): _*)
+    val n = newSnap.select(
+      keyCols.map(col) ++ payload.map(c => col(c).as(s"new_$c")) :+ lit(true).as("__in_new"): _*)
+    val samePayload = payload
+      .map(c => col(s"old_$c") <=> col(s"new_$c"))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+    o.join(n, keyCols, "full_outer")
+      .withColumn(
+        "change",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(samePayload, lit("unchanged"))
+          .otherwise(lit("changed")))
+      .drop("__in_old", "__in_new")
+  }
+
   /** Type-2 SCD history: every change row becomes a version with
     * `valid_from` (its own `tsCol`), `valid_to` (the key's next
     * `tsCol`, NULL for the current version) and `is_current`. Ties on

@@ -90,6 +90,30 @@ class ChangelogSpec extends SparkSpec {
     assert(got("c") == ((20L, None)))
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged, null-safe payload compare") {
+    val old = Seq(
+      (1L, Some(10.0), "a"), (2L, Some(20.0), "b"),
+      (3L, Some(30.0), "c"), (4L, None, "d")
+    ).toDF("k", "p", "s")
+    val neu = Seq(
+      (2L, Some(20.0), "b"),   // unchanged
+      (3L, Some(31.0), "c"),   // changed (value)
+      (4L, Some(40.0), "d"),   // changed (NULL -> value, null-safe)
+      (5L, Some(50.0), "e")    // added
+    ).toDF("k", "p", "s")      // key 1 removed
+    val got = Changelog.snapshotDiff(old, neu, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(got == Map(
+      1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "changed", 5L -> "added"))
+    val row5 = Changelog.snapshotDiff(old, neu, Seq("k"))
+      .where(col("k") === 5L).head()
+    assert(row5.isNullAt(1) && row5.isNullAt(2)) // old side absent
+    intercept[IllegalArgumentException] {
+      Changelog.snapshotDiff(old, neu.withColumnRenamed("p", "q"), Seq("k"))
+    }
+  }
+
   test("compact equals the row_number respelling on a shuffled changelog") {
     val big = spark.range(0, 2000)
       .select(
