@@ -2215,6 +2215,26 @@ object SparkEntry {
     graft.ops.Changelog.snapshotDiff(old, neu, Seq("o_orderkey"))
   }
 
+  /** Interval×interval overlap join
+    * ([[graft.ts.IntervalJoin.overlapJoin]], keyed by user): 4-hour
+    * purchase windows against 8-hour signup windows — every
+    * overlapping pair with its intersection, emitted exactly once via
+    * the bucket-of-max-start rule (no distinct). The oracle is the
+    * naive range join. */
+  private def qOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val a = ev.where(col("event_type") === "purchase").select(
+      col("user_id"), col("event_id").as("a_id"),
+      col("ts_us").as("a_start"), (col("ts_us") + 14400000000L).as("a_stop"))
+    val b = ev.where(col("event_type") === "signup").select(
+      col("user_id"), col("event_id").as("b_id"),
+      col("ts_us").as("b_start"), (col("ts_us") + 28800000000L).as("b_stop"))
+    graft.ts.IntervalJoin
+      .overlapJoin(a, b, "a_start", "a_stop", "b_start", "b_stop",
+        bucketWidth = 14400000000L, keyCols = Seq("user_id"))
+      .select("user_id", "a_id", "b_id", "overlap_start", "overlap_stop")
+  }
+
   /** Encoding-artifact screen ([[graft.ops.Text.encodingArtifacts]]) —
     * the ftfy-class mojibake/replacement-char gate. The ASCII corpus
     * gets one injected suffix per doc_id residue: a Latin-1
@@ -2922,7 +2942,8 @@ object SparkEntry {
     "q_rater_accuracy" -> (qRaterAccuracy _),
     "q_keywords" -> (qKeywords _),
     "q_token_drift" -> (qTokenDrift _),
-    "q_snapshot_diff" -> (qSnapshotDiff _)
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_overlap_join" -> (qOverlapJoin _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -3605,6 +3626,16 @@ object SparkEntry {
         |       WHEN o.p = n.p AND o.st = n.st THEN 'unchanged'
         |       ELSE 'changed' END AS change
         |FROM o FULL OUTER JOIN n ON o.k = n.k""".stripMargin,
+    "q_overlap_join" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS s,
+        |             epoch_us(ts) + 14400000000 AS e FROM events
+        |           WHERE event_type = 'purchase'),
+        |b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS s,
+        |        epoch_us(ts) + 28800000000 AS e FROM events
+        |      WHERE event_type = 'signup')
+        |SELECT a.user_id, a_id, b_id,
+        |  GREATEST(a.s, b.s) AS overlap_start, LEAST(a.e, b.e) AS overlap_stop
+        |FROM a JOIN b ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e""".stripMargin,
     "q_skew_advisor" ->
       """WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n
         |           FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),

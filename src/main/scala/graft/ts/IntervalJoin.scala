@@ -54,4 +54,50 @@ object IntervalJoin {
       .where(col(tsCol) >= col(startCol) && col(tsCol) < col(stopCol))
       .drop("__b")
   }
+
+  /** Scalable interval×interval OVERLAP join: every pair of intervals
+    * `[aStart, aStop) × [bStart, bStop)` (optionally within the same
+    * `keyCols`) with a non-empty intersection, plus the intersection
+    * itself (`overlap_start`, `overlap_stop`) — epoch-set
+    * intersection, session×outage attribution, A/B exposure overlap.
+    * Naively this is another range-predicate nested loop; the scale
+    * spelling is the same bucketization as [[containmentJoin]], with
+    * one twist replacing the dedup an interval×interval meet would
+    * otherwise need: an overlapping pair shares every bucket their
+    * spans both cover, but exactly ONE of those buckets contains
+    * `max(aStart, bStart)` (the intersection's first instant — always
+    * inside both spans), so the join keeps the pair only where
+    * `bucket = bucketOf(max(starts))` and emits it exactly once, no
+    * distinct. Cost: each side explodes by its span/bucketWidth (pick
+    * bucketWidth near the typical interval width), then ONE equi-join
+    * on (key, bucket). Empty/inverted intervals explode to nothing.
+    */
+  def overlapJoin(
+      a: DataFrame,
+      b: DataFrame,
+      aStart: String,
+      aStop: String,
+      bStart: String,
+      bStop: String,
+      bucketWidth: Long,
+      keyCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
+    def exploded(df: DataFrame, start: String, stop: String): DataFrame =
+      df.withColumn(
+        "__b",
+        explode(
+          when(col(start) < col(stop),
+            sequence(bucketOf(col(start)), bucketOf(col(stop) - 1)))
+            .otherwise(lit(Array.empty[Long]))))
+    exploded(a, aStart, aStop)
+      .join(exploded(b, bStart, bStop), keyCols :+ "__b")
+      .where(
+        col(aStart) < col(bStop) && col(bStart) < col(aStop) &&
+          col("__b") === bucketOf(greatest(col(aStart), col(bStart))))
+      .withColumn("overlap_start", greatest(col(aStart), col(bStart)))
+      .withColumn("overlap_stop", least(col(aStop), col(bStop)))
+      .drop("__b")
+  }
 }

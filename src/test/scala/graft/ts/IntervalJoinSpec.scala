@@ -61,4 +61,46 @@ class IntervalJoinSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("overlapJoin: exact pair set, each pair once, intersection columns") {
+    val a = Seq(
+      (1L, 0L, 10L),    // overlaps b1 [5,15) and b2 [9,12)
+      (2L, 20L, 30L),   // touches b3 [30,40) only at the open edge → NO
+      (3L, 100L, 200L)  // long interval spans many buckets; overlaps b4 once
+    ).toDF("a_id", "as", "ae")
+    val b = Seq(
+      (10L, 5L, 15L), (20L, 9L, 12L), (30L, 30L, 40L), (40L, 150L, 160L)
+    ).toDF("b_id", "bs", "be")
+    val got = IntervalJoin
+      .overlapJoin(a, b, "as", "ae", "bs", "be", bucketWidth = 7L)
+      .select("a_id", "b_id", "overlap_start", "overlap_stop")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(got == Seq((1L, 10L, 5L, 10L), (1L, 20L, 9L, 10L), (3L, 40L, 150L, 160L)))
+  }
+
+  test("overlapJoin: keyed — same times on different keys never pair; matches naive join") {
+    val a = spark.range(0, 400).select(
+      (col("id") % 5).as("k"), col("id").as("a_id"),
+      (col("id") * 3).as("as"), (col("id") * 3 + 10).as("ae"))
+    val b = spark.range(0, 300).select(
+      (col("id") % 5).as("k"), col("id").as("b_id"),
+      (col("id") * 4 + 1).as("bs"), (col("id") * 4 + 7).as("be"))
+    val got = IntervalJoin
+      .overlapJoin(a, b, "as", "ae", "bs", "be", bucketWidth = 9L, keyCols = Seq("k"))
+      .select("k", "a_id", "b_id")
+    val naive = a.join(b, Seq("k"))
+      .where(col("as") < col("be") && col("bs") < col("ae"))
+      .select("k", "a_id", "b_id")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    assert(got.count() == got.distinct().count()) // exactly-once emission
+  }
+
+  test("overlapJoin: empty/inverted intervals explode to nothing") {
+    val a = Seq((1L, 10L, 10L), (2L, 50L, 40L), (3L, 0L, 5L)).toDF("a_id", "as", "ae")
+    val b = Seq((9L, 0L, 100L)).toDF("b_id", "bs", "be")
+    val got = IntervalJoin.overlapJoin(a, b, "as", "ae", "bs", "be", bucketWidth = 8L)
+      .select("a_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L))
+  }
 }
