@@ -95,6 +95,42 @@ object Streaming {
         col("n"), col("open"), col("close"), col("high"), col("low"), col("vsum"))
   }
 
+  /** Live touch attribution as a watermarked STREAM-STREAM join — the
+    * one Structured Streaming join mechanism the keyed-state twins
+    * don't cover: both sides are unbounded, and Spark buffers each
+    * side's rows in watermark-bounded state, emitting a match the
+    * moment both halves have arrived. Each conversion pairs with
+    * EVERY touch of the same key inside `[conv − lookback, conv]`
+    * (the multi-touch feed; the batch [[graft.ops.AsOf]]-based
+    * last-touch view is one `max_by` rollup downstream of this).
+    * State is bounded by the watermark: a touch can be dropped once
+    * it is `lookback + delay` older than the slowest stream's clock —
+    * exactly the event-time range condition Spark derives the state
+    * eviction from.
+    *
+    * Inner semantics: unconverted touches and touch-less conversions
+    * emit nothing (the batch left-join view re-adds the latter).
+    * `touchTime`/`convTime` must be TimestampType event times.
+    */
+  def touchAttributionStream(
+      touches: DataFrame,     // (key, touch_id, touchTime)
+      conversions: DataFrame, // (key, conv_id, convTime)
+      lookback: String,
+      delay: String
+  ): DataFrame = {
+    val t = touches.withWatermark("touch_time", delay)
+    val c = conversions.withWatermark("conv_time", delay)
+    t.join(
+      c,
+      t("key") === c("key") &&
+        t("touch_time") <= c("conv_time") &&
+        t("touch_time") >= c("conv_time") - expr(s"INTERVAL $lookback"),
+      "inner")
+      .select(
+        c("key"), c("conv_id"), c("conv_time"),
+        t("touch_id"), t("touch_time"))
+  }
+
   /** Event for the streaming censor: a detection at sample `idx` on `key`. */
   final case class Detection(key: String, idx: Long)
   final case class Kept(key: String, idx: Long)

@@ -729,6 +729,34 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream touch attribution: lookback window, cross-batch buffering, key isolation") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val touches = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val convs = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val q = Streaming
+      .touchAttributionStream(
+        touches.toDS().toDF("key", "touch_id", "touch_time"),
+        convs.toDS().toDF("key", "conv_id", "conv_time"),
+        lookback = "60 seconds", delay = "10 seconds")
+      .writeStream.format("memory").queryName("attrib").outputMode("append")
+      .start()
+    // batch 1: touches only — buffered, nothing emits
+    touches.addData(("u1", 1L, ts(10)), ("u1", 2L, ts(40)), ("u2", 3L, ts(40)))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM attrib").count() == 0)
+    // batch 2: conversions arrive in a LATER batch — the buffered
+    // touches must still match; u1's conv at t=70 sees touches 10 and
+    // 40 (both within 60s); u2's conv at t=200 sees nothing (touch
+    // too old); touch on u2 never pairs with u1's conv
+    convs.addData(("u1", 100L, ts(70)), ("u2", 200L, ts(200)))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT key, conv_id, touch_id FROM attrib").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    q.stop()
+    assert(got == Seq(("u1", 100L, 1L), ("u1", 100L, 2L)))
+  }
+
   test("streaming CDC compact: last emission per key equals batch compact, tombstones flagged") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streaming.ChangeRow]
