@@ -2235,6 +2235,21 @@ object SparkEntry {
       .select("user_id", "a_id", "b_id", "overlap_start", "overlap_stop")
   }
 
+  /** Equal-frequency quartile binning
+    * ([[graft.ops.Features.quantileBin]], nBins = 4) of the lineitem
+    * price: cuts from the deterministic histogram-quantile estimator
+    * (two bounded passes), assignment a stateless projection. The
+    * oracle recomputes the SAME cuts through the q_quantiles SQL
+    * respelling and counts cuts ≤ value per row. */
+  private def qQuantileBin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Features
+      .quantileBin(
+        Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast("double").as("value")),
+        "value", nBins = 4)
+      .select("l_orderkey", "l_linenumber", "value", "bin")
+
   /** Encoding-artifact screen ([[graft.ops.Text.encodingArtifacts]]) —
     * the ftfy-class mojibake/replacement-char gate. The ASCII corpus
     * gets one injected suffix per doc_id residue: a Latin-1
@@ -2943,7 +2958,8 @@ object SparkEntry {
     "q_keywords" -> (qKeywords _),
     "q_token_drift" -> (qTokenDrift _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
-    "q_overlap_join" -> (qOverlapJoin _)
+    "q_overlap_join" -> (qOverlapJoin _),
+    "q_quantile_bin" -> (qQuantileBin _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -3636,6 +3652,27 @@ object SparkEntry {
         |SELECT a.user_id, a_id, b_id,
         |  GREATEST(a.s, b.s) AS overlap_start, LEAST(a.e, b.e) AS overlap_stop
         |FROM a JOIN b ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e""".stripMargin,
+    "q_quantile_bin" ->
+      """WITH mm AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS mn,
+        |              MAX(CAST(l_extendedprice AS DOUBLE)) AS mx,
+        |              COUNT(CAST(l_extendedprice AS DOUBLE)) AS nn FROM lineitem),
+        |cuts AS (
+        |  SELECT mm.mn + qb.qb * (CASE WHEN mm.mx > mm.mn
+        |           THEN (mm.mx - mm.mn) / 1000.0 ELSE 1.0 END) AS cut
+        |  FROM (VALUES (0.25), (0.5), (0.75)) pp(prob) CROSS JOIN mm
+        |  JOIN LATERAL (
+        |    SELECT MIN(bucket) AS qb FROM (
+        |      SELECT bucket, SUM(n) OVER (ORDER BY bucket) AS cum FROM (
+        |        SELECT LEAST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - mm.mn) /
+        |                 (CASE WHEN mm.mx > mm.mn THEN (mm.mx - mm.mn) / 1000.0
+        |                       ELSE 1.0 END)) AS INTEGER), 999) AS bucket,
+        |               COUNT(*) AS n
+        |        FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1))
+        |    WHERE cum >= CEIL(CAST(pp.prob AS DOUBLE) * mm.nn)) qb ON TRUE)
+        |SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DOUBLE) AS value,
+        |  CAST((SELECT COUNT(*) FROM cuts
+        |        WHERE cut <= CAST(l_extendedprice AS DOUBLE)) AS INTEGER) AS bin
+        |FROM lineitem""".stripMargin,
     "q_skew_advisor" ->
       """WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n
         |           FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),

@@ -62,6 +62,39 @@ object Features {
           round(col("sum_prior").cast("double") / col("n_prior"), 6)))
   }
 
+  /** Equal-frequency quantile binning: each row gets the bin index
+    * (0 … nBins−1) of `valCol` under the corpus's own distribution —
+    * the standard numeric-feature discretization (and the
+    * distribution-free outlier cap: winsorize = clamp to bins 0 and
+    * nBins−1's cut values). Cut points come from
+    * [[Profile.histQuantiles]] (two bounded passes: one min/max fold,
+    * one bucket rollup bounded by `buckets` at ANY corpus size — no
+    * per-column sort), collected driver-side as nBins−1 doubles (the
+    * deterministic, oracle-replayable estimator — same cuts on every
+    * engine), then assignment is a stateless codegen'd projection:
+    * `bin = #cuts ≤ value`. NULL values get a NULL bin.
+    */
+  def quantileBin(
+      df: DataFrame,
+      valCol: String,
+      nBins: Int,
+      buckets: Int = 1000
+  ): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    val cuts = graft.ops.Profile
+      .histQuantiles(df, Seq(valCol), probs, buckets)
+      .collect()
+      .sortBy(_.getDouble(1))
+      .map(r => if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+    require(!cuts.exists(_.isNaN), s"quantileBin: $valCol has no non-null values")
+    val v = col(valCol).cast("double")
+    val cutArr = array(cuts.map(lit(_)): _*)
+    df.withColumn(
+      "bin",
+      when(v.isNotNull, size(filter(cutArr, c => c <= v))).otherwise(lit(null).cast("int")))
+  }
+
   /** Leave-one-out target encoding: per row, the mean of `labelCol`
     * over the OTHER rows of the same `catCol` category —
     * `(Σ_cat − y) / (n_cat − 1)`, null for singleton categories (no

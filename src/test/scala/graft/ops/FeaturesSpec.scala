@@ -29,6 +29,23 @@ class FeaturesSpec extends SparkSpec {
     assert(got(("b", 250L, 16.0))._1 == 0L)                // keys isolated
   }
 
+  test("quantileBin: balanced bins on uniform data, nulls null, error bound one bucket") {
+    val df = spark.range(0, 10000).select(
+      org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.col("id").cast("double").as("v"))
+    val binned = Features.quantileBin(df, "v", nBins = 4)
+    val sizes = binned.groupBy("bin").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3))
+    // equal-frequency up to one histogram bucket (10000/1000 = 10 rows)
+    sizes.values.foreach(n => assert(math.abs(n - 2500L) <= 10L, sizes.toString))
+    // nulls bin to null
+    import spark.implicits._
+    val withNull = Seq(Some(1.0), None, Some(2.0), Some(3.0)).toDF("v")
+    val nb = Features.quantileBin(withNull, "v", nBins = 2).where($"v".isNull)
+    assert(nb.head().isNullAt(1))
+  }
+
   test("targetEncodeLoo: own label excluded, singleton category null") {
     val df = Seq(
       (1L, "x", 10.0), (2L, "x", 20.0), (3L, "x", 30.0),
