@@ -49,6 +49,11 @@ object SetSim {
   private def rational(t: Double): (Long, Long) = {
     require(t > 0.0 && t <= 1.0, s"threshold must be in (0, 1], got $t")
     val bd = BigDecimal(t.toString)
+    // bound the denominator: a float-noise threshold (0.7000000000000001)
+    // would make den ~10^16 and the integer cross-multiplies
+    // (den · |set|, num · union) silently overflow long at corpus scale
+    require(bd.scale <= 6,
+      s"threshold must have at most 6 decimal places, got $t (scale ${bd.scale})")
     val den = math.pow(10, bd.scale).toLong
     ((bd * den).toLongExact, den)
   }

@@ -71,6 +71,9 @@ object IntervalJoin {
     * distinct. Cost: each side explodes by its span/bucketWidth (pick
     * bucketWidth near the typical interval width), then ONE equi-join
     * on (key, bucket). Empty/inverted intervals explode to nothing.
+    * Columns from both sides survive; name collisions (other than
+    * `keyCols`, which join-merge) are the caller's to resolve
+    * beforehand, as in [[containmentJoin]].
     */
   def overlapJoin(
       a: DataFrame,
