@@ -136,9 +136,9 @@ object Labels {
     base.select(col("n"), col("n_agree"), lit(0L).as("sum_marginal"))
       .unionAll(sm.select(lit(0L).as("n"), lit(0L).as("n_agree"), col("sum_marginal")))
       .agg(
-        sum("n").as("n"),
-        sum("n_agree").as("n_agree"),
-        sum("sum_marginal").as("sum_marginal"))
+        coalesce(sum("n"), lit(0L)).as("n"),
+        coalesce(sum("n_agree"), lit(0L)).as("n_agree"),
+        coalesce(sum("sum_marginal"), lit(0L)).as("sum_marginal"))
       .withColumn("kappa", when(den =!= 0, ratio6(num, den)))
       .select("n", "n_agree", "sum_marginal", "kappa")
   }

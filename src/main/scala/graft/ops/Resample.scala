@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: `tsCol` must be unique per key (or the caller accepts
   * Spark's/SQL's shared arg-extreme tie rule being engine-dependent —
-  * the oracle fixture uses the unique-ts contract).
+  * the oracle fixture uses the unique-ts contract). Bucket alignment
+  * uses `pmod` (floor semantics), so pre-epoch negative timestamps
+  * still bucket toward −∞ — note plain SQL `%` truncates toward zero
+  * and would disagree there; the oracle fixture is positive-time.
   */
 object Resample {
 
