@@ -2250,6 +2250,19 @@ object SparkEntry {
         "value", nBins = 4)
       .select("l_orderkey", "l_linenumber", "value", "bin")
 
+  /** Split-leakage check ([[graft.ops.Mixture.splitLeakCheck]]): a
+    * deliberately WRONG row-wise split (hash of doc_id) checked
+    * against source groups — every multi-doc source leaks across
+    * splits and must be reported with its majority-split count; a
+    * correct group-keyed split ([[graft.ops.Mixture.splitAssign]] on
+    * the group) returns empty, which SparkEntrySpec pins. */
+  private def qSplitLeak(s: SparkSession, dir: String): DataFrame = {
+    val rowWise = graft.ops.Mixture.splitAssign(
+      Tables.documents(s, dir).select("doc_id", "source"),
+      Seq("train" -> 0.8, "test" -> 0.2), salt = "leak1")
+    graft.ops.Mixture.splitLeakCheck(rowWise, "source", "split")
+  }
+
   /** Encoding-artifact screen ([[graft.ops.Text.encodingArtifacts]]) —
     * the ftfy-class mojibake/replacement-char gate. The ASCII corpus
     * gets one injected suffix per doc_id residue: a Latin-1
@@ -2959,7 +2972,8 @@ object SparkEntry {
     "q_token_drift" -> (qTokenDrift _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_overlap_join" -> (qOverlapJoin _),
-    "q_quantile_bin" -> (qQuantileBin _)
+    "q_quantile_bin" -> (qQuantileBin _),
+    "q_split_leak" -> (qSplitLeak _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -3673,6 +3687,15 @@ object SparkEntry {
         |  CAST((SELECT COUNT(*) FROM cuts
         |        WHERE cut <= CAST(l_extendedprice AS DOUBLE)) AS INTEGER) AS bin
         |FROM lineitem""".stripMargin,
+    "q_split_leak" ->
+      """WITH sp AS (SELECT source,
+        |    CASE WHEN ('0x' || substr(md5('leak1' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |              / 4294967296.0 < 0.8 THEN 'train' ELSE 'test' END AS split
+        |  FROM documents),
+        |per AS (SELECT source AS "group", split, COUNT(*) AS n FROM sp GROUP BY 1, 2)
+        |SELECT "group", COUNT(*) AS n_splits,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows, CAST(MAX(n) AS BIGINT) AS n_majority
+        |FROM per GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
     "q_skew_advisor" ->
       """WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n
         |           FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),

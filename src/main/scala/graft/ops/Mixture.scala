@@ -366,6 +366,32 @@ object Mixture {
       chain.fold(lit(fractions.last._1))(_.otherwise(lit(fractions.last._1))))
   }
 
+  /** Split-leakage check: groups (entities, domains, near-dup
+    * clusters) whose members landed in MORE THAN ONE split — the
+    * evaluation-integrity bug a row-wise split silently commits (the
+    * correct split keys on the GROUP; see [[splitAssign]] with the
+    * group id as `idCol`). Returns one row per leaking group:
+    * `n_splits`, total `n_rows`, and the member count in its dominant
+    * split (`n_majority` — what a repair pass would keep). Empty
+    * result ⇒ the split is group-clean.
+    *
+    * Two map-side-combinable rollups, bounded by groups × splits —
+    * never a self-join over rows. */
+  def splitLeakCheck(df: DataFrame, groupCol: String, splitCol: String): DataFrame = {
+    val per = df
+      .select(col(groupCol).as("group"), col(splitCol).as("__s"))
+      .where(col("group").isNotNull && col("__s").isNotNull)
+      .groupBy("group", "__s")
+      .agg(count(lit(1)).as("__n"))
+    per
+      .groupBy("group")
+      .agg(
+        count(lit(1)).as("n_splits"),
+        sum(col("__n")).as("n_rows"),
+        max(col("__n")).as("n_majority"))
+      .where(col("n_splits") > 1)
+  }
+
   /** Deterministic global training-order shuffle: a dense 0-based rank
     * in `(uniformHash(salt, id), id)` order — the same reproducible
     * permutation on any partitioning, parallelism, or retry. NOT a

@@ -414,6 +414,24 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  test("splitLeakCheck: row-wise split leaks every multi-doc group; group-keyed split is clean") {
+    val df = docs(300, Seq("s0", "s1", "s2"))
+    val fr = Seq("train" -> 0.8, "test" -> 0.2)
+    // WRONG: split keyed on the row id — groups straddle splits
+    val rowWise = Mixture.splitAssign(df, fr, salt = "lk")
+    val leaks = Mixture.splitLeakCheck(rowWise, "source", "split")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(leaks.keySet == Set("s0", "s1", "s2"))
+    leaks.values.foreach { case (nSplits, nRows, nMaj) =>
+      assert(nSplits == 2L && nRows == 100L && nMaj < 100L && nMaj > 50L)
+    }
+    // RIGHT: split keyed on the group — leak check comes back empty
+    val bySource = Mixture
+      .splitAssign(df.select("source").distinct(), fr, salt = "lk", idCol = "source")
+    val grouped = df.join(bySource, "source")
+    assert(Mixture.splitLeakCheck(grouped, "source", "split").isEmpty)
+  }
+
   test("curriculumOrder: salt re-rolls, same salt is stable, partition-count invariant") {
     val all = docs(60, Seq("a")).select("doc_id")
     def run(salt: String, parts: Int) =
