@@ -2263,6 +2263,20 @@ object SparkEntry {
     graft.ops.Mixture.splitLeakCheck(rowWise, "source", "split")
   }
 
+  /** Politeness frontier schedule
+    * ([[graft.ops.Urls.politenessSchedule]], 5 s crawl delay): every
+    * URL gets a deterministic fetch slot — per-host sequence in URL
+    * order plus an md5-derived host offset that de-synchronizes
+    * hosts. The oracle replays the row_number and the exact md5
+    * offset arithmetic. */
+  private def qCrawlSchedule(s: SparkSession, dir: String): DataFrame = {
+    val host = concat(lit("site"), (col("doc_id") % 20).cast("string"), lit(".com"))
+    val url = concat(lit("http://"), host, lit("/p"), col("doc_id").cast("string"))
+    graft.ops.Urls.politenessSchedule(
+      Tables.documents(s, dir).select(url.as("url"), host.as("host")),
+      "url", "host", delayUs = 5000000L)
+  }
+
   /** Encoding-artifact screen ([[graft.ops.Text.encodingArtifacts]]) —
     * the ftfy-class mojibake/replacement-char gate. The ASCII corpus
     * gets one injected suffix per doc_id residue: a Latin-1
@@ -2973,7 +2987,8 @@ object SparkEntry {
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_overlap_join" -> (qOverlapJoin _),
     "q_quantile_bin" -> (qQuantileBin _),
-    "q_split_leak" -> (qSplitLeak _)
+    "q_split_leak" -> (qSplitLeak _),
+    "q_crawl_schedule" -> (qCrawlSchedule _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -3696,6 +3711,17 @@ object SparkEntry {
         |SELECT "group", COUNT(*) AS n_splits,
         |  CAST(SUM(n) AS BIGINT) AS n_rows, CAST(MAX(n) AS BIGINT) AS n_majority
         |FROM per GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+    "q_crawl_schedule" ->
+      """WITH u AS (SELECT
+        |    'http://site' || (doc_id % 20) || '.com/p' || doc_id AS url,
+        |    'site' || (doc_id % 20) || '.com' AS host FROM documents),
+        |r AS (SELECT url, host,
+        |        CAST(row_number() OVER (PARTITION BY host ORDER BY url) AS INT) AS fetch_seq,
+        |        ('0x' || substr(md5(host), 1, 8))::UBIGINT % 5000000 AS off
+        |      FROM u)
+        |SELECT url, host, fetch_seq,
+        |  CAST(off + (fetch_seq - 1) * 5000000 AS BIGINT) AS fetch_at_us
+        |FROM r""".stripMargin,
     "q_skew_advisor" ->
       """WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n
         |           FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),

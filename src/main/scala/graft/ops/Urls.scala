@@ -479,4 +479,38 @@ object Urls {
       .where(col("src_domain").isNotNull && col("dst_domain").isNotNull)
       .groupBy("src_domain", "dst_domain")
       .agg(count(lit(1)).as("n_links"))
+
+  /** Politeness-aware frontier schedule: assign every URL a
+    * deterministic fetch slot so no host is hit more than once per
+    * `delayUs` — the RFC 9309 crawl-delay contract turned into a
+    * data-parallel plan a fetcher fleet can consume by simply
+    * filtering its time window. Per host: `fetch_seq` (1-based) in
+    * bytewise URL order, `fetch_at_us = offset + (seq − 1)·delayUs`,
+    * where `offset = md5(host) mod delayUs` de-synchronizes hosts so
+    * the fleet's aggregate request rate is flat instead of pulsing on
+    * the delay boundary (every host firing at t ≡ 0 otherwise).
+    *
+    * ONE exchange on the host key; a host's URLs sort within its own
+    * partition slice — inherent to a per-host ordered schedule, and a
+    * million-URL host occupies its fetchers for 10⁶·delay regardless,
+    * so the sort is never the bottleneck. The schedule is a pure
+    * function of (host, url, delayUs): retries, repartitions, and
+    * re-runs regenerate the identical timetable. */
+  def politenessSchedule(
+      urls: DataFrame,
+      urlCol: String,
+      hostCol: String,
+      delayUs: Long
+  ): DataFrame = {
+    require(delayUs >= 1, s"delayUs must be >= 1, got $delayUs")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(hostCol)).orderBy(col(urlCol))
+    val offset = pmod(
+      conv(substring(md5(col(hostCol).cast("binary")), 1, 8), 16, 10).cast("long"),
+      lit(delayUs))
+    urls
+      .where(col(urlCol).isNotNull && col(hostCol).isNotNull)
+      .withColumn("fetch_seq", row_number().over(w))
+      .withColumn("fetch_at_us", offset + (col("fetch_seq") - 1) * lit(delayUs))
+  }
 }

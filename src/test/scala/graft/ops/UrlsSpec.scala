@@ -321,4 +321,26 @@ class UrlsSpec extends SparkSpec {
       ("site1.com", "site2.com", 2L),
       ("site1.com", "site1.com", 1L)))
   }
+
+  test("politenessSchedule: per-host spacing exactly delayUs, offsets in range, deterministic") {
+    import spark.implicits._
+    val urls = (0 until 30).map(i => (s"http://h${i % 3}.com/p$i", s"h${i % 3}.com"))
+      .toDF("url", "host")
+    val got = Urls.politenessSchedule(urls, "url", "host", delayUs = 1000L)
+      .collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getLong(3)))
+    // consecutive fetches of the same host are exactly delayUs apart
+    got.groupBy(_._1).foreach { case (h, rows) =>
+      val bys = rows.sortBy(_._2)
+      assert(bys.map(_._2).toSeq == (1 to 10))
+      bys.sliding(2).foreach { case Array(a, b) => assert(b._3 - a._3 == 1000L) }
+      assert(bys.head._3 >= 0 && bys.head._3 < 1000L, s"$h offset ${bys.head._3}")
+    }
+    // hosts don't all start at the same instant (md5 de-sync)
+    assert(got.filter(_._2 == 1).map(_._3).distinct.length > 1)
+    // pure function of inputs: repartition changes nothing
+    val again = Urls.politenessSchedule(urls.repartition(7), "url", "host", 1000L)
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(3))).sorted
+    assert(again.toSeq == got.sorted.toSeq)
+  }
 }
