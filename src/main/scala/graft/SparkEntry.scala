@@ -2277,6 +2277,18 @@ object SparkEntry {
       "url", "host", delayUs = 5000000L)
   }
 
+  /** Water-filling budget allocation ([[graft.ops.Mixture.waterFill]],
+    * budget 2000 over ~4950 total demand): 97 keys with quadratic-
+    * residue demands — small demands funded whole, heavy ones capped
+    * at the exact integer level τ with Σ min(demand, τ) ≤ budget. The
+    * oracle solves τ independently through the histogram-prefix
+    * closed form in SQL. */
+  private def qWaterFill(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.documents(s, dir).select((col("doc_id") % 97).as("k")).distinct()
+    val sized = keys.select(col("k"), (col("k") * col("k") % 101 + 1).as("demand"))
+    graft.ops.Mixture.waterFill(sized, "k", "demand", budget = 2000L)
+  }
+
   /** Encoding-artifact screen ([[graft.ops.Text.encodingArtifacts]]) —
     * the ftfy-class mojibake/replacement-char gate. The ASCII corpus
     * gets one injected suffix per doc_id residue: a Latin-1
@@ -2988,7 +3000,8 @@ object SparkEntry {
     "q_overlap_join" -> (qOverlapJoin _),
     "q_quantile_bin" -> (qQuantileBin _),
     "q_split_leak" -> (qSplitLeak _),
-    "q_crawl_schedule" -> (qCrawlSchedule _)
+    "q_crawl_schedule" -> (qCrawlSchedule _),
+    "q_water_fill" -> (qWaterFill _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -3722,6 +3735,22 @@ object SparkEntry {
         |SELECT url, host, fetch_seq,
         |  CAST(off + (fetch_seq - 1) * 5000000 AS BIGINT) AS fetch_at_us
         |FROM r""".stripMargin,
+    "q_water_fill" ->
+      """WITH ks AS (SELECT DISTINCT doc_id % 97 AS k FROM documents),
+        |s AS (SELECT k, (k * k) % 101 + 1 AS demand FROM ks),
+        |h AS (SELECT demand AS v, COUNT(*) AS c FROM s GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n FROM s),
+        |w AS (SELECT v, c,
+        |        SUM(v * c) OVER (ORDER BY v) - v * c AS fm_prev,
+        |        SUM(c) OVER (ORDER BY v) - c AS kb_prev
+        |      FROM h),
+        |fl AS (SELECT (2000 - fm_prev) // (t.n - kb_prev) AS cand
+        |       FROM w CROSS JOIN t
+        |       WHERE fm_prev + v * (t.n - kb_prev) > 2000
+        |       ORDER BY v LIMIT 1),
+        |tau AS (SELECT COALESCE((SELECT cand FROM fl), (SELECT MAX(v) FROM h)) AS tv)
+        |SELECT k, demand, CAST(LEAST(demand, tau.tv) AS BIGINT) AS alloc
+        |FROM s CROSS JOIN tau""".stripMargin,
     "q_skew_advisor" ->
       """WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n
         |           FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),

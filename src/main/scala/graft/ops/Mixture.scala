@@ -392,6 +392,67 @@ object Mixture {
       .where(col("n_splits") > 1)
   }
 
+  /** Proportional-fair budget allocation (water-filling): given one
+    * row per key with its demand (`sizeCol` — URLs a host wants
+    * crawled, tokens a source offers), split a shared `budget` so no
+    * key is starved by the heavy tail: every key receives
+    * `min(size, τ)` where τ is the LARGEST integer level with
+    * `Σ min(sizeᵢ, τ) ≤ budget` — small keys get everything they
+    * asked for, big keys are capped at the common level. The
+    * `< #capped keys` floor remainder is reported, not silently
+    * assigned (deterministic output; callers wanting it spent can
+    * bump τ's beneficiaries by any rule they like).
+    *
+    * Shape: ONE map-side-combinable size-histogram rollup, collected
+    * driver-side (bounded by DISTINCT demand values, not keys — a
+    * billion hosts share far fewer distinct sizes; a hard cap fails
+    * loud rather than OOMing the driver), τ solved exactly in integer
+    * arithmetic on the histogram, allocation a stateless projection.
+    */
+  def waterFill(
+      sizes: DataFrame,
+      keyCol: String,
+      sizeCol: String,
+      budget: Long,
+      maxDistinctSizes: Int = 1000000
+  ): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val hist = sizes
+      .where(col(sizeCol).isNotNull && col(sizeCol) > 0)
+      .groupBy(col(sizeCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .orderBy("__v")
+      .limit(maxDistinctSizes + 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    require(hist.length <= maxDistinctSizes,
+      s"waterFill: more than $maxDistinctSizes distinct demand values — " +
+        "bucket the demands first or raise maxDistinctSizes")
+    // exact integer τ: walk the sorted histogram; below each segment
+    // boundary f(t) = fundedMass + t·keysAbove is linear in t
+    val totalKeys = hist.map(_._2).sum
+    var fundedMass = 0L // Σ size over keys with size <= current level
+    var keysBelow = 0L
+    var tau = 0L
+    var done = false
+    for ((v, c) <- hist if !done) {
+      val above = totalKeys - keysBelow // keys with size >= v
+      // candidate: cap everyone remaining at some t < v
+      val capped = if (above > 0) (budget - fundedMass) / above else Long.MaxValue
+      if (capped < v) { tau = math.max(0L, capped); done = true }
+      else { fundedMass += v * c; keysBelow += c; tau = v }
+    }
+    if (!done && totalKeys > 0 && fundedMass <= budget) {
+      // whole demand fits: everyone fully funded
+      tau = hist.last._1
+    }
+    val t = lit(tau)
+    sizes.withColumn(
+      "alloc",
+      when(col(sizeCol).isNull || col(sizeCol) <= 0, lit(0L))
+        .otherwise(least(col(sizeCol).cast("long"), t)))
+  }
+
   /** Deterministic global training-order shuffle: a dense 0-based rank
     * in `(uniformHash(salt, id), id)` order — the same reproducible
     * permutation on any partitioning, parallelism, or retry. NOT a

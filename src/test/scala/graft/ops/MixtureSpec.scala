@@ -432,6 +432,34 @@ class MixtureSpec extends SparkSpec {
     assert(Mixture.splitLeakCheck(grouped, "source", "split").isEmpty)
   }
 
+  test("waterFill: exact integer level, small demands whole, invariants hold") {
+    def run(sizes: Seq[Long], budget: Long): Map[Long, Long] = {
+      val df = sizes.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("k", "demand")
+      Mixture.waterFill(df, "k", "demand", budget)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    }
+    // hand-solved: sizes (3,3,10), B=7 → τ=2; B=9 → τ=3; B=100 → full
+    assert(run(Seq(3L, 3L, 10L), 7L).values.toSeq.sorted == Seq(2L, 2L, 2L))
+    assert(run(Seq(3L, 3L, 10L), 9L) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L))
+    assert(run(Seq(3L, 3L, 10L), 100L) == Map(0L -> 3L, 1L -> 3L, 2L -> 10L))
+    assert(run(Seq(3L, 3L, 10L), 0L).values.forall(_ == 0L))
+    // property sweep: Σ alloc ≤ B, alloc ≤ demand, and τ maximal
+    // (f(τ+1) > B whenever anything was capped)
+    val sizes = (1 to 200).map(i => ((i * 37) % 97 + 1).toLong)
+    for (b <- Seq(50L, 500L, 5000L, 100000L)) {
+      val alloc = run(sizes, b)
+      val total = alloc.values.sum
+      assert(total <= b)
+      sizes.zipWithIndex.foreach { case (s, i) => assert(alloc(i.toLong) <= s) }
+      val tau = alloc.values.max
+      val capped = sizes.zipWithIndex.exists { case (s, i) => alloc(i.toLong) < s }
+      if (capped) {
+        val fNext = sizes.map(s => math.min(s, tau + 1)).sum
+        assert(fNext > b, s"b=$b tau=$tau not maximal")
+      }
+    }
+  }
+
   test("curriculumOrder: salt re-rolls, same salt is stable, partition-count invariant") {
     val all = docs(60, Seq("a")).select("doc_id")
     def run(salt: String, parts: Int) =
