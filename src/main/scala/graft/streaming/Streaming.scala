@@ -287,6 +287,74 @@ object Streaming {
       .select(col("win_start"), col("__p.*"))
   }
 
+  /** Streaming twin of [[graft.ops.Profile.histQuantiles]]: windowed
+    * quantile estimates over a live metric stream — the percentile
+    * lane of the [[profileStream]] monitor. Same estimator: fixed
+    * equi-width buckets, estimate = the lower edge of the first
+    * bucket reaching ⌈p·n⌉; bucket counts are plain algebraic
+    * aggregates, so micro-batch partials merge exactly and state is
+    * O(buckets × open windows). One difference is forced by
+    * streaming: the bucket BOUNDS cannot come from a first pass over
+    * the unbounded stream, so the caller pins (`lo`, `hi`) — from a
+    * profile snapshot or SLA spec; values outside clamp into the edge
+    * buckets (tracked in the estimate exactly as batch clamps its
+    * max into the top bucket). With bounds equal to the batch data's
+    * min/max the two estimators agree bit-for-bit (StreamingSpec
+    * pins it). Emits one row per (window, prob) on window close. */
+  def quantilesStream(
+      rows: DataFrame,
+      tsCol: String,
+      valCol: String,
+      windowDur: String,
+      watermark: String,
+      probs: Seq[Double],
+      lo: Double,
+      hi: Double,
+      buckets: Int = 1024
+  ): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1), s"bad probs $probs")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val width = (hi - lo) / buckets
+    val b = least(
+      greatest(floor((col(valCol).cast("double") - lit(lo)) / lit(width)), lit(0))
+        .cast("int"),
+      lit(buckets - 1))
+    // ONE stateful aggregation (append mode allows exactly one): the
+    // per-window bucket-count VECTOR as `buckets` algebraic sums —
+    // partial-merge-exact, O(buckets) state per open window
+    val vec = array(Seq.tabulate(buckets)(i =>
+      sum(when(b === i, 1L).otherwise(0L))): _*)
+    val probsArr = array(probs.map(lit(_)): _*)
+    val agg = rows
+      .where(col(valCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("n"), vec.as("__bs"))
+    // post-aggregation (stateless): per prob, the first bucket whose
+    // running cumulative reaches ⌈p·n⌉ — a fold over the fixed-length
+    // vector, evaluated only on the closed window's single row. The
+    // running-sum array is plain bigints (struct field aliases do not
+    // survive inside HOF lambdas); the 1-based position of the first
+    // qualifying cumulative IS the bucket index + 1.
+    val cums = aggregate(
+      col("__bs"),
+      array().cast("array<bigint>"),
+      (acc, x) => concat(acc, array(coalesce(try_element_at(acc, lit(-1)), lit(0L)) + x)))
+    agg
+      .select(
+        col("window.start").as("win_start"),
+        col("n"),
+        explode(probsArr).as("prob"),
+        cums.as("__cums"))
+      .withColumn(
+        "__idx",
+        array_position(
+          transform(col("__cums"), c => c >= ceil(col("prob") * col("n"))), true))
+      .withColumn("q_est", lit(lo) + (col("__idx") - 1).cast("double") * lit(width))
+      .select("win_start", "n", "prob", "q_est")
+  }
+
   /** Input row for [[asofEnrichStream]]: `side` 0 = state update (the
     * dimension stream), 1 = probe event (the fact stream). */
   final case class AsOfInput(key: String, ts: Long, side: Int, value: Double)

@@ -729,6 +729,40 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming quantiles: closed window matches batch histQuantiles given matching bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val probs = Seq(0.5, 0.9, 0.99)
+    val q = Streaming
+      .quantilesStream(
+        input.toDS().toDF("et", "v"), "et", "v",
+        windowDur = "100 seconds", watermark = "5 seconds",
+        probs, lo = 0.0, hi = 99.0, buckets = 32)
+      .writeStream.format("memory").queryName("squant").outputMode("append")
+      .start()
+    // full-residue values 0..99 (37 coprime to 100 ⇒ min 0, max 99 —
+    // matching the declared bounds exactly), two micro-batches
+    val vals = (0 until 100).map(i => (i * 37) % 100)
+    input.addData(vals.take(60).zipWithIndex.map { case (v, i) => (ts(i % 90), v.toDouble) }: _*)
+    q.processAllAvailable()
+    input.addData(vals.drop(60).zipWithIndex.map { case (v, i) => (ts(i % 90), v.toDouble) }: _*)
+    q.processAllAvailable()
+    input.addData((ts(300), -1.0)) // watermark past window end → close
+    q.processAllAvailable()
+    val got = spark.sql("SELECT prob, n, q_est FROM squant WHERE win_start < timestamp '1970-01-01 00:01:40'")
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    q.stop()
+    assert(got.keySet == probs.toSet)
+    got.values.foreach { case (n, _) => assert(n == 100L) }
+    // batch parity: bounds == the data's min/max, so the estimators align
+    import spark.implicits._
+    val batch = graft.ops.Profile
+      .histQuantiles(vals.map(_.toDouble).toDF("v"), Seq("v"), probs, buckets = 32)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    probs.foreach { p => assert(got(p)._2 == batch(p), s"p=$p ${got(p)._2} vs ${batch(p)}") }
+  }
+
   test("stream-stream touch attribution: lookback window, cross-batch buffering, key isolation") {
     implicit val sqlCtx = spark.sqlContext
     def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
