@@ -1897,6 +1897,9 @@ object SparkEntry {
     graft.ops.SkewJoin.skewAdvisor(
       li, "l_suppkey", li, "l_suppkey",
       hotThreshold = 300L, targetPairsPerTask = 100000L)
+      // n_a·n_b fits a long at any hot-key count a single task could
+      // hold; BIGINT output per the no-raw-decimal contract.
+      .withColumn("est_pairs", col("est_pairs").cast("long"))
   }
 
   /** One-pass data-quality profile ([[graft.ops.Profile.profile]]) —
@@ -2016,7 +2019,10 @@ object SparkEntry {
       .trailing(
         Tables.events(s, dir).select("event_id", "user_id", "ts_us", "value"),
         Seq("user_id"), "ts_us", "value", lookbackUs = 3600000000L)
-      .select("event_id", "user_id", "ts_us", "n_prior", "sum_prior", "mean_prior")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("n_prior"),
+        // 2dp DECIMAL sum is double-exact; the output contract bans raw
+        // decimals (the driver's hasher renders them per-engine).
+        col("sum_prior").cast("double").as("sum_prior"), col("mean_prior"))
 
   /** Leave-one-out target encoding
     * ([[graft.ops.Features.targetEncodeLoo]]): order priority →
@@ -2082,10 +2088,16 @@ object SparkEntry {
     * exchange, no window sort. The 6dp mean is the integer-exact
     * Profile recipe (sign-aware half-up integral division of the
     * micro-scaled decimal sum). */
-  private def qResample(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Resample.ohlc(
+  private def qResample(s: SparkSession, dir: String): DataFrame = {
+    val r = graft.ops.Resample.ohlc(
       Tables.events(s, dir).select("user_id", "ts_us", "value"),
       Seq("user_id"), "ts_us", "value", bucketUs = 600000000L)
+    // 2dp DECIMAL columns are double-exact; the output contract bans
+    // raw decimals (the driver's hasher renders them per-engine).
+    Seq("open", "close", "high", "low", "vsum").foldLeft(r) { (d, c) =>
+      d.withColumn(c, col(c).cast("double"))
+    }
+  }
 
   /** Co-citation similarity ([[graft.ops.Graph.coCitation]],
     * minCommon = 2): related targets by shared citing sources. Each
@@ -2158,6 +2170,10 @@ object SparkEntry {
     * and decimals only, accuracy and confidence are one division away. */
   private def qReliability(s: SparkSession, dir: String): DataFrame =
     graft.ops.Calibration.reliabilityBins(scoredFixture(s, dir), "score", "label", nBins = 10)
+      // 4dp DECIMAL mass cast per the no-raw-decimal output contract:
+      // both engines convert the identical exact rational to the same
+      // nearest double.
+      .withColumn("score_sum", col("score_sum").cast("double"))
 
   /** Expected calibration error ([[graft.ops.Calibration.ece]], 10
     * bins): the telescoped `Σ|n_pos − score_sum| / n` form, DECIMAL-
@@ -2213,6 +2229,10 @@ object SparkEntry {
         (price + when(col("o_orderkey") % 5 === 0, 1).otherwise(0)).as("price"),
         col("o_orderstatus").as("status"))
     graft.ops.Changelog.snapshotDiff(old, neu, Seq("o_orderkey"))
+      // Diff classification runs on exact DECIMAL; the 2dp outputs cast
+      // to double per the no-raw-decimal output contract.
+      .withColumn("old_price", col("old_price").cast("double"))
+      .withColumn("new_price", col("new_price").cast("double"))
   }
 
   /** Interval×interval overlap join
@@ -3460,7 +3480,8 @@ object SparkEntry {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |               RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING))
-        |SELECT event_id, user_id, ts_us, n_prior, sum_prior,
+        |SELECT event_id, user_id, ts_us, n_prior,
+        |  CAST(sum_prior AS DOUBLE) AS sum_prior,
         |  CASE WHEN n_prior > 0
         |       THEN ROUND(CAST(sum_prior AS DOUBLE) / n_prior, 6) END AS mean_prior
         |FROM w0""".stripMargin,
@@ -3525,8 +3546,10 @@ object SparkEntry {
       """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us,
         |  CAST(value AS DECIMAL(18,2)) AS v FROM events)
         |SELECT user_id, ts_us - ts_us % 600000000 AS bucket_start, COUNT(*) AS n,
-        |  arg_min(v, ts_us) AS open, arg_max(v, ts_us) AS close,
-        |  MAX(v) AS high, MIN(v) AS low, SUM(v) AS vsum,
+        |  CAST(arg_min(v, ts_us) AS DOUBLE) AS open,
+        |  CAST(arg_max(v, ts_us) AS DOUBLE) AS close,
+        |  CAST(MAX(v) AS DOUBLE) AS high, CAST(MIN(v) AS DOUBLE) AS low,
+        |  CAST(SUM(v) AS DOUBLE) AS vsum,
         |  CAST(CASE WHEN SUM(v) >= 0
         |    THEN (2 * CAST(SUM(v) * 1000000 AS HUGEINT) + COUNT(*)) // (2 * COUNT(*))
         |    ELSE -((2 * CAST(-(SUM(v) * 1000000) AS HUGEINT) + COUNT(*)) // (2 * COUNT(*)))
@@ -3593,7 +3616,7 @@ object SparkEntry {
         |    CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END AS label FROM embeddings)
         |SELECT LEAST(CAST(FLOOR(s * 10) AS BIGINT), 9) AS bin, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-        |  SUM(s) AS score_sum
+        |  CAST(SUM(s) AS DOUBLE) AS score_sum
         |FROM sc GROUP BY 1""".stripMargin,
     "q_ece" ->
       """WITH sc AS (SELECT
@@ -3677,8 +3700,8 @@ object SparkEntry {
         |          CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS p,
         |        o_orderstatus AS st FROM orders WHERE o_orderkey % 7 <> 0)
         |SELECT COALESCE(o.k, n.k) AS o_orderkey,
-        |  o.p AS old_price, o.st AS old_status,
-        |  n.p AS new_price, n.st AS new_status,
+        |  CAST(o.p AS DOUBLE) AS old_price, o.st AS old_status,
+        |  CAST(n.p AS DOUBLE) AS new_price, n.st AS new_status,
         |  CASE WHEN o.k IS NULL THEN 'added'
         |       WHEN n.k IS NULL THEN 'removed'
         |       WHEN o.p = n.p AND o.st = n.st THEN 'unchanged'
@@ -3758,7 +3781,8 @@ object SparkEntry {
         |r AS (SELECT hot.key, c1.n AS n_a, c2.n AS n_b,
         |        CAST(CAST(c1.n AS DECIMAL(19,0)) * CAST(c2.n AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS est_pairs
         |      FROM hot LEFT JOIN c c1 ON c1.key = hot.key LEFT JOIN c c2 ON c2.key = hot.key)
-        |SELECT key, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b, est_pairs,
+        |SELECT key, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+        |  CAST(est_pairs AS BIGINT) AS est_pairs,
         |  CAST(GREATEST(1, (CAST(est_pairs AS HUGEINT) + 99999) // 100000) AS BIGINT) AS salt_factor
         |FROM r""".stripMargin,
     "q_snm_dedup" ->

@@ -8,11 +8,13 @@ SQL from oracle_sql.json in DuckDB with the sf tables registered as views,
 sorts columns by name and rows by all columns, and compares values.
 Not part of the shipped library (driver-side python only).
 """
+import glob
 import json
 import math
 import sys
 
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -51,11 +53,15 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            # Go through pandas on BOTH sides: that is how the driver sees
-            # values, and it surfaces dtype coercions raw fetchall() hides —
-            # DuckDB HUGEINT (any SUM of ints) -> float64, and any NULL in an
-            # int column -> float64/NaN. r01 lost 4 queries to exactly this.
-            s_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            # ASYMMETRIC read, mimicking the driver exactly: the Spark
+            # result parquet through PYARROW (a DecimalType column stays
+            # decimal.Decimal objects), the oracle through duckdb .df()
+            # (decimals -> float64, HUGEINT -> float64, NULL int ->
+            # float64/NaN). Reading both sides through DuckDB (the pre-r15
+            # harness) normalizes decimals identically on both sides and
+            # MISSED the five r14 decimal-output hash failures.
+            s_files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+            s_df = pq.ParquetDataset(s_files).read().to_pandas()
             s_cols, s_rows = canon(s_df.itertuples(index=False), list(s_df.columns))
             o_df = con.sql(sql).df()
             o_cols, o_rows = canon(o_df.itertuples(index=False), list(o_df.columns))
