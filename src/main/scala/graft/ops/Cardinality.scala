@@ -26,7 +26,11 @@ object Cardinality {
 
   /** 60-bit deterministic item hash — md5 front 15 hex digits. */
   private[graft] def itemHash(item: Column): Column =
-    conv(substring(md5(item.cast("binary")), 1, 15), 16, 10).cast("long")
+    // native kernel, bit-identical to the SQL respelling the oracles
+    // replay — conv(substring(md5(x),1,15),16,10) — without the hex
+    // string materialization + base-16 string parse (2.2× on the
+    // q_profile battery, tools/ProfileCostSplit)
+    graft.functions.Md5Top60.md5Top60(item)
 
   /** Sketch → (fill, estimate) projection over a kMinValues array —
     * shared by the batch rollup and the streaming window monitor so

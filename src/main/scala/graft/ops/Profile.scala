@@ -43,9 +43,20 @@ object Profile {
       k: Int = 64
   ): DataFrame = {
     val cols = checkCols(numericCols, stringCols, k)
-    val agg = df.agg(count(lit(1)).as("__n"), aggExprs(cols, k): _*)
+    val agg = hashCols(df, cols).agg(count(lit(1)).as("__n"), aggExprs(cols, k): _*)
     agg.select(explode(rowStructs(cols, k)).as("__p")).select(col("__p.*"))
   }
+
+  /** Pre-projects each profiled column's KMV item hash as
+    * `__<name>__h`, so the hash runs in the whole-stage-codegen'd
+    * projection and the imperative KMV aggregate's child is a bare
+    * column reference (TypedImperativeAggregate evaluates its child
+    * interpreted, per row). Shared by the batch pass and the streaming
+    * twin so the hash chain stays identical. */
+  private[graft] def hashCols(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame =
+    cols.foldLeft(df) { case (d, (name, _)) =>
+      d.withColumn(s"__${name}__h", Cardinality.itemHash(col(name).cast("string")))
+    }
 
   private[graft] def checkCols(
       numericCols: Seq[String],
@@ -112,7 +123,7 @@ object Profile {
       Seq(
         count(col(name)).as(s"__${name}__nn"),
         graft.functions.KMinValues
-          .kMinValues(Cardinality.itemHash(col(name).cast("string")), k)
+          .kMinValues(col(s"__${name}__h"), k)
           .as(s"__${name}__kmv"),
         min(v.cast("double")).as(s"__${name}__mn"),
         max(v.cast("double")).as(s"__${name}__mx"),

@@ -277,8 +277,7 @@ object Streaming {
       k: Int = 64
   ): DataFrame = {
     val cols = graft.ops.Profile.checkCols(numericCols, stringCols, k)
-    rows
-      .withWatermark(tsCol, watermark)
+    graft.ops.Profile.hashCols(rows.withWatermark(tsCol, watermark), cols)
       .groupBy(window(col(tsCol), windowDur))
       .agg(count(lit(1)).as("__n"), graft.ops.Profile.aggExprs(cols, k): _*)
       .select(

@@ -224,4 +224,42 @@ class CodegenEquivalenceSpec extends SparkSpec {
       ).eval(null).asInstanceOf[Int] == ref(a)
     })
   }
+
+  // ------------------------------------------------------------ Md5Top60
+
+  /** Arbitrary unicode incl. empty — the item hash sees stringified
+    * decimals/ints/dates but must equal the SQL chain on anything. */
+  private val anyStringGen: Gen[String] =
+    Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.choose(1.toChar, 127.toChar),
+        2 -> Gen.choose(' ', '퟿'))).map(_.mkString))
+
+  test("scalacheck: Md5Top60 interpreted eval == top-60-bits of MD5 digest") {
+    check(Prop.forAll(anyStringGen) { s =>
+      val bytes = s.getBytes("UTF-8")
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      val hex = d.map(b => f"$b%02x").mkString.take(15)
+      val ref = java.lang.Long.parseLong(hex, 16)
+      Md5Top60(Literal(UTF8String.fromString(s), StringType))
+        .eval(null).asInstanceOf[Long] == ref
+    })
+  }
+
+  test("scalacheck-generated: Md5Top60 codegen == conv(substring(md5(x),1,15),16,10), incl. NULLs") {
+    val texts: List[Option[String]] = samples(Gen.option(anyStringGen), 400, 5150L)
+    val sqlChain = conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10).cast("long")
+    val rows = Seq(texts: _*).toDF("text")
+      .select(col("text"), Md5Top60.md5Top60(col("text")).as("native"), sqlChain.as("chain"))
+      .collect()
+    assert(rows.length == texts.length)
+    rows.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1) && r.isNullAt(2), s"NULL must hash to NULL: $r")
+      else {
+        assert(r.getLong(1) == r.getLong(2),
+          s"native ${r.getLong(1)} != sql chain ${r.getLong(2)} for ${r.getString(0).take(40)}")
+        assert(r.getLong(1) >= 0L, "60-bit hash must be non-negative")
+      }
+    }
+  }
 }
