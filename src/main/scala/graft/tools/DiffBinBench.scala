@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 1× vs 100× scale-shape rows for the two round-14 operators the
+  * COVERAGE table was missing: [[graft.ops.Changelog.snapshotDiff]]
+  * and [[graft.ops.Features.quantileBin]] —
+  * `runMain graft.tools.DiffBinBench <sfDir> <scaleDir>`.
+  *
+  * The oracle fixtures read orders/lineitem, which ScaleGen doesn't
+  * scale, so this probe re-keys the SAME operator shapes onto the
+  * scaled events table: snapshotDiff over two event-keyed snapshots
+  * (full-outer equi-join, payload compare), quantileBin over the
+  * events value column (tiny two-pass histogram rollup + one
+  * broadcast-edge bin projection). Warmed median-of-3 each.
+  */
+object DiffBinBench {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: DiffBinBench <sfDir> <scaleDir>")
+    val Array(sfDir, scaleDir) = args
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def events(dir: String): DataFrame =
+      graft.model.Tables.events(spark, dir).select("event_id", "ts_us", "value", "event_type")
+
+    def snapshotDiffOf(dir: String): DataFrame = {
+      val ev = events(dir)
+      val v = col("value").cast("decimal(18,2)")
+      val old = ev.where(col("event_id") % 10 =!= 0)
+        .select(col("event_id"), v.as("price"), col("event_type").as("status"))
+      val neu = ev.where(col("event_id") % 7 =!= 0)
+        .select(col("event_id"),
+          (v + when(col("event_id") % 5 === 0, 1).otherwise(0)).as("price"),
+          col("event_type").as("status"))
+      graft.ops.Changelog.snapshotDiff(old, neu, Seq("event_id"))
+    }
+
+    def quantileBinOf(dir: String): DataFrame =
+      graft.ops.Features.quantileBin(
+        events(dir).select(col("event_id"), col("value").cast("double").as("v")),
+        "v", nBins = 4)
+
+    def bench(label: String, mk: () => DataFrame): Unit = {
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val df = mk()
+        df.write.format("noop").mode("overwrite").save()
+        val n = mk().count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      once() // warm
+      val runs = (1 to 3).map(_ => once())
+      val med = runs.map(_._1).sorted.apply(1)
+      println(f"""{"metric":"diffbin","case":"$label","t_median":$med%.3f,"rows":${runs.head._2}}""")
+    }
+
+    bench("snapshot_diff_1x", () => snapshotDiffOf(sfDir))
+    bench("snapshot_diff_100x", () => snapshotDiffOf(scaleDir))
+    bench("quantile_bin_1x", () => quantileBinOf(sfDir))
+    bench("quantile_bin_100x", () => quantileBinOf(scaleDir))
+    spark.stop()
+  }
+}
