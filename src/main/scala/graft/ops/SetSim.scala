@@ -59,10 +59,16 @@ object SetSim {
   }
 
   /** Normalized (id, toks, m): distinct non-empty tokens, empty sets
-    * dropped. */
+    * dropped. The id contract is NUMERIC (CappedLongSet buckets hold
+    * longs): a non-castable id — a string key, a null — fails LOUD
+    * inside the plan rather than silently becoming a NULL `__id` the
+    * candidate buckets would drop (invisible lost coverage). */
   private def prep(df: DataFrame, idCol: String, toksCol: String): DataFrame =
     df.select(
-        col(idCol).cast("long").as("__id"),
+        when(col(idCol).cast("long").isNull, raise_error(concat(
+          lit(s"SetSim: id column '$idCol' must cast to BIGINT, got value "),
+          coalesce(col(idCol).cast("string"), lit("NULL")))))
+          .otherwise(col(idCol).cast("long")).as("__id"),
         array_distinct(filter(col(toksCol), t => t.isNotNull && length(t) > 0)).as("__toks"))
       .where(size(col("__toks")) > 0)
       .withColumn("__m", size(col("__toks")).cast("long"))

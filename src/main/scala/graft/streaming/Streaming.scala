@@ -867,11 +867,18 @@ object Streaming {
           var changed = false
           // STRICT lexicographic (ord, op, value) win — the batch
           // struct-max field order; a replayed duplicate of the
-          // current version compares equal and is a no-op.
+          // current version compares equal and is a no-op. op compares
+          // by UTF-8 BYTE order (UTF8String), matching how the batch
+          // max(struct(...)) orders strings — Java String `>` is
+          // UTF-16 code-unit order, which diverges for supplementary
+          // characters.
+          def opGt(a: String, b: String): Boolean =
+            org.apache.spark.unsafe.types.UTF8String.fromString(a)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) > 0
           rows.foreach { r =>
             val wins = cur == null || r.ord > cur._1 ||
               (r.ord == cur._1 &&
-                (r.op > cur._2 || (r.op == cur._2 && r.value > cur._3)))
+                (opGt(r.op, cur._2) || (r.op == cur._2 && r.value > cur._3)))
             if (wins) { cur = (r.ord, r.op, r.value); changed = true }
           }
           if (changed) {

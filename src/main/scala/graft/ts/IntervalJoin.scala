@@ -1,7 +1,10 @@
 package graft.ts
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Scalable INTERVAL (containment) join: attach to every point row the
   * interval(s) `[start, stop)` containing it — event→epoch attribution,
@@ -22,6 +25,31 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  /** Exact floor-division bucket index over INTEGER time columns:
+    * `(c - pmod(c, w)) div w`, all in long arithmetic. The obvious
+    * `floor(c / w)` goes through DOUBLE division, whose 53-bit
+    * mantissa can place an endpoint above 2^53 one bucket off —
+    * which would break the exactly-once bucket-of-max-start emission,
+    * not just a boundary cosmetic. */
+  private def bucketOf(c: Column, bucketWidth: Long): Column =
+    Bridge.column(IntegralDivide(
+      Bridge.expression(c - pmod(c, lit(bucketWidth))),
+      Bridge.expression(lit(bucketWidth)))).cast("long")
+
+  /** Time columns must be integral (epoch micros/millis/seconds):
+    * the bucket arithmetic and the `stop - 1` last-covered-instant
+    * step are exact only on integers — a fractional time column
+    * must be scaled to integer units by the caller. */
+  private def requireIntegral(df: DataFrame, cols: Seq[String], what: String): Unit =
+    cols.foreach { c =>
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"$what column '$c' must be an integer epoch type, got ${other.catalogString}: " +
+            "scale fractional time to integer units before the interval join")
+      }
+    }
+
   /** Join `points` (with `tsCol`) to `intervals` (with `startCol`,
     * `stopCol`; half-open `[start, stop)`), emitting every point row
     * paired with every containing interval row (inner semantics —
@@ -36,7 +64,9 @@ object IntervalJoin {
       bucketWidth: Long
   ): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
-    def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
+    requireIntegral(points, Seq(tsCol), "containmentJoin time")
+    requireIntegral(intervals, Seq(startCol, stopCol), "containmentJoin time")
+    def bucketOf(c: Column): Column = IntervalJoin.bucketOf(c, bucketWidth)
     val p = points.withColumn("__b", bucketOf(col(tsCol)))
     // stop is exclusive: an interval touching a bucket only at its stop
     // boundary contributes nothing there — (stop - 1) is the last
@@ -86,7 +116,9 @@ object IntervalJoin {
       keyCols: Seq[String] = Nil
   ): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
-    def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
+    requireIntegral(a, Seq(aStart, aStop), "overlapJoin time")
+    requireIntegral(b, Seq(bStart, bStop), "overlapJoin time")
+    def bucketOf(c: Column): Column = IntervalJoin.bucketOf(c, bucketWidth)
     def exploded(df: DataFrame, start: String, stop: String): DataFrame =
       df.withColumn(
         "__b",
