@@ -33,9 +33,38 @@ object Calibration {
     * clamped into the last bin. Scores are read at 4dp DECIMAL (the
     * declared score precision — callers emitting raw doubles round
     * here, both engines the same way), so bin edges are exact: a
-    * score of 0.2500 lands in bin 1 of 4 on every engine. */
-  private def binOf(score: Column, nBins: Int): Column =
+    * score of 0.2500 lands in bin 1 of 4 on every engine. Shared with
+    * the streaming twin ([[graft.streaming.Streaming.reliabilityStream]]). */
+  private[graft] def binOf(score: Column, nBins: Int): Column =
     least(floor(score.cast("decimal(9,4)") * nBins).cast("long"), lit(nBins - 1L))
+
+  /** In-plan guard: fail loud on scores outside [0, 1] (a classifier
+    * emitting them is broken — mis-binning would be silent). Shared
+    * with the streaming twin. */
+  private[graft] def guardScores(df: DataFrame, scoreCol: String): DataFrame = {
+    val s = col(scoreCol).cast("decimal(9,4)")
+    df.where(
+      when(s.isNull || s < 0 || s > 1,
+        raise_error(lit(s"Calibration: score outside [0, 1] in $scoreCol")))
+        .otherwise(lit(true)))
+  }
+
+  /** The per-bin aggregate battery (n, n_pos, exact 4dp score mass) —
+    * shared verbatim by the batch rollup and the streaming twin so
+    * both walk the identical count/sum chain. */
+  private[graft] def binAggs(scoreCol: String, labelCol: String): Seq[Column] = Seq(
+    count(lit(1)).as("n"),
+    sum(when(col(labelCol).cast("int") === 1, 1L).otherwise(0L)).as("n_pos"),
+    sum(col(scoreCol).cast("decimal(9,4)")).as("score_sum"))
+
+  /** 6dp half-up of the exact rational `d / n` (d a non-negative 4dp
+    * DECIMAL), as a double — the ece's single rounding step, shared
+    * with the streaming twin. */
+  private[graft] def eceFromTotals(d: Column, n: Column): Column = {
+    val u = (d * lit(1000000)).cast("decimal(38,0)")
+    val micro = intDiv(u * 2 + n, n * 2)
+    micro.cast("double") / lit(1000000.0)
+  }
 
   /** Per equal-width bin over `[0,1]`: `bin` (0-based), `n`, `n_pos`
     * (label = 1/true), `score_sum` (exact 4dp DECIMAL). Scores
@@ -48,18 +77,10 @@ object Calibration {
       nBins: Int
   ): DataFrame = {
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")
-    val s = col(scoreCol).cast("decimal(9,4)")
-    val guarded = scored.where(
-      when(s.isNull || s < 0 || s > 1,
-        raise_error(lit(s"Calibration: score outside [0, 1] in $scoreCol")))
-        .otherwise(lit(true)))
-    guarded
+    guardScores(scored, scoreCol)
       .withColumn("bin", binOf(col(scoreCol), nBins))
       .groupBy("bin")
-      .agg(
-        count(lit(1)).as("n"),
-        sum(when(col(labelCol).cast("int") === 1, 1L).otherwise(0L)).as("n_pos"),
-        sum(s).as("score_sum"))
+      .agg(binAggs(scoreCol, labelCol).head, binAggs(scoreCol, labelCol).tail: _*)
   }
 
   /** Expected calibration error over `nBins` equal-width bins, as ONE
@@ -70,13 +91,9 @@ object Calibration {
     val diff = abs(col("n_pos").cast("decimal(38,4)") - col("score_sum"))
     bins
       .agg(sum(col("n")).as("n"), sum(diff).as("__d"))
-      .withColumn("ece", {
-        // 6dp half-up of __d / n (__d ≥ 0 by construction; its 4dp
-        // fraction is exactly absorbed by the 10^6 micro-scaling)
-        val u = (col("__d") * lit(1000000)).cast("decimal(38,0)")
-        val micro = intDiv(u * 2 + col("n"), col("n") * 2)
-        micro.cast("double") / lit(1000000.0)
-      })
+      // 6dp half-up of __d / n (__d ≥ 0 by construction; its 4dp
+      // fraction is exactly absorbed by the 10^6 micro-scaling)
+      .withColumn("ece", eceFromTotals(col("__d"), col("n")))
       .select("n", "ece")
   }
 }

@@ -286,6 +286,77 @@ object Streaming {
       .select(col("win_start"), col("__p.*"))
   }
 
+  /** Streaming twin of [[graft.ops.Calibration.reliabilityBins]] —
+    * the live calibration monitor: per (window, score bin), count /
+    * positives / exact 4dp score mass, emitted on window close. The
+    * battery is [[graft.ops.Calibration.binAggs]] VERBATIM (all
+    * algebraic, partial-merge-exact across micro-batches), bin edges
+    * the same 4dp-DECIMAL [[graft.ops.Calibration.binOf]], the same
+    * in-plan out-of-range guard — so the streamed rows for a window
+    * are row-identical to the batch rollup of that window's rows
+    * (StreamingSpec pins the parity). State is O(nBins × open
+    * windows). */
+  def reliabilityStream(
+      rows: DataFrame,
+      tsCol: String,
+      scoreCol: String,
+      labelCol: String,
+      windowDur: String,
+      watermark: String,
+      nBins: Int
+  ): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    graft.ops.Calibration.guardScores(rows, scoreCol)
+      .withWatermark(tsCol, watermark)
+      .withColumn("bin", graft.ops.Calibration.binOf(col(scoreCol), nBins))
+      .groupBy(window(col(tsCol), windowDur), col("bin"))
+      .agg(
+        graft.ops.Calibration.binAggs(scoreCol, labelCol).head,
+        graft.ops.Calibration.binAggs(scoreCol, labelCol).tail: _*)
+      .select(col("window.start").as("win_start"), col("bin"),
+        col("n"), col("n_pos"), col("score_sum"))
+  }
+
+  /** Streaming twin of [[graft.ops.Calibration.ece]]: one `(win_start,
+    * n, ece)` row per closed window. Append mode allows ONE stateful
+    * aggregation, so the per-bin partials ride as `nBins` static
+    * column pairs inside the single window rollup (the quantilesStream
+    * vector recipe — nBins is small and fixed); the telescoped
+    * `Σ_b |n_pos_b − score_sum_b| / n` then folds STATELESSLY on the
+    * closed window's row, through the same DECIMAL-exact
+    * [[graft.ops.Calibration.eceFromTotals]] single 6dp rounding as
+    * batch. */
+  def eceStream(
+      rows: DataFrame,
+      tsCol: String,
+      scoreCol: String,
+      labelCol: String,
+      windowDur: String,
+      watermark: String,
+      nBins: Int
+  ): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val s = col(scoreCol).cast("decimal(9,4)")
+    val bin = graft.ops.Calibration.binOf(col(scoreCol), nBins)
+    val perBin = (0 until nBins).flatMap { i =>
+      Seq(
+        sum(when(bin === i, when(col(labelCol).cast("int") === 1, 1L).otherwise(0L))
+          .otherwise(0L)).as(s"__np_$i"),
+        sum(when(bin === i, s).otherwise(lit(0).cast("decimal(9,4)"))).as(s"__ss_$i"))
+    }
+    val totalDiff = (0 until nBins)
+      .map(i => abs(col(s"__np_$i").cast("decimal(38,4)") - col(s"__ss_$i")))
+      .reduce(_ + _)
+    graft.ops.Calibration.guardScores(rows, scoreCol)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("n"), perBin: _*)
+      .select(
+        col("window.start").as("win_start"),
+        col("n"),
+        graft.ops.Calibration.eceFromTotals(totalDiff, col("n")).as("ece"))
+  }
+
   /** Streaming twin of [[graft.ops.Profile.histQuantiles]]: windowed
     * quantile estimates over a live metric stream — the percentile
     * lane of the [[profileStream]] monitor. Same estimator: fixed

@@ -648,6 +648,54 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("reliabilityStream + eceStream: per-window rows match batch reliabilityBins / ece") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Double, Int)]
+    val input2 = MemoryStream[(java.sql.Timestamp, Double, Int)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val q = Streaming
+      .reliabilityStream(
+        input.toDF().toDF("event_time", "score", "label"),
+        "event_time", "score", "label",
+        windowDur = "10 seconds", watermark = "5 seconds", nBins = 4)
+      .writeStream.format("memory").queryName("rel_stream").outputMode("append")
+      .start()
+    val q2 = Streaming
+      .eceStream(
+        input2.toDF().toDF("event_time", "score", "label"),
+        "event_time", "score", "label",
+        windowDur = "10 seconds", watermark = "5 seconds", nBins = 4)
+      .writeStream.format("memory").queryName("ece_stream").outputMode("append")
+      .start()
+    // window [0,10): scores straddling bin edges (0.25 exactly, 1.0
+    // clamped into the last bin), split across two micro-batches so
+    // partial-merge runs
+    val b1 = Seq((ts(1), 0.05, 1), (ts(2), 0.25, 0), (ts(3), 1.0, 1))
+    val b2 = Seq((ts(4), 0.9999, 0), (ts(5), 0.25, 1), (ts(6), 0.4, 0))
+    Seq(input, input2).foreach { in =>
+      in.addData(b1: _*)
+    }
+    q.processAllAvailable(); q2.processAllAvailable()
+    Seq(input, input2).foreach(_.addData(b2: _*))
+    q.processAllAvailable(); q2.processAllAvailable()
+    Seq(input, input2).foreach(_.addData((ts(20), 0.5, 0)))
+    q.processAllAvailable(); q2.processAllAvailable()
+    val batchDf = (b1 ++ b2).map { case (_, s, l) => (s, l) }.toDF("score", "label")
+    val gotBins = spark
+      .sql("SELECT bin, n, n_pos, score_sum FROM rel_stream WHERE win_start = timestamp '1970-01-01 00:00:00'")
+    val batchBins = graft.ops.Calibration.reliabilityBins(batchDf, "score", "label", nBins = 4)
+    assert(gotBins.collect().map(_.toString).sorted.toSeq ==
+      batchBins.collect().map(_.toString).sorted.toSeq)
+    val gotEce = spark
+      .sql("SELECT n, ece FROM ece_stream WHERE win_start = timestamp '1970-01-01 00:00:00'")
+      .head()
+    val batchEce = graft.ops.Calibration.ece(batchDf, "score", "label", nBins = 4).head()
+    assert(gotEce.getLong(0) == batchEce.getLong(0))
+    assert(gotEce.getDouble(1) == batchEce.getDouble(1))
+    q.stop(); q2.stop()
+  }
+
   test("distinctRateStream: windowed KMV estimate, batch parity, bounded state, late-row drop") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
