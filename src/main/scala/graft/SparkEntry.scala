@@ -2361,6 +2361,24 @@ object SparkEntry {
     Graph.triangleCounts(edges)
   }
 
+  /** Multi-source BFS hop distances ([[graft.ops.Graph.bfsDistances]],
+    * 6 hops): link distance from a trusted seed set — crawl frontier
+    * depth / contamination blast radius. The fixture is a fixed
+    * 500-node functional graph over doc_id residues (a → 2a+1 and
+    * a → a+7 mod 500, seeds 0 and 250), so every scale derives the
+    * SAME graph and the level-synchronous loop runs its full 6 rounds.
+    * The oracle is a recursive CTE enumerating all walks ≤ 6 and
+    * taking MIN — a different algorithm validating the frontier
+    * expansion end to end. */
+  private def qBfsHops(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val a = col("doc_id") % 500
+    val edges = d.select(a.as("src"), ((a * 2) + 1) % 500 as "dst")
+      .unionAll(d.select(a.as("src"), (a + 7) % 500 as "dst"))
+    val sources = d.select(a.as("node")).where(a === 0 || a === 250)
+    Graph.bfsDistances(edges, sources, maxHops = 6)
+  }
+
   /** Content-defined chunking ([[graft.functions.CdcChunks]], w = 2,
     * modulus 16): token-granular Rabin/FastCDC cuts — boundaries
     * depend on local content, so an edit shifts only its own chunk,
@@ -2978,6 +2996,7 @@ object SparkEntry {
     "q_label_prop" -> (qLabelProp _),
     "q_triangles" -> (qTriangles _),
     "q_kcore" -> (qKCore _),
+    "q_bfs_hops" -> (qBfsHops _),
     "q_mojibake" -> (qMojibake _),
     "q_trailing_features" -> (qTrailingFeatures _),
     "q_profile_drift" -> (qProfileDrift _),
@@ -3473,6 +3492,20 @@ object SparkEntry {
     "q_label_prop" -> labelPropOracleSql,
     "q_triangles" -> trianglesOracleSql,
     "q_kcore" -> kcoreOracleSql,
+    "q_bfs_hops" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id % 500 AS src, ((doc_id % 500) * 2 + 1) % 500 AS dst FROM documents
+        |    UNION ALL
+        |    SELECT doc_id % 500, ((doc_id % 500) + 7) % 500 FROM documents) t),
+        |s AS (SELECT DISTINCT doc_id % 500 AS node FROM documents
+        |      WHERE doc_id % 500 IN (0, 250)),
+        |r AS (
+        |  SELECT node, 0 AS dist FROM s
+        |  UNION
+        |  SELECT e.dst AS node, r.dist + 1 AS dist
+        |  FROM r JOIN e ON e.src = r.node WHERE r.dist < 6)
+        |SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM r GROUP BY 1""".stripMargin,
     "q_trailing_features" ->
       """WITH w0 AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |    COUNT(CAST(value AS DECIMAL(18,2))) OVER w AS n_prior,

@@ -540,6 +540,82 @@ object Graph {
     *         `maxRounds` peels — core_degree is the node's degree
     *         WITHIN the surviving subgraph (≥ k at the fixpoint)
     */
+  /** Multi-source BFS hop distances over a DIRECTED edge list: every
+    * node reachable from any seed within `maxHops`, with its MINIMUM
+    * hop count — link-distance-from-seed-set (crawl frontier depth,
+    * "how far is this page from the trusted seed list", contamination
+    * blast radius through a citation graph).
+    *
+    * Level-synchronous frontier expansion — the textbook distributed
+    * BFS: each round is ONE equi-join (frontier ⋈ edges on src) + a
+    * distinct + an anti-join against the visited set, all hash
+    * exchanges on node ids; per-round frames go through the
+    * [[graft.util.LoopFrames]] lineage cut so round k's plan is a scan
+    * of round k−1's RDD, not a 2^k-join re-analysis. A node is final
+    * the first time it enters `visited` (BFS invariant: first arrival
+    * = min hops), so rounds never revisit — each edge is traversed at
+    * most once per incident frontier membership, O(m) total work
+    * across the loop. The loop is count-gated (stop on empty
+    * frontier) and bounded by `maxHops`.
+    *
+    * Semantics (mirrored by the recursive-CTE DuckDB oracle): directed
+    * edges, unit hop cost, NULL endpoints dropped, seeds at distance 0
+    * (seeds not present in the edge list still report), min over all
+    * paths ≤ maxHops.
+    *
+    * @return (node, dist) — one row per reached node
+    */
+  def bfsDistances(
+      edges: DataFrame,
+      sources: DataFrame,
+      maxHops: Int
+  ): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val (e, eRdd) = cut(
+      edges.select(col("src"), col("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .distinct())
+    e.count()
+    var (visited, visitedRdd) = cut(
+      sources.select(col("node")).where(col("node").isNotNull).distinct()
+        .withColumn("dist", lit(0)))
+    visited.count()
+    var frontier = visited.select("node")
+    var frontierRdd: org.apache.spark.rdd.RDD[InternalRow] = null
+    var hop = 0
+    var done = maxHops == 0
+    while (!done) {
+      val (next, nextRdd) = cut(
+        frontier.join(e, frontier("node") === e("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("dist", lit(hop + 1)))
+      val n = next.count()
+      if (n == 0) {
+        nextRdd.unpersist(blocking = false)
+        done = true
+      } else {
+        val (nv, nvRdd) = cut(visited.unionAll(next))
+        nv.count()
+        visitedRdd.unpersist(blocking = false)
+        // the PREVIOUS frontier's cache can go now; `next` stays
+        // persisted — it is the next round's frontier
+        if (frontierRdd != null) frontierRdd.unpersist(blocking = false)
+        visited = nv
+        visitedRdd = nvRdd
+        frontier = next.select("node")
+        frontierRdd = nextRdd
+        hop += 1
+        done = hop >= maxHops
+      }
+    }
+    if (frontierRdd != null) frontierRdd.unpersist(blocking = false)
+    eRdd.unpersist(blocking = false)
+    // `visited` stays persisted (the kCore convention: the returned
+    // plan reads it; the session releases storage between pipelines)
+    visited
+  }
+
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")

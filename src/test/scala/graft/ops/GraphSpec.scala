@@ -382,4 +382,46 @@ class GraphSpec extends SparkSpec {
       .select("dst_a", "dst_b", "n_common", "deg_a", "deg_b")
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got.select("dst_a", "dst_b", "n_common", "deg_a", "deg_b")).isEmpty)
   }
+
+  test("bfsDistances: chain + cycle + isolated seed, min-hop over multi-source, maxHops cut") {
+    import spark.implicits._
+    // 1→2→3→4 chain, 5⇄6 cycle, 2→6 cross link, seed 99 not in edges
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 5L), (2L, 6L),
+      (1L, 2L) // parallel duplicate must collapse
+    ).toDF("src", "dst")
+    val sources = Seq(1L, 5L, 99L).toDF("node")
+    val got = Graph.bfsDistances(edges, sources, maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // 6 is reachable at hop 1 from 5 (not 2 via 1→2→6); 4 is 3 hops — cut
+    assert(got == Map(1L -> 0, 5L -> 0, 99L -> 0, 2L -> 1, 6L -> 1, 3L -> 2))
+    // wider horizon reaches 4; revisits never shrink or reappear
+    val full = Graph.bfsDistances(edges, sources, maxHops = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(full == got + (4L -> 3))
+    // maxHops = 0: seeds only
+    val seedsOnly = Graph.bfsDistances(edges, sources, maxHops = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(seedsOnly == Map(1L -> 0, 5L -> 0, 99L -> 0))
+  }
+
+  test("bfsDistances agrees with a driver-side BFS on a generated graph") {
+    import spark.implicits._
+    val n = 500L
+    val e1 = spark.range(0, 3000).select((col("id") % n).as("src"), ((col("id") % n) * 2 + 1) % n)
+    val e2 = spark.range(0, 3000).select((col("id") % n).as("src"), ((col("id") % n) + 7) % n)
+    val edges = e1.toDF("src", "dst").unionAll(e2.toDF("src", "dst"))
+    val sources = Seq(0L, 250L).toDF("node")
+    val got = Graph.bfsDistances(edges, sources, maxHops = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // driver BFS over the same edge set
+    val adj = (0L until n).map(a => a -> Seq((a * 2 + 1) % n, (a + 7) % n)).toMap
+    var dist = Map(0L -> 0, 250L -> 0)
+    var frontier = Set(0L, 250L)
+    (1 to 6).foreach { h =>
+      frontier = frontier.flatMap(adj).filterNot(dist.contains)
+      dist ++= frontier.map(_ -> h)
+    }
+    assert(got == dist)
+  }
 }
