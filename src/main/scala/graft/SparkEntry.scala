@@ -2024,6 +2024,65 @@ object SparkEntry {
         // decimals (the driver's hasher renders them per-engine).
         col("sum_prior").cast("double").as("sum_prior"), col("mean_prior"))
 
+  /** k-anonymity audit ([[graft.ops.Privacy.kAnonymity]], k = 5) over
+    * customer quasi-identifiers (nation, market segment, account-
+    * balance band): every equivalence class with its size and the
+    * re-identification violation flag — the pre-release privacy gate.
+    * One map-side-combinable rollup, bounded by class count. */
+  private def qKAnon(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.kAnonymity(
+      Tables.customer(s, dir).select(
+        col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal").cast("double") / 1000).cast("long").as("bal_band")),
+      Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5)
+
+  /** Distinct l-diversity audit ([[graft.ops.Privacy.lDiversity]],
+    * l = 8) over (nation, segment) classes with the balance band as
+    * the sensitive attribute — the homogeneity-attack check
+    * k-anonymity misses. */
+  private def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.lDiversity(
+      Tables.customer(s, dir).select(
+        col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal").cast("double") / 1000).cast("long").as("bal_band")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 8)
+
+  /** A/B readout ([[graft.ops.Experiment.abTest]]): users hashed into
+    * three arms by residue, conversion = purchase event; per-arm
+    * counts, 6dp rate, pooled two-proportion z vs arm0 and the 1.96
+    * significance flag. One variant rollup + a whole-frame window on
+    * the 3-row result (no singleton cross join — that plans the
+    * banned BNLJ). */
+  private def qAbTest(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.abTest(
+      Tables.events(s, dir).select(
+        concat(lit("arm"), (col("user_id") % 3).cast("string")).as("variant"),
+        (col("event_type") === "purchase").cast("int").as("converted")),
+      "variant", "converted", controlVariant = "arm0")
+
+  /** Per-user lag-1..3 autocorrelation ([[graft.ts.Acf.acf]]) of the
+    * event value series — the persistence screen before trusting a
+    * per-entity monitor. One key exchange (window + same-key rollup);
+    * 12dp-decimal term sums, 6dp double ratio (the token-drift
+    * determinism recipe). */
+  private def qAcf(s: SparkSession, dir: String): DataFrame =
+    graft.ts.Acf.acf(
+      Tables.events(s, dir).select("user_id", "ts_us", "value"),
+      Seq("user_id"), "ts_us", "value", maxLag = 3)
+
+  /** Time-weighted average per (user, 1h bucket) ([[graft.ts.Twap
+    * .twap]], 2h staleness): step-interpolated exposure-time mean over
+    * the irregular event series — the honest mean for bursty
+    * telemetry. Exact decimal·micros weighting, one double division,
+    * bounded bucket explode. */
+  private def qTwap(s: SparkSession, dir: String): DataFrame =
+    graft.ts.Twap.twap(
+      Tables.events(s, dir).select("user_id", "ts_us", "value"),
+      Seq("user_id"), "ts_us", "value",
+      bucketUs = 3600000000L, maxHoldUs = 7200000000L)
+
   /** Leave-one-out target encoding
     * ([[graft.ops.Features.targetEncodeLoo]]): order priority →
     * total-price mean with each row's own label excluded — the
@@ -2999,6 +3058,11 @@ object SparkEntry {
     "q_bfs_hops" -> (qBfsHops _),
     "q_mojibake" -> (qMojibake _),
     "q_trailing_features" -> (qTrailingFeatures _),
+    "q_k_anon" -> (qKAnon _),
+    "q_l_diversity" -> (qLDiversity _),
+    "q_ab_test" -> (qAbTest _),
+    "q_acf" -> (qAcf _),
+    "q_twap" -> (qTwap _),
     "q_profile_drift" -> (qProfileDrift _),
     "q_attribution" -> (qAttribution _),
     "q_quantiles" -> (qQuantiles _),
@@ -3518,6 +3582,94 @@ object SparkEntry {
         |  CASE WHEN n_prior > 0
         |       THEN ROUND(CAST(sum_prior AS DOUBLE) / n_prior, 6) END AS mean_prior
         |FROM w0""".stripMargin,
+    "q_k_anon" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS bal_band,
+        |  COUNT(*) AS n,
+        |  CAST(COUNT(*) < 5 AS INTEGER) AS k_violation
+        |FROM customer GROUP BY 1, 2, 3""".stripMargin,
+    "q_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+        |  CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS n_sensitive,
+        |  CAST(COUNT(DISTINCT bal_band) < 8 AS INTEGER) AS l_violation
+        |FROM (SELECT c_nationkey, c_mktsegment,
+        |        CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS bal_band
+        |      FROM customer) t
+        |GROUP BY 1, 2""".stripMargin,
+    "q_ab_test" ->
+      """WITH ev AS (SELECT 'arm' || (user_id % 3) AS variant,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS converted
+        |  FROM events),
+        |arms AS (SELECT variant, COUNT(*) AS n,
+        |    CAST(SUM(converted) AS BIGINT) AS conv FROM ev GROUP BY 1),
+        |ctl AS (SELECT n AS n_c, conv AS conv_c FROM arms WHERE variant = 'arm0'),
+        |x AS (SELECT variant, n, conv, n_c,
+        |    CAST(conv AS DOUBLE) / CAST(n AS DOUBLE) AS p1,
+        |    CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS p2,
+        |    CAST(conv + conv_c AS DOUBLE) / CAST(n + n_c AS DOUBLE) AS pp
+        |  FROM arms CROSS JOIN ctl),
+        |y AS (SELECT variant, n, conv, n_c, p1, p2,
+        |    sqrt(pp * (1.0 - pp) *
+        |         (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE))) AS se
+        |  FROM x),
+        |z0 AS (SELECT variant, n, conv, ROUND(p1, 6) AS rate,
+        |    CASE WHEN variant <> 'arm0' AND n > 0 AND n_c > 0 AND se > 0
+        |         THEN ROUND((p1 - p2) / se, 6) END AS z
+        |  FROM y)
+        |SELECT variant, n, conv, rate, z,
+        |  CAST(COALESCE(ABS(z) >= 1.96, FALSE) AS INTEGER) AS significant
+        |FROM z0""".stripMargin,
+    "q_acf" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT user_id,
+        |    ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean
+        |  FROM v GROUP BY 1),
+        |d AS (SELECT v.user_id, ts_us, CAST(v AS DOUBLE) - mean AS dev
+        |      FROM v JOIN m ON m.user_id = v.user_id),
+        |l AS (SELECT user_id, dev,
+        |    lead(dev, 1) OVER w AS d1, lead(dev, 2) OVER w AS d2,
+        |    lead(dev, 3) OVER w AS d3
+        |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |r AS (SELECT user_id, COUNT(*) AS n,
+        |    SUM(CAST(round(dev * dev, 12) AS DECIMAL(38,12))) AS den,
+        |    COUNT(d1) AS np1, COUNT(d2) AS np2, COUNT(d3) AS np3,
+        |    SUM(CASE WHEN d1 IS NOT NULL
+        |        THEN CAST(round(dev * d1, 12) AS DECIMAL(38,12)) END) AS nm1,
+        |    SUM(CASE WHEN d2 IS NOT NULL
+        |        THEN CAST(round(dev * d2, 12) AS DECIMAL(38,12)) END) AS nm2,
+        |    SUM(CASE WHEN d3 IS NOT NULL
+        |        THEN CAST(round(dev * d3, 12) AS DECIMAL(38,12)) END) AS nm3
+        |  FROM l GROUP BY 1)
+        |SELECT user_id, n, lag, n_pairs,
+        |  CASE WHEN n_pairs > 0 AND den <> 0
+        |       THEN ROUND(CAST(nm AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS acf
+        |FROM (
+        |  SELECT user_id, n, 1 AS lag, np1 AS n_pairs, nm1 AS nm, den FROM r
+        |  UNION ALL SELECT user_id, n, 2, np2, nm2, den FROM r
+        |  UNION ALL SELECT user_id, n, 3, np3, nm3, den FROM r) t""".stripMargin,
+    "q_twap" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |seg AS (SELECT user_id, ts_us AS s, v,
+        |    LEAST(
+        |      COALESCE(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us),
+        |               ts_us - ts_us % 3600000000 + 3600000000),
+        |      ts_us + 7200000000) AS e
+        |  FROM v),
+        |ex AS (SELECT user_id, s, e, v,
+        |    unnest(range((s - s % 3600000000) // 3600000000,
+        |                 ((e - 1) - (e - 1) % 3600000000) // 3600000000 + 1)) AS b
+        |  FROM seg WHERE e > s),
+        |du AS (SELECT user_id, b, v,
+        |    LEAST(e, (b + 1) * 3600000000) - GREATEST(s, b * 3600000000) AS dur
+        |  FROM ex)
+        |SELECT user_id, b * 3600000000 AS bucket_start,
+        |  COUNT(*) AS n_segments, CAST(SUM(dur) AS BIGINT) AS dur_us,
+        |  ROUND(CAST(SUM(v * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE), 6) AS twap
+        |FROM du GROUP BY 1, 2""".stripMargin,
     "q_target_encode" ->
       """WITH st AS (SELECT o_orderpriority AS cat,
         |    COUNT(CAST(o_totalprice AS DECIMAL(18,2))) AS n_cat,

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ExperimentSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference of the pooled two-proportion z. */
+  private def refZ(c1: Long, n1: Long, c2: Long, n2: Long): Double = {
+    val p1 = c1.toDouble / n1
+    val p2 = c2.toDouble / n2
+    val p = (c1 + c2).toDouble / (n1 + n2)
+    val se = math.sqrt(p * (1 - p) * (1.0 / n1 + 1.0 / n2))
+    BigDecimal((p1 - p2) / se).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("abTest: counts, rates, pooled z vs control, significance flag") {
+    // control: 40/400; treatment: 80/400 (clearly significant);
+    // noise: 42/400 (clearly not)
+    val rows =
+      (0 until 400).map(i => ("control", if (i < 40) 1 else 0)) ++
+        (0 until 400).map(i => ("treat", if (i < 80) 1 else 0)) ++
+        (0 until 400).map(i => ("noise", if (i < 42) 1 else 0))
+    val got = Experiment
+      .abTest(rows.toDF("variant", "converted"), "variant", "converted", "control")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getInt(5)))
+      .toMap
+    assert(got("control") == ((400L, 40L, 0.1, None, 0)))
+    val (nT, cT, rateT, zT, sigT) = got("treat")
+    assert((nT, cT, rateT) == ((400L, 80L, 0.2)))
+    assert(zT.contains(refZ(80, 400, 40, 400)))
+    assert(sigT == 1)
+    val (_, _, _, zN, sigN) = got("noise")
+    assert(zN.contains(refZ(42, 400, 40, 400)))
+    assert(sigN == 0)
+  }
+
+  test("abTest: degenerate arms — zero pooled variance gives NULL z, not NaN") {
+    val rows = Seq(("control", 0), ("control", 0), ("b", 0), ("b", 0))
+    val got = Experiment
+      .abTest(rows.toDF("variant", "converted"), "variant", "converted", "control")
+      .collect().map(r => r.getString(0) -> r.isNullAt(4)).toMap
+    assert(got == Map("control" -> true, "b" -> true))
+  }
+
+  test("abTest: boolean conversion column casts like 0/1") {
+    val rows = Seq(("control", true), ("control", false), ("t", true), ("t", true))
+    val got = Experiment
+      .abTest(rows.toDF("variant", "converted"), "variant", "converted", "control")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("control" -> 1L, "t" -> 2L))
+  }
+}
