@@ -4011,25 +4011,29 @@ object SparkEntry {
     "q_cms" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
         |b AS (SELECT u.i, item,
-        |        ('0x' || substr(md5('cms' || CAST(u.i AS VARCHAR) || '|' || item), 1, 15))::BIGINT % 32 AS bucket
+        |        (('0x' || substr(md5(item), 1, 15))::BIGINT
+        |          // CAST(power(2, 5 * u.i) AS BIGINT)) % 32 AS bucket
         |      FROM toks, unnest(generate_series(0, 3)) AS u(i)),
         |sk AS (SELECT i, bucket, COUNT(*) AS c FROM b GROUP BY i, bucket),
         |cnt AS (SELECT item, COUNT(*) AS n_true FROM toks GROUP BY item),
         |probes AS (SELECT item, n_true FROM cnt ORDER BY n_true DESC, item ASC LIMIT 20),
         |pb AS (SELECT p.item, p.n_true, g.i,
-        |        ('0x' || substr(md5('cms' || CAST(g.i AS VARCHAR) || '|' || p.item), 1, 15))::BIGINT % 32 AS bucket
+        |        (('0x' || substr(md5(p.item), 1, 15))::BIGINT
+        |          // CAST(power(2, 5 * g.i) AS BIGINT)) % 32 AS bucket
         |       FROM probes p, unnest(generate_series(0, 3)) AS g(i))
         |SELECT p.item, p.n_true, MIN(sk.c) AS n_est
         |FROM pb p JOIN sk ON sk.i = p.i AND sk.bucket = p.bucket
         |GROUP BY p.item, p.n_true""".stripMargin,
     "q_join_size" ->
       """WITH a AS (SELECT u.i,
-        |    ('0x' || substr(md5('cms' || CAST(u.i AS VARCHAR) || '|' || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT % 4096 AS bucket,
+        |    (('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+        |      // CAST(power(2, 12 * u.i) AS BIGINT)) % 4096 AS bucket,
         |    COUNT(*) AS ca
         |  FROM lineitem, unnest(generate_series(0, 3)) AS u(i)
         |  WHERE l_orderkey IS NOT NULL GROUP BY 1, 2),
         |b AS (SELECT u.i,
-        |    ('0x' || substr(md5('cms' || CAST(u.i AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 4096 AS bucket,
+        |    (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+        |      // CAST(power(2, 12 * u.i) AS BIGINT)) % 4096 AS bucket,
         |    COUNT(*) AS cb
         |  FROM orders, unnest(generate_series(0, 3)) AS u(i)
         |  WHERE o_orderkey IS NOT NULL GROUP BY 1, 2),

@@ -86,16 +86,15 @@ object Cardinality {
       d: Int,
       w: Int
   ): DataFrame = {
-    require(d >= 1 && d <= 16, s"d must be in [1, 16], got $d")
-    require(w >= 2, s"w must be >= 2, got $w")
+    checkCmsParams(d, w)
     def sketchOf(df: DataFrame, keyCol: String, out: String): DataFrame = {
       val items = df.select(col(keyCol).as("item")).where(col(keyCol).isNotNull)
       items
-        .select(explode(sequence(lit(0), lit(d - 1))).as("i"), col("item"))
+        .withColumn("__h", itemHash(col("item").cast("string")))
+        .select(explode(rowSlices(d, w)).as("__r"), col("__h"))
         .groupBy(
-          col("i"),
-          pmod(itemHash(concat(lit("cms"), col("i").cast("string"), lit("|"), col("item"))),
-            lit(w.toLong)).as("bucket"))
+          col("__r.i").as("i"),
+          cmsBucket(col("__h"), col("__r.div"), w).as("bucket"))
         .agg(count(lit(1)).as(out))
     }
     sketchOf(dfA, keyA, "ca")
@@ -103,6 +102,36 @@ object Cardinality {
       .groupBy("i")
       .agg(sum(col("ca") * col("cb")).as("ip"))
       .agg(min(col("ip")).as("est_join_rows"))
+  }
+
+  /** CMS hash family: the d rows slice DISJOINT log2(w)-bit ranges of
+    * ONE 60-bit md5 — row i's bucket is `(H / w^i) mod w`. One hash
+    * per item instead of d (the md5 is the dominant per-row cost,
+    * tools/ProfileCostSplit), sound because md5 bits are independent;
+    * the SQL respelling is integer div/mod arithmetic on the same H.
+    * Requires w a power of two and d·log2(w) ≤ 60 (disjointness). */
+  private def checkCmsParams(d: Int, w: Int): Unit = {
+    require(d >= 1 && d <= 16, s"d must be in [1, 16], got $d")
+    require(w >= 2 && (w & (w - 1)) == 0, s"w must be a power of two >= 2, got $w")
+    val bits = java.lang.Integer.numberOfTrailingZeros(w)
+    require(d * bits <= 60,
+      s"d * log2(w) = ${d * bits} exceeds the 60 hash bits (d=$d, w=$w)")
+  }
+
+  /** (i, divisor = w^i) pairs for the d bit-slices, as a literal
+    * array — the explode is stateless, the divisor a per-row long. */
+  private def rowSlices(d: Int, w: Int): Column = {
+    val bits = java.lang.Integer.numberOfTrailingZeros(w)
+    array((0 until d).map(i =>
+      struct(lit(i).as("i"), lit(1L << (bits * i)).as("div"))): _*)
+  }
+
+  private def cmsBucket(h: Column, div: Column, w: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    import org.apache.spark.sql.graftbridge.Bridge
+    pmod(
+      Bridge.column(IntegralDivide(Bridge.expression(h), Bridge.expression(div))),
+      lit(w.toLong))
   }
 
   /** Count-min sketch (Cormode & Muthukrishnan 2005) point-frequency
@@ -122,15 +151,13 @@ object Cardinality {
     * oracle-checkable. Returns, for the `topN` items by true count
     * (ties bytewise): (item, n_true, n_est), n_est ≥ n_true always. */
   def cmsEstimates(df: DataFrame, itemCol: String, d: Int, w: Int, topN: Int): DataFrame = {
-    require(d >= 1 && d <= 16, s"d must be in [1, 16], got $d")
-    require(w >= 2, s"w must be >= 2, got $w")
+    checkCmsParams(d, w)
     require(topN >= 1, s"topN must be >= 1, got $topN")
     val items = df.select(col(itemCol).as("item")).where(col(itemCol).isNotNull)
-    def bucket(i: Column, item: Column): Column =
-      pmod(itemHash(concat(lit("cms"), i.cast("string"), lit("|"), item)), lit(w.toLong))
     val sketch = items
-      .select(explode(sequence(lit(0), lit(d - 1))).as("i"), col("item"))
-      .groupBy(col("i"), bucket(col("i"), col("item")).as("bucket"))
+      .withColumn("__h", itemHash(col("item").cast("string")))
+      .select(explode(rowSlices(d, w)).as("__r"), col("__h"))
+      .groupBy(col("__r.i").as("i"), cmsBucket(col("__h"), col("__r.div"), w).as("bucket"))
       .agg(count(lit(1)).as("c"))
     val probes = items
       .groupBy("item")
@@ -138,10 +165,12 @@ object Cardinality {
       .orderBy(col("n_true").desc, col("item").asc)
       .limit(topN)
     probes
+      .withColumn("__h", itemHash(col("item").cast("string")))
+      .select(col("item"), col("n_true"), explode(rowSlices(d, w)).as("__r"), col("__h"))
       .select(
         col("item"), col("n_true"),
-        explode(sequence(lit(0), lit(d - 1))).as("i"))
-      .withColumn("bucket", bucket(col("i"), col("item")))
+        col("__r.i").as("i"),
+        cmsBucket(col("__h"), col("__r.div"), w).as("bucket"))
       .join(sketch, Seq("i", "bucket"))
       .groupBy("item", "n_true")
       .agg(min(col("c")).as("n_est"))
