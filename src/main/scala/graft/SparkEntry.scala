@@ -2836,6 +2836,25 @@ object SparkEntry {
       Tables.orders(s, dir), "o_orderkey",
       d = 4, w = 4096)
 
+  /** Bloom semi-join screen ([[graft.ops.Bloom.screen]], m = 2^16,
+    * k = 3): lineitem rows whose orderkey MIGHT be an urgent order —
+    * the shuffle-free membership pre-filter for the 100 TB side (the
+    * filter is a stateless codegen'd projection over the broadcast
+    * word array; the big side joins nothing). The urgent key set
+    * deliberately OVERLOADS the filter (~1.4 keys/bit at sf0.1 →
+    * ~13% false-positive rate), so the oracle checks the exact
+    * deterministic false-positive set, not just the members. */
+  private def qBloomScreen(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    graft.ops.Bloom
+      .screen(Tables.lineitem(s, dir), "l_orderkey", urgent, "o_orderkey",
+        m = 1 << 16, k = 3)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   /** O2 total-order global sort ([[graft.ts.GlobalSort
     * .rankByValueBuckets]]): two-pass value-bucket recipe — no
     * single-task global window; rank is a pure function of the data. */
@@ -3073,6 +3092,7 @@ object SparkEntry {
     "q_readability" -> (qReadability _),
     "q_cms" -> (qCms _),
     "q_join_size" -> (qJoinSize _),
+    "q_bloom_screen" -> (qBloomScreen _),
     "q_link_graph" -> (qLinkGraph _),
     "q_link_authority" -> (qLinkAuthority _),
     "q_distinct_sketch" -> (qDistinctSketch _),
@@ -4040,6 +4060,26 @@ object SparkEntry {
         |ip AS (SELECT a.i, CAST(SUM(a.ca * b.cb) AS BIGINT) AS ip
         |       FROM a JOIN b ON a.i = b.i AND a.bucket = b.bucket GROUP BY a.i)
         |SELECT CAST(MIN(ip) AS BIGINT) AS est_join_rows FROM ip""".stripMargin,
+    "q_bloom_screen" ->
+      """WITH sm AS (SELECT DISTINCT o_orderkey AS key FROM orders
+        |            WHERE o_orderpriority = '1-URGENT'),
+        |smp AS (SELECT ((('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT
+        |          // CAST(power(2, 16 * u.i) AS BIGINT)) % 65536) AS p
+        |        FROM sm, unnest(generate_series(0, 2)) AS u(i)),
+        |words AS (SELECT p // 63 AS w,
+        |            bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS bits
+        |          FROM smp GROUP BY 1),
+        |bigk AS (SELECT l_orderkey AS key, COUNT(*) AS n_rows FROM lineitem
+        |         WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |bp AS (SELECT key, n_rows,
+        |         ((('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT
+        |           // CAST(power(2, 16 * u.i) AS BIGINT)) % 65536) AS p
+        |       FROM bigk, unnest(generate_series(0, 2)) AS u(i)),
+        |hit AS (SELECT key, n_rows FROM bp
+        |        JOIN words ON words.w = bp.p // 63
+        |        WHERE (words.bits & (CAST(1 AS BIGINT) << CAST(bp.p % 63 AS INTEGER))) <> 0
+        |        GROUP BY key, n_rows HAVING COUNT(*) = 3)
+        |SELECT key AS l_orderkey, n_rows FROM hit""".stripMargin,
     "q_distinct_sketch" ->
       """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
         |g AS (SELECT source, array_to_string(t[i + 1 : i + 3], ' ') AS g
