@@ -2234,6 +2234,19 @@ object SparkEntry {
       // nearest double.
       .withColumn("score_sum", col("score_sum").cast("double"))
 
+  /** Operating-point selection ([[graft.ops.Thresholds
+    * .precisionThreshold]], target 0.80): the lowest score cutoff
+    * whose kept set reaches 80% precision — max recall at the target.
+    * Labels here CORRELATE with score plus residue noise, so the
+    * precision curve actually bends; the membership test is
+    * cross-multiplied integers (no float boundary). */
+  private def qThreshold(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Thresholds.precisionThreshold(
+      Tables.embeddings(s, dir).select(
+        ((col("vec_id") % 101).cast("decimal(9,4)") / 100).as("score"),
+        ((col("vec_id") % 101) + (col("vec_id") % 7) * 10 >= 80).cast("int").as("label")),
+      "score", "label", targetPrecisionMicro = 800000L)
+
   /** Expected calibration error ([[graft.ops.Calibration.ece]], 10
     * bins): the telescoped `Σ|n_pos − score_sum| / n` form, DECIMAL-
     * exact with one final 6dp half-up. */
@@ -3115,6 +3128,7 @@ object SparkEntry {
     "q_majority_vote" -> (qMajorityVote _),
     "q_kappa" -> (qKappa _),
     "q_reliability" -> (qReliability _),
+    "q_threshold" -> (qThreshold _),
     "q_ece" -> (qEce _),
     "q_rater_accuracy" -> (qRaterAccuracy _),
     "q_keywords" -> (qKeywords _),
@@ -3823,6 +3837,23 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
         |  CAST(SUM(s) AS DOUBLE) AS score_sum
         |FROM sc GROUP BY 1""".stripMargin,
+    "q_threshold" ->
+      """WITH sc AS (SELECT
+        |    CAST(CAST(vec_id % 101 AS DECIMAL(9,4)) / 100 AS DECIMAL(9,4)) AS s,
+        |    CASE WHEN (vec_id % 101) + (vec_id % 7) * 10 >= 80 THEN 1 ELSE 0 END AS label
+        |  FROM embeddings),
+        |ps AS (SELECT s, COUNT(*) AS n, SUM(label) AS p FROM sc GROUP BY 1),
+        |cu AS (SELECT s, SUM(n) OVER w AS cn, SUM(p) OVER w AS cp, SUM(p) OVER () AS tp
+        |       FROM ps
+        |       WINDOW w AS (ORDER BY s DESC
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |q AS (SELECT * FROM cu WHERE cp * 1000000 >= 800000 * cn
+        |      ORDER BY s ASC LIMIT 1)
+        |SELECT CAST(s AS DOUBLE) AS threshold,
+        |  CAST(cn AS BIGINT) AS n_kept, CAST(cp AS BIGINT) AS n_pos_kept,
+        |  ROUND(CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE), 6) AS precision,
+        |  CASE WHEN tp > 0 THEN ROUND(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE), 6) END AS recall
+        |FROM q""".stripMargin,
     "q_ece" ->
       """WITH sc AS (SELECT
         |    CAST(CAST(vec_id % 101 AS DECIMAL(9,4)) / 100 AS DECIMAL(9,4)) AS s,

@@ -357,6 +357,69 @@ object Streaming {
         graft.ops.Calibration.eceFromTotals(totalDiff, col("n")).as("ece"))
   }
 
+  /** Streaming twin of [[graft.ops.Experiment.abTest]] — the live
+    * experiment monitor: per closed window, every arm's exposure /
+    * conversion counts, 6dp rate, pooled two-proportion z vs control
+    * and the 1.96 flag. Append mode allows ONE stateful aggregation,
+    * so the per-arm partials ride as static column pairs inside the
+    * single window rollup (the eceStream recipe — `variants` must be
+    * declared up front; rows with an undeclared variant fail LOUD
+    * in-plan rather than silently skew every arm's denominator).
+    * The z chain is the batch operator's IEEE operation order
+    * verbatim, applied statelessly on the closed window's row;
+    * StreamingSpec pins row-identity with batch abTest per window.
+    * State is O(|variants|) per open window. */
+  def abTestStream(
+      rows: DataFrame,
+      tsCol: String,
+      variantCol: String,
+      convCol: String,
+      variants: Seq[String],
+      controlVariant: String,
+      windowDur: String,
+      watermark: String
+  ): DataFrame = {
+    require(variants.nonEmpty && variants.contains(controlVariant),
+      s"variants must include the control '$controlVariant', got $variants")
+    require(variants.distinct == variants, s"duplicate variants in $variants")
+    val known = rows.where(
+      when(!col(variantCol).isin(variants: _*),
+        raise_error(concat(lit("abTestStream: undeclared variant "), col(variantCol))))
+        .otherwise(lit(true)))
+    def safe(i: Int) = s"__v$i"
+    val perArm = variants.zipWithIndex.flatMap { case (v, i) =>
+      Seq(
+        sum(when(col(variantCol) === v, 1L).otherwise(0L)).as(s"${safe(i)}_n"),
+        sum(when(col(variantCol) === v && col(convCol).cast("int") === 1, 1L)
+          .otherwise(0L)).as(s"${safe(i)}_conv"))
+    }
+    val ci = variants.indexOf(controlVariant)
+    val agg = known
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(perArm.head, perArm.tail: _*)
+    val nC = col(s"${safe(ci)}_n")
+    val convC = col(s"${safe(ci)}_conv")
+    val armStructs = array(variants.zipWithIndex.map { case (v, i) =>
+      val n = col(s"${safe(i)}_n")
+      val conv = col(s"${safe(i)}_conv")
+      val p1 = conv.cast("double") / n.cast("double")
+      val p2 = convC.cast("double") / nC.cast("double")
+      val pPool = (conv + convC).cast("double") / (n + nC).cast("double")
+      val se = sqrt(pPool * (lit(1.0) - pPool) *
+        (lit(1.0) / n.cast("double") + lit(1.0) / nC.cast("double")))
+      val z = when(lit(v) =!= controlVariant && n > 0 && nC > 0 && se > 0,
+        round((p1 - p2) / se, 6))
+      struct(
+        lit(v).as("variant"), n.as("n"), conv.as("conv"),
+        when(n > 0, round(p1, 6)).as("rate"), z.as("z"),
+        coalesce((abs(z) >= 1.96).cast("int"), lit(0)).as("significant"))
+    }: _*)
+    agg
+      .select(col("window.start").as("win_start"), explode(armStructs).as("__a"))
+      .select(col("win_start"), col("__a.*"))
+  }
+
   /** Streaming twin of [[graft.ops.Profile.histQuantiles]]: windowed
     * quantile estimates over a live metric stream — the percentile
     * lane of the [[profileStream]] monitor. Same estimator: fixed

@@ -696,6 +696,37 @@ class StreamingSpec extends SparkSpec {
     q.stop(); q2.stop()
   }
 
+  test("abTestStream: per-window arm rows match batch abTest across micro-batch slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, Int)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val q = Streaming
+      .abTestStream(
+        input.toDF().toDF("event_time", "variant", "converted"),
+        "event_time", "variant", "converted",
+        variants = Seq("control", "treat"), controlVariant = "control",
+        windowDur = "10 seconds", watermark = "5 seconds")
+      .writeStream.format("memory").queryName("ab_stream").outputMode("append")
+      .start()
+    val b1 = (0 until 30).map(i => (ts(1 + i % 5), if (i % 2 == 0) "control" else "treat",
+      if (i % 3 == 0) 1 else 0))
+    val b2 = (0 until 30).map(i => (ts(2 + i % 5), if (i % 2 == 0) "control" else "treat",
+      if (i % 5 == 0) 1 else 0))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    input.addData((ts(20), "control", 0)); q.processAllAvailable()
+    val got = spark.sql(
+      "SELECT variant, n, conv, rate, z, significant FROM ab_stream " +
+        "WHERE win_start = timestamp '1970-01-01 00:00:00'")
+    val batch = graft.ops.Experiment.abTest(
+      (b1 ++ b2).map { case (_, v, c) => (v, c) }.toDF("variant", "converted"),
+      "variant", "converted", "control")
+    assert(got.collect().map(_.toString).sorted.toSeq ==
+      batch.collect().map(_.toString).sorted.toSeq)
+    q.stop()
+  }
+
   test("distinctRateStream: windowed KMV estimate, batch parity, bounded state, late-row drop") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
