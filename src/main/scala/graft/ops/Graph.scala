@@ -571,10 +571,20 @@ object Graph {
       maxHops: Int
   ): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val (e, eRdd) = cut(
+    // the (big, static) edge side is exchanged and sorted ONCE with a
+    // DECLARED hash layout on src — every round's frontier join then
+    // plans no Exchange and no Sort under the edge scan; only the
+    // (small) frontier moves per round (the pagerank matrix recipe)
+    val shufflePartitions =
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val (e, eRdd) = cutPartitioned(
       edges.select(col("src"), col("dst"))
         .where(col("src").isNotNull && col("dst").isNotNull)
-        .distinct())
+        .distinct()
+        .repartition(shufflePartitions, col("src"))
+        .sortWithinPartitions("src"),
+      Seq("src"),
+      shufflePartitions)
     e.count()
     var (visited, visitedRdd) = cut(
       sources.select(col("node")).where(col("node").isNotNull).distinct()

@@ -66,6 +66,18 @@ object DiffBinBench {
     bench("snapshot_diff_100x", () => snapshotDiffOf(scaleDir))
     bench("quantile_bin_1x", () => quantileBinOf(sfDir))
     bench("quantile_bin_100x", () => quantileBinOf(scaleDir))
+
+    // r15: Bloom screen at 100× — the big (probe) side is the scaled
+    // events table; the filter keys are the signup users (bounded
+    // small side), the same m/k as q_bloom_screen
+    def bloomOf(dir: String): DataFrame = {
+      val ev = events(dir)
+      val small = ev.where(col("event_type") === "signup").select(col("event_id"))
+      graft.ops.Bloom.screen(ev, "event_id", small, "event_id", m = 1 << 16, k = 3)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }
+    bench("bloom_screen_1x", () => bloomOf(sfDir))
+    bench("bloom_screen_100x", () => bloomOf(scaleDir))
     spark.stop()
   }
 }
