@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CdcChunks, CharClassRuns, DotF32, DotI8, FftPowerBins, Md5Top60, MinHashSig, NfcNormalize, PercentDecodeUnreserved, PolyHash, ShingleArray, SimHash64, WinnowFps}
+import graft.functions.{CdcChunks, CharClassRuns, DotF32, DotI8, FftPowerBins, JaroWinkler, Md5Top60, MinHashSig, NfcNormalize, PercentDecodeUnreserved, PolyHash, ShingleArray, SimHash64, WinnowFps}
 
 /** SparkSessionExtensions entry point: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` to get the
@@ -87,6 +87,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("cdc_chunks"),
         new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
         CdcChunks.builder(_)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("jaro_winkler"),
+        new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+        JaroWinkler.builder(_)
       )
     )
     ext.injectFunction(

@@ -2433,6 +2433,32 @@ object SparkEntry {
     Graph.triangleCounts(edges)
   }
 
+  /** Jaro-Winkler record linkage ([[graft.functions.JaroWinkler]],
+    * jw ≥ 0.85 at 6dp) over the SNM key fixture: per base number, the
+    * exact / last-digit-typo / suffixed variants pair within their
+    * base through one equi-join — the OTHER standard linkage scorer
+    * next to q_snm_dedup's levenshtein, as a native codegen kernel.
+    * The oracle replays DuckDB's own `jaro_winkler_similarity` (the
+    * kernel is golden-pinned bit-for-bit against it, degenerate
+    * corners included). */
+  private def qJaroLink(s: SparkSession, dir: String): DataFrame = {
+    val b = lpad((col("doc_id") % 100).cast("string"), 4, "0")
+    val key = when(col("doc_id") % 3 === 0, concat(lit("rec "), b))
+      .when(col("doc_id") % 3 === 1, concat(lit("rec "), substring(b, 1, 3), lit("x")))
+      .otherwise(concat(lit("rec "), b, lit("z")))
+    val keys = Tables.documents(s, dir)
+      .select((col("doc_id") % 100).as("base"), key.as("key"))
+      .distinct()
+    keys.toDF("base", "key_a")
+      .join(keys.toDF("base", "key_b"), "base")
+      .where(col("key_a") < col("key_b"))
+      .select(
+        col("key_a"), col("key_b"),
+        round(graft.functions.JaroWinkler.jaroWinkler(col("key_a"), col("key_b")), 6)
+          .as("jw"))
+      .where(col("jw") >= 0.85)
+  }
+
   /** Multi-source BFS hop distances ([[graft.ops.Graph.bfsDistances]],
     * 6 hops): link distance from a trusted seed set — crawl frontier
     * depth / contamination blast radius. The fixture is a fixed
@@ -3088,6 +3114,7 @@ object SparkEntry {
     "q_triangles" -> (qTriangles _),
     "q_kcore" -> (qKCore _),
     "q_bfs_hops" -> (qBfsHops _),
+    "q_jaro_link" -> (qJaroLink _),
     "q_mojibake" -> (qMojibake _),
     "q_trailing_features" -> (qTrailingFeatures _),
     "q_k_anon" -> (qKAnon _),
@@ -4021,6 +4048,18 @@ object SparkEntry {
         |  CAST(est_pairs AS BIGINT) AS est_pairs,
         |  CAST(GREATEST(1, (CAST(est_pairs AS HUGEINT) + 99999) // 100000) AS BIGINT) AS salt_factor
         |FROM r""".stripMargin,
+    "q_jaro_link" ->
+      """WITH k AS (SELECT DISTINCT doc_id % 100 AS base,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 'rec ' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0')
+        |      WHEN 1 THEN 'rec ' || substr(lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0'), 1, 3) || 'x'
+        |      ELSE 'rec ' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') || 'z'
+        |    END AS key
+        |  FROM documents),
+        |p AS (SELECT a.key AS key_a, b.key AS key_b,
+        |        ROUND(jaro_winkler_similarity(a.key, b.key), 6) AS jw
+        |      FROM k a JOIN k b ON a.base = b.base AND a.key < b.key)
+        |SELECT key_a, key_b, jw FROM p WHERE jw >= 0.85""".stripMargin,
     "q_snm_dedup" ->
       """WITH k AS (SELECT doc_id,
         |    lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') AS b,
