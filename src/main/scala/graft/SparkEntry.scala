@@ -2433,6 +2433,19 @@ object SparkEntry {
     Graph.triangleCounts(edges)
   }
 
+  /** Pairwise co-occurrence ([[graft.ops.Itemsets.coOccurrence]],
+    * support ≥ 5): part families co-purchased within an order — the
+    * A-Priori first pass. The quadratic step is bounded per basket
+    * (orders hold ≤ 7 lineitems, cap 20); the pair rollup is
+    * map-side-combinable and the output bounded by the 200-family
+    * universe. */
+  private def qItemPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Itemsets.coOccurrence(
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("basket"),
+        concat(lit("p"), (col("l_partkey") % 200).cast("string")).as("item")),
+      "basket", "item", minSupport = 5L, maxBasketSize = 20)
+
   /** Jaro-Winkler record linkage ([[graft.functions.JaroWinkler]],
     * jw ≥ 0.85 at 6dp) over the SNM key fixture: per base number, the
     * exact / last-digit-typo / suffixed variants pair within their
@@ -3115,6 +3128,7 @@ object SparkEntry {
     "q_kcore" -> (qKCore _),
     "q_bfs_hops" -> (qBfsHops _),
     "q_jaro_link" -> (qJaroLink _),
+    "q_item_pairs" -> (qItemPairs _),
     "q_mojibake" -> (qMojibake _),
     "q_trailing_features" -> (qTrailingFeatures _),
     "q_k_anon" -> (qKAnon _),
@@ -4048,6 +4062,15 @@ object SparkEntry {
         |  CAST(est_pairs AS BIGINT) AS est_pairs,
         |  CAST(GREATEST(1, (CAST(est_pairs AS HUGEINT) + 99999) // 100000) AS BIGINT) AS salt_factor
         |FROM r""".stripMargin,
+    "q_item_pairs" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b,
+        |    'p' || (l_partkey % 200) AS i
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sz AS (SELECT b, COUNT(*) AS s FROM it GROUP BY 1),
+        |ok AS (SELECT it.b, it.i FROM it JOIN sz ON sz.b = it.b WHERE sz.s <= 20)
+        |SELECT a.i AS item_a, c.i AS item_b, COUNT(*) AS n_baskets
+        |FROM ok a JOIN ok c ON a.b = c.b AND a.i < c.i
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 5""".stripMargin,
     "q_jaro_link" ->
       """WITH k AS (SELECT DISTINCT doc_id % 100 AS base,
         |    CASE doc_id % 3
