@@ -2433,6 +2433,22 @@ object SparkEntry {
     Graph.triangleCounts(edges)
   }
 
+  /** Winsorized price feature ([[graft.ops.Features.winsorize]],
+    * p05/p95 over the FULL lineitem scan; output subset by residue so
+    * the gate stays bounded): the heavy-tail clamp before a feature
+    * feeds a mean-sensitive consumer. Cuts from the deterministic
+    * histogram-quantile estimator; clamp is a stateless projection. */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Features
+      .winsorize(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "l_extendedprice", pLo = 0.05, pHi = 0.95)
+      .where(col("l_orderkey") % 997 === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("double").as("price"),
+        col("l_extendedprice_w").as("price_w"))
+
   /** Pairwise co-occurrence ([[graft.ops.Itemsets.coOccurrence]],
     * support ≥ 5): part families co-purchased within an order — the
     * A-Priori first pass. The quadratic step is bounded per basket
@@ -3129,6 +3145,7 @@ object SparkEntry {
     "q_bfs_hops" -> (qBfsHops _),
     "q_jaro_link" -> (qJaroLink _),
     "q_item_pairs" -> (qItemPairs _),
+    "q_winsorize" -> (qWinsorize _),
     "q_mojibake" -> (qMojibake _),
     "q_trailing_features" -> (qTrailingFeatures _),
     "q_k_anon" -> (qKAnon _),
@@ -4062,6 +4079,26 @@ object SparkEntry {
         |  CAST(est_pairs AS BIGINT) AS est_pairs,
         |  CAST(GREATEST(1, (CAST(est_pairs AS HUGEINT) + 99999) // 100000) AS BIGINT) AS salt_factor
         |FROM r""".stripMargin,
+    "q_winsorize" ->
+      """WITH mm AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS mn,
+        |    MAX(CAST(l_extendedprice AS DOUBLE)) AS mx,
+        |    COUNT(CAST(l_extendedprice AS DOUBLE)) AS nn FROM lineitem),
+        |par AS (SELECT mn, nn,
+        |    CASE WHEN mx > mn THEN (mx - mn) / 1024 ELSE 1.0 END AS width FROM mm),
+        |bk AS (SELECT LEAST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - mn) / width)
+        |    AS INTEGER), 1023) AS bucket
+        |  FROM lineitem, par WHERE l_extendedprice IS NOT NULL),
+        |cnt AS (SELECT bucket, COUNT(*) AS n FROM bk GROUP BY 1),
+        |cum AS (SELECT bucket, SUM(n) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM cnt),
+        |qlo AS (SELECT MIN(bucket) AS qb FROM cum, par WHERE c >= CEIL(0.05 * nn)),
+        |qhi AS (SELECT MIN(bucket) AS qb FROM cum, par WHERE c >= CEIL(0.95 * nn)),
+        |cuts AS (SELECT mn + qlo.qb * width AS lo, mn + qhi.qb * width AS hi
+        |         FROM par, qlo, qhi)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice AS DOUBLE) AS price,
+        |  LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE), lo), hi) AS price_w
+        |FROM lineitem, cuts WHERE l_orderkey % 997 = 0""".stripMargin,
     "q_item_pairs" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b,
         |    'p' || (l_partkey % 200) AS i

@@ -103,6 +103,41 @@ object Features {
     *
     * @return input columns + (n_cat, loo_mean)
     */
+  /** Winsorization — clamp a numeric column at estimated percentile
+    * cuts (the standard heavy-tail tamer before a feature feeds a
+    * mean/σ-sensitive consumer). Cuts come from the deterministic
+    * [[Profile.histQuantiles]] estimator (two bounded passes, exactly
+    * engine-replayable), collected as TWO scalars (the histQuantiles
+    * driver-row precedent — bounded by construction, never data-
+    * sized); the clamp itself is a stateless codegen'd projection.
+    *
+    * @return input columns + `<valCol>_w` (clamped double; null rides
+    *         through)
+    */
+  def winsorize(
+      df: DataFrame,
+      valCol: String,
+      pLo: Double,
+      pHi: Double,
+      buckets: Int = 1024
+  ): DataFrame = {
+    require(pLo > 0 && pHi <= 1 && pLo < pHi, s"need 0 < pLo < pHi <= 1, got [$pLo, $pHi]")
+    val qs = Profile.histQuantiles(df, Seq(valCol), Seq(pLo, pHi), buckets)
+      .collect()
+      .map(r => r.getDouble(1) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    (qs(pLo), qs(pHi)) match {
+      case (Some(lo), Some(hi)) =>
+        // guard nulls explicitly: Spark's greatest/least SKIP nulls
+        // (a null value would otherwise clamp to the low cut)
+        df.withColumn(s"${valCol}_w",
+          when(col(valCol).isNotNull,
+            least(greatest(col(valCol).cast("double"), lit(lo)), lit(hi))))
+      case _ => // all-null column: nothing to clamp
+        df.withColumn(s"${valCol}_w", col(valCol).cast("double"))
+    }
+  }
+
   def targetEncodeLoo(df: DataFrame, catCol: String, labelCol: String): DataFrame = {
     val y = col(labelCol).cast("decimal(18,2)")
     val stats = df

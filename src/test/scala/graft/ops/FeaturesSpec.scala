@@ -59,4 +59,23 @@ class FeaturesSpec extends SparkSpec {
     assert(got(3L) == ((3L, Some(15.0))))   // (10+20)/2
     assert(got(4L) == ((1L, None)))         // nothing to borrow from
   }
+
+  test("winsorize: tails clamp to the estimated cuts, middle and nulls ride through") {
+    // 0..99: p05 cut ≈ 5-ish bucket edge, p95 ≈ 95-ish (uniform values
+    // on 1024 buckets: estimator = lower edge of the qualifying bucket)
+    val df = ((0 until 100).map(i => (i.toLong, java.lang.Double.valueOf(i.toDouble))) :+
+      (999L, null.asInstanceOf[java.lang.Double])).toDF("id", "v")
+    val got = Features.winsorize(df, "v", 0.05, 0.95, buckets = 1024)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    val clamped = got.collect { case (_, Some(d: Double)) => d }
+    val lo = clamped.min
+    val hi = clamped.max
+    assert(lo > 0.0 && lo < 10.0, s"low cut $lo")
+    assert(hi > 90.0 && hi < 99.0, s"high cut $hi")
+    // the middle is untouched
+    assert(got(50L).contains(50.0))
+    // every tail value clamps exactly TO the cut, nulls ride through
+    assert(got(0L).contains(lo) && got(99L).contains(hi))
+    assert(got(999L).isEmpty)
+  }
 }
