@@ -2234,6 +2234,20 @@ object SparkEntry {
       // nearest double.
       .withColumn("score_sum", col("score_sum").cast("double"))
 
+  /** Per-class classifier scorecard ([[graft.ops.Eval.classReport]])
+    * over the 10-class embeddings labels with the residue-flip
+    * predictor (vec_id % 5 flips to the next class): confusion-derived
+    * tp/fp/fn per class with 6dp precision / recall / cleared-form F1.
+    * One bounded (label, pred) rollup; marginals ride that frame. */
+  private def qClassReport(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.classReport(
+      Tables.embeddings(s, dir).select(
+        concat(lit("l"), col("label").cast("string")).as("gold"),
+        concat(lit("l"),
+          when(col("vec_id") % 5 === 0, (col("label") + 1) % 10)
+            .otherwise(col("label")).cast("string")).as("pred")),
+      "gold", "pred")
+
   /** Operating-point selection ([[graft.ops.Thresholds
     * .precisionThreshold]], target 0.80): the lowest score cutoff
     * whose kept set reaches 80% precision — max recall at the target.
@@ -3187,6 +3201,7 @@ object SparkEntry {
     "q_kappa" -> (qKappa _),
     "q_reliability" -> (qReliability _),
     "q_threshold" -> (qThreshold _),
+    "q_class_report" -> (qClassReport _),
     "q_ece" -> (qEce _),
     "q_rater_accuracy" -> (qRaterAccuracy _),
     "q_keywords" -> (qKeywords _),
@@ -3895,6 +3910,31 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
         |  CAST(SUM(s) AS DOUBLE) AS score_sum
         |FROM sc GROUP BY 1""".stripMargin,
+    "q_class_report" ->
+      """WITH pr AS (SELECT 'l' || label AS gold,
+        |    'l' || (CASE WHEN vec_id % 5 = 0 THEN (label + 1) % 10 ELSE label END) AS pred
+        |  FROM embeddings),
+        |cm AS (SELECT gold, pred, COUNT(*) AS n FROM pr GROUP BY 1, 2),
+        |cls AS (SELECT gold AS class FROM cm UNION SELECT pred FROM cm),
+        |rt AS (SELECT gold AS class, CAST(SUM(n) AS BIGINT) AS rt FROM cm GROUP BY 1),
+        |ct AS (SELECT pred AS class, CAST(SUM(n) AS BIGINT) AS ct FROM cm GROUP BY 1),
+        |dg AS (SELECT gold AS class, n AS tp FROM cm WHERE gold = pred),
+        |b AS (SELECT cls.class,
+        |        COALESCE(dg.tp, 0) AS tp,
+        |        COALESCE(ct.ct, 0) - COALESCE(dg.tp, 0) AS fp,
+        |        COALESCE(rt.rt, 0) - COALESCE(dg.tp, 0) AS fn
+        |      FROM cls LEFT JOIN rt USING (class) LEFT JOIN ct USING (class)
+        |      LEFT JOIN dg USING (class))
+        |SELECT class, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(fn AS BIGINT) AS fn,
+        |  CASE WHEN tp + fp > 0
+        |       THEN ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+        |  CASE WHEN tp + fn > 0
+        |       THEN ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+        |  CASE WHEN tp * 2 + fp + fn > 0
+        |       THEN ROUND(CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE), 6)
+        |  END AS f1
+        |FROM b""".stripMargin,
     "q_threshold" ->
       """WITH sc AS (SELECT
         |    CAST(CAST(vec_id % 101 AS DECIMAL(9,4)) / 100 AS DECIMAL(9,4)) AS s,
