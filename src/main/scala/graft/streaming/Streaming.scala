@@ -880,6 +880,74 @@ object Streaming {
       }
   }
 
+  /** One (segment × bucket) contribution from the streaming TWAP:
+    * exact cent-scaled value mass (`vsum_cents = value_cents · dur_us`)
+    * over `dur_us` covered micros of the bucket. A downstream rollup
+    * by (key, bucket_start) yields the running TWAP:
+    * `(Σ vsum_cents / 100.0) / Σ dur_us`. */
+  final case class TwapSeg(key: String, bucket_start: Long, dur_us: Long, vsum_cents: Long)
+
+  /** Streaming twin of [[graft.ts.Twap.twap]]: per-key step
+    * interpolation as keyed state — an observation's segment CLOSES
+    * when the next observation arrives (end = `min(next_ts,
+    * ts + maxHoldUs)`, the batch staleness rule), and the closed
+    * segment emits its per-bucket contributions immediately. The
+    * still-open last segment per key emits nothing (a stream cannot
+    * know its end); batch parity therefore holds over CLOSED segments
+    * — StreamingSpec pins that the streamed rollup equals the batch
+    * operator run on the same rows once a flush tick closes each key
+    * (restricted to buckets before the tick's own).
+    *
+    * Values enter as exact cents (the [[cusumStream]] decimal recipe,
+    * matching batch's `cast` to DECIMAL(18,2)); contributions are
+    * integer `cents · micros`, so micro-batch slicing cannot change
+    * any sum. State: one (ts, cents) pair per key. Requires per-key
+    * in-order delivery across micro-batches; rows are sorted by ts
+    * within each batch. */
+  def twapStream(
+      samples: Dataset[Sample],
+      bucketUs: Long,
+      maxHoldUs: Long
+  ): Dataset[TwapSeg] = {
+    require(bucketUs >= 1, s"bucketUs must be >= 1, got $bucketUs")
+    require(maxHoldUs >= 1, s"maxHoldUs must be >= 1, got $maxHoldUs")
+    import samples.sparkSession.implicits._
+    def cents(d: Double): Long =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    samples
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long), TwapSeg](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, Long)]) =>
+          val arr = rows.toArray
+          scala.util.Sorting.stableSort(arr, (a: Sample, b: Sample) => a.ts < b.ts)
+          var carried: Option[(Long, Long)] = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[TwapSeg]
+          arr.foreach { s =>
+            carried match {
+              case Some((pt, pv)) =>
+                val e = math.min(s.ts, pt + maxHoldUs)
+                if (e > pt) {
+                  var b = Math.floorDiv(pt, bucketUs)
+                  val bLast = Math.floorDiv(e - 1, bucketUs)
+                  while (b <= bLast) {
+                    val lo = math.max(pt, b * bucketUs)
+                    val hi = math.min(e, (b + 1) * bucketUs)
+                    out += TwapSeg(key, b * bucketUs, hi - lo, pv * (hi - lo))
+                    b += 1
+                  }
+                }
+              case None => ()
+            }
+            carried = Some((s.ts, cents(s.value)))
+          }
+          carried.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Event for the streaming cohort monitor: `user` active at epoch-µs `ts`. */
   final case class UserActivity(user: String, ts: Long)
 

@@ -696,6 +696,46 @@ class StreamingSpec extends SparkSpec {
     q.stop(); q2.stop()
   }
 
+  test("twapStream: closed-segment rollup equals batch twap after a flush tick") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streaming.Sample]
+    val q = Streaming.twapStream(input.toDS(), bucketUs = 100L, maxHoldUs = 150L)
+      .writeStream.format("memory").queryName("twap_stream").outputMode("append")
+      .start()
+    // key a: within-bucket step, boundary crossing, staleness gap;
+    // key b: single obs — emits nothing until the tick closes it.
+    // Split across two micro-batches so the carried state runs.
+    val rows = Seq(
+      Streaming.Sample("a", 10L, 10.0), Streaming.Sample("a", 40L, 20.0),
+      Streaming.Sample("b", 50L, 5.0))
+    val rows2 = Seq(
+      Streaming.Sample("a", 250L, 30.0)) // closes a@40 at 40+150=190 (stale)
+    input.addData(rows: _*); q.processAllAvailable()
+    input.addData(rows2: _*); q.processAllAvailable()
+    // flush ticks close every key far away (bucket 10000)
+    val ticks = Seq(
+      Streaming.Sample("a", 1000000L, 0.0), Streaming.Sample("b", 1000000L, 0.0))
+    input.addData(ticks: _*); q.processAllAvailable()
+    val streamed = spark.sql(
+      """SELECT key, bucket_start, SUM(dur_us) AS dur_us,
+        |  ROUND((CAST(SUM(vsum_cents) AS DOUBLE) / CAST(100 AS DOUBLE))
+        |        / CAST(SUM(dur_us) AS DOUBLE), 6) AS twap
+        |FROM twap_stream GROUP BY 1, 2""".stripMargin)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val batch = graft.ts.Twap.twap(
+        (rows ++ rows2 ++ ticks).map(s => (s.key, s.ts, s.value)).toDF("key", "ts", "v"),
+        Seq("key"), "ts", "v", bucketUs = 100L, maxHoldUs = 150L)
+      .where(col("bucket_start") < 1000000L) // the ticks' own open tails
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(streamed == batch, s"streamed $streamed\nbatch $batch")
+    q.stop()
+  }
+
   test("abTestStream: per-window arm rows match batch abTest across micro-batch slicing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
