@@ -2502,6 +2502,26 @@ object SparkEntry {
       .where(col("jw") >= 0.85)
   }
 
+  /** Personalized PageRank ([[graft.ops.Graph.pagerank]] with
+    * `restartNodes`, 5 iterations): TrustRank-style authority seeded
+    * at `example.org` + `site0.com` — restart AND dangling mass land
+    * on the seeds, rank₀ = the seed distribution, so scores read as
+    * "visit probability of a surfer who teleports home", the crawl
+    * prior for seed-anchored frontier expansion. Same loop plan as
+    * classic PageRank (the `__s` column rides the node frame). */
+  private def qPpr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = qLinkGraph(s, dir).select(
+      col("src_domain").as("src"),
+      col("dst_domain").as("dst"),
+      col("n_links").cast("double").as("w"))
+    val seeds = Seq("example.org", "site0.com").toDF("node")
+    Graph
+      .pagerank(edges, iterations = 5, damping = 0.85, weightCol = Some("w"),
+        restartNodes = Some(seeds), assumeCollapsed = true)
+      .select(col("node"), round(col("rank"), 6).as("pr"))
+  }
+
   /** Multi-source BFS hop distances ([[graft.ops.Graph.bfsDistances]],
     * 6 hops): link distance from a trusted seed set — crawl frontier
     * depth / contamination blast radius. The fixture is a fixed
@@ -3159,6 +3179,7 @@ object SparkEntry {
     "q_bfs_hops" -> (qBfsHops _),
     "q_jaro_link" -> (qJaroLink _),
     "q_item_pairs" -> (qItemPairs _),
+    "q_ppr" -> (qPpr _),
     "q_winsorize" -> (qWinsorize _),
     "q_mojibake" -> (qMojibake _),
     "q_trailing_features" -> (qTrailingFeatures _),
@@ -3242,6 +3263,38 @@ object SparkEntry {
        |outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
        |m AS (SELECT e.src, e.dst, e.w / o.out_w AS p FROM edges e JOIN outw o ON e.src = o.src),
        |r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT node, ROUND(pr, 6) AS pr FROM r$iterations""".stripMargin
+  }
+
+  /** Personalized-PageRank recurrence unrolled: identical to
+    * [[pagerankRecurrenceSql]] except the restart/dangling factor is
+    * the per-node seed distribution `sv.s` (1/|S∩V| on seeds, 0
+    * elsewhere) instead of 1/N, and r0 = that distribution — term for
+    * term what the operator's `__s` column computes. */
+  private def pprRecurrenceSql(
+      edgesCtes: String, seedsCte: String, iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      val prev = s"r${k - 1}"
+      s"""r$k AS (
+         |  SELECT sv.node,
+         |         (1.0 - 0.85) * sv.s + 0.85 * (COALESCE(c.in_rank, 0) + d.dm * sv.s) AS pr
+         |  FROM sv
+         |  LEFT JOIN (SELECT m.dst AS node, SUM(r.pr * m.p) AS in_rank
+         |             FROM m JOIN $prev r ON r.node = m.src GROUP BY m.dst) c ON c.node = sv.node
+         |  CROSS JOIN (SELECT COALESCE(SUM(r.pr), 0) AS dm FROM $prev r
+         |              WHERE NOT EXISTS (SELECT 1 FROM outw o WHERE o.src = r.node)) d)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCtes,
+       |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
+       |outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+       |m AS (SELECT e.src, e.dst, e.w / o.out_w AS p FROM edges e JOIN outw o ON e.src = o.src),
+       |seeds0 AS ($seedsCte),
+       |seedsp AS (SELECT DISTINCT s.node FROM seeds0 s JOIN nodes nd ON nd.node = s.node),
+       |sk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM seedsp),
+       |sv AS (SELECT nd.node, CASE WHEN sp.node IS NOT NULL THEN 1.0 / sk.k ELSE 0.0 END AS s
+       |       FROM nodes nd LEFT JOIN seedsp sp ON sp.node = nd.node CROSS JOIN sk),
+       |r0 AS (SELECT node, s AS pr FROM sv),
        |$iters
        |SELECT node, ROUND(pr, 6) AS pr FROM r$iterations""".stripMargin
   }
@@ -4562,6 +4615,10 @@ object SparkEntry {
     "q_image_resize" -> imageResizeOracleSql,
     "q_audio_frames" -> audioFramesOracleSql,
     "q_pagerank" -> pagerankOracleSql,
+    "q_ppr" -> pprRecurrenceSql(
+      linkGraphEdgesCtes,
+      "SELECT 'example.org' AS node UNION ALL SELECT 'site0.com'",
+      iterations = 5),
     "q_session_epochs" ->
       s"""WITH e AS (SELECT epoch_us(ts) AS ts_us FROM events),
          |d AS (SELECT ts_us, CASE WHEN ts_us - lag(ts_us) OVER (ORDER BY ts_us) >= $GlobalGapUs THEN 1 ELSE 0 END AS brk FROM e),

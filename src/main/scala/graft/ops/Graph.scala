@@ -51,6 +51,13 @@ object Graph {
     *                  absent ⇒ every edge weighs 1
     * @param tol       if > 0, stop early once the L1 delta between
     *                  consecutive rank vectors drops below it
+    * @param restartNodes optional seed set (column `node`) for
+    *                  PERSONALIZED PageRank (TrustRank-style crawl
+    *                  seeding): the restart and dangling mass land on
+    *                  the seeds (uniformly over those present in the
+    *                  graph; absent seeds are ignored) instead of all
+    *                  nodes, and rank₀ = the seed distribution. None ⇒
+    *                  classic uniform PageRank, numerically unchanged.
     * @return (node, rank) — rank sums to 1 over all nodes
     */
   def pagerank(
@@ -59,6 +66,7 @@ object Graph {
       damping: Double = 0.85,
       weightCol: Option[String] = None,
       tol: Double = 0.0,
+      restartNodes: Option[DataFrame] = None,
       // broadcast-sized graphs skip the distributed loop: 5–10 rounds of
       // tiny-stage scheduling cost more than one driver pass (the
       // connectedComponents driverEdgeLimit precedent — the 1.2M-arc
@@ -88,7 +96,16 @@ object Graph {
       // Rows instead measured 2.5 s of pure conversion at 1.2M arcs
       val rows = arcsRdd.collect()
       arcsRdd.unpersist(blocking = false)
-      return pagerankDriver(spark, rows, arcs.schema, iterations, damping, tol)
+      // seed values as InternalRow-copied values so they compare equal
+      // to the idx keys (UTF8String for strings); a seed set is small
+      // by its nature (a trusted whitelist), the collect is caller-sized
+      val seedVals = restartNodes.map { rn =>
+        val nodeType = rn.select(col("node")).schema.fields(0).dataType
+        Bridge.toInternalRdd(rn.select(col("node")).where(col("node").isNotNull).distinct())
+          .map(_.copy()).collect()
+          .map(r => InternalRow.copyValue(r.get(0, nodeType)))
+      }
+      return pagerankDriver(spark, rows, arcs.schema, iterations, damping, tol, seedVals)
     }
 
     // node universe: src ∪ dst in one pass (explode, not union, so the
@@ -104,6 +121,25 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "pagerank over an empty edge list")
     val uniform = 1.0 / n
+
+    // restart distribution `__s` per node: uniform 1/N (classic), or
+    // 1/|S∩V| on the present seeds and 0 elsewhere (personalized). The
+    // classic path's arithmetic is bit-identical to the pre-refactor
+    // constant form — (1−d)·(1/N) and dm·(1/N) multiply the same
+    // doubles whether the factor is folded in Scala or rides a column.
+    val (nodesS, nodesSRdd) = restartNodes match {
+      case None => cut(nodes.withColumn("__s", lit(uniform)))
+      case Some(rn) =>
+        val seeds = rn.select(col("node")).where(col("node").isNotNull).distinct()
+          .join(nodes, Seq("node"), "left_semi")
+        val k = seeds.count()
+        require(k > 0, "pagerank restartNodes share no node with the edge list")
+        cut(nodes
+          .join(seeds.withColumn("__m", lit(true)), Seq("node"), "left")
+          .select(col("node"),
+            when(col("__m").isNotNull, lit(1.0 / k)).otherwise(lit(0.0)).as("__s")))
+    }
+    nodesS.count()
 
     // transition matrix: hash-partitioned AND sorted on src ONCE, with
     // the layout declared to Catalyst — every iteration's rank⋈matrix
@@ -131,7 +167,7 @@ object Graph {
     )
     val nDangling = dangling.count()
 
-    var (ranks, ranksRdd) = cut(nodes.select(col("node"), lit(uniform).as("rank")))
+    var (ranks, ranksRdd) = cut(nodesS.select(col("node"), col("__s").as("rank")))
     ranks.count()
     // the loop reads only the partitioned matrix / nodes / dangling
     // caches — the unordered arc cache is a redundant full copy of the
@@ -145,12 +181,12 @@ object Graph {
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("p")).as("in_rank"))
-      val withContrib = nodes.join(contrib, Seq("node"), "left")
+      val withContrib = nodesS.join(contrib, Seq("node"), "left")
       val folded =
         if (nDangling == 0L) {
           withContrib.select(
             col("node"),
-            (lit((1.0 - damping) * uniform) +
+            (lit(1.0 - damping) * col("__s") +
               lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
         } else {
           val danglingMass = ranks
@@ -160,9 +196,9 @@ object Graph {
             .crossJoin(broadcast(danglingMass))
             .select(
               col("node"),
-              (lit((1.0 - damping) * uniform) +
+              (lit(1.0 - damping) * col("__s") +
                 lit(damping) *
-                (coalesce(col("in_rank"), lit(0.0)) + col("dm") * lit(uniform)))
+                (coalesce(col("in_rank"), lit(0.0)) + col("dm") * col("__s")))
                 .as("rank"))
         }
       val (next, nextRdd) = cut(folded)
@@ -188,7 +224,8 @@ object Graph {
     // natural serving artifact, and collecting it to the driver would
     // cap the operator at driver-memory-sized graphs.
     ranks.count()
-    Seq(arcsRdd, matrixRdd, nodesRdd, danglingRdd).foreach(_.unpersist(blocking = false))
+    Seq(arcsRdd, matrixRdd, nodesRdd, nodesSRdd, danglingRdd)
+      .foreach(_.unpersist(blocking = false))
     ranks
   }
 
@@ -391,7 +428,8 @@ object Graph {
       schema: org.apache.spark.sql.types.StructType,
       iterations: Int,
       damping: Double,
-      tol: Double
+      tol: Double,
+      seedVals: Option[Array[Any]] = None
   ): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
@@ -407,18 +445,28 @@ object Graph {
     require(n > 0, "pagerank over an empty edge list")
     val outW = new Array[Double](n)
     es.foreach { case (s, _, wt) => outW(s) += wt }
-    var rank = Array.fill(n)(1.0 / n)
+    // restart distribution (see the distributed path): uniform, or
+    // 1/|S∩V| on present seeds — same arithmetic either way
+    val sv = new Array[Double](n)
+    seedVals match {
+      case None => java.util.Arrays.fill(sv, 1.0 / n)
+      case Some(vals) =>
+        val present = vals.filter(idx.contains)
+        require(present.nonEmpty, "pagerank restartNodes share no node with the edge list")
+        val share = 1.0 / present.length
+        present.foreach(v => sv(idx(v)) = share)
+    }
+    var rank = sv.clone()
     var iter = 0
     var done = false
     while (iter < iterations && !done) {
-      val next = Array.fill(n)((1.0 - damping) * (1.0 / n))
+      val next = Array.tabulate(n)(i => (1.0 - damping) * sv(i))
       var dm = 0.0
       var i = 0
       while (i < n) { if (outW(i) == 0.0) dm += rank(i); i += 1 }
       es.foreach { case (s, t, wt) => next(t) += damping * rank(s) * (wt / outW(s)) }
-      val dmShare = damping * dm * (1.0 / n)
       i = 0
-      while (i < n) { next(i) += dmShare; i += 1 }
+      while (i < n) { next(i) += damping * dm * sv(i); i += 1 }
       if (tol > 0) {
         var delta = 0.0
         i = 0

@@ -100,6 +100,67 @@ class GraphSpec extends SparkSpec {
     assertClose(got, want)
   }
 
+  /** Dense personalized reference: restart/dangling mass on seeds. */
+  private def densePpr(
+      edges: Seq[(String, String, Double)],
+      iterations: Int,
+      d: Double,
+      seeds: Set[String]
+  ): Map[String, Double] = {
+    val collapsed = edges
+      .groupBy(e => (e._1, e._2))
+      .map { case ((s, t), es) => (s, t, es.map(_._3).sum) }
+      .toSeq
+    val nodes = collapsed.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    val outW = collapsed.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val present = nodes.filter(seeds)
+    val share = 1.0 / present.size
+    val sv = nodes.map(v => if (seeds(v)) share else 0.0).toArray
+    var rank = sv.clone()
+    val dangling = nodes.filterNot(outW.contains).map(idx)
+    (1 to iterations).foreach { _ =>
+      val next = Array.tabulate(n)(i => (1.0 - d) * sv(i))
+      val dm = dangling.map(rank).sum
+      collapsed.foreach { case (s, t, w) =>
+        next(idx(t)) += d * rank(idx(s)) * (w / outW(s))
+      }
+      (0 until n).foreach(i => next(i) += d * dm * sv(i))
+      rank = next
+    }
+    nodes.map(v => v -> rank(idx(v))).toMap
+  }
+
+  test("personalized: restart + dangling mass land on the seeds; both paths agree") {
+    import spark.implicits._
+    val seeds = Seq("a", "c").toDF("node")
+    def runPpr(limit: Long): Map[String, Double] = Graph
+      .pagerank(chainWithDangling.toDF("src", "dst", "w"), iterations = 8,
+        weightCol = Some("w"), restartNodes = Some(seeds), driverEdgeLimit = limit)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaDriver = runPpr(1000000L)
+    assertClose(viaDriver, densePpr(chainWithDangling, 8, 0.85, Set("a", "c")))
+    assertClose(viaDriver, runPpr(0L))
+    assert(math.abs(viaDriver.values.sum - 1.0) < 1e-9, "mass conserves")
+    // non-seed source-only mass decays: 'd' (dangling, not a seed)
+    // holds less than any seed
+    assert(viaDriver("d") < viaDriver("a") && viaDriver("d") < viaDriver("c"))
+  }
+
+  test("personalized: absent seeds are ignored; all-absent throws") {
+    import spark.implicits._
+    val got = Graph.pagerank(chainWithDangling.toDF("src", "dst", "w"), iterations = 4,
+        weightCol = Some("w"),
+        restartNodes = Some(Seq("a", "zzz-not-in-graph").toDF("node")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assertClose(got, densePpr(chainWithDangling, 4, 0.85, Set("a")))
+    intercept[IllegalArgumentException] {
+      Graph.pagerank(chainWithDangling.toDF("src", "dst", "w"), iterations = 2,
+        weightCol = Some("w"), restartNodes = Some(Seq("zzz").toDF("node")))
+    }
+  }
+
   test("declared hash layout skips the exchange AND the sort on the cached side") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.Bridge
