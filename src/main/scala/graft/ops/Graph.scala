@@ -637,7 +637,7 @@ object Graph {
     var (visited, visitedRdd) = cut(
       sources.select(col("node")).where(col("node").isNotNull).distinct()
         .withColumn("dist", lit(0)))
-    visited.count()
+    var visitedCount = visited.count()
     var frontier = visited.select("node")
     var frontierRdd: org.apache.spark.rdd.RDD[InternalRow] = null
     var hop = 0
@@ -648,19 +648,23 @@ object Graph {
           .select(col("dst").as("node")).distinct()
           .join(visited, Seq("node"), "left_anti")
           .withColumn("dist", lit(hop + 1)))
-      val n = next.count()
-      if (n == 0) {
+      // ONE action per round: materializing the union also yields the
+      // frontier-empty gate (anti-join guarantees next ∩ visited = ∅,
+      // so |nv| − |visited| IS |next|)
+      val (nv, nvRdd) = cut(visited.unionAll(next))
+      val nvCount = nv.count()
+      if (nvCount == visitedCount) {
         nextRdd.unpersist(blocking = false)
+        nvRdd.unpersist(blocking = false)
         done = true
       } else {
-        val (nv, nvRdd) = cut(visited.unionAll(next))
-        nv.count()
         visitedRdd.unpersist(blocking = false)
         // the PREVIOUS frontier's cache can go now; `next` stays
         // persisted — it is the next round's frontier
         if (frontierRdd != null) frontierRdd.unpersist(blocking = false)
         visited = nv
         visitedRdd = nvRdd
+        visitedCount = nvCount
         frontier = next.select("node")
         frontierRdd = nextRdd
         hop += 1
