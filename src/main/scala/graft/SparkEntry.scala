@@ -2502,6 +2502,21 @@ object SparkEntry {
       .where(col("jw") >= 0.85)
   }
 
+  /** Small-file compaction plan ([[graft.ops.Compaction.planGroups]],
+    * 16 MB target): the OPTIMIZE-style rewrite grouping over a
+    * synthesized file listing (pseudo-random sizes off doc_id) —
+    * sequential fill over the (bytes DESC, name) total order, the
+    * deterministic policy an independent engine replays as one window
+    * scan. The listing frame is one row per FILE, so the total-order
+    * window is tiny by construction. */
+  private def qCompactionPlan(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Compaction.planGroups(
+      Tables.documents(s, dir).select(
+        concat(lit("part-"), lpad(col("doc_id").cast("string"), 8, "0"),
+          lit(".parquet")).as("file"),
+        (pmod(col("doc_id") * 2654435761L, lit(10000000L)) + 1000L).as("bytes")),
+      "file", "bytes", targetBytes = 16000000L)
+
   /** Personalized PageRank ([[graft.ops.Graph.pagerank]] with
     * `restartNodes`, 5 iterations): TrustRank-style authority seeded
     * at `example.org` + `site0.com` — restart AND dangling mass land
@@ -3180,6 +3195,7 @@ object SparkEntry {
     "q_jaro_link" -> (qJaroLink _),
     "q_item_pairs" -> (qItemPairs _),
     "q_ppr" -> (qPpr _),
+    "q_compaction_plan" -> (qCompactionPlan _),
     "q_winsorize" -> (qWinsorize _),
     "q_mojibake" -> (qMojibake _),
     "q_trailing_features" -> (qTrailingFeatures _),
@@ -4192,6 +4208,20 @@ object SparkEntry {
         |  CAST(l_extendedprice AS DOUBLE) AS price,
         |  LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE), lo), hi) AS price_w
         |FROM lineitem, cuts WHERE l_orderkey % 997 = 0""".stripMargin,
+    "q_compaction_plan" ->
+      """WITH f AS (SELECT
+        |    'part-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.parquet' AS file,
+        |    (doc_id * 2654435761) % 10000000 + 1000 AS bytes
+        |  FROM documents),
+        |g AS (SELECT file, bytes,
+        |    COALESCE(SUM(bytes) OVER (ORDER BY bytes DESC, file ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 16000000 AS grp
+        |  FROM f)
+        |SELECT file, CAST(bytes AS BIGINT) AS bytes, CAST(grp AS BIGINT) AS "group",
+        |  CAST(SUM(bytes) OVER (PARTITION BY grp) AS BIGINT) AS group_bytes,
+        |  COUNT(*) OVER (PARTITION BY grp) AS group_files
+        |FROM g""".stripMargin,
     "q_item_pairs" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b,
         |    'p' || (l_partkey % 200) AS i

@@ -78,6 +78,31 @@ object DiffBinBench {
     }
     bench("bloom_screen_1x", () => bloomOf(sfDir))
     bench("bloom_screen_100x", () => bloomOf(scaleDir))
+
+    // r15: item-pair co-occurrence at 100× — ~12-item synthetic baskets
+    // over the scaled events (the oracle fixture reads lineitem, which
+    // ScaleGen doesn't scale); same distinct + window-size + self-join
+    // + rollup shape
+    def pairsOf(dir: String): DataFrame = {
+      val ev = events(dir)
+      graft.ops.Itemsets.coOccurrence(
+        ev.select(
+          (col("event_id") - pmod(col("event_id"), lit(12L))).as("basket"),
+          concat(lit("i"), pmod(col("value").cast("long"), lit(50L)).cast("string")).as("item")),
+        "basket", "item", minSupport = 3L, maxBasketSize = 20)
+    }
+    bench("item_pairs_1x", () => pairsOf(sfDir))
+    bench("item_pairs_100x", () => pairsOf(scaleDir))
+
+    // r15: winsorize at 100× — p05/p95 clamp over the scaled events
+    // value column (two bounded estimator passes + stateless clamp)
+    def winsorOf(dir: String): DataFrame =
+      graft.ops.Features.winsorize(
+        events(dir).select(col("event_id"), col("value").cast("double").as("v")),
+        "v", 0.05, 0.95)
+        .where(col("event_id") % 997 === 0)
+    bench("winsorize_1x", () => winsorOf(sfDir))
+    bench("winsorize_100x", () => winsorOf(scaleDir))
     spark.stop()
   }
 }
