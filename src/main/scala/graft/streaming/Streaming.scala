@@ -242,16 +242,26 @@ object Streaming {
       // bound, just not respellable in an external SQL engine. A live
       // monitor wants the rate; pick md5 only when cross-checking
       // against the batch rollup.
-      md5Hash: Boolean = true
+      md5Hash: Boolean = true,
+      // SLIDING windows: emit one estimate per `slideDur` hop, each
+      // covering the trailing `windowDur` (the smoother monitor shape —
+      // a spike is seen windowDur/slideDur times instead of once). A
+      // row lands in windowDur/slideDur open windows, so state scales
+      // by that factor; None = tumbling (the default).
+      slideDur: Option[String] = None
   ): DataFrame = {
     val (fill, est) = graft.ops.Cardinality.estimate(col("__kmv"), k)
     val h =
       if (md5Hash) graft.ops.Cardinality.itemHash(col(itemCol))
       else shiftrightunsigned(xxhash64(col(itemCol)), 4)
+    val win = slideDur match {
+      case Some(s) => window(col(tsCol), windowDur, s)
+      case None => window(col(tsCol), windowDur)
+    }
     rows
       .withWatermark(tsCol, watermark)
       .select(col(tsCol), h.as("__h"))
-      .groupBy(window(col(tsCol), windowDur))
+      .groupBy(win)
       .agg(graft.functions.KMinValues.kMinValues(col("__h"), k).as("__kmv"))
       .select(col("window.start").as("win_start"), fill, est)
   }

@@ -58,6 +58,17 @@ object CalibStreamBench {
     run("ece_stream", df => Streaming.eceStream(
       df, "ts", "score", "label", windowDur = "30 seconds",
       watermark = "10 seconds", nBins = nBins))
+    // r15: the A/B readout twin, same synthetic stream with the score
+    // split into three arms by residue
+    run("ab_test_stream", df => Streaming.abTestStream(
+      df.withColumn("variant",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("arm"),
+          (org.apache.spark.sql.functions.col("label") +
+            (org.apache.spark.sql.functions.col("score") * 100).cast("int") % 2).cast("string"))),
+      "ts", "variant", "label",
+      variants = Seq("arm0", "arm1", "arm2"), controlVariant = "arm0",
+      windowDur = "30 seconds", watermark = "10 seconds"))
     spark.stop()
   }
 }

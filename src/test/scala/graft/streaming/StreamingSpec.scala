@@ -696,6 +696,30 @@ class StreamingSpec extends SparkSpec {
     q.stop(); q2.stop()
   }
 
+  test("distinctRateStream sliding: hops overlap, each trailing window estimates its own rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val q = Streaming
+      .distinctRateStream(
+        input.toDF().toDF("event_time", "item"),
+        "event_time", "item", windowDur = "10 seconds", watermark = "5 seconds",
+        k = 8, slideDur = Some("5 seconds"))
+      .writeStream.format("memory").queryName("dr_slide").outputMode("append")
+      .start()
+    // 3 distinct items at t=6..8s: they fall in windows [0,10) AND [5,15)
+    input.addData(Seq(("i1", 6L), ("i2", 7L), ("i3", 8L), ("i1", 8L))
+      .map { case (i, t) => (ts(t), i) }: _*)
+    q.processAllAvailable()
+    input.addData((ts(40), "closer")); q.processAllAvailable()
+    val got = spark.sql("SELECT win_start, est_distinct FROM dr_slide ORDER BY win_start")
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getDouble(1)))
+    // both overlapping windows closed with the same 3 distinct items
+    assert(got.take(2).toSeq == Seq((0L, 3.0), (5L, 3.0)), got.mkString(";"))
+    q.stop()
+  }
+
   test("twapStream: closed-segment rollup equals batch twap after a flush tick") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
