@@ -22,6 +22,20 @@ object PrBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-job wall clock (SPARK_GRAFT_PRBENCH_JOBS=1): where a loop
+    // variant's time goes
+    if (sys.env.get("SPARK_GRAFT_PRBENCH_JOBS").contains("1")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(j.jobId, System.nanoTime())
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = starts.getOrDefault(j.jobId, 0L)
+          if (t0 > 0) println(f"JOB ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%8.3fs")
+        }
+      })
+    }
+
     def powerLawNode(salt: Int, nNodes: Long) = {
       // u ∈ [0,1) from the hash; node = floor(u^3 · n) skews mass toward
       // low ids (hubs) with a Zipf-ish in-degree tail
@@ -39,14 +53,24 @@ object PrBench {
           concat(lit("n"), powerLawNode(2, nNodes)).as("dst")
         )
         .where(col("src") =!= col("dst"))
+      // SPARK_GRAFT_PPR=1 measures the personalized variant INSTEAD
+      // (fresh-JVM comparability: back-to-back runs in one session
+      // share executor storage pressure)
+      val pprMode = sys.env.get("SPARK_GRAFT_PPR").contains("1")
       val t0 = System.nanoTime()
       // driverEdgeLimit = 0: this bench measures the DISTRIBUTED loop
-      val ranks = graft.ops.Graph.pagerank(edges, iterations = 5, driverEdgeLimit = 0L)
+      val ranks =
+        if (pprMode) {
+          val seeds = spark.range(100).select(concat(lit("n"), col("id") * 37L).as("node"))
+          graft.ops.Graph.pagerank(edges, iterations = 5, driverEdgeLimit = 0L,
+            restartNodes = Some(seeds))
+        } else graft.ops.Graph.pagerank(edges, iterations = 5, driverEdgeLimit = 0L)
       val n = ranks.count()
       val top = ranks.orderBy(desc("rank")).limit(3).collect()
       val sec = (System.nanoTime() - t0) / 1e9
+      val label = if (pprMode) "PPR_RESULT" else "PR_RESULT"
       println(
-        f"PR_RESULT edges=${m}M nodes=$n sec=$sec%.2f top=${top.map(r => f"${r.getString(0)}:${r.getDouble(1)}%.6f").mkString(",")}"
+        f"$label edges=${m}M nodes=$n sec=$sec%.2f top=${top.map(r => f"${r.getString(0)}:${r.getDouble(1)}%.6f").mkString(",")}"
       )
       spark.catalog.clearCache()
     }
