@@ -2502,6 +2502,13 @@ object SparkEntry {
       .where(col("jw") >= 0.85)
   }
 
+  /** Zipf-law fit ([[graft.ops.Text.zipfFit]], top 1000 ranks): OLS of
+    * ln(freq) on ln(rank) — natural text reads slope ≈ −1; the
+    * corpus-health diagnostic next to q_corpus_stats. The regression
+    * frame is bounded by topN regardless of corpus size. */
+  private def qZipf(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Text.zipfFit(Tables.documents(s, dir).select("text"), topN = 1000)
+
   /** Small-file compaction plan ([[graft.ops.Compaction.planGroups]],
     * 16 MB target): the OPTIMIZE-style rewrite grouping over a
     * synthesized file listing (pseudo-random sizes off doc_id) —
@@ -3196,6 +3203,7 @@ object SparkEntry {
     "q_item_pairs" -> (qItemPairs _),
     "q_ppr" -> (qPpr _),
     "q_compaction_plan" -> (qCompactionPlan _),
+    "q_zipf" -> (qZipf _),
     "q_winsorize" -> (qWinsorize _),
     "q_mojibake" -> (qMojibake _),
     "q_trailing_features" -> (qTrailingFeatures _),
@@ -4208,6 +4216,30 @@ object SparkEntry {
         |  CAST(l_extendedprice AS DOUBLE) AS price,
         |  LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE), lo), hi) AS price_w
         |FROM lineitem, cuts WHERE l_orderkey % 997 = 0""".stripMargin,
+    "q_zipf" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |              FROM documents),
+        |cnt AS (SELECT token, COUNT(*) AS c FROM toks WHERE token <> '' GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_vocab FROM cnt),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, token ASC) AS r FROM cnt),
+        |top AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+        |        FROM rk WHERE r <= 1000),
+        |s AS (SELECT COUNT(*) AS n,
+        |    SUM(CAST(round(x, 12) AS DECIMAL(38,12))) AS sx,
+        |    SUM(CAST(round(y, 12) AS DECIMAL(38,12))) AS sy,
+        |    SUM(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS sxy,
+        |    SUM(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS sxx,
+        |    SUM(CAST(round(y * y, 12) AS DECIMAL(38,12))) AS syy
+        |  FROM top),
+        |e AS (SELECT n_tokens, n_vocab, n,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+        |  FROM s CROSS JOIN tot)
+        |SELECT n_tokens, n_vocab, CAST(n AS BIGINT) AS top_n,
+        |  CASE WHEN den <> 0 THEN ROUND(num / den, 6) END AS zipf_slope,
+        |  CASE WHEN den * deny <> 0 THEN ROUND(num * num / (den * deny), 6) END AS r2
+        |FROM e""".stripMargin,
     "q_compaction_plan" ->
       """WITH f AS (SELECT
         |    'part-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.parquet' AS file,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1090,5 +1090,69 @@ object Text {
       .join(rankedSide, keyCols :+ scoreCol)
       .withColumn("pct", round(col("__pr"), 6))
       .drop("__pr")
+  }
+
+  /** Zipf-law fit over the corpus token frequencies — the vocabulary-
+    * health diagnostic (natural text follows freq ∝ rank^(−s) with
+    * s ≈ 1; template/boilerplate-heavy or synthetic corpora bend the
+    * curve): OLS of ln(freq) on ln(rank) over the `topN` highest-
+    * frequency tokens, slope + R².
+    *
+    * Determinism contract (oracle-replayable): ranks are exact
+    * integers over the (count DESC, token ASC) total order; per-term
+    * ln products are 12dp-rounded and summed as DECIMAL (partition-
+    * order-free); slope/R² are closed-form ratios of those exact sums,
+    * 6dp each. The regression frame is bounded by `topN` (≤ 10k), so
+    * the total-order window is tiny no matter the corpus.
+    *
+    * @return one row: (n_tokens, n_vocab, top_n, zipf_slope, r2)
+    */
+  def zipfFit(documents: DataFrame, topN: Int = 1000): DataFrame = {
+    require(topN >= 3 && topN <= 10000, s"topN must be in [3, 10000], got $topN")
+    val toks = documents
+      .select(explode(filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("__c"))
+    val (counts, countsRdd) = graft.util.LoopFrames.cut(toks)
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__c").desc, col("token").asc)
+    val ranked = counts
+      .withColumn("__r", row_number().over(ord))
+      .where(col("__r") <= topN)
+    def t12(c: Column): Column = round(c, 12).cast("decimal(38,12)")
+    val x = log(col("__r").cast("double"))
+    val y = log(col("__c").cast("double"))
+    // totals become driver-side literals via ONE tiny fold (the
+    // tokenDrift/Bm25 precedent — attaching a one-row frame join-free
+    // has no clean plan shape)
+    val (nTokens, nVocab) = {
+      val r = counts.agg(sum(col("__c")), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val out = ranked
+      .agg(
+        count(lit(1)).as("n"),
+        sum(t12(x)).as("sx"),
+        sum(t12(y)).as("sy"),
+        sum(t12(x * y)).as("sxy"),
+        sum(t12(x * x)).as("sxx"),
+        sum(t12(y * y)).as("syy"))
+      .select(lit(nTokens).as("n_tokens"), lit(nVocab).as("n_vocab"),
+        col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"))
+    val nD = col("n").cast("double")
+    def d(c: Column): Column = c.cast("double")
+    val slopeNum = nD * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val slopeDen = nD * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val r2Den = slopeDen * (nD * d(col("syy")) - d(col("sy")) * d(col("sy")))
+    val shaped = out.select(
+      col("n_tokens"), col("n_vocab"), col("n").as("top_n"),
+      when(slopeDen =!= 0.0, round(slopeNum / slopeDen, 6)).as("zipf_slope"),
+      when(r2Den =!= 0.0, round(slopeNum * slopeNum / r2Den, 6)).as("r2"))
+    // materialize (lineage-cut) the one-row result before releasing the
+    // shared token-count cache
+    val (res, _) = graft.util.LoopFrames.cut(shaped)
+    res.count()
+    countsRdd.unpersist(blocking = false)
+    res
   }
 }
