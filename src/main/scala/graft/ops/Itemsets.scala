@@ -34,18 +34,25 @@ object Itemsets {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     require(maxBasketSize >= 2 && maxBasketSize <= 10000,
       s"maxBasketSize must be in [2, 10000], got $maxBasketSize")
-    val items = df
+    // ONE exchange to assemble each basket's distinct sorted item set
+    // (collect_set is partial-mergeable), pairs generated IN-TASK over
+    // the ≤ maxBasketSize array (sorted ⇒ canonical ia < ib), then one
+    // pair rollup — two exchanges total, and the quadratic blowup
+    // never enters a shuffle (the self-join spelling shuffled every
+    // candidate pair; measured 2.32 → 1.46 s min on the 600k-row
+    // oracle fixture at sf0.1)
+    val baskets = df
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .where(col("__b").isNotNull && col("__i").isNotNull)
-      .distinct()
-    val sized = items
-      .withColumn("__sz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("__b")))
-      .where(col("__sz") <= maxBasketSize)
-    sized.toDF("__b", "ia", "__sz")
-      .join(sized.toDF("__b", "ib", "__sz2"), "__b")
-      .where(col("ia") < col("ib"))
-      .groupBy(col("ia").as("item_a"), col("ib").as("item_b"))
+      .groupBy("__b")
+      .agg(sort_array(collect_set(col("__i"))).as("__arr"))
+      .where(size(col("__arr")) <= maxBasketSize && size(col("__arr")) >= 2)
+    val pairs = flatten(transform(col("__arr"), (x, i) =>
+      transform(slice(col("__arr"), i + 2, lit(maxBasketSize)), y =>
+        struct(x.as("a"), y.as("b")))))
+    baskets
+      .select(explode(pairs).as("__p"))
+      .groupBy(col("__p.a").as("item_a"), col("__p.b").as("item_b"))
       .agg(count(lit(1)).as("n_baskets"))
       .where(col("n_baskets") >= minSupport)
   }
