@@ -2267,6 +2267,70 @@ object SparkEntry {
   private def qEce(s: SparkSession, dir: String): DataFrame =
     graft.ops.Calibration.ece(scoredFixture(s, dir), "score", "label", nBins = 10)
 
+  /** Split-conformal calibration ([[graft.ops.Calibration.conformal]],
+    * α = 0.1): q̂ from the even-vec calibration half (exact order
+    * statistic over the bounded 4dp-value rollup — never a corpus
+    * sort), coverage + mean set size on the odd-vec test half. The
+    * ≥ 90 % marginal-coverage guarantee is the assertable contract. */
+  private def qConformal(s: SparkSession, dir: String): DataFrame = {
+    val sc = Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      ((col("vec_id") % 101).cast("decimal(9,4)") / 100).as("score"),
+      when(col("vec_id") % 3 === 0, 1).otherwise(0).as("label"))
+    graft.ops.Calibration.conformal(
+      sc.where(col("vec_id") % 2 === 0),
+      sc.where(col("vec_id") % 2 === 1),
+      "score", "label", new java.math.BigDecimal("0.1000"))
+  }
+
+  /** Session Markov transition matrix ([[graft.ops.Markov
+    * .transitions]]): event-type → next-event-type counts and 6dp row
+    * probabilities, transitions cut at the q_user_sessions 6 h gap —
+    * the lead pairs ride ONE user exchange, the rollup is bounded by
+    * the state-pair vocabulary. */
+  private def qMarkov(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Markov.transitions(
+      Tables.events(s, dir).select("user_id", "ts_us", "event_id", "event_type"),
+      keyCols = Seq("user_id"), tsCol = "ts_us", tieCol = "event_id",
+      stateCol = "event_type", gapUs = UserGapUs)
+
+  /** Keyed cross-correlogram ([[graft.ts.Xcorr.correlogram]],
+    * maxLag 3) between the parity-split channels of each user's
+    * ordered value stream: every lag is a `lead(value, 2l+1)` over
+    * ONE key-ordered window (no self-join), sums are exact 4dp
+    * decimals, rank ties break on lag. */
+  private def qXcorr(s: SparkSession, dir: String): DataFrame =
+    graft.ts.Xcorr.correlogram(
+      Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value"),
+      keyCols = Seq("user_id"), tsCol = "ts_us", tieCol = "event_id",
+      valueCol = "value", maxLag = 3)
+
+  /** Hysteresis burst detection ([[graft.ts.Burst.detect]]): per-user
+    * events entering above μ+2σ, extending above μ+1σ, merging gaps
+    * < 3 samples, dropping spans < 2 — the ripple-detector recipe on
+    * the event value stream, μ/σ DECIMAL-exact so both engines walk
+    * identical thresholds. */
+  private def qRipples(s: SparkSession, dir: String): DataFrame =
+    graft.ts.Burst.detect(
+      Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value"),
+      keyCols = Seq("user_id"), tsCol = "ts_us", tieCol = "event_id",
+      valueCol = "value",
+      kHi = 2.0, kLo = 1.0, mergeGapSamples = 3L, minSamples = 2L)
+
+  /** Per-language parity audit of the gopher gate ([[graft.ops
+    * .Fairness.parityReport]]): selection rate, gap vs overall, and
+    * the four-fifths disparate-impact ratio per lang — ONE scan (the
+    * gate keeps `lang` through), one bounded group rollup. */
+  private def qFairness(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Fairness.parityReport(
+      Text.gopherFilter(
+        Tables.documents(s, dir),
+        minTokens = 20, maxTokens = 80,
+        minMwl = 4.0, maxMwl = 10.0,
+        minStopRatio = 0.02, minTtr = 0.35,
+        keepCols = Seq("lang")),
+      "lang", "passes")
+
   /** Per-rater accuracy vs the majority label
     * ([[graft.ops.Labels.raterAccuracy]]) over the 3-rater fixture:
     * r1 ≈ 1.0 (faithful), r2 loses the vec_id % 5 flips, r3 only
@@ -3204,6 +3268,11 @@ object SparkEntry {
     "q_ppr" -> (qPpr _),
     "q_compaction_plan" -> (qCompactionPlan _),
     "q_zipf" -> (qZipf _),
+    "q_conformal" -> (qConformal _),
+    "q_markov" -> (qMarkov _),
+    "q_fairness" -> (qFairness _),
+    "q_xcorr" -> (qXcorr _),
+    "q_ripples" -> (qRipples _),
     "q_winsorize" -> (qWinsorize _),
     "q_mojibake" -> (qMojibake _),
     "q_trailing_features" -> (qTrailingFeatures _),
@@ -3979,6 +4048,61 @@ object SparkEntry {
         |                  AS DOUBLE) / 1000000.0)
         |    END END AS kappa
         |FROM base CROSS JOIN sm""".stripMargin,
+    "q_conformal" ->
+      """WITH sc AS (SELECT vec_id,
+        |    CAST(CAST(vec_id % 101 AS DECIMAL(9,4)) / 100 AS DECIMAL(9,4)) AS p,
+        |    CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |cal AS (SELECT CASE WHEN y = 1 THEN CAST(1 AS DECIMAL(9,4)) - p ELSE p END AS s
+        |        FROM sc WHERE vec_id % 2 = 0),
+        |bv AS (SELECT s, COUNT(*) AS c FROM cal GROUP BY s),
+        |rk AS (SELECT s, SUM(c) OVER (ORDER BY s) AS cum, SUM(c) OVER () AS n_calib FROM bv),
+        |q AS (SELECT CAST(ANY_VALUE(n_calib) AS BIGINT) AS n_calib,
+        |        COALESCE(MIN(CASE WHEN cum >= CEIL((n_calib + 1) * CAST(0.9000 AS DECIMAL(9,4)))
+        |                          THEN s END),
+        |                 CAST(1 AS DECIMAL(9,4))) AS qhat
+        |      FROM rk),
+        |t AS (SELECT p, y FROM sc WHERE vec_id % 2 = 1)
+        |SELECT n_calib, CAST(qhat AS DOUBLE) AS qhat, COUNT(*) AS n_test,
+        |  ROUND(CAST(SUM(CASE WHEN y = 1 THEN CAST(CAST(1 AS DECIMAL(9,4)) - p <= qhat AS INT)
+        |                      ELSE CAST(p <= qhat AS INT) END) AS DOUBLE) / COUNT(*), 6) AS coverage,
+        |  ROUND(CAST(SUM(CAST(p <= qhat AS INT)
+        |                 + CAST(CAST(1 AS DECIMAL(9,4)) - p <= qhat AS INT)) AS DOUBLE)
+        |        / COUNT(*), 6) AS avg_set_size
+        |FROM t CROSS JOIN q
+        |GROUP BY n_calib, qhat""".stripMargin,
+    "q_markov" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+        |p AS (SELECT event_type AS from_state,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_state,
+        |        lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS dt
+        |      FROM e),
+        |c AS (SELECT from_state, to_state, COUNT(*) AS n FROM p
+        |      WHERE to_state IS NOT NULL AND dt < $UserGapUs GROUP BY 1, 2)
+        |SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_state) AS DOUBLE), 6) AS prob
+        |FROM c""".stripMargin,
+    "q_fairness" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS mean_word_len,
+        |  round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS type_token_ratio
+        |FROM documents),
+        |f AS (SELECT lang AS "group",
+        |  CAST(n_tokens >= 20 AND n_tokens <= 80
+        |       AND mean_word_len >= 4.0 AND mean_word_len <= 10.0
+        |       AND stopword_ratio >= 0.02 AND type_token_ratio >= 0.35 AS INT) AS flag
+        |FROM s),
+        |g AS (SELECT "group", COUNT(*) AS n, CAST(SUM(flag) AS BIGINT) AS n_pos FROM f GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(n_pos) AS BIGINT) AS tp FROM g)
+        |SELECT "group", n, n_pos,
+        |  ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+        |  ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS gap,
+        |  CASE WHEN tp > 0 THEN
+        |    ROUND((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) END AS di_ratio
+        |FROM g CROSS JOIN tot""".stripMargin,
     "q_reliability" ->
       """WITH sc AS (SELECT
         |    CAST(CAST(vec_id % 101 AS DECIMAL(9,4)) / 100 AS DECIMAL(9,4)) AS s,
@@ -4741,6 +4865,8 @@ object SparkEntry {
     "q_psd" -> psdOracleSql,
     "q_band_power" -> bandPowerOracleSql,
     "q_stft" -> stftOracleSql,
+    "q_xcorr" -> xcorrOracleSql,
+    "q_ripples" -> ripplesOracleSql,
     "q_zscore" ->
       """WITH st AS (SELECT event_type, COUNT(CAST(value AS DECIMAL(18,2))) AS n,
         |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
@@ -5855,6 +5981,77 @@ g AS (SELECT user_id, win, COUNT(*) AS nn,
 f AS (SELECT * FROM g WHERE nn = $n)
 $branches"""
   }
+
+  /** q_xcorr: the single-window lead trick re-derived — per lag l the
+    * partner sample sits at offset 2l+1 in the interleaved stream
+    * (negative offsets spelled as `lag()`, DuckDB's lead is
+    * non-negative), sums exact 4dp decimals, rank ties on lag. */
+  private lazy val xcorrOracleSql: String = {
+    val lags = -3 to 3
+    def nm(l: Int) = if (l < 0) s"ym${-l}" else s"yp$l"
+    val leadCols = lags.map { l =>
+      val off = 2 * l + 1
+      val e = if (off >= 0) s"lead(v, $off) OVER w" else s"lag(v, ${-off}) OVER w"
+      s"$e AS ${nm(l)}"
+    }.mkString(",\n        ")
+    val branches = lags.map { l =>
+      s"""SELECT user_id, $l AS "lag", CAST(SUM(v * ${nm(l)}) AS DOUBLE) AS r,
+         |  CAST(COUNT(${nm(l)}) AS BIGINT) AS n_terms FROM x GROUP BY user_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+       |        CAST(value AS DECIMAL(18,2)) AS v FROM events),
+       |r0 AS (SELECT user_id, v,
+       |        row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+       |      FROM e),
+       |l AS (SELECT user_id, rn, v,
+       |        $leadCols
+       |      FROM r0 WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+       |x AS (SELECT * FROM l WHERE rn % 2 = 1),
+       |u AS ($branches)
+       |SELECT user_id, "lag", r, n_terms,
+       |  CAST(row_number() OVER (PARTITION BY user_id
+       |    ORDER BY r DESC NULLS LAST, "lag" ASC) AS INT) AS rank
+       |FROM u""".stripMargin
+  }
+
+  /** q_ripples: the hysteresis chain replayed — DECIMAL-exact μ/σ
+    * (identical doubles on both engines), low-threshold islands by
+    * gaps-and-islands, high-threshold qualification, < 3-sample gap
+    * merge, ≥ 2-sample duration gate. */
+  private lazy val ripplesOracleSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+      |st AS (SELECT user_id, value AS v, ts_us,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn,
+      |        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id) AS DOUBLE) AS s1,
+      |        CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+      |             OVER (PARTITION BY user_id) AS DOUBLE) AS s2,
+      |        CAST(COUNT(*) OVER (PARTITION BY user_id) AS DOUBLE) AS n
+      |      FROM e),
+      |th AS (SELECT *, s1 / n AS mu,
+      |        sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)) AS sigma FROM st),
+      |f AS (SELECT user_id, ts_us, rn, v, v > mu + 2.0 * sigma AS hi
+      |      FROM th WHERE v > mu + 1.0 * sigma),
+      |isl AS (SELECT user_id, ts_us, rn, v, hi,
+      |        rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS g FROM f),
+      |ib AS (SELECT user_id, g, MIN(rn) AS srn, MAX(rn) AS ern,
+      |        MIN(ts_us) AS sts, MAX(ts_us) AS ets,
+      |        MAX(CASE WHEN hi THEN 1 ELSE 0 END) AS has_hi,
+      |        MAX(CAST(v AS DECIMAL(18,2))) AS peak
+      |      FROM isl GROUP BY 1, 2),
+      |q AS (SELECT * FROM ib WHERE has_hi = 1),
+      |m AS (SELECT *, CASE WHEN lag(ern) OVER w IS NOT NULL
+      |                      AND srn - lag(ern) OVER w - 1 < 3
+      |                 THEN 0 ELSE 1 END AS newev
+      |      FROM q WINDOW w AS (PARTITION BY user_id ORDER BY srn)),
+      |mc AS (SELECT *, SUM(newev) OVER (PARTITION BY user_id ORDER BY srn) AS ev FROM m),
+      |ev AS (SELECT user_id, ev, MIN(sts) AS start_us, MAX(ets) AS stop_us,
+      |        CAST(MAX(ern) - MIN(srn) + 1 AS BIGINT) AS n_samples,
+      |        CAST(MAX(peak) AS DOUBLE) AS peak, MIN(srn) AS esrn
+      |      FROM mc GROUP BY 1, 2)
+      |SELECT user_id,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY esrn) AS INT) AS event_seq,
+      |  start_us, stop_us, n_samples, peak
+      |FROM ev WHERE n_samples >= 2""".stripMargin
 
   /** Shared CTE chain for the MinHash-LSH oracles (q_minhash_lsh,
     * q_source_overlap): shingles → (h1,h2) seeds → minhash per seed →

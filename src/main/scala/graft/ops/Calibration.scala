@@ -96,4 +96,103 @@ object Calibration {
       .withColumn("ece", eceFromTotals(col("__d"), col("n")))
       .select("n", "ece")
   }
+
+  /** Split-conformal prediction for a binary probabilistic classifier
+    * (Vovk et al.; the Angelopoulos-Bates recipe): from a held-out
+    * calibration set, the quantile threshold q̂ = the
+    * ⌈(n+1)(1−α)⌉-th smallest nonconformity score
+    * `s = 1 − p if label = 1 else p`, then the marginal coverage and
+    * mean prediction-set size that q̂ yields on a test set
+    * (C(x) = {1 if 1−p ≤ q̂} ∪ {0 if p ≤ q̂}).
+    *
+    * Exactness: scores are 4dp DECIMAL (the calibration-family
+    * contract), so nonconformities are exact and q̂ is an exact order
+    * statistic; coverage / set size are single 6dp divisions of exact
+    * integer counts. When ⌈(n+1)(1−α)⌉ > n the conformal guarantee
+    * forces the full set — q̂ = 1 (the max possible nonconformity for
+    * probabilities).
+    *
+    * Shape at scale: the rank never sorts the corpus — nonconformities
+    * are rolled up per DISTINCT 4dp value (≤ 10⁴ + 1 rows by
+    * construction), the cumulative rank rides that bounded frame, and
+    * q̂ broadcasts to one test-side aggregate.
+    */
+  def conformal(
+      calib: DataFrame,
+      test: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      alpha: java.math.BigDecimal
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha.signum > 0 && alpha.compareTo(java.math.BigDecimal.ONE) < 0,
+      s"alpha must be in (0, 1), got $alpha")
+    val oneMinus = new java.math.BigDecimal(1).subtract(alpha)
+    def noncon(df: DataFrame): Column = {
+      val p = col(scoreCol).cast("decimal(9,4)")
+      when(col(labelCol).cast("int") === 1, lit(java.math.BigDecimal.ONE).cast("decimal(9,4)") - p)
+        .otherwise(p)
+    }
+    // per-distinct-value rollup: the cumulative rank rides a frame
+    // bounded by the 4dp score vocabulary, never the calibration set
+    val byVal = guardScores(calib, scoreCol)
+      .select(noncon(calib).as("s"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("c"))
+    val ordered = Window.orderBy(col("s").asc)
+    val all = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val ranked = byVal
+      .withColumn("cum", sum(col("c")).over(ordered.rowsBetween(Long.MinValue, 0)))
+      .withColumn("n_calib", sum(col("c")).over(all))
+    val qhat = ranked
+      .withColumn("k", ceil((col("n_calib") + 1).cast("decimal(28,4)") * lit(oneMinus)))
+      .agg(
+        first(col("n_calib")).as("n_calib"),
+        coalesce(
+          min(when(col("cum") >= col("k"), col("s"))),
+          lit(java.math.BigDecimal.ONE).cast("decimal(9,4)")).as("qhat"))
+    // test side rolls up to the bounded (p, y) vocabulary FIRST (one
+    // map-side-combinable aggregate over the corpus), so everything
+    // downstream only ever touches ≤ 2·10⁴+1 rows
+    val tRoll = guardScores(test, scoreCol)
+      .groupBy(
+        col(scoreCol).cast("decimal(9,4)").as("p"),
+        col(labelCol).cast("int").as("y"))
+      .agg(count(lit(1)).as("c"))
+    // q̂ attaches by UNION + unbounded window over the bounded frame —
+    // no join at all (a constant-key join here would optimize into the
+    // nested-loop cross join this library bans)
+    val combined = tRoll
+      .select(col("p"), col("y"), col("c"),
+        lit(null).cast("long").as("n_calib"),
+        lit(null).cast("decimal(9,4)").as("qhat"))
+      .unionByName(qhat.select(
+        lit(null).cast("decimal(9,4)").as("p"),
+        lit(null).cast("int").as("y"),
+        lit(null).cast("long").as("c"),
+        col("n_calib"), col("qhat")))
+    val whole = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    combined
+      .withColumn("n_calib", max(col("n_calib")).over(whole))
+      .withColumn("qhat", max(col("qhat")).over(whole))
+      .where(col("p").isNotNull)
+      .select(
+        col("n_calib"), col("qhat"), col("c"),
+        // set membership: exact decimal comparisons against q̂
+        (lit(java.math.BigDecimal.ONE).cast("decimal(9,4)") - col("p") <= col("qhat"))
+          .cast("int").as("in1"),
+        (col("p") <= col("qhat")).cast("int").as("in0"),
+        col("y"))
+      .groupBy("n_calib", "qhat")
+      .agg(
+        sum(col("c")).as("n_test"),
+        sum(when(col("y") === 1, col("in1")).otherwise(col("in0")) * col("c")).as("__cov"),
+        sum((col("in0") + col("in1")) * col("c")).as("__sz"))
+      .select(
+        col("n_calib"),
+        col("qhat").cast("double").as("qhat"),
+        col("n_test"),
+        round(col("__cov").cast("double") / col("n_test").cast("double"), 6).as("coverage"),
+        round(col("__sz").cast("double") / col("n_test").cast("double"), 6).as("avg_set_size"))
+  }
 }

@@ -969,7 +969,8 @@ object Text {
       maxMwl: Double = 10.0,
       minStopRatio: Double = 0.01,
       minTtr: Double = 0.1,
-      stopwords: Seq[String] = Seq("the", "a")
+      stopwords: Seq[String] = Seq("the", "a"),
+      keepCols: Seq[String] = Nil
   ): DataFrame = {
     val toks = split(col("text"), " ")
     val nTok = size(toks).cast("long")
@@ -980,8 +981,8 @@ object Text {
         .getItem(0).cast("double") / nTokD, 4)
     val ttr = round(size(array_distinct(toks)).cast("double") / nTokD, 4)
     documents
-      .select(col("doc_id"), nTok.as("n_tokens"), mwl.as("mean_word_len"),
-        stopR.as("stopword_ratio"), ttr.as("type_token_ratio"))
+      .select(Seq(col("doc_id"), nTok.as("n_tokens"), mwl.as("mean_word_len"),
+        stopR.as("stopword_ratio"), ttr.as("type_token_ratio")) ++ keepCols.map(col): _*)
       .withColumn("passes",
         (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
           col("mean_word_len") >= minMwl && col("mean_word_len") <= maxMwl &&
