@@ -77,6 +77,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        FunctionIdentifier("fft_complex_bins"),
+        new ExpressionInfo(classOf[graft.functions.FftComplexBins].getName, "fft_complex_bins"),
+        graft.functions.FftComplexBins.builder(_)
+      )
+    )
+    ext.injectFunction(
+      (
         FunctionIdentifier("winnow_fps"),
         new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
         WinnowFps.builder(_)

@@ -222,6 +222,31 @@ object SparkEntry {
       windowSize = 8,
       hop = 4)
 
+  /** Welch magnitude-squared coherence ([[graft.dsp.Spectral
+    * .coherence]], windowSize 8) between the parity-split channels of
+    * each user's value stream: per-window complex FFT bins quantized
+    * to 4dp DECIMAL so the Welch sums are exact; the oracle recomputes
+    * every bin with unrolled direct-DFT trig sums. */
+  private def qCoherence(s: SparkSession, dir: String): DataFrame =
+    graft.dsp.Spectral.coherence(
+      Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value"),
+      keyCols = Seq("user_id"),
+      orderCols = Seq(col("ts_us").asc, col("event_id").asc),
+      valueCol = "value",
+      windowSize = 8)
+
+  /** Mutual-kNN graph ([[graft.ops.Similarity.mutualKnn]], k = 5)
+    * over the decimated node subset (vec_id % 10 — the bounded-frame
+    * contract of the exact form; IVF/LSH candidates are the 100 TB
+    * route): symmetric edges where each endpoint ranks in the other's
+    * cosine top-5. */
+  private def qKnnGraph(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.mutualKnn(
+      Tables.embeddings(s, dir)
+        .where(col("vec_id") % 10 === 0)
+        .select("vec_id", "embedding"),
+      k = 5)
+
   /** F13/F14 timestamp validation report. */
   private def qTsValidation(s: SparkSession, dir: String): DataFrame =
     Validation.report(Tables.events(s, dir), "ts_us", "event_id")
@@ -1884,6 +1909,20 @@ object SparkEntry {
     Graph.labelPropagation(edges, iterations = 3, weightCol = Some("w"))
   }
 
+  /** Newman modularity of the LPA partition ([[graft.ops.Graph
+    * .modularity]]) on the crawl link graph — the quality readout for
+    * q_label_prop's communities: per-community degree/intra rollups
+    * on LPA's own symmetrized view, cleared-form contributions from
+    * integral-double sums (exact both engines). */
+  private def qModularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = qLinkGraph(s, dir).select(
+      col("src_domain").as("src"),
+      col("dst_domain").as("dst"),
+      col("n_links").cast("double").as("w"))
+    val labels = Graph.labelPropagation(edges, iterations = 3, weightCol = Some("w"))
+    Graph.modularity(edges, labels, weightCol = Some("w"))
+  }
+
   /** Join-skew advisor ([[graft.ops.SkewJoin.skewAdvisor]]) — the
     * per-key companion to [[qJoinSize]]'s total: for the
     * lineitem ⋈ lineitem supplier self-join (the part-co-occurrence
@@ -3273,6 +3312,9 @@ object SparkEntry {
     "q_fairness" -> (qFairness _),
     "q_xcorr" -> (qXcorr _),
     "q_ripples" -> (qRipples _),
+    "q_coherence" -> (qCoherence _),
+    "q_knn_graph" -> (qKnnGraph _),
+    "q_modularity" -> (qModularity _),
     "q_winsorize" -> (qWinsorize _),
     "q_mojibake" -> (qMojibake _),
     "q_trailing_features" -> (qTrailingFeatures _),
@@ -3464,7 +3506,7 @@ object SparkEntry {
     * takes the neighbor label with the max summed weight, ties to the
     * bytewise smallest label, exactly as
     * [[graft.ops.Graph.labelPropagation]] computes it. */
-  private def lpaRecurrenceSql(edgesCtes: String, iterations: Int): String = {
+  private def lpaCtesSql(edgesCtes: String, iterations: Int): String = {
     val iters = (1 to iterations).map { k =>
       s"""l$k AS (SELECT node, label FROM (
          |  SELECT sym.a AS node, l.label,
@@ -3473,18 +3515,44 @@ object SparkEntry {
          |  FROM sym JOIN l${k - 1} l ON l.node = sym.b
          |  GROUP BY sym.a, l.label) WHERE r = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $edgesCtes,
+    s"""$edgesCtes,
        |sym AS MATERIALIZED (SELECT a, b, SUM(w) AS w FROM (
        |  SELECT src AS a, dst AS b, w FROM edges
        |  UNION ALL SELECT dst AS a, src AS b, w FROM edges) t
        | WHERE a <> b GROUP BY a, b),
        |l0 AS (SELECT DISTINCT b AS node, b AS label FROM sym),
-       |$iters
-       |SELECT node, label FROM l$iterations""".stripMargin
+       |$iters""".stripMargin
   }
+
+  private def lpaRecurrenceSql(edgesCtes: String, iterations: Int): String =
+    s"""WITH ${lpaCtesSql(edgesCtes, iterations)}
+       |SELECT node, label FROM l$iterations""".stripMargin
 
   private lazy val labelPropOracleSql: String =
     lpaRecurrenceSql(linkGraphEdgesCtes, iterations = 3)
+
+  /** q_modularity: Newman Q of the LPA partition replayed — the lpa
+    * CTE chain re-used verbatim, then degree / intra-weight rollups
+    * and the cleared per-community form `(e2·S − d²)/S²` (all sums of
+    * integral doubles — exact on both engines in any order). */
+  private lazy val modularityOracleSql: String =
+    s"""WITH ${lpaCtesSql(linkGraphEdgesCtes, iterations = 3)},
+       |deg AS (SELECT a AS node, SUM(w) AS d FROM sym GROUP BY 1),
+       |stot AS (SELECT SUM(d) AS s FROM deg),
+       |nl AS (SELECT deg.node, deg.d, l3.label FROM deg JOIN l3 ON l3.node = deg.node),
+       |dc AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes, SUM(d) AS d_sum
+       |       FROM nl GROUP BY 1),
+       |intra AS (SELECT la.label, SUM(sym.w) AS e2 FROM sym
+       |          JOIN l3 la ON la.node = sym.a
+       |          JOIN l3 lb ON lb.node = sym.b
+       |          WHERE la.label = lb.label GROUP BY 1),
+       |comm AS (SELECT dc.label, dc.n_nodes, dc.d_sum,
+       |           COALESCE(intra.e2, 0.0) AS e_intra2
+       |         FROM dc LEFT JOIN intra ON intra.label = dc.label)
+       |SELECT label, n_nodes, d_sum, e_intra2,
+       |  round((e_intra2 * s - d_sum * d_sum) / (s * s), 8) AS contrib,
+       |  round(SUM((e_intra2 * s - d_sum * d_sum) / (s * s)) OVER (), 6) AS q
+       |FROM comm CROSS JOIN stot""".stripMargin
 
 
   /** One q_quantiles column replayed: the same min/max → equi-width
@@ -3807,6 +3875,7 @@ object SparkEntry {
     "q_link_authority" -> linkAuthorityOracleSql,
     "q_hits" -> hitsOracleSql,
     "q_label_prop" -> labelPropOracleSql,
+    "q_modularity" -> modularityOracleSql,
     "q_triangles" -> trianglesOracleSql,
     "q_kcore" -> kcoreOracleSql,
     "q_bfs_hops" ->
@@ -4867,6 +4936,7 @@ object SparkEntry {
     "q_stft" -> stftOracleSql,
     "q_xcorr" -> xcorrOracleSql,
     "q_ripples" -> ripplesOracleSql,
+    "q_coherence" -> coherenceOracleSql,
     "q_zscore" ->
       """WITH st AS (SELECT event_type, COUNT(CAST(value AS DECIMAL(18,2))) AS n,
         |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
@@ -4997,6 +5067,25 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
         |      FROM c)
         |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10""".stripMargin,
+    "q_knn_graph" ->
+      """WITH nodes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id, q.embedding AS qe, c.embedding AS ee
+        |      FROM nodes q JOIN nodes c ON q.vec_id <> c.vec_id),
+        |u AS (SELECT query_id, vec_id, unnest(qe) AS qv, unnest(ee) AS ev FROM p),
+        |d AS (SELECT query_id, vec_id,
+        |        SUM(CAST(qv AS DOUBLE) * CAST(ev AS DOUBLE)) AS dp,
+        |        SUM(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS qq,
+        |        SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS ee2
+        |      FROM u GROUP BY query_id, vec_id),
+        |c AS (SELECT query_id, vec_id, round(dp / (sqrt(qq) * sqrt(ee2)), 6) AS cos_sim FROM d),
+        |r AS (SELECT query_id, vec_id, cos_sim,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        |      FROM c),
+        |topk AS (SELECT * FROM r WHERE rank <= 5)
+        |SELECT f.query_id AS a, f.vec_id AS b, f.cos_sim,
+        |  CAST(f.rank AS INT) AS rank_ab, CAST(g.rank AS INT) AS rank_ba
+        |FROM topk f JOIN topk g ON g.query_id = f.vec_id AND g.vec_id = f.query_id
+        |WHERE f.query_id < f.vec_id""".stripMargin,
     "q_minhash_lsh" ->
       s"""$minhashBandsCte
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -5980,6 +6069,50 @@ g AS (SELECT user_id, win, COUNT(*) AS nn,
       FROM w GROUP BY user_id, win),
 f AS (SELECT * FROM g WHERE nn = $n)
 $branches"""
+  }
+
+  /** q_coherence: the Welch chain replayed with UNROLLED direct-DFT
+    * trig sums per channel (literal constants from the same driver
+    * arithmetic as the engine's reference DFT), 4dp-quantized to
+    * DECIMAL before the cross products — so the Welch sums compare
+    * exactly and only the per-window bins carry the (sub-rounding)
+    * butterflies-vs-direct float gap. */
+  private lazy val coherenceOracleSql: String = {
+    val n = 8
+    def cs(j: Int, k: Int): Double = math.cos(-2.0 * math.Pi * j * k / n)
+    def sn(j: Int, k: Int): Double = math.sin(-2.0 * math.Pi * j * k / n)
+    def trig(k: Int, ch: Int, f: (Int, Int) => Double): String = {
+      val cases = (0 until n).map(j => s"WHEN $j THEN CAST(${f(j, k)} AS DOUBLE)").mkString(" ")
+      s"CAST(round(SUM(CASE WHEN ch = $ch THEN v * (CASE j $cases END) END), 4) AS DECIMAL(18,4))"
+    }
+    val aggs = (0 to n / 2).flatMap { k =>
+      Seq(
+        s"${trig(k, 0, cs)} AS xr$k", s"${trig(k, 0, sn)} AS xi$k",
+        s"${trig(k, 1, cs)} AS yr$k", s"${trig(k, 1, sn)} AS yi$k")
+    }.mkString(",\n        ")
+    val branches = (0 to n / 2).map { k =>
+      s"SELECT user_id, win, $k AS bin, xr$k AS xr, xi$k AS xi, yr$k AS yr, yi$k AS yi FROM f"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value AS v FROM events),
+r AS (SELECT user_id, v,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - 1 AS rn
+      FROM e),
+c AS (SELECT user_id, v, CAST(rn % 2 AS INT) AS ch,
+        (rn // 2) // $n AS win, CAST((rn // 2) % $n AS INT) AS j FROM r),
+g AS (SELECT user_id, win, COUNT(*) AS nn,
+        $aggs
+      FROM c GROUP BY user_id, win),
+f AS (SELECT * FROM g WHERE nn = ${2 * n}),
+u AS ($branches),
+roll AS (SELECT user_id, bin, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        SUM(xr * yr + xi * yi) AS cre, SUM(xi * yr - xr * yi) AS cim,
+        SUM(xr * xr + xi * xi) AS sxx, SUM(yr * yr + yi * yi) AS syy
+      FROM u GROUP BY user_id, bin)
+SELECT user_id, bin, n_windows,
+  CASE WHEN sxx > 0 AND syy > 0 THEN
+    round((CAST(cre AS DOUBLE) * CAST(cre AS DOUBLE) + CAST(cim AS DOUBLE) * CAST(cim AS DOUBLE))
+          / (CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)), 6) END AS coherence
+FROM roll"""
   }
 
   /** q_xcorr: the single-window lead trick re-derived — per lag l the

@@ -97,6 +97,84 @@ object Spectral {
       .withColumn("log_power", round(log10(col("col") + lit(1.0)), 4))
       .drop("col")
 
+  /** Welch magnitude-squared coherence between the two interleaved
+    * channels of a keyed ordered stream (x = even stream positions,
+    * y = odd — the 2-channel recording layout, same parity contract
+    * as [[graft.ts.Xcorr]]): per frequency bin k,
+    *
+    *   coh(k) = |Σ_w X_w(k)·conj(Y_w(k))|² / (Σ_w |X_w(k)|² · Σ_w |Y_w(k)|²)
+    *
+    * over consecutive complete `windowSize`-sample windows of each
+    * channel. Per-window complex bins come from the radix-2 kernel
+    * ([[graft.functions.FftComplexBins]]) and are quantized to 4dp
+    * DECIMAL before the cross products, so every Welch sum is exact —
+    * engine and oracle walk identical arithmetic regardless of
+    * window-summation order (the butterflies-vs-direct-DFT float gap
+    * lives only under the 4dp rounding, where it is ~10⁻¹³ against a
+    * 5·10⁻⁵ boundary).
+    *
+    * Shape at scale: ONE per-key exchange assembles (key, win) groups
+    * of exactly 2·windowSize samples; the bin explode is ×(n/2+1) on
+    * the window frame; the Welch rollup is map-side combinable and
+    * bounded by keys × bins. Output: keys…, bin, n_windows,
+    * coherence (6dp, NULL for a zero-power channel). */
+  def coherence(
+      signal: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      valueCol: String,
+      windowSize: Int
+  ): DataFrame = {
+    require(windowSize >= 2 && (windowSize & (windowSize - 1)) == 0,
+      s"windowSize must be a power of two >= 2, got $windowSize")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(orderCols: _*)
+    val rn = (row_number().over(w) - 1).cast("long")
+    val staged = signal
+      .withColumn("__rn", rn)
+      .withColumn("__ch", expr("__rn % 2").cast("int"))
+      .withColumn("win", expr(s"(__rn div 2) div $windowSize"))
+      .withColumn("__j", expr(s"(__rn div 2) % $windowSize").cast("int"))
+    def chanArr(ch: Int) = transform(
+      filter(col("__s"), s => s.getField("__ch") === ch),
+      s => s.getField("__v"))
+    val grouped = staged
+      .groupBy(keys :+ col("win"): _*)
+      .agg(
+        count(lit(1)).as("__n"),
+        sort_array(collect_list(struct(
+          col("__j"), col("__ch"), col(valueCol).cast("double").as("__v")))).as("__s"))
+      .where(col("__n") === (2L * windowSize))
+      .withColumn("__X", graft.functions.FftComplexBins.complexBins(chanArr(0)))
+      .withColumn("__Y", graft.functions.FftComplexBins.complexBins(chanArr(1)))
+      .withColumn("bin", explode(sequence(lit(0), lit(windowSize / 2))))
+    // 4dp-quantized complex bins: Welch sums become exact decimals
+    def q(arr: String, off: Int): Column =
+      round(element_at(col(arr), col("bin") * 2 + off), 4).cast("decimal(18,4)")
+    val terms = grouped.select(
+      keys ++ Seq(col("bin"),
+        q("__X", 1).as("xr"), q("__X", 2).as("xi"),
+        q("__Y", 1).as("yr"), q("__Y", 2).as("yi")): _*)
+    val roll = terms
+      .groupBy(keys :+ col("bin"): _*)
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(col("xr") * col("yr") + col("xi") * col("yi")).as("__cre"),
+        sum(col("xi") * col("yr") - col("xr") * col("yi")).as("__cim"),
+        sum(col("xr") * col("xr") + col("xi") * col("xi")).as("__sxx"),
+        sum(col("yr") * col("yr") + col("yi") * col("yi")).as("__syy"))
+    val cre = col("__cre").cast("double")
+    val cim = col("__cim").cast("double")
+    val sxx = col("__sxx").cast("double")
+    val syy = col("__syy").cast("double")
+    roll.select(
+      keys ++ Seq(
+        col("bin"), col("n_windows"),
+        when(col("__sxx") > 0 && col("__syy") > 0,
+          round((cre * cre + cim * cim) / (sxx * syy), 6)).as("coherence")): _*)
+  }
+
   /** Shared window assembly + FFT: (keys…, win, __p = one-sided bin
     * powers) for complete windows only. `hop` = windowSize is the
     * non-overlapping fast path (win/j by plain division — no

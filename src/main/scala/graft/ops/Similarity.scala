@@ -260,4 +260,35 @@ object Similarity {
         (abs(col("dist") - col("__mean")) > lit(zThreshold) * col("__std")).cast("int")
           .as("is_outlier"))
   }
+
+  /** Mutual-kNN graph over a node frame: the symmetric edge set
+    * {a, b} where b is in a's cosine top-k AND a is in b's — the
+    * standard graph for semantic clustering / manifold steps (mutual
+    * edges filter the hub effect a one-directional kNN graph
+    * suffers). Exact by construction: it reuses [[bruteForceTopK]]'s
+    * 6dp-rounded, vec_id-tie-broken ranking, so the result is
+    * engine-independent.
+    *
+    * Contract: `nodes` must be bounded (both directions of the
+    * brute-force pair scan broadcast it — the same contract as every
+    * brute-force baseline here). The 100 TB route is candidate
+    * generation through the IVF cell join or [[lshNearDupPairs]]
+    * buckets, with this exact form as the per-bucket verifier.
+    *
+    * Output: (a, b) with a < b, `cos_sim`, `rank_ab` (b's rank in
+    * a's list), `rank_ba`. */
+  def mutualKnn(nodes: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val topk = bruteForceTopK(nodes, nodes, k)
+    val fwd = topk.select(
+      col("query_id").as("a"), col("vec_id").as("b"),
+      col("cos_sim"), col("rank").as("rank_ab"))
+    val rev = topk.select(
+      col("vec_id").as("a"), col("query_id").as("b"),
+      col("rank").as("rank_ba"))
+    fwd
+      .join(rev, Seq("a", "b"))
+      .where(col("a") < col("b"))
+      .select("a", "b", "cos_sim", "rank_ab", "rank_ba")
+  }
 }

@@ -45,8 +45,12 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // q_hard_negatives (candidates now via Ivf.hardNegativesIndexed's
     // cell join, label inequality per bucket) left this list — their
     // plans are asserted BNLJ-free below.
+    //  - q_knn_graph reuses q_sim_topk's brute-force scorer over the
+    //    bounded node subset (exact mutual-kNN is all-pairs BY
+    //    DEFINITION; the mutual join itself is asserted hash below)
     val allowed = Set(
-      "q_sim_topk", "q_ivf_topk", "q_ivf_serve", "q_pq_topk", "q_sq8_topk")
+      "q_sim_topk", "q_ivf_topk", "q_ivf_serve", "q_pq_topk", "q_sq8_topk",
+      "q_knn_graph")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(allowed).foreach { name =>
       val p = planString(name)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a BNLJ:\n$p")
@@ -62,6 +66,11 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // through the IVF cell hash-join
     assert(planString("q_hard_negatives").contains("BroadcastHashJoin"))
     assert(planString("q_hybrid_rrf").contains("BroadcastHashJoin"))
+    // r15: q_knn_graph's mutual-direction join is an equi hash/merge
+    // join on (a, b) — only the scorer is the pinned brute-force BNLJ
+    val knn = planString("q_knn_graph")
+    assert(knn.contains("HashJoin") || knn.contains("SortMergeJoin"),
+      s"mutual-kNN direction join must be an equi join:\n$knn")
   }
 
   test("q_dedup_incremental broadcasts the BATCH side — the corpus index never shuffles") {

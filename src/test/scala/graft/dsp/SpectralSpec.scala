@@ -114,4 +114,74 @@ class SpectralSpec extends SparkSpec {
     assert(b.head == ((0, math.rint(math.log10(65.0) * 1e4) / 1e4)))
     assert(b.tail.forall(_._2 == 0.0), b.mkString(","))
   }
+
+  test("FftComplexBins: re^2 + im^2 reproduces FftPowerBins bit-for-bit") {
+    for (n <- Seq(2, 4, 8, 16); seed <- 1 to 3) {
+      val x = Array.fill(n)(rng(seed * 300 + n).nextDouble() * 200 - 100)
+      val df = Seq(Tuple1(x.toSeq)).toDF("w")
+      val c = df.select(
+        graft.functions.FftComplexBins.complexBins(col("w")).as("c"),
+        FftPowerBins.powerBins(col("w")).as("p")).head()
+      val cx = c.getSeq[Double](0)
+      val p = c.getSeq[Double](1)
+      assert(cx.length == 2 * (n / 2 + 1))
+      (0 to n / 2).foreach { k =>
+        // identical float path (shared kernel), so exact equality
+        assert(cx(2 * k) * cx(2 * k) + cx(2 * k + 1) * cx(2 * k + 1) == p(k))
+      }
+    }
+  }
+
+  test("coherence: identical channels cohere at exactly 1 on every live bin") {
+    // interleave each sample with itself: x == y per window
+    val vals = Seq(3.5, -1.25, 8.0, 0.5, 2.0, -4.75, 6.25, 1.0,
+      -2.5, 5.0, 0.25, 7.75, -3.0, 4.5, 1.5, -0.75)
+    val rows = vals.zipWithIndex.flatMap { case (v, i) =>
+      Seq((1L, 2L * i, v), (1L, 2L * i + 1, v))
+    }
+    val df = rows.toDF("k", "ts", "value")
+    val got = Spectral.coherence(df, Seq("k"), Seq(col("ts").asc), "value", 8)
+      .collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(got.keySet == Set(0, 1, 2, 3, 4))
+    got.values.foreach { case (nw, coh) =>
+      assert(nw == 2L)
+      assert(coh.forall(_ == 1.0), got.toString)
+    }
+  }
+
+  test("coherence: window-size-2 hand computation") {
+    // one window per channel: x = (1, 2), y = (3, 5)
+    // X = (3, -1), Y = (8, -2); single-window coherence is 1 by
+    // construction — use TWO windows with different spectra so the
+    // cross term actually averages: second window x = (2, 2), y = (1, 0)
+    val xs = Seq(1.0, 2.0, 2.0, 2.0)
+    val ys = Seq(3.0, 5.0, 1.0, 0.0)
+    val rows = xs.zip(ys).zipWithIndex.flatMap { case ((x, y), i) =>
+      Seq((1L, 2L * i, x), (1L, 2L * i + 1, y))
+    }
+    val df = rows.toDF("k", "ts", "value")
+    val got = Spectral.coherence(df, Seq("k"), Seq(col("ts").asc), "value", 2)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    // bin 0: X = (3, 4), Y = (8, 1): cre = 24 + 4 = 28, cim = 0
+    //   sxx = 9 + 16 = 25, syy = 64 + 1 = 65 -> 784 / 1625
+    val want0 = math.rint(784.0 / 1625.0 * 1e6) / 1e6
+    // bin 1: X bins (-1, 0), Y bins (-2, 1): cre = 2, sxx = 1, syy = 5 -> 4/5
+    assert(got(0) == want0)
+    assert(got(1) == 0.8)
+  }
+
+  test("coherence: dead channel yields NULL, partial window pair drops") {
+    // 8 x-samples of zeros interleaved with a live y; window 4 -> 2
+    // windows; plus a 3-sample tail that must drop
+    val rows = (0 until 19).map { i =>
+      (1L, i.toLong, if (i % 2 == 0) 0.0 else (i % 7).toDouble)
+    }
+    val df = rows.toDF("k", "ts", "value")
+    val got = Spectral.coherence(df, Seq("k"), Seq(col("ts").asc), "value", 4)
+      .collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.isNullAt(3)), got.mkString(","))
+  }
 }

@@ -485,4 +485,47 @@ class GraphSpec extends SparkSpec {
     }
     assert(got == dist)
   }
+
+  test("modularity: two triangles + bridge, hand-computed Q") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4; m = 7, S = 2m = 14
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)
+    ).toDF("src", "dst")
+    val labels = Seq(
+      (1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B")
+    ).toDF("node", "label")
+    val got = Graph.modularity(edges, labels)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // per community: d = 7, e2 = 6 -> contrib = (6*14 - 49)/196
+    val contrib = math.rint((6.0 * 14 - 49) / 196 * 1e8) / 1e8
+    assert(got("A") == (3L, 7.0, 6.0, contrib, 0.357143))
+    assert(got("B") == (3L, 7.0, 6.0, contrib, 0.357143))
+  }
+
+  test("modularity: one community covering everything scores 0") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val labels = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("node", "label")
+    val rows = Graph.modularity(edges, labels).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getDouble(5) == 0.0)
+    assert(rows.head.getDouble(4) == 0.0) // e2 = S, d = S -> cleared form 0
+  }
+
+  test("modularity: community with no internal edges gets e_intra2 = 0") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (3L, 1L), (3L, 2L)).toDF("src", "dst")
+    val labels = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("node", "label")
+    val got = Graph.modularity(edges, labels)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got("b") == 0.0)
+    assert(got("a") == 2.0) // edge 1-2, both directions
+  }
 }
