@@ -1100,4 +1100,94 @@ object Streaming {
           } else Iterator.empty
       }
   }
+
+  /** Closed ripple/burst event from [[burstStream]]. */
+  final case class BurstOut(
+      key: String, start_ts: Long, stop_ts: Long, n_samples: Long, peak: Double)
+
+  /** Streaming twin of [[graft.ts.Burst.detect]] — the live ripple
+    * monitor: fixed hysteresis thresholds (`hi`/`lo` come from a
+    * batch-calibrated baseline, the deployment form of the batch op's
+    * per-key μ + k·σ), merge-gap and min-duration semantics identical
+    * to batch over unit-spaced per-key sample streams.
+    *
+    * Emission is confirm-on-progress (the [[twapStream]] discipline):
+    * a qualified event emits only once a later sample proves nothing
+    * can merge into it — any sample whose position is ≥ mergeGap past
+    * the event's end (below-threshold tick or the start of the next
+    * run). Replaying a prefix therefore never emits an event a longer
+    * prefix would have merged; StreamingSpec pins prefix parity with
+    * the batch operator via flush ticks.
+    *
+    * State per key: the open run and at most one pending qualified
+    * event — O(1), independent of stream length. Values are held as
+    * exact cents (the 2dp contract shared with [[twapStream]]), so
+    * peaks compare identically to batch decimals. */
+  def burstStream(
+      samples: Dataset[Sample],
+      hi: Double,
+      lo: Double,
+      mergeGapSamples: Long,
+      minSamples: Long
+  ): Dataset[BurstOut] = {
+    require(hi >= lo, s"hi ($hi) must be >= lo ($lo)")
+    import samples.sparkSession.implicits._
+    def cents(d: Double): Long =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    // state: (runStart, runEnd, runHasHi, runPeakCents,
+    //         pendStart, pendEnd, pendPeakCents, hasPend)
+    samples
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[
+        (Long, Long, Boolean, Long, Long, Long, Long, Boolean), BurstOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows,
+          state: GroupState[(Long, Long, Boolean, Long, Long, Long, Long, Boolean)]) =>
+          val arr = rows.toArray
+          scala.util.Sorting.stableSort(arr, (a: Sample, b: Sample) => a.ts < b.ts)
+          var (rs, re, rHi, rPeak, ps, pe, pPeak, hasPend) =
+            state.getOption.getOrElse((-1L, -1L, false, 0L, 0L, 0L, 0L, false))
+          var hasRun = rs >= 0
+          val out = scala.collection.mutable.ArrayBuffer.empty[BurstOut]
+          def flushPend(): Unit = {
+            if (hasPend && pe - ps + 1 >= minSamples)
+              out += BurstOut(key, ps, pe, pe - ps + 1, pPeak / 100.0)
+            hasPend = false
+          }
+          def closeRun(): Unit = {
+            if (hasRun && rHi) {
+              if (hasPend && rs - pe - 1 < mergeGapSamples) {
+                pe = re; pPeak = math.max(pPeak, rPeak)
+              } else {
+                flushPend()
+                ps = rs; pe = re; pPeak = rPeak; hasPend = true
+              }
+            }
+            hasRun = false
+          }
+          arr.foreach { s =>
+            val c = cents(s.value)
+            val v = c / 100.0
+            if (v > lo) {
+              if (hasRun && s.ts == re + 1) {
+                re = s.ts; rHi = rHi || v > hi; rPeak = math.max(rPeak, c)
+              } else {
+                closeRun()
+                // a run starting ≥ mergeGap past the pending end proves
+                // the pending event final
+                if (hasPend && s.ts - pe - 1 >= mergeGapSamples) flushPend()
+                hasRun = true; rs = s.ts; re = s.ts; rHi = v > hi; rPeak = c
+              }
+            } else {
+              closeRun()
+              // any future run starts at ≥ ts + 1
+              if (hasPend && s.ts - pe >= mergeGapSamples) flushPend()
+            }
+          }
+          state.update((if (hasRun) rs else -1L, re, rHi, rPeak, ps, pe, pPeak, hasPend))
+          out.iterator
+      }
+  }
 }

@@ -7,6 +7,60 @@ import org.apache.spark.sql.functions._
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("burstStream: prefix emissions equal batch Burst.detect after flush ticks") {
+    implicit val sqlCtx = spark.sqlContext
+    // unit-spaced fixture incl. the flush ticks (ticks are ordinary
+    // below-threshold samples, so batch stats include them too):
+    // key a: islands at 2-3, 6, 10 (merge 2-3 with 6; 10 drops at
+    // minSamples 2); key b: one long island 4-8
+    val aVals = Seq(0.0, 10.0, 10.0, 0.0, 0.0, 10.0, 0.0, 0.0, 0.0, 10.0)
+    val bVals = Seq(0.0, 0.0, 0.0, 9.0, 10.0, 9.0, 9.0, 10.0, 0.0)
+    val rows =
+      aVals.zipWithIndex.map { case (v, i) => Streaming.Sample("a", (i + 1).toLong, v) } ++
+        bVals.zipWithIndex.map { case (v, i) => Streaming.Sample("b", (i + 1).toLong, v) } ++
+        Seq(Streaming.Sample("a", 30L, 0.0), Streaming.Sample("b", 30L, 0.0)) // flush ticks
+    // thresholds: the batch op's per-key mu + k*sigma, replicated with
+    // the same decimal-exact spelling (both keys get their own)
+    def thresholds(vals: Seq[Double], extra: Seq[Double], kHi: Double, kLo: Double) = {
+      val all = vals ++ extra
+      val s1 = all.map(v => BigDecimal(v).setScale(2)).sum.toDouble
+      val s2 = all.map(v => BigDecimal(v).setScale(2).pow(2)).sum.toDouble
+      val n = all.size.toDouble
+      val mu = s1 / n
+      val sigma = math.sqrt(math.max((s2 - s1 * s1 / n) / n, 0.0))
+      (mu + kHi * sigma, mu + kLo * sigma)
+    }
+    val (hiA, loA) = thresholds(aVals, Seq(0.0), 1.0, 0.5)
+    val (hiB, loB) = thresholds(bVals, Seq(0.0), 1.0, 0.5)
+    // per-key thresholds differ -> run one stream per key (the twin's
+    // contract: thresholds are a per-deployment constant)
+    def runStream(key: String, hi: Double, lo: Double): Seq[(Long, Long, Long, Double)] = {
+      val input = MemoryStream[Streaming.Sample]
+      val q = Streaming.burstStream(input.toDS().filter(_.key == key), hi, lo, 3L, 2L)
+        .writeStream.format("memory").queryName(s"burst_$key").outputMode("append").start()
+      val (first, rest) = rows.partition(_.ts <= 5) // exercise state carry
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(rest)
+      q.processAllAvailable()
+      val got = spark.sql(s"SELECT start_ts, stop_ts, n_samples, peak FROM burst_$key")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      q.stop()
+      got
+    }
+    val streamA = runStream("a", hiA, loA)
+    val streamB = runStream("b", hiB, loB)
+    val batch = graft.ts.Burst.detect(
+      rows.toDF("key", "ts_us", "value").withColumn("event_id", col("ts_us")),
+      Seq("key"), "ts_us", "event_id", "value",
+      kHi = 1.0, kLo = 0.5, mergeGapSamples = 3L, minSamples = 2L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+    assert(streamA.toSet == batch.filter(_._1 == "a").map(_._2).toSet)
+    assert(streamB.toSet == batch.filter(_._1 == "b").map(_._2).toSet)
+    assert(streamA.nonEmpty && streamB.nonEmpty)
+  }
+
   test("streaming censor keeps refractory semantics across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streaming.Detection]
