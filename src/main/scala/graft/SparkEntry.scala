@@ -266,6 +266,18 @@ object SparkEntry {
     Spikes.extractPatches(ev, peaks, "event_id", "value", halfWidth = 3)
   }
 
+  /** Spike-triggered average ([[graft.spikes.Spikes.triggeredAverage]])
+    * over the q_patch_extract gather: per offset from the trigger, the
+    * peri-event count and 6dp mean — the PSTH readout of the spike
+    * chain. */
+  private def qSta(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+    val thr = Spikes.madThreshold(ev, "value", 2.0).first().getDouble(0)
+    val peaks = Spikes.crossings(ev, "event_id", "value", thr, "pos")
+    Spikes.triggeredAverage(
+      Spikes.extractPatches(ev, peaks, "event_id", "value", halfWidth = 3))
+  }
+
   /** A8 running sum per user (decimal-exact cumulative). */
   private def qRunningSum(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -815,6 +827,13 @@ object SparkEntry {
     * and the backoff term would be dead code in both engines). */
   private def qLmBigram(s: SparkSession, dir: String): DataFrame =
     Lm.bigramScore(Tables.documents(s, dir), minCount = 2)
+
+  /** Trigram Stupid Backoff scoring ([[graft.ops.Lm.trigramScore]],
+    * minCount 2): the three-tier backoff ladder (trigram → bigram →
+    * add-1 unigram), every distinct trigram scored once on the model
+    * table. */
+  private def qLmTrigram(s: SparkSession, dir: String): DataFrame =
+    Lm.trigramScore(Tables.documents(s, dir), minCount = 2)
 
   /** Duplicated-span coverage: token 10-grams occurring >1 time in the
     * corpus mark their positions duplicated; per-doc covered-token
@@ -3274,6 +3293,7 @@ object SparkEntry {
     "q_curate" -> (qCurate _),
     "q_lm_score" -> (qLmScore _),
     "q_lm_bigram" -> (qLmBigram _),
+    "q_lm_trigram" -> (qLmTrigram _),
     "q_dup_spans" -> (qDupSpans _),
     "q_strip_spans" -> (qStripSpans _),
     "q_line_dedup" -> (qLineDedup _),
@@ -3315,6 +3335,7 @@ object SparkEntry {
     "q_coherence" -> (qCoherence _),
     "q_knn_graph" -> (qKnnGraph _),
     "q_modularity" -> (qModularity _),
+    "q_sta" -> (qSta _),
     "q_winsorize" -> (qWinsorize _),
     "q_mojibake" -> (qMojibake _),
     "q_trailing_features" -> (qTrailingFeatures _),
@@ -4931,6 +4952,15 @@ object SparkEntry {
         |p AS (SELECT a.event_id AS peak_idx FROM h a JOIN h b ON a.event_id + 1 = b.event_id)
         |SELECT p.peak_idx, e.event_id - p.peak_idx AS offset, e.value AS value
         |FROM events e JOIN p ON e.event_id >= p.peak_idx - 3 AND e.event_id < p.peak_idx + 3""".stripMargin,
+    "q_sta" ->
+      """WITH t AS (SELECT 2 * median(abs(value) / 0.6745) AS thr FROM events),
+        |h AS (SELECT event_id, value FROM events, t WHERE value > thr),
+        |p AS (SELECT a.event_id AS peak_idx FROM h a JOIN h b ON a.event_id + 1 = b.event_id),
+        |x AS (SELECT e.event_id - p.peak_idx AS "offset", CAST(e.value AS DECIMAL(18,2)) AS v
+        |      FROM events e JOIN p ON e.event_id >= p.peak_idx - 3 AND e.event_id < p.peak_idx + 3)
+        |SELECT "offset", CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_value
+        |FROM x GROUP BY "offset"""".stripMargin,
     "q_psd" -> psdOracleSql,
     "q_band_power" -> bandPowerOracleSql,
     "q_stft" -> stftOracleSql,
@@ -5774,6 +5804,37 @@ object SparkEntry {
         |JOIN c1 cb ON p.b = cb.tok
         |CROSS JOIN nv
         |GROUP BY p.doc_id""".stripMargin,
+    "q_lm_trigram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT unnest(t) AS tok FROM toks),
+        |c1 AS (SELECT tok, COUNT(*) AS c FROM u GROUP BY tok),
+        |nv AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM c1),
+        |b2 AS (SELECT array_to_string(t[i + 1 : i + 2], ' ') AS g
+        |       FROM toks, unnest(generate_series(0, len(t) - 2)) AS s(i)),
+        |c2 AS (SELECT g, COUNT(*) AS c2 FROM b2 GROUP BY g),
+        |g3 AS (SELECT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS g,
+        |        array_to_string(t[i + 1 : i + 2], ' ') AS gp,
+        |        array_to_string(t[i + 2 : i + 3], ' ') AS gs,
+        |        t[i + 2] AS bt, t[i + 3] AS ct
+        |       FROM toks, unnest(generate_series(0, len(t) - 3)) AS s(i)),
+        |c3 AS (SELECT g, ANY_VALUE(gp) AS gp, ANY_VALUE(gs) AS gs,
+        |        ANY_VALUE(bt) AS bt, ANY_VALUE(ct) AS ct, COUNT(*) AS c3
+        |       FROM g3 GROUP BY g),
+        |sc AS (SELECT c3.g,
+        |        CASE WHEN c3.c3 >= 2 THEN ln(CAST(c3.c3 AS DOUBLE) / CAST(p.c2 AS DOUBLE))
+        |             WHEN s2.c2 >= 2 THEN ln(0.4 * (CAST(s2.c2 AS DOUBLE) / CAST(cb.c AS DOUBLE)))
+        |             ELSE ln(0.4 * (0.4 * ((CAST(cc.c AS DOUBLE) + 1.0) / (n + v))))
+        |        END AS s
+        |       FROM c3
+        |       JOIN c2 p ON p.g = c3.gp
+        |       JOIN c2 s2 ON s2.g = c3.gs
+        |       JOIN c1 cb ON cb.tok = c3.bt
+        |       JOIN c1 cc ON cc.tok = c3.ct
+        |       CROSS JOIN nv)
+        |SELECT g3.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |  round(SUM(sc.s) / COUNT(*), 4) AS avg_logscore,
+        |  round(exp(-SUM(sc.s) / COUNT(*)), 4) AS ppl
+        |FROM g3 JOIN sc USING (g) GROUP BY g3.doc_id""".stripMargin,
     "q_dup_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |pos AS (SELECT doc_id, i, array_to_string(t[i + 1 : i + 10], ' ') AS g

@@ -240,6 +240,107 @@ object Lm {
     out
   }
 
+  /** Per-document adjacent token 3-grams as one space-joined string
+    * column — [[bigramGrams]]'s construction at k = 3. */
+  def trigramGrams(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      explode(graft.functions.ShingleArray.shingleArray(col("text"), 3, dedup = false))
+        .as("g")
+    )
+
+  /** Per-document average log-score under a TRIGRAM Stupid Backoff
+    * model (Brants et al. 2007) — the next rung above [[bigramScore]]:
+    *
+    *   S(t_i | t_{i−2} t_{i−1}) = c3 / c2(prefix)                 if c3 ≥ minCount
+    *                            = 0.4 · c2(suffix) / c1(t_{i−1})   elif c2(suffix) ≥ minCount
+    *                            = 0.4 · 0.4 · (c1(t_i)+1) / (N+V)  otherwise
+    *
+    * (each tier spelled term-for-term like the SQL oracle — including
+    * the explicit 0.4·(0.4·…) product: 0.4² ≠ 0.16 in doubles).
+    *
+    * Output: (doc_id, n_trigrams, avg_logscore, ppl); docs with fewer
+    * than 3 tokens produce no row.
+    *
+    * 100 TB shape (the [[bigramScore]] recipe, one model order up):
+    * every DISTINCT trigram scores once on the O(distinct trigrams)
+    * model table — its prefix/suffix bigrams and its token unigrams
+    * are substrings of an observed trigram, so all four model joins
+    * are inner; the unigram/bigram/score tables are count-gated
+    * broadcasts with the same shuffled-join degrade, and the gram
+    * stream never shuffles in the normal case. */
+  def trigramScore(documents: DataFrame, minCount: Int = 1): DataFrame = {
+    val spark = documents.sparkSession
+    val c1 = unigramCounts(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = c1.agg(count(lit(1)).as("v"), sum(col("c")).as("n")).head()
+    val vocab = stats.getLong(0)
+    val nTotal = stats.getLong(1)
+    val c1base =
+      if (graft.spikes.Spikes.fitsBroadcast(c1, vocab)) {
+        val rows = c1.collect()
+        c1.unpersist()
+        broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), c1.schema))
+      } else c1
+    val cb = c1base.select(col("tok").as("__b"), col("c").as("c1b"))
+    val cc = c1base.select(col("tok").as("__c"), col("c").as("c1c"))
+    val c2 = bigramGramCounts(documents, 1).persist(StorageLevel.MEMORY_AND_DISK)
+    val nBigrams = c2.count()
+    val c2base =
+      if (graft.spikes.Spikes.fitsBroadcast(c2, nBigrams)) {
+        val rows = c2.collect()
+        c2.unpersist()
+        broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), c2.schema))
+      } else c2
+    val c2p = c2base.select(col("g").as("__gp"), col("c2").as("c2p"))
+    val c2s = c2base.select(col("g").as("__gs"), col("c2").as("c2s"))
+    val denom = lit((nTotal + vocab).toDouble)
+    val term = when(
+      col("c3") >= minCount.toLong,
+      log(col("c3").cast("double") / col("c2p").cast("double"))
+    ).when(
+      col("c2s") >= minCount.toLong,
+      log(lit(0.4) * (col("c2s").cast("double") / col("c1b").cast("double")))
+    ).otherwise(
+      log(lit(0.4) * (lit(0.4) * ((col("c1c").cast("double") + lit(1.0)) / denom))))
+    val scores = trigramGrams(documents)
+      .groupBy("g")
+      .agg(count(lit(1)).as("c3"))
+      // tokens cannot contain the separator, so the gram's space
+      // fields ARE its constituent grams/tokens (the bigramPairs
+      // argument, one order up)
+      .withColumn("__gp", substring_index(col("g"), " ", 2))
+      .withColumn("__gs", substring_index(col("g"), " ", -2))
+      .withColumn("__b", substring_index(substring_index(col("g"), " ", -2), " ", 1))
+      .withColumn("__c", substring_index(col("g"), " ", -1))
+      .join(c2p, Seq("__gp"))
+      .join(c2s, Seq("__gs"))
+      .join(cb, Seq("__b"))
+      .join(cc, Seq("__c"))
+      .select(col("g"), term.as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nScores = scores.count()
+    val scoresSide =
+      if (graft.spikes.Spikes.fitsBroadcast(scores, nScores)) {
+        val rows = scores.collect()
+        scores.unpersist()
+        broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), scores.schema))
+      } else scores
+    val out = trigramGrams(documents)
+      .join(scoresSide, Seq("g"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        round(sum(col("s")) / count(lit(1)), 4).as("avg_logscore"),
+        round(exp(-sum(col("s")) / count(lit(1))), 4).as("ppl")
+      )
+    if (c1base ne c1) c1.unpersist()
+    if (c2base ne c2) c2.unpersist()
+    out
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): every doc
     * lands in `head` / `middle` / `tail` thirds of its LANGUAGE's
     * perplexity distribution — the standard pre-mixture quality split

@@ -243,6 +243,28 @@ object Spikes {
       )
   }
 
+  /** Peri-event (spike-triggered) average over gathered patches — the
+    * PSTH/STA readout on top of [[extractPatches]]: per offset from
+    * the trigger, the sample count and mean value across every peak.
+    * The classic "what does the signal do around a spike" summary
+    * (reference domain: the alignment chain jagular/alignment.py:58-108
+    * consumes the same peak-centered patches).
+    *
+    * One map-side-combinable rollup bounded by 2·halfWidth rows;
+    * means are one 6dp division of a DECIMAL-exact sum, so engines
+    * cannot drift. Edge-truncated patches contribute only their
+    * existing offsets (n varies by offset at the stream edges —
+    * reported, not hidden). */
+  def triggeredAverage(patches: DataFrame, valueCol: String = "value"): DataFrame =
+    patches
+      .groupBy("offset")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("__s"))
+      .select(
+        col("offset"), col("n"),
+        round(col("__s").cast("double") / col("n").cast("double"), 6).as("mean_value"))
+
   /** Window-gather formulation of the patch extraction (the alternative
     * physical strategy SURVEY.md §4.3 sketches as a future rule target):
     * collect the `[idx−halfWidth, idx+halfWidth)` frame over every sample

@@ -338,4 +338,32 @@ class LmRedactDupSpansSpec extends SparkSpec {
       assert(s == b)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
+
+  // --- Lm.trigramScore --------------------------------------------------
+
+  test("trigramScore: all three backoff tiers, hand-computed") {
+    import spark.implicits._
+    // c1: a=3 b=3 c=2 d=1; N=9 V=4; c2: "a b"=3 "b c"=2 "c a"=1 "b d"=1
+    // trigrams doc1: "a b c"x2 (hit: ln(2/3)), "b c a" (tier3, c1(a)=3),
+    // "c a b" (tier2 via suffix "a b": ln(0.4*(3/3))); doc2: "a b d" (tier3, c1(d)=1)
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = Lm.trigramScore(docs, minCount = 2).orderBy("doc_id").collect()
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val tier3a = math.log(0.4 * (0.4 * ((3.0 + 1.0) / 13.0)))
+    val tier3d = math.log(0.4 * (0.4 * ((1.0 + 1.0) / 13.0)))
+    val d1 = (2 * math.log(2.0 / 3.0) + tier3a + math.log(0.4 * (3.0 / 3.0))) / 4.0
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 4L)
+    assert(got(0).getDouble(2) == r4(d1), got(0).toString)
+    assert(got(1).getLong(1) == 1L)
+    assert(got(1).getDouble(2) == r4(tier3d))
+    // ppl is the monotone transform of the unrounded average
+    assert(got(1).getDouble(3) == r4(math.exp(-tier3d)))
+  }
+
+  test("trigramScore: docs under 3 tokens produce no row") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "x"), (3L, "a b c")).toDF("doc_id", "text")
+    val got = Lm.trigramScore(docs).collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L))
+  }
 }
