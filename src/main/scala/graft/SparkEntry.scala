@@ -2107,6 +2107,32 @@ object SparkEntry {
         floor(col("c_acctbal").cast("double") / 1000).cast("long").as("bal_band")),
       Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 8)
 
+  /** t-closeness audit ([[graft.ops.Privacy.tCloseness]], t = 0.15)
+    * over the q_l_diversity classes with the balance band as the
+    * ordered sensitive attribute — the skewness-attack check the
+    * distinct-count audits miss. Exact integer EMD arithmetic, one
+    * 6dp division, cross-multiplied violation flag. */
+  private def qTCloseness(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.tCloseness(
+      Tables.customer(s, dir).select(
+        col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal").cast("double") / 1000).cast("long").as("bal_band")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_band", tMicro = 150000L)
+
+  /** CUPED variance reduction ([[graft.ops.Experiment.cuped]]): the
+    * q_ab_test arms with the event value as metric and its 10-band
+    * floor as the pre-period covariate (strongly correlated by
+    * construction, so ρ² is a real reduction) — pooled θ from
+    * DECIMAL-exact moments, per-arm adjusted means. */
+  private def qCuped(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.cuped(
+      Tables.events(s, dir).select(
+        concat(lit("arm"), (col("user_id") % 3).cast("string")).as("variant"),
+        col("value"),
+        (floor(col("value") / 10) * 10).cast("double").as("pre")),
+      "variant", "value", "pre")
+
   /** A/B readout ([[graft.ops.Experiment.abTest]]): users hashed into
     * three arms by residue, conversion = purchase event; per-arm
     * counts, 6dp rate, pooled two-proportion z vs arm0 and the 1.96
@@ -3336,6 +3362,8 @@ object SparkEntry {
     "q_knn_graph" -> (qKnnGraph _),
     "q_modularity" -> (qModularity _),
     "q_sta" -> (qSta _),
+    "q_t_closeness" -> (qTCloseness _),
+    "q_cuped" -> (qCuped _),
     "q_winsorize" -> (qWinsorize _),
     "q_mojibake" -> (qMojibake _),
     "q_trailing_features" -> (qTrailingFeatures _),
@@ -3939,6 +3967,57 @@ object SparkEntry {
         |        CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS bal_band
         |      FROM customer) t
         |GROUP BY 1, 2""".stripMargin,
+    "q_t_closeness" ->
+      """WITH base AS (SELECT c_nationkey, c_mktsegment,
+        |        CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS v FROM customer),
+        |cv AS (SELECT c_nationkey, c_mktsegment, v, COUNT(*) AS c FROM base GROUP BY 1, 2, 3),
+        |g AS (SELECT v, CAST(SUM(c) AS BIGINT) AS gc FROM cv GROUP BY v),
+        |gcum AS (SELECT v, SUM(gc) OVER (ORDER BY v) AS cum_g FROM g),
+        |tot AS (SELECT CAST(SUM(gc) AS BIGINT) AS nn,
+        |               CAST(COUNT(*) AS BIGINT) AS m FROM g),
+        |cls AS (SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS n
+        |        FROM cv GROUP BY 1, 2),
+        |grid AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.n, g.v FROM cls CROSS JOIN g),
+        |j AS (SELECT grid.c_nationkey, grid.c_mktsegment, grid.n, grid.v,
+        |        COALESCE(cv.c, 0) AS c
+        |      FROM grid LEFT JOIN cv ON cv.c_nationkey = grid.c_nationkey
+        |        AND cv.c_mktsegment = grid.c_mktsegment AND cv.v = grid.v),
+        |cum AS (SELECT *, SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |          ORDER BY v) AS cum_c FROM j),
+        |t AS (SELECT cum.c_nationkey, cum.c_mktsegment, cum.n,
+        |        abs(CAST(cum_c AS HUGEINT) * nn - CAST(gcum.cum_g AS HUGEINT) * n) AS dt
+        |      FROM cum JOIN gcum ON gcum.v = cum.v CROSS JOIN tot),
+        |agg AS (SELECT c_nationkey, c_mktsegment, n, SUM(dt) AS d FROM t GROUP BY 1, 2, 3)
+        |SELECT a.c_nationkey, a.c_mktsegment, a.n,
+        |  round(CAST(d AS DOUBLE)
+        |        / CAST(n * nn * (CASE WHEN m > 1 THEN m - 1 ELSE 1 END) AS DOUBLE), 6) AS emd,
+        |  CAST(d * 1000000 > CAST(n AS HUGEINT) * nn
+        |         * (CASE WHEN m > 1 THEN m - 1 ELSE 1 END) * 150000 AS INT) AS t_violation
+        |FROM agg a CROSS JOIN tot""".stripMargin,
+    "q_cuped" ->
+      """WITH e AS (SELECT 'arm' || CAST(user_id % 3 AS VARCHAR) AS variant,
+        |        CAST(value AS DECIMAL(18,2)) AS y,
+        |        CAST(FLOOR(value / 10) * 10 AS DECIMAL(18,2)) AS x FROM events),
+        |a AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS sy, SUM(x) AS sx,
+        |        SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy FROM e GROUP BY 1),
+        |p AS (SELECT *, SUM(n) OVER () AS nn, SUM(sy) OVER () AS syt, SUM(sx) OVER () AS sxt,
+        |        SUM(sxy) OVER () AS sxyt, SUM(sxx) OVER () AS sxxt, SUM(syy) OVER () AS syyt
+        |      FROM a),
+        |q AS (SELECT variant, n, sy, sx,
+        |        CAST(sxyt AS DOUBLE) - CAST(sxt AS DOUBLE) * CAST(syt AS DOUBLE) / CAST(nn AS DOUBLE) AS cov,
+        |        CAST(sxxt AS DOUBLE) - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE) / CAST(nn AS DOUBLE) AS vx,
+        |        CAST(syyt AS DOUBLE) - CAST(syt AS DOUBLE) * CAST(syt AS DOUBLE) / CAST(nn AS DOUBLE) AS vy,
+        |        CAST(sxt AS DOUBLE) / CAST(nn AS DOUBLE) AS mx
+        |      FROM p)
+        |SELECT variant, n,
+        |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_y,
+        |  round(CASE WHEN vx > 0
+        |        THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |             - (cov / vx) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - mx)
+        |        ELSE CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) END, 6) AS mean_adj,
+        |  round(CASE WHEN vx > 0 THEN cov / vx END, 6) AS theta,
+        |  round(CASE WHEN vx > 0 AND vy > 0 THEN cov * cov / (vx * vy) END, 6) AS rho2
+        |FROM q""".stripMargin,
     "q_ab_test" ->
       """WITH ev AS (SELECT 'arm' || (user_id % 3) AS variant,
         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS converted

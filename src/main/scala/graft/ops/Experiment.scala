@@ -59,4 +59,62 @@ object Experiment {
         coalesce((abs(col("z")) >= 1.96).cast("int"), lit(0)))
       .drop("__n_c", "__conv_c")
   }
+
+  /** CUPED variance reduction (Deng et al. 2013, "Improving the
+    * Sensitivity of Online Controlled Experiments"): adjust the
+    * experiment metric by a pre-experiment covariate,
+    * `y' = y − θ·(x − x̄)` with `θ = Cov(x, y) / Var(x)` estimated
+    * POOLED over all arms (the standard form — θ from pooled data
+    * keeps the adjustment unbiased across arms).
+    *
+    * Per variant: n, `mean_y`, `mean_adj` (both 6dp), plus the shared
+    * `theta` and `rho2` (the squared x–y correlation = the fraction of
+    * metric variance CUPED removes) on every row.
+    *
+    * Exactness: ONE per-arm rollup of DECIMAL-exact Σx, Σy, Σxy, Σx²,
+    * Σy² (inputs read at 2dp; products exact 4dp); the pooled moments
+    * are whole-frame window sums over the bounded arm frame, and every
+    * shipped double is a fixed-order scalar chain over those exact
+    * sums — engines cannot drift. Shuffled rows are bounded by the
+    * variant count at any corpus size. */
+  def cuped(
+      exposures: DataFrame,
+      variantCol: String,
+      metricCol: String,
+      covariateCol: String
+  ): DataFrame = {
+    val y = col(metricCol).cast("decimal(18,2)")
+    val x = col(covariateCol).cast("decimal(18,2)")
+    val w = Window.partitionBy()
+    val byArm = exposures
+      .groupBy(col(variantCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(y).as("__sy"), sum(x).as("__sx"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+    // pooled names must not case-insensitively collide with the arm
+    // sums (withColumn("__SY") would silently REPLACE "__sy")
+    val pooled = byArm
+      .withColumn("__tn", sum(col("n")).over(w))
+      .withColumn("__ty", sum(col("__sy")).over(w))
+      .withColumn("__tx", sum(col("__sx")).over(w))
+      .withColumn("__txy", sum(col("__sxy")).over(w))
+      .withColumn("__txx", sum(col("__sxx")).over(w))
+      .withColumn("__tyy", sum(col("__syy")).over(w))
+    def d(c: String) = col(c).cast("double")
+    val nD = d("__tn")
+    val covXY = d("__txy") - d("__tx") * d("__ty") / nD
+    val varX = d("__txx") - d("__tx") * d("__tx") / nD
+    val varY = d("__tyy") - d("__ty") * d("__ty") / nD
+    val theta = when(varX > 0, covXY / varX)
+    val meanY = d("__sy") / col("n").cast("double")
+    val meanXGap = d("__sx") / col("n").cast("double") - d("__tx") / nD
+    pooled.select(
+      col(variantCol), col("n"),
+      round(meanY, 6).as("mean_y"),
+      round(when(theta.isNotNull, meanY - theta * meanXGap).otherwise(meanY), 6)
+        .as("mean_adj"),
+      round(theta, 6).as("theta"),
+      round(when(varX > 0 && varY > 0, covXY * covXY / (varX * varY)), 6).as("rho2"))
+  }
 }

@@ -53,4 +53,28 @@ class ExperimentSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(got == Map("control" -> 1L, "t" -> 2L))
   }
+
+  test("cuped: perfectly correlated covariate adjusts both arms to the pooled mean") {
+    val rows = Seq(("a", 1.0, 1.0), ("a", 3.0, 3.0), ("b", 5.0, 5.0), ("b", 7.0, 7.0))
+    val got = Experiment
+      .cuped(rows.toDF("variant", "y", "x"), "variant", "y", "x")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // theta = 1, rho2 = 1; both arms adjust to the pooled mean 4
+    assert(got("a") == ((2.0, 4.0, 1.0, 1.0)))
+    assert(got("b") == ((6.0, 4.0, 1.0, 1.0)))
+  }
+
+  test("cuped: constant covariate degrades to unadjusted means (NULL theta)") {
+    val rows = Seq(("a", 1.0, 5.0), ("a", 3.0, 5.0), ("b", 7.0, 5.0))
+    val got = Experiment
+      .cuped(rows.toDF("variant", "y", "x"), "variant", "y", "x")
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(2) == r.getDouble(3)) // mean_adj == mean_y
+      assert(r.isNullAt(4) && r.isNullAt(5))
+    }
+  }
 }

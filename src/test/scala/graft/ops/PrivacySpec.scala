@@ -42,4 +42,34 @@ class PrivacySpec extends SparkSpec {
     assert(ka.getAs[Int]("k_violation") == 0)
     assert(ld.getAs[Int]("l_violation") == 1)
   }
+
+  test("tCloseness: hand-computed ordered EMD and cross-multiplied flag") {
+    val df = Seq(
+      ("A", 0L), ("A", 0L), ("A", 1L), ("A", 1L),
+      ("B", 0L), ("B", 0L)
+    ).toDF("grp", "v")
+    // global: v0=4 v1=2, N=6, m=2; A: D=4, emd=4/24; B: D=4, emd=4/12
+    val got = Privacy.tCloseness(df, Seq("grp"), "v", tMicro = 250000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    assert(got("A") == ((4L, 0.166667, 0)))
+    assert(got("B") == ((2L, 0.333333, 1)))
+  }
+
+  test("tCloseness: single global value -> emd 0, no violations") {
+    val df = Seq(("A", 7L), ("A", 7L), ("B", 7L)).toDF("grp", "v")
+    val rows = Privacy.tCloseness(df, Seq("grp"), "v", tMicro = 0L).collect()
+    assert(rows.forall(r => r.getDouble(2) == 0.0 && r.getInt(3) == 0))
+  }
+
+  test("tCloseness: NULL sensitive fails loud; value-cap guard trips") {
+    val bad = Seq(("A", Option.empty[java.lang.Long]), ("A", Option(1L).map(Long.box)))
+      .toDF("grp", "v")
+    val ex = intercept[Exception](
+      Privacy.tCloseness(bad, Seq("grp"), "v", tMicro = 0L).collect())
+    assert(ex.getMessage.contains("Privacy"))
+    val wide = (1L to 50L).map(i => ("A", i)).toDF("grp", "v")
+    val cap = intercept[IllegalArgumentException](
+      Privacy.tCloseness(wide, Seq("grp"), "v", tMicro = 0L, maxValues = 10))
+    assert(cap.getMessage.contains("band the attribute"))
+  }
 }
