@@ -2133,6 +2133,23 @@ object SparkEntry {
         (floor(col("value") / 10) * 10).cast("double").as("pre")),
       "variant", "value", "pre")
 
+  /** Two-sample Kolmogorov–Smirnov ([[graft.ops.Stats.ksTest]],
+    * α = 0.05) between the view- and purchase-event value
+    * distributions — max |F₁−F₂| and the reject decision in exact
+    * cross-multiplied integers over the bounded 2dp-value rollup. */
+  private def qKsTest(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.ksTest(
+      Tables.events(s, dir).select("event_type", "value"),
+      "event_type", "value", "view", "purchase")
+
+  /** Two-sample Mann–Whitney U ([[graft.ops.Stats.mannWhitney]]) on
+    * the same pair — tie-averaged ranks exact in half-units,
+    * tie-corrected normal z. */
+  private def qMannWhitney(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.mannWhitney(
+      Tables.events(s, dir).select("event_type", "value"),
+      "event_type", "value", "view", "purchase")
+
   /** A/B readout ([[graft.ops.Experiment.abTest]]): users hashed into
     * three arms by residue, conversion = purchase event; per-arm
     * counts, 6dp rate, pooled two-proportion z vs arm0 and the 1.96
@@ -3364,6 +3381,8 @@ object SparkEntry {
     "q_sta" -> (qSta _),
     "q_t_closeness" -> (qTCloseness _),
     "q_cuped" -> (qCuped _),
+    "q_ks_test" -> (qKsTest _),
+    "q_mannwhitney" -> (qMannWhitney _),
     "q_winsorize" -> (qWinsorize _),
     "q_mojibake" -> (qMojibake _),
     "q_trailing_features" -> (qTrailingFeatures _),
@@ -3994,6 +4013,8 @@ object SparkEntry {
         |  CAST(d * 1000000 > CAST(n AS HUGEINT) * nn
         |         * (CASE WHEN m > 1 THEN m - 1 ELSE 1 END) * 150000 AS INT) AS t_violation
         |FROM agg a CROSS JOIN tot""".stripMargin,
+    "q_ks_test" -> ksTestOracleSql,
+    "q_mannwhitney" -> mannWhitneyOracleSql,
     "q_cuped" ->
       """WITH e AS (SELECT 'arm' || CAST(user_id % 3 AS VARCHAR) AS variant,
         |        CAST(value AS DECIMAL(18,2)) AS y,
@@ -6254,6 +6275,61 @@ SELECT user_id, bin, n_windows,
           / (CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)), 6) END AS coherence
 FROM roll"""
   }
+
+  /** Shared CTE chain for the two-sample test oracles: per-distinct-
+    * 2dp-value group counts with cumulative and total windows, over
+    * the view/purchase event values. */
+  private val twoSampleCte: String =
+    """WITH e AS (SELECT event_type AS g, CAST(value AS DECIMAL(18,2)) AS v
+      |        FROM events WHERE event_type IN ('view', 'purchase')),
+      |r AS (SELECT v, CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |        CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |      FROM e GROUP BY v),
+      |c AS (SELECT *, SUM(ca) OVER (ORDER BY v) AS cuma, SUM(cb) OVER (ORDER BY v) AS cumb,
+      |        SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb FROM r)""".stripMargin
+
+  /** q_ks_test: exact integer D and the cross-multiplied α decision
+    * (c² scaled to 10⁻¹² integers on both engines). */
+  private lazy val ksTestOracleSql: String = {
+    val c2 = -math.log(0.05 / 2.0) / 2.0
+    val c2p12 = math.round(c2 * 1e12)
+    s"""$twoSampleCte,
+       |d AS (SELECT na, nb,
+       |        MAX(abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)) AS dd
+       |      FROM c GROUP BY na, nb)
+       |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |  round(CAST(dd AS DOUBLE) / CAST(na * nb AS DOUBLE), 6) AS d,
+       |  round(sqrt(CAST($c2 AS DOUBLE))
+       |        * sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE)), 6) AS d_crit,
+       |  CAST(dd * dd * 1000000000000 >
+       |       CAST(na + nb AS HUGEINT) * (CAST(na AS HUGEINT) * nb) * $c2p12 AS INT) AS reject
+       |FROM d""".stripMargin
+  }
+
+  /** q_mannwhitney: half-unit tie-averaged ranks, tie-corrected z. */
+  private lazy val mannWhitneyOracleSql: String =
+    s"""$twoSampleCte,
+       |c2 AS (SELECT *, ca + cb AS t,
+       |        COALESCE(SUM(ca + cb) OVER (ORDER BY v
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+       |      FROM c),
+       |agg AS (SELECT na, nb,
+       |        SUM(CAST(bef * 2 + t + 1 AS HUGEINT) * ca) AS r2a,
+       |        SUM(CAST(t AS HUGEINT) * t * t - t) AS ties
+       |      FROM c2 GROUP BY na, nb),
+       |f AS (SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |        (CAST(r2a AS DOUBLE) - CAST(na * (na + 1) AS DOUBLE)) / 2.0 AS ua,
+       |        CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0 AS mu,
+       |        CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+       |          ((CAST(na + nb AS DOUBLE) + 1.0)
+       |           - CAST(ties AS DOUBLE)
+       |             / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0))) AS varu
+       |      FROM agg)
+       |SELECT n_a, n_b, ua + 0.0 AS u_a,
+       |  CASE WHEN varu > 0 THEN round((ua - mu) / sqrt(varu), 6) END AS z,
+       |  CAST(COALESCE(abs(CASE WHEN varu > 0
+       |        THEN round((ua - mu) / sqrt(varu), 6) END) >= 1.96, FALSE) AS INT) AS significant
+       |FROM f""".stripMargin
 
   /** q_xcorr: the single-window lead trick re-derived — per lag l the
     * partner sample sits at offset 2l+1 in the interleaved stream
