@@ -498,6 +498,74 @@ object Streaming {
       .select("win_start", "n", "prob", "q_est")
   }
 
+  /** Live distribution-drift monitor — the streaming form of
+    * [[graft.ops.Stats.ksTest]] against a FIXED baseline histogram
+    * (the batch-profiled reference distribution, the deployment form:
+    * a drift monitor compares live traffic to a pinned baseline, not
+    * two live streams). Values bucket into `buckets` equi-width bins
+    * on [lo, hi] (the [[quantilesStream]] recipe — ONE windowed
+    * aggregation building the per-window count vector, stateless
+    * post-processing on the closed window's single row), and the
+    * bucketed KS statistic
+    *
+    *   D = max_i |cumObs_i / n − cumRef_i / nRef|
+    *
+    * is computed as the exact integer max |cumObs·nRef − cumRef·n|,
+    * with the α decision as the same DECIMAL cross-multiply as batch
+    * (c² pinned at 10⁻¹² scale) — no float sits on the alarm boundary.
+    *
+    * Output per closed window: (win_start, n, d 6dp, reject 0/1). */
+  def ksDriftStream(
+      rows: DataFrame,
+      tsCol: String,
+      valCol: String,
+      windowDur: String,
+      watermark: String,
+      lo: Double,
+      hi: Double,
+      baseline: Seq[Long],
+      alpha: Double = 0.05
+  ): DataFrame = {
+    require(baseline.nonEmpty && baseline.forall(_ >= 0) && baseline.sum > 0,
+      "baseline must be a non-empty, non-negative histogram with mass")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val buckets = baseline.length
+    val width = (hi - lo) / buckets
+    val b = least(
+      greatest(floor((col(valCol).cast("double") - lit(lo)) / lit(width)), lit(0))
+        .cast("int"),
+      lit(buckets - 1))
+    val vec = array(Seq.tabulate(buckets)(i =>
+      sum(when(b === i, 1L).otherwise(0L))): _*)
+    val agg = rows
+      .where(col(valCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("n"), vec.as("__bs"))
+    val refCums = baseline.scanLeft(0L)(_ + _).tail
+    val nRef = baseline.sum
+    val refArr = array(refCums.map(lit(_)): _*)
+    val cums = aggregate(
+      col("__bs"),
+      array().cast("array<bigint>"),
+      (acc, x) => concat(acc, array(coalesce(try_element_at(acc, lit(-1)), lit(0L)) + x)))
+    val c2p12 = math.round(-math.log(alpha / 2.0) / 2.0 * 1e12)
+    agg
+      .select(col("window.start").as("win_start"), col("n"), cums.as("__cums"))
+      .withColumn("__dint",
+        array_max(zip_with(col("__cums"), refArr,
+          (o, r) => abs(o * lit(nRef) - r * col("n")))))
+      .select(
+        col("win_start"), col("n"),
+        round(col("__dint").cast("double") /
+          (col("n").cast("decimal(38,0)") * nRef).cast("double"), 6).as("d"),
+        (col("__dint").cast("decimal(38,0)") * col("__dint") * lit(1000000000000L) >
+          (col("n") + lit(nRef)).cast("decimal(38,0)") *
+            (col("n").cast("decimal(38,0)") * nRef) * c2p12)
+          .cast("int").as("reject"))
+  }
+
   /** Input row for [[asofEnrichStream]]: `side` 0 = state update (the
     * dimension stream), 1 = probe event (the fact stream). */
   final case class AsOfInput(key: String, ts: Long, side: Int, value: Double)

@@ -960,6 +960,39 @@ class StreamingSpec extends SparkSpec {
     probs.foreach { p => assert(got(p)._2 == batch(p), s"p=$p ${got(p)._2} vs ${batch(p)}") }
   }
 
+  test("ksDriftStream: exact bucketed D per closed window, alarm on a real shift") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    // baseline: uniform over 2 buckets on [0, 2), nRef = 60
+    val q = Streaming
+      .ksDriftStream(input.toDS().toDF("et", "v"), "et", "v",
+        windowDur = "100 seconds", watermark = "5 seconds",
+        lo = 0.0, hi = 2.0, baseline = Seq(30L, 30L))
+      .writeStream.format("memory").queryName("ksdrift").outputMode("append").start()
+    // window 1 (0-100s): matches the baseline -> D small, no alarm;
+    // split across two micro-batches to exercise partial merge
+    val w1 = (0 until 30).map(i => (ts(i), 0.5)) ++ (0 until 30).map(i => (ts(30 + i % 60), 1.5))
+    input.addData(w1.take(25): _*)
+    q.processAllAvailable()
+    input.addData(w1.drop(25): _*)
+    q.processAllAvailable()
+    // window 2 (100-200s): everything in bucket 0 -> D = 1/2, alarm
+    input.addData((0 until 60).map(i => (ts(100 + i % 90), 0.25)): _*)
+    q.processAllAvailable()
+    input.addData((ts(400), -1.0)) // advance watermark past both windows
+    q.processAllAvailable()
+    val got = spark.sql("SELECT win_start, n, d, reject FROM ksdrift ORDER BY win_start")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    q.stop()
+    assert(got.length >= 2, got.mkString(","))
+    // window 1: obs [30, 30] vs ref cums [30, 60]: D = 0
+    assert(got(0) == ((60L, 0.0, 0)))
+    // window 2: obs [60, 0]: |60*60 - 30*60| = 1800 -> D = 1800/3600 = 0.5;
+    // reject: 0.5 > sqrt(-ln(.025)/2)*sqrt(120/3600) ~ 0.2479 -> alarm
+    assert(got(1) == ((60L, 0.5, 1)))
+  }
+
   test("stream-stream touch attribution: lookback window, cross-batch buffering, key isolation") {
     implicit val sqlCtx = spark.sqlContext
     def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
