@@ -2953,6 +2953,14 @@ object SparkEntry {
     graft.ops.Multimodal.dhash(
       graft.ops.Multimodal.imageFixturePaired(s, nBase = 30), "img_id")
 
+  /** Fixed-point DCT perceptual hash ([[graft.ops.Multimodal.phash]])
+    * over the same decoded fixture — the blur/re-encode-robust
+    * companion to the dHash gradient signs; integer end to end, so
+    * the oracle replays it exactly. */
+  private def qImagePhash(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.phash(
+      graft.ops.Multimodal.imageFixturePaired(s, nBase = 30), "img_id")
+
   /** Banded near-duplicate image pairs over the dHashes (pigeonhole
     * candidates + exact bit_count ≤ 2) — no all-pairs anywhere; the
     * oracle brute-forces the 60-image fixture. */
@@ -3243,6 +3251,7 @@ object SparkEntry {
     "q_asof_join" -> (qAsofJoin _),
     "q_vad" -> (qVad _),
     "q_image_dhash" -> (qImageDhash _),
+    "q_image_phash" -> (qImagePhash _),
     "q_image_neardup" -> (qImageNearDup _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_phrase_search" -> (qPhraseSearch _),
@@ -3815,10 +3824,14 @@ object SparkEntry {
   /** Shared dHash-recompute CTE chain for the paired image fixture —
     * pure arithmetic (BT.601 integer luma, floor box-means, gradient
     * bits packed into unsigned 32-bit halves); no decoder runs here. */
-  private val dhashCtes: String =
+  /** Shared fixture-geometry CTEs for the image-hash oracles. */
+  private val imageDimsCtes: String =
     """ids AS (SELECT unnest(generate_series(0, 59)) AS img_id),
       |meta AS (SELECT img_id, img_id % 30 AS b, img_id >= 30 AS pert FROM ids),
-      |dims AS (SELECT img_id, b, pert, 18 + b % 5 AS w, 16 + b % 3 AS h FROM meta),
+      |dims AS (SELECT img_id, b, pert, 18 + b % 5 AS w, 16 + b % 3 AS h FROM meta)""".stripMargin
+
+  private val dhashCtes: String =
+    s"""$imageDimsCtes,
       |px AS (SELECT img_id, b, pert, w, h, ux.x AS x, uy.y AS y
       |       FROM dims, unnest(generate_series(0, w - 1)) AS ux(x),
       |                  unnest(generate_series(0, h - 1)) AS uy(y)),
@@ -3838,6 +3851,44 @@ object SparkEntry {
       |         CAST(SUM(CASE WHEN idx >= 32 THEN CAST(bit AS BIGINT) << (idx - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
       |         CAST(SUM(CASE WHEN idx < 32 THEN CAST(bit AS BIGINT) << idx ELSE 0 END) AS BIGINT) AS dhash_lo
       |       FROM bits GROUP BY img_id)""".stripMargin
+
+  /** q_image_phash: the fixed-point DCT hash replayed — nearest-sample
+    * 32×32 gray grid from the fixture formula, the SAME 10⁶-scaled
+    * integer cosine table as [[graft.ops.Multimodal.phashCosQ]] (a
+    * VALUES literal), HUGEINT coefficient sums, and the 63·C vs Σ(≠DC)
+    * integer cross-multiply — no float anywhere on either engine. */
+  private lazy val imagePhashOracleSql: String = {
+    val cm = graft.ops.Multimodal.phashCosQ.zipWithIndex.map { case (c, i) =>
+      s"(${i / 8}, ${i % 8}, $c)"
+    }.mkString(", ")
+    s"""WITH $imageDimsCtes,
+       |cm AS (SELECT * FROM (VALUES $cm) AS v(i, u, c)),
+       |g32 AS (SELECT img_id, ox, oy,
+       |          (299 * (CASE WHEN pert AND x = 0 AND y = 0
+       |                       THEN ((b * 31 + x * 7 + y * 13) % 256 + 1) % 256
+       |                       ELSE (b * 31 + x * 7 + y * 13) % 256 END)
+       |           + 587 * ((b * 17 + x * 3 + y * 11) % 256)
+       |           + 114 * ((b * 23 + x * 5 + y * 19) % 256)) // 1000 AS gray
+       |        FROM (SELECT img_id, b, pert, uox.o AS ox, uoy.o AS oy,
+       |                uox.o * w // 32 AS x, uoy.o * h // 32 AS y
+       |              FROM dims, unnest(generate_series(0, 31)) AS uox(o),
+       |                         unnest(generate_series(0, 31)) AS uoy(o)) t),
+       |co AS (SELECT img_id, cu.u AS u, cv.u AS v,
+       |        SUM(CAST(gray AS HUGEINT) * cu.c * cv.c) AS c
+       |      FROM g32 JOIN cm cu ON cu.i = ox JOIN cm cv ON cv.i = oy
+       |      GROUP BY 1, 2, 3),
+       |se AS (SELECT img_id,
+       |        SUM(c) - SUM(CASE WHEN u = 0 AND v = 0 THEN c ELSE 0 END) AS sx
+       |      FROM co GROUP BY img_id),
+       |pbits AS (SELECT co.img_id, v * 8 + u AS idx,
+       |          CASE WHEN c * 63 > se.sx THEN 1 ELSE 0 END AS bit
+       |        FROM co JOIN se USING (img_id)),
+       |ph AS (SELECT img_id,
+       |         CAST(SUM(CASE WHEN idx >= 32 THEN CAST(bit AS BIGINT) << (idx - 32) ELSE 0 END) AS BIGINT) AS phash_hi,
+       |         CAST(SUM(CASE WHEN idx < 32 THEN CAST(bit AS BIGINT) << idx ELSE 0 END) AS BIGINT) AS phash_lo
+       |       FROM pbits GROUP BY img_id)
+       |SELECT CAST(img_id AS BIGINT) AS img_id, phash_hi, phash_lo FROM ph""".stripMargin
+  }
 
   /** Shared winnowing-recompute CTE chain (gram poly-hashes + window
     * argmin with the rightmost-tie rule) — q_winnow / q_winnow_pairs. */
@@ -4918,6 +4969,7 @@ object SparkEntry {
         |       CAST(MIN(frame) AS INT) AS start_frame, CAST(MAX(frame) AS INT) AS end_frame,
         |       CAST(COUNT(*) AS INT) AS n_frames
         |FROM d GROUP BY aud_id, seg_id""".stripMargin,
+    "q_image_phash" -> imagePhashOracleSql,
     "q_image_dhash" ->
       s"""WITH $dhashCtes
          |SELECT CAST(img_id AS BIGINT) AS img_id, dhash_hi, dhash_lo FROM hs""".stripMargin,

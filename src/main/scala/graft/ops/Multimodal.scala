@@ -603,6 +603,99 @@ object Multimodal {
     Bridge.internalCreateDataFrame(df.sparkSession, rdd, outSchema)
   }
 
+  /** Fixed-point cosine table for [[phash64]]: round(cos(π(2i+1)u/64)
+    * · 10⁶) for i ∈ [0, 32), u ∈ [0, 8) — integer by CONTRACT (a
+    * fixed-point DCT, the hardware form), so the hash has no float
+    * anywhere and a SQL oracle replays it exactly from the same
+    * literals. */
+  private[graft] val phashCosQ: Array[Long] = Array.tabulate(32 * 8) { i =>
+    val x = i / 8
+    val u = i % 8
+    math.round(math.cos(math.Pi * (2 * x + 1) * u / 64.0) * 1000000.0)
+  }
+
+  /** pHash (DCT perceptual hash) of a decoded raster, fixed-point:
+    * gray → nearest-sample resize to 32×32 (integer index map, works
+    * for up- AND downsampling — the fixture images are smaller than
+    * 32) → 8×8 low-frequency block of the fixed-point 2D DCT-II
+    * (coefficients `Σ g·cq(x,u)·cq(y,v)` — exact longs, ≤ 2.7·10¹⁷)
+    * → bit (v·8 + u) set iff the coefficient exceeds the MEAN of the
+    * 64 excluding DC (the compare is the integer cross-multiply
+    * `63·C > Σ_{≠DC} C` in BigInt — no division, no boundary).
+    * Catches blur/re-encode/resize edits dHash's gradient signs miss. */
+  def phash64(w: Int, h: Int, rgb: Array[Int]): Long = {
+    require(w >= 1 && h >= 1, s"empty raster ${w}x$h")
+    val g = new Array[Long](32 * 32)
+    var oy = 0
+    while (oy < 32) {
+      val sy = oy * h / 32
+      var ox = 0
+      while (ox < 32) {
+        g(oy * 32 + ox) = grayOf(rgb(sy * w + ox * w / 32)).toLong
+        ox += 1
+      }
+      oy += 1
+    }
+    val coeffs = new Array[Long](64)
+    var k = 0
+    while (k < 64) {
+      val u = k % 8
+      val v = k / 8
+      var s = 0L
+      var yy = 0
+      while (yy < 32) {
+        val cv = phashCosQ(yy * 8 + v)
+        var xx = 0
+        while (xx < 32) {
+          s += g(yy * 32 + xx) * phashCosQ(xx * 8 + u) * cv
+          xx += 1
+        }
+        yy += 1
+      }
+      coeffs(k) = s
+      k += 1
+    }
+    // 63·C vs Σ(≠DC): magnitudes can pass 2^63 — BigInt, still exact
+    val sumExcl = coeffs.iterator.map(BigInt(_)).sum - BigInt(coeffs(0))
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (BigInt(coeffs(k)) * 63 > sumExcl) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** Per-image pHash over the binary payload column — the [[dhash]]
+    * plumbing (real decode, batched partition kernel, zero shuffle)
+    * with the fixed-point DCT hash, emitted as unsigned 32-bit
+    * halves. */
+  def phash(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.graftbridge.Bridge
+    val payloadIdx = df.columns.indexOf("payload")
+    require(payloadIdx >= 0, "call withPayload first")
+    val keyIdx = df.columns.indexOf(keyCol)
+    val keyType = df.schema(keyIdx).dataType
+    val outSchema = StructType(Seq(
+      df.schema(keyIdx),
+      StructField("phash_hi", LongType, nullable = false),
+      StructField("phash_lo", LongType, nullable = false)
+    ))
+    val rdd = Bridge.toInternalRdd(df).mapPartitions { it =>
+      it.map { r =>
+        val key = InternalRow.copyValue(r.get(keyIdx, keyType))
+        val (w, h, rgb) = decodeImage(r.getBinary(payloadIdx)).getOrElse(
+          throw new IllegalArgumentException("phash: payload is not a decodable image"))
+        val hash = phash64(w, h, rgb)
+        new GenericInternalRow(Array[Any](
+          key, (hash >>> 32) & 0xffffffffL, hash & 0xffffffffL)): InternalRow
+      }
+    }
+    Bridge.internalCreateDataFrame(df.sparkSession, rdd, outSchema)
+  }
+
   /** Near-duplicate image pairs over a [[dhash]] frame: the 64-bit hash
     * banded into four 16-bit keys (pigeonhole: Hamming ≤ 3 ⇒ at least
     * one band agrees), candidates from bucket membership (one

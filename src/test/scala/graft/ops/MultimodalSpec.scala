@@ -220,4 +220,59 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
     assert(viaJoin == viaWindow)
   }
+
+  test("phash64: constant raster sets ONLY the DC bit") {
+    // all non-DC coefficients are 0 for a flat image (cos rows sum to
+    // ~0 in the fixed-point table EXACTLY: the quantized table keeps
+    // the symmetry cq(x,u) = -cq(31-x,u) for odd u etc. — checked via
+    // the hash, not assumed)
+    val rgb = Array.fill(18 * 16)((100 << 16) | (100 << 8) | 100)
+    val h = Multimodal.phash64(18, 16, rgb)
+    assert(h == 1L, h.toString) // only bit 0 (DC > mean-of-rest = 0)
+  }
+
+  test("phash64: one-pixel perturbation stays Hamming-close; different bases differ") {
+    def fixtureRgb(base: Int, pert: Boolean): (Int, Int, Array[Int]) = {
+      val (w, hh) = (18 + base % 5, 16 + base % 3)
+      val rgb = Array.tabulate(w * hh) { i =>
+        val x = i % w; val y = i / w
+        var pr = (base * 31 + x * 7 + y * 13) % 256
+        if (pert && x == 0 && y == 0) pr = (pr + 1) % 256
+        ((pr << 16) | (((base * 17 + x * 3 + y * 11) % 256) << 8)
+          | ((base * 23 + x * 5 + y * 19) % 256))
+      }
+      (w, hh, rgb)
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val pairs = (0 until 10).map { b =>
+      val (w1, h1, r1) = fixtureRgb(b, pert = false)
+      val (w2, h2, r2) = fixtureRgb(b, pert = true)
+      ham(Multimodal.phash64(w1, h1, r1), Multimodal.phash64(w2, h2, r2))
+    }
+    assert(pairs.forall(_ <= 4), pairs.mkString(","))
+    val others = (0 until 9).map { b =>
+      val (w1, h1, r1) = fixtureRgb(b, pert = false)
+      val (w2, h2, r2) = fixtureRgb(b + 1, pert = false)
+      ham(Multimodal.phash64(w1, h1, r1), Multimodal.phash64(w2, h2, r2))
+    }
+    assert(others.count(_ > 8) >= 6, others.mkString(","))
+  }
+
+  test("phash over the paired fixture: decode path matches the kernel on raw pixels") {
+    val hashes = Multimodal
+      .phash(Multimodal.imageFixturePaired(spark, nBase = 5), "img_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1) << 32) | r.getLong(2)))
+      .toMap
+    assert(hashes.size == 10)
+    // spot-check one: recompute from the fixture formula directly
+    val (w, hh) = (18 + 2 % 5, 16 + 2 % 3)
+    val rgb = Array.tabulate(w * hh) { i =>
+      val x = i % w; val y = i / w
+      (((2 * 31 + x * 7 + y * 13) % 256) << 16) |
+        (((2 * 17 + x * 3 + y * 11) % 256) << 8) |
+        ((2 * 23 + x * 5 + y * 19) % 256)
+    }
+    assert(hashes(2L) == Multimodal.phash64(w, hh, rgb))
+  }
 }
