@@ -2150,6 +2150,47 @@ object SparkEntry {
       Tables.events(s, dir).select("event_type", "value"),
       "event_type", "value", "view", "purchase")
 
+  /** Chi-square independence test ([[graft.ops.Stats.chiSquared]])
+    * between event type (5 values) and the user residue band
+    * (4 values) — dof 12, critical value 21.026 pinned as the
+    * 10⁻⁶-scaled literal. Join-free window marginals over the 5×4
+    * observed cells; every χ² term an exact 6dp half-up integral
+    * division, the statistic their exact sum. */
+  private def qChisq(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.chiSquared(
+      Tables.events(s, dir).select(
+        col("event_type"),
+        concat(lit("u"), pmod(col("user_id"), lit(4)).cast("string")).as("band")),
+      "event_type", "band", critMicro = 21026000L)
+
+  /** Benford first-digit audit ([[graft.ops.Stats.benford]]) of
+    * lineitem extended price — the organic-magnitude fraud/QA screen.
+    * Digit from the STRING form of the cent integer (no log10 float);
+    * expected shares are pinned 10⁻⁶ literals; per-digit χ² terms and
+    * their exact micro sum. */
+  private def qBenford(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.benford(
+      Tables.lineitem(s, dir).select("l_extendedprice"), "l_extendedprice")
+
+  /** Corpus concentration ([[graft.ops.Stats.concentration]]) of
+    * events across users — Gini (exact rank form), HHI, and top-10
+    * mass share, each the 6dp half-up of an exact rational over one
+    * per-user rollup. */
+  private def qConcentration(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.concentration(
+      Tables.events(s, dir).select("user_id"), "user_id", topK = 10)
+
+  /** Per-user EWMA control chart ([[graft.ts.Ewma.controlChart]],
+    * α = ¼, 8 taps, alarm at |dev| > 200): the truncated adjust-form
+    * smoother as exact integer tap weights over cent values, deviation
+    * vs the PRIOR smoothed value, integer-compare alarm. */
+  private def qEwma(s: SparkSession, dir: String): DataFrame =
+    graft.ts.Ewma.controlChart(
+      Tables.events(s, dir).select("event_id", "user_id", "ts_us", "value"),
+      Seq("user_id"), "ts_us", "event_id", "value",
+      taps = 8, alphaNum = 1, alphaDen = 4, thresholdMicro = 200000000L)
+      .select("event_id", "user_id", "ts_us", "n_taps", "ewma", "dev", "alarm")
+
   /** A/B readout ([[graft.ops.Experiment.abTest]]): users hashed into
     * three arms by residue, conversion = purchase event; per-arm
     * counts, 6dp rate, pooled two-proportion z vs arm0 and the 1.96
@@ -3444,7 +3485,11 @@ object SparkEntry {
     "q_quantile_bin" -> (qQuantileBin _),
     "q_split_leak" -> (qSplitLeak _),
     "q_crawl_schedule" -> (qCrawlSchedule _),
-    "q_water_fill" -> (qWaterFill _)
+    "q_water_fill" -> (qWaterFill _),
+    "q_chisq" -> (qChisq _),
+    "q_benford" -> (qBenford _),
+    "q_concentration" -> (qConcentration _),
+    "q_ewma" -> (qEwma _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -6193,8 +6238,124 @@ object SparkEntry {
         |        replace(replace(replace(replace(replace(t,
         |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
         |      FROM s2)
-        |SELECT doc_id, trim(regexp_replace(t, ' +', ' ', 'g')) AS clean_text FROM d""".stripMargin
+        |SELECT doc_id, trim(regexp_replace(t, ' +', ' ', 'g')) AS clean_text FROM d""".stripMargin,
+    "q_chisq" -> chisqOracleSql,
+    "q_benford" -> benfordOracleSql,
+    "q_concentration" -> concentrationOracleSql,
+    "q_ewma" -> ewmaOracleSql
   ) ++ pqFamilyOracles
+
+  /** q_chisq: the join-free contingency replayed — window marginals
+    * over observed cells, each observed χ² term the exact half-up
+    * (o·N − ra·cb)²·10⁶ / (ra·cb·N), the zero-cell collective term
+    * (N² − Σobs ra·cb)/N, reject and Cochran validity as pure integer
+    * compares on min(ra)·min(cb). */
+  private lazy val chisqOracleSql: String =
+    """WITH e AS (SELECT event_type AS a, 'u' || CAST(user_id % 4 AS VARCHAR) AS b FROM events),
+      |cl AS (SELECT a, b, COUNT(*) AS o FROM e GROUP BY a, b),
+      |g AS (SELECT *, SUM(o) OVER (PARTITION BY a) AS ra,
+      |        SUM(o) OVER (PARTITION BY b) AS cb, SUM(o) OVER () AS n FROM cl),
+      |t AS (SELECT *, CAST(ra AS HUGEINT) * cb AS e38,
+      |        CAST(o AS HUGEINT) * n - CAST(ra AS HUGEINT) * cb AS d FROM g),
+      |c AS (SELECT *, (d * d * 1000000 * 2 + e38 * n) // (e38 * n * 2) AS contrib FROM t),
+      |f AS (SELECT n, COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c2,
+      |        SUM(contrib) AS om, SUM(e38) AS emass,
+      |        MIN(ra) AS minra, MIN(cb) AS mincb FROM c GROUP BY n),
+      |f2 AS (SELECT *,
+      |        om + ((CAST(n AS HUGEINT) * n - emass) * 1000000 * 2 + n)
+      |             // (CAST(n AS HUGEINT) * 2) AS chi2m,
+      |        CAST(minra AS HUGEINT) * mincb AS mine FROM f)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS n_rows,
+      |  CAST(c2 AS BIGINT) AS n_cols, CAST((r - 1) * (c2 - 1) AS BIGINT) AS dof,
+      |  CAST(chi2m AS DOUBLE) / 1000000.0 AS chi2,
+      |  CAST(chi2m > 21026000 AS INT) AS reject,
+      |  CAST((mine * 1000000 * 2 + n) // (CAST(n AS HUGEINT) * 2) AS DOUBLE) / 1000000.0
+      |    AS min_expected,
+      |  CAST(mine >= CAST(n AS HUGEINT) * 5 AS INT) AS valid
+      |FROM f2""".stripMargin
+
+  /** q_benford: digit from the cent integer's string form, the same
+    * pinned 10⁻⁶ expected-share literals, densified 1…9 frame, χ²
+    * terms and total as exact half-up micro integers. */
+  private lazy val benfordOracleSql: String = {
+    val vals = graft.ops.Stats.benfordMicro.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, ${p}::HUGEINT)" }.mkString(", ")
+    s"""WITH v AS (SELECT CAST(abs(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS c
+       |        FROM lineitem),
+       |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit FROM v WHERE c > 0),
+       |cnt AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+       |p AS (SELECT * FROM (VALUES $vals) AS t(digit, pm)),
+       |g AS (SELECT p.digit, pm, COALESCE(n, 0) AS n FROM p LEFT JOIN cnt ON p.digit = cnt.digit),
+       |g2 AS (SELECT *, SUM(n) OVER () AS total FROM g),
+       |t AS (SELECT *, pm * total AS pn,
+       |        CAST(n AS HUGEINT) * 1000000 - pm * total AS dd FROM g2),
+       |c AS (SELECT *, (dd * dd * 2 + pn) // (pn * 2) AS contrib,
+       |        (CAST(n AS HUGEINT) * 1000000 * 2 + total) // (CAST(total AS HUGEINT) * 2) AS sharem
+       |      FROM t),
+       |f AS (SELECT *, SUM(contrib) OVER () AS chi2m FROM c)
+       |SELECT digit, CAST(n AS BIGINT) AS n,
+       |  CAST(sharem AS DOUBLE) / 1000000.0 AS share,
+       |  CAST(pm AS DOUBLE) / 1000000.0 AS expected_share,
+       |  CAST(pn AS DOUBLE) / 1000000.0 AS expected,
+       |  CAST(contrib AS DOUBLE) / 1000000.0 AS contrib,
+       |  CAST(chi2m AS DOUBLE) / 1000000.0 AS chi2
+       |FROM f""".stripMargin
+  }
+
+  /** q_concentration: ascending (count, key) rank fold — Gini's exact
+    * rank form, HHI, top-10 share, each a sign-aware half-up integral
+    * division of exact HUGEINT rationals. */
+  private lazy val concentrationOracleSql: String =
+    """WITH c AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY user_id),
+      |r AS (SELECT *, row_number() OVER (ORDER BY c ASC, k ASC) AS i,
+      |        COUNT(*) OVER () AS nk, SUM(c) OVER () AS tot FROM c),
+      |a AS (SELECT nk, tot,
+      |        SUM((CAST(i AS HUGEINT) * 2 - nk - 1) * c) AS gnum,
+      |        SUM(CAST(c AS HUGEINT) * c) AS c2,
+      |        SUM(CASE WHEN i > nk - 10 THEN c ELSE 0 END) AS top
+      |      FROM r GROUP BY nk, tot)
+      |SELECT CAST(nk AS BIGINT) AS n_keys, CAST(tot AS BIGINT) AS total,
+      |  CAST(CASE WHEN gnum >= 0
+      |       THEN (gnum * 1000000 * 2 + CAST(nk AS HUGEINT) * tot)
+      |            // (CAST(nk AS HUGEINT) * tot * 2)
+      |       ELSE -(((-gnum) * 1000000 * 2 + CAST(nk AS HUGEINT) * tot)
+      |            // (CAST(nk AS HUGEINT) * tot * 2)) END AS DOUBLE) / 1000000.0 AS gini,
+      |  CAST((c2 * 1000000 * 2 + CAST(tot AS HUGEINT) * tot)
+      |       // (CAST(tot AS HUGEINT) * tot * 2) AS DOUBLE) / 1000000.0 AS hhi,
+      |  CAST((CAST(top AS HUGEINT) * 1000000 * 2 + tot)
+      |       // (CAST(tot AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS topk_share
+      |FROM a""".stripMargin
+
+  /** q_ewma: the 8-tap truncated EWMA unrolled — exact integer tap
+    * weights over cent values, sign-aware half-up micro division,
+    * deviation vs the lagged smoothed value, integer-compare alarm. */
+  private lazy val ewmaOracleSql: String = {
+    val ws = graft.ts.Ewma.weights(8, 1, 4)
+    val lagCols = (1 to 7).map(k => s"lag(c, $k) OVER w AS c$k").mkString(",\n        ")
+    val num = (s"${ws.head} * c" +:
+      (1 to 7).map(k => s"${ws(k)} * COALESCE(c$k, 0)")).mkString(" + ")
+    val den = (s"${ws.head}" +:
+      (1 to 7).map(k => s"CASE WHEN c$k IS NULL THEN 0 ELSE ${ws(k)} END")).mkString(" + ")
+    val nt = ("1" +:
+      (1 to 7).map(k => s"CASE WHEN c$k IS NULL THEN 0 ELSE 1 END")).mkString(" + ")
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+       |      FROM events WHERE value IS NOT NULL),
+       |l AS (SELECT *, $lagCols
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |m AS (SELECT *, $num AS num, $den AS den, $nt AS nt FROM l),
+       |s AS (SELECT *, CASE WHEN num >= 0
+       |        THEN (CAST(num AS HUGEINT) * 10000 * 2 + den) // (CAST(den AS HUGEINT) * 2)
+       |        ELSE -((CAST(-num AS HUGEINT) * 10000 * 2 + den) // (CAST(den AS HUGEINT) * 2))
+       |        END AS em FROM m),
+       |f AS (SELECT *, lag(em, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS pm
+       |      FROM s)
+       |SELECT event_id, user_id, ts_us, CAST(nt AS INT) AS n_taps,
+       |  CAST(em AS DOUBLE) / 1000000.0 AS ewma,
+       |  CAST(CAST(c AS HUGEINT) * 10000 - pm AS DOUBLE) / 1000000.0 AS dev,
+       |  CAST(COALESCE(abs(CAST(c AS HUGEINT) * 10000 - pm) > 200000000, FALSE) AS INT) AS alarm
+       |FROM f""".stripMargin
+  }
 
   /** q_psd: the FFT kernel's bins recomputed with an UNROLLED direct
     * DFT — literal cos/sin constants generated from the same driver

@@ -142,4 +142,225 @@ object Stats {
       z.as("z"),
       coalesce((abs(z) >= 1.96).cast("int"), lit(0)).as("significant"))
   }
+
+  /** `a div b` at the Column level (the [[SkewJoin]] spelling):
+    * IntegralDivide accepts decimal operands and returns LONG. */
+  private def intDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    Bridge.column(IntegralDivide(Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** Sign-aware half-up `num/den` in micro units (den > 0), the
+    * [[graft.ops.Labels]] ratio6 recipe: both engines replay the
+    * identical integral division, so no float sits on a boundary. */
+  private def microHalfUp(num: Column, den: Column): Column =
+    when(num >= 0, intDiv(num * 2 + den, den * 2))
+      .otherwise(-intDiv((-num) * 2 + den, den * 2))
+
+  /** Pearson chi-square test of independence between two CATEGORICAL
+    * columns — the third leg of the test battery ([[ksTest]] for
+    * numeric shift, [[mannWhitney]] for numeric location, this for
+    * categorical association: did label mix shift by source, does
+    * event type depend on user band?).
+    *
+    * ONE corpus-sized (a, b) rollup bounds everything after it by the
+    * contingency-table size R×C (the caller's contract: both columns
+    * are low-cardinality categories — bands, types, labels; NOT free
+    * text). Marginals ride the bounded cells frame as window sums —
+    * no join of any kind (a marginal×marginal cross join would plan
+    * the banned nested-loop join). Zero-observed cells still
+    * contribute: each contributes exactly its expected count e
+    * ((0−e)²/e = e), so their TOTAL mass has the closed form
+    * (N² − Σ_observed ra·cb)/N (since Σ_grid ra·cb = N²) — the
+    * classic sparse-rollup understatement bug, designed out without
+    * densifying.
+    *
+    * Per observed cell, the χ² term (o − e)²/e with e = ra·cb/N is
+    * kept as the EXACT rational (o·N − ra·cb)² / (ra·cb·N) and
+    * shipped as its 6dp half-up micro integer; the statistic is the
+    * exact integer SUM of those micro terms plus the zero-cell
+    * collective term's half-up micro (so both engines agree
+    * bit-for-bit), and the reject decision is an integer compare
+    * against `critMicro` — the caller's 10⁻⁶-scaled critical value
+    * for the table's dof (no closed form exists for the χ² inverse
+    * CDF; the caller pins it, e.g. 21026000 for dof 12 at α = 0.05).
+    * `valid` flags Cochran's rule (all expected counts ≥ 5) via the
+    * cross-multiply min(ra)·min(cb) ≥ 5·N — the grid minimum is the
+    * product of the marginal minima.
+    *
+    * Returns ONE row:
+    * `(n, n_rows, n_cols, dof, chi2, reject, min_expected, valid)`.
+    */
+  def chiSquared(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      critMicro: Long
+  ): DataFrame = {
+    require(critMicro >= 0, s"critMicro must be >= 0, got $critMicro")
+    val a = col(colA)
+    val b = col(colB)
+    val guarded = df.where(
+      when(a.isNull || b.isNull,
+        raise_error(lit(s"chiSquared: NULL in $colA/$colB — filter first")))
+        .otherwise(lit(true)))
+    val cells = guarded.groupBy(a.as("__a"), b.as("__b")).agg(count(lit(1)).as("__o"))
+    val byA = Window.partitionBy("__a").rowsBetween(Long.MinValue, Long.MaxValue)
+    val byB = Window.partitionBy("__b").rowsBetween(Long.MinValue, Long.MaxValue)
+    val whole = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val grid = cells
+      .withColumn("__ra", sum(col("__o")).over(byA))
+      .withColumn("__cb", sum(col("__o")).over(byB))
+      .withColumn("__n", sum(col("__o")).over(whole))
+    val e38 = (col("__ra").cast("decimal(38,0)") * col("__cb"))
+    val d = col("__o").cast("decimal(38,0)") * col("__n") - e38
+    val contribMicro = microHalfUp(d * d * lit(1000000L), e38 * col("__n"))
+    val n38 = col("__n").cast("decimal(38,0)")
+    grid
+      .withColumn("__contrib", contribMicro)
+      .groupBy("__n")
+      .agg(
+        count_distinct(col("__a")).as("__r"),
+        count_distinct(col("__b")).as("__c"),
+        sum(col("__contrib")).as("__om"),
+        sum(e38).as("__emass"),
+        min(col("__ra")).as("__minra"),
+        min(col("__cb")).as("__mincb"))
+      // observed terms + the zero-cell collective term (N² − Σobs ra·cb)/N
+      .withColumn("__chi2m",
+        col("__om") + microHalfUp(
+          (n38 * col("__n") - col("__emass")) * lit(1000000L), n38))
+      .withColumn("__mine",
+        col("__minra").cast("decimal(38,0)") * col("__mincb"))
+      .select(
+        col("__n").as("n"),
+        col("__r").as("n_rows"),
+        col("__c").as("n_cols"),
+        ((col("__r") - 1L) * (col("__c") - 1L)).as("dof"),
+        (col("__chi2m").cast("double") / lit(1000000.0)).as("chi2"),
+        (col("__chi2m") > critMicro).cast("int").as("reject"),
+        (microHalfUp(col("__mine") * lit(1000000L), n38)
+          .cast("double") / lit(1000000.0)).as("min_expected"),
+        (col("__mine") >= n38 * 5L).cast("int").as("valid"))
+  }
+
+  /** Benford's-law micro proportions log10(1 + 1/d), d = 1…9, pinned
+    * as 10⁻⁶-scaled integer LITERALS (the transcendental constants
+    * never touch either engine's libm). */
+  private[graft] val benfordMicro: Seq[Long] =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** Benford first-significant-digit audit of a positive metric column
+    * — the data-quality / fraud screen for "organic" magnitudes
+    * (prices, populations, file sizes): fabricated or truncated data
+    * departs from the log-uniform digit law.
+    *
+    * Values are read at the repo's 2dp DECIMAL metric contract; the
+    * first significant digit comes from the STRING form of the
+    * positive cent integer (exact on both engines — no log10 float).
+    * One corpus-sized digit rollup (9 groups, map-side combinable)
+    * bounds everything; the digit frame is densified from a literal
+    * 1…9 sequence so a missing digit still contributes its full
+    * expected mass. Per digit: observed `n`, observed `share` (6dp
+    * half-up), `expected_share` (the pinned literal), expected count
+    * `expected` (the exact integer p·N read as a double), and the χ²
+    * term `contrib` = (o·10⁶ − p·N)²/(p·N·10⁶) as its 6dp half-up —
+    * with `chi2` (the exact micro SUM over all 9 digits, dof = 8)
+    * repeated on every row for a one-scan readout. Zero and NULL
+    * values are excluded (no first digit); strictly negative input
+    * audits its magnitude.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = abs(col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val counts = df
+      .select(cents.as("__c"))
+      .where(col("__c").isNotNull && col("__c") > 0L)
+      .select(substring(col("__c").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+    val digits = counts.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val pMicro = element_at(
+      array(benfordMicro.map(lit): _*), col("digit"))
+    val whole = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val dense = digits
+      .join(counts, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("__total", sum(col("n")).over(whole))
+    val pn = pMicro.cast("decimal(38,0)") * col("__total")
+    val d = col("n").cast("decimal(38,0)") * lit(1000000L) - pn
+    // χ² term (o−e)²/e = d²/(10⁶·pn) in natural units → d²/pn in micro
+    val contribMicro = microHalfUp(d * d, pn)
+    dense
+      .withColumn("__contrib", contribMicro)
+      .withColumn("__chi2m", sum(col("__contrib")).over(whole))
+      .select(
+        col("digit"),
+        col("n"),
+        (microHalfUp(col("n").cast("decimal(38,0)") * lit(1000000L),
+          col("__total").cast("decimal(38,0)")).cast("double") / lit(1000000.0))
+          .as("share"),
+        (pMicro.cast("double") / lit(1000000.0)).as("expected_share"),
+        (pn.cast("double") / lit(1000000.0)).as("expected"),
+        (col("__contrib").cast("double") / lit(1000000.0)).as("contrib"),
+        (col("__chi2m").cast("double") / lit(1000000.0)).as("chi2"))
+  }
+
+  /** Mass-concentration readout of a grouping key — how unequal is
+    * the corpus across keys (docs per host, events per user, tokens
+    * per doc)? The curation dashboard number behind "one crawl host
+    * is 40% of the corpus":
+    *
+    *  - Gini coefficient via the exact rank form
+    *    Σ(2i − n − 1)·cᵢ / (n·Σc) over ascending-sorted per-key
+    *    counts (tie order is irrelevant: equal c swap freely), 6dp
+    *    half-up of the exact rational;
+    *  - Herfindahl–Hirschman index Σ(cᵢ/Σc)² = Σcᵢ²/(Σc)², same
+    *    treatment;
+    *  - top-K mass share.
+    *
+    * ONE corpus-sized key rollup (map-side combinable) bounds the
+    * rest; the rank fold runs on the bounded per-key frame in a
+    * single-partition window — fine to ~10⁶ keys. Beyond that
+    * (per-user keys at 100 TB), pre-bucket keys into count bands
+    * first or rank via the [[graft.ts.GlobalSort]] partition-offset
+    * path; the formulas only need (count, rank) pairs.
+    *
+    * Returns ONE row: `(n_keys, total, gini, hhi, topk_share)`.
+    */
+  def concentration(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val c = df
+      .where(when(col(keyCol).isNull,
+        raise_error(lit(s"concentration: NULL in $keyCol — filter first")))
+        .otherwise(lit(true)))
+      .groupBy(col(keyCol).as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val asc = Window.orderBy(col("__c").asc, col("__k").asc)
+    val whole = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val ranked = c
+      .withColumn("__i", row_number().over(asc))
+      .withColumn("__nk", count(lit(1)).over(whole))
+      .withColumn("__tot", sum(col("__c")).over(whole))
+    val giniTerm = (col("__i").cast("decimal(38,0)") * 2 - col("__nk") - 1) * col("__c")
+    ranked
+      .groupBy("__nk", "__tot")
+      .agg(
+        sum(giniTerm).as("__gnum"),
+        sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__c2"),
+        sum(when(col("__i") > col("__nk") - topK, col("__c")).otherwise(0L)).as("__top"))
+      .select(
+        col("__nk").as("n_keys"),
+        col("__tot").as("total"),
+        (microHalfUp(col("__gnum") * lit(1000000L),
+          col("__nk").cast("decimal(38,0)") * col("__tot"))
+          .cast("double") / lit(1000000.0)).as("gini"),
+        (microHalfUp(col("__c2") * lit(1000000L),
+          col("__tot").cast("decimal(38,0)") * col("__tot"))
+          .cast("double") / lit(1000000.0)).as("hhi"),
+        (microHalfUp(col("__top").cast("decimal(38,0)") * lit(1000000L),
+          col("__tot").cast("decimal(38,0)"))
+          .cast("double") / lit(1000000.0)).as("topk_share"))
+  }
 }

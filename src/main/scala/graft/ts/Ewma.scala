@@ -1,0 +1,118 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EWMA control chart over a keyed ordered stream — the classic
+  * per-entity drift/anomaly monitor (is this user's metric suddenly
+  * off its own recent baseline?): an exponentially-weighted moving
+  * average per key, the deviation of each sample from the PRIOR
+  * smoothed value, and a fixed-threshold alarm.
+  *
+  * The smoother is the TRUNCATED adjust-form EWMA (pandas
+  * `ewm(alpha, adjust=True)` cut at `taps` lags):
+  *
+  *   s_t = Σ_{k=0..taps−1} (1−α)^k · x_{t−k}  /  Σ (1−α)^k
+  *
+  * with α = alphaNum/alphaDen RATIONAL, so every weight
+  * (alphaDen−alphaNum)^k · alphaDen^(taps−1−k) is an exact integer
+  * LITERAL and the whole chain is integer arithmetic over 2dp-cent
+  * values: numerator and denominator are exact longs, s_t ships as
+  * the 6dp sign-aware half-up integral division both engines replay
+  * bit-for-bit (the [[graft.ops.Labels]] ratio6 recipe — a recursive
+  * float EWMA would diverge across engines after a few hundred
+  * steps). Truncation error vs the infinite form is (1−α)^taps of
+  * the mass (≈ 10% at α=¼, taps=8) — the monitor trades it for
+  * BOUNDED per-row work and an O(taps) streaming-state twin
+  * ([[graft.streaming.Streaming]]).
+  *
+  * The alarm compares |x_t·10⁴ − s_{t−1}micro| (all exact micro
+  * integers — deviation is measured against the PRIOR smoothed value,
+  * the control-chart convention, so a spike doesn't suppress its own
+  * alarm) against `thresholdMicro`: an integer compare, no float on
+  * the alert boundary. The first sample per key has no prior → NULL
+  * deviation, alarm 0.
+  *
+  * One window pass per key computes all lags together (Spark
+  * evaluates the `taps` `lag()` calls in a single ordered frame);
+  * keys partition freely — no global sort, no driver state.
+  *
+  * Output: the key/order/id columns plus
+  * `(n_taps, ewma, dev, alarm)`.
+  */
+object Ewma {
+
+  private def intDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    Bridge.column(IntegralDivide(Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  private def microHalfUp(num: Column, den: Column): Column =
+    when(num >= 0, intDiv(num * 2 + den, den * 2))
+      .otherwise(-intDiv((-num) * 2 + den, den * 2))
+
+  /** The exact integer tap weights (1−α)^k·alphaDen^(taps−1−k),
+    * k = 0 … taps−1, for α = alphaNum/alphaDen. */
+  private[graft] def weights(taps: Int, alphaNum: Int, alphaDen: Int): Seq[Long] = {
+    val r = (alphaDen - alphaNum).toLong
+    (0 until taps).map(k =>
+      BigInt(r).pow(k).toLong * BigInt(alphaDen).pow(taps - 1 - k).toLong)
+  }
+
+  /** See object doc. `idCol` breaks order ties deterministically
+    * (required: a tie-broken total order per key is the parity
+    * contract with the streaming twin). NULL values are excluded
+    * up front (they have no cent form; a gap simply shortens the
+    * available tap window like a series head does). */
+  def controlChart(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      idCol: String,
+      valCol: String,
+      taps: Int = 8,
+      alphaNum: Int = 1,
+      alphaDen: Int = 4,
+      thresholdMicro: Long = 200000000L
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "controlChart needs at least one key column")
+    require(taps >= 1 && taps <= 32, s"taps must be in [1,32], got $taps")
+    require(alphaNum >= 1 && alphaNum < alphaDen,
+      s"alpha must be a rational in (0,1): $alphaNum/$alphaDen")
+    // Σ weights ≤ taps·alphaDen^(taps−1) must leave room for the
+    // worst-case chain |num|·10⁴·2 at cent values up to 10⁷ (2dp
+    // metrics of magnitude ≤ 10⁵ — the repo's metric contract)
+    require(BigInt(alphaDen).pow(taps - 1) * taps <
+        BigInt(Long.MaxValue) / 10000000L / 10000L / 2,
+      s"taps=$taps alphaDen=$alphaDen overflows the exact integer chain")
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val ws = weights(taps, alphaNum, alphaDen)
+    val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("long")
+    val base = df.where(col(valCol).isNotNull).withColumn("__cents", cents)
+    val lags = (0 until taps).map { k =>
+      if (k == 0) col("__cents") else lag(col("__cents"), k).over(w)
+    }
+    val num = lags.zip(ws).map { case (x, wk) =>
+      when(x.isNotNull, x * wk).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val den = lags.zip(ws).map { case (x, wk) =>
+      when(x.isNotNull, lit(wk)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val nTaps = lags.map(x => x.isNotNull.cast("int")).reduce(_ + _)
+    val stepped = base
+      .withColumn("__ewma_micro", microHalfUp(num * 10000L, den))
+      .withColumn("n_taps", nTaps)
+    val prior = lag(col("__ewma_micro"), 1).over(w)
+    val devMicro = col("__cents") * 10000L - prior
+    stepped
+      .withColumn("ewma", col("__ewma_micro").cast("double") / lit(1000000.0))
+      .withColumn("dev", devMicro.cast("double") / lit(1000000.0))
+      .withColumn("alarm",
+        coalesce((abs(devMicro) > thresholdMicro).cast("int"), lit(0)))
+      .drop("__cents", "__ewma_micro")
+  }
+}

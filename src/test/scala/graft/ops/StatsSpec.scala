@@ -55,4 +55,73 @@ class StatsSpec extends SparkSpec {
     assert(r.getInt(4) == 1, r.toString)
     assert(r.getDouble(3) < -1.96)
   }
+
+  test("chiSquared: hand-computed 2x2, per-cell 6dp micro terms summed exactly") {
+    // counts x1=2 x2=1 y1=1 y2=2, N=6, every e=1.5: true chi2 = 2/3;
+    // per cell (o·6−9)²·1e6/54 = 166666.67 → half-up 166667, ×4 = 666668
+    val df = Seq(("x", 1), ("x", 1), ("x", 2), ("y", 1), ("y", 2), ("y", 2))
+      .toDF("a", "b")
+    val r = Stats.chiSquared(df, "a", "b", critMicro = 3841459L).head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 1L) // dof
+    assert(r.getDouble(4) == 0.666668, r.toString)
+    assert(r.getInt(5) == 0) // 0.666668 < 3.841459
+    assert(r.getDouble(6) == 1.5) // min expected
+    assert(r.getInt(7) == 0) // Cochran: 1.5 < 5
+  }
+
+  test("chiSquared: zero-observed cells still contribute expected mass") {
+    // only (x,1) and (y,2) observed: e=1 everywhere, chi2 = 4 exactly
+    val df = Seq(("x", 1), ("x", 1), ("y", 2), ("y", 2)).toDF("a", "b")
+    val r = Stats.chiSquared(df, "a", "b", critMicro = 3841459L).head()
+    assert(r.getDouble(4) == 4.0, r.toString)
+    assert(r.getInt(5) == 1) // 4 > 3.841459
+  }
+
+  test("chiSquared: independent uniform table has zero statistic") {
+    val df = (for { a <- Seq("x", "y"); b <- 1 to 3; _ <- 1 to 4 } yield (a, b))
+      .toDF("a", "b")
+    val r = Stats.chiSquared(df, "a", "b", critMicro = 1L).head()
+    assert(r.getDouble(4) == 0.0 && r.getInt(5) == 0)
+    assert(r.getLong(3) == 2L) // dof (2−1)(3−1)
+    assert(r.getInt(7) == 0) // e = 4 < 5
+  }
+
+  test("benford: digits from cent strings; missing digits densified; chi2 is the micro sum") {
+    // 1.00 1.50 19.99 2.00 2.50 30.00 -4.00 → digits 1,1,1,2,2,3,4 (0/null skipped)
+    val df = Seq[java.lang.Double](1.00, 1.50, 19.99, 2.00, 2.50, 30.00, 0.00, null, -4.00)
+      .toDF("v")
+    val rows = Stats.benford(df, "v").collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(3L, 2L, 1L, 1L, 0L, 0L, 0L, 0L, 0L))
+    val d1 = rows.head
+    assert(d1.getDouble(2) == 0.428571) // half-up 3e6/7
+    assert(d1.getDouble(3) == 0.30103)
+    assert(d1.getDouble(4) == 2.10721) // 301030·7/1e6
+    // an unobserved digit contributes exactly its expected micro mass
+    val d9 = rows.last
+    assert(d9.getDouble(5) == 0.320299, d9.toString) // 45757·7/1e6
+    // the corpus chi2 equals the exact micro sum of the 9 terms
+    val micro = rows.map(r => math.rint(r.getDouble(5) * 1e6).toLong).sum
+    assert(rows.forall(r => r.getDouble(6) == micro / 1e6))
+  }
+
+  test("concentration: hand-computed gini/hhi/top share") {
+    // counts per key: a=4, b=1, c=1 → asc [1,1,4]:
+    // gini = (−2·1 + 0·1 + 2·4)/(3·6) = 1/3, hhi = 18/36, top2 = 5/6
+    val df = (Seq.fill(4)("a") ++ Seq("b", "c")).toDF("k")
+    val r = Stats.concentration(df, "k", topK = 2).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 0.333333)
+    assert(r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == 0.833333)
+  }
+
+  test("concentration: perfectly equal keys have zero gini, 1/n hhi") {
+    val df = (1 to 5).flatMap(k => Seq.fill(3)(s"k$k")).toDF("k")
+    val r = Stats.concentration(df, "k", topK = 10).head()
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 0.2)
+    assert(r.getDouble(4) == 1.0) // topK ≥ n_keys → everything
+  }
 }
