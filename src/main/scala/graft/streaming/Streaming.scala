@@ -1258,4 +1258,77 @@ object Streaming {
           out.iterator
       }
   }
+
+  /** One smoothed sample from [[ewmaStream]] — the live control-chart
+    * point: truncated-EWMA value, deviation of the sample from the
+    * PRIOR smoothed value (None for a key's first sample), alarm. */
+  final case class EwmaPoint(
+      key: String, ts: Long, n_taps: Int, ewma: Double,
+      dev: Option[Double], alarm: Int)
+
+  /** Streaming twin of [[graft.ts.Ewma.controlChart]]: the live
+    * per-key drift monitor. The batch operator's TRUNCATION is what
+    * makes the state finite — the smoothed value is a pure function
+    * of the last ≤ `taps` cent values, so the keyed state is exactly
+    * that window (O(taps) longs per key; a recursive float EWMA would
+    * need no more state but could never replay batch's integer chain
+    * bit-for-bit). The prior EWMA is recomputed from the stored
+    * window before appending the new sample, so deviation/alarm
+    * match batch's lag semantics exactly; every arithmetic step is
+    * the same exact integer chain (tap weights, sign-aware half-up
+    * micro division, integer alarm compare).
+    *
+    * Emits one [[EwmaPoint]] per input row. Requires per-key in-order
+    * delivery across micro-batches (rows are sorted by ts within each
+    * batch); batch parity over any prefix is pinned in StreamingSpec.
+    */
+  def ewmaStream(
+      samples: Dataset[Sample],
+      taps: Int = 8,
+      alphaNum: Int = 1,
+      alphaDen: Int = 4,
+      thresholdMicro: Long = 200000000L
+  ): Dataset[EwmaPoint] = {
+    require(taps >= 1 && taps <= 32, s"taps must be in [1,32], got $taps")
+    require(alphaNum >= 1 && alphaNum < alphaDen,
+      s"alpha must be a rational in (0,1): $alphaNum/$alphaDen")
+    import samples.sparkSession.implicits._
+    val ws = graft.ts.Ewma.weights(taps, alphaNum, alphaDen)
+    def cents(d: Double): Long =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    // sign-aware half-up micro division — the batch microHalfUp
+    def halfUp(num: Long, den: Long): Long =
+      if (num >= 0) (num * 2 + den) / (den * 2)
+      else -(((-num) * 2 + den) / (den * 2))
+    // window = most-recent-first cent values, length ≤ taps
+    def ewmaMicro(window: List[Long]): Long = {
+      var num = 0L; var den = 0L; var k = 0
+      window.foreach { c => num += ws(k) * c; den += ws(k); k += 1 }
+      halfUp(num * 10000L, den)
+    }
+    samples
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[List[Long], EwmaPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[List[Long]]) =>
+          var window = state.getOption.getOrElse(Nil)
+          val arr = rows.toArray
+          scala.util.Sorting.stableSort(arr, (a: Sample, b: Sample) => a.ts < b.ts)
+          val out = scala.collection.mutable.ArrayBuffer.empty[EwmaPoint]
+          arr.foreach { s =>
+            val c = cents(s.value)
+            val prior = if (window.isEmpty) None else Some(ewmaMicro(window))
+            window = (c :: window).take(taps)
+            val em = ewmaMicro(window)
+            val devMicro = prior.map(p => c * 10000L - p)
+            out += EwmaPoint(key, s.ts, window.length, em / 1e6,
+              devMicro.map(_ / 1e6),
+              if (devMicro.exists(d => math.abs(d) > thresholdMicro)) 1 else 0)
+          }
+          state.update(window)
+          out.iterator
+      }
+  }
 }

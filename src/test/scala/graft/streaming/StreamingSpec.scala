@@ -634,6 +634,42 @@ class StreamingSpec extends SparkSpec {
       (6L, 0.0, 7.0)))    // S- = 3.5 + 3.5
   }
 
+  test("ewmaStream: per-row smoothed points match batch controlChart across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.Sample
+    val input = MemoryStream[Sample]
+    val q = Streaming
+      .ewmaStream(input.toDS(), taps = 3, alphaNum = 1, alphaDen = 2,
+        thresholdMicro = 1500000L)
+      .writeStream.format("memory").queryName("ewma_points").outputMode("append")
+      .start()
+    input.addData(
+      Sample("k", 1, 1.00), Sample("k", 2, 2.00), Sample("other", 1, 9.00))
+    q.processAllAvailable()
+    // the 3-tap window must carry across the batch boundary
+    input.addData(Sample("k", 3, 4.00), Sample("k", 4, 4.00))
+    q.processAllAvailable()
+    val got = spark
+      .sql("SELECT key, ts, n_taps, ewma, dev, alarm FROM ewma_points").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getInt(5))).toSet
+    q.stop()
+    val events = Seq(
+      ("k", 1L, 1.00), ("k", 2L, 2.00), ("other", 1L, 9.00),
+      ("k", 3L, 4.00), ("k", 4L, 4.00)).toDF("key", "ts", "value")
+    val batch = graft.ts.Ewma
+      .controlChart(events, Seq("key"), "ts", "ts", "value",
+        taps = 3, alphaNum = 1, alphaDen = 2, thresholdMicro = 1500000L)
+      .select("key", "ts", "n_taps", "ewma", "dev", "alarm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getInt(5))).toSet
+    assert(got == batch && got.size == 5, s"got=$got\nbatch=$batch")
+    // spot-check the chain: ts=3 smooths (4·4 + 2·2 + 1·1)/7 = 3.0,
+    // dev = 4 − ewma(ts=2) = 4 − 5/3 → 2.333333 > 1.5 → alarm
+    val t3 = got.find(t => t._1 == "k" && t._2 == 3L).get
+    assert(t3._4 == 3.0 && t3._5 == Some(2.333333) && t3._6 == 1)
+  }
+
   test("cohortStream: once-per-(user,offset) emission matches batch retention across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streaming.UserActivity]
