@@ -2191,6 +2191,17 @@ object SparkEntry {
       taps = 8, alphaNum = 1, alphaDen = 4, thresholdMicro = 200000000L)
       .select("event_id", "user_id", "ts_us", "n_taps", "ewma", "dev", "alarm")
 
+  /** Population stability index ([[graft.ops.Stats.psi]], 10
+    * baseline-decile bins) of purchase-event values against the
+    * view-event baseline — the production drift gate. Bins in exact
+    * integers on the bounded value rollup; log terms via the
+    * tokenDrift 12dp-round → decimal-sum recipe; alert decided on the
+    * exact decimal sum vs the 0.2 literal. */
+  private def qPsi(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.psi(
+      Tables.events(s, dir).select("event_type", "value"),
+      "event_type", "value", "view", "purchase", nBins = 10)
+
   /** A/B readout ([[graft.ops.Experiment.abTest]]): users hashed into
     * three arms by residue, conversion = purchase event; per-arm
     * counts, 6dp rate, pooled two-proportion z vs arm0 and the 1.96
@@ -3489,7 +3500,8 @@ object SparkEntry {
     "q_chisq" -> (qChisq _),
     "q_benford" -> (qBenford _),
     "q_concentration" -> (qConcentration _),
-    "q_ewma" -> (qEwma _)
+    "q_ewma" -> (qEwma _),
+    "q_psi" -> (qPsi _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -6242,8 +6254,35 @@ object SparkEntry {
     "q_chisq" -> chisqOracleSql,
     "q_benford" -> benfordOracleSql,
     "q_concentration" -> concentrationOracleSql,
-    "q_ewma" -> ewmaOracleSql
+    "q_ewma" -> ewmaOracleSql,
+    "q_psi" -> psiOracleSql
   ) ++ pqFamilyOracles
+
+  /** q_psi: baseline-decile bins from the exact integer
+    * ⌊(cumA−1)·10/nA⌋ clamp on the shared two-sample value rollup;
+    * per-bin (pa−pb)·ln(pa/pb) terms with 10⁻⁶ clamping through the
+    * tokenDrift 12dp-round → DECIMAL(38,12) exact-sum recipe; alert
+    * on the decimal sum vs the 0.2 literal. */
+  private lazy val psiOracleSql: String =
+    s"""$twoSampleCte,
+       |bb AS (SELECT greatest(0, least(9, (cuma - 1) * 10 // na)) AS bin,
+       |        na, nb, ca, cb FROM c),
+       |rb AS (SELECT bin, na, nb, SUM(ca) AS nna, SUM(cb) AS nnb
+       |      FROM bb GROUP BY bin, na, nb),
+       |tp AS (SELECT *,
+       |        greatest(CAST(nna AS DOUBLE) / na, 1e-6) AS pac,
+       |        greatest(CAST(nnb AS DOUBLE) / nb, 1e-6) AS pbc
+       |      FROM rb),
+       |dd AS (SELECT *, CAST(round((pac - pbc) * ln(pac / pbc), 12) AS DECIMAL(38,12)) AS tt
+       |      FROM tp),
+       |f AS (SELECT *, SUM(tt) OVER () AS psid FROM dd)
+       |SELECT CAST(bin AS BIGINT) AS bin, CAST(nna AS BIGINT) AS na, CAST(nnb AS BIGINT) AS nb,
+       |  round(CAST(nna AS DOUBLE) / na, 6) AS pa,
+       |  round(CAST(nnb AS DOUBLE) / nb, 6) AS pb,
+       |  round(CAST(tt AS DOUBLE), 6) AS term,
+       |  round(CAST(psid AS DOUBLE), 6) AS psi,
+       |  CAST(psid > 0.200000000000::DECIMAL(38,12) AS INT) AS alert
+       |FROM f""".stripMargin
 
   /** q_chisq: the join-free contingency replayed — window marginals
     * over observed cells, each observed χ² term the exact half-up

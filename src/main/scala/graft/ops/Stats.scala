@@ -307,6 +307,69 @@ object Stats {
         (col("__chi2m").cast("double") / lit(1000000.0)).as("chi2"))
   }
 
+  /** Population stability index between a BASELINE and a CURRENT
+    * sample of a metric — the standard production drift gate
+    * (alert at PSI > 0.2): how far has the current distribution
+    * moved across the baseline's own deciles?
+    *
+    * Bins are the baseline's equal-frequency quantile bins, derived
+    * in EXACT integers on the bounded per-distinct-2dp-value rollup
+    * (the [[ksTest]] frame): a value whose inclusive baseline
+    * cumulative count is cumA lands in bin
+    * clamp(⌊(cumA−1)·nBins/nA⌋, 0, nBins−1) — ties share a bin, so
+    * binning is engine-replayable with no float boundary. Per-bin
+    * probabilities are clamped at 10⁻⁶ (the standard zero-count
+    * smoothing) and each term (pa−pb)·ln(pa/pb) follows the
+    * [[graft.ops.Text.tokenDrift]] determinism recipe: per-term
+    * 12dp round into DECIMAL(38,12), ORDER-INDEPENDENT exact decimal
+    * sum, one 6dp round at the end; the alert compares the exact
+    * decimal sum against the 0.2 literal (no float on the alarm
+    * boundary). Bins emptied by heavy ties are omitted — their
+    * clamped term is exactly 0.
+    *
+    * Per populated bin: `(bin, na, nb, pa, pb, term)` with the corpus
+    * `psi` and `alert` repeated on every row for a one-scan readout.
+    */
+  def psi(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String,
+      nBins: Int = 10
+  ): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2,1000], got $nBins")
+    val byV = Window.orderBy(col("__v").asc).rowsBetween(Long.MinValue, 0)
+    val whole = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val cum = ranked(df, groupCol, valueCol, groupA, groupB)
+      .withColumn("__cuma", sum(col("__ca")).over(byV))
+      .withColumn("__na", sum(col("__ca")).over(whole))
+      .withColumn("__nb", sum(col("__cb")).over(whole))
+    val binRaw = intDiv((col("__cuma") - 1L) * nBins, col("__na"))
+    val bin = greatest(lit(0L), least(lit(nBins - 1L), binRaw))
+    val bins = cum
+      .groupBy(bin.as("bin"), col("__na"), col("__nb"))
+      .agg(sum(col("__ca")).as("na"), sum(col("__cb")).as("nb"))
+    val pa = col("na").cast("double") / col("__na").cast("double")
+    val pb = col("nb").cast("double") / col("__nb").cast("double")
+    val paC = greatest(pa, lit(1e-6))
+    val pbC = greatest(pb, lit(1e-6))
+    val term = (paC - pbC) * log(paC / pbC)
+    bins
+      .withColumn("__t", round(term, 12).cast("decimal(38,12)"))
+      .withColumn("__psid", sum(col("__t")).over(whole))
+      .select(
+        col("bin"),
+        col("na"),
+        col("nb"),
+        round(pa, 6).as("pa"),
+        round(pb, 6).as("pb"),
+        round(col("__t").cast("double"), 6).as("term"),
+        round(col("__psid").cast("double"), 6).as("psi"),
+        (col("__psid") > lit(new java.math.BigDecimal("0.200000000000")))
+          .cast("int").as("alert"))
+  }
+
   /** Mass-concentration readout of a grouping key — how unequal is
     * the corpus across keys (docs per host, events per user, tokens
     * per doc)? The curation dashboard number behind "one crawl host

@@ -117,6 +117,33 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.833333)
   }
 
+  test("psi: hand-computed 2-bin shift, clamped empty side, decimal-exact alert") {
+    // A = {1,1,2,2}, B = {2,2,3,3}, 2 baseline-median bins:
+    // v=1→bin0 (na=2, nb=0), v=2,3→bin1 (na=2, nb=4)
+    val df = (Seq(("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", 2.0)) ++
+      Seq(("b", 2.0), ("b", 2.0), ("b", 3.0), ("b", 3.0))).toDF("g", "v")
+    val rows = Stats.psi(df, "g", "v", "a", "b", nBins = 2).collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(rows(0).getLong(1) == 2L && rows(0).getLong(2) == 0L)
+    assert(rows(1).getLong(1) == 2L && rows(1).getLong(2) == 4L)
+    def term12(pa: Double, pb: Double): BigDecimal =
+      BigDecimal((pa - pb) * math.log(pa / pb)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val t0 = term12(0.5, 1e-6); val t1 = term12(0.5, 1.0)
+    assert(rows(0).getDouble(5) == t0.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val want = (t0 + t1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.forall(_.getDouble(6) == want), rows.mkString(";"))
+    assert(rows.forall(_.getInt(7) == 1)) // way past 0.2
+  }
+
+  test("psi: identical distributions score zero, no alert") {
+    val vs = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val df = (vs.map(("a", _)) ++ vs.map(("b", _))).toDF("g", "v")
+    val rows = Stats.psi(df, "g", "v", "a", "b", nBins = 5).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(6) == 0.0 && r.getInt(7) == 0))
+    assert(rows.forall(r => r.getDouble(3) == r.getDouble(4)))
+  }
+
   test("concentration: perfectly equal keys have zero gini, 1/n hhi") {
     val df = (1 to 5).flatMap(k => Seq.fill(3)(s"k$k")).toDF("k")
     val r = Stats.concentration(df, "k", topK = 10).head()
