@@ -2191,6 +2191,26 @@ object SparkEntry {
       taps = 8, alphaNum = 1, alphaDen = 4, thresholdMicro = 200000000L)
       .select("event_id", "user_id", "ts_us", "n_taps", "ewma", "dev", "alarm")
 
+  /** Per-event-type exact quantile report
+    * ([[graft.ops.Stats.groupQuantiles]], P50/P90/P99): true type-1
+    * quantiles from the bounded (type, 2dp value) rollup, each pick
+    * an integer cross-multiply cum·den ≥ num·n — the latency-
+    * dashboard shape with no sketch error and no float boundary. */
+  private def qGroupQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.groupQuantiles(
+      Tables.events(s, dir).select("event_type", "value"),
+      "event_type", "value")
+
+  /** Referential-integrity audit ([[graft.ops.Profile.fkOrphans]]):
+    * orders whose customer was dropped (parent filtered to
+    * c_custkey % 7 ≠ 0 to synthesize dangling FKs) — one left join
+    * against distinct parent keys + one singleton rollup. */
+  private def qFkOrphans(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.fkOrphans(
+      Tables.orders(s, dir).select("o_custkey"), "o_custkey",
+      Tables.customer(s, dir).where(col("c_custkey") % 7 =!= 0).select("c_custkey"),
+      "c_custkey")
+
   /** Population stability index ([[graft.ops.Stats.psi]], 10
     * baseline-decile bins) of purchase-event values against the
     * view-event baseline — the production drift gate. Bins in exact
@@ -3501,7 +3521,9 @@ object SparkEntry {
     "q_benford" -> (qBenford _),
     "q_concentration" -> (qConcentration _),
     "q_ewma" -> (qEwma _),
-    "q_psi" -> (qPsi _)
+    "q_psi" -> (qPsi _),
+    "q_group_quantiles" -> (qGroupQuantiles _),
+    "q_fk_orphans" -> (qFkOrphans _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -6255,7 +6277,35 @@ object SparkEntry {
     "q_benford" -> benfordOracleSql,
     "q_concentration" -> concentrationOracleSql,
     "q_ewma" -> ewmaOracleSql,
-    "q_psi" -> psiOracleSql
+    "q_psi" -> psiOracleSql,
+    "q_group_quantiles" ->
+      """WITH e AS (SELECT event_type AS k, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |c AS (SELECT k, v, COUNT(*) AS c FROM e GROUP BY k, v),
+        |w AS (SELECT *, SUM(c) OVER (PARTITION BY k ORDER BY v) AS cum,
+        |        SUM(c) OVER (PARTITION BY k) AS n FROM c)
+        |SELECT k AS event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN cum * 2 >= n * 1 THEN v END) AS DOUBLE) AS p50,
+        |  CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS DOUBLE) AS p90,
+        |  CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN v END) AS DOUBLE) AS p99
+        |FROM w GROUP BY k""".stripMargin,
+    "q_fk_orphans" ->
+      """WITH pk AS (SELECT DISTINCT c_custkey AS fk FROM customer
+        |      WHERE c_custkey % 7 <> 0 AND c_custkey IS NOT NULL),
+        |j AS (SELECT o.o_custkey AS fk, pk.fk AS hit
+        |      FROM orders o LEFT JOIN pk ON o.o_custkey = pk.fk),
+        |a AS (SELECT COUNT(*) AS n, COUNT(fk) AS nn,
+        |        COALESCE(SUM(CASE WHEN fk IS NOT NULL AND hit IS NULL
+        |          THEN 1 ELSE 0 END), 0) AS orows,
+        |        COUNT(DISTINCT CASE WHEN fk IS NOT NULL AND hit IS NULL
+        |          THEN fk END) AS okeys
+        |      FROM j)
+        |SELECT CAST(n AS BIGINT) AS n_child, CAST(n - nn AS BIGINT) AS n_null_keys,
+        |  CAST(orows AS BIGINT) AS n_orphan_rows, CAST(okeys AS BIGINT) AS n_orphan_keys,
+        |  CASE WHEN nn > 0 THEN
+        |    CAST((CAST(orows AS HUGEINT) * 1000000 * 2 + nn) // (CAST(nn AS HUGEINT) * 2)
+        |         AS DOUBLE) / 1000000.0
+        |  ELSE 0.0 END AS orphan_rate
+        |FROM a""".stripMargin
   ) ++ pqFamilyOracles
 
   /** q_psi: baseline-decile bins from the exact integer

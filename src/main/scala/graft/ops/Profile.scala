@@ -242,4 +242,58 @@ object Profile {
         col(s"__${name}__mx").as("max"),
         when(nn > 0, meanMicro.cast("double") / lit(1000000.0)).as("mean"))
     }: _*)
+
+  /** Referential-integrity audit: rows of `child` whose `childKey`
+    * has no match in `parent.parentKey` — the orphan check every
+    * star-schema ingest gate runs (fact rows pointing at deleted or
+    * never-loaded dimension rows silently vanish from inner joins
+    * downstream; count them HERE, loudly, instead).
+    *
+    * ONE left equi-join of the child's key column against the
+    * parent's DISTINCT keys carrying a hit marker (distinct keeps the
+    * join multiplicity 1; Spark broadcasts it when small, shuffles at
+    * dimension scale — never a nested loop), then ONE singleton
+    * rollup classifying each row as matched / orphan / NULL-key —
+    * no second pass, no singleton-to-singleton join (whose literal
+    * keys constant-fold into the banned BNLJ). NULL child keys are
+    * counted separately, not as orphans (a NULL FK is a modeling
+    * choice; a dangling one is corruption).
+    *
+    * Returns ONE row:
+    * `(n_child, n_null_keys, n_orphan_rows, n_orphan_keys,
+    *   orphan_rate)` — rate = orphan rows / non-null-key rows, 6dp
+    * half-up of the exact rational (0 when the child has no non-null
+    * keys).
+    */
+  def fkOrphans(
+      child: DataFrame,
+      childKey: String,
+      parent: DataFrame,
+      parentKey: String
+  ): DataFrame = {
+    val pk = parent.select(col(parentKey).as("__fk"))
+      .where(col("__fk").isNotNull)
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val orphan = col("__fk").isNotNull && col("__hit").isNull
+    val rateMicro = {
+      val u = col("__orows").cast("decimal(38,0)") * lit(1000000L)
+      intDiv(u * 2 + col("__nn"), col("__nn") * 2)
+    }
+    child.select(col(childKey).as("__fk"))
+      .join(pk, Seq("__fk"), "left")
+      .groupBy()
+      .agg(
+        count(lit(1)).as("__n"),
+        count(col("__fk")).as("__nn"),
+        coalesce(sum(orphan.cast("long")), lit(0L)).as("__orows"),
+        count_distinct(when(orphan, col("__fk"))).as("__okeys"))
+      .select(
+        col("__n").as("n_child"),
+        (col("__n") - col("__nn")).as("n_null_keys"),
+        col("__orows").as("n_orphan_rows"),
+        col("__okeys").as("n_orphan_keys"),
+        when(col("__nn") > 0, rateMicro.cast("double") / lit(1000000.0))
+          .otherwise(lit(0.0)).as("orphan_rate"))
+  }
 }

@@ -370,6 +370,51 @@ object Stats {
           .cast("int").as("alert"))
   }
 
+  /** Per-group EXACT quantile report — the latency-dashboard shape
+    * (P50/P90/P99 of a metric per service/type/segment), computed as
+    * true type-1 quantiles, not sketch estimates: the corpus reduces
+    * to ONE per-(group, distinct 2dp value) rollup (bounded by
+    * groups × value vocabulary), and each quantile is the smallest
+    * value whose cumulative count reaches ⌈p·n⌉ — selected by the
+    * integer cross-multiply cum·den ≥ num·n (probabilities enter as
+    * exact rationals `(name, num, den)`; no float boundary).
+    *
+    * One row per group: `(key, n, <name…>)` with each quantile the
+    * exact 2dp value as a double.
+    */
+  def groupQuantiles(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      probs: Seq[(String, Long, Long)] =
+        Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+  ): DataFrame = {
+    require(probs.nonEmpty, "groupQuantiles needs at least one probability")
+    probs.foreach { case (nm, num, den) =>
+      require(num >= 1 && num <= den, s"prob $nm must be a rational in (0,1]: $num/$den")
+    }
+    val k = col(keyCol)
+    val v = col(valueCol).cast("decimal(18,2)")
+    val guarded = df.where(
+      when(k.isNull || v.isNull,
+        raise_error(lit(s"groupQuantiles: NULL in $keyCol/$valueCol — filter first")))
+        .otherwise(lit(true)))
+    val byV = Window.partitionBy("__k").orderBy(col("__v").asc)
+      .rowsBetween(Long.MinValue, 0)
+    val whole = Window.partitionBy("__k").rowsBetween(Long.MinValue, Long.MaxValue)
+    val cum = guarded
+      .groupBy(k.as("__k"), v.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(byV))
+      .withColumn("__n", sum(col("__c")).over(whole))
+    val picks = probs.map { case (nm, num, den) =>
+      min(when(col("__cum") * den >= col("__n") * num, col("__v"))).cast("double").as(nm)
+    }
+    cum
+      .groupBy(col("__k").as(keyCol))
+      .agg(max(col("__n")).as("n"), picks: _*)
+  }
+
   /** Mass-concentration readout of a grouping key — how unequal is
     * the corpus across keys (docs per host, events per user, tokens
     * per doc)? The curation dashboard number behind "one crawl host

@@ -95,4 +95,28 @@ class ProfileSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("fkOrphans: orphan rows vs keys, NULL keys separate, duplicate parents don't multiply") {
+    val child = Seq[java.lang.Long](1L, 1L, 2L, 3L, 3L, 3L, null)
+      .toDF("fk")
+    // parent has 1 twice (multiplicity must not double-count child 1)
+    // and lacks 3 → 3 orphan rows of 1 orphan key
+    val parent = Seq(1L, 1L, 2L).toDF("pk")
+    val r = Profile.fkOrphans(child, "fk", parent, "pk").head()
+    assert(r.getLong(0) == 7L) // n_child
+    assert(r.getLong(1) == 1L) // n_null_keys
+    assert(r.getLong(2) == 3L) // n_orphan_rows
+    assert(r.getLong(3) == 1L) // n_orphan_keys
+    assert(r.getDouble(4) == 0.5) // 3/6
+  }
+
+  test("fkOrphans: clean FK scores zero; all-null child keys rate 0") {
+    val child = Seq(1L, 2L).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Profile.fkOrphans(child, "fk", parent, "pk").head()
+    assert(r.getLong(2) == 0L && r.getDouble(4) == 0.0)
+    val nulls = Seq[java.lang.Long](null, null).toDF("fk")
+    val r2 = Profile.fkOrphans(nulls, "fk", parent, "pk").head()
+    assert(r2.getLong(0) == 2L && r2.getLong(1) == 2L && r2.getDouble(4) == 0.0)
+  }
 }

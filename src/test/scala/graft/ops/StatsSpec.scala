@@ -144,6 +144,25 @@ class StatsSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(3) == r.getDouble(4)))
   }
 
+  test("groupQuantiles: exact type-1 picks per group, integer boundary") {
+    // group g: values 1..10 → p50 = 5 (cum 5·2 ≥ 10), p90 = 9, p99 = 10
+    // group h: 1,1,1,2 → p50 = 1 (cum 3·2 ≥ 4·1), p90 = 2 (3·10 < 36), p99 = 2
+    val df = ((1 to 10).map(i => ("g", i.toDouble)) ++
+      Seq(("h", 1.0), ("h", 1.0), ("h", 1.0), ("h", 2.0))).toDF("k", "v")
+    val rows = Stats.groupQuantiles(df, "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows(0) == (("g", 10L, 5.0, 9.0, 10.0)))
+    assert(rows(1) == (("h", 4L, 1.0, 2.0, 2.0)))
+  }
+
+  test("groupQuantiles: custom rationals; p100 is the max") {
+    val df = Seq(("g", 1.5), ("g", 2.5), ("g", 3.5)).toDF("k", "v")
+    val r = Stats.groupQuantiles(df, "k", "v",
+      probs = Seq(("p33", 1L, 3L), ("p100", 1L, 1L))).head()
+    assert(r.getDouble(2) == 1.5 && r.getDouble(3) == 3.5)
+  }
+
   test("concentration: perfectly equal keys have zero gini, 1/n hhi") {
     val df = (1 to 5).flatMap(k => Seq.fill(3)(s"k$k")).toDF("k")
     val r = Stats.concentration(df, "k", topK = 10).head()
