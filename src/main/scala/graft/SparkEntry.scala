@@ -2375,6 +2375,15 @@ object SparkEntry {
     graft.ops.Labels.majorityVote(
       annotationsFixture(s, dir), "item", "rater", "label")
 
+  /** Krippendorff's alpha ([[graft.ops.Labels.krippendorffAlpha]])
+    * over the same ragged 3-rater fixture — the missing-data
+    * agreement coefficient (r3's abstentions make the units m = 2 or
+    * m = 3, exercising the lcm-scaled 1/(m−1) coincidence weights);
+    * Do, De, and alpha each one exact rational → 6dp. */
+  private def qKrippendorff(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Labels.krippendorffAlpha(
+      annotationsFixture(s, dir), "item", "rater", "label")
+
   /** Cohen's kappa ([[graft.ops.Labels.cohenKappa]]) between the
     * faithful rater and the 20%-flipping rater — one row of exact
     * integers (n, n_agree, Σ marginal products) plus the 6dp kappa in
@@ -3523,7 +3532,8 @@ object SparkEntry {
     "q_ewma" -> (qEwma _),
     "q_psi" -> (qPsi _),
     "q_group_quantiles" -> (qGroupQuantiles _),
-    "q_fk_orphans" -> (qFkOrphans _)
+    "q_fk_orphans" -> (qFkOrphans _),
+    "q_krippendorff" -> (qKrippendorff _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -6305,7 +6315,47 @@ object SparkEntry {
         |    CAST((CAST(orows AS HUGEINT) * 1000000 * 2 + nn) // (CAST(nn AS HUGEINT) * 2)
         |         AS DOUBLE) / 1000000.0
         |  ELSE 0.0 END AS orphan_rate
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    "q_krippendorff" ->
+      """WITH ann AS (
+        |  SELECT vec_id AS item, 'r1' AS rater, 'l' || label AS label FROM embeddings
+        |  UNION ALL SELECT vec_id, 'r2',
+        |    'l' || (CASE WHEN vec_id % 5 = 0 THEN (label + 1) % 10 ELSE label END)
+        |  FROM embeddings
+        |  UNION ALL SELECT vec_id, 'r3',
+        |    CASE WHEN vec_id % 7 = 0 THEN NULL ELSE 'l' || label END
+        |  FROM embeddings),
+        |cnt AS (SELECT item, label, COUNT(*) AS c FROM ann
+        |        WHERE label IS NOT NULL GROUP BY 1, 2),
+        |wm AS (SELECT *, SUM(c) OVER (PARTITION BY item) AS m,
+        |        MIN(label) OVER (PARTITION BY item) AS ml FROM cnt),
+        |fl AS (SELECT *, CASE WHEN label = ml THEN 1 ELSE 0 END AS fst
+        |       FROM wm WHERE m >= 2),
+        |pl AS (SELECT label, SUM(c) AS nl,
+        |        SUM(CAST(c AS HUGEINT) * (c - 1) * (2520 // (m - 1))) AS agr,
+        |        SUM(fst) AS items FROM fl GROUP BY label),
+        |f AS (SELECT COALESCE(SUM(items), 0) AS n_items, COALESCE(SUM(nl), 0) AS n,
+        |        COALESCE(SUM(agr), 0) AS agree,
+        |        COALESCE(SUM(CAST(nl AS HUGEINT) * nl), 0) AS sumsq FROM pl),
+        |g AS (SELECT *, CAST(n AS HUGEINT) * 2520 AS nl2520,
+        |        CAST(n AS HUGEINT) * n - sumsq AS denum,
+        |        CAST(n AS HUGEINT) * (n - 1) AS deden FROM f)
+        |SELECT CAST(n_items AS BIGINT) AS n_items, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n > 0 THEN
+        |    CAST(((nl2520 - agree) * 1000000 * 2 + nl2520) // (nl2520 * 2) AS DOUBLE)
+        |      / 1000000.0 END AS "do",
+        |  CASE WHEN n > 1 THEN
+        |    CAST((denum * 1000000 * 2 + deden) // (deden * 2) AS DOUBLE)
+        |      / 1000000.0 END AS de,
+        |  CASE WHEN denum > 0 THEN
+        |    CAST(CASE WHEN nl2520 * denum - (nl2520 - agree) * deden >= 0 THEN
+        |        ((nl2520 * denum - (nl2520 - agree) * deden) * 1000000 * 2
+        |          + nl2520 * denum) // (nl2520 * denum * 2)
+        |      ELSE
+        |        -((((nl2520 - agree) * deden - nl2520 * denum) * 1000000 * 2
+        |          + nl2520 * denum) // (nl2520 * denum * 2))
+        |      END AS DOUBLE) / 1000000.0 END AS alpha
+        |FROM g""".stripMargin
   ) ++ pqFamilyOracles
 
   /** q_psi: baseline-decile bins from the exact integer

@@ -142,4 +142,89 @@ object Labels {
       .withColumn("kappa", when(den =!= 0, ratio6(num, den)))
       .select("n", "n_agree", "sum_marginal", "kappa")
   }
+
+  /** Krippendorff's alpha (nominal) over an (item, rater, label)
+    * annotation table — the agreement coefficient that HANDLES
+    * MISSING ratings (abstentions, partial coverage, any number of
+    * raters per item), which [[cohenKappa]]'s fixed-two-rater pairing
+    * cannot: the gate for real crowdsourced labels where coverage is
+    * ragged.
+    *
+    * Standard coincidence-matrix form: an item with m ≥ 2 ratings
+    * contributes each ordered same-label pair at weight 1/(m−1);
+    * items with one rating carry no pairable information and drop.
+    * The 1/(m−1) weights are made EXACT by scaling with
+    * L = lcm(1 … maxRaters−1) (a literal; m > maxRaters fails loud),
+    * so observed agreement is a pure integer sum and
+    *
+    *   α = 1 − Do/De,  Do = (nL − agree)/(nL),
+    *   De = (n² − Σ_label n_label²)/(n(n−1))
+    *
+    * evaluates as ONE exact rational → 6dp sign-aware half-up (α can
+    * be negative under systematic disagreement). All-one-label input
+    * has De = 0 → NULL alpha, flagged not crashed.
+    *
+    * ONE chain: (item, label) counts → per-item m via a keyed window
+    * (bounded by labels per item) → per-label partial sums → a final
+    * bounded fold. No singleton join, no driver state. NULL labels
+    * are dropped (an abstention, not a vote).
+    *
+    * Returns ONE row: `(n_items, n, do, de, alpha)`.
+    */
+  def krippendorffAlpha(
+      annotations: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      labelCol: String,
+      maxRaters: Int = 10
+  ): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 12,
+      s"maxRaters must be in [2,12] (lcm growth), got $maxRaters")
+    def lcm(a: BigInt, b: BigInt): BigInt = a * b / a.gcd(b)
+    val bigL = (1 until maxRaters).map(BigInt(_)).reduce(lcm)
+    val L = bigL.toLong
+    import org.apache.spark.sql.expressions.Window
+    val cnt = annotations
+      .where(col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(labelCol).as("__l"))
+      .agg(count(lit(1)).as("__c"))
+    val byI = Window.partitionBy("__i").rowsBetween(Long.MinValue, Long.MaxValue)
+    val withM = cnt
+      .withColumn("__m", sum(col("__c")).over(byI))
+      .withColumn("__m",
+        when(col("__m") > maxRaters, raise_error(lit(
+          s"krippendorffAlpha: an item has more than $maxRaters ratings — raise maxRaters")))
+          .otherwise(col("__m")))
+      .where(col("__m") >= 2)
+      // exactly one row per item carries the min label → items counted once
+      .withColumn("__first",
+        when(col("__l") === min(col("__l")).over(byI), 1L).otherwise(0L))
+    val perLabel = withM
+      .withColumn("__w", intDiv(lit(L), col("__m") - 1L))
+      .groupBy("__l")
+      .agg(
+        sum(col("__c")).as("__nl"),
+        sum(col("__c") * (col("__c") - 1L) * col("__w")).as("__agr"),
+        sum(col("__first")).as("__items"))
+    val folded = perLabel
+      .groupBy()
+      .agg(
+        coalesce(sum(col("__items")), lit(0L)).as("n_items"),
+        coalesce(sum(col("__nl")), lit(0L)).as("n"),
+        coalesce(sum(col("__agr")), lit(0L)).as("__agree"),
+        coalesce(sum(col("__nl").cast("decimal(38,0)") * col("__nl")), lit(0L).cast("decimal(38,0)"))
+          .as("__sumsq"))
+    val n38 = col("n").cast("decimal(38,0)")
+    val nL = n38 * L
+    val doNum = nL - col("__agree")
+    val deNum = n38 * col("n") - col("__sumsq")
+    val deDen = n38 * (col("n") - 1L)
+    // α = [nL·deNum − doNum·deDen] / [nL·deNum]
+    folded.select(
+      col("n_items"),
+      col("n"),
+      when(col("n") > 0, ratio6(doNum, nL)).as("do"),
+      when(col("n") > 1, ratio6(deNum, deDen)).as("de"),
+      when(deNum > 0, ratio6(nL * deNum - doNum * deDen, nL * deNum)).as("alpha"))
+  }
 }

@@ -113,4 +113,50 @@ class LabelsSpec extends SparkSpec {
     ).toDF("score", "label")
     assert(Calibration.ece(df, "score", "label", 2).head().getDouble(1) == 0.0)
   }
+
+  test("krippendorffAlpha: hand-computed 2-rater table with one disagreement") {
+    // A:(1,1) B:(2,2) C:(3,3) D:(3,3) E:(1,2):
+    // Do = 2/10 = 0.2, De = (100−34)/90, alpha = 8/11
+    val df = Seq(
+      ("A", "r1", "1"), ("A", "r2", "1"), ("B", "r1", "2"), ("B", "r2", "2"),
+      ("C", "r1", "3"), ("C", "r2", "3"), ("D", "r1", "3"), ("D", "r2", "3"),
+      ("E", "r1", "1"), ("E", "r2", "2")).toDF("item", "rater", "label")
+    val r = Labels.krippendorffAlpha(df, "item", "rater", "label").head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 0.2)
+    assert(r.getDouble(3) == 0.733333)
+    assert(r.getDouble(4) == 0.727273, r.toString)
+  }
+
+  test("krippendorffAlpha: mixed rater counts weight by 1/(m-1); chance-level is zero") {
+    // F:(1,1,2) m=3 contributes L/2-weighted pairs, G:(1,1) m=2:
+    // Do = 0.4 = De → alpha = 0
+    val df = Seq(
+      ("F", "r1", "1"), ("F", "r2", "1"), ("F", "r3", "2"),
+      ("G", "r1", "1"), ("G", "r2", "1")).toDF("item", "rater", "label")
+    val r = Labels.krippendorffAlpha(df, "item", "rater", "label").head()
+    assert(r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 0.4 && r.getDouble(3) == 0.4)
+    assert(r.getDouble(4) == 0.0)
+  }
+
+  test("krippendorffAlpha: singletons and NULL labels drop; one-label table has NULL alpha") {
+    val df = Seq(
+      ("A", "r1", "x"), ("A", "r2", "x"),
+      ("B", "r1", "x"),                      // single rating → no pairs
+      ("C", "r1", null.asInstanceOf[String]) // abstention
+    ).toDF("item", "rater", "label")
+    val r = Labels.krippendorffAlpha(df, "item", "rater", "label").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.0) // perfect observed agreement
+    assert(r.isNullAt(4)) // De = 0 — alpha undefined, not crashed
+  }
+
+  test("krippendorffAlpha: too many raters on one item fails loud") {
+    val df = (1 to 4).map(i => ("A", s"r$i", "x")).toDF("item", "rater", "label")
+    val e = intercept[Exception] {
+      Labels.krippendorffAlpha(df, "item", "rater", "label", maxRaters = 3).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
