@@ -172,6 +172,16 @@ object SparkEntry {
       steps = Seq("view", "click", "purchase"),
       maxSpanUs = 172800000000L)
 
+  /** Daily growth accounting ([[graft.ops.Funnel.growthAccounting]]):
+    * per day, active users split into new / retained / resurrected,
+    * churn counted out of the previous day (n_active(t−1) −
+    * n_retained(t)), 6dp churn rate — the canonical
+    * new/retained/resurrected/churned product readout. */
+  private def qGrowth(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.growthAccounting(
+      Tables.events(s, dir).select("user_id", "ts_us"),
+      "ts_us", "user_id", periodUs = 86400000000L)
+
   /** Weekly cohort retention ([[graft.ops.Funnel.retention]]): users
     * grouped by the 7-day period of their first event, distinct-active
     * counts per later period, rate against the offset-0 cohort size. */
@@ -3533,7 +3543,8 @@ object SparkEntry {
     "q_psi" -> (qPsi _),
     "q_group_quantiles" -> (qGroupQuantiles _),
     "q_fk_orphans" -> (qFkOrphans _),
-    "q_krippendorff" -> (qKrippendorff _)
+    "q_krippendorff" -> (qKrippendorff _),
+    "q_growth" -> (qGrowth _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -6355,7 +6366,31 @@ object SparkEntry {
         |        -((((nl2520 - agree) * deden - nl2520 * denum) * 1000000 * 2
         |          + nl2520 * denum) // (nl2520 * denum * 2))
         |      END AS DOUBLE) / 1000000.0 END AS alpha
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    "q_growth" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t FROM events),
+        |pr AS (SELECT DISTINCT u,
+        |        CAST((t - t % 86400000000) / 86400000000 AS BIGINT) AS period FROM e),
+        |c AS (SELECT *, lag(period) OVER (PARTITION BY u ORDER BY period) AS prev FROM pr),
+        |cl AS (SELECT period,
+        |        CASE WHEN prev IS NULL THEN 'new'
+        |             WHEN prev = period - 1 THEN 'retained'
+        |             ELSE 'resurrected' END AS cls FROM c),
+        |pp AS (SELECT period, COUNT(*) AS n_active,
+        |        SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS n_new,
+        |        SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+        |        SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS n_resurrected
+        |      FROM cl GROUP BY period),
+        |f AS (SELECT *, CASE WHEN lag(period) OVER (ORDER BY period) = period - 1
+        |        THEN lag(n_active) OVER (ORDER BY period) ELSE 0 END AS pa FROM pp)
+        |SELECT period, CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(n_new AS BIGINT) AS n_new, CAST(n_retained AS BIGINT) AS n_retained,
+        |  CAST(n_resurrected AS BIGINT) AS n_resurrected,
+        |  CAST(pa - n_retained AS BIGINT) AS n_churned,
+        |  CASE WHEN pa > 0 THEN
+        |    CAST((CAST(pa - n_retained AS HUGEINT) * 2000000 + pa) // (CAST(pa AS HUGEINT) * 2)
+        |         AS DOUBLE) / 1000000.0 END AS churn_rate
+        |FROM f""".stripMargin
   ) ++ pqFamilyOracles
 
   /** q_psi: baseline-decile bins from the exact integer

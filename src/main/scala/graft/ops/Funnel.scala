@@ -140,4 +140,69 @@ object Funnel {
         round(col("n_active").cast("double") / col("__size").cast("double"), 4)
           .as("retention"))
   }
+
+  /** Growth accounting per period — the OTHER canonical activity
+    * readout next to [[retention]]'s cohort matrix: for each period,
+    * how many active users are NEW (first period ever), RETAINED
+    * (also active the immediately previous period), or RESURRECTED
+    * (returning after a gap) — and how many CHURNED out of the
+    * previous period (active at t−1, absent at t:
+    * n_churned = n_active(t−1) − n_retained(t), zero-attributed when
+    * t−1 had no row). `churn_rate` = churned / previous active, 6dp
+    * sign-safe half-up, NULL when there is no previous period.
+    *
+    * Plan: ONE distinct (user, period) exchange (the same
+    * subtract-mod exact period arithmetic as [[retention]]), a
+    * per-user ordered window classifying each presence against its
+    * lag, one period rollup, then a lag on the tiny period frame.
+    * Nothing after the distinct scales with event volume.
+    */
+  def growthAccounting(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      periodUs: Long
+  ): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    val ts = col(tsCol)
+    val p = lit(periodUs)
+    def periodOf(c: Column): Column = ((c - c % p) / p).cast("long")
+    val present = events
+      .select(col(userCol).as("__u"), periodOf(ts).as("period"))
+      .distinct()
+    val byU = Window.partitionBy("__u").orderBy(col("period").asc)
+    val classified = present
+      .withColumn("__prev", lag(col("period"), 1).over(byU))
+      .withColumn("__cls",
+        when(col("__prev").isNull, lit("new"))
+          .when(col("__prev") === col("period") - 1L, lit("retained"))
+          .otherwise(lit("resurrected")))
+    val perPeriod = classified
+      .groupBy("period")
+      .agg(
+        count(lit(1)).as("n_active"),
+        sum(when(col("__cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("__cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("__cls") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    val byP = Window.orderBy(col("period").asc)
+    val prevActive = when(
+      lag(col("period"), 1).over(byP) === col("period") - 1L,
+      lag(col("n_active"), 1).over(byP)).otherwise(lit(0L))
+    perPeriod
+      .withColumn("__pa", prevActive)
+      .withColumn("n_churned", col("__pa") - col("n_retained"))
+      .withColumn("churn_rate",
+        when(col("__pa") > 0,
+          (intDivF(col("n_churned") * 2000000L + col("__pa"), col("__pa") * 2L))
+            .cast("double") / lit(1000000.0)))
+      .drop("__pa")
+  }
+
+  /** `a div b` (IntegralDivide) — churned ≥ 0 always (retained ⊆
+    * previous active), so the half-up needs no sign branch. */
+  private def intDivF(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    Bridge.column(IntegralDivide(Bridge.expression(a), Bridge.expression(b)))
+  }
 }

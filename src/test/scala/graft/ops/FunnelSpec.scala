@@ -93,4 +93,30 @@ class FunnelSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((2810L, 0L), (2810L, 1L)))
   }
+
+  test("growthAccounting: new/retained/resurrected/churned hand-computed") {
+    // u1: p1 p2 p4 (resurrects at p4); u2: p1 only (churns at p2); u3: p2 p3 p4
+    val p = 10L
+    def ts(per: Long) = per * p + 3
+    val df = Seq(
+      (1L, ts(1)), (1L, ts(1) + 1), (1L, ts(2)), (1L, ts(4)),
+      (2L, ts(1)), (3L, ts(2)), (3L, ts(3)), (3L, ts(4))).toDF("u", "t")
+    val rows = Funnel.growthAccounting(df, "t", "u", p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), if (r.isNullAt(6)) null else r.getDouble(6)))
+      .sortBy(_._1)
+    assert(rows(0) == ((1L, 2L, 2L, 0L, 0L, 0L, null)))       // p1: both new
+    assert(rows(1) == ((2L, 2L, 1L, 1L, 0L, 1L, 0.5)))        // u2 churned
+    assert(rows(2) == ((3L, 1L, 0L, 1L, 0L, 1L, 0.5)))        // u1 churned
+    assert(rows(3) == ((4L, 2L, 0L, 1L, 1L, 0L, 0.0)))        // u1 resurrected
+  }
+
+  test("growthAccounting: a period gap attributes no churn to the far side") {
+    val df = Seq((1L, 10L), (1L, 50L)).toDF("u", "t") // active p1 and p5 only
+    val full = Funnel.growthAccounting(df, "t", "u", 10L)
+      .orderBy("period").collect()
+    assert(full.length == 2)
+    assert(full(1).getLong(0) == 5L && full(1).getLong(4) == 1L) // resurrected
+    assert(full(1).getLong(5) == 0L && full(1).isNullAt(6))      // no churn row
+  }
 }
