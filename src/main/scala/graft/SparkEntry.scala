@@ -182,6 +182,25 @@ object SparkEntry {
       Tables.events(s, dir).select("user_id", "ts_us"),
       "ts_us", "user_id", periodUs = 86400000000L)
 
+  /** DAU/WAU engagement ([[graft.ops.Funnel.activeUsers]], 7-day
+    * window): per active day the distinct-user count, the rolling
+    * 7-day distinct count (explode-to-window-end re-distinct — rolling
+    * DISTINCT doesn't decompose as a window sum), and the 6dp
+    * stickiness ratio. */
+  private def qDau(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.activeUsers(
+      Tables.events(s, dir).select("user_id", "ts_us"),
+      "ts_us", "user_id", periodUs = 86400000000L, windowDays = 7)
+
+  /** Class-balanced sampling weights
+    * ([[graft.ops.Labels.classWeights]]) over the 10-class embeddings
+    * labels — sklearn's `balanced` N/(K·n_c) per class, exact 6dp. */
+  private def qClassWeights(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Labels.classWeights(
+      Tables.embeddings(s, dir).select(
+        concat(lit("l"), col("label").cast("string")).as("label")),
+      "label")
+
   /** Weekly cohort retention ([[graft.ops.Funnel.retention]]): users
     * grouped by the 7-day period of their first event, distinct-active
     * counts per later period, rate against the offset-0 cohort size. */
@@ -3544,7 +3563,9 @@ object SparkEntry {
     "q_group_quantiles" -> (qGroupQuantiles _),
     "q_fk_orphans" -> (qFkOrphans _),
     "q_krippendorff" -> (qKrippendorff _),
-    "q_growth" -> (qGrowth _)
+    "q_growth" -> (qGrowth _),
+    "q_dau" -> (qDau _),
+    "q_class_weights" -> (qClassWeights _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -6390,7 +6411,29 @@ object SparkEntry {
         |  CASE WHEN pa > 0 THEN
         |    CAST((CAST(pa - n_retained AS HUGEINT) * 2000000 + pa) // (CAST(pa AS HUGEINT) * 2)
         |         AS DOUBLE) / 1000000.0 END AS churn_rate
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+    "q_dau" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t FROM events),
+        |pr AS (SELECT DISTINCT u,
+        |        CAST((t - t % 86400000000) / 86400000000 AS BIGINT) AS day FROM e),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM pr GROUP BY day),
+        |ex AS (SELECT DISTINCT u, day + k AS day FROM pr
+        |       CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k)),
+        |wau AS (SELECT day, COUNT(*) AS wau FROM ex GROUP BY day)
+        |SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+        |  CAST((CAST(d.dau AS HUGEINT) * 2000000 + w.wau)
+        |       // (CAST(w.wau AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS stickiness
+        |FROM dau d JOIN wau w ON d.day = w.day""".stripMargin,
+    "q_class_weights" ->
+      """WITH l AS (SELECT 'l' || label AS label FROM embeddings),
+        |c AS (SELECT label, COUNT(*) AS n FROM l GROUP BY label),
+        |w AS (SELECT *, SUM(n) OVER () AS total, COUNT(*) OVER () AS k FROM c)
+        |SELECT label, CAST(n AS BIGINT) AS n,
+        |  CAST((CAST(n AS HUGEINT) * 2000000 + total)
+        |       // (CAST(total AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS share,
+        |  CAST((CAST(total AS HUGEINT) * 2000000 + k * n)
+        |       // (CAST(k AS HUGEINT) * n * 2) AS DOUBLE) / 1000000.0 AS weight
+        |FROM w""".stripMargin
   ) ++ pqFamilyOracles
 
   /** q_psi: baseline-decile bins from the exact integer

@@ -205,4 +205,52 @@ object Funnel {
     import org.apache.spark.sql.catalyst.expressions.IntegralDivide
     Bridge.column(IntegralDivide(Bridge.expression(a), Bridge.expression(b)))
   }
+
+  /** DAU/WAU engagement: per active period (day), the distinct-user
+    * count for that day (`dau`), the rolling `windowDays`-day
+    * distinct-user count ending that day (`wau`), and the stickiness
+    * ratio dau/wau (6dp half-up of the exact rational) — the standard
+    * "how often do actives come back" readout.
+    *
+    * Rolling DISTINCT does not decompose as a window sum (a user
+    * active twice in the window must count once), so each distinct
+    * (user, day) presence is EXPLODED to the `windowDays` window-end
+    * days it covers and the count re-distincts per end day — work
+    * bounded by windowDays × |user-days| (user-days ≪ events; the
+    * explode factor is the window length, a literal). Only days with
+    * their own activity emit (a dead day has dau 0 — join the dau
+    * frame to taste).
+    */
+  def activeUsers(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      periodUs: Long,
+      windowDays: Int = 7
+  ): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    require(windowDays >= 1 && windowDays <= 92,
+      s"windowDays must be in [1,92], got $windowDays")
+    val ts = col(tsCol)
+    val p = lit(periodUs)
+    def periodOf(c: Column): Column = ((c - c % p) / p).cast("long")
+    val present = events
+      .select(col(userCol).as("__u"), periodOf(ts).as("day"))
+      .distinct()
+    val dau = present.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = present
+      .select(col("__u"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1).toLong)).as("day"))
+      .distinct()
+      .groupBy("day")
+      .agg(count(lit(1)).as("wau"))
+    dau
+      .join(wau, Seq("day"))
+      .select(
+        col("day"),
+        col("dau"),
+        col("wau"),
+        (intDivF(col("dau") * 2000000L + col("wau"), col("wau") * 2L)
+          .cast("double") / lit(1000000.0)).as("stickiness"))
+  }
 }

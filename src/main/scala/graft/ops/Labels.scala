@@ -227,4 +227,31 @@ object Labels {
       when(col("n") > 1, ratio6(deNum, deDen)).as("de"),
       when(deNum > 0, ratio6(nL * deNum - doNum * deDen, nL * deNum)).as("alpha"))
   }
+
+  /** Class-balanced sampling weights — sklearn's `balanced` heuristic
+    * weight_c = N / (K · n_c) per label (K = number of classes), the
+    * per-example weight that equalizes class mass in a skewed training
+    * table. One bounded label rollup + one whole-frame window for
+    * N and K; the weight is the 6dp half-up of the exact rational
+    * (share is the 6dp class prevalence). NULL labels are rejected
+    * loudly — silently dropping them would re-skew the weights. */
+  def classWeights(df: DataFrame, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val guarded = df.where(
+      when(col(labelCol).isNull,
+        raise_error(lit(s"classWeights: NULL in $labelCol — filter or impute first")))
+        .otherwise(lit(true)))
+    val whole = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    guarded
+      .groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__total", sum(col("n")).over(whole))
+      .withColumn("__k", count(lit(1)).over(whole))
+      .select(
+        col("label"),
+        col("n"),
+        ratio6(col("n").cast("decimal(38,0)"), col("__total")).as("share"),
+        ratio6(col("__total").cast("decimal(38,0)"),
+          col("__k").cast("decimal(38,0)") * col("n")).as("weight"))
+  }
 }

@@ -566,6 +566,64 @@ object Streaming {
           .cast("int").as("reject"))
   }
 
+  /** Live PSI drift monitor — the streaming deployment form of
+    * [[graft.ops.Stats.psi]] against a FIXED baseline histogram (the
+    * [[ksDriftStream]] recipe: one windowed aggregation builds the
+    * per-window bucket vector; the statistic evaluates statelessly on
+    * the closed window's single row). Values bucket into equi-width
+    * bins on [lo, hi]; per bin the PSI term (pa − pb)·ln(pa/pb) uses
+    * the batch operator's exact determinism chain — 10⁻⁶ clamping,
+    * per-term 12dp round into DECIMAL(38,12), FIXED bin-order sum —
+    * and the alert compares the exact decimal sum against the 0.2
+    * literal, so micro-batch slicing cannot move the alarm.
+    * Baseline shares are driver-side literals (pinned at monitor
+    * deploy time, like the ksDriftStream histogram).
+    *
+    * Output per closed window: (win_start, n, psi 6dp, alert 0/1). */
+  def psiDriftStream(
+      rows: DataFrame,
+      tsCol: String,
+      valCol: String,
+      windowDur: String,
+      watermark: String,
+      lo: Double,
+      hi: Double,
+      baseline: Seq[Long]
+  ): DataFrame = {
+    require(baseline.nonEmpty && baseline.forall(_ >= 0) && baseline.sum > 0,
+      "baseline must be a non-empty, non-negative histogram with mass")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val buckets = baseline.length
+    val width = (hi - lo) / buckets
+    val nRef = baseline.sum
+    val pbC = baseline.map(c => math.max(c.toDouble / nRef, 1e-6))
+    val b = least(
+      greatest(floor((col(valCol).cast("double") - lit(lo)) / lit(width)), lit(0))
+        .cast("int"),
+      lit(buckets - 1))
+    val vec = array(Seq.tabulate(buckets)(i =>
+      sum(when(b === i, 1L).otherwise(0L))): _*)
+    val agg = rows
+      .where(col(valCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("n"), vec.as("__bs"))
+    val termSum = Seq.tabulate(buckets) { i =>
+      val paC = greatest(
+        element_at(col("__bs"), i + 1).cast("double") / col("n").cast("double"),
+        lit(1e-6))
+      round((paC - lit(pbC(i))) * log(paC / lit(pbC(i))), 12)
+        .cast("decimal(38,12)")
+    }.reduce(_ + _)
+    agg
+      .select(col("window.start").as("win_start"), col("n"), termSum.as("__psid"))
+      .select(
+        col("win_start"), col("n"),
+        round(col("__psid").cast("double"), 6).as("psi"),
+        (col("__psid") > lit(new java.math.BigDecimal("0.200000000000")))
+          .cast("int").as("alert"))
+  }
+
   /** Input row for [[asofEnrichStream]]: `side` 0 = state update (the
     * dimension stream), 1 = probe event (the fact stream). */
   final case class AsOfInput(key: String, ts: Long, side: Int, value: Double)

@@ -119,4 +119,23 @@ class FunnelSpec extends SparkSpec {
     assert(full(1).getLong(0) == 5L && full(1).getLong(4) == 1L) // resurrected
     assert(full(1).getLong(5) == 0L && full(1).isNullAt(6))      // no churn row
   }
+
+  test("activeUsers: rolling distinct WAU counts each user once; dead tail days drop") {
+    // u1 days 1,2; u2 day 1; u3 day 3; 2-day window:
+    // WAU(1)={u1,u2}, WAU(2)={u1,u2}, WAU(3)={u1,u3}; day 4 has no dau row
+    val p = 10L
+    val df = Seq(
+      (1L, 13L), (1L, 14L), (1L, 23L), (2L, 15L), (3L, 33L)).toDF("u", "t")
+    val rows = Funnel.activeUsers(df, "t", "u", p, windowDays = 2)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 2L, 2L, 1.0), (2L, 1L, 2L, 0.5), (3L, 1L, 2L, 0.5)))
+  }
+
+  test("activeUsers: window of 1 makes wau = dau, stickiness 1") {
+    val df = Seq((1L, 10L), (2L, 10L), (1L, 20L)).toDF("u", "t")
+    val rows = Funnel.activeUsers(df, "t", "u", 10L, windowDays = 1).collect()
+    assert(rows.forall(r => r.getLong(1) == r.getLong(2) && r.getDouble(3) == 1.0))
+  }
 }

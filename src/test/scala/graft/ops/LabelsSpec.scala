@@ -152,6 +152,20 @@ class LabelsSpec extends SparkSpec {
     assert(r.isNullAt(4)) // De = 0 — alpha undefined, not crashed
   }
 
+  test("classWeights: balanced heuristic N/(K·n_c), exact 6dp") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("label")
+    val rows = Labels.classWeights(df, "label").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("a", 6L, 0.6, 0.555556), ("b", 3L, 0.3, 1.111111), ("c", 1L, 0.1, 3.333333)))
+  }
+
+  test("classWeights: NULL labels fail loud") {
+    val df = Seq("a", null).toDF("label")
+    intercept[Exception] { Labels.classWeights(df, "label").collect() }
+  }
+
   test("krippendorffAlpha: too many raters on one item fails loud") {
     val df = (1 to 4).map(i => ("A", s"r$i", "x")).toDF("item", "rater", "label")
     val e = intercept[Exception] {

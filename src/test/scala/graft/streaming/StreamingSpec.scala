@@ -1029,6 +1029,40 @@ class StreamingSpec extends SparkSpec {
     assert(got(1) == ((60L, 0.5, 1)))
   }
 
+  test("psiDriftStream: zero on a baseline-matching window, decimal-exact alert on a shift") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    // baseline: uniform over 2 buckets on [0, 2)
+    val q = Streaming
+      .psiDriftStream(input.toDS().toDF("et", "v"), "et", "v",
+        windowDur = "100 seconds", watermark = "5 seconds",
+        lo = 0.0, hi = 2.0, baseline = Seq(30L, 30L))
+      .writeStream.format("memory").queryName("psidrift").outputMode("append").start()
+    // window 1: matches the baseline exactly; split across micro-batches
+    val w1 = (0 until 30).map(i => (ts(i), 0.5)) ++ (0 until 30).map(i => (ts(30 + i % 60), 1.5))
+    input.addData(w1.take(25): _*)
+    q.processAllAvailable()
+    input.addData(w1.drop(25): _*)
+    q.processAllAvailable()
+    // window 2: everything lands in bucket 0 — a hard shift
+    input.addData((0 until 60).map(i => (ts(100 + i % 90), 0.25)): _*)
+    q.processAllAvailable()
+    input.addData((ts(400), -1.0)) // advance watermark past both windows
+    q.processAllAvailable()
+    val got = spark.sql("SELECT win_start, n, psi, alert FROM psidrift ORDER BY win_start")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    q.stop()
+    assert(got.length >= 2, got.mkString(","))
+    assert(got(0) == ((60L, 0.0, 0)))
+    // window 2: pa = [1, 1e-6 clamped], pb = [.5, .5] — same term chain
+    def t12(pa: Double, pb: Double) =
+      BigDecimal((pa - pb) * math.log(pa / pb)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val want = (t12(1.0, 0.5) + t12(1e-6, 0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1) == ((60L, want, 1)), s"got=${got(1)} want=$want")
+  }
+
   test("stream-stream touch attribution: lookback window, cross-batch buffering, key isolation") {
     implicit val sqlCtx = spark.sqlContext
     def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
