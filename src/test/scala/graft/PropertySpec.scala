@@ -275,4 +275,79 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: chiSquared is non-negative, dof consistent, n preserved") {
+    trials(6) { rnd =>
+      val rows = List.fill(30 + rnd.nextInt(120))(
+        (s"a${rnd.nextInt(4)}", rnd.nextInt(3)))
+      val r = graft.ops.Stats.chiSquared(rows.toDF("a", "b"), "a", "b", 1L).head()
+      assert(r.getDouble(4) >= 0.0, s"chi2 negative: $r")
+      assert(r.getLong(3) == (r.getLong(1) - 1) * (r.getLong(2) - 1))
+      assert(r.getLong(0) == rows.length.toLong)
+    }
+  }
+
+  test("property: concentration gini in [0,1), hhi in [1/n,1], shares consistent") {
+    trials(6) { rnd =>
+      val keys = List.fill(20 + rnd.nextInt(200))(s"k${rnd.nextInt(1 + rnd.nextInt(30))}")
+      val r = graft.ops.Stats.concentration(keys.toDF("k"), "k", topK = 5).head()
+      val nk = r.getLong(0); val gini = r.getDouble(2); val hhi = r.getDouble(3)
+      assert(gini >= 0.0 && gini < 1.0, s"gini=$gini")
+      assert(hhi >= 1.0 / nk - 1e-6 && hhi <= 1.0 + 1e-9, s"hhi=$hhi nk=$nk")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getLong(1) == keys.length.toLong)
+    }
+  }
+
+  test("property: groupQuantiles picks are monotone in p and are attained values") {
+    trials(6) { rnd =>
+      val vals = List.fill(10 + rnd.nextInt(100))(
+        ("g", math.rint(rnd.nextDouble() * 1000) / 100.0))
+      val r = graft.ops.Stats.groupQuantiles(vals.toDF("k", "v"), "k", "v").head()
+      val (p50, p90, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p50 <= p90 && p90 <= p99, s"$r")
+      val set = vals.map(_._2).toSet
+      assert(set(p50) && set(p90) && set(p99), s"picks not attained: $r")
+    }
+  }
+
+  test("property: EWMA lies within the running window's [min,max]; alarm iff |dev| over threshold") {
+    trials(6) { rnd =>
+      val vals = List.fill(5 + rnd.nextInt(50))(math.rint(rnd.nextDouble() * 10000) / 100.0)
+      val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }.toDF("k", "ts", "v")
+      val rows = graft.ts.Ewma
+        .controlChart(df, Seq("k"), "ts", "ts", "v", taps = 4,
+          alphaNum = 1, alphaDen = 3, thresholdMicro = 5000000L)
+        .orderBy("ts").collect()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val window = vals.slice(math.max(0, i - 3), i + 1)
+        val e = r.getAs[Double]("ewma")
+        assert(e >= window.min - 1e-6 && e <= window.max + 1e-6,
+          s"i=$i ewma=$e window=$window")
+        if (i > 0) {
+          val dev = r.getAs[Double]("dev")
+          assert((math.abs(dev) > 5.0 + 1e-12) == (r.getAs[Int]("alarm") == 1))
+        }
+      }
+    }
+  }
+
+  test("property: growthAccounting identities — active = new+retained+resurrected, churn conserves") {
+    trials(6) { rnd =>
+      val rows = List.fill(30 + rnd.nextInt(150))(
+        (rnd.nextInt(12).toLong, (1 + rnd.nextInt(8)).toLong * 10 + rnd.nextInt(10)))
+      val df = rows.toDF("u", "t")
+      val got = graft.ops.Funnel.growthAccounting(df, "t", "u", 10L)
+        .orderBy("period").collect()
+      var prevActive = 0L; var prevPeriod = Long.MinValue
+      got.foreach { r =>
+        val (p, act, nw, ret, res, ch) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(act == nw + ret + res, r.toString)
+        val expectedPrev = if (p == prevPeriod + 1) prevActive else 0L
+        assert(ch == expectedPrev - ret, r.toString)
+        prevActive = act; prevPeriod = p
+      }
+    }
+  }
 }
