@@ -2445,6 +2445,20 @@ object SparkEntry {
       // nearest double.
       .withColumn("score_sum", col("score_sum").cast("double"))
 
+  /** Clustering external validation
+    * ([[graft.ops.Eval.clusteringAgreement]]): the residue-flip
+    * grouping vs gold labels — purity and the pair-counting Adjusted
+    * Rand Index, both exact rationals (ARI in the doubled cleared
+    * form, sign-aware 6dp). */
+  private def qAri(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.clusteringAgreement(
+      Tables.embeddings(s, dir).select(
+        concat(lit("c"),
+          when(col("vec_id") % 5 === 0, (col("label") + 1) % 10)
+            .otherwise(col("label")).cast("string")).as("cluster"),
+        concat(lit("l"), col("label").cast("string")).as("gold")),
+      "cluster", "gold")
+
   /** Per-class classifier scorecard ([[graft.ops.Eval.classReport]])
     * over the 10-class embeddings labels with the residue-flip
     * predictor (vec_id % 5 flips to the next class): confusion-derived
@@ -3565,7 +3579,8 @@ object SparkEntry {
     "q_krippendorff" -> (qKrippendorff _),
     "q_growth" -> (qGrowth _),
     "q_dau" -> (qDau _),
-    "q_class_weights" -> (qClassWeights _)
+    "q_class_weights" -> (qClassWeights _),
+    "q_ari" -> (qAri _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -6433,7 +6448,38 @@ object SparkEntry {
         |       // (CAST(total AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS share,
         |  CAST((CAST(total AS HUGEINT) * 2000000 + k * n)
         |       // (CAST(k AS HUGEINT) * n * 2) AS DOUBLE) / 1000000.0 AS weight
-        |FROM w""".stripMargin
+        |FROM w""".stripMargin,
+    "q_ari" ->
+      """WITH p AS (SELECT
+        |    'c' || (CASE WHEN vec_id % 5 = 0 THEN (label + 1) % 10 ELSE label END) AS c,
+        |    'l' || label AS l FROM embeddings),
+        |cm AS (SELECT c, l, COUNT(*) AS n FROM p GROUP BY c, l),
+        |g AS (SELECT *, SUM(n) OVER (PARTITION BY c) AS a,
+        |        SUM(n) OVER (PARTITION BY l) AS b, SUM(n) OVER () AS nn,
+        |        MIN(l) OVER (PARTITION BY c) AS minl,
+        |        MIN(c) OVER (PARTITION BY l) AS minc,
+        |        row_number() OVER (PARTITION BY c ORDER BY n DESC, l DESC) AS rn
+        |      FROM cm),
+        |f AS (SELECT nn, COUNT(DISTINCT c) AS ncl, COUNT(DISTINCT l) AS nlb,
+        |        SUM(CASE WHEN rn = 1 THEN n ELSE 0 END) AS pure,
+        |        SUM(CAST(n AS HUGEINT) * (n - 1)) AS s2,
+        |        SUM(CASE WHEN l = minl THEN CAST(a AS HUGEINT) * (a - 1) ELSE 0 END) AS a2,
+        |        SUM(CASE WHEN c = minc THEN CAST(b AS HUGEINT) * (b - 1) ELSE 0 END) AS b2
+        |      FROM g GROUP BY nn),
+        |h AS (SELECT *,
+        |        s2 * (CAST(nn AS HUGEINT) * (nn - 1)) * 2 - a2 * b2 * 2 AS num,
+        |        CAST(nn AS HUGEINT) * (nn - 1) * (a2 + b2) - a2 * b2 * 2 AS den FROM f),
+        |h2 AS (SELECT *, CASE WHEN den < 0 THEN -num ELSE num END AS snum,
+        |        abs(den) AS sden FROM h)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(ncl AS BIGINT) AS n_clusters,
+        |  CAST(nlb AS BIGINT) AS n_labels,
+        |  CAST((CAST(pure AS HUGEINT) * 1000000 * 2 + nn)
+        |       // (CAST(nn AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS purity,
+        |  CASE WHEN den <> 0 THEN
+        |    CAST(CASE WHEN snum >= 0 THEN (snum * 1000000 * 2 + sden) // (sden * 2)
+        |         ELSE -(((-snum) * 1000000 * 2 + sden) // (sden * 2)) END AS DOUBLE)
+        |      / 1000000.0 END AS ari
+        |FROM h2""".stripMargin
   ) ++ pqFamilyOracles
 
   /** q_psi: baseline-decile bins from the exact integer

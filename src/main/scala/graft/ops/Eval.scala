@@ -32,6 +32,101 @@ object Eval {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Clustering-vs-labels agreement — the external validation pair
+    * for any unsupervised grouping (k-means cells, LSH buckets, LPA
+    * communities, dedup clusters) against gold classes:
+    *
+    *  - `purity` = Σ_cluster max_label n(cluster, label) / N — the
+    *    fraction correctly assigned under the best per-cluster label;
+    *  - `ari` = Adjusted Rand Index in the standard pair-counting
+    *    form, FULLY integer-exact: with S = Σ_ij C(n_ij,2),
+    *    A = Σ_i C(a_i,2), B = Σ_j C(b_j,2), P = C(n,2),
+    *
+    *      ari = (S·P − A·B) / (P·(A+B)/2 − A·B)
+    *
+    *    every term an exact integer (the C(·,2) halves cancel; the
+    *    remaining /2 clears by doubling both sides), the final value
+    *    one 6dp sign-aware half-up rational. Degenerate partitions
+    *    (everything one pair mass, denominator 0) yield NULL ari.
+    *    The 38-digit chain is exact to n ≈ 5·10⁷ rows; beyond that
+    *    pre-aggregate or sample (decimal overflow NULLs, it doesn't
+    *    corrupt).
+    *
+    * ONE (cluster, label) rollup bounds everything (the [[confusion]]
+    * frame); marginals ride it as windows — no join.
+    *
+    * Returns ONE row: `(n, n_clusters, n_labels, purity, ari)`.
+    */
+  def clusteringAgreement(
+      df: DataFrame,
+      clusterCol: String,
+      labelCol: String
+  ): DataFrame = {
+    val cm = confusion(df, clusterCol, labelCol)
+      .withColumnRenamed("label", "__c")
+      .withColumnRenamed("pred", "__l")
+    val byC = Window.partitionBy("__c").rowsBetween(Long.MinValue, Long.MaxValue)
+    val byL = Window.partitionBy("__l").rowsBetween(Long.MinValue, Long.MaxValue)
+    val whole = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    def pairs2(c: org.apache.spark.sql.Column) = // 2·C(c,2) = c(c−1), exact
+      c.cast("decimal(38,0)") * (c - 1L)
+    val grid = cm
+      .withColumn("__a", sum(col("n")).over(byC))
+      .withColumn("__b", sum(col("n")).over(byL))
+      .withColumn("__n", sum(col("n")).over(whole))
+      // per-cluster best-label mass, counted once per cluster (on the
+      // bytewise-first max row) — the majorityVote first-row trick
+      .withColumn("__best", max(struct(col("n"), col("__l"))).over(byC))
+      .withColumn("__pure",
+        when(col("n") === col("__best.n") && col("__l") === col("__best.__l"),
+          col("n")).otherwise(lit(0L)))
+      // marginal pair masses counted once per cluster/label: only the
+      // bytewise-first row of each group carries them
+      .withColumn("__a2row",
+        when(col("__l") === min(col("__l")).over(byC), pairs2(col("__a")))
+          .otherwise(lit(0L).cast("decimal(38,0)")))
+      .withColumn("__b2row",
+        when(col("__c") === min(col("__c")).over(byL), pairs2(col("__b")))
+          .otherwise(lit(0L).cast("decimal(38,0)")))
+    val folded = grid
+      .groupBy("__n")
+      .agg(
+        count_distinct(col("__c")).as("n_clusters"),
+        count_distinct(col("__l")).as("n_labels"),
+        sum(col("__pure")).as("__puremass"),
+        sum(pairs2(col("n"))).as("__s2"),
+        sum(col("__a2row")).as("__a2"),
+        sum(col("__b2row")).as("__b2"))
+    val p2 = col("__n").cast("decimal(38,0)") * (col("__n") - 1L)
+    // ari = (S2·P2 − A2·B2) / (P2·(A2+B2)/2 − A2·B2); doubled form:
+    val num = col("__s2") * p2 * 2 - col("__a2") * col("__b2") * 2
+    val den = p2 * (col("__a2") + col("__b2")) - col("__a2") * col("__b2") * 2
+    folded.select(
+      col("__n").as("n"),
+      col("n_clusters"),
+      col("n_labels"),
+      (microHalfUpE(col("__puremass").cast("decimal(38,0)") * lit(1000000L),
+        col("__n").cast("decimal(38,0)")).cast("double") / lit(1000000.0)).as("purity"),
+      when(den =!= 0,
+        microHalfUpE(num * lit(1000000L), den).cast("double") / lit(1000000.0))
+        .as("ari"))
+  }
+
+  private def microHalfUpE(
+      num: org.apache.spark.sql.Column,
+      den: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      Bridge.column(IntegralDivide(Bridge.expression(a), Bridge.expression(b)))
+    // den may be negative in the doubled-ARI form when the index is
+    // degenerate-negative; normalize sign so half-up stays symmetric
+    val sNum = when(den < 0, -num).otherwise(num)
+    val sDen = abs(den)
+    when(sNum >= 0, intDiv(sNum * 2 + sDen, sDen * 2))
+      .otherwise(-intDiv((-sNum) * 2 + sDen, sDen * 2))
+  }
+
   /** Per-class report over the union of observed label and pred
     * classes: (class, tp, fp, fn, precision, recall, f1) — 6dp
     * doubles, NULL where the denominator is 0 (a class never

@@ -53,4 +53,29 @@ class EvalSpec extends SparkSpec {
     val e = intercept[Exception](Eval.confusion(df, "label", "pred").collect())
     assert(e.getMessage != null)
   }
+
+  test("clusteringAgreement: hand-computed purity and NEGATIVE exact ARI") {
+    // contingency [[2,1],[1,2]]: S=2 A=B=6 P=15 →
+    // ari = (2 − 36/15)/(6 − 36/15) = −1/9; purity = 4/6
+    val df = Seq(
+      ("c1", "l1"), ("c1", "l1"), ("c1", "l2"),
+      ("c2", "l1"), ("c2", "l2"), ("c2", "l2")).toDF("cl", "gold")
+    val r = Eval.clusteringAgreement(df, "cl", "gold").head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.666667)
+    assert(r.getDouble(4) == -0.111111, r.toString)
+  }
+
+  test("clusteringAgreement: identical partitions score ARI 1, purity 1") {
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("cl", "gold")
+    val r = Eval.clusteringAgreement(df, "cl", "gold").head()
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
+  }
+
+  test("clusteringAgreement: single cluster AND single label is degenerate — NULL ari") {
+    val df = Seq(("a", "x"), ("a", "x")).toDF("cl", "gold")
+    val r = Eval.clusteringAgreement(df, "cl", "gold").head()
+    assert(r.getDouble(3) == 1.0 && r.isNullAt(4))
+  }
 }
