@@ -2209,6 +2209,19 @@ object SparkEntry {
     graft.ops.Stats.concentration(
       Tables.events(s, dir).select("user_id"), "user_id", topK = 10)
 
+  /** Seasonal-profile anomaly scoring ([[graft.ts.Seasonal.residuals]],
+    * hour-of-day phases per event type, alarm at |residual| > 150):
+    * every event scored against its type's own hourly profile —
+    * integer-exact phase means broadcast back onto the stream, the
+    * alarm an integer compare on micro residuals. */
+  private def qSeasonal(s: SparkSession, dir: String): DataFrame =
+    graft.ts.Seasonal.residuals(
+      Tables.events(s, dir).select("event_id", "event_type", "ts_us", "value"),
+      Seq("event_type"), "ts_us", "value",
+      binUs = 3600000000L, phases = 24, thresholdMicro = 150000000L)
+      .select("event_id", "event_type", "ts_us", "phase", "n_phase",
+        "expected", "residual", "alarm")
+
   /** Per-user EWMA control chart ([[graft.ts.Ewma.controlChart]],
     * α = ¼, 8 taps, alarm at |dev| > 200): the truncated adjust-form
     * smoother as exact integer tap weights over cent values, deviation
@@ -3580,7 +3593,8 @@ object SparkEntry {
     "q_growth" -> (qGrowth _),
     "q_dau" -> (qDau _),
     "q_class_weights" -> (qClassWeights _),
-    "q_ari" -> (qAri _)
+    "q_ari" -> (qAri _),
+    "q_seasonal" -> (qSeasonal _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -6479,7 +6493,21 @@ object SparkEntry {
         |    CAST(CASE WHEN snum >= 0 THEN (snum * 1000000 * 2 + sden) // (sden * 2)
         |         ELSE -(((-snum) * 1000000 * 2 + sden) // (sden * 2)) END AS DOUBLE)
         |      / 1000000.0 END AS ari
-        |FROM h2""".stripMargin
+        |FROM h2""".stripMargin,
+    "q_seasonal" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM events WHERE value IS NOT NULL),
+        |e2 AS (SELECT *, (ts_us // 3600000000) % 24 AS phase FROM e),
+        |p AS (SELECT event_type, phase, COUNT(*) AS n_phase,
+        |        (SUM(c) * 10000 * 2 + COUNT(*)) // (COUNT(*) * 2) AS mm
+        |      FROM e2 GROUP BY 1, 2)
+        |SELECT e2.event_id, e2.event_type, e2.ts_us, e2.phase,
+        |  CAST(p.n_phase AS BIGINT) AS n_phase,
+        |  CAST(mm AS DOUBLE) / 1000000.0 AS expected,
+        |  CAST(c * 10000 - mm AS DOUBLE) / 1000000.0 AS residual,
+        |  CAST(abs(c * 10000 - mm) > 150000000 AS INT) AS alarm
+        |FROM e2 JOIN p ON e2.event_type = p.event_type AND e2.phase = p.phase""".stripMargin
   ) ++ pqFamilyOracles
 
   /** q_psi: baseline-decile bins from the exact integer
