@@ -624,6 +624,32 @@ object Streaming {
           .cast("int").as("alert"))
   }
 
+  /** Live seasonal-profile scoring — a STREAM-STATIC join (the one
+    * Structured Streaming join family the other twins don't
+    * exercise): the per-(key, phase) profile is trained in batch
+    * ([[graft.ts.Seasonal.profile]], the deployment artifact) and the
+    * live stream joins it statelessly — no watermark, no keyed state,
+    * every micro-batch row scored independently with the SAME exact
+    * integer chain as batch [[graft.ts.Seasonal.score]] (micro-exact
+    * residual, integer-compare alarm), so stream/batch parity is
+    * bit-for-bit by construction. Rows whose (key, phase) is not in
+    * the profile drop, exactly as in batch.
+    *
+    * The static side is a bounded keys × phases frame — Spark
+    * broadcasts it to every micro-batch; the stream never shuffles. */
+  def seasonalScoreStream(
+      stream: DataFrame,
+      prof: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valCol: String,
+      binUs: Long,
+      phases: Int,
+      thresholdMicro: Long
+  ): DataFrame =
+    graft.ts.Seasonal.score(
+      stream, broadcast(prof), keyCols, tsCol, valCol, binUs, phases, thresholdMicro)
+
   /** Input row for [[asofEnrichStream]]: `side` 0 = state update (the
     * dimension stream), 1 = probe event (the fact stream). */
   final case class AsOfInput(key: String, ts: Long, side: Int, value: Double)

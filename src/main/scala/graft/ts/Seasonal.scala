@@ -40,9 +40,70 @@ object Seasonal {
     when(num >= 0, intDiv(num * 2 + den, den * 2))
       .otherwise(-intDiv((-num) * 2 + den, den * 2))
 
+  private def phaseCol(tsCol: String, binUs: Long, phases: Int): Column =
+    pmod(intDiv(col(tsCol), lit(binUs)), lit(phases.toLong))
+
+  private def centsCol(valCol: String): Column =
+    (col(valCol).cast("decimal(18,2)") * 100).cast("long")
+
+  /** The trained per-(key, phase) profile:
+    * `(keys…, phase, n_phase, mean_micro)` — `mean_micro` the
+    * integer-exact 6dp-scaled phase mean. This is the artifact a
+    * deployment trains in batch and serves live
+    * ([[graft.streaming.Streaming.seasonalScoreStream]] joins it
+    * stream-static). */
+  def profile(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valCol: String,
+      binUs: Long,
+      phases: Int
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "profile needs at least one key column")
+    require(binUs >= 1, s"binUs must be >= 1, got $binUs")
+    require(phases >= 2 && phases <= 10000, s"phases must be in [2,10000], got $phases")
+    df.where(col(valCol).isNotNull)
+      .withColumn("__cents", centsCol(valCol))
+      .withColumn("phase", phaseCol(tsCol, binUs, phases))
+      .groupBy((keyCols.map(col) :+ col("phase")): _*)
+      .agg(
+        count(lit(1)).as("n_phase"),
+        // phase mean in micro units: exact half-up of Σcents·10⁴ / n
+        microHalfUp(sum(col("__cents")) * 10000L, count(lit(1))).as("mean_micro"))
+  }
+
+  /** Score `df` against an already-trained [[profile]] frame: each row
+    * gets `(phase, n_phase, expected, residual, alarm)` — micro-exact
+    * residual vs the profile's phase mean, integer-compare alarm.
+    * Rows whose (key, phase) has no profile row drop (inner join —
+    * an unprofiled phase has no expectation to score against). */
+  def score(
+      df: DataFrame,
+      prof: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valCol: String,
+      binUs: Long,
+      phases: Int,
+      thresholdMicro: Long
+  ): DataFrame = {
+    require(thresholdMicro >= 0, s"thresholdMicro must be >= 0, got $thresholdMicro")
+    df.where(col(valCol).isNotNull)
+      .withColumn("__cents", centsCol(valCol))
+      .withColumn("phase", phaseCol(tsCol, binUs, phases))
+      .join(prof, keyCols :+ "phase")
+      .withColumn("__res_micro", col("__cents") * 10000L - col("mean_micro"))
+      .withColumn("expected", col("mean_micro").cast("double") / lit(1000000.0))
+      .withColumn("residual", col("__res_micro").cast("double") / lit(1000000.0))
+      .withColumn("alarm", (abs(col("__res_micro")) > thresholdMicro).cast("int"))
+      .drop("__cents", "mean_micro", "__res_micro")
+  }
+
   /** See object doc. Output: the input's key/ts/id columns plus
     * `(phase, n_phase, expected, residual, alarm)`. NULL values are
-    * excluded up front (nothing to score). */
+    * excluded up front (nothing to score). Self-profile form:
+    * [[profile]] trained on the input itself, then [[score]]d. */
   def residuals(
       df: DataFrame,
       keyCols: Seq[String],
@@ -51,28 +112,7 @@ object Seasonal {
       binUs: Long,
       phases: Int,
       thresholdMicro: Long
-  ): DataFrame = {
-    require(keyCols.nonEmpty, "residuals needs at least one key column")
-    require(binUs >= 1, s"binUs must be >= 1, got $binUs")
-    require(phases >= 2 && phases <= 10000, s"phases must be in [2,10000], got $phases")
-    require(thresholdMicro >= 0, s"thresholdMicro must be >= 0, got $thresholdMicro")
-    val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("long")
-    val phase = pmod(intDiv(col(tsCol), lit(binUs)), lit(phases.toLong)).as("phase")
-    val base = df.where(col(valCol).isNotNull)
-      .withColumn("__cents", cents)
-      .withColumn("phase", phase)
-    val profile = base
-      .groupBy((keyCols.map(col) :+ col("phase")): _*)
-      .agg(
-        count(lit(1)).as("n_phase"),
-        // phase mean in micro units: exact half-up of Σcents·10⁴ / n
-        microHalfUp(sum(col("__cents")) * 10000L, count(lit(1))).as("__mean_micro"))
-    base
-      .join(profile, keyCols :+ "phase")
-      .withColumn("__res_micro", col("__cents") * 10000L - col("__mean_micro"))
-      .withColumn("expected", col("__mean_micro").cast("double") / lit(1000000.0))
-      .withColumn("residual", col("__res_micro").cast("double") / lit(1000000.0))
-      .withColumn("alarm", (abs(col("__res_micro")) > thresholdMicro).cast("int"))
-      .drop("__cents", "__mean_micro", "__res_micro")
-  }
+  ): DataFrame =
+    score(df, profile(df, keyCols, tsCol, valCol, binUs, phases),
+      keyCols, tsCol, valCol, binUs, phases, thresholdMicro)
 }

@@ -1029,6 +1029,43 @@ class StreamingSpec extends SparkSpec {
     assert(got(1) == ((60L, 0.5, 1)))
   }
 
+  test("seasonalScoreStream: stream-static profile join matches batch score bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch-train the profile on historical rows
+    val hist = Seq(
+      ("k", 5L, 1.00), ("k", 15L, 3.00), ("k", 25L, 2.00), ("k", 35L, 5.00)
+    ).toDF("k", "ts", "v")
+    val prof = graft.ts.Seasonal.profile(hist, Seq("k"), "ts", "v", binUs = 10L, phases = 2)
+    val input = MemoryStream[(String, Long, Double)]
+    val q = Streaming
+      .seasonalScoreStream(input.toDS().toDF("k", "ts", "v"), prof,
+        Seq("k"), "ts", "v", binUs = 10L, phases = 2, thresholdMicro = 600000L)
+      .select("k", "ts", "phase", "n_phase", "expected", "residual", "alarm")
+      .writeStream.format("memory").queryName("seasonal_scores").outputMode("append")
+      .start()
+    input.addData(("k", 45L, 2.00), ("k", 55L, 9.00)) // phases 0, 1
+    q.processAllAvailable()
+    input.addData(("k", 65L, 1.50), ("zzz", 5L, 1.0)) // unknown key drops
+    q.processAllAvailable()
+    val got = spark.sql("SELECT * FROM seasonal_scores").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getInt(6))).toSet
+    q.stop()
+    val live = Seq(("k", 45L, 2.00), ("k", 55L, 9.00), ("k", 65L, 1.50), ("zzz", 5L, 1.0))
+      .toDF("k", "ts", "v")
+    val batch = graft.ts.Seasonal
+      .score(live, prof, Seq("k"), "ts", "v", binUs = 10L, phases = 2,
+        thresholdMicro = 600000L)
+      .select("k", "ts", "phase", "n_phase", "expected", "residual", "alarm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getInt(6))).toSet
+    assert(got == batch && got.size == 3, s"got=$got")
+    // phase-0 profile mean 1.5: ts=45 scores residual 0.5, no alarm;
+    // phase-1 mean 4.0: ts=55 residual 5.0 → alarm
+    assert(got.contains(("k", 45L, 0L, 2L, 1.5, 0.5, 0)))
+    assert(got.contains(("k", 55L, 1L, 2L, 4.0, 5.0, 1)))
+  }
+
   test("psiDriftStream: zero on a baseline-matching window, decimal-exact alert on a shift") {
     implicit val sqlCtx = spark.sqlContext
     def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
