@@ -250,4 +250,20 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // single-task cliff; the keyed plan must not have one
     assert(!str.contains("SinglePartition"), str)
   }
+
+  test("q_seasonal scores through a broadcast profile join — the event stream never shuffles for it") {
+    // the 100 TB property of Seasonal.score: the (keys × phases)
+    // profile frame is tiny by construction; it must broadcast so the
+    // only exchange over the event side is the profile rollup itself.
+    // A SortMergeJoin here would shuffle every event by (key, phase).
+    val p = planString("q_seasonal")
+    assert(p.contains("BroadcastHashJoin"), s"expected a broadcast profile join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"event side must not shuffle for the profile:\n$p")
+  }
+
+  test("q_fk_orphans probes distinct parent keys through a hash join, child side unshuffled when broadcastable") {
+    val p = planString("q_fk_orphans")
+    assert(p.contains("HashJoin"), s"expected a hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
