@@ -2264,6 +2264,18 @@ object SparkEntry {
       Tables.events(s, dir).select("event_type", "value"),
       "event_type", "value", "view", "purchase", nBins = 10)
 
+  /** Wald SPRT ([[graft.ops.Experiment.sprt]], H0 rate 0.15 vs H1
+    * 0.25, α = 0.05, β = 0.2) per user-residue arm — the always-valid
+    * sequential decision: llr is LINEAR in the counts, so the chain
+    * is conv·L1 + (n−conv)·L0 over pinned 10⁻⁶ log literals with
+    * integer boundary compares. */
+  private def qSprt(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiment.sprt(
+      Tables.events(s, dir).select(
+        concat(lit("arm"), (col("user_id") % 3).cast("string")).as("variant"),
+        (col("event_type") === "purchase").cast("int").as("conv")),
+      "variant", "conv", p0 = 0.15, p1 = 0.25)
+
   /** A/B readout ([[graft.ops.Experiment.abTest]]): users hashed into
     * three arms by residue, conversion = purchase event; per-arm
     * counts, 6dp rate, pooled two-proportion z vs arm0 and the 1.96
@@ -3594,7 +3606,8 @@ object SparkEntry {
     "q_dau" -> (qDau _),
     "q_class_weights" -> (qClassWeights _),
     "q_ari" -> (qAri _),
-    "q_seasonal" -> (qSeasonal _)
+    "q_seasonal" -> (qSeasonal _),
+    "q_sprt" -> (qSprt _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -6507,8 +6520,28 @@ object SparkEntry {
         |  CAST(mm AS DOUBLE) / 1000000.0 AS expected,
         |  CAST(c * 10000 - mm AS DOUBLE) / 1000000.0 AS residual,
         |  CAST(abs(c * 10000 - mm) > 150000000 AS INT) AS alarm
-        |FROM e2 JOIN p ON e2.event_type = p.event_type AND e2.phase = p.phase""".stripMargin
+        |FROM e2 JOIN p ON e2.event_type = p.event_type AND e2.phase = p.phase""".stripMargin,
+    "q_sprt" -> sprtOracleSql
   ) ++ pqFamilyOracles
+
+  /** q_sprt: the same pinned 10⁻⁶ log-literal chain — llr linear in
+    * the counts, Wald boundaries as integer compares. */
+  private lazy val sprtOracleSql: String = {
+    val l1 = math.round(math.log(0.25 / 0.15) * 1e6)
+    val l0 = math.round(math.log(0.75 / 0.85) * 1e6)
+    val upper = math.round(math.log((1 - 0.2) / 0.05) * 1e6)
+    val lower = math.round(math.log(0.2 / (1 - 0.05)) * 1e6)
+    s"""WITH e AS (SELECT 'arm' || CAST(user_id % 3 AS VARCHAR) AS variant,
+       |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv FROM events),
+       |a AS (SELECT variant, COUNT(*) AS n, SUM(conv) AS conv FROM e GROUP BY variant),
+       |l AS (SELECT *, conv * $l1 + (n - conv) * $l0 AS llr FROM a)
+       |SELECT variant, CAST(n AS BIGINT) AS n, CAST(conv AS BIGINT) AS conv,
+       |  CAST(llr AS DOUBLE) / 1000000.0 AS llr,
+       |  CASE WHEN llr >= $upper THEN 'accept_h1'
+       |       WHEN llr <= $lower THEN 'accept_h0'
+       |       ELSE 'continue' END AS decision
+       |FROM l""".stripMargin
+  }
 
   /** q_psi: baseline-decile bins from the exact integer
     * ⌊(cumA−1)·10/nA⌋ clamp on the shared two-sample value rollup;

@@ -117,4 +117,58 @@ object Experiment {
       round(theta, 6).as("theta"),
       round(when(varX > 0 && varY > 0, covXY * covXY / (varX * varY)), 6).as("rho2"))
   }
+
+  /** Wald's sequential probability ratio test per arm — the
+    * ALWAYS-VALID alternative to [[abTest]]'s fixed-horizon z: decide
+    * H1 (rate = p1) vs H0 (rate = p0) the moment the evidence crosses
+    * a boundary, with α/β guarantees that hold under continuous
+    * monitoring (no peeking penalty).
+    *
+    * The log-likelihood ratio for Bernoulli data is LINEAR in the
+    * counts — llr = conv·ln(p1/p0) + (n − conv)·ln((1−p1)/(1−p0)) —
+    * so the whole chain is EXACT integer arithmetic once the two log
+    * terms and the two Wald boundaries ln((1−β)/α), ln(β/(1−α)) are
+    * pinned as 10⁻⁶-scaled literals (they are driver-side constants
+    * of the design, like the χ² critical value): llrMicro =
+    * conv·L1 + (n − conv)·L0, decision by integer compare. No float
+    * ever sits on the decision boundary, and the statistic is
+    * map-side-combinable (ONE arm rollup).
+    *
+    * Per arm: `(variant, n, conv, llr, decision)` with decision ∈
+    * `accept_h1` (llr ≥ upper), `accept_h0` (llr ≤ lower),
+    * `continue`.
+    */
+  def sprt(
+      df: DataFrame,
+      variantCol: String,
+      convCol: String,
+      p0: Double,
+      p1: Double,
+      alpha: Double = 0.05,
+      beta: Double = 0.2
+  ): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0,
+      s"need distinct rates in (0,1), got p0=$p0 p1=$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"alpha/beta must be in (0,1), got $alpha/$beta")
+    val l1 = math.round(math.log(p1 / p0) * 1e6)
+    val l0 = math.round(math.log((1 - p1) / (1 - p0)) * 1e6)
+    val upper = math.round(math.log((1 - beta) / alpha) * 1e6)
+    val lower = math.round(math.log(beta / (1 - alpha)) * 1e6)
+    df.where(
+      when(col(variantCol).isNull || col(convCol).isNull,
+        raise_error(lit(s"sprt: NULL in $variantCol/$convCol — filter first")))
+        .otherwise(lit(true)))
+      .groupBy(col(variantCol).as("variant"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(convCol).cast("long")).as("conv"))
+      .withColumn("__llr", col("conv") * l1 + (col("n") - col("conv")) * l0)
+      .select(
+        col("variant"), col("n"), col("conv"),
+        (col("__llr").cast("double") / lit(1000000.0)).as("llr"),
+        when(col("__llr") >= upper, lit("accept_h1"))
+          .when(col("__llr") <= lower, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+  }
 }

@@ -650,6 +650,55 @@ object Streaming {
     graft.ts.Seasonal.score(
       stream, broadcast(prof), keyCols, tsCol, valCol, binUs, phases, thresholdMicro)
 
+  /** One conversion observation for [[sprtStream]]. */
+  final case class ArmConv(variant: String, conv: Int)
+
+  /** Running SPRT state after a micro-batch folded into an arm. */
+  final case class SprtUpdate(
+      variant: String, n: Long, conv: Long, llr: Double, decision: String)
+
+  /** Streaming twin of [[graft.ops.Experiment.sprt]] — the live
+    * always-valid experiment monitor, which is the POINT of a
+    * sequential test (decide the moment the boundary is crossed, not
+    * at a fixed horizon). State per arm is the exact (n, conv) pair;
+    * each micro-batch folds its rows in and emits one [[SprtUpdate]]
+    * with the SAME integer llr/decision chain as batch (the pinned
+    * 10⁻⁶ log literals), so the final emission per arm equals the
+    * batch operator on the same rows — micro-batch slicing only adds
+    * intermediate trajectory points, it cannot move a decision. */
+  def sprtStream(
+      rows: Dataset[ArmConv],
+      p0: Double,
+      p1: Double,
+      alpha: Double = 0.05,
+      beta: Double = 0.2
+  ): Dataset[SprtUpdate] = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0,
+      s"need distinct rates in (0,1), got p0=$p0 p1=$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"alpha/beta must be in (0,1), got $alpha/$beta")
+    import rows.sparkSession.implicits._
+    val l1 = math.round(math.log(p1 / p0) * 1e6)
+    val l0 = math.round(math.log((1 - p1) / (1 - p0)) * 1e6)
+    val upper = math.round(math.log((1 - beta) / alpha) * 1e6)
+    val lower = math.round(math.log(beta / (1 - alpha)) * 1e6)
+    rows
+      .groupByKey(_.variant)
+      .flatMapGroupsWithState[(Long, Long), SprtUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (variant, it, state: GroupState[(Long, Long)]) =>
+          var (n, conv) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { r => n += 1; conv += (if (r.conv != 0) 1L else 0L) }
+          state.update((n, conv))
+          val llr = conv * l1 + (n - conv) * l0
+          val decision =
+            if (llr >= upper) "accept_h1"
+            else if (llr <= lower) "accept_h0"
+            else "continue"
+          Iterator.single(SprtUpdate(variant, n, conv, llr / 1e6, decision))
+      }
+  }
+
   /** Input row for [[asofEnrichStream]]: `side` 0 = state update (the
     * dimension stream), 1 = probe event (the fact stream). */
   final case class AsOfInput(key: String, ts: Long, side: Int, value: Double)

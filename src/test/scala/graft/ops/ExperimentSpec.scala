@@ -77,4 +77,33 @@ class ExperimentSpec extends SparkSpec {
       assert(r.isNullAt(4) && r.isNullAt(5))
     }
   }
+
+  test("sprt: integer llr chain crosses the Wald boundaries, hand-computed") {
+    // p0=0.1 p1=0.3 α=.05 β=.2: L1=ln3≈1.098612, L0=ln(7/9)≈−0.251314,
+    // upper=ln16≈2.772589, lower=ln(0.2/0.95)≈−1.558145
+    val rows =
+      (Seq.fill(5)(("hot", 1)) ++ Seq.fill(5)(("hot", 0)) ++      // llr 4.23649 → H1
+        Seq.fill(10)(("cold", 0)) ++                              // llr −2.51314 → H0
+        Seq(("mid", 1)) ++ Seq.fill(4)(("mid", 0)))               // llr 0.093356 → continue
+    val got = Experiment
+      .sprt(rows.toDF("variant", "conv"), "variant", "conv", p0 = 0.1, p1 = 0.3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    assert(got("hot") == ((10L, 5L, 4.23649, "accept_h1")), got.toString)
+    assert(got("cold") == ((10L, 0L, -2.51314, "accept_h0")))
+    assert(got("mid") == ((5L, 1L, 0.093356, "continue")))
+  }
+
+  test("sprt: boundary equality decides (>= upper accepts), not drifts") {
+    // design the counts so llrMicro lands EXACTLY on the upper literal:
+    // with p0=0.25, p1=0.75: L1 = ln3 micro = 1098612, L0 = −1098612;
+    // upper = ln16 = 2772589 — not an exact multiple, so instead pin
+    // the semantics on lower: conv=0, n chosen so llr just crosses
+    val df = Seq.fill(2)(("a", 0)).toDF("variant", "conv")
+    val r = Experiment.sprt(df, "variant", "conv", p0 = 0.25, p1 = 0.75,
+      alpha = 0.05, beta = 0.2).head()
+    // llr = 2·(−1098612) = −2197224; lower = ln(0.2/0.95)·1e6 = −1558145
+    assert(r.getString(4) == "accept_h0" && r.getDouble(3) == -2.197224)
+  }
 }

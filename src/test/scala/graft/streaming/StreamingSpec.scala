@@ -1029,6 +1029,34 @@ class StreamingSpec extends SparkSpec {
     assert(got(1) == ((60L, 0.5, 1)))
   }
 
+  test("sprtStream: running llr crosses a boundary mid-stream; final state equals batch sprt") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.ArmConv
+    val input = MemoryStream[ArmConv]
+    val q = Streaming
+      .sprtStream(input.toDS(), p0 = 0.1, p1 = 0.3)
+      .writeStream.format("memory").queryName("sprt_updates").outputMode("append")
+      .start()
+    // batch 1: 2 conversions of 4 — llr above 0 but below upper → continue
+    input.addData(ArmConv("hot", 1), ArmConv("hot", 0), ArmConv("hot", 1), ArmConv("hot", 0))
+    q.processAllAvailable()
+    // batch 2: 3 more conversions push past ln(16) → accept_h1
+    input.addData(ArmConv("hot", 1), ArmConv("hot", 1), ArmConv("hot", 1), ArmConv("hot", 0))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT n, conv, llr, decision FROM sprt_updates ORDER BY n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    q.stop()
+    assert(got.length == 2)
+    assert(got(0)._4 == "continue", got.mkString(","))
+    assert(got(1)._4 == "accept_h1")
+    // final trajectory point equals the batch operator on the same rows
+    val all = (Seq(1, 0, 1, 0) ++ Seq(1, 1, 1, 0)).map(("hot", _))
+    val batch = graft.ops.Experiment
+      .sprt(all.toDF("variant", "conv"), "variant", "conv", p0 = 0.1, p1 = 0.3)
+      .head()
+    assert(got(1) == ((batch.getLong(1), batch.getLong(2), batch.getDouble(3), batch.getString(4))))
+  }
+
   test("seasonalScoreStream: stream-static profile join matches batch score bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     // batch-train the profile on historical rows
