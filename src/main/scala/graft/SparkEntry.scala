@@ -1711,7 +1711,9 @@ object SparkEntry {
       bpeOracleMerges
         .map(m => "q_bpe_encode" -> bpeOracleSql(m)).toMap ++
       pcaOracleArtifacts
-        .map(m => "q_pca_project" -> Pca.projectSql(m)).toMap
+        .map(m => "q_pca_project" -> Pca.projectSql(m)).toMap ++
+      isotonicOracleArtifacts
+        .map(f => "q_isotonic" -> isotonicOracleSql(f)).toMap
 
   /** BPE-ish regex token counting over documents (pre-tokenizer run
     * counts per character class + punctuation ratio). */
@@ -2459,6 +2461,38 @@ object SparkEntry {
     Tables.embeddings(s, dir).select(
       ((col("vec_id") % 101).cast("decimal(9,4)") / 100).as("score"),
       when(col("vec_id") % 3 === 0, 1).otherwise(0).as("label"))
+
+  /** Isotonic (PAV) calibration fit
+    * ([[graft.ops.Calibration.isotonicFit]]) over the scored fixture:
+    * the monotone step function of pooled positive rates, trained
+    * driver-side on the bounded distinct-score rollup in exact
+    * integers (the trained-artifact recipe); output = the fitted
+    * table, oracle = independent per-score recount joined to the
+    * recorded steps. */
+  private def qIsotonic(s: SparkSession, dir: String): DataFrame = {
+    val fit = graft.ops.Calibration.isotonicFit(scoredFixture(s, dir), "score", "label")
+    isotonicOracleArtifacts = Some(fit)
+    graft.ops.Calibration.isotonicTable(s, fit)
+  }
+
+  @volatile private var isotonicOracleArtifacts
+      : Option[Seq[graft.ops.Calibration.IsoStep]] = None
+
+  /** q_isotonic oracle: n / n_pos re-derived from raw embeddings; the
+    * fitted calibrated value joined from the recorded steps as a
+    * VALUES literal (the constant-folded artifact recipe). */
+  private def isotonicOracleSql(fit: Seq[graft.ops.Calibration.IsoStep]): String = {
+    val vals = fit.map(st => s"(${st.scoreMicro}, ${st.calMicro})").mkString(", ")
+    s"""WITH sc AS (SELECT
+       |    CAST(CAST(CAST(vec_id % 101 AS DECIMAL(9,4)) / 100 AS DECIMAL(9,4)) * 1000000
+       |      AS BIGINT) AS sm,
+       |    CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END AS label FROM embeddings),
+       |r AS (SELECT sm, COUNT(*) AS n, SUM(label) AS n_pos FROM sc GROUP BY sm),
+       |f AS (SELECT * FROM (VALUES $vals) AS t(sm, cal))
+       |SELECT CAST(r.sm AS DOUBLE) / 1000000.0 AS score, CAST(n AS BIGINT) AS n,
+       |  CAST(n_pos AS BIGINT) AS n_pos, CAST(cal AS DOUBLE) / 1000000.0 AS calibrated
+       |FROM r JOIN f ON r.sm = f.sm""".stripMargin
+  }
 
   /** Reliability-diagram bins ([[graft.ops.Calibration.reliabilityBins]],
     * 10 bins): per-bin count / positives / exact score mass — integers
@@ -3607,7 +3641,8 @@ object SparkEntry {
     "q_class_weights" -> (qClassWeights _),
     "q_ari" -> (qAri _),
     "q_seasonal" -> (qSeasonal _),
-    "q_sprt" -> (qSprt _)
+    "q_sprt" -> (qSprt _),
+    "q_isotonic" -> (qIsotonic _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —

@@ -195,4 +195,89 @@ object Calibration {
         round(col("__cov").cast("double") / col("n_test").cast("double"), 6).as("coverage"),
         round(col("__sz").cast("double") / col("n_test").cast("double"), 6).as("avg_set_size"))
   }
+
+  /** One fitted isotonic step: every row scoring exactly
+    * `score_micro` (4dp score × 10⁴... scaled to micro ×10⁶ — see
+    * [[isotonicFit]]) calibrates to `cal_micro` (10⁻⁶-scaled pooled
+    * positive rate). Steps are non-decreasing in score AND value. */
+  final case class IsoStep(scoreMicro: Long, n: Long, nPos: Long, calMicro: Long)
+
+  /** Pool-adjacent-violators isotonic regression of label on score —
+    * the standard calibration FIT (Zadrozny & Elkan 2002): the
+    * monotone step function closest to the empirical positive rates.
+    * Platt scaling needs an optimizer; PAV is exact.
+    *
+    * Distributed part: ONE (distinct 4dp score) rollup — bounded by
+    * the score vocabulary (≤ 10⁴ per unit, the repo's score
+    * contract), collected under a LOUD `maxDistinct` cap. The PAV
+    * stack then runs driver-side on that bounded table (the
+    * trained-artifact recipe: k-means / BPE / DSIR train the same
+    * way) in EXACT integers — a violation is the cross-multiply
+    * prevPos·curN > curPos·prevN, pool means merge as (Σpos, Σn)
+    * pairs, and each pool's calibrated value is the 6dp half-up of
+    * the exact rational pos/n. Scores outside [0, 1] fail loud
+    * ([[guardScores]]).
+    *
+    * Returns the fitted steps sorted by score — apply with
+    * [[isotonicTable]] (a broadcastable score → value map; the
+    * deployment artifact). */
+  def isotonicFit(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      maxDistinct: Int = 100000
+  ): Seq[IsoStep] = {
+    val rows = guardScores(scored, scoreCol)
+      .groupBy((col(scoreCol).cast("decimal(9,4)") * 1000000).cast("long").as("__s"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(when(col(labelCol).cast("int") === 1, 1L).otherwise(0L)).as("__p"))
+      .orderBy("__s")
+      .collect()
+    require(rows.length <= maxDistinct,
+      s"isotonicFit: ${rows.length} distinct scores exceed maxDistinct=$maxDistinct " +
+        "— coarsen the score precision first")
+    // PAV stack: (scoreStartIdx, sumN, sumPos) pools, exact integers
+    final case class Pool(fromIdx: Int, n: Long, pos: Long)
+    val pools = scala.collection.mutable.ArrayBuffer.empty[Pool]
+    rows.zipWithIndex.foreach { case (r, i) =>
+      pools += Pool(i, r.getLong(1), r.getLong(2))
+      // merge while the previous pool's mean EXCEEDS the last's
+      // (non-decreasing fit): prevPos/prevN > curPos/curN cross-mult
+      while (pools.length >= 2 && {
+        val a = pools(pools.length - 2); val b = pools.last
+        a.pos * b.n > b.pos * a.n
+      }) {
+        val b = pools.remove(pools.length - 1)
+        val a = pools.remove(pools.length - 1)
+        pools += Pool(a.fromIdx, a.n + b.n, a.pos + b.pos)
+      }
+    }
+    val out = Array.ofDim[IsoStep](rows.length)
+    pools.zipWithIndex.foreach { case (p, pi) =>
+      val untilIdx = if (pi == pools.length - 1) rows.length else pools(pi + 1).fromIdx
+      val cal = {
+        val u = p.pos * 1000000L
+        (u * 2 + p.n) / (p.n * 2) // pos ≥ 0: single-branch half-up
+      }
+      (p.fromIdx until untilIdx).foreach { i =>
+        out(i) = IsoStep(rows(i).getLong(0), rows(i).getLong(1), rows(i).getLong(2), cal)
+      }
+    }
+    out.toSeq
+  }
+
+  /** The fitted steps as a DataFrame
+    * `(score, n, n_pos, calibrated)` — score and calibrated as exact
+    * micro-derived doubles; broadcast-join it on the 4dp score to
+    * calibrate a corpus (or a stream — the map is static). */
+  def isotonicTable(spark: org.apache.spark.sql.SparkSession, fit: Seq[IsoStep]): DataFrame = {
+    import spark.implicits._
+    fit.toDF("scoreMicro", "n", "nPos", "calMicro")
+      .select(
+        (col("scoreMicro").cast("double") / lit(1000000.0)).as("score"),
+        col("n").as("n"),
+        col("nPos").as("n_pos"),
+        (col("calMicro").cast("double") / lit(1000000.0)).as("calibrated"))
+  }
 }

@@ -114,6 +114,40 @@ class LabelsSpec extends SparkSpec {
     assert(Calibration.ece(df, "score", "label", 2).head().getDouble(1) == 0.0)
   }
 
+  test("isotonicFit: PAV pools adjacent violators with exact rational means") {
+    // scores .1 (0/2), .2 (2/2), .3 (1/2): means 0, 1, .5 → the last
+    // two pool to 3/4; the fit is the step [0, .75, .75]
+    val df = Seq(
+      (0.1, 0), (0.1, 0), (0.2, 1), (0.2, 1), (0.3, 1), (0.3, 0)
+    ).toDF("score", "label")
+    val fit = Calibration.isotonicFit(df, "score", "label")
+    assert(fit.map(_.scoreMicro) == Seq(100000L, 200000L, 300000L))
+    assert(fit.map(_.calMicro) == Seq(0L, 750000L, 750000L))
+    assert(fit.map(_.n) == Seq(2L, 2L, 2L))
+    assert(fit.map(_.nPos) == Seq(0L, 2L, 1L))
+  }
+
+  test("isotonicFit: already-monotone rates pass through; fit is always non-decreasing") {
+    val df = Seq((0.1, 0), (0.5, 1), (0.5, 0), (0.9, 1)).toDF("score", "label")
+    val fit = Calibration.isotonicFit(df, "score", "label")
+    assert(fit.map(_.calMicro) == Seq(0L, 500000L, 1000000L))
+    val rnd = new scala.util.Random(42)
+    val noisy = Seq.fill(200)((rnd.nextInt(20) / 20.0, rnd.nextInt(2))).toDF("score", "label")
+    val f2 = Calibration.isotonicFit(noisy, "score", "label")
+    f2.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a.scoreMicro < b.scoreMicro && a.calMicro <= b.calMicro, s"$a -> $b")
+      case _ =>
+    }
+  }
+
+  test("isotonicFit: distinct-score cap fails loud") {
+    val df = Seq((0.1, 0), (0.2, 1), (0.3, 1)).toDF("score", "label")
+    intercept[IllegalArgumentException] {
+      Calibration.isotonicFit(df, "score", "label", maxDistinct = 2)
+    }
+  }
+
   test("krippendorffAlpha: hand-computed 2-rater table with one disagreement") {
     // A:(1,1) B:(2,2) C:(3,3) D:(3,3) E:(1,2):
     // Do = 2/10 = 0.2, De = (100−34)/90, alpha = 8/11
