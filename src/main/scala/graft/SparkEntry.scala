@@ -2824,6 +2824,18 @@ object SparkEntry {
         concat(lit("p"), (col("l_partkey") % 200).cast("string")).as("item")),
       "basket", "item", minSupport = 5L, maxBasketSize = 20)
 
+  /** Association rules ([[graft.ops.Itemsets.rules]], support ≥ 5 on
+    * the same basket fixture): directed confidences and lift per
+    * qualifying pair, supports measured over the identical basket
+    * universe, every ratio an exact 6dp half-up. The oracle re-derives
+    * the pairs through the naive self-join — a different algorithm. */
+  private def qRules(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Itemsets.rules(
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("basket"),
+        concat(lit("p"), (col("l_partkey") % 200).cast("string")).as("item")),
+      "basket", "item", minSupport = 5L, maxBasketSize = 20)
+
   /** Jaro-Winkler record linkage ([[graft.functions.JaroWinkler]],
     * jw ≥ 0.85 at 6dp) over the SNM key fixture: per base number, the
     * exact / last-digit-typo / suffixed variants pair within their
@@ -3642,7 +3654,8 @@ object SparkEntry {
     "q_ari" -> (qAri _),
     "q_seasonal" -> (qSeasonal _),
     "q_sprt" -> (qSprt _),
-    "q_isotonic" -> (qIsotonic _)
+    "q_isotonic" -> (qIsotonic _),
+    "q_rules" -> (qRules _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -6556,7 +6569,8 @@ object SparkEntry {
         |  CAST(c * 10000 - mm AS DOUBLE) / 1000000.0 AS residual,
         |  CAST(abs(c * 10000 - mm) > 150000000 AS INT) AS alarm
         |FROM e2 JOIN p ON e2.event_type = p.event_type AND e2.phase = p.phase""".stripMargin,
-    "q_sprt" -> sprtOracleSql
+    "q_sprt" -> sprtOracleSql,
+    "q_rules" -> rulesOracleSql
   ) ++ pqFamilyOracles
 
   /** q_sprt: the same pinned 10⁻⁶ log-literal chain — llr linear in
@@ -6577,6 +6591,34 @@ object SparkEntry {
        |       ELSE 'continue' END AS decision
        |FROM l""".stripMargin
   }
+
+  /** q_rules: the naive self-join respelling over the same basket
+    * universe — pairs by b1.i < b2.i equi-join, supports and N from
+    * the identical [2, max]-sized distinct-item baskets, ratios as
+    * the same half-up integral divisions. */
+  private lazy val rulesOracleSql: String =
+    """WITH it AS (SELECT DISTINCT l_orderkey AS b,
+      |        'p' || CAST(l_partkey % 200 AS VARCHAR) AS i FROM lineitem),
+      |sz AS (SELECT b, COUNT(*) AS n FROM it GROUP BY b),
+      |ok AS (SELECT b FROM sz WHERE n BETWEEN 2 AND 20),
+      |bi AS (SELECT it.b, it.i FROM it JOIN ok USING (b)),
+      |nb AS (SELECT COUNT(*) AS nn FROM ok),
+      |sup AS (SELECT i, COUNT(*) AS ni FROM bi GROUP BY i),
+      |pr AS (SELECT a.i AS item_a, b2.i AS item_b, COUNT(*) AS n_ab
+      |       FROM bi a JOIN bi b2 ON a.b = b2.b AND a.i < b2.i
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      |SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+      |  CAST(sa.ni AS BIGINT) AS n_a, CAST(sb.ni AS BIGINT) AS n_b,
+      |  CAST((CAST(n_ab AS HUGEINT) * 1000000 * 2 + sa.ni)
+      |       // (CAST(sa.ni AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS conf_ab,
+      |  CAST((CAST(n_ab AS HUGEINT) * 1000000 * 2 + sb.ni)
+      |       // (CAST(sb.ni AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS conf_ba,
+      |  CAST((CAST(n_ab AS HUGEINT) * nn * 1000000 * 2 + sa.ni * sb.ni)
+      |       // (CAST(sa.ni AS HUGEINT) * sb.ni * 2) AS DOUBLE) / 1000000.0 AS lift
+      |FROM pr
+      |JOIN sup sa ON pr.item_a = sa.i
+      |JOIN sup sb ON pr.item_b = sb.i
+      |CROSS JOIN nb""".stripMargin
 
   /** q_psi: baseline-decile bins from the exact integer
     * ⌊(cumA−1)·10/nA⌋ clamp on the shared two-sample value rollup;

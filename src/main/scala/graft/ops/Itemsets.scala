@@ -57,6 +57,82 @@ object Itemsets {
       .where(col("n_baskets") >= minSupport)
   }
 
+  private def intDiv(
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    Bridge.column(IntegralDivide(Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** 6dp half-up of num/den over exact non-negative integers. */
+  private def ratio6(
+      num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) = {
+    val u = num.cast("decimal(38,0)") * 1000000L
+    intDiv(u * 2 + den, den * 2).cast("double") / lit(1000000.0)
+  }
+
+  /** Association rules over the [[coOccurrence]] pair frame: per
+    * qualifying unordered pair, both directed confidences
+    * conf(a→b) = n_ab/n_a and conf(b→a), and the symmetric
+    * lift = n_ab·N / (n_a·n_b) — the A-Priori second stage that turns
+    * co-occurrence counts into "users who do A also do B (x·σ above
+    * chance)". All supports (n_a, n_b, N) are measured over the SAME
+    * basket universe the pairs came from (distinct-item baskets with
+    * 2 ≤ size ≤ maxBasketSize — a support measured over a different
+    * universe silently biases every confidence), each ratio the 6dp
+    * half-up of its exact rational.
+    *
+    * Plan: the basket frame materializes ONCE (lineage cut — it feeds
+    * the pair rollup, the item supports, and the basket count); the
+    * two support joins are on the bounded item vocabulary (broadcast
+    * at any realistic item count); N arrives as a driver literal (the
+    * Bm25 nDocs precedent — a one-row frame attaches join-free only
+    * through a BNLJ, which is banned). */
+  def rules(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long,
+      maxBasketSize: Int
+  ): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(maxBasketSize >= 2 && maxBasketSize <= 10000,
+      s"maxBasketSize must be in [2, 10000], got $maxBasketSize")
+    val raw = df
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .where(col("__b").isNotNull && col("__i").isNotNull)
+      .groupBy("__b")
+      .agg(sort_array(collect_set(col("__i"))).as("__arr"))
+      .where(size(col("__arr")) <= maxBasketSize && size(col("__arr")) >= 2)
+    val (baskets, basketsRdd) = graft.util.LoopFrames.cut(raw)
+    val nBaskets = baskets.count()
+    val supports = baskets
+      .select(explode(col("__arr")).as("__i"))
+      .groupBy("__i")
+      .agg(count(lit(1)).as("__ni"))
+    val pairsCol = flatten(transform(col("__arr"), (x, i) =>
+      transform(slice(col("__arr"), i + 2, lit(maxBasketSize)), y =>
+        struct(x.as("a"), y.as("b")))))
+    val pairs = baskets
+      .select(explode(pairsCol).as("__p"))
+      .groupBy(col("__p.a").as("item_a"), col("__p.b").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    val out = pairs
+      .join(supports.select(col("__i").as("item_a"), col("__ni").as("n_a")), "item_a")
+      .join(supports.select(col("__i").as("item_b"), col("__ni").as("n_b")), "item_b")
+      .select(
+        col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        ratio6(col("n_ab"), col("n_a")).as("conf_ab"),
+        ratio6(col("n_ab"), col("n_b")).as("conf_ba"),
+        ratio6(col("n_ab").cast("decimal(38,0)") * nBaskets,
+          col("n_a").cast("decimal(38,0)") * col("n_b")).as("lift"))
+    val (res, _) = graft.util.LoopFrames.cut(out)
+    res.count()
+    basketsRdd.unpersist(blocking = false)
+    res
+  }
+
   /** The shed report companion: baskets excluded by `maxBasketSize`
     * (one row: n_oversize, max_size observed). */
   def oversizeReport(

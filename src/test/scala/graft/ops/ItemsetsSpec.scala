@@ -28,4 +28,30 @@ class ItemsetsSpec extends SparkSpec {
     val rep = Itemsets.oversizeReport(withMega, "basket", "item", 10).head()
     assert(rep.getLong(0) == 1L && rep.getLong(1) == 50L)
   }
+
+  test("rules: confidences and lift from the same basket universe, hand-computed") {
+    // baskets: {x,y} {x,y} {x,z} {y,z} → N=4, n_x=3 n_y=3 n_z=2;
+    // (x,y): n=2, conf 2/3 both ways, lift 8/9
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"), (4L, "y"), (4L, "z")).toDF("basket", "item")
+    val got = Itemsets.rules(df, "basket", "item", minSupport = 1, maxBasketSize = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    assert(got(("x", "y")) == ((2L, 3L, 3L, 0.666667, 0.666667, 0.888889)), got.toString)
+    assert(got(("x", "z")) == ((1L, 3L, 2L, 0.333333, 0.5, 0.666667)))
+    assert(got(("y", "z")) == ((1L, 3L, 2L, 0.333333, 0.5, 0.666667)))
+  }
+
+  test("rules: supports exclude baskets outside the [2, max] universe") {
+    // a singleton basket with x must NOT inflate n_x
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (2L, "x")).toDF("basket", "item")
+    val r = Itemsets.rules(df, "basket", "item", minSupport = 1, maxBasketSize = 10).head()
+    assert(r.getLong(3) == 1L && r.getLong(4) == 1L) // n_x = n_y = 1
+    assert(r.getDouble(7) == 1.0) // lift = 1·1/(1·1)
+  }
 }
