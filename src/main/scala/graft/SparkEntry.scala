@@ -2245,6 +2245,15 @@ object SparkEntry {
       Tables.events(s, dir).select("event_type", "value"),
       "event_type", "value")
 
+  /** Embedding-table quality gate
+    * ([[graft.ops.Profile.embeddingAudit]], dim 64): NULL / wrong-
+    * width / non-finite / zero-vector counts and the L2-norm profile,
+    * index-order float folds so both engines walk the same double
+    * chain. */
+  private def qEmbedAudit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.embeddingAudit(
+      Tables.embeddings(s, dir).select("embedding"), "embedding", dim = 64)
+
   /** Referential-integrity audit ([[graft.ops.Profile.fkOrphans]]):
     * orders whose customer was dropped (parent filtered to
     * c_custkey % 7 ≠ 0 to synthesize dangling FKs) — one left join
@@ -3655,7 +3664,8 @@ object SparkEntry {
     "q_seasonal" -> (qSeasonal _),
     "q_sprt" -> (qSprt _),
     "q_isotonic" -> (qIsotonic _),
-    "q_rules" -> (qRules _)
+    "q_rules" -> (qRules _),
+    "q_embed_audit" -> (qEmbedAudit _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -6570,7 +6580,33 @@ object SparkEntry {
         |  CAST(abs(c * 10000 - mm) > 150000000 AS INT) AS alarm
         |FROM e2 JOIN p ON e2.event_type = p.event_type AND e2.phase = p.phase""".stripMargin,
     "q_sprt" -> sprtOracleSql,
-    "q_rules" -> rulesOracleSql
+    "q_rules" -> rulesOracleSql,
+    "q_embed_audit" ->
+      """WITH e AS (SELECT embedding AS v FROM embeddings),
+        |c AS (SELECT v,
+        |        CASE WHEN v IS NULL THEN NULL
+        |             ELSE list_reduce(list_transform(v, x -> CAST(x AS DOUBLE) * x),
+        |                              (a, b) -> a + b) END AS sq,
+        |        CASE WHEN v IS NULL THEN FALSE
+        |             ELSE len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 END AS bad
+        |      FROM e),
+        |f AS (SELECT *, v IS NOT NULL AND len(v) = 64 AND NOT bad AS clean,
+        |        round(sqrt(sq), 6) AS nrm FROM c)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(SUM(CASE WHEN v IS NOT NULL AND len(v) <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_wrong_dim,
+        |  CAST(SUM(CASE WHEN v IS NOT NULL AND bad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nonfinite,
+        |  CAST(SUM(CASE WHEN clean AND sq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  MIN(CASE WHEN clean THEN nrm END) AS norm_min,
+        |  MAX(CASE WHEN clean THEN nrm END) AS norm_max,
+        |  CASE WHEN SUM(CASE WHEN clean THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST((SUM(CASE WHEN clean THEN CAST(round(nrm * 1000000, 0) AS HUGEINT) END) * 2
+        |          + SUM(CASE WHEN clean THEN 1 ELSE 0 END))
+        |         // (CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS HUGEINT) * 2) AS DOUBLE)
+        |      / 1000000.0 END AS norm_mean
+        |FROM f""".stripMargin
   ) ++ pqFamilyOracles
 
   /** q_sprt: the same pinned 10⁻⁶ log-literal chain — llr linear in

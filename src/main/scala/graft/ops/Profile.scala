@@ -296,4 +296,55 @@ object Profile {
         when(col("__nn") > 0, rateMicro.cast("double") / lit(1000000.0))
           .otherwise(lit(0.0)).as("orphan_rate"))
   }
+
+  /** Embedding-table quality audit — the ingest gate for a vector
+    * corpus before it feeds ANN / dedup / clustering: NULL or
+    * wrong-width vectors, non-finite components, zero vectors (cosine
+    * against them is undefined), and the L2-norm profile. One
+    * map-side-combinable pass.
+    *
+    * Determinism: each vector's squared norm is the `aggregate` HOF
+    * fold in INDEX order (float components widen to double exactly,
+    * so both engines walk the same double chain), the norm one
+    * correctly-rounded sqrt + 6dp round; the corpus mean norm routes
+    * those 6dp values through micro-integers (an exact decimal sum —
+    * order-independent). NULL vectors are counted, not scored.
+    *
+    * Returns ONE row: `(n, n_null, n_wrong_dim, n_nonfinite, n_zero,
+    * norm_min, norm_max, norm_mean)` — norm stats over clean vectors
+    * only (NULL when none).
+    */
+  def embeddingAudit(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val v = col(vecCol)
+    val sq = aggregate(v, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val hasNonfinite = exists(v, x => isnan(x) || abs(x.cast("double")) > lit(Double.MaxValue))
+    val clean = v.isNotNull && size(v) === dim && !hasNonfinite
+    val norm = round(sqrt(sq), 6)
+    // the 6dp-rounded double is within an ulp of its micro integer —
+    // round again after scaling (a bare cast would truncate x.999…)
+    val normMicro = when(clean, round(norm * 1000000L, 0).cast("long"))
+    df
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(v.isNull.cast("long")), lit(0L)).as("n_null"),
+        coalesce(sum((v.isNotNull && size(v) =!= dim).cast("long")), lit(0L))
+          .as("n_wrong_dim"),
+        coalesce(sum((v.isNotNull && hasNonfinite).cast("long")), lit(0L))
+          .as("n_nonfinite"),
+        coalesce(sum((clean && sq === 0.0d).cast("long")), lit(0L)).as("n_zero"),
+        min(when(clean, norm)).as("norm_min"),
+        max(when(clean, norm)).as("norm_max"),
+        sum(normMicro).as("__nsum"),
+        coalesce(sum(clean.cast("long")), lit(0L)).as("__nclean"))
+      .select(
+        col("n"), col("n_null"), col("n_wrong_dim"), col("n_nonfinite"), col("n_zero"),
+        col("norm_min"), col("norm_max"),
+        when(col("__nclean") > 0,
+          (when(col("__nsum") >= 0,
+            intDiv(col("__nsum") * 2 + col("__nclean"), col("__nclean") * 2))
+            .otherwise(lit(0L)))
+            .cast("double") / lit(1000000.0)).as("norm_mean"))
+  }
 }

@@ -110,6 +110,29 @@ class ProfileSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.5) // 3/6
   }
 
+  test("embeddingAudit: nulls / wrong dims / non-finite / zero vectors split; exact norm profile") {
+    val df = Seq(
+      (1L, Some(Seq(3.0f, 4.0f))),   // norm 5
+      (2L, Some(Seq(0.0f, 0.0f))),   // zero vector, norm 0
+      (3L, Some(Seq(1.0f, Float.NaN))),
+      (4L, Some(Seq(1.0f))),          // wrong dim
+      (5L, None),
+      (6L, Some(Seq(Float.PositiveInfinity, 1.0f)))
+    ).toDF("id", "vec")
+    val r = Profile.embeddingAudit(df, "vec", dim = 2).head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 1L) // n, n_null
+    assert(r.getLong(2) == 1L && r.getLong(3) == 2L) // wrong dim, nonfinite
+    assert(r.getLong(4) == 1L) // zero vector
+    assert(r.getDouble(5) == 0.0 && r.getDouble(6) == 5.0)
+    assert(r.getDouble(7) == 2.5) // mean of {0, 5}
+  }
+
+  test("embeddingAudit: no clean vectors → NULL norm stats, counts still exact") {
+    val df = Seq((1L, None: Option[Seq[Float]])).toDF("id", "vec")
+    val r = Profile.embeddingAudit(df, "vec", dim = 2).head()
+    assert(r.getLong(1) == 1L && r.isNullAt(5) && r.isNullAt(7))
+  }
+
   test("fkOrphans: clean FK scores zero; all-null child keys rate 0") {
     val child = Seq(1L, 2L).toDF("fk")
     val parent = Seq(1L, 2L, 3L).toDF("pk")
