@@ -172,6 +172,15 @@ object SparkEntry {
       steps = Seq("view", "click", "purchase"),
       maxSpanUs = 172800000000L)
 
+  /** Signup→purchase conversion timing
+    * ([[graft.ops.Funnel.stepTiming]]): per user the delta from first
+    * signup to first at-or-after purchase, exact type-1 P50/P90/P99
+    * of the deltas via the integer-pick rule. */
+  private def qStepTiming(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.stepTiming(
+      Tables.events(s, dir).select("user_id", "ts_us", "event_type"),
+      "user_id", "ts_us", "event_type", "signup", "purchase")
+
   /** Daily growth accounting ([[graft.ops.Funnel.growthAccounting]]):
     * per day, active users split into new / retained / resurrected,
     * churn counted out of the previous day (n_active(t−1) −
@@ -3665,7 +3674,8 @@ object SparkEntry {
     "q_sprt" -> (qSprt _),
     "q_isotonic" -> (qIsotonic _),
     "q_rules" -> (qRules _),
-    "q_embed_audit" -> (qEmbedAudit _)
+    "q_embed_audit" -> (qEmbedAudit _),
+    "q_step_timing" -> (qStepTiming _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -6606,7 +6616,25 @@ object SparkEntry {
         |          + SUM(CASE WHEN clean THEN 1 ELSE 0 END))
         |         // (CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS HUGEINT) * 2) AS DOUBLE)
         |      / 1000000.0 END AS norm_mean
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+    "q_step_timing" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS s, epoch_us(ts) AS t FROM events),
+        |f AS (SELECT u, MIN(CASE WHEN s = 'signup' THEN t END) AS ft
+        |      FROM e WHERE s IN ('signup', 'purchase') GROUP BY u),
+        |f2 AS (SELECT * FROM f WHERE ft IS NOT NULL),
+        |tt AS (SELECT e.u, MIN(e.t) AS tt FROM e JOIN f2 ON e.u = f2.u
+        |       WHERE e.s = 'purchase' AND e.t >= f2.ft GROUP BY e.u),
+        |d AS (SELECT f2.u, tt.tt - f2.ft AS d FROM f2 LEFT JOIN tt ON f2.u = tt.u),
+        |c AS (SELECT d, COUNT(*) AS c FROM d GROUP BY d),
+        |w AS (SELECT *, d IS NOT NULL AS conv,
+        |        SUM(CASE WHEN d IS NOT NULL THEN c ELSE 0 END) OVER (ORDER BY d) AS cum,
+        |        SUM(CASE WHEN d IS NOT NULL THEN c ELSE 0 END) OVER () AS nconv,
+        |        SUM(c) OVER () AS nfrom FROM c)
+        |SELECT CAST(nfrom AS BIGINT) AS n_from, CAST(nconv AS BIGINT) AS n_converted,
+        |  MIN(CASE WHEN conv AND cum * 2 >= nconv * 1 THEN d END) AS p50_us,
+        |  MIN(CASE WHEN conv AND cum * 10 >= nconv * 9 THEN d END) AS p90_us,
+        |  MIN(CASE WHEN conv AND cum * 100 >= nconv * 99 THEN d END) AS p99_us
+        |FROM w GROUP BY nfrom, nconv""".stripMargin
   ) ++ pqFamilyOracles
 
   /** q_sprt: the same pinned 10⁻⁶ log-literal chain — llr linear in

@@ -206,6 +206,74 @@ object Funnel {
     Bridge.column(IntegralDivide(Bridge.expression(a), Bridge.expression(b)))
   }
 
+  /** Step-to-step conversion timing — the "how long from signup to
+    * first purchase" readout behind every funnel: per user, the delta
+    * from the FIRST `fromStep` event to the FIRST `toStep` event at
+    * or after it; then exact type-1 quantiles of those deltas (the
+    * [[graft.ops.Stats.groupQuantiles]] integer-pick rule — smallest
+    * delta whose cumulative count reaches ⌈p·n⌉, cross-multiplied, no
+    * sketch, no float boundary).
+    *
+    * ONE user-keyed rollup computes both firsts (min and conditional
+    * min are partial-mergeable — no window, no join), the bounded
+    * per-distinct-delta frame carries the quantile fold. Users who
+    * never reach `fromStep`, or whose `toStep` never follows it,
+    * simply don't convert (counted in `n_from` vs `n_converted`).
+    *
+    * Returns ONE row:
+    * `(n_from, n_converted, p50_us, p90_us, p99_us)` — deltas in the
+    * ts column's own unit, NULL quantiles when nobody converts.
+    */
+  def stepTiming(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      stepCol: String,
+      fromStep: String,
+      toStep: String
+  ): DataFrame = {
+    val perUser = events
+      .where(col(stepCol) === fromStep || col(stepCol) === toStep)
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(when(col(stepCol) === fromStep, col(tsCol))).as("__f"))
+    val firstTo = events
+      .where(col(stepCol) === toStep)
+      .groupBy(col(userCol).as("__u"))
+      .agg(collect_list(col(tsCol)).as("__ts"))
+    // first `to` AT OR AFTER the first `from`: array_min of the
+    // filtered list — per-user lists are activity-bounded
+    val joined = perUser
+      .where(col("__f").isNotNull)
+      .join(firstTo, Seq("__u"), "left")
+      .withColumn("__t",
+        array_min(filter(col("__ts"), t => t >= col("__f"))))
+      .withColumn("__d", col("__t") - col("__f"))
+    val byD = Window.orderBy(col("__d").asc).rowsBetween(Long.MinValue, 0)
+    val whole = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val nFromW = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val deltas = joined
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__isconv", col("__d").isNotNull)
+      .withColumn("__cum",
+        sum(when(col("__isconv"), col("__c")).otherwise(0L)).over(byD))
+      .withColumn("__nconv",
+        sum(when(col("__isconv"), col("__c")).otherwise(0L)).over(whole))
+      .withColumn("__nfrom", sum(col("__c")).over(nFromW))
+    def pick(num: Long, den: Long) =
+      min(when(col("__isconv") && col("__cum") * den >= col("__nconv") * num, col("__d")))
+    deltas
+      .groupBy("__nfrom", "__nconv")
+      .agg(
+        pick(1L, 2L).as("p50_us"),
+        pick(9L, 10L).as("p90_us"),
+        pick(99L, 100L).as("p99_us"))
+      .select(
+        col("__nfrom").as("n_from"),
+        col("__nconv").as("n_converted"),
+        col("p50_us"), col("p90_us"), col("p99_us"))
+  }
+
   /** DAU/WAU engagement: per active period (day), the distinct-user
     * count for that day (`dau`), the rolling `windowDays`-day
     * distinct-user count ending that day (`wau`), and the stickiness

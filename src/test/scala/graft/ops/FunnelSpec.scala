@@ -120,6 +120,27 @@ class FunnelSpec extends SparkSpec {
     assert(full(1).getLong(5) == 0L && full(1).isNullAt(6))      // no churn row
   }
 
+  test("stepTiming: first-from to first-at-or-after-to deltas, exact quantile picks") {
+    // u1 converts in 10; u2's early purchase (t=5) doesn't count — its
+    // post-signup one (t=30) does (delta 20); u3 never converts;
+    // u4 has no signup and is outside n_from entirely
+    val df = Seq(
+      (1L, 10L, "signup"), (1L, 20L, "purchase"),
+      (2L, 10L, "signup"), (2L, 5L, "purchase"), (2L, 30L, "purchase"),
+      (3L, 10L, "signup"),
+      (4L, 50L, "purchase")).toDF("u", "t", "s")
+    val r = Funnel.stepTiming(df, "u", "t", "s", "signup", "purchase").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 10L) // p50
+    assert(r.getLong(3) == 20L && r.getLong(4) == 20L)
+  }
+
+  test("stepTiming: nobody converts → NULL quantiles, counts intact") {
+    val df = Seq((1L, 10L, "signup"), (2L, 20L, "signup")).toDF("u", "t", "s")
+    val r = Funnel.stepTiming(df, "u", "t", "s", "signup", "purchase").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.isNullAt(2))
+  }
+
   test("activeUsers: rolling distinct WAU counts each user once; dead tail days drop") {
     // u1 days 1,2; u2 day 1; u3 day 3; 2-day window:
     // WAU(1)={u1,u2}, WAU(2)={u1,u2}, WAU(3)={u1,u3}; day 4 has no dau row
