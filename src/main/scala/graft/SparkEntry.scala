@@ -2190,6 +2190,21 @@ object SparkEntry {
       Tables.events(s, dir).select("event_type", "value"),
       "event_type", "value", "view", "purchase")
 
+  /** Per-event-type OLS trend ([[graft.ops.Stats.linearFit]]): value
+    * regressed on whole hours since 2024-01-01 (exact integer x — no
+    * float enters the moments), slope/intercept/R² per type from one
+    * exact-decimal moment rollup. */
+  private def qLinearFit(s: SparkSession, dir: String): DataFrame = {
+    // subtract-mod before the divide (the Funnel.retention recipe):
+    // the multiple of p is < 2⁵³ so the double quotient is exact
+    val d = col("ts_us") - 1704067200000000L
+    val hour = ((d - pmod(d, lit(3600000000L))) / 3600000000L).cast("long")
+    graft.ops.Stats.linearFit(
+      Tables.events(s, dir).select(
+        col("event_type"), hour.as("hour"), col("value")),
+      Seq("event_type"), "hour", "value")
+  }
+
   /** Chi-square independence test ([[graft.ops.Stats.chiSquared]])
     * between event type (5 values) and the user residue band
     * (4 values) — dof 12, critical value 21.026 pinned as the
@@ -3675,7 +3690,8 @@ object SparkEntry {
     "q_isotonic" -> (qIsotonic _),
     "q_rules" -> (qRules _),
     "q_embed_audit" -> (qEmbedAudit _),
-    "q_step_timing" -> (qStepTiming _)
+    "q_step_timing" -> (qStepTiming _),
+    "q_linear_fit" -> (qLinearFit _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -6634,7 +6650,32 @@ object SparkEntry {
         |  MIN(CASE WHEN conv AND cum * 2 >= nconv * 1 THEN d END) AS p50_us,
         |  MIN(CASE WHEN conv AND cum * 10 >= nconv * 9 THEN d END) AS p90_us,
         |  MIN(CASE WHEN conv AND cum * 100 >= nconv * 99 THEN d END) AS p99_us
-        |FROM w GROUP BY nfrom, nconv""".stripMargin
+        |FROM w GROUP BY nfrom, nconv""".stripMargin,
+    "q_linear_fit" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    CAST(CAST((epoch_us(ts) - 1704067200000000
+        |               - (epoch_us(ts) - 1704067200000000) % 3600000000)
+        |              / 3600000000 AS BIGINT) AS DECIMAL(18,6)) AS x,
+        |    CAST(value AS DECIMAL(18,2)) AS y FROM events),
+        |a AS (SELECT k, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |      FROM e GROUP BY k),
+        |f AS (SELECT *,
+        |        CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+        |        CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxn,
+        |        CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varyn
+        |      FROM a)
+        |SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+        |  round(CASE WHEN varxn > 0 THEN covn / varxn END, 6) AS slope,
+        |  round(CASE WHEN varxn > 0 THEN
+        |    (CAST(sy AS DOUBLE) - (covn / varxn) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |  END, 6) AS intercept,
+        |  round(CASE WHEN varxn > 0 AND varyn > 0
+        |    THEN covn * covn / (varxn * varyn) END, 6) AS r2
+        |FROM f""".stripMargin
   ) ++ pqFamilyOracles
 
   /** q_sprt: the same pinned 10⁻⁶ log-literal chain — llr linear in

@@ -415,6 +415,65 @@ object Stats {
       .agg(max(col("__n")).as("n"), picks: _*)
   }
 
+  /** Per-group ordinary-least-squares line fit — the trend readout
+    * (is this user's metric drifting, is this source's quality
+    * decaying over time): slope, intercept, and R² of y on x per key.
+    *
+    * ONE map-side-combinable rollup of EXACT decimal moments
+    * (x at 6dp, y at 2dp — Σx, Σy, Σxy, Σx², Σy² as exact decimals,
+    * the [[graft.ops.Experiment.cuped]] recipe), then the classic
+    * closed forms as fixed-order double chains over those exact sums,
+    * rounded 6dp:
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy − slope·Σx) / n
+    *   r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+    *
+    * Degenerate groups (constant x → zero x-variance) yield NULL
+    * slope/intercept/r2, flagged not crashed; constant y with varying
+    * x fits slope 0 and NULL r² (no variance to explain). NULLs in
+    * x/y fail loud. Moment magnitudes bound the contract: |x| ≤ 10⁶
+    * and |y| ≤ 10⁵ keep Σx²·n inside the decimal-38 chain to ~10⁹
+    * rows per group.
+    *
+    * Returns per key: `(keys…, n, slope, intercept, r2)`.
+    */
+  def linearFit(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "linearFit needs at least one key column")
+    val x = col(xCol).cast("decimal(18,6)")
+    val y = col(yCol).cast("decimal(18,2)")
+    val guarded = df.where(
+      when(col(xCol).isNull || col(yCol).isNull,
+        raise_error(lit(s"linearFit: NULL in $xCol/$yCol — filter first")))
+        .otherwise(lit(true)))
+    val agg = guarded
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("__sx"),
+        sum(y).as("__sy"),
+        sum(x * y).as("__sxy"),
+        sum(x * x).as("__sxx"),
+        sum(y * y).as("__syy"))
+    def d(c: String) = col(c).cast("double")
+    val nD = col("n").cast("double")
+    val covN = nD * d("__sxy") - d("__sx") * d("__sy")
+    val varXN = nD * d("__sxx") - d("__sx") * d("__sx")
+    val varYN = nD * d("__syy") - d("__sy") * d("__sy")
+    val slope = covN / varXN
+    agg.select(
+      keyCols.map(col) ++ Seq(
+        col("n"),
+        round(when(varXN > 0, slope), 6).as("slope"),
+        round(when(varXN > 0, (d("__sy") - slope * d("__sx")) / nD), 6).as("intercept"),
+        round(when(varXN > 0 && varYN > 0, covN * covN / (varXN * varYN)), 6).as("r2")): _*)
+  }
+
   /** Mass-concentration readout of a grouping key — how unequal is
     * the corpus across keys (docs per host, events per user, tokens
     * per doc)? The curation dashboard number behind "one crawl host

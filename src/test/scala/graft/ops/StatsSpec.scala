@@ -144,6 +144,22 @@ class StatsSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(3) == r.getDouble(4)))
   }
 
+  test("linearFit: perfect line recovers slope/intercept, r2 = 1") {
+    val df = (1 to 5).map(i => ("g", i.toDouble, 2.0 * i + 1)).toDF("k", "x", "y")
+    val r = Stats.linearFit(df, Seq("k"), "x", "y").head()
+    assert(r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
+  }
+
+  test("linearFit: constant x is degenerate (NULLs); constant y fits slope 0, NULL r2") {
+    val cx = Seq(("g", 1.0, 1.0), ("g", 1.0, 2.0)).toDF("k", "x", "y")
+    val r1 = Stats.linearFit(cx, Seq("k"), "x", "y").head()
+    assert(r1.isNullAt(2) && r1.isNullAt(3) && r1.isNullAt(4))
+    val cy = Seq(("g", 1.0, 3.0), ("g", 2.0, 3.0)).toDF("k", "x", "y")
+    val r2 = Stats.linearFit(cy, Seq("k"), "x", "y").head()
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(3) == 3.0 && r2.isNullAt(4))
+  }
+
   test("groupQuantiles: exact type-1 picks per group, integer boundary") {
     // group g: values 1..10 → p50 = 5 (cum 5·2 ≥ 10), p90 = 9, p99 = 10
     // group h: 1,1,1,2 → p50 = 1 (cum 3·2 ≥ 4·1), p90 = 2 (3·10 < 36), p99 = 2
