@@ -2190,6 +2190,15 @@ object SparkEntry {
       Tables.events(s, dir).select("event_type", "value"),
       "event_type", "value", "view", "purchase")
 
+  /** Per-source language-mix entropy ([[graft.ops.Stats.entropy]]):
+    * the corpus-diversity gate (a near-zero source is templated or
+    * single-language; near-1 normalized entropy is uniform). Terms
+    * through the tokenDrift 12dp→decimal recipe. */
+  private def qEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.entropy(
+      Tables.documents(s, dir).select("source", "lang"),
+      Seq("source"), "lang")
+
   /** Per-event-type OLS trend ([[graft.ops.Stats.linearFit]]): value
     * regressed on whole hours since 2024-01-01 (exact integer x — no
     * float enters the moments), slope/intercept/R² per type from one
@@ -3691,7 +3700,8 @@ object SparkEntry {
     "q_rules" -> (qRules _),
     "q_embed_audit" -> (qEmbedAudit _),
     "q_step_timing" -> (qStepTiming _),
-    "q_linear_fit" -> (qLinearFit _)
+    "q_linear_fit" -> (qLinearFit _),
+    "q_entropy" -> (qEntropy _)
   )
 
   /** q_pagerank: the operator's recurrence unrolled as chained CTEs —
@@ -6675,6 +6685,19 @@ object SparkEntry {
         |  END, 6) AS intercept,
         |  round(CASE WHEN varxn > 0 AND varyn > 0
         |    THEN covn * covn / (varxn * varyn) END, 6) AS r2
+        |FROM f""".stripMargin,
+    "q_entropy" ->
+      """WITH c AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+        |w AS (SELECT *, SUM(c) OVER (PARTITION BY source) AS n,
+        |        COUNT(*) OVER (PARTITION BY source) AS k FROM c),
+        |t AS (SELECT *, CAST(round(
+        |        -(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 12)
+        |        AS DECIMAL(38,12)) AS tt FROM w),
+        |f AS (SELECT source, n, k, SUM(tt) AS h FROM t GROUP BY source, n, k)
+        |SELECT source, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_distinct,
+        |  round(CAST(h AS DOUBLE), 6) AS entropy,
+        |  round(CASE WHEN k > 1 THEN CAST(h AS DOUBLE) / ln(CAST(k AS DOUBLE)) END, 6)
+        |    AS norm_entropy
         |FROM f""".stripMargin
   ) ++ pqFamilyOracles
 

@@ -415,6 +415,54 @@ object Stats {
       .agg(max(col("__n")).as("n"), picks: _*)
   }
 
+  /** Per-group Shannon entropy of a categorical column — the
+    * diversity readout (label mix per source, event mix per user;
+    * near-zero entropy flags a degenerate/templated group, entropy
+    * near ln(k) a uniform one).
+    *
+    * ONE (keys, value) rollup bounds everything by group × vocabulary;
+    * marginals ride it as keyed windows. Each term −(c/n)·ln(c/n)
+    * follows the [[graft.ops.Text.tokenDrift]] determinism recipe
+    * (12dp round → DECIMAL(38,12) order-independent exact sum, one
+    * 6dp round at the end); `norm_entropy` = entropy/ln(k) with ln of
+    * an exact integer (NULL for single-value groups — nothing to
+    * normalize by). Entropy is in nats.
+    *
+    * Returns per key: `(keys…, n, n_distinct, entropy, norm_entropy)`.
+    */
+  def entropy(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valCol: String
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "entropy needs at least one key column")
+    val guarded = df.where(
+      when(col(valCol).isNull,
+        raise_error(lit(s"entropy: NULL in $valCol — filter or bucket first")))
+        .otherwise(lit(true)))
+    val cells = guarded
+      .groupBy((keyCols.map(col) :+ col(valCol).as("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val byK = Window.partitionBy(keyCols.map(col): _*)
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    val termD = round(-p * log(p), 12).cast("decimal(38,12)")
+    cells
+      .withColumn("__n", sum(col("__c")).over(byK))
+      .withColumn("__k", count(lit(1)).over(byK))
+      .withColumn("__t", termD)
+      .groupBy((keyCols.map(col) ++ Seq(col("__n"), col("__k"))): _*)
+      .agg(sum(col("__t")).as("__h"))
+      .select(
+        keyCols.map(col) ++ Seq(
+          col("__n").as("n"),
+          col("__k").as("n_distinct"),
+          round(col("__h").cast("double"), 6).as("entropy"),
+          round(when(col("__k") > 1,
+            col("__h").cast("double") / log(col("__k").cast("double"))), 6)
+            .as("norm_entropy")): _*)
+  }
+
   /** Per-group ordinary-least-squares line fit — the trend readout
     * (is this user's metric drifting, is this source's quality
     * decaying over time): slope, intercept, and R² of y on x per key.

@@ -144,6 +144,27 @@ class StatsSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(3) == r.getDouble(4)))
   }
 
+  test("entropy: uniform group hits ln(k); single-value group is zero with NULL norm") {
+    val df = (Seq("a", "b", "c", "d").map(("u", _)) ++ Seq(("m", "x"), ("m", "x")))
+      .toDF("k", "v")
+    val got = Stats.entropy(df, Seq("k"), "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4)))).toMap
+    val ln4 = BigDecimal(4 * ((0.25: Double) * math.log(4.0) match {
+      case t => BigDecimal(t).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    })).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("u")._1 == 4L && got("u")._2 == 4L)
+    assert(got("u")._3 == ln4 && got("u")._4 == 1.0, got.toString)
+    assert(got("m") == ((2L, 1L, 0.0, null)))
+  }
+
+  test("entropy: skewed mix lands between 0 and ln(k)") {
+    val df = (Seq.fill(9)(("s", "hot")) ++ Seq(("s", "rare"))).toDF("k", "v")
+    val r = Stats.entropy(df, Seq("k"), "v").head()
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) < math.log(2.0))
+    assert(r.getDouble(4) > 0.0 && r.getDouble(4) < 1.0)
+  }
+
   test("linearFit: perfect line recovers slope/intercept, r2 = 1") {
     val df = (1 to 5).map(i => ("g", i.toDouble, 2.0 * i + 1)).toDF("k", "x", "y")
     val r = Stats.linearFit(df, Seq("k"), "x", "y").head()
