@@ -8,8 +8,8 @@ import org.apache.spark.sql.SparkSession
   * numbers measure the query, not JVM/session warm-up; queries then run
   * in sorted name order for round-over-round comparability.
   *
-  * Each query is timed REPEATS times — as REPEATS interleaved passes over
-  * the whole suite, not back-to-back — and BOTH the MEDIAN and the MIN
+  * Each query is timed over up to REPEATS interleaved passes over the
+  * whole suite (not back-to-back), and BOTH the MEDIAN and the MIN
   * reported (`queries` / `queries_min`): single-run numbers on this box
   * wobble ±15% (JIT/GC), enough to fake a 2× regression on any 1–4 s
   * query — rounds 4/5 spent a full cycle proving one such phantom, round
@@ -20,9 +20,23 @@ import org.apache.spark.sql.SparkSession
   * workload on a noisy box — a query's floor can't be inflated by
   * co-tenant noise, only honestly achieved — so round-over-round
   * comparisons should read `queries_min` first and treat median−min
-  * spread as the session's noise band. Default repeats is 5 for the same
-  * reason (median-of-3 tolerates zero disturbed passes; 5 tolerates two).
-  * Override with SPARK_GRAFT_BENCH_REPEATS (dev loops can set 1). */
+  * spread as the session's noise band.
+  *
+  * TIME-BUDGETED passes (round 16, after BENCH_r15 died at the driver's
+  * wall cap with rc 124 and NO parsed artifact — 5 unconditional passes ×
+  * 230 queries ≈ 950–1,100 s vs a ~900 s cap): pass 1 always runs fully;
+  * each further pass starts only if the projected wall after it (elapsed
+  * + elapsed/passes, i.e. one more average pass) stays within
+  * SPARK_GRAFT_BENCH_BUDGET_S (default 600 s of measured loop — startup,
+  * warm-up and sbt overhead live outside the budget, keeping total wall
+  * comfortably under the cap). The emitted JSON reports
+  * `passes_completed`; medians/mins are taken over however many passes
+  * fit. A JVM shutdown hook emits the partial-results JSON on SIGTERM,
+  * so even a harness-level timeout (SIGTERM from `timeout`) yields a
+  * parsed artifact instead of a truncated log.
+  *
+  * Override passes with SPARK_GRAFT_BENCH_REPEATS (dev loops can set 1).
+  */
 object Bench {
 
   private def median(xs: Seq[Double]): Double = {
@@ -77,57 +91,92 @@ object Bench {
       else SparkEntry.queries.filter { case (k, _) => wanted(k) }
 
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "5").toInt
-    val failed = scala.collection.mutable.ListBuffer[String]()
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "600").toDouble
     val names = selected.toSeq.sortBy(_._1)
+
+    // Shared mutable state, guarded by `lock`: the shutdown hook reads a
+    // snapshot concurrently with the measurement loop when the harness
+    // SIGTERMs us mid-pass.
+    val lock = new Object
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
-    // INTERLEAVED repeats: run the whole suite `repeats` times rather than
-    // each query back-to-back. Back-to-back repeats share any transient
-    // box-level disturbance (GC storm, ContextCleaner backlog, external
-    // load), so the median doesn't protect against it — round 6 recorded a
-    // phantom 4.6× on q_decimate_fir this way (0.33 s when re-measured).
-    // Interleaving spaces a query's repeats a full suite apart, so a
-    // localized disturbance lands on at most one of them.
-    for (_ <- 1 to repeats; (name, fn) <- names if !failed.contains(name)) {
-      val t0 = System.nanoTime()
-      // noop sink: materializes EVERY column (count() would let
-      // Catalyst prune unreferenced aggregates and under-measure)
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch {
-          case e: Throwable =>
-            // a crashed query is excluded from times entirely — a crash
-            // duration must not masquerade as a (possibly fast) run
-            failed += name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
+    @volatile var passesCompleted = 0
+    val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    // Emit exactly once (normal end OR shutdown hook, whichever first).
+    // System.out autoflushes on println, so the line survives SIGTERM.
+    def emit(): Unit = if (printed.compareAndSet(false, true)) {
+      val (snapTimes, snapFailed, passes) = lock.synchronized {
+        (times.toMap.map { case (k, v) => (k, v) }, failed.toVector, passesCompleted)
+      }
+      val results = names.collect {
+        case (name, _) if !snapFailed.contains(name) && snapTimes.contains(name) =>
+          (name, median(snapTimes(name)), snapTimes(name).min)
+      }
+      val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val qsMin = results.map { case (k, _, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      val totalMin = if (results.nonEmpty) results.map(_._3).sum else 0.0
+      val errs = snapFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"errors":$errs,"repeats":$repeats,"passes_completed":$passes,"budget_s":$budgetS,"sf":"$sfDir"}""")
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(), "bench-emit"))
+
+    // INTERLEAVED passes: run the whole suite up to `repeats` times rather
+    // than each query back-to-back. Back-to-back repeats share any
+    // transient box-level disturbance (GC storm, ContextCleaner backlog,
+    // external load), so the median doesn't protect against it — round 6
+    // recorded a phantom 4.6× on q_decimate_fir this way (0.33 s when
+    // re-measured). Interleaving spaces a query's repeats a full suite
+    // apart, so a localized disturbance lands on at most one of them.
+    val loopStart = System.nanoTime()
+    var pass = 0
+    var continue = true
+    while (continue) {
+      for ((name, fn) <- names if !failed.contains(name)) {
+        val t0 = System.nanoTime()
+        // noop sink: materializes EVERY column (count() would let
+        // Catalyst prune unreferenced aggregates and under-measure)
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              // a crashed query is excluded from times entirely — a crash
+              // duration must not masquerade as a (possibly fast) run
+              lock.synchronized { failed += name }
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) lock.synchronized {
+          times(name) = times.getOrElse(name, Vector.empty) :+ dt
         }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (ok) times(name) = times.getOrElse(name, Vector.empty) :+ dt
-      // BETWEEN runs (outside the timed window): drop persisted RDDs
-      // the global-order primitives and iterative loops anchor on
-      // (they otherwise accumulate until the ContextCleaner gets
-      // around to them, inflating later runs' GC pressure)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
-      // and drop the ops' registered caches (curriculumOrder /
-      // ccnetBuckets / large-pair fallbacks) so the tracked list stays
-      // bounded across the interleaved passes
-      graft.util.CacheRegistry.releaseAll()
+        // BETWEEN runs (outside the timed window): drop persisted RDDs
+        // the global-order primitives and iterative loops anchor on
+        // (they otherwise accumulate until the ContextCleaner gets
+        // around to them, inflating later runs' GC pressure)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+        // and drop the ops' registered caches (curriculumOrder /
+        // ccnetBuckets / large-pair fallbacks) so the tracked list stays
+        // bounded across the interleaved passes
+        graft.util.CacheRegistry.releaseAll()
+      }
+      pass += 1
+      lock.synchronized { passesCompleted = pass }
+      val elapsed = (System.nanoTime() - loopStart) / 1e9
+      // start another pass only if the projection (one more average
+      // pass) fits the measured-loop budget — pass 1 always runs fully
+      val projected = elapsed + elapsed / pass
+      continue = pass < repeats && projected <= budgetS
+      if (pass < repeats && !continue)
+        System.err.println(
+          f"[bench] stopping after pass $pass/$repeats: elapsed $elapsed%.1f s, " +
+            f"projected $projected%.1f s > budget $budgetS%.1f s")
     }
-    // queries that crashed (on any run) report no time and are excluded
-    // from the total — they are listed in errors instead
-    val results = names.collect {
-      case (name, _) if !failed.contains(name) && times.contains(name) =>
-        (name, median(times(name)), times(name).min)
-    }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, _, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val totalMin = if (results.nonEmpty) results.map(_._3).sum else 0.0
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"errors":$errs,"repeats":$repeats,"sf":"$sfDir"}""")
+    emit()
     spark.stop()
   }
 }

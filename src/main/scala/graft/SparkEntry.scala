@@ -1722,7 +1722,9 @@ object SparkEntry {
       pcaOracleArtifacts
         .map(m => "q_pca_project" -> Pca.projectSql(m)).toMap ++
       isotonicOracleArtifacts
-        .map(f => "q_isotonic" -> isotonicOracleSql(f)).toMap
+        .map(f => "q_isotonic" -> isotonicOracleSql(f)).toMap ++
+      isotonicScoreOracleArtifacts
+        .map(f => "q_isotonic_score" -> isotonicScoreOracleSql(f)).toMap
 
   /** BPE-ish regex token counting over documents (pre-tokenizer run
     * counts per character class + punctuation ratio). */
@@ -1974,10 +1976,15 @@ object SparkEntry {
     * on LPA's own symmetrized view, cleared-form contributions from
     * integral-double sums (exact both engines). */
   private def qModularity(s: SparkSession, dir: String): DataFrame = {
-    val edges = qLinkGraph(s, dir).select(
-      col("src_domain").as("src"),
-      col("dst_domain").as("dst"),
-      col("n_links").cast("double").as("w"))
+    // the link-graph extraction subtree (regex tokenize + domain rollup
+    // over documents) feeds BOTH the LPA replay and modularity's own
+    // symmetrized rollup — persisted so the corpus scans once, not twice
+    val edges = graft.util.CacheRegistry.track(
+      qLinkGraph(s, dir).select(
+        col("src_domain").as("src"),
+        col("dst_domain").as("dst"),
+        col("n_links").cast("double").as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val labels = Graph.labelPropagation(edges, iterations = 3, weightCol = Some("w"))
     Graph.modularity(edges, labels, weightCol = Some("w"))
   }
@@ -2519,6 +2526,46 @@ object SparkEntry {
 
   @volatile private var isotonicOracleArtifacts
       : Option[Seq[graft.ops.Calibration.IsoStep]] = None
+
+  /** Isotonic calibration SERVE ([[graft.ops.Calibration
+    * .isotonicScore]]): the fitted step table broadcast-joined back
+    * onto the scored corpus on the exact micro score key — the
+    * deployment half of the q_isotonic lane (and the batch form of
+    * [[graft.streaming.Streaming.isotonicScoreStream]]). Output
+    * rolled up per calibrated step value: how many distinct score
+    * buckets pooled into it, rows served, positives. */
+  private def qIsotonicScore(s: SparkSession, dir: String): DataFrame = {
+    val fit = graft.ops.Calibration.isotonicFit(scoredFixture(s, dir), "score", "label")
+    isotonicScoreOracleArtifacts = Some(fit)
+    graft.ops.Calibration.isotonicScore(scoredFixture(s, dir), "score", fit)
+      .groupBy(col("calibrated"))
+      .agg(
+        count_distinct(col("score")).as("n_scores"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("n_pos"))
+      .select(col("calibrated"), col("n_scores"), col("n_rows"), col("n_pos"))
+  }
+
+  @volatile private var isotonicScoreOracleArtifacts
+      : Option[Seq[graft.ops.Calibration.IsoStep]] = None
+
+  /** q_isotonic_score oracle: the serve join replayed — scored
+    * fixture re-derived from raw embeddings, fitted steps as the
+    * recorded VALUES literal (the constant-folded artifact recipe),
+    * rollup per calibrated value. */
+  private def isotonicScoreOracleSql(fit: Seq[graft.ops.Calibration.IsoStep]): String = {
+    val vals = fit.map(st => s"(${st.scoreMicro}, ${st.calMicro})").mkString(", ")
+    s"""WITH sc AS (SELECT
+       |    CAST(CAST(CAST(vec_id % 101 AS DECIMAL(9,4)) / 100 AS DECIMAL(9,4)) * 1000000
+       |      AS BIGINT) AS sm,
+       |    CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END AS label FROM embeddings),
+       |f AS (SELECT * FROM (VALUES $vals) AS t(sm, cal))
+       |SELECT CAST(cal AS DOUBLE) / 1000000.0 AS calibrated,
+       |  CAST(COUNT(DISTINCT sc.sm) AS BIGINT) AS n_scores,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(label) AS BIGINT) AS n_pos
+       |FROM sc JOIN f ON sc.sm = f.sm GROUP BY cal""".stripMargin
+  }
 
   /** q_isotonic oracle: n / n_pos re-derived from raw embeddings; the
     * fitted calibrated value joined from the recorded steps as a
@@ -3697,6 +3744,7 @@ object SparkEntry {
     "q_seasonal" -> (qSeasonal _),
     "q_sprt" -> (qSprt _),
     "q_isotonic" -> (qIsotonic _),
+    "q_isotonic_score" -> (qIsotonicScore _),
     "q_rules" -> (qRules _),
     "q_embed_audit" -> (qEmbedAudit _),
     "q_step_timing" -> (qStepTiming _),
@@ -6624,7 +6672,8 @@ object SparkEntry {
         |             ELSE list_reduce(list_transform(v, x -> CAST(x AS DOUBLE) * x),
         |                              (a, b) -> a + b) END AS sq,
         |        CASE WHEN v IS NULL THEN FALSE
-        |             ELSE len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 END AS bad
+        |             ELSE len(list_filter(v,
+        |                    x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 END AS bad
         |      FROM e),
         |f AS (SELECT *, v IS NOT NULL AND len(v) = 64 AND NOT bad AS clean,
         |        round(sqrt(sq), 6) AS nrm FROM c)

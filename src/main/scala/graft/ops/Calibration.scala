@@ -267,6 +267,38 @@ object Calibration {
     out.toSeq
   }
 
+  /** SERVE a fitted isotonic map ([[isotonicFit]]) onto a scored
+    * corpus — the deployment half of the calibration lane: each row's
+    * 4dp score looks up its pooled calibrated value through ONE
+    * broadcast equi-join on the exact micro-integer score key (the
+    * fitted table is bounded by the 4dp score vocabulary, ≤ 10⁴ per
+    * unit — always broadcastable; the corpus never shuffles).
+    *
+    * Semantics (the [[graft.streaming.Streaming.seasonalScoreStream]]
+    * convention): rows whose 4dp score bucket was NOT seen at fit
+    * time DROP — an unseen bucket has no pooled rate, and serving a
+    * nearest-step guess silently would hide train/serve drift; gate
+    * with [[graft.ops.Stats.psi]] instead. Scores outside [0, 1]
+    * fail loud ([[guardScores]]), as at fit time.
+    *
+    * Works unchanged on a STREAMING `scored` frame (stateless
+    * stream-static join) — [[graft.streaming.Streaming
+    * .isotonicScoreStream]] is that deployment form.
+    *
+    * @return the input rows + `calibrated` (exact micro-derived
+    *         double) */
+  def isotonicScore(scored: DataFrame, scoreCol: String, fit: Seq[IsoStep]): DataFrame = {
+    require(fit.nonEmpty, "isotonicScore: empty fit")
+    import scored.sparkSession.implicits._
+    val steps = fit.map(st => (st.scoreMicro, st.calMicro))
+      .toDF("__sm", "__cm")
+    guardScores(scored, scoreCol)
+      .withColumn("__sm", (col(scoreCol).cast("decimal(9,4)") * 1000000).cast("long"))
+      .join(broadcast(steps), "__sm")
+      .withColumn("calibrated", col("__cm").cast("double") / lit(1000000.0))
+      .drop("__sm", "__cm")
+  }
+
   /** The fitted steps as a DataFrame
     * `(score, n, n_pos, calibrated)` — score and calibrated as exact
     * micro-derived doubles; broadcast-join it on the 4dp score to

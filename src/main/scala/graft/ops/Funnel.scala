@@ -156,6 +156,16 @@ object Funnel {
     * per-user ordered window classifying each presence against its
     * lag, one period rollup, then a lag on the tiny period frame.
     * Nothing after the distinct scales with event volume.
+    *
+    * EMPTY-PERIOD CAVEAT: rows exist only for periods with ≥ 1 active
+    * user. A transition where EVERY user churns (period t has no
+    * activity at all after an active t−1) therefore produces no row,
+    * and that transition's churn is reported nowhere — summing
+    * n_churned across the output UNDERSTATES true churn by exactly
+    * those all-churn transitions (as does the zero-attribution across
+    * multi-period gaps, documented above). Callers tracking total
+    * churn over sparse calendars should densify periods (sequence
+    * min→max period, left-join, n_active = 0) before differencing.
     */
   def growthAccounting(
       events: DataFrame,

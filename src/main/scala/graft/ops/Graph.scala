@@ -920,12 +920,19 @@ object Graph {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = weightCol.map(col).getOrElse(lit(1.0)).cast("double")
-    val sym = edges
-      .select(col("src").as("a"), col("dst").as("b"), w.as("w"))
-      .unionAll(edges.select(col("dst").as("a"), col("src").as("b"), w.as("w")))
-      .where(col("a") =!= col("b"))
-      .groupBy("a", "b")
-      .agg(sum(col("w")).as("w"))
+    // the corpus-sized symmetrized rollup feeds THREE subtrees (deg,
+    // intra's two label joins); persisted so it computes once instead of
+    // re-running the whole upstream edge pipeline per consumer. The
+    // returned plan still reads it → CacheRegistry lifetime (released
+    // between pipelines), the Mixture/Lm convention.
+    val sym = graft.util.CacheRegistry.track(
+      edges
+        .select(col("src").as("a"), col("dst").as("b"), w.as("w"))
+        .unionAll(edges.select(col("dst").as("a"), col("src").as("b"), w.as("w")))
+        .where(col("a") =!= col("b"))
+        .groupBy("a", "b")
+        .agg(sum(col("w")).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val whole = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val deg = sym

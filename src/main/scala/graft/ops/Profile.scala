@@ -318,7 +318,12 @@ object Profile {
     require(dim >= 1, s"dim must be >= 1, got $dim")
     val v = col(vecCol)
     val sq = aggregate(v, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double"))
-    val hasNonfinite = exists(v, x => isnan(x) || abs(x.cast("double")) > lit(Double.MaxValue))
+    // x.isNull: a NULL component is non-finite (without it, exists()
+    // returns NULL and the row would land in NO bucket — neither clean
+    // nor n_nonfinite — so the counts wouldn't sum to n; the DuckDB
+    // oracle mirrors the same classification)
+    val hasNonfinite = exists(v,
+      x => x.isNull || isnan(x) || abs(x.cast("double")) > lit(Double.MaxValue))
     val clean = v.isNotNull && size(v) === dim && !hasNonfinite
     val norm = round(sqrt(sq), 6)
     // the 6dp-rounded double is within an ulp of its micro integer —

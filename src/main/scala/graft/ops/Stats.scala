@@ -189,6 +189,15 @@ object Stats {
     * cross-multiply min(ra)·min(cb) ≥ 5·N — the grid minimum is the
     * product of the marginal minima.
     *
+    * MAGNITUDE CONTRACT (the [[Eval.clusteringAgreement]] /
+    * `linearFit` convention): the per-cell exact numerator d²·10⁶ with
+    * |d| ≤ N² needs N⁴·10⁶ < 10³⁸, so the exact chain holds for
+    * N ≲ 10⁸ rows. Past that a cell's DECIMAL(38,0) term overflows —
+    * guarded by a raise_error so the operator fails LOUD instead of
+    * silently dropping the overflowed cell from the statistic.
+    * Above the bound, pre-aggregate to a sample or pass pre-counted
+    * cells through a scaled-down replica.
+    *
     * Returns ONE row:
     * `(n, n_rows, n_cols, dof, chi2, reject, min_expected, valid)`.
     */
@@ -215,7 +224,14 @@ object Stats {
       .withColumn("__n", sum(col("__o")).over(whole))
     val e38 = (col("__ra").cast("decimal(38,0)") * col("__cb"))
     val d = col("__o").cast("decimal(38,0)") * col("__n") - e38
-    val contribMicro = microHalfUp(d * d * lit(1000000L), e38 * col("__n"))
+    // a DECIMAL(38,0) overflow NULLs the cell term and `sum` would then
+    // silently DROP it from the statistic — fail loud instead (the
+    // N ≲ 1e8 magnitude contract in the scaladoc)
+    val contribRaw = microHalfUp(d * d * lit(1000000L), e38 * col("__n"))
+    val contribMicro = when(contribRaw.isNull,
+      raise_error(lit("chiSquared: exact chain overflows DECIMAL(38,0) — " +
+        "N exceeds the ~1e8-row magnitude contract; pre-aggregate or sample")))
+      .otherwise(contribRaw)
     val n38 = col("__n").cast("decimal(38,0)")
     grid
       .withColumn("__contrib", contribMicro)

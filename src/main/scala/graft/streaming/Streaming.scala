@@ -650,6 +650,24 @@ object Streaming {
     graft.ts.Seasonal.score(
       stream, broadcast(prof), keyCols, tsCol, valCol, binUs, phases, thresholdMicro)
 
+  /** Live isotonic-calibration serving — the deployment form of the
+    * [[graft.ops.Calibration.isotonicFit]] lane (fit in batch, the
+    * trained-artifact recipe; serve on the stream): each micro-batch
+    * row's 4dp score looks up its pooled calibrated value through the
+    * SAME broadcast equi-join as batch
+    * [[graft.ops.Calibration.isotonicScore]] — stateless, no
+    * watermark, the static fitted table (bounded by the 4dp score
+    * vocabulary) broadcast to every micro-batch; the stream never
+    * shuffles. Stream/batch parity is bit-for-bit by construction
+    * (identical function), rows with fit-unseen score buckets drop
+    * exactly as in batch, out-of-[0,1] scores fail loud. */
+  def isotonicScoreStream(
+      stream: DataFrame,
+      scoreCol: String,
+      fit: Seq[graft.ops.Calibration.IsoStep]
+  ): DataFrame =
+    graft.ops.Calibration.isotonicScore(stream, scoreCol, fit)
+
   /** One conversion observation for [[sprtStream]]. */
   final case class ArmConv(variant: String, conv: Int)
 
@@ -1414,6 +1432,14 @@ object Streaming {
     * Emits one [[EwmaPoint]] per input row. Requires per-key in-order
     * delivery across micro-batches (rows are sorted by ts within each
     * batch); batch parity over any prefix is pinned in StreamingSpec.
+    *
+    * TS-UNIQUENESS CONTRACT: batch `controlChart` tie-breaks equal
+    * timestamps on its `idCol`; [[Sample]] carries no id, so rows with
+    * TIED (key, ts) fold here in micro-batch arrival order, which may
+    * differ from batch's (ts, id) order. The bit-for-bit parity
+    * contract therefore requires timestamps unique per key — the
+    * natural shape for a sampled metric stream. Feeds with legitimate
+    * ts ties must pre-aggregate (or disambiguate ts) upstream.
     */
   def ewmaStream(
       samples: Dataset[Sample],
@@ -1425,6 +1451,13 @@ object Streaming {
     require(taps >= 1 && taps <= 32, s"taps must be in [1,32], got $taps")
     require(alphaNum >= 1 && alphaNum < alphaDen,
       s"alpha must be a rational in (0,1): $alphaNum/$alphaDen")
+    // same overflow guard as batch Ewma.controlChart: Ewma.weights
+    // narrows BigInt → Long, so an unguarded taps/alphaDen pair (e.g.
+    // taps=20, alphaDen=10) would silently wrap Long here while batch
+    // rejects it loudly — breaking the documented bit-for-bit parity
+    require(BigInt(alphaDen).pow(taps - 1) * taps <
+        BigInt(Long.MaxValue) / 10000000L / 10000L / 2,
+      s"taps=$taps alphaDen=$alphaDen overflows the exact integer chain")
     import samples.sparkSession.implicits._
     val ws = graft.ts.Ewma.weights(taps, alphaNum, alphaDen)
     def cents(d: Double): Long =

@@ -69,6 +69,15 @@ object CalibStreamBench {
       "ts", "variant", "label",
       variants = Seq("arm0", "arm1", "arm2"), controlVariant = "arm0",
       windowDur = "30 seconds", watermark = "10 seconds"))
+    // r16: the isotonic SERVE twin — stateless stream-static broadcast
+    // join against a fit trained on the same score universe (101
+    // buckets), so every row joins (no silent drop inflating the rate)
+    val fit = graft.ops.Calibration.isotonicFit(
+      (0 until 101).flatMap(i => Seq((i / 100.0, 1), (i / 100.0, if (i % 2 == 0) 1 else 0)))
+        .toDF("score", "label"),
+      "score", "label")
+    run("isotonic_score_stream",
+      df => Streaming.isotonicScoreStream(df, "score", fit))
     spark.stop()
   }
 }

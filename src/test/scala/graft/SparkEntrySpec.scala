@@ -16,7 +16,8 @@ class SparkEntrySpec extends SparkSpec {
     // queries run; only these keys may be absent BEFORE a run.
     val generated = Set(
       "q_pq_topk", "q_ivfpq_topk", "q_ivfpq_serve", "q_semdedup", "q_quality_classifier",
-      "q_dsir", "q_dsir_bigram", "q_bpe_encode", "q_pca_project")
+      "q_dsir", "q_dsir_bigram", "q_bpe_encode", "q_pca_project",
+      "q_isotonic", "q_isotonic_score")
     // No rows-only queries remain: q_compress_ratio (the former sole
     // entry — DuckDB has no deflate) now checks against a golden
     // literal table of CPython-zlib deflate sizes per fixture residue.
@@ -27,7 +28,7 @@ class SparkEntrySpec extends SparkSpec {
     // covers EVERY query — no rows-only entries remain.
     val dir = "/root/testdata/sf0.001"
     Seq("q_pq_topk", "q_ivfpq_topk", "q_semdedup", "q_quality_classifier", "q_dsir",
-      "q_dsir_bigram", "q_bpe_encode", "q_pca_project")
+      "q_dsir_bigram", "q_bpe_encode", "q_pca_project", "q_isotonic", "q_isotonic_score")
       .foreach(n => SparkEntry.queries(n)(spark, dir).count())
     val ok = SparkEntry.oracleSql.keySet
     assert(ok == qk -- rowsOnly, s"queries without an oracle after running: ${qk -- ok -- rowsOnly}")

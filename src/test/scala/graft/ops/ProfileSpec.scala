@@ -127,6 +127,17 @@ class ProfileSpec extends SparkSpec {
     assert(r.getDouble(7) == 2.5) // mean of {0, 5}
   }
 
+  test("embeddingAudit: NULL component classifies as non-finite — buckets sum to n") {
+    val df = Seq(
+      (1L, Some(Seq(Some(3.0f), Some(4.0f)))),  // clean, norm 5
+      (2L, Some(Seq(Some(1.0f), None)))          // NULL component → n_nonfinite
+    ).toDF("id", "vec")
+    val r = Profile.embeddingAudit(df, "vec", dim = 2).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L) // n, n_null
+    assert(r.getLong(3) == 1L, "NULL component must land in n_nonfinite, not no bucket")
+    assert(r.getDouble(5) == 5.0 && r.getDouble(6) == 5.0) // norm stats over the clean row only
+  }
+
   test("embeddingAudit: no clean vectors → NULL norm stats, counts still exact") {
     val df = Seq((1L, None: Option[Seq[Float]])).toDF("id", "vec")
     val r = Profile.embeddingAudit(df, "vec", dim = 2).head()

@@ -1094,6 +1094,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains(("k", 55L, 1L, 2L, 4.0, 5.0, 1)))
   }
 
+  test("isotonicScoreStream: stream-static serve join matches batch isotonicScore bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch-fit on a violating fixture so PAV actually pools:
+    // rates by score 0.1→1/2, 0.5→0/2 (violation → pools), 0.9→2/2
+    val hist = Seq(
+      (0.1, 1), (0.1, 0), (0.5, 0), (0.5, 0), (0.9, 1), (0.9, 1)
+    ).toDF("score", "label")
+    val fit = graft.ops.Calibration.isotonicFit(hist, "score", "label")
+    val input = MemoryStream[(Long, Double)]
+    val q = Streaming
+      .isotonicScoreStream(input.toDS().toDF("id", "score"), "score", fit)
+      .writeStream.format("memory").queryName("iso_scores").outputMode("append")
+      .start()
+    input.addData((1L, 0.1), (2L, 0.5))
+    q.processAllAvailable()
+    input.addData((3L, 0.9), (4L, 0.7)) // 0.7 unseen at fit time → drops
+    q.processAllAvailable()
+    val got = spark.sql("SELECT id, score, calibrated FROM iso_scores").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    q.stop()
+    val live = Seq((1L, 0.1), (2L, 0.5), (3L, 0.9), (4L, 0.7)).toDF("id", "score")
+    val batch = graft.ops.Calibration.isotonicScore(live, "score", fit)
+      .select("id", "score", "calibrated").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == batch && got.size == 3, s"got=$got")
+    // pooled 0.1/0.5 step serves 0.25 to both; 0.9 serves 1.0
+    assert(got.contains((1L, 0.1, 0.25)) && got.contains((2L, 0.5, 0.25)))
+    assert(got.contains((3L, 0.9, 1.0)))
+  }
+
   test("psiDriftStream: zero on a baseline-matching window, decimal-exact alert on a shift") {
     implicit val sqlCtx = spark.sqlContext
     def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
