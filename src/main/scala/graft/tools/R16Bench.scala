@@ -151,3 +151,82 @@ object EwmaScale {
     spark.stop()
   }
 }
+
+/** Fine-grained q_ewma window cost attribution at 100×:
+  * where do the ~16 s beyond exchange+sort go — WindowExec's per-frame
+  * offset machinery (scales with lag count), or the SECOND WindowExec
+  * pass that `lag(__ewma_micro)` plans (the prior-EWMA lookback over a
+  * derived column re-buffers every row)? Variants, all on the sorted
+  * frame: 1 lag, 8 lags + the num/den/micro projection, and a
+  * SINGLE-WINDOW fold where the prior EWMA is recomputed from lags
+  * 1..9 in the same window (one extra frame, no second WindowExec).
+  * `runMain graft.tools.EwmaProbe [scaleDir]` */
+object EwmaProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/tmp/scale100"
+    val spark = R16Common.session()
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Column
+
+    def intDiv(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.graftbridge.Bridge
+      import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+      Bridge.column(IntegralDivide(Bridge.expression(a), Bridge.expression(b)))
+    }
+    def microHalfUp(num: Column, den: Column): Column =
+      when(num >= 0, intDiv(num * 2 + den, den * 2))
+        .otherwise(-intDiv((-num) * 2 + den, den * 2))
+
+    val taps = 8
+    val ws = {
+      val r = 3L // (4-1)
+      (0 until taps).map(k =>
+        BigInt(r).pow(k).toLong * BigInt(4L).pow(taps - 1 - k).toLong)
+    }
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+    def base: org.apache.spark.sql.DataFrame =
+      graft.model.Tables.events(spark, dir)
+        .select("event_id", "user_id", "ts_us", "value")
+        .where(col("value").isNotNull)
+        .withColumn("__cents", (col("value").cast("decimal(18,2)") * 100).cast("long"))
+
+    def chain(offset: Int): (Column, Column) = {
+      val lags = (0 until taps).map { k =>
+        if (k + offset == 0) col("__cents") else lag(col("__cents"), k + offset).over(w)
+      }
+      val num = lags.zip(ws).map { case (x, wk) =>
+        when(x.isNotNull, x * wk).otherwise(lit(0L)) }.reduce(_ + _)
+      val den = lags.zip(ws).map { case (x, wk) =>
+        when(x.isNotNull, lit(wk)).otherwise(lit(0L)) }.reduce(_ + _)
+      (num, den)
+    }
+
+    R16Common.bench(spark, "w1: 1 lag", () =>
+      base.withColumn("__l1", lag(col("__cents"), 1).over(w)), repeats = 3)
+    R16Common.bench(spark, "w8: 8 lags + micro", () => {
+      val (num, den) = chain(0)
+      base.withColumn("__m", microHalfUp(num * 10000L, den))
+    }, repeats = 3)
+    R16Common.bench(spark, "w9 fold: prior in-window", () => {
+      val (num, den) = chain(0)
+      val (pnum, pden) = chain(1)
+      val prior = when(lag(col("__cents"), 1).over(w).isNotNull,
+        microHalfUp(pnum * 10000L, pden))
+      val devMicro = col("__cents") * 10000L - prior
+      base
+        .withColumn("ewma", microHalfUp(num * 10000L, den).cast("double") / lit(1000000.0))
+        .withColumn("dev", devMicro.cast("double") / lit(1000000.0))
+        .withColumn("alarm", coalesce((abs(devMicro) > 200000000L).cast("int"), lit(0)))
+        .drop("__cents")
+    }, repeats = 3)
+    R16Common.bench(spark, "full: two windows", () =>
+      graft.ts.Ewma.controlChart(
+        graft.model.Tables.events(spark, dir)
+          .select("event_id", "user_id", "ts_us", "value"),
+        Seq("user_id"), "ts_us", "event_id", "value",
+        taps = 8, alphaNum = 1, alphaDen = 4, thresholdMicro = 200000000L)
+        .select("event_id", "user_id", "ts_us", "n_taps", "ewma", "dev", "alarm"),
+      repeats = 3)
+    spark.stop()
+  }
+}
