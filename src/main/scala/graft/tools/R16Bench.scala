@@ -230,3 +230,40 @@ object EwmaProbe {
     spark.stop()
   }
 }
+
+/** 1× vs 100× rows for the three cont. 14–16 queries whose boundedness
+  * was argued from shape rather than measured (r15 verdict gap #3):
+  * benford (digit-9 rollup), fkOrphans (distinct-parent left join +
+  * singleton rollup), classWeights (label-vocabulary rollup). The
+  * oracle fixtures read lineitem/orders, which ScaleGen doesn't scale,
+  * so (the DiffBinBench precedent) the SAME operator shapes re-key
+  * onto the scaled events table: benford over the value column,
+  * fkOrphans child = events user_id vs parent = distinct user_id with
+  * the %7 drop-out (the q_fk_orphans synth), classWeights over
+  * event_type. `runMain graft.tools.BoundedRollupScale [sfDir] [scaleDir]` */
+object BoundedRollupScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val scaleDir = if (args.length > 1) args(1) else "/tmp/scale100"
+    val spark = R16Common.session()
+
+    def ev(dir: String): DataFrame = graft.model.Tables.events(spark, dir)
+
+    def benfordOf(dir: String): DataFrame =
+      graft.ops.Stats.benford(ev(dir).select("value"), "value")
+    def fkOf(dir: String): DataFrame =
+      graft.ops.Profile.fkOrphans(
+        ev(dir).select(col("user_id").as("fk")), "fk",
+        ev(dir).select(col("user_id")).where(col("user_id") % 7 =!= 0)
+          .distinct().select(col("user_id").as("pk")), "pk")
+    def weightsOf(dir: String): DataFrame =
+      graft.ops.Labels.classWeights(ev(dir).select("event_type"), "event_type")
+
+    for ((tag, dir, reps) <- Seq(("1x", sfDir, 5), ("100x", scaleDir, 3))) {
+      R16Common.bench(spark, s"benford $tag", () => benfordOf(dir), reps)
+      R16Common.bench(spark, s"fk_orphans $tag", () => fkOf(dir), reps)
+      R16Common.bench(spark, s"class_weights $tag", () => weightsOf(dir), reps)
+    }
+    spark.stop()
+  }
+}
