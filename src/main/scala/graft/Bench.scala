@@ -52,6 +52,19 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** The pass-budget gate, pure for unit testing (BenchGateSpec): start
+    * pass `passesDone + 1` iff the repeat cap allows it AND one more
+    * pass at the FASTEST observed pass time (see scaladoc: pass 1 is
+    * cold; the average would strand budget) projects inside the
+    * measured-loop budget. */
+  private[graft] def shouldContinue(
+      passesDone: Int,
+      repeats: Int,
+      elapsedS: Double,
+      minPassS: Double,
+      budgetS: Double): Boolean =
+    passesDone < repeats && elapsedS + minPassS <= budgetS
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -178,16 +191,12 @@ object Bench {
       val elapsed = (System.nanoTime() - loopStart) / 1e9
       minPassS = math.min(minPassS, elapsed - prevElapsed)
       prevElapsed = elapsed
-      // start another pass only if the projection (one more pass at the
-      // FASTEST observed pass time — see scaladoc: pass 1 is cold, the
-      // average overestimates) fits the measured-loop budget — pass 1
-      // always runs fully
-      val projected = elapsed + minPassS
-      continue = pass < repeats && projected <= budgetS
+      // pass 1 always runs fully; see shouldContinue for the gate
+      continue = shouldContinue(pass, repeats, elapsed, minPassS, budgetS)
       if (pass < repeats && !continue)
         System.err.println(
           f"[bench] stopping after pass $pass/$repeats: elapsed $elapsed%.1f s, " +
-            f"projected $projected%.1f s > budget $budgetS%.1f s")
+            f"projected ${elapsed + minPassS}%.1f s > budget $budgetS%.1f s")
     }
     emit()
     spark.stop()

@@ -266,4 +266,28 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("HashJoin"), s"expected a hash join:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q_ewma plans exactly ONE window pass (the r16 single-window fold)") {
+    // the 100 TB property restored in r16: the prior smoothed value is
+    // recomputed from lags 1..taps INSIDE the one window — the
+    // lag(__ewma_micro, 1) spelling planned a SECOND WindowExec that
+    // re-buffered every corpus row (measured 17.1 s vs 4.5 s at 10M
+    // rows, tools/EwmaProbe). Guard the count so the fold can't
+    // silently regress.
+    val df = SparkEntry.queries("q_ewma")(spark, dir)
+    val plan = executed(df)
+    val windows = stripAQEPlan(plan).collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1, s"expected exactly one WindowExec, got ${windows.size}:\n$plan")
+  }
+
+  test("q_isotonic_score serves through a broadcast join — the scored corpus never shuffles") {
+    // the serve lane's 100 TB property: the fitted step table is
+    // bounded by the 4dp score vocabulary and must broadcast; a
+    // SortMergeJoin would shuffle every scored row by score bucket.
+    val p = planString("q_isotonic_score")
+    assert(p.contains("BroadcastHashJoin"), s"expected a broadcast serve join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle for the steps:\n$p")
+  }
 }
