@@ -535,11 +535,19 @@ object Graph {
       sym.repartition(shufflePartitions, col("b")).sortWithinPartitions("b"),
       Seq("b"),
       shufflePartitions)
-    nbr.count()
 
     var (labels, labelsRdd) = cut(
       nbr.select(col("b").as("node")).distinct().select(col("node"), col("node").as("label")))
-    labels.count()
+    // LPA's round count is FIXED (no convergence gate to evaluate), so
+    // unlike the count-gated loops (bfs/kcore/pagerank-with-tol) no
+    // per-round driver action is needed: each round's cut RDD stays
+    // lazy, the ONE materialization below executes all rounds as a
+    // single job (each intermediate computes exactly once — it is
+    // persisted, and stages consume it in dependency order), and the
+    // intermediate label caches release afterwards. Saves
+    // 2 + iterations driver jobs per call; identical work per round.
+    val intermediates = scala.collection.mutable.ListBuffer[
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]()
 
     import org.apache.spark.sql.expressions.Window
     val wArg = Window.partitionBy("node").orderBy(col("v").desc, col("label").asc)
@@ -554,12 +562,13 @@ object Graph {
           .withColumn("__r", row_number().over(wArg))
           .where(col("__r") === 1)
           .select("node", "label"))
-      next.count()
-      labelsRdd.unpersist(blocking = false)
+      intermediates += labelsRdd
       labels = next
       labelsRdd = nextRdd
       iter += 1
     }
+    labels.count() // materializes the whole round chain in one job
+    intermediates.foreach(_.unpersist(blocking = false))
     nbrRdd.unpersist(blocking = false)
     labels
   }
