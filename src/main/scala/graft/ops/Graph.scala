@@ -176,6 +176,8 @@ object Graph {
 
     var iter = 0
     var done = false
+    val deferredRanks = scala.collection.mutable.ListBuffer[
+      org.apache.spark.rdd.RDD[InternalRow]]()
     while (iter < iterations && !done) {
       val contrib = matrix
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -203,16 +205,26 @@ object Graph {
         }
       val (next, nextRdd) = cut(folded)
       if (tol > 0) {
+        // the convergence gate READS each round's result — a per-round
+        // driver action is inherent here, and the previous round can
+        // release immediately (both frames are materialized by the
+        // delta join)
         val delta = next
           .join(ranks.withColumnRenamed("rank", "__prev"), Seq("node"))
           .agg(sum(abs(col("rank") - col("__prev"))))
           .head()
           .getDouble(0)
         if (delta < tol) done = true
+        ranksRdd.unpersist(blocking = false)
       } else {
-        next.count() // materialize before dropping the previous round
+        // fixed round count (the LPA discipline): nothing reads a
+        // per-round result, so the chain stays lazy — the final
+        // ranks.count() below executes all rounds as ONE job (each
+        // intermediate computes exactly once; persisted, consumed in
+        // stage dependency order) and the intermediate caches release
+        // after it. Saves `iterations` driver jobs per call.
+        deferredRanks += ranksRdd
       }
-      ranksRdd.unpersist(blocking = false)
       ranks = next
       ranksRdd = nextRdd
       iter += 1
@@ -224,6 +236,7 @@ object Graph {
     // natural serving artifact, and collecting it to the driver would
     // cap the operator at driver-memory-sized graphs.
     ranks.count()
+    deferredRanks.foreach(_.unpersist(blocking = false))
     Seq(arcsRdd, matrixRdd, nodesRdd, nodesSRdd, danglingRdd)
       .foreach(_.unpersist(blocking = false))
     ranks
@@ -331,14 +344,19 @@ object Graph {
     var authsRdd: org.apache.spark.rdd.RDD[InternalRow] = null
 
     var iter = 0
+    // fixed round count, no convergence gate (the LPA discipline): the
+    // auth/hub chain stays lazy and the final out.count() executes all
+    // rounds as ONE job; intermediate caches release after it. Saves
+    // 2·iterations driver jobs per call.
+    val deferred = scala.collection.mutable.ListBuffer[
+      org.apache.spark.rdd.RDD[InternalRow]]()
     while (iter < iterations) {
       val authRaw = bySrc
         .join(hubs.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("hub") * col("w")).as("authority"))
       val (nextA, nextARdd) = cut(l1Normalize(authRaw, "authority"))
-      nextA.count()
-      if (authsRdd != null) authsRdd.unpersist(blocking = false)
+      if (authsRdd != null) deferred += authsRdd
       auths = nextA
       authsRdd = nextARdd
 
@@ -347,8 +365,7 @@ object Graph {
         .groupBy(col("src").as("node"))
         .agg(sum(col("authority") * col("w")).as("hub"))
       val (nextH, nextHRdd) = cut(l1Normalize(hubRaw, "hub"))
-      nextH.count()
-      hubsRdd.unpersist(blocking = false)
+      deferred += hubsRdd
       hubs = nextH
       hubsRdd = nextHRdd
       iter += 1
@@ -363,6 +380,7 @@ object Graph {
           coalesce(col("authority"), lit(0.0)).as("authority"),
           coalesce(col("hub"), lit(0.0)).as("hub")))
     out.count()
+    deferred.foreach(_.unpersist(blocking = false))
     Seq(arcsRdd, nodesRdd, bySrcRdd, byDstRdd, authsRdd, hubsRdd)
       .foreach(_.unpersist(blocking = false))
     out
