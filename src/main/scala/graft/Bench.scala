@@ -4,9 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query wall times on the
   * sf dir given by SPARK_GRAFT_SF_DIR. A warm-up pass first touches every
-  * table (parquet footers, codegen, broadcast machinery) so per-query
-  * numbers measure the query, not JVM/session warm-up; queries then run
-  * in sorted name order for round-over-round comparability.
+  * table (parquet footers, codegen, broadcast machinery), then EVERY
+  * query's plan is executed once against tiny data (sf0.001 by default —
+  * SPARK_GRAFT_BENCH_WARM_DIR, empty to skip) so plan analysis and
+  * whole-stage-codegen compilation happen BEFORE the measured loop:
+  * round 16's artifact fit only ONE pass because pass 1 paid the full
+  * cold tax (313 s cold vs ~220 s warm at 231 queries), so the shipped
+  * stats were cold single-pass numbers. Codegen compiles are cached by
+  * generated source, which is data-independent, so a tiny-data run of
+  * the SAME plan shape warms the sf0.1 run. Queries then run in sorted
+  * name order for round-over-round comparability.
   *
   * Each query is timed over up to REPEATS interleaved passes over the
   * whole suite (not back-to-back), and BOTH the MEDIAN and the MIN
@@ -23,24 +30,32 @@ import org.apache.spark.sql.SparkSession
   * spread as the session's noise band.
   *
   * TIME-BUDGETED passes (round 16, after BENCH_r15 died at the driver's
-  * wall cap with rc 124 and NO parsed artifact — 5 unconditional passes ×
-  * 230 queries ≈ 950–1,100 s vs a ~900 s cap): pass 1 always runs fully;
-  * each further pass starts only if the projected wall after it stays
-  * within SPARK_GRAFT_BENCH_BUDGET_S (default 720 s of measured loop —
-  * startup, warm-up and sbt overhead live outside the budget; measured
-  * in-session: 313 s cold pass 1 + ~40 s startup → 354 s wall for one
-  * pass, so two passes land ~600 s wall, ~300 s under the cap). The
-  * next-pass projection uses the MINIMUM completed pass time, not the
-  * average: pass 1 is cold (every query's first run pays plan analysis
-  * + codegen — measured 313 s cold vs ~220 s warm at 231 queries), so
-  * the average systematically overestimates the next warm pass and
-  * would strand budget; the min is the best single predictor of a warm
-  * pass, and the cap headroom the budget leaves (~180 s) absorbs a
-  * noisy overshoot. The emitted JSON reports `passes_completed`;
+  * wall cap with rc 124 and NO parsed artifact): pass 1 always runs
+  * fully; each further pass starts only if the projected wall after it
+  * stays within SPARK_GRAFT_BENCH_BUDGET_S (default 620 s of measured
+  * loop — startup, table warm-up, plan warm-up and sbt overhead live
+  * outside the budget). Round 17 changed the next-pass projection from
+  * the MINIMUM completed pass time to the MAXIMUM: the min-projection
+  * existed to keep a cold pass 1 from stranding budget, but plan
+  * warming removes the cold/warm asymmetry (all passes are warm, so
+  * min ≈ max and nothing is stranded), and the max bounds the
+  * worst-case measured-loop wall at `budget + (newMax − oldMax)`
+  * instead of `budget + (max − min)` — r16's own arithmetic put the
+  * min-gate worst case ~20 s under the observed ~900 s driver cap.
+  * The emitted JSON reports `passes_completed` plus `pass_times`;
   * medians/mins are taken over however many passes fit. A JVM shutdown
   * hook emits the partial-results JSON on SIGTERM, so even a
   * harness-level timeout (SIGTERM from `timeout`) yields a parsed
-  * artifact instead of a truncated log.
+  * artifact; `"partial":true` marks any emission that didn't complete
+  * the measured loop (ADVICE r16: a truncated total must not be
+  * readable as a speedup), and `expected_queries` lets a consumer
+  * verify coverage.
+  *
+  * The JSON line is ALSO written to BENCH_local.json in the working
+  * directory (SPARK_GRAFT_BENCH_OUT to override): the driver's BENCH
+  * artifact keeps only the last 2 KB of stdout, which truncated 163 of
+  * 231 per-query times out of BENCH_r16.json — the repo-side file is
+  * the durable copy round-over-round regression checks read.
   *
   * Override passes with SPARK_GRAFT_BENCH_REPEATS (dev loops can set 1).
   */
@@ -54,16 +69,18 @@ object Bench {
 
   /** The pass-budget gate, pure for unit testing (BenchGateSpec): start
     * pass `passesDone + 1` iff the repeat cap allows it AND one more
-    * pass at the FASTEST observed pass time (see scaladoc: pass 1 is
-    * cold; the average would strand budget) projects inside the
-    * measured-loop budget. */
+    * pass at the SLOWEST observed pass time projects inside the
+    * measured-loop budget. Max-projection (round 17): with plan
+    * warming every pass is warm, so the max is an honest next-pass
+    * bound rather than a cold-pass artifact, and the worst-case wall
+    * can't exceed the budget by more than one pass's own variance. */
   private[graft] def shouldContinue(
       passesDone: Int,
       repeats: Int,
       elapsedS: Double,
-      minPassS: Double,
+      maxPassS: Double,
       budgetS: Double): Boolean =
-    passesDone < repeats && elapsedS + minPassS <= budgetS
+    passesDone < repeats && elapsedS + maxPassS <= budgetS
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -111,8 +128,42 @@ object Bench {
       else SparkEntry.queries.filter { case (k, _) => wanted(k) }
 
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "5").toInt
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "720").toDouble
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "620").toDouble
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     val names = selected.toSeq.sortBy(_._1)
+
+    // PLAN WARM-UP: run every query once on tiny data. Each query
+    // instance re-runs analysis regardless (fn builds a fresh frame per
+    // call), but whole-stage-codegen compilation — the dominant cold
+    // cost — is keyed on generated source and the generated source is
+    // data-independent, so this absorbs the compile tax for every plan
+    // shape in the suite before the measured loop. At sf0.001 the cost
+    // is per-JOB overhead, not data (a sequential warm measured 201 s —
+    // 32 cores idle while 231 queries each pay scheduling latency), so
+    // warm jobs are submitted from a small thread pool: concurrent
+    // actions on one SparkSession are supported, and the queries are
+    // independent frames. Cache cleanup happens ONCE after the pool
+    // drains (a concurrent clearCache could yank a sibling's cache
+    // mid-job — correct but wasteful). Failures are silently skipped:
+    // the measured loop is the authority on which queries run.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_DIR", "/root/testdata/sf0.001")
+    val warmStart = System.nanoTime()
+    if (warmDir.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      names.foreach { case (_, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => }
+        })
+      }
+      pool.shutdown()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      graft.util.CacheRegistry.releaseAll()
+    }
+    val warmS = (System.nanoTime() - warmStart) / 1e9
 
     // Shared mutable state, guarded by `lock`: the shutdown hook reads a
     // snapshot concurrently with the measurement loop when the harness
@@ -120,14 +171,19 @@ object Bench {
     val lock = new Object
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val passTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     @volatile var passesCompleted = 0
+    @volatile var loopDone = false
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
     // Emit exactly once (normal end OR shutdown hook, whichever first).
-    // System.out autoflushes on println, so the line survives SIGTERM.
+    // System.out autoflushes on println, so the line survives SIGTERM;
+    // the repo-side file write is best-effort (the artifact of record
+    // on a clean exit, never a reason to lose the stdout line).
     def emit(): Unit = if (printed.compareAndSet(false, true)) {
-      val (snapTimes, snapFailed, passes) = lock.synchronized {
-        (times.toMap.map { case (k, v) => (k, v) }, failed.toVector, passesCompleted)
+      val (snapTimes, snapFailed, passes, snapPassTimes, done) = lock.synchronized {
+        (times.toMap.map { case (k, v) => (k, v) }, failed.toVector,
+          passesCompleted, passTimes.toVector, loopDone)
       }
       val results = names.collect {
         case (name, _) if !snapFailed.contains(name) && snapTimes.contains(name) =>
@@ -140,7 +196,17 @@ object Bench {
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
       val totalMin = if (results.nonEmpty) results.map(_._3).sum else 0.0
       val errs = snapFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"errors":$errs,"repeats":$repeats,"passes_completed":$passes,"budget_s":$budgetS,"sf":"$sfDir"}""")
+      val passArr = snapPassTimes.map(t => f"$t%.3f").mkString("[", ",", "]")
+      // partial=true ⇔ the measured loop did not run to completion
+      // (SIGTERM mid-pass): a consumer must not compare a truncated
+      // `value`/`total_min` round-over-round (ADVICE r16)
+      val line =
+        s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"errors":$errs,"repeats":$repeats,"passes_completed":$passes,"pass_times":$passArr,"expected_queries":${names.length},"partial":${!done},"warm_s":${f"$warmS%.1f"},"budget_s":$budgetS,"sf":"$sfDir"}"""
+      println(line)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => }
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit(), "bench-emit"))
 
@@ -155,7 +221,7 @@ object Bench {
     var pass = 0
     var continue = true
     var prevElapsed = 0.0
-    var minPassS = Double.MaxValue
+    var maxPassS = 0.0
     while (continue) {
       for ((name, fn) <- names if !failed.contains(name)) {
         val t0 = System.nanoTime()
@@ -187,17 +253,21 @@ object Bench {
         graft.util.CacheRegistry.releaseAll()
       }
       pass += 1
-      lock.synchronized { passesCompleted = pass }
       val elapsed = (System.nanoTime() - loopStart) / 1e9
-      minPassS = math.min(minPassS, elapsed - prevElapsed)
+      lock.synchronized {
+        passesCompleted = pass
+        passTimes += (elapsed - prevElapsed)
+      }
+      maxPassS = math.max(maxPassS, elapsed - prevElapsed)
       prevElapsed = elapsed
       // pass 1 always runs fully; see shouldContinue for the gate
-      continue = shouldContinue(pass, repeats, elapsed, minPassS, budgetS)
+      continue = shouldContinue(pass, repeats, elapsed, maxPassS, budgetS)
       if (pass < repeats && !continue)
         System.err.println(
           f"[bench] stopping after pass $pass/$repeats: elapsed $elapsed%.1f s, " +
-            f"projected ${elapsed + minPassS}%.1f s > budget $budgetS%.1f s")
+            f"projected ${elapsed + maxPassS}%.1f s > budget $budgetS%.1f s")
     }
+    loopDone = true
     emit()
     spark.stop()
   }
