@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * frontiers and pretraining pipelines both key on the canonical URL,
   * and domain blocklists/stats are the first quality cut on a crawl).
   *
-  * Everything here is a pure Column expression chain (regexp + array
-  * ops, all codegen'd — no UDF), so the operators are stateless
-  * projections: zero shuffle at any scale, and an oracle can respell
-  * the same arithmetic in SQL. The reference engine has no web-crawl
+  * Everything here is a pure expression chain (native single-pass URL
+  * kernels ([[graft.functions.UrlKernels]]) + regexp + array ops, all
+  * codegen'd — no UDF), so the operators are stateless projections:
+  * zero shuffle at any scale, and an oracle can respell the same
+  * arithmetic in SQL. The reference engine has no web-crawl
   * surface; these extend the LLM-pipeline family (SURVEY §2 additions).
   *
   * Normalization contract (the standard safe subset of RFC 3986
@@ -144,8 +145,13 @@ object Urls {
     * runs to the authority's LAST `@` ('@' is illegal in a host), so
     * `http://user:pw@host.com/x` yields `host.com`, not `user` — a
     * blocklisted domain cannot smuggle past [[filterBlockedDomains]]
-    * behind credentials. */
-  def host(url: Column): Column = {
+    * behind credentials. Native single-pass kernel
+    * ([[graft.functions.UrlHost]]); [[hostCols]] is the retained
+    * regex-chain twin and equivalence oracle (UrlKernelSpec). */
+  def host(url: Column): Column = graft.functions.UrlHost.urlHost(url)
+
+  /** Regex-chain twin of [[host]] — the equivalence oracle. */
+  private[graft] def hostCols(url: Column): Column = {
     val auth = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     val h = lower(regexp_replace(regexp_replace(auth, "^.*@", ""), ":[0-9]*$", ""))
     when(h =!= "", h)
@@ -158,58 +164,8 @@ object Urls {
     * list (incl. 3-label suffixes and wildcard rules) swaps this
     * constant for the published file — the plan shape (a literal IN
     * set folded into codegen) is unchanged. */
-  private[ops] val publicSuffixes2: Seq[String] = Seq(
-    // uk / ie / il / ae / at
-    "co.uk", "org.uk", "me.uk", "net.uk", "ltd.uk", "plc.uk", "ac.uk", "gov.uk", "sch.uk",
-    "nhs.uk", "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il", "k12.il",
-    "co.ae", "net.ae", "org.ae", "ac.ae", "gov.ae", "sch.ae", "mil.ae",
-    "co.at", "or.at", "ac.at", "gv.at",
-    // jp / kr / tw / hk / sg / th / id / my / ph / vn / cn / in
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "gr.jp", "lg.jp",
-    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "mil.kr", "ac.kr",
-    "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr",
-    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw", "mil.tw",
-    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
-    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
-    "co.th", "net.th", "or.th", "ac.th", "go.th", "in.th", "mi.th",
-    "co.id", "net.id", "or.id", "ac.id", "go.id", "sch.id", "web.id", "my.id", "biz.id",
-    "com.my", "net.my", "org.my", "edu.my", "gov.my", "mil.my", "name.my",
-    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "mil.ph", "ngo.ph",
-    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn", "ac.vn", "biz.vn",
-    "info.vn", "name.vn", "pro.vn", "health.vn",
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
-    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in", "edu.in",
-    "res.in", "gov.in", "mil.in", "nic.in",
-    // au / nz
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
-    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "school.nz", "geek.nz", "gen.nz",
-    "kiwi.nz", "maori.nz",
-    // americas
-    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br", "art.br", "blog.br",
-    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
-    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "int.ar", "mil.ar", "tur.ar",
-    "com.co", "net.co", "org.co", "edu.co", "gov.co", "mil.co", "nom.co",
-    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe", "mil.pe", "nom.pe",
-    "com.ve", "net.ve", "org.ve", "edu.ve", "gob.ve", "mil.ve", "co.ve",
-    "com.uy", "net.uy", "org.uy", "edu.uy", "gub.uy", "mil.uy",
-    "com.ec", "net.ec", "org.ec", "edu.ec", "gob.ec", "mil.ec",
-    // europe / africa / middle east
-    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "mil.tr", "k12.tr", "gen.tr",
-    "av.tr", "bel.tr", "biz.tr", "info.tr",
-    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "mil.pl", "info.pl", "biz.pl",
-    "waw.pl",
-    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua", "kiev.ua",
-    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
-    "co.za", "net.za", "org.za", "gov.za", "edu.za", "ac.za", "web.za",
-    "co.ke", "or.ke", "ne.ke", "go.ke", "info.ke", "me.ke", "mobi.ke", "sc.ke", "ac.ke",
-    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "mil.ng", "mobi.ng", "name.ng",
-    "sch.ng", "i.ng",
-    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "eun.eg", "mil.eg", "name.eg",
-    "sci.eg",
-    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa", "pub.sa", "sch.sa",
-    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
-    "com.pt", "net.pt", "org.pt", "edu.pt", "gov.pt", "int.pt", "publ.pt", "nome.pt"
-  )
+  private[ops] val publicSuffixes2: Seq[String] =
+    graft.functions.UrlKernels.publicSuffixes2
 
   /** Registrable domain per the pinned PSL subset: if the host's last
     * TWO labels are a public suffix (`co.uk`), the registrable domain
@@ -218,9 +174,17 @@ object Urls {
     * bare TLD / single label) passes through unchanged — this operator
     * is total by design (the strict PSL returns "no registrable
     * domain" there; a crawl rollup wants a non-null group key).
-    * Userinfo and port are stripped via [[host]]. */
-  def registrableDomain(url: Column): Column = {
-    val h = host(url)
+    * Userinfo and port are stripped via [[host]]. Native single-pass
+    * kernel ([[graft.functions.UrlRegistrableDomain]]);
+    * [[registrableDomainCols]] is the retained twin and equivalence
+    * oracle (UrlKernelSpec). */
+  def registrableDomain(url: Column): Column =
+    graft.functions.UrlRegistrableDomain.registrableDomain(url)
+
+  /** Column-chain twin of [[registrableDomain]] — the equivalence
+    * oracle. */
+  private[graft] def registrableDomainCols(url: Column): Column = {
+    val h = hostCols(url)
     val labels = split(h, "\\.")
     val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
     when(size(labels) >= 3 && last2.isin(publicSuffixes2: _*),
@@ -288,8 +252,14 @@ object Urls {
     *     would silently drop the final path segment)
     *   - path-relative (`sub/p.html`) → base origin + base dir + href
     *   - empty / fragment-only / other schemes (`mailto:` …) → NULL
-    * Pure Column chain; NULL for an unparseable base. */
-  private[graft] def resolveHref(href: Column, base: Column): Column = {
+    * NULL for an unparseable base. Native single-pass kernel
+    * ([[graft.functions.ResolveHref]]); [[resolveHrefCols]] is the
+    * retained twin and equivalence oracle (UrlKernelSpec). */
+  private[graft] def resolveHref(href: Column, base: Column): Column =
+    graft.functions.ResolveHref.resolveHref(href, base)
+
+  /** Column-chain twin of [[resolveHref]] — the equivalence oracle. */
+  private[graft] def resolveHrefCols(href: Column, base: Column): Column = {
     val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val origin = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     val basePath = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
@@ -310,15 +280,22 @@ object Urls {
     * (either quote style, attribute name case-insensitive), resolved
     * against `baseCol` with [[resolveHref]], http(s) targets only.
     * Output: `carry` columns + `url` (one row per link — a stateless
-    * explode, zero shuffle; the crawl-graph front end). */
+    * explode, zero shuffle; the crawl-graph front end). The href scan
+    * is the native [[graft.functions.HrefValues]] kernel;
+    * [[hrefValuesCols]] retains the regex formulation as its
+    * equivalence oracle (UrlKernelSpec). */
   def extractLinks(df: DataFrame, htmlCol: String, baseCol: String, carry: Seq[String]): DataFrame = {
-    // backreference pairs the quote style; group 2 is the href value
-    val hrefs = regexp_extract_all(
-      col(htmlCol), lit("(?i)href\\s*=\\s*([\"'])(.*?)\\1"), lit(2))
+    val hrefs = graft.functions.HrefValues.hrefValues(col(htmlCol))
     df.select((carry.map(col) :+ col(baseCol).as("__b") :+ explode(hrefs).as("__h")): _*)
       .select((carry.map(col) :+ resolveHref(col("__h"), col("__b")).as("url")): _*)
       .where(col("url").isNotNull && col("url").rlike("^(?i)https?://"))
   }
+
+  /** Regex twin of [[graft.functions.HrefValues]] — the equivalence
+    * oracle (backreference pairs the quote style; group 2 is the href
+    * value). */
+  private[graft] def hrefValuesCols(html: Column): Column =
+    regexp_extract_all(html, lit("(?i)href\\s*=\\s*([\"'])(.*?)\\1"), lit(2))
 
   /** Outbound links WITH their anchor text: full `<a …>text</a>`
     * elements (either quote style, attribute case-insensitive, text may

@@ -290,4 +290,26 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin"), s"expected a broadcast serve join:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle for the steps:\n$p")
   }
+
+  test("link-graph extraction runs on the native URL kernels, not the regex chains (r17)") {
+    // the r17 extraction-floor cut: href scan + href resolve +
+    // registrable-domain must plan as the single-pass kernels
+    // (href_values / resolve_href / url_registrable_domain); the
+    // regex spellings cost ~1.5 s × 8 graph queries per bench pass
+    // (r16 ModularityCostSplit) and are retained only as test twins.
+    // A revert (e.g. an innocent refactor calling the *Cols twins)
+    // shows up as regexp_extract in these plans.
+    Seq("q_link_graph", "q_anchor_text").foreach { name =>
+      val p = planString(name)
+      assert(p.contains("url_registrable_domain"), s"$name lost the domain kernel:\n$p")
+      assert(p.contains("resolve_href"), s"$name lost the resolve kernel:\n$p")
+    }
+    // q_link_graph's whole chain is kernel-native — zero regex ops in
+    // the plan (q_anchor_text legitimately keeps the <a>…</a> anchor
+    // regex + tag strip; only its resolve/domain legs are kernels)
+    val lg = planString("q_link_graph")
+    assert(lg.contains("href_values"), "q_link_graph lost the href-scan kernel")
+    assert(!lg.contains("regexp_replace") && !lg.contains("regexp_extract"),
+      s"q_link_graph re-grew a regex chain:\n$lg")
+  }
 }
