@@ -191,6 +191,20 @@ object SparkEntry {
       Tables.events(s, dir).select("user_id", "ts_us"),
       "ts_us", "user_id", periodUs = 86400000000L)
 
+  /** Densified growth accounting
+    * ([[graft.ops.Funnel.growthAccountingDense]]) over a SPARSE
+    * calendar: every third day's events are dropped (day ≡ 1 mod 3),
+    * so the fixture has guaranteed all-churn transitions — the case
+    * the sparse readout reports nowhere (its documented caveat). The
+    * empty days must appear as zero-activity rows whose `n_churned`
+    * carries the previous day's entire active count. */
+  private def qGrowthDense(s: SparkSession, dir: String): DataFrame = {
+    val day = ((col("ts_us") - col("ts_us") % 86400000000L) / 86400000000L).cast("long")
+    graft.ops.Funnel.growthAccountingDense(
+      Tables.events(s, dir).select(col("user_id"), col("ts_us")).where(day % 3 =!= 1L),
+      "ts_us", "user_id", periodUs = 86400000000L)
+  }
+
   /** DAU/WAU engagement ([[graft.ops.Funnel.activeUsers]], 7-day
     * window): per active day the distinct-user count, the rolling
     * 7-day distinct count (explode-to-window-end re-distinct — rolling
@@ -3738,6 +3752,7 @@ object SparkEntry {
     "q_fk_orphans" -> (qFkOrphans _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_growth" -> (qGrowth _),
+    "q_growth_dense" -> (qGrowthDense _),
     "q_dau" -> (qDau _),
     "q_class_weights" -> (qClassWeights _),
     "q_ari" -> (qAri _),
@@ -6588,6 +6603,38 @@ object SparkEntry {
         |      FROM cl GROUP BY period),
         |f AS (SELECT *, CASE WHEN lag(period) OVER (ORDER BY period) = period - 1
         |        THEN lag(n_active) OVER (ORDER BY period) ELSE 0 END AS pa FROM pp)
+        |SELECT period, CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(n_new AS BIGINT) AS n_new, CAST(n_retained AS BIGINT) AS n_retained,
+        |  CAST(n_resurrected AS BIGINT) AS n_resurrected,
+        |  CAST(pa - n_retained AS BIGINT) AS n_churned,
+        |  CASE WHEN pa > 0 THEN
+        |    CAST((CAST(pa - n_retained AS HUGEINT) * 2000000 + pa) // (CAST(pa AS HUGEINT) * 2)
+        |         AS DOUBLE) / 1000000.0 END AS churn_rate
+        |FROM f""".stripMargin,
+    "q_growth_dense" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t FROM events),
+        |fe AS (SELECT u, t FROM e
+        |       WHERE CAST((t - t % 86400000000) / 86400000000 AS BIGINT) % 3 <> 1),
+        |pr AS (SELECT DISTINCT u,
+        |        CAST((t - t % 86400000000) / 86400000000 AS BIGINT) AS period FROM fe),
+        |c AS (SELECT *, lag(period) OVER (PARTITION BY u ORDER BY period) AS prev FROM pr),
+        |cl AS (SELECT period,
+        |        CASE WHEN prev IS NULL THEN 'new'
+        |             WHEN prev = period - 1 THEN 'retained'
+        |             ELSE 'resurrected' END AS cls FROM c),
+        |pp AS (SELECT period, COUNT(*) AS n_active,
+        |        SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS n_new,
+        |        SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+        |        SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS n_resurrected
+        |      FROM cl GROUP BY period),
+        |sp AS (SELECT unnest(generate_series((SELECT min(period) FROM pp),
+        |                                     (SELECT max(period) FROM pp))) AS period),
+        |d AS (SELECT sp.period,
+        |        coalesce(pp.n_active, 0) AS n_active, coalesce(pp.n_new, 0) AS n_new,
+        |        coalesce(pp.n_retained, 0) AS n_retained,
+        |        coalesce(pp.n_resurrected, 0) AS n_resurrected
+        |      FROM sp LEFT JOIN pp ON sp.period = pp.period),
+        |f AS (SELECT *, coalesce(lag(n_active) OVER (ORDER BY period), 0) AS pa FROM d)
         |SELECT period, CAST(n_active AS BIGINT) AS n_active,
         |  CAST(n_new AS BIGINT) AS n_new, CAST(n_retained AS BIGINT) AS n_retained,
         |  CAST(n_resurrected AS BIGINT) AS n_resurrected,

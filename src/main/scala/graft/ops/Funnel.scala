@@ -164,10 +164,35 @@ object Funnel {
     * n_churned across the output UNDERSTATES true churn by exactly
     * those all-churn transitions (as does the zero-attribution across
     * multi-period gaps, documented above). Callers tracking total
-    * churn over sparse calendars should densify periods (sequence
-    * min→max period, left-join, n_active = 0) before differencing.
+    * churn over sparse calendars should use [[growthAccountingDense]],
+    * which densifies the period spine before differencing.
     */
   def growthAccounting(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      periodUs: Long
+  ): DataFrame = {
+    val perPeriod = growthPerPeriod(events, tsCol, userCol, periodUs)
+    val byP = Window.orderBy(col("period").asc)
+    val prevActive = when(
+      lag(col("period"), 1).over(byP) === col("period") - 1L,
+      lag(col("n_active"), 1).over(byP)).otherwise(lit(0L))
+    perPeriod
+      .withColumn("__pa", prevActive)
+      .withColumn("n_churned", col("__pa") - col("n_retained"))
+      .withColumn("churn_rate",
+        when(col("__pa") > 0,
+          (intDivF(col("n_churned") * 2000000L + col("__pa"), col("__pa") * 2L))
+            .cast("double") / lit(1000000.0)))
+      .drop("__pa")
+  }
+
+  /** The shared new/retained/resurrected per-period rollup behind
+    * [[growthAccounting]] and [[growthAccountingDense]]: ONE distinct
+    * (user, period) exchange, a per-user ordered classification
+    * window, one period rollup. */
+  private def growthPerPeriod(
       events: DataFrame,
       tsCol: String,
       userCol: String,
@@ -187,19 +212,53 @@ object Funnel {
         when(col("__prev").isNull, lit("new"))
           .when(col("__prev") === col("period") - 1L, lit("retained"))
           .otherwise(lit("resurrected")))
-    val perPeriod = classified
+    classified
       .groupBy("period")
       .agg(
         count(lit(1)).as("n_active"),
         sum(when(col("__cls") === "new", 1L).otherwise(0L)).as("n_new"),
         sum(when(col("__cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
         sum(when(col("__cls") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+  }
+
+  /** [[growthAccounting]] over a DENSIFIED period spine — the fix for
+    * the all-churn caveat documented there: rows exist for EVERY
+    * period between the first and last active one (`sequence(min,
+    * max)` on the tiny per-period frame, exploded and left-joined, all
+    * counts zero-filled), so a period with no activity at all still
+    * carries its transition's churn (`n_churned = n_active(t−1)`,
+    * `churn_rate = 1`) and `sum(n_churned)` over the output equals
+    * total true churn. The lag needs no adjacency guard — the spine is
+    * contiguous by construction. The spine is bounded loudly at 10M
+    * periods (a wrong `periodUs` against µs timestamps would otherwise
+    * explode the sequence): nothing downstream of the distinct scales
+    * with event volume, exactly as in the sparse form. */
+  def growthAccountingDense(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      periodUs: Long
+  ): DataFrame = {
+    val perPeriod = growthPerPeriod(events, tsCol, userCol, periodUs)
+    val spine = perPeriod
+      .agg(min(col("period")).as("__lo"), max(col("period")).as("__hi"))
+      .select(explode(sequence(
+        col("__lo"),
+        when(col("__hi") - col("__lo") < 10000000L, col("__hi"))
+          .otherwise(raise_error(lit(
+            "growthAccountingDense: period spine exceeds 10M rows — wrong periodUs?")))))
+        .as("period"))
+    val dense = spine
+      .join(perPeriod, Seq("period"), "left")
+      .select(
+        col("period"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"))
     val byP = Window.orderBy(col("period").asc)
-    val prevActive = when(
-      lag(col("period"), 1).over(byP) === col("period") - 1L,
-      lag(col("n_active"), 1).over(byP)).otherwise(lit(0L))
-    perPeriod
-      .withColumn("__pa", prevActive)
+    dense
+      .withColumn("__pa", coalesce(lag(col("n_active"), 1).over(byP), lit(0L)))
       .withColumn("n_churned", col("__pa") - col("n_retained"))
       .withColumn("churn_rate",
         when(col("__pa") > 0,

@@ -39,6 +39,20 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 object Graph {
 
+  /** Fixed-round loops (LPA, HITS, pagerank with tol=0) defer cache
+    * release so the whole round chain materializes as ONE job — but an
+    * unbounded deferral holds every round's O(nodes) cut resident
+    * simultaneously (peak storage = iterations × nodes rows;
+    * MEMORY_AND_DISK spills rather than fails, yet eviction pressure
+    * can thrash the static matrix/edge caches at high iteration
+    * counts). Every `deferralWindow` deferred cuts the loop runs one
+    * checkpoint action and releases the window, bounding peak resident
+    * cache at `deferralWindow × O(nodes)` while keeping the driver-job
+    * count at ⌈iterations / deferralWindow⌉ instead of `iterations`
+    * (ADVICE r16). Typical crawl-curation calls (3–10 rounds) never
+    * hit the window, so their one-job behavior is unchanged. */
+  private val deferralWindow = 8
+
   import graft.util.LoopFrames.{cut, cutPartitioned}
 
   /** Weighted PageRank over an edge list.
@@ -222,12 +236,27 @@ object Graph {
         // ranks.count() below executes all rounds as ONE job (each
         // intermediate computes exactly once; persisted, consumed in
         // stage dependency order) and the intermediate caches release
-        // after it. Saves `iterations` driver jobs per call.
+        // after it. Saves `iterations` driver jobs per call. (The
+        // "exactly once" claim holds because the single job's broadcast
+        // stages — danglingMass here — materialize in dependency
+        // order; a concurrently-prepared broadcast could recompute an
+        // upstream benignly, never affecting results.)
         deferredRanks += ranksRdd
       }
       ranks = next
       ranksRdd = nextRdd
       iter += 1
+      // bound peak storage at deferralWindow × O(nodes): deferral keeps
+      // EVERY round's cut resident until materialization, so a long
+      // fixed-round run would otherwise hold iterations × nodes rows
+      // cached (MEMORY_AND_DISK spills rather than fails, but eviction
+      // can thrash the static matrix cache). One checkpoint job per
+      // window keeps ~all of the driver-job savings (ADVICE r16).
+      if (tol <= 0 && deferredRanks.size >= deferralWindow) {
+        ranks.count()
+        deferredRanks.foreach(_.unpersist(blocking = false))
+        deferredRanks.clear()
+      }
     }
 
     // Materialize the final vector before releasing the loop's cached
@@ -369,6 +398,14 @@ object Graph {
       hubs = nextH
       hubsRdd = nextHRdd
       iter += 1
+      // peak-storage bound (see pagerank): materialize every
+      // deferralWindow deferred cuts and release them — the hubs chain
+      // pulls the auths chain with it, so one count() clears both
+      if (deferred.size >= deferralWindow) {
+        hubs.count()
+        deferred.foreach(_.unpersist(blocking = false))
+        deferred.clear()
+      }
     }
 
     val (out, _) = cut(
@@ -584,6 +621,13 @@ object Graph {
       labels = next
       labelsRdd = nextRdd
       iter += 1
+      // peak-storage bound (see pagerank): one checkpoint job per
+      // deferralWindow rounds instead of one per round
+      if (intermediates.size >= deferralWindow) {
+        labels.count()
+        intermediates.foreach(_.unpersist(blocking = false))
+        intermediates.clear()
+      }
     }
     labels.count() // materializes the whole round chain in one job
     intermediates.foreach(_.unpersist(blocking = false))

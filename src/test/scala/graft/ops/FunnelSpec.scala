@@ -120,6 +120,27 @@ class FunnelSpec extends SparkSpec {
     assert(full(1).getLong(5) == 0L && full(1).isNullAt(6))      // no churn row
   }
 
+  test("growthAccountingDense: empty periods carry the all-churn transition; total churn sums") {
+    // active p1 (u1,u2) — p2 empty (ALL churn) — p3 (u1 resurrects) —
+    // p4 empty — p5 (u2 resurrects)
+    val df = Seq((1L, 10L), (2L, 15L), (1L, 30L), (2L, 50L)).toDF("u", "t")
+    val rows = Funnel.growthAccountingDense(df, "t", "u", 10L)
+      .orderBy("period").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), if (r.isNullAt(6)) null else r.getDouble(6)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L)) // contiguous spine
+    assert(rows(0) == ((1L, 2L, 2L, 0L, 0L, 0L, null)))
+    assert(rows(1) == ((2L, 0L, 0L, 0L, 0L, 2L, 1.0)))  // all-churn row EXISTS
+    assert(rows(2) == ((3L, 1L, 0L, 0L, 1L, 0L, null))) // pa=0 → rate null
+    assert(rows(3) == ((4L, 0L, 0L, 0L, 0L, 1L, 1.0)))
+    assert(rows(4) == ((5L, 1L, 0L, 0L, 1L, 0L, null)))
+    // the sparse caveat, quantified: dense churn total is the truth
+    assert(rows.map(_._6).sum == 3L)
+    val sparseChurn = Funnel.growthAccounting(df, "t", "u", 10L)
+      .collect().map(_.getLong(5)).sum
+    assert(sparseChurn == 0L) // sparse reports none of it
+  }
+
   test("stepTiming: first-from to first-at-or-after-to deltas, exact quantile picks") {
     // u1 converts in 10; u2's early purchase (t=5) doesn't count — its
     // post-signup one (t=30) does (delta 20); u3 never converts;
