@@ -3114,6 +3114,41 @@ object SparkEntry {
       "html", "base_url")
   }
 
+  /** WARC ingestion ([[graft.ops.Warc.responses]] over the
+    * length-driven [[graft.functions.WarcRecords]] kernel): each
+    * document synthesizes a 2-record WARC blob — a warcinfo record
+    * (must be filtered out) plus an HTTP response whose body by
+    * doc_id residue exercises the adversarial shapes: residue 2
+    * EMBEDS a full `WARC/1.0` record header inside the payload (a
+    * split/regex parser manufactures a phantom record there; only
+    * Content-Length-driven parsing survives), residue 3 carries an
+    * interior `\r\n\r\n` (the HTTP body must keep it — the record
+    * length bounds the payload, not a delimiter), residue 1 is a 404.
+    * The oracle states every output column LITERALLY from the doc_id
+    * arithmetic — extraction never runs oracle-side. */
+  private def qWarcExtract(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val crlf = "\r\n"
+    val uri = concat(lit("http://site"), (d % 20).cast("string"), lit(".com/p"), (d % 10).cast("string"))
+    val statusLine = when(d % 4 === 1, lit("404 Not Found")).otherwise(lit("200 OK"))
+    val body = when(d % 4 === 0, lit("<html>ok</html>"))
+      .when(d % 4 === 1, lit("<html>notfound</html>"))
+      .when(d % 4 === 2,
+        lit(s"about:${crlf}WARC/1.0${crlf}WARC-Type: fake${crlf}Content-Length: 0$crlf${crlf}more"))
+      .otherwise(lit(s"part1$crlf${crlf}part2"))
+    val http = concat(
+      lit("HTTP/1.1 "), statusLine, lit(s"${crlf}Content-Type: text/html$crlf$crlf"), body)
+    val date = "2026-01-01T00:00:00Z"
+    val warc = concat(
+      lit(s"WARC/1.0${crlf}WARC-Type: warcinfo${crlf}WARC-Date: $date${crlf}Content-Length: 0$crlf$crlf$crlf$crlf"),
+      lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf + "WARC-Target-URI: "), uri,
+      lit(s"${crlf}WARC-Date: $date${crlf}WARC-Record-ID: <urn:uuid:"), d.cast("string"),
+      lit(">" + crlf + "Content-Length: "), octet_length(http).cast("string"),
+      lit(crlf + crlf), http, lit(crlf + crlf))
+    graft.ops.Warc.responses(
+      Tables.documents(s, dir).select(d, warc.as("warc")), "warc", carry = Seq("doc_id"))
+  }
+
   /** Anchor-text term rollup ([[graft.ops.Urls.anchorTermStats]]) over
     * a synthesized page shell: each doc links to its successor site
     * with an anchor text chosen by doc_id residue — residue 0 carries
@@ -3710,6 +3745,7 @@ object SparkEntry {
     "q_join_size" -> (qJoinSize _),
     "q_bloom_screen" -> (qBloomScreen _),
     "q_link_graph" -> (qLinkGraph _),
+    "q_warc_extract" -> (qWarcExtract _),
     "q_link_authority" -> (qLinkAuthority _),
     "q_distinct_sketch" -> (qDistinctSketch _),
     "q_cdc_chunks" -> (qCdcChunks _),
@@ -5077,6 +5113,25 @@ object SparkEntry {
         |  UNION ALL SELECT src, 'example.org' FROM d)
         |SELECT src_domain, dst_domain, COUNT(*) AS n_links
         |FROM e GROUP BY 1, 2""".stripMargin,
+    // every output column stated literally from the doc_id residue
+    // arithmetic (the q_link_graph discipline) — the WARC build and
+    // the record parse never run oracle-side; chr(13)||chr(10) = CRLF
+    "q_warc_extract" ->
+      """SELECT doc_id,
+        |  'http://site' || CAST(doc_id % 20 AS VARCHAR) || '.com/p' ||
+        |    CAST(doc_id % 10 AS VARCHAR) AS target_uri,
+        |  '2026-01-01T00:00:00Z' AS warc_date,
+        |  '<urn:uuid:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+        |  CASE WHEN doc_id % 4 = 1 THEN 404 ELSE 200 END AS http_status,
+        |  CASE WHEN doc_id % 4 = 0 THEN '<html>ok</html>'
+        |       WHEN doc_id % 4 = 1 THEN '<html>notfound</html>'
+        |       WHEN doc_id % 4 = 2 THEN 'about:' || chr(13) || chr(10) ||
+        |         'WARC/1.0' || chr(13) || chr(10) || 'WARC-Type: fake' ||
+        |         chr(13) || chr(10) || 'Content-Length: 0' || chr(13) || chr(10) ||
+        |         chr(13) || chr(10) || 'more'
+        |       ELSE 'part1' || chr(13) || chr(10) || chr(13) || chr(10) || 'part2'
+        |  END AS body
+        |FROM documents""".stripMargin,
     // terms stated literally from the residue arithmetic: residue 0 →
     // {breaking, news} (markup stripped, case folded), 1 → {news,
     // archive}, 2 → {sports}; extraction never runs oracle-side

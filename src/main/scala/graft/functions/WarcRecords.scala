@@ -1,0 +1,214 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WARC (ISO 28500 / WARC/1.x — the CommonCrawl container) record
+  * parser: one LENGTH-DRIVEN byte pass over a WARC blob, emitting one
+  * struct per record. Length-driven is the point: a record's payload is
+  * exactly `Content-Length` octets, and payloads routinely CONTAIN the
+  * `WARC/1.0` magic (a crawler archiving a page about WARC, an HTTP
+  * response quoting another record) — any split/regex spelling
+  * manufactures phantom records there, so this is kernel-or-nothing
+  * (the [[graft.ops.Warc]] fixture pins exactly that adversarial case).
+  *
+  * Per record: version line `WARC/<v>` then `Name: value` header lines
+  * to the first empty line (CRLF per spec; bare LF tolerated), then
+  * `Content-Length` payload octets, then the inter-record CRLFs (any
+  * run of CR/LF is accepted as separation). Extracted headers:
+  * WARC-Type / WARC-Target-URI / WARC-Date / WARC-Record-ID /
+  * Content-Length (names case-insensitive, values space-trimmed);
+  * other headers are skipped, not stored.
+  *
+  * Malformation policy (total function, quarantine-not-crash): parsing
+  * stops at the first structural violation and appends ONE sentinel
+  * struct — `warc_type = "__malformed"` (bad magic / header without
+  * ':' / missing or non-numeric Content-Length; `content_length = -1`)
+  * or `"__truncated"` (declared length runs past the blob;
+  * `content_length` = the declared value) — with empty payload and
+  * `offset` at the failing record. Callers route sentinels to
+  * quarantine and keep the records already parsed.
+  *
+  * Payload is emitted as STRING: WARC text records (WET, HTTP text
+  * bodies) are UTF-8 by convention, and `UTF8String.fromBytes` carries
+  * arbitrary octets through unmodified — a deployment splitting binary
+  * payloads out would emit BinaryType, same plan shape.
+  *
+  * CodegenFallback like [[TokenTfPairs]]: per-row work dominates.
+  */
+case class WarcRecords(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"warc_records expects a string arg, got $other")
+  }
+  override def dataType: DataType = WarcRecords.schema
+  override def prettyName: String = "warc_records"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WarcRecords.parse(input.asInstanceOf[UTF8String])
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WarcRecords {
+
+  val schema: DataType = ArrayType(
+    StructType(Seq(
+      StructField("offset", LongType, nullable = false),
+      StructField("warc_type", StringType, nullable = true),
+      StructField("target_uri", StringType, nullable = true),
+      StructField("warc_date", StringType, nullable = true),
+      StructField("record_id", StringType, nullable = true),
+      StructField("content_length", LongType, nullable = false),
+      StructField("payload", StringType, nullable = false))),
+    containsNull = false)
+
+  private val Magic = "WARC/".getBytes("US-ASCII")
+
+  private def mkRow(
+      offset: Long, wt: UTF8String, uri: UTF8String, date: UTF8String,
+      rid: UTF8String, clen: Long, payload: UTF8String): InternalRow = {
+    val r = new GenericInternalRow(7)
+    r.setLong(0, offset)
+    r.update(1, wt)
+    r.update(2, uri)
+    r.update(3, date)
+    r.update(4, rid)
+    r.setLong(5, clen)
+    r.update(6, payload)
+    r
+  }
+
+  private def sentinel(offset: Long, kind: String, clen: Long): InternalRow =
+    mkRow(offset, UTF8String.fromString(kind), null, null, null, clen,
+      UTF8String.fromString(""))
+
+  /** ASCII-case-insensitive equality of bytes[s, s+name.length) with a
+    * lowercase header name. */
+  private def headerIs(b: Array[Byte], s: Int, e: Int, name: String): Boolean = {
+    if (e - s != name.length) return false
+    var i = 0
+    while (i < name.length) {
+      if ((b(s + i) | 0x20) != name.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  private def trimmed(b: Array[Byte], s0: Int, e0: Int): UTF8String = {
+    var s = s0
+    var e = e0
+    while (s < e && (b(s) == ' ' || b(s) == '\t')) s += 1
+    while (e > s && (b(e - 1) == ' ' || b(e - 1) == '\t')) e -= 1
+    UTF8String.fromBytes(b, s, e - s)
+  }
+
+  def parse(content: UTF8String): GenericArrayData = {
+    val b = content.getBytes
+    val out = new java.util.ArrayList[InternalRow]()
+    var pos = 0
+    var stop = false
+    while (!stop) {
+      // inter-record separation: any run of CR/LF
+      while (pos < b.length && (b(pos) == '\r' || b(pos) == '\n')) pos += 1
+      if (pos >= b.length) stop = true
+      else {
+        val recStart = pos
+        // magic
+        var ok = pos + Magic.length <= b.length
+        var i = 0
+        while (ok && i < Magic.length) {
+          if (b(pos + i) != Magic(i)) ok = false
+          i += 1
+        }
+        if (!ok) {
+          out.add(sentinel(recStart, "__malformed", -1L))
+          stop = true
+        } else {
+          // version line: skip to end of line
+          var p = pos + Magic.length
+          while (p < b.length && b(p) != '\n') p += 1
+          p += 1 // past '\n' (or == length+1 when unterminated)
+          // header lines until the first empty line
+          var wt: UTF8String = null
+          var uri: UTF8String = null
+          var date: UTF8String = null
+          var rid: UTF8String = null
+          var clen = -1L
+          var badHeader = false
+          var headersDone = false
+          while (!badHeader && !headersDone && p < b.length) {
+            // line = [p, eol) with a trailing '\r' stripped
+            var eol = p
+            while (eol < b.length && b(eol) != '\n') eol += 1
+            var lineEnd = eol
+            if (lineEnd > p && b(lineEnd - 1) == '\r') lineEnd -= 1
+            if (lineEnd == p) { // empty line: end of headers
+              headersDone = true
+              p = eol + 1
+            } else {
+              // find ':'
+              var colon = p
+              while (colon < lineEnd && b(colon) != ':') colon += 1
+              if (colon >= lineEnd) badHeader = true
+              else {
+                val v = () => trimmed(b, colon + 1, lineEnd)
+                if (headerIs(b, p, colon, "warc-type")) wt = v()
+                else if (headerIs(b, p, colon, "warc-target-uri")) uri = v()
+                else if (headerIs(b, p, colon, "warc-date")) date = v()
+                else if (headerIs(b, p, colon, "warc-record-id")) rid = v()
+                else if (headerIs(b, p, colon, "content-length")) {
+                  val t = v()
+                  val tb = t.getBytes
+                  if (tb.isEmpty) badHeader = true
+                  else {
+                    var n = 0L
+                    var j = 0
+                    while (j < tb.length && !badHeader) {
+                      val c = tb(j) - '0'
+                      if (c < 0 || c > 9) badHeader = true else n = n * 10 + c
+                      j += 1
+                    }
+                    if (!badHeader) clen = n
+                  }
+                }
+                p = eol + 1
+              }
+            }
+          }
+          if (badHeader || !headersDone || clen < 0) {
+            out.add(sentinel(recStart, "__malformed", -1L))
+            stop = true
+          } else if (p + clen > b.length) {
+            out.add(sentinel(recStart, "__truncated", clen))
+            stop = true
+          } else {
+            out.add(mkRow(recStart, wt, uri, date, rid, clen,
+              UTF8String.fromBytes(b, p, clen.toInt)))
+            pos = p + clen.toInt
+          }
+        }
+      }
+    }
+    val arr = new Array[Any](out.size())
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Column-level surface. */
+  def warcRecords(content: Column): Column =
+    Bridge.column(WarcRecords(Bridge.expression(content)))
+}

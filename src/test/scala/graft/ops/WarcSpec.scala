@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[graft.ops.Warc]] / [[graft.functions.WarcRecords]]: length-driven
+  * record parsing (the phantom-record adversarial case), malformation
+  * sentinels, HTTP sub-parse, and the responses() projection. */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(
+      typ: String, uri: Option[String], payload: String,
+      date: String = "2026-01-01T00:00:00Z", rid: String = "<urn:uuid:1>"): String = {
+    val uriLine = uri.map(u => s"WARC-Target-URI: $u\r\n").getOrElse("")
+    s"WARC/1.0\r\nWARC-Type: $typ\r\n" + uriLine +
+      s"WARC-Date: $date\r\nWARC-Record-ID: $rid\r\n" +
+      s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n" +
+      payload + "\r\n\r\n"
+  }
+
+  private def parse1(blob: String) =
+    Warc.parseWarc(Seq(blob).toDF("w"), "w", carry = Seq.empty).collect()
+
+  test("two records round-trip: fields, order, offsets") {
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>ok</html>"
+    val blob = rec("warcinfo", None, "") + rec("response", Some("http://ex.com/p"), http)
+    val rows = parse1(blob)
+    assert(rows.length == 2)
+    val r0 = rows(0)
+    assert(r0.getAs[Long]("rec_idx") == 0L && r0.getAs[Long]("offset") == 0L)
+    assert(r0.getAs[String]("warc_type") == "warcinfo")
+    assert(r0.getAs[String]("target_uri") == null)
+    assert(r0.getAs[Long]("content_length") == 0L && r0.getAs[String]("payload") == "")
+    val r1 = rows(1)
+    assert(r1.getAs[String]("warc_type") == "response")
+    assert(r1.getAs[String]("target_uri") == "http://ex.com/p")
+    assert(r1.getAs[String]("warc_date") == "2026-01-01T00:00:00Z")
+    assert(r1.getAs[String]("record_id") == "<urn:uuid:1>")
+    assert(r1.getAs[String]("payload") == http)
+    assert(r1.getAs[Long]("offset") > 0L)
+  }
+
+  test("ADVERSARIAL: a payload containing the WARC magic yields NO phantom record") {
+    val evil = "HTTP/1.1 200 OK\r\n\r\nabout WARC:\r\nWARC/1.0\r\nWARC-Type: fake\r\n" +
+      "Content-Length: 0\r\n\r\nmore"
+    val blob = rec("response", Some("http://ex.com/a"), evil) +
+      rec("response", Some("http://ex.com/b"), "HTTP/1.1 404 NF\r\n\r\ngone")
+    val rows = parse1(blob)
+    assert(rows.length == 2, s"phantom record parsed: ${rows.toSeq}")
+    assert(rows(0).getAs[String]("payload") == evil)
+    assert(rows(1).getAs[String]("target_uri") == "http://ex.com/b")
+  }
+
+  test("truncated declared length → __truncated sentinel, prior records kept") {
+    val good = rec("response", Some("http://ex.com/x"), "HTTP/1.1 200 OK\r\n\r\nbody")
+    val blob = good + "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort"
+    val rows = parse1(blob)
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("warc_type") == "response")
+    assert(rows(1).getAs[String]("warc_type") == "__truncated")
+    assert(rows(1).getAs[Long]("content_length") == 999L)
+    assert(rows(1).getAs[String]("payload") == "")
+  }
+
+  test("malformed cases → __malformed sentinel: bad magic / no colon / missing or bad Content-Length") {
+    for (blob <- Seq(
+        "GARBAGE",
+        "WARC/1.0\r\nWARC-Type response\r\nContent-Length: 0\r\n\r\n",
+        "WARC/1.0\r\nWARC-Type: response\r\n\r\n",
+        "WARC/1.0\r\nContent-Length: 12x\r\n\r\n")) {
+      val rows = parse1(blob)
+      assert(rows.length == 1, s"for <$blob>")
+      assert(rows(0).getAs[String]("warc_type") == "__malformed", s"for <$blob>")
+      assert(rows(0).getAs[Long]("content_length") == -1L)
+    }
+    assert(parse1("").isEmpty)
+  }
+
+  test("bare-LF line endings and case-insensitive header names tolerated; unknown headers skipped") {
+    val blob = "WARC/1.0\nwarc-type: METADATA\nX-Custom: zzz\ncontent-length: 3\n\nabc\n\n"
+    val rows = parse1(blob)
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("warc_type") == "METADATA")
+    assert(rows(0).getAs[String]("payload") == "abc")
+  }
+
+  test("httpStatus/httpBody: status code, body keeps its own blank lines, non-HTTP → NULL") {
+    val rows = Seq(
+      "HTTP/1.1 200 OK\r\nH: v\r\n\r\npart1\r\n\r\npart2",
+      "HTTP/1.1 noncode\r\n\r\nx",
+      "not-http").toDF("p")
+      .select(Warc.httpStatus(col("p")).as("s"), Warc.httpBody(col("p")).as("b"))
+      .collect()
+    assert(rows(0).getInt(0) == 200 && rows(0).getString(1) == "part1\r\n\r\npart2")
+    assert(rows(1).isNullAt(0) && rows(1).getString(1) == "x")
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+  }
+
+  test("responses(): response records only, carry preserved, status+body split") {
+    val blob = rec("warcinfo", None, "") +
+      rec("response", Some("http://ex.com/1"), "HTTP/1.1 301 Moved\r\nLocation: x\r\n\r\n") +
+      rec("request", Some("http://ex.com/1"), "GET /1 HTTP/1.1\r\n\r\n") +
+      rec("response", Some("http://ex.com/2"), "HTTP/1.1 200 OK\r\n\r\n<html/>")
+    val rows = Warc.responses(Seq((7L, blob)).toDF("id", "w"), "w", carry = Seq("id"))
+      .orderBy("target_uri").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[Long]("id") == 7L))
+    assert(rows(0).getAs[Int]("http_status") == 301 && rows(0).getAs[String]("body") == "")
+    assert(rows(1).getAs[Int]("http_status") == 200 && rows(1).getAs[String]("body") == "<html/>")
+  }
+}
