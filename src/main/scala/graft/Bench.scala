@@ -158,7 +158,17 @@ object Bench {
         })
       }
       pool.shutdown()
-      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      // warm is best-effort: on a hot box (the 155 s r17 cert run vs
+      // 34-56 s quiet) an unbounded warm phase would eat wall the
+      // measured loop's budget doesn't govern, so cap it — un-warmed
+      // queries just pay their own cold cost inside the measured pass
+      val warmDeadlineS =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_DEADLINE_S", "180").toLong
+      if (!pool.awaitTermination(warmDeadlineS, java.util.concurrent.TimeUnit.SECONDS)) {
+        System.err.println(s"[bench] warm deadline ${warmDeadlineS}s hit — cancelling remaining warms")
+        pool.shutdownNow()
+        pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+      }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
       graft.util.CacheRegistry.releaseAll()
