@@ -97,6 +97,51 @@ class WarcSpec extends SparkSpec {
     assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
   }
 
+  test("STREAMING: .warc.gz files tail-followed through binaryFile → gunzip → records (stateless lane)") {
+    // the live-crawl shape: segment files land in a directory, the
+    // stateless kernel chain runs per micro-batch with no state store
+    import java.nio.file.Files
+    def gzip(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    val dir = Files.createTempDirectory("warcstream").toFile
+    try {
+      Files.write(new java.io.File(dir, "seg0.warc.gz").toPath,
+        gzip(rec("response", Some("http://ex.com/0"), "HTTP/1.1 200 OK\r\n\r\na")))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+      val stream = spark.readStream.schema(schema).format("binaryFile")
+        .load(dir.getAbsolutePath)
+        .select(explode(graft.functions.WarcRecords.warcRecords(
+          graft.functions.GunzipAll.gunzipAll(col("content")))).as("r"))
+        .select("r.warc_type", "r.target_uri")
+      val q = stream.writeStream.format("memory").queryName("warc_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("warc_stream").count() == 1)
+        // a new segment file arrives: only its records append
+        Files.write(new java.io.File(dir, "seg1.warc.gz").toPath,
+          gzip(rec("response", Some("http://ex.com/1"), "HTTP/1.1 200 OK\r\n\r\nb")) ++
+            gzip(rec("warcinfo", None, "")))
+        q.processAllAvailable()
+        val rows = spark.table("warc_stream").collect()
+        assert(rows.length == 3)
+        assert(rows.map(_.getString(0)).count(_ == "response") == 2)
+      } finally q.stop()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("responses(): response records only, carry preserved, status+body split") {
     val blob = rec("warcinfo", None, "") +
       rec("response", Some("http://ex.com/1"), "HTTP/1.1 301 Moved\r\nLocation: x\r\n\r\n") +
