@@ -3149,6 +3149,74 @@ object SparkEntry {
       Tables.documents(s, dir).select(d, warc.as("warc")), "warc", carry = Seq("doc_id"))
   }
 
+  /** The raw-crawl-to-graph composition: WARC blob →
+    * [[graft.ops.Warc.responses]] → [[graft.ops.Urls.domainEdges]]
+    * (href scan + resolve + registrable-domain rollup, all native
+    * kernels) in ONE stateless plan — what a pretraining pipeline runs
+    * against a crawl segment before any quality pass. Each document's
+    * response body links to the successor site (absolute), to itself
+    * (root-relative `/local`), and to a hub; the oracle states the
+    * three edges per doc literally (the q_link_graph discipline) —
+    * neither the WARC parse nor the link extraction runs oracle-side. */
+  private def qWarcLinks(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val crlf = "\r\n"
+    val uri = concat(lit("http://site"), (d % 20).cast("string"), lit(".com/idx.html"))
+    val body = concat(
+      lit("<html><a href=\"http://site"), ((d + 1) % 20).cast("string"),
+      lit(".com/p\">x</a><a href=\"/local\">y</a>" +
+        "<a href=\"https://hub.example.org/h\">hub</a></html>"))
+    val http = concat(lit(s"HTTP/1.1 200 OK$crlf$crlf"), body)
+    val warc = concat(
+      lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf + "WARC-Target-URI: "), uri,
+      lit(crlf + "Content-Length: "), octet_length(http).cast("string"),
+      lit(crlf + crlf), http, lit(crlf + crlf))
+    val resp = graft.ops.Warc.responses(
+      Tables.documents(s, dir).select(d, warc.as("warc")), "warc", carry = Seq("doc_id"))
+    graft.ops.Urls.domainEdges(
+      resp.select(col("body").as("html"), col("target_uri").as("base")), "html", "base")
+  }
+
+  /** Conversation fixture for the [[graft.ops.Dialogs]] lane: per
+    * document a turns array by doc_id residue — (0) valid 2-turn with
+    * doc_id-bearing contents, (1) assistant-first (start/end defect),
+    * (2) broken alternation, (3) empty assistant content, (4) valid
+    * 4-turn — exercising every QA flag. */
+  private def dialogFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def turn(r: String, c: Column) = struct(lit(r).as("role"), c.as("content"))
+    val conv = when(d % 5 === 0, array(
+        turn("user", concat(lit("hi "), d.cast("string"))),
+        turn("assistant", concat(lit("re "), d.cast("string")))))
+      .when(d % 5 === 1, array(turn("assistant", lit("bad start")), turn("user", lit("x"))))
+      .when(d % 5 === 2, array(
+        turn("user", lit("a")), turn("user", lit("b")), turn("assistant", lit("c"))))
+      .when(d % 5 === 3, array(turn("user", lit("q")), turn("assistant", lit(""))))
+      .otherwise(array(
+        turn("user", lit("q1")), turn("assistant", lit("a1")),
+        turn("user", lit("q2")), turn("assistant", lit("a2"))))
+    Tables.documents(s, dir).select(d, conv.as("turns"))
+  }
+
+  /** Dialog QA ([[graft.ops.Dialogs.validateDialogs]]): per-dialog
+    * flag battery. Oracle states every flag literally from the
+    * residue arithmetic — the HOF chain never runs oracle-side. */
+  private def qDialogQa(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dialogs.validateDialogs(dialogFixture(s, dir), "turns").drop("turns")
+
+  /** Gate + chat-template flatten
+    * ([[graft.ops.Dialogs.flattenValid]]): only the two valid
+    * residues survive; the oracle rebuilds their template text
+    * literally (chr(10)-joined). */
+  private def qDialogFlatten(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dialogs.flattenValid(dialogFixture(s, dir), "turns")
+      .select("doc_id", "n_turns", "n_user", "n_assistant", "text", "n_chars")
+
+  /** Per-role mass rollup ([[graft.ops.Dialogs.roleStats]]) — the
+    * exchange is bounded by the role vocabulary (2 here). */
+  private def qDialogRoles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dialogs.roleStats(dialogFixture(s, dir), "turns")
+
   /** Anchor-text term rollup ([[graft.ops.Urls.anchorTermStats]]) over
     * a synthesized page shell: each doc links to its successor site
     * with an anchor text chosen by doc_id residue — residue 0 carries
@@ -3746,6 +3814,10 @@ object SparkEntry {
     "q_bloom_screen" -> (qBloomScreen _),
     "q_link_graph" -> (qLinkGraph _),
     "q_warc_extract" -> (qWarcExtract _),
+    "q_warc_links" -> (qWarcLinks _),
+    "q_dialog_qa" -> (qDialogQa _),
+    "q_dialog_flatten" -> (qDialogFlatten _),
+    "q_dialog_roles" -> (qDialogRoles _),
     "q_link_authority" -> (qLinkAuthority _),
     "q_distinct_sketch" -> (qDistinctSketch _),
     "q_cdc_chunks" -> (qCdcChunks _),
@@ -5113,6 +5185,66 @@ object SparkEntry {
         |  UNION ALL SELECT src, 'example.org' FROM d)
         |SELECT src_domain, dst_domain, COUNT(*) AS n_links
         |FROM e GROUP BY 1, 2""".stripMargin,
+    "q_warc_links" ->
+      """WITH d AS (SELECT doc_id,
+        |  'site' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS src,
+        |  'site' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.com' AS dst FROM documents),
+        |e AS (SELECT src AS src_domain, dst AS dst_domain FROM d
+        |      UNION ALL SELECT src, src FROM d
+        |      UNION ALL SELECT src, 'example.org' FROM d)
+        |SELECT src_domain, dst_domain, COUNT(*) AS n_links
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    // dialog lane: every flag / template string / rollup stated
+    // literally from the residue arithmetic (the q_link_graph
+    // discipline) — the HOF chains never run oracle-side
+    "q_dialog_qa" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 5 WHEN 2 THEN 3 WHEN 4 THEN 4 ELSE 2 END AS BIGINT) AS n_turns,
+        |  CAST(CASE doc_id % 5 WHEN 2 THEN 2 WHEN 4 THEN 2 ELSE 1 END AS BIGINT) AS n_user,
+        |  CAST(CASE doc_id % 5 WHEN 4 THEN 2 ELSE 1 END AS BIGINT) AS n_assistant,
+        |  doc_id % 5 <> 1 AS starts_user,
+        |  doc_id % 5 <> 1 AS ends_assistant,
+        |  doc_id % 5 <> 2 AS alternates,
+        |  doc_id % 5 = 3 AS has_empty,
+        |  doc_id % 5 IN (0, 4) AS valid
+        |FROM documents""".stripMargin,
+    "q_dialog_flatten" ->
+      """WITH v AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN
+        |    '<|user|>' || chr(10) || 'hi ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |    '<|assistant|>' || chr(10) || 're ' || CAST(doc_id AS VARCHAR) ||
+        |    chr(10) || '<|end|>'
+        |  ELSE
+        |    '<|user|>' || chr(10) || 'q1' || chr(10) || '<|assistant|>' || chr(10) ||
+        |    'a1' || chr(10) || '<|user|>' || chr(10) || 'q2' || chr(10) ||
+        |    '<|assistant|>' || chr(10) || 'a2' || chr(10) || '<|end|>'
+        |  END AS text,
+        |  CAST(CASE doc_id % 5 WHEN 0 THEN 2 ELSE 4 END AS BIGINT) AS n_turns,
+        |  CAST(CASE doc_id % 5 WHEN 0 THEN 1 ELSE 2 END AS BIGINT) AS n_user,
+        |  CAST(CASE doc_id % 5 WHEN 0 THEN 1 ELSE 2 END AS BIGINT) AS n_assistant
+        |  FROM documents WHERE doc_id % 5 IN (0, 4))
+        |SELECT doc_id, n_turns, n_user, n_assistant, text,
+        |  CAST(length(text) AS BIGINT) AS n_chars FROM v""".stripMargin,
+    "q_dialog_roles" ->
+      """WITH t AS (
+        |  SELECT 'user' AS role, 3 + length(CAST(doc_id AS VARCHAR)) AS len
+        |    FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT 'assistant', 3 + length(CAST(doc_id AS VARCHAR))
+        |    FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT 'assistant', 9 FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL SELECT 'user', 1 FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL SELECT 'user', 1 FROM documents WHERE doc_id % 5 = 2
+        |  UNION ALL SELECT 'user', 1 FROM documents WHERE doc_id % 5 = 2
+        |  UNION ALL SELECT 'assistant', 1 FROM documents WHERE doc_id % 5 = 2
+        |  UNION ALL SELECT 'user', 1 FROM documents WHERE doc_id % 5 = 3
+        |  UNION ALL SELECT 'assistant', 0 FROM documents WHERE doc_id % 5 = 3
+        |  UNION ALL SELECT 'user', 2 FROM documents WHERE doc_id % 5 = 4
+        |  UNION ALL SELECT 'assistant', 2 FROM documents WHERE doc_id % 5 = 4
+        |  UNION ALL SELECT 'user', 2 FROM documents WHERE doc_id % 5 = 4
+        |  UNION ALL SELECT 'assistant', 2 FROM documents WHERE doc_id % 5 = 4)
+        |SELECT role, COUNT(*) AS n_turns, CAST(SUM(len) AS BIGINT) AS total_chars,
+        |  round(CAST(SUM(len) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+        |FROM t GROUP BY role""".stripMargin,
     // every output column stated literally from the doc_id residue
     // arithmetic (the q_link_graph discipline) — the WARC build and
     // the record parse never run oracle-side; chr(13)||chr(10) = CRLF
