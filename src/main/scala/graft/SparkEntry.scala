@@ -3217,6 +3217,40 @@ object SparkEntry {
   private def qDialogRoles(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dialogs.roleStats(dialogFixture(s, dir), "turns")
 
+  /** Preference-pair QA ([[graft.ops.Dialogs.validatePreferencePairs]])
+    * over a residue fixture — (0) valid chosen-longer, (1) identical,
+    * (2) empty chosen, (3) valid chosen-shorter. Oracle states every
+    * flag and ratio literally. */
+  private def qPrefQa(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val chosen = when(d % 4 === 0, lit("longer answer ok"))
+      .when(d % 4 === 1, lit("same")).when(d % 4 === 2, lit("")).otherwise(lit("ab"))
+    val rejected = when(d % 4 === 0, lit("short"))
+      .when(d % 4 === 1, lit("same")).when(d % 4 === 2, lit("x")).otherwise(lit("abcd"))
+    graft.ops.Dialogs.validatePreferencePairs(
+      Tables.documents(s, dir).select(
+        d, concat(lit("p"), d.cast("string")).as("prompt"),
+        chosen.as("chosen"), rejected.as("rejected")),
+      "prompt", "chosen", "rejected")
+      .select("doc_id", "identical", "has_empty", "len_ratio", "valid")
+  }
+
+  /** Corpus length-bias readout ([[graft.ops.Dialogs.preferenceBias]])
+    * over the same fixture: one row, counts + rates the oracle
+    * recomputes from the residue populations. */
+  private def qPrefBias(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val chosen = when(d % 4 === 0, lit("longer answer ok"))
+      .when(d % 4 === 1, lit("same")).when(d % 4 === 2, lit("")).otherwise(lit("ab"))
+    val rejected = when(d % 4 === 0, lit("short"))
+      .when(d % 4 === 1, lit("same")).when(d % 4 === 2, lit("x")).otherwise(lit("abcd"))
+    graft.ops.Dialogs.preferenceBias(
+      Tables.documents(s, dir).select(
+        d, concat(lit("p"), d.cast("string")).as("prompt"),
+        chosen.as("chosen"), rejected.as("rejected")),
+      "prompt", "chosen", "rejected")
+  }
+
   /** Anchor-text term rollup ([[graft.ops.Urls.anchorTermStats]]) over
     * a synthesized page shell: each doc links to its successor site
     * with an anchor text chosen by doc_id residue — residue 0 carries
@@ -3818,6 +3852,8 @@ object SparkEntry {
     "q_dialog_qa" -> (qDialogQa _),
     "q_dialog_flatten" -> (qDialogFlatten _),
     "q_dialog_roles" -> (qDialogRoles _),
+    "q_pref_qa" -> (qPrefQa _),
+    "q_pref_bias" -> (qPrefBias _),
     "q_link_authority" -> (qLinkAuthority _),
     "q_distinct_sketch" -> (qDistinctSketch _),
     "q_cdc_chunks" -> (qCdcChunks _),
@@ -5245,6 +5281,25 @@ object SparkEntry {
         |SELECT role, COUNT(*) AS n_turns, CAST(SUM(len) AS BIGINT) AS total_chars,
         |  round(CAST(SUM(len) AS DOUBLE) / COUNT(*), 4) AS avg_chars
         |FROM t GROUP BY role""".stripMargin,
+    "q_pref_qa" ->
+      """SELECT doc_id,
+        |  doc_id % 4 = 1 AS identical,
+        |  doc_id % 4 = 2 AS has_empty,
+        |  CASE doc_id % 4 WHEN 0 THEN 3.2 WHEN 1 THEN 1.0 WHEN 2 THEN 0.0
+        |       ELSE 0.5 END AS len_ratio,
+        |  doc_id % 4 IN (0, 3) AS valid
+        |FROM documents""".stripMargin,
+    "q_pref_bias" ->
+      """WITH v AS (SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 3.2 ELSE 0.5 END AS ratio,
+        |    doc_id % 4 = 0 AS longer
+        |  FROM documents WHERE doc_id % 4 IN (0, 3))
+        |SELECT COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN longer THEN 1 ELSE 0 END) AS BIGINT) AS n_chosen_longer,
+        |  round(CAST(SUM(CASE WHEN longer THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+        |    AS chosen_longer_rate,
+        |  round(AVG(ratio), 4) AS avg_len_ratio
+        |FROM v""".stripMargin,
     // every output column stated literally from the doc_id residue
     // arithmetic (the q_link_graph discipline) — the WARC build and
     // the record parse never run oracle-side; chr(13)||chr(10) = CRLF

@@ -93,6 +93,47 @@ object Dialogs {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("starts_user", "ends_assistant", "alternates", "has_empty", "valid")
 
+  /** Preference-pair (DPO/RLHF) QA — the gate in front of reward-model
+    * and direct-preference training data: per (prompt, chosen,
+    * rejected) row append
+    *   - `identical`    — chosen == rejected (an unlearnable pair)
+    *   - `has_empty`    — any of the three empty/NULL
+    *   - `len_ratio`    — length(chosen)/length(rejected), 4dp, NULL
+    *     when rejected is empty (a skewed ratio is the classic
+    *     length-bias signal reward models latch onto)
+    *   - `valid`        — not identical, nothing empty
+    * Stateless projection — zero exchange; the corpus-level length-bias
+    * readout is [[preferenceBias]]. */
+  def validatePreferencePairs(
+      df: DataFrame, promptCol: String, chosenCol: String, rejectedCol: String): DataFrame = {
+    val c = col(chosenCol)
+    val r = col(rejectedCol)
+    val p = col(promptCol)
+    def empty(x: Column) = x.isNull || x === ""
+    df.withColumn("identical", coalesce(c === r, lit(false)))
+      .withColumn("has_empty", empty(p) || empty(c) || empty(r))
+      .withColumn("len_ratio",
+        when(!empty(r), round(length(c).cast("double") / length(r), 4)))
+      .withColumn("valid", !col("identical") && !col("has_empty"))
+  }
+
+  /** Corpus-level length-bias readout over VALID pairs: one row —
+    * `(n_pairs, n_chosen_longer, chosen_longer_rate, avg_len_ratio)`.
+    * A rate far from 0.5 means the preference labels are confounded
+    * with length and the reward model will learn verbosity. ONE
+    * map-side-combinable aggregate. */
+  def preferenceBias(
+      df: DataFrame, promptCol: String, chosenCol: String, rejectedCol: String): DataFrame =
+    validatePreferencePairs(df, promptCol, chosenCol, rejectedCol)
+      .where(col("valid"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(length(col(chosenCol)) > length(col(rejectedCol)), 1L).otherwise(0L))
+          .as("n_chosen_longer"),
+        round(sum(when(length(col(chosenCol)) > length(col(rejectedCol)), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("chosen_longer_rate"),
+        round(avg(col("len_ratio")), 4).as("avg_len_ratio"))
+
   /** Per-role content-length rollup over ALL dialogs: rows
     * `(role, n_turns, total_chars, avg_chars)` — the curriculum/budget
     * readout (assistant-side mass is what an SFT run actually trains

@@ -55,6 +55,26 @@ class DialogsSpec extends SparkSpec {
     assert(rows(0) == Row(0L, expected, expected.length.toLong))
   }
 
+  test("validatePreferencePairs + preferenceBias: identical/empty gates, length-bias readout") {
+    val d = Seq(
+      ("p0", "longer answer ok", "short"), // valid, chosen longer, ratio 3.2
+      ("p1", "same", "same"),              // identical
+      ("p2", "", "x"),                     // empty chosen
+      ("p3", "ab", "abcd"),                // valid, ratio 0.5
+      ("p4", "y", null)                    // null rejected
+    ).toDF("prompt", "chosen", "rejected")
+    val v = Dialogs.validatePreferencePairs(d, "prompt", "chosen", "rejected")
+      .select("prompt", "identical", "has_empty", "len_ratio", "valid").orderBy("prompt")
+      .collect()
+    assert(v(0) == Row("p0", false, false, 3.2, true))
+    assert(v(1) == Row("p1", true, false, 1.0, false))
+    assert(v(2) == Row("p2", false, true, 0.0, false))
+    assert(v(3) == Row("p3", false, false, 0.5, true))
+    assert(v(4) == Row("p4", false, true, null, false))
+    val b = Dialogs.preferenceBias(d, "prompt", "chosen", "rejected").head()
+    assert(b == Row(2L, 1L, 0.5, 1.85)) // (3.2 + 0.5) / 2
+  }
+
   test("roleStats: per-role turn counts and char mass") {
     val d = df(Seq(
       (0L, Seq("user" -> "abc", "assistant" -> "defgh")),
