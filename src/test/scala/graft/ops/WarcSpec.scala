@@ -142,6 +142,45 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("FUZZ: parser is total — random garbage and mutated blobs never throw; sentinel invariants hold") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int, seed: Long): List[A] =
+      Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(seed)).get
+    val valid = rec("response", Some("http://ex.com/p"), "HTTP/1.1 200 OK\r\n\r\nbody")
+    val garbage: Gen[String] = Gen.oneOf(
+      Gen.listOf(Gen.choose(0.toChar, 255.toChar)).map(_.mkString),
+      // mutations of a valid blob: truncation, splice, header damage
+      Gen.choose(0, valid.length).map(valid.take),
+      Gen.choose(0, valid.length).map(i => valid.take(i) + "WARC/" + valid.drop(i)),
+      Gen.const(valid.replace("Content-Length", "Content-Lies")),
+      Gen.const(valid * 3),
+      Gen.const("WARC/1.0\r\nContent-Length: 999999999999\r\n\r\n"))
+    samples(garbage, 400, 99L).foreach { blob =>
+      val arr = graft.functions.WarcRecords.parse(
+        org.apache.spark.unsafe.types.UTF8String.fromString(blob))
+      // invariants: at most one sentinel and it is LAST; every
+      // non-sentinel's payload length equals its content_length;
+      // offsets strictly increase
+      val n = arr.numElements()
+      var prevOff = -1L
+      (0 until n).foreach { i =>
+        val row = arr.getStruct(i, 7)
+        val wt = if (row.isNullAt(1)) null else row.getUTF8String(1).toString
+        val off = row.getLong(0)
+        assert(off > prevOff, s"offsets must increase in <${blob.take(40)}>")
+        prevOff = off
+        if (wt == "__malformed" || wt == "__truncated") {
+          assert(i == n - 1, "sentinel must be last")
+          assert(row.getUTF8String(6).toString.isEmpty)
+        } else {
+          assert(row.getUTF8String(6).numBytes() == row.getLong(5),
+            s"payload length must equal content_length in <${blob.take(40)}>")
+        }
+      }
+    }
+  }
+
   test("responses(): response records only, carry preserved, status+body split") {
     val blob = rec("warcinfo", None, "") +
       rec("response", Some("http://ex.com/1"), "HTTP/1.1 301 Moved\r\nLocation: x\r\n\r\n") +
