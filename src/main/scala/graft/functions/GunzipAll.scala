@@ -51,7 +51,14 @@ case class GunzipAll(child: Expression, maxOutBytes: Int = 256 * 1024 * 1024)
       // for a further member header after each trailer)
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes), 64 * 1024)
-      val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 20))
+      // LONG math: `bytes.length * 4` overflows Int past 512 MiB input
+      // and a negative initial capacity throws IllegalArgumentException
+      // — outside the IOException quarantine, so it would kill the task
+      // at exactly the ~1 GiB segment size the scaladoc targets
+      // (ADVICE r17). The hint is capped at 1 MiB anyway (the stream
+      // grows it as needed), so the min keeps the arithmetic total.
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(bytes.length.toLong * 4, 1L << 20).toInt)
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)
       var over = false
@@ -62,7 +69,12 @@ case class GunzipAll(child: Expression, maxOutBytes: Int = 256 * 1024 * 1024)
       in.close()
       if (over) null else UTF8String.fromBytes(out.toByteArray)
     } catch {
-      case _: java.io.IOException => null // corrupt gzip → quarantine
+      // corrupt gzip → quarantine. NonFatal (not just IOException): the
+      // quarantine-not-crash contract must hold for ANY per-row decode
+      // failure — an unexpected runtime exception from the zlib wrapper
+      // must not kill a 100 TB job over one bad segment (OOM/fatal
+      // errors still propagate)
+      case scala.util.control.NonFatal(_) => null
     }
   }
 

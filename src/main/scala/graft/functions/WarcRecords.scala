@@ -172,7 +172,12 @@ object WarcRecords {
                 else if (headerIs(b, p, colon, "content-length")) {
                   val t = v()
                   val tb = t.getBytes
-                  if (tb.isEmpty) badHeader = true
+                  // >18 digits would overflow the Long accumulator and
+                  // wrap to a small positive value — the record would
+                  // silently parse with a WRONG payload slice instead of
+                  // quarantining (ADVICE r17); no real record is within
+                  // 10^5 of Long.MaxValue, so overflow IS malformation
+                  if (tb.isEmpty || tb.length > 18) badHeader = true
                   else {
                     var n = 0L
                     var j = 0

@@ -150,10 +150,16 @@ object Urls {
     * regex-chain twin and equivalence oracle (UrlKernelSpec). */
   def host(url: Column): Column = graft.functions.UrlHost.urlHost(url)
 
-  /** Regex-chain twin of [[host]] — the equivalence oracle. */
+  /** Regex-chain twin of [[host]] — the equivalence oracle. `(?s)` and
+    * `\z` matter: the byte kernel scans the WHOLE authority, so the
+    * userinfo strip must cross line terminators (default-mode `.`
+    * stops at '\n') and the port strip must anchor at true end-of-input
+    * (default-mode `$` also matches before a trailing '\n') — without
+    * them the twin diverges on authorities containing \r/\n (ADVICE
+    * r17; the UrlKernelSpec generators now emit such inputs). */
   private[graft] def hostCols(url: Column): Column = {
     val auth = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    val h = lower(regexp_replace(regexp_replace(auth, "^.*@", ""), ":[0-9]*$", ""))
+    val h = lower(regexp_replace(regexp_replace(auth, "(?s)^.*@", ""), ":[0-9]*\\z", ""))
     when(h =!= "", h)
   }
 

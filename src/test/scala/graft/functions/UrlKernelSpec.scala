@@ -29,11 +29,18 @@ class UrlKernelSpec extends SparkSpec {
   // URL-ish generator: structured pieces + mutations that hit every
   // parser branch (scheme validity, userinfo, ports, empty host, case)
   private val schemeGen = Gen.oneOf("http", "HTTP", "https", "HtTpS", "ftp", "a", "x+y.z-1", "1bad", "")
+  // \r/\n-bearing hosts/userinfo/ports: the authority scan includes
+  // line terminators ([^/?#] crosses them), so the twin's userinfo
+  // strip needs (?s) and its port strip \z — ADVICE r17 found the old
+  // generators emitted none, leaving that divergence unfuzzed
   private val hostGen = Gen.oneOf(
     "Example.COM", "a.b.example.co.uk", "co.uk", "uk", "ex_ample.com.", "..",
-    "site0.com", "xn--bcher-kva.example", "127.0.0.1", "[::1]", "h", "")
-  private val portGen = Gen.oneOf("", ":80", ":443", ":8080", ":", ":8a", ":00")
-  private val userGen = Gen.oneOf("", "user@", "user:p@ss@", "a@b@", "@")
+    "site0.com", "xn--bcher-kva.example", "127.0.0.1", "[::1]", "h", "",
+    "ho\nst.com", "host.com\n", "host\r.com")
+  private val portGen = Gen.oneOf("", ":80", ":443", ":8080", ":", ":8a", ":00",
+    ":80\n", ":\n80")
+  private val userGen = Gen.oneOf("", "user@", "user:p@ss@", "a@b@", "@",
+    "a\nb@", "u@\n@")
   private val pathGen = Gen.oneOf("", "/", "/a/b/page.html", "/a/b/", "/x%41y", "/tr%61iling/")
   private val tailGen = Gen.oneOf("", "?b=2&a=1", "?utm_source=x&a=1", "#frag", "?q#f", "?", "#")
   private val sepGen = Gen.oneOf("://", ":/", ":", "//", "")
@@ -55,7 +62,11 @@ class UrlKernelSpec extends SparkSpec {
     "http://EX.com//double//slash/", "http://host?q=1", "http://host#f",
     "http://host/:80", "http://[::1]:8080/x", "http://ex_am-ple.waw.pl/q",
     "mailto:a@b.c", "http://中文.example/路径", "http://a.b.c.d.co.uk",
-    "HTTPS://ok.com:443", "hTtP://ok.com:80", "http://ok.com:443", "x+y-z.9://host/p")
+    "HTTPS://ok.com:443", "hTtP://ok.com:80", "http://ok.com:443", "x+y-z.9://host/p",
+    // line terminators inside the authority (ADVICE r17): userinfo
+    // crossing '\n', trailing '\n' after a port, bare trailing '\n'
+    "http://a\nb@host.com/x", "http://host.com:80\n", "http://host.com\n",
+    "http://HOST\r\n.co.uk:8080/p", "http://u@host:\n/x")
 
   test("UrlHost / UrlRegistrableDomain: codegen == Column twins on adversarial + 600 random") {
     val inputs: Seq[String] = adversarialUrls ++ samples(anyStringGen, 600, 41L)

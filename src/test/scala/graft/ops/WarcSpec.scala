@@ -68,7 +68,11 @@ class WarcSpec extends SparkSpec {
         "GARBAGE",
         "WARC/1.0\r\nWARC-Type response\r\nContent-Length: 0\r\n\r\n",
         "WARC/1.0\r\nWARC-Type: response\r\n\r\n",
-        "WARC/1.0\r\nContent-Length: 12x\r\n\r\n")) {
+        "WARC/1.0\r\nContent-Length: 12x\r\n\r\n",
+        // 19+ digits would overflow the Long accumulator and wrap to a
+        // small positive slice (ADVICE r17): overflow IS malformation
+        "WARC/1.0\r\nContent-Length: 9999999999999999999\r\n\r\npayload",
+        "WARC/1.0\r\nContent-Length: 18446744073709551617\r\n\r\npayload")) {
       val rows = parse1(blob)
       assert(rows.length == 1, s"for <$blob>")
       assert(rows(0).getAs[String]("warc_type") == "__malformed", s"for <$blob>")
