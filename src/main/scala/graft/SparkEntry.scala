@@ -3177,6 +3177,84 @@ object SparkEntry {
       resp.select(col("body").as("html"), col("target_uri").as("base")), "html", "base")
   }
 
+  /** The record-granular `.warc.gz` source end-to-end
+    * ([[graft.io.warc.WarcGzDataSourceV2]] →
+    * [[graft.ops.Warc.responsesFromRecords]]): reads the deterministic
+    * two-segment fixture ([[graft.io.warc.WarcGzFixture]], one gzip
+    * member per record — the CommonCrawl layout) with a 2 KiB split
+    * size, so byte-range splitting and boundary RESYNCHRONIZATION run
+    * inside the oracle gate, plus the warcinfo-member filter. The
+    * oracle states every column from the record-index arithmetic
+    * (`range(50)`); gzip decode, boundary scan and WARC parse never
+    * run oracle-side. */
+  private def qWarcGzCrawl(s: SparkSession, dir: String): DataFrame = {
+    val fixture = graft.io.warc.WarcGzFixture.ensure()
+    val recs = s.read.format("warcgz")
+      .option("targetsplitbytes", "2048")
+      .load(fixture)
+    graft.ops.Warc.responsesFromRecords(recs, carry = Seq("content_length"))
+  }
+
+  /** Chunked Transfer-Encoding decode inside the WARC lane
+    * ([[graft.functions.DechunkHttp]] gated by the header block in
+    * [[graft.ops.Warc.httpBody]]): residue 0 carries a well-formed
+    * chunked body (two chunks, hex size computed from the doc_id
+    * width), residue 1 a plain body (no TE header — must pass through
+    * untouched), residue 2 DECLARES chunked but frames it malformed
+    * (body must quarantine to NULL). The oracle states the decoded
+    * body literally — the dechunk kernel never runs oracle-side. */
+  private def qWarcDechunk(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val crlf = "\r\n"
+    val part1 = concat(lit("alpha-"), d.cast("string"))
+    val chunked = concat(
+      lower(hex(octet_length(part1))), lit(crlf), part1,
+      lit(s"${crlf}5$crlf:beta$crlf" + s"0$crlf$crlf"))
+    val body = when(d % 3 === 0, chunked)
+      .when(d % 3 === 1, concat(lit("plain-"), d.cast("string")))
+      .otherwise(lit(s"3${crlf}oops"))
+    val te = when(d % 3 === 1, lit("")).otherwise(lit(s"Transfer-Encoding: chunked$crlf"))
+    val http = concat(lit("HTTP/1.1 200 OK" + crlf), te, lit(crlf), body)
+    val date = "2026-01-01T00:00:00Z"
+    val warc = concat(
+      lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf + "WARC-Target-URI: "),
+      concat(lit("http://c"), (d % 20).cast("string"), lit(".com/x")),
+      lit(s"${crlf}WARC-Date: $date${crlf}WARC-Record-ID: <urn:uuid:"), d.cast("string"),
+      lit(">" + crlf + "Content-Length: "), octet_length(http).cast("string"),
+      lit(crlf + crlf), http, lit(crlf + crlf))
+    graft.ops.Warc.responses(
+      Tables.documents(s, dir).select(d, warc.as("warc")), "warc", carry = Seq("doc_id"))
+  }
+
+  /** The SFT lane feeding the corpus dedup machinery end-to-end (r17
+    * verdict #6): near-duplicate dialog fixture →
+    * [[graft.ops.Dialogs.flattenValid]] (invalid dialogs gated out) →
+    * [[graft.ops.DedupDocs.minhashLshPairs]] over the flattened chat
+    * template text. Dialogs sharing `doc_id % 200` are near-identical
+    * (one verb/noun varies with `doc_id / 200`); `doc_id % 13 == 0`
+    * rows are INVALID (assistant-first) and must be gated out BEFORE
+    * dedup — a pair involving one would hash-mismatch the oracle. The
+    * oracle restates the template text literally, then re-runs the
+    * q_minhash_lsh banding chain over it. */
+  private def qDialogDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val g = (d % 200).cast("string")
+    def turn(r: String, c: Column) = struct(lit(r).as("role"), c.as("content"))
+    val user = concat(lit("how do I configure item "), g, lit(" in the build"))
+    val variant = floor(d / 200) % 3
+    val assistant = when(variant === 0,
+        concat(lit("set option "), g, lit(" in the config file then rerun")))
+      .when(variant === 1,
+        concat(lit("set option "), g, lit(" in the config file then retry")))
+      .otherwise(concat(lit("set flag "), g, lit(" in the config file then rerun")))
+    val conv = when(d % 13 === 0, array(turn("assistant", assistant), turn("user", user)))
+      .otherwise(array(turn("user", user), turn("assistant", assistant)))
+    val flat = graft.ops.Dialogs.flattenValid(
+      Tables.documents(s, dir).select(d, conv.as("turns")), "turns")
+    DedupDocs.minhashLshPairs(
+      flat.select("doc_id", "text"), k = 3, numHashes = 16, rowsPerBand = 4)
+  }
+
   /** Conversation fixture for the [[graft.ops.Dialogs]] lane: per
     * document a turns array by doc_id residue — (0) valid 2-turn with
     * doc_id-bearing contents, (1) assistant-first (start/end defect),
@@ -3849,9 +3927,12 @@ object SparkEntry {
     "q_link_graph" -> (qLinkGraph _),
     "q_warc_extract" -> (qWarcExtract _),
     "q_warc_links" -> (qWarcLinks _),
+    "q_warcgz_crawl" -> (qWarcGzCrawl _),
+    "q_warc_dechunk" -> (qWarcDechunk _),
     "q_dialog_qa" -> (qDialogQa _),
     "q_dialog_flatten" -> (qDialogFlatten _),
     "q_dialog_roles" -> (qDialogRoles _),
+    "q_dialog_dedup" -> (qDialogDedup _),
     "q_pref_qa" -> (qPrefQa _),
     "q_pref_bias" -> (qPrefBias _),
     "q_link_authority" -> (qLinkAuthority _),
@@ -5319,6 +5400,69 @@ object SparkEntry {
         |       ELSE 'part1' || chr(13) || chr(10) || chr(13) || chr(10) || 'part2'
         |  END AS body
         |FROM documents""".stripMargin,
+    // the fixture is a pure function of the record index (50 records,
+    // two .warc.gz segment files): every column restated from that
+    // arithmetic — gzip decode, split resynchronization and WARC parse
+    // never run oracle-side. content_length = len('HTTP/1.1 200 OK' +
+    // CRLF CRLF + 'body-') + digits = 24 + digits.
+    "q_warcgz_crawl" ->
+      """SELECT CAST(24 + length(CAST(i AS VARCHAR)) AS BIGINT) AS content_length,
+        |  'http://site' || CAST(i % 20 AS VARCHAR) || '.com/p' ||
+        |    CAST(i % 10 AS VARCHAR) AS target_uri,
+        |  '2026-01-01T00:00:00Z' AS warc_date,
+        |  '<urn:uuid:' || CAST(i AS VARCHAR) || '>' AS record_id,
+        |  200 AS http_status,
+        |  'body-' || CAST(i AS VARCHAR) AS body
+        |FROM (SELECT CAST(range AS BIGINT) AS i FROM range(50))""".stripMargin,
+    // decoded bodies stated literally: residue 0 chunked → the
+    // concatenated chunk data, residue 1 plain → untouched, residue 2
+    // declared-chunked-but-malformed → NULL (quarantine); the dechunk
+    // kernel never runs oracle-side
+    "q_warc_dechunk" ->
+      """SELECT doc_id,
+        |  'http://c' || CAST(doc_id % 20 AS VARCHAR) || '.com/x' AS target_uri,
+        |  '2026-01-01T00:00:00Z' AS warc_date,
+        |  '<urn:uuid:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+        |  200 AS http_status,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'alpha-' || CAST(doc_id AS VARCHAR) || ':beta'
+        |       WHEN doc_id % 3 = 1 THEN 'plain-' || CAST(doc_id AS VARCHAR)
+        |       ELSE NULL END AS body
+        |FROM documents""".stripMargin,
+    // the flattened chat-template text restated literally (the
+    // q_dialog_flatten discipline; invalid % 13 dialogs excluded by
+    // the WHERE, mirroring the flattenValid gate), then the
+    // q_minhash_lsh banding chain re-run over it — the flatten and the
+    // LSH both recomputed independently, end to end
+    "q_dialog_dedup" ->
+      """WITH v AS (SELECT doc_id,
+        |    '<|user|>' || chr(10) || 'how do I configure item ' ||
+        |      CAST(doc_id % 200 AS VARCHAR) || ' in the build' || chr(10) ||
+        |    '<|assistant|>' || chr(10) ||
+        |    CASE (doc_id // 200) % 3
+        |      WHEN 0 THEN 'set option ' || CAST(doc_id % 200 AS VARCHAR) ||
+        |        ' in the config file then rerun'
+        |      WHEN 1 THEN 'set option ' || CAST(doc_id % 200 AS VARCHAR) ||
+        |        ' in the config file then retry'
+        |      ELSE 'set flag ' || CAST(doc_id % 200 AS VARCHAR) ||
+        |        ' in the config file then rerun' END ||
+        |    chr(10) || '<|end|>' AS text
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM v),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+        |       FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)),
+        |seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+        |hs AS (SELECT doc_id,
+        |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+        |         ('0x' || substr(md5(shingle), 17, 15))::BIGINT % 1000000007 AS h2
+        |       FROM sh),
+        |mh AS (SELECT doc_id, seed, MIN((h1 % 1000000007 + seed * h2) % 1000000007) AS minhash
+        |       FROM hs CROSS JOIN seeds GROUP BY doc_id, seed),
+        |bands AS (SELECT doc_id, seed // 4 AS band,
+        |            string_agg(seed || ':' || minhash, ',' ORDER BY seed) AS band_key
+        |          FROM mh GROUP BY doc_id, seed // 4)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
     // terms stated literally from the residue arithmetic: residue 0 →
     // {breaking, news} (markup stripped, case folded), 1 → {news,
     // archive}, 2 → {sports}; extraction never runs oracle-side

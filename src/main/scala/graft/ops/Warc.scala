@@ -60,10 +60,24 @@ object Warc {
   /** HTTP body of a response payload: everything after the FIRST
     * CRLF-CRLF (end of the HTTP headers), NULL when there is none.
     * A body containing its own `\r\n\r\n` is returned whole — the
-    * record's Content-Length already bounded the payload. */
+    * record's Content-Length already bounded the payload.
+    *
+    * When the header block declares `Transfer-Encoding: chunked`, the
+    * wire framing is DECODED ([[graft.functions.DechunkHttp]]): WARC
+    * payloads preserve raw wire bytes, and a large fraction of real
+    * crawl responses are chunked — without this, downstream text ops
+    * ingest `1a\r\n` size lines as content (r17 verdict). A chunked
+    * body with malformed framing yields NULL (quarantine). The
+    * chunked test is on the HEADER BLOCK only (`(?m)` line anchor,
+    * value token list containing `chunked`, case-insensitive), so a
+    * body merely MENTIONING the header is untouched. */
   def httpBody(payload: Column): Column = {
     val pos = locate("\r\n\r\n", payload)
-    when(pos > 0, substring(payload, pos + 4, lit(Int.MaxValue)))
+    val headers = substring(payload, lit(1), pos - 1)
+    val raw = substring(payload, pos + 4, lit(Int.MaxValue))
+    val chunked = headers.rlike("(?mi)^transfer-encoding:[^\r\n]*\\bchunked\\b")
+    when(pos > 0,
+      when(chunked, graft.functions.DechunkHttp.dechunkHttp(raw)).otherwise(raw))
   }
 
   /** The fetch rows a curation pipeline starts from: `response`
@@ -71,7 +85,17 @@ object Warc {
     * payload (plus `carry`, `target_uri`, `warc_date`, `record_id`).
     * Still a stateless projection — filter + explode, no exchange. */
   def responses(df: DataFrame, contentCol: String, carry: Seq[String]): DataFrame =
-    parseWarc(df, contentCol, carry)
+    responsesFromRecords(parseWarc(df, contentCol, carry), carry)
+
+  /** [[responses]] over ALREADY-EXPLODED record rows — the shape the
+    * record-granular `.warc.gz` source
+    * ([[graft.io.warc.WarcGzDataSourceV2]]) emits, one row per record
+    * with `warc_type`/`target_uri`/`warc_date`/`record_id`/`payload`
+    * columns. Shared tail of the scalar lane (container sentinels like
+    * `__corrupt_gz`/`__oversize` fail the `response` filter, so
+    * quarantine rows drop here by construction). */
+  def responsesFromRecords(records: DataFrame, carry: Seq[String]): DataFrame =
+    records
       .where(col("warc_type") === "response")
       .select(
         (carry.map(col) :+ col("target_uri") :+ col("warc_date") :+
