@@ -571,10 +571,87 @@ object Graph {
     * @return (node, label) after `iterations` rounds — nodes sharing a
     *         label are one community
     */
+  /** Driver vote loop for broadcast-sized graphs: identical recurrence
+    * (every node simultaneously takes the neighbor label with the
+    * greatest total arc weight, ties to the SMALLEST label by the
+    * type's ordering), over the same collapsed symmetric arc list the
+    * distributed lane builds — the collapse sum runs in Spark either
+    * way, so the driver lane only re-folds per-round vote sums (exact
+    * for the integral multiplicity weights crawl graphs carry; float
+    * sums are partition-order-dependent in the distributed lane too). */
+  private def lpaDriver(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Array[InternalRow],
+      schema: org.apache.spark.sql.types.StructType,
+      iterations: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.StructType
+    val aType = schema.fields(0).dataType
+    val bType = schema.fields(1).dataType
+    val idx = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+    def id(v: Any): Int = idx.getOrElseUpdate(v, idx.size)
+    val es = rows.map(r =>
+      (id(InternalRow.copyValue(r.get(0, aType))),
+        id(InternalRow.copyValue(r.get(1, bType))),
+        r.getDouble(2)))
+    val n = idx.size
+    val nodeVals = idx.keys.toArray
+    // Spark's ASC ordering for the label column: binary for strings
+    // (UTF8String.compareTo), natural for numerics
+    def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: org.apache.spark.unsafe.types.UTF8String,
+            b: org.apache.spark.unsafe.types.UTF8String) => a.compareTo(b) < 0
+      case (a: java.lang.Comparable[_], _) =>
+        a.asInstanceOf[java.lang.Comparable[Any]].compareTo(y) < 0
+      case _ => sys.error(s"unorderable label type: ${x.getClass}")
+    }
+    var labels: Array[Int] = Array.tabulate(n)(identity) // label = own node
+    var iter = 0
+    while (iter < iterations) {
+      val votes = Array.fill(n)(
+        scala.collection.mutable.HashMap.empty[Int, Double])
+      es.foreach { case (a, b, wt) =>
+        val m = votes(a)
+        m(labels(b)) = m.getOrElse(labels(b), 0.0) + wt
+      }
+      val next = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        var bestL = -1
+        var bestV = Double.NegativeInfinity
+        votes(i).foreach { case (l, v) =>
+          if (v > bestV || (v == bestV && lt(nodeVals(l), nodeVals(bestL))))
+            { bestL = l; bestV = v }
+        }
+        // every indexed node has ≥1 arc (idx is built from the arc
+        // list), so bestL is always set
+        next(i) = bestL
+        i += 1
+      }
+      labels = next
+      iter += 1
+    }
+    val outSchema = StructType(Seq(
+      schema.fields(1).copy(name = "node"),
+      schema.fields(1).copy(name = "label")))
+    val outRows = nodeVals.zipWithIndex.map { case (v, i) =>
+      new GenericInternalRow(Array[Any](v, nodeVals(labels(i)))): InternalRow
+    }
+    Bridge.internalCreateDataFrame(
+      spark,
+      spark.sparkContext.parallelize(outRows.toSeq, math.max(1, n / 500000)),
+      outSchema)
+  }
+
   def labelPropagation(
       edges: DataFrame,
       iterations: Int = 3,
-      weightCol: Option[String] = None
+      weightCol: Option[String] = None,
+      // broadcast-sized graphs run the vote rounds on the driver
+      // (pagerank/hits precedent); the distributed lane is pinned in
+      // scale benches via driverEdgeLimit = 0
+      driverEdgeLimit: Long = 2000000L
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val spark = edges.sparkSession
@@ -590,6 +667,14 @@ object Graph {
       sym.repartition(shufflePartitions, col("b")).sortWithinPartitions("b"),
       Seq("b"),
       shufflePartitions)
+    // the driver gate's count doubles as the nbr cache materialization
+    // the loop's single deferred job would otherwise perform
+    val nArcs = nbr.count()
+    if (nArcs <= driverEdgeLimit) {
+      val rows = nbrRdd.collect()
+      nbrRdd.unpersist(blocking = false)
+      return lpaDriver(spark, rows, nbr.schema, iterations)
+    }
 
     var (labels, labelsRdd) = cut(
       nbr.select(col("b").as("node")).distinct().select(col("node"), col("node").as("label")))
@@ -684,10 +769,79 @@ object Graph {
     *
     * @return (node, dist) — one row per reached node
     */
+  /** Driver level-synchronous BFS for broadcast-sized graphs: identical
+    * frontier/visited semantics as the distributed lane (seeds at 0,
+    * first arrival = min hops, stop on empty frontier or maxHops), flat
+    * int adjacency. All-integer arithmetic — exact parity. */
+  private def bfsDriver(
+      spark: org.apache.spark.sql.SparkSession,
+      edgeRows: Array[InternalRow],
+      edgeSchema: org.apache.spark.sql.types.StructType,
+      seedVals: Array[Any],
+      maxHops: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val srcType = edgeSchema.fields(0).dataType
+    val dstType = edgeSchema.fields(1).dataType
+    val idx = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+    def id(v: Any): Int = idx.getOrElseUpdate(v, idx.size)
+    // seeds first so ALL seeds (present in the edge list or not) are
+    // indexed and report dist 0, matching the distributed union
+    seedVals.foreach(id)
+    val es = edgeRows.map(r =>
+      (id(InternalRow.copyValue(r.get(0, srcType))),
+        id(InternalRow.copyValue(r.get(1, dstType)))))
+    val n = idx.size
+    val adjHead = Array.fill(n)(-1)
+    val adjNext = new Array[Int](es.length)
+    val adjDst = new Array[Int](es.length)
+    var ei = 0
+    while (ei < es.length) {
+      val (s, t) = es(ei)
+      adjDst(ei) = t; adjNext(ei) = adjHead(s); adjHead(s) = ei
+      ei += 1
+    }
+    val dist = Array.fill(n)(-1)
+    var frontier = seedVals.map(idx(_)).distinct
+    frontier.foreach(i => dist(i) = 0)
+    var hop = 0
+    while (frontier.nonEmpty && hop < maxHops) {
+      val next = scala.collection.mutable.ArrayBuffer.empty[Int]
+      frontier.foreach { u =>
+        var e = adjHead(u)
+        while (e >= 0) {
+          val v = adjDst(e)
+          if (dist(v) < 0) { dist(v) = hop + 1; next += v }
+          e = adjNext(e)
+        }
+      }
+      frontier = next.toArray
+      hop += 1
+    }
+    val nodeField = edgeSchema.fields(1).copy(name = "node")
+    val outSchema = StructType(Seq(
+      nodeField, StructField("dist", IntegerType, nullable = false)))
+    val outRows = idx.toSeq.collect {
+      case (v, i) if dist(i) >= 0 =>
+        new GenericInternalRow(Array[Any](v, dist(i))): InternalRow
+    }
+    Bridge.internalCreateDataFrame(
+      spark,
+      spark.sparkContext.parallelize(outRows, math.max(1, n / 500000)),
+      outSchema)
+  }
+
   def bfsDistances(
       edges: DataFrame,
       sources: DataFrame,
-      maxHops: Int
+      maxHops: Int,
+      // broadcast-sized graphs skip the frontier loop (pagerank/hits
+      // driverEdgeLimit precedent): each distributed round is a join +
+      // distinct + anti-join + union + count — per-round stage overhead
+      // that dwarfs the work on a graph fitting one driver array. Hop
+      // counts are integers, so parity is exact (GraphSpec A/B-pinned).
+      driverEdgeLimit: Long = 2000000L
   ): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     // the (big, static) edge side is exchanged and sorted ONCE with a
@@ -704,7 +858,20 @@ object Graph {
         .sortWithinPartitions("src"),
       Seq("src"),
       shufflePartitions)
-    e.count()
+    val nEdges = e.count()
+    val srcNodeType = sources.select(col("node")).schema.fields(0).dataType
+    // driver fast path: type equality guards the value-identity of the
+    // collected seed keys against the edge endpoints (mixed-width ids
+    // fall back to the distributed lane, which widens via the union)
+    if (nEdges <= driverEdgeLimit && srcNodeType == e.schema.fields(1).dataType) {
+      val seedVals = Bridge.toInternalRdd(
+          sources.select(col("node")).where(col("node").isNotNull).distinct())
+        .map(_.copy()).collect()
+        .map(r => InternalRow.copyValue(r.get(0, srcNodeType)))
+      val rows = eRdd.collect()
+      eRdd.unpersist(blocking = false)
+      return bfsDriver(edges.sparkSession, rows, e.schema, seedVals, maxHops)
+    }
     var (visited, visitedRdd) = cut(
       sources.select(col("node")).where(col("node").isNotNull).distinct()
         .withColumn("dist", lit(0)))
@@ -749,7 +916,76 @@ object Graph {
     visited
   }
 
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
+  /** Driver peel loop for broadcast-sized graphs: the IDENTICAL
+    * round/fixpoint semantics as the distributed lane (alive₀ = degree
+    * ≥ k over the full simple graph; each of rounds 1..maxRounds−1
+    * recomputes INDUCED degrees and drops < k, stopping early when a
+    * round removes nothing; result = induced degrees over the final
+    * alive set), in flat int arrays. All-integer arithmetic — parity
+    * with the distributed lane is exact, not approximate. */
+  private def kCoreDriver(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Array[InternalRow],
+      schema: org.apache.spark.sql.types.StructType,
+      k: Int,
+      maxRounds: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val aType = schema.fields(0).dataType
+    val bType = schema.fields(1).dataType
+    val idx = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+    def id(v: Any): Int = idx.getOrElseUpdate(v, idx.size)
+    val es = rows.map(r =>
+      (id(InternalRow.copyValue(r.get(0, aType))),
+        id(InternalRow.copyValue(r.get(1, bType)))))
+    val n = idx.size
+    def inducedDegrees(alive: Array[Boolean]): Array[Long] = {
+      val deg = new Array[Long](n)
+      es.foreach { case (a, b) =>
+        if (alive == null || (alive(a) && alive(b))) { deg(a) += 1; deg(b) += 1 }
+      }
+      deg
+    }
+    var alive = inducedDegrees(null).map(_ >= k)
+    var aliveCount = alive.count(identity)
+    var round = 1
+    var done = false
+    while (round < maxRounds && !done) {
+      val deg = inducedDegrees(alive)
+      val next = Array.tabulate(n)(i => alive(i) && deg(i) >= k)
+      val m = next.count(identity)
+      if (m == aliveCount) done = true
+      else { alive = next; aliveCount = m }
+      round += 1
+    }
+    val finalDeg = inducedDegrees(alive)
+    val outSchema = StructType(Seq(
+      schema.fields(0).copy(name = "node"),
+      StructField("core_degree", LongType, nullable = false)))
+    // the distributed lane's final rollup emits a row only for nodes
+    // incident to a surviving induced edge (degree ≥ 1)
+    val outRows = idx.toSeq.collect {
+      case (v, i) if alive(i) && finalDeg(i) >= 1 =>
+        new GenericInternalRow(Array[Any](v, finalDeg(i))): InternalRow
+    }
+    Bridge.internalCreateDataFrame(
+      spark,
+      spark.sparkContext.parallelize(outRows, math.max(1, n / 500000)),
+      outSchema)
+  }
+
+  def kCore(
+      edges: DataFrame,
+      k: Int,
+      maxRounds: Int = 20,
+      // broadcast-sized graphs skip the peel loop's per-round scheduling
+      // (the pagerank/hits driverEdgeLimit precedent): up to maxRounds
+      // rounds of two semi-joins + a rollup + a count over a graph that
+      // fits one driver array is pure stage overhead. The peel itself is
+      // INTEGER arithmetic (degree counts), so driver/distributed parity
+      // is exact — pinned by GraphSpec's fast-path/distributed A/B.
+      driverEdgeLimit: Long = 2000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val (und, undRdd) = cut(
@@ -759,7 +995,12 @@ object Graph {
           greatest(col("src"), col("dst")).as("b"))
         .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
         .distinct())
-    und.count()
+    val nUnd = und.count()
+    if (nUnd <= driverEdgeLimit) {
+      val rows = undRdd.collect()
+      undRdd.unpersist(blocking = false)
+      return kCoreDriver(edges.sparkSession, rows, und.schema, k, maxRounds)
+    }
     def degrees(alive: Option[DataFrame]): DataFrame = {
       val kept = alive match {
         case Some(av) =>

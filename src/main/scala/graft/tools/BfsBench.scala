@@ -43,7 +43,7 @@ object BfsBench {
       val seeds = spark.range(nSeeds)
         .select(concat(lit("n"), (col("id") * 37L) % nNodes).as("node"))
       val t0 = System.nanoTime()
-      val res = graft.ops.Graph.bfsDistances(edges, seeds, maxHops)
+      val res = graft.ops.Graph.bfsDistances(edges, seeds, maxHops, driverEdgeLimit = 0L)
       val byDist = res.groupBy("dist").agg(count(lit(1)).as("n"))
         .orderBy("dist").collect()
         .map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(" ")

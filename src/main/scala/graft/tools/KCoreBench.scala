@@ -38,7 +38,7 @@ object KCoreBench {
         )
         .where(col("src") =!= col("dst"))
       val t0 = System.nanoTime()
-      val core = graft.ops.Graph.kCore(edges, k = k, maxRounds = 30)
+      val core = graft.ops.Graph.kCore(edges, k = k, maxRounds = 30, driverEdgeLimit = 0L)
       val agg = core.agg(count(lit(1)).as("nodes"), min(col("core_degree"))).head()
       val sec = (System.nanoTime() - t0) / 1e9
       println(

@@ -47,7 +47,7 @@ object LoopScale {
       // the deferral under measurement lives there (the driver fast
       // path would otherwise absorb the 1M row)
       R16Common.bench(spark, s"label_prop(3) ${m}M", () =>
-        graft.ops.Graph.labelPropagation(edges, iterations = 3), repeats = 3)
+        graft.ops.Graph.labelPropagation(edges, iterations = 3, driverEdgeLimit = 0L), repeats = 3)
       R16Common.bench(spark, s"hits(4) ${m}M", () =>
         graft.ops.Graph.hits(edges, iterations = 4, driverEdgeLimit = 0L), repeats = 3)
       R16Common.bench(spark, s"pagerank(5,tol=0) ${m}M", () =>

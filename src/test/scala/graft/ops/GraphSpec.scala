@@ -528,4 +528,79 @@ class GraphSpec extends SparkSpec {
     assert(got("b") == 0.0)
     assert(got("a") == 2.0) // edge 1-2, both directions
   }
+
+  // ---- round 18: driver fast path ≡ distributed lane (A/B) --------------
+  // The default driverEdgeLimit routes broadcast-sized graphs through the
+  // driver loop; driverEdgeLimit = 0 pins the distributed lane. Results
+  // must be row-set identical on the same input (integer arithmetic for
+  // kCore/bfs; integral multiplicity weights for LPA).
+
+  private def randomEdges(seed: Int, n: Int, m: Int): Seq[(String, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until m).map(_ => (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+  }
+
+  test("kCore: driver fast path equals the distributed lane on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(1, 2, 3)) {
+      val edges = randomEdges(seed, n = 40, m = 120).toDF("src", "dst")
+      for ((k, rounds) <- Seq((2, 10), (3, 2), (4, 30))) {
+        val fast = Graph.kCore(edges, k = k, maxRounds = rounds)
+          .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+        val dist = Graph.kCore(edges, k = k, maxRounds = rounds, driverEdgeLimit = 0L)
+          .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+        assert(fast.toSeq == dist.toSeq, s"seed=$seed k=$k rounds=$rounds")
+      }
+    }
+  }
+
+  test("bfsDistances: driver fast path equals the distributed lane, seeds off-graph included") {
+    import spark.implicits._
+    for (seed <- Seq(7, 8)) {
+      val edges = randomEdges(seed, n = 60, m = 150).toDF("src", "dst")
+      val sources = Seq("n0", "n17", "offgraph").toDF("node")
+      for (hops <- Seq(0, 2, 6)) {
+        val fast = Graph.bfsDistances(edges, sources, maxHops = hops)
+          .collect().map(r => (r.getString(0), r.getInt(1))).sorted
+        val dist = Graph.bfsDistances(edges, sources, maxHops = hops, driverEdgeLimit = 0L)
+          .collect().map(r => (r.getString(0), r.getInt(1))).sorted
+        assert(fast.toSeq == dist.toSeq, s"seed=$seed hops=$hops")
+      }
+    }
+  }
+
+  test("labelPropagation: driver fast path equals the distributed lane, weighted and not") {
+    import spark.implicits._
+    for (seed <- Seq(11, 12)) {
+      val raw = randomEdges(seed, n = 30, m = 90)
+      val unweighted = raw.toDF("src", "dst")
+      for (iters <- Seq(1, 3)) {
+        val fast = Graph.labelPropagation(unweighted, iterations = iters)
+          .collect().map(r => (r.getString(0), r.getString(1))).sorted
+        val dist = Graph.labelPropagation(unweighted, iterations = iters, driverEdgeLimit = 0L)
+          .collect().map(r => (r.getString(0), r.getString(1))).sorted
+        assert(fast.toSeq == dist.toSeq, s"seed=$seed iters=$iters unweighted")
+      }
+      // integral multiplicity weights (the crawl-graph shape): vote sums
+      // are exact in any fold order, so parity is bit-exact
+      val rnd = new scala.util.Random(seed)
+      val weighted = raw.map { case (a, b) => (a, b, (1 + rnd.nextInt(5)).toDouble) }
+        .toDF("src", "dst", "w")
+      val fastW = Graph.labelPropagation(weighted, iterations = 3, weightCol = Some("w"))
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted
+      val distW = Graph.labelPropagation(weighted, iterations = 3, weightCol = Some("w"),
+          driverEdgeLimit = 0L)
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted
+      assert(fastW.toSeq == distW.toSeq, s"seed=$seed weighted")
+    }
+  }
+
+  test("bfsDistances: long-keyed driver path round-trips types (the q_bfs_hops shape)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L)).toDF("src", "dst")
+    val sources = Seq(1L, 4L).toDF("node")
+    val fast = Graph.bfsDistances(edges, sources, maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(fast == Map(1L -> 0, 4L -> 0, 2L -> 1, 5L -> 1, 3L -> 2))
+  }
 }
