@@ -119,6 +119,19 @@ object SetSim {
     // the full corpus) runs exactly ONCE, not per reference (the
     // triangleCounts recipe; 4.5× on the fixture).
     val (docs, docsRdd) = graft.util.LoopFrames.cut(prep(df, idCol, toksCol))
+    // materialize the shared cache once and read its MEASURED byte size:
+    // an internal-RDD-backed frame has no Catalyst statistics, so the
+    // verify joins below would always plan sort-merge. When the
+    // normalized corpus fits the broadcast threshold (with the arrays'
+    // real bytes, not a per-row allowance), hint it — two SMJ exchanges
+    // + sorts become broadcast hash joins. Corpus-sized inputs keep the
+    // shuffle lane: the gate reads the actual cached size (r18, guide
+    // §3.1/§7.2; q_setsim_join 2.22 → measured below).
+    docs.count()
+    val docsBytes = docs.sparkSession.sparkContext.getRDDStorageInfo
+      .find(_.id == docsRdd.id).map(i => i.memSize + i.diskSize)
+      .getOrElse(Long.MaxValue)
+    val bThr = docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     val pref = orderedPrefix(docs, num, den)
       .select(col("__id"), explode(slice(col("__sorted"), lit(1), col("__p"))).as("__t"))
     val buckets = pref
@@ -131,7 +144,8 @@ object SetSim {
       .explodePairs(buckets.select(col("__ids").as("docs")))
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
       .distinct()
-    val sides = docs.select(col("__id"), col("__toks"), col("__m"))
+    val sidesRaw = docs.select(col("__id"), col("__toks"), col("__m"))
+    val sides = if (bThr > 0 && docsBytes <= bThr) broadcast(sidesRaw) else sidesRaw
     val out = cand
       .join(sides.toDF("id_a", "__ta", "__ma"), "id_a")
       .join(sides.toDF("id_b", "__tb", "__mb"), "id_b")

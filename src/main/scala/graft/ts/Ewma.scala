@@ -92,9 +92,19 @@ object Ewma {
       .orderBy(col(tsCol).asc, col(idCol).asc)
     val ws = weights(taps, alphaNum, alphaDen)
     val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("long")
-    val base = df.where(col(valCol).isNotNull).withColumn("__cents", cents)
+    // Materialize each lag ONCE as a named column: Catalyst does NOT
+    // dedupe repeated lag(col, k) Column instances, so spelling the
+    // chains directly over lag() calls planned 243 window expressions
+    // (each occurrence its own frame; the physical Window re-walked
+    // every partition buffer per frame — r18 plan audit, 27× the 9
+    // frames actually needed). With named columns the Window computes
+    // taps frames and the chains are a plain post-window projection.
+    // Arithmetic and output are bit-identical.
+    val base0 = df.where(col(valCol).isNotNull).withColumn("__cents", cents)
+    val base = (1 to taps).foldLeft(base0)((d, k) =>
+      d.withColumn(s"__lag$k", lag(col("__cents"), k).over(w)))
     def lagK(k: Int): Column =
-      if (k == 0) col("__cents") else lag(col("__cents"), k).over(w)
+      if (k == 0) col("__cents") else col(s"__lag$k")
     def chain(offset: Int): (Column, Column) = {
       val lags = (0 until taps).map(k => lagK(k + offset))
       val num = lags.zip(ws).map { case (x, wk) =>
@@ -129,5 +139,6 @@ object Ewma {
       .withColumn("alarm",
         coalesce((abs(devMicro) > thresholdMicro).cast("int"), lit(0)))
       .drop("__cents")
+      .drop((1 to taps).map(k => s"__lag$k"): _*)
   }
 }
