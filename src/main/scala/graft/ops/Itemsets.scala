@@ -104,7 +104,10 @@ object Itemsets {
       .groupBy("__b")
       .agg(sort_array(collect_set(col("__i"))).as("__arr"))
       .where(size(col("__arr")) <= maxBasketSize && size(col("__arr")) >= 2)
+    // lineage-cut the basket frame (the count below is forced anyway
+    // for the N literal; supports and pairs both read the cache)
     val (baskets, basketsRdd) = graft.util.LoopFrames.cut(raw)
+    graft.util.CacheRegistry.trackRdd(basketsRdd)
     val nBaskets = baskets.count()
     val supports = baskets
       .select(explode(col("__arr")).as("__i"))
@@ -127,10 +130,10 @@ object Itemsets {
         ratio6(col("n_ab"), col("n_b")).as("conf_ba"),
         ratio6(col("n_ab").cast("decimal(38,0)") * nBaskets,
           col("n_a").cast("decimal(38,0)") * col("n_b")).as("lift"))
-    val (res, _) = graft.util.LoopFrames.cut(out)
-    res.count()
-    basketsRdd.unpersist(blocking = false)
-    res
+    // returned LAZY: the caller's one action executes supports + pairs +
+    // joins straight off the basket cache — the r17 final
+    // materialize-then-recount pass cost more than it saved
+    out
   }
 
   /** The shed report companion: baskets excluded by `maxBasketSize`

@@ -16,10 +16,19 @@ import org.apache.spark.sql.DataFrame
   */
 object CacheRegistry {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val trackedRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
 
   /** Track a frame persisted by an op whose returned plan still reads
     * it. Returns the frame for call-chaining. */
   private[graft] def track(df: DataFrame): DataFrame = { tracked.add(df); df }
+
+  /** Track a persisted internal-row RDD (a [[LoopFrames.cut]] cache)
+    * whose returned lazy plan still reads it — same lifetime contract
+    * as [[track]], for ops that keep the cheap RDD-level cache instead
+    * of a columnar DataFrame persist. */
+  private[graft] def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    trackedRdds.add(rdd)
 
   /** Number of currently tracked persisted frames (test hook). */
   def trackedCount: Int = tracked.size()
@@ -35,6 +44,12 @@ object CacheRegistry {
       try df.unpersist(blocking = false)
       catch { case scala.util.control.NonFatal(_) => () }
       df = tracked.poll()
+    }
+    var rdd = trackedRdds.poll()
+    while (rdd != null) {
+      try rdd.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      rdd = trackedRdds.poll()
     }
   }
 }
