@@ -1014,28 +1014,21 @@ object SparkEntry {
       .agg(count(lit(1)).cast("double").as("w"))
     // long node ids — customers even (2k), suppliers odd (2k+1): long
     // keys keep the whole pipeline (agg, collect, driver index) off
-    // string hashing (measured 4.1 → 3.4 s at sf0.1 vs 'c'||id strings)
-    val edges = arcs
-      .select(
-        explode(
-          array(
-            struct(
-              (col("cust") * 2L).as("src"),
-              (col("supp") * 2L + 1L).as("dst"),
-              col("w")),
-            struct(
-              (col("supp") * 2L + 1L).as("src"),
-              (col("cust") * 2L).as("dst"),
-              col("w"))
-          )
-        ).as("e")
-      )
-      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+    // string hashing (measured 4.1 → 3.4 s at sf0.1 vs 'c'||id strings).
+    // The both-directions explode moved INTO the operator (r18
+    // `symmetrize`): the op caches/collects the 587 k-pair half list and
+    // mirrors it driver-side in the identical interleaved order, so the
+    // ranks are bit-identical to the explode spelling while the cache
+    // write and the driver-gate collect halve.
+    val edges = arcs.select(
+      (col("cust") * 2L).as("src"),
+      (col("supp") * 2L + 1L).as("dst"),
+      col("w"))
     Graph
       .pagerank(edges, iterations = 5, damping = 0.85, weightCol = Some("w"),
-        // the explode emits each (cust, supp) arc once per direction —
-        // already one row per (src, dst)
-        assumeCollapsed = true)
+        // one row per (cust, supp) pair; src even / dst odd, so no pair
+        // can appear in both orientations and no self-loops exist
+        assumeCollapsed = true, symmetrize = true)
       .select(col("node"), round(col("rank"), 6).as("pr"))
   }
 

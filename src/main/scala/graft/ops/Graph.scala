@@ -92,24 +92,53 @@ object Graph {
       // operator's own collapse exchange (1 full shuffle of the edge
       // list). The promise is the caller's: duplicate arcs under this
       // flag double-count weight.
-      assumeCollapsed: Boolean = false
+      assumeCollapsed: Boolean = false,
+      // treat every input arc as BOTH directions (src→dst AND dst→src,
+      // same weight) — the undirected/co-occurrence spelling. The caller
+      // could equally explode/union both directions itself; declaring it
+      // here halves the cached arc frame and the driver-gate collect
+      // (r18: the q_pagerank co-purchase graph collected 1.17 M exploded
+      // rows where 587 k carry the same information). Under
+      // assumeCollapsed the caller additionally promises src↔dst pairs
+      // are unique AND no arc appears in both orientations.
+      symmetrize: Boolean = false
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping >= 0 && damping < 1, s"damping must be in [0,1), got $damping")
     val spark = edges.sparkSession
     val w = weightCol.map(col).getOrElse(lit(1.0)).cast("double")
 
-    // collapse parallel edges once; everything downstream is per unique arc
-    val (arcs, arcsRdd) = cut(
+    // collapse parallel edges once; everything downstream is per unique
+    // arc. Under symmetrize only the HALF list is cached/collected —
+    // the mirrored direction is derived (flatMap on the driver, a cache
+    // re-read union in the distributed lane).
+    val (half, halfRdd) = cut(
       if (assumeCollapsed) edges.select(col("src"), col("dst"), w.as("w"))
+      else if (symmetrize)
+        // collapse the canonical half: parallel arcs in EITHER
+        // orientation merge onto the same undirected pair
+        edges
+          .select(least(col("src"), col("dst")).as("src"),
+            greatest(col("src"), col("dst")).as("dst"), w.as("w"))
+          .groupBy(col("src"), col("dst")).agg(sum(w).as("w"))
       else edges.groupBy(col("src"), col("dst")).agg(sum(w).as("w"))
     )
-    val nArcs = arcs.count()
+    val nHalf = half.count()
+    val nArcs = if (symmetrize) 2 * nHalf else nHalf
+    val mirrored =
+      half.select(col("dst").as("src"), col("src").as("dst"), col("w"))
+    val (arcs, arcsRdd) =
+      if (symmetrize) (half.unionAll(mirrored), halfRdd) else (half, halfRdd)
     if (nArcs <= driverEdgeLimit) {
       // InternalRow copies straight off the cache — collecting external
-      // Rows instead measured 2.5 s of pure conversion at 1.2M arcs
-      val rows = arcsRdd.collect()
-      arcsRdd.unpersist(blocking = false)
+      // Rows instead measured 2.5 s of pure conversion at 1.2M arcs.
+      // Under symmetrize the mirrored arcs are interleaved INSIDE the
+      // driver kernel (fwd then rev per collected row — the same order
+      // an exploded both-directions frame collects in, so the float
+      // fold order and the 6dp-rounded ranks are bit-identical to the
+      // caller exploding both directions itself).
+      val rows = halfRdd.collect()
+      halfRdd.unpersist(blocking = false)
       // seed values as InternalRow-copied values so they compare equal
       // to the idx keys (UTF8String for strings); a seed set is small
       // by its nature (a trusted whitelist), the collect is caller-sized
@@ -119,7 +148,8 @@ object Graph {
           .map(_.copy()).collect()
           .map(r => InternalRow.copyValue(r.get(0, nodeType)))
       }
-      return pagerankDriver(spark, rows, arcs.schema, iterations, damping, tol, seedVals)
+      return pagerankDriver(spark, rows, arcs.schema, iterations, damping, tol, seedVals,
+        symmetrize)
     }
 
     // node universe: src ∪ dst in one pass (explode, not union, so the
@@ -484,7 +514,8 @@ object Graph {
       iterations: Int,
       damping: Double,
       tol: Double,
-      seedVals: Option[Array[Any]] = None
+      seedVals: Option[Array[Any]] = None,
+      symmetrize: Boolean = false
   ): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
@@ -492,14 +523,27 @@ object Graph {
     val dstType = schema.fields(1).dataType
     val idx = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
     def id(v: Any): Int = idx.getOrElseUpdate(v, idx.size)
-    val es = rows.map(r =>
-      (id(InternalRow.copyValue(r.get(0, srcType))),
-        id(InternalRow.copyValue(r.get(1, dstType))),
-        r.getDouble(2)))
+    // primitive edge arrays (no per-arc tuple boxing — the index build
+    // and the iteration folds are the driver lane's hot path at 10⁶
+    // arcs); under symmetrize the mirrored arc follows its forward arc
+    // immediately, matching an exploded frame's collect order
+    val m = if (symmetrize) rows.length * 2 else rows.length
+    val esS = new Array[Int](m)
+    val esT = new Array[Int](m)
+    val esW = new Array[Double](m)
+    var j = 0
+    rows.foreach { r =>
+      val s = id(InternalRow.copyValue(r.get(0, srcType)))
+      val t = id(InternalRow.copyValue(r.get(1, dstType)))
+      val wt = r.getDouble(2)
+      esS(j) = s; esT(j) = t; esW(j) = wt; j += 1
+      if (symmetrize) { esS(j) = t; esT(j) = s; esW(j) = wt; j += 1 }
+    }
     val n = idx.size
     require(n > 0, "pagerank over an empty edge list")
     val outW = new Array[Double](n)
-    es.foreach { case (s, _, wt) => outW(s) += wt }
+    var e = 0
+    while (e < m) { outW(esS(e)) += esW(e); e += 1 }
     // restart distribution (see the distributed path): uniform, or
     // 1/|S∩V| on present seeds — same arithmetic either way
     val sv = new Array[Double](n)
@@ -519,7 +563,12 @@ object Graph {
       var dm = 0.0
       var i = 0
       while (i < n) { if (outW(i) == 0.0) dm += rank(i); i += 1 }
-      es.foreach { case (s, t, wt) => next(t) += damping * rank(s) * (wt / outW(s)) }
+      e = 0
+      while (e < m) {
+        val s = esS(e)
+        next(esT(e)) += damping * rank(s) * (esW(e) / outW(s))
+        e += 1
+      }
       i = 0
       while (i < n) { next(i) += damping * dm * sv(i); i += 1 }
       if (tol > 0) {

@@ -595,6 +595,26 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pagerank symmetrize equals the explicit both-directions spelling, driver and distributed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val half = (0 until 200).map(_ =>
+      (s"c${rnd.nextInt(20)}", s"s${20 + rnd.nextInt(15)}", (1 + rnd.nextInt(4)).toDouble))
+      .groupBy(e => (e._1, e._2)).map { case ((a, b), es) => (a, b, es.map(_._3).sum) }.toSeq
+    val halfDf = half.toDF("src", "dst", "w")
+    val both = halfDf.unionAll(halfDf.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    for (limit <- Seq(2000000L, 0L)) {
+      val sym = Graph.pagerank(halfDf, iterations = 4, weightCol = Some("w"),
+          assumeCollapsed = true, symmetrize = true, driverEdgeLimit = limit)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val exp = Graph.pagerank(both, iterations = 4, weightCol = Some("w"),
+          assumeCollapsed = true, driverEdgeLimit = limit)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(sym.keySet == exp.keySet, s"limit=$limit")
+      sym.foreach { case (k, v) => assert(math.abs(v - exp(k)) < 1e-12, s"limit=$limit node=$k") }
+    }
+  }
+
   test("bfsDistances: long-keyed driver path round-trips types (the q_bfs_hops shape)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L)).toDF("src", "dst")
