@@ -687,10 +687,17 @@ object Graph {
     val outRows = nodeVals.zipWithIndex.map { case (v, i) =>
       new GenericInternalRow(Array[Any](v, nodeVals(labels(i)))): InternalRow
     }
-    Bridge.internalCreateDataFrame(
-      spark,
-      spark.sparkContext.parallelize(outRows.toSeq, math.max(1, n / 500000)),
-      outSchema)
+    // the driver lane KNOWS the exact row count — hint the label table
+    // broadcastable so consumers joining it (modularity's la/lb/deg
+    // joins) skip the exchange+sort a stats-less parallelize frame
+    // would otherwise plan; the distributed lane returns its cache
+    // frame un-hinted
+    graft.spikes.Spikes.broadcastIfSmall(
+      Bridge.internalCreateDataFrame(
+        spark,
+        spark.sparkContext.parallelize(outRows.toSeq, math.max(1, n / 500000)),
+        outSchema),
+      n.toLong)
   }
 
   def labelPropagation(
@@ -1315,7 +1322,12 @@ object Graph {
     val contrib =
       (col("e_intra2") * col("__s") - col("d_sum") * col("d_sum")) / (col("__s") * col("__s"))
     dc
-      .join(intra, Seq("label"), "left")
+      // broadcast hint: both sides are O(communities) rollups and the q
+      // readout below already folds them through one unpartitioned
+      // window, so the label table is small by the operator's own scale
+      // envelope — the un-hinted spelling planned a sort-merge join of
+      // two stats-less aggregates (r18 plan audit)
+      .join(broadcast(intra), Seq("label"), "left")
       .withColumn("e_intra2", coalesce(col("e_intra2"), lit(0.0)))
       .withColumn("__c", contrib)
       .withColumn("q", round(sum(col("__c")).over(whole), 6))
