@@ -38,11 +38,22 @@ object Hybrid {
     * `Window.partitionBy("query_id")` — same O(N·|q|) bound. */
   def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int, c: Int = 60): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val l = lex.select(col("doc_id"), col("rank").as("lex_rank"))
-    val d = dense.select(col("doc_id"), col("rank").as("dense_rank"))
+    // union + max-rollup instead of a FULL OUTER join: each doc_id
+    // appears at most once per candidate list, so max() over the
+    // null-padded union reconstructs exactly the outer join's row —
+    // one map-side-combinable exchange and no sort, where the outer
+    // join (which can never broadcast) planned SMJ with two
+    // exchange+sorts (r18). Same rows, same values.
+    val l = lex.select(col("doc_id"), col("rank").as("lex_rank"),
+      lit(null).cast("int").as("dense_rank"))
+    val d = dense.select(col("doc_id"), lit(null).cast("int").as("lex_rank"),
+      col("rank").cast("int").as("dense_rank"))
     val contrib = (r: org.apache.spark.sql.Column) =>
       coalesce(lit(1.0) / (lit(c) + r).cast("double"), lit(0.0))
-    l.join(d, Seq("doc_id"), "full_outer")
+    l.select(col("doc_id"), col("lex_rank").cast("int").as("lex_rank"), col("dense_rank"))
+      .unionAll(d)
+      .groupBy("doc_id")
+      .agg(max(col("lex_rank")).as("lex_rank"), max(col("dense_rank")).as("dense_rank"))
       .select(
         col("doc_id"),
         coalesce(col("lex_rank"), lit(-1)).as("lex_rank"),

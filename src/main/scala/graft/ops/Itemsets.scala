@@ -121,9 +121,15 @@ object Itemsets {
       .groupBy(col("__p.a").as("item_a"), col("__p.b").as("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minSupport)
+    // the support table is vocabulary-bounded but derives from the
+    // stats-less basket cache, so its joins planned sort-merge (r18
+    // plan audit: 2 SMJ); the shared limit-probe recipe collects it
+    // into a broadcast LocalRelation when small, degrading to a
+    // tracked persisted frame past the cap
+    val supportsSide = graft.util.DriverSide.smallSideOrTracked(supports)
     val out = pairs
-      .join(supports.select(col("__i").as("item_a"), col("__ni").as("n_a")), "item_a")
-      .join(supports.select(col("__i").as("item_b"), col("__ni").as("n_b")), "item_b")
+      .join(supportsSide.select(col("__i").as("item_a"), col("__ni").as("n_a")), "item_a")
+      .join(supportsSide.select(col("__i").as("item_b"), col("__ni").as("n_b")), "item_b")
       .select(
         col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
         ratio6(col("n_ab"), col("n_a")).as("conf_ab"),
