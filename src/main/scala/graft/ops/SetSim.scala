@@ -132,6 +132,20 @@ object SetSim {
       .find(_.id == docsRdd.id).map(i => i.memSize + i.diskSize)
       .getOrElse(Long.MaxValue)
     val bThr = docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    // driver fast path (the Graph driverEdgeLimit pattern): when the
+    // whole normalized corpus fits the broadcast threshold, the 7-stage
+    // prefix-filter pipeline (freq rollup → order reassembly → prefix
+    // explode → capped buckets → pair explode → distinct → verify
+    // joins) is pure stage-scheduling overhead — every step is a
+    // deterministic integer computation (the bucket cap saturates on a
+    // pure distinct-count threshold), so a flat in-memory replay is
+    // EXACTLY output-equal (SetSimSpec A/B-pinned). Corpus-sized inputs
+    // keep the distributed lane untouched.
+    if (bThr > 0 && docsBytes <= bThr) {
+      val rows = docsRdd.collect()
+      docsRdd.unpersist(blocking = false)
+      return jaccardSelfJoinDriver(docs.sparkSession, rows, docs.schema, num, den, maxBucket)
+    }
     val pref = orderedPrefix(docs, num, den)
       .select(col("__id"), explode(slice(col("__sorted"), lit(1), col("__p"))).as("__t"))
     val buckets = pref
@@ -161,6 +175,112 @@ object SetSim {
     res.count()
     docsRdd.unpersist(blocking = false)
     res
+  }
+
+  /** Driver replay of the prefix-filter algorithm for broadcast-sized
+    * corpora — the IDENTICAL stages in flat memory: token df → global
+    * (df ASC, token bytewise ASC) order per set → `m − ⌈t·m⌉ + 1`
+    * prefix → per-prefix-token distinct-member buckets (dropped whole
+    * past `maxBucket` — the saturating-cap semantics — or below 2
+    * members) → pair distinct → exact intersection verify with the
+    * integer cross-multiplied threshold. Tokens compare as UTF8String
+    * (binary), matching the distributed sort order. */
+  private def jaccardSelfJoinDriver(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType,
+      num: Long,
+      den: Long,
+      maxBucket: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = rows.length
+    val ids = new Array[Long](n)
+    val tokSets = new Array[Array[UTF8String]](n)
+    val df = new java.util.HashMap[UTF8String, Long]()
+    var i = 0
+    while (i < n) {
+      val r = rows(i)
+      ids(i) = r.getLong(0)
+      val arr = r.getArray(1)
+      val m = arr.numElements()
+      val ts = new Array[UTF8String](m)
+      var j = 0
+      while (j < m) {
+        ts(j) = arr.getUTF8String(j)
+        df.put(ts(j), df.getOrDefault(ts(j), 0L) + 1L)
+        j += 1
+      }
+      tokSets(i) = ts
+      i += 1
+    }
+    // buckets over each set's (df ASC, token ASC) prefix
+    val buckets = new java.util.HashMap[UTF8String, java.util.TreeSet[java.lang.Long]]()
+    i = 0
+    while (i < n) {
+      val ts = tokSets(i)
+      val m = ts.length
+      val sorted = ts.sortWith { (a, b) =>
+        val da = df.get(a); val dbv = df.get(b)
+        if (da != dbv) da < dbv else a.compareTo(b) < 0
+      }
+      tokSets(i) = sorted
+      val ceilTm = (num * m + den - 1) / den
+      val p = (m - ceilTm + 1).toInt
+      var j = 0
+      while (j < p && j < m) {
+        buckets.computeIfAbsent(sorted(j), _ => new java.util.TreeSet[java.lang.Long]())
+          .add(ids(i))
+        j += 1
+      }
+      i += 1
+    }
+    // candidate pairs from in-cap buckets with ≥ 2 members
+    val idIdx = new java.util.HashMap[java.lang.Long, Integer]()
+    i = 0
+    while (i < n) { idIdx.put(ids(i), i); i += 1 }
+    val cand = new java.util.HashSet[(Long, Long)]()
+    buckets.values.forEach { members =>
+      if (members.size() >= 2 && members.size() <= maxBucket) {
+        val arr = members.toArray(new Array[java.lang.Long](members.size()))
+        var a = 0
+        while (a < arr.length - 1) {
+          var b = a + 1
+          while (b < arr.length) { cand.add((arr(a).longValue, arr(b).longValue)); b += 1 }
+          a += 1
+        }
+      }
+    }
+    // verify candidates with the exact intersection
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    cand.forEach { p =>
+      val idA = p._1; val idB = p._2
+      val ia = idIdx.get(idA).intValue; val ib = idIdx.get(idB).intValue
+      val ta = tokSets(ia); val tb = tokSets(ib)
+      val ma = ta.length.toLong; val mb = tb.length.toLong
+      if (den * math.min(ma, mb) >= num * math.max(ma, mb)) {
+        val (small, big) = if (ma <= mb) (ta, tb) else (tb, ta)
+        val bigSet = new java.util.HashSet[UTF8String](big.length * 2)
+        big.foreach(bigSet.add)
+        var inter = 0L
+        small.foreach(t => if (bigSet.contains(t)) inter += 1)
+        val uni = ma + mb - inter
+        if (den * inter >= num * uni)
+          out += new GenericInternalRow(Array[Any](idA, idB, inter, uni))
+      }
+    }
+    val outSchema = StructType(Seq(
+      schema.fields(0).copy(name = "id_a"),
+      schema.fields(0).copy(name = "id_b"),
+      StructField("inter", LongType, nullable = false),
+      StructField("uni", LongType, nullable = false)))
+    org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(
+      spark,
+      spark.sparkContext.parallelize(out.toSeq, 1),
+      outSchema)
   }
 
   /** Shed diagnostic for [[jaccardSelfJoin]]: prefix tokens whose

@@ -76,4 +76,27 @@ class SetSimSpec extends SparkSpec {
     val full = SetSim.jaccardSelfJoin(df, "id", "toks", 0.9)
     assert(full.count() == 50L * 49 / 2)
   }
+
+  test("driver fast path equals the distributed lane (r18), caps included") {
+    // the gate keys on autoBroadcastJoinThreshold: default → driver
+    // path for these tiny corpora; -1 → distributed lane
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val rows = (0L until 150L).map { i =>
+      val m = 3 + (i % 9).toInt
+      i -> (0 until m).map(j => s"t${(i * 11 + j * 3) % 60}").distinct
+    }
+    val df = toksDf(rows)
+    def run(t: Double, cap: Int) = SetSim.jaccardSelfJoin(df, "id", "toks", t, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    try {
+      for ((t, cap) <- Seq((0.5, 4096), (0.7, 4096), (0.9, 3))) {
+        val fast = run(t, cap)
+        spark.conf.set(key, "-1")
+        val dist = run(t, cap)
+        spark.conf.set(key, saved)
+        assert(fast == dist, s"t=$t cap=$cap: ${fast.size} vs ${dist.size}")
+      }
+    } finally spark.conf.set(key, saved)
+  }
 }
