@@ -719,18 +719,21 @@ object Graph {
       .where(col("a") =!= col("b"))
       .groupBy("a", "b")
       .agg(sum(col("w")).as("w"))
-    val (nbr, nbrRdd) = cutPartitioned(
-      sym.repartition(shufflePartitions, col("b")).sortWithinPartitions("b"),
-      Seq("b"),
-      shufflePartitions)
-    // the driver gate's count doubles as the nbr cache materialization
-    // the loop's single deferred job would otherwise perform
-    val nArcs = nbr.count()
-    if (nArcs <= driverEdgeLimit) {
+    // driver gate BEFORE the partitioned cache: the raw edge count (one
+    // shuffle-free scan, symmetrized = 2×) bounds the collapsed arc
+    // count from above, so a small corpus skips the repartition+sort
+    // pass that only the loop needs. Conservative past the limit (the
+    // bfsDistances contract): the distributed lane pays one extra scan.
+    if (2 * edges.count() <= driverEdgeLimit) {
+      val (nbr, nbrRdd) = cut(sym)
       val rows = nbrRdd.collect()
       nbrRdd.unpersist(blocking = false)
       return lpaDriver(spark, rows, nbr.schema, iterations)
     }
+    val (nbr, nbrRdd) = cutPartitioned(
+      sym.repartition(shufflePartitions, col("b")).sortWithinPartitions("b"),
+      Seq("b"),
+      shufflePartitions)
 
     var (labels, labelsRdd) = cut(
       nbr.select(col("b").as("node")).distinct().select(col("node"), col("node").as("label")))
@@ -900,6 +903,31 @@ object Graph {
       driverEdgeLimit: Long = 2000000L
   ): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val cleanEdges = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val srcNodeType = sources.select(col("node")).schema.fields(0).dataType
+    // driver gate BEFORE the partitioned cache is built: the gate reads
+    // the RAW (pre-distinct) count — one shuffle-free map-side scan —
+    // so the driver lane never pays the repartition+sort pass that only
+    // the loop needs. Conservative: a corpus whose raw edge list
+    // exceeds the limit but whose distinct list would fit takes the
+    // distributed lane — both lanes are exact, so only the constant
+    // differs; the scale lane's cost is one extra scan of the edge
+    // frame, a few percent of the loop it guards. Type equality guards
+    // the value-identity of the collected seed keys against the edge
+    // endpoints (mixed-width ids fall back to the distributed lane,
+    // which widens via the union).
+    if (srcNodeType == cleanEdges.schema.fields(1).dataType &&
+        cleanEdges.count() <= driverEdgeLimit) {
+      val (d, dRdd) = cut(cleanEdges.distinct())
+      val seedVals = Bridge.toInternalRdd(
+          sources.select(col("node")).where(col("node").isNotNull).distinct())
+        .map(_.copy()).collect()
+        .map(r => InternalRow.copyValue(r.get(0, srcNodeType)))
+      val rows = dRdd.collect()
+      dRdd.unpersist(blocking = false)
+      return bfsDriver(edges.sparkSession, rows, d.schema, seedVals, maxHops)
+    }
     // the (big, static) edge side is exchanged and sorted ONCE with a
     // DECLARED hash layout on src — every round's frontier join then
     // plans no Exchange and no Sort under the edge scan; only the
@@ -907,27 +935,13 @@ object Graph {
     val shufflePartitions =
       edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val (e, eRdd) = cutPartitioned(
-      edges.select(col("src"), col("dst"))
-        .where(col("src").isNotNull && col("dst").isNotNull)
+      cleanEdges
         .distinct()
         .repartition(shufflePartitions, col("src"))
         .sortWithinPartitions("src"),
       Seq("src"),
       shufflePartitions)
-    val nEdges = e.count()
-    val srcNodeType = sources.select(col("node")).schema.fields(0).dataType
-    // driver fast path: type equality guards the value-identity of the
-    // collected seed keys against the edge endpoints (mixed-width ids
-    // fall back to the distributed lane, which widens via the union)
-    if (nEdges <= driverEdgeLimit && srcNodeType == e.schema.fields(1).dataType) {
-      val seedVals = Bridge.toInternalRdd(
-          sources.select(col("node")).where(col("node").isNotNull).distinct())
-        .map(_.copy()).collect()
-        .map(r => InternalRow.copyValue(r.get(0, srcNodeType)))
-      val rows = eRdd.collect()
-      eRdd.unpersist(blocking = false)
-      return bfsDriver(edges.sparkSession, rows, e.schema, seedVals, maxHops)
-    }
+    e.count()
     var (visited, visitedRdd) = cut(
       sources.select(col("node")).where(col("node").isNotNull).distinct()
         .withColumn("dist", lit(0)))
