@@ -610,6 +610,15 @@ object Graph {
     * structures, so a fixed count (not convergence) is the contract,
     * and the oracle unrolls the same count.
     *
+    * Float-weight caveat (both lanes, same as [[pagerank]]/[[hits]]):
+    * per-round vote sums fold in an implementation-defined order — the
+    * distributed lane's partial aggregation and the driver lane's flat
+    * re-fold can differ in the last ulp for NON-INTEGRAL weights, so
+    * a tie decided at that precision may pick a different label. For
+    * integral multiplicity weights (the crawl-graph shape, and any
+    * unweighted call) every sum is exact and the two lanes are
+    * bit-identical (GraphSpec A/B).
+    *
     * Execution shape: the symmetrized weighted arc list is exchanged
     * and sorted ONCE on the voting side with the layout declared to
     * Catalyst (the [[pagerank]]/[[hits]] loop contract) — each round
@@ -918,6 +927,12 @@ object Graph {
     // endpoints (mixed-width ids fall back to the distributed lane,
     // which widens via the union).
     if (srcNodeType == cleanEdges.schema.fields(1).dataType &&
+        // mixed-width EDGE schemas (e.g. int src, long dst) must also
+        // fall back: bfsDriver compares boxed keys, and an int-boxed
+        // src never equals a long-boxed dst even for the same id —
+        // the distributed lane's SQL coercion widens instead
+        // (ADVICE r18)
+        cleanEdges.schema.fields(0).dataType == cleanEdges.schema.fields(1).dataType &&
         cleanEdges.count() <= driverEdgeLimit) {
       val (d, dRdd) = cut(cleanEdges.distinct())
       val seedVals = Bridge.toInternalRdd(
@@ -1336,12 +1351,18 @@ object Graph {
     val contrib =
       (col("e_intra2") * col("__s") - col("d_sum") * col("d_sum")) / (col("__s") * col("__s"))
     dc
-      // broadcast hint: both sides are O(communities) rollups and the q
-      // readout below already folds them through one unpartitioned
-      // window, so the label table is small by the operator's own scale
-      // envelope — the un-hinted spelling planned a sort-merge join of
-      // two stats-less aggregates (r18 plan audit)
-      .join(broadcast(intra), Seq("label"), "left")
+      // gated broadcast instead of r18's unconditional hint (ADVICE
+      // r18): intra is O(communities) ≤ O(label rows), so one
+      // shuffle-free count of the labels frame bounds it — a
+      // degenerate label = node-id labeling on a big graph keeps the
+      // sort-merge lane instead of forcing a driver-sized broadcast.
+      // The count is a scan of a frame the plan already reads three
+      // times (dc/la/lb), and the hint stays LAZY — no extra
+      // materialization job for the sym rollup (a limit-probe collect
+      // here measured +0.18 s: it serializes the cache fill into its
+      // own job where the single noop action pipelines it)
+      .join(graft.spikes.Spikes.broadcastIfSmall(intra, labels.count()),
+        Seq("label"), "left")
       .withColumn("e_intra2", coalesce(col("e_intra2"), lit(0.0)))
       .withColumn("__c", contrib)
       .withColumn("q", round(sum(col("__c")).over(whole), 6))

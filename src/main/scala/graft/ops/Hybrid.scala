@@ -35,7 +35,16 @@ object Hybrid {
     * BEFORE the final ranking so ties break identically in any engine
     * (then doc_id asc). For per-query fusion over a query batch, fuse
     * with `query_id` prepended to the join key and rank within
-    * `Window.partitionBy("query_id")` — same O(N·|q|) bound. */
+    * `Window.partitionBy("query_id")` — same O(N·|q|) bound.
+    *
+    * INPUT CONTRACT (ADVICE r18): `rank` must be an INTEGRAL 1-based
+    * position (a row_number output — what [[withRank]] produces) and
+    * each doc_id must appear at most once per list. The union+max plan
+    * casts ranks to int and collapses per doc_id, so a fractional rank
+    * would silently truncate and duplicate doc_ids would collapse to
+    * one max-rank row where the old full-outer join emitted one row
+    * per duplicate pair — violations are caller bugs, not supported
+    * inputs. */
   def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int, c: Int = 60): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     // union + max-rollup instead of a FULL OUTER join: each doc_id

@@ -111,11 +111,22 @@ object SemDedup {
     val repSide = reps.select(
       col("cell").as("__rc"), col("embedding").as("__re"),
       col("rep_id"), col("__self"))
+    // limit-probe small-side recipe on the qualifying-neighbor rollup
+    // (r19, guide §3.1): mOther is O(reps with a qualifying neighbor) —
+    // communities-bounded in practice but stats-less (it hangs off the
+    // quadratic pair join), so the un-hinted left join planned
+    // sort-merge with two exchange+sorts (r18/r19 plan audit). Within
+    // the cap the probe's single execution becomes a broadcast
+    // LocalRelation (the pair join also stops re-running inside the
+    // final plan); past the cap it degrades to a tracked persisted
+    // frame and the join falls back to the shuffle lane — the
+    // corpus-sized contract is unchanged.
+    val mOtherSide = graft.util.DriverSide.smallSideOrTracked(mOther)
     rows
       .join(repSide,
         col("cell") <=> col("__rc") && col("embedding") <=> col("__re"))
       .drop("__rc", "__re")
-      .join(mOther, Seq("cell", "rep_id"), "left")
+      .join(mOtherSide, Seq("cell", "rep_id"), "left")
       .withColumn(
         "__c_same",
         when(col("__self") >= minCosine && col("vec_id") > col("rep_id"), col("rep_id")))

@@ -158,8 +158,11 @@ object SetSim {
       .explodePairs(buckets.select(col("__ids").as("docs")))
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
       .distinct()
-    val sidesRaw = docs.select(col("__id"), col("__toks"), col("__m"))
-    val sides = if (bThr > 0 && docsBytes <= bThr) broadcast(sidesRaw) else sidesRaw
+    // no broadcast hint here: the driver replay above already returned
+    // for every corpus under the broadcast threshold, so this lane only
+    // ever sees corpus-sized verify sides (the r18 hinted spelling was
+    // dead code — ADVICE r18)
+    val sides = docs.select(col("__id"), col("__toks"), col("__m"))
     val out = cand
       .join(sides.toDF("id_a", "__ta", "__ma"), "id_a")
       .join(sides.toDF("id_b", "__tb", "__mb"), "id_b")

@@ -287,7 +287,12 @@ object Similarity {
       col("vec_id").as("a"), col("query_id").as("b"),
       col("rank").as("rank_ba"))
     fwd
-      .join(rev, Seq("a", "b"))
+      // rev is |nodes|·k narrow rows — strictly within the operator's
+      // bounded-nodes contract (the pair scan above already broadcasts
+      // the node frame WITH its embeddings, a wider relation); the
+      // un-hinted spelling planned a sort-merge join of two stats-less
+      // window subtrees (r18 plan audit)
+      .join(broadcast(rev), Seq("a", "b"))
       .where(col("a") < col("b"))
       .select("a", "b", "cos_sim", "rank_ab", "rank_ba")
   }

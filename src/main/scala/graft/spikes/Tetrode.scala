@@ -64,7 +64,12 @@ object Tetrode {
       .where(col("__maxabs") < maxAmplitude)
       .select("peak_idx")
     patches
-      .join(ok, "peak_idx")
+      // `ok` is bounded by the peak count already measured for the
+      // explode gate above — the un-hinted spelling planned a
+      // sort-merge join against the stats-less aggregate (r18 plan
+      // audit); past the session threshold a dense peak stream keeps
+      // the shuffled join, same degrade as the patch gather
+      .join(Spikes.broadcastIfSmall(ok, nPeaks), "peak_idx")
       .withColumn("time_s", round(col("peak_idx") / sampRate, 9))
   }
 

@@ -46,6 +46,36 @@ class ItemsetsSpec extends SparkSpec {
     assert(got(("y", "z")) == ((1L, 3L, 2L, 0.333333, 0.5, 0.666667)))
   }
 
+  test("sorted-run kernel == collect_set lane on random baskets (A/B, both ops)") {
+    // a DOUBLE basket key routes to the collect_set fallback lane
+    // (sort-order/equality divergence class), so casting the basket
+    // A/Bs the two physical lanes over the same logical input; the
+    // output columns carry no basket, so results must match exactly.
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 2000).map(_ => (rnd.nextInt(300).toLong, s"i${rnd.nextInt(40)}"))
+    val df = data.toDF("basket", "item")
+    val dfFallback = df.select(col("basket").cast("double").as("basket"), col("item"))
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    // cap 5 exercises both kept and shed baskets (mean distinct ~6)
+    val k1 = canon(Itemsets.coOccurrence(df, "basket", "item", 2, 5))
+    val f1 = canon(Itemsets.coOccurrence(dfFallback, "basket", "item", 2, 5))
+    assert(k1 == f1 && k1.nonEmpty)
+    val k2 = canon(Itemsets.rules(df, "basket", "item", 2, 5))
+    val f2 = canon(Itemsets.rules(dfFallback, "basket", "item", 2, 5))
+    assert(k2 == f2 && k2.nonEmpty)
+  }
+
+  test("kernel: basket exactly at the cap is kept, cap+1 shed, duplicates don't count") {
+    val atCap = (0 until 3).map(i => (1L, s"c$i")) ++ Seq((1L, "c0"), (1L, "c1")) ++ // 3 distinct + dups
+      (0 until 4).map(i => (2L, s"d$i")) // 4 distinct = over cap 3
+    val df = atCap.toDF("basket", "item")
+    val got = Itemsets.coOccurrence(df, "basket", "item", 1, 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("c0", "c1"), ("c0", "c2"), ("c1", "c2")))
+  }
+
   test("rules: supports exclude baskets outside the [2, max] universe") {
     // a singleton basket with x must NOT inflate n_x
     val df = Seq(
