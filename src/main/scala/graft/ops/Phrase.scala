@@ -29,19 +29,18 @@ object Phrase {
   def phraseMatches(documents: DataFrame, phrase: String, textCol: String = "text"): DataFrame = {
     val terms = phrase.split(" ").filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "empty phrase")
-    val k = terms.length
-    val toks = split(col(textCol), " ")
-    val starts = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
-      .otherwise(lit(Array.empty[Int]))
-    val hits = filter(starts, (i: Column) =>
-      terms.zipWithIndex
-        .map { case (t, j) => element_at(toks, i + j + 1) === lit(t) }
-        .reduce(_ && _))
+    // native one-pass kernel (r19): the previous HOF chain
+    // (filter(sequence) over element_at probes) is interpreted, not
+    // codegen'd, and this operator is a zero-exchange stateless
+    // projection — the per-row chain WAS the query (guide §4; same
+    // argument as DotF32/TokenSetCounts). Tokenization and the
+    // integer outputs are identical; PhraseSpec pins batch == indexed.
+    val h = graft.functions.PhraseHits.phraseHits(col(textCol), terms)
     documents
       .select(
         col("doc_id"),
-        size(hits).cast("long").as("n_hits"),
-        when(size(hits) > 0, element_at(hits, 1)).as("first_pos"))
+        h.getField("n_hits").as("n_hits"),
+        h.getField("first_pos").as("first_pos"))
       .where(col("n_hits") > 0)
   }
 

@@ -40,6 +40,41 @@ class PhraseSpec extends SparkSpec {
     }
   }
 
+  test("native kernel == interpreted HOF chain on adversarial tokenization (r19 A/B)") {
+    // the r18 HOF spelling, verbatim — the reference the kernel replaced
+    def hofMatches(df: org.apache.spark.sql.DataFrame, phrase: String) = {
+      val terms = phrase.split(" ").filter(_.nonEmpty).toSeq
+      val k = terms.length
+      val toks = split(col("text"), " ")
+      val starts = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
+        .otherwise(lit(Array.empty[Int]))
+      val hits = filter(starts, (i: org.apache.spark.sql.Column) =>
+        terms.zipWithIndex
+          .map { case (t, j) => element_at(toks, i + j + 1) === lit(t) }
+          .reduce(_ && _))
+      df.select(
+        col("doc_id"),
+        size(hits).cast("long").as("n_hits"),
+        when(size(hits) > 0, element_at(hits, 1)).as("first_pos"))
+        .where(col("n_hits") > 0)
+    }
+    val adversarial = Seq(
+      (10L, "a a a b"),
+      (11L, " a a"),            // leading space → leading empty token shifts positions
+      (12L, "a a "),            // trailing space → trailing empty token kept
+      (13L, "a  a a"),          // double space → empty token breaks adjacency
+      (14L, ""),                // empty text = one empty token
+      (15L, "ü ü ß"),           // multi-byte UTF-8 tokens
+      (16L, null.asInstanceOf[String]), // null text dropped by both forms
+      (17L, "a a a a a")        // max overlap
+    ).toDF("doc_id", "text")
+    for (phrase <- Seq("a a", "a a a", "ü ü", "ß", "b")) {
+      val kern = collect(Phrase.phraseMatches(adversarial, phrase))
+      val hof = collect(hofMatches(adversarial, phrase))
+      assert(kern == hof, s"phrase '$phrase'")
+    }
+  }
+
   test("single-term phrase degenerates to term lookup in both forms") {
     val batch = collect(Phrase.phraseMatches(docs, "b"))
     assert(batch == Map(1L -> ((1L, 3)), 3L -> ((2L, 1))))
