@@ -74,6 +74,23 @@ object Bridge {
         attrs, rdd, part, order, false, None)(cs, None, None))
   }
 
+  /** A DataFrame over a LocalRelation of already-Catalyst rows — the
+    * zero-job dual of `parallelize + internalCreateDataFrame` for
+    * DRIVER-COMPUTED results: LocalRelation carries accurate size
+    * statistics (so downstream joins broadcast it without hints) and
+    * collect-style consumers read it without scheduling a job. Rows
+    * must be in Catalyst form and immutable (GenericInternalRow with
+    * copied values). */
+  def localRelationDataFrame(
+      spark: SparkSession,
+      rows: Seq[InternalRow],
+      schema: StructType): DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      cs, org.apache.spark.sql.catalyst.plans.logical.LocalRelation(attrs, rows))
+  }
+
   /** A plain-message AnalysisException (the string constructor is
     * `protected[sql]`) for function-builder arity/argument errors. */
   def analysisError(message: String): org.apache.spark.sql.AnalysisException =
