@@ -99,18 +99,11 @@ object DedupDocs {
     // and the gram-frequency subtree is built once, not once per
     // consumer. collect_list is bounded by per-doc dup starts (≤ doc
     // tokens; [[graft.ops.Text.chunkDocs]] is the long-doc guard).
-    val covered = aggregate(
-      sort_array(collect_list(col("pos"))),
-      struct(lit(-1).as("prev"), lit(0L).as("acc")),
-      (st, s) =>
-        struct(
-          s.as("prev"),
-          (st.getField("acc") +
-            when(st.getField("prev") < 0, lit(k))
-              .otherwise(least(lit(k), s - st.getField("prev")))).as("acc")
-        ),
-      st => st.getField("acc")
-    )
+    // Native fold (r19): the interpreted aggregate() lambda ran per
+    // start per doc; [[graft.functions.CoveredLen]] is the identical
+    // arithmetic in one pass (SpanKernelsSpec A/B-pinned).
+    val covered = graft.functions.CoveredLen.coveredLen(
+      sort_array(collect_list(col("pos"))), k)
     val perDoc = dupStarts
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_starts"), covered.as("n_covered"))
@@ -248,16 +241,20 @@ object DedupDocs {
     }
     val startsBytes = nDocs * 48L + 4L * totalTokens
     val gated = if (thr > 0 && startsBytes <= thr) broadcast(starts) else starts
-    val toks = split(col("text"), " ")
-    val st = coalesce(col("__starts"), array().cast("array<int>"))
-    val kept = filter(toks, (_, i) => !exists(st, s => i >= s && i < s + k))
+    // native rebuild (r19): the HOF spelling evaluated an interpreted
+    // `exists` over the starts per TOKEN — O(tokens × starts) lambda
+    // calls per doc; [[graft.functions.StripTokens]] is one byte pass
+    // with the identical split/rejoin and null algebra
+    // (SpanKernelsSpec A/B-pinned).
+    val res = graft.functions.StripTokens.stripTokens(
+      col("text"), col("__starts"), k, " ")
     documents
       .join(gated, Seq("doc_id"), "left_outer")
       .select(
         col("doc_id"),
-        concat_ws(" ", kept).as("text_clean"),
-        size(toks).cast("long").as("n_tokens"),
-        (size(toks) - size(kept)).cast("long").as("n_removed")
+        res.getField("text_clean").as("text_clean"),
+        res.getField("n_tokens").as("n_tokens"),
+        res.getField("n_removed").as("n_removed")
       )
   }
 
@@ -349,13 +346,20 @@ object DedupDocs {
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("ln"))).as("__rm"))
     val rm = coalesce(col("__rm"), array().cast("array<int>"))
-    val kept = filter(lines, (_, i) => !array_contains(rm, i))
+    // native rebuild (r19): removal-by-index is exactly the
+    // [[graft.functions.StripTokens]] sweep at k = 1 with the line
+    // delimiter as separator — the HOF spelling paid an interpreted
+    // array_contains per LINE. n_removed keeps its own spelling
+    // (size of the removal list — same value, but null text maps to 0
+    // here where the spans form yields null).
+    val res = graft.functions.StripTokens.stripTokens(
+      col("text"), col("__rm"), 1, delim)
     documents
       .join(removals, Seq("doc_id"), "left_outer")
       .select(
         col("doc_id"),
-        concat_ws(delim, kept).as("text_clean"),
-        size(lines).cast("long").as("n_lines"),
+        res.getField("text_clean").as("text_clean"),
+        res.getField("n_tokens").as("n_lines"),
         size(rm).cast("long").as("n_removed")
       )
   }

@@ -255,7 +255,9 @@ object Itemsets {
         val (rollup, rollupRdd) = graft.util.LoopFrames.cut(
           taggedRuns.groupBy("__tag", "__x", "__y").agg(count(lit(1)).as("__c")))
         graft.util.CacheRegistry.trackRdd(rollupRdd)
-        rollup.count()
+        // the N readout is a FULL collect of the filtered cache scan —
+        // it computes every partition, so it doubles as the cache
+        // materialization pass (a separate count() job was redundant)
         val n = rollup.where(col("__tag") === 0).select("__c")
           .collect().headOption.map(_.getLong(0)).getOrElse(0L)
         val sup = rollup.where(col("__tag") === 1)

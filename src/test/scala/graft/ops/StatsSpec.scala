@@ -106,6 +106,25 @@ class StatsSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(6) == micro / 1e6))
   }
 
+  test("benford: when-chain digit == substring digit across every magnitude (r19)") {
+    // cents span 1 .. ~1e16 (decimal(18,2) ceiling); cover each decade
+    // with a leading digit 1..9 plus the decade boundaries themselves
+    val vals = for {
+      exp <- 0 to 14
+      lead <- 1 to 9
+    } yield lead * math.pow(10.0, exp) / 100.0 + (if (exp > 2) 0.13 else 0.0)
+    val df = vals.map(java.lang.Double.valueOf).toDF("v")
+    import org.apache.spark.sql.functions._
+    val cents = abs(col("v").cast("decimal(18,2)") * 100).cast("long")
+    val expected = df.select(cents.as("__c"))
+      .where(col("__c").isNotNull && col("__c") > 0L)
+      .select(substring(col("__c").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = Stats.benford(df, "v").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).filter(_._2 > 0).toMap
+    assert(got == expected)
+  }
+
   test("concentration: hand-computed gini/hhi/top share") {
     // counts per key: a=4, b=1, c=1 → asc [1,1,4]:
     // gini = (−2·1 + 0·1 + 2·4)/(3·6) = 1/3, hhi = 18/36, top2 = 5/6
