@@ -289,27 +289,18 @@ object Stats {
     */
   def benford(df: DataFrame, valueCol: String): DataFrame = {
     val cents = abs(col(valueCol).cast("decimal(18,2)") * 100).cast("long")
-    // first significant digit via a magnitude when-chain of exact
-    // integral divisions (r19): the string form allocated and parsed a
-    // string per row — for a query that is one scan + a 9-group rollup
-    // that was a third of its time (R19BenfordProbe: 0.60 → 0.48 s for
-    // the digit+rollup stage). Same digit for every positive long —
-    // the oracle keeps its substring spelling and the values match.
-    val firstDigit = {
-      val d = col("__c")
-      var e: Column = when(d < 10L, d)
-      var p = 10L
-      (1 to 17).foreach { _ =>
-        e = e.when(d < p * 10L, intDiv(d, lit(p)))
-        p *= 10L
-      }
-      // 19-digit longs (≥ 1e18)
-      e.otherwise(intDiv(d, lit(1000000000000000000L)))
-    }
+    // digit stays the STRING form. r19 tried a magnitude when-chain of
+    // IntegralDivides (probe said digit stage 0.60 → 0.48 s with
+    // double-division arithmetic) — but the exact-division spelling
+    // regressed the FULL query 1.29 → 3.6 s (isolated, reproduced):
+    // an 18-branch CaseWhen of IntegralDivides inside the aggregate
+    // key degrades the whole stage (double division is not usable —
+    // longs past 2^53 lose the digit). Tried and rejected; substring
+    // is the floor here.
     val counts = df
       .select(cents.as("__c"))
       .where(col("__c").isNotNull && col("__c") > 0L)
-      .select(firstDigit.cast("int").as("digit"))
+      .select(substring(col("__c").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy("digit")
       .agg(count(lit(1)).as("n"))
     val digits = counts.sparkSession.range(1, 10)
